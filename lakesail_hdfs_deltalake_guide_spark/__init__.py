@@ -1,0 +1,17 @@
+"""lakesail_hdfs_deltalake_guide_spark — a PySpark-native analytics engine.
+
+A from-scratch, idiomatic PySpark (DataFrame / SQL / Catalyst) engine with
+the query and data-processing capability surface of the reference repo
+``zemin-piao/lakesail-hdfs-deltalake-guide`` (studied read-only at
+``/root/reference``), plus the large-scale training-data-pipeline tier
+(dedup, similarity search, text analysis, multimodal plumbing, streaming).
+
+Design stance (SURVEY.md §7): declare logical plans with the DataFrame/SQL
+API and let Catalyst + Tungsten pick the physical strategy; Python touches
+data only through Arrow-batched pandas UDFs, never row-at-a-time loops.
+"""
+
+__version__ = "0.1.0"
+
+from .session import build_session, configure_session  # noqa: F401
+from .tables import TABLE_NAMES, load_tables  # noqa: F401

@@ -1,0 +1,12 @@
+"""Engine scalar/vector function library (JVM-side built-ins only)."""
+
+from .rounding import (  # noqa: F401
+    cents,
+    exact_avg,
+    exact_sum,
+    qround,
+    sql_cents,
+    sql_exact_avg,
+    sql_exact_sum,
+    sql_qround,
+)

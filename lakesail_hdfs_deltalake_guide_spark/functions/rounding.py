@@ -1,0 +1,65 @@
+"""Cross-engine-deterministic quantization.
+
+Engine ROUND implementations disagree at decimal half-way boundaries
+(Java BigDecimal HALF_UP vs DuckDB's decimal-aware rounding), which breaks
+bitwise oracle comparison. ``floor(x * 10^s + 0.5) / 10^s`` uses only IEEE
+ops every engine performs identically, so Spark and DuckDB produce the same
+double bit pattern for the same input. Used for every float column that
+crosses the correctness gate; plain ``F.round`` remains fine for display.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def qround(col: Column | str, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    m = 10**scale
+    return F.floor(c * F.lit(m) + F.lit(0.5)) / F.lit(m)
+
+
+def sql_qround(expr: str, scale: int = 2) -> str:
+    """DuckDB-side twin of :func:`qround` (identical IEEE op sequence)."""
+    m = 10**scale
+    return f"FLOOR(({expr}) * {m} + 0.5) / {m}"
+
+
+# --- Exact fixed-point (money) aggregation ---------------------------------
+# SUM/AVG over 2-decimal data are exactly representable in integer cents;
+# aggregating the cents as BIGINT is order-independent and therefore
+# bit-identical across engines and across shuffle orders — summing the raw
+# doubles is not (and an AVG of cents/count lands *exactly* on rounding
+# half-way boundaries, where any ulp flips a quantizer). At 100 TB this is
+# also the numerically-stable choice: no accumulation drift across billions
+# of rows.
+
+
+def cents(col: Column | str, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(10**scale) + F.lit(0.5))  # BIGINT
+
+
+def exact_sum(col: Column | str, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(cents(c, scale)).cast("double") / F.lit(10**scale)
+
+
+def exact_avg(col: Column | str, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(cents(c, scale)).cast("double") / F.count(c)) / F.lit(10**scale)
+
+
+def sql_cents(expr: str, scale: int = 2) -> str:
+    return f"CAST(FLOOR(({expr}) * {10**scale} + 0.5) AS BIGINT)"
+
+
+def sql_exact_sum(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM({sql_cents(expr, scale)}) AS DOUBLE) / {10**scale}"
+
+
+def sql_exact_avg(expr: str, scale: int = 2) -> str:
+    return (
+        f"(CAST(SUM({sql_cents(expr, scale)}) AS DOUBLE) / COUNT({expr})) / {10**scale}"
+    )

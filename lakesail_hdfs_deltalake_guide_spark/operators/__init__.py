@@ -1,0 +1,1 @@
+"""Engine operators: reference-parity relational tier + scale extensions."""

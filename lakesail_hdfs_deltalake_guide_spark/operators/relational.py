@@ -1,0 +1,515 @@
+"""Reference-parity relational operators (SURVEY.md §2.2-§2.6).
+
+Each builder re-expresses a query shape observed in the reference repo
+(citations inline) against the driver fixtures, per the FIXTURES.md mapping
+(employees→customer, transactions→orders). All builders are pure DataFrame
+API — Catalyst gets the whole logical plan, so predicate pushdown, column
+pruning, partial aggregation and join-strategy selection are automatic.
+
+Scale notes (100 TB posture):
+- Joins against ``nation``/``region`` are explicitly ``F.broadcast`` — at
+  any scale those dims stay tiny and must never shuffle the fact side.
+- customer⋈orders is an equi-join on the natural key; at cluster scale both
+  sides shuffle-hash/sort-merge on c_custkey with AQE handling skew.
+- Aggregations are hash aggs with map-side partial combine (automatic).
+- Top-k uses orderBy+limit → Spark plans TakeOrderedAndProject (no global
+  sort materialization).
+- Float outputs are quantized with :func:`qround` (cross-engine-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import (
+    exact_avg,
+    exact_sum,
+    qround,
+    sql_exact_avg,
+    sql_exact_sum,
+    sql_qround,
+)
+from ..querydef import QueryDef
+from ..tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- Flagship: customer/order analysis ------------------------------------
+# Re-expression of the employee-transaction analysis at
+# /root/reference/examples/read_deltalake_hdfs.py:100-118 (LEFT JOIN +
+# COUNT/COALESCE(SUM)/CASE-guarded AVG/ROUND/ORDER BY DESC) — SURVEY §2 rows
+# P1, J1, A1-A5, A8-A9, F1-F4, O1/O3.
+def flagship_customer_order_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    agg = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.coalesce(exact_sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+            F.when(F.count("o_orderkey") > 0, exact_avg("o_totalprice"))
+            .otherwise(0.0)
+            .alias("avg_order_value"),
+        )
+    )
+    return agg.withColumn(
+        "customer_tier",
+        F.when(F.col("total_spent") > 1_000_000, "High")
+        .when(F.col("total_spent") > 300_000, "Medium")
+        .otherwise("Standard"),
+    ).orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+
+
+_SUM_SPENT = f"COALESCE({sql_exact_sum('o.o_totalprice')}, 0.0)"
+FLAGSHIP_ORACLE = f"""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+       COUNT(o.o_orderkey) AS order_count,
+       {_SUM_SPENT} AS total_spent,
+       CASE WHEN COUNT(o.o_orderkey) > 0 THEN {sql_exact_avg("o.o_totalprice")}
+            ELSE CAST(0 AS DOUBLE) END AS avg_order_value,
+       CASE WHEN {_SUM_SPENT} > 1000000 THEN 'High'
+            WHEN {_SUM_SPENT} > 300000 THEN 'Medium'
+            ELSE 'Standard' END AS customer_tier
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+ORDER BY total_spent DESC, c.c_custkey
+"""
+
+
+# --- P1: projection with aliases (read_deltalake_hdfs.py:100-118) ----------
+def projection_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+        qround("c_acctbal").alias("balance"),
+    )
+
+
+# --- P2: selectExpr arithmetic/concat/cast (verify_sail_connection.py:46-50)
+def selectexpr_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "CAST(l_linenumber * 2 AS BIGINT) AS doubled_line",
+        "concat('item_', CAST(l_partkey AS STRING)) AS item_name",
+        "FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS discounted_price",
+    )
+
+
+# --- P3: literal/constant projection (create_deltalake_hdfs.py:30) ---------
+def literal_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        "SELECT CAST(1 + 1 AS BIGINT) AS result, 'engine-online' AS message"
+    )
+
+
+# --- P4: equality filter (read_deltalake_hdfs.py:83) -----------------------
+def filter_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --- P5 + O2: comparison filter, row-level DESC sort
+# (example_lakesail_kerberos.py:135-140)
+def filter_comparison_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_totalprice") > 450_000)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+# --- P6: HAVING (example_lakesail_kerberos.py:226) --------------------------
+def having_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            exact_sum("o_totalprice").alias("total_spent"),
+        )
+        .where(F.col("order_count") > 3)
+    )
+
+
+# --- J2 + A8: inner join, multi-key group (read_deltalake_hdfs.py:165-175) --
+def join_inner_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            exact_avg("o_totalprice").alias("avg_price"),
+            exact_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("c_mktsegment", "o_orderstatus")
+    )
+
+
+# --- Semi/anti joins (extension per SURVEY §2.3: dedup tier needs them) -----
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+# --- Three-way join with broadcast dims (scale posture showcase) ------------
+def join_broadcast_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation/region. nation+region are broadcast: at 100 TB the
+    fact side never shuffles for these dims."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# --- A10: global (ungrouped) aggregate (verify_complete_setup.py:256) -------
+def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        exact_sum("l_quantity").alias("sum_qty"),
+        exact_avg("l_extendedprice").alias("avg_price"),
+        F.min(F.col("l_shipdate").cast("date")).alias("min_shipdate"),
+        F.max(F.col("l_shipdate").cast("date")).alias("max_shipdate"),
+    )
+
+
+# --- A6/A7: stddev + exact percentile (example_lakesail_kerberos.py:219-223)
+def agg_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            qround(F.stddev("l_extendedprice")).alias("stddev_price"),
+            qround(F.min("l_extendedprice")).alias("min_price"),
+            qround(F.max("l_extendedprice")).alias("max_price"),
+            qround(F.expr("percentile(l_extendedprice, 0.5)")).alias("median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- TPC-H Q1-style pricing summary (A1-A5, A8, F1-F2 on the fact table) ----
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            qround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_price"
+            ),
+            qround(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount", 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- O4: top-k (ORDER BY ... DESC + limit → TakeOrderedAndProject) ----------
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --- F3: CASE bands + group (test_hdfs_inside_container.py:72-76) -----------
+def case_account_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.withColumn(
+            "balance_band",
+            F.when(F.col("c_acctbal") > 5000, "high")
+            .when(F.col("c_acctbal") > 0, "mid")
+            .otherwise("negative"),
+        )
+        .groupBy("balance_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            exact_sum("c_acctbal").alias("total_balance"),
+        )
+        .orderBy("balance_band")
+    )
+
+
+# --- Date dimension grouping (extension: to_date/date_trunc per SURVEY §2.5)
+def group_priority_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_orderpriority", F.year("o_orderdate").cast("bigint").alias("order_year")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("o_orderpriority", "order_year")
+    )
+
+
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "flagship_customer_order_analysis",
+        flagship_customer_order_analysis,
+        FLAGSHIP_ORACLE,
+        tags=("parity", "join", "agg", "bench"),
+        description="LEFT JOIN + COUNT/COALESCE(SUM)/guarded AVG/CASE/ROUND/ORDER BY "
+        "(reference read_deltalake_hdfs.py:100-118).",
+    ),
+    QueryDef(
+        "projection_aliases",
+        projection_aliases,
+        f"""
+        SELECT c_custkey AS customer_id, c_name AS customer_name,
+               c_mktsegment AS segment, {sql_qround("c_acctbal")} AS balance
+        FROM customer
+        """,
+        tags=("parity", "projection"),
+    ),
+    QueryDef(
+        "selectexpr_arithmetic",
+        selectexpr_arithmetic,
+        """
+        SELECT l_orderkey,
+               CAST(l_linenumber * 2 AS BIGINT) AS doubled_line,
+               concat('item_', CAST(l_partkey AS VARCHAR)) AS item_name,
+               FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100
+                 AS discounted_price
+        FROM lineitem
+        """,
+        tags=("parity", "projection"),
+    ),
+    QueryDef(
+        "literal_projection",
+        literal_projection,
+        "SELECT CAST(1 + 1 AS BIGINT) AS result, 'engine-online' AS message",
+        tags=("parity", "projection"),
+    ),
+    QueryDef(
+        "filter_equality",
+        filter_equality,
+        """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+        """,
+        tags=("parity", "filter"),
+    ),
+    QueryDef(
+        "filter_comparison_sort",
+        filter_comparison_sort,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        WHERE o_totalprice > 450000
+        ORDER BY o_totalprice DESC, o_orderkey
+        """,
+        tags=("parity", "filter", "sort"),
+    ),
+    QueryDef(
+        "having_count",
+        having_count,
+        f"""
+        SELECT o_custkey, COUNT(*) AS order_count,
+               {sql_exact_sum("o_totalprice")} AS total_spent
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) > 3
+        """,
+        tags=("parity", "agg"),
+    ),
+    QueryDef(
+        "join_inner_group",
+        join_inner_group,
+        f"""
+        SELECT c_mktsegment, o_orderstatus, COUNT(*) AS order_count,
+               {sql_exact_avg("o_totalprice")} AS avg_price,
+               {sql_exact_sum("o_totalprice")} AS total_price
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c_mktsegment, o_orderstatus
+        ORDER BY c_mktsegment, o_orderstatus
+        """,
+        tags=("parity", "join", "agg"),
+    ),
+    QueryDef(
+        "join_semi_customers_with_orders",
+        join_semi_customers_with_orders,
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        tags=("extension", "join"),
+    ),
+    QueryDef(
+        "join_anti_customers_without_orders",
+        join_anti_customers_without_orders,
+        """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        tags=("extension", "join"),
+    ),
+    QueryDef(
+        "join_broadcast_nation_region",
+        join_broadcast_nation_region,
+        f"""
+        SELECT r_name, n_name, COUNT(*) AS order_count,
+               {sql_exact_sum("o_totalprice")} AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        tags=("parity", "join", "agg", "bench"),
+    ),
+    QueryDef(
+        "agg_global_stats",
+        agg_global_stats,
+        f"""
+        SELECT COUNT(*) AS row_count, {sql_exact_sum("l_quantity")} AS sum_qty,
+               {sql_exact_avg("l_extendedprice")} AS avg_price,
+               CAST(MIN(l_shipdate) AS DATE) AS min_shipdate,
+               CAST(MAX(l_shipdate) AS DATE) AS max_shipdate
+        FROM lineitem
+        """,
+        tags=("parity", "agg"),
+    ),
+    QueryDef(
+        "agg_stats_by_flag",
+        agg_stats_by_flag,
+        f"""
+        SELECT l_returnflag, COUNT(*) AS n,
+               {sql_exact_avg("l_extendedprice")} AS avg_price,
+               {sql_qround("STDDEV_SAMP(l_extendedprice)")} AS stddev_price,
+               {sql_qround("MIN(l_extendedprice)")} AS min_price,
+               {sql_qround("MAX(l_extendedprice)")} AS max_price,
+               {sql_qround("QUANTILE_CONT(l_extendedprice, 0.5)")} AS median_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        tags=("parity", "agg"),
+    ),
+    QueryDef(
+        "tpch_q1_pricing_summary",
+        tpch_q1_pricing_summary,
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_exact_sum("l_quantity")} AS sum_qty,
+               {sql_exact_sum("l_extendedprice")} AS sum_base_price,
+               {sql_qround("SUM(l_extendedprice * (1 - l_discount))")} AS sum_disc_price,
+               {sql_qround("SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))")}
+                 AS sum_charge,
+               {sql_exact_avg("l_quantity")} AS avg_qty,
+               {sql_exact_avg("l_extendedprice")} AS avg_price,
+               {sql_exact_avg("l_discount", 4)} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        tags=("parity", "agg", "bench"),
+    ),
+    QueryDef(
+        "topk_orders",
+        topk_orders,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        tags=("parity", "sort", "topk"),
+    ),
+    QueryDef(
+        "case_account_bands",
+        case_account_bands,
+        f"""
+        SELECT CASE WHEN c_acctbal > 5000 THEN 'high'
+                    WHEN c_acctbal > 0 THEN 'mid'
+                    ELSE 'negative' END AS balance_band,
+               COUNT(*) AS n_customers,
+               {sql_exact_sum("c_acctbal")} AS total_balance
+        FROM customer GROUP BY balance_band ORDER BY balance_band
+        """,
+        tags=("parity", "agg", "case"),
+    ),
+    QueryDef(
+        "group_priority_year",
+        group_priority_year,
+        f"""
+        SELECT o_orderpriority, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                 AS order_year,
+               COUNT(*) AS n_orders, {sql_exact_sum("o_totalprice")} AS revenue
+        FROM orders GROUP BY o_orderpriority, order_year
+        ORDER BY o_orderpriority, order_year
+        """,
+        tags=("extension", "agg", "date"),
+    ),
+    QueryDef(
+        "monthly_revenue",
+        monthly_revenue,
+        f"""
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+               COUNT(*) AS n_orders, {sql_exact_sum("o_totalprice")} AS revenue
+        FROM orders GROUP BY month ORDER BY month
+        """,
+        tags=("extension", "agg", "date"),
+    ),
+]

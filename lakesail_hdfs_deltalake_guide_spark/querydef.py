@@ -1,0 +1,56 @@
+"""Query registry plumbing.
+
+Every engine capability (SURVEY.md §2 rows + extension tier) is exposed as a
+named :class:`QueryDef`: a Spark builder ``(spark, sf_dir) -> DataFrame``
+plus, when the semantics are ANSI-SQL-expressible, a DuckDB oracle SQL twin
+used by the correctness driver (row-count + schema + order-insensitive value
+hash). Column names/aliases MUST match between the two.
+
+Conventions that keep the oracle comparison bitwise-stable:
+- round every floating aggregate in-engine (same ROUND in both dialects);
+- cast integer SUMs to BIGINT in DuckDB (it widens to HUGEINT by default);
+- derive event-time buckets from epoch integers, never session-tz casts;
+- give every top-k a total order (unique-key tiebreak) before LIMIT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # DuckDB SQL twin; None → rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    description: str = ""
+
+
+class QueryRegistry:
+    def __init__(self) -> None:
+        self._defs: dict[str, QueryDef] = {}
+
+    def add(self, qdef: QueryDef) -> None:
+        if qdef.name in self._defs:
+            raise ValueError(f"duplicate query name: {qdef.name}")
+        self._defs[qdef.name] = qdef
+
+    def extend(self, qdefs: list[QueryDef]) -> None:
+        for q in qdefs:
+            self.add(q)
+
+    @property
+    def defs(self) -> dict[str, QueryDef]:
+        return dict(self._defs)
+
+    def queries(self) -> dict[str, QueryFn]:
+        return {name: q.fn for name, q in self._defs.items()}
+
+    def oracle_sql(self) -> dict[str, str]:
+        return {name: q.oracle for name, q in self._defs.items() if q.oracle}

@@ -1,0 +1,43 @@
+"""Central query registry: every capability exposed to the driver contract.
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin shims over this.
+"""
+
+from __future__ import annotations
+
+from .querydef import QueryDef, QueryRegistry
+
+
+def build_registry() -> QueryRegistry:
+    reg = QueryRegistry()
+    from .operators import relational
+
+    reg.extend(relational.QUERIES)
+
+    for modname in ("setops", "windows", "text", "dedup", "similarity", "multimodal"):
+        try:
+            import importlib
+
+            mod = importlib.import_module(f".operators.{modname}", __package__)
+            reg.extend(mod.QUERIES)
+        except ImportError:
+            # Module not built yet (incremental rounds) — registry stays valid.
+            pass
+
+    try:
+        from .streaming import events as streaming_events
+
+        reg.extend(streaming_events.QUERIES)
+    except ImportError:
+        pass
+    return reg
+
+
+_REGISTRY: QueryRegistry | None = None
+
+
+def get_registry() -> QueryRegistry:
+    global _REGISTRY
+    if _REGISTRY is None:
+        _REGISTRY = build_registry()
+    return _REGISTRY

@@ -1,0 +1,88 @@
+"""SparkSession construction and per-session tuning.
+
+Mirrors the reference's session-bootstrap surface (SURVEY.md §2.8):
+``SparkSession.builder`` with Hadoop/Kerberos conf pass-through
+(``/root/reference/examples/example_lakesail_kerberos.py:56-72``) — but
+self-hosted on a local/cluster Spark instead of a Spark Connect server.
+
+Scale posture (100 TB design, applied here at local[32]):
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing).
+- ``spark.sql.shuffle.partitions`` sized to the core count locally; on a
+  1000-executor cluster this should be ~2-3x total cores (or left to AQE's
+  coalescing with a high initial value).
+- Arrow enabled for every pandas interop path (vectorized UDF transfer).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Session-level (non-static) confs every engine entry point may rely on.
+# These are safe to apply to an externally-created session at runtime.
+RUNTIME_CONFS: dict[str, str] = {
+    # The driver fixtures' events table stores TIMESTAMP(NANOS), which the
+    # vectorized parquet reader rejects by default; read as epoch-nano longs
+    # and convert explicitly (tables.load_tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow-batched transfer for createDataFrame/toPandas/pandas UDFs.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # AQE: runtime shuffle-partition coalescing + skew-join handling.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session.
+
+    The correctness driver builds its own SparkSession and hands it to us;
+    everything the engine needs at query time must be settable here.
+    """
+    for key, value in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Non-settable on this build — engine code paths must degrade
+            # (the reference degrades Delta→Parquet the same way:
+            # /root/reference/examples/create_deltalake_hdfs.py:117-135).
+            pass
+    return spark
+
+
+def build_session(
+    app_name: str = "lakesail-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned local SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract).
+    Hadoop/Kerberos confs for a real HDFS deployment pass through
+    ``extra_conf`` unchanged — the code path is identical for ``file://``
+    and ``hdfs://`` URIs (SURVEY.md §2.1 S9).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else cpus),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for key, value in RUNTIME_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return configure_session(spark)

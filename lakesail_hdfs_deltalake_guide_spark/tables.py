@@ -1,0 +1,71 @@
+"""Fixture-table loading and temp-view registration.
+
+The reference registers DataFrames as temp views and queries them with SQL
+(``/root/reference/examples/read_deltalake_hdfs.py:95-96``,
+``examples/example_lakesail_kerberos.py:116``); this module is the engine's
+equivalent catalog bootstrap over the driver's parquet fixtures.
+
+Scale note: these are plain ``spark.read.parquet`` scans — schema from the
+footer, column pruning + predicate pushdown reach the scan untouched. The
+only transformation applied eagerly is the events ``ts`` nanosecond-long →
+TIMESTAMP conversion, a per-row projection that whole-stage codegen fuses
+into the scan (no shuffle, no materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import configure_session
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# events.ts arrives as epoch-nanos BIGINT (see session.RUNTIME_CONFS);
+# keep the raw long around as ts_ns (timezone-free — all oracle-checked
+# outputs derive integer epochs from it) and expose ts as a TimestampType
+# instant (exact epoch, independent of the session timezone) so event-time
+# windowing / watermarks work identically in batch and streaming.
+
+
+def _postprocess(name: str, df: DataFrame) -> DataFrame:
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn(
+                "ts",
+                F.timestamp_micros(F.floor(F.col("ts_ns") / F.lit(1000)).cast("long")),
+            )
+            .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+        )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_session(spark)
+    return _postprocess(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Temp-view catalog over the fixtures (reference S10 semantics)."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

@@ -1,0 +1,104 @@
+"""Local replica of the driver's Spark-vs-DuckDB oracle comparison.
+
+Stricter than the driver where we can afford it: after sorting columns by
+name and rows by all columns, values must match exactly (tiny float epsilon
+only as a diagnosed warning, not a pass).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for col in df.columns:
+        s = df[col]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[col] = pd.to_datetime(s).astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(s) or s.dtype == object and s.map(
+            lambda v: isinstance(v, int) or v is None
+        ).all() and not s.map(lambda v: isinstance(v, bool)).any():
+            try:
+                df[col] = s.astype("Int64")
+            except (TypeError, ValueError):
+                pass
+        elif pd.api.types.is_float_dtype(s):
+            df[col] = s.astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare_frames(actual: pd.DataFrame, expected: pd.DataFrame, name: str) -> list[str]:
+    problems: list[str] = []
+    if sorted(actual.columns) != sorted(expected.columns):
+        return [
+            f"{name}: column mismatch spark={sorted(actual.columns)} "
+            f"oracle={sorted(expected.columns)}"
+        ]
+    if len(actual) != len(expected):
+        return [f"{name}: row count spark={len(actual)} oracle={len(expected)}"]
+    a = canonicalize(actual)
+    e = canonicalize(expected)
+    for col in a.columns:
+        av, ev = a[col], e[col]
+        if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(ev):
+            diffs = [
+                (x, y)
+                for x, y in zip(av.tolist(), ev.tolist())
+                if not (
+                    (x is None and y is None)
+                    or (isinstance(x, float) and isinstance(y, float)
+                        and (math.isnan(x) and math.isnan(y) or x == y))
+                )
+            ]
+            if diffs:
+                near = all(
+                    x is not None and y is not None and abs(x - y) <= 1e-6 * max(1, abs(y))
+                    for x, y in diffs
+                )
+                problems.append(
+                    f"{name}.{col}: {len(diffs)} float diffs "
+                    f"({'all within 1e-6 — fix in-engine rounding' if near else 'LARGE'}) "
+                    f"first={diffs[0]}"
+                )
+        else:
+            eq = av.astype(str).fillna("<null>") == ev.astype(str).fillna("<null>")
+            if not eq.all():
+                idx = int(eq.idxmin())
+                problems.append(
+                    f"{name}.{col}: value mismatch at sorted-row {idx}: "
+                    f"spark={av.iloc[idx]!r} oracle={ev.iloc[idx]!r}"
+                )
+    return problems
+
+
+def run_compare(spark, sf_dir: str, name: str, fn, oracle: str) -> list[str]:
+    actual = fn(spark, sf_dir).toPandas()
+    with duck_connection(sf_dir) as con:
+        expected = con.execute(oracle).fetchdf()
+    return compare_frames(actual, expected, name)

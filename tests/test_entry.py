@@ -1,0 +1,41 @@
+from __future__ import annotations
+
+import importlib.util
+import os
+
+from tests.conftest import REPO_ROOT
+
+
+def _load_entry_module():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO_ROOT, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_returns_rows(spark):
+    mod = _load_entry_module()
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "total_spent" in df.columns
+
+
+def test_queries_and_oracles_consistent(spark):
+    mod = _load_entry_module()
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert len(qs) > 0
+    # every oracle key must have a query
+    assert set(oracles) <= set(qs)
+
+
+def test_each_query_runs_smoke(spark, sf_smoke):
+    mod = _load_entry_module()
+    for name, fn in mod.queries().items():
+        df = fn(spark, sf_smoke)
+        # schema resolves and the plan executes
+        assert df.columns, name
+        df.limit(5).collect()

@@ -1,0 +1,17 @@
+"""Replicates the driver's correctness gate locally at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakesail_hdfs_deltalake_guide_spark.registry import build_registry
+from tests.oracle_utils import run_compare
+
+REG = build_registry()
+ORACLE_CASES = [(n, q.fn, q.oracle) for n, q in REG.defs.items() if q.oracle]
+
+
+@pytest.mark.parametrize("name,fn,oracle", ORACLE_CASES, ids=[c[0] for c in ORACLE_CASES])
+def test_oracle_parity(spark, sf_oracle, name, fn, oracle):
+    problems = run_compare(spark, sf_oracle, name, fn, oracle)
+    assert not problems, "\n".join(problems)
