@@ -1,0 +1,92 @@
+"""Set operations (SURVEY.md §2.7 X8): union / intersect / except.
+
+The reference's capability ceiling has no set ops; these are the extension
+tier. All are expressed as native DataFrame ops — UNION is a zero-shuffle
+concatenation; INTERSECT/EXCEPT plan as hash aggregates + joins, which AQE
+sizes at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+
+def _nations_of(df: DataFrame, key: str) -> DataFrame:
+    return df.select(F.col(key).cast("int").alias("nationkey"))
+
+
+def setop_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of customer+supplier nation keys, then re-aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    unioned = _nations_of(c, "c_nationkey").unionByName(_nations_of(s, "s_nationkey"))
+    return (
+        unioned.groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n_parties"))
+        .orderBy("nationkey")
+    )
+
+
+def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation keys present in BOTH customer and supplier (set semantics)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        _nations_of(c, "c_nationkey")
+        .intersect(_nations_of(s, "s_nationkey"))
+        .orderBy("nationkey")
+    )
+
+
+def setop_except_positive_nonbuilding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive-balance customers EXCEPT the BUILDING segment (set minus).
+
+    ``subtract`` is Spark's distinct EXCEPT (vs ``exceptAll``'s multiset
+    semantics, which would keep surplus duplicate occurrences).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    positive = c.where(F.col("c_acctbal") > 0).select("c_custkey")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return positive.subtract(building).orderBy("c_custkey")
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "setop_union_all_counts",
+        setop_union_all_counts,
+        """
+        SELECT nationkey, COUNT(*) AS n_parties FROM (
+          SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+          UNION ALL
+          SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+        ) GROUP BY nationkey ORDER BY nationkey
+        """,
+        tags=("extension", "setop"),
+    ),
+    QueryDef(
+        "setop_intersect_nations",
+        setop_intersect_nations,
+        """
+        SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+        INTERSECT
+        SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+        ORDER BY nationkey
+        """,
+        tags=("extension", "setop"),
+    ),
+    QueryDef(
+        "setop_except_positive_nonbuilding",
+        setop_except_positive_nonbuilding,
+        """
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey
+        """,
+        tags=("extension", "setop"),
+    ),
+]

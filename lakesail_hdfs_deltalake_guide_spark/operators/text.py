@@ -1,0 +1,208 @@
+"""Text analysis for LLM-training-data pipelines (driver mandate X4).
+
+Language-ID (stopword-hit heuristic), quality scoring (length / distinct /
+stopword ratios), token counting and document fingerprinting over the
+``documents`` table. Everything is JVM-side built-ins (split / filter
+lambdas / explode / md5) — no Python in the hot path, so the plans
+whole-stage-codegen and scale linearly with document count.
+
+Determinism contract: ratios are integer-count divisions and weighted sums
+evaluated in the same IEEE op order as the DuckDB oracles → bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+# Tiny per-language stopword lists for the language-ID heuristic. These are
+# engine constants (not tuned to the corpus) — the heuristic is: most
+# stopword hits wins, ties broken en > es > de > fr, all-zero → unknown.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "los", "una", "por"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans"),
+}
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*words)))
+
+
+def _sql_hits(expr: str, words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split({expr}, ' '), t -> t IN ({quoted})))"
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokenization, distinct ratio."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        (
+            (F.length("text") - (F.size(toks) - F.lit(1))).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+def text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies (explode → count), the classic wordcount."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: stopword ratio + lexical diversity + length."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_tokens = F.size(toks)
+    stop_ratio = _hits(toks, STOPWORDS["en"]).cast("double") / n_tokens
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    len_score = F.least(n_tokens, F.lit(100)).cast("double") / F.lit(100)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        (stop_ratio * 0.3 + distinct_ratio * 0.5 + len_score * 0.2).alias(
+            "quality_score"
+        ),
+    )
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID; most hits wins (en>es>de>fr tiebreak)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    hits = {lang: _hits(toks, words) for lang, words in STOPWORDS.items()}
+    en, es, de, fr = hits["en"], hits["es"], hits["de"], hits["fr"]
+    predicted = (
+        F.when((en + es + de + fr) == 0, "unknown")
+        .when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.cast("bigint").alias("en_hits"),
+        es.cast("bigint").alias("es_hits"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+def text_fingerprint_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of whitespace-normalized lowercase text) and
+    the duplicate-group size per fingerprint — the driving primitive for
+    exact dedup at scale (group on a 128-bit digest, not the full text)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+_SQL_TOKS = "string_split(text, ' ')"
+_SQL_NTOK = f"len({_SQL_TOKS})"
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "text_token_stats",
+        text_token_stats,
+        f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({_SQL_TOKS})) AS BIGINT) AS n_distinct_tokens,
+               CAST(length(text) - ({_SQL_NTOK} - 1) AS DOUBLE) / {_SQL_NTOK}
+                 AS avg_token_len
+        FROM documents
+        """,
+        tags=("extension", "text"),
+    ),
+    QueryDef(
+        "text_token_frequency",
+        text_token_frequency,
+        f"""
+        SELECT token, COUNT(*) AS n_occurrences
+        FROM (SELECT unnest({_SQL_TOKS}) AS token FROM documents)
+        GROUP BY token ORDER BY n_occurrences DESC, token
+        """,
+        tags=("extension", "text", "bench"),
+    ),
+    QueryDef(
+        "text_quality_score",
+        text_quality_score,
+        f"""
+        SELECT doc_id, lang,
+               CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+               (CAST({_sql_hits("text", STOPWORDS["en"])} AS DOUBLE) / {_SQL_NTOK}) * 0.3
+               + (CAST(len(list_distinct({_SQL_TOKS})) AS DOUBLE) / {_SQL_NTOK}) * 0.5
+               + (CAST(LEAST({_SQL_NTOK}, 100) AS DOUBLE) / 100) * 0.2
+                 AS quality_score
+        FROM documents
+        """,
+        tags=("extension", "text"),
+    ),
+    QueryDef(
+        "text_language_id",
+        text_language_id,
+        f"""
+        SELECT doc_id, lang AS labeled_lang,
+               CAST({_sql_hits("text", STOPWORDS["en"])} AS BIGINT) AS en_hits,
+               CAST({_sql_hits("text", STOPWORDS["es"])} AS BIGINT) AS es_hits,
+               CASE
+                 WHEN {_sql_hits("text", STOPWORDS["en"])}
+                      + {_sql_hits("text", STOPWORDS["es"])}
+                      + {_sql_hits("text", STOPWORDS["de"])}
+                      + {_sql_hits("text", STOPWORDS["fr"])} = 0 THEN 'unknown'
+                 WHEN {_sql_hits("text", STOPWORDS["en"])} >= {_sql_hits("text", STOPWORDS["es"])}
+                  AND {_sql_hits("text", STOPWORDS["en"])} >= {_sql_hits("text", STOPWORDS["de"])}
+                  AND {_sql_hits("text", STOPWORDS["en"])} >= {_sql_hits("text", STOPWORDS["fr"])}
+                   THEN 'en'
+                 WHEN {_sql_hits("text", STOPWORDS["es"])} >= {_sql_hits("text", STOPWORDS["de"])}
+                  AND {_sql_hits("text", STOPWORDS["es"])} >= {_sql_hits("text", STOPWORDS["fr"])}
+                   THEN 'es'
+                 WHEN {_sql_hits("text", STOPWORDS["de"])} >= {_sql_hits("text", STOPWORDS["fr"])}
+                   THEN 'de'
+                 ELSE 'fr'
+               END AS predicted_lang
+        FROM documents
+        """,
+        tags=("extension", "text"),
+    ),
+    QueryDef(
+        "text_fingerprint_duplicates",
+        text_fingerprint_duplicates,
+        r"""
+        SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+               COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
+        FROM documents GROUP BY fingerprint ORDER BY fingerprint
+        """,
+        tags=("extension", "text", "dedup"),
+    ),
+]

@@ -1,0 +1,166 @@
+"""Window / analytic functions (SURVEY.md §2.7 X6).
+
+Ranking, lag/lead deltas, running totals and moving averages over the
+fixtures. Each window shuffles once on its partition key and sorts within
+partitions — at 100 TB the partition key (custkey / user_id / segment) is
+high-cardinality, so partitions stay small and no global sort is needed.
+Event-time ordering uses the tz-free ``ts_ns`` long (oracle-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import exact_sum, qround, sql_exact_sum, sql_qround
+from ..querydef import QueryDef
+from ..tables import load_table
+
+
+def window_topn_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance in each market segment (row_number)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rank_in_segment", F.row_number().over(w))
+        .where(F.col("rank_in_segment") <= 3)
+        .select("c_mktsegment", "rank_in_segment", "c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_mktsegment", "rank_in_segment")
+    )
+
+
+def window_rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank of each order within its customer by price."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("price_dense_rank"),
+    )
+
+
+def window_lag_event_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user previous event value and gap in seconds (lag)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        qround(F.lag("value").over(w)).alias("prev_value"),
+        F.floor((F.col("ts_ns") - F.lag("ts_ns").over(w)) / F.lit(1_000_000_000))
+        .cast("bigint")
+        .alias("gap_seconds"),
+    )
+
+
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total of order value per customer, in order date order.
+
+    The running sum accumulates exact integer cents (order-independent),
+    so the result is bit-identical across engines and shuffle orders.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents).over(w).cast("double") / 100).alias("running_revenue"),
+    )
+
+
+def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over the last 4 events per user (rowsBetween)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5))
+    return e.select(
+        "user_id",
+        "event_id",
+        (
+            (F.sum(cents).over(w).cast("double") / F.count(F.lit(1)).over(w)) / 100
+        ).alias("moving_avg_value"),
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "window_topn_per_segment",
+        window_topn_per_segment,
+        """
+        SELECT c_mktsegment, rank_in_segment, c_custkey, c_name, c_acctbal FROM (
+          SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rank_in_segment
+          FROM customer
+        ) WHERE rank_in_segment <= 3
+        ORDER BY c_mktsegment, rank_in_segment
+        """,
+        tags=("extension", "window"),
+    ),
+    QueryDef(
+        "window_rank_orders_per_customer",
+        window_rank_orders_per_customer,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(RANK() OVER w AS BIGINT) AS price_rank,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS price_dense_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        tags=("extension", "window"),
+    ),
+    QueryDef(
+        "window_lag_event_delta",
+        window_lag_event_delta,
+        f"""
+        SELECT user_id, event_id, value,
+               {sql_qround("LAG(value) OVER w")} AS prev_value,
+               CAST(FLOOR((epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w) / 1000000000)
+                    AS BIGINT) AS gap_seconds
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        """,
+        tags=("extension", "window", "events"),
+    ),
+    QueryDef(
+        "window_running_revenue",
+        window_running_revenue,
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / 100 AS running_revenue
+        FROM orders
+        """,
+        tags=("extension", "window", "bench"),
+    ),
+    QueryDef(
+        "window_moving_avg_events",
+        window_moving_avg_events,
+        """
+        SELECT user_id, event_id,
+               (CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+                / COUNT(*) OVER w) / 100 AS moving_avg_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        tags=("extension", "window", "events"),
+    ),
+]
