@@ -1,0 +1,150 @@
+"""Hash-sketch primitives: shingling, MinHash, SimHash, LSH banding.
+
+All column expressions over JVM built-ins (``xxhash64``, ``transform``,
+``aggregate``) — one codegen'd pass per document, no Python in the path.
+ANSI mode is on (Spark 4 default), so every arithmetic step is kept inside
+bigint range: shingle hashes are reduced to the 31-bit prime field
+``P = 2^31 - 1`` before the universal-hash ``(a*x + b) mod P`` step
+(max intermediate ≈ 2^62 < 2^63-1).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31 - 1: the MinHash universal-hash field.
+MINHASH_PRIME = 2_147_483_647
+
+
+def tokens(col: Column | str, sep: str = " ") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, sep)
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Token k-grams as strings; short docs fall back to the whole text."""
+    return F.when(
+        F.size(toks) < k, F.array(F.array_join(toks, " "))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+
+
+def shingle_hashes(shingle_col: Column) -> Column:
+    """Shingle strings → 31-bit field elements (set semantics via distinct)."""
+    return F.array_distinct(
+        F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+    )
+
+
+def minhash_coefficients(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_perm)
+    ]
+
+
+def _perm_hash(a: int, b: int):
+    # closure (not default-arg lambda): PySpark infers higher-order-function
+    # arity from the lambda's parameter count, so it must be exactly 1
+    return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))
+
+
+def minhash_signature(hashes: Column, num_perm: int = 32, seed: int = 42) -> Column:
+    """Array of ``num_perm`` MinHash values: min over shingles of (a*x+b)%P."""
+    sig = [
+        F.array_min(F.transform(hashes, _perm_hash(a, b)))
+        for a, b in minhash_coefficients(num_perm, seed)
+    ]
+    return F.array(*sig)
+
+
+def band_keys(sig: Column, num_bands: int, rows_per_band: int) -> Column:
+    """LSH banding: array of (band_id, band_hash) structs for explode+join.
+
+    Docs sharing any full band of MinHash rows land in the same bucket —
+    the candidate join is then a plain equi-join on (band_id, band_hash),
+    which shuffles only the tiny (doc_id, band) pairs, never the text.
+    """
+    bands = []
+    for b in range(num_bands):
+        rows = [
+            F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)
+        ]
+        band_hash = F.xxhash64(F.concat_ws("_", *[r.cast("string") for r in rows]))
+        bands.append(F.struct(F.lit(b).alias("band_id"), band_hash.alias("band_hash")))
+    return F.array(*bands)
+
+
+def minhash_similarity(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
+    """Estimated Jaccard: fraction of agreeing MinHash coordinates."""
+    agree = F.size(
+        F.filter(
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return agree.cast("double") / F.lit(num_perm)
+
+
+def feature_hashes64(shingle_col: Column) -> Column:
+    """Full-width 64-bit feature hashes (for SimHash bit votes)."""
+    return F.array_distinct(F.transform(shingle_col, lambda s: F.xxhash64(s)))
+
+
+def _bit_vote(j: int):
+    # closure, not default-arg lambda: the aggregate merge fn must be 2-ary
+    return lambda acc, h: acc + F.when(
+        F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+    ).otherwise(-1)
+
+
+def simhash63(feature_hashes: Column) -> Column:
+    """63-bit SimHash (bit 63 unused: keeps the value positive under ANSI).
+
+    For each bit j: sum over features of (+1 if bit j set else -1); the
+    SimHash has bit j set iff the sum is positive. The 63 bit positions are
+    unrolled in Python into one static expression tree — still a single
+    codegen'd pass per document.
+    """
+    total = F.lit(0).cast("bigint")
+    for j in range(63):
+        vote = F.aggregate(feature_hashes, F.lit(0), _bit_vote(j))
+        total = total + F.when(vote > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return total
+
+
+def hamming63(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_chunks(sh: Column, num_chunks: int = 9, chunk_bits: int = 7) -> Column:
+    """Split a SimHash into chunks for LSH blocking.
+
+    Pigeonhole guarantee: a pair within Hamming distance ``num_chunks - 1``
+    must agree exactly on at least one chunk, so an equi-join on
+    (chunk_id, chunk_val) loses no candidate below that distance. The
+    default 9 chunks x 7 bits tiles the 63-bit SimHash exactly and
+    guarantees recall for Hamming <= 8 — matching the verify threshold in
+    operators/dedup.py. Fewer, wider chunks (e.g. 4 x 16) give smaller
+    candidate sets but only guarantee Hamming <= 3."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftright(sh, i * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("chunk_val"),
+            )
+            for i in range(num_chunks)
+        ]
+    )

@@ -1,0 +1,64 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Primary path is JVM built-ins (``zip_with`` + ``aggregate``) — codegen'd,
+no serialization. A pandas_udf (Arrow-vectorized) variant exists as the
+sanctioned escape hatch (SURVEY.md §7 X9) and for numpy-heavy extensions;
+it computes the same cosine to float64 precision.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right accumulation (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot/(norm*norm) with a fixed op order (oracle-replicable)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+_COSINE_PANDAS = None
+
+
+def cosine_pandas():
+    """Arrow-batched numpy cosine — the escape-hatch path (X9).
+
+    ~10-100x faster than row-at-a-time Python UDFs; still slower than the
+    codegen'd builtin for simple dots, so reserved for ops that genuinely
+    need numpy (matrix batches, IVF centroids). Built lazily: pandas_udf
+    registration needs an active SparkSession.
+    """
+    global _COSINE_PANDAS
+    if _COSINE_PANDAS is None:
+
+        @pandas_udf("double")
+        def _cosine(a: pd.Series, b: pd.Series) -> pd.Series:
+            import numpy as np
+
+            av = np.stack(a.to_numpy())
+            bv = np.stack(b.to_numpy())
+            num = (av * bv).sum(axis=1)
+            den = np.sqrt((av * av).sum(axis=1)) * np.sqrt((bv * bv).sum(axis=1))
+            return pd.Series(num / den)
+
+        _COSINE_PANDAS = _cosine
+    return _COSINE_PANDAS

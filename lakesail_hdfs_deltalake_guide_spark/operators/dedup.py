@@ -1,0 +1,360 @@
+"""Deduplication tier (driver mandate X1/X2): exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design: every variant reduces the problem to (1) a per-document
+sketch computed in one codegen pass, (2) an equi-join on short bucket keys
+(band hash / simhash chunk), (3) a verify step on the candidate pairs only.
+Nothing ever shuffles full document text except the final survivor join by
+doc_id; no driver-side collection anywhere. Quadratic work only happens
+inside buckets, which banding keeps tiny.
+
+The ``*_planted`` queries build an augmented corpus in-plan (original docs
+UNION ALL mutated/duplicated copies with doc_id+100000) so the operators
+demonstrably *remove* something at any scale factor; invariant tests in
+tests/test_dedup.py assert the planted duplicates are exactly what's caught.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    band_keys,
+    feature_hashes64,
+    hamming63,
+    minhash_signature,
+    minhash_similarity,
+    shingle_hashes,
+    shingles,
+    simhash63,
+    simhash_chunks,
+    tokens,
+)
+from ..querydef import QueryDef
+from ..tables import load_table
+
+PLANT_OFFSET = 100_000
+NUM_PERM = 32
+NUM_BANDS = 8
+ROWS_PER_BAND = 4
+
+
+def _norm_text(col: str = "text") -> F.Column:
+    return F.lower(F.regexp_replace(F.col(col), r"\s+", " "))
+
+
+def exact_duplicate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of doc_id<50 (planted exact duplicates)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    dupes = d.where(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + PLANT_OFFSET
+    )
+    return d.unionByName(dupes)
+
+
+MIN_PLANT_TOKENS = 15
+
+
+def near_duplicate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup copies (first two tokens dropped) of doc_id<50.
+
+    Only docs with ≥ MIN_PLANT_TOKENS tokens get a planted copy: dropping
+    two tokens from a very short doc is a genuinely different document
+    (shingle Jaccard < 0.5), not a near-duplicate.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    toks = tokens("text")
+    mutated = (
+        d.where((F.col("doc_id") < 50) & (F.size(toks) >= MIN_PLANT_TOKENS))
+        .withColumn("doc_id", F.col("doc_id") + PLANT_OFFSET)
+        .withColumn("text", F.array_join(F.slice(toks, 3, F.size(toks) - 2), " "))
+    )
+    return d.unionByName(mutated)
+
+
+def planted_near_dup_ids(spark: SparkSession, sf_dir: str) -> list[int]:
+    """doc_ids (<50) that received a planted near-duplicate copy."""
+    d = load_table(spark, sf_dir, "documents")
+    rows = (
+        d.where((F.col("doc_id") < 50) & (F.size(tokens("text")) >= MIN_PLANT_TOKENS))
+        .select("doc_id")
+        .collect()
+    )
+    return sorted(r.doc_id for r in rows)
+
+
+# --- X1: exact dedup --------------------------------------------------------
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-groupBy exact dedup: survivors = min doc_id per content digest.
+
+    Grouping key is the md5 digest of normalized text, so the shuffle moves
+    16-byte digests + ids, never documents — the 100 TB-safe layout.
+    """
+    corpus = exact_duplicate_corpus(spark, sf_dir)
+    fp = _norm_text()
+    keyed = corpus.select("doc_id", "lang", "source", F.md5(fp).alias("fingerprint"))
+    survivors = keyed.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        survivors.join(keyed, ["fingerprint", "doc_id"], "inner")
+        .select("doc_id", "lang", "source", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain DISTINCT projection (dropDuplicates on a column subset)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("lang", "source").distinct().orderBy("lang", "source")
+
+
+# --- X2: MinHash-LSH near-dup ----------------------------------------------
+def _minhash_sigs(corpus: DataFrame) -> DataFrame:
+    toks = tokens("text")
+    return corpus.select(
+        "doc_id",
+        minhash_signature(
+            shingle_hashes(shingles(toks, 3)), NUM_PERM
+        ).alias("sig"),
+    )
+
+
+def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
+    """LSH banding: explode (band_id, band_hash), self-equi-join, dedup."""
+    sigs = _minhash_sigs(corpus)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(band_keys(F.col("sig"), NUM_BANDS, ROWS_PER_BAND)).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    left = bands.alias("a")
+    right = bands.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Verify candidates with the MinHash-estimated Jaccard (sketch-only).
+    return (
+        pairs.join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+        .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            minhash_similarity(F.col("sig_a"), F.col("sig_b"), NUM_PERM).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors after MinHash-LSH near-dup removal (keep smaller doc_id)."""
+    corpus = near_duplicate_corpus(spark, sf_dir)
+    dup_pairs = minhash_candidate_pairs(corpus).where(F.col("est_jaccard") >= 0.5)
+    to_drop = dup_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        corpus.join(to_drop, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate pairs themselves (est_jaccard ≥ 0.5), for inspection."""
+    corpus = near_duplicate_corpus(spark, sf_dir)
+    return (
+        minhash_candidate_pairs(corpus)
+        .where(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- X2b: SimHash near-dup --------------------------------------------------
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-63 over shingle features; chunk-LSH block + Hamming verify.
+
+    Blocking uses 9 chunks x 7 bits (63 = 9*7): by pigeonhole, any pair
+    within Hamming <= 8 agrees on >= 1 chunk, so the blocking equi-join is
+    lossless up to the verify threshold (hamming <= 8)."""
+    corpus = near_duplicate_corpus(spark, sf_dir)
+    toks = tokens("text")
+    sh = corpus.select(
+        "doc_id", simhash63(feature_hashes64(shingles(toks, 3))).alias("simhash")
+    )
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(simhash_chunks(F.col("simhash"))).alias("chunk"),
+    ).select("doc_id", "simhash", "chunk.chunk_id", "chunk.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming63(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- X2c: exact n-gram Jaccard (oracle-checked on a bounded block) ----------
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over a bounded block (doc_id < 100), pairs with
+    similarity ≥ 0.2. At scale the same verify runs per LSH bucket instead
+    of per block — the expression is identical, only the join changes."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    sets = d.select(
+        "doc_id", F.array_distinct(shingles(tokens("text"), 3)).alias("grams")
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = inter.cast("double") / union
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (F.floor(jac * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("jaccard3"),
+        )
+        .where(F.col("jaccard3") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- X2d: embedding-cosine near-dup ----------------------------------------
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection on the embedding column: planted perturbed copies
+    must pair with their source at cosine ≥ 0.99 (brute-force here; the
+    LSH-bucketed scale path lives in similarity.py)."""
+    from ..functions.vectors import as_double, cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = (
+        e.where(F.col("vec_id") < 25)
+        .withColumn("vec_id", F.col("vec_id") + PLANT_OFFSET)
+        .withColumn(
+            # embeddings are ~unit-norm: a +0.03 nudge on one dim keeps
+            # cosine ≈ 0.999 (a realistic near-duplicate), well above the
+            # 0.99 threshold yet below exact equality
+            "embedding",
+            F.concat(
+                F.slice(F.col("embedding"), 1, 63),
+                F.array(
+                    (F.element_at(F.col("embedding"), 64) + F.lit(0.03)).cast("float")
+                ),
+            ),
+        )
+    )
+    corpus = e.unionByName(perturbed)
+    a = corpus.select(F.col("vec_id").alias("vec_a"), as_double("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("vec_b"), as_double("embedding").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (F.floor(sim * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= 0.99)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+_NORM_SQL = r"lower(regexp_replace(text, '\s+', ' ', 'g'))"
+_EXACT_CORPUS_SQL = f"""
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET}, text, lang, source FROM documents WHERE doc_id < 50
+"""
+_GRAMS_SQL = (
+    "list_distinct(CASE WHEN len(string_split(text,' ')) < 3"
+    " THEN [text]"
+    " ELSE list_transform(range(1, len(string_split(text,' ')) - 1),"
+    " i -> concat_ws(' ', string_split(text,' ')[i],"
+    " string_split(text,' ')[i+1], string_split(text,' ')[i+2])) END)"
+)
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "dedup_exact_keep_first",
+        dedup_exact_keep_first,
+        f"""
+        WITH corpus AS ({_EXACT_CORPUS_SQL})
+        SELECT doc_id, lang, source, fingerprint FROM (
+          SELECT doc_id, lang, source, md5({_NORM_SQL}) AS fingerprint,
+                 ROW_NUMBER() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+          FROM corpus
+        ) WHERE rn = 1 ORDER BY doc_id
+        """,
+        tags=("extension", "dedup", "bench"),
+    ),
+    QueryDef(
+        "dedup_distinct_pairs",
+        dedup_distinct_pairs,
+        "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source",
+        tags=("extension", "dedup"),
+    ),
+    QueryDef(
+        "dedup_minhash_lsh",
+        dedup_minhash_lsh,
+        None,  # sketch-based: not SQL-expressible; invariants in tests/test_dedup.py
+        tags=("extension", "dedup", "bench"),
+    ),
+    QueryDef(
+        "dedup_minhash_pairs",
+        dedup_minhash_pairs,
+        None,
+        tags=("extension", "dedup"),
+    ),
+    QueryDef(
+        "dedup_simhash_pairs",
+        dedup_simhash_pairs,
+        None,
+        tags=("extension", "dedup"),
+    ),
+    QueryDef(
+        "dedup_ngram_jaccard_pairs",
+        dedup_ngram_jaccard_pairs,
+        f"""
+        WITH sets AS (
+          SELECT doc_id, {_GRAMS_SQL} AS grams FROM documents WHERE doc_id < 100
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               FLOOR(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.grams, b.grams)))
+                     * 1000000 + 0.5) / 1000000 AS jaccard3
+        FROM sets a, sets b
+        WHERE a.doc_id < b.doc_id
+          AND FLOOR(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.grams, b.grams)))
+                    * 1000000 + 0.5) / 1000000 >= 0.2
+        ORDER BY doc_a, doc_b
+        """,
+        tags=("extension", "dedup"),
+    ),
+    QueryDef(
+        "dedup_embedding_cosine",
+        dedup_embedding_cosine,
+        None,  # float reduction order differs across engines; invariants in tests
+        tags=("extension", "dedup", "similarity"),
+    ),
+]

@@ -1,0 +1,205 @@
+"""Similarity search over the ``embeddings`` table (driver mandate X3).
+
+Baseline: brute-force cosine top-k — broadcast the (tiny) query set against
+the candidate corpus, score with codegen'd zip_with/aggregate math, select
+top-k per query with a window. At 100 TB the corpus side stays partitioned
+and is scanned once; only the query set is broadcast.
+
+Scale path: random-hyperplane LSH — 16-bit sign signatures, banded into
+8-bit bucket keys; candidates come from a bucket equi-join (shuffles only
+(bucket, vec_id) pairs), then exact cosine re-ranks within candidates.
+Recall against brute force is asserted in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine
+from ..querydef import QueryDef
+from ..tables import load_table
+
+TOP_K = 5
+NUM_QUERIES = 5
+NUM_PLANES = 16
+BANDS = ((0, 8), (8, 16))  # two 8-bit bucket tables
+
+
+def _scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        e.where(F.col("vec_id") < NUM_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv"))
+    )
+    candidates = e.select(
+        F.col("vec_id").alias("vec_id"), as_double("embedding").alias("cv")
+    )
+    sim = cosine(F.col("qv"), F.col("cv"))
+    return (
+        candidates.join(F.broadcast(queries))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.floor(sim * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("cosine_sim"),
+        )
+    )
+
+
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query vector (the correctness baseline)."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        _scored_pairs(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def similarity_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All query-candidate pairs above a similarity threshold."""
+    return (
+        _scored_pairs(spark, sf_dir)
+        .where(F.col("cosine_sim") >= 0.2)
+        .orderBy("query_id", "vec_id")
+    )
+
+
+def _hyperplanes(dim: int = 64, seed: int = 7) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((NUM_PLANES, dim)).round(6).tolist()
+
+
+def _signature(col: F.Column) -> F.Column:
+    """16 sign bits of hyperplane dot products, packed into an int."""
+    planes = _hyperplanes()
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    col,
+                    F.array(*[F.lit(float(v)) for v in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("bigint")
+
+
+def _banded(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Attach (band_id, bucket) LSH keys: 16 sign bits → two 8-bit bands."""
+    sig = df.withColumn("sig", _signature(F.col(vec_col)))
+    return sig.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(F.col("sig"), lo)
+                        .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+                        .alias("bucket"),
+                    )
+                    for i, (lo, hi) in enumerate(BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, vec_col, "band.band_id", "band.bucket")
+
+
+def lsh_topk_join(queries: DataFrame, candidates: DataFrame, k: int = TOP_K) -> DataFrame:
+    """ANN top-k via bucket equi-join + exact cosine re-rank.
+
+    ``queries``: (query_id, qv: array<double>); ``candidates``:
+    (vec_id, v: array<double>). Only (id, band, bucket) tuples shuffle for
+    the candidate join; vectors are re-joined per candidate pair. Misses
+    are possible by design — recall is a banding-parameter tradeoff.
+    """
+    qb = _banded(queries, "query_id", "qv")
+    cb = _banded(candidates, "vec_id", "v")
+    cand = (
+        cb.join(qb, ["band_id", "bucket"], "inner")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "qv", "vec_id", "v")
+        .distinct()
+    )
+    sim = cosine(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        cand.select(
+            "query_id",
+            "vec_id",
+            (F.floor(sim * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k over the embeddings fixture (recall tested on planted
+    near-duplicates in tests/test_similarity.py — this corpus is otherwise
+    near-orthogonal, where pruning *should* drop weak neighbors)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    candidates = e.select("vec_id", as_double("embedding").alias("v"))
+    return lsh_topk_join(queries, candidates, TOP_K)
+
+
+_SQL_SIM = """FLOOR(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+ / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+    * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+ * 1000000 + 0.5) / 1000000"""
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "similarity_bruteforce_topk",
+        similarity_bruteforce_topk,
+        f"""
+        SELECT query_id, vec_id, cosine_sim, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 {_SQL_SIM} AS cosine_sim,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_SQL_SIM} DESC, c.vec_id) AS rank
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < {NUM_QUERIES} AND q.vec_id <> c.vec_id
+        ) WHERE rank <= {TOP_K} ORDER BY query_id, rank
+        """,
+        tags=("extension", "similarity", "bench"),
+    ),
+    QueryDef(
+        "similarity_threshold_pairs",
+        similarity_threshold_pairs,
+        f"""
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_SQL_SIM} AS cosine_sim
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {NUM_QUERIES} AND q.vec_id <> c.vec_id
+          AND {_SQL_SIM} >= 0.2
+        ORDER BY query_id, vec_id
+        """,
+        tags=("extension", "similarity"),
+    ),
+    QueryDef(
+        "similarity_lsh_topk",
+        similarity_lsh_topk,
+        None,  # approximate by design; recall asserted in tests/test_similarity.py
+        tags=("extension", "similarity"),
+    ),
+]

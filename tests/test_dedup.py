@@ -1,0 +1,92 @@
+"""Invariant tests for sketch-based dedup (no SQL oracle exists).
+
+Strategy per SURVEY.md §5: planted-duplicate recall + no-false-drop checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.operators import dedup
+
+
+def _true_jaccard3(text_a: str, text_b: str) -> float:
+    def grams(t: str) -> set:
+        toks = t.lower().split()
+        if len(toks) < 3:
+            return {t.lower()}
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    a, b = grams(text_a), grams(text_b)
+    return len(a & b) / len(a | b)
+
+
+def test_minhash_lsh_drops_planted_near_dupes(spark, sf_oracle):
+    survivors = dedup.dedup_minhash_lsh(spark, sf_oracle)
+    ids = [r.doc_id for r in survivors.select("doc_id").collect()]
+    planted = [i for i in ids if i >= dedup.PLANT_OFFSET]
+    # All planted near-duplicates must be dropped...
+    assert planted == [], f"planted near-dupes survived: {planted[:10]}"
+    # ...and any dropped ORIGINAL must be a genuine near-duplicate of another
+    # original (the synthetic corpus contains real template near-dupes with
+    # exact 3-gram Jaccard > 0.9 — those SHOULD be dropped, not preserved).
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_oracle}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    surviving = set(ids)
+    dropped_originals = [i for i in texts if i not in surviving]
+    for did in dropped_originals:
+        best = max(
+            _true_jaccard3(texts[did], texts[o]) for o in texts if o != did
+        )
+        assert best >= 0.4, f"doc {did} dropped but max true jaccard only {best:.3f}"
+
+
+def test_minhash_pairs_match_planted(spark, sf_oracle):
+    pairs = dedup.dedup_minhash_pairs(spark, sf_oracle).collect()
+    planted_pairs = {
+        (r.doc_a, r.doc_b) for r in pairs if r.doc_b >= dedup.PLANT_OFFSET
+    }
+    # every planted near-dup is found as a pair
+    expected = {
+        (i, i + dedup.PLANT_OFFSET)
+        for i in dedup.planted_near_dup_ids(spark, sf_oracle)
+    }
+    assert expected <= planted_pairs
+    # estimated jaccard for planted pairs is high
+    est = [r.est_jaccard for r in pairs if (r.doc_a, r.doc_b) in expected]
+    assert min(est) >= 0.5
+
+
+def test_simhash_finds_planted_pairs(spark, sf_oracle):
+    pairs = dedup.dedup_simhash_pairs(spark, sf_oracle).collect()
+    found = {(r.doc_a, r.doc_b) for r in pairs}
+    expected = {
+        (i, i + dedup.PLANT_OFFSET)
+        for i in dedup.planted_near_dup_ids(spark, sf_oracle)
+    }
+    missing = expected - found
+    # SimHash is lossier than MinHash: allow a small miss rate
+    assert len(missing) <= 5, f"simhash missed too many planted pairs: {missing}"
+    for r in pairs:
+        assert r.hamming <= 8
+
+
+def test_embedding_cosine_finds_planted(spark, sf_oracle):
+    pairs = dedup.dedup_embedding_cosine(spark, sf_oracle).collect()
+    found = {(r.vec_a, r.vec_b) for r in pairs}
+    expected = {(i, i + dedup.PLANT_OFFSET) for i in range(25)}
+    assert expected <= found
+    sims = [r.cosine_sim for r in pairs if (r.vec_a, r.vec_b) in expected]
+    assert min(sims) >= 0.99
+
+
+def test_exact_dedup_is_idempotent(spark, sf_oracle):
+    once = dedup.dedup_exact_keep_first(spark, sf_oracle)
+    # survivors contain no duplicate fingerprints
+    dupes = once.groupBy("fingerprint").count().where(F.col("count") > 1).count()
+    assert dupes == 0
+    assert once.count() == 500

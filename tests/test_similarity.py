@@ -1,0 +1,73 @@
+"""Recall / sanity tests for approximate similarity search."""
+
+from __future__ import annotations
+
+from lakesail_hdfs_deltalake_guide_spark.operators import similarity
+
+
+def test_lsh_topk_recall_on_planted_near_dupes(spark, sf_oracle):
+    """Hyperplane LSH must recall true near-neighbors (cosine ≈ 0.999).
+
+    The raw corpus is near-orthogonal (top cosines ~0.2), where pruning
+    weak neighbors is correct behavior — so recall is measured on planted
+    perturbed copies, the workload LSH exists for."""
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.functions.vectors import as_double
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    n_queries = 25
+    offset = 100_000
+    queries = (
+        e.where(F.col("vec_id") < n_queries)
+        # offset ids so the self-exclusion filter can't hide the true match
+        .select(
+            (F.col("vec_id") + offset).alias("query_id"),
+            as_double("embedding").alias("qv"),
+        )
+        .withColumn(
+            "qv",
+            F.concat(
+                F.slice(F.col("qv"), 1, 63),
+                F.array(F.element_at(F.col("qv"), 64) + F.lit(0.03)),
+            ),
+        )
+    )
+    candidates = e.select("vec_id", as_double("embedding").alias("v"))
+    topk = similarity.lsh_topk_join(queries, candidates, k=1).collect()
+    hits = sum(1 for r in topk if r.vec_id == r.query_id - offset)
+    recall = hits / n_queries
+    assert recall >= 0.8, f"planted-near-dup recall too low: {recall}"
+
+
+def test_bruteforce_topk_shape(spark, sf_oracle):
+    rows = similarity.similarity_bruteforce_topk(spark, sf_oracle).collect()
+    assert len(rows) == similarity.NUM_QUERIES * similarity.TOP_K
+    # similarity is a valid cosine
+    assert all(-1.0 <= r.cosine_sim <= 1.0 for r in rows)
+    # ranks are 1..k per query
+    for q in range(similarity.NUM_QUERIES):
+        ranks = sorted(r.rank for r in rows if r.query_id == q)
+        assert ranks == list(range(1, similarity.TOP_K + 1))
+
+
+def test_pandas_udf_cosine_matches_builtin(spark, sf_oracle):
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.functions.vectors import (
+        as_double,
+        cosine,
+        cosine_pandas,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    e = load_table(spark, sf_oracle, "embeddings").limit(50)
+    a = e.select(F.col("vec_id").alias("ida"), as_double("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("idb"), as_double("embedding").alias("vb"))
+    pairs = a.crossJoin(b).where(F.col("ida") < F.col("idb"))
+    both = pairs.select(
+        cosine(F.col("va"), F.col("vb")).alias("builtin"),
+        cosine_pandas()(F.col("va"), F.col("vb")).alias("vectorized"),
+    ).collect()
+    assert all(abs(r.builtin - r.vectorized) < 1e-9 for r in both)
