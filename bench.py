@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries (registry entries tagged ``bench``) at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query time is the best of ``BENCH_RUNS`` timed runs after one untimed
+JVM/code-path warmup query, so JIT + parquet-footer caching don't pollute the
+numbers. Each run drives the query to completion with a count-style action
+(``df.count()`` would let Spark prune the project; ``write.format("noop")``
+keeps every column materialized, matching what a real consumer pays).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lakesail_hdfs_deltalake_guide_spark.registry import get_registry
+from lakesail_hdfs_deltalake_guide_spark.session import build_session
+
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_session(app_name="lakesail-spark-bench")
+    reg = get_registry()
+    bench_defs = {n: q for n, q in reg.defs.items() if "bench" in q.tags}
+
+    # Warmup: spin up executor threads, JIT the codegen paths once.
+    spark.range(1_000_000).selectExpr("sum(id) as s").collect()
+
+    timings: dict[str, float] = {}
+    for name, qdef in bench_defs.items():
+        best = float("inf")
+        for _ in range(BENCH_RUNS):
+            t0 = time.perf_counter()
+            qdef.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
