@@ -51,19 +51,30 @@ def minhash_coefficients(num_perm: int, seed: int = 42) -> list[tuple[int, int]]
     ]
 
 
-def _perm_hash(a: int, b: int):
-    # closure (not default-arg lambda): PySpark infers higher-order-function
-    # arity from the lambda's parameter count, so it must be exactly 1
-    return lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME))
-
-
 def minhash_signature(hashes: Column, num_perm: int = 32, seed: int = 42) -> Column:
-    """Array of ``num_perm`` MinHash values: min over shingles of (a*x+b)%P."""
-    sig = [
-        F.array_min(F.transform(hashes, _perm_hash(a, b)))
-        for a, b in minhash_coefficients(num_perm, seed)
-    ]
-    return F.array(*sig)
+    """Array of ``num_perm`` MinHash values: min over shingles of (a*x+b)%P.
+
+    Computed as ONE ``aggregate`` fold over the shingle-hash array, updating
+    all ``num_perm`` running minima per element. The naive formulation
+    (``num_perm`` separate ``array_min(transform(hashes, ...))`` columns)
+    embeds the ``hashes`` subexpression ``num_perm`` times, and Catalyst's
+    common-subexpression elimination does not reach inside higher-order
+    functions — measured 16x slower at sf0.1. Empty input yields an all-P
+    signature (callers never pass empty: ``shingles`` falls back to the
+    whole text for short docs).
+    """
+    coeffs = minhash_coefficients(num_perm, seed)
+
+    def perms_of(x: Column) -> Column:
+        return F.array(
+            *[F.pmod(x * F.lit(a) + F.lit(b), F.lit(MINHASH_PRIME)) for a, b in coeffs]
+        )
+
+    return F.aggregate(
+        hashes,
+        F.array(*[F.lit(MINHASH_PRIME).cast("bigint")] * num_perm),
+        lambda acc, x: F.zip_with(acc, perms_of(x), lambda m, p: F.least(m, p)),
+    )
 
 
 def band_keys(sig: Column, num_bands: int, rows_per_band: int) -> Column:
@@ -99,28 +110,36 @@ def feature_hashes64(shingle_col: Column) -> Column:
     return F.array_distinct(F.transform(shingle_col, lambda s: F.xxhash64(s)))
 
 
-def _bit_vote(j: int):
-    # closure, not default-arg lambda: the aggregate merge fn must be 2-ary
-    return lambda acc, h: acc + F.when(
-        F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-    ).otherwise(-1)
-
-
 def simhash63(feature_hashes: Column) -> Column:
     """63-bit SimHash (bit 63 unused: keeps the value positive under ANSI).
 
     For each bit j: sum over features of (+1 if bit j set else -1); the
-    SimHash has bit j set iff the sum is positive. The 63 bit positions are
-    unrolled in Python into one static expression tree — still a single
-    codegen'd pass per document.
+    SimHash has bit j set iff the sum is positive. All 63 bit votes are
+    maintained in ONE ``aggregate`` fold over the feature array (63
+    separate ``aggregate`` columns would re-evaluate the feature-hash
+    subexpression per bit — same CSE blind spot as ``minhash_signature``),
+    then packed into a bigint in a second fold over the vote array.
     """
-    total = F.lit(0).cast("bigint")
-    for j in range(63):
-        vote = F.aggregate(feature_hashes, F.lit(0), _bit_vote(j))
-        total = total + F.when(vote > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+
+    def bit_votes(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                for j in range(63)
+            ]
         )
-    return total
+
+    votes = F.aggregate(
+        feature_hashes,
+        F.array(*[F.lit(0)] * 63),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v),
+    )
+    weights = F.array(*[F.lit(1 << j).cast("bigint") for j in range(63)])
+    return F.aggregate(
+        F.zip_with(votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
 
 
 def hamming63(a: Column, b: Column) -> Column:

@@ -109,9 +109,20 @@ def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- X2: MinHash-LSH near-dup ----------------------------------------------
+def _sketch_parallel(corpus: DataFrame) -> DataFrame:
+    """Spread the CPU-bound sketch pass across all cores.
+
+    Fixture tables arrive as one small parquet file = one input partition;
+    at 100 TB the scan has thousands of natural splits and this repartition
+    is a no-op to keep (shuffling raw text once is ~free next to the
+    sketch math it parallelizes)."""
+    sc = corpus.sparkSession.sparkContext
+    return corpus.repartition(sc.defaultParallelism, "doc_id")
+
+
 def _minhash_sigs(corpus: DataFrame) -> DataFrame:
     toks = tokens("text")
-    return corpus.select(
+    return _sketch_parallel(corpus).select(
         "doc_id",
         minhash_signature(
             shingle_hashes(shingles(toks, 3)), NUM_PERM
@@ -121,7 +132,10 @@ def _minhash_sigs(corpus: DataFrame) -> DataFrame:
 
 def minhash_candidate_pairs(corpus: DataFrame) -> DataFrame:
     """LSH banding: explode (band_id, band_hash), self-equi-join, dedup."""
-    sigs = _minhash_sigs(corpus)
+    # The signature table feeds three plan branches (banding + both sides of
+    # the verify join); persist so the sketch pass runs once. Signatures are
+    # ~300 B/doc — the persisted footprint is tiny next to the corpus.
+    sigs = _minhash_sigs(corpus).persist()
     bands = sigs.select(
         "doc_id",
         F.explode(band_keys(F.col("sig"), NUM_BANDS, ROWS_PER_BAND)).alias("band"),
@@ -184,9 +198,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless up to the verify threshold (hamming <= 8)."""
     corpus = near_duplicate_corpus(spark, sf_dir)
     toks = tokens("text")
-    sh = corpus.select(
+    sh = _sketch_parallel(corpus).select(
         "doc_id", simhash63(feature_hashes64(shingles(toks, 3))).alias("simhash")
-    )
+    ).persist()
     chunks = sh.select(
         "doc_id",
         "simhash",
