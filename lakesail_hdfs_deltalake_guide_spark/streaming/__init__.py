@@ -1,0 +1,1 @@
+"""Structured Streaming tier (extension X7 — SURVEY.md §2.7)."""

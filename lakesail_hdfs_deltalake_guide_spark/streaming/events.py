@@ -1,0 +1,230 @@
+"""Structured Streaming tier over the ``events`` fixture (driver mandate X7).
+
+The reference has no streaming surface (SURVEY.md §2.7) — this is the
+extension tier: event-time tumbling/sliding/session windows with a
+watermark, plus a ``foreachBatch`` micro-batch sink (the pattern a Delta
+sink would use; degraded to Parquet here exactly like the reference
+degrades Delta→Parquet, ``/root/reference/examples/create_deltalake_hdfs.py:117-135``).
+
+Determinism contract: every query reads the fixture parquet as a
+file-source stream, processes it with ``trigger(availableNow=True)`` and
+waits for termination, so the returned DataFrame is a complete, stable
+batch result — oracle-checkable against plain SQL over the same table.
+Window boundaries are emitted as epoch integers (``unix_micros``), never
+session-timezone timestamps, to keep the DuckDB comparison bitwise-stable.
+
+Scale posture: in production the same code points at a directory of
+arriving files (or Kafka) with a real trigger; state-store size is bounded
+by the watermark (late data beyond 30 min is dropped and its state
+evicted), and each micro-batch shuffles only (window/key) partial
+aggregates — the streaming analogue of partial+final hash aggregation.
+Watermark-based late-row dropping across micro-batches is exercised in
+tests/test_streaming.py with a two-file source and maxFilesPerTrigger=1.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import _postprocess
+from ..session import configure_session
+
+WATERMARK = "30 minutes"
+
+
+def _cents(col: str = "value") -> F.Column:
+    """2-decimal double → exact integer cents.
+
+    Double summation is order-dependent at the 1e-12 ulp level, and a
+    rounded double sum can flip at a rounding boundary between Spark's and
+    the oracle's addition orders; integer sums are exact and associative,
+    so every engine agrees bit-for-bit at any scale."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (schema from the footer)."""
+    configure_session(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The file-stream source requires a directory; stream the fixture dir
+    # with a glob filter selecting just the events file(s).
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _postprocess("events", stream)
+
+
+def _run_to_table(result: DataFrame, name: str) -> DataFrame:
+    """Drain an availableNow stream into an in-memory sink, return the table."""
+    spark = result.sparkSession
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ls_ckpt_{name}_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type: count + sum(value)."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents()).alias("sum_value_cents"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+    return _run_to_table(agg, "ls_stream_tumbling").orderBy(
+        "window_start_us", "event_type"
+    )
+
+
+def streaming_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, every 30 min): per-window value stats."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents()).alias("sum_cents"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            # fixed-point mean in 1e-4 units: exact integer arithmetic
+            F.expr("(sum_cents * 100) div n_events").alias("avg_value_e4"),
+            "max_value",
+        )
+    )
+    return _run_to_table(agg, "ls_stream_sliding").orderBy("window_start_us")
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (10-min inactivity gap) via foreachBatch.
+
+    The stream is drained with ``foreachBatch``; each micro-batch applies
+    the batch ``session_window`` aggregation and lands in a Parquet sink —
+    the idiomatic pattern for sinks/ops not natively streaming-capable.
+    """
+    ev = events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="ls_stream_sessions_out_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(
+                F.session_window("ts", "10 minutes").alias("sw"), "user_id"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(_cents()).alias("sum_value_cents"),
+            )
+            .select(
+                "user_id",
+                F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+                "n_events",
+                "sum_value_cents",
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ls_ckpt_sessions_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).orderBy("user_id", "session_start_us")
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "streaming_tumbling_counts",
+        streaming_tumbling_counts,
+        """
+        SELECT epoch_us(ts) // 3600000000 * 3600000000 AS window_start_us,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY window_start_us, event_type
+        """,
+        tags=("extension", "streaming", "bench"),
+    ),
+    QueryDef(
+        "streaming_sliding_stats",
+        streaming_sliding_stats,
+        """
+        WITH slid AS (
+          SELECT epoch_us(ts) // 1800000000 * 1800000000 AS window_start_us, value
+          FROM events
+          UNION ALL
+          SELECT (epoch_us(ts) // 1800000000 - 1) * 1800000000, value
+          FROM events
+        )
+        SELECT window_start_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 100
+                 // COUNT(*) AS avg_value_e4,
+               MAX(value) AS max_value
+        FROM slid
+        GROUP BY 1
+        ORDER BY window_start_us
+        """,
+        tags=("extension", "streaming"),
+    ),
+    QueryDef(
+        "streaming_session_windows",
+        streaming_session_windows,
+        """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS us, value
+          FROM events
+        ),
+        marked AS (
+          SELECT user_id, us, value,
+                 CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                        >= 600000000
+                      OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e
+        ),
+        sess AS (
+          SELECT user_id, us, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked
+        )
+        SELECT user_id, MIN(us) AS session_start_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        FROM sess
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_start_us
+        """,
+        tags=("extension", "streaming"),
+    ),
+]

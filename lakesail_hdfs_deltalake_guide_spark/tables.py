@@ -44,8 +44,11 @@ def _postprocess(name: str, df: DataFrame) -> DataFrame:
         df = (
             df.withColumnRenamed("ts", "ts_ns")
             .withColumn(
+                # integer division: epoch-nanos (~1.7e18) overflow a double's
+                # 53-bit mantissa, so `floor(ts_ns / 1000)` would be off by
+                # ±1 µs — `div` stays in exact bigint arithmetic
                 "ts",
-                F.timestamp_micros(F.floor(F.col("ts_ns") / F.lit(1000)).cast("long")),
+                F.expr("timestamp_micros(ts_ns div 1000)"),
             )
             .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
         )

@@ -1,0 +1,106 @@
+"""Streaming tier tests: determinism invariants + real watermark semantics.
+
+The oracle-parity replica (test_oracle_parity.py) already cross-checks the
+three streaming queries against DuckDB; these tests cover what SQL can't:
+conservation invariants and multi-batch watermark late-data dropping.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.streaming.events import (
+    events_stream,
+    streaming_session_windows,
+    streaming_tumbling_counts,
+)
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def test_tumbling_counts_conserve_rows(spark, sf_smoke):
+    total = load_table(spark, sf_smoke, "events").count()
+    agg = streaming_tumbling_counts(spark, sf_smoke)
+    assert agg.agg(F.sum("n_events")).collect()[0][0] == total
+
+
+def test_session_windows_conserve_rows_and_gap(spark, sf_smoke):
+    total = load_table(spark, sf_smoke, "events").count()
+    sessions = streaming_session_windows(spark, sf_smoke)
+    rows = sessions.collect()
+    assert sum(r.n_events for r in rows) == total
+    # Sessions of the same user must be separated by at least the 10-min gap.
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r.session_start_us)
+    for starts in by_user.values():
+        starts.sort()
+        assert all(b - a >= 600_000_000 for a, b in zip(starts, starts[1:]))
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """Two-file source, maxFilesPerTrigger=1: a row older than the watermark
+    arriving in batch 2 must be dropped from the aggregation."""
+    t0 = 1_700_000_000_000_000  # epoch micros, window-aligned enough
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def write_file(rows_us: list[tuple[int, float]]) -> None:
+        df = spark.createDataFrame(rows_us, "us long, value double").select(
+            F.timestamp_micros(F.col("us")).alias("ts"), "value"
+        )
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        # distinct mtimes so the file source processes batch 1 before batch 2
+        time.sleep(1.1)
+
+    # Batch 0: events spanning [t0, t0+30min] → sets max event time t0+30min.
+    write_file([(t0 + m * 60_000_000, 1.0) for m in range(0, 31, 5)])
+    # Batch 1: fresh row 2h later — advances the committed watermark far past
+    # every batch-0 window, so their state is finalized and evicted.
+    write_file([(t0 + 7_200_000_000, 1.0)])
+    # Batch 2: a late row in the first 5-min window (far below the watermark
+    # → must be dropped) plus a fresh row.
+    write_file([(t0 + 60_000_000, 100.0), (t0 + 9_000_000_000, 1.0)])
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .select(F.unix_micros(F.col("w.start")).alias("ws"), "n", "v")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("ls_test_watermark")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.ws: (r.n, r.v) for r in spark.table("ls_test_watermark").collect()}
+
+    first_window = t0 // 300_000_000 * 300_000_000
+    # The late row (value=100.0) must NOT appear: its window holds only the
+    # original batch-0 row, and no resurrected-window row exists either.
+    assert got[first_window] == (1, 1.0)
+    assert not any(v >= 100.0 for _, v in got.values())
+    # All 7 batch-0 windows were finalized and emitted by the final watermark.
+    assert sum(n for n, _ in got.values()) >= 7
+
+
+def test_sliding_each_event_in_two_windows(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.streaming.events import (
+        streaming_sliding_stats,
+    )
+
+    total = load_table(spark, sf_smoke, "events").count()
+    agg = streaming_sliding_stats(spark, sf_smoke)
+    assert agg.agg(F.sum("n_events")).collect()[0][0] == 2 * total
