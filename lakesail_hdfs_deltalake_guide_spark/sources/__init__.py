@@ -1,0 +1,1 @@
+"""Sources & sinks tier (SURVEY.md §2.1)."""

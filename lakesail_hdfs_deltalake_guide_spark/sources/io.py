@@ -1,0 +1,189 @@
+"""Sources & sinks tier (SURVEY.md §2.1 S1–S9).
+
+Mirrors the reference's IO surface with the same API shape:
+
+- Parquet write/read           — ``/root/reference/examples/create_deltalake_hdfs.py:98-112``,
+  ``examples/read_deltalake_hdfs.py:28``.
+- Delta write (overwrite/append) + read — ``examples/example_lakesail_kerberos.py:162-184``,
+  ``verify_complete_setup.py:240-251``.
+- Hive-partitioned write       — ``examples/create_deltalake_hdfs.py:139-148``.
+- Graceful Delta→Parquet degradation — every reference example wraps Delta in
+  try/except and falls back to Parquet
+  (``examples/create_deltalake_hdfs.py:117-135``, ``verify_complete_setup.py:239-246``);
+  we keep that exact contract since ``delta-spark`` may be absent.
+- Kerberized-HDFS conf pass-through — ``examples/example_lakesail_kerberos.py:56-64``:
+  identical code path for ``file://`` and ``hdfs://`` URIs; Hadoop confs go
+  through ``session.build_session(extra_conf=...)`` unchanged.
+
+Scale posture: writes go through Spark's distributed ``FileFormatWriter``
+(one file per task; no driver materialization). Partitioned layouts give
+partition pruning on read — asserted against the physical plan in
+tests/test_io.py, not just assumed.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+DELTA_FORMAT = "delta"
+FALLBACK_FORMAT = "parquet"
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True if the delta-spark extension is usable in this session."""
+    try:
+        spark._jvm.Class.forName("org.apache.spark.sql.delta.DeltaLog")  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = DELTA_FORMAT,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> str:
+    """Write with the requested format, degrading Delta→Parquet like the
+    reference does; returns the format actually used."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == DELTA_FORMAT and not delta_available(df.sparkSession):
+        fmt = FALLBACK_FORMAT
+    try:
+        writer.format(fmt).save(path)
+        return fmt
+    except Exception:
+        if fmt == DELTA_FORMAT:
+            writer.format(FALLBACK_FORMAT).save(path)
+            return FALLBACK_FORMAT
+        raise
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = DELTA_FORMAT) -> DataFrame:
+    if fmt == DELTA_FORMAT and not delta_available(spark):
+        fmt = FALLBACK_FORMAT
+    return spark.read.format(fmt).load(path)
+
+
+# --- oracle-checked IO roundtrip queries ------------------------------------
+def io_parquet_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet write→read roundtrip (S1+S2), then an aggregate the oracle
+    runs directly on the source table — proves the roundtrip is lossless."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 40)
+    out = tempfile.mkdtemp(prefix="ls_io_parquet_")
+    li.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+                "sum_price_cents"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def io_partitioned_prune_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write (S6) + pruned read (P4): only the selected
+    partition directory is scanned (asserted via plan in tests)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="ls_io_part_")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out).where(F.col("o_orderpriority") == "1-URGENT")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "sum_total_cents"
+        ),
+    ).orderBy("o_orderstatus")
+
+
+def io_delta_roundtrip_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta overwrite → append → read (S3–S5), mirroring
+    ``/root/reference/examples/example_lakesail_kerberos.py:162-184``:
+    write customers, append the BUILDING segment again, count per segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    out = tempfile.mkdtemp(prefix="ls_io_delta_")
+    fmt = write_table(cust, out, fmt=DELTA_FORMAT, mode="overwrite")
+    write_table(
+        cust.where(F.col("c_mktsegment") == "BUILDING"), out, fmt=fmt, mode="append"
+    )
+    back = read_table(spark, out, fmt=fmt)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def io_range_roundtrip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range source → parquet → read → count (S8 + the reference's own
+    count-assertion pattern, ``verify_complete_setup.py:201-212``)."""
+    out = tempfile.mkdtemp(prefix="ls_io_range_")
+    spark.range(100).withColumn("squared", F.col("id") * F.col("id")).write.mode(
+        "overwrite"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("squared").alias("sum_squared"),
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "io_parquet_roundtrip_agg",
+        io_parquet_roundtrip_agg,
+        """
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents
+        FROM lineitem WHERE l_quantity > 40
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        tags=("parity", "io"),
+    ),
+    QueryDef(
+        "io_partitioned_prune_agg",
+        io_partitioned_prune_agg,
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_total_cents
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        tags=("parity", "io"),
+    ),
+    QueryDef(
+        "io_delta_roundtrip_append",
+        io_delta_roundtrip_append,
+        """
+        SELECT c_mktsegment,
+               (COUNT(*) + CASE WHEN c_mktsegment = 'BUILDING' THEN COUNT(*) ELSE 0 END)
+                 AS n_customers
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        tags=("parity", "io", "delta"),
+    ),
+    QueryDef(
+        "io_range_roundtrip_count",
+        io_range_roundtrip_count,
+        """
+        SELECT COUNT(*) AS n_rows, CAST(SUM(range * range) AS BIGINT) AS sum_squared
+        FROM range(100)
+        """,
+        tags=("parity", "io"),
+    ),
+]
