@@ -1,0 +1,166 @@
+"""UDF surface tier (driver mandate X9): the sanctioned Python escape
+hatches, each used only where built-ins genuinely cannot express the logic.
+
+- ``pandas_udf`` (Arrow-batched, vectorized numpy body) — the fast Python
+  path; ~10-100x over row-at-a-time udfs.
+- ``applyInPandas`` — per-group pandas transforms (UDAF-like group maps).
+- ``F.udf`` — row-at-a-time; included for API-surface completeness and as
+  the explicit anti-example (see the docstring on
+  ``udf_rowwise_token_count``).
+
+Every query here recomputes something expressible in SQL on purpose — that
+keeps the DuckDB oracle applicable, so the UDF *plumbing* (Arrow transfer,
+schema mapping, group iteration) is what's being verified.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+NUM_QUERIES = 5
+TOP_K = 5
+
+
+@F.pandas_udf(DoubleType())
+def cosine_pandas(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine over two array<double> columns (one Arrow batch =
+    one numpy matmul, no per-row Python)."""
+    ma = np.stack(a.values)
+    mb = np.stack(b.values)
+    dots = np.einsum("ij,ij->i", ma, mb)
+    norms = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    return pd.Series(dots / norms)
+
+
+def udf_pandas_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k, scored by the pandas UDF instead of the
+    codegen'd zip_with/aggregate path (operators/similarity.py) — same
+    oracle, so both paths are pinned to identical results."""
+    from ..functions.vectors import as_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    candidates = e.select("vec_id", as_double("embedding").alias("cv"))
+    scored = (
+        candidates.join(F.broadcast(queries))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.floor(cosine_pandas(F.col("qv"), F.col("cv")) * 1_000_000 + F.lit(0.5))
+                / 1_000_000
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    mean = pdf["c_acctbal"].mean()
+    std = pdf["c_acctbal"].std(ddof=1)
+    z = (pdf["c_acctbal"] - mean) / std
+    return pd.DataFrame(
+        {
+            "c_custkey": pdf["c_custkey"],
+            "c_mktsegment": pdf["c_mktsegment"],
+            "acctbal_z": np.floor(z * 1_000_000 + 0.5) / 1_000_000,
+        }
+    )
+
+
+def udf_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment z-score via ``applyInPandas`` (group-map UDF).
+
+    Scale note: each group must fit in one executor's memory — fine for
+    dimension-sized groups; for billions-per-group use the pure-SQL window
+    formulation instead (it's the oracle here)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(
+            _zscore_group,
+            "c_custkey long, c_mktsegment string, acctbal_z double",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@F.udf(IntegerType())
+def _count_tokens_py(text: str) -> int:
+    return len(text.split(" "))
+
+
+def udf_rowwise_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (API-surface completeness).
+
+    This is the SLOW path — one Python call per row, pickled transfer. The
+    engine's real token counting is the codegen'd ``F.split``/``F.size``
+    in operators/text.py; at 100 TB use that or a pandas_udf, never this."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", _count_tokens_py(F.col("text")).alias("n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+_SQL_SIM = """FLOOR(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+ / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+    * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+ * 1000000 + 0.5) / 1000000"""
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "udf_pandas_cosine_topk",
+        udf_pandas_cosine_topk,
+        f"""
+        SELECT query_id, vec_id, cosine_sim, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 {_SQL_SIM} AS cosine_sim,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_SQL_SIM} DESC, c.vec_id) AS rank
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < {NUM_QUERIES} AND q.vec_id <> c.vec_id
+        ) WHERE rank <= {TOP_K} ORDER BY query_id, rank
+        """,
+        tags=("extension", "udf", "similarity"),
+    ),
+    QueryDef(
+        "udf_group_zscore",
+        udf_group_zscore,
+        """
+        SELECT c_custkey, c_mktsegment,
+               FLOOR((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                     / STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_mktsegment)
+                     * 1000000 + 0.5) / 1000000 AS acctbal_z
+        FROM customer
+        ORDER BY c_custkey
+        """,
+        tags=("extension", "udf"),
+    ),
+    QueryDef(
+        "udf_rowwise_token_count",
+        udf_rowwise_token_count,
+        """
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        FROM documents ORDER BY doc_id
+        """,
+        tags=("extension", "udf"),
+    ),
+]
