@@ -1,0 +1,181 @@
+"""Scalar-function tier: date/time, JSON, string/regex, array/map ops.
+
+The reference keeps dates as strings and uses no date/JSON/array functions
+(SURVEY.md §2.5 — `/root/reference/examples/create_deltalake_hdfs.py:65-73`);
+this tier supplies the full-breadth scalar surface a real engine needs,
+exercised over the driver fixtures (``events.props`` JSON, timestamp
+columns, part/type strings). All expressions are JVM built-ins inside
+whole-stage codegen — zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+
+def scalar_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (``get_json_object``) on events.props + aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def scalar_date_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part functions over orders: year/quarter/month/day-of-week
+    breakdown with truncation to month starts."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+        )
+        .groupBy("order_year", "order_quarter", "order_month", "month_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_cents").alias("sum_price_cents"),
+            F.max("order_day").alias("max_day"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datediff/date_add family: lineitem ship lag behind its order date."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.to_date("l_shipdate").alias("ship_date")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("order_date")
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+    lag_days = F.datediff("ship_date", "order_date")
+    return (
+        joined.select(lag_days.alias("ship_lag_days"))
+        .groupBy("ship_lag_days")
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+        .orderBy("ship_lag_days")
+    )
+
+
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String surface: upper/substring/concat/regexp_extract/length/trim."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.concat_ws("::", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    ).orderBy("p_partkey")
+
+
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over tokenized text: size/distinct/contains/sort/slice."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.concat_ws(",", F.slice(F.sort_array(F.array_distinct(toks)), 1, 3)).alias(
+            "top3_tokens"
+        ),
+    ).orderBy("doc_id")
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "scalar_json_extract_stats",
+        scalar_json_extract_stats,
+        """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+               MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+               MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        tags=("extension", "scalar", "json"),
+    ),
+    QueryDef(
+        "scalar_date_breakdown",
+        scalar_date_breakdown,
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents,
+               CAST(MAX(day(o_orderdate)) AS INT) AS max_day
+        FROM orders
+        GROUP BY 1, 2, 3, 4
+        ORDER BY order_year, order_month
+        """,
+        tags=("extension", "scalar", "date"),
+    ),
+    QueryDef(
+        "scalar_date_arithmetic",
+        scalar_date_arithmetic,
+        """
+        SELECT CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) AS INT) AS ship_lag_days,
+               COUNT(*) AS n_lineitems
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1 ORDER BY ship_lag_days
+        """,
+        tags=("extension", "scalar", "date"),
+    ),
+    QueryDef(
+        "scalar_string_functions",
+        scalar_string_functions,
+        """
+        SELECT p_partkey,
+               upper(p_brand) AS brand_upper,
+               substring(p_type, 1, 6) AS type_prefix,
+               concat_ws('::', p_brand, p_type) AS brand_type,
+               regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+               CAST(length(p_name) AS INT) AS name_len,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+        FROM part ORDER BY p_partkey
+        """,
+        tags=("extension", "scalar", "string"),
+    ),
+    QueryDef(
+        "scalar_array_ops",
+        scalar_array_ops,
+        """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+               list_contains(string_split(text, ' '), 'spark') AS has_spark,
+               array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+                 AS top3_tokens
+        FROM documents ORDER BY doc_id
+        """,
+        tags=("extension", "scalar", "array"),
+    ),
+]

@@ -14,7 +14,16 @@ def build_registry() -> QueryRegistry:
 
     reg.extend(relational.QUERIES)
 
-    for modname in ("setops", "windows", "text", "dedup", "similarity", "multimodal"):
+    for modname in (
+        "setops",
+        "windows",
+        "text",
+        "dedup",
+        "similarity",
+        "multimodal",
+        "udfs",
+        "scalar",
+    ):
         try:
             import importlib
 
@@ -28,6 +37,13 @@ def build_registry() -> QueryRegistry:
         from .streaming import events as streaming_events
 
         reg.extend(streaming_events.QUERIES)
+    except ImportError:
+        pass
+
+    try:
+        from .sources import io as sources_io
+
+        reg.extend(sources_io.QUERIES)
     except ImportError:
         pass
     return reg

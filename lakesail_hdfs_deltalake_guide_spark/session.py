@@ -28,6 +28,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow-batched transfer for createDataFrame/toPandas/pandas UDFs.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Calendar functions (year/month/day) on TIMESTAMP are session-tz
+    # dependent; pin UTC so results equal the naive parquet values and the
+    # DuckDB oracle regardless of the host machine's timezone.
+    "spark.sql.session.timeZone": "UTC",
     # AQE: runtime shuffle-partition coalescing + skew-join handling.
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
