@@ -91,12 +91,19 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     Grouping key is the md5 digest of normalized text, so the shuffle moves
     16-byte digests + ids, never documents — the 100 TB-safe layout.
     """
+    from pyspark.sql import Window
+
     corpus = exact_duplicate_corpus(spark, sf_dir)
     fp = _norm_text()
     keyed = corpus.select("doc_id", "lang", "source", F.md5(fp).alias("fingerprint"))
-    survivors = keyed.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    # Single shuffle: partition by fingerprint, keep the min-doc_id row via
+    # row_number (the groupBy-min + join-back formulation costs a second
+    # exchange because the join key (fingerprint, doc_id) doesn't reuse the
+    # aggregation's partitioning).
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (
-        survivors.join(keyed, ["fingerprint", "doc_id"], "inner")
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "fingerprint")
         .orderBy("doc_id")
     )

@@ -1,0 +1,141 @@
+"""OLAP grouping tier: ROLLUP / CUBE / GROUPING SETS + approx-distinct.
+
+Not present in the reference (SURVEY.md §2.4 notes their absence) but
+first-class in any warehouse engine; Spark executes all three as a single
+``Expand`` + hash aggregate — one scan, one shuffle, regardless of how many
+grouping sets expand.
+
+``grouping_id``/``GROUPING()`` disambiguates NULL-as-subtotal from
+NULL-as-data in both engines, and every output is pinned to the DuckDB
+oracle. Sums are integer cents (see streaming/events.py rationale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def olap_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (returnflag, linestatus): per-pair, per-flag, grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus", _cents("l_extendedprice").alias("cents"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_price_cents"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+def olap_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (orderstatus, orderpriority): all 4 grouping combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority", _cents("o_totalprice").alias("cents"))
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_total_cents"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((segment), (nation), ()) over customer."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("ls_gs_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS sum_acctbal_cents,
+               grouping_id() AS gid
+        FROM ls_gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY gid, c_mktsegment, c_nationkey
+        """
+    )
+
+
+def olap_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count family: exact + HLL approx side by side.
+
+    At 100 TB ``approx_count_distinct`` (HyperLogLog++, mergeable partial
+    sketches, no shuffle of distinct values) is the scalable path; exact
+    ``count_distinct`` re-shuffles per key. The oracle pins the exact
+    column and the approx error bound is asserted in tests/test_olap.py.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ).orderBy("l_returnflag")
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "olap_rollup_revenue",
+        olap_rollup_revenue,
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus
+        """,
+        tags=("extension", "olap"),
+    ),
+    QueryDef(
+        "olap_cube_orders",
+        olap_cube_orders,
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_total_cents,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """,
+        tags=("extension", "olap"),
+    ),
+    QueryDef(
+        "olap_grouping_sets",
+        olap_grouping_sets,
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS sum_acctbal_cents,
+               CAST(GROUPING(c_mktsegment) * 2 + GROUPING(c_nationkey) AS BIGINT) AS gid
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY gid, c_mktsegment, c_nationkey
+        """,
+        tags=("extension", "olap"),
+    ),
+    QueryDef(
+        "olap_approx_distinct",
+        olap_approx_distinct,
+        """
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        tags=("extension", "olap"),
+    ),
+]

@@ -23,6 +23,7 @@ def build_registry() -> QueryRegistry:
         "multimodal",
         "udfs",
         "scalar",
+        "olap",
     ):
         try:
             import importlib

@@ -53,6 +53,18 @@ def configure_session(spark: SparkSession) -> SparkSession:
             # (the reference degrades Delta→Parquet the same way:
             # /root/reference/examples/create_deltalake_hdfs.py:117-135).
             pass
+    try:
+        # Right-size shuffle width when the session still has Spark's stock
+        # default (200): at local core counts that's pure task overhead, on
+        # a cluster AQE coalescing works down from the initial value anyway.
+        # An explicitly tuned session (anything != 200) is left alone.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+    except Exception:
+        pass
     return spark
 
 

@@ -1,0 +1,41 @@
+"""OLAP tier invariants beyond the oracle: subtotal consistency + HLL error."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.operators.olap import (
+    olap_cube_orders,
+    olap_rollup_revenue,
+)
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def test_rollup_subtotals_consistent(spark, sf_smoke):
+    out = olap_rollup_revenue(spark, sf_smoke).collect()
+    detail = [r for r in out if r.gid == 0]
+    flag_totals = {r.l_returnflag: r.sum_price_cents for r in out if r.gid == 1}
+    grand = [r for r in out if r.gid == 3]
+    assert len(grand) == 1
+    by_flag: dict[str, int] = {}
+    for r in detail:
+        by_flag[r.l_returnflag] = by_flag.get(r.l_returnflag, 0) + r.sum_price_cents
+    assert by_flag == flag_totals
+    assert sum(flag_totals.values()) == grand[0].sum_price_cents
+
+
+def test_cube_has_all_grouping_combos(spark, sf_smoke):
+    out = olap_cube_orders(spark, sf_smoke).collect()
+    gids = {r.gid for r in out}
+    assert gids == {0, 1, 2, 3}
+    total = [r for r in out if r.gid == 3][0].n_orders
+    assert sum(r.n_orders for r in out if r.gid == 0) == total
+
+
+def test_hll_approx_within_relative_error(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.1
