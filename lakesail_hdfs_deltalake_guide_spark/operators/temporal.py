@@ -1,0 +1,198 @@
+"""Temporal join tier: AS-OF join and interval RANGE join.
+
+Spark has no native as-of or range join (SURVEY.md §2.3 notes the reference
+has neither); both are composed from shuffle-bounded primitives:
+
+- **as-of** — the union+window trick: tag both sides, union them, and take
+  ``last(right_value) ignore nulls`` over (key, time)-ordered rows. ONE
+  shuffle on (key), no join product at all — the classic scalable as-of
+  layout (a sort-merge as-of in relational clothing).
+- **range** — bucketize time into gap-sized buckets: each left row joins at
+  most 2 candidate buckets (gap = bucket width), turning the inequality
+  join into an equi-join on (key, bucket) + a residual range filter. The
+  shuffle key is (user, bucket), so the join product is bounded by bucket
+  co-occupancy, never |L|x|R|. This is the same plan Spark's own
+  ``spark.sql.join.preferSortMergeJoin`` cannot produce for inequalities.
+
+Both queries are pinned to DuckDB oracles (DuckDB has native ASOF JOIN and
+inequality joins) — the composition must reproduce the textbook semantics
+exactly, including ties and null behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+CONVERSION_WINDOW_US = 600_000_000  # 10 minutes
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` per ``on`` key. Union + window — one
+    shuffle on the key, zero join product."""
+    lt = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(0).alias("_is_right"),
+        "*",
+    )
+    rt = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(1).alias("_is_right"),
+        *[F.col(c) for c in value_cols],
+    )
+    for c in left.columns:
+        rt = rt.withColumn(c, F.lit(None)) if c not in rt.columns else rt
+    for c in value_cols:
+        lt = lt.withColumn(c, F.lit(None)) if c not in lt.columns else lt
+    unioned = lt.select(rt.columns).unionByName(rt)
+    # Right rows sort BEFORE left rows at equal time (_is_right desc) so a
+    # right row at exactly left_time is visible — `<=` semantics, matching
+    # DuckDB's ASOF JOIN.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_t"), F.desc("_is_right"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.when(F.col("_is_right") == 1, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return (
+        filled.where(F.col("_is_right") == 0)
+        .drop("_k", "_t", "_is_right", *value_cols)
+    )
+
+
+def temporal_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click: the user's most recent error at-or-before it."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("click_us")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.unix_micros("ts").alias("error_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("error_cents"),
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_time="click_us",
+        right_time="error_us",
+        value_cols=["error_us", "error_cents"],
+    )
+    return out.select(
+        "event_id", "user_id", "click_us", "asof_error_us", "asof_error_cents"
+    ).orderBy("event_id")
+
+
+def range_join_buckets(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    window_us: int,
+) -> DataFrame:
+    """Pairs with ``left_time <= right_time < left_time + window_us`` per
+    key, via gap-bucketing: equi-join on (key, bucket) with each left row
+    exploded to its two candidate buckets, then the exact residual filter."""
+    # `div` = exact bigint division (double division would wobble at bucket
+    # boundaries for large epoch values).
+    lbkt = F.expr(f"{left_time} div {window_us}")
+    lb = left.withColumn("_bucket", F.explode(F.array(lbkt, lbkt + 1)))
+    rb = right.withColumn("_bucket", F.expr(f"{right_time} div {window_us}"))
+    return (
+        lb.join(rb, [on, "_bucket"], "inner")
+        .where(
+            (F.col(right_time) >= F.col(left_time))
+            & (F.col(right_time) < F.col(left_time) + window_us)
+        )
+        .drop("_bucket")
+    )
+
+
+def temporal_range_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversions within 10 minutes, per user: the
+    inequality join expressed as a bounded bucket equi-join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("purchase_cents"),
+    )
+    pairs = range_join_buckets(
+        clicks, purchases, "user_id", "click_us", "purchase_us", CONVERSION_WINDOW_US
+    )
+    return (
+        pairs.groupBy("click_id", "user_id", "click_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("purchase_cents").alias("sum_purchase_cents"),
+            F.min("purchase_us").alias("first_purchase_us"),
+        )
+        .orderBy("click_id")
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "temporal_asof_last_error",
+        temporal_asof_last_error,
+        """
+        SELECT c.event_id, c.user_id,
+               epoch_us(c.ts) AS click_us,
+               epoch_us(e.ts) AS asof_error_us,
+               CAST(round(e.value * 100) AS BIGINT) AS asof_error_cents
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON c.user_id = e.user_id AND e.ts <= c.ts
+        ORDER BY c.event_id
+        """,
+        tags=("extension", "temporal", "join", "bench"),
+    ),
+    QueryDef(
+        "temporal_range_conversions",
+        temporal_range_conversions,
+        """
+        SELECT c.event_id AS click_id, c.user_id,
+               epoch_us(c.ts) AS click_us,
+               COUNT(*) AS n_conversions,
+               CAST(SUM(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_purchase_cents,
+               MIN(epoch_us(p.ts)) AS first_purchase_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND epoch_us(p.ts) >= epoch_us(c.ts)
+         AND epoch_us(p.ts) < epoch_us(c.ts) + 600000000
+        GROUP BY 1, 2, 3
+        ORDER BY click_id
+        """,
+        tags=("extension", "temporal", "join"),
+    ),
+]

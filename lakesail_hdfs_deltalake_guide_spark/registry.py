@@ -24,6 +24,7 @@ def build_registry() -> QueryRegistry:
         "udfs",
         "scalar",
         "olap",
+        "temporal",
     ):
         try:
             import importlib
@@ -38,6 +39,13 @@ def build_registry() -> QueryRegistry:
         from .streaming import events as streaming_events
 
         reg.extend(streaming_events.QUERIES)
+    except ImportError:
+        pass
+
+    try:
+        from .streaming import stateful as streaming_stateful
+
+        reg.extend(streaming_stateful.QUERIES)
     except ImportError:
         pass
 

@@ -1,0 +1,122 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+The arbitrary-state API is the escape hatch for operators Spark's built-in
+streaming aggregates can't express (per-key accumulators with custom
+emission logic). Here: a per-user running profile — event count, exact
+cents total, and the count of *milestone crossings* (every 10th event) —
+maintained in explicit state across micro-batches.
+
+State is a single tuple per user (O(users) memory, partitioned across
+executors by the groupBy key); each micro-batch shuffles only its own rows
+to the key's partition — the same layout Flink keyed state uses. Cross-batch
+state carry-over is proven in tests/test_streaming_stateful.py with a
+two-file source; the registry query drains the fixture in one batch, where
+the result equals a plain GROUP BY (the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .events import events_stream
+
+MILESTONE = 10
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value_cents", LongType()),
+        StructField("n_milestones", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value_cents", LongType()),
+    ]
+)
+
+
+def _update_user_profile(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n_events, sum_cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n_events += len(pdf)
+        sum_cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n_events, sum_cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n_events],
+            "sum_value_cents": [sum_cents],
+            "n_milestones": [n_events // MILESTONE],
+        }
+    )
+
+
+def stateful_user_profiles_stream(ev: DataFrame) -> DataFrame:
+    """The stateful operator itself (stream-in, stream-out)."""
+    return (
+        ev.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_profile,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the fixture through the stateful operator (single batch →
+    emissions equal the final per-user profile; see module docstring)."""
+    result = stateful_user_profiles_stream(events_stream(spark, sf_dir))
+    q = (
+        result.writeStream.format("memory")
+        .queryName("ls_stream_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ls_ckpt_stateful_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("ls_stream_stateful").orderBy("user_id")
+
+
+from ..querydef import QueryDef  # noqa: E402
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "streaming_stateful_user_profiles",
+        streaming_stateful_user_profiles,
+        """
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents,
+               COUNT(*) // 10 AS n_milestones
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        tags=("extension", "streaming", "stateful"),
+    ),
+]

@@ -1,0 +1,59 @@
+"""Proof that applyInPandasWithState carries state ACROSS micro-batches:
+a two-file source processed one file per trigger must emit cumulative
+profiles in batch 2 that include batch 1's rows."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.streaming.stateful import (
+    stateful_user_profiles_stream,
+)
+
+
+def test_state_carries_across_batches(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "user_id long, value double").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    write_file([(1, 1.0), (1, 2.0), (2, 5.0)])   # batch 0
+    write_file([(1, 3.0), (3, 7.0)])             # batch 1
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    result = stateful_user_profiles_stream(stream)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("ls_test_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("ls_test_stateful").collect()
+
+    # Update-mode memory sink appends one emission per (batch, updated key).
+    emissions = {}
+    for r in rows:
+        emissions.setdefault(r.user_id, []).append((r.n_events, r.sum_value_cents))
+
+    # User 1 updated in both batches: batch-0 emission (2 events, 300 cents),
+    # then the CUMULATIVE batch-1 emission (3 events, 600 cents) — state
+    # survived the batch boundary.
+    assert emissions[1] == [(2, 300), (3, 600)]
+    # User 2 only in batch 0; user 3 only in batch 1.
+    assert emissions[2] == [(1, 500)]
+    assert emissions[3] == [(1, 700)]

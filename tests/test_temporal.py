@@ -1,0 +1,62 @@
+"""Temporal-join invariants beyond the oracle: semantics hold row-by-row."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.operators.temporal import (
+    CONVERSION_WINDOW_US,
+    temporal_asof_last_error,
+    temporal_range_conversions,
+)
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def test_asof_preserves_left_rows_and_ordering(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    n_clicks = ev.where(F.col("event_type") == "click").count()
+    out = temporal_asof_last_error(spark, sf_smoke)
+    assert out.count() == n_clicks  # left join: every click survives
+    # Matched errors never come from the future.
+    assert out.where(F.col("asof_error_us") > F.col("click_us")).count() == 0
+    # The match is the LATEST prior error: no other error fits between.
+    sample = out.where(F.col("asof_error_us").isNotNull()).limit(20).collect()
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .select("user_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in errors:
+        by_user.setdefault(r.user_id, []).append(r.us)
+    for row in sample:
+        later = [
+            us
+            for us in by_user.get(row.user_id, [])
+            if row.asof_error_us < us <= row.click_us
+        ]
+        assert later == []
+
+
+def test_range_join_matches_bruteforce(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.unix_micros("ts").alias("cus")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("pus")
+    )
+    brute = (
+        clicks.join(purchases, "user_id")
+        .where(
+            (F.col("pus") >= F.col("cus"))
+            & (F.col("pus") < F.col("cus") + CONVERSION_WINDOW_US)
+        )
+        .groupBy("click_id")
+        .count()
+    )
+    bucketed = temporal_range_conversions(spark, sf_smoke).select(
+        "click_id", F.col("n_conversions").alias("count")
+    )
+    assert bucketed.exceptAll(brute).count() == 0
+    assert brute.exceptAll(bucketed).count() == 0
