@@ -1,0 +1,128 @@
+"""Skew-mitigation tier: salted aggregation and salted broadcast-free join.
+
+Hot keys are the classic 100 TB failure mode: one reducer gets the whale
+key's entire partition and the stage straggles. Two standard mitigations,
+both semantics-preserving (pinned to plain-SQL oracles):
+
+- **salted two-phase aggregation** — pre-aggregate on (key, salt) so the
+  hot key's rows split across ``SALT_BUCKETS`` reducers, then final-combine
+  on (key). Spark's map-side partial aggregation already does this *within*
+  a task; explicit salting also splits the *reduce* side, which partials
+  can't.
+- **salted join** — deterministic salt (``xxhash64 % S``) on the fact side,
+  dim side exploded to all S salt values; the join key becomes
+  (key, salt) so a hot key's probe rows land on S reducers instead of one.
+  Deterministic salting (never ``rand()``) keeps retries/speculative tasks
+  and the oracle comparison stable.
+
+AQE's ``skewJoin`` handles sort-merge skew automatically (enabled in
+session.py); this tier is the explicit contract for when AQE can't see the
+skew (first shuffle of a stage, aggregations, or non-AQE deployments).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+SALT_BUCKETS = 8
+
+
+def salted_groupby_cents(
+    df: DataFrame, key: str, cents_col, salt_on: str
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: (key, salt) partial → (key) final."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(SALT_BUCKETS))
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(cents_col).alias("_cents"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_n").alias("n_rows"),
+        F.sum("_cents").alias("sum_cents"),
+    )
+
+
+def skew_salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem grouped by l_returnflag — 3 keys over the whole table is
+    maximal key skew; the salted plan fans each key over 8 reducers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return salted_groupby_cents(
+        li.select("l_returnflag", cents.alias("cents"), "l_orderkey"),
+        key="l_returnflag",
+        cents_col=F.col("cents"),
+        salt_on="l_orderkey",
+    ).orderBy("l_returnflag")
+
+
+def salted_join(
+    fact: DataFrame, dim: DataFrame, on: str, salt_on: str
+) -> DataFrame:
+    """Equi-join with the fact side salted and the dim side replicated
+    across all SALT_BUCKETS — a hot join key spreads over S reducers."""
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(SALT_BUCKETS))
+    )
+    exploded_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(SALT_BUCKETS)]))
+    )
+    return salted_fact.join(exploded_dim, [on, "_salt"], "inner").drop("_salt")
+
+
+def skew_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events (150 hot user keys) ⋈ per-user dim via the salted join; the
+    aggregate on top proves the join produced exactly the unsalted result."""
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    dim = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total_events"))
+    )
+    joined = salted_join(fact, dim, on="user_id", salt_on="event_id")
+    return (
+        joined.groupBy("user_id", "user_total_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "skew_salted_agg_returnflag",
+        skew_salted_agg_returnflag,
+        """
+        SELECT l_returnflag, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        tags=("extension", "skew"),
+    ),
+    QueryDef(
+        "skew_salted_join_events",
+        skew_salted_join_events,
+        """
+        WITH dim AS (
+          SELECT user_id, COUNT(*) AS user_total_events FROM events GROUP BY user_id
+        )
+        SELECT e.user_id, d.user_total_events, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        GROUP BY 1, 2 ORDER BY e.user_id
+        """,
+        tags=("extension", "skew", "join"),
+    ),
+]

@@ -1,0 +1,1 @@
+"""Plan inspection & scale-posture contracts (SURVEY.md §4)."""

@@ -1,0 +1,90 @@
+"""Physical-plan inspection utilities (reference S11 ``explain`` surface,
+``/root/reference/examples/verify_sail_connection.py:36`` — elevated from a
+debug print to assertable engine contracts).
+
+Tests use these to pin the *plan shape*, not just results: predicate
+pushdown reaching the parquet scan, partition pruning on hive layouts,
+broadcast joins on dimension tables, whole-stage codegen coverage. A plan
+regression (e.g. a filter silently stops pushing down) fails CI even though
+results stay correct — exactly the class of bug that only shows up as a
+10x slowdown at 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The plan text of ``df.explain(mode)`` as a string."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Every PushedFilters entry across the plan's file scans."""
+    out = []
+    for line in explain_str(df).splitlines():
+        line = line.strip()
+        if line.startswith("PushedFilters:"):
+            out.append(line[len("PushedFilters:") :].strip())
+    return out
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    return any(fragment in f for f in pushed_filters(df))
+
+
+def has_partition_filter(df: DataFrame, fragment: str) -> bool:
+    return any(
+        fragment in line
+        for line in explain_str(df).splitlines()
+        if "PartitionFilters" in line
+    )
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return explain_str(df).count("BroadcastHashJoin")
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Exchanges in the plan — the number the 100 TB design minimizes."""
+    return sum(
+        1
+        for line in explain_str(df).splitlines()
+        if line.strip().startswith("(") and ") Exchange" in line
+    )
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Whole-stage-codegen spans (wider/more = more JVM-fused work).
+
+    EXECUTES the DataFrame: under AQE the codegen markers only exist on the
+    finalized adaptive plan, which materializes on the Dataset's own
+    QueryExecution after an action. Test-scale inputs only.
+    """
+    df.collect()
+    ids = set()
+    for line in explain_str(df).splitlines():
+        if "[codegen id : " in line:
+            try:
+                ids.add(int(line.split("[codegen id : ")[1].split("]")[0]))
+            except (IndexError, ValueError):
+                pass
+    return len(ids)
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read by the first parquet scan (column pruning)."""
+    for line in explain_str(df).splitlines():
+        line = line.strip()
+        if line.startswith("ReadSchema:"):
+            schema = line[len("ReadSchema:") :].strip()
+            inner = schema[schema.find("<") + 1 : schema.rfind(">")]
+            return [f.split(":")[0] for f in inner.split(",") if f]
+    return []

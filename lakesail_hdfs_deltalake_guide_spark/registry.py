@@ -25,6 +25,7 @@ def build_registry() -> QueryRegistry:
         "scalar",
         "olap",
         "temporal",
+        "skew",
     ):
         try:
             import importlib

@@ -14,22 +14,13 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from lakesail_hdfs_deltalake_guide_spark.plans.inspect import explain_str as _explain
 from lakesail_hdfs_deltalake_guide_spark.sources.io import (
     delta_available,
     read_table,
     write_table,
 )
 from lakesail_hdfs_deltalake_guide_spark.tables import load_table
-
-
-def _explain(df) -> str:
-    import contextlib
-    import io
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
 
 
 def test_partition_pruning_reaches_scan(spark, sf_smoke, tmp_path):

@@ -1,0 +1,61 @@
+"""Plan-shape contracts: the scale design is asserted, not assumed.
+
+If any of these fail, results are probably still correct — but the plan has
+regressed in a way that turns into a 10-100x slowdown at 100 TB (a filter
+stops pushing down, a dim join stops broadcasting, the salted join
+degenerates into a broadcast that hides the skew path being tested)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.operators.relational import (
+    flagship_customer_order_analysis,
+    join_broadcast_nation_region,
+)
+from lakesail_hdfs_deltalake_guide_spark.operators.skew import (
+    SALT_BUCKETS,
+    skew_salted_agg_returnflag,
+    skew_salted_join_events,
+)
+from lakesail_hdfs_deltalake_guide_spark.plans.inspect import (
+    broadcast_join_count,
+    codegen_stage_count,
+    explain_str,
+    has_pushed_filter,
+    read_schema_columns,
+    shuffle_count,
+)
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def test_dim_joins_broadcast(spark, sf_smoke):
+    assert broadcast_join_count(join_broadcast_nation_region(spark, sf_smoke)) >= 2
+    assert broadcast_join_count(flagship_customer_order_analysis(spark, sf_smoke)) >= 1
+
+
+def test_filter_pushes_to_scan(spark, sf_smoke):
+    li = load_table(spark, sf_smoke, "lineitem")
+    q = li.where(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    assert has_pushed_filter(q, "l_quantity")
+    cols = read_schema_columns(q)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_flagship_is_codegen_fused(spark, sf_smoke):
+    df = flagship_customer_order_analysis(spark, sf_smoke)
+    assert codegen_stage_count(df) >= 2  # scan+join fused, agg fused
+
+
+def test_salted_agg_has_two_aggregation_exchanges_max(spark, sf_smoke):
+    df = skew_salted_agg_returnflag(spark, sf_smoke)
+    # (key,salt) partial + (key) final + orderBy range exchange — the salt
+    # phase must not add more shuffles than that.
+    assert shuffle_count(df) <= 3
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_smoke):
+    plan = explain_str(skew_salted_join_events(spark, sf_smoke))
+    assert "_salt" in plan
+    # The dim side is exploded SALT_BUCKETS ways before the join.
+    assert str(SALT_BUCKETS - 1) in plan
