@@ -151,6 +151,91 @@ def lsh_topk_join(queries: DataFrame, candidates: DataFrame, k: int = TOP_K) -> 
     )
 
 
+NUM_CENTROIDS = 16
+NUM_PROBES = 4
+
+
+def _assign_centroids(df: DataFrame, vec_col: str, centroids: list, top_p: int) -> DataFrame:
+    """Rank centroids per vector by dot product; keep the top_p lists.
+
+    Centroids arrive as driver-side literals (K rows — the same O(K·dim)
+    bootstrap a real IVF index ships to every executor); scoring is a
+    codegen'd fold, no Python, no shuffle."""
+    scores = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in centroids
+        ]
+    )
+    ranked = df.select(
+        "*",
+        F.explode(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.zip_with(
+                            scores,
+                            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                            lambda s, i: F.struct(s.alias("score"), i.alias("cid")),
+                        )
+                    )
+                ),
+                1,
+                top_p,
+            )
+        ).alias("_c"),
+    )
+    return ranked.select("*", F.col("_c.cid").alias("centroid_id")).drop("_c")
+
+
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize candidates into inverted lists (1
+    centroid each), probe each query's NUM_PROBES nearest lists, exact
+    cosine re-rank inside probed lists only.
+
+    Centroids here are the first K corpus vectors (deterministic stand-in
+    for a k-means codebook — the plan shape is identical). Join key is
+    centroid_id, so the shuffle moves (query x probed-list) pairs, never
+    the full cross product. Recall vs brute force asserted in
+    tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = [
+        r.cv
+        for r in e.where(F.col("vec_id") < NUM_CENTROIDS)
+        .select(as_double("embedding").alias("cv"))
+        .collect()
+    ]
+    queries = e.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    candidates = e.select("vec_id", as_double("embedding").alias("v"))
+    cand_lists = _assign_centroids(candidates, "v", centroids, top_p=1)
+    probed = _assign_centroids(queries, "qv", centroids, top_p=NUM_PROBES)
+    sim = cosine(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return (
+        probed.join(cand_lists, "centroid_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.floor(sim * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("cosine_sim"),
+        )
+        .distinct()
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k over the embeddings fixture (recall tested on planted
     near-duplicates in tests/test_similarity.py — this corpus is otherwise
@@ -199,6 +284,12 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "similarity_lsh_topk",
         similarity_lsh_topk,
+        None,  # approximate by design; recall asserted in tests/test_similarity.py
+        tags=("extension", "similarity"),
+    ),
+    QueryDef(
+        "similarity_ivf_topk",
+        similarity_ivf_topk,
         None,  # approximate by design; recall asserted in tests/test_similarity.py
         tags=("extension", "similarity"),
     ),

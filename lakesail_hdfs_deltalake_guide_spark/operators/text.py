@@ -126,10 +126,77 @@ def text_fingerprint_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+ROLL_BASE = 131
+ROLL_PRIME = 2_147_483_647
+
+
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letters / digit-runs / punctuation as
+    separate tokens — the shape of a byte-pair pre-tokenizer) with total
+    and distinct counts per doc; codegen'd regexp_extract_all, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_bpe"),
+    ).orderBy("doc_id")
+
+
+def text_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    ``h = fold(tokens, 0, (acc, t) -> (acc*B + h32(t)) mod P)`` —
+    one ``aggregate`` pass per doc (vs the order-insensitive md5
+    fingerprint in ``text_fingerprint_duplicates``). Token hash h32 is the
+    first 8 md5 hex chars so the oracle reproduces it exactly; every
+    intermediate stays < 2^41, ANSI-safe."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    h32 = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), F.lit(ROLL_PRIME)
+    )
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: F.pmod(acc * ROLL_BASE + h32(t), F.lit(ROLL_PRIME)),
+    )
+    return d.select("doc_id", rolling.alias("rolling_fp")).orderBy("doc_id")
+
+
 _SQL_TOKS = "string_split(text, ' ')"
 _SQL_NTOK = f"len({_SQL_TOKS})"
 
+BPE_PATTERN_SQL = BPE_PATTERN
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "text_bpe_token_count",
+        text_bpe_token_count,
+        f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN_SQL}')) AS BIGINT)
+                 AS n_bpe_tokens,
+               CAST(len(list_distinct(regexp_extract_all(lower(text), '{BPE_PATTERN_SQL}'))) AS BIGINT)
+                 AS n_unique_bpe
+        FROM documents ORDER BY doc_id
+        """,
+        tags=("extension", "text"),
+    ),
+    QueryDef(
+        "text_rolling_hash_fingerprint",
+        text_rolling_hash_fingerprint,
+        """
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT), list_transform(
+                   string_split(text, ' '),
+                   t -> CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) % 2147483647)),
+                 (acc, x) -> (acc * 131 + x) % 2147483647) AS rolling_fp
+        FROM documents ORDER BY doc_id
+        """,
+        tags=("extension", "text"),
+    ),
     QueryDef(
         "text_token_stats",
         text_token_stats,

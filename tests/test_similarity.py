@@ -41,6 +41,26 @@ def test_lsh_topk_recall_on_planted_near_dupes(spark, sf_oracle):
     assert recall >= 0.8, f"planted-near-dup recall too low: {recall}"
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_oracle):
+    """IVF probing must recover most of the exact top-k: with 4 of 16 lists
+    probed, rank-1 recall on this near-orthogonal corpus should be high."""
+    exact = {
+        (r.query_id, r.rank): r.vec_id
+        for r in similarity.similarity_bruteforce_topk(spark, sf_oracle).collect()
+    }
+    approx = {
+        (r.query_id, r.rank): r.vec_id
+        for r in similarity.similarity_ivf_topk(spark, sf_oracle).collect()
+    }
+    rank1 = [q for (q, k) in exact if k == 1]
+    hits = sum(1 for q in rank1 if approx.get((q, 1)) == exact[(q, 1)])
+    assert hits / len(rank1) >= 0.6, f"IVF rank-1 recall too low: {hits}/{len(rank1)}"
+    # Every IVF result is a real pair with a valid cosine and full rank sets.
+    for q in range(similarity.NUM_QUERIES):
+        ranks = sorted(k for (qq, k) in approx if qq == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
 def test_bruteforce_topk_shape(spark, sf_oracle):
     rows = similarity.similarity_bruteforce_topk(spark, sf_oracle).collect()
     assert len(rows) == similarity.NUM_QUERIES * similarity.TOP_K
