@@ -253,6 +253,64 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + grouped revenue + top-10.
+
+    Plan contract: customer (filtered to one segment) broadcasts into
+    orders, the result broadcasts-or-shuffles into lineitem on l_orderkey,
+    revenue aggregates partial+final, top-10 via TakeOrderedAndProject —
+    no full sort. Revenue summed in integer cents (order-independent)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.sum(rev_cents).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join pruned by region.
+
+    nation/region/supplier broadcast; customer⋈orders⋈lineitem shuffle on
+    their keys; the c_nationkey = s_nationkey 'local supplier' predicate
+    rides the join, not a post-filter."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev_cents).alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("n_name"))
+    )
+
+
 # --- O4: top-k (ORDER BY ... DESC + limit → TakeOrderedAndProject) ----------
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -467,6 +525,39 @@ QUERIES: list[QueryDef] = [
         ORDER BY l_returnflag, l_linestatus
         """,
         tags=("parity", "agg", "bench"),
+    ),
+    QueryDef(
+        "tpch_q3_shipping_priority",
+        tpch_q3_shipping_priority,
+        """
+        SELECT l_orderkey, o_orderpriority,
+               CAST(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5))
+                 AS BIGINT) AS revenue_cents
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate >= TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderpriority
+        ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+        tags=("parity", "join", "agg", "topk", "bench"),
+    ),
+    QueryDef(
+        "tpch_q5_local_supplier_volume",
+        tpch_q5_local_supplier_volume,
+        """
+        SELECT n_name,
+               CAST(SUM(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5))
+                 AS BIGINT) AS revenue_cents
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+        GROUP BY n_name ORDER BY revenue_cents DESC, n_name
+        """,
+        tags=("parity", "join", "agg", "bench"),
     ),
     QueryDef(
         "topk_orders",
