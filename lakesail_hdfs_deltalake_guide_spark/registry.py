@@ -56,6 +56,13 @@ def build_registry() -> QueryRegistry:
         reg.extend(sources_io.QUERIES)
     except ImportError:
         pass
+
+    try:
+        from .sources import bucketed as sources_bucketed
+
+        reg.extend(sources_bucketed.QUERIES)
+    except ImportError:
+        pass
     return reg
 
 

@@ -1,0 +1,98 @@
+"""Bucketed tables: co-located, exchange-free joins and aggregations.
+
+At 100 TB the shuffle IS the cost: a fact⋈fact join on un-bucketed data
+moves both sides across the network every query. Writing both tables
+bucketed (`bucketBy(N, key)` + `sortBy`) pre-partitions them ONCE at write
+time; every subsequent equi-join or aggregation on the bucket key runs
+with ZERO exchanges — asserted against the physical plan in
+tests/test_bucketed.py, not assumed.
+
+Bucketed tables need a catalog entry (bucket metadata lives in the table
+definition, not the files); a session-local database pointed at a temp
+location keeps this self-contained and works on the driver's vanilla
+session (database LOCATION is settable at runtime, the global warehouse
+dir is not).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+DB = "ls_bucketed"
+NUM_BUCKETS = 8
+
+
+def _ensure_db(spark: SparkSession) -> None:
+    if not spark.catalog.databaseExists(DB):
+        loc = tempfile.mkdtemp(prefix="ls_bucketed_wh_")
+        spark.sql(f"CREATE DATABASE {DB} LOCATION '{loc}'")
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, num_buckets: int = NUM_BUCKETS
+) -> str:
+    """Write ``df`` as a bucketed+sorted table; returns the qualified name."""
+    spark = df.sparkSession
+    _ensure_db(spark)
+    name = f"{DB}.{table}"
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return name
+
+
+def io_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders with BOTH sides bucketed on the join key, then an
+    aggregation on that same key — the whole query plans with zero
+    exchanges (bucket-pruned scans feed a sort-merge join directly; the
+    final aggregate reuses the join's partitioning)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c_name = write_bucketed(cust, "customer_by_key", "c_custkey")
+    o_name = write_bucketed(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), "orders_by_key", "c_custkey"
+    )
+    c = spark.table(c_name)
+    o = spark.table(o_name)
+    return (
+        c.hint("merge")  # forbid broadcast: the point is the exchange-free SMJ
+        .join(o, "c_custkey", "inner")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).alias(
+                "sum_total_cents"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "io_bucketed_join_agg",
+        io_bucketed_join_agg,
+        """
+        SELECT c.c_custkey, c.c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(FLOOR(o.o_totalprice * 100 + 0.5)) AS BIGINT)
+                 AS sum_total_cents
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2 ORDER BY c.c_custkey
+        """,
+        tags=("extension", "io", "bucketing", "join"),
+    ),
+]

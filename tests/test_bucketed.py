@@ -1,0 +1,44 @@
+"""Bucketed-join contract: the join AND the aggregation run exchange-free."""
+
+from __future__ import annotations
+
+from lakesail_hdfs_deltalake_guide_spark.plans.inspect import (
+    explain_str,
+    shuffle_count,
+)
+from lakesail_hdfs_deltalake_guide_spark.sources.bucketed import (
+    io_bucketed_join_agg,
+)
+
+
+def test_bucketed_join_plans_zero_exchanges(spark, sf_smoke):
+    df = io_bucketed_join_agg(spark, sf_smoke)
+    plan = explain_str(df)
+    assert "SortMergeJoin" in plan
+    # No exchange anywhere except (possibly) the final orderBy range
+    # repartition — join + aggregate reuse the bucketing.
+    n = shuffle_count(df)
+    assert n <= 1, f"expected exchange-free bucketed join, saw {n} exchanges"
+    assert "Bucketed: true" in plan
+
+
+def test_bucketed_join_matches_unbucketed(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    bucketed = io_bucketed_join_agg(spark, sf_smoke)
+    c = load_table(spark, sf_smoke, "customer")
+    o = load_table(spark, sf_smoke, "orders")
+    plain = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).alias(
+                "sum_total_cents"
+            ),
+        )
+    )
+    assert bucketed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(bucketed).count() == 0
