@@ -1,0 +1,398 @@
+"""Extended TPC-H-shaped coverage (Q4/Q6/Q10/Q12/Q14/Q18/Q19/Q22 shapes).
+
+The reference's query ceiling is batch SQL joins + aggregation
+(/root/reference/examples/read_deltalake_hdfs.py:100-198,
+/root/reference/examples/example_lakesail_kerberos.py:211-235). These
+queries widen that surface with the canonical TPC-H plan shapes the
+reference's users would run next, adapted to the driver fixtures (no
+partsupp table; no l_commitdate/l_receiptdate/l_shipmode columns — the
+date-pair predicates use l_shipdate vs o_orderdate instead).
+
+Plan-shape notes (100 TB posture), per query:
+- Q4:  EXISTS → left-semi join; shuffles once on orderkey, never
+       materializes the lineitem payload columns (semi join projects none).
+- Q6:  pure scan query — both predicates and the 3-column projection push
+       into the parquet scan; zero shuffles before the single global agg.
+- Q10: fact⋈fact shuffle join on orderkey; nation broadcast; top-20 via
+       TakeOrderedAndProject (no global sort).
+- Q12: conditional aggregation (SUM(CASE ...)) — one shuffle on orderkey,
+       one on the group key; the CASE rides the partial agg map-side.
+- Q14: part is a broadcast dim; promo share computed from integer cents so
+       the ratio is bit-identical across engines and shuffle orders.
+- Q18: self-contained HAVING over the fact table; AQE sizes the tiny
+       having-survivor side and broadcast-joins it back against orders.
+- Q19: OR-of-ANDs predicate — Catalyst extracts the common p_partkey
+       equi-key so this plans as a hash join with the OR as post-filter,
+       NOT a nested-loop; the p_brand/p_size legs also push to the part
+       scan as an OR filter.
+- Q22: scalar global aggregate (exact cents avg) cross-broadcast into the
+       filter, anti-join against recent orders — no collect(), fully
+       distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import cents, exact_sum, sql_cents, sql_exact_sum
+from ..querydef import QueryDef
+from ..tables import load_table
+
+_REV_CENTS = "FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+
+
+def _rev_cents() -> F.Column:
+    return F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp_ntz")
+
+
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: priority counts for 1997 orders having a line shipped
+    strictly after the order date (EXISTS → left-semi join)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: filter-heavy global aggregate. The whole WHERE clause and
+    the 3-column projection reach the parquet scan (asserted in
+    tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100 + F.lit(0.5)))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-20 customers by revenue on returned ('R') lines in a
+    6-month order window; nation broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev_cents()).cast("bigint").alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional aggregation of order priorities per ship
+    year over lines shipped after their order date."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        )
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo revenue share for one ship month. Integer-cents
+    numerator/denominator make the percentage bit-stable."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-03-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", _rev_cents()).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("promo_cents"),
+            F.sum(_rev_cents()).cast("bigint").alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        (
+            F.floor(
+                F.lit(100.0)
+                * F.col("promo_cents").cast("double")
+                / F.col("total_cents").cast("double")
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("promo_pct"),
+    )
+
+
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total quantity exceeds 300, joined back to
+    customer/orders. The HAVING survivor set is tiny — AQE broadcasts it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+    )
+
+
+def tpch_q19_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs over brand/size/quantity. Catalyst extracts
+    the p_partkey equi-condition so this is a (broadcast) hash join with
+    the OR as a residual filter, not a nested loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    leg1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    leg2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    leg3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(leg1 | leg2 | leg3)
+        .agg(
+            F.sum(_rev_cents()).cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: per-segment count/balance of above-average-balance
+    customers with no recent (>= 2000-01-01) orders. The global average is
+    an exact-cents scalar broadcast into the comparison — no collect()."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(cents("c_acctbal")).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(100)
+            ).alias("avg_bal")
+        )
+    )
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= _ts("2000-01-01")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("avg_bal"))
+    dormant = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        dormant.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum("c_acctbal").alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "tpch_q4_order_priority",
+        tpch_q4_order_priority,
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        tags=("parity", "join", "agg"),
+        description="Q4 shape: EXISTS semi-join + priority counts.",
+    ),
+    QueryDef(
+        "tpch_q6_revenue_forecast",
+        tpch_q6_revenue_forecast,
+        f"""
+        SELECT CAST(SUM(FLOOR(l_extendedprice * l_discount * 100 + 0.5))
+                 AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.04 AND l_discount <= 0.06
+          AND l_quantity < 24
+        """,
+        tags=("parity", "filter", "agg", "bench"),
+        description="Q6 shape: full predicate+projection pushdown scan query.",
+    ),
+    QueryDef(
+        "tpch_q10_returned_items",
+        tpch_q10_returned_items,
+        f"""
+        SELECT c_custkey, c_name, n_name,
+               CAST(SUM({_REV_CENTS}) AS BIGINT) AS revenue_cents
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+        """,
+        tags=("parity", "join", "agg", "topk"),
+        description="Q10 shape: returned-item revenue top-20.",
+    ),
+    QueryDef(
+        "tpch_q12_priority_shipping",
+        tpch_q12_priority_shipping,
+        """
+        SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate
+        GROUP BY ship_year ORDER BY ship_year
+        """,
+        tags=("parity", "join", "agg", "case"),
+        description="Q12 shape: conditional aggregation per ship year.",
+    ),
+    QueryDef(
+        "tpch_q14_promo_effect",
+        tpch_q14_promo_effect,
+        f"""
+        WITH j AS (
+          SELECT {sql_cents("l_extendedprice * (1 - l_discount)")} AS rc, p_type
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+        )
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END) AS BIGINT)
+                 AS promo_cents,
+               CAST(SUM(rc) AS BIGINT) AS total_cents,
+               FLOOR(100.0
+                     * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END)
+                            AS DOUBLE)
+                     / CAST(SUM(rc) AS DOUBLE) * 10000 + 0.5) / 10000
+                 AS promo_pct
+        FROM j
+        """,
+        tags=("parity", "join", "agg", "case"),
+        description="Q14 shape: promo revenue share, cents-exact ratio.",
+    ),
+    QueryDef(
+        "tpch_q18_large_volume_customer",
+        tpch_q18_large_volume_customer,
+        f"""
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(o_orderdate AS DATE) AS order_date, o_totalprice, total_qty
+        FROM (SELECT l_orderkey, {sql_exact_sum("l_quantity")} AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING {sql_exact_sum("l_quantity")} > 300) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey
+        """,
+        tags=("parity", "join", "agg", "having"),
+        description="Q18 shape: large-volume orders joined back to customers.",
+    ),
+    QueryDef(
+        "tpch_q19_or_predicates",
+        tpch_q19_or_predicates,
+        f"""
+        SELECT CAST(SUM({_REV_CENTS}) AS BIGINT) AS revenue_cents,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+        """,
+        tags=("parity", "join", "filter"),
+        description="Q19 shape: OR-of-ANDs residual over an extracted equi-join.",
+    ),
+    QueryDef(
+        "tpch_q22_dormant_customers",
+        tpch_q22_dormant_customers,
+        f"""
+        SELECT c_mktsegment, COUNT(*) AS numcust,
+               {sql_exact_sum("c_acctbal")} AS total_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT (CAST(SUM({sql_cents("c_acctbal")}) AS DOUBLE)
+                                   / COUNT(*)) / 100
+                           FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        tags=("parity", "join", "agg"),
+        description="Q22 shape: above-average-balance customers with no "
+        "recent orders (scalar broadcast + anti-join).",
+    ),
+]

@@ -15,6 +15,7 @@ def build_registry() -> QueryRegistry:
     reg.extend(relational.QUERIES)
 
     for modname in (
+        "tpch_more",
         "setops",
         "windows",
         "text",

@@ -1,0 +1,62 @@
+"""Plan-shape contracts for the extended TPC-H tier (operators/tpch_more.py).
+
+Correctness is covered by the oracle gate; these pin the physical plans the
+100 TB design depends on.
+"""
+
+from __future__ import annotations
+
+from lakesail_hdfs_deltalake_guide_spark.operators.tpch_more import (
+    tpch_q4_order_priority,
+    tpch_q6_revenue_forecast,
+    tpch_q19_or_predicates,
+    tpch_q22_dormant_customers,
+)
+from lakesail_hdfs_deltalake_guide_spark.plans.inspect import (
+    explain_str,
+    has_pushed_filter,
+    read_schema_columns,
+    shuffle_count,
+)
+
+
+def test_q6_is_pure_pushdown_scan(spark, sf_smoke):
+    df = tpch_q6_revenue_forecast(spark, sf_smoke)
+    # All three predicates reach the parquet scan...
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, frag), f"{frag} not pushed"
+    # ...and only the needed columns are read.
+    assert set(read_schema_columns(df)) <= {
+        "l_shipdate",
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+    }
+    # Global agg: the only exchange is the partial->final single-partition one.
+    assert shuffle_count(df) <= 1
+
+
+def test_q4_semi_join_reads_no_lineitem_payload(spark, sf_smoke):
+    plan = explain_str(tpch_q4_order_priority(spark, sf_smoke))
+    assert "LeftSemi" in plan
+    # The semi join must not drag lineitem payload columns through the plan.
+    assert "l_extendedprice" not in plan and "l_quantity" not in plan
+
+
+def test_q19_plans_hash_join_not_nested_loop(spark, sf_smoke):
+    plan = explain_str(tpch_q19_or_predicates(spark, sf_smoke))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_q22_no_collect_scalar_is_broadcast(spark, sf_smoke):
+    plan = explain_str(tpch_q22_dormant_customers(spark, sf_smoke))
+    # The global-average scalar joins in via broadcast-nested-loop (1-row
+    # side) and the recent-orders exclusion is a real anti join.
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q4_q22_rows(spark, sf_smoke):
+    assert tpch_q4_order_priority(spark, sf_smoke).count() > 0
+    assert tpch_q22_dormant_customers(spark, sf_smoke).count() > 0
