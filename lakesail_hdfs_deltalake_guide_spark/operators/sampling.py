@@ -1,0 +1,153 @@
+"""Deterministic sampling / dataset-split operators (training-pipeline tier).
+
+A 100 TB corpus is never trained on raw: it gets split train/val/test,
+rebalanced across languages/sources, and subsampled per group. Random
+``df.sample()`` is useless for that at scale — resampling on every retry,
+no lineage, no oracle. These operators derive membership from a
+**deterministic content-key hash** (Lehmer LCG on the stable id), which:
+
+- is reproducible across runs, engines and partitionings (pure arithmetic
+  — the same rows land in the same split on any cluster);
+- is a map-only *scan-side filter*: no shuffle, no sort, no sample pass —
+  the predicate pushes into the scan projection and the 100 TB read is the
+  only cost;
+- makes splits disjoint and exhaustive by construction (bucket ranges of
+  one hash), unlike independent Bernoulli draws.
+
+The per-group top-k sampler is the one shuffle-bearing operator here
+(window over the group key) — the deterministic replacement for "reservoir
+sample k per group".
+
+Hash: ``h = (id * 48271 + 11) mod 2147483647`` (Lehmer/MINSTD constants) —
+chosen because it is exactly expressible in BIGINT arithmetic in both
+Spark and ANSI SQL (no 64-bit overflow for any fixture id), so every query
+below has a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+_M = 2147483647
+_A = 48271
+_C = 11
+
+
+def lehmer_hash(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return (c.cast("bigint") * F.lit(_A) + F.lit(_C)) % F.lit(_M)
+
+
+def sql_lehmer_hash(expr: str) -> str:
+    return f"((CAST({expr} AS BIGINT) * {_A} + {_C}) % {_M})"
+
+
+def split_column(col: Column | str, train: int = 80, val: int = 10) -> Column:
+    """train/val/test label from disjoint bucket ranges of one hash."""
+    bucket = lehmer_hash(col) % 100
+    return (
+        F.when(bucket < train, "train")
+        .when(bucket < train + val, "val")
+        .otherwise("test")
+    )
+
+
+def sample_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 deterministic split of `documents` with per-split size
+    stats — the sanity dashboard every dataset build starts with."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", split_column("doc_id"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum rate sampling: downsample dominant 'en' to 10%, keep
+    30% of every other language — corpus rebalancing as a pure scan-side
+    filter (zero shuffles before the final count)."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(100)).otherwise(F.lit(300))
+    kept = d.where(lehmer_hash("doc_id") % 1000 < rate)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def sample_per_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (reservoir replacement): the 5
+    lowest-hash docs per source. One shuffle (window on source); at scale
+    the rank predicate cuts the output to k×groups rows immediately."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        lehmer_hash("doc_id").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", "doc_id", F.col("rn").cast("bigint").alias("sample_rank"))
+        .orderBy("source", "sample_rank")
+    )
+
+
+_H = sql_lehmer_hash("doc_id")
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sample_split_counts",
+        sample_split_counts,
+        f"""
+        SELECT CASE WHEN {_H} % 100 < 80 THEN 'train'
+                    WHEN {_H} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM documents GROUP BY split ORDER BY split
+        """,
+        tags=("extension", "sampling", "pipeline"),
+        description="Deterministic 80/10/10 train/val/test split stats.",
+    ),
+    QueryDef(
+        "sample_stratified_by_lang",
+        sample_stratified_by_lang,
+        f"""
+        SELECT lang, COUNT(*) AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+        FROM documents
+        WHERE {_H} % 1000 < CASE WHEN lang = 'en' THEN 100 ELSE 300 END
+        GROUP BY lang ORDER BY lang
+        """,
+        tags=("extension", "sampling", "pipeline"),
+        description="Per-language rate sampling (corpus rebalancing).",
+    ),
+    QueryDef(
+        "sample_per_source_topk",
+        sample_per_source_topk,
+        f"""
+        SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+        FROM (SELECT source, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY {_H}, doc_id) AS rn
+              FROM documents)
+        WHERE rn <= 5 ORDER BY source, sample_rank
+        """,
+        tags=("extension", "sampling", "pipeline"),
+        description="Deterministic k-per-group sample via hash ranking.",
+    ),
+]

@@ -1,0 +1,125 @@
+"""Batch sessionization over the `events` table (gap-based sessions).
+
+The streaming tier already does session windows with watermarks
+(streaming/events.py); this is the batch twin — the classic
+lag→flag→cumulative-sum rewrite that turns "sessions with a 30-minute
+inactivity gap" into two window functions over one shuffle:
+
+1. partition by user, order by event time; a session *starts* where the
+   gap to the previous event exceeds the threshold (or there is none);
+2. the running sum of start-flags is the session index — a pure
+   prefix-scan, no iteration, no UDF.
+
+Scale posture: ONE exchange on user_id serves both window passes and the
+per-session aggregation (same partitioning, Catalyst reuses it), so the
+whole operator is shuffle-bounded by the user key. Event-time ordering
+uses the tz-free ``ts_ns`` long (exact integer nanos — no timestamp
+arithmetic, bit-identical in the DuckDB oracle via ``epoch_ns(ts)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import exact_sum, sql_exact_sum
+from ..querydef import QueryDef
+from ..tables import load_table
+
+GAP_NS = 30 * 60 * 1_000_000_000  # 30-minute inactivity gap
+
+
+def _with_sessions(events: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    new_session = F.when(gap.isNull() | (gap > GAP_NS), 1).otherwise(0)
+    return events.withColumn(
+        "session_idx",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, session): event count, duration, value total, errors."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        _with_sessions(ev)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.floor((F.max("ts_ns") - F.min("ts_ns")) / F.lit(1_000_000_000))
+            .alias("duration_sec"),
+            exact_sum("value").alias("total_value"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_errors"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of session sizes — the aggregate-of-aggregate shape
+    (two chained groupBys; the second reuses nothing and is tiny)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_session = (
+        _with_sessions(ev)
+        .groupBy("user_id", "session_idx")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        per_session.groupBy("n_events")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy("n_events")
+    )
+
+
+_SESS_CTE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS tns, value, event_type,
+         CASE WHEN LAG(epoch_ns(ts)) OVER w IS NULL
+                   OR epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {GAP_NS}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+),
+sess AS (
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_idx
+  FROM ordered
+)
+"""
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "session_stats",
+        session_stats,
+        _SESS_CTE
+        + f"""
+        SELECT user_id, session_idx, COUNT(*) AS n_events,
+               CAST(FLOOR((MAX(tns) - MIN(tns)) / 1000000000) AS BIGINT)
+                 AS duration_sec,
+               {sql_exact_sum("value")} AS total_value,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM sess GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx
+        """,
+        tags=("extension", "window", "sessionization"),
+        description="Gap-based batch sessionization (lag + prefix-sum).",
+    ),
+    QueryDef(
+        "session_length_histogram",
+        session_length_histogram,
+        _SESS_CTE
+        + """
+        SELECT n_events, COUNT(*) AS n_sessions
+        FROM (SELECT user_id, session_idx, COUNT(*) AS n_events
+              FROM sess GROUP BY user_id, session_idx)
+        GROUP BY n_events ORDER BY n_events
+        """,
+        tags=("extension", "window", "sessionization"),
+        description="Session-size distribution (aggregate of aggregate).",
+    ),
+]

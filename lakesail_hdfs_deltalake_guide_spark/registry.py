@@ -27,6 +27,8 @@ def build_registry() -> QueryRegistry:
         "olap",
         "temporal",
         "skew",
+        "sampling",
+        "sessions",
     ):
         try:
             import importlib

@@ -1,0 +1,74 @@
+"""Plan + invariant contracts for sampling and batch sessionization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+    lehmer_hash,
+    sample_per_source_topk,
+    sample_split_counts,
+    sample_stratified_by_lang,
+    split_column,
+)
+from lakesail_hdfs_deltalake_guide_spark.operators.sessions import (
+    GAP_NS,
+    _with_sessions,
+    session_stats,
+)
+from lakesail_hdfs_deltalake_guide_spark.plans.inspect import shuffle_count
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def test_split_is_disjoint_and_exhaustive(spark, sf_smoke):
+    d = load_table(spark, sf_smoke, "documents")
+    total = d.count()
+    split_total = (
+        sample_split_counts(spark, sf_smoke)
+        .agg(F.sum("n_docs").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert split_total == total
+
+
+def test_split_is_deterministic_across_partitionings(spark, sf_smoke):
+    d = load_table(spark, sf_smoke, "documents")
+    a = d.withColumn("split", split_column("doc_id")).select("doc_id", "split")
+    b = (
+        d.repartition(13)
+        .withColumn("split", split_column("doc_id"))
+        .select("doc_id", "split")
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stratified_filter_is_map_side(spark, sf_smoke):
+    # Filter + single aggregation: one partial->final exchange plus the
+    # orderBy range exchange at most — the sampling itself never shuffles.
+    assert shuffle_count(sample_stratified_by_lang(spark, sf_smoke)) <= 2
+
+
+def test_per_source_topk_exactly_k(spark, sf_smoke):
+    out = sample_per_source_topk(spark, sf_smoke)
+    per_group = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per_group)
+    # rank values are 1..k with no repeats inside a group
+    dup = out.groupBy("source", "sample_rank").count().where(F.col("count") > 1)
+    assert dup.count() == 0
+
+
+def test_sessions_respect_gap_invariant(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    s = _with_sessions(ev)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "session_idx").orderBy("ts_ns", "event_id")
+    intra_gap = (F.col("ts_ns") - F.lag("ts_ns").over(w)).alias("g")
+    bad = s.select(intra_gap).where(F.col("g") > GAP_NS)
+    assert bad.count() == 0  # no intra-session gap exceeds the threshold
+
+
+def test_session_stats_single_user_shuffle(spark, sf_smoke):
+    # window on user_id + groupBy (user_id, session_idx) reuse ONE hash
+    # exchange; orderBy adds at most a range exchange.
+    assert shuffle_count(session_stats(spark, sf_smoke)) <= 2
