@@ -54,6 +54,13 @@ def build_registry() -> QueryRegistry:
         pass
 
     try:
+        from .streaming import joins as streaming_joins
+
+        reg.extend(streaming_joins.QUERIES)
+    except ImportError:
+        pass
+
+    try:
         from .sources import io as sources_io
 
         reg.extend(sources_io.QUERIES)

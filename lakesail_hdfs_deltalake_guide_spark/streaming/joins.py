@@ -1,0 +1,173 @@
+"""Streaming joins + streaming dedup (extension tier, no reference analogue).
+
+Three canonical Structured Streaming patterns over the ``events`` fixture:
+
+- **Stream-static enrichment**: the arriving stream joins a static dim
+  table. The static side is planned per micro-batch (broadcast at dim
+  size), the stream side never buffers state — the production shape for
+  "attach account metadata to a clickstream".
+- **Streaming dedup**: ``dropDuplicates`` on a key subset; state is one
+  entry per distinct key. (At 100 TB one would bound state with
+  ``dropDuplicatesWithinWatermark`` and accept at-least-once outside the
+  horizon; the fixture's key space is small and exact-distinct is the
+  oracle-checkable semantic.)
+- **Stream-stream interval join**: clicks matched to errors by the same
+  user within 10 minutes. Both sides carry watermarks; the time-interval
+  predicate bounds the join state (each side buffers only the watermark
+  horizon). Pairs drain via ``foreachBatch`` to parquet, and the per-user
+  rollup happens batch-side on the sink — the idiomatic split between
+  unbounded-state streaming and bounded batch post-processing.
+
+Determinism contract: identical to streaming/events.py — file-source
+stream + ``trigger(availableNow=True)`` + drain-to-sink, so results equal
+the batch semantics and every query has a DuckDB oracle. Time arithmetic
+stays in integer micros (``unix_micros`` / ``epoch_us``) on both engines.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+from .events import WATERMARK, _cents, _run_to_table, events_stream
+
+
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: events enriched with the customer dim, revenue
+    rollup per market segment."""
+    ev = events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    agg = (
+        ev.withWatermark("ts", WATERMARK)
+        .join(F.broadcast(cust), ev.user_id == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents()).alias("sum_value_cents"),
+        )
+    )
+    return _run_to_table(agg, "ls_stream_enrich").orderBy(
+        "c_mktsegment", "event_type"
+    )
+
+
+def streaming_dedup_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type), then distinct-user counts
+    per type — state is one row per live key."""
+    ev = events_stream(spark, sf_dir)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    return _run_to_table(agg, "ls_stream_dedup").orderBy("event_type")
+
+
+def streaming_interval_join_click_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream join: per user, (click, error) pairs where the error
+    lands within 10 minutes after the click; per-user pair stats."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    errors = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        .withWatermark("e_ts", WATERMARK)
+    )
+    pairs = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "error_id",
+        (F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("c_ts"))).alias("lag_us"),
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="ls_stream_ivjoin_out_")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ls_ckpt_ivjoin_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("sum(lag_us) div count(1)").alias("avg_lag_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "streaming_static_enrich",
+        streaming_static_enrich,
+        """
+        SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment, event_type
+        ORDER BY c_mktsegment, event_type
+        """,
+        tags=("extension", "streaming", "join"),
+        description="Stream-static broadcast enrichment rollup.",
+    ),
+    QueryDef(
+        "streaming_dedup_users_per_type",
+        streaming_dedup_users_per_type,
+        """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        tags=("extension", "streaming", "dedup"),
+        description="Streaming dropDuplicates → distinct users per type.",
+    ),
+    QueryDef(
+        "streaming_interval_join_click_error",
+        streaming_interval_join_click_error,
+        """
+        WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+                   FROM events WHERE event_type = 'click'),
+             e AS (SELECT user_id, event_id AS error_id, epoch_us(ts) AS e_us
+                   FROM events WHERE event_type = 'error'),
+             pairs AS (
+               SELECT c.user_id, e_us - c_us AS lag_us
+               FROM c JOIN e ON c.user_id = e.user_id
+                AND e.e_us >= c.c_us AND e.e_us <= c.c_us + 600000000)
+        SELECT user_id, COUNT(*) AS n_pairs,
+               CAST(SUM(lag_us) // COUNT(*) AS BIGINT) AS avg_lag_us
+        FROM pairs GROUP BY user_id ORDER BY user_id
+        """,
+        tags=("extension", "streaming", "join", "temporal"),
+        description="Watermarked stream-stream time-interval join.",
+    ),
+]

@@ -1,0 +1,34 @@
+"""Streaming-join tier: result invariants (oracle parity covers values)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.streaming.joins import (
+    streaming_dedup_users_per_type,
+    streaming_interval_join_click_error,
+    streaming_static_enrich,
+)
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def test_enrich_preserves_matched_event_count(spark, sf_smoke):
+    out = streaming_static_enrich(spark, sf_smoke)
+    total = out.agg(F.sum("n_events").alias("s")).collect()[0]["s"]
+    ev = load_table(spark, sf_smoke, "events")
+    cust = load_table(spark, sf_smoke, "customer")
+    matched = ev.join(cust, ev.user_id == cust.c_custkey).count()
+    assert total == matched
+
+
+def test_dedup_bounded_by_user_count(spark, sf_smoke):
+    out = streaming_dedup_users_per_type(spark, sf_smoke)
+    n_users = load_table(spark, sf_smoke, "events").select("user_id").distinct().count()
+    assert all(r["n_users"] <= n_users for r in out.collect())
+
+
+def test_interval_join_lags_within_bound(spark, sf_smoke):
+    out = streaming_interval_join_click_error(spark, sf_smoke)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(0 <= r["avg_lag_us"] <= 600_000_000 for r in rows)
