@@ -1,0 +1,109 @@
+"""Document chunking: sliding token windows (training-pipeline tier).
+
+LLM training data is consumed as fixed-size token windows, not whole
+documents — every corpus build ends with a chunking pass. This operator
+expresses it entirely with JVM built-ins (``split`` → ``sequence`` →
+``explode`` → ``slice`` → ``array_join``): per-row array math inside
+whole-stage codegen, **zero shuffles** for the chunk explosion itself and
+no Python in the hot path. At 100 TB this is a map-only pass whose output
+is safely larger than its input (stride < window ⇒ overlap) — the one
+shape where "no shuffle" matters most, since any exchange would move the
+post-explosion volume.
+
+Window = 32 tokens, stride = 16 (50% overlap): every token belongs to ≥1
+chunk and boundary context is preserved — the overlap guarantee is
+asserted in tests/test_chunking.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+WINDOW = 32
+STRIDE = 16
+
+
+def chunked(docs: DataFrame, window: int = WINDOW, stride: int = STRIDE) -> DataFrame:
+    """One row per (doc, chunk): doc_id, chunk_idx, chunk_tokens, chunk_text."""
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(stride)
+    )
+    return (
+        toks.select("doc_id", "t", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / stride).cast("bigint").alias("chunk_idx"),
+            F.slice("t", F.col("start"), F.lit(window)).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").cast("bigint").alias("chunk_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return chunked(d).orderBy("doc_id", "chunk_idx")
+
+
+def chunk_doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunks-per-document distribution — the corpus-shape dashboard."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = chunked(d).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").alias("total_chunk_tokens"),
+    )
+    return (
+        per_doc.groupBy("n_chunks")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("total_chunk_tokens").alias("sum_chunk_tokens"),
+        )
+        .orderBy("n_chunks")
+    )
+
+
+_TOKS = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+_CHUNKS = f"""
+SELECT doc_id, CAST((start - 1) // {STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(t, start, start + {WINDOW - 1})) AS BIGINT)
+         AS chunk_tokens,
+       array_to_string(list_slice(t, start, start + {WINDOW - 1}), ' ')
+         AS chunk_text
+FROM ({_TOKS}) toks,
+     UNNEST(range(1, greatest(len(t), 1) + 1, {STRIDE})) AS u(start)
+"""
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "chunk_sliding_windows",
+        chunk_sliding_windows,
+        f"{_CHUNKS} ORDER BY doc_id, chunk_idx",
+        tags=("extension", "text", "chunking", "pipeline"),
+        description="Sliding 32-token/stride-16 chunk explosion (map-only).",
+    ),
+    QueryDef(
+        "chunk_doc_coverage",
+        chunk_doc_coverage,
+        f"""
+        SELECT n_chunks, COUNT(*) AS n_docs,
+               CAST(SUM(total_chunk_tokens) AS BIGINT) AS sum_chunk_tokens
+        FROM (SELECT doc_id, COUNT(*) AS n_chunks,
+                     SUM(chunk_tokens) AS total_chunk_tokens
+              FROM ({_CHUNKS}) GROUP BY doc_id)
+        GROUP BY n_chunks ORDER BY n_chunks
+        """,
+        tags=("extension", "text", "chunking", "pipeline"),
+        description="Chunks-per-document distribution.",
+    ),
+]

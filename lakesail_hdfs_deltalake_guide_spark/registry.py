@@ -29,6 +29,7 @@ def build_registry() -> QueryRegistry:
         "skew",
         "sampling",
         "sessions",
+        "chunking",
     ):
         try:
             import importlib

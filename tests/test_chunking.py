@@ -1,0 +1,41 @@
+"""Chunking invariants: coverage, overlap, and the map-only plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.operators.chunking import (
+    STRIDE,
+    WINDOW,
+    chunked,
+)
+from lakesail_hdfs_deltalake_guide_spark.plans.inspect import shuffle_count
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def test_every_token_is_covered(spark, sf_smoke):
+    d = load_table(spark, sf_smoke, "documents")
+    c = chunked(d)
+    # Sum of per-doc token counts recovered from stride math: each doc with
+    # n tokens yields ceil(n/stride) chunks whose union covers 1..n.
+    per_doc = c.groupBy("doc_id").agg(
+        F.max(F.col("chunk_idx") * STRIDE + F.col("chunk_tokens")).alias("max_cover")
+    )
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    joined = per_doc.join(toks, "doc_id")
+    uncovered = joined.where(F.col("max_cover") < F.col("n_tokens"))
+    assert uncovered.count() == 0
+
+
+def test_chunk_sizes_bounded(spark, sf_smoke):
+    d = load_table(spark, sf_smoke, "documents")
+    c = chunked(d)
+    assert c.where(F.col("chunk_tokens") > WINDOW).count() == 0
+    assert c.where(F.col("chunk_tokens") < 1).count() == 0
+
+
+def test_chunk_explosion_is_shuffle_free(spark, sf_smoke):
+    d = load_table(spark, sf_smoke, "documents")
+    assert shuffle_count(chunked(d)) == 0
