@@ -1,0 +1,105 @@
+"""Embedding clustering: deterministic centroid-assignment step.
+
+The assignment half of k-means / IVF training, expressed as pure
+DataFrame ops: K centroids (one per label, seeded deterministically as
+the lowest-``vec_id`` vector of each label — no averaging, so the oracle
+is bit-exact) broadcast against every vector; cosine argmax per vector;
+confusion-matrix rollup of true label vs assigned centroid.
+
+Scale posture: centroids are O(K) rows — **broadcast**, never shuffled;
+the vector side stays partition-local (map-side join + window over
+vec_id... actually the argmax is per-vector, computed with a groupBy on
+vec_id that AQE keeps local after the broadcast join). Cosine runs in
+codegen (``zip_with``+``aggregate`` fold, functions/vectors.py), and
+similarities are quantized to 1e-6 BEFORE the argmax so ranking never
+depends on sub-ulp float noise. This is the exact shape of IVF *training*
+at 100 TB: broadcast centroids, map-side assign, aggregate counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine
+from ..querydef import QueryDef
+from ..tables import load_table
+
+
+def centroid_seeds(emb: DataFrame) -> DataFrame:
+    """One deterministic seed vector per label (lowest vec_id)."""
+    seed_ids = (
+        emb.groupBy("label")
+        .agg(F.min("vec_id").alias("seed_id"))
+        .select("seed_id")
+    )
+    return (
+        emb.join(F.broadcast(seed_ids), emb.vec_id == seed_ids.seed_id, "inner")
+        .select(
+            F.col("label").alias("assigned_label"),
+            F.col("embedding").alias("seed_vec"),
+        )
+    )
+
+
+def cluster_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector to its nearest seed centroid (cosine argmax);
+    return the label × assigned-centroid confusion matrix."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = centroid_seeds(emb)
+    sim_e6 = F.floor(
+        cosine(as_double("embedding"), as_double("seed_vec")) * 1_000_000 + F.lit(0.5)
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "label", "assigned_label", sim_e6.alias("sim_e6"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_e6"), F.asc("assigned_label")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.groupBy("label", "assigned_label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("label", "assigned_label")
+    )
+
+
+_DOT = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+)
+_COS = (
+    f"({_DOT.format(a='v.embedding', b='s.seed_vec')}"
+    f" / (sqrt({_DOT.format(a='v.embedding', b='v.embedding')})"
+    f" * sqrt({_DOT.format(a='s.seed_vec', b='s.seed_vec')})))"
+)
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "cluster_centroid_assign",
+        cluster_centroid_assign,
+        f"""
+        WITH seeds AS (
+          SELECT e.label AS assigned_label, e.embedding AS seed_vec
+          FROM embeddings e
+          JOIN (SELECT label, MIN(vec_id) AS seed_id
+                FROM embeddings GROUP BY label) s
+            ON e.vec_id = s.seed_id),
+        scored AS (
+          SELECT v.vec_id, v.label, s.assigned_label,
+                 FLOOR({_COS} * 1000000 + 0.5) AS sim_e6
+          FROM embeddings v, seeds s),
+        best AS (
+          SELECT vec_id, label, assigned_label,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY sim_e6 DESC, assigned_label) AS rn
+          FROM scored)
+        SELECT label, assigned_label, COUNT(*) AS n_vecs
+        FROM best WHERE rn = 1
+        GROUP BY label, assigned_label ORDER BY label, assigned_label
+        """,
+        tags=("extension", "similarity", "clustering"),
+        description="K-means/IVF assignment step: broadcast centroids, "
+        "cosine argmax, confusion rollup.",
+    ),
+]

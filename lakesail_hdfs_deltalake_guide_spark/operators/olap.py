@@ -85,6 +85,62 @@ def olap_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIVOT_NAMES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+def olap_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order-revenue cents per year × priority as columns.
+
+    The pivot value list is pinned (never inferred) — at scale an inferred
+    pivot is an extra distinct-scan of the fact table AND a nondeterministic
+    schema; with pinned values Spark plans a single conditional hash agg,
+    exactly the `SUM(CASE WHEN ...)` the oracle spells out."""
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.select(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            "o_orderpriority",
+            _cents("o_totalprice").alias("cents"),
+        )
+        .groupBy("order_year")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("c"))
+    )
+    for val, name in zip(_PRIORITIES, _PIVOT_NAMES):
+        pivoted = pivoted.withColumnRenamed(val, name)
+    return pivoted.orderBy("order_year")
+
+
+def olap_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-line metrics → long (metric, value) pairs,
+    then per-metric stats. Spark's `unpivot` is a zero-shuffle Expand —
+    the long form costs one scan, not four."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    ).unpivot(
+        ["l_returnflag"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "metric",
+        "value",
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("sum_e4"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "olap_rollup_revenue",
@@ -137,5 +193,50 @@ QUERIES: list[QueryDef] = [
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         tags=("extension", "olap"),
+    ),
+    QueryDef(
+        "olap_pivot_priority",
+        olap_pivot_priority,
+        """
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+               CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END), 0)
+                 AS BIGINT) AS urgent,
+               CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                 THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END), 0)
+                 AS BIGINT) AS high,
+               CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                 THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END), 0)
+                 AS BIGINT) AS medium,
+               CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                 THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END), 0)
+                 AS BIGINT) AS not_specified,
+               CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                 THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) END), 0)
+                 AS BIGINT) AS low
+        FROM orders GROUP BY order_year ORDER BY order_year
+        """,
+        tags=("extension", "olap", "pivot"),
+        description="PIVOT with pinned value list (conditional hash agg).",
+    ),
+    QueryDef(
+        "olap_unpivot_lineitem_metrics",
+        olap_unpivot_lineitem_metrics,
+        """
+        WITH long AS (
+          SELECT l_returnflag, 'quantity' AS metric, l_quantity AS value FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'discount', l_discount FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+        SELECT l_returnflag, metric, COUNT(*) AS n,
+               CAST(SUM(FLOOR(value * 10000 + 0.5)) AS BIGINT) AS sum_e4
+        FROM long GROUP BY l_returnflag, metric
+        ORDER BY l_returnflag, metric
+        """,
+        tags=("extension", "olap", "pivot"),
+        description="UNPIVOT/melt to long form + per-metric stats.",
     ),
 ]

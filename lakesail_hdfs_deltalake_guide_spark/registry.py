@@ -30,6 +30,7 @@ def build_registry() -> QueryRegistry:
         "sampling",
         "sessions",
         "chunking",
+        "clustering",
     ):
         try:
             import importlib

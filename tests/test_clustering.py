@@ -1,0 +1,23 @@
+"""Clustering-assignment contracts: broadcast centroids, total coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.operators.clustering import (
+    cluster_centroid_assign,
+)
+from lakesail_hdfs_deltalake_guide_spark.plans.inspect import explain_str
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def test_every_vector_assigned_exactly_once(spark, sf_smoke):
+    out = cluster_centroid_assign(spark, sf_smoke)
+    total = out.agg(F.sum("n_vecs").alias("s")).collect()[0]["s"]
+    n_vecs = load_table(spark, sf_smoke, "embeddings").count()
+    assert total == n_vecs
+
+
+def test_centroids_are_broadcast_not_shuffled(spark, sf_smoke):
+    plan = explain_str(cluster_centroid_assign(spark, sf_smoke))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
