@@ -254,6 +254,95 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) with the maximum 3-month revenue — the
+    max-of-aggregate pattern. Revenue is integer cents so the equality
+    against the max is exact; the 1-row max broadcasts (no collect)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_rev_cents()).cast("bigint").alias("total_revenue_cents")
+    )
+    max_rev = rev.agg(F.max("total_revenue_cents").alias("max_cents"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue_cents") == F.col("max_cents"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from lines whose quantity is below 20% of the
+    per-part average — correlated scalar subquery as a self-join.
+
+    The avg comparison runs in EXACT integer arithmetic:
+    ``lq < 0.2 * (sum/cnt)  ⇔  5 * lq_cents * cnt < sum_cents`` — no
+    double division, so boundary rows (whole-number quantities hitting
+    exactly 20% of the mean) never flip between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    qty_cents = F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty_cents).alias("sum_qty_cents"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == per_part.pk)
+        .where(qty_cents * F.col("cnt") * 5 < F.col("sum_qty_cents"))
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)))
+            .cast("bigint")
+            .alias("small_qty_revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers solely to blame for a late multi-supplier
+    order — the EXISTS + NOT-EXISTS double-correlation, rewritten as one
+    per-order distinct-count aggregation (one shuffle on orderkey) instead
+    of two correlated self-joins over the fact table."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    joined = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    late_pairs = (
+        joined.where(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    blamed = late_pairs.join(per_order, "l_orderkey").where(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(25)
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "tpch_q4_order_priority",
@@ -394,5 +483,77 @@ QUERIES: list[QueryDef] = [
         tags=("parity", "join", "agg"),
         description="Q22 shape: above-average-balance customers with no "
         "recent orders (scalar broadcast + anti-join).",
+    ),
+    QueryDef(
+        "tpch_q15_top_supplier",
+        tpch_q15_top_supplier,
+        f"""
+        WITH rev AS (
+          SELECT l_suppkey, CAST(SUM({_REV_CENTS}) AS BIGINT)
+                   AS total_revenue_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue_cents
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM rev)
+        ORDER BY s_suppkey
+        """,
+        tags=("parity", "join", "agg"),
+        description="Q15 shape: max-of-aggregate top supplier.",
+    ),
+    QueryDef(
+        "tpch_q17_small_quantity_revenue",
+        tpch_q17_small_quantity_revenue,
+        """
+        WITH pp AS (
+          SELECT l_partkey AS pk,
+                 CAST(SUM(FLOOR(l_quantity * 100 + 0.5)) AS BIGINT)
+                   AS sum_qty_cents,
+                 COUNT(*) AS cnt
+          FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(SUM(FLOOR(l_extendedprice * 100 + 0.5)) AS BIGINT)
+                 AS small_qty_revenue_cents,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN pp ON l_partkey = pk
+        WHERE p_brand = 'Brand#23'
+          AND CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) * cnt * 5
+              < sum_qty_cents
+        """,
+        tags=("parity", "join", "agg"),
+        description="Q17 shape: correlated per-part average in exact "
+        "integer arithmetic.",
+    ),
+    QueryDef(
+        "tpch_q21_sole_late_supplier",
+        tpch_q21_sole_late_supplier,
+        """
+        WITH j AS (
+          SELECT l_orderkey, l_suppkey,
+                 CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                      THEN 1 ELSE 0 END AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'),
+        per_order AS (
+          SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+                 COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+                   AS n_late_supp
+          FROM j GROUP BY l_orderkey),
+        late_pairs AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM j WHERE late = 1)
+        SELECT s_name, COUNT(*) AS numwait
+        FROM late_pairs
+        JOIN per_order USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE n_supp >= 2 AND n_late_supp = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 25
+        """,
+        tags=("parity", "join", "agg"),
+        description="Q21 shape: EXISTS + NOT EXISTS double-correlation as "
+        "one distinct-count pass.",
     ),
 ]
