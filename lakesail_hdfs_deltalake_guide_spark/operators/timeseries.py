@@ -1,0 +1,125 @@
+"""Time-series resampling: dense grids, zero-fill, and LOCF gap filling.
+
+The hypertable-rollup / "SELECT time_bucket_gapfill(...)" family from
+time-series engines, expressed Spark-first:
+
+1. bucket events to the hour (integer-micros arithmetic, tz-free);
+2. build the **dense** hour × event_type grid with ``sequence`` +
+   ``explode`` over the global [min, max] hour span — the grid derives
+   from a 1-row global aggregate that Catalyst broadcasts, never a
+   driver-side loop;
+3. left-join the sparse aggregates onto the grid; absent buckets become
+   ``n_events = 0`` and ``sum_value_cents = 0``;
+4. LOCF (last-observation-carried-forward) via
+   ``last(col, ignorenulls=True)`` over an unbounded-preceding window per
+   series — the standard fill for sensor/state series.
+
+Scale posture: the dense grid is (span-hours × series) rows — tiny
+relative to the fact table at any scale (time is bounded; facts are not).
+The one real shuffle is the per-series window; the hourly pre-aggregation
+shrinks the fact side BEFORE the grid join, so the join touches buckets,
+not raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+HOUR_US = 3_600_000_000
+
+
+def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = (F.col("ts_ns") / 1000).cast("bigint") - (
+        (F.col("ts_ns") / 1000).cast("bigint") % HOUR_US
+    )
+    hourly = (
+        ev.select(
+            "event_type",
+            hour_us.alias("hour_us"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "hour_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_value_cents"),
+        )
+    )
+    span = ev.agg(
+        (F.min((F.col("ts_ns") / 1000).cast("bigint"))).alias("min_us"),
+        (F.max((F.col("ts_ns") / 1000).cast("bigint"))).alias("max_us"),
+    ).select(
+        (F.col("min_us") - F.col("min_us") % HOUR_US).alias("start_us"),
+        (F.col("max_us") - F.col("max_us") % HOUR_US).alias("end_us"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("start_us"), F.col("end_us"), F.lit(HOUR_US))
+            ).alias("hour_us"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(hourly, ["event_type", "hour_us"], "left")
+        .select(
+            "event_type",
+            "hour_us",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sum_value_cents"), F.lit(0)).alias("sum_value_cents"),
+            F.last(F.col("sum_value_cents"), ignorenulls=True)
+            .over(w)
+            .alias("locf_value_cents"),
+        )
+        .orderBy("event_type", "hour_us")
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "ts_gapfill_hourly",
+        ts_gapfill_hourly,
+        f"""
+        WITH hourly AS (
+          SELECT event_type,
+                 epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+                 COUNT(*) AS n_events,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+          FROM events GROUP BY 1, 2),
+        span AS (
+          SELECT MIN(epoch_us(ts)) - MIN(epoch_us(ts)) % {HOUR_US} AS start_us,
+                 MAX(epoch_us(ts)) - MAX(epoch_us(ts)) % {HOUR_US} AS end_us
+          FROM events),
+        grid AS (
+          SELECT t.event_type, g.hour_us
+          FROM (SELECT DISTINCT event_type FROM events) t,
+               span,
+               UNNEST(range(span.start_us, span.end_us + 1, {HOUR_US}))
+                 AS g(hour_us))
+        SELECT grid.event_type, grid.hour_us,
+               COALESCE(hourly.n_events, 0) AS n_events,
+               COALESCE(hourly.sum_value_cents, 0) AS sum_value_cents,
+               LAST_VALUE(hourly.sum_value_cents IGNORE NULLS) OVER (
+                 PARTITION BY grid.event_type ORDER BY grid.hour_us
+                 ROWS UNBOUNDED PRECEDING) AS locf_value_cents
+        FROM grid LEFT JOIN hourly
+          ON grid.event_type = hourly.event_type
+         AND grid.hour_us = hourly.hour_us
+        ORDER BY grid.event_type, grid.hour_us
+        """,
+        tags=("extension", "timeseries", "window"),
+        description="Dense-grid hourly resample with zero-fill and LOCF.",
+    ),
+]

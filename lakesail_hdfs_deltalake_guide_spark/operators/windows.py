@@ -97,7 +97,41 @@ def window_moving_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist per market segment — the analytic
+    distribution family. percent_rank and cume_dist are exact rationals of
+    row counts ((rank-1)/(n-1), rank/n), so the doubles are bit-identical
+    across engines given the same deterministic ordering."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "window_distribution_ranks",
+        window_distribution_ranks,
+        """
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               CAST(NTILE(4) OVER w AS BIGINT) AS balance_quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+        """,
+        tags=("extension", "window"),
+        description="ntile/percent_rank/cume_dist distribution family.",
+    ),
     QueryDef(
         "window_topn_per_segment",
         window_topn_per_segment,

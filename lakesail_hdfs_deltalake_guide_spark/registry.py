@@ -31,6 +31,7 @@ def build_registry() -> QueryRegistry:
         "sessions",
         "chunking",
         "clustering",
+        "timeseries",
     ):
         try:
             import importlib

@@ -141,7 +141,63 @@ def io_range_roundtrip_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def io_csv_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write→read roundtrip with explicit schema on read (schema-on-read
+    for text formats is a silent-corruption trap at scale — a misinferred
+    column type on one executor's sample poisons the whole scan)."""
+    n = load_table(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="ls_io_csv_")
+    n.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema(n.schema).option("header", "true").csv(out)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("n_regionkey")
+    )
+
+
+def io_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write→read roundtrip; doubles survive via shortest-
+    roundtrip formatting, aggregated as exact cents after re-parse."""
+    s = load_table(spark, sf_dir, "supplier")
+    out = tempfile.mkdtemp(prefix="ls_io_json_")
+    s.write.mode("overwrite").json(out)
+    back = spark.read.schema(s.schema).json(out)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.round(F.col("s_acctbal") * 100, 0).cast("long")).alias(
+                "sum_acctbal_cents"
+            ),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "io_csv_roundtrip_agg",
+        io_csv_roundtrip_agg,
+        """
+        SELECT n_regionkey, COUNT(*) AS n_nations
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+        tags=("parity", "io"),
+        description="CSV roundtrip with pinned read schema.",
+    ),
+    QueryDef(
+        "io_json_roundtrip_agg",
+        io_json_roundtrip_agg,
+        """
+        SELECT s_nationkey, COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_acctbal_cents
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        tags=("parity", "io"),
+        description="JSON-lines roundtrip, exact-cents aggregate.",
+    ),
     QueryDef(
         "io_parquet_roundtrip_agg",
         io_parquet_roundtrip_agg,
