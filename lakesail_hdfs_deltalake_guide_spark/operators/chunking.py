@@ -89,7 +89,7 @@ QUERIES: list[QueryDef] = [
         "chunk_sliding_windows",
         chunk_sliding_windows,
         f"{_CHUNKS} ORDER BY doc_id, chunk_idx",
-        tags=("extension", "text", "chunking", "pipeline"),
+        tags=("extension", "text", "chunking", "pipeline", "bench"),
         description="Sliding 32-token/stride-16 chunk explosion (map-only).",
     ),
     QueryDef(

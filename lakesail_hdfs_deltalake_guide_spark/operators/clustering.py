@@ -98,7 +98,7 @@ QUERIES: list[QueryDef] = [
         FROM best WHERE rn = 1
         GROUP BY label, assigned_label ORDER BY label, assigned_label
         """,
-        tags=("extension", "similarity", "clustering"),
+        tags=("extension", "similarity", "clustering", "bench"),
         description="K-means/IVF assignment step: broadcast centroids, "
         "cosine argmax, confusion rollup.",
     ),

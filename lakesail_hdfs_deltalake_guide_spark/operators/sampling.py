@@ -120,7 +120,7 @@ QUERIES: list[QueryDef] = [
                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
         FROM documents GROUP BY split ORDER BY split
         """,
-        tags=("extension", "sampling", "pipeline"),
+        tags=("extension", "sampling", "pipeline", "bench"),
         description="Deterministic 80/10/10 train/val/test split stats.",
     ),
     QueryDef(

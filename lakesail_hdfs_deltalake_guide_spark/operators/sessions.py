@@ -106,7 +106,7 @@ QUERIES: list[QueryDef] = [
         FROM sess GROUP BY user_id, session_idx
         ORDER BY user_id, session_idx
         """,
-        tags=("extension", "window", "sessionization"),
+        tags=("extension", "window", "sessionization", "bench"),
         description="Gap-based batch sessionization (lag + prefix-sum).",
     ),
     QueryDef(

@@ -119,7 +119,7 @@ QUERIES: list[QueryDef] = [
          AND grid.hour_us = hourly.hour_us
         ORDER BY grid.event_type, grid.hour_us
         """,
-        tags=("extension", "timeseries", "window"),
+        tags=("extension", "timeseries", "window", "bench"),
         description="Dense-grid hourly resample with zero-fill and LOCF.",
     ),
 ]

@@ -445,7 +445,7 @@ QUERIES: list[QueryDef] = [
         JOIN customer ON o_custkey = c_custkey
         ORDER BY total_qty DESC, o_orderkey
         """,
-        tags=("parity", "join", "agg", "having"),
+        tags=("parity", "join", "agg", "having", "bench"),
         description="Q18 shape: large-volume orders joined back to customers.",
     ),
     QueryDef(
