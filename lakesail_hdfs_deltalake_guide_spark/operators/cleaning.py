@@ -1,0 +1,211 @@
+"""Data-cleaning tier: null handling, imputation, winsorize clipping.
+
+The reference's fixtures (like most raw corpora) arrive dirty; training
+pipelines sanitize before anything else. The fixtures themselves are
+null-free, so the sentinel convention — readings above 9.9 are sensor
+errors — manufactures the nulls via ``nullif``-style CASE, then the
+operators are the standard cleaning toolkit:
+
+- **drop** rows with invalid values and report the loss;
+- **impute** invalid values with the per-group exact mean (integer-cents
+  arithmetic, so Spark's and the oracle's means agree bit-for-bit);
+- **clip/winsorize** to fixed bounds (at scale, fixed bounds beat
+  quantile bounds: no extra pass, no sort — quantile clipping would use
+  ``approx_percentile`` and accept its error band).
+
+All three are map-side except the imputation mean (one partial+final agg
+broadcast back into the projection).
+
+Also here: FULL OUTER join (the one join type the rest of the suite
+doesn't exercise) — hourly click-vs-error alignment where either side may
+be absent; absent sides surface as zero counts via ``coalesce``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+BAD_ABOVE = 9.9  # values above this are sentinel "sensor errors"
+HOUR_US = 3_600_000_000
+
+
+def _valid_cents() -> F.Column:
+    """value → integer cents, nulled where the reading is invalid."""
+    return F.when(
+        F.col("value") <= BAD_ABOVE, F.round(F.col("value") * 100, 0).cast("long")
+    )
+
+
+def clean_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-impute invalid readings per event_type; report per-type stats
+    on the cleaned column. The imputation mean is exact integer division
+    (cents div count) so both engines impute the identical value."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select("event_type", _valid_cents().alias("vc"))
+    means = base.groupBy("event_type").agg(
+        F.expr("sum(vc) div count(vc)").alias("mean_cents")
+    )
+    imputed = base.join(F.broadcast(means), "event_type").select(
+        "event_type", F.coalesce(F.col("vc"), F.col("mean_cents")).alias("cents")
+    )
+    return (
+        imputed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def clean_drop_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop invalid readings; report retention per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", _valid_cents().alias("vc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("vc").alias("n_kept"),
+            (F.count(F.lit(1)) - F.count("vc")).alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def clean_clip_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize values into [100, 900] cents; distribution after clip."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    clipped = F.greatest(F.least(cents, F.lit(900)), F.lit(100))
+    return (
+        ev.select("event_type", clipped.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("sum_clipped_cents"),
+            F.sum(F.when(F.col("c") == 100, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_floor"),
+            F.sum(F.when(F.col("c") == 900, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ceil"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def join_full_outer_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: hourly click counts vs hourly error counts —
+    either side may be absent for an hour; absent sides become zeros."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = (
+        (F.col("ts_ns") / 1000).cast("bigint")
+        - (F.col("ts_ns") / 1000).cast("bigint") % HOUR_US
+    ).alias("hour_us")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(hour)
+        .groupBy("hour_us")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .select(hour)
+        .groupBy("hour_us")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return (
+        clicks.join(errors, "hour_us", "full_outer")
+        .select(
+            "hour_us",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+            F.coalesce(F.col("n_errors"), F.lit(0)).alias("n_errors"),
+        )
+        .orderBy("hour_us")
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "clean_impute_group_mean",
+        clean_impute_group_mean,
+        f"""
+        WITH base AS (
+          SELECT event_type,
+                 CASE WHEN value <= {BAD_ABOVE}
+                      THEN CAST(round(value * 100) AS BIGINT) END AS vc
+          FROM events),
+        means AS (
+          SELECT event_type, SUM(vc) // COUNT(vc) AS mean_cents
+          FROM base GROUP BY event_type)
+        SELECT base.event_type, COUNT(*) AS n_rows,
+               CAST(SUM(COALESCE(vc, mean_cents)) AS BIGINT) AS sum_cents,
+               CAST(MIN(COALESCE(vc, mean_cents)) AS BIGINT) AS min_cents,
+               CAST(MAX(COALESCE(vc, mean_cents)) AS BIGINT) AS max_cents
+        FROM base JOIN means ON base.event_type = means.event_type
+        GROUP BY base.event_type ORDER BY base.event_type
+        """,
+        tags=("extension", "cleaning", "pipeline"),
+        description="Per-group exact-mean imputation of invalid readings.",
+    ),
+    QueryDef(
+        "clean_drop_invalid",
+        clean_drop_invalid,
+        f"""
+        SELECT event_type, COUNT(*) AS n_total,
+               COUNT(CASE WHEN value <= {BAD_ABOVE} THEN 1 END) AS n_kept,
+               COUNT(*) - COUNT(CASE WHEN value <= {BAD_ABOVE} THEN 1 END)
+                 AS n_dropped
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        tags=("extension", "cleaning", "pipeline"),
+        description="Invalid-row drop with retention accounting.",
+    ),
+    QueryDef(
+        "clean_clip_bounds",
+        clean_clip_bounds,
+        """
+        WITH c AS (
+          SELECT event_type,
+                 GREATEST(LEAST(CAST(round(value * 100) AS BIGINT), 900), 100)
+                   AS c
+          FROM events)
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS sum_clipped_cents,
+               CAST(SUM(CASE WHEN c = 100 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_floor,
+               CAST(SUM(CASE WHEN c = 900 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_ceil
+        FROM c GROUP BY event_type ORDER BY event_type
+        """,
+        tags=("extension", "cleaning", "pipeline"),
+        description="Winsorize clip to fixed bounds.",
+    ),
+    QueryDef(
+        "join_full_outer_hourly",
+        join_full_outer_hourly,
+        f"""
+        WITH clicks AS (
+          SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+                 COUNT(*) AS n_clicks
+          FROM events WHERE event_type = 'click' GROUP BY 1),
+        errors AS (
+          SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+                 COUNT(*) AS n_errors
+          FROM events WHERE event_type = 'error' GROUP BY 1)
+        SELECT COALESCE(clicks.hour_us, errors.hour_us) AS hour_us,
+               COALESCE(n_clicks, 0) AS n_clicks,
+               COALESCE(n_errors, 0) AS n_errors
+        FROM clicks FULL OUTER JOIN errors ON clicks.hour_us = errors.hour_us
+        ORDER BY hour_us
+        """,
+        tags=("extension", "join", "cleaning"),
+        description="FULL OUTER hourly alignment with zero-fill.",
+    ),
+]

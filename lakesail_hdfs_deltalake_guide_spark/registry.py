@@ -32,6 +32,7 @@ def build_registry() -> QueryRegistry:
         "chunking",
         "clustering",
         "timeseries",
+        "cleaning",
     ):
         try:
             import importlib

@@ -1,0 +1,90 @@
+"""Property-based checks (hypothesis) of the arithmetic identities the
+engine's cross-engine determinism rests on. Pure Python replicas of the
+column expressions — no SparkSession, so these run in milliseconds and
+explore far more of the input space than the fixture tables do."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, strategies as st
+
+_M = 2147483647
+_A = 48271
+_C = 11
+
+
+def _lehmer(i: int) -> int:
+    return (i * _A + _C) % _M
+
+
+def _split(i: int) -> str:
+    b = _lehmer(i) % 100
+    return "train" if b < 80 else ("val" if b < 90 else "test")
+
+
+@given(st.integers(min_value=0, max_value=10**12))
+def test_split_is_total_and_deterministic(i):
+    # Every id gets exactly one label, and the mapping is pure.
+    assert _split(i) == _split(i)
+    assert _split(i) in ("train", "val", "test")
+
+
+@given(st.integers(min_value=0, max_value=10**12))
+def test_lehmer_no_int64_overflow(i):
+    # The Spark/DuckDB BIGINT expression must never exceed int64.
+    assert i * _A + _C < 2**63
+
+
+@given(
+    st.integers(min_value=1, max_value=50),  # l_quantity (whole numbers)
+    st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=40),
+)
+def test_q17_integer_predicate_equals_exact_rational(lq, qtys):
+    # 5 * lq_cents * cnt < sum_cents  ⇔  lq < 0.2 * mean(qtys), exactly.
+    cnt = len(qtys)
+    sum_cents = sum(q * 100 for q in qtys)
+    lhs = (lq * 100) * cnt * 5 < sum_cents
+    # exact rational comparison (no floats): lq < sum/(5*cnt)
+    rhs = lq * 5 * cnt * 100 < sum_cents
+    assert lhs == rhs
+    # and it matches the float formulation except exactly at the boundary,
+    # where the integer form is the defined semantics on both engines.
+    mean = sum_cents / cnt / 100
+    if not math.isclose(lq, 0.2 * mean, rel_tol=0, abs_tol=1e-9):
+        assert lhs == (lq < 0.2 * mean)
+
+
+def _chunk_starts(n_tokens: int, stride: int = 16) -> list[int]:
+    # sequence(1, greatest(n,1), stride) — Spark's inclusive sequence.
+    top = max(n_tokens, 1)
+    return list(range(1, top + 1, stride))
+
+
+@given(st.integers(min_value=1, max_value=5000))
+def test_chunk_windows_cover_every_token(n):
+    starts = _chunk_starts(n)
+    window = 32
+    covered: set[int] = set()
+    for s in starts:
+        covered.update(range(s, min(s + window, n + 1)))
+    assert covered == set(range(1, n + 1))
+    # chunk count is exactly ceil(n / stride)
+    assert len(starts) == math.ceil(n / 16)
+
+
+@given(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False))
+def test_qround_is_half_up_within_double_precision(x):
+    # floor(x*100 + 0.5)/100 implements deterministic half-up quantization
+    # using only IEEE ops — the same bits on any engine evaluating the
+    # same expression tree.
+    q = math.floor(x * 100 + 0.5) / 100
+    assert abs(q - x) <= 0.005 + abs(x) * 1e-12
+
+
+@given(st.lists(st.floats(min_value=0, max_value=10**4, allow_nan=False), min_size=1))
+def test_cents_sum_is_order_independent(xs):
+    # The reason money aggregates run in integer cents: any permutation
+    # sums to the same integer, while float sums need not.
+    cents = [math.floor(x * 100 + 0.5) for x in xs]
+    assert sum(cents) == sum(reversed(cents)) == sum(sorted(cents))
