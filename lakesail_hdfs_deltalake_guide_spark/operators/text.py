@@ -12,7 +12,7 @@ evaluated in the same IEEE op order as the DuckDB oracles → bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..querydef import QueryDef
@@ -169,6 +169,43 @@ _SQL_NTOK = f"len({_SQL_TOKS})"
 
 BPE_PATTERN_SQL = BPE_PATTERN
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (linear-idf
+    variant): ``score = tf/doc_len * n_docs/df`` in EXACT integer
+    arithmetic (``tf * n_docs * 1e6 div (df * doc_len)``).
+
+    Linear idf instead of log-idf is a deliberate determinism choice: the
+    ranking stays rational (bit-exact on both engines), whereas ``ln``
+    differs by ulps across libms and can flip a quantized rank at a
+    boundary. Plan shape: one explode (map-only), tf/df/doc_len as three
+    hash aggs off the same exploded frame, n_docs broadcast, top-k via
+    per-doc window."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = pairs.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    doc_len = pairs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.expr("tf * n_docs * 1000000 div (df * doc_len)").alias("score_e6"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_e6"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "text_bpe_token_count",
@@ -271,5 +308,32 @@ QUERIES: list[QueryDef] = [
         FROM documents GROUP BY fingerprint ORDER BY fingerprint
         """,
         tags=("extension", "text", "dedup"),
+    ),
+    QueryDef(
+        "text_tfidf_top_terms",
+        text_tfidf_top_terms,
+        f"""
+        WITH pairs AS (
+          SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+        tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf
+          FROM pairs GROUP BY doc_id, token),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM pairs GROUP BY doc_id),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                 tf.tf * nd.n_docs * 1000000 // (df.df * dl.doc_len)
+                   AS score_e6
+          FROM tf JOIN df USING (token) JOIN dl USING (doc_id), nd)
+        SELECT doc_id, token, tf, df, CAST(score_e6 AS BIGINT) AS score_e6,
+               rank
+        FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score_e6 DESC, token) AS BIGINT) AS rank
+              FROM scored)
+        WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        tags=("extension", "text", "pipeline"),
+        description="TF-IDF (exact linear-idf) top-3 terms per document.",
     ),
 ]
