@@ -77,6 +77,13 @@ def build_registry() -> QueryRegistry:
         reg.extend(sources_bucketed.QUERIES)
     except ImportError:
         pass
+
+    try:
+        from .sources import versioned as sources_versioned
+
+        reg.extend(sources_versioned.QUERIES)
+    except ImportError:
+        pass
     return reg
 
 

@@ -26,9 +26,11 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 LOG_DIR = "_log"
 
@@ -109,6 +111,33 @@ def read_version(
     return reader.parquet(*entry["data_dirs"])
 
 
+def merge_upsert(
+    spark: SparkSession, table_path: str, source: DataFrame, key_cols: list[str]
+) -> int:
+    """MERGE INTO semantics (matched → update, unmatched → insert) as a
+    new snapshot: target rows whose key appears in the source are replaced
+    by the source row; source rows with new keys are inserted.
+
+    Copy-on-write, like Delta's MERGE without deletion vectors: one
+    anti-join (shuffle on the merge key — at scale Delta prunes the
+    rewrite to touched files via log stats; the log here lists whole
+    directories, so the rewrite unit is the snapshot) plus a unionByName,
+    committed atomically. Readers of the old version are unaffected."""
+    target = read_version(spark, table_path)
+    keys = source.select(*key_cols).distinct()
+    untouched = target.join(keys, key_cols, "left_anti")
+    merged = untouched.unionByName(source)
+    return commit(merged, table_path, mode="overwrite")
+
+
+def delete_where(spark: SparkSession, table_path: str, condition: Column) -> int:
+    """DELETE WHERE as a new snapshot (rows where the predicate is TRUE
+    are removed; NULL predicate keeps the row, matching SQL DELETE)."""
+    target = read_version(spark, table_path)
+    kept = target.where(~F.coalesce(condition, F.lit(False)))
+    return commit(kept, table_path, mode="overwrite")
+
+
 def history(table_path: str) -> list[dict]:
     """Commit history, newest first (Delta's ``DESCRIBE HISTORY`` shape)."""
     return [
@@ -119,3 +148,111 @@ def history(table_path: str) -> list[dict]:
         }
         for v in reversed(list_versions(table_path))
     ]
+
+
+# --- oracle-checked driver queries ------------------------------------------
+def versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DML lifecycle on a versioned table: seed with customer,
+    MERGE (update BUILDING balances +1000, insert 5 synthetic rows),
+    DELETE the MACHINERY segment, then report per-segment stats from the
+    final snapshot. The oracle replays the same algebra over the source
+    table directly — proving merge/delete semantics, not just plumbing."""
+    from ..tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="ls_versioned_merge_")
+    commit(cust, path, mode="overwrite")
+
+    updated = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+    )
+    inserted = cust.where(F.col("c_custkey") < 5).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    merge_upsert(spark, path, updated.unionByName(inserted), ["c_custkey"])
+    delete_where(spark, path, F.col("c_mktsegment") == "MACHINERY")
+
+    final = read_version(spark, path)
+    return (
+        final.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias(
+                "sum_acctbal_cents"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def versioned_snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: overwrite then append, then read BOTH snapshots by
+    version — append isolation means v0's count is unchanged."""
+    from ..tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    path = tempfile.mkdtemp(prefix="ls_versioned_tt_")
+    commit(cust, path, mode="overwrite")
+    commit(cust.where(F.col("c_mktsegment") == "BUILDING"), path, mode="append")
+
+    v0 = read_version(spark, path, version_as_of=0).agg(
+        F.lit(0).cast("bigint").alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    v1 = read_version(spark, path, version_as_of=1).agg(
+        F.lit(1).cast("bigint").alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return v0.unionByName(v1).orderBy("version")
+
+
+from ..querydef import QueryDef  # noqa: E402
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "versioned_merge_upsert",
+        versioned_merge_upsert,
+        """
+        WITH src AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal + 1000 AS c_acctbal
+          FROM customer WHERE c_mktsegment = 'BUILDING'
+          UNION ALL
+          SELECT c_custkey + 1000000, 'NEWSEG', 0.0
+          FROM customer WHERE c_custkey < 5),
+        merged AS (
+          SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+          FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.c_custkey = c.c_custkey)
+          UNION ALL
+          SELECT * FROM src),
+        final AS (SELECT * FROM merged WHERE c_mktsegment <> 'MACHINERY')
+        SELECT c_mktsegment, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_acctbal_cents
+        FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        tags=("extension", "io", "delta", "dml"),
+        description="MERGE upsert + DELETE on the versioned-parquet table.",
+    ),
+    QueryDef(
+        "versioned_snapshot_counts",
+        versioned_snapshot_counts,
+        """
+        SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows FROM customer
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+               COUNT(*) + (SELECT COUNT(*) FROM customer
+                           WHERE c_mktsegment = 'BUILDING')
+        FROM customer
+        ORDER BY version
+        """,
+        tags=("extension", "io", "delta", "timetravel"),
+        description="Snapshot isolation: per-version counts via time travel.",
+    ),
+]

@@ -78,3 +78,43 @@ def test_history_and_invalid_version(spark, sf_smoke, tmp_path):
     assert list_versions(path) == [0, 1]
     with pytest.raises(ValueError):
         read_version(spark, path, version_as_of=99)
+
+
+def test_merge_upsert_updates_and_inserts(spark, sf_smoke, tmp_path):
+    from lakesail_hdfs_deltalake_guide_spark.sources.versioned import merge_upsert
+
+    cust = load_table(spark, sf_smoke, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = str(tmp_path / "t")
+    commit(cust, path)
+    n0 = cust.count()
+    src = cust.limit(3).select(
+        "c_custkey", "c_mktsegment", (F.col("c_acctbal") + 7).alias("c_acctbal")
+    ).unionByName(
+        spark.createDataFrame(
+            [(10**7, "X", 1.0)], "c_custkey long, c_mktsegment string, c_acctbal double"
+        )
+    )
+    merge_upsert(spark, path, src, ["c_custkey"])
+    final = read_version(spark, path)
+    assert final.count() == n0 + 1  # 3 updated in place, 1 inserted
+    # updated keys carry the source values, exactly once each
+    updated_keys = [r["c_custkey"] for r in src.limit(3).collect()]
+    rows = final.where(F.col("c_custkey").isin(updated_keys)).collect()
+    assert len(rows) == len(set(updated_keys))
+
+
+def test_delete_where_removes_only_matches(spark, sf_smoke, tmp_path):
+    from lakesail_hdfs_deltalake_guide_spark.sources.versioned import delete_where
+
+    cust = load_table(spark, sf_smoke, "customer")
+    path = str(tmp_path / "t")
+    commit(cust, path)
+    n_building = cust.where(F.col("c_mktsegment") == "BUILDING").count()
+    delete_where(spark, path, F.col("c_mktsegment") == "BUILDING")
+    final = read_version(spark, path)
+    assert final.where(F.col("c_mktsegment") == "BUILDING").count() == 0
+    assert final.count() == cust.count() - n_building
+    # old snapshot untouched
+    assert read_version(spark, path, version_as_of=0).count() == cust.count()
