@@ -1,0 +1,98 @@
+"""Table profiling: the per-column data-quality report.
+
+Every ingestion pipeline starts by profiling what landed: null rates,
+distinct cardinalities, ranges. One pass over the table computes every
+column's stats simultaneously (a single global aggregate — Spark fuses
+all the aggregates into one partial+final pair, so the 100 TB table is
+scanned ONCE, not once per column); the wide 1-row result is then
+unpivoted to the long (column, metric) report shape.
+
+Distinct counts use exact ``count_distinct`` here because the oracle
+demands exactness; the scale path swaps in ``approx_count_distinct``
+(HLL++, mergeable sketches) — same query shape, bounded error, noted in
+operators/olap.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # per-column: nulls, distincts, min/max (as strings for uniformity)
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.min("o_custkey").cast("string").alias("custkey_min"),
+        F.max("o_custkey").cast("string").alias("custkey_max"),
+        F.count("o_orderstatus").alias("status_nonnull"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.min("o_orderstatus").alias("status_min"),
+        F.max("o_orderstatus").alias("status_max"),
+        F.count("o_orderpriority").alias("priority_nonnull"),
+        F.countDistinct("o_orderpriority").alias("priority_distinct"),
+        F.min("o_orderpriority").alias("priority_min"),
+        F.max("o_orderpriority").alias("priority_max"),
+    )
+    cols = [
+        ("o_custkey", "custkey"),
+        ("o_orderstatus", "status"),
+        ("o_orderpriority", "priority"),
+    ]
+    long = None
+    for name, pfx in cols:
+        row = wide.select(
+            F.lit(name).alias("column_name"),
+            F.col("n_rows"),
+            (F.col("n_rows") - F.col(f"{pfx}_nonnull")).alias("n_nulls"),
+            F.col(f"{pfx}_distinct").alias("n_distinct"),
+            F.col(f"{pfx}_min").alias("min_value"),
+            F.col(f"{pfx}_max").alias("max_value"),
+        )
+        long = row if long is None else long.unionByName(row)
+    return long.orderBy("column_name")
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "profile_orders_columns",
+        profile_orders_columns,
+        """
+        WITH w AS (
+          SELECT COUNT(*) AS n_rows,
+                 COUNT(o_custkey) AS custkey_nonnull,
+                 COUNT(DISTINCT o_custkey) AS custkey_distinct,
+                 CAST(MIN(o_custkey) AS VARCHAR) AS custkey_min,
+                 CAST(MAX(o_custkey) AS VARCHAR) AS custkey_max,
+                 COUNT(o_orderstatus) AS status_nonnull,
+                 COUNT(DISTINCT o_orderstatus) AS status_distinct,
+                 MIN(o_orderstatus) AS status_min,
+                 MAX(o_orderstatus) AS status_max,
+                 COUNT(o_orderpriority) AS priority_nonnull,
+                 COUNT(DISTINCT o_orderpriority) AS priority_distinct,
+                 MIN(o_orderpriority) AS priority_min,
+                 MAX(o_orderpriority) AS priority_max
+          FROM orders)
+        SELECT 'o_custkey' AS column_name, n_rows,
+               n_rows - custkey_nonnull AS n_nulls,
+               CAST(custkey_distinct AS BIGINT) AS n_distinct,
+               custkey_min AS min_value, custkey_max AS max_value FROM w
+        UNION ALL
+        SELECT 'o_orderstatus', n_rows, n_rows - status_nonnull,
+               CAST(status_distinct AS BIGINT), status_min, status_max FROM w
+        UNION ALL
+        SELECT 'o_orderpriority', n_rows, n_rows - priority_nonnull,
+               CAST(priority_distinct AS BIGINT), priority_min, priority_max
+        FROM w
+        ORDER BY column_name
+        """,
+        tags=("extension", "profiling", "pipeline"),
+        description="Single-scan per-column profile (nulls/distinct/range).",
+    ),
+]

@@ -33,6 +33,7 @@ def build_registry() -> QueryRegistry:
         "clustering",
         "timeseries",
         "cleaning",
+        "profiling",
     ):
         try:
             import importlib

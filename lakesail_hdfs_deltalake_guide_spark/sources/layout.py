@@ -1,0 +1,60 @@
+"""Physical layout optimization: Z-order (Morton) clustering for
+multi-dimensional data skipping.
+
+Parquet data skipping works off per-file (and per-row-group) min/max
+stats. A table sorted on ONE key skips well on that key and not at all on
+others; interleaving the bits of two keys (the Morton / Z-order curve)
+gives files that are rectangles in (a, b) space — BOTH dimensions get
+narrow per-file ranges, so predicates on either key prune files. This is
+exactly what Delta's ``OPTIMIZE ZORDER BY`` does; here it is expressed
+with stock Spark: compute the z-key (pure bit arithmetic, codegen'd),
+``repartitionByRange`` on it (range partitioner ⇒ files are contiguous
+z-ranges), sort within partitions, write.
+
+The locality win is ASSERTED in tests/test_layout.py by reading back the
+files and measuring per-file key spans on both dimensions against the
+global span — a real measurement, not a claim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZBITS = 10  # keys are bucketed into [0, 2^ZBITS)
+
+
+def zorder_key(a: Column, b: Column, bits: int = ZBITS) -> Column:
+    """Interleave the low ``bits`` of two non-negative ints (Morton code).
+
+    Pure column bit arithmetic — whole-stage codegen, no UDF. 2*bits ≤ 62
+    keeps everything in a signed 64-bit lane."""
+    a = a.cast("long")
+    b = b.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 8,
+    bits: int = ZBITS,
+) -> None:
+    """Write ``df`` clustered on the Z-curve of (col_a, col_b)."""
+    z = zorder_key(F.col(col_a) % (1 << bits), F.col(col_b) % (1 << bits), bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

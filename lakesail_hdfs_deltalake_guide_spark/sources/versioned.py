@@ -138,6 +138,15 @@ def delete_where(spark: SparkSession, table_path: str, condition: Column) -> int
     return commit(kept, table_path, mode="overwrite")
 
 
+def compact(spark: SparkSession, table_path: str, num_files: int = 1) -> int:
+    """OPTIMIZE-style compaction: rewrite the current snapshot into
+    ``num_files`` files and commit it as a new version. Old versions keep
+    referencing the original small files (time travel intact); at scale
+    this is the small-file remedy after many streaming appends."""
+    cur = read_version(spark, table_path)
+    return commit(cur.repartition(num_files), table_path, mode="overwrite")
+
+
 def history(table_path: str) -> list[dict]:
     """Commit history, newest first (Delta's ``DESCRIBE HISTORY`` shape)."""
     return [
