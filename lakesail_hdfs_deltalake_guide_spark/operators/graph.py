@@ -1,0 +1,157 @@
+"""Connected components: dedup-cluster formation over a similarity graph.
+
+Pair-level dedup (dedup.py) finds *edges*; a real pipeline needs the
+*clusters* — the transitive closure picks one canonical document per
+duplicate group. This is the canonical iterative-algorithm case Spark
+handles with a driver-side convergence loop over pure DataFrame steps
+(the same structure GraphX/GraphFrames use internally):
+
+- similarity graph: documents are linked when they share ≥2 rare
+  (df = 2) trigram shingles — cheap, deterministic, and bounded (a df-2
+  shingle contributes exactly one pair, so edge generation is linear in
+  shingle count, never quadratic in corpus size);
+- min-label propagation: every node starts labeled with its own id; each
+  round takes the min of its label and its neighbors' labels; at the
+  fixpoint every node carries the min doc_id of its component.
+
+Scale posture: each round is one shuffle join on the node key, and
+``localCheckpoint`` truncates the lineage each round — without it the
+plan doubles per iteration and planning time explodes (the classic
+iterative-Spark trap). Rounds needed = graph diameter (≤ log n with
+large-star/small-star; plain propagation suffices at the fixture scale
+and converges in <10 rounds). The convergence check is a count per round
+— O(rounds) tiny actions, not per-row driver work.
+
+The DuckDB oracle computes the same fixpoint with a recursive CTE, so
+the iterative Spark result is pinned to a declarative ground truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+MIN_SHARED = 2  # edge requires this many shared rare shingles
+MAX_ROUNDS = 30
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, trigram-shingle) pairs, all JVM built-ins."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("t") - 2, F.lit(1)))
+    return (
+        toks.select("doc_id", "t", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.array_join(F.slice("t", F.col("i"), F.lit(3)), " ").alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def rare_shingle_edges(docs: DataFrame) -> DataFrame:
+    """Doc pairs sharing ≥ MIN_SHARED shingles of document-frequency 2."""
+    tf = _doc_shingles(docs)
+    df_ = tf.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = df_.where(F.col("df") == 2).select("shingle")
+    a = tf.alias("a")
+    b = tf.alias("b")
+    return (
+        a.join(rare, "shingle")
+        .join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= MIN_SHARED)
+        .select("src", "dst")
+    )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint; returns (node, component)."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = nodes.select(F.col("node"), F.col("node").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(MAX_ROUNDS):
+        msgs = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-document duplicate clusters: (component, n_docs), n ≥ 2."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = rare_shingle_edges(docs)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, edges)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy("component")
+    )
+
+
+_GRAPH_CTE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+tf AS (SELECT DISTINCT doc_id, shingle FROM sh),
+dfreq AS (SELECT shingle, COUNT(*) AS df FROM tf GROUP BY shingle),
+rare AS (SELECT shingle FROM dfreq WHERE df = 2),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM tf a JOIN rare USING (shingle) JOIN tf b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SHARED}),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node),
+cc AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+"""
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "dedup_cluster_sizes",
+        dedup_cluster_sizes,
+        _GRAPH_CTE
+        + """
+        SELECT component, COUNT(*) AS n_docs
+        FROM cc GROUP BY component HAVING COUNT(*) >= 2
+        ORDER BY component
+        """,
+        tags=("extension", "dedup", "graph"),
+        description="Duplicate-cluster formation: iterative min-label "
+        "propagation pinned to a recursive-CTE oracle.",
+    ),
+]

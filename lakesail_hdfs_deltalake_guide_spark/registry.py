@@ -34,6 +34,7 @@ def build_registry() -> QueryRegistry:
         "timeseries",
         "cleaning",
         "profiling",
+        "graph",
     ):
         try:
             import importlib

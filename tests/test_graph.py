@@ -1,0 +1,40 @@
+"""Connected-components invariants (values pinned by the recursive oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+    connected_components,
+    rare_shingle_edges,
+)
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def test_components_are_consistent(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    edges = rare_shingle_edges(docs)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, edges)
+
+    # every node labeled exactly once
+    assert cc.count() == docs.count()
+    assert cc.select("node").distinct().count() == docs.count()
+
+    # component label IS the min node id of the component
+    bad_label = (
+        cc.groupBy("component")
+        .agg(F.min("node").alias("min_node"))
+        .where(F.col("component") != F.col("min_node"))
+    )
+    assert bad_label.count() == 0
+
+    # every edge's endpoints share a component (fixpoint reached)
+    e = edges.join(
+        cc.withColumnRenamed("node", "src").withColumnRenamed("component", "c_src"),
+        "src",
+    ).join(
+        cc.withColumnRenamed("node", "dst").withColumnRenamed("component", "c_dst"),
+        "dst",
+    )
+    assert e.where(F.col("c_src") != F.col("c_dst")).count() == 0
