@@ -175,7 +175,98 @@ def io_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_over_views_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's primary usage pattern verbatim: register temp views,
+    run a multi-table SQL string through ``spark.sql``
+    (``/root/reference/examples/read_deltalake_hdfs.py:95-121``) — proving
+    the SQL-text path (parser → analyzer over the session catalog) and the
+    DataFrame path produce the same engine semantics."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               COUNT(o.o_orderkey) AS order_count,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               CASE WHEN COUNT(o.o_orderkey) > 0
+                    THEN CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                              AS DOUBLE) / COUNT(o.o_orderkey)
+                    ELSE 0.0 END AS avg_order_cents
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY revenue_cents DESC, c.c_mktsegment
+        """
+    )
+
+
+def io_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog DDL surface: CREATE TABLE AS SELECT into a managed parquet
+    table, INSERT INTO on top, read back through the catalog — the
+    saveAsTable/insertInto lifecycle a warehouse user expects."""
+    import uuid as _uuid
+
+    from ..tables import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    tbl = f"ls_ctas_{_uuid.uuid4().hex[:8]}"
+    n.createOrReplaceTempView("ls_nation_src")
+    spark.sql(
+        f"CREATE TABLE {tbl} USING parquet AS "
+        "SELECT n_nationkey, n_name, n_regionkey FROM ls_nation_src"
+    )
+    spark.sql(
+        f"INSERT INTO {tbl} "
+        "SELECT n_nationkey + 100, concat('COPY_', n_name), n_regionkey "
+        "FROM ls_nation_src WHERE n_regionkey = 0"
+    )
+    out = (
+        spark.table(tbl)
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("n_regionkey")
+    )
+    result = out.collect()  # materialize before dropping the table
+    spark.sql(f"DROP TABLE {tbl}")
+    return spark.createDataFrame(result, out.schema)
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sql_over_views_flagship",
+        sql_over_views_flagship,
+        """
+        SELECT c.c_mktsegment,
+               COUNT(o.o_orderkey) AS order_count,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               CASE WHEN COUNT(o.o_orderkey) > 0
+                    THEN CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                              AS DOUBLE) / COUNT(o.o_orderkey)
+                    ELSE 0.0 END AS avg_order_cents
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY revenue_cents DESC, c.c_mktsegment
+        """,
+        tags=("parity", "sql", "views"),
+        description="spark.sql over temp views (reference's primary path).",
+    ),
+    QueryDef(
+        "io_ctas_insert",
+        io_ctas_insert,
+        """
+        WITH t AS (
+          SELECT n_nationkey, n_name, n_regionkey FROM nation
+          UNION ALL
+          SELECT n_nationkey + 100, concat('COPY_', n_name), n_regionkey
+          FROM nation WHERE n_regionkey = 0)
+        SELECT n_regionkey, COUNT(*) AS n_rows
+        FROM t GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+        tags=("parity", "io", "catalog"),
+        description="CTAS + INSERT INTO managed-table lifecycle.",
+    ),
     QueryDef(
         "io_csv_roundtrip_agg",
         io_csv_roundtrip_agg,
