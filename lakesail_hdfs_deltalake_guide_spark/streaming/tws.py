@@ -1,0 +1,105 @@
+"""Modern arbitrary-state API: ``transformWithStateInPandas`` (Spark 4).
+
+The successor to ``applyInPandasWithState`` (streaming/stateful.py):
+state is declared as named, typed variables on a handle (value/list/map
+state), enabling schema evolution and TTL per state variable, and the
+processor is a class — the same model as Flink's KeyedProcessFunction.
+Requires the RocksDB state-store provider plus the ``protobuf`` Python
+package (the state-server wire protocol); :func:`tws_available` gates on
+both, and this sandbox lacks ``protobuf``, so the registry keeps
+``applyInPandasWithState`` as the active stateful surface while this
+module documents (and, where the dependency exists, provides) the modern
+one. tests/test_streaming_stateful.py skips accordingly.
+
+Per event_type the processor keeps (n_events, sum_value_cents,
+max_event_id) in a ValueState; with an ``availableNow`` drain the final
+emission equals a plain GROUP BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value_cents", LongType()),
+        StructField("max_event_id", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", LongType()),
+        StructField("m", LongType()),
+    ]
+)
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually run here: the
+    state-server protocol needs google.protobuf at runtime."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class TypeProfileProcessor(StatefulProcessor):
+    """Running per-key profile in a single ValueState tuple."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._profile = handle.getValueState("profile", STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key: tuple[Any, ...], rows: Iterator[pd.DataFrame], timerValues: Any
+    ) -> Iterator[pd.DataFrame]:
+        existing = self._profile.get() if self._profile.exists() else None
+        n, s, m = existing if existing is not None else (0, 0, -1)
+        for pdf in rows:
+            n += len(pdf)
+            s += int((pdf["value"] * 100).round().astype("int64").sum())
+            m = max(m, int(pdf["event_id"].max()))
+        self._profile.update((n, s, m))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "sum_value_cents": [s],
+                "max_event_id": [m],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def type_profiles_stream(ev: DataFrame) -> DataFrame:
+    return (
+        ev.select("event_type", "event_id", "value")
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            statefulProcessor=TypeProfileProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -57,3 +57,37 @@ def test_state_carries_across_batches(spark, tmp_path):
     # User 2 only in batch 0; user 3 only in batch 1.
     assert emissions[2] == [(1, 500)]
     assert emissions[3] == [(1, 700)]
+
+
+def test_transform_with_state_modern_api(spark, sf_smoke):
+    """transformWithStateInPandas (Spark 4 API) — runs only where the
+    protobuf dependency exists; documents the gated modern surface."""
+    import tempfile
+
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.streaming.tws import (
+        ROCKSDB_PROVIDER,
+        type_profiles_stream,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed; applyInPandasWithState "
+                    "remains the active stateful surface")
+
+    from lakesail_hdfs_deltalake_guide_spark.streaming.events import events_stream
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    out = type_profiles_stream(events_stream(spark, sf_smoke))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ls_tws_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ls_ckpt_tws_"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("ls_tws_test").collect()
+    assert len(rows) > 0
