@@ -1,0 +1,133 @@
+"""Statistics tier: histograms and correlation from exact integer moments.
+
+- **Equi-width histogram**: fixed [lo, hi) bounds and bucket count are
+  compile-time constants, so bucketing is a map-only integer expression
+  and the histogram is one hash aggregate — the profile-dashboard shape.
+  (Equi-DEPTH would need quantiles — a sort or an approx sketch; fixed
+  bounds are the 100 TB-friendly default.)
+- **Correlation / covariance**: ``F.corr`` sums float products whose
+  addition order varies with partitioning — not oracle-exact. Instead the
+  five raw moments (Σx, Σy, Σxy, Σx², Σy², n) are accumulated as exact
+  integers in cents (order-independent, overflow-checked for the fixture
+  domain), and Pearson r / covariance derive from those integers with a
+  fixed expression tree — bit-identical on both engines, and numerically
+  *better* than streaming float sums at scale (no cancellation drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+N_BUCKETS = 10
+PRICE_LO = 0
+PRICE_HI = 600_000  # o_totalprice domain upper bound (constant, pinned)
+
+
+def stats_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    width = (PRICE_HI - PRICE_LO) / N_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - PRICE_LO) / F.lit(width)),
+        F.lit(N_BUCKETS - 1),
+    ).cast("bigint")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("bucket_lo", (F.col("bucket") * F.lit(width)).cast("bigint"))
+        .select("bucket", "bucket_lo", "n_orders")
+        .orderBy("bucket")
+    )
+
+
+def stats_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson r and sample covariance of (l_quantity, l_extendedprice)
+    per returnflag, derived from exact integer moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") * 100 + F.lit(0.5))  # cents, ≤ 5e3
+    y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))  # cents, ≤ 1e7
+    m = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),  # ≤ 5e10/row — no int64 overflow
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov = (n * sxy - sx * sy) / (n * (n - 1))
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        (F.floor(corr * 1_000_000 + F.lit(0.5)) / 1_000_000).alias("corr_qty_price"),
+        F.floor(cov / 10_000).cast("bigint").alias("cov_units"),
+    ).orderBy("l_returnflag")
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_price_histogram",
+        stats_price_histogram,
+        f"""
+        WITH b AS (
+          SELECT CAST(LEAST(FLOOR((o_totalprice - {PRICE_LO})
+                       / {(PRICE_HI - PRICE_LO) / N_BUCKETS}),
+                       {N_BUCKETS - 1}) AS BIGINT) AS bucket
+          FROM orders)
+        SELECT bucket,
+               CAST(bucket * {(PRICE_HI - PRICE_LO) / N_BUCKETS} AS BIGINT)
+                 AS bucket_lo,
+               COUNT(*) AS n_orders
+        FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        tags=("extension", "stats", "profiling"),
+        description="Equi-width histogram (map-only bucketing).",
+    ),
+    QueryDef(
+        "stats_qty_price_correlation",
+        stats_qty_price_correlation,
+        """
+        WITH m AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
+                 SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+                 SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                     * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy,
+                 SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+                     * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sxx,
+                 SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     * 1000000 + 0.5) / 1000000 AS corr_qty_price,
+               CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+                          / 10000) AS BIGINT) AS cov_units
+        FROM m ORDER BY l_returnflag
+        """,
+        tags=("extension", "stats"),
+        description="Pearson r / covariance from exact integer moments.",
+    ),
+]

@@ -35,6 +35,7 @@ def build_registry() -> QueryRegistry:
         "cleaning",
         "profiling",
         "graph",
+        "stats",
     ):
         try:
             import importlib

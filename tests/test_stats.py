@@ -1,0 +1,35 @@
+"""Stats-tier invariants: moments-derived corr ≈ builtin corr."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+    stats_price_histogram,
+    stats_qty_price_correlation,
+)
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def test_moment_corr_matches_builtin(spark, sf_smoke):
+    ours = {
+        r["l_returnflag"]: r["corr_qty_price"]
+        for r in stats_qty_price_correlation(spark, sf_smoke).collect()
+    }
+    li = load_table(spark, sf_smoke, "lineitem")
+    builtin = {
+        r["l_returnflag"]: r["c"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+        .collect()
+    }
+    for flag, c in builtin.items():
+        # cents quantization + fixed-point output vs float corr: near-equal
+        assert abs(ours[flag] - c) < 1e-3, (flag, ours[flag], c)
+
+
+def test_histogram_counts_total(spark, sf_smoke):
+    h = stats_price_histogram(spark, sf_smoke)
+    total = h.agg(F.sum("n_orders").alias("s")).collect()[0]["s"]
+    assert total == load_table(spark, sf_smoke, "orders").count()
+    assert all(0 <= r["bucket"] <= 9 for r in h.collect())
