@@ -81,6 +81,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     labels = nodes.select(F.col("node"), F.col("node").alias("label"))
     labels = labels.localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(MAX_ROUNDS):
         msgs = (
             sym.join(labels, sym.src == labels.node)
@@ -100,7 +101,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # A silent non-fixpoint would return WRONG components; fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_ROUNDS} rounds "
+            "(graph diameter exceeds the cap — raise MAX_ROUNDS or switch "
+            "to large-star/small-star doubling)"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
