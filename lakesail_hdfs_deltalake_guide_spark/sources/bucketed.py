@@ -17,6 +17,7 @@ dir is not).
 from __future__ import annotations
 
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,9 +30,10 @@ NUM_BUCKETS = 8
 
 
 def _ensure_db(spark: SparkSession) -> None:
-    if not spark.catalog.databaseExists(DB):
-        loc = tempfile.mkdtemp(prefix="ls_bucketed_wh_")
-        spark.sql(f"CREATE DATABASE {DB} LOCATION '{loc}'")
+    # IF NOT EXISTS: two concurrent callers may both pass a databaseExists
+    # pre-check (TOCTOU) — let the catalog arbitrate instead.
+    loc = tempfile.mkdtemp(prefix="ls_bucketed_wh_")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB} LOCATION '{loc}'")
 
 
 def write_bucketed(
@@ -54,17 +56,25 @@ def write_bucketed(
 def io_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer ⋈ orders with BOTH sides bucketed on the join key, then an
     aggregation on that same key — the whole query plans with zero
-    exchanges (bucket-pruned scans feed a sort-merge join directly; the
-    final aggregate reuses the join's partitioning)."""
+    exchanges (the bucketed scans feed the sort-merge join with no
+    exchange, and the final aggregate reuses the join's partitioning).
+
+    Table names are uuid-suffixed: the returned DataFrame reads the
+    catalog tables LAZILY, so a fixed name would let a later invocation
+    (another sf_dir, a concurrent driver) silently swap the data out from
+    under an un-collected result."""
+    run = uuid.uuid4().hex[:8]
     cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
+        "c_custkey", "c_mktsegment"
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
     )
-    c_name = write_bucketed(cust, "customer_by_key", "c_custkey")
+    c_name = write_bucketed(cust, f"customer_by_key_{run}", "c_custkey")
     o_name = write_bucketed(
-        orders.withColumnRenamed("o_custkey", "c_custkey"), "orders_by_key", "c_custkey"
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        f"orders_by_key_{run}",
+        "c_custkey",
     )
     c = spark.table(c_name)
     o = spark.table(o_name)
