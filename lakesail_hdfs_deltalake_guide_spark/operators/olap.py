@@ -54,16 +54,23 @@ def olap_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS ((segment), (nation), ()) over customer."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("ls_gs_customer")
+    """Explicit GROUPING SETS ((segment), (nation), ()) over customer.
+
+    The temp view is uuid-suffixed: SQL-text resolution of a fixed view
+    name is lazy, so a later invocation with another sf_dir could swap
+    the data under an un-collected result."""
+    import uuid
+
+    view = f"ls_gs_customer_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT c_mktsegment, c_nationkey,
                COUNT(*) AS n_customers,
                CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
                  AS sum_acctbal_cents,
                grouping_id() AS gid
-        FROM ls_gs_customer
+        FROM {view}
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         ORDER BY gid, c_mktsegment, c_nationkey
         """

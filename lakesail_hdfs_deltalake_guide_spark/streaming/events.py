@@ -61,19 +61,28 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _postprocess("events", stream)
 
 
-def _run_to_table(result: DataFrame, name: str) -> DataFrame:
-    """Drain an availableNow stream into an in-memory sink, return the table."""
+def _run_to_table(
+    result: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain an availableNow stream into an in-memory sink, return the table.
+
+    The sink name is uuid-suffixed: ``spark.table`` resolves lazily, so a
+    fixed name would let a later invocation (another sf_dir) replace the
+    memory table out from under an un-collected result."""
+    import uuid
+
     spark = result.sparkSession
+    unique = f"{name}_{uuid.uuid4().hex[:8]}"
     q = (
         result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
+        .queryName(unique)
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ls_ckpt_{name}_"))
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.table(unique)
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,17 +91,12 @@ def stateful_user_profiles_stream(ev: DataFrame) -> DataFrame:
 def streaming_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the fixture through the stateful operator (single batch →
     emissions equal the final per-user profile; see module docstring)."""
+    from .events import _run_to_table
+
     result = stateful_user_profiles_stream(events_stream(spark, sf_dir))
-    q = (
-        result.writeStream.format("memory")
-        .queryName("ls_stream_stateful")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ls_ckpt_stateful_"))
-        .start()
+    return _run_to_table(result, "ls_stream_stateful", output_mode="update").orderBy(
+        "user_id"
     )
-    q.awaitTermination()
-    return spark.table("ls_stream_stateful").orderBy("user_id")
 
 
 from ..querydef import QueryDef  # noqa: E402
