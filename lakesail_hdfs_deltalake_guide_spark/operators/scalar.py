@@ -106,7 +106,38 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def scalar_map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type surface: parse props JSON into ``map<string,bigint>``,
+    explode to (key, value) pairs, aggregate per key — schema-on-read for
+    semi-structured columns without a fixed struct."""
+    ev = load_table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "value")
+    )
+    return (
+        kv.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("key")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "scalar_map_explode_props",
+        scalar_map_explode_props,
+        """
+        SELECT k AS key, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props::JSON, '$.' || k)
+                             AS BIGINT)) AS BIGINT) AS sum_value
+        FROM (SELECT props, unnest(json_keys(props::JSON)) AS k FROM events)
+        GROUP BY k ORDER BY k
+        """,
+        tags=("extension", "scalar", "json", "map"),
+        description="JSON → map<string,bigint> → explode → per-key agg.",
+    ),
     QueryDef(
         "scalar_json_extract_stats",
         scalar_json_extract_stats,

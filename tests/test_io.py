@@ -84,3 +84,30 @@ def test_partitioned_layout_on_disk(spark, sf_smoke, tmp_path):
         for r in cust.select("c_mktsegment").distinct().collect()
     }
     assert seg_dirs == expected
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_smoke, tmp_path):
+    """DPP: joining a hive-partitioned fact against a filtered dim must
+    inject a runtime partition filter into the fact scan — at 100 TB this
+    is the difference between scanning one partition and all of them."""
+    import pyspark.sql.functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.plans.inspect import explain_str
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    orders = load_table(spark, sf_smoke, "orders")
+    out = str(tmp_path / "part_orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+
+    dim = spark.createDataFrame(
+        [("1-URGENT", "keep")], "o_orderpriority string, tag string"
+    )
+    joined = fact.join(dim, "o_orderpriority").groupBy("tag").count()
+    plan = explain_str(joined)
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull" in plan, (
+        "expected a dynamic partition pruning subquery in the fact scan"
+    )
+    assert joined.collect()[0]["count"] == orders.where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
