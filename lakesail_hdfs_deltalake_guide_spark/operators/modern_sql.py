@@ -1,0 +1,154 @@
+"""Modern SQL surface (Spark 4): WITH RECURSIVE, VARIANT, LATERAL.
+
+Three capabilities that arrived in Spark 4's SQL front end, each
+exercised on real fixture data with a DuckDB oracle:
+
+- **WITH RECURSIVE**: a recursively generated month spine left-joined to
+  monthly revenue with zero-fill — the canonical bounded recursion.
+  (Spark 4 recursive CTEs support UNION ALL only — no step dedup — so
+  cyclic fixpoints like transitive closure don't terminate; the
+  duplicate-cluster closure stays on the iterative driver loop in
+  operators/graph.py, which is also the right scale shape.)
+- **VARIANT**: open-schema semi-structured values (`parse_json` →
+  `variant_get`) — the scale-friendly alternative to re-inferring JSON
+  schemas per query: parse once, extract typed paths with pushdown-able
+  accessors.
+- **LATERAL**: correlated per-row subqueries — top-1-per-group without a
+  window function, the shape SQL users reach for first.
+
+Temp views are uuid-suffixed (see operators/olap.py rationale).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE month spine (1995-01 .. 2001-08) left-joined to
+    monthly order revenue; months with no orders appear with zeros."""
+    view = f"ls_orders_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE spine(month) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT add_months(month, 1) FROM spine
+          WHERE month < DATE '2001-08-01'
+        ),
+        monthly AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+          FROM {view} GROUP BY 1)
+        SELECT spine.month, COALESCE(monthly.n_orders, 0) AS n_orders,
+               COALESCE(monthly.revenue_cents, 0) AS revenue_cents
+        FROM spine LEFT JOIN monthly ON spine.month = monthly.month
+        ORDER BY spine.month
+        """
+    )
+
+
+def sql_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT parse + typed path extraction + aggregation."""
+    view = f"ls_events_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(variant_get(parse_json(props), '$.k', 'bigint'))
+                    AS BIGINT) AS sum_k,
+               MAX(variant_get(parse_json(props), '$.k', 'bigint')) AS max_k
+        FROM {view}
+        GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+
+def sql_lateral_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: per nation, the single top customer
+    by balance (deterministic tie-break on custkey)."""
+    nview = f"ls_nation_{uuid.uuid4().hex[:8]}"
+    cview = f"ls_cust_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(nview)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(cview)
+    return spark.sql(
+        f"""
+        SELECT n.n_name, top.c_custkey AS top_custkey,
+               FLOOR(top.c_acctbal * 100 + 0.5) / 100 AS top_acctbal
+        FROM {nview} n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM {cview} c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 1
+        ) AS top
+        ORDER BY n.n_name
+        """
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sql_recursive_month_spine",
+        sql_recursive_month_spine,
+        """
+        WITH RECURSIVE spine(month) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT month + INTERVAL 1 MONTH FROM spine
+          WHERE month < DATE '2001-08-01'
+        ),
+        monthly AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+          FROM orders GROUP BY 1)
+        SELECT CAST(spine.month AS DATE) AS month,
+               COALESCE(monthly.n_orders, 0) AS n_orders,
+               COALESCE(monthly.revenue_cents, 0) AS revenue_cents
+        FROM spine LEFT JOIN monthly ON CAST(spine.month AS DATE) = monthly.month
+        ORDER BY month
+        """,
+        tags=("extension", "sql", "timeseries"),
+        description="WITH RECURSIVE month spine + zero-filled revenue.",
+    ),
+    QueryDef(
+        "sql_variant_props",
+        sql_variant_props,
+        """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props::JSON, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               MAX(CAST(json_extract_string(props::JSON, '$.k') AS BIGINT))
+                 AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        tags=("extension", "sql", "json", "variant"),
+        description="VARIANT parse + typed extraction + aggregation.",
+    ),
+    QueryDef(
+        "sql_lateral_top_customer",
+        sql_lateral_top_customer,
+        """
+        SELECT n.n_name, top.c_custkey AS top_custkey,
+               FLOOR(top.c_acctbal * 100 + 0.5) / 100 AS top_acctbal
+        FROM nation n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 1
+        ) AS top
+        ORDER BY n.n_name
+        """,
+        tags=("extension", "sql", "join"),
+        description="LATERAL correlated top-1-per-group.",
+    ),
+]

@@ -36,6 +36,7 @@ def build_registry() -> QueryRegistry:
         "profiling",
         "graph",
         "stats",
+        "modern_sql",
     ):
         try:
             import importlib
