@@ -116,7 +116,48 @@ def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame: per customer, orders and revenue in the
+    trailing 90 days of each order — unlike ROWS frames, the frame width
+    is defined by the ORDER BY *value* (days), so gaps and ties are
+    handled by time, not by row position."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-89, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        days.cast("bigint").alias("order_day"),
+        F.count(F.lit(1)).over(w).alias("orders_90d"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .over(w)
+        .alias("revenue_90d_cents"),
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "window_range_frame_trailing",
+        window_range_frame_trailing,
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(date_diff('day', DATE '1990-01-01', o_orderdate) AS BIGINT)
+                 AS order_day,
+               COUNT(*) OVER w AS orders_90d,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                    AS BIGINT) AS revenue_90d_cents
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY date_diff('day', DATE '1990-01-01', o_orderdate)
+                     RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+        """,
+        tags=("extension", "window", "timeseries"),
+        description="Value-based RANGE frame: trailing-90-day rollup.",
+    ),
     QueryDef(
         "window_distribution_ranks",
         window_distribution_ranks,

@@ -126,7 +126,109 @@ def streaming_interval_join_click_error(
     )
 
 
+def streaming_upsert_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE sink: per-micro-batch hourly rollups merged into
+    a versioned table via ``foreachBatch`` — the lakehouse "streaming
+    upsert" pattern (Delta's streaming MERGE), on the engine's own ACID
+    layer. The merge is ADDITIVE (matched keys accumulate counts), so an
+    hour split across micro-batches still totals correctly — proven with
+    a two-batch source in tests/test_streaming_joins.py."""
+    import tempfile as _tempfile
+
+    table = _tempfile.mkdtemp(prefix="ls_stream_upsert_")
+    run_upsert_stream(events_stream(spark, sf_dir), table)
+
+    from ..sources.versioned import read_version
+
+    return (
+        read_version(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("total_events"),
+            F.sum("sum_cents").alias("total_cents"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def run_upsert_stream(ev: DataFrame, table: str) -> None:
+    """Drain an events stream into a versioned table with additive merges."""
+    import tempfile as _tempfile
+
+    from ..sources.versioned import commit, merge_upsert, read_version
+
+    spark = ev.sparkSession
+    empty = spark.createDataFrame(
+        [], "hour_us bigint, event_type string, n_events bigint, sum_cents bigint"
+    )
+    commit(empty, table, mode="overwrite")
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hourly = (
+            batch_df.groupBy(
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts")) % 3_600_000_000)
+                .alias("hour_us"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(_cents()).alias("sum_cents"),
+            )
+        )
+        # Additive merge: fold existing totals for matched keys into the
+        # batch rows, then upsert the summed rows.
+        target = read_version(spark, table).select(
+            "hour_us",
+            "event_type",
+            F.col("n_events").alias("old_n"),
+            F.col("sum_cents").alias("old_s"),
+        )
+        summed = (
+            hourly.join(target, ["hour_us", "event_type"], "left")
+            .select(
+                "hour_us",
+                "event_type",
+                (F.col("n_events") + F.coalesce(F.col("old_n"), F.lit(0))).alias(
+                    "n_events"
+                ),
+                (F.col("sum_cents") + F.coalesce(F.col("old_s"), F.lit(0))).alias(
+                    "sum_cents"
+                ),
+            )
+        )
+        merge_upsert(spark, table, summed, ["hour_us", "event_type"])
+
+    q = (
+        ev.writeStream.foreachBatch(upsert_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _tempfile.mkdtemp(prefix="ls_ckpt_upsert_"))
+        .start()
+    )
+    q.awaitTermination()
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "streaming_upsert_versioned",
+        streaming_upsert_versioned,
+        """
+        WITH hourly AS (
+          SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+                 event_type, COUNT(*) AS n_events,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+          FROM events GROUP BY 1, 2)
+        SELECT event_type,
+               CAST(SUM(n_events) AS BIGINT) AS total_events,
+               CAST(SUM(sum_cents) AS BIGINT) AS total_cents,
+               COUNT(*) AS n_hours
+        FROM hourly GROUP BY event_type ORDER BY event_type
+        """,
+        tags=("extension", "streaming", "delta", "dml"),
+        description="Streaming upsert sink: foreachBatch MERGE into the "
+        "versioned table.",
+    ),
     QueryDef(
         "streaming_static_enrich",
         streaming_static_enrich,

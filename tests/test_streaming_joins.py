@@ -32,3 +32,42 @@ def test_interval_join_lags_within_bound(spark, sf_smoke):
     rows = out.collect()
     assert len(rows) > 0
     assert all(0 <= r["avg_lag_us"] <= 600_000_000 for r in rows)
+
+
+def test_upsert_sink_accumulates_across_batches(spark, tmp_path):
+    """Two-file source, maxFilesPerTrigger=1: an hour whose rows are split
+    across micro-batches must still total correctly (additive merge)."""
+    import os
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.versioned import read_version
+    from lakesail_hdfs_deltalake_guide_spark.streaming.joins import run_upsert_stream
+    from lakesail_hdfs_deltalake_guide_spark.tables import _postprocess
+
+    t0 = 1_700_000_000_000_000_000  # epoch NANOS, same hour for all rows
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def write_file(rows):
+        spark.createDataFrame(
+            [(i, t0 + i * 1_000_000_000, 1, "click", v, "{}") for i, v in rows],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    write_file([(0, 1.0), (1, 2.0)])   # batch 1: 2 events, 300 cents
+    write_file([(2, 4.0)])             # batch 2: same hour, 400 cents
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = _postprocess(
+        "events",
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir),
+    )
+    table = str(tmp_path / "t")
+    run_upsert_stream(stream, table)
+
+    rows = read_version(spark, table).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 3
+    assert rows[0]["sum_cents"] == 700
