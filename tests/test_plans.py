@@ -59,3 +59,19 @@ def test_salted_join_spreads_hot_keys(spark, sf_smoke):
     assert "_salt" in plan
     # The dim side is exploded SALT_BUCKETS ways before the join.
     assert str(SALT_BUCKETS - 1) in plan
+
+
+def test_cached_table_plans_inmemory_scan(spark, sf_smoke):
+    """df.cache(): downstream plans must read the InMemoryRelation, not
+    re-scan parquet — the multi-query working-set pattern (a 100 TB scan
+    amortized across N downstream aggregates)."""
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    cached = li.cache()
+    try:
+        cached.count()  # materialize
+        agg = cached.groupBy("l_returnflag").count()
+        assert "InMemoryTableScan" in explain_str(agg)
+    finally:
+        cached.unpersist()
