@@ -265,3 +265,69 @@ QUERIES: list[QueryDef] = [
         description="Snapshot isolation: per-version counts via time travel.",
     ),
 ]
+
+
+def versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between snapshots (Delta's ``table_changes`` analogue): row-level
+    diff of version 0 vs version 1 via two ``exceptAll`` passes — updated
+    rows surface as one removed + one added (value-level CDC without a
+    change log; at scale Delta derives this from the log instead of
+    diffing, but the observable semantics match)."""
+    from ..tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="ls_versioned_cdc_")
+    commit(cust, path, mode="overwrite")
+    updated = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_mktsegment", (F.col("c_acctbal") + 1000).alias("c_acctbal")
+    )
+    inserted = cust.where(F.col("c_custkey") < 5).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    merge_upsert(spark, path, updated.unionByName(inserted), ["c_custkey"])
+
+    v0 = read_version(spark, path, version_as_of=0)
+    v1 = read_version(spark, path, version_as_of=1)
+    added = v1.exceptAll(v0)
+    removed = v0.exceptAll(v1)
+    return spark.createDataFrame(
+        [
+            ("added", added.count()),
+            ("removed", removed.count()),
+            ("unchanged", v0.count() - removed.count()),
+        ],
+        "change_type string, n_rows bigint",
+    ).orderBy("change_type")
+
+
+QUERIES.append(
+    QueryDef(
+        "versioned_changes",
+        versioned_changes,
+        """
+        WITH src AS (
+          SELECT c_custkey, c_mktsegment, c_acctbal + 1000 AS c_acctbal
+          FROM customer WHERE c_mktsegment = 'BUILDING'
+          UNION ALL
+          SELECT c_custkey + 1000000, 'NEWSEG', 0.0
+          FROM customer WHERE c_custkey < 5),
+        n_upd AS (SELECT COUNT(*) AS u FROM customer
+                  WHERE c_mktsegment = 'BUILDING'),
+        n_ins AS (SELECT COUNT(*) AS i FROM customer WHERE c_custkey < 5),
+        n_all AS (SELECT COUNT(*) AS t FROM customer)
+        SELECT 'added' AS change_type, CAST(u + i AS BIGINT) AS n_rows
+          FROM n_upd, n_ins
+        UNION ALL
+        SELECT 'removed', CAST(u AS BIGINT) FROM n_upd
+        UNION ALL
+        SELECT 'unchanged', CAST(t - u AS BIGINT) FROM n_all, n_upd
+        ORDER BY change_type
+        """,
+        tags=("extension", "io", "delta", "dml", "cdc"),
+        description="CDC: row-level snapshot diff (table_changes analogue).",
+    )
+)
