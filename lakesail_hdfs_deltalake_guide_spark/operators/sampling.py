@@ -105,9 +105,42 @@ def sample_per_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli: keep probability ∝ document
+    length (capped) — the 'prefer long documents' corpus-shaping pass.
+    Keep iff hash-bucket < weight, entirely scan-side arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    # weight per mille: clamp(n_chars, 0, 500) → 0..500 ⇒ p in [0, 0.5]
+    weight = F.least(F.col("n_chars"), F.lit(500))
+    kept = d.where(lehmer_hash("doc_id") % 1000 < weight)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("n_chars").alias("min_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 _H = sql_lehmer_hash("doc_id")
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sample_weighted_by_length",
+        sample_weighted_by_length,
+        f"""
+        SELECT lang, COUNT(*) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars
+        FROM documents
+        WHERE {_H} % 1000 < LEAST(n_chars, 500)
+        GROUP BY lang ORDER BY lang
+        """,
+        tags=("extension", "sampling", "pipeline"),
+        description="Deterministic weighted Bernoulli (p ∝ doc length).",
+    ),
     QueryDef(
         "sample_split_counts",
         sample_split_counts,
