@@ -50,15 +50,21 @@ def stats_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     x = F.floor(F.col("l_quantity") * 100 + F.lit(0.5))  # cents, ≤ 5e3
     y = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))  # cents, ≤ 1e7
+    # Second moments accumulate in DECIMAL(38,0): y² is ~1.1e14 per row, so
+    # an int64 SUM overflows around 10^5 rows per group — decimal is exact
+    # to 38 digits (good beyond 10^23 rows) and matches DuckDB's HUGEINT
+    # promotion. The doubles derived below round the same exact integer the
+    # same way on both engines.
+    dec = "decimal(38,0)"
     m = (
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(x).alias("sx"),
             F.sum(y).alias("sy"),
-            F.sum(x * y).alias("sxy"),  # ≤ 5e10/row — no int64 overflow
-            F.sum(x * x).alias("sxx"),
-            F.sum(y * y).alias("syy"),
+            F.sum((x * y).cast(dec)).alias("sxy"),
+            F.sum((x * x).cast(dec)).alias("sxx"),
+            F.sum((y * y).cast(dec)).alias("syy"),
         )
     )
     n = F.col("n").cast("double")

@@ -30,10 +30,12 @@ NUM_BUCKETS = 8
 
 
 def _ensure_db(spark: SparkSession) -> None:
-    # IF NOT EXISTS: two concurrent callers may both pass a databaseExists
-    # pre-check (TOCTOU) — let the catalog arbitrate instead.
-    loc = tempfile.mkdtemp(prefix="ls_bucketed_wh_")
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB} LOCATION '{loc}'")
+    # Allocate a location only when the DB is actually missing (an
+    # unconditional mkdtemp leaks a dir per call); IF NOT EXISTS still
+    # arbitrates the create race if two callers pass the check together.
+    if not spark.catalog.databaseExists(DB):
+        loc = tempfile.mkdtemp(prefix="ls_bucketed_wh_")
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {DB} LOCATION '{loc}'")
 
 
 def write_bucketed(

@@ -176,16 +176,23 @@ def io_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_over_views_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's primary usage pattern verbatim: register temp views,
-    run a multi-table SQL string through ``spark.sql``
+    """The reference's primary usage pattern: register temp views, run a
+    multi-table SQL string through ``spark.sql``
     (``/root/reference/examples/read_deltalake_hdfs.py:95-121``) — proving
     the SQL-text path (parser → analyzer over the session catalog) and the
-    DataFrame path produce the same engine semantics."""
-    from ..tables import register_views
+    DataFrame path produce the same engine semantics. View names are
+    uuid-suffixed (SQL-text view resolution is lazy — a fixed name lets a
+    later invocation swap data under an un-collected result)."""
+    import uuid as _uuid
 
-    register_views(spark, sf_dir)
+    from ..tables import load_table
+
+    run = _uuid.uuid4().hex[:8]
+    cview, oview = f"ls_sql_customer_{run}", f"ls_sql_orders_{run}"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(cview)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(oview)
     return spark.sql(
-        """
+        f"""
         SELECT c.c_mktsegment,
                COUNT(o.o_orderkey) AS order_count,
                CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -194,7 +201,7 @@ def sql_over_views_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
                               AS DOUBLE) / COUNT(o.o_orderkey)
                     ELSE 0.0 END AS avg_order_cents
-        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        FROM {cview} c LEFT JOIN {oview} o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_mktsegment
         ORDER BY revenue_cents DESC, c.c_mktsegment
         """
@@ -210,26 +217,31 @@ def io_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load_table
 
     n = load_table(spark, sf_dir, "nation")
-    tbl = f"ls_ctas_{_uuid.uuid4().hex[:8]}"
-    n.createOrReplaceTempView("ls_nation_src")
-    spark.sql(
-        f"CREATE TABLE {tbl} USING parquet AS "
-        "SELECT n_nationkey, n_name, n_regionkey FROM ls_nation_src"
-    )
-    spark.sql(
-        f"INSERT INTO {tbl} "
-        "SELECT n_nationkey + 100, concat('COPY_', n_name), n_regionkey "
-        "FROM ls_nation_src WHERE n_regionkey = 0"
-    )
-    out = (
-        spark.table(tbl)
-        .groupBy("n_regionkey")
-        .agg(F.count(F.lit(1)).alias("n_rows"))
-        .orderBy("n_regionkey")
-    )
-    result = out.collect()  # materialize before dropping the table
-    spark.sql(f"DROP TABLE {tbl}")
-    return spark.createDataFrame(result, out.schema)
+    run = _uuid.uuid4().hex[:8]
+    tbl = f"ls_ctas_{run}"
+    src = f"ls_nation_src_{run}"
+    n.createOrReplaceTempView(src)
+    try:
+        spark.sql(
+            f"CREATE TABLE {tbl} USING parquet AS "
+            f"SELECT n_nationkey, n_name, n_regionkey FROM {src}"
+        )
+        out = (
+            spark.table(tbl)
+            .groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("n_regionkey")
+        )
+        spark.sql(
+            f"INSERT INTO {tbl} "
+            f"SELECT n_nationkey + 100, concat('COPY_', n_name), n_regionkey "
+            f"FROM {src} WHERE n_regionkey = 0"
+        )
+        result = out.collect()  # materialize before dropping the table
+        return spark.createDataFrame(result, out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.catalog.dropTempView(src)
 
 
 QUERIES: list[QueryDef] = [

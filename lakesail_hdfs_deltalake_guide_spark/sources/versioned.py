@@ -55,12 +55,20 @@ def _read_log(table_path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def commit(df: DataFrame, table_path: str, mode: str = "overwrite") -> int:
+def commit(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "overwrite",
+    metadata: dict | None = None,
+) -> int:
     """Write a new table version; returns the committed version number.
 
     Data lands in a fresh ``_v=<n>.<uuid>`` directory (never overwriting
     live files), then the log entry is published with an atomic rename —
     a concurrent reader sees either the old snapshot or the new one.
+    ``metadata`` rides inside the log entry ATOMICALLY with the data
+    (e.g. a streaming sink's txn/batch id for replay dedup — Delta's
+    ``txnAppId``/``txnVersion`` pattern).
     """
     versions = list_versions(table_path)
     new_version = (versions[-1] + 1) if versions else 0
@@ -80,6 +88,7 @@ def commit(df: DataFrame, table_path: str, mode: str = "overwrite") -> int:
         "mode": mode,
         "data_dirs": dirs,
         "schema": df.schema.jsonValue(),
+        "metadata": metadata or {},
     }
     log_dir = _log_path(table_path)
     os.makedirs(log_dir, exist_ok=True)
@@ -111,8 +120,20 @@ def read_version(
     return reader.parquet(*entry["data_dirs"])
 
 
+def latest_metadata(table_path: str) -> dict:
+    """Metadata dict of the newest committed version ({} if none)."""
+    versions = list_versions(table_path)
+    if not versions:
+        return {}
+    return _read_log(table_path, versions[-1]).get("metadata", {})
+
+
 def merge_upsert(
-    spark: SparkSession, table_path: str, source: DataFrame, key_cols: list[str]
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    metadata: dict | None = None,
 ) -> int:
     """MERGE INTO semantics (matched → update, unmatched → insert) as a
     new snapshot: target rows whose key appears in the source are replaced
@@ -127,7 +148,7 @@ def merge_upsert(
     keys = source.select(*key_cols).distinct()
     untouched = target.join(keys, key_cols, "left_anti")
     merged = untouched.unionByName(source)
-    return commit(merged, table_path, mode="overwrite")
+    return commit(merged, table_path, mode="overwrite", metadata=metadata)
 
 
 def delete_where(spark: SparkSession, table_path: str, condition: Column) -> int:

@@ -64,11 +64,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_to_table(
     result: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
-    """Drain an availableNow stream into an in-memory sink, return the table.
+    """Drain an availableNow stream into an in-memory sink; return the
+    result as a local DataFrame.
 
-    The sink name is uuid-suffixed: ``spark.table`` resolves lazily, so a
-    fixed name would let a later invocation (another sf_dir) replace the
-    memory table out from under an un-collected result."""
+    The sink name is uuid-suffixed (``spark.table`` resolves lazily — a
+    fixed name would let a later invocation replace the memory table under
+    an un-collected result), and the sink is DROPPED after the result is
+    materialized so repeated invocations don't pin every past result in
+    driver memory. Results here are windowed aggregates (small by
+    construction); the localized copy is what any consumer collects anyway."""
     import uuid
 
     spark = result.sparkSession
@@ -82,7 +86,10 @@ def _run_to_table(
         .start()
     )
     q.awaitTermination()
-    return spark.table(unique)
+    sink = spark.table(unique)
+    out = spark.createDataFrame(sink.collect(), sink.schema)
+    spark.catalog.dropTempView(unique)
+    return out
 
 
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

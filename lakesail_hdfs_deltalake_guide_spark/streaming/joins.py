@@ -153,18 +153,31 @@ def streaming_upsert_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_upsert_stream(ev: DataFrame, table: str) -> None:
-    """Drain an events stream into a versioned table with additive merges."""
+    """Drain an events stream into a versioned table with additive merges.
+
+    Idempotent under foreachBatch's at-least-once replay: the applied
+    ``batch_id`` rides INSIDE the merge's log entry (``commit(metadata=)``),
+    so recording is atomic with the data — a batch replayed after a
+    crash-between-commit-and-checkpoint is skipped, never double-counted.
+    This is Delta's ``txnAppId``/``txnVersion`` streaming-MERGE dedup."""
     import tempfile as _tempfile
 
-    from ..sources.versioned import commit, merge_upsert, read_version
+    from ..sources.versioned import (
+        commit,
+        latest_metadata,
+        merge_upsert,
+        read_version,
+    )
 
     spark = ev.sparkSession
     empty = spark.createDataFrame(
         [], "hour_us bigint, event_type string, n_events bigint, sum_cents bigint"
     )
-    commit(empty, table, mode="overwrite")
+    commit(empty, table, mode="overwrite", metadata={"batch_id": -1})
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= latest_metadata(table).get("batch_id", -1):
+            return  # replayed batch — its merge already committed
         hourly = (
             batch_df.groupBy(
                 (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts")) % 3_600_000_000)
@@ -197,7 +210,13 @@ def run_upsert_stream(ev: DataFrame, table: str) -> None:
                 ),
             )
         )
-        merge_upsert(spark, table, summed, ["hour_us", "event_type"])
+        merge_upsert(
+            spark,
+            table,
+            summed,
+            ["hour_us", "event_type"],
+            metadata={"batch_id": batch_id},
+        )
 
     q = (
         ev.writeStream.foreachBatch(upsert_batch)

@@ -16,7 +16,6 @@ the result equals a plain GROUP BY (the DuckDB oracle).
 
 from __future__ import annotations
 
-import tempfile
 from collections.abc import Iterator
 from typing import Any
 

@@ -100,12 +100,18 @@ def test_dynamic_partition_pruning_fires(spark, sf_smoke, tmp_path):
     orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
     fact = spark.read.parquet(out)
 
-    dim = spark.createDataFrame(
-        [("1-URGENT", "keep")], "o_orderpriority string, tag string"
-    )
+    # DPP requires a *selective predicate* on the pruning (dim) side — a
+    # bare unfiltered dim doesn't qualify, so the dim is a filtered scan.
+    dim_dir = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [("1-URGENT", "keep"), ("5-LOW", "drop")],
+        "o_orderpriority string, tag string",
+    ).write.mode("overwrite").parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir).where(F.col("tag") == "keep")
+
     joined = fact.join(dim, "o_orderpriority").groupBy("tag").count()
     plan = explain_str(joined)
-    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull" in plan, (
+    assert "dynamicpruning" in plan.lower(), (
         "expected a dynamic partition pruning subquery in the fact scan"
     )
     assert joined.collect()[0]["count"] == orders.where(
