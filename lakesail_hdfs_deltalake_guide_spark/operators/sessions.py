@@ -74,6 +74,45 @@ def session_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked strictly after their
+    first view, then purchased strictly after that first qualifying click.
+
+    Three chained min-aggregates on the SAME user_id partitioning (one
+    hash exchange serves all of them); each stage's timestamp gates the
+    next via integer-nanos comparison. The product-analytics staple that
+    plain event counts can't answer — ordering matters."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_view"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts_ns") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_click"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts_ns") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_purchase"))
+    )
+    return (
+        views.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(
+            purchases.agg(F.count(F.lit(1)).alias("n_purchased_after_click"))
+        )
+    )
+
+
 _SESS_CTE = f"""
 WITH ordered AS (
   SELECT user_id, event_id, epoch_ns(ts) AS tns, value, event_type,
@@ -121,5 +160,30 @@ QUERIES: list[QueryDef] = [
         """,
         tags=("extension", "window", "sessionization"),
         description="Session-size distribution (aggregate of aggregate).",
+    ),
+    QueryDef(
+        "funnel_view_click_purchase",
+        funnel_view_click_purchase,
+        """
+        WITH views AS (
+          SELECT user_id, MIN(epoch_ns(ts)) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        clicks AS (
+          SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_click
+          FROM events e JOIN views v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t_view
+          GROUP BY e.user_id),
+        purchases AS (
+          SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_purchase
+          FROM events e JOIN clicks c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click
+          GROUP BY e.user_id)
+        SELECT (SELECT COUNT(*) FROM views) AS n_viewed,
+               (SELECT COUNT(*) FROM clicks) AS n_clicked_after_view,
+               (SELECT COUNT(*) FROM purchases) AS n_purchased_after_click
+        """,
+        tags=("extension", "window", "funnel", "temporal"),
+        description="Ordered view→click→purchase funnel (chained gated "
+        "min-aggregates).",
     ),
 ]
