@@ -113,6 +113,32 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEEK_NS = 7 * 24 * 3600 * 1_000_000_000
+
+
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted by
+    how many weeks later they were active — the (cohort, week_offset)
+    retention triangle. Two aggregates on the user key + one distinct on
+    (cohort, offset); integer-nanos week math keeps the bucketing exact."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_ns")
+    week = (F.col("ts_ns") / WEEK_NS).cast("bigint")
+    first_week = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select("user_id", week.alias("active_week")).distinct()
+    return (
+        activity.join(first_week, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 _SESS_CTE = f"""
 WITH ordered AS (
   SELECT user_id, event_id, epoch_ns(ts) AS tns, value, event_type,
@@ -185,5 +211,23 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "window", "funnel", "temporal"),
         description="Ordered view→click→purchase funnel (chained gated "
         "min-aggregates).",
+    ),
+    QueryDef(
+        "cohort_weekly_retention",
+        cohort_weekly_retention,
+        f"""
+        WITH weeks AS (
+          SELECT user_id, epoch_ns(ts) // {WEEK_NS} AS w FROM events),
+        first_week AS (
+          SELECT user_id, MIN(w) AS cohort_week FROM weeks GROUP BY user_id),
+        activity AS (SELECT DISTINCT user_id, w FROM weeks)
+        SELECT cohort_week, CAST(w - cohort_week AS BIGINT) AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM activity a JOIN first_week f ON a.user_id = f.user_id
+        GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+        """,
+        tags=("extension", "window", "cohort", "temporal"),
+        description="Cohort × week-offset retention triangle.",
     ),
 ]
