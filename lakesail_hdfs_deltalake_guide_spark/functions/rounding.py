@@ -51,6 +51,19 @@ def exact_avg(col: Column | str, scale: int = 2) -> Column:
     return (F.sum(cents(c, scale)).cast("double") / F.count(c)) / F.lit(10**scale)
 
 
+def floor_div_expr(num: str, den: str) -> Column:
+    """Exact BIGINT *floor* division — DuckDB ``//`` semantics.
+
+    Spark's ``div`` truncates toward zero, DuckDB's ``//`` floors; they
+    disagree whenever the quotient is negative and inexact. Pure integer
+    ops (no double round-trip), so exact at any magnitude."""
+    n, d = f"({num})", f"({den})"
+    return F.expr(
+        f"CASE WHEN {n} % {d} != 0 AND (({n} < 0) != ({d} < 0)) "
+        f"THEN {n} div {d} - 1 ELSE {n} div {d} END"
+    )
+
+
 def sql_cents(expr: str, scale: int = 2) -> str:
     return f"CAST(FLOOR(({expr}) * {10**scale} + 0.5) AS BIGINT)"
 

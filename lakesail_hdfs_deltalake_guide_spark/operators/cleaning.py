@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import floor_div_expr
 from ..querydef import QueryDef
 from ..tables import load_table
 
@@ -46,8 +47,9 @@ def clean_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cents div count) so both engines impute the identical value."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.select("event_type", _valid_cents().alias("vc"))
+    # floor (not trunc) division: matches the oracle's `//` for any sign.
     means = base.groupBy("event_type").agg(
-        F.expr("sum(vc) div count(vc)").alias("mean_cents")
+        floor_div_expr("sum(vc)", "count(vc)").alias("mean_cents")
     )
     imputed = base.join(F.broadcast(means), "event_type").select(
         "event_type", F.coalesce(F.col("vc"), F.col("mean_cents")).alias("cents")
@@ -104,9 +106,9 @@ def join_full_outer_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER join: hourly click counts vs hourly error counts —
     either side may be absent for an hour; absent sides become zeros."""
     ev = load_table(spark, sf_dir, "events")
+    # Exact bigint division (ts_ns exceeds double mantissa; see tables.py).
     hour = (
-        (F.col("ts_ns") / 1000).cast("bigint")
-        - (F.col("ts_ns") / 1000).cast("bigint") % HOUR_US
+        F.expr("ts_ns div 1000") - F.expr("ts_ns div 1000") % HOUR_US
     ).alias("hour_us")
     clicks = (
         ev.where(F.col("event_type") == "click")

@@ -117,13 +117,17 @@ def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- X2: MinHash-LSH near-dup ----------------------------------------------
 def _sketch_parallel(corpus: DataFrame) -> DataFrame:
-    """Spread the CPU-bound sketch pass across all cores.
+    """Spread the CPU-bound sketch pass across all cores — only when the
+    source arrives under-split.
 
-    Fixture tables arrive as one small parquet file = one input partition;
-    at 100 TB the scan has thousands of natural splits and this repartition
-    is a no-op to keep (shuffling raw text once is ~free next to the
-    sketch math it parallelizes)."""
+    Fixture tables are one small parquet file = one input partition, so the
+    sketch math would serialize on one core without this. At 100 TB the
+    scan already has thousands of natural splits, and the conditional makes
+    the repartition (a full-corpus raw-text shuffle) vanish from the plan
+    instead of being inherited from the fixture workaround."""
     sc = corpus.sparkSession.sparkContext
+    if corpus.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return corpus
     return corpus.repartition(sc.defaultParallelism, "doc_id")
 
 
@@ -260,11 +264,26 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- X2d: embedding-cosine near-dup ----------------------------------------
+# Dedup banding: 32 hyperplanes → four 8-bit bands. A near-identical pair
+# (cosine ≥ 0.99) flips a given sign bit only when the hyperplane margin is
+# inside the perturbation (~2% per plane here); a pair is missed only if
+# EVERY band contains a flipped bit (~(8·0.02)^4 ≈ 5e-4). All 25 planted
+# pairs are recovered on the deterministic fixture (tests/test_dedup.py).
+DEDUP_PLANES = 32
+DEDUP_BANDS = ((0, 8), (8, 16), (16, 24), (24, 32))
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection on the embedding column: planted perturbed copies
-    must pair with their source at cosine ≥ 0.99 (brute-force here; the
-    LSH-bucketed scale path lives in similarity.py)."""
+    must pair with their source at cosine ≥ 0.99.
+
+    Candidates come from a random-hyperplane LSH bucket equi-join — only
+    (vec_id, band_id, bucket) tuples shuffle; vectors re-join by id for the
+    exact-cosine verify. No unbounded crossJoin anywhere: quadratic work is
+    confined to LSH buckets, the 100 TB-safe layout (similarity.py uses the
+    same primitive for ANN top-k)."""
     from ..functions.vectors import as_double, cosine
+    from .similarity import _banded, _hyperplanes
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     perturbed = (
@@ -284,12 +303,33 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = e.unionByName(perturbed)
-    a = corpus.select(F.col("vec_id").alias("vec_a"), as_double("embedding").alias("va"))
-    b = corpus.select(F.col("vec_id").alias("vec_b"), as_double("embedding").alias("vb"))
+    vecs = corpus.select("vec_id", as_double("embedding").alias("v")).persist()
+    planes = _hyperplanes(dim=64, seed=7, n_planes=DEDUP_PLANES)
+    banded = _banded(vecs, "vec_id", "v", planes=planes, bands=DEDUP_BANDS).select(
+        "vec_id", "band_id", "bucket"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            "inner",
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
     sim = cosine(F.col("va"), F.col("vb"))
     return (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
+        pairs.join(
+            vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")),
+            "vec_a",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")),
+            "vec_b",
+        )
         .select(
             "vec_a",
             "vec_b",

@@ -225,6 +225,29 @@ def agg_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A7 as the reference writes it: PERCENTILE_APPROX(col, p) --------------
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``PERCENTILE_APPROX(salary, 0.5)`` from the reference
+    (``examples/example_lakesail_kerberos.py:223``), on the fixture fact
+    table. Accuracy 1e6 exceeds the sf0.01/sf0.1 group sizes, so the
+    KLL-style sketch degenerates to the exact discrete percentile —
+    bit-identical to DuckDB ``quantile_disc`` (verified empirically); at
+    larger SF the same expression returns the sketch's rank-error-bounded
+    approximation, which is exactly the scale story of the operator."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = "approx_percentile(l_extendedprice, {p}, 1000000)"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(pct.format(p=0.25)).alias("approx_p25_price"),
+            F.expr(pct.format(p=0.5)).alias("approx_median_price"),
+            F.expr(pct.format(p=0.75)).alias("approx_p75_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # --- TPC-H Q1-style pricing summary (A1-A5, A8, F1-F2 on the fact table) ----
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -504,6 +527,20 @@ QUERIES: list[QueryDef] = [
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         tags=("parity", "agg"),
+    ),
+    QueryDef(
+        "agg_percentile_approx",
+        agg_percentile_approx,
+        """
+        SELECT l_returnflag, COUNT(*) AS n,
+               quantile_disc(l_extendedprice, 0.25) AS approx_p25_price,
+               quantile_disc(l_extendedprice, 0.5) AS approx_median_price,
+               quantile_disc(l_extendedprice, 0.75) AS approx_p75_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        tags=("parity", "agg", "approx"),
+        description="PERCENTILE_APPROX (reference A7) — exact-degenerate "
+        "at oracle SF, sketch-bounded at scale.",
     ),
     QueryDef(
         "tpch_q1_pricing_summary",

@@ -122,7 +122,8 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention triangle. Two aggregates on the user key + one distinct on
     (cohort, offset); integer-nanos week math keeps the bucketing exact."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts_ns")
-    week = (F.col("ts_ns") / WEEK_NS).cast("bigint")
+    # Exact bigint division (ts_ns exceeds double mantissa; see tables.py).
+    week = F.expr(f"ts_ns div {WEEK_NS}")
     first_week = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
     activity = ev.select("user_id", week.alias("active_week")).distinct()
     return (

@@ -69,14 +69,17 @@ def similarity_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(dim: int = 64, seed: int = 7) -> list[list[float]]:
+def _hyperplanes(
+    dim: int = 64, seed: int = 7, n_planes: int = NUM_PLANES
+) -> list[list[float]]:
     rng = np.random.RandomState(seed)
-    return rng.standard_normal((NUM_PLANES, dim)).round(6).tolist()
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
-def _signature(col: F.Column) -> F.Column:
-    """16 sign bits of hyperplane dot products, packed into an int."""
-    planes = _hyperplanes()
+def _signature(col: F.Column, planes: list[list[float]] | None = None) -> F.Column:
+    """Sign bits of hyperplane dot products, packed into an int."""
+    if planes is None:
+        planes = _hyperplanes()
     bits = [
         F.when(
             F.aggregate(
@@ -99,9 +102,19 @@ def _signature(col: F.Column) -> F.Column:
     return out.cast("bigint")
 
 
-def _banded(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Attach (band_id, bucket) LSH keys: 16 sign bits → two 8-bit bands."""
-    sig = df.withColumn("sig", _signature(F.col(vec_col)))
+def _banded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]] | None = None,
+    bands: tuple[tuple[int, int], ...] = BANDS,
+) -> DataFrame:
+    """Attach (band_id, bucket) LSH keys: sign bits → fixed-width bands.
+
+    Default geometry: 16 planes → two 8-bit bands (ANN recall/candidate
+    tradeoff). Callers needing near-certain recall on near-identical pairs
+    (dedup) pass more planes split into more bands."""
+    sig = df.withColumn("sig", _signature(F.col(vec_col), planes))
     return sig.select(
         id_col,
         vec_col,
@@ -114,7 +127,7 @@ def _banded(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
                         .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
                         .alias("bucket"),
                     )
-                    for i, (lo, hi) in enumerate(BANDS)
+                    for i, (lo, hi) in enumerate(bands)
                 ]
             )
         ).alias("band"),

@@ -34,9 +34,10 @@ HOUR_US = 3_600_000_000
 
 def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    hour_us = (F.col("ts_ns") / 1000).cast("bigint") - (
-        (F.col("ts_ns") / 1000).cast("bigint") % HOUR_US
-    )
+    # Exact bigint division: ts_ns (~1.7e18) exceeds a double's 53-bit
+    # mantissa, so `/ 1000` would be off by ±1 µs near bucket boundaries.
+    us = F.expr("ts_ns div 1000")
+    hour_us = us - us % HOUR_US
     hourly = (
         ev.select(
             "event_type",
@@ -50,8 +51,8 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     span = ev.agg(
-        (F.min((F.col("ts_ns") / 1000).cast("bigint"))).alias("min_us"),
-        (F.max((F.col("ts_ns") / 1000).cast("bigint"))).alias("max_us"),
+        F.min(us).alias("min_us"),
+        F.max(us).alias("max_us"),
     ).select(
         (F.col("min_us") - F.col("min_us") % HOUR_US).alias("start_us"),
         (F.col("max_us") - F.col("max_us") % HOUR_US).alias("end_us"),

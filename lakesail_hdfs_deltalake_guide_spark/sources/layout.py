@@ -18,7 +18,9 @@ global span — a real measurement, not a claim.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 ZBITS = 10  # keys are bucketed into [0, 2^ZBITS)
@@ -58,3 +60,62 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# --- oracle-checked driver query ---------------------------------------------
+def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write ``orders`` Z-ordered on (o_custkey, o_orderkey), read it back,
+    and aggregate one selective band per dimension. Results are layout-
+    independent (the oracle runs the same algebra on the raw table), which
+    is precisely the point: Z-ordering changes FILE locality, not
+    semantics. Per-file min/max span shrinkage on BOTH dimensions is
+    measured in tests/test_layout.py."""
+    from ..tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="ls_zorder_orders_")
+    write_zordered(orders, path, "o_custkey", "o_orderkey")
+    back = spark.read.parquet(path)
+
+    def band(df: DataFrame, dim: str, col: str) -> DataFrame:
+        return (
+            df.where((F.col(col) >= 100) & (F.col(col) < 200))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                    "sum_price_cents"
+                ),
+            )
+            .select(F.lit(dim).alias("dim"), "n_rows", "sum_price_cents")
+        )
+
+    return (
+        band(back, "custkey_band", "o_custkey")
+        .unionByName(band(back, "orderkey_band", "o_orderkey"))
+        .orderBy("dim")
+    )
+
+
+from ..querydef import QueryDef  # noqa: E402
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "layout_zorder_scan",
+        layout_zorder_scan,
+        """
+        SELECT 'custkey_band' AS dim, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents
+        FROM orders WHERE o_custkey >= 100 AND o_custkey < 200
+        UNION ALL
+        SELECT 'orderkey_band', COUNT(*),
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200
+        ORDER BY dim
+        """,
+        tags=("extension", "io", "layout", "zorder"),
+        description="Z-ordered write + banded scans on both curve dimensions.",
+    ),
+]

@@ -25,7 +25,6 @@ scan with full pushdown/pruning.
 from __future__ import annotations
 
 import json
-import os
 import tempfile
 import uuid
 
@@ -36,23 +35,46 @@ LOG_DIR = "_log"
 
 
 def _log_path(table_path: str) -> str:
-    return os.path.join(table_path, LOG_DIR)
+    return f"{table_path}/{LOG_DIR}"
+
+
+def _hadoop_fs(path_str: str):
+    """(jvm, FileSystem, Path) for ``path_str`` under the session's Hadoop
+    conf — the same scheme resolution Delta's log store uses, so one code
+    path serves ``file://``, ``hdfs://`` (the reference's deployment,
+    ``/root/reference/hadoop-kerberos/config/core-site.xml:6-8``), or any
+    other configured filesystem. POSIX ``os.*`` calls would silently read
+    the driver's local disk on a remote defaultFS."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("versioned tables require an active SparkSession")
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, jpath
 
 
 def list_versions(table_path: str) -> list[int]:
-    log = _log_path(table_path)
-    if not os.path.isdir(log):
+    _, fs, log = _hadoop_fs(_log_path(table_path))
+    if not fs.exists(log):
         return []
-    return sorted(
-        int(f[: -len(".json")])
-        for f in os.listdir(log)
-        if f.endswith(".json") and f[: -len(".json")].isdigit()
-    )
+    out = []
+    for status in fs.listStatus(log):
+        name = status.getPath().getName()
+        stem = name[: -len(".json")]
+        if name.endswith(".json") and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
 
 
 def _read_log(table_path: str, version: int) -> dict:
-    with open(os.path.join(_log_path(table_path), f"{version}.json")) as fh:
-        return json.load(fh)
+    jvm, fs, path = _hadoop_fs(f"{_log_path(table_path)}/{version}.json")
+    stream = fs.open(path)
+    try:
+        payload = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(payload)
 
 
 def commit(
@@ -72,7 +94,7 @@ def commit(
     """
     versions = list_versions(table_path)
     new_version = (versions[-1] + 1) if versions else 0
-    data_dir = os.path.join(table_path, f"_v={new_version}.{uuid.uuid4().hex[:8]}")
+    data_dir = f"{table_path}/_v={new_version}.{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(data_dir)
 
     if mode == "append" and versions:
@@ -91,12 +113,26 @@ def commit(
         "metadata": metadata or {},
     }
     log_dir = _log_path(table_path)
-    os.makedirs(log_dir, exist_ok=True)
-    tmp = os.path.join(log_dir, f".{new_version}.json.{uuid.uuid4().hex[:8]}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(entry, fh)
-    final = os.path.join(log_dir, f"{new_version}.json")
-    os.rename(tmp, final)  # atomic publish
+    jvm, fs, log_dir_path = _hadoop_fs(log_dir)
+    fs.mkdirs(log_dir_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{log_dir}/.{new_version}.json.{uuid.uuid4().hex[:8]}.tmp"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(entry).encode("utf-8")))
+    finally:
+        out.close()
+    final = jvm.org.apache.hadoop.fs.Path(f"{log_dir}/{new_version}.json")
+    # Atomic publish. On HDFS, rename onto an existing destination fails —
+    # first committer wins, the loser's tmp entry is cleaned up (the same
+    # optimistic-concurrency protocol as Delta's HDFSLogStore).
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise RuntimeError(
+            f"concurrent commit lost the race for version {new_version} "
+            f"at {table_path}"
+        )
     return new_version
 
 

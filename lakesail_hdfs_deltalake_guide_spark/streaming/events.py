@@ -29,6 +29,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.rounding import floor_div_expr
 from ..querydef import QueryDef
 from ..tables import _postprocess
 from ..session import configure_session
@@ -62,33 +63,57 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_table(
-    result: DataFrame, name: str, output_mode: str = "complete"
+    result: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    dedup_keys: list[str] | None = None,
 ) -> DataFrame:
-    """Drain an availableNow stream into an in-memory sink; return the
-    result as a local DataFrame.
+    """Drain an availableNow stream through ``foreachBatch`` into a Parquet
+    sink and read the final table back — fully distributed, nothing ever
+    lands in driver memory (a memory sink + ``collect`` would OOM the
+    driver on high-cardinality keys at scale).
 
-    The sink name is uuid-suffixed (``spark.table`` resolves lazily — a
-    fixed name would let a later invocation replace the memory table under
-    an un-collected result), and the sink is DROPPED after the result is
-    materialized so repeated invocations don't pin every past result in
-    driver memory. Results here are windowed aggregates (small by
-    construction); the localized copy is what any consumer collects anyway."""
-    import uuid
+    ``complete`` mode: every micro-batch carries the full result, so each
+    batch overwrites the sink and the last batch wins. ``update`` mode:
+    each batch carries only changed rows, so batches append tagged with
+    their batch id and the read keeps each key's latest emission
+    (``dedup_keys`` names the grouping key)."""
+    from pyspark.sql import Window
 
     spark = result.sparkSession
-    unique = f"{name}_{uuid.uuid4().hex[:8]}"
+    out_dir = tempfile.mkdtemp(prefix=f"ls_sink_{name}_")
+
+    if output_mode == "complete":
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out_dir)
+
+    else:
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
     q = (
-        result.writeStream.format("memory")
-        .queryName(unique)
+        result.writeStream.foreachBatch(sink)
         .outputMode(output_mode)
         .trigger(availableNow=True)
         .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ls_ckpt_{name}_"))
         .start()
     )
     q.awaitTermination()
-    sink = spark.table(unique)
-    out = spark.createDataFrame(sink.collect(), sink.schema)
-    spark.catalog.dropTempView(unique)
+    out = spark.read.parquet(out_dir)
+    if output_mode != "complete":
+        if dedup_keys:
+            w = Window.partitionBy(*dedup_keys).orderBy(F.desc("_batch_id"))
+            out = (
+                out.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "_batch_id")
+            )
+        else:
+            out = out.drop("_batch_id")
     return out
 
 
@@ -128,8 +153,9 @@ def streaming_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "n_events",
-            # fixed-point mean in 1e-4 units: exact integer arithmetic
-            F.expr("(sum_cents * 100) div n_events").alias("avg_value_e4"),
+            # fixed-point mean in 1e-4 units: exact integer arithmetic;
+            # floor (not trunc) division matches the oracle's `//`.
+            floor_div_expr("sum_cents * 100", "n_events").alias("avg_value_e4"),
             "max_value",
         )
     )

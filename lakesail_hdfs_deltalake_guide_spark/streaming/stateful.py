@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +34,14 @@ from pyspark.sql.types import (
 from .events import events_stream
 
 MILESTONE = 10
+
+
+def _cents_sum(values: pd.Series) -> int:
+    """Half-away-from-zero cents sum — the engine/oracle quantization
+    contract (DuckDB ``round``, Spark ``F.round``). pandas ``.round()``
+    is banker's (half-to-even) and would diverge on exact .5 doubles."""
+    v = values.to_numpy(dtype="float64")
+    return int((np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).sum())
 
 OUTPUT_SCHEMA = StructType(
     [
@@ -60,7 +69,7 @@ def _update_user_profile(
     n_events, sum_cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n_events += len(pdf)
-        sum_cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        sum_cents += _cents_sum(pdf["value"])
     state.update((n_events, sum_cents))
     yield pd.DataFrame(
         {
@@ -93,9 +102,9 @@ def streaming_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFr
     from .events import _run_to_table
 
     result = stateful_user_profiles_stream(events_stream(spark, sf_dir))
-    return _run_to_table(result, "ls_stream_stateful", output_mode="update").orderBy(
-        "user_id"
-    )
+    return _run_to_table(
+        result, "ls_stream_stateful", output_mode="update", dedup_keys=["user_id"]
+    ).orderBy("user_id")
 
 
 from ..querydef import QueryDef  # noqa: E402

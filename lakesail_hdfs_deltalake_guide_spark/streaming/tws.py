@@ -23,6 +23,7 @@ from typing import Any
 
 import pandas as pd
 
+from .stateful import _cents_sum
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
@@ -76,7 +77,7 @@ class TypeProfileProcessor(StatefulProcessor):
         n, s, m = existing if existing is not None else (0, 0, -1)
         for pdf in rows:
             n += len(pdf)
-            s += int((pdf["value"] * 100).round().astype("int64").sum())
+            s += _cents_sum(pdf["value"])
             m = max(m, int(pdf["event_id"].max()))
         self._profile.update((n, s, m))
         yield pd.DataFrame(
