@@ -73,6 +73,47 @@ def chunk_doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_WINDOW = 512  # tokens per packed training sequence
+
+
+def chunk_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents (in deterministic doc_id order)
+    to fixed-capacity training sequences by running token count —
+    ``pack_id = (cumsum - 1) div capacity``. One global running-sum window
+    (the deterministic equivalent of greedy first-fit packing when order
+    is pinned), then per-pack occupancy stats — the utilization dashboard
+    for context-window packing.
+
+    Scale note: the single unpartitioned window is the textbook scale
+    hazard; at 100 TB one packs per shard (partitionBy(shard) window) and
+    accepts shard-boundary fragmentation. The fixture query keeps the
+    global order so the oracle is exact; the per-shard variant is the same
+    expression with one extra partition key."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    packed = toks.select(
+        "doc_id",
+        "n_tokens",
+        # SQL-form window so the bucket division is exact bigint `div`
+        F.expr(
+            "(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)"
+            f" - 1) div {PACK_WINDOW}"
+        ).alias("pack_id"),
+    )
+    return (
+        packed.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
 _TOKS = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
 _CHUNKS = f"""
 SELECT doc_id, CAST((start - 1) // {STRIDE} AS BIGINT) AS chunk_idx,
@@ -91,6 +132,29 @@ QUERIES: list[QueryDef] = [
         f"{_CHUNKS} ORDER BY doc_id, chunk_idx",
         tags=("extension", "text", "chunking", "pipeline", "bench"),
         description="Sliding 32-token/stride-16 chunk explosion (map-only).",
+    ),
+    QueryDef(
+        "chunk_pack_sequences",
+        chunk_pack_sequences,
+        f"""
+        WITH toks AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS n_tokens
+          FROM documents),
+        packed AS (
+          SELECT doc_id, n_tokens,
+                 (SUM(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - 1)
+                   // {PACK_WINDOW} AS pack_id
+          FROM toks)
+        SELECT CAST(pack_id AS BIGINT) AS pack_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM packed GROUP BY pack_id ORDER BY pack_id
+        """,
+        tags=("extension", "text", "chunking", "pipeline"),
+        description="Context-window sequence packing by running token "
+        "count.",
     ),
     QueryDef(
         "chunk_doc_coverage",

@@ -263,6 +263,62 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X1b: train/benchmark contamination check -------------------------------
+def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which training documents share an
+    exact normalized fingerprint with a held-out benchmark set (stand-in:
+    doc_id < 20). The decontamination pass every LLM corpus runs before
+    training. Semi-join on md5 digests — the shuffle moves 16-byte hashes,
+    and the (tiny) benchmark digest set broadcasts; at 100 TB the train
+    side streams map-side against the broadcast hash set."""
+    corpus = exact_duplicate_corpus(spark, sf_dir)
+    fp = F.md5(_norm_text()).alias("fingerprint")
+    train = corpus.where(F.col("doc_id") >= 20).select("doc_id", "lang", fp)
+    bench = corpus.where(F.col("doc_id") < 20).select(fp)
+    return (
+        train.join(F.broadcast(bench.distinct()), "fingerprint", "left_semi")
+        .select("doc_id", "lang", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+# --- X2e: edit-distance fuzzy match -----------------------------------------
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching on normalized 64-char prefixes, blocked
+    by language (same-lang pairs only) over a bounded block of the planted
+    near-duplicate corpus — each planted copy (first two tokens dropped)
+    sits within edit distance 20 of its source prefix, so the operator
+    demonstrably catches something.
+
+    Levenshtein is O(len²) per pair, so the scale contract is the same as
+    the n-gram verify: candidates come from a blocking key (here lang; at
+    scale an LSH bucket), never all-pairs, and the compared text is a fixed-
+    width prefix so per-pair cost is constant."""
+    d = near_duplicate_corpus(spark, sf_dir).where(
+        (F.col("doc_id") < 100) | (F.col("doc_id") >= PLANT_OFFSET)
+    )
+    prefix = F.substring(_norm_text(), 1, 64)
+    keyed = d.select("doc_id", "lang", prefix.alias("prefix"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            dist.cast("bigint").alias("edit_distance"),
+        )
+        .where(F.col("edit_distance") <= 20)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # --- X2d: embedding-cosine near-dup ----------------------------------------
 # Dedup banding: 32 hyperplanes → four 8-bit bands. A near-identical pair
 # (cosine ≥ 0.99) flips a given sign bit only when the hyperplane margin is
@@ -417,5 +473,55 @@ QUERIES: list[QueryDef] = [
         dedup_embedding_cosine,
         None,  # float reduction order differs across engines; invariants in tests
         tags=("extension", "dedup", "similarity"),
+    ),
+    QueryDef(
+        "dedup_contamination_check",
+        dedup_contamination_check,
+        f"""
+        WITH corpus AS ({_EXACT_CORPUS_SQL}),
+        train AS (
+          SELECT doc_id, lang, md5({_NORM_SQL}) AS fingerprint
+          FROM corpus WHERE doc_id >= 20),
+        bench AS (
+          SELECT DISTINCT md5({_NORM_SQL}) AS fingerprint
+          FROM corpus WHERE doc_id < 20)
+        SELECT doc_id, lang, fingerprint
+        FROM train
+        WHERE fingerprint IN (SELECT fingerprint FROM bench)
+        ORDER BY doc_id
+        """,
+        tags=("extension", "dedup", "pipeline"),
+        description="Benchmark-contamination scan via broadcast fingerprint "
+        "semi-join.",
+    ),
+    QueryDef(
+        "dedup_levenshtein_pairs",
+        dedup_levenshtein_pairs,
+        rf"""
+        WITH corpus AS (
+          SELECT doc_id, text, lang FROM documents WHERE doc_id < 100
+          UNION ALL
+          SELECT doc_id + {PLANT_OFFSET},
+                 array_to_string(list_slice(string_split(text, ' '), 3,
+                                            len(string_split(text, ' '))), ' '),
+                 lang
+          FROM documents
+          WHERE doc_id < 50
+            AND len(string_split(text, ' ')) >= {MIN_PLANT_TOKENS}),
+        keyed AS (
+          SELECT doc_id, lang,
+                 substring(lower(regexp_replace(text, '\s+', ' ', 'g')), 1, 64)
+                   AS prefix
+          FROM corpus)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+               CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_distance
+        FROM keyed a JOIN keyed b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.prefix, b.prefix) <= 20
+        ORDER BY doc_a, doc_b
+        """,
+        tags=("extension", "dedup", "string"),
+        description="Language-blocked edit-distance fuzzy match on fixed "
+        "prefixes.",
     ),
 ]

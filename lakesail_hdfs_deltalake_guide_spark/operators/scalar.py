@@ -124,7 +124,36 @@ def scalar_map_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: ``bool_and``/``bool_or`` (SQL EVERY/ANY)
+    plus ``count_if`` — per event_type data-quality flags (are all values
+    in range, does any error row exist above the sentinel)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+            F.bool_or(F.col("value") > 9.9).alias("any_sentinel"),
+            F.count_if(F.col("value") > 5.0).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "scalar_bool_aggregates",
+        scalar_bool_aggregates,
+        """
+        SELECT event_type,
+               bool_and(value >= 0) AS all_nonneg,
+               bool_or(value > 9.9) AS any_sentinel,
+               CAST(count_if(value > 5.0) AS BIGINT) AS n_high
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        tags=("extension", "scalar", "agg"),
+        description="bool_and/bool_or/count_if data-quality flags.",
+    ),
     QueryDef(
         "scalar_map_explode_props",
         scalar_map_explode_props,

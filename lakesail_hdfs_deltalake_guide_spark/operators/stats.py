@@ -85,7 +85,47 @@ def stats_qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def stats_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct count (rsd=0.02), gated by an
+    in-engine error-bound check against the exact distinct.
+
+    The sketch value itself is engine-specific (Spark HLL++ ≠ DuckDB's
+    HLL), so the oracle-comparable outputs are the exact count and the
+    boolean "approx landed within 5% of exact" — which the oracle states
+    as TRUE. The check is deterministic: HLL++ is a pure function of the
+    data. At 100 TB the approx path is the one you run (mergeable
+    fixed-size sketches, no distinct shuffle of the key universe); the
+    exact twin here exists to *prove* the error bound, not to ship."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+    return (
+        agg.select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.ceil(F.col("exact_users") * 0.05)
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_approx_distinct_users",
+        stats_approx_distinct_users,
+        """
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS approx_within_5pct
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        tags=("extension", "stats", "approx"),
+        description="HLL++ approx distinct with proven 5% error bound.",
+    ),
     QueryDef(
         "stats_price_histogram",
         stats_price_histogram,

@@ -1,4 +1,5 @@
-"""Extended TPC-H-shaped coverage (Q4/Q6/Q10/Q12/Q14/Q18/Q19/Q22 shapes).
+"""Extended TPC-H-shaped coverage — with relational.py (Q1/Q3/Q5), all 22
+TPC-H query shapes (Q2/Q4/Q6-Q22) adapted to the driver fixtures.
 
 The reference's query ceiling is batch SQL joins + aggregation
 (/root/reference/examples/read_deltalake_hdfs.py:100-198,
@@ -343,6 +344,240 @@ def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q2/Q7/Q8/Q9/Q11/Q13/Q16/Q20 shapes (fixture-adapted: no partsupp
+# table, no comment columns — each keeps its query's canonical plan shape
+# with fixture columns standing in; see per-query docstrings) -----------------
+def tpch_q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: correlated-MIN subquery + dim joins — per EUROPE nation,
+    the supplier(s) holding that nation's minimum account balance (stands
+    in for min ps_supplycost; no partsupp in the fixtures). Group-min +
+    broadcast join-back, the decorrelated plan Catalyst would emit."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    )
+    mins = sn.groupBy("n_nationkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        sn.join(F.broadcast(mins), "n_nationkey")
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: bidirectional nation-pair trade volume per ship year —
+    the two-aliases-of-one-dim join (supplier nation x customer nation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cnk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(_rev_cents()).cast("bigint").alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's STANDARD-part market per
+    order year — conditional-sum numerator over a 6-way join, cents-exact
+    ratio (same floor-quantized percentage as Q14)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_regionkey").alias("crk")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(r), F.col("crk") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("snk"))
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_5", _rev_cents()).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("nation_cents"),
+        F.sum(_rev_cents()).cast("bigint").alias("total_cents"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_cents",
+        "total_cents",
+        (
+            F.floor(
+                F.col("nation_cents").cast("double")
+                / F.col("total_cents").cast("double")
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            / 1_000_000
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: LIKE-filtered part x nation x year profit rollup. Profit
+    proxy (no ps_supplycost in fixtures): revenue minus 10% of retail
+    cost, all in exact integer cents — ``(qty * price_cents) div 10`` is
+    floor division on a non-negative domain, identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cost_cents = F.expr(
+        "(CAST(l_quantity AS BIGINT)"
+        " * CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)) div 10"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            F.sum(_rev_cents() - cost_cents).cast("bigint").alias("profit_cents")
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def tpch_q11_balance_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: groups whose aggregate exceeds a fraction of the global
+    aggregate (HAVING vs scalar subquery). Nations holding > 4% of total
+    supplier balance; integer-cents comparison (bal * 25 > total) so the
+    threshold never hits a double boundary."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_nation = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(cents("s_acctbal")).cast("bigint").alias("bal_cents"))
+    )
+    total = per_nation.agg(F.sum("bal_cents").alias("total_cents"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .where(F.col("bal_cents") * 25 > F.col("total_cents"))
+        .select("n_name", "bal_cents")
+        .orderBy(F.desc("bal_cents"), F.asc("n_name"))
+    )
+
+
+def tpch_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: distribution of per-customer order counts INCLUDING
+    zero-order customers — the filter lives in the LEFT JOIN's ON clause
+    (a WHERE would silently drop the zeros), then aggregate-of-aggregate."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part attribute triple, with
+    a NOT-IN exclusion list (negative-balance suppliers stand in for the
+    complaints filter; lineitem's (partkey, suppkey) pairs stand in for
+    partsupp). Excluded-set anti-join + distinct-count aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_key")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def tpch_q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested semi-join chain — suppliers in one nation whose
+    1997 shipped volume of PROMO parts exceeded a threshold (the
+    'excess stock' half-of-quantity predicate, fixture-adapted)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("promo_qty"))
+        .where(F.col("promo_qty") > 300)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "tpch_q4_order_priority",
@@ -555,5 +790,172 @@ QUERIES: list[QueryDef] = [
         tags=("parity", "join", "agg"),
         description="Q21 shape: EXISTS + NOT EXISTS double-correlation as "
         "one distinct-count pass.",
+    ),
+    QueryDef(
+        "tpch_q2_min_balance_supplier",
+        tpch_q2_min_balance_supplier,
+        """
+        WITH sn AS (
+          SELECT n_nationkey, n_name, s_suppkey, s_name, s_acctbal
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'),
+        m AS (SELECT n_nationkey, MIN(s_acctbal) AS min_bal
+              FROM sn GROUP BY n_nationkey)
+        SELECT n_name, s_suppkey, s_name, s_acctbal
+        FROM sn JOIN m USING (n_nationkey)
+        WHERE s_acctbal = min_bal
+        ORDER BY n_name, s_suppkey
+        """,
+        tags=("parity", "join", "agg"),
+        description="Q2 shape: correlated-MIN subquery decorrelated to "
+        "group-min + join-back.",
+    ),
+    QueryDef(
+        "tpch_q7_volume_shipping",
+        tpch_q7_volume_shipping,
+        f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM({_REV_CENTS}) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """,
+        tags=("parity", "join", "agg"),
+        description="Q7 shape: bidirectional nation-pair volume per year.",
+    ),
+    QueryDef(
+        "tpch_q8_market_share",
+        tpch_q8_market_share,
+        f"""
+        WITH j AS (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 {_REV_CENTS} AS rc, n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE p_type = 'STANDARD' AND r_name = 'ASIA')
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rc ELSE 0 END)
+                    AS BIGINT) AS nation_cents,
+               CAST(SUM(rc) AS BIGINT) AS total_cents,
+               FLOOR(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rc
+                                   ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(rc) AS DOUBLE) * 1000000 + 0.5) / 1000000
+                 AS mkt_share
+        FROM j GROUP BY o_year ORDER BY o_year
+        """,
+        tags=("parity", "join", "agg", "case"),
+        description="Q8 shape: national market share per order year.",
+    ),
+    QueryDef(
+        "tpch_q9_product_type_profit",
+        tpch_q9_product_type_profit,
+        f"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM({_REV_CENTS}
+                        - (CAST(l_quantity AS BIGINT)
+                           * CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT))
+                          // 10) AS BIGINT) AS profit_cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY n_name, o_year
+        ORDER BY nation, o_year DESC
+        """,
+        tags=("parity", "join", "agg"),
+        description="Q9 shape: LIKE-filtered nation x year profit rollup "
+        "in exact cents.",
+    ),
+    QueryDef(
+        "tpch_q11_balance_concentration",
+        tpch_q11_balance_concentration,
+        f"""
+        WITH per_nation AS (
+          SELECT n_name, CAST(SUM({sql_cents("s_acctbal")}) AS BIGINT)
+                   AS bal_cents
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          GROUP BY n_name)
+        SELECT n_name, bal_cents
+        FROM per_nation
+        WHERE bal_cents * 25 > (SELECT SUM(bal_cents) FROM per_nation)
+        ORDER BY bal_cents DESC, n_name
+        """,
+        tags=("parity", "agg", "having"),
+        description="Q11 shape: group aggregate vs global-fraction scalar.",
+    ),
+    QueryDef(
+        "tpch_q13_order_count_distribution",
+        tpch_q13_order_count_distribution,
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer
+              LEFT JOIN orders ON c_custkey = o_custkey
+                              AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """,
+        tags=("parity", "join", "agg"),
+        description="Q13 shape: per-customer order-count distribution with "
+        "zeros (filter in the ON clause).",
+    ),
+    QueryDef(
+        "tpch_q16_supplier_part_counts",
+        tpch_q16_supplier_part_counts,
+        """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#3'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        tags=("parity", "join", "agg"),
+        description="Q16 shape: distinct-supplier counts with NOT-IN "
+        "exclusion.",
+    ),
+    QueryDef(
+        "tpch_q20_promo_part_suppliers",
+        tpch_q20_promo_part_suppliers,
+        """
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'PROMO'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+        ORDER BY s_suppkey
+        """,
+        tags=("parity", "join", "agg", "having"),
+        description="Q20 shape: nested semi-join chain over a HAVING "
+        "survivor set.",
     ),
 ]

@@ -175,6 +175,26 @@ def io_json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def io_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read roundtrip — the other columnar format Spark ships
+    natively (vectorized reader, predicate pushdown, same FileFormatWriter
+    path as Parquet); proves format-portability of the IO tier."""
+    p = load_table(spark, sf_dir, "part")
+    out = tempfile.mkdtemp(prefix="ls_io_orc_")
+    p.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).where(F.col("p_size") <= 10)
+    return (
+        back.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("long")).alias(
+                "sum_price_cents"
+            ),
+        )
+        .orderBy("p_type")
+    )
+
+
 def sql_over_views_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's primary usage pattern: register temp views, run a
     multi-table SQL string through ``spark.sql``
@@ -335,6 +355,19 @@ QUERIES: list[QueryDef] = [
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         tags=("parity", "io", "delta"),
+    ),
+    QueryDef(
+        "io_orc_roundtrip_agg",
+        io_orc_roundtrip_agg,
+        """
+        SELECT p_type, COUNT(*) AS n_parts,
+               CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents
+        FROM part WHERE p_size <= 10
+        GROUP BY p_type ORDER BY p_type
+        """,
+        tags=("parity", "io"),
+        description="ORC roundtrip (Spark's second native columnar format).",
     ),
     QueryDef(
         "io_range_roundtrip_count",

@@ -204,6 +204,42 @@ def compact(spark: SparkSession, table_path: str, num_files: int = 1) -> int:
     return commit(cur.repartition(num_files), table_path, mode="overwrite")
 
 
+def vacuum(table_path: str, retain_last: int = 1) -> int:
+    """Delta ``VACUUM`` analogue: physically delete data directories not
+    referenced by the ``retain_last`` newest versions, and drop their log
+    entries. Returns the number of data directories removed. Time travel
+    to vacuumed versions is no longer possible — the same contract as
+    Delta VACUUM after the retention window.
+
+    Scale posture: pure namespace operations against the Hadoop
+    FileSystem (list + recursive delete); no data is read or moved."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    versions = list_versions(table_path)
+    if not versions:
+        return 0
+    kept = versions[-retain_last:]
+    keep_names = set()
+    for v in kept:
+        for d in _read_log(table_path, v)["data_dirs"]:
+            keep_names.add(d.rstrip("/").rsplit("/", 1)[-1])
+
+    jvm, fs, root = _hadoop_fs(table_path)
+    removed = 0
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("_v=") and name not in keep_names:
+            fs.delete(status.getPath(), True)
+            removed += 1
+    for v in versions:
+        if v not in kept:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{_log_path(table_path)}/{v}.json"),
+                False,
+            )
+    return removed
+
+
 def history(table_path: str) -> list[dict]:
     """Commit history, newest first (Delta's ``DESCRIBE HISTORY`` shape)."""
     return [

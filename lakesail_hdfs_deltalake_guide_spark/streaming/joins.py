@@ -69,6 +69,27 @@ def streaming_dedup_users_per_type(spark: SparkSession, sf_dir: str) -> DataFram
     return _run_to_table(agg, "ls_stream_dedup").orderBy("event_type")
 
 
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    evicts each key's dedup state once the watermark passes its event time
+    — O(keys-in-horizon) state instead of O(all keys ever), the 100 TB
+    streaming-dedup posture (plain ``dropDuplicates`` state grows without
+    bound; this is the trade documented on streaming_dedup_users_per_type).
+    With an availableNow drain of the fixture (one batch, watermark only
+    advances after the batch) every in-batch duplicate is caught, so the
+    emitted key set equals exact DISTINCT — the oracle."""
+    ev = events_stream(spark, sf_dir)
+    deduped = (
+        ev.select("user_id", "event_type", "ts")
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_table(
+        deduped, "ls_stream_dedup_wm", output_mode="append"
+    ).orderBy("user_id", "event_type")
+
+
 def streaming_interval_join_click_error(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -274,6 +295,17 @@ QUERIES: list[QueryDef] = [
         """,
         tags=("extension", "streaming", "dedup"),
         description="Streaming dropDuplicates → distinct users per type.",
+    ),
+    QueryDef(
+        "streaming_dedup_within_watermark",
+        streaming_dedup_within_watermark,
+        """
+        SELECT DISTINCT user_id, event_type
+        FROM events ORDER BY user_id, event_type
+        """,
+        tags=("extension", "streaming", "dedup"),
+        description="Watermark-bounded streaming dedup (state evicted past "
+        "the horizon).",
     ),
     QueryDef(
         "streaming_interval_join_click_error",

@@ -61,6 +61,31 @@ def test_salted_join_spreads_hot_keys(spark, sf_smoke):
     assert str(SALT_BUCKETS - 1) in plan
 
 
+def test_embedding_dedup_has_no_cartesian_product(spark, sf_smoke):
+    """dedup_embedding_cosine must draw candidates from the LSH bucket
+    equi-join — an unbounded crossJoin over the embeddings table is the
+    exact plan regression that dies at 100 TB."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    plan = explain_str(dedup_embedding_cosine(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_no_repartition_when_well_split(spark, sf_smoke):
+    """_sketch_parallel must be a no-op when the source already has enough
+    splits (at 100 TB the scan arrives pre-split; inheriting the fixture
+    repartition would shuffle the raw corpus for nothing)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        _sketch_parallel,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    wide = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+    assert _sketch_parallel(wide) is wide
+
+
 def test_cached_table_plans_inmemory_scan(spark, sf_smoke):
     """df.cache(): downstream plans must read the InMemoryRelation, not
     re-scan parquet — the multi-query working-set pattern (a 100 TB scan

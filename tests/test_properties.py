@@ -88,3 +88,22 @@ def test_cents_sum_is_order_independent(xs):
     # sums to the same integer, while float sums need not.
     cents = [math.floor(x * 100 + 0.5) for x in xs]
     assert sum(cents) == sum(reversed(cents)) == sum(sorted(cents))
+
+
+def _floor_div_replica(n: int, d: int) -> int:
+    """Pure-Python replica of functions/rounding.floor_div_expr: Spark
+    `div` (trunc toward zero) corrected to floor semantics."""
+    t = abs(n) // abs(d)
+    t = t if (n < 0) == (d < 0) else -t
+    if n % d != 0 and (n < 0) != (d < 0):
+        return t - 1
+    return t
+
+
+@given(
+    st.integers(min_value=-(10**15), max_value=10**15),
+    st.integers(min_value=-(10**9), max_value=10**9).filter(lambda d: d != 0),
+)
+def test_floor_div_expr_matches_python_floor_division(n, d):
+    # DuckDB `//` is floor division — Python's // is the reference.
+    assert _floor_div_replica(n, d) == n // d

@@ -60,3 +60,43 @@ def test_q22_no_collect_scalar_is_broadcast(spark, sf_smoke):
 def test_q4_q22_rows(spark, sf_smoke):
     assert tpch_q4_order_priority(spark, sf_smoke).count() > 0
     assert tpch_q22_dormant_customers(spark, sf_smoke).count() > 0
+
+
+def test_q7_q8_dims_broadcast(spark, sf_smoke):
+    """Q7/Q8: every dim (supplier/nation/region/part) must broadcast —
+    the fact side never moves for a dim join at 100 TB."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.tpch_more import (
+        tpch_q7_volume_shipping,
+        tpch_q8_market_share,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.plans.inspect import (
+        broadcast_join_count,
+    )
+
+    assert broadcast_join_count(tpch_q7_volume_shipping(spark, sf_smoke)) >= 3
+    assert broadcast_join_count(tpch_q8_market_share(spark, sf_smoke)) >= 4
+
+
+def test_q13_left_join_preserves_zero_customers(spark, sf_smoke):
+    """Q13: the priority filter must live in the JOIN's ON clause — a
+    post-join WHERE silently drops zero-order customers."""
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.tpch_more import (
+        tpch_q13_order_count_distribution,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    dist = tpch_q13_order_count_distribution(spark, sf_smoke)
+    total = dist.agg(F.sum("custdist")).collect()[0][0]
+    assert total == load_table(spark, sf_smoke, "customer").count()
+
+
+def test_q20_semi_join_no_supplier_duplication(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.tpch_more import (
+        tpch_q20_promo_part_suppliers,
+    )
+
+    rows = tpch_q20_promo_part_suppliers(spark, sf_smoke).collect()
+    keys = [r.s_suppkey for r in rows]
+    assert len(keys) == len(set(keys))

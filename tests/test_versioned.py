@@ -80,6 +80,30 @@ def test_history_and_invalid_version(spark, sf_smoke, tmp_path):
         read_version(spark, path, version_as_of=99)
 
 
+def test_vacuum_removes_unreferenced_versions(spark, sf_smoke, tmp_path):
+    from lakesail_hdfs_deltalake_guide_spark.sources.versioned import vacuum
+
+    path = str(tmp_path / "vac")
+    nation = load_table(spark, sf_smoke, "nation")
+    commit(nation, path, mode="overwrite")          # v0: dir A
+    commit(nation.limit(5), path, mode="append")    # v1: dirs A,B
+    commit(nation.limit(3), path, mode="overwrite")  # v2: dir C
+
+    removed = vacuum(path, retain_last=1)
+    # v2 references only dir C; dirs A and B are unreferenced.
+    assert removed == 2
+    assert list_versions(path) == [2]
+    assert read_version(spark, path).count() == 3
+    with pytest.raises(ValueError):
+        read_version(spark, path, version_as_of=0)
+    # Idempotent: nothing left to remove.
+    assert vacuum(path, retain_last=1) == 0
+    # Table still writable after vacuum; versions keep monotonic numbering.
+    v3 = commit(nation.limit(1), path, mode="append")
+    assert v3 == 3
+    assert read_version(spark, path).count() == 4
+
+
 def test_merge_upsert_updates_and_inserts(spark, sf_smoke, tmp_path):
     from lakesail_hdfs_deltalake_guide_spark.sources.versioned import merge_upsert
 
