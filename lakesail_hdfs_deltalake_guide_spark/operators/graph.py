@@ -113,6 +113,90 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return labels.select("node", F.col("label").alias("component"))
 
 
+# ---------------------------------------------------------------------------
+# Weighted PageRank over the nation trade graph (iterative joins)
+
+PR_SCALE = 10**12  # ranks as fixed-point 1e-12 units (BIGINT)
+PR_ITERS = 3
+PR_N = 25  # TPC-H nation count (fixed by the spec at every SF)
+PR_BASE = (PR_SCALE * 15 // 100) // PR_N  # (1-d)/N with d = 0.85
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, w): customer-nation → supplier-nation lineitem counts.
+
+    This is the big-data half of PageRank: two fact-table joins and one
+    aggregate, shuffling on the join keys; the 25×25 output is the graph.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust_nat = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", F.col("c_nationkey").alias("src")
+    )
+    return (
+        li.join(cust_nat, li.l_orderkey == cust_nat.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select("src", F.col("s_nationkey").alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (d=0.85, 3 power iterations) over nation trade.
+
+    All arithmetic is fixed-point BIGINT so both engines agree bit-for-bit
+    regardless of summation order (double dot products would drift at the
+    last ulp between Spark's and DuckDB's addition orders):
+
+    - per-edge transition share precomputed as ppm: ``w * 1e6 div out_w``
+      (≤ 1e6, so ``rank * share`` stays ≤ 1e18 — no BIGINT overflow even
+      with 100 TB edge weights, which a raw ``rank * w`` product would
+      overflow);
+    - iteration: ``r'(v) = (1-d)·SCALE/N + d · Σ_u (r(u)·share(u,v)) div 1e6``
+      with d as the exact rational 85/100.
+
+    Only edge aggregation touches the fact tables; each iteration joins
+    the |V|-row rank vector (broadcast) to the |E|-row share table — at
+    web scale that is the canonical shuffle-on-dst pattern, here the
+    driver never sees a row. Truncating integer division loses < 1 unit
+    (1e-12) per edge per iteration — the invariant test bounds the total
+    leak.
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    edges = trade_edges(spark, sf_dir)
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    shares = (
+        edges.join(out_w, "src")
+        .select("src", "dst", F.expr("w * 1000000 div out_w").alias("share_ppm"))
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("v"))
+    ranks = nodes.select("v", F.lit(PR_SCALE // PR_N).alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = shares.join(ranks, shares.src == ranks.v).select(
+            F.col("dst").alias("v"),
+            F.expr("r * share_ppm div 1000000").alias("c"),
+        )
+        incoming = contrib.groupBy("v").agg(F.sum("c").alias("inc"))
+        ranks = (
+            nodes.join(incoming, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr("85 * coalesce(inc, 0L) div 100")
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.join(nation, ranks.v == nation.n_nationkey)
+        .select("n_name", F.col("r").alias("rank_e12"))
+        .orderBy(F.desc("rank_e12"), "n_name")
+    )
+
+
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-document duplicate clusters: (component, n_docs), n ≥ 2."""
     docs = load_table(spark, sf_dir, "documents")
@@ -149,7 +233,54 @@ reach(node, label) AS (
 cc AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
 """
 
+def _pr_iter(prev: str, cur: str) -> str:
+    """One unrolled fixed-point PageRank iteration as a DuckDB CTE."""
+    return f"""
+{cur} AS (
+  SELECT n.n_nationkey AS v,
+         CAST({PR_BASE} + 85 * COALESCE(
+           CAST(SUM(p.r * s.share_ppm // 1000000) AS BIGINT), 0) // 100
+           AS BIGINT) AS r
+  FROM nation n
+  LEFT JOIN sh s ON s.dst = n.n_nationkey
+  LEFT JOIN {prev} p ON p.v = s.src
+  GROUP BY 1)"""
+
+
+_PAGERANK_SQL = (
+    f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+outd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+sh AS (
+  SELECT e.src, e.dst, CAST(e.w * 1000000 // o.out_w AS BIGINT) AS share_ppm
+  FROM edges e JOIN outd o USING (src)),
+r0 AS (SELECT n_nationkey AS v, CAST({PR_SCALE // PR_N} AS BIGINT) AS r
+       FROM nation),"""
+    + ",".join(_pr_iter(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS))
+    + f"""
+SELECT n.n_name, rf.r AS rank_e12
+FROM r{PR_ITERS} rf JOIN nation n ON n.n_nationkey = rf.v
+ORDER BY rank_e12 DESC, n_name
+"""
+)
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "graph_pagerank_trade",
+        graph_pagerank_trade,
+        _PAGERANK_SQL,
+        tags=("extension", "graph", "iterative"),
+        description="Weighted fixed-point PageRank (3 iterations) over the "
+        "customer→supplier nation trade graph, pinned to an unrolled-CTE "
+        "oracle.",
+    ),
     QueryDef(
         "dedup_cluster_sizes",
         dedup_cluster_sizes,

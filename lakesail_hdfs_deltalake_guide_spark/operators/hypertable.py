@@ -1,0 +1,182 @@
+"""Hypertable tier: multi-resolution time rollups + incremental
+continuous-aggregate maintenance (TimescaleDB-style, Spark-first).
+
+The reference has no time-series surface (SURVEY.md §2.7); this tier adds
+the two operators a time-partitioned event store ("hypertable") is built
+around:
+
+- **multi-resolution rollup** — one scan of the fact table produces the
+  hour/day/week aggregate ladder via ``GROUPING SETS`` over precomputed
+  bucket columns: Spark plans a single ``Expand`` (×3) + one hash
+  aggregate — one shuffle regardless of how many resolutions, instead of
+  three scans + three shuffles for three separate GROUP BYs.
+- **incremental refresh** — continuous-aggregate maintenance: historical
+  hourly *partial* aggregates (count + sum are mergeable monoids) are
+  persisted once; a refresh scans only the fresh delta slice, computes
+  delta partials, and merges (``SUM`` of partials) — the 100 TB story is
+  that a daily refresh reads one day, not the whole table. The oracle is
+  the full recompute, so the merge is proven lossless.
+
+All buckets are exact bigint arithmetic on epoch-micros (``ts_ns div
+1000``) — double division wobbles at ±1 µs near bucket boundaries for
+epoch-nanos magnitudes (see tables.py:47-52) and would silently flip
+boundary rows to the wrong bucket.
+
+Week buckets are epoch-aligned (micros div 604800000000), not ISO weeks:
+identical arithmetic on both engines beats calendar semantics for an
+oracle-pinned rollup.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+from ..tables import load_table
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+WEEK_US = 604_800_000_000
+
+
+def _bucketed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with exact hour/day/week epoch-µs buckets + integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_type",
+        F.expr(f"(ts_ns div 1000) div {HOUR_US} * {HOUR_US}").alias("hour_us"),
+        F.expr(f"(ts_ns div 1000) div {DAY_US} * {DAY_US}").alias("day_us"),
+        F.expr(f"(ts_ns div 1000) div {WEEK_US} * {WEEK_US}").alias("week_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+    )
+
+
+def hypertable_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/week rollup ladder per event_type in ONE scan.
+
+    ``GROUPING SETS ((event_type, hour_us), (event_type, day_us),
+    (event_type, week_us))``: Spark's Expand replicates each input row
+    once per set and a single partial+final hash aggregate produces all
+    three resolutions — the continuous-aggregate ladder without
+    re-scanning the fact table per resolution.
+
+    The temp view is uuid-suffixed: SQL-text resolution of a fixed view
+    name is lazy, so a later invocation with another sf_dir could swap
+    the data under an un-collected result.
+    """
+    view = f"ls_hypertable_{uuid.uuid4().hex[:8]}"
+    _bucketed_events(spark, sf_dir).createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT CASE WHEN grouping(hour_us) = 0 THEN 'hour'
+                    WHEN grouping(day_us) = 0 THEN 'day'
+                    ELSE 'week' END AS resolution,
+               event_type,
+               coalesce(hour_us, day_us, week_us) AS bucket_us,
+               COUNT(*) AS n_events,
+               SUM(value_cents) AS sum_value_cents
+        FROM {view}
+        GROUP BY GROUPING SETS ((event_type, hour_us),
+                                (event_type, day_us),
+                                (event_type, week_us))
+        ORDER BY resolution, event_type, bucket_us
+        """
+    )
+
+
+def hypertable_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate refresh: merge stored partials with a delta.
+
+    The split point is the last day present in the data (a 1-row bounded
+    aggregate broadcast into the scan predicate — never a driver-side
+    constant baked from ``collect``): everything before it is "history"
+    whose hourly partials are already materialized; the last day is the
+    freshly-arrived delta. The refresh aggregates ONLY the delta and
+    merges by summing partials — count and cent-sum are monoids, so
+    merge-of-partials ≡ full recompute, and the oracle (full recompute)
+    proves it.
+
+    At 100 TB the history partials table is ~5 orders of magnitude
+    smaller than the fact table (one row per (type, hour)); the refresh
+    cost is the delta scan + a shuffle of partials.
+    """
+    ev = _bucketed_events(spark, sf_dir)
+    cut = ev.agg(F.max("day_us").alias("cut_day_us"))
+    tagged = ev.crossJoin(F.broadcast(cut))
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "hour_us").agg(
+            F.count(F.lit(1)).alias("n_part"),
+            F.sum("value_cents").alias("cents_part"),
+        )
+
+    # Materialize the historical partials once (the stored continuous
+    # aggregate); parquet in a temp dir stands in for the MV table.
+    mv_dir = tempfile.mkdtemp(prefix="ls_hypertable_mv_")
+    partials(tagged.where(F.col("day_us") < F.col("cut_day_us"))).write.mode(
+        "overwrite"
+    ).parquet(mv_dir)
+
+    delta = partials(tagged.where(F.col("day_us") >= F.col("cut_day_us")))
+    stored = spark.read.parquet(mv_dir)
+    return (
+        stored.unionByName(delta)
+        .groupBy("event_type", "hour_us")
+        .agg(
+            F.sum("n_part").alias("n_events"),
+            F.sum("cents_part").alias("sum_value_cents"),
+        )
+        .orderBy("event_type", "hour_us")
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "hypertable_multires_rollup",
+        hypertable_multires_rollup,
+        f"""
+        WITH b AS (
+          SELECT event_type,
+                 epoch_us(ts) // {HOUR_US} * {HOUR_US} AS hour_us,
+                 epoch_us(ts) // {DAY_US} * {DAY_US} AS day_us,
+                 epoch_us(ts) // {WEEK_US} * {WEEK_US} AS week_us,
+                 CAST(round(value * 100) AS BIGINT) AS value_cents
+          FROM events)
+        SELECT CASE WHEN GROUPING(hour_us) = 0 THEN 'hour'
+                    WHEN GROUPING(day_us) = 0 THEN 'day'
+                    ELSE 'week' END AS resolution,
+               event_type,
+               COALESCE(hour_us, day_us, week_us) AS bucket_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(value_cents) AS BIGINT) AS sum_value_cents
+        FROM b
+        GROUP BY GROUPING SETS ((event_type, hour_us),
+                                (event_type, day_us),
+                                (event_type, week_us))
+        ORDER BY resolution, event_type, bucket_us
+        """,
+        tags=("extension", "hypertable", "olap", "timeseries"),
+        description="Hour/day/week rollup ladder in one scan via GROUPING SETS.",
+    ),
+    QueryDef(
+        "hypertable_incremental_refresh",
+        hypertable_incremental_refresh,
+        f"""
+        SELECT event_type,
+               epoch_us(ts) // {HOUR_US} * {HOUR_US} AS hour_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_type, hour_us
+        """,
+        tags=("extension", "hypertable", "timeseries"),
+        description="Continuous-aggregate refresh: stored hourly partials "
+        "merged with the last-day delta ≡ full recompute.",
+    ),
+]

@@ -124,9 +124,68 @@ def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing to a per-source token budget (Pile/Dolma-style).
+
+    The budget is the smallest source's total chars (a uniform cap no
+    source can exceed); every source gets a deterministic Bernoulli rate
+    ``budget/total`` expressed as exact integer ppm, and membership is the
+    usual scan-side hash predicate. The rate table is one tiny broadcast
+    (|sources| rows) — the 100 TB corpus is read once, filtered in the
+    scan, never shuffled. At >TB-per-source scale, normalize char totals
+    to KB before the ppm ratio so ``budget * 1e6`` stays in BIGINT.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tot = d.groupBy("source").agg(F.sum("n_chars").alias("total_chars"))
+    budget = tot.agg(F.min("total_chars").alias("budget_chars"))
+    rates = tot.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "total_chars",
+        F.expr("budget_chars * 1000000 div total_chars").alias("rate_ppm"),
+    )
+    kept = d.join(F.broadcast(rates), "source").where(
+        lehmer_hash("doc_id") % 1000000 < F.col("rate_ppm")
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.max("total_chars").alias("total_chars"),
+            F.max("rate_ppm").alias("rate_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 _H = sql_lehmer_hash("doc_id")
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sample_token_budget_mix",
+        sample_token_budget_mix,
+        f"""
+        WITH tot AS (
+          SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM documents GROUP BY source),
+        b AS (SELECT MIN(total_chars) AS budget_chars FROM tot),
+        rates AS (
+          SELECT source, total_chars,
+                 CAST(budget_chars * 1000000 // total_chars AS BIGINT)
+                   AS rate_ppm
+          FROM tot CROSS JOIN b)
+        SELECT d.source, COUNT(*) AS n_docs_kept,
+               CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars,
+               CAST(MAX(r.total_chars) AS BIGINT) AS total_chars,
+               CAST(MAX(r.rate_ppm) AS BIGINT) AS rate_ppm
+        FROM documents d JOIN rates r USING (source)
+        WHERE {_H} % 1000000 < r.rate_ppm
+        GROUP BY d.source ORDER BY d.source
+        """,
+        tags=("extension", "sampling", "pipeline"),
+        description="Per-source token-budget mixing: deterministic rate "
+        "sampling to a uniform char cap.",
+    ),
     QueryDef(
         "sample_weighted_by_length",
         sample_weighted_by_length,

@@ -41,6 +41,7 @@ _TIER_MODULES = (
     "operators.chunking",
     "operators.clustering",
     "operators.timeseries",
+    "operators.hypertable",
     "operators.cleaning",
     "operators.profiling",
     "operators.graph",

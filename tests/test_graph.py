@@ -38,3 +38,20 @@ def test_components_are_consistent(spark, sf_smoke):
         "dst",
     )
     assert e.where(F.col("c_src") != F.col("c_dst")).count() == 0
+
+
+def test_pagerank_conserves_mass_and_shape(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        PR_SCALE,
+        graph_pagerank_trade,
+    )
+
+    rows = graph_pagerank_trade(spark, sf_smoke).collect()
+    assert len(rows) == 25
+    assert all(r.rank_e12 > 0 for r in rows)
+    total = sum(r.rank_e12 for r in rows)
+    # truncating integer division only ever LOSES mass (never creates it):
+    # ≤ 1e-12 per edge per iteration plus the ppm share floor — bound the
+    # total leak at 1% of the probability mass.
+    assert total <= PR_SCALE
+    assert total >= PR_SCALE * 99 // 100

@@ -1,0 +1,55 @@
+"""Hypertable tier invariants: rollup-ladder conservation + lossless
+incremental merge (values themselves are pinned by the DuckDB oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.operators.hypertable import (
+    HOUR_US,
+    hypertable_incremental_refresh,
+    hypertable_multires_rollup,
+)
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def test_multires_rollup_conserves_counts(spark, sf_smoke):
+    out = hypertable_multires_rollup(spark, sf_smoke)
+    per_res = {
+        r.resolution: (r.n, r.cents)
+        for r in out.groupBy("resolution")
+        .agg(
+            F.sum("n_events").alias("n"), F.sum("sum_value_cents").alias("cents")
+        )
+        .collect()
+    }
+    assert set(per_res) == {"hour", "day", "week"}
+    # every resolution is a complete partition of the same event set
+    assert len({v for v in per_res.values()}) == 1
+    total = load_table(spark, sf_smoke, "events").count()
+    assert per_res["hour"][0] == total
+    # coarser resolutions have (weakly) fewer buckets
+    n_buckets = {
+        r.resolution: r.b
+        for r in out.groupBy("resolution").agg(F.count(F.lit(1)).alias("b")).collect()
+    }
+    assert n_buckets["week"] <= n_buckets["day"] <= n_buckets["hour"]
+
+
+def test_incremental_refresh_equals_full_recompute(spark, sf_smoke):
+    ev = load_table(spark, sf_smoke, "events")
+    full = (
+        ev.select(
+            "event_type",
+            F.expr(f"(ts_ns div 1000) div {HOUR_US} * {HOUR_US}").alias("hour_us"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "hour_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_value_cents"),
+        )
+    )
+    merged = hypertable_incremental_refresh(spark, sf_smoke)
+    assert merged.count() == full.count()
+    assert merged.exceptAll(full).count() == 0

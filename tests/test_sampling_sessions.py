@@ -72,3 +72,18 @@ def test_session_stats_single_user_shuffle(spark, sf_smoke):
     # window on user_id + groupBy (user_id, session_idx) reuse ONE hash
     # exchange; orderBy adds at most a range exchange.
     assert shuffle_count(session_stats(spark, sf_smoke)) <= 2
+
+
+def test_token_budget_mix_caps_every_source(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        sample_token_budget_mix,
+    )
+
+    rows = sample_token_budget_mix(spark, sf_smoke).collect()
+    assert rows, "at least one source survives"
+    assert all(r.rate_ppm <= 1_000_000 for r in rows)
+    assert all(r.kept_chars <= r.total_chars for r in rows)
+    # the budget-defining (smallest) source is kept in full
+    smallest = min(rows, key=lambda r: r.total_chars)
+    assert smallest.rate_ppm == 1_000_000
+    assert smallest.kept_chars == smallest.total_chars
