@@ -171,17 +171,22 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares = (
         edges.join(out_w, "src")
         .select("src", "dst", F.expr("w * 1000000 div out_w").alias("share_ppm"))
+        # Truncate lineage: without this, every iteration's plan re-embeds
+        # the 4-way fact-table join (the classic iterative-Spark trap —
+        # see connected_components above); after this the fact tables are
+        # scanned exactly once and iterations run on the |E|-row table.
+        .localCheckpoint(eager=True)
     )
     nodes = nation.select(F.col("n_nationkey").alias("v"))
     ranks = nodes.select("v", F.lit(PR_SCALE // PR_N).alias("r"))
     for _ in range(PR_ITERS):
-        contrib = shares.join(ranks, shares.src == ranks.v).select(
+        contrib = shares.join(F.broadcast(ranks), shares.src == ranks.v).select(
             F.col("dst").alias("v"),
             F.expr("r * share_ppm div 1000000").alias("c"),
         )
         incoming = contrib.groupBy("v").agg(F.sum("c").alias("inc"))
         ranks = (
-            nodes.join(incoming, "v", "left")
+            nodes.join(F.broadcast(incoming), "v", "left")
             .select(
                 "v",
                 (

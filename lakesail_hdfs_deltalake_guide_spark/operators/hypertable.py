@@ -159,7 +159,7 @@ QUERIES: list[QueryDef] = [
                                 (event_type, week_us))
         ORDER BY resolution, event_type, bucket_us
         """,
-        tags=("extension", "hypertable", "olap", "timeseries"),
+        tags=("extension", "hypertable", "olap", "timeseries", "bench"),
         description="Hour/day/week rollup ladder in one scan via GROUPING SETS.",
     ),
     QueryDef(

@@ -59,7 +59,62 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.orderBy("column_name")
 
 
+def profile_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card manifest: per-split sizes + a content checksum.
+
+    Reproducible dataset releases ship a manifest the consumer can
+    re-derive: split sizes, char/doc counts, and an order-insensitive
+    corpus checksum. The checksum is ``bit_xor`` over a 48-bit md5 prefix
+    of the normalized text — XOR is commutative/associative (partition-
+    order-proof), never overflows, and merges across partials, so the
+    same manifest emerges from any cluster/partitioning at any scale.
+    One scan, one tiny shuffle of (split, partial-xor) rows.
+    """
+    from .sampling import split_column
+
+    d = load_table(spark, sf_dir, "documents")
+    digest = F.conv(
+        F.substring(F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    return (
+        d.withColumn("split", split_column("doc_id"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+            F.bit_xor(digest).alias("content_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+from .sampling import sql_lehmer_hash as _slh  # noqa: E402
+
+_MANIFEST_H = _slh("doc_id")
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "profile_dataset_manifest",
+        profile_dataset_manifest,
+        f"""
+        SELECT CASE WHEN {_MANIFEST_H} % 100 < 80 THEN 'train'
+                    WHEN {_MANIFEST_H} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(BIT_XOR(CAST(('0x' || substring(
+                 md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))), 1, 12))
+                 AS BIGINT)) AS BIGINT) AS content_checksum
+        FROM documents GROUP BY split ORDER BY split
+        """,
+        tags=("extension", "profiling", "pipeline"),
+        description="Per-split dataset-card manifest with an "
+        "order-insensitive XOR content checksum.",
+    ),
     QueryDef(
         "profile_orders_columns",
         profile_orders_columns,

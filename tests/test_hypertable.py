@@ -53,3 +53,27 @@ def test_incremental_refresh_equals_full_recompute(spark, sf_smoke):
     merged = hypertable_incremental_refresh(spark, sf_smoke)
     assert merged.count() == full.count()
     assert merged.exceptAll(full).count() == 0
+
+
+def test_manifest_checksum_is_partitioning_invariant(spark, sf_smoke):
+    """XOR checksum must not depend on how the corpus is split."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.profiling import (
+        profile_dataset_manifest,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import split_column
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    base = {r.split: r.content_checksum
+            for r in profile_dataset_manifest(spark, sf_smoke).collect()}
+    d = load_table(spark, sf_smoke, "documents").repartition(7)
+    digest = F.conv(
+        F.substring(F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))), 1, 12),
+        16, 10,
+    ).cast("long")
+    alt = {
+        r.split: r.cs
+        for r in d.withColumn("split", split_column("doc_id"))
+        .groupBy("split").agg(F.bit_xor(digest).alias("cs")).collect()
+    }
+    assert base == alt
