@@ -100,3 +100,68 @@ def test_cached_table_plans_inmemory_scan(spark, sf_smoke):
         assert "InMemoryTableScan" in explain_str(agg)
     finally:
         cached.unpersist()
+
+
+def test_hypertable_rollup_is_one_expand_one_agg_shuffle(spark, sf_smoke):
+    """GROUPING SETS must plan a single Expand + one aggregation shuffle —
+    three resolutions from ONE scan, not three scans/shuffles."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.hypertable import (
+        hypertable_multires_rollup,
+    )
+
+    df = hypertable_multires_rollup(spark, sf_smoke)
+    expand_nodes = [
+        line
+        for line in explain_str(df).splitlines()
+        if line.strip().startswith("(") and ") Expand" in line
+    ]
+    assert len(expand_nodes) == 1
+    # one exchange for the final hash agg + one for the output sort
+    assert shuffle_count(df) <= 2
+
+
+def test_pagerank_iterations_do_not_rescan_facts(spark, sf_smoke):
+    """After the share-table localCheckpoint, the iteration plan must be
+    fact-free: re-embedding the 4-way join would scan lineitem 3x."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        graph_pagerank_trade,
+    )
+
+    df = graph_pagerank_trade(spark, sf_smoke)
+    plan = explain_str(df)
+    assert "lineitem" not in plan and "orders" not in plan
+    # rank vector joins are broadcasts, never shuffled sort-merge joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_smoke):
+    """Spark's runtime Bloom-filter join pruning (AQE) engages on a
+    selective fact⋈fact join once the size thresholds match the data —
+    at 100 TB the defaults (10 GB application side) make this automatic;
+    here the thresholds are scaled down to fixture size to pin the
+    optimizer path."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_smoke, "lineitem")
+        o = load_table(spark, sf_smoke, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in opt.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

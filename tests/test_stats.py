@@ -33,3 +33,31 @@ def test_histogram_counts_total(spark, sf_smoke):
     total = h.agg(F.sum("n_orders").alias("s")).collect()[0]["s"]
     assert total == load_table(spark, sf_smoke, "orders").count()
     assert all(0 <= r["bucket"] <= 9 for r in h.collect())
+
+
+def test_kmv_estimate_within_theory_error(spark, sf_oracle):
+    """KMV relative error concentrates near 1/sqrt(k-1) ≈ 12.7% for k=64;
+    assert a 3-sigma-ish band plus exactness below the sketch size."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        KMV_K,
+        stats_kmv_distinct_users,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    est = {
+        r.event_type: (r.n_minima, r.est_users)
+        for r in stats_kmv_distinct_users(spark, sf_oracle).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_oracle, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, (n_minima, est_n) in est.items():
+        if n_minima < KMV_K:
+            assert est_n == exact[et]
+        else:
+            assert abs(est_n - exact[et]) <= 0.4 * exact[et]
