@@ -74,7 +74,89 @@ _COS = (
     f" * sqrt({_DOT.format(a='s.seed_vec', b='s.seed_vec')})))"
 )
 
+RP_DIMS = 8
+EMB_DIM = 64
+
+
+def cluster_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection (64 → 8 dims) with per-label pooled sums.
+
+    Sign matrix entries come from a deterministic arithmetic formula
+    (``((i·48271 + (j+1)·11927) mod 2147483647) mod 2``) evaluated
+    identically in both engines, and projections run in fixed-point
+    (elements quantized to 1e-6 BIGINT) so the result is bit-exact —
+    float dot products would drift with summation order. Output is
+    (label, j) → projected-coordinate SUM + vector count; the consumer
+    divides (shipping sums, not means, sidesteps trunc-vs-floor division
+    divergence on negative coordinates).
+
+    This formulation explodes (element, output-dim) pairs for oracle
+    symmetry; partial aggregation collapses them to |labels|×|dims| keys
+    before the shuffle, so only CPU cost scales with the explosion. The
+    production variant folds each output dim with ``zip_with`` +
+    ``aggregate`` over a broadcast sign row (same plan family as the
+    centroid cosine above) — semantics identical, which is what this
+    oracle pins."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        # explicit double: FLOAT×INT stays single-precision in Spark and
+        # rounds differently from DuckDB's promotion — f32→f64 is exact
+        F.round(F.col("x").cast("double") * 1000000, 0).cast("long").alias("e6"),
+    )
+    ej = e.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(RP_DIMS - 1))))
+    signed = ej.select(
+        "label",
+        "j",
+        F.when(
+            ((F.col("i") * 48271 + (F.col("j") + 1) * 11927) % 2147483647) % 2
+            == 0,
+            F.col("e6"),
+        )
+        .otherwise(-F.col("e6"))
+        .alias("se6"),
+    )
+    return (
+        signed.groupBy("label", F.col("j").cast("bigint").alias("j"))
+        .agg(
+            F.sum("se6").alias("proj_sum_e6"),
+            F.expr(f"count(1) div {EMB_DIM}").alias("n_vecs"),
+        )
+        .orderBy("label", "j")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "cluster_random_projection",
+        cluster_random_projection,
+        f"""
+        WITH e AS (
+          SELECT vec_id, label, i,
+                 CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+                   AS BIGINT) AS e6
+          FROM embeddings, UNNEST(range(0, {EMB_DIM})) AS t(i)),
+        ej AS (
+          SELECT label, i, e6, j
+          FROM e, UNNEST(range(0, {RP_DIMS})) AS tj(j)),
+        s AS (
+          SELECT label, j,
+                 CASE WHEN ((i * 48271 + (j + 1) * 11927) % 2147483647) % 2 = 0
+                      THEN e6 ELSE -e6 END AS se6
+          FROM ej)
+        SELECT label, CAST(j AS BIGINT) AS j,
+               CAST(SUM(se6) AS BIGINT) AS proj_sum_e6,
+               CAST(COUNT(*) // {EMB_DIM} AS BIGINT) AS n_vecs
+        FROM s GROUP BY label, j ORDER BY label, j
+        """,
+        tags=("extension", "similarity", "clustering", "pipeline"),
+        description="Fixed-point JL random projection (64→8) with "
+        "per-label pooled projections, bit-exact oracle.",
+    ),
     QueryDef(
         "cluster_centroid_assign",
         cluster_centroid_assign,

@@ -21,3 +21,23 @@ def test_every_vector_assigned_exactly_once(spark, sf_smoke):
 def test_centroids_are_broadcast_not_shuffled(spark, sf_smoke):
     plan = explain_str(cluster_centroid_assign(spark, sf_smoke))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_random_projection_shape_and_counts(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.clustering import (
+        RP_DIMS,
+        cluster_random_projection,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    out = cluster_random_projection(spark, sf_smoke).collect()
+    emb = load_table(spark, sf_smoke, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    assert len(out) == n_labels * RP_DIMS
+    # per output dim, pooled vector counts must cover the whole table
+    total = emb.count()
+    by_j: dict[int, int] = {}
+    for r in out:
+        by_j[r.j] = by_j.get(r.j, 0) + r.n_vecs
+    assert set(by_j.values()) == {total}
