@@ -94,7 +94,51 @@ def sql_lateral_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PARAM_PRIORITY = "1-URGENT"
+PARAM_MIN_TOTAL = 150_000.0
+
+
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL binding (Spark 3.4+ ``spark.sql(sql, args=…)``).
+
+    Parameter markers bind typed values server-side — no string
+    interpolation, no injection surface, and the parse tree is cacheable
+    across bindings (at scale the same dashboard query runs thousands of
+    times with different parameters; plan-for-text caching only works
+    when the text is stable)."""
+    view = f"ls_orders_p_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM {view}
+        WHERE o_orderpriority = :prio AND o_totalprice > :min_total
+        GROUP BY order_year ORDER BY order_year
+        """,
+        args={"prio": PARAM_PRIORITY, "min_total": PARAM_MIN_TOTAL},
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sql_named_parameters",
+        sql_named_parameters,
+        f"""
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM orders
+        WHERE o_orderpriority = '{PARAM_PRIORITY}'
+          AND o_totalprice > {PARAM_MIN_TOTAL}
+        GROUP BY order_year ORDER BY order_year
+        """,
+        tags=("extension", "modern_sql"),
+        description="Named-parameter SQL binding (spark.sql args=...).",
+    ),
     QueryDef(
         "sql_recursive_month_spine",
         sql_recursive_month_spine,

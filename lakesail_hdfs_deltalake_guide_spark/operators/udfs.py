@@ -125,7 +125,57 @@ _SQL_SIM = """FLOOR(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embed
     * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
  * 1000000 + 0.5) / 1000000"""
 
+def _arrow_token_batches(batches):
+    """Arrow-native batch transform: no pandas materialization at all —
+    pyarrow.compute kernels run C++-side on the Arrow buffers Spark
+    already shipped, the lowest-overhead Python boundary Spark offers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        toks = pc.add(pc.count_substring(b.column("text"), " "), 1)
+        yield pa.RecordBatch.from_arrays(
+            [b.column("lang"), toks.cast(pa.int64())], ["lang", "n_tokens"]
+        )
+
+
+def udf_arrow_batch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow token stats per language.
+
+    Completes the Python-boundary ladder (SURVEY X9): row UDF (slowest)
+    → pandas_udf (Arrow + pandas) → mapInArrow (Arrow only, zero
+    conversion). Same whitespace-token semantics as the codegen'd twin in
+    operators/text.py, so the oracle pins all three formulations to one
+    answer."""
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    out = d.mapInArrow(_arrow_token_batches, "lang string, n_tokens long")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "udf_arrow_batch_tokens",
+        udf_arrow_batch_tokens,
+        """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+                 AS BIGINT) AS total_tokens,
+               CAST(MAX(length(text) - length(replace(text, ' ', '')) + 1)
+                 AS BIGINT) AS max_tokens
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+        tags=("extension", "udf", "arrow"),
+        description="mapInArrow batch transform (Arrow-only Python "
+        "boundary, no pandas).",
+    ),
     QueryDef(
         "udf_pandas_cosine_topk",
         udf_pandas_cosine_topk,

@@ -31,6 +31,7 @@ _TIER_MODULES = (
     "operators.modern_sql",
     "sources.bucketed",
     "sources.layout",
+    "sources.pysource",
     "operators.dedup",
     "operators.similarity",
     "operators.multimodal",

@@ -36,6 +36,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Predicate pushdown into Python Data Sources (sources/pysource.py):
+    # readers implementing pushFilters() fail fast without it.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -1,0 +1,170 @@
+"""Custom connector via the Spark 4 Python Data Source API.
+
+The reference's source surface is file formats on HDFS (SURVEY.md §2.1);
+a real engine also needs *custom* connectors — queues, services, synthetic
+generators. Spark 4's Python DataSource API is the idiomatic extension
+point: the planner asks the source for ``partitions()`` (parallel splits),
+pushes supported predicates into ``pushFilters`` (scan-side pruning — the
+same contract a parquet scan honors), and runs ``read(partition)`` on
+executors.
+
+The source here generates the engine's deterministic Lehmer-hash stream
+``(i, h = (i·48271 + 11) mod 2^31-1, bucket = h mod 97)`` — pure
+arithmetic, so every query over it has a bit-exact DuckDB oracle over
+``range(n)``, making the *connector machinery itself* (split planning,
+filter pushdown, schema projection) the thing under test.
+
+Scale posture: ``partitions()`` splits the id range evenly, so reads
+parallelize across executors like any file scan; an ``EqualTo(bucket)``
+predicate is consumed in ``pushFilters`` and applied inside the generator
+— rows are dropped at the source, never materialized, shuffled, or sent
+to the driver (the Python-source analogue of parquet row-group pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+
+from ..querydef import QueryDef
+
+_M = 2147483647
+_A = 48271
+_C = 11
+_NBUCKETS = 97
+
+SOURCE_ROWS = 50_000
+SOURCE_PARTS = 8
+FILTER_BUCKET = 7
+
+
+class _IdRange(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class LehmerReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", str(SOURCE_ROWS)))
+        self.num_parts = int(options.get("partitions", str(SOURCE_PARTS)))
+        self.bucket_eq: int | None = None
+
+    def pushFilters(self, filters):
+        """Consume EqualTo(bucket) — pruning happens inside read() — and
+        hand every other predicate back to Spark to evaluate post-scan."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("bucket",):
+                self.bucket_eq = int(f.value)
+            else:
+                yield f
+
+    def partitions(self):
+        step = -(-self.n // self.num_parts)
+        return [
+            _IdRange(s, min(s + step, self.n)) for s in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _IdRange):
+        eq = self.bucket_eq
+        for i in range(partition.start, partition.end):
+            h = (i * _A + _C) % _M
+            b = h % _NBUCKETS
+            if eq is not None and b != eq:
+                continue
+            yield (i, h, b)
+
+
+class LehmerDataSource(DataSource):
+    """``spark.read.format("lehmer_source").option("n", ...).load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lehmer_source"
+
+    def schema(self) -> str:
+        return "i bigint, h bigint, bucket bigint"
+
+    def reader(self, schema):
+        return LehmerReader(self.options)
+
+
+def register_lehmer_source(spark: SparkSession) -> None:
+    spark.dataSource.register(LehmerDataSource)
+
+
+def _source(spark: SparkSession) -> DataFrame:
+    from ..session import configure_session
+
+    configure_session(spark)  # python filterPushdown conf on vanilla sessions
+    register_lehmer_source(spark)
+    return (
+        spark.read.format("lehmer_source")
+        .option("n", str(SOURCE_ROWS))
+        .option("partitions", str(SOURCE_PARTS))
+        .load()
+    )
+
+
+def pysource_lehmer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-scan aggregate over the custom source (97-bucket histogram)."""
+    return (
+        _source(spark)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("h").alias("sum_h"))
+        .orderBy("bucket")
+    )
+
+
+def pysource_lehmer_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective read exercising the pushFilters path: the bucket
+    predicate is consumed by the source and pruned at generation."""
+    return (
+        _source(spark)
+        .where(F.col("bucket") == FILTER_BUCKET)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("i").alias("sum_i"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+    )
+
+
+_GEN = f"""
+(SELECT i, (i * {_A} + {_C}) % {_M} AS h,
+        ((i * {_A} + {_C}) % {_M}) % {_NBUCKETS} AS bucket
+ FROM range({SOURCE_ROWS}) t(i))
+"""
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "pysource_lehmer_histogram",
+        pysource_lehmer_histogram,
+        f"""
+        SELECT bucket, COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS sum_h
+        FROM {_GEN} GROUP BY bucket ORDER BY bucket
+        """,
+        tags=("extension", "sources", "pysource"),
+        description="Custom Python DataSource: partitioned synthetic scan "
+        "+ aggregate, bit-exact oracle.",
+    ),
+    QueryDef(
+        "pysource_lehmer_filtered",
+        pysource_lehmer_filtered,
+        f"""
+        SELECT COUNT(*) AS n_rows, CAST(SUM(i) AS BIGINT) AS sum_i,
+               CAST(MIN(h) AS BIGINT) AS min_h, CAST(MAX(h) AS BIGINT) AS max_h
+        FROM {_GEN} WHERE bucket = {FILTER_BUCKET}
+        """,
+        tags=("extension", "sources", "pysource"),
+        description="Custom Python DataSource with EqualTo filter pushdown "
+        "consumed at the generator.",
+    ),
+]

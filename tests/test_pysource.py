@@ -1,0 +1,60 @@
+"""Python Data Source connector contracts: split planning covers the id
+range exactly, and filter pushdown consumes only what it can prune."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan
+
+from lakesail_hdfs_deltalake_guide_spark.sources.pysource import (
+    FILTER_BUCKET,
+    LehmerReader,
+    pysource_lehmer_filtered,
+    pysource_lehmer_histogram,
+)
+
+
+def test_partitions_tile_the_id_range():
+    r = LehmerReader({"n": "1000", "partitions": "7"})
+    parts = r.partitions()
+    assert len(parts) == 7
+    covered = sorted((p.start, p.end) for p in parts)
+    assert covered[0][0] == 0 and covered[-1][1] == 1000
+    for (s1, e1), (s2, e2) in zip(covered, covered[1:]):
+        assert e1 == s2  # contiguous, non-overlapping
+
+
+def test_pushfilters_consumes_bucket_eq_only():
+    r = LehmerReader({})
+    leftover = list(
+        r.pushFilters([EqualTo(("bucket",), 7), GreaterThan(("i",), 5)])
+    )
+    assert r.bucket_eq == 7
+    assert len(leftover) == 1 and isinstance(leftover[0], GreaterThan)
+
+
+def test_pushed_filter_matches_post_scan_filter(spark):
+    """Source-side pruning must be semantically invisible."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.pysource import _source
+
+    pushed = pysource_lehmer_filtered(spark, "unused").collect()[0]
+    unpushed = (
+        _source(spark)
+        .withColumn("b2", F.col("bucket"))  # breaks EqualTo(bucket) pushdown
+        .where(F.col("b2") == FILTER_BUCKET)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("i").alias("sum_i"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+        .collect()[0]
+    )
+    assert pushed == unpushed
+
+
+def test_histogram_covers_all_rows(spark):
+    rows = pysource_lehmer_histogram(spark, "unused").collect()
+    from lakesail_hdfs_deltalake_guide_spark.sources.pysource import SOURCE_ROWS
+
+    assert sum(r.n_rows for r in rows) == SOURCE_ROWS
