@@ -23,13 +23,17 @@ to the driver (the Python-source analogue of parquet row-group pruning).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from ..querydef import QueryDef
@@ -95,8 +99,86 @@ class LehmerDataSource(DataSource):
         return LehmerReader(self.options)
 
 
+# ---------------------------------------------------------------------------
+# Custom sink: two-phase-commit JSONL audit writer
+
+@dataclass
+class _AuditCommit(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class AuditJsonlWriter(DataSourceWriter):
+    """Executor tasks stage a JSONL file each; the driver's ``commit``
+    publishes them atomically (stage → rename + manifest), ``abort``
+    discards the staging dir — the same speculation-safe two-phase
+    protocol FileFormatWriter / Delta commits use: a reader never
+    observes a half-written table, failed/duplicate task attempts leave
+    only unreferenced staged files.
+
+    File ops route through ``pyarrow.fs.FileSystem.from_uri`` so the
+    identical code serves ``file://`` here and an HDFS URI on the
+    reference's deployment (pyarrow's HadoopFileSystem — not installable
+    in this sandbox, same degradation note as SCALE.md's Delta entry).
+    """
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("audit_jsonl sink requires .option('path', ...)")
+
+    def write(self, rows) -> _AuditCommit:
+        import json
+        import uuid
+
+        from pyarrow import fs as pafs
+
+        filesystem, root = pafs.FileSystem.from_uri(self.path)
+        staging = f"{root}/_staging"
+        filesystem.create_dir(staging, recursive=True)
+        staged = f"{staging}/part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with filesystem.open_output_stream(staged) as out:
+            for row in rows:
+                out.write((json.dumps(row.asDict()) + "\n").encode())
+                n += 1
+        return _AuditCommit(staged=staged, rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+
+        from pyarrow import fs as pafs
+
+        filesystem, root = pafs.FileSystem.from_uri(self.path)
+        total = 0
+        for i, m in enumerate(messages):
+            filesystem.move(m.staged, f"{root}/part-{i:05d}.jsonl")
+            total += m.rows
+        with filesystem.open_output_stream(f"{root}/_SUCCESS") as out:
+            out.write(json.dumps({"rows": total}).encode())
+        filesystem.delete_dir_contents(f"{root}/_staging", missing_dir_ok=True)
+
+    def abort(self, messages) -> None:
+        from pyarrow import fs as pafs
+
+        filesystem, root = pafs.FileSystem.from_uri(self.path)
+        filesystem.delete_dir_contents(f"{root}/_staging", missing_dir_ok=True)
+
+
+class AuditJsonlDataSource(DataSource):
+    """``df.write.format("audit_jsonl").option("path", ...).save()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "audit_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return AuditJsonlWriter(self.options)
+
+
 def register_lehmer_source(spark: SparkSession) -> None:
     spark.dataSource.register(LehmerDataSource)
+    spark.dataSource.register(AuditJsonlDataSource)
 
 
 def _source(spark: SparkSession) -> DataFrame:
@@ -137,6 +219,33 @@ def pysource_lehmer_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pysource_audit_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents through the two-phase-commit JSONL sink, read the
+    published files back, and aggregate — proving the sink publishes
+    exactly the rows the tasks staged (nothing lost, nothing doubled by
+    the commit protocol)."""
+    import tempfile
+
+    from ..session import configure_session
+    from ..tables import load_table
+
+    configure_session(spark)
+    register_lehmer_source(spark)
+    out = tempfile.mkdtemp(prefix="ls_audit_")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d.write.format("audit_jsonl").option("path", out).mode("append").save()
+    back = spark.read.json(f"{out}/part-*.jsonl")
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("doc_id").alias("n_distinct_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
 _GEN = f"""
 (SELECT i, (i * {_A} + {_C}) % {_M} AS h,
         ((i * {_A} + {_C}) % {_M}) % {_NBUCKETS} AS bucket
@@ -166,5 +275,18 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "sources", "pysource"),
         description="Custom Python DataSource with EqualTo filter pushdown "
         "consumed at the generator.",
+    ),
+    QueryDef(
+        "pysource_audit_write_roundtrip",
+        pysource_audit_write_roundtrip,
+        """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+        tags=("extension", "sources", "pysource", "io"),
+        description="Two-phase-commit custom JSONL sink: stage → publish "
+        "→ read-back equals the source exactly.",
     ),
 ]

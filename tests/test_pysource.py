@@ -58,3 +58,40 @@ def test_histogram_covers_all_rows(spark):
     from lakesail_hdfs_deltalake_guide_spark.sources.pysource import SOURCE_ROWS
 
     assert sum(r.n_rows for r in rows) == SOURCE_ROWS
+
+
+def test_audit_sink_publishes_atomically(spark, sf_smoke, tmp_path):
+    import json
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.pysource import (
+        register_lehmer_source,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    register_lehmer_source(spark)
+    out = tmp_path / "audit"
+    out.mkdir()
+    d = load_table(spark, sf_smoke, "documents").select("doc_id", "lang")
+    d.write.format("audit_jsonl").option("path", str(out)).mode("append").save()
+    parts = sorted(out.glob("part-*.jsonl"))
+    assert parts, "commit must publish part files"
+    assert not list((out / "_staging").glob("*")), "staging must be drained"
+    manifest = json.loads((out / "_SUCCESS").read_text())
+    n_lines = sum(len(p.read_text().splitlines()) for p in parts)
+    assert manifest["rows"] == n_lines == d.count()
+
+
+def test_audit_sink_abort_leaves_nothing_visible(tmp_path):
+    from pyspark.sql import Row
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.pysource import (
+        AuditJsonlWriter,
+    )
+
+    w = AuditJsonlWriter({"path": str(tmp_path)})
+    msg = w.write(iter([Row(a=1), Row(a=2)]))
+    assert msg.rows == 2
+    assert list((tmp_path / "_staging").glob("*.jsonl")), "write stages a file"
+    w.abort([msg])
+    assert not list(tmp_path.glob("part-*.jsonl")), "no published files"
+    assert not list((tmp_path / "_staging").glob("*")), "staging cleaned"
