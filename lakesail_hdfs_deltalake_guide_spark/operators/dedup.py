@@ -359,7 +359,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = e.unionByName(perturbed)
-    vecs = corpus.select("vec_id", as_double("embedding").alias("v")).persist()
+    # localCheckpoint, not persist(): the banded self-join reads this
+    # twice, and a bare persist() pins a new CacheManager entry per
+    # invocation for the session lifetime (bench loops + driver runs
+    # accumulate cached corpus copies); checkpointed RDDs are
+    # ContextCleaner-managed and released with the plan.
+    vecs = corpus.select("vec_id", as_double("embedding").alias("v")).localCheckpoint(
+        eager=True
+    )
     planes = _hyperplanes(dim=64, seed=7, n_planes=DEDUP_PLANES)
     banded = _banded(vecs, "vec_id", "v", planes=planes, bands=DEDUP_BANDS).select(
         "vec_id", "band_id", "bucket"

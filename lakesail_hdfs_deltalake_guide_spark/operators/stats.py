@@ -200,7 +200,7 @@ QUERIES: list[QueryDef] = [
         GROUP BY event_type ORDER BY event_type
         """,
         tags=("extension", "stats", "approx", "sketch"),
-        description="KMV/theta-style distinct sketch: k-minimum Lehmer "
+        description="KMV/theta-style distinct sketch: k-minimum md5-prefix "
         "hashes, order-statistic estimator, bit-exact oracle.",
     ),
     QueryDef(

@@ -116,25 +116,43 @@ class AuditJsonlWriter(DataSourceWriter):
     observes a half-written table, failed/duplicate task attempts leave
     only unreferenced staged files.
 
+    Multi-write safety: published names carry the per-job uuid (an
+    append never renames onto another commit's files), the staging dir
+    is per-job (a concurrent writer's in-flight files are untouchable),
+    ``mode("append")`` accumulates the ``_SUCCESS`` row count, and
+    ``mode("overwrite")`` retracts previously published parts inside the
+    same commit.
+
     File ops route through ``pyarrow.fs.FileSystem.from_uri`` so the
     identical code serves ``file://`` here and an HDFS URI on the
     reference's deployment (pyarrow's HadoopFileSystem — not installable
     in this sandbox, same degradation note as SCALE.md's Delta entry).
     """
 
-    def __init__(self, options) -> None:
+    def __init__(self, options, overwrite: bool) -> None:
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("audit_jsonl sink requires .option('path', ...)")
+        self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex
+
+    def _fs(self):
+        from pyarrow import fs as pafs
+
+        return pafs.FileSystem.from_uri(self.path)
+
+    @property
+    def _staging(self) -> str:
+        return f"_staging-{self.job_id}"
 
     def write(self, rows) -> _AuditCommit:
         import json
         import uuid
 
-        from pyarrow import fs as pafs
-
-        filesystem, root = pafs.FileSystem.from_uri(self.path)
-        staging = f"{root}/_staging"
+        filesystem, root = self._fs()
+        staging = f"{root}/{self._staging}"
         filesystem.create_dir(staging, recursive=True)
         staged = f"{staging}/part-{uuid.uuid4().hex}.jsonl"
         n = 0
@@ -149,20 +167,40 @@ class AuditJsonlWriter(DataSourceWriter):
 
         from pyarrow import fs as pafs
 
-        filesystem, root = pafs.FileSystem.from_uri(self.path)
-        total = 0
+        filesystem, root = self._fs()
+        prior = 0
+        if self.overwrite:
+            # retract previously published parts before exposing the new
+            # generation (the one non-atomic window; a log-pointer design
+            # like sources/versioned.py closes it — out of scope here)
+            for info in filesystem.get_file_info(
+                pafs.FileSelector(root, allow_not_found=True)
+            ):
+                base = info.path.rsplit("/", 1)[-1]
+                if base.startswith("part-") and base.endswith(".jsonl"):
+                    filesystem.delete_file(info.path)
+        else:
+            try:
+                with filesystem.open_input_stream(f"{root}/_SUCCESS") as inp:
+                    prior = json.loads(inp.read().decode()).get("rows", 0)
+            except (FileNotFoundError, OSError):
+                prior = 0
+        total = prior
         for i, m in enumerate(messages):
-            filesystem.move(m.staged, f"{root}/part-{i:05d}.jsonl")
+            filesystem.move(m.staged, f"{root}/part-{self.job_id}-{i:05d}.jsonl")
             total += m.rows
         with filesystem.open_output_stream(f"{root}/_SUCCESS") as out:
             out.write(json.dumps({"rows": total}).encode())
-        filesystem.delete_dir_contents(f"{root}/_staging", missing_dir_ok=True)
+        filesystem.delete_dir_contents(
+            f"{root}/{self._staging}", missing_dir_ok=True
+        )
+        filesystem.delete_dir(f"{root}/{self._staging}")
 
     def abort(self, messages) -> None:
-        from pyarrow import fs as pafs
-
-        filesystem, root = pafs.FileSystem.from_uri(self.path)
-        filesystem.delete_dir_contents(f"{root}/_staging", missing_dir_ok=True)
+        filesystem, root = self._fs()
+        filesystem.delete_dir_contents(
+            f"{root}/{self._staging}", missing_dir_ok=True
+        )
 
 
 class AuditJsonlDataSource(DataSource):
@@ -173,7 +211,7 @@ class AuditJsonlDataSource(DataSource):
         return "audit_jsonl"
 
     def writer(self, schema, overwrite: bool):
-        return AuditJsonlWriter(self.options)
+        return AuditJsonlWriter(self.options, overwrite)
 
 
 def register_lehmer_source(spark: SparkSession) -> None:

@@ -60,7 +60,7 @@ def test_histogram_covers_all_rows(spark):
     assert sum(r.n_rows for r in rows) == SOURCE_ROWS
 
 
-def test_audit_sink_publishes_atomically(spark, sf_smoke, tmp_path):
+def test_audit_sink_publishes_atomically_and_appends(spark, sf_smoke, tmp_path):
     import json
 
     from lakesail_hdfs_deltalake_guide_spark.sources.pysource import (
@@ -75,10 +75,27 @@ def test_audit_sink_publishes_atomically(spark, sf_smoke, tmp_path):
     d.write.format("audit_jsonl").option("path", str(out)).mode("append").save()
     parts = sorted(out.glob("part-*.jsonl"))
     assert parts, "commit must publish part files"
-    assert not list((out / "_staging").glob("*")), "staging must be drained"
+    assert not list(out.glob("_staging-*")), "staging must be drained"
     manifest = json.loads((out / "_SUCCESS").read_text())
     n_lines = sum(len(p.read_text().splitlines()) for p in parts)
     assert manifest["rows"] == n_lines == d.count()
+
+    # a second append must accumulate, never clobber the first commit
+    d.write.format("audit_jsonl").option("path", str(out)).mode("append").save()
+    parts2 = sorted(out.glob("part-*.jsonl"))
+    assert len(parts2) > len(parts)
+    manifest2 = json.loads((out / "_SUCCESS").read_text())
+    n_lines2 = sum(len(p.read_text().splitlines()) for p in parts2)
+    assert manifest2["rows"] == n_lines2 == 2 * d.count()
+
+    # overwrite retracts every prior generation
+    d.write.format("audit_jsonl").option("path", str(out)).mode(
+        "overwrite"
+    ).save()
+    parts3 = sorted(out.glob("part-*.jsonl"))
+    n_lines3 = sum(len(p.read_text().splitlines()) for p in parts3)
+    manifest3 = json.loads((out / "_SUCCESS").read_text())
+    assert manifest3["rows"] == n_lines3 == d.count()
 
 
 def test_audit_sink_abort_leaves_nothing_visible(tmp_path):
@@ -88,10 +105,11 @@ def test_audit_sink_abort_leaves_nothing_visible(tmp_path):
         AuditJsonlWriter,
     )
 
-    w = AuditJsonlWriter({"path": str(tmp_path)})
+    w = AuditJsonlWriter({"path": str(tmp_path)}, overwrite=False)
     msg = w.write(iter([Row(a=1), Row(a=2)]))
     assert msg.rows == 2
-    assert list((tmp_path / "_staging").glob("*.jsonl")), "write stages a file"
+    staging = list(tmp_path.glob("_staging-*/*.jsonl"))
+    assert staging, "write stages a file"
     w.abort([msg])
     assert not list(tmp_path.glob("part-*.jsonl")), "no published files"
-    assert not list((tmp_path / "_staging").glob("*")), "staging cleaned"
+    assert not list(tmp_path.glob("_staging-*/*")), "staging cleaned"
