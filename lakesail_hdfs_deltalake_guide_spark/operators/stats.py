@@ -176,7 +176,56 @@ def stats_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe``: audit metrics piggybacked on a real job's scan.
+
+    The pipeline job here is a filtered count; the Observation rides the
+    SAME pass as accumulator-style aggregates, so data-quality telemetry
+    (row counts, sums, ranges) costs zero extra scans — at 100 TB the
+    alternative is a second full read. Metrics land on the driver as one
+    row (that is the API's contract — it is telemetry, not data), which
+    this query re-wraps as a DataFrame so the oracle can pin the values.
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation()
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "sum_price_cents"
+        ),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_quantity").alias("min_qty"),
+    )
+    n_high = observed.where(F.col("l_quantity") > 40).count()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_price_cents"], m["max_qty"], m["min_qty"], n_high)],
+        "n_rows bigint, sum_price_cents bigint, max_qty double, "
+        "min_qty double, n_high_qty bigint",
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_observed_scan_metrics",
+        stats_observed_scan_metrics,
+        """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents,
+               MAX(l_quantity) AS max_qty,
+               MIN(l_quantity) AS min_qty,
+               (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 40)
+                 AS n_high_qty
+        FROM lineitem
+        """,
+        tags=("extension", "stats", "observability"),
+        description="df.observe: audit metrics on the job's own scan — "
+        "zero extra passes.",
+    ),
     QueryDef(
         "stats_kmv_distinct_users",
         stats_kmv_distinct_users,

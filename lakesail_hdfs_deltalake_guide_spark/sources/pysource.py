@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     InputPartition,
@@ -85,6 +86,46 @@ class LehmerReader(DataSourceReader):
             yield (i, h, b)
 
 
+class LehmerStreamReader(DataSourceStreamReader):
+    """Partitioned streaming reader over the same id space.
+
+    Offsets are positions in the id sequence (``{"i": N}``); each
+    micro-batch covers ``[start.i, end.i)``, which ``partitions()``
+    splits into parallel ranges read on executors — the full
+    DataSourceStreamReader contract (offset tracking, split planning,
+    executor-side reads, commit), not the driver-side
+    SimpleDataSourceStreamReader shortcut, so read throughput scales
+    with the cluster exactly like the batch reader."""
+
+    def __init__(self, options) -> None:
+        self.n = int(options.get("n", str(SOURCE_ROWS)))
+        self.num_parts = int(options.get("partitions", str(SOURCE_PARTS)))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        # the synthetic stream is fully available; availableNow drains it
+        # in one deterministic batch (real sources advance this per poll)
+        return {"i": self.n}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["i"]), int(end["i"])
+        span = max(hi - lo, 1)
+        step = -(-span // self.num_parts)
+        return [
+            _IdRange(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ] or [_IdRange(lo, hi)]
+
+    def read(self, partition: _IdRange):
+        for i in range(partition.start, partition.end):
+            h = (i * _A + _C) % _M
+            yield (i, h, h % _NBUCKETS)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are derivable; nothing external to acknowledge
+
+
 class LehmerDataSource(DataSource):
     """``spark.read.format("lehmer_source").option("n", ...).load()``"""
 
@@ -97,6 +138,9 @@ class LehmerDataSource(DataSource):
 
     def reader(self, schema):
         return LehmerReader(self.options)
+
+    def streamReader(self, schema):
+        return LehmerStreamReader(self.options)
 
 
 # ---------------------------------------------------------------------------
@@ -257,6 +301,45 @@ def pysource_lehmer_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pysource_stream_lehmer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the custom streaming source with availableNow through a
+    foreachBatch Parquet sink (the engine's standard distributed drain —
+    streaming/events.py rationale), then aggregate: the streaming read
+    path must produce exactly the batch reader's rows."""
+    import tempfile
+
+    from ..session import configure_session
+
+    configure_session(spark)
+    register_lehmer_source(spark)
+    stream = (
+        spark.readStream.format("lehmer_source")
+        .option("n", str(SOURCE_ROWS))
+        .option("partitions", str(SOURCE_PARTS))
+        .load()
+    )
+    out_dir = tempfile.mkdtemp(prefix="ls_pysrc_stream_")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: batch_df.write.mode("append").parquet(
+                out_dir
+            )
+        )
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ls_pysrc_ckpt_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("h").alias("sum_h"))
+        .orderBy("bucket")
+    )
+
+
 def pysource_audit_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write documents through the two-phase-commit JSONL sink, read the
     published files back, and aggregate — proving the sink publishes
@@ -313,6 +396,17 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "sources", "pysource"),
         description="Custom Python DataSource with EqualTo filter pushdown "
         "consumed at the generator.",
+    ),
+    QueryDef(
+        "pysource_stream_lehmer_counts",
+        pysource_stream_lehmer_counts,
+        f"""
+        SELECT bucket, COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS sum_h
+        FROM {_GEN} GROUP BY bucket ORDER BY bucket
+        """,
+        tags=("extension", "sources", "pysource", "streaming"),
+        description="Custom streaming DataSource (offsets, split planning, "
+        "executor reads) drained via availableNow ≡ batch reader.",
     ),
     QueryDef(
         "pysource_audit_write_roundtrip",

@@ -113,3 +113,21 @@ def test_audit_sink_abort_leaves_nothing_visible(tmp_path):
     w.abort([msg])
     assert not list(tmp_path.glob("part-*.jsonl")), "no published files"
     assert not list(tmp_path.glob("_staging-*/*")), "staging cleaned"
+
+
+def test_stream_reader_offsets_and_partitions():
+    from lakesail_hdfs_deltalake_guide_spark.sources.pysource import (
+        LehmerStreamReader,
+    )
+
+    r = LehmerStreamReader({"n": "100", "partitions": "4"})
+    assert r.initialOffset() == {"i": 0}
+    assert r.latestOffset() == {"i": 100}
+    parts = r.partitions({"i": 0}, {"i": 100})
+    assert len(parts) == 4
+    covered = sorted((p.start, p.end) for p in parts)
+    assert covered[0][0] == 0 and covered[-1][1] == 100
+    rows = [row for p in parts for row in r.read(p)]
+    assert len(rows) == 100 and len({t[0] for t in rows}) == 100
+    # empty batch (start == end) still yields a valid partition list
+    assert r.partitions({"i": 5}, {"i": 5}) is not None
