@@ -27,18 +27,14 @@ from ..tables import load_table
 
 
 def centroid_seeds(emb: DataFrame) -> DataFrame:
-    """One deterministic seed vector per label (lowest vec_id)."""
-    seed_ids = (
-        emb.groupBy("label")
-        .agg(F.min("vec_id").alias("seed_id"))
-        .select("seed_id")
-    )
-    return (
-        emb.join(F.broadcast(seed_ids), emb.vec_id == seed_ids.seed_id, "inner")
-        .select(
-            F.col("label").alias("assigned_label"),
-            F.col("embedding").alias("seed_vec"),
-        )
+    """One deterministic seed vector per label (lowest vec_id).
+
+    ``min_by`` fetches the seed vector in the SAME aggregate pass that
+    finds the min id — one scan of the table, where the min-then-join-
+    back formulation scans it twice (at 100 TB the seed bootstrap cost
+    halves; measured one fewer embeddings scan in the plan)."""
+    return emb.groupBy(F.col("label").alias("assigned_label")).agg(
+        F.min_by("embedding", "vec_id").alias("seed_vec")
     )
 
 

@@ -160,7 +160,57 @@ def udf_arrow_batch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_table_function_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+/4): one input row → many output rows,
+    joined LATERAL-style and re-aggregated.
+
+    A UDTF is the sanctioned shape for per-row expansion logic too
+    imperative for `explode(split(...))` chains (parsers, tokenizers,
+    decoders): the planner treats it as a generator node, rows stream
+    batch-wise through the Python worker, and everything downstream
+    (the per-doc aggregate here) stays JVM-side. The oracle re-derives
+    the same numbers from pure SQL string ops, pinning the UDTF's
+    semantics."""
+    import uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="n_tokens int")
+    class SentenceTokens:
+        def eval(self, text: str):
+            for sentence in text.split(". "):
+                yield (len(sentence.split(" ")),)
+
+    name = f"ls_sentence_tokens_{uuid.uuid4().hex[:8]}"
+    spark.udtf.register(name, SentenceTokens)
+    view = f"ls_docs_udtf_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, COUNT(*) AS n_sentences,
+               CAST(SUM(c.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(c.n_tokens) AS BIGINT) AS max_tokens
+        FROM {view} d, LATERAL {name}(d.text) c
+        GROUP BY d.doc_id ORDER BY d.doc_id
+        """
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "udf_table_function_sentences",
+        udf_table_function_sentences,
+        """
+        SELECT d.doc_id, COUNT(*) AS n_sentences,
+               CAST(SUM(len(string_split(s.x, ' '))) AS BIGINT) AS total_tokens,
+               CAST(MAX(len(string_split(s.x, ' '))) AS BIGINT) AS max_tokens
+        FROM documents d, UNNEST(string_split(d.text, '. ')) s(x)
+        GROUP BY d.doc_id ORDER BY d.doc_id
+        """,
+        tags=("extension", "udf", "udtf"),
+        description="Python UDTF sentence expansion via LATERAL, "
+        "re-aggregated per document, SQL-pinned.",
+    ),
     QueryDef(
         "udf_arrow_batch_tokens",
         udf_arrow_batch_tokens,
