@@ -195,6 +195,34 @@ def io_orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def io_xml_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write→read roundtrip (Spark 4 ships spark-xml natively).
+
+    XML is the interchange format the other connectors can't cover
+    (B2B/legacy feeds); schema-on-read from row tags, same distributed
+    FileFormatWriter path. Note XML has no column pushdown — at 100 TB
+    it is an ingestion format: land it, convert to parquet, query that
+    (exactly what this roundtrip's read side simulates)."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    out = tempfile.mkdtemp(prefix="ls_io_xml_")
+    s.write.format("xml").option("rootTag", "suppliers").option(
+        "rowTag", "supplier"
+    ).mode("overwrite").save(out)
+    back = spark.read.format("xml").option("rowTag", "supplier").load(out)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.round(F.col("s_acctbal") * 100, 0).cast("long")).alias(
+                "sum_acctbal_cents"
+            ),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 def sql_over_views_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's primary usage pattern: register temp views, run a
     multi-table SQL string through ``spark.sql``
@@ -368,6 +396,18 @@ QUERIES: list[QueryDef] = [
         """,
         tags=("parity", "io"),
         description="ORC roundtrip (Spark's second native columnar format).",
+    ),
+    QueryDef(
+        "io_xml_roundtrip_agg",
+        io_xml_roundtrip_agg,
+        """
+        SELECT s_nationkey, COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_acctbal_cents
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        tags=("extension", "io"),
+        description="XML roundtrip (Spark 4 native spark-xml).",
     ),
     QueryDef(
         "io_range_roundtrip_count",
