@@ -157,7 +157,110 @@ sess AS (
 )
 """
 
+CTX_K = 3
+
+
+def session_context_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event-prediction training examples: for every event, the
+    previous K event_types (per user, time-ordered) form the context and
+    the current type is the label; output is the aggregated
+    (context, label) → count table — the dataset card of a behavioral-
+    cloning corpus.
+
+    The context is a window ``collect_list`` over ``ROWS BETWEEN K
+    PRECEDING AND 1 PRECEDING`` joined to a string: one shuffle on
+    user_id (the sessionization tier's standard partitioning), map-side
+    everything else. Short histories yield shorter contexts (first
+    events per user) — kept, as a real pipeline keeps them (with
+    padding). Total order inside the frame: (ts_ns, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-CTX_K, -1)
+    )
+    examples = ev.select(
+        F.concat_ws("|", F.collect_list("event_type").over(w)).alias("context"),
+        F.col("event_type").alias("label"),
+    )
+    return (
+        examples.groupBy("context", "label")
+        .agg(F.count(F.lit(1)).alias("n_examples"))
+        .orderBy("context", "label")
+    )
+
+
+def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between consecutive event types per
+    user, with exact ppm transition probabilities (integer floor division
+    — both engines agree bitwise; a double ratio would not)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    pairs = (
+        ev.select("user_id", "ts_ns", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("n * 1000000 div row_total").alias("p_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "session_context_examples",
+        session_context_examples,
+        f"""
+        WITH ex AS (
+          SELECT COALESCE(array_to_string(list(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                   ROWS BETWEEN {CTX_K} PRECEDING AND 1 PRECEDING), '|'), '')
+                   AS context,
+                 event_type AS label
+          FROM events)
+        SELECT context, label, COUNT(*) AS n_examples
+        FROM ex GROUP BY context, label ORDER BY context, label
+        """,
+        tags=("extension", "sessions", "pipeline"),
+        description="Next-event-prediction examples: windowed K-context "
+        "per event, aggregated (context, label) counts.",
+    ),
+    QueryDef(
+        "session_transition_matrix",
+        session_transition_matrix,
+        """
+        WITH pairs AS (
+          SELECT user_id, event_type AS next_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ns(ts), event_id) AS prev_type
+          FROM events),
+        counts AS (
+          SELECT prev_type, next_type, COUNT(*) AS n
+          FROM pairs WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, next_type),
+        totals AS (
+          SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+          FROM counts GROUP BY prev_type)
+        SELECT c.prev_type, c.next_type, c.n,
+               CAST(c.n * 1000000 // t.row_total AS BIGINT) AS p_ppm
+        FROM counts c JOIN totals t USING (prev_type)
+        ORDER BY c.prev_type, c.next_type
+        """,
+        tags=("extension", "sessions", "pipeline"),
+        description="First-order Markov transition matrix with exact ppm "
+        "probabilities.",
+    ),
     QueryDef(
         "session_stats",
         session_stats,
