@@ -133,7 +133,48 @@ def join_full_outer_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_try_cast_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ingestion: ``try_cast`` parses the untrusted JSON field
+    and a deliberately-wrong cast proves the non-throwing contract.
+
+    Under ANSI mode (Spark 4 default) a plain CAST on one malformed row
+    kills the whole 100 TB job; ``try_*`` turns malformation into NULLs
+    the aggregation can count — the ingest-side error budget, per type,
+    in one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    not_a_number = F.expr("try_cast(event_type AS BIGINT)")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(k).alias("n_k_parsed"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(not_a_number).alias("n_type_numeric"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "clean_try_cast_ingestion",
+        clean_try_cast_ingestion,
+        """
+        SELECT event_type, COUNT(*) AS n_events,
+               COUNT(TRY_CAST(props->>'k' AS BIGINT)) AS n_k_parsed,
+               CAST(SUM(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(MIN(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+               CAST(MAX(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+               COUNT(TRY_CAST(event_type AS BIGINT)) AS n_type_numeric
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        tags=("extension", "cleaning", "pipeline"),
+        description="ANSI-safe try_cast ingestion with per-type parse "
+        "error budget.",
+    ),
     QueryDef(
         "clean_impute_group_mean",
         clean_impute_group_mean,

@@ -165,3 +165,14 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_smoke):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_centroid_seeding_is_single_pass(spark, sf_smoke):
+    """min_by seeding must not reintroduce the min-then-join-back third
+    scan of the embeddings table."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.clustering import (
+        cluster_centroid_assign,
+    )
+
+    plan = explain_str(cluster_centroid_assign(spark, sf_smoke))
+    assert plan.count("embeddings.parquet") <= 2
