@@ -32,6 +32,7 @@ _TIER_MODULES = (
     "sources.bucketed",
     "sources.layout",
     "sources.pysource",
+    "sources.delta_log",
     "operators.dedup",
     "operators.similarity",
     "operators.multimodal",

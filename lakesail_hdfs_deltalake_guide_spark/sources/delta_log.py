@@ -1,0 +1,277 @@
+"""Native Delta Lake transaction-log writer/reader (protocol-level).
+
+The reference's headline feature is Delta tables on HDFS
+(``/root/reference/examples/example_lakesail_kerberos.py:162-184``,
+``README.md:302``). ``delta-spark`` jars are not installable in this
+sandbox, so instead of settling for the Parquet fallback the engine
+implements the **public Delta transaction protocol** itself
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md): data files
+are staged and published like any FileFormatWriter commit, and each
+commit appends ``_delta_log/{version:020d}.json`` holding the standard
+``protocol`` / ``metaData`` / ``add`` / ``remove`` actions. The result
+on disk is a REAL Delta table — a cluster with delta-spark (or any
+Delta reader) opens it directly; this module's reader reconstructs any
+snapshot by folding the log.
+
+Scale posture (same as Delta's own design):
+- the log stores file *paths + stats*, O(commits) JSON — never data;
+- snapshot resolution folds add/remove actions driver-side (tiny), then
+  the scan is a normal multi-file parquet read with full pushdown;
+- ``overwrite`` is a metadata operation: new adds + removes of the old
+  generation in ONE atomic commit file — readers of version N-1 are
+  untouched (MVCC time travel for free);
+- commit atomicity comes from the filesystem's fail-on-existing rename
+  (HDFSLogStore semantics), matching sources/versioned.py.
+
+File ops route through the Hadoop FileSystem API via the JVM gateway,
+so ``file://`` and ``hdfs://`` behave identically.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..querydef import QueryDef
+
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm  # noqa: SLF001
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    return hpath.getFileSystem(conf), hpath, jvm
+
+
+def _log_dir(path: str) -> str:
+    return f"{path}/_delta_log"
+
+
+def _version_file(path: str, version: int) -> str:
+    return f"{_log_dir(path)}/{version:020d}.json"
+
+
+def _list_versions(spark: SparkSession, path: str) -> list[int]:
+    fs, log_path, _ = _hadoop_fs(spark, _log_dir(path))
+    if not fs.exists(log_path):
+        return []
+    versions = []
+    for status in fs.listStatus(log_path):
+        name = status.getPath().getName()
+        if name.endswith(".json"):
+            versions.append(int(name[: -len(".json")]))
+    return sorted(versions)
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    # py4j copies Python bytearrays INTO the JVM, so stream.read(buf)
+    # can't hand data back — drain JVM-side (commons-io ships with Hadoop)
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        ).decode()
+    finally:
+        stream.close()
+
+
+def _write_commit(spark: SparkSession, path: str, version: int, actions) -> None:
+    """Atomic commit: write temp, rename-with-fail-on-existing (the
+    HDFSLogStore optimistic-concurrency contract — a racing writer loses
+    the rename and must retry at version+1)."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    log = jvm.org.apache.hadoop.fs.Path(_log_dir(path))
+    fs.mkdirs(log)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{_log_dir(path)}/.tmp-{uuid.uuid4().hex}.json"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(_version_file(path, version))
+    payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
+    stream = fs.create(tmp, False)
+    try:
+        stream.write(payload)
+    finally:
+        stream.close()
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise RuntimeError(
+            f"delta commit conflict: version {version} already exists at {path}"
+        )
+
+
+def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
+    """Write df as parquet into the table dir under unique names; return
+    Delta `add` actions (path, size, modificationTime)."""
+    spark = df.sparkSession
+    staging = f"{path}/.staging-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(staging)
+    fs, staging_path, jvm = _hadoop_fs(spark, staging)
+    adds = []
+    for status in fs.listStatus(staging_path):
+        name = status.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        unique = f"part-{uuid.uuid4().hex}.parquet"
+        fs.rename(
+            status.getPath(), jvm.org.apache.hadoop.fs.Path(f"{path}/{unique}")
+        )
+        adds.append(
+            {
+                "add": {
+                    "path": unique,
+                    "partitionValues": {},
+                    "size": int(status.getLen()),
+                    "modificationTime": int(time.time() * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+    fs.delete(staging_path, True)
+    return adds
+
+
+def delta_write(df: DataFrame, path: str, mode: str = "overwrite") -> int:
+    """Commit df to a protocol-conformant Delta table; returns the
+    committed version."""
+    spark = df.sparkSession
+    versions = _list_versions(spark, path)
+    version = (versions[-1] + 1) if versions else 0
+    actions: list[dict] = []
+    if version == 0:
+        actions.append({"protocol": _PROTOCOL})
+        actions.append(
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": int(time.time() * 1000),
+                }
+            }
+        )
+    if mode == "overwrite" and version > 0:
+        for f in delta_live_files(spark, path):
+            actions.append(
+                {
+                    "remove": {
+                        "path": f,
+                        "deletionTimestamp": int(time.time() * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+    actions.extend(_stage_data_files(df, path))
+    _write_commit(spark, path, version, actions)
+    return version
+
+
+def delta_live_files(
+    spark: SparkSession, path: str, version: int | None = None
+) -> list[str]:
+    """Fold the log up to `version` (inclusive; latest if None) into the
+    live file set — the snapshot's MVCC reconstruction."""
+    live: set[str] = set()
+    for v in _list_versions(spark, path):
+        if version is not None and v > version:
+            break
+        for line in _read_text(spark, _version_file(path, v)).splitlines():
+            action = json.loads(line)
+            if "add" in action:
+                live.add(action["add"]["path"])
+            elif "remove" in action:
+                live.discard(action["remove"]["path"])
+    return sorted(live)
+
+
+def delta_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    files = delta_live_files(spark, path, version)
+    if not files:
+        raise ValueError(f"no live files in delta table at {path}")
+    return spark.read.parquet(*[f"{path}/{f}" for f in files])
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+
+
+def delta_native_overwrite_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Delta lifecycle (overwrite → append → read,
+    example_lakesail_kerberos.py:162-184) against the engine's own
+    protocol-level log: the latest snapshot must equal both commits'
+    rows. The oracle is the nation table twice (overwrite + append of
+    the same rows)."""
+    import tempfile
+
+    from ..tables import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="ls_delta_native_")
+    delta_write(n, path, mode="overwrite")
+    delta_write(n, path, mode="append")
+    back = delta_read(spark, path)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("n_regionkey")
+    )
+
+
+def delta_native_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVCC time travel: version 0 read after an overwrite must still see
+    the original snapshot (full customer table), while the latest sees
+    only the overwrite's subset. Output stacks both reads."""
+    import tempfile
+
+    from ..tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    path = tempfile.mkdtemp(prefix="ls_delta_tt_")
+    delta_write(c, path, mode="overwrite")
+    delta_write(
+        c.where(F.col("c_mktsegment") == "BUILDING"), path, mode="overwrite"
+    )
+    v0 = delta_read(spark, path, version=0).agg(
+        F.lit(0).alias("version"), F.count(F.lit(1)).alias("n_rows")
+    )
+    v1 = delta_read(spark, path).agg(
+        F.lit(1).alias("version"), F.count(F.lit(1)).alias("n_rows")
+    )
+    return v0.unionByName(v1).orderBy("version")
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "delta_native_overwrite_append",
+        delta_native_overwrite_append,
+        """
+        WITH doubled AS (SELECT * FROM nation UNION ALL SELECT * FROM nation)
+        SELECT n_regionkey, COUNT(*) AS n_rows
+        FROM doubled GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+        tags=("parity", "delta", "io"),
+        description="Protocol-level Delta log: overwrite + append commits, "
+        "snapshot read equals both.",
+    ),
+    QueryDef(
+        "delta_native_time_travel",
+        delta_native_time_travel,
+        """
+        SELECT 0 AS version, COUNT(*) AS n_rows FROM customer
+        UNION ALL
+        SELECT 1, COUNT(*) FROM customer WHERE c_mktsegment = 'BUILDING'
+        ORDER BY version
+        """,
+        tags=("parity", "delta", "io"),
+        description="MVCC time travel on the self-written Delta log.",
+    ),
+]

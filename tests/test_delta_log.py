@@ -1,0 +1,61 @@
+"""Protocol-level Delta log contracts: action structure, MVCC overwrite
+retraction, append accumulation, time travel."""
+
+from __future__ import annotations
+
+import glob
+import json
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+    delta_live_files,
+    delta_read,
+    delta_write,
+)
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def _actions(path: str, version: int) -> list[dict]:
+    f = f"{path}/_delta_log/{version:020d}.json"
+    return [json.loads(line) for line in open(f)]
+
+
+def test_first_commit_has_protocol_and_metadata(spark, sf_smoke):
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_t1_")
+    assert delta_write(n, path) == 0
+    kinds = [next(iter(a)) for a in _actions(path, 0)]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    assert kinds.count("add") >= 1 and "remove" not in kinds
+    meta = _actions(path, 0)[1]["metaData"]
+    assert meta["format"]["provider"] == "parquet"
+    assert json.loads(meta["schemaString"])["type"] == "struct"
+
+
+def test_overwrite_retracts_previous_generation(spark, sf_smoke):
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_t2_")
+    delta_write(n, path, mode="overwrite")
+    v0_files = set(delta_live_files(spark, path))
+    delta_write(n.where(F.col("n_regionkey") == 0), path, mode="overwrite")
+    kinds = [next(iter(a)) for a in _actions(path, 1)]
+    assert kinds.count("remove") == len(v0_files)
+    live = set(delta_live_files(spark, path))
+    assert live.isdisjoint(v0_files)
+    # retracted files remain ON DISK (older snapshots still readable)
+    on_disk = {p.rsplit("/", 1)[-1] for p in glob.glob(f"{path}/*.parquet")}
+    assert v0_files <= on_disk
+
+
+def test_append_and_time_travel(spark, sf_smoke):
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_t3_")
+    delta_write(n, path, mode="overwrite")
+    delta_write(n, path, mode="append")
+    assert delta_read(spark, path).count() == 2 * n.count()
+    assert delta_read(spark, path, version=0).count() == n.count()
+    # appends never retract
+    kinds = [next(iter(a)) for a in _actions(path, 1)]
+    assert "remove" not in kinds
