@@ -105,27 +105,45 @@ def _write_commit(spark: SparkSession, path: str, version: int, actions) -> None
         )
 
 
-def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
+def _stage_data_files(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> list[dict]:
     """Write df as parquet into the table dir under unique names; return
-    Delta `add` actions (path, size, modificationTime)."""
+    Delta `add` actions. With ``partition_by``, files land in hive-style
+    ``col=value/`` subdirs and each add carries its ``partitionValues``
+    (partition columns live ONLY in metadata, exactly Delta's layout —
+    that is what makes partition pruning a log-fold, not a file-listing)."""
     spark = df.sparkSession
     staging = f"{path}/.staging-{uuid.uuid4().hex}"
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     fs, staging_path, jvm = _hadoop_fs(spark, staging)
     adds = []
-    for status in fs.listStatus(staging_path):
+    it = fs.listFiles(staging_path, True)
+    while it.hasNext():
+        status = it.next()
+        full = status.getPath().toString()
         name = status.getPath().getName()
         if not name.endswith(".parquet"):
             continue
+        rel_dir = full[: -len(name) - 1].split(staging, 1)[1].lstrip("/")
+        part_values = {}
+        for seg in rel_dir.split("/"):
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                part_values[k] = v
         unique = f"part-{uuid.uuid4().hex}.parquet"
-        fs.rename(
-            status.getPath(), jvm.org.apache.hadoop.fs.Path(f"{path}/{unique}")
-        )
+        rel = f"{rel_dir}/{unique}" if rel_dir else unique
+        dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        fs.mkdirs(dest.getParent())
+        fs.rename(status.getPath(), dest)
         adds.append(
             {
                 "add": {
-                    "path": unique,
-                    "partitionValues": {},
+                    "path": rel,
+                    "partitionValues": part_values,
                     "size": int(status.getLen()),
                     "modificationTime": int(time.time() * 1000),
                     "dataChange": True,
@@ -136,7 +154,12 @@ def _stage_data_files(df: DataFrame, path: str) -> list[dict]:
     return adds
 
 
-def delta_write(df: DataFrame, path: str, mode: str = "overwrite") -> int:
+def delta_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> int:
     """Commit df to a protocol-conformant Delta table; returns the
     committed version."""
     spark = df.sparkSession
@@ -151,14 +174,14 @@ def delta_write(df: DataFrame, path: str, mode: str = "overwrite") -> int:
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": list(partition_by or []),
                     "configuration": {},
                     "createdTime": int(time.time() * 1000),
                 }
             }
         )
     if mode == "overwrite" and version > 0:
-        for f in delta_live_files(spark, path):
+        for f, _pv in delta_live_adds(spark, path):
             actions.append(
                 {
                     "remove": {
@@ -168,36 +191,57 @@ def delta_write(df: DataFrame, path: str, mode: str = "overwrite") -> int:
                     }
                 }
             )
-    actions.extend(_stage_data_files(df, path))
+    actions.extend(_stage_data_files(df, path, partition_by))
     _write_commit(spark, path, version, actions)
     return version
 
 
-def delta_live_files(
+def delta_live_adds(
     spark: SparkSession, path: str, version: int | None = None
-) -> list[str]:
+) -> list[tuple[str, dict]]:
     """Fold the log up to `version` (inclusive; latest if None) into the
-    live file set — the snapshot's MVCC reconstruction."""
-    live: set[str] = set()
+    live (file, partitionValues) set — the snapshot's MVCC reconstruction."""
+    live: dict[str, dict] = {}
     for v in _list_versions(spark, path):
         if version is not None and v > version:
             break
         for line in _read_text(spark, _version_file(path, v)).splitlines():
             action = json.loads(line)
             if "add" in action:
-                live.add(action["add"]["path"])
+                live[action["add"]["path"]] = action["add"].get(
+                    "partitionValues", {}
+                )
             elif "remove" in action:
-                live.discard(action["remove"]["path"])
-    return sorted(live)
+                live.pop(action["remove"]["path"], None)
+    return sorted(live.items())
+
+
+def delta_live_files(
+    spark: SparkSession, path: str, version: int | None = None
+) -> list[str]:
+    return [f for f, _ in delta_live_adds(spark, path, version)]
 
 
 def delta_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    partition_filter: dict[str, str] | None = None,
 ) -> DataFrame:
-    files = delta_live_files(spark, path, version)
-    if not files:
+    """Snapshot read; ``partition_filter`` prunes files from the LOG's
+    partitionValues before any filesystem access — Delta's partition
+    pruning is a metadata fold, it never lists or opens skipped files."""
+    adds = delta_live_adds(spark, path, version)
+    if partition_filter:
+        adds = [
+            (f, pv)
+            for f, pv in adds
+            if all(pv.get(k) == v for k, v in partition_filter.items())
+        ]
+    if not adds:
         raise ValueError(f"no live files in delta table at {path}")
-    return spark.read.parquet(*[f"{path}/{f}" for f in files])
+    reader = spark.read.option("basePath", path)
+    return reader.parquet(*[f"{path}/{f}" for f, _ in adds])
 
 
 # ---------------------------------------------------------------------------
@@ -249,7 +293,47 @@ def delta_native_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v0.unionByName(v1).orderBy("version")
 
 
+def delta_native_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Delta write + log-level partition pruning: the
+    ``partition_filter`` selects files from the log's partitionValues, so
+    the scan touches ONE partition's files — no directory listing, no
+    reads of skipped partitions (at 100 TB, the difference between a
+    metadata fold and a filesystem walk of millions of files)."""
+    import tempfile
+
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_part_")
+    delta_write(o, path, mode="overwrite", partition_by=["o_orderpriority"])
+    urgent = delta_read(
+        spark, path, partition_filter={"o_orderpriority": "1-URGENT"}
+    )
+    return urgent.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "sum_total_cents"
+        ),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "delta_native_partition_prune",
+        delta_native_partition_prune,
+        """
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_total_cents,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        tags=("parity", "delta", "io"),
+        description="Partitioned Delta write + log-fold partition pruning.",
+    ),
     QueryDef(
         "delta_native_overwrite_append",
         delta_native_overwrite_append,

@@ -59,3 +59,28 @@ def test_append_and_time_travel(spark, sf_smoke):
     # appends never retract
     kinds = [next(iter(a)) for a in _actions(path, 1)]
     assert "remove" not in kinds
+
+
+def test_partitioned_write_prunes_from_log(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+    )
+
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="ls_dl_t4_")
+    delta_write(o, path, partition_by=["o_orderpriority"])
+    adds = delta_live_adds(spark, path)
+    assert all(pv.get("o_orderpriority") for _, pv in adds)
+    urgent_files = [
+        f for f, pv in adds if pv["o_orderpriority"] == "1-URGENT"
+    ]
+    assert 0 < len(urgent_files) < len(adds)
+    pruned = delta_read(
+        spark, path, partition_filter={"o_orderpriority": "1-URGENT"}
+    )
+    expected = o.where(F.col("o_orderpriority") == "1-URGENT").count()
+    assert pruned.count() == expected
+    # partition column is reconstructed from the directory layout
+    assert "o_orderpriority" in pruned.columns
