@@ -72,9 +72,11 @@ def test_partitioned_write_prunes_from_log(spark, sf_smoke):
     path = tempfile.mkdtemp(prefix="ls_dl_t4_")
     delta_write(o, path, partition_by=["o_orderpriority"])
     adds = delta_live_adds(spark, path)
-    assert all(pv.get("o_orderpriority") for _, pv in adds)
+    assert all(a["partitionValues"].get("o_orderpriority") for _, a in adds)
     urgent_files = [
-        f for f, pv in adds if pv["o_orderpriority"] == "1-URGENT"
+        f
+        for f, a in adds
+        if a["partitionValues"]["o_orderpriority"] == "1-URGENT"
     ]
     assert 0 < len(urgent_files) < len(adds)
     pruned = delta_read(
@@ -84,3 +86,29 @@ def test_partitioned_write_prunes_from_log(spark, sf_smoke):
     assert pruned.count() == expected
     # partition column is reconstructed from the directory layout
     assert "o_orderpriority" in pruned.columns
+
+
+def test_stats_skipping_reduces_file_set(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+    )
+
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    path = tempfile.mkdtemp(prefix="ls_dl_t5_")
+    clustered = li.repartitionByRange(8, "l_quantity").sortWithinPartitions(
+        "l_quantity"
+    )
+    delta_write(clustered, path, stats_cols=["l_quantity"])
+    adds = delta_live_adds(spark, path)
+    assert all(json.loads(a["stats"])["numRecords"] > 0 for _, a in adds)
+    total = len(adds)
+    narrow = delta_read(spark, path, range_filter={"l_quantity": (1.0, 5.0)})
+    n_files_read = narrow.select(F.input_file_name()).distinct().count()
+    assert n_files_read < total, "range filter must skip some files"
+    exact = li.where((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 5))
+    got = narrow.where(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 5)
+    )
+    assert got.count() == exact.count()
