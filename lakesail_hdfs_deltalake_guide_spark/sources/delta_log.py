@@ -63,8 +63,9 @@ def _list_versions(spark: SparkSession, path: str) -> list[int]:
     versions = []
     for status in fs.listStatus(log_path):
         name = status.getPath().getName()
-        if name.endswith(".json"):
-            versions.append(int(name[: -len(".json")]))
+        stem = name[: -len(".json")]
+        if name.endswith(".json") and stem.isdigit():
+            versions.append(int(stem))
     return sorted(versions)
 
 
@@ -88,8 +89,11 @@ def _write_commit(spark: SparkSession, path: str, version: int, actions) -> None
     fs, _, jvm = _hadoop_fs(spark, path)
     log = jvm.org.apache.hadoop.fs.Path(_log_dir(path))
     fs.mkdirs(log)
+    # no .json suffix: a temp file surviving a mid-commit crash must never
+    # match the version-file pattern (or every later log listing would
+    # crash on int-parsing it — versioned.py's .tmp convention)
     tmp = jvm.org.apache.hadoop.fs.Path(
-        f"{_log_dir(path)}/.tmp-{uuid.uuid4().hex}.json"
+        f"{_log_dir(path)}/.tmp-{uuid.uuid4().hex}"
     )
     final = jvm.org.apache.hadoop.fs.Path(_version_file(path, version))
     payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
@@ -98,22 +102,25 @@ def _write_commit(spark: SparkSession, path: str, version: int, actions) -> None
         stream.write(payload)
     finally:
         stream.close()
-    if not fs.rename(tmp, final):
+    # RawLocalFileSystem.rename REPLACES an existing destination (POSIX
+    # renameTo), so the fail-on-existing contract needs an explicit check
+    # on file:// — HDFS rename enforces it natively; Delta's own
+    # FileSystemLogStore does exactly this split.
+    if fs.exists(final) or not fs.rename(tmp, final):
         fs.delete(tmp, False)
         raise RuntimeError(
             f"delta commit conflict: version {version} already exists at {path}"
         )
 
 
-def _file_stats(table_path: str, rel: str, stats_cols: list[str]) -> dict:
+def _file_stats(filesystem, root: str, rel: str, stats_cols: list[str]) -> dict:
     """Per-file column min/max/numRecords from the parquet footer — the
     Delta ``stats`` field that powers predicate data skipping. Footer-only
     reads via pyarrow (portable across file:// and hdfs:// through
-    pyarrow.fs), no data pages touched."""
+    pyarrow.fs), no data pages touched. The filesystem handle is built
+    once per commit by the caller, not once per file."""
     import pyarrow.parquet as pq
-    from pyarrow import fs as pafs
 
-    filesystem, root = pafs.FileSystem.from_uri(table_path)
     md = pq.read_metadata(f"{root}/{rel}", filesystem=filesystem)
     mins: dict = {}
     maxs: dict = {}
@@ -156,24 +163,43 @@ def _stage_data_files(
     writer.parquet(staging)
     fs, staging_path, jvm = _hadoop_fs(spark, staging)
     adds = []
+    pa_fs = pa_root = None
+    if stats_cols:
+        from pyarrow import fs as pafs
+
+        pa_fs, pa_root = pafs.FileSystem.from_uri(path)
+    # URI-relativize against the FS's own qualified form: string-splitting
+    # on the caller's raw path breaks when Hadoop qualifies it differently
+    # (file:///tmp/t → file:/tmp/t, hdfs://nn/t → hdfs://nn:8020/t)
+    base_uri = fs.makeQualified(staging_path).toUri()
     it = fs.listFiles(staging_path, True)
     while it.hasNext():
         status = it.next()
-        full = status.getPath().toString()
         name = status.getPath().getName()
         if not name.endswith(".parquet"):
             continue
-        rel_dir = full[: -len(name) - 1].split(staging, 1)[1].lstrip("/")
+        rel_all = base_uri.relativize(status.getPath().toUri()).getPath()
+        rel_dir = rel_all[: -len(name)].strip("/")
         part_values = {}
         for seg in rel_dir.split("/"):
             if "=" in seg:
                 k, v = seg.split("=", 1)
-                part_values[k] = v
+                # Spark hive-escapes dir segments (%XX) and spells null as
+                # __HIVE_DEFAULT_PARTITION__; the Delta protocol stores the
+                # UNESCAPED value (null for missing) — a real delta-spark
+                # reader reconstructs values from the log, not the dirs
+                from urllib.parse import unquote
+
+                part_values[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                )
         unique = f"part-{uuid.uuid4().hex}.parquet"
         rel = f"{rel_dir}/{unique}" if rel_dir else unique
         dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
         fs.mkdirs(dest.getParent())
-        fs.rename(status.getPath(), dest)
+        if not fs.rename(status.getPath(), dest):
+            fs.delete(staging_path, True)
+            raise RuntimeError(f"failed to publish data file {rel}")
         add = {
             "path": rel,
             "partitionValues": part_values,
@@ -182,11 +208,26 @@ def _stage_data_files(
             "dataChange": True,
         }
         if stats_cols:
-            # Delta stores per-file stats as a JSON *string* field
-            add["stats"] = json.dumps(_file_stats(path, rel, stats_cols))
+            # Delta stores per-file stats as a JSON *string* field;
+            # default=str keeps date/timestamp/Decimal stats serializable
+            add["stats"] = json.dumps(
+                _file_stats(pa_fs, pa_root, rel, stats_cols), default=str
+            )
         adds.append({"add": add})
     fs.delete(staging_path, True)
     return adds
+
+
+def delta_metadata(spark: SparkSession, path: str) -> dict | None:
+    """The table's metaData action (first commit carries it)."""
+    versions = _list_versions(spark, path)
+    if not versions:
+        return None
+    for line in _read_text(spark, _version_file(path, versions[0])).splitlines():
+        action = json.loads(line)
+        if "metaData" in action:
+            return action["metaData"]
+    return None
 
 
 def delta_write(
@@ -216,6 +257,17 @@ def delta_write(
                 }
             }
         )
+    else:
+        # a commit whose layout contradicts metaData.partitionColumns
+        # would be protocol-corrupt (adds with wrong partitionValues,
+        # mixed directory layouts) — reject it loudly
+        meta = delta_metadata(spark, path) or {}
+        declared = meta.get("partitionColumns", [])
+        if list(partition_by or []) != list(declared):
+            raise ValueError(
+                f"partition_by {partition_by or []} does not match the "
+                f"table's declared partitionColumns {declared}"
+            )
     if mode == "overwrite" and version > 0:
         for f, _pv in delta_live_adds(spark, path):
             actions.append(
@@ -294,7 +346,15 @@ def delta_read(
 
         adds = [(f, a) for f, a in adds if _overlaps(a)]
     if not adds:
-        raise ValueError(f"no live files in delta table at {path}")
+        # a fully-retracted or fully-pruned snapshot is a VALID empty
+        # table — reconstruct its schema from metaData, don't error
+        meta = delta_metadata(spark, path)
+        if meta is None:
+            raise ValueError(f"no delta table at {path}")
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        return spark.createDataFrame([], schema)
     reader = spark.read.option("basePath", path)
     return reader.parquet(*[f"{path}/{f}" for f, _ in adds])
 

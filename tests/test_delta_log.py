@@ -112,3 +112,41 @@ def test_stats_skipping_reduces_file_set(spark, sf_smoke):
         (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 5)
     )
     assert got.count() == exact.count()
+
+
+def test_append_with_wrong_partitioning_is_rejected(spark, sf_smoke):
+    import pytest
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_t6_")
+    delta_write(n, path, partition_by=["n_regionkey"])
+    with pytest.raises(ValueError, match="partitionColumns"):
+        delta_write(n, path, mode="append")  # partition_by forgotten
+
+
+def test_fully_retracted_snapshot_reads_empty(spark, sf_smoke):
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_t7_")
+    delta_write(n, path)
+    # pruned read matching nothing yields an empty frame with the schema
+    out = delta_read(
+        spark, path, range_filter={"n_nationkey": (10**9, 10**9 + 1)}
+    )
+    assert out.count() >= 0  # readable, never raises
+
+
+def test_partition_values_are_unescaped(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a:b c"), (2, None)], "id bigint, k string"
+    )
+    path = tempfile.mkdtemp(prefix="ls_dl_t8_")
+    delta_write(df, path, partition_by=["k"])
+    values = {a["partitionValues"]["k"] for _, a in delta_live_adds(spark, path)}
+    # protocol stores UNESCAPED values and null (not hive dir spellings)
+    assert "a:b c" in values and None in values
+    pruned = delta_read(spark, path, partition_filter={"k": "a:b c"})
+    assert pruned.count() == 1
