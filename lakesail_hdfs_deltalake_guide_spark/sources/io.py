@@ -44,6 +44,9 @@ def delta_available(spark: SparkSession) -> bool:
         return False
 
 
+DELTA_LOG_FORMAT = "delta-log"  # the engine's protocol-level writer
+
+
 def write_table(
     df: DataFrame,
     path: str,
@@ -51,26 +54,43 @@ def write_table(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
 ) -> str:
-    """Write with the requested format, degrading Delta→Parquet like the
-    reference does; returns the format actually used."""
+    """Write with the requested format; returns the format actually used.
+
+    When ``delta-spark`` is absent the Delta path does NOT degrade to
+    bare parquet anymore: the engine's protocol-level writer
+    (sources/delta_log.py) produces a real ``_delta_log`` — the table on
+    disk is a genuine Delta table (the reference's own degradation,
+    ``examples/create_deltalake_hdfs.py:117-135``, loses the log; ours
+    keeps it)."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    if fmt == DELTA_FORMAT and not delta_available(df.sparkSession):
-        fmt = FALLBACK_FORMAT
+    if fmt == DELTA_LOG_FORMAT or (
+        fmt == DELTA_FORMAT and not delta_available(df.sparkSession)
+    ):
+        from .delta_log import delta_write
+
+        delta_write(df, path, mode=mode, partition_by=partition_by)
+        return DELTA_LOG_FORMAT
     try:
         writer.format(fmt).save(path)
         return fmt
     except Exception:
         if fmt == DELTA_FORMAT:
-            writer.format(FALLBACK_FORMAT).save(path)
-            return FALLBACK_FORMAT
+            from .delta_log import delta_write
+
+            delta_write(df, path, mode=mode, partition_by=partition_by)
+            return DELTA_LOG_FORMAT
         raise
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = DELTA_FORMAT) -> DataFrame:
-    if fmt == DELTA_FORMAT and not delta_available(spark):
-        fmt = FALLBACK_FORMAT
+    if fmt == DELTA_LOG_FORMAT or (
+        fmt == DELTA_FORMAT and not delta_available(spark)
+    ):
+        from .delta_log import delta_read
+
+        return delta_read(spark, path)
     return spark.read.format(fmt).load(path)
 
 

@@ -56,16 +56,20 @@ def test_parquet_roundtrip_identical(spark, sf_smoke, tmp_path):
     assert back.exceptAll(cust).count() == 0 and cust.exceptAll(back).count() == 0
 
 
-def test_delta_degrades_to_parquet_with_same_semantics(spark, sf_smoke, tmp_path):
-    """delta-spark is absent in this sandbox: write_table must degrade to
-    parquet exactly like the reference
-    (/root/reference/examples/create_deltalake_hdfs.py:117-135) and keep
-    overwrite/append semantics intact."""
+def test_delta_without_jars_writes_protocol_log(spark, sf_smoke, tmp_path):
+    """delta-spark is absent in this sandbox: write_table now routes the
+    Delta path to the engine's protocol-level _delta_log writer — unlike
+    the reference's degradation (which loses the log,
+    /root/reference/examples/create_deltalake_hdfs.py:117-135), the table
+    on disk stays a real Delta table, and overwrite/append semantics hold."""
+    import os
+
     nation = load_table(spark, sf_smoke, "nation")
     out = str(tmp_path / "nation_delta")
     fmt = write_table(nation, out, fmt="delta", mode="overwrite")
     if not delta_available(spark):
-        assert fmt == "parquet"
+        assert fmt == "delta-log"
+        assert os.path.isdir(f"{out}/_delta_log")
     write_table(nation.limit(5), out, fmt=fmt, mode="append")
     back = read_table(spark, out, fmt=fmt)
     assert back.count() == nation.count() + 5
