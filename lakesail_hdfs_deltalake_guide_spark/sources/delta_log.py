@@ -359,6 +359,41 @@ def delta_read(
     return reader.parquet(*[f"{path}/{f}" for f, _ in adds])
 
 
+def delta_optimize(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> int:
+    """Compaction (Delta OPTIMIZE): rewrite the live file set into
+    ``target_files`` larger files and commit add+remove with
+    ``dataChange: false`` — the snapshot's ROWS are unchanged, only the
+    layout, which is what lets streaming readers skip these commits.
+    At 100 TB this is the small-file antidote: read-side file count (and
+    task count) drops by orders of magnitude while MVCC keeps old
+    versions readable."""
+    current = delta_read(spark, path)
+    compacted = current.coalesce(target_files)
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no delta table at {path}")
+    version = versions[-1] + 1
+    actions: list[dict] = []
+    for f, _a in delta_live_adds(spark, path):
+        actions.append(
+            {
+                "remove": {
+                    "path": f,
+                    "deletionTimestamp": int(time.time() * 1000),
+                    "dataChange": False,
+                }
+            }
+        )
+    adds = _stage_data_files(compacted, path)
+    for a in adds:
+        a["add"]["dataChange"] = False
+    actions.extend(adds)
+    _write_commit(spark, path, version, actions)
+    return version
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 
@@ -466,7 +501,45 @@ def delta_native_stats_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragmented write → OPTIMIZE → read: the compacted snapshot must be
+    row-identical to the fragmented one (the oracle pins it to the source
+    table), while the file count collapses (asserted in tests)."""
+    import tempfile
+
+    from ..tables import load_table
+
+    s = load_table(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="ls_delta_opt_")
+    delta_write(s.repartition(16), path)
+    delta_optimize(spark, path, target_files=1)
+    back = delta_read(spark, path)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.round(F.col("s_acctbal") * 100, 0).cast("long")).alias(
+                "sum_acctbal_cents"
+            ),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "delta_native_optimize_compact",
+        delta_native_optimize_compact,
+        """
+        SELECT s_nationkey, COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_acctbal_cents
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        tags=("parity", "delta", "io"),
+        description="OPTIMIZE compaction on the native log: dataChange=false "
+        "rewrite, row-identical snapshot.",
+    ),
     QueryDef(
         "delta_native_stats_skip",
         delta_native_stats_skip,

@@ -150,3 +150,25 @@ def test_partition_values_are_unescaped(spark, sf_smoke):
     assert "a:b c" in values and None in values
     pruned = delta_read(spark, path, partition_filter={"k": "a:b c"})
     assert pruned.count() == 1
+
+
+def test_optimize_compacts_without_changing_rows(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+        delta_optimize,
+    )
+
+    s = load_table(spark, sf_smoke, "supplier")
+    path = tempfile.mkdtemp(prefix="ls_dl_t9_")
+    delta_write(s.repartition(16), path)
+    before_files = len(delta_live_adds(spark, path))
+    before_rows = delta_read(spark, path).count()
+    v = delta_optimize(spark, path, target_files=1)
+    assert len(delta_live_adds(spark, path)) < before_files
+    assert delta_read(spark, path).count() == before_rows
+    # compaction commits are layout-only: every action says dataChange false
+    for a in _actions(path, v):
+        body = a.get("add") or a.get("remove")
+        assert body["dataChange"] is False
+    # pre-OPTIMIZE snapshot still readable (MVCC)
+    assert delta_read(spark, path, version=v - 1).count() == before_rows
