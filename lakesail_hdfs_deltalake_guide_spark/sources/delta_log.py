@@ -394,6 +394,40 @@ def delta_optimize(
     return version
 
 
+def delta_vacuum(
+    spark: SparkSession, path: str, keep_versions: int = 1
+) -> list[str]:
+    """Retention cleanup (Delta VACUUM): physically delete data files no
+    snapshot in the retained window references; returns the deleted
+    relative paths. Time travel older than the window stops working — the
+    standard storage/history trade (Delta's default horizon is 7 days;
+    here the knob is version count for deterministic tests). The log
+    itself is never truncated: history metadata stays cheap, only data
+    bytes are reclaimed."""
+    versions = _list_versions(spark, path)
+    if not versions:
+        return []
+    retained = versions[-keep_versions:]
+    referenced: set[str] = set()
+    for v in retained:
+        referenced.update(f for f, _ in delta_live_adds(spark, path, v))
+    fs, table_path, jvm = _hadoop_fs(spark, path)
+    base_uri = fs.makeQualified(table_path).toUri()
+    deleted = []
+    it = fs.listFiles(table_path, True)
+    while it.hasNext():
+        status = it.next()
+        rel = base_uri.relativize(status.getPath().toUri()).getPath()
+        if (
+            rel.endswith(".parquet")
+            and not rel.startswith("_delta_log")
+            and rel not in referenced
+        ):
+            fs.delete(status.getPath(), False)
+            deleted.append(rel)
+    return sorted(deleted)
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 

@@ -172,3 +172,27 @@ def test_optimize_compacts_without_changing_rows(spark, sf_smoke):
         assert body["dataChange"] is False
     # pre-OPTIMIZE snapshot still readable (MVCC)
     assert delta_read(spark, path, version=v - 1).count() == before_rows
+
+
+def test_vacuum_reclaims_only_unreferenced_files(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_files,
+        delta_vacuum,
+    )
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_t10_")
+    delta_write(n, path, mode="overwrite")
+    v0_files = set(delta_live_files(spark, path))
+    delta_write(n.where(F.col("n_regionkey") <= 1), path, mode="overwrite")
+    before = n.where(F.col("n_regionkey") <= 1).count()
+
+    deleted = delta_vacuum(spark, path, keep_versions=1)
+    assert set(deleted) == v0_files, "exactly the retracted generation goes"
+    # latest snapshot unaffected
+    assert delta_read(spark, path).count() == before
+    # vacuumed history is genuinely gone from disk
+    on_disk = {p.rsplit("/", 1)[-1] for p in glob.glob(f"{path}/*.parquet")}
+    assert on_disk.isdisjoint(v0_files)
+    # idempotent
+    assert delta_vacuum(spark, path, keep_versions=1) == []
