@@ -158,7 +158,51 @@ def clean_try_cast_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift merge: two generations of a feed with different
+    columns union by NAME with null-fill (``allowMissingColumns``) — the
+    read-side half of schema evolution. Positional union would silently
+    misalign columns; name-based union is the only safe merge when
+    producers add fields over time."""
+    d = load_table(spark, sf_dir, "documents")
+    gen1 = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "n_chars")
+    gen2 = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source"
+    )  # later generation dropped n_chars, added source
+    merged = gen1.unionByName(gen2, allowMissingColumns=True)
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_chars").alias("n_with_chars"),
+            F.count("source").alias("n_with_source"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "clean_schema_drift_union",
+        clean_schema_drift_union,
+        """
+        WITH merged AS (
+          SELECT doc_id, lang, n_chars, NULL AS source
+          FROM documents WHERE doc_id % 2 = 0
+          UNION ALL
+          SELECT doc_id, lang, NULL, source
+          FROM documents WHERE doc_id % 2 = 1)
+        SELECT lang, COUNT(*) AS n_docs,
+               COUNT(n_chars) AS n_with_chars,
+               COUNT(source) AS n_with_source,
+               CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS total_chars
+        FROM merged GROUP BY lang ORDER BY lang
+        """,
+        tags=("extension", "cleaning", "pipeline"),
+        description="Schema-drift merge: unionByName with null-fill across "
+        "feed generations.",
+    ),
     QueryDef(
         "clean_try_cast_ingestion",
         clean_try_cast_ingestion,

@@ -206,7 +206,61 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram table — the n-gram LM training aggregate.
+
+    Bigrams come from zipping the token array with its own 1-shifted
+    slice (``arrays_zip(slice(t,1,n-1), slice(t,2,n-1))``) — map-side
+    array math, no self-join; the explode feeds one partial+final count
+    per (lang, bigram). Top-30 by count with a total tiebreak order so
+    the cut is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    t = _tokens()
+    pairs = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+    )
+    bigrams = d.select(
+        "lang", F.explode(pairs).alias("bg")
+    ).select("lang", F.concat_ws(" ", F.col("bg.w1"), F.col("bg.w2")).alias("bigram"))
+    counts = bigrams.groupBy("lang", "bigram").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 30)
+        .select("lang", "bigram", "n", F.col("rank").cast("bigint").alias("rank"))
+        .orderBy("lang", "rank")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "text_bigram_counts",
+        text_bigram_counts,
+        """
+        WITH toks AS (
+          SELECT lang, string_split(text, ' ') AS t FROM documents),
+        bg AS (
+          SELECT lang, t[i] || ' ' || t[i + 1] AS bigram
+          FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+        counts AS (
+          SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram),
+        ranked AS (
+          SELECT lang, bigram, n,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY n DESC, bigram) AS rank
+          FROM counts)
+        SELECT lang, bigram, n, rank FROM ranked
+        WHERE rank <= 30 ORDER BY lang, rank
+        """,
+        tags=("extension", "text", "pipeline"),
+        description="Per-language top-30 bigram counts (n-gram LM "
+        "training aggregate), map-side zip-shift pairing.",
+    ),
     QueryDef(
         "text_bpe_token_count",
         text_bpe_token_count,
