@@ -55,11 +55,13 @@ _TIER_MODULES = (
     "operators.text",
 )
 
-# Names with a driver-green row in CORRECTNESS_r01.json (entries 1-50).
-# These are re-verified last; everything else gets first claim on the
-# driver's per-round verification window.
+# Names with a driver-issued row in CORRECTNESS_r01.json (entries 1-50)
+# or CORRECTNESS_r02.json (49 green + 1 rows-only-by-design
+# `dedup_minhash_lsh`). These are re-verified last; everything else gets
+# first claim on the driver's per-round verification window.
 DRIVER_VERIFIED = frozenset(
     {
+        # --- round 1 (CORRECTNESS_r01.json) ---
         "flagship_customer_order_analysis",
         "projection_aliases",
         "selectexpr_arithmetic",
@@ -110,6 +112,57 @@ DRIVER_VERIFIED = frozenset(
         "text_fingerprint_duplicates",
         "text_tfidf_top_terms",
         "dedup_exact_keep_first",
+        # --- round 2 (CORRECTNESS_r02.json) ---
+        "agg_percentile_approx",
+        "chunk_pack_sequences",
+        "chunk_sliding_windows",
+        "clean_schema_drift_union",
+        "cluster_centroid_assign",
+        "cluster_random_projection",
+        "dedup_distinct_pairs",
+        "dedup_minhash_lsh",
+        "delta_native_optimize_compact",
+        "delta_native_stats_skip",
+        "graph_pagerank_trade",
+        "hypertable_multires_rollup",
+        "io_bucketed_join_agg",
+        "io_ctas_insert",
+        "layout_zorder_scan",
+        "multimodal_decode_features",
+        "multimodal_metadata_prune",
+        "olap_cube_orders",
+        "olap_rollup_revenue",
+        "profile_dataset_manifest",
+        "pysource_lehmer_filtered",
+        "pysource_lehmer_histogram",
+        "sample_token_budget_mix",
+        "sample_weighted_by_length",
+        "scalar_bool_aggregates",
+        "scalar_map_explode_props",
+        "session_context_examples",
+        "session_transition_matrix",
+        "similarity_bruteforce_topk",
+        "similarity_threshold_pairs",
+        "skew_salted_agg_returnflag",
+        "skew_salted_join_events",
+        "sql_named_parameters",
+        "sql_over_views_flagship",
+        "sql_recursive_month_spine",
+        "stats_observed_scan_metrics",
+        "streaming_delta_append_sink",
+        "streaming_sliding_stats",
+        "streaming_stateful_user_profiles",
+        "streaming_tumbling_counts",
+        "streaming_upsert_versioned",
+        "temporal_asof_last_error",
+        "temporal_range_conversions",
+        "text_bigram_counts",
+        "tpch_q2_min_balance_supplier",
+        "ts_gapfill_hourly",
+        "udf_arrow_batch_tokens",
+        "udf_table_function_sentences",
+        "versioned_merge_upsert",
+        "versioned_snapshot_counts",
     }
 )
 

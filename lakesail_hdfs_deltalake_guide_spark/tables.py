@@ -32,15 +32,25 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# events.ts arrives as epoch-nanos BIGINT (see session.RUNTIME_CONFS);
-# keep the raw long around as ts_ns (timezone-free — all oracle-checked
-# outputs derive integer epochs from it) and expose ts as a TimestampType
-# instant (exact epoch, independent of the session timezone) so event-time
-# windowing / watermarks work identically in batch and streaming.
+# events.ts has shipped in two physical encodings across fixture
+# generations: epoch-nanos BIGINT (TIMESTAMP(NANOS) read under
+# session.RUNTIME_CONFS' nanosAsLong) and parquet timestamp[us] (read as
+# TIMESTAMP_NTZ). Normalize both to the same logical schema: keep a
+# timezone-free epoch-nanos long as ts_ns (all oracle-checked outputs
+# derive integer epochs from it — DuckDB's `epoch_ns(ts)` equivalent) and
+# expose ts as a TimestampType instant so event-time windowing /
+# watermarks work identically in batch and streaming. The session
+# timezone is pinned to UTC (configure_session), so NTZ wall-clock ↔
+# instant conversion is exact and host-independent.
+
+_EVENT_COLS = ("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
 
 
 def _postprocess(name: str, df: DataFrame) -> DataFrame:
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name != "events":
+        return df
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = (
             df.withColumnRenamed("ts", "ts_ns")
             .withColumn(
@@ -50,7 +60,13 @@ def _postprocess(name: str, df: DataFrame) -> DataFrame:
                 "ts",
                 F.expr("timestamp_micros(ts_ns div 1000)"),
             )
-            .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+            .select(*_EVENT_COLS)
+        )
+    elif ts_type in ("timestamp_ntz", "timestamp"):
+        df = (
+            df.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("ts_ns", F.expr("unix_micros(ts) * 1000"))
+            .select(*_EVENT_COLS)
         )
     return df
 
