@@ -15,8 +15,9 @@ snapshot by folding the log.
 
 Scale posture (same as Delta's own design):
 - the log stores file *paths + stats*, O(commits) JSON — never data;
-- snapshot resolution folds add/remove actions driver-side (tiny), then
-  the scan is a normal multi-file parquet read with full pushdown;
+- snapshot resolution folds the newest parquet checkpoint plus at most
+  CHECKPOINT_INTERVAL-1 JSON tail commits driver-side (tiny), then the
+  scan is a normal multi-file parquet read with full pushdown;
 - ``overwrite`` is a metadata operation: new adds + removes of the old
   generation in ONE atomic commit file — readers of version N-1 are
   untouched (MVCC time travel for free);
@@ -40,6 +41,15 @@ from ..querydef import QueryDef
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
+# Parquet checkpoint cadence (the Delta protocol's own default): every
+# N commits the full snapshot state is written as
+# ``_delta_log/{v:020d}.checkpoint.parquet`` and ``_last_checkpoint``
+# re-pointed, so snapshot resolution folds ONE parquet file plus at most
+# N-1 JSON tail commits instead of every commit since version 0 —
+# O(interval), not O(commits). At 100 TB / tens of thousands of commits
+# this is the difference between a bounded metadata read and a log walk.
+CHECKPOINT_INTERVAL = 10
+
 
 def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm  # noqa: SLF001
@@ -56,6 +66,10 @@ def _version_file(path: str, version: int) -> str:
     return f"{_log_dir(path)}/{version:020d}.json"
 
 
+def _checkpoint_file(path: str, version: int) -> str:
+    return f"{_log_dir(path)}/{version:020d}.checkpoint.parquet"
+
+
 def _list_versions(spark: SparkSession, path: str) -> list[int]:
     fs, log_path, _ = _hadoop_fs(spark, _log_dir(path))
     if not fs.exists(log_path):
@@ -65,6 +79,20 @@ def _list_versions(spark: SparkSession, path: str) -> list[int]:
         name = status.getPath().getName()
         stem = name[: -len(".json")]
         if name.endswith(".json") and stem.isdigit():
+            versions.append(int(stem))
+    return sorted(versions)
+
+
+def _list_checkpoints(spark: SparkSession, path: str) -> list[int]:
+    fs, log_path, _ = _hadoop_fs(spark, _log_dir(path))
+    if not fs.exists(log_path):
+        return []
+    suffix = ".checkpoint.parquet"
+    versions = []
+    for status in fs.listStatus(log_path):
+        name = status.getPath().getName()
+        stem = name[: -len(suffix)]
+        if name.endswith(suffix) and stem.isdigit():
             versions.append(int(stem))
     return sorted(versions)
 
@@ -111,6 +139,189 @@ def _write_commit(spark: SparkSession, path: str, version: int, actions) -> None
         raise RuntimeError(
             f"delta commit conflict: version {version} already exists at {path}"
         )
+
+
+def _checkpoint_arrow_schema():
+    """Checkpoint parquet schema per the public Delta protocol (one action
+    per row; struct columns for protocol/metaData/add) — a delta-spark
+    reader following ``_last_checkpoint`` parses these fields directly."""
+    import pyarrow as pa
+
+    str_map = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [("provider", pa.string()), ("options", str_map)]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", str_map),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", str_map),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def _maps_to_items(action: dict | None, keys: tuple[str, ...]) -> dict | None:
+    """pyarrow's map type converts from/to lists of (key, value) pairs;
+    JSON actions carry plain dicts — translate the named fields."""
+    if action is None:
+        return None
+    out = dict(action)
+    for k in keys:
+        if isinstance(out.get(k), dict):
+            out[k] = list(out[k].items())
+    return out
+
+
+def delta_checkpoint(spark: SparkSession, path: str, version: int | None = None) -> int:
+    """Write a protocol-conformant parquet checkpoint of the snapshot at
+    ``version`` (latest if None) and re-point ``_last_checkpoint``.
+    Returns the checkpointed version. Pure metadata — no data files are
+    touched; the checkpoint is driver-written (snapshot state is O(live
+    files), the same driver-side object every fold already builds)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no delta table at {path}")
+    target = versions[-1] if version is None else version
+    meta, live = _snapshot_state(spark, path, target)
+    schema = _checkpoint_arrow_schema()
+    rows = [
+        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None},
+        {
+            "protocol": None,
+            "metaData": _maps_to_items(meta, ("configuration",))
+            | {
+                "format": _maps_to_items(
+                    meta.get("format", {}), ("options",)
+                )
+            },
+            "add": None,
+        },
+    ]
+    for _, add in sorted(live.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": _maps_to_items(add, ("partitionValues",)),
+            }
+        )
+    table = pa.Table.from_pylist(rows, schema=schema)
+    pa_fs, pa_root = pafs.FileSystem.from_uri(path)
+    ckpt_rel = f"{pa_root}/_delta_log/{target:020d}.checkpoint.parquet"
+    pq.write_table(table, ckpt_rel, filesystem=pa_fs)
+    # _last_checkpoint is a mutable pointer (the one log file the protocol
+    # overwrites in place); crash between checkpoint and pointer is safe —
+    # readers fall back to the previous pointer or a directory listing.
+    fs, _, jvm = _hadoop_fs(spark, path)
+    pointer = jvm.org.apache.hadoop.fs.Path(f"{_log_dir(path)}/_last_checkpoint")
+    stream = fs.create(pointer, True)
+    try:
+        stream.write(json.dumps({"version": target, "size": len(rows)}).encode())
+    finally:
+        stream.close()
+    return target
+
+
+def _read_checkpoint(
+    spark: SparkSession, path: str, version: int
+) -> tuple[dict | None, dict[str, dict]]:
+    """Load one checkpoint parquet into (metaData, {path: add})."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    pa_fs, pa_root = pafs.FileSystem.from_uri(path)
+    table = pq.read_table(
+        f"{pa_root}/_delta_log/{version:020d}.checkpoint.parquet",
+        filesystem=pa_fs,
+    )
+    meta: dict | None = None
+    live: dict[str, dict] = {}
+    for row in table.to_pylist():
+        if row.get("metaData") is not None:
+            meta = dict(row["metaData"])
+            if isinstance(meta.get("configuration"), list):
+                meta["configuration"] = dict(meta["configuration"])
+            if isinstance(meta.get("format"), dict) and isinstance(
+                meta["format"].get("options"), list
+            ):
+                meta["format"] = dict(meta["format"])
+                meta["format"]["options"] = dict(meta["format"]["options"])
+        elif row.get("add") is not None:
+            add = {k: v for k, v in row["add"].items() if v is not None}
+            if isinstance(add.get("partitionValues"), list):
+                add["partitionValues"] = dict(add["partitionValues"])
+            live[add["path"]] = add
+    return meta, live
+
+
+def _snapshot_state(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[dict | None, dict[str, dict]]:
+    """Resolve the snapshot at ``version`` (latest if None) into
+    (current metaData, live {path: add}). Starts from the newest
+    checkpoint ≤ version when one exists and folds only the JSON tail
+    after it — O(CHECKPOINT_INTERVAL) commits, not O(all commits)."""
+    versions = _list_versions(spark, path)
+    if not versions:
+        return None, {}
+    target = versions[-1] if version is None else version
+    meta: dict | None = None
+    live: dict[str, dict] = {}
+    start = 0
+    ckpts = [c for c in _list_checkpoints(spark, path) if c <= target]
+    if ckpts:
+        meta, live = _read_checkpoint(spark, path, ckpts[-1])
+        start = ckpts[-1] + 1
+    for v in versions:
+        if v < start or v > target:
+            continue
+        for line in _read_text(spark, _version_file(path, v)).splitlines():
+            action = json.loads(line)
+            if "add" in action:
+                live[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
+            elif "metaData" in action:
+                meta = action["metaData"]
+    return meta, live
 
 
 def _file_stats(filesystem, root: str, rel: str, stats_cols: list[str]) -> dict:
@@ -218,16 +429,37 @@ def _stage_data_files(
     return adds
 
 
-def delta_metadata(spark: SparkSession, path: str) -> dict | None:
-    """The table's metaData action (first commit carries it)."""
-    versions = _list_versions(spark, path)
-    if not versions:
-        return None
-    for line in _read_text(spark, _version_file(path, versions[0])).splitlines():
-        action = json.loads(line)
-        if "metaData" in action:
-            return action["metaData"]
-    return None
+def delta_metadata(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict | None:
+    """The snapshot's current metaData action (the newest one at or
+    before ``version`` — schema evolution commits replace it)."""
+    meta, _ = _snapshot_state(spark, path, version)
+    return meta
+
+
+def _merge_schemas(existing, incoming):
+    """unionByName-style schema merge: existing fields keep their order
+    and types; brand-new incoming fields append (nullable). A same-name
+    field with a different type is rejected — implicit type widening on
+    append is how silent corruption happens at scale."""
+    from pyspark.sql.types import StructField, StructType
+
+    by_name = {f.name: f for f in incoming.fields}
+    merged = []
+    for f in existing.fields:
+        new = by_name.get(f.name)
+        if new is not None and new.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution cannot change column {f.name!r} from "
+                f"{f.dataType.simpleString()} to {new.dataType.simpleString()}"
+            )
+        merged.append(f)
+    existing_names = {f.name for f in existing.fields}
+    for f in incoming.fields:
+        if f.name not in existing_names:
+            merged.append(StructField(f.name, f.dataType, True))
+    return StructType(merged)
 
 
 def delta_write(
@@ -236,9 +468,18 @@ def delta_write(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit df to a protocol-conformant Delta table; returns the
-    committed version."""
+    committed version.
+
+    ``merge_schema=True`` (delta-spark's ``mergeSchema`` option,
+    reference README.md:302 "schema evolution") lets an append carry new
+    columns: the commit includes an updated ``metaData`` action with the
+    widened schema, and files written before the evolution read back with
+    nulls in the new columns. Without it, a mismatched append is
+    rejected. Every CHECKPOINT_INTERVAL commits a parquet checkpoint is
+    written automatically."""
     spark = df.sparkSession
     versions = _list_versions(spark, path)
     version = (versions[-1] + 1) if versions else 0
@@ -258,29 +499,56 @@ def delta_write(
             }
         )
     else:
+        from pyspark.sql.types import StructType
+
+        meta, live = _snapshot_state(spark, path)
+        meta = meta or {}
         # a commit whose layout contradicts metaData.partitionColumns
         # would be protocol-corrupt (adds with wrong partitionValues,
         # mixed directory layouts) — reject it loudly
-        meta = delta_metadata(spark, path) or {}
         declared = meta.get("partitionColumns", [])
         if list(partition_by or []) != list(declared):
             raise ValueError(
                 f"partition_by {partition_by or []} does not match the "
                 f"table's declared partitionColumns {declared}"
             )
-    if mode == "overwrite" and version > 0:
-        for f, _pv in delta_live_adds(spark, path):
-            actions.append(
-                {
-                    "remove": {
-                        "path": f,
-                        "deletionTimestamp": int(time.time() * 1000),
-                        "dataChange": True,
-                    }
-                }
+        existing = StructType.fromJson(json.loads(meta["schemaString"]))
+        if df.schema != existing:
+            if not merge_schema:
+                raise ValueError(
+                    "schema mismatch on write (pass merge_schema=True to "
+                    "evolve the table schema, delta-spark's mergeSchema)"
+                )
+            merged = _merge_schemas(existing, df.schema)
+            # conform df to the merged shape: evolution-added columns the
+            # incoming batch lacks become typed nulls, column order fixed
+            df = df.select(
+                *[
+                    F.col(f.name)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in merged.fields
+                ]
             )
+            if merged != existing:
+                new_meta = dict(meta)
+                new_meta["schemaString"] = merged.json()
+                actions.append({"metaData": new_meta})
+        if mode == "overwrite":
+            for f in sorted(live):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": f,
+                            "deletionTimestamp": int(time.time() * 1000),
+                            "dataChange": True,
+                        }
+                    }
+                )
     actions.extend(_stage_data_files(df, path, partition_by, stats_cols))
     _write_commit(spark, path, version, actions)
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        delta_checkpoint(spark, path, version)
     return version
 
 
@@ -288,17 +556,9 @@ def delta_live_adds(
     spark: SparkSession, path: str, version: int | None = None
 ) -> list[tuple[str, dict]]:
     """Fold the log up to `version` (inclusive; latest if None) into the
-    live (file, add-action) set — the snapshot's MVCC reconstruction."""
-    live: dict[str, dict] = {}
-    for v in _list_versions(spark, path):
-        if version is not None and v > version:
-            break
-        for line in _read_text(spark, _version_file(path, v)).splitlines():
-            action = json.loads(line)
-            if "add" in action:
-                live[action["add"]["path"]] = action["add"]
-            elif "remove" in action:
-                live.pop(action["remove"]["path"], None)
+    live (file, add-action) set — the snapshot's MVCC reconstruction.
+    Resolution is checkpoint + JSON tail (see _snapshot_state)."""
+    _, live = _snapshot_state(spark, path, version)
     return sorted(live.items())
 
 
@@ -320,8 +580,14 @@ def delta_read(
     whose footer min/max stats cannot intersect — both are pure metadata
     folds; skipped files are never listed or opened. ``range_filter`` is
     advisory (files without stats always survive): callers keep their row
-    predicate, skipping only removes provably-irrelevant files."""
-    adds = delta_live_adds(spark, path, version)
+    predicate, skipping only removes provably-irrelevant files. The scan
+    always applies the snapshot's metaData schema, so files written
+    before a schema evolution read back with typed nulls in the
+    evolution-added columns."""
+    from pyspark.sql.types import StructType
+
+    meta, live = _snapshot_state(spark, path, version)
+    adds = sorted(live.items())
     if partition_filter:
         adds = [
             (f, a)
@@ -345,17 +611,14 @@ def delta_read(
             return True
 
         adds = [(f, a) for f, a in adds if _overlaps(a)]
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if not adds:
         # a fully-retracted or fully-pruned snapshot is a VALID empty
         # table — reconstruct its schema from metaData, don't error
-        meta = delta_metadata(spark, path)
-        if meta is None:
-            raise ValueError(f"no delta table at {path}")
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(meta["schemaString"]))
         return spark.createDataFrame([], schema)
-    reader = spark.read.option("basePath", path)
+    reader = spark.read.schema(schema).option("basePath", path)
     return reader.parquet(*[f"{path}/{f}" for f, _ in adds])
 
 
@@ -391,6 +654,8 @@ def delta_optimize(
         a["add"]["dataChange"] = False
     actions.extend(adds)
     _write_commit(spark, path, version, actions)
+    if version % CHECKPOINT_INTERVAL == 0:
+        delta_checkpoint(spark, path, version)
     return version
 
 
@@ -560,7 +825,100 @@ def delta_native_optimize_compact(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def delta_native_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed log: 13 commits cross CHECKPOINT_INTERVAL, so the
+    read resolves from the parquet checkpoint plus the JSON tail — the
+    protocol's O(interval) snapshot path (at tens of thousands of
+    commits the non-checkpointed fold is a driver-side log walk). The
+    append slices cover every nation row exactly once, so the final
+    snapshot is the nation table twice."""
+    import tempfile
+
+    from ..tables import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="ls_delta_ckpt_")
+    delta_write(n, path, mode="overwrite")
+    for i in range(12):
+        delta_write(
+            n.where(F.col("n_nationkey") % 12 == i), path, mode="append"
+        )
+    if not _list_checkpoints(spark, path):
+        raise RuntimeError("expected a parquet checkpoint after 13 commits")
+    back = delta_read(spark, path)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").alias("sum_nationkey"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+def delta_native_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on append (reference README.md:302): the first
+    commit has two columns, the append carries a third with
+    ``merge_schema=True`` — the commit's updated metaData widens the
+    table, and pre-evolution files read back with typed nulls."""
+    import tempfile
+
+    from ..tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    path = tempfile.mkdtemp(prefix="ls_delta_evo_")
+    delta_write(
+        c.where(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name"),
+        path,
+        mode="overwrite",
+    )
+    delta_write(
+        c.where(F.col("c_custkey") % 2 == 1).select(
+            "c_custkey", "c_name", "c_acctbal"
+        ),
+        path,
+        mode="append",
+        merge_schema=True,
+    )
+    back = delta_read(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("c_acctbal").alias("n_with_acctbal"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias(
+            "sum_acctbal_cents"
+        ),
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "delta_native_checkpoint_read",
+        delta_native_checkpoint_read,
+        """
+        WITH doubled AS (SELECT * FROM nation UNION ALL SELECT * FROM nation)
+        SELECT n_regionkey, COUNT(*) AS n_rows,
+               CAST(SUM(n_nationkey) AS BIGINT) AS sum_nationkey
+        FROM doubled GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+        tags=("parity", "delta", "io"),
+        description="Parquet checkpoint + _last_checkpoint: snapshot resolves "
+        "from checkpoint plus JSON tail.",
+    ),
+    QueryDef(
+        "delta_native_schema_evolution",
+        delta_native_schema_evolution,
+        """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(CASE WHEN c_custkey % 2 = 1 THEN 1 END) AS n_with_acctbal,
+               CAST(SUM(CASE WHEN c_custkey % 2 = 1
+                             THEN CAST(round(c_acctbal * 100) AS BIGINT) END)
+                    AS BIGINT) AS sum_acctbal_cents
+        FROM customer
+        """,
+        tags=("parity", "delta", "io"),
+        description="mergeSchema append: metaData evolves, old files read "
+        "with typed nulls.",
+    ),
     QueryDef(
         "delta_native_optimize_compact",
         delta_native_optimize_compact,

@@ -174,6 +174,79 @@ def test_optimize_compacts_without_changing_rows(spark, sf_smoke):
     assert delta_read(spark, path, version=v - 1).count() == before_rows
 
 
+def test_checkpoint_written_and_read_from_tail(spark, sf_smoke, monkeypatch):
+    """A 25-commit table resolves from the newest checkpoint (v20) plus
+    the JSON tail (v21-24) — commits below the checkpoint are never
+    opened."""
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_ckpt_")
+    delta_write(n, path, mode="overwrite")
+    for i in range(24):
+        delta_write(n.where(F.col("n_nationkey") == i), path, mode="append")
+    assert delta_log._list_checkpoints(spark, path) == [10, 20]
+    pointer = json.loads(open(f"{path}/_delta_log/_last_checkpoint").read())
+    assert pointer["version"] == 20
+
+    opened: list[int] = []
+    real_read = delta_log._read_text
+
+    def spying_read(spark_, p):
+        if p.endswith(".json") and "_delta_log" in p:
+            opened.append(int(p.rsplit("/", 1)[-1][: -len(".json")]))
+        return real_read(spark_, p)
+
+    monkeypatch.setattr(delta_log, "_read_text", spying_read)
+    total = delta_read(spark, path).count()
+    assert total == n.count() + n.where(F.col("n_nationkey") < 24).count()
+    assert opened and min(opened) == 21, f"fold must start after v20: {opened}"
+    # time travel below the checkpoint still folds JSON from v0
+    assert delta_read(spark, path, version=0).count() == n.count()
+
+
+def test_schema_evolution_append(spark, sf_smoke):
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_metadata,
+    )
+
+    c = load_table(spark, sf_smoke, "customer")
+    two_col = c.select("c_custkey", "c_name")
+    three_col = c.select("c_custkey", "c_name", "c_acctbal")
+    path = tempfile.mkdtemp(prefix="ls_dl_evo_")
+    delta_write(two_col.limit(10), path)
+    # mismatched append without merge_schema is rejected
+    with pytest.raises(ValueError, match="merge_schema"):
+        delta_write(three_col.limit(5), path, mode="append")
+    delta_write(three_col.limit(5), path, mode="append", merge_schema=True)
+    back = delta_read(spark, path)
+    assert back.columns == ["c_custkey", "c_name", "c_acctbal"]
+    assert back.count() == 15
+    # pre-evolution rows carry typed nulls in the new column
+    assert back.where(F.col("c_acctbal").isNull()).count() == 10
+    meta_cols = [
+        f["name"]
+        for f in json.loads(delta_metadata(spark, path)["schemaString"])["fields"]
+    ]
+    assert meta_cols == ["c_custkey", "c_name", "c_acctbal"]
+    # time travel to v0 sees the ORIGINAL two-column schema
+    v0 = delta_read(spark, path, version=0)
+    assert v0.columns == ["c_custkey", "c_name"] and v0.count() == 10
+
+
+def test_schema_evolution_rejects_type_change(spark, sf_smoke):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    path = tempfile.mkdtemp(prefix="ls_dl_evo_t_")
+    delta_write(df, path)
+    retyped = spark.createDataFrame([(2, 3.5)], "id bigint, v double")
+    with pytest.raises(ValueError, match="cannot change column"):
+        delta_write(retyped, path, mode="append", merge_schema=True)
+
+
 def test_vacuum_reclaims_only_unreferenced_files(spark, sf_smoke):
     from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
         delta_live_files,
