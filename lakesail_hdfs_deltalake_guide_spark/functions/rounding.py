@@ -51,17 +51,17 @@ def exact_avg(col: Column | str, scale: int = 2) -> Column:
     return (F.sum(cents(c, scale)).cast("double") / F.count(c)) / F.lit(10**scale)
 
 
-def floor_div_expr(num: str, den: str) -> Column:
-    """Exact BIGINT *floor* division — DuckDB ``//`` semantics.
+def int_div_expr(num: str, den: str) -> Column:
+    """Exact BIGINT integer division — DuckDB integer ``//`` semantics.
 
-    Spark's ``div`` truncates toward zero, DuckDB's ``//`` floors; they
-    disagree whenever the quotient is negative and inexact. Pure integer
-    ops (no double round-trip), so exact at any magnitude."""
-    n, d = f"({num})", f"({den})"
-    return F.expr(
-        f"CASE WHEN {n} % {d} != 0 AND (({n} < 0) != ({d} < 0)) "
-        f"THEN {n} div {d} - 1 ELSE {n} div {d} END"
-    )
+    Verified against DuckDB v1.0.0: BIGINT ``//`` BIGINT *truncates
+    toward zero* (``-201 // 2 = -100``), exactly like Spark's ``div`` —
+    the earlier floor-correction CASE (built on the docs' "rounds towards
+    negative infinity", which only describes the FLOAT overload) made
+    Spark *disagree* with the oracle on negative inexact quotients.
+    tests/test_properties.py pins both engines to this. Pure integer ops
+    (no double round-trip), so exact at any magnitude."""
+    return F.expr(f"({num}) div ({den})")
 
 
 def sql_cents(expr: str, scale: int = 2) -> str:

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import floor_div_expr
+from ..functions.rounding import int_div_expr
 from ..querydef import QueryDef
 from ..tables import load_table
 
@@ -47,9 +47,9 @@ def clean_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cents div count) so both engines impute the identical value."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.select("event_type", _valid_cents().alias("vc"))
-    # floor (not trunc) division: matches the oracle's `//` for any sign.
+    # trunc-toward-zero division, matching DuckDB integer `//` for any sign.
     means = base.groupBy("event_type").agg(
-        floor_div_expr("sum(vc)", "count(vc)").alias("mean_cents")
+        int_div_expr("sum(vc)", "count(vc)").alias("mean_cents")
     )
     imputed = base.join(F.broadcast(means), "event_type").select(
         "event_type", F.coalesce(F.col("vc"), F.col("mean_cents")).alias("cents")

@@ -126,7 +126,12 @@ def _sketch_parallel(corpus: DataFrame) -> DataFrame:
     the repartition (a full-corpus raw-text shuffle) vanish from the plan
     instead of being inherited from the fixture workaround."""
     sc = corpus.sparkSession.sparkContext
-    if corpus.rdd.getNumPartitions() >= sc.defaultParallelism:
+    # probe the physical plan's partition count JVM-side: `corpus.rdd`
+    # builds the Python-serializer RDD wrapper (~1.3 s of classloading on
+    # first use, ~0.1 s per call after); queryExecution().toRdd() reads
+    # the same partitioning off the internal RDD for ~half that
+    n_parts = corpus._jdf.queryExecution().toRdd().getNumPartitions()  # noqa: SLF001
+    if n_parts >= sc.defaultParallelism:
         return corpus
     return corpus.repartition(sc.defaultParallelism, "doc_id")
 

@@ -281,7 +281,7 @@ QUERIES: list[QueryDef] = [
         "graph_pagerank_trade",
         graph_pagerank_trade,
         _PAGERANK_SQL,
-        tags=("extension", "graph", "iterative"),
+        tags=("extension", "graph", "iterative", "bench"),
         description="Weighted fixed-point PageRank (3 iterations) over the "
         "customer→supplier nation trade graph, pinned to an unrolled-CTE "
         "oracle.",

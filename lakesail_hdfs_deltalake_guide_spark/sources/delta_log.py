@@ -928,7 +928,7 @@ QUERIES: list[QueryDef] = [
                  AS sum_acctbal_cents
         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
         """,
-        tags=("parity", "delta", "io"),
+        tags=("parity", "delta", "io", "bench"),
         description="OPTIMIZE compaction on the native log: dataChange=false "
         "rewrite, row-identical snapshot.",
     ),
@@ -942,7 +942,7 @@ QUERIES: list[QueryDef] = [
                MAX(l_quantity) AS max_qty
         FROM lineitem WHERE l_quantity >= 1 AND l_quantity <= 10
         """,
-        tags=("parity", "delta", "io"),
+        tags=("parity", "delta", "io", "bench"),
         description="Delta footer-stats data skipping on a range-clustered "
         "write.",
     ),

@@ -29,7 +29,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import floor_div_expr
+from ..functions.rounding import int_div_expr
 from ..querydef import QueryDef
 from ..tables import _postprocess
 from ..session import configure_session
@@ -154,8 +154,8 @@ def streaming_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "n_events",
             # fixed-point mean in 1e-4 units: exact integer arithmetic;
-            # floor (not trunc) division matches the oracle's `//`.
-            floor_div_expr("sum_cents * 100", "n_events").alias("avg_value_e4"),
+            # trunc-toward-zero division, matching DuckDB integer `//`.
+            int_div_expr("sum_cents * 100", "n_events").alias("avg_value_e4"),
             "max_value",
         )
     )

@@ -31,7 +31,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rounding import floor_div_expr
+from ..functions.rounding import int_div_expr
 from ..querydef import QueryDef
 from ..tables import load_table
 from .events import WATERMARK, _cents, _run_to_table, events_stream
@@ -142,9 +142,9 @@ def streaming_interval_join_click_error(
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            # floor (not trunc) division: matches the oracle's `//` even if
-            # a lag were ever negative (clock skew upstream).
-            floor_div_expr("sum(lag_us)", "count(1)").alias("avg_lag_us"),
+            # trunc-toward-zero division, matching DuckDB integer `//`
+            # even if a lag were ever negative (clock skew upstream).
+            int_div_expr("sum(lag_us)", "count(1)").alias("avg_lag_us"),
         )
         .orderBy("user_id")
     )

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import math
 
-from hypothesis import given, strategies as st
+from hypothesis import given, settings, strategies as st
 
 _M = 2147483647
 _A = 48271
@@ -90,20 +90,63 @@ def test_cents_sum_is_order_independent(xs):
     assert sum(cents) == sum(reversed(cents)) == sum(sorted(cents))
 
 
-def _floor_div_replica(n: int, d: int) -> int:
-    """Pure-Python replica of functions/rounding.floor_div_expr: Spark
-    `div` (trunc toward zero) corrected to floor semantics."""
+def _trunc_div_replica(n: int, d: int) -> int:
+    """Pure-Python replica of functions/rounding.int_div_expr (Spark
+    ``div``): integer division truncating toward zero."""
     t = abs(n) // abs(d)
-    t = t if (n < 0) == (d < 0) else -t
-    if n % d != 0 and (n < 0) != (d < 0):
-        return t - 1
-    return t
+    return t if (n < 0) == (d < 0) else -t
 
 
 @given(
     st.integers(min_value=-(10**15), max_value=10**15),
     st.integers(min_value=-(10**9), max_value=10**9).filter(lambda d: d != 0),
 )
-def test_floor_div_expr_matches_python_floor_division(n, d):
-    # DuckDB `//` is floor division — Python's // is the reference.
-    assert _floor_div_replica(n, d) == n // d
+@settings(deadline=None)  # first example pays DuckDB connection setup
+def test_int_div_expr_matches_duckdb_integer_division(n, d):
+    # DuckDB BIGINT `//` BIGINT truncates toward zero (v1.0.0, verified —
+    # the docs' "rounds towards negative infinity" describes the FLOAT
+    # overload only). Spark `div` must match it on every sign combination.
+    import duckdb
+
+    got = duckdb.execute(
+        "SELECT CAST(? AS BIGINT) // CAST(? AS BIGINT)", [n, d]
+    ).fetchone()[0]
+    assert _trunc_div_replica(n, d) == got
+
+
+def test_int_div_negative_cents_spark_equals_duckdb(spark):
+    """End-to-end negative-domain guard for every int_div_expr call
+    site (clean_impute_group_mean's sum(vc)//count, streaming avg_lag_us,
+    avg_value_e4): group means over cents that sum NEGATIVE must divide
+    identically in Spark and DuckDB. The fixtures only carry positive
+    values, so this is the path no oracle query exercises."""
+    import duckdb
+
+    from lakesail_hdfs_deltalake_guide_spark.functions.rounding import (
+        int_div_expr,
+    )
+
+    rows = []
+    gid = 0
+    for cents in ([-101, -3], [-7, 3], [5, -999], [-1, -1, -1], [100, -301]):
+        gid += 1
+        rows.extend((gid, c) for c in cents)
+    df = spark.createDataFrame(rows, "g bigint, vc bigint")
+    got = {
+        r.g: r.mean_cents
+        for r in df.groupBy("g")
+        .agg(int_div_expr("sum(vc)", "count(vc)").alias("mean_cents"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (g BIGINT, vc BIGINT); "
+        + "INSERT INTO t VALUES "
+        + ",".join(f"({g},{c})" for g, c in rows)
+    )
+    want = dict(
+        con.execute("SELECT g, SUM(vc) // COUNT(vc) FROM t GROUP BY g").fetchall()
+    )
+    assert got == want
+    # and the negative domain is actually exercised
+    assert any(v < 0 for v in want.values())
