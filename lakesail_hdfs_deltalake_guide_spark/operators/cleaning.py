@@ -182,7 +182,79 @@ def clean_schema_drift_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Conservative email matcher, valid in both Java regex (Spark) and RE2
+# (DuckDB) — no lookarounds, no shorthand classes that differ.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def clean_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (the pre-training redaction pass every public-crawl
+    corpus runs): detect and strike email addresses, reporting per-source
+    match counts and bytes redacted. The fixture text carries no PII, so
+    a deterministic subset (doc_id % 10 == 0) gets an address planted
+    in-plan — the operator demonstrably removes something at any SF.
+
+    Scale: regexp_count/regexp_replace are JVM codegen per row, no
+    shuffle before the per-source rollup (which moves 4 longs per
+    source)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.col("text"))
+    base = d.select(
+        "source",
+        planted.alias("t"),
+        F.regexp_count(planted, F.lit(EMAIL_RE)).alias("n_matches"),
+        F.regexp_replace(planted, EMAIL_RE, "[EMAIL]").alias("redacted"),
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_matches") > 0).cast("bigint")).alias("n_docs_with_pii"),
+            F.sum("n_matches").cast("bigint").alias("n_matches"),
+            F.sum(F.length("t") - F.length("redacted"))
+            .cast("bigint")
+            .alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "clean_pii_redact",
+        clean_pii_redact,
+        f"""
+        WITH planted AS (
+          SELECT source,
+                 CASE WHEN doc_id % 10 = 0
+                      THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                           || '@example.com'
+                      ELSE text END AS t
+          FROM documents),
+        scored AS (
+          SELECT source, t,
+                 len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_matches,
+                 regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g') AS redacted
+          FROM planted)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_docs_with_pii,
+               CAST(SUM(n_matches) AS BIGINT) AS n_matches,
+               CAST(SUM(len(t) - len(redacted)) AS BIGINT) AS chars_redacted
+        FROM scored GROUP BY source ORDER BY source
+        """,
+        tags=("extension", "cleaning", "pipeline"),
+        description="Email-PII detection + redaction with per-source match "
+        "and byte counts (planted addresses).",
+    ),
     QueryDef(
         "clean_schema_drift_union",
         clean_schema_drift_union,

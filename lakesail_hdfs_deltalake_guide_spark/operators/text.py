@@ -237,7 +237,66 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (the Gopher/C4-family quality filter):
+    fraction of duplicated token 3-grams per doc, in exact ppm. Heavily
+    repeated boilerplate (nav bars, templated spam) scores high and gets
+    dropped before training. One codegen pass — the trigram array, its
+    distinct count and the ratio are all array expressions fused into the
+    scan; nothing shuffles but the final sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+    )
+    return (
+        d.where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.size(grams).cast("bigint").alias("n_3grams"),
+            (F.size(grams) - F.size(F.array_distinct(grams)))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_3grams",
+            "n_dup",
+            F.expr("n_dup * 1000000 div n_3grams").alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# reuse in the oracle: DuckDB range(a, b) is end-exclusive and list
+# slicing toks[i:i+2] is 1-based inclusive → same trigrams as Spark's
+# sequence(0, n-3) + slice(toks, i+1, 3)
+_SQL_3GRAMS = (
+    f"list_transform(range(1, {_SQL_NTOK} - 1), "
+    f"i -> array_to_string(({_SQL_TOKS})[i:i+2], ' '))"
+)
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "text_intra_doc_repetition",
+        text_intra_doc_repetition,
+        f"""
+        WITH g AS (
+          SELECT doc_id, {_SQL_3GRAMS} AS grams
+          FROM documents WHERE {_SQL_NTOK} >= 3)
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_3grams,
+               CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup,
+               CAST((len(grams) - len(list_distinct(grams))) * 1000000
+                    // len(grams) AS BIGINT) AS dup_ppm
+        FROM g ORDER BY doc_id
+        """,
+        tags=("extension", "text", "pipeline"),
+        description="Within-doc duplicated-3-gram ratio (boilerplate/spam "
+        "quality filter) in exact ppm.",
+    ),
     QueryDef(
         "text_bigram_counts",
         text_bigram_counts,

@@ -890,7 +890,48 @@ def delta_native_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def delta_native_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshots of the native log: an
+    overwrite moves the table from the %3 subset to the %2 subset, and
+    the diff (exceptAll both ways on MVCC reads of v0 and v1) yields the
+    inserted/deleted row counts — the version-diff CDC a downstream
+    incremental consumer runs. Both snapshots resolve from the same log;
+    nothing is re-read from the source table."""
+    import tempfile
+
+    from ..tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    path = tempfile.mkdtemp(prefix="ls_delta_cdc_")
+    delta_write(c.where(F.col("c_custkey") % 3 == 0), path, mode="overwrite")
+    delta_write(c.where(F.col("c_custkey") % 2 == 0), path, mode="overwrite")
+    v0 = delta_read(spark, path, version=0)
+    v1 = delta_read(spark, path, version=1)
+    inserted = v1.exceptAll(v0).agg(
+        F.lit("insert").alias("change_type"), F.count(F.lit(1)).alias("n_rows")
+    )
+    deleted = v0.exceptAll(v1).agg(
+        F.lit("delete").alias("change_type"), F.count(F.lit(1)).alias("n_rows")
+    )
+    return inserted.unionByName(deleted).orderBy("change_type")
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "delta_native_version_diff",
+        delta_native_version_diff,
+        """
+        SELECT 'delete' AS change_type, COUNT(*) AS n_rows
+        FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 != 0
+        UNION ALL
+        SELECT 'insert', COUNT(*)
+        FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 3 != 0
+        ORDER BY change_type
+        """,
+        tags=("parity", "delta", "io"),
+        description="CDC version diff between two MVCC snapshots of the "
+        "native Delta log.",
+    ),
     QueryDef(
         "delta_native_checkpoint_read",
         delta_native_checkpoint_read,
