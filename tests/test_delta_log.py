@@ -205,6 +205,66 @@ def test_checkpoint_written_and_read_from_tail(spark, sf_smoke, monkeypatch):
     assert delta_read(spark, path, version=0).count() == n.count()
 
 
+def test_log_cleanup_retains_checkpoint_tail(spark, sf_smoke):
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_cleanup_log,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_clean_")
+    delta_write(n, path, mode="overwrite")
+    for i in range(24):
+        delta_write(n.where(F.col("n_nationkey") == i), path, mode="append")
+    expected = delta_read(spark, path).count()
+    deleted = delta_cleanup_log(spark, path)
+    assert deleted == list(range(20)), "everything below ckpt v20 goes"
+    assert delta_log._list_checkpoints(spark, path) == [20]
+    # retained snapshots still resolve: checkpoint version and the tail
+    assert delta_read(spark, path).count() == expected
+    assert delta_read(spark, path, version=20).count() > 0
+    # history below the cleanup boundary fails LOUDLY, never silently wrong
+    with pytest.raises(ValueError, match="no longer reconstructible"):
+        delta_read(spark, path, version=5)
+
+
+def test_concurrent_commit_retries_at_next_version(spark, sf_smoke, monkeypatch):
+    """A lost rename race re-plans and lands at the next version — and a
+    writer that keeps losing eventually raises."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_race_")
+    delta_write(n, path, mode="overwrite")  # v0
+
+    real = delta_log._write_commit
+    state = {"raced": False}
+
+    def racing(spark_, p, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            real(spark_, p, version, [])  # competitor lands this version first
+        return real(spark_, p, version, actions)
+
+    monkeypatch.setattr(delta_log, "_write_commit", racing)
+    v = delta_write(n, path, mode="append")
+    assert v == 2, "competitor took v1; retry must land at v2"
+    assert delta_read(spark, path).count() == 2 * n.count()
+
+    # a writer that loses every race gives up after max_retries
+    monkeypatch.setattr(
+        delta_log,
+        "_write_commit",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("conflict")),
+    )
+    with pytest.raises(RuntimeError, match="conflict"):
+        delta_write(n, path, mode="append", max_retries=1)
+
+
 def test_schema_evolution_append(spark, sf_smoke):
     import pytest
 

@@ -61,6 +61,31 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_oracle):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_quantized_topk_recall_vs_bruteforce(spark, sf_oracle):
+    """Int8 quantization must preserve most of the exact cosine ranking:
+    both sides are max-normalized, so quantized-dot order ≈ cosine order;
+    rank-1 agreement and top-k overlap are the recall measures."""
+    exact = {
+        r.query_id: [] for r in similarity.similarity_bruteforce_topk(
+            spark, sf_oracle
+        ).collect()
+    }
+    for r in similarity.similarity_bruteforce_topk(spark, sf_oracle).collect():
+        exact[r.query_id].append(r.vec_id)
+    approx: dict[int, list[int]] = {}
+    for r in similarity.similarity_quantized_topk(spark, sf_oracle).collect():
+        approx.setdefault(r.query_id, []).append(r.vec_id)
+    assert set(approx) == set(exact)
+    overlaps = [
+        len(set(exact[q]) & set(approx[q])) / len(exact[q]) for q in exact
+    ]
+    assert sum(overlaps) / len(overlaps) >= 0.6, f"top-k overlap low: {overlaps}"
+    # integer scores are exact: re-running yields identical rows
+    a = similarity.similarity_quantized_topk(spark, sf_oracle).collect()
+    b = similarity.similarity_quantized_topk(spark, sf_oracle).collect()
+    assert a == b
+
+
 def test_bruteforce_topk_shape(spark, sf_oracle):
     rows = similarity.similarity_bruteforce_topk(spark, sf_oracle).collect()
     assert len(rows) == similarity.NUM_QUERIES * similarity.TOP_K
