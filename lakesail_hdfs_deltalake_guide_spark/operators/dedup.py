@@ -465,6 +465,59 @@ _SQL_8GRAMS = (
 )
 
 
+# --- X1c: n-gram-level benchmark decontamination -----------------------------
+CONTAM_K = 13
+
+
+def dedup_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram decontamination (the GPT-3/PaLM-lineage method): a train
+    document is contaminated if it shares ANY token 13-gram with the
+    held-out benchmark set (stand-in: doc_id < 20) — catching partial
+    inclusions that exact-digest matching misses. The benchmark gram set
+    is tiny and broadcasts; the train side streams map-side through the
+    semi-join, so nothing quadratic and no full-text shuffle ever
+    happens — at 100 TB this is a broadcast-hash semi-join per
+    partition."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - CONTAM_K),
+        lambda i: F.array_join(F.slice(toks, i + 1, CONTAM_K), " "),
+    )
+    long_enough = F.size(toks) >= CONTAM_K
+    bench = (
+        d.where((F.col("doc_id") < 20) & long_enough)
+        .select(F.explode(F.array_distinct(grams)).alias("gram"))
+        .distinct()
+    )
+    train_grams = d.where((F.col("doc_id") >= 20) & long_enough).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        d.where(F.col("doc_id") >= 20)
+        .select("doc_id", "lang")
+        .join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_13GRAMS = (
+    f"list_transform(range(1, len(string_split(text, ' ')) - {CONTAM_K - 2}), "
+    f"i -> array_to_string((string_split(text, ' '))[i:i+{CONTAM_K - 1}], ' '))"
+)
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "dedup_crossdoc_boilerplate",
@@ -481,6 +534,31 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "dedup", "pipeline"),
         description="Top shared 8-grams across docs (boilerplate mining "
         "before passage dedup).",
+    ),
+    QueryDef(
+        "dedup_ngram_contamination",
+        dedup_ngram_contamination,
+        f"""
+        WITH bench AS (
+          SELECT DISTINCT unnest(list_distinct({_SQL_13GRAMS})) AS gram
+          FROM documents
+          WHERE doc_id < 20 AND len(string_split(text, ' ')) >= {CONTAM_K}),
+        train AS (
+          SELECT doc_id, unnest(list_distinct({_SQL_13GRAMS})) AS gram
+          FROM documents
+          WHERE doc_id >= 20 AND len(string_split(text, ' ')) >= {CONTAM_K}),
+        hits AS (
+          SELECT DISTINCT t.doc_id FROM train t
+          WHERE EXISTS (SELECT 1 FROM bench b WHERE b.gram = t.gram))
+        SELECT d.lang, COUNT(*) AS n_train_docs,
+               COUNT(h.doc_id) AS n_contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id >= 20
+        GROUP BY d.lang ORDER BY d.lang
+        """,
+        tags=("extension", "dedup", "pipeline"),
+        description="13-gram benchmark decontamination via broadcast "
+        "semi-join (partial-inclusion catch).",
     ),
     QueryDef(
         "dedup_exact_keep_first",

@@ -159,7 +159,61 @@ def temporal_range_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temporal_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from an event log: collapse each
+    user's event stream into state-change intervals (state,
+    valid_from_ns, valid_to_ns; open interval = current state) — the
+    standard warehouse pattern for turning change events into a
+    time-travelable dimension. Two window functions over ONE (user_id)
+    exchange: lag flags the change rows, lead closes each interval.
+    At 100 TB both windows reuse the same sort/partitioning (a single
+    shuffle), and output size is the number of state CHANGES, not
+    events."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 30)
+        .select("user_id", "ts_ns", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    changes = ev.withColumn("prev_state", F.lag("event_type").over(w)).where(
+        F.col("prev_state").isNull()
+        | (F.col("prev_state") != F.col("event_type"))
+    )
+    return (
+        changes.withColumn("valid_to_ns", F.lead("ts_ns").over(w))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts_ns").alias("valid_from_ns"),
+            "valid_to_ns",
+        )
+        .orderBy("user_id", "valid_from_ns")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "temporal_scd2_user_state",
+        temporal_scd2_user_state,
+        """
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
+          FROM events WHERE user_id < 30),
+        changes AS (
+          SELECT user_id, ts_ns, event_id, event_type,
+                 LAG(event_type) OVER w AS prev_state
+          FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id))
+        SELECT user_id, event_type AS state, ts_ns AS valid_from_ns,
+               LEAD(ts_ns) OVER w2 AS valid_to_ns
+        FROM changes
+        WHERE prev_state IS NULL OR prev_state <> event_type
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+        ORDER BY user_id, valid_from_ns
+        """,
+        tags=("extension", "temporal", "pipeline"),
+        description="SCD2 dimension from an event log: state-change "
+        "intervals via lag-flag + lead-close, one exchange.",
+    ),
     QueryDef(
         "temporal_asof_last_error",
         temporal_asof_last_error,

@@ -176,3 +176,32 @@ def test_centroid_seeding_is_single_pass(spark, sf_smoke):
 
     plan = explain_str(cluster_centroid_assign(spark, sf_smoke))
     assert plan.count("embeddings.parquet") <= 2
+
+
+def test_contamination_semi_join_broadcasts_bench_grams(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        dedup_ngram_contamination,
+    )
+
+    # the benchmark gram set must broadcast — the train side may never
+    # shuffle its exploded grams for the semi-join
+    assert broadcast_join_count(dedup_ngram_contamination(spark, sf_smoke)) >= 1
+
+
+def test_boilerplate_prunes_to_two_columns(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        dedup_crossdoc_boilerplate,
+    )
+
+    cols = read_schema_columns(dedup_crossdoc_boilerplate(spark, sf_smoke))
+    assert set(cols) == {"doc_id", "text"}
+
+
+def test_scd2_uses_single_user_exchange(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.temporal import (
+        temporal_scd2_user_state,
+    )
+
+    # lag-flag + lead-close reuse one (user_id) sort/partitioning; the
+    # only other exchange is the final global orderBy
+    assert shuffle_count(temporal_scd2_user_state(spark, sf_smoke)) <= 2
