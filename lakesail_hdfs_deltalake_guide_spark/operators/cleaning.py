@@ -227,7 +227,138 @@ def clean_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REPETITION_MAX_PPM = 300_000
+MIN_TOKENS = 10
+
+
+def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training quality gate as ONE funnel: raw → language
+    identifiable → long enough → low intra-doc repetition → PII-free →
+    exact-deduped, reporting cumulative survivor counts per stage (the
+    number every corpus paper publishes). All six stages are conditional
+    aggregates over a SINGLE scan — no per-stage passes, no shuffle
+    except the one global aggregate; at 100 TB this is one map-side pass
+    over the corpus. Stage predicates reuse the individual operators'
+    exact semantics (text.STOPWORDS language-ID, the 3-gram repetition
+    ppm, the planted-email PII matcher, the md5 exact-dedup
+    fingerprint)."""
+    from .text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hits = sum(
+        F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for words in STOPWORDS.values()
+    )
+    n_tokens = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+    )
+    # nullif guard: vectorized engines evaluate the division on every
+    # row, not just rows passing earlier conjuncts
+    rep_ppm = F.expr(
+        "(size(g) - size(array_distinct(g))) * 1000000 div nullif(size(g), 0)"
+    )
+    planted = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.col("text"))
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    flags = d.select(
+        (hits > 0).alias("c_lang"),
+        (n_tokens >= MIN_TOKENS).alias("c_len"),
+        grams.alias("g"),
+        (F.regexp_count(planted, F.lit(EMAIL_RE)) == 0).alias("c_pii"),
+        fp.alias("fp"),
+    ).select(
+        "c_lang",
+        "c_len",
+        (rep_ppm < REPETITION_MAX_PPM).alias("c_rep"),
+        "c_pii",
+        "fp",
+    )
+    c2 = F.col("c_lang")
+    c3 = c2 & F.col("c_len")
+    c4 = c3 & F.col("c_rep")
+    c5 = c4 & F.col("c_pii")
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("s1"),
+        F.sum(c2.cast("bigint")).alias("s2"),
+        F.sum(c3.cast("bigint")).alias("s3"),
+        F.sum(c4.cast("bigint")).alias("s4"),
+        F.sum(c5.cast("bigint")).alias("s5"),
+        F.count_distinct(F.when(c5, F.col("fp"))).alias("s6"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(6, '1_raw', s1, '2_lang_known', s2, '3_min_length', s3, "
+            "'4_low_repetition', s4, '5_pii_clean', s5, '6_exact_dedup', s6) "
+            "AS (stage, n_docs)"
+        )
+    ).orderBy("stage")
+
+
+def _sql_funnel_hits() -> str:
+    from .text import STOPWORDS
+
+    parts = []
+    for words in STOPWORDS.values():
+        quoted = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"len(list_filter(string_split(text, ' '), t -> t IN ({quoted})))"
+        )
+    return " + ".join(parts)
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "pipeline_quality_funnel",
+        pipeline_quality_funnel,
+        f"""
+        WITH flags AS (
+          SELECT ({_sql_funnel_hits()}) > 0 AS c_lang,
+                 len(string_split(text, ' ')) >= {MIN_TOKENS} AS c_len,
+                 (len(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                      i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))
+                  - len(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                      i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))))
+                 * 1000000 // nullif(len(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                      i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))), 0)
+                 < {REPETITION_MAX_PPM} AS c_rep,
+                 len(regexp_extract_all(
+                   CASE WHEN doc_id % 10 = 0
+                        THEN text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com'
+                        ELSE text END, '{EMAIL_RE}')) = 0 AS c_pii,
+                 md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        agg AS (
+          SELECT COUNT(*) AS s1,
+                 COUNT(CASE WHEN c_lang THEN 1 END) AS s2,
+                 COUNT(CASE WHEN c_lang AND c_len THEN 1 END) AS s3,
+                 COUNT(CASE WHEN c_lang AND c_len AND c_rep THEN 1 END) AS s4,
+                 COUNT(CASE WHEN c_lang AND c_len AND c_rep AND c_pii THEN 1 END) AS s5,
+                 COUNT(DISTINCT CASE WHEN c_lang AND c_len AND c_rep AND c_pii
+                                     THEN fp END) AS s6
+          FROM flags)
+        SELECT '1_raw' AS stage, s1 AS n_docs FROM agg
+        UNION ALL SELECT '2_lang_known', s2 FROM agg
+        UNION ALL SELECT '3_min_length', s3 FROM agg
+        UNION ALL SELECT '4_low_repetition', s4 FROM agg
+        UNION ALL SELECT '5_pii_clean', s5 FROM agg
+        UNION ALL SELECT '6_exact_dedup', s6 FROM agg
+        ORDER BY stage
+        """,
+        tags=("extension", "cleaning", "pipeline"),
+        description="Six-stage pre-training quality gate funnel in one "
+        "conditional-aggregate pass.",
+    ),
     QueryDef(
         "clean_pii_redact",
         clean_pii_redact,

@@ -397,6 +397,85 @@ def versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("change_type")
 
 
+def versioned_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance from CDC: a per-segment summary
+    (count + acctbal cents) is maintained by applying the version-0→1
+    row deltas as signed contributions (+1 for added, -1 for removed) to
+    the version-0 summary — never rescanning the base table. The output
+    is the incrementally-maintained summary; the oracle recomputes it
+    from scratch on the post-merge state, so any drift in the delta
+    algebra is a hash mismatch. At 100 TB the refresh cost is
+    O(changed rows), not O(table) — the materialized-view maintenance
+    pattern every warehouse rollup needs."""
+    from ..tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="ls_versioned_ivm_")
+    commit(cust, path, mode="overwrite")
+    updated = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_mktsegment", (F.col("c_acctbal") + 1000).alias("c_acctbal")
+    )
+    inserted = cust.where(F.col("c_custkey") < 5).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.lit("NEWSEG").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    merge_upsert(spark, path, updated.unionByName(inserted), ["c_custkey"])
+
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    v0 = read_version(spark, path, version_as_of=0)
+    summary0 = v0.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("sum_acctbal_cents"),
+    )
+    v1 = read_version(spark, path, version_as_of=1)
+    deltas = (
+        v1.exceptAll(v0)
+        .withColumn("w", F.lit(1))
+        .unionByName(v0.exceptAll(v1).withColumn("w", F.lit(-1)))
+    )
+    delta_agg = deltas.groupBy("c_mktsegment").agg(
+        F.sum("w").cast("bigint").alias("n_rows"),
+        F.sum(F.col("w") * cents).alias("sum_acctbal_cents"),
+    )
+    return (
+        summary0.unionByName(delta_agg)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("sum_acctbal_cents").cast("bigint").alias("sum_acctbal_cents"),
+        )
+        .where(F.col("n_rows") > 0)
+        .orderBy("c_mktsegment")
+    )
+
+
+QUERIES.append(
+    QueryDef(
+        "versioned_incremental_agg",
+        versioned_incremental_agg,
+        """
+        WITH final AS (
+          SELECT c_custkey, c_mktsegment,
+                 CASE WHEN c_mktsegment = 'BUILDING'
+                      THEN c_acctbal + 1000 ELSE c_acctbal END AS c_acctbal
+          FROM customer
+          UNION ALL
+          SELECT c_custkey + 1000000, 'NEWSEG', 0.0
+          FROM customer WHERE c_custkey < 5)
+        SELECT c_mktsegment, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_acctbal_cents
+        FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        tags=("extension", "io", "delta", "dml", "cdc"),
+        description="Incremental view maintenance: CDC deltas applied as "
+        "signed contributions to a materialized summary.",
+    )
+)
+
 QUERIES.append(
     QueryDef(
         "versioned_changes",
