@@ -139,7 +139,54 @@ def window_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value per customer order history —
+    the navigation family. last_value and nth_value need the full
+    (unbounded, unbounded) frame: the default frame stops at CURRENT ROW
+    and silently returns the running last, the classic window-frame
+    bug this query pins against the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first_value(cents).over(w).alias("first_order_cents"),
+            F.last_value(cents).over(w).alias("last_order_cents"),
+            F.nth_value(cents, 2).over(w).alias("second_order_cents"),
+        )
+        .where(F.col("o_custkey") < 200)
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "window_first_last_nth",
+        window_first_last_nth,
+        """
+        SELECT o_custkey, o_orderkey,
+               FIRST_VALUE(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                 AS first_order_cents,
+               LAST_VALUE(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+                 AS last_order_cents,
+               NTH_VALUE(CAST(round(o_totalprice * 100) AS BIGINT), 2) OVER w
+                 AS second_order_cents
+        FROM orders
+        WHERE o_custkey < 200
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_custkey, o_orderkey
+        """,
+        tags=("parity", "window"),
+        description="first/last/nth_value navigation with the full frame "
+        "(default-frame bug pinned).",
+    ),
     QueryDef(
         "window_range_frame_trailing",
         window_range_frame_trailing,

@@ -53,6 +53,7 @@ def write_table(
     fmt: str = DELTA_FORMAT,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> str:
     """Write with the requested format; returns the format actually used.
 
@@ -61,16 +62,21 @@ def write_table(
     (sources/delta_log.py) produces a real ``_delta_log`` — the table on
     disk is a genuine Delta table (the reference's own degradation,
     ``examples/create_deltalake_hdfs.py:117-135``, loses the log; ours
-    keeps it)."""
+    keeps it). ``merge_schema`` maps to delta-spark's ``mergeSchema``
+    option (schema evolution on append) on every Delta path."""
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if merge_schema:
+        writer = writer.option("mergeSchema", "true")
     if fmt == DELTA_LOG_FORMAT or (
         fmt == DELTA_FORMAT and not delta_available(df.sparkSession)
     ):
         from .delta_log import delta_write
 
-        delta_write(df, path, mode=mode, partition_by=partition_by)
+        delta_write(
+            df, path, mode=mode, partition_by=partition_by, merge_schema=merge_schema
+        )
         return DELTA_LOG_FORMAT
     try:
         writer.format(fmt).save(path)
@@ -79,7 +85,13 @@ def write_table(
         if fmt == DELTA_FORMAT:
             from .delta_log import delta_write
 
-            delta_write(df, path, mode=mode, partition_by=partition_by)
+            delta_write(
+                df,
+                path,
+                mode=mode,
+                partition_by=partition_by,
+                merge_schema=merge_schema,
+            )
             return DELTA_LOG_FORMAT
         raise
 
