@@ -205,6 +205,21 @@ def test_checkpoint_written_and_read_from_tail(spark, sf_smoke, monkeypatch):
     assert delta_read(spark, path, version=0).count() == n.count()
 
 
+def test_crashed_commit_tmp_file_is_harmless(spark, sf_smoke):
+    """A writer dying between tmp-write and rename leaves a .tmp-* file
+    in _delta_log; listing, reads, and later commits must be unaffected
+    (the reason commit temp names carry no .json suffix)."""
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_crash_")
+    delta_write(n, path)
+    # simulate the crash artifact
+    with open(f"{path}/_delta_log/.tmp-deadbeef", "w") as f:
+        f.write('{"add": {"path": "never-published.parquet"}}\n')
+    assert delta_read(spark, path).count() == n.count()
+    assert delta_write(n, path, mode="append") == 1
+    assert delta_read(spark, path).count() == 2 * n.count()
+
+
 def test_log_cleanup_retains_checkpoint_tail(spark, sf_smoke):
     import pytest
 
