@@ -152,7 +152,86 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_WINDOW = 64
+AUDIO_HOP = 32
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_no", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_window_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio feature plumbing: payload bytes → numpy sample array →
+    overlapping fixed-rate windows (64-sample width, 32 hop) → per-window
+    integer energy. The cumsum trick makes each row O(n), not
+    O(n·windows); a real DSP pass (FFT, mel filterbank) swaps in at the
+    marked line with identical batching. Only FULL windows are emitted —
+    the contract a streaming ASR/feature pipeline uses."""
+    import numpy as np
+
+    for pdf in batches:
+        doc_ids, window_nos, energies = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+            n = len(a)
+            if n < AUDIO_WINDOW:
+                continue
+            n_windows = (n - AUDIO_WINDOW) // AUDIO_HOP + 1
+            c = np.concatenate(([0], np.cumsum(a)))
+            starts = np.arange(n_windows) * AUDIO_HOP
+            # real feature extraction replaces this line
+            window_energy = c[starts + AUDIO_WINDOW] - c[starts]
+            doc_ids.extend([doc_id] * n_windows)
+            window_nos.extend(range(n_windows))
+            energies.extend(window_energy.tolist())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(doc_ids, dtype="int64"),
+                "window_no": pd.Series(window_nos, dtype="int64"),
+                "energy": pd.Series(energies, dtype="int64"),
+            }
+        )
+
+
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping windowed energy over binary 'audio' payloads
+    (mapInPandas + numpy) — the batch shape of every audio
+    feature-extraction pipeline; bounded to doc_id < 200."""
+    media = media_corpus(spark, sf_dir).where(F.col("doc_id") < 200).select(
+        "doc_id", "payload"
+    )
+    return media.mapInPandas(audio_window_batch, _AUDIO_SCHEMA).orderBy(
+        "doc_id", "window_no"
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "multimodal_audio_windows",
+        multimodal_audio_windows,
+        f"""
+        -- documents.text is pure ASCII, so ascii(char) == payload byte
+        WITH w AS (
+          SELECT doc_id, text,
+                 unnest(range(0, (octet_length(encode(text)) - {AUDIO_WINDOW}) // {AUDIO_HOP} + 1))
+                   AS window_no
+          FROM documents
+          WHERE doc_id < 200 AND octet_length(encode(text)) >= {AUDIO_WINDOW})
+        SELECT doc_id, window_no,
+               CAST(list_sum(list_transform(
+                 range(CAST(window_no * {AUDIO_HOP} + 1 AS BIGINT),
+                       CAST(window_no * {AUDIO_HOP} + {AUDIO_WINDOW} + 1 AS BIGINT)),
+                 i -> ascii(text[i]))) AS BIGINT) AS energy
+        FROM w ORDER BY doc_id, window_no
+        """,
+        tags=("extension", "multimodal"),
+        description="Overlapping windowed byte-energy over binary payloads "
+        "(numpy cumsum per Arrow batch).",
+    ),
     QueryDef(
         "multimodal_decode_features",
         multimodal_decode_features,
