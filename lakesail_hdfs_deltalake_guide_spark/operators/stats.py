@@ -208,7 +208,50 @@ def stats_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_equidepth_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram: NTILE(4) over a deterministic total
+    order assigns each order to its price quartile; per bucket the count
+    and exact min/max cents come out of one aggregation. The complement
+    of the fixed-width histogram above — equi-depth adapts bucket
+    boundaries to the distribution (what an optimizer's statistics
+    collector stores). One window sort + one aggregate, both on the
+    quartile key."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(cents.alias("cents"), F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .select(F.col("quartile").cast("bigint").alias("quartile"),
+                "n_orders", "min_cents", "max_cents")
+        .orderBy("quartile")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_equidepth_quartiles",
+        stats_equidepth_quartiles,
+        """
+        WITH t AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+          FROM orders)
+        SELECT CAST(quartile AS BIGINT) AS quartile, COUNT(*) AS n_orders,
+               MIN(cents) AS min_cents, MAX(cents) AS max_cents
+        FROM t GROUP BY quartile ORDER BY quartile
+        """,
+        tags=("extension", "stats"),
+        description="Exact equi-depth quartile histogram via NTILE over a "
+        "deterministic total order.",
+    ),
     QueryDef(
         "stats_observed_scan_metrics",
         stats_observed_scan_metrics,

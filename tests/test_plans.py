@@ -205,3 +205,25 @@ def test_scd2_uses_single_user_exchange(spark, sf_smoke):
     # lag-flag + lead-close reuse one (user_id) sort/partitioning; the
     # only other exchange is the final global orderBy
     assert shuffle_count(temporal_scd2_user_state(spark, sf_smoke)) <= 2
+
+
+def test_quality_funnel_is_single_aggregation_pass(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+        pipeline_quality_funnel,
+    )
+
+    # six stages, ONE scan. Two exchanges are correct-minimal: the plain
+    # conditional counts fold in one partial+final pass, and the exact
+    # COUNT(DISTINCT fp) stage needs its own repartition-by-fp — there is
+    # no single-exchange plan for a global exact distinct count.
+    assert shuffle_count(pipeline_quality_funnel(spark, sf_smoke)) <= 2
+
+
+def test_quantized_topk_has_no_cartesian_product(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.similarity import (
+        similarity_quantized_topk,
+    )
+
+    plan = similarity_quantized_topk(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan, "query set must broadcast"
