@@ -190,6 +190,10 @@ def _checkpoint_arrow_schema():
                     ]
                 ),
             ),
+            (
+                "txn",
+                pa.struct([("appId", pa.string()), ("version", pa.int64())]),
+            ),
         ]
     )
 
@@ -220,10 +224,10 @@ def delta_checkpoint(spark: SparkSession, path: str, version: int | None = None)
     if not versions:
         raise ValueError(f"no delta table at {path}")
     target = versions[-1] if version is None else version
-    meta, live = _snapshot_state(spark, path, target)
+    meta, live, txns = _snapshot_state(spark, path, target)
     schema = _checkpoint_arrow_schema()
     rows = [
-        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None},
+        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None, "txn": None},
         {
             "protocol": None,
             "metaData": _maps_to_items(meta, ("configuration",))
@@ -233,14 +237,25 @@ def delta_checkpoint(spark: SparkSession, path: str, version: int | None = None)
                 )
             },
             "add": None,
+            "txn": None,
         },
     ]
+    for app_id, v in sorted(txns.items()):
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "txn": {"appId": app_id, "version": v},
+            }
+        )
     for _, add in sorted(live.items()):
         rows.append(
             {
                 "protocol": None,
                 "metaData": None,
                 "add": _maps_to_items(add, ("partitionValues",)),
+                "txn": None,
             }
         )
     table = pa.Table.from_pylist(rows, schema=schema)
@@ -262,8 +277,9 @@ def delta_checkpoint(spark: SparkSession, path: str, version: int | None = None)
 
 def _read_checkpoint(
     spark: SparkSession, path: str, version: int
-) -> tuple[dict | None, dict[str, dict]]:
-    """Load one checkpoint parquet into (metaData, {path: add})."""
+) -> tuple[dict | None, dict[str, dict], dict[str, int]]:
+    """Load one checkpoint parquet into (metaData, {path: add},
+    {txn appId: version})."""
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
 
@@ -274,8 +290,11 @@ def _read_checkpoint(
     )
     meta: dict | None = None
     live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     for row in table.to_pylist():
-        if row.get("metaData") is not None:
+        if row.get("txn") is not None and row["txn"].get("appId") is not None:
+            txns[row["txn"]["appId"]] = row["txn"]["version"]
+        elif row.get("metaData") is not None:
             meta = dict(row["metaData"])
             if isinstance(meta.get("configuration"), list):
                 meta["configuration"] = dict(meta["configuration"])
@@ -289,26 +308,28 @@ def _read_checkpoint(
             if isinstance(add.get("partitionValues"), list):
                 add["partitionValues"] = dict(add["partitionValues"])
             live[add["path"]] = add
-    return meta, live
+    return meta, live, txns
 
 
 def _snapshot_state(
     spark: SparkSession, path: str, version: int | None = None
-) -> tuple[dict | None, dict[str, dict]]:
+) -> tuple[dict | None, dict[str, dict], dict[str, int]]:
     """Resolve the snapshot at ``version`` (latest if None) into
-    (current metaData, live {path: add}). Starts from the newest
-    checkpoint ≤ version when one exists and folds only the JSON tail
-    after it — O(CHECKPOINT_INTERVAL) commits, not O(all commits)."""
+    (current metaData, live {path: add}, {txn appId: newest version}).
+    Starts from the newest checkpoint ≤ version when one exists and
+    folds only the JSON tail after it — O(CHECKPOINT_INTERVAL) commits,
+    not O(all commits)."""
     versions = _list_versions(spark, path)
     if not versions:
-        return None, {}
+        return None, {}, {}
     target = versions[-1] if version is None else version
     meta: dict | None = None
     live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     start = 0
     ckpts = [c for c in _list_checkpoints(spark, path) if c <= target]
     if ckpts:
-        meta, live = _read_checkpoint(spark, path, ckpts[-1])
+        meta, live, txns = _read_checkpoint(spark, path, ckpts[-1])
         start = ckpts[-1] + 1
     # the fold is only correct over a CONTIGUOUS [start, target] commit
     # range; a gap means log cleanup removed history below the retained
@@ -330,7 +351,9 @@ def _snapshot_state(
                 live.pop(action["remove"]["path"], None)
             elif "metaData" in action:
                 meta = action["metaData"]
-    return meta, live
+            elif "txn" in action:
+                txns[action["txn"]["appId"]] = action["txn"]["version"]
+    return meta, live, txns
 
 
 def _file_stats(filesystem, root: str, rel: str, stats_cols: list[str]) -> dict:
@@ -443,7 +466,7 @@ def delta_metadata(
 ) -> dict | None:
     """The snapshot's current metaData action (the newest one at or
     before ``version`` — schema evolution commits replace it)."""
-    meta, _ = _snapshot_state(spark, path, version)
+    meta, _, _ = _snapshot_state(spark, path, version)
     return meta
 
 
@@ -504,7 +527,7 @@ def _plan_commit(
             }
         )
         return version, actions, df
-    meta, live = _snapshot_state(spark, path)
+    meta, live, _ = _snapshot_state(spark, path)
     meta = meta or {}
     # a commit whose layout contradicts metaData.partitionColumns
     # would be protocol-corrupt (adds with wrong partitionValues,
@@ -551,6 +574,15 @@ def _plan_commit(
     return version, actions, df
 
 
+def delta_last_txn(spark: SparkSession, path: str, app_id: str) -> int | None:
+    """Newest committed ``txn`` version for ``app_id`` (None if that app
+    never committed) — the reader half of the protocol's
+    idempotent-writer mechanism; resolves from checkpoint + tail like
+    any other fold."""
+    _, _, txns = _snapshot_state(spark, path)
+    return txns.get(app_id)
+
+
 def delta_write(
     df: DataFrame,
     path: str,
@@ -559,6 +591,7 @@ def delta_write(
     stats_cols: list[str] | None = None,
     merge_schema: bool = False,
     max_retries: int = 3,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit df to a protocol-conformant Delta table; returns the
     committed version.
@@ -579,15 +612,24 @@ def delta_write(
     they are plain parquet whose columns the re-validated snapshot
     schema must still cover (the replan raises otherwise), so a retry
     never rewrites data — exactly Delta's OptimisticTransaction
-    behavior."""
+    behavior.
+
+    ``txn=(app_id, version)`` commits the protocol's idempotent-writer
+    action alongside the data: a replaying writer (foreachBatch
+    at-least-once delivery, job restart) checks ``delta_last_txn`` and
+    skips batches it already landed — Delta's txnAppId/txnVersion
+    streaming-sink mechanism."""
     spark = df.sparkSession
     version, actions, conformed = _plan_commit(
         spark, df, path, mode, partition_by, merge_schema
     )
+    txn_action = (
+        [{"txn": {"appId": txn[0], "version": int(txn[1])}}] if txn else []
+    )
     adds = _stage_data_files(conformed, path, partition_by, stats_cols)
     for attempt in range(max_retries + 1):
         try:
-            _write_commit(spark, path, version, actions + adds)
+            _write_commit(spark, path, version, txn_action + actions + adds)
             break
         except RuntimeError:
             if attempt == max_retries:
@@ -606,7 +648,7 @@ def delta_live_adds(
     """Fold the log up to `version` (inclusive; latest if None) into the
     live (file, add-action) set — the snapshot's MVCC reconstruction.
     Resolution is checkpoint + JSON tail (see _snapshot_state)."""
-    _, live = _snapshot_state(spark, path, version)
+    _, live, _ = _snapshot_state(spark, path, version)
     return sorted(live.items())
 
 
@@ -634,7 +676,7 @@ def delta_read(
     evolution-added columns."""
     from pyspark.sql.types import StructType
 
-    meta, live = _snapshot_state(spark, path, version)
+    meta, live, _ = _snapshot_state(spark, path, version)
     adds = sorted(live.items())
     if partition_filter:
         adds = [

@@ -256,20 +256,28 @@ def streaming_delta_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     transactional append to the protocol-level log (sources/delta_log.py)
     — the real "foreachBatch → Delta sink" the streaming tier's design
     notes called for, no longer a parquet stand-in. Each batch is one
-    atomic log commit, so a reader sees complete batches or nothing
-    (exactly-once per batch under availableNow's replay semantics because
-    a replayed batch would re-commit at a NEW version — idempotence at
-    100 TB comes from MERGE on a batch id, streaming_upsert_versioned's
-    pattern; this query pins the append-commit path)."""
+    atomic log commit, so a reader sees complete batches or nothing.
+    Exactly-once under foreachBatch's at-least-once replay comes from
+    the protocol's ``txn`` action: each commit carries
+    (appId, batch_id), and a replayed batch id is dropped against
+    ``delta_last_txn`` — Delta's txnAppId/txnVersion mechanism, here at
+    the protocol level (tests/test_delta_log.py pins the replay
+    skip)."""
     import tempfile
 
-    from ..sources.delta_log import delta_read, delta_write
+    from ..sources.delta_log import delta_last_txn, delta_read, delta_write
     from .events import events_stream
 
     ev = events_stream(spark, sf_dir)
     table = tempfile.mkdtemp(prefix="ls_stream_delta_")
+    app_id = "ls_stream_delta_sink"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # protocol-level exactly-once: foreachBatch is at-least-once, so
+        # a replayed batch id is dropped against the log's txn state
+        last = delta_last_txn(batch_df.sparkSession, table, app_id)
+        if last is not None and batch_id <= last:
+            return
         delta_write(
             batch_df.select(
                 "event_id",
@@ -278,6 +286,7 @@ def streaming_delta_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             table,
             mode="append",
+            txn=(app_id, batch_id),
         )
 
     q = (

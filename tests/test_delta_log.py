@@ -280,6 +280,40 @@ def test_concurrent_commit_retries_at_next_version(spark, sf_smoke, monkeypatch)
         delta_write(n, path, mode="append", max_retries=1)
 
 
+def test_txn_idempotent_writer(spark, sf_smoke):
+    """The protocol's txn action: (appId, version) rides in the commit,
+    delta_last_txn reads it back (including across a checkpoint), and a
+    replayed batch id is skippable — exactly-once for streaming sinks."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_last_txn,
+    )
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_txn_")
+    app = "writer-a"
+    assert delta_last_txn(spark, path, app) is None  # table absent yet
+    delta_write(n, path, mode="overwrite", txn=(app, 0))
+    delta_write(n, path, mode="append", txn=(app, 1))
+    assert delta_last_txn(spark, path, app) == 1
+    assert delta_last_txn(spark, path, "writer-b") is None
+    # the sink-side guard: a replayed batch 1 is dropped
+    replay_batch = 1
+    if not (delta_last_txn(spark, path, app) or -1) >= replay_batch:
+        delta_write(n, path, mode="append", txn=(app, replay_batch))
+    assert delta_read(spark, path).count() == 2 * n.count()
+    # txn state survives checkpointing: cross the interval and clean up
+    for i in range(2, 12):
+        delta_write(
+            n.where(F.col("n_nationkey") == i), path, mode="append", txn=(app, i)
+        )
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_cleanup_log,
+    )
+
+    assert delta_cleanup_log(spark, path), "checkpoint must exist by now"
+    assert delta_last_txn(spark, path, app) == 11
+
+
 def test_schema_evolution_append(spark, sf_smoke):
     import pytest
 
