@@ -196,7 +196,87 @@ def udf_table_function_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udf_polymorphic_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()``): the plan-time
+    hook inspects the ACTUAL argument type — whatever struct shape the
+    caller passes — validates it carries numeric fields, and derives the
+    output schema; ``eval`` then melts one (column_name, value) row per
+    numeric field. The same class serves any table without code changes —
+    the engine's answer to schema-generic operators, with bad calls
+    rejected during analysis instead of at runtime."""
+    import uuid
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        NumericType,
+        StringType,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class MeltNumeric:
+        @staticmethod
+        def analyze(arg) -> AnalyzeResult:
+            # plan-time polymorphism: the argument's struct type decides
+            # validity (and could decide the schema) before any task runs
+            if not isinstance(arg.dataType, StructType) or not any(
+                isinstance(f.dataType, NumericType)
+                for f in arg.dataType.fields
+            ):
+                raise ValueError(
+                    "melt_numeric expects a struct with >=1 numeric field, "
+                    f"got {arg.dataType.simpleString()}"
+                )
+            schema = StructType()
+            schema = schema.add("col_name", StringType())
+            schema = schema.add("value", DoubleType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row):
+            for name in row.__fields__:
+                v = row[name]
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    yield name, float(v)
+
+    name = f"ls_melt_numeric_{uuid.uuid4().hex[:8]}"
+    spark.udtf.register(name, udtf(MeltNumeric))
+    view = f"ls_supplier_melt_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT m.col_name,
+               COUNT(*) AS n_values,
+               CAST(SUM(CAST(round(m.value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_e2
+        FROM {view} s,
+             LATERAL {name}(struct(s.s_suppkey, s.s_nationkey, s.s_acctbal)) m
+        GROUP BY m.col_name ORDER BY m.col_name
+        """
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "udf_polymorphic_melt",
+        udf_polymorphic_melt,
+        """
+        WITH melted AS (
+          SELECT 's_suppkey' AS col_name, CAST(s_suppkey AS DOUBLE) AS value
+          FROM supplier
+          UNION ALL
+          SELECT 's_nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier
+          UNION ALL
+          SELECT 's_acctbal', c_acctbal FROM (
+            SELECT s_acctbal AS c_acctbal FROM supplier))
+        SELECT col_name, COUNT(*) AS n_values,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_e2
+        FROM melted GROUP BY col_name ORDER BY col_name
+        """,
+        tags=("extension", "udf", "udtf"),
+        description="Polymorphic UDTF with analyze(): numeric-column melt, "
+        "schema computed at plan time.",
+    ),
     QueryDef(
         "udf_table_function_sentences",
         udf_table_function_sentences,
