@@ -117,3 +117,52 @@ def test_random_window_rank_matches_duckdb(spark, seed):
         ).fetchall()
     }
     assert got == want, f"seed={seed}"
+
+
+_JOIN_TYPES = ["inner", "left", "left_semi", "left_anti"]
+
+
+@pytest.mark.parametrize("seed", SEEDS[:8])
+def test_random_join_matches_duckdb(spark, seed):
+    """Join-type semantics over random data with NULL keys on both
+    sides: null keys never match (inner/semi), left rows survive with
+    null fill (left), anti keeps non-matching plus null-keyed rows."""
+    rng = random.Random(2000 + seed)
+    left = _gen_rows(rng)
+    right = [
+        (i, rng.choice(["a", "b", "c", None]), rng.randint(-100, 100))
+        for i in range(rng.randint(3, 40))
+    ]
+    join_type = _JOIN_TYPES[seed % len(_JOIN_TYPES)]
+
+    ldf = spark.createDataFrame(left, "id bigint, k string, v bigint, w bigint")
+    rdf = spark.createDataFrame(right, "rid bigint, k string, bonus bigint")
+    j = ldf.join(rdf, on="k", how=join_type)
+    if join_type in ("left_semi", "left_anti"):
+        got = {(r.id, r.k) for r in j.select("id", "k").collect()}
+    else:
+        got = {
+            (r.id, r.k, r.rid) for r in j.select("id", "k", "rid").collect()
+        }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (id BIGINT, k VARCHAR, v BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?, ?)", left)
+    con.execute("CREATE TABLE r (rid BIGINT, k VARCHAR, bonus BIGINT)")
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", right)
+    if join_type == "inner":
+        sql = "SELECT l.id, l.k, r.rid FROM l JOIN r ON l.k = r.k"
+    elif join_type == "left":
+        sql = "SELECT l.id, l.k, r.rid FROM l LEFT JOIN r ON l.k = r.k"
+    elif join_type == "left_semi":
+        sql = (
+            "SELECT l.id, l.k FROM l "
+            "WHERE EXISTS (SELECT 1 FROM r WHERE r.k = l.k)"
+        )
+    else:
+        sql = (
+            "SELECT l.id, l.k FROM l "
+            "WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k = l.k)"
+        )
+    want = {tuple(r) for r in con.execute(sql).fetchall()}
+    assert got == want, f"seed={seed} join={join_type}"
