@@ -709,7 +709,11 @@ def delta_read(
         # table — reconstruct its schema from metaData, don't error
         return spark.createDataFrame([], schema)
     reader = spark.read.schema(schema).option("basePath", path)
-    return reader.parquet(*[f"{path}/{f}" for f, _ in adds])
+    scan = reader.parquet(*[f"{path}/{f}" for f, _ in adds])
+    # partition discovery appends partition columns at the END regardless
+    # of the supplied schema; re-project to the metaData column order so
+    # the snapshot's schema contract holds exactly (zero-cost projection)
+    return scan.select(*[f.name for f in schema.fields])
 
 
 def delta_optimize(

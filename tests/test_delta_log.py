@@ -345,6 +345,29 @@ def test_schema_evolution_append(spark, sf_smoke):
     assert v0.columns == ["c_custkey", "c_name"] and v0.count() == 10
 
 
+def test_schema_evolution_on_partitioned_table(spark, sf_smoke):
+    """Evolution composes with hive partitioning: the appended column
+    lands, old partitions read with typed nulls, the metaData column
+    ORDER holds (partition discovery would otherwise move the partition
+    column to the end), and log-fold pruning still works."""
+    df1 = spark.createDataFrame([(1, "x"), (2, "y")], "id bigint, k string")
+    df2 = spark.createDataFrame(
+        [(3, "x", 9.5), (4, "z", 1.5)], "id bigint, k string, score double"
+    )
+    path = tempfile.mkdtemp(prefix="ls_dl_evo_part_")
+    delta_write(df1, path, partition_by=["k"])
+    delta_write(df2, path, mode="append", partition_by=["k"], merge_schema=True)
+    out = delta_read(spark, path)
+    assert out.columns == ["id", "k", "score"]
+    rows = {(r.id, r.k, r.score) for r in out.collect()}
+    assert rows == {(1, "x", None), (2, "y", None), (3, "x", 9.5), (4, "z", 1.5)}
+    pruned = delta_read(spark, path, partition_filter={"k": "x"})
+    assert {(r.id, r.score) for r in pruned.select("id", "score").collect()} == {
+        (1, None),
+        (3, 9.5),
+    }
+
+
 def test_schema_evolution_rejects_type_change(spark, sf_smoke):
     import pytest
 
