@@ -324,7 +324,62 @@ def io_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(src)
 
 
+def io_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBO statistics surface: ANALYZE TABLE COMPUTE STATISTICS populates
+    the catalog's rowCount, read back via DESCRIBE EXTENDED — the number
+    the cost-based optimizer uses for join reordering and broadcast
+    decisions. Output pins the collected statistic against the actual
+    count (and the oracle), proving the stats path is wired, not just
+    syntax-accepted."""
+    import uuid as _uuid
+
+    from ..tables import load_table
+
+    s = load_table(spark, sf_dir, "supplier")
+    run = _uuid.uuid4().hex[:8]
+    tbl = f"ls_stats_{run}"
+    src = f"ls_supplier_src_{run}"
+    s.createOrReplaceTempView(src)
+    try:
+        spark.sql(
+            f"CREATE TABLE {tbl} USING parquet AS "
+            f"SELECT s_suppkey, s_nationkey, s_acctbal FROM {src}"
+        )
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS")
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}")
+        stat_rows = (
+            desc.where(F.col("col_name") == "Statistics")
+            .select(
+                F.regexp_extract("data_type", r"(\d+) rows", 1)
+                .cast("bigint")
+                .alias("stat_rows")
+            )
+            .collect()
+        )
+        actual = spark.table(tbl).count()
+        n_cols = len(spark.table(tbl).columns)
+        return spark.createDataFrame(
+            [(stat_rows[0].stat_rows if stat_rows else None, actual, n_cols)],
+            "stat_rows bigint, actual_rows bigint, n_cols bigint",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.catalog.dropTempView(src)
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "io_analyze_table_stats",
+        io_analyze_table_stats,
+        """
+        SELECT COUNT(*) AS stat_rows, COUNT(*) AS actual_rows,
+               CAST(3 AS BIGINT) AS n_cols
+        FROM supplier
+        """,
+        tags=("parity", "io", "catalog"),
+        description="ANALYZE TABLE statistics: collected rowCount equals "
+        "the actual count (CBO input wired).",
+    ),
     QueryDef(
         "sql_over_views_flagship",
         sql_over_views_flagship,
