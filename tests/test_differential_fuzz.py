@@ -166,3 +166,49 @@ def test_random_join_matches_duckdb(spark, seed):
         )
     want = {tuple(r) for r in con.execute(sql).fetchall()}
     assert got == want, f"seed={seed} join={join_type}"
+
+
+@pytest.mark.parametrize("seed", SEEDS[:6])
+def test_random_setops_match_duckdb(spark, seed):
+    """Bag-semantics set ops (UNION/INTERSECT/EXCEPT ALL) over random
+    multisets with nulls — duplicate multiplicity arithmetic is where
+    engines quietly diverge; Spark's *All variants must match DuckDB's
+    ALL forms row-for-row including null rows."""
+    rng = random.Random(3000 + seed)
+
+    def gen():
+        return [
+            (rng.choice(["a", "b", None]), rng.choice([None, rng.randint(0, 3)]))
+            for _ in range(rng.randint(5, 60))
+        ]
+
+    left, right = gen(), gen()
+    ldf = spark.createDataFrame(left, "k string, v bigint")
+    rdf = spark.createDataFrame(right, "k string, v bigint")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (k VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?, ?)", left)
+    con.execute("CREATE TABLE r (k VARCHAR, v BIGINT)")
+    con.executemany("INSERT INTO r VALUES (?, ?)", right)
+
+    cases = {
+        "unionAll": (ldf.unionAll(rdf), "SELECT * FROM l UNION ALL SELECT * FROM r"),
+        "intersectAll": (
+            ldf.intersectAll(rdf),
+            "SELECT * FROM l INTERSECT ALL SELECT * FROM r",
+        ),
+        "exceptAll": (
+            ldf.exceptAll(rdf),
+            "SELECT * FROM l EXCEPT ALL SELECT * FROM r",
+        ),
+    }
+    for name, (sdf, sql) in cases.items():
+        got = sorted(
+            ((r.k, r.v) for r in sdf.collect()),
+            key=lambda t: (str(t[0]), str(t[1])),
+        )
+        want = sorted(
+            (tuple(r) for r in con.execute(sql).fetchall()),
+            key=lambda t: (str(t[0]), str(t[1])),
+        )
+        assert got == want, f"seed={seed} op={name}"
