@@ -379,6 +379,51 @@ def test_schema_evolution_rejects_type_change(spark, sf_smoke):
         delta_write(retyped, path, mode="append", merge_schema=True)
 
 
+def test_full_maintenance_lifecycle(spark, sf_smoke):
+    """The whole table-maintenance loop composes: appends crossing the
+    checkpoint interval, OPTIMIZE compaction, VACUUM retention, then log
+    retention cleanup — and the snapshot stays row-identical throughout,
+    with time travel behaving per each mechanism's contract."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_cleanup_log,
+        delta_live_adds,
+        delta_optimize,
+        delta_vacuum,
+    )
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_life_")
+    delta_write(n, path, mode="overwrite")
+    for i in range(12):
+        delta_write(n.where(F.col("n_nationkey") % 12 == i), path, mode="append")
+    expected = 2 * n.count()
+    assert delta_read(spark, path).count() == expected
+
+    v_opt = delta_optimize(spark, path, target_files=1)
+    assert delta_read(spark, path).count() == expected
+    assert len(delta_live_adds(spark, path)) == 1
+
+    deleted_files = delta_vacuum(spark, path, keep_versions=1)
+    assert deleted_files, "fragmented pre-OPTIMIZE files must be reclaimed"
+    assert delta_read(spark, path).count() == expected
+
+    deleted_versions = delta_cleanup_log(spark, path)
+    assert deleted_versions == list(range(10)), "commits below ckpt v10 go"
+    assert delta_read(spark, path).count() == expected
+    # VACUUM(keep_versions=1) already reclaimed v10's files — its log
+    # state still RESOLVES from the checkpoint (metadata contract), even
+    # though the data scan would 404: exactly Delta's split between log
+    # retention and data retention
+    assert len(delta_live_adds(spark, path, version=10)) > 0
+    import pytest
+
+    with pytest.raises(ValueError, match="no longer reconstructible"):
+        delta_read(spark, path, version=3)
+    # one more write continues the log normally after all maintenance
+    assert delta_write(n, path, mode="append") == v_opt + 1
+    assert delta_read(spark, path).count() == expected + n.count()
+
+
 def test_vacuum_reclaims_only_unreferenced_files(spark, sf_smoke):
     from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
         delta_live_files,
