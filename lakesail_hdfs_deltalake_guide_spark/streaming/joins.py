@@ -251,6 +251,86 @@ def run_upsert_stream(ev: DataFrame, table: str) -> None:
     q.awaitTermination()
 
 
+def streaming_interval_join_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: clicks with no error in
+    the following 10 minutes emit a null-error row — but only once the
+    watermark passes the click's join window, so clicks inside the final
+    watermark horizon are legitimately WITHHELD at stream end. The
+    oracle-comparable output therefore restricts to clicks at least one
+    hour before the newest event (watermark 30 min + window 10 min +
+    margin), where null emission is guaranteed; the threshold is derived
+    from the data identically on both engines. State contract: each
+    side buffers only its watermark horizon — the outer join adds no
+    state over the inner one, just deferred null emission."""
+    from ..tables import load_table
+
+    mx_ns = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("ts_ns").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    threshold_ns = mx_ns - 3_600_000_000_000  # 1 hour before newest event
+
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    errors = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        .withWatermark("e_ts", WATERMARK)
+    )
+    pairs = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.unix_micros(F.col("c_ts")).alias("c_us"),
+        "click_id",
+        "error_id",
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="ls_stream_lojoin_out_")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ls_ckpt_lojoin_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .where(F.col("c_us") * 1000 <= F.lit(threshold_ns))
+        .groupBy("user_id")
+        .agg(
+            F.count("error_id").alias("n_pairs"),
+            F.sum(F.col("error_id").isNull().cast("bigint")).alias(
+                "n_unmatched_clicks"
+            ),
+            F.countDistinct("click_id").alias("n_clicks"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def streaming_delta_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream → native Delta table: every micro-batch commits a
     transactional append to the protocol-level log (sources/delta_log.py)
@@ -309,6 +389,35 @@ def streaming_delta_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "streaming_interval_join_left_outer",
+        streaming_interval_join_left_outer,
+        """
+        WITH m AS (SELECT MAX(epoch_ns(ts)) AS mx FROM events),
+        c AS (
+          SELECT user_id AS cu, epoch_ns(ts) AS cts, event_id AS cid
+          FROM events
+          WHERE event_type = 'click'
+            AND epoch_ns(ts) <= (SELECT mx - 3600000000000 FROM m)),
+        e AS (
+          SELECT user_id AS eu, epoch_ns(ts) AS ets, event_id AS eid
+          FROM events WHERE event_type = 'error'),
+        j AS (
+          SELECT c.cu, c.cid, e.eid
+          FROM c LEFT JOIN e
+            ON c.cu = e.eu AND e.ets >= c.cts
+           AND e.ets <= c.cts + 600000000000)
+        SELECT cu AS user_id,
+               COUNT(eid) AS n_pairs,
+               CAST(SUM(CASE WHEN eid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unmatched_clicks,
+               CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clicks
+        FROM j GROUP BY cu ORDER BY user_id
+        """,
+        tags=("extension", "streaming"),
+        description="Stream-stream LEFT OUTER interval join: null emission "
+        "after the watermark passes the join window.",
+    ),
     QueryDef(
         "streaming_delta_append_sink",
         streaming_delta_append_sink,
