@@ -216,6 +216,29 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END ACTION on duplicate clusters: keep the min-doc_id
+    representative per connected component, drop the rest, report the
+    per-language survival ledger. The min-label component id IS the
+    representative (label propagation's fixed point), so survivor
+    selection is a single comparison — no second pass over the graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = rare_shingle_edges(docs)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, edges)
+    dropped = (F.col("node") != F.col("component")).cast("bigint")
+    return (
+        docs.join(cc, docs.doc_id == cc.node)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dropped).alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum(dropped)).alias("n_survivors"),
+        )
+        .orderBy("lang")
+    )
+
+
 _GRAPH_CTE = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -298,5 +321,23 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "dedup", "graph"),
         description="Duplicate-cluster formation: iterative min-label "
         "propagation pinned to a recursive-CTE oracle.",
+    ),
+    QueryDef(
+        "dedup_cluster_survivors",
+        dedup_cluster_survivors,
+        _GRAPH_CTE
+        + """
+        SELECT d.lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN cc.node <> cc.component THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               CAST(COUNT(*) - SUM(CASE WHEN cc.node <> cc.component
+                                        THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_survivors
+        FROM documents d JOIN cc ON d.doc_id = cc.node
+        GROUP BY d.lang ORDER BY d.lang
+        """,
+        tags=("extension", "dedup", "graph"),
+        description="Cluster-representative dedup action: keep min-doc_id "
+        "per component, per-language survival ledger.",
     ),
 ]
