@@ -160,7 +160,60 @@ def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _H = sql_lehmer_hash("doc_id")
 
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe TEMPORAL train/eval split: everything before the
+    cutoff trains, everything after evaluates — the split protocol for
+    forecasting/recommendation data, where hash splits leak the future
+    into training. The cutoff is data-derived in exact integer
+    arithmetic (min + 80% of the observed span) so both engines compute
+    the identical boundary; outputs include the per-split user overlap
+    ingredient (n_users) that a leakage audit would check."""
+    from ..tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi")
+    ).collect()[0]
+    cutoff = bounds.lo + (bounds.hi - bounds.lo) * 8 // 10
+    tagged = ev.select(
+        F.when(F.col("ts_ns") < cutoff, "train").otherwise("eval").alias("split"),
+        "user_id",
+        "ts_ns",
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts_ns").alias("min_ts_ns"),
+            F.max("ts_ns").alias("max_ts_ns"),
+        )
+        .orderBy("split")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sample_temporal_split",
+        sample_temporal_split,
+        """
+        WITH b AS (
+          SELECT MIN(epoch_ns(ts)) AS lo, MAX(epoch_ns(ts)) AS hi FROM events),
+        tagged AS (
+          SELECT CASE WHEN epoch_ns(ts) < (SELECT lo + (hi - lo) * 8 // 10
+                                           FROM b)
+                      THEN 'train' ELSE 'eval' END AS split,
+                 user_id, epoch_ns(ts) AS ts_ns
+          FROM events)
+        SELECT split, COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               MIN(ts_ns) AS min_ts_ns, MAX(ts_ns) AS max_ts_ns
+        FROM tagged GROUP BY split ORDER BY split
+        """,
+        tags=("extension", "sampling", "pipeline"),
+        description="Leakage-safe temporal train/eval split with an exact "
+        "integer data-derived cutoff.",
+    ),
     QueryDef(
         "sample_token_budget_mix",
         sample_token_budget_mix,
