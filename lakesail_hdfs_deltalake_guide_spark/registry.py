@@ -55,10 +55,11 @@ _TIER_MODULES = (
     "operators.text",
 )
 
-# Names with a driver-issued row in CORRECTNESS_r01.json (entries 1-50)
-# or CORRECTNESS_r02.json (49 green + 1 rows-only-by-design
-# `dedup_minhash_lsh`). These are re-verified last; everything else gets
-# first claim on the driver's per-round verification window.
+# Names with a driver-issued row in CORRECTNESS_r01.json (entries 1-50),
+# CORRECTNESS_r02.json (49 green + 1 rows-only-by-design
+# `dedup_minhash_lsh`), or CORRECTNESS_r03.json (48 green + 2
+# rows-only-by-design sketches). These are re-verified last; everything
+# else gets first claim on the driver's per-round verification window.
 DRIVER_VERIFIED = frozenset(
     {
         # --- round 1 (CORRECTNESS_r01.json) ---
@@ -163,6 +164,58 @@ DRIVER_VERIFIED = frozenset(
         "udf_table_function_sentences",
         "versioned_merge_upsert",
         "versioned_snapshot_counts",
+        # --- round 3 (CORRECTNESS_r03.json; 48 green + 2 rows-only-by-design
+        # sketches `similarity_lsh_topk`, `dedup_minhash_pairs`) ---
+        "chunk_doc_coverage",
+        "clean_pii_redact",
+        "dedup_cluster_sizes",
+        "dedup_cluster_survivors",
+        "dedup_crossdoc_boilerplate",
+        "dedup_minhash_pairs",
+        "dedup_ngram_contamination",
+        "delta_native_checkpoint_read",
+        "delta_native_schema_evolution",
+        "delta_native_version_diff",
+        "funnel_view_click_purchase",
+        "hypertable_incremental_refresh",
+        "io_analyze_table_stats",
+        "io_csv_roundtrip_agg",
+        "io_json_roundtrip_agg",
+        "multimodal_audio_windows",
+        "multimodal_frame_sample",
+        "olap_approx_distinct",
+        "olap_grouping_sets",
+        "olap_pivot_priority",
+        "pipeline_quality_funnel",
+        "profile_orders_columns",
+        "pysource_audit_write_roundtrip",
+        "pysource_stream_lehmer_counts",
+        "sample_split_counts",
+        "sample_stratified_by_lang",
+        "sample_temporal_split",
+        "scalar_date_breakdown",
+        "scalar_json_extract_stats",
+        "session_length_histogram",
+        "session_stats",
+        "similarity_lsh_topk",
+        "similarity_quantized_topk",
+        "sql_lateral_top_customer",
+        "sql_variant_props",
+        "stats_equidepth_quartiles",
+        "stats_kmv_distinct_users",
+        "streaming_dedup_users_per_type",
+        "streaming_interval_join_left_outer",
+        "streaming_session_windows",
+        "streaming_static_enrich",
+        "temporal_scd2_user_state",
+        "text_intra_doc_repetition",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "udf_pandas_cosine_topk",
+        "udf_polymorphic_melt",
+        "versioned_changes",
+        "versioned_incremental_agg",
+        "window_first_last_nth",
     }
 )
 
