@@ -251,10 +251,17 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for words in STOPWORDS.values()
     )
     n_tokens = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
-    )
+    # guard the gram build for docs under 3 tokens: F.sequence(0, n-3)
+    # with n < 3 is a DESCENDING sequence and F.slice throws at runtime —
+    # the empty-array branch matches the oracle's end-exclusive
+    # range(1, n-1), which yields [] and a NULL rep_ppm via the nullif
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     # nullif guard: vectorized engines evaluate the division on every
     # row, not just rows passing earlier conjuncts
     rep_ppm = F.expr(

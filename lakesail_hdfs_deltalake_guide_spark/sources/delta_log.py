@@ -218,16 +218,23 @@ def delta_checkpoint(spark: SparkSession, path: str, version: int | None = None)
     files), the same driver-side object every fold already builds)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
-    from pyarrow import fs as pafs
 
     versions = _list_versions(spark, path)
     if not versions:
         raise ValueError(f"no delta table at {path}")
     target = versions[-1] if version is None else version
-    meta, live, txns = _snapshot_state(spark, path, target)
+    proto, meta, live, txns = _snapshot_state(spark, path, target)
     schema = _checkpoint_arrow_schema()
     rows = [
-        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None, "txn": None},
+        # propagate the TABLE's protocol action (falling back to ours for
+        # tables we created) — a checkpoint must restate the log, not
+        # downgrade a foreign table's declared requirements
+        {
+            "protocol": dict(proto or _PROTOCOL),
+            "metaData": None,
+            "add": None,
+            "txn": None,
+        },
         {
             "protocol": None,
             "metaData": _maps_to_items(meta, ("configuration",))
@@ -259,13 +266,40 @@ def delta_checkpoint(spark: SparkSession, path: str, version: int | None = None)
             }
         )
     table = pa.Table.from_pylist(rows, schema=schema)
-    pa_fs, pa_root = pafs.FileSystem.from_uri(path)
-    ckpt_rel = f"{pa_root}/_delta_log/{target:020d}.checkpoint.parquet"
-    pq.write_table(table, ckpt_rel, filesystem=pa_fs)
+    # Serialize driver-side and publish through the SAME Hadoop FileSystem
+    # every other log write uses — pyarrow's FileSystem.from_uri cannot
+    # resolve schemes like viewfs:// that the JVM conf maps, and the
+    # checkpoint must not be the one log file with a narrower scheme
+    # support than the commits themselves. Checkpoints are metadata-sized
+    # (O(live files) rows), so one in-memory parquet buffer is fine.
+    import io as _io
+
+    buf = _io.BytesIO()
+    pq.write_table(table, buf)
+    fs, _, jvm = _hadoop_fs(spark, path)
+    # write to a dot-prefixed temp name (invisible to _list_checkpoints'
+    # suffix/isdigit filter) and rename into place, mirroring
+    # _write_commit's publish step — a concurrent reader listing the log
+    # dir must never open a partially-written checkpoint footer.
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{_log_dir(path)}/.tmp-ckpt-{uuid.uuid4().hex}"
+    )
+    final = jvm.org.apache.hadoop.fs.Path(_checkpoint_file(path, target))
+    stream = fs.create(tmp, False)
+    try:
+        stream.write(buf.getvalue())
+    finally:
+        stream.close()
+    # unlike commits, re-checkpointing the same version is idempotent —
+    # replace any existing file rather than failing the race
+    if fs.exists(final):
+        fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise RuntimeError(f"failed to publish checkpoint {target} at {path}")
     # _last_checkpoint is a mutable pointer (the one log file the protocol
     # overwrites in place); crash between checkpoint and pointer is safe —
     # readers fall back to the previous pointer or a directory listing.
-    fs, _, jvm = _hadoop_fs(spark, path)
     pointer = jvm.org.apache.hadoop.fs.Path(f"{_log_dir(path)}/_last_checkpoint")
     stream = fs.create(pointer, True)
     try:
@@ -278,21 +312,32 @@ def delta_checkpoint(spark: SparkSession, path: str, version: int | None = None)
 def _read_checkpoint(
     spark: SparkSession, path: str, version: int
 ) -> tuple[dict | None, dict[str, dict], dict[str, int]]:
-    """Load one checkpoint parquet into (metaData, {path: add},
-    {txn appId: version})."""
-    import pyarrow.parquet as pq
-    from pyarrow import fs as pafs
+    """Load one checkpoint parquet into (protocol, metaData, {path: add},
+    {txn appId: version}). Read through the Hadoop FileSystem (same
+    scheme support as the JSON commits — viewfs://, hdfs://, ...);
+    checkpoints are metadata-sized so one driver-side buffer is fine."""
+    import io as _io
 
-    pa_fs, pa_root = pafs.FileSystem.from_uri(path)
-    table = pq.read_table(
-        f"{pa_root}/_delta_log/{version:020d}.checkpoint.parquet",
-        filesystem=pa_fs,
-    )
+    import pyarrow.parquet as pq
+
+    fs, hpath, jvm = _hadoop_fs(spark, _checkpoint_file(path, version))
+    stream = fs.open(hpath)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    table = pq.read_table(_io.BytesIO(raw))
+    proto: dict | None = None
     meta: dict | None = None
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
     for row in table.to_pylist():
-        if row.get("txn") is not None and row["txn"].get("appId") is not None:
+        if (
+            row.get("protocol") is not None
+            and row["protocol"].get("minReaderVersion") is not None
+        ):
+            proto = dict(row["protocol"])
+        elif row.get("txn") is not None and row["txn"].get("appId") is not None:
             txns[row["txn"]["appId"]] = row["txn"]["version"]
         elif row.get("metaData") is not None:
             meta = dict(row["metaData"])
@@ -308,28 +353,49 @@ def _read_checkpoint(
             if isinstance(add.get("partitionValues"), list):
                 add["partitionValues"] = dict(add["partitionValues"])
             live[add["path"]] = add
-    return meta, live, txns
+    return proto, meta, live, txns
+
+
+def _check_reader_version(path: str, proto: dict | None) -> None:
+    """Public Delta protocol requirement: a reader encountering a table
+    whose ``minReaderVersion`` exceeds what it implements MUST refuse —
+    silently folding a log whose semantics it does not understand
+    (deletion vectors, column mapping, ...) reads WRONG DATA, not
+    degraded data. Writer gating lives in _plan_commit (a pure reader may
+    legitimately read reader-v1 tables that demand a newer writer)."""
+    if proto is None:
+        return
+    supported = _PROTOCOL["minReaderVersion"]
+    found = proto.get("minReaderVersion")
+    if found is not None and int(found) > supported:
+        raise ValueError(
+            f"cannot read delta table at {path}: it requires "
+            f"minReaderVersion={found} but this reader implements "
+            f"version {supported}"
+        )
 
 
 def _snapshot_state(
     spark: SparkSession, path: str, version: int | None = None
-) -> tuple[dict | None, dict[str, dict], dict[str, int]]:
+) -> tuple[dict | None, dict | None, dict[str, dict], dict[str, int]]:
     """Resolve the snapshot at ``version`` (latest if None) into
-    (current metaData, live {path: add}, {txn appId: newest version}).
-    Starts from the newest checkpoint ≤ version when one exists and
-    folds only the JSON tail after it — O(CHECKPOINT_INTERVAL) commits,
-    not O(all commits)."""
+    (protocol, current metaData, live {path: add}, {txn appId: newest
+    version}). Starts from the newest checkpoint ≤ version when one
+    exists and folds only the JSON tail after it — O(CHECKPOINT_INTERVAL)
+    commits, not O(all commits). Raises if the table's protocol demands a
+    newer reader than this module implements."""
     versions = _list_versions(spark, path)
     if not versions:
-        return None, {}, {}
+        return None, None, {}, {}
     target = versions[-1] if version is None else version
+    proto: dict | None = None
     meta: dict | None = None
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
     start = 0
     ckpts = [c for c in _list_checkpoints(spark, path) if c <= target]
     if ckpts:
-        meta, live, txns = _read_checkpoint(spark, path, ckpts[-1])
+        proto, meta, live, txns = _read_checkpoint(spark, path, ckpts[-1])
         start = ckpts[-1] + 1
     # the fold is only correct over a CONTIGUOUS [start, target] commit
     # range; a gap means log cleanup removed history below the retained
@@ -343,7 +409,21 @@ def _snapshot_state(
             "were removed by log retention cleanup"
         )
     for v in range(start, target + 1):
-        for line in _read_text(spark, _version_file(path, v)).splitlines():
+        try:
+            text = _read_text(spark, _version_file(path, v))
+        except Exception as exc:  # noqa: BLE001 — JVM IOException via py4j
+            # a commit listed moments ago can vanish mid-fold when a
+            # concurrent delta_cleanup_log runs between our listing and
+            # this read — surface the SAME loud, typed failure as the
+            # contiguity pre-check instead of a raw JVM IOException
+            if "FileNotFoundException" not in str(exc):
+                raise
+            raise ValueError(
+                f"version {target} of {path} is no longer "
+                f"reconstructible: commit {v} was removed by log "
+                "retention cleanup during the fold"
+            ) from exc
+        for line in text.splitlines():
             action = json.loads(line)
             if "add" in action:
                 live[action["add"]["path"]] = action["add"]
@@ -353,7 +433,10 @@ def _snapshot_state(
                 meta = action["metaData"]
             elif "txn" in action:
                 txns[action["txn"]["appId"]] = action["txn"]["version"]
-    return meta, live, txns
+            elif "protocol" in action:
+                proto = action["protocol"]
+    _check_reader_version(path, proto)
+    return proto, meta, live, txns
 
 
 def _file_stats(filesystem, root: str, rel: str, stats_cols: list[str]) -> dict:
@@ -466,7 +549,7 @@ def delta_metadata(
 ) -> dict | None:
     """The snapshot's current metaData action (the newest one at or
     before ``version`` — schema evolution commits replace it)."""
-    meta, _, _ = _snapshot_state(spark, path, version)
+    _, meta, _, _ = _snapshot_state(spark, path, version)
     return meta
 
 
@@ -527,7 +610,18 @@ def _plan_commit(
             }
         )
         return version, actions, df
-    meta, live, _ = _snapshot_state(spark, path)
+    proto, meta, live, _ = _snapshot_state(spark, path)
+    # writer half of protocol gating: appending to (or overwriting) a
+    # table that demands a newer writer would corrupt invariants we do
+    # not implement (constraints, generated columns, ...) — refuse.
+    if proto is not None:
+        found = proto.get("minWriterVersion")
+        if found is not None and int(found) > _PROTOCOL["minWriterVersion"]:
+            raise ValueError(
+                f"cannot write delta table at {path}: it requires "
+                f"minWriterVersion={found} but this writer implements "
+                f"version {_PROTOCOL['minWriterVersion']}"
+            )
     meta = meta or {}
     # a commit whose layout contradicts metaData.partitionColumns
     # would be protocol-corrupt (adds with wrong partitionValues,
@@ -579,7 +673,7 @@ def delta_last_txn(spark: SparkSession, path: str, app_id: str) -> int | None:
     never committed) — the reader half of the protocol's
     idempotent-writer mechanism; resolves from checkpoint + tail like
     any other fold."""
-    _, _, txns = _snapshot_state(spark, path)
+    _, _, _, txns = _snapshot_state(spark, path)
     return txns.get(app_id)
 
 
@@ -638,8 +732,26 @@ def delta_write(
                 spark, df, path, mode, partition_by, merge_schema
             )
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
-        delta_checkpoint(spark, path, version)
+        _auto_checkpoint(spark, path, version)
     return version
+
+
+def _auto_checkpoint(spark: SparkSession, path: str, version: int) -> None:
+    """Post-commit cadence checkpoint, best-effort by design: the commit
+    it follows has already durably landed, so raising here would make a
+    SUCCEEDED write look failed — and a plain caller retrying it would
+    double-append. Readers fall back to the JSON fold when a cadence
+    checkpoint is missing; the next interval (or an explicit
+    delta_checkpoint call, which stays strict) catches up."""
+    import warnings
+
+    try:
+        delta_checkpoint(spark, path, version)
+    except Exception as exc:  # noqa: BLE001 — commit already durable
+        warnings.warn(
+            f"delta auto-checkpoint at version {version} of {path} failed "
+            f"({exc!r}); readers fall back to the JSON log fold"
+        )
 
 
 def delta_live_adds(
@@ -648,7 +760,7 @@ def delta_live_adds(
     """Fold the log up to `version` (inclusive; latest if None) into the
     live (file, add-action) set — the snapshot's MVCC reconstruction.
     Resolution is checkpoint + JSON tail (see _snapshot_state)."""
-    _, live, _ = _snapshot_state(spark, path, version)
+    _, _, live, _ = _snapshot_state(spark, path, version)
     return sorted(live.items())
 
 
@@ -676,7 +788,7 @@ def delta_read(
     evolution-added columns."""
     from pyspark.sql.types import StructType
 
-    meta, live, _ = _snapshot_state(spark, path, version)
+    _, meta, live, _ = _snapshot_state(spark, path, version)
     adds = sorted(live.items())
     if partition_filter:
         adds = [
@@ -749,7 +861,7 @@ def delta_optimize(
     actions.extend(adds)
     _write_commit(spark, path, version, actions)
     if version % CHECKPOINT_INTERVAL == 0:
-        delta_checkpoint(spark, path, version)
+        _auto_checkpoint(spark, path, version)
     return version
 
 
@@ -793,7 +905,13 @@ def delta_cleanup_log(spark: SparkSession, path: str) -> list[int]:
     commits and checkpoints BELOW the newest checkpoint — every retained
     snapshot (checkpoint version and later) still resolves from
     checkpoint + tail; time travel below it raises. Returns the deleted
-    versions. Without this the log directory grows one file per commit
+    versions. Deletion is immediate (no retention grace): a reader that
+    listed versions just before cleanup can lose a commit mid-fold —
+    _snapshot_state catches the missing file and raises the same typed
+    "no longer reconstructible" ValueError as the contiguity pre-check,
+    so concurrent cleanup degrades to a loud retryable failure, never a
+    silently-wrong snapshot. Run from a single maintenance job (Delta's
+    own assumption for metadata cleanup). Without this the log directory grows one file per commit
     forever; with it, steady state is one checkpoint + ≤ interval JSON
     tail files regardless of table age."""
     ckpts = _list_checkpoints(spark, path)

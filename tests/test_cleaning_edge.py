@@ -1,0 +1,64 @@
+"""Edge-case guards for the cleaning tier that the standard fixtures
+cannot hit (they contain no degenerate documents)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(rows: list[tuple[int, str, str, str]]) -> str:
+    """A documents.parquet fixture with the table's real schema."""
+    d = tempfile.mkdtemp(prefix="ls_docs_edge_")
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_quality_funnel_survives_short_docs(spark):
+    """Docs with fewer than 3 whitespace tokens must not crash the
+    3-gram stage (F.sequence(0, n-3) descends for n < 3 and F.slice
+    throws) — and the funnel's counts must match the DuckDB oracle's
+    graceful empty-list semantics on the same degenerate fixture."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+        pipeline_quality_funnel,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.registry import build_registry
+
+    rows = [
+        (1, "x", "en", "web"),                       # 1 token
+        (2, "the of", "en", "web"),                  # 2 tokens, lang hits
+        (3, "", "en", "web"),                        # empty text
+        (4, "the cat sat on the mat " * 5, "en", "web"),  # normal doc
+        (10, "the quick brown fox jumps over the lazy dog again", "en", "web"),
+    ]
+    sf_dir = _write_docs(rows)
+    out = pipeline_quality_funnel(spark, sf_dir).toPandas()
+    assert list(out["stage"]) == [
+        "1_raw",
+        "2_lang_known",
+        "3_min_length",
+        "4_low_repetition",
+        "5_pii_clean",
+        "6_exact_dedup",
+    ]
+    oracle = build_registry().oracle_sql()["pipeline_quality_funnel"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    exp = con.execute(oracle).fetchdf()
+    assert list(out["n_docs"].astype(int)) == list(exp["n_docs"].astype(int))

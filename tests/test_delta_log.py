@@ -446,3 +446,161 @@ def test_vacuum_reclaims_only_unreferenced_files(spark, sf_smoke):
     assert on_disk.isdisjoint(v0_files)
     # idempotent
     assert delta_vacuum(spark, path, keep_versions=1) == []
+
+
+def test_reader_refuses_higher_protocol_version(spark, sf_smoke):
+    """Public Delta protocol requirement: a table whose log declares a
+    minReaderVersion above what this reader implements must REFUSE to
+    read (silently folding features like deletion vectors would return
+    wrong rows, not degraded rows). Time travel to a snapshot below the
+    protocol upgrade stays readable — the gate applies per-snapshot."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_proto_r_")
+    delta_write(n, path, mode="overwrite")  # v0, protocol (1, 2)
+    # a foreign writer upgrades the table to reader v3 / writer v7
+    delta_log._write_commit(
+        spark, path, 1, [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}]
+    )
+    with pytest.raises(ValueError, match="minReaderVersion=3"):
+        delta_read(spark, path)
+    with pytest.raises(ValueError, match="minReaderVersion=3"):
+        delta_write(n, path, mode="append")  # replan folds the log too
+    # snapshots below the upgrade commit are still this reader's dialect
+    assert delta_read(spark, path, version=0).count() == n.count()
+
+
+def test_writer_refuses_higher_writer_version_reader_still_works(spark, sf_smoke):
+    """A reader-v1 table may legitimately demand a newer WRITER (e.g.
+    append-only invariants): reads keep working, writes refuse — and the
+    gate survives checkpointing + log cleanup (protocol action restated
+    in the checkpoint, not lost with the folded JSON commits)."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_checkpoint,
+        delta_cleanup_log,
+    )
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_proto_w_")
+    delta_write(n, path, mode="overwrite")  # v0
+    delta_log._write_commit(
+        spark, path, 1, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 7}}]
+    )
+    assert delta_read(spark, path).count() == n.count()
+    with pytest.raises(ValueError, match="minWriterVersion=7"):
+        delta_write(n, path, mode="append")
+    # checkpoint restates the table's protocol, not this writer's own
+    delta_checkpoint(spark, path)
+    deleted = delta_cleanup_log(spark, path)
+    assert deleted, "cleanup must fold the pre-checkpoint commits"
+    assert delta_read(spark, path).count() == n.count()
+    with pytest.raises(ValueError, match="minWriterVersion=7"):
+        delta_write(n, path, mode="append")
+
+
+def test_concurrent_writers_with_evolution_and_checkpoint(
+    spark, sf_smoke, monkeypatch
+):
+    """The classic lakehouse corruption corner, composed: two racing
+    writers (disjoint partitions), the loser carrying a schema
+    EVOLUTION, the retry landing exactly on the checkpoint-interval
+    commit — then a second race where an OVERWRITE loses to an append
+    and its replan must recompute the remove set to include the
+    winner's files. Both commits land at distinct versions and the
+    post-race snapshot equals the union (resp. the overwrite)."""
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_metadata,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(8)], "id bigint, k string"
+    )
+    path = tempfile.mkdtemp(prefix="ls_dl_race_evo_")
+    delta_write(base, path, partition_by=["k"])  # v0
+    for i in range(1, 9):  # v1..v8: next writer targets v9
+        delta_write(
+            base.where(F.col("id") == i % 8),
+            path,
+            mode="append",
+            partition_by=["k"],
+        )
+
+    evolved = spark.createDataFrame(
+        [(100, "a", 9.5)], "id bigint, k string, score double"
+    )
+    competitor = spark.createDataFrame([(200, "b")], "id bigint, k string")
+
+    real = delta_log._write_commit
+    state = {"raced": False}
+
+    def racing(spark_, p, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            # the competitor's FULL commit (old schema, disjoint
+            # partition) lands this version first; recursion hits the
+            # raced=True branch so it uses the real commit path
+            won = delta_write(
+                competitor, p, mode="append", partition_by=["k"]
+            )
+            assert won == version
+        return real(spark_, p, version, actions)
+
+    monkeypatch.setattr(delta_log, "_write_commit", racing)
+    v_evo = delta_write(
+        evolved, path, mode="append", partition_by=["k"], merge_schema=True
+    )
+    assert state["raced"]
+    # competitor took v9; the evolution retried onto v10 — the
+    # checkpoint-interval commit, so the auto-checkpoint covers it
+    assert v_evo == 10
+    assert delta_log._list_checkpoints(spark, path) == [10]
+
+    out = delta_read(spark, path)
+    assert out.columns == ["id", "k", "score"]
+    assert out.count() == 8 + 8 + 1 + 1
+    assert out.where(F.col("score").isNotNull()).count() == 1
+    assert (
+        out.where((F.col("id") == 200) & F.col("score").isNull()).count() == 1
+    )
+    meta_cols = [
+        f["name"]
+        for f in json.loads(delta_metadata(spark, path)["schemaString"])["fields"]
+    ]
+    assert meta_cols == ["id", "k", "score"]
+    # the winner's snapshot (v9) predates the evolution: old schema
+    v9 = delta_read(spark, path, version=9)
+    assert v9.columns == ["id", "k"] and v9.count() == 17
+
+    # --- race 2: overwrite loses to an append; replan must retract the
+    # winner's files too, or the "overwrite" silently keeps them ---
+    state["raced"] = False
+    competitor2 = spark.createDataFrame(
+        [(201, "b", 2.0)], "id bigint, k string, score double"
+    )
+    overwriter = spark.createDataFrame(
+        [(300, "a", 1.0)], "id bigint, k string, score double"
+    )
+
+    def racing2(spark_, p, version, actions):
+        if not state["raced"]:
+            state["raced"] = True
+            won = delta_write(
+                competitor2, p, mode="append", partition_by=["k"]
+            )
+            assert won == version
+        return real(spark_, p, version, actions)
+
+    monkeypatch.setattr(delta_log, "_write_commit", racing2)
+    v_ow = delta_write(overwriter, path, mode="overwrite", partition_by=["k"])
+    assert v_ow == 12, "competitor took v11; overwrite retried at v12"
+    final = delta_read(spark, path)
+    assert [(r.id, r.k, r.score) for r in final.collect()] == [(300, "a", 1.0)]
+    # v11 (pre-overwrite) still time-travels to the full union + competitor2
+    assert delta_read(spark, path, version=11).count() == 19

@@ -64,6 +64,41 @@ def test_delta_log_lifecycle_on_scheme(spark, sf_smoke, scheme):
 
 
 @pytest.mark.parametrize("scheme", SCHEMES)
+def test_delta_checkpoint_crosses_interval_on_scheme(spark, sf_smoke, scheme):
+    """Commit past CHECKPOINT_INTERVAL so the auto-checkpoint fires ON
+    THE SCHEME: checkpoint parquet write and read must go through the
+    Hadoop FileSystem like every other log file (pyarrow's
+    FileSystem.from_uri cannot resolve viewfs:// — the regression this
+    pins is the 10th commit raising from delta_write AFTER the commit
+    durably landed, which would bait a caller into a double-append
+    retry). Cleanup then forces the reader to resolve from the
+    checkpoint alone."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        CHECKPOINT_INTERVAL,
+        _list_checkpoints,
+        delta_cleanup_log,
+    )
+
+    n = load_table(spark, sf_smoke, "nation")
+    one = n.where(F.col("n_nationkey") == 0)
+    path = _table_path(spark, scheme, f"ckpt_{scheme}")
+    delta_write(n, path, mode="overwrite")  # v0
+    for _ in range(CHECKPOINT_INTERVAL + 2):  # v1..v12, crossing v10
+        delta_write(one, path, mode="append")
+    assert _list_checkpoints(spark, path) == [CHECKPOINT_INTERVAL]
+    expected = n.count() + (CHECKPOINT_INTERVAL + 2) * one.count()
+    assert delta_read(spark, path).count() == expected
+    # drop the pre-checkpoint JSON commits: the snapshot now MUST fold
+    # checkpoint + tail, proving the checkpoint READ path on the scheme
+    assert delta_cleanup_log(spark, path)
+    assert delta_read(spark, path).count() == expected
+    assert (
+        delta_read(spark, path, version=CHECKPOINT_INTERVAL).count()
+        == n.count() + CHECKPOINT_INTERVAL * one.count()
+    )
+
+
+@pytest.mark.parametrize("scheme", SCHEMES)
 def test_versioned_log_lifecycle_on_scheme(spark, sf_smoke, scheme):
     s = load_table(spark, sf_smoke, "supplier").select("s_suppkey", "s_name")
     path = _table_path(spark, scheme, f"ver_{scheme}")
