@@ -1,7 +1,11 @@
 """Hash-sketch primitives: shingling, MinHash, SimHash, LSH banding.
 
-All column expressions over JVM built-ins (``xxhash64``, ``transform``,
-``aggregate``) — one codegen'd pass per document, no Python in the path.
+All column expressions over JVM built-ins (``md5``, ``xxhash64``,
+``transform``, ``aggregate``) — one codegen'd pass per document, no
+Python in the path. The MinHash path hashes via md5 prefixes (slightly
+slower than xxhash64, but bit-reproducible in ANSI SQL, which upgrades
+the dedup flagship from rows-only to hard oracle verification); SimHash
+keeps xxhash64 for its full-width 64-bit feature votes.
 ANSI mode is on (Spark 4 default), so every arithmetic step is kept inside
 bigint range: shingle hashes are reduced to the 31-bit prime field
 ``P = 2^31 - 1`` before the universal-hash ``(a*x + b) mod P`` step
@@ -36,10 +40,26 @@ def shingles(toks: Column, k: int = 3) -> Column:
     )
 
 
+def md5_prefix_int(col: Column, nchars: int = 8) -> Column:
+    """First ``nchars`` hex chars of md5 as a bigint — the one hash both
+    Spark and ANSI-SQL engines (DuckDB, the correctness oracle) compute
+    bit-identically, which is what makes md5-based sketches (KMV,
+    MinHash) hard-verifiable instead of rows-only. ≤ 15 chars keeps the
+    value inside signed-bigint range under ANSI."""
+    return F.conv(F.substring(F.md5(col), 1, nchars), 16, 10).cast("bigint")
+
+
 def shingle_hashes(shingle_col: Column) -> Column:
-    """Shingle strings → 31-bit field elements (set semantics via distinct)."""
+    """Shingle strings → 31-bit field elements (set semantics via distinct).
+
+    md5-prefix based (not xxhash64) so the DuckDB oracle reproduces the
+    exact signatures: 32-bit prefix reduced into the Mersenne field. The
+    fold downstream takes minima, so hash-collision duplicates surviving
+    array_distinct are harmless."""
     return F.array_distinct(
-        F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME)))
+        F.transform(
+            shingle_col, lambda s: F.pmod(md5_prefix_int(s, 8), F.lit(MINHASH_PRIME))
+        )
     )
 
 
@@ -89,7 +109,11 @@ def band_keys(sig: Column, num_bands: int, rows_per_band: int) -> Column:
         rows = [
             F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)
         ]
-        band_hash = F.xxhash64(F.concat_ws("_", *[r.cast("string") for r in rows]))
+        # md5-prefix (60-bit) rather than xxhash64: the oracle reproduces
+        # it exactly, so band-collision behavior is identical both sides
+        band_hash = md5_prefix_int(
+            F.concat_ws("_", *[r.cast("string") for r in rows]), 15
+        )
         bands.append(F.struct(F.lit(b).alias("band_id"), band_hash.alias("band_hash")))
     return F.array(*bands)
 

@@ -362,7 +362,7 @@ QUERIES: list[QueryDef] = [
         UNION ALL SELECT '6_exact_dedup', s6 FROM agg
         ORDER BY stage
         """,
-        tags=("extension", "cleaning", "pipeline"),
+        tags=("extension", "cleaning", "pipeline", "bench"),
         description="Six-stage pre-training quality gate funnel in one "
         "conditional-aggregate pass.",
     ),

@@ -422,6 +422,72 @@ _GRAMS_SQL = (
     " string_split(text,' ')[i+1], string_split(text,' ')[i+2])) END)"
 )
 
+
+def _sql_minhash_cand() -> str:
+    """The full MinHash pipeline as DuckDB CTEs, bit-exact against the
+    Spark path: every hash is an md5 prefix (functions/hashing.py), the
+    32 permutation coefficients are the same seeded list inlined as
+    literals, and banding uses the same 15-hex-char band hash — so the
+    candidate set, the est_jaccard values, and therefore the survivor
+    set are EQUAL by construction, not statistically similar. This is
+    what converts the engine's flagship LLM-dedup path from a rows-only
+    sketch row to hard oracle verification (KMV precedent,
+    operators/stats.py)."""
+    from ..functions.hashing import MINHASH_PRIME, minhash_coefficients
+
+    p = MINHASH_PRIME
+    coeffs = minhash_coefficients(NUM_PERM, 42)
+    mins = ",\n                 ".join(
+        f"MIN(({a} * x + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    bands = []
+    for b in range(NUM_BANDS):
+        cat = " || '_' || ".join(
+            f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        bands.append(
+            f"CAST(('0x' || substring(md5({cat}), 1, 15)) AS BIGINT) AS band{b}"
+        )
+    agree = " + ".join(f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(NUM_PERM))
+    band_match = " OR ".join(f"a.band{b} = b.band{b}" for b in range(NUM_BANDS))
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + {PLANT_OFFSET},
+                 array_to_string(list_slice(string_split(text, ' '), 3,
+                                            len(string_split(text, ' '))), ' '),
+                 lang, source
+          FROM documents
+          WHERE doc_id < 50
+            AND len(string_split(text, ' ')) >= {MIN_PLANT_TOKENS}),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+2], ' ')) END
+                   AS shingles
+          FROM tok),
+        hx AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) % {p} AS x
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+        sig AS (
+          SELECT doc_id,
+                 {mins}
+          FROM hx GROUP BY doc_id),
+        banded AS (
+          SELECT sig.*, {", ".join(bands)} FROM sig),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(({agree}) AS DOUBLE) / {NUM_PERM} AS est_jaccard
+          FROM banded a JOIN banded b
+            ON a.doc_id < b.doc_id AND ({band_match}))
+    """
+
 # --- X2f: cross-document boilerplate mining ---------------------------------
 BOILERPLATE_K = 8
 BOILERPLATE_TOP = 20
@@ -556,7 +622,7 @@ QUERIES: list[QueryDef] = [
         WHERE d.doc_id >= 20
         GROUP BY d.lang ORDER BY d.lang
         """,
-        tags=("extension", "dedup", "pipeline"),
+        tags=("extension", "dedup", "pipeline", "bench"),
         description="13-gram benchmark decontamination via broadcast "
         "semi-join (partial-inclusion catch).",
     ),
@@ -582,14 +648,28 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "dedup_minhash_lsh",
         dedup_minhash_lsh,
-        None,  # sketch-based: not SQL-expressible; invariants in tests/test_dedup.py
+        f"""
+        {_sql_minhash_cand()}
+        SELECT c.doc_id, c.lang, c.source FROM corpus c
+        WHERE c.doc_id NOT IN
+              (SELECT doc_b FROM cand WHERE est_jaccard >= 0.5)
+        ORDER BY c.doc_id
+        """,
         tags=("extension", "dedup", "bench"),
+        description="MinHash-LSH near-dup survivors; md5-based sketch "
+        "makes the oracle bit-exact (recall invariants in tests).",
     ),
     QueryDef(
         "dedup_minhash_pairs",
         dedup_minhash_pairs,
-        None,
+        f"""
+        {_sql_minhash_cand()}
+        SELECT doc_a, doc_b, est_jaccard FROM cand
+        WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b
+        """,
         tags=("extension", "dedup"),
+        description="MinHash-LSH candidate pairs with estimated Jaccard; "
+        "bit-exact md5-based oracle twin.",
     ),
     QueryDef(
         "dedup_simhash_pairs",

@@ -116,3 +116,37 @@ def test_pandas_udf_cosine_matches_builtin(spark, sf_oracle):
         cosine_pandas()(F.col("va"), F.col("vb")).alias("vectorized"),
     ).collect()
     assert all(abs(r.builtin - r.vectorized) < 1e-9 for r in both)
+
+
+def test_ivf_codebook_trained_once_and_persisted(spark, sf_oracle, monkeypatch):
+    """The IVF codebook is an index artifact: trained ONCE, persisted as
+    a table, and reused — query invocations must neither retrain it nor
+    rescan the corpus for it (the VERDICT-flagged per-query bootstrap
+    collect). A cold in-process cache must come back from the TABLE."""
+    import os
+
+    import lakesail_hdfs_deltalake_guide_spark.sources.io as io_mod
+
+    path = similarity.ivf_train_codebook(spark, sf_oracle, force=True)
+    assert os.path.exists(os.path.join(path, "_delta_log")), (
+        "codebook must persist as a real (native Delta) table"
+    )
+
+    writes = {"n": 0}
+    real_write = io_mod.write_table
+
+    def spying(*a, **k):
+        writes["n"] += 1
+        return real_write(*a, **k)
+
+    monkeypatch.setattr(io_mod, "write_table", spying)
+    similarity._CODEBOOK_CACHE.clear()
+    r1 = similarity.similarity_ivf_topk(spark, sf_oracle).collect()
+    r2 = similarity.similarity_ivf_topk(spark, sf_oracle).collect()
+    assert writes["n"] == 0, "existing codebook table must short-circuit training"
+    assert r1 == r2
+    # cold cache (fresh-process simulation): still no retrain — the
+    # persisted table is the source of truth
+    similarity._CODEBOOK_CACHE.clear()
+    assert similarity.similarity_ivf_topk(spark, sf_oracle).collect() == r1
+    assert writes["n"] == 0
