@@ -2,10 +2,11 @@
 
 All column expressions over JVM built-ins (``md5``, ``xxhash64``,
 ``transform``, ``aggregate``) — one codegen'd pass per document, no
-Python in the path. The MinHash path hashes via md5 prefixes (slightly
-slower than xxhash64, but bit-reproducible in ANSI SQL, which upgrades
-the dedup flagship from rows-only to hard oracle verification); SimHash
-keeps xxhash64 for its full-width 64-bit feature votes.
+Python in the path. Both sketch families hash via md5 prefixes
+(slightly slower than xxhash64, but bit-reproducible in ANSI SQL,
+which upgrades the dedup flagship paths from rows-only to hard oracle
+verification): MinHash reduces 8-hex-char prefixes into the Mersenne
+field; SimHash votes over 15-hex-char (60-bit) prefixes.
 ANSI mode is on (Spark 4 default), so every arithmetic step is kept inside
 bigint range: shingle hashes are reduced to the 31-bit prime field
 ``P = 2^31 - 1`` before the universal-hash ``(a*x + b) mod P`` step
@@ -129,17 +130,25 @@ def minhash_similarity(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
     return agree.cast("double") / F.lit(num_perm)
 
 
-def feature_hashes64(shingle_col: Column) -> Column:
-    """Full-width 64-bit feature hashes (for SimHash bit votes)."""
-    return F.array_distinct(F.transform(shingle_col, lambda s: F.xxhash64(s)))
+# SimHash width: 15 hex chars of md5 = 60 bits. Chosen (over xxhash64's
+# full 64) because the oracle must reproduce every bit VOTE — md5
+# prefixes are the cross-engine-reproducible hash family here.
+SIMHASH_BITS = 60
 
 
-def simhash63(feature_hashes: Column) -> Column:
-    """63-bit SimHash (bit 63 unused: keeps the value positive under ANSI).
+def feature_hashes60(shingle_col: Column) -> Column:
+    """Full-width 60-bit md5-prefix feature hashes (SimHash bit votes)."""
+    return F.array_distinct(
+        F.transform(shingle_col, lambda s: md5_prefix_int(s, 15))
+    )
+
+
+def simhash60(feature_hashes: Column) -> Column:
+    """60-bit SimHash (always positive in a bigint under ANSI).
 
     For each bit j: sum over features of (+1 if bit j set else -1); the
-    SimHash has bit j set iff the sum is positive. All 63 bit votes are
-    maintained in ONE ``aggregate`` fold over the feature array (63
+    SimHash has bit j set iff the sum is positive. All 60 bit votes are
+    maintained in ONE ``aggregate`` fold over the feature array (60
     separate ``aggregate`` columns would re-evaluate the feature-hash
     subexpression per bit — same CSE blind spot as ``minhash_signature``),
     then packed into a bigint in a second fold over the vote array.
@@ -149,16 +158,16 @@ def simhash63(feature_hashes: Column) -> Column:
         return F.array(
             *[
                 F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                for j in range(63)
+                for j in range(SIMHASH_BITS)
             ]
         )
 
     votes = F.aggregate(
         feature_hashes,
-        F.array(*[F.lit(0)] * 63),
+        F.array(*[F.lit(0)] * SIMHASH_BITS),
         lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, v: a + v),
     )
-    weights = F.array(*[F.lit(1 << j).cast("bigint") for j in range(63)])
+    weights = F.array(*[F.lit(1 << j).cast("bigint") for j in range(SIMHASH_BITS)])
     return F.aggregate(
         F.zip_with(votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("bigint"))),
         F.lit(0).cast("bigint"),
@@ -166,20 +175,20 @@ def simhash63(feature_hashes: Column) -> Column:
     )
 
 
-def hamming63(a: Column, b: Column) -> Column:
+def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_chunks(sh: Column, num_chunks: int = 9, chunk_bits: int = 7) -> Column:
+def simhash_chunks(sh: Column, num_chunks: int = 10, chunk_bits: int = 6) -> Column:
     """Split a SimHash into chunks for LSH blocking.
 
     Pigeonhole guarantee: a pair within Hamming distance ``num_chunks - 1``
     must agree exactly on at least one chunk, so an equi-join on
     (chunk_id, chunk_val) loses no candidate below that distance. The
-    default 9 chunks x 7 bits tiles the 63-bit SimHash exactly and
-    guarantees recall for Hamming <= 8 — matching the verify threshold in
-    operators/dedup.py. Fewer, wider chunks (e.g. 4 x 16) give smaller
-    candidate sets but only guarantee Hamming <= 3."""
+    default 10 chunks x 6 bits tiles the 60-bit SimHash exactly and
+    guarantees recall for Hamming <= 9 — covering the verify threshold in
+    operators/dedup.py (<= 8). Fewer, wider chunks (e.g. 4 x 15) give
+    smaller candidate sets but only guarantee Hamming <= 3."""
     return F.array(
         *[
             F.struct(

@@ -21,13 +21,13 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import (
     band_keys,
-    feature_hashes64,
-    hamming63,
+    feature_hashes60,
+    hamming_distance,
     minhash_signature,
     minhash_similarity,
     shingle_hashes,
     shingles,
-    simhash63,
+    simhash60,
     simhash_chunks,
     tokens,
 )
@@ -207,15 +207,18 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- X2b: SimHash near-dup --------------------------------------------------
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-63 over shingle features; chunk-LSH block + Hamming verify.
+    """SimHash-60 over shingle features; chunk-LSH block + Hamming verify.
 
-    Blocking uses 9 chunks x 7 bits (63 = 9*7): by pigeonhole, any pair
-    within Hamming <= 8 agrees on >= 1 chunk, so the blocking equi-join is
-    lossless up to the verify threshold (hamming <= 8)."""
+    Blocking uses 10 chunks x 6 bits (60 = 10*6): by pigeonhole, any pair
+    within Hamming <= 9 agrees on >= 1 chunk, so the blocking equi-join is
+    lossless up to (and past) the verify threshold (hamming <= 8). The
+    md5-prefix feature hashes make every bit vote — and therefore the
+    exact SimHash, candidate set, and Hamming distances — reproducible in
+    the DuckDB oracle."""
     corpus = near_duplicate_corpus(spark, sf_dir)
     toks = tokens("text")
     sh = _sketch_parallel(corpus).select(
-        "doc_id", simhash63(feature_hashes64(shingles(toks, 3))).alias("simhash")
+        "doc_id", simhash60(feature_hashes60(shingles(toks, 3))).alias("simhash")
     ).persist()
     chunks = sh.select(
         "doc_id",
@@ -234,7 +237,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming63(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            hamming_distance(F.col("a.simhash"), F.col("b.simhash"))
+            .cast("bigint")
+            .alias("hamming"),
         )
         .distinct()
         .where(F.col("hamming") <= 8)
@@ -423,6 +428,72 @@ _GRAMS_SQL = (
 )
 
 
+def _sql_neardup_shingles() -> str:
+    """Shared oracle CTE prefix: planted near-dup corpus → tokens →
+    3-token shingles (with the whole-text fallback for short docs),
+    matching functions/hashing.py's ``shingles`` exactly."""
+    return f"""
+        WITH corpus AS (
+          SELECT doc_id, text, lang, source FROM documents
+          UNION ALL
+          SELECT doc_id + {PLANT_OFFSET},
+                 array_to_string(list_slice(string_split(text, ' '), 3,
+                                            len(string_split(text, ' '))), ' '),
+                 lang, source
+          FROM documents
+          WHERE doc_id < 50
+            AND len(string_split(text, ' ')) >= {MIN_PLANT_TOKENS}),
+        tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 1),
+                             i -> array_to_string(toks[i:i+2], ' ')) END
+                   AS shingles
+          FROM tok)"""
+
+
+def _sql_simhash_cand() -> str:
+    """SimHash-60 as DuckDB CTEs, bit-exact against the Spark path: the
+    same md5-prefix 60-bit feature hashes, the same per-bit +1/-1 votes,
+    the same packed bigint, the same 10x6 chunk blocking, and bit_count
+    (xor) Hamming verify — candidate set and distances EQUAL by
+    construction (same md5 technique as the MinHash oracle)."""
+    from ..functions.hashing import SIMHASH_BITS
+
+    votes = ",\n                 ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    chunk_match = " OR ".join(
+        f"((a.simhash >> {i * 6}) & 63) = ((b.simhash >> {i * 6}) & 63)"
+        for i in range(SIMHASH_BITS // 6)
+    )
+    return f"""
+        {_sql_neardup_shingles()},
+        feat AS (
+          SELECT DISTINCT doc_id,
+                 CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+        votes AS (
+          SELECT doc_id,
+                 {votes}
+          FROM feat GROUP BY doc_id),
+        sig AS (
+          SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM votes),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+          FROM sig a JOIN sig b
+            ON a.doc_id < b.doc_id AND ({chunk_match}))
+    """
+
+
 def _sql_minhash_cand() -> str:
     """The full MinHash pipeline as DuckDB CTEs, bit-exact against the
     Spark path: every hash is an md5 prefix (functions/hashing.py), the
@@ -453,24 +524,7 @@ def _sql_minhash_cand() -> str:
     agree = " + ".join(f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(NUM_PERM))
     band_match = " OR ".join(f"a.band{b} = b.band{b}" for b in range(NUM_BANDS))
     return f"""
-        WITH corpus AS (
-          SELECT doc_id, text, lang, source FROM documents
-          UNION ALL
-          SELECT doc_id + {PLANT_OFFSET},
-                 array_to_string(list_slice(string_split(text, ' '), 3,
-                                            len(string_split(text, ' '))), ' '),
-                 lang, source
-          FROM documents
-          WHERE doc_id < 50
-            AND len(string_split(text, ' ')) >= {MIN_PLANT_TOKENS}),
-        tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
-        sh AS (
-          SELECT doc_id,
-                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                      ELSE list_transform(range(1, len(toks) - 1),
-                             i -> array_to_string(toks[i:i+2], ' ')) END
-                   AS shingles
-          FROM tok),
+        {_sql_neardup_shingles()},
         hx AS (
           SELECT doc_id,
                  CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) % {p} AS x
@@ -674,8 +728,14 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "dedup_simhash_pairs",
         dedup_simhash_pairs,
-        None,
+        f"""
+        {_sql_simhash_cand()}
+        SELECT doc_a, doc_b, hamming FROM cand
+        WHERE hamming <= 8 ORDER BY doc_a, doc_b
+        """,
         tags=("extension", "dedup"),
+        description="SimHash-60 near-dup pairs via chunk-LSH blocking; "
+        "bit-exact md5-based oracle twin.",
     ),
     QueryDef(
         "dedup_ngram_jaccard_pairs",

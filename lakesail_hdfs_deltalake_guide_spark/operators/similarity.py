@@ -186,31 +186,67 @@ def ivf_codebook_path(sf_dir: str) -> str:
 
 
 def ivf_train_codebook(
-    spark: SparkSession, sf_dir: str, k: int = NUM_CENTROIDS, force: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = NUM_CENTROIDS,
+    iters: int = 2,
+    force: bool = False,
 ) -> str:
-    """Train the IVF coarse quantizer and persist it as a (Delta) table
-    of (centroid_id, cv) — the index-build step a real ANN pipeline runs
-    ONCE and ships everywhere, never per query. Centroids are the first
-    K corpus vectors (deterministic k-means stand-in; the table layout
-    and reuse contract are what a trained codebook needs). Returns the
-    table path; an existing table short-circuits unless ``force``."""
+    """Train the IVF coarse quantizer (Lloyd k-means) and persist it as
+    a (Delta) table of (centroid_id, cv) — the index-build step a real
+    ANN pipeline runs ONCE and ships everywhere, never per query.
+
+    Init is the first K corpus vectors (deterministic); each Lloyd
+    iteration assigns every vector to its best centroid with the same
+    codegen'd fold the query path uses (zero-shuffle assignment), then
+    recomputes means via posexplode + (centroid, dim) aggregation. The
+    ONLY driver-side state is the k·dim centroid matrix (the sums
+    collect is k·dim rows — metadata-sized at any corpus scale; the
+    per-vector work is all executor-side). Empty clusters keep their
+    previous centroid. Returns the table path; an existing table
+    short-circuits unless ``force``."""
     import os
 
     from ..sources.io import write_table
 
     path = ivf_codebook_path(sf_dir)
-    if force or not os.path.exists(os.path.join(path, "_delta_log")):
-        e = load_table(spark, sf_dir, "embeddings")
-        cb = (
-            e.where(F.col("vec_id") < k)
-            .select(
-                F.col("vec_id").cast("int").alias("centroid_id"),
-                as_double("embedding").alias("cv"),
-            )
-            .coalesce(1)
+    if not force and os.path.exists(os.path.join(path, "_delta_log")):
+        return path
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", as_double("embedding").alias("v"))
+    centroids = [
+        r.v for r in vecs.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    for _ in range(iters):
+        assigned = _assign_centroids(vecs, "v", centroids, top_p=1)
+        stats = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+            .collect()
         )
-        write_table(cb, path, mode="overwrite")
-        _CODEBOOK_CACHE.pop(path, None)
+        dims = max(r.pos for r in stats) + 1
+        sums = {(r.centroid_id, r.pos): (r.s, r.c) for r in stats}
+        centroids = [
+            [
+                sums[cid, d][0] / sums[cid, d][1] if (cid, d) in sums else old[d]
+                for d in range(dims)
+            ]
+            for cid, old in enumerate(centroids)
+        ]
+    import pandas as pd
+
+    cb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "centroid_id": list(range(len(centroids))),
+                "cv": centroids,
+            }
+        ),
+        "centroid_id int, cv array<double>",
+    ).coalesce(1)
+    write_table(cb, path, mode="overwrite")
+    _CODEBOOK_CACHE.pop(path, None)
     return path
 
 

@@ -931,6 +931,48 @@ def delta_cleanup_log(spark: SparkSession, path: str) -> list[int]:
     return deleted
 
 
+def delta_restore(spark: SparkSession, path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION (delta-spark's RESTORE command, the
+    undo button of the lakehouse lifecycle): commit a NEW version whose
+    live file set and schema equal the snapshot at ``version``. Pure
+    metadata — the old generation's files are re-added by path, the
+    current generation removed, nothing rewritten; and because the
+    restore is itself one more MVCC commit, the pre-restore state stays
+    time-travelable (exactly the public RESTORE semantics). Refuses
+    loudly when a file the restore needs was already vacuumed away —
+    re-adding a missing path would manufacture a corrupt snapshot."""
+    _, meta_t, live_t, _ = _snapshot_state(spark, path, version)
+    if meta_t is None:
+        raise ValueError(f"no delta snapshot at version {version} of {path}")
+    _, meta_c, live_c, _ = _snapshot_state(spark, path)
+    new_version = _list_versions(spark, path)[-1] + 1
+    fs, _, jvm = _hadoop_fs(spark, path)
+    missing = [
+        f
+        for f in sorted(set(live_t) - set(live_c))
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{f}"))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore version {version} of {path}: data files "
+            f"removed by vacuum: {missing[:3]}"
+        )
+    actions: list[dict] = []
+    if meta_c != meta_t:
+        actions.append({"metaData": meta_t})
+    now = int(time.time() * 1000)
+    for f in sorted(set(live_c) - set(live_t)):
+        actions.append(
+            {"remove": {"path": f, "deletionTimestamp": now, "dataChange": True}}
+        )
+    for f in sorted(set(live_t) - set(live_c)):
+        actions.append({"add": {**live_t[f], "dataChange": True}})
+    _write_commit(spark, path, new_version, actions)
+    if new_version % CHECKPOINT_INTERVAL == 0:
+        _auto_checkpoint(spark, path, new_version)
+    return new_version
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 
@@ -1158,7 +1200,42 @@ def delta_native_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inserted.unionByName(deleted).orderBy("change_type")
 
 
+def delta_native_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE lifecycle: overwrite (v0) → append (v1) → destructive
+    overwrite (v2) → restore to v1 (v3). The latest read must equal the
+    pre-destruction snapshot (supplier twice) while v2 stays
+    time-travelable; the restore commit re-adds v1's files by path,
+    rewriting nothing."""
+    import tempfile
+
+    from ..tables import load_table
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    path = tempfile.mkdtemp(prefix="ls_delta_restore_")
+    delta_write(s, path, mode="overwrite")
+    delta_write(s, path, mode="append")
+    delta_write(s.where(F.col("s_nationkey") == 0), path, mode="overwrite")
+    delta_restore(spark, path, 1)
+    back = delta_read(spark, path)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("s_nationkey")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "delta_native_restore",
+        delta_native_restore,
+        """
+        SELECT s_nationkey, COUNT(*) * 2 AS n_rows
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        tags=("parity", "delta", "io"),
+        description="RESTORE TO VERSION as a pure-metadata MVCC commit "
+        "(re-adds the old generation, keeps history).",
+    ),
     QueryDef(
         "delta_native_version_diff",
         delta_native_version_diff,

@@ -259,20 +259,26 @@ def streaming_interval_join_left_outer(
     watermark passes the click's join window, so clicks inside the final
     watermark horizon are legitimately WITHHELD at stream end. The
     oracle-comparable output therefore restricts to clicks at least one
-    hour before the newest event (watermark 30 min + window 10 min +
-    margin), where null emission is guaranteed; the threshold is derived
-    from the data identically on both engines. State contract: each
-    side buffers only its watermark horizon — the outer join adds no
-    state over the inner one, just deferred null emission."""
+    hour before the LAGGING stream's end (watermark 30 min + window
+    10 min + margin), where null emission is guaranteed; the threshold
+    is derived from the data identically on both engines. Anchoring on
+    the overall max would be fixture-luck: the global watermark is the
+    min across both streams' watermarks, so the guarantee horizon keys
+    off whichever side's events end earlier. State contract: each side
+    buffers only its watermark horizon — the outer join adds no state
+    over the inner one, just deferred null emission."""
     from ..tables import load_table
 
-    mx_ns = (
+    lag_mx_ns = (
         load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "error"))
+        .groupBy("event_type")
         .agg(F.max("ts_ns").alias("mx"))
+        .agg(F.min("mx").alias("mm"))
         .collect()[0]
-        .mx
+        .mm
     )
-    threshold_ns = mx_ns - 3_600_000_000_000  # 1 hour before newest event
+    threshold_ns = lag_mx_ns - 3_600_000_000_000  # 1 h before lagging stream end
 
     clicks = (
         events_stream(spark, sf_dir)
@@ -326,6 +332,107 @@ def streaming_interval_join_left_outer(
                 "n_unmatched_clicks"
             ),
             F.countDistinct("click_id").alias("n_clicks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def streaming_interval_join_full_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the one stream-stream
+    join type the tier still lacked: clicks with no error in the
+    following 10 minutes emit a null-error row AND errors preceded by no
+    click emit a null-click row, each once the watermark clears the
+    respective join window. Both deferred emissions are only guaranteed
+    outside the final watermark horizon, so the oracle-comparable output
+    applies ONE post-filter to the join RESULT (not to the inputs):
+    matched-or-unmatched-click rows must have the click ≥ 1 h before the
+    horizon anchor, unmatched-error rows the error — the identical
+    predicate runs on the oracle's full join, so edge-of-stream rows are
+    excluded symmetrically.
+
+    The anchor is the LAGGING stream's max event time (min of the two
+    per-type maxima), not the overall max: the global watermark is the
+    minimum across both streams' watermarks, so emission is only
+    guaranteed relative to whichever side ends earlier (on the fixture
+    the last error precedes the last event by ~30 min — anchoring on the
+    overall max withholds borderline unmatched errors). State contract:
+    each side buffers only its watermark horizon; the outer sides add no
+    state over the inner join, just deferred null emission."""
+    from ..tables import load_table
+
+    lag_mx_ns = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "error"))
+        .groupBy("event_type")
+        .agg(F.max("ts_ns").alias("mx"))
+        .agg(F.min("mx").alias("mm"))
+        .collect()[0]
+        .mm
+    )
+    threshold_ns = lag_mx_ns - 3_600_000_000_000  # 1 h before lagging stream end
+
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    errors = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        .withWatermark("e_ts", WATERMARK)
+    )
+    pairs = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("e_user")).alias("user_id"),
+        F.unix_micros(F.col("c_ts")).alias("c_us"),
+        F.unix_micros(F.col("e_ts")).alias("e_us"),
+        "click_id",
+        "error_id",
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="ls_stream_fojoin_out_")
+    q = (
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ls_ckpt_fojoin_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    click_side = F.col("click_id").isNotNull()
+    return (
+        spark.read.parquet(out_dir)
+        .where(
+            (click_side & (F.col("c_us") * 1000 <= F.lit(threshold_ns)))
+            | (~click_side & (F.col("e_us") * 1000 <= F.lit(threshold_ns)))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum((click_side & F.col("error_id").isNotNull()).cast("bigint"))
+            .alias("n_pairs"),
+            F.sum(F.col("error_id").isNull().cast("bigint")).alias(
+                "n_unmatched_clicks"
+            ),
+            F.sum(F.col("click_id").isNull().cast("bigint")).alias(
+                "n_unmatched_errors"
+            ),
         )
         .orderBy("user_id")
     )
@@ -393,12 +500,15 @@ QUERIES: list[QueryDef] = [
         "streaming_interval_join_left_outer",
         streaming_interval_join_left_outer,
         """
-        WITH m AS (SELECT MAX(epoch_ns(ts)) AS mx FROM events),
+        WITH m AS (
+          SELECT MIN(mx) - 3600000000000 AS thr FROM (
+            SELECT event_type, MAX(epoch_ns(ts)) AS mx FROM events
+            WHERE event_type IN ('click', 'error') GROUP BY event_type)),
         c AS (
           SELECT user_id AS cu, epoch_ns(ts) AS cts, event_id AS cid
           FROM events
           WHERE event_type = 'click'
-            AND epoch_ns(ts) <= (SELECT mx - 3600000000000 FROM m)),
+            AND epoch_ns(ts) <= (SELECT thr FROM m)),
         e AS (
           SELECT user_id AS eu, epoch_ns(ts) AS ets, event_id AS eid
           FROM events WHERE event_type = 'error'),
@@ -417,6 +527,42 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "streaming"),
         description="Stream-stream LEFT OUTER interval join: null emission "
         "after the watermark passes the join window.",
+    ),
+    QueryDef(
+        "streaming_interval_join_full_outer",
+        streaming_interval_join_full_outer,
+        """
+        WITH m AS (
+          SELECT MIN(mx) - 3600000000000 AS thr FROM (
+            SELECT event_type, MAX(epoch_ns(ts)) AS mx FROM events
+            WHERE event_type IN ('click', 'error') GROUP BY event_type)),
+        c AS (
+          SELECT user_id AS cu, epoch_ns(ts) AS cts, event_id AS cid
+          FROM events WHERE event_type = 'click'),
+        e AS (
+          SELECT user_id AS eu, epoch_ns(ts) AS ets, event_id AS eid
+          FROM events WHERE event_type = 'error'),
+        j AS (
+          SELECT COALESCE(c.cu, e.eu) AS u, c.cts, e.ets, c.cid, e.eid
+          FROM c FULL JOIN e
+            ON c.cu = e.eu AND e.ets >= c.cts
+           AND e.ets <= c.cts + 600000000000),
+        f AS (
+          SELECT * FROM j
+          WHERE (cid IS NOT NULL AND cts <= (SELECT thr FROM m))
+             OR (cid IS NULL AND ets <= (SELECT thr FROM m)))
+        SELECT u AS user_id,
+               CAST(SUM(CASE WHEN cid IS NOT NULL AND eid IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN eid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unmatched_clicks,
+               CAST(SUM(CASE WHEN cid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unmatched_errors
+        FROM f GROUP BY u ORDER BY user_id
+        """,
+        tags=("extension", "streaming"),
+        description="Stream-stream FULL OUTER interval join: deferred "
+        "null emission on both sides past the watermark horizon.",
     ),
     QueryDef(
         "streaming_delta_append_sink",

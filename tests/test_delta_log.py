@@ -604,3 +604,45 @@ def test_concurrent_writers_with_evolution_and_checkpoint(
     assert [(r.id, r.k, r.score) for r in final.collect()] == [(300, "a", 1.0)]
     # v11 (pre-overwrite) still time-travels to the full union + competitor2
     assert delta_read(spark, path, version=11).count() == 19
+
+
+def test_restore_to_version(spark, sf_smoke):
+    """RESTORE: latest snapshot equals the restored version's rows and
+    schema, history (including the destroyed generation) stays
+    time-travelable, the commit is pure metadata (re-added paths, no new
+    data files), and restoring past a vacuum refuses loudly."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_restore,
+        delta_vacuum,
+    )
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_restore_")
+    delta_write(n, path, mode="overwrite")  # v0
+    delta_write(n, path, mode="append")  # v1: 2x nation
+    delta_write(n.where(F.col("n_regionkey") == 0), path, mode="overwrite")  # v2
+    n_files_before = len(glob.glob(f"{path}/*.parquet"))
+    assert delta_restore(spark, path, 1) == 3
+    # restored snapshot == v1, no data files written by the restore
+    assert delta_read(spark, path).count() == 2 * n.count()
+    assert len(glob.glob(f"{path}/*.parquet")) == n_files_before
+    # the destroyed generation is still one time-travel away
+    assert (
+        delta_read(spark, path, version=2).count()
+        == n.where(F.col("n_regionkey") == 0).count()
+    )
+    # restore composes with schema evolution: restoring below the
+    # evolution brings the OLD schema back
+    evolved = n.withColumn("extra", F.lit(1).cast("bigint"))
+    delta_write(evolved, path, mode="overwrite", merge_schema=True)  # v4
+    assert delta_read(spark, path).columns == [*n.columns, "extra"]
+    delta_restore(spark, path, 3)  # v5: back to v1's shape
+    assert delta_read(spark, path).columns == n.columns
+    assert delta_read(spark, path).count() == 2 * n.count()
+    # vacuum away everything the old generations referenced, then try to
+    # restore into the hole
+    delta_vacuum(spark, path, keep_versions=1)
+    with pytest.raises(ValueError, match="removed by vacuum"):
+        delta_restore(spark, path, 4)
