@@ -43,8 +43,16 @@ def main() -> None:
     reg = get_registry()
     bench_defs = {n: q for n, q in reg.defs.items() if "bench" in q.tags}
 
-    # Warmup: spin up executor threads, JIT the codegen paths once.
+    # Warmup: spin up executor threads, JIT the codegen paths once, and
+    # prime the shared InMemoryFileIndex / parquet-footer caches for every
+    # fixture table. Without the listing warmup, whichever query touches a
+    # table first pays its one-time listing cost, so per-query numbers
+    # depend on dict order (the r3 `session_stats` "drift" was exactly
+    # this: 0.94 s first-in-order vs 0.61 s order-controlled).
     spark.range(1_000_000).selectExpr("sum(id) as s").collect()
+    for tbl in ("orders", "lineitem", "customer", "events", "documents",
+                "embeddings", "part", "supplier", "nation", "region"):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
 
     timings: dict[str, float] = {}
     for name, qdef in bench_defs.items():
