@@ -16,7 +16,7 @@ tests/test_dedup.py assert the planted duplicates are exactly what's caught.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
@@ -638,7 +638,158 @@ _SQL_13GRAMS = (
 )
 
 
+SEMDEDUP_K = 8  # centroid count (deterministic bootstrap: vec_id < K)
+SEMDEDUP_TAU = 0.99
+
+
+def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings, then dropping within-cluster near-duplicates
+    (cosine ≥ τ), keeping the lowest-id representative. This is the
+    published recipe for pruning web-scale corpora where *paraphrases*
+    — not byte-dups — are the redundancy.
+
+    Per the paper, the quadratic pair scan is confined WITHIN clusters:
+    K scales with corpus size so cluster populations stay bounded, and
+    the cluster id is the shuffle key — the global O(n²) never
+    materializes. Centroids here are the deterministic first-K
+    bootstrap so the DuckDB oracle can replay assignment bit-exactly
+    (rounded-ppm cosine argmax with id tie-break — same guard as
+    similarity_bruteforce_topk); the production path trains/persists a
+    real codebook once (similarity.ivf_train_codebook) and broadcasts
+    it exactly the same way. 25 perturbed near-copies are planted
+    (+0.03 on one dim ⇒ cosine ≈ 0.999 to the source) and must be the
+    rows dropped."""
+    from ..functions.vectors import as_double, cosine
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    perturbed = (
+        e.where(F.col("vec_id") < 25)
+        .withColumn("vec_id", F.col("vec_id") + PLANT_OFFSET)
+        .withColumn(
+            "embedding",
+            F.concat(
+                F.slice(F.col("embedding"), 1, 63),
+                F.array(
+                    (F.element_at(F.col("embedding"), 64) + F.lit(0.03)).cast(
+                        "float"
+                    )
+                ),
+            ),
+        )
+    )
+    corpus = (
+        e.unionByName(perturbed)
+        .select("vec_id", as_double("embedding").alias("v"))
+        .localCheckpoint(eager=True)  # read 3x (centroids, assign, pairs)
+    )
+    centroids = corpus.where(F.col("vec_id") < SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sim_r = F.floor(cosine(F.col("v"), F.col("cv")) * 1_000_000 + F.lit(0.5)) / 1_000_000
+    ranked = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "cid", sim_r.alias("s"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+            ),
+        )
+    )
+    members = (
+        ranked.where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+        .join(corpus, "vec_id")
+    )
+    x, y = members.alias("x"), members.alias("y")
+    pair_sim = F.floor(
+        cosine(F.col("x.v"), F.col("y.v")) * 1_000_000 + F.lit(0.5)
+    ) / 1_000_000
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .where(pair_sim >= SEMDEDUP_TAU)
+        .select(F.col("x.cid").alias("cid"), F.col("y.vec_id").alias("dropped_id"))
+    )
+    n_members = members.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    n_pairs = pairs.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    n_dropped = (
+        pairs.select("cid", "dropped_id")
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    return (
+        n_members.join(n_pairs, "cid", "left")
+        .join(n_dropped, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            (F.col("n_members") - F.coalesce("n_dropped", F.lit(0))).alias(
+                "n_survivors"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+_SEMDEDUP_CORPUS_SQL = f"""
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET},
+         CAST(embedding[1:63] || [CAST(embedding[64] + 0.03 AS FLOAT)]
+              AS DOUBLE[])
+  FROM embeddings WHERE vec_id < 25"""
+
+_SEMDEDUP_COS = (
+    "FLOOR(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    " * 1000000 + 0.5) / 1000000"
+)
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "dedup_semdedup_clusters",
+        dedup_semdedup_clusters,
+        f"""
+        WITH corpus AS ({_SEMDEDUP_CORPUS_SQL}),
+        cents AS (
+          SELECT vec_id AS cid, v AS cv FROM corpus WHERE vec_id < {SEMDEDUP_K}),
+        ranked AS (
+          SELECT c.vec_id, t.cid,
+                 ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                   {_SEMDEDUP_COS.format(a="c.v", b="t.cv")} DESC, t.cid) AS rn
+          FROM corpus c, cents t),
+        members AS (
+          SELECT r.vec_id, r.cid, c.v
+          FROM ranked r JOIN corpus c ON r.vec_id = c.vec_id
+          WHERE r.rn = 1),
+        pairs AS (
+          SELECT x.cid, x.vec_id AS a_id, y.vec_id AS b_id
+          FROM members x JOIN members y
+            ON x.cid = y.cid AND x.vec_id < y.vec_id
+          WHERE {_SEMDEDUP_COS.format(a="x.v", b="y.v")} >= {SEMDEDUP_TAU}),
+        nm AS (SELECT cid, COUNT(*) AS n_members FROM members GROUP BY cid),
+        np AS (SELECT cid, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY cid),
+        nd AS (SELECT cid, COUNT(DISTINCT b_id) AS n_dropped
+               FROM pairs GROUP BY cid)
+        SELECT nm.cid AS cluster_id, nm.n_members,
+               COALESCE(np.n_dup_pairs, 0) AS n_dup_pairs,
+               nm.n_members - COALESCE(nd.n_dropped, 0) AS n_survivors
+        FROM nm LEFT JOIN np ON nm.cid = np.cid
+                LEFT JOIN nd ON nm.cid = nd.cid
+        ORDER BY cluster_id
+        """,
+        tags=("extension", "dedup", "similarity", "pipeline"),
+        description="SemDeDup: cluster embeddings, drop within-cluster "
+        "cosine>=tau near-dups, keep lowest-id representative.",
+    ),
     QueryDef(
         "dedup_crossdoc_boilerplate",
         dedup_crossdoc_boilerplate,

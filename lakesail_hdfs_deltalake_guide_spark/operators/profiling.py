@@ -91,6 +91,53 @@ def profile_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_token_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass Lorenz curve: how concentrated is the corpus?
+
+    Orders documents by token count, cuts them into NTILE(10) deciles,
+    and reports each decile's document count, token mass, and the
+    cumulative token share in ppm — the "top 10% of documents hold X%
+    of the tokens" number every corpus card publishes (and the input to
+    a Gini coefficient). All integer arithmetic → bit-exact oracle.
+
+    Scale posture: the NTILE needs a global total order — exact and
+    fine at report time over *document-level* rows (one row per doc,
+    not per token; the sort is over ids+counts only after the token
+    counting collapses each doc map-side). At 100 TB the same report
+    swaps NTILE for ``approx_percentile`` cut points (one pass, no
+    global sort) with identical output shape — the exact NTILE is kept
+    here because the oracle demands determinism, same trade as
+    stats_equidepth_quartiles."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok")
+    )
+    w = Window.orderBy("n_tok", "doc_id")
+    agg = (
+        toks.select("n_tok", F.ntile(10).over(w).cast("long").alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("decile_tokens"),
+        )
+    )
+    return (
+        agg.select(
+            "decile",
+            "n_docs",
+            "decile_tokens",
+            F.expr(
+                "sum(decile_tokens) over (order by decile "
+                "rows between unbounded preceding and current row) "
+                "* 1000000 div sum(decile_tokens) over ()"
+            ).alias("cum_share_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
 from .sampling import sql_lehmer_hash as _slh  # noqa: E402
 
 _MANIFEST_H = _slh("doc_id")
@@ -149,5 +196,30 @@ QUERIES: list[QueryDef] = [
         """,
         tags=("extension", "profiling", "pipeline"),
         description="Single-scan per-column profile (nulls/distinct/range).",
+    ),
+    QueryDef(
+        "profile_token_lorenz",
+        profile_token_lorenz,
+        """
+        WITH t AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+          FROM documents),
+        d AS (
+          SELECT n_tok, NTILE(10) OVER (ORDER BY n_tok, doc_id) AS decile
+          FROM t),
+        a AS (
+          SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS decile_tokens
+          FROM d GROUP BY decile)
+        SELECT decile, n_docs, decile_tokens,
+               CAST(SUM(decile_tokens) OVER (ORDER BY decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    * 1000000 // SUM(decile_tokens) OVER () AS BIGINT)
+                 AS cum_share_ppm
+        FROM a ORDER BY decile
+        """,
+        tags=("extension", "profiling", "pipeline"),
+        description="Token-mass Lorenz curve: NTILE deciles + cumulative "
+        "share ppm (corpus concentration report).",
     ),
 ]

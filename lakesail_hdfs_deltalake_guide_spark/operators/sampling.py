@@ -192,7 +192,99 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_TEMP_BUDGET = 10_000  # documents to allocate across sources
+
+
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-corpus
+    rebalancer: T5/mC4-style ``p_i ∝ n_i^(1/T)`` with T = 2, which damps
+    head sources and boosts tail sources relative to proportional
+    sampling).
+
+    Everything is integer so the oracle is bit-exact: the weight is
+    ``isqrt(n_docs)`` (floor of an IEEE sqrt — correctly rounded, hence
+    identical on both engines for any count < 2^52), the share is ppm
+    integer division, and the final allocation uses the
+    **largest-remainder (Hamilton) method** so the per-source
+    allocations sum to the budget EXACTLY — no float drift, no ±1
+    off-by-rounding, the property a token-budget scheduler actually
+    needs. Deterministic tie-break on (remainder desc, source asc).
+
+    Scale posture: one aggregate over the corpus → |sources| rows; the
+    apportionment windows run over that tiny aggregate, never the
+    facts. The output is the sampling *plan*; applying it composes with
+    the deterministic hash samplers above (weighted_by_length /
+    per_source_topk)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = per_src.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs"))).cast("long").alias("weight"),
+    )
+    B = MIX_TEMP_BUDGET
+    x = w.select(
+        "source",
+        "n_docs",
+        "weight",
+        F.expr("weight * 1000000 div sum(weight) over ()").alias("share_ppm"),
+        F.expr(f"weight * {B} div sum(weight) over ()").alias("base"),
+        F.expr(f"(weight * {B}) % sum(weight) over ()").alias("rem"),
+    )
+    r = x.select(
+        "*",
+        F.expr("row_number() over (order by rem desc, source)").alias("rk"),
+        F.expr(f"{B} - sum(base) over ()").alias("deficit"),
+    )
+    return (
+        r.select(
+            "source",
+            "n_docs",
+            "weight",
+            "share_ppm",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("deficit"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("alloc_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sample_temperature_mix",
+        sample_temperature_mix,
+        f"""
+        WITH s AS (
+          SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        w AS (
+          SELECT source, n_docs,
+                 CAST(floor(sqrt(n_docs)) AS BIGINT) AS weight FROM s),
+        x AS (
+          SELECT source, n_docs, weight,
+                 CAST(weight * 1000000 // SUM(weight) OVER () AS BIGINT)
+                   AS share_ppm,
+                 CAST(weight * {MIX_TEMP_BUDGET} // SUM(weight) OVER ()
+                   AS BIGINT) AS base,
+                 CAST((weight * {MIX_TEMP_BUDGET}) % SUM(weight) OVER ()
+                   AS BIGINT) AS rem
+          FROM w),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+                 {MIX_TEMP_BUDGET} - SUM(base) OVER () AS deficit
+          FROM x)
+        SELECT source, n_docs, weight, share_ppm,
+               CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                 AS BIGINT) AS alloc_docs
+        FROM r ORDER BY source
+        """,
+        tags=("extension", "sampling", "pipeline"),
+        description="Temperature-scaled (n^1/T) source mixing with exact "
+        "largest-remainder apportionment — allocations sum to the budget.",
+    ),
     QueryDef(
         "sample_temporal_split",
         sample_temporal_split,

@@ -235,6 +235,93 @@ def stats_equidepth_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOP = 10
+
+
+def _cms_bucket(col: F.Column, depth_col: F.Column) -> F.Column:
+    """Row ``d``'s hash: 32-bit md5 prefix of ``d:key`` mod width.
+
+    Same md5-prefix construction as the KMV sketch above — uniform, and
+    computable bit-identically in ANSI SQL (DuckDB twin uses
+    ``('0x' || substring(md5(...), 1, 8))::BIGINT % width``)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(depth_col.cast("string"), F.lit(":"), col.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def stats_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch heavy hitters with a bit-exact oracle.
+
+    The CMS is the streaming-counts sketch the KMV/HLL tier lacks: a
+    depth×width integer counter grid where ``est(k) = min_d
+    counter[d][h_d(k)]`` upper-bounds the true frequency (one-sided
+    error ≤ εN with prob 1-δ at w = e/ε, d = ln 1/δ). Like the KMV
+    sketch, a CMS built on a deterministic hash is oracle-comparable:
+    the counter grid is a pure GROUP BY over md5-derived buckets, so
+    both engines agree on every counter and hence every estimate.
+
+    Plan shape (the 100 TB layout):
+    - counter build: a map-side ``explode`` of the ``depth`` probe rows
+      followed by one hash aggregate — partial aggregation collapses
+      each partition to ≤ depth×width rows before the shuffle, so the
+      exchange payload is bounded by the sketch size (16 KiB here), not
+      the fact table. The grid is mergeable across partitions/days by
+      construction (counter addition).
+    - estimate probe: the ≤ depth×width counter grid is broadcast; the
+      per-key probe is a broadcast equi-join + ``min`` — no second
+      shuffle of the facts.
+    The exact per-key counts are computed alongside purely to *audit*
+    the sketch (overcount ≥ 0 is the CMS invariant the oracle pins);
+    a production pipeline would skip that branch.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("d"),
+                _cms_bucket(F.col("user_id"), F.lit(d)).alias("b"),
+            )
+            for d in range(CMS_DEPTH)
+        ]
+    )
+    counters = (
+        ev.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = (
+        users.select("user_id", "exact_n", F.explode(probes).alias("p"))
+        .join(
+            F.broadcast(counters),
+            on=[F.col("p.d") == F.col("d"), F.col("p.b") == F.col("b")],
+        )
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        est.select(
+            "user_id",
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.desc("est_n"), F.asc("user_id"))
+        .limit(CMS_TOP)
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "stats_equidepth_quartiles",
@@ -355,5 +442,36 @@ QUERIES: list[QueryDef] = [
         """,
         tags=("extension", "stats"),
         description="Pearson r / covariance from exact integer moments.",
+    ),
+    QueryDef(
+        "stats_countmin_heavy_hitters",
+        stats_countmin_heavy_hitters,
+        f"""
+        WITH buckets AS (
+          SELECT t.d,
+                 CAST(('0x' || substring(md5(t.d || ':' ||
+                        CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {CMS_WIDTH} AS b
+          FROM events, range({CMS_DEPTH}) t(d)),
+        counters AS (
+          SELECT d, b, COUNT(*) AS c FROM buckets GROUP BY d, b),
+        probes AS (
+          SELECT u.user_id, u.exact_n, t.d,
+                 CAST(('0x' || substring(md5(t.d || ':' ||
+                        CAST(u.user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {CMS_WIDTH} AS b
+          FROM (SELECT user_id, COUNT(*) AS exact_n
+                FROM events GROUP BY user_id) u,
+               range({CMS_DEPTH}) t(d))
+        SELECT user_id, exact_n, est_n, est_n - exact_n AS overcount
+        FROM (SELECT p.user_id, p.exact_n, MIN(c.c) AS est_n
+              FROM probes p JOIN counters c ON p.d = c.d AND p.b = c.b
+              GROUP BY p.user_id, p.exact_n)
+        ORDER BY est_n DESC, user_id LIMIT {CMS_TOP}
+        """,
+        tags=("extension", "stats", "approx", "sketch"),
+        description="Count-Min sketch frequency estimates: md5-bucketed "
+        "counter grid, broadcast probe, bit-exact oracle incl. the "
+        "one-sided overcount invariant.",
     ),
 ]

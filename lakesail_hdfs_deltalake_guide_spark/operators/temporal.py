@@ -191,7 +191,172 @@ def temporal_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temporal_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of: for every purchase, the user's *closest*
+    error in either time direction (signed delta; negative = error came
+    before). The ``<=`` as-of above answers "state at time t"; the
+    nearest variant answers "was this purchase near a failure?" —
+    attribution/root-cause shape.
+
+    Merge-based, zero join product: one (user_id) exchange, two frame
+    passes over the SAME sort — ``last(error_ts) ignore nulls`` over the
+    preceding frame and ``first(error_ts) ignore nulls`` over the
+    following frame — then a pure projection picks the closer side
+    (tie → the earlier error, pinned). Equal-timestamp interleavings are
+    made deterministic by the (ts_ns, event_id) sort key, which the
+    oracle mirrors verbatim. At 100 TB this stays a single sort-merge
+    pass per key — never the |purchases|×|errors| product a naive
+    min-abs-delta join would build."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts_ns"
+    )
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts_ns"))
+    base = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wa = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    scanned = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_ns",
+        F.last(err_ts, ignorenulls=True).over(wb).alias("prev_err"),
+        F.first(err_ts, ignorenulls=True).over(wa).alias("next_err"),
+    )
+    delta = (
+        F.when(
+            F.col("prev_err").isNull() & F.col("next_err").isNull(),
+            F.lit(None).cast("long"),
+        )
+        .when(F.col("prev_err").isNull(), F.col("next_err") - F.col("ts_ns"))
+        .when(F.col("next_err").isNull(), F.col("prev_err") - F.col("ts_ns"))
+        .when(
+            (F.col("ts_ns") - F.col("prev_err"))
+            <= (F.col("next_err") - F.col("ts_ns")),
+            F.col("prev_err") - F.col("ts_ns"),
+        )
+        .otherwise(F.col("next_err") - F.col("ts_ns"))
+    )
+    return (
+        scanned.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_ns",
+            delta.alias("nearest_error_delta_ns"),
+        )
+        .orderBy("event_id")
+    )
+
+
+BAND_CENTS = 50  # ±0.50 price band
+
+
+def range_band_price_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-band self-join: cross-brand part pairs priced within ±0.50
+    of each other (price-match candidates) — the |Δvalue| ≤ δ sibling of
+    the time-range join above, and the textbook case where a naive plan
+    is a full O(n²) theta join.
+
+    Banded rewrite: bucket = cents div δ; a qualifying pair's buckets
+    differ by at most 1, so exploding ONE side to its 3 candidate
+    buckets turns the inequality into an equi-join on the bucket key
+    with an exact residual filter — shuffle-bounded by bucket
+    co-occupancy (3 rows per part), never |P|². Each qualifying pair is
+    found exactly once (the probe list hits the partner's single home
+    bucket once). Same plan family as range_join_buckets; the skew
+    guard at 100 TB is the bucket width δ itself (price ties collapse
+    into one bucket → salt or widen)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+    )
+    bkt = F.expr(f"cents div {BAND_CENTS}")
+    probes = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_brand").alias("a_brand"),
+        F.col("cents").alias("a_cents"),
+        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bucket"),
+    )
+    homes = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_brand").alias("b_brand"),
+        F.col("cents").alias("b_cents"),
+        bkt.alias("bucket"),
+    )
+    pairs = probes.join(homes, "bucket").where(
+        (F.col("a_key") < F.col("b_key"))
+        & (F.abs(F.col("a_cents") - F.col("b_cents")) <= BAND_CENTS)
+        & (F.col("a_brand") != F.col("b_brand"))
+    )
+    return (
+        pairs.groupBy(
+            F.least("a_brand", "b_brand").alias("brand_lo"),
+            F.greatest("a_brand", "b_brand").alias("brand_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.abs(F.col("a_cents") - F.col("b_cents"))).alias(
+                "min_gap_cents"
+            ),
+        )
+        .orderBy("brand_lo", "brand_hi")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "temporal_asof_nearest",
+        temporal_asof_nearest,
+        """
+        WITH t AS (
+          SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns,
+                 LAST_VALUE(CASE WHEN event_type = 'error'
+                            THEN epoch_ns(ts) END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_err,
+                 FIRST_VALUE(CASE WHEN event_type = 'error'
+                             THEN epoch_ns(ts) END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_err
+          FROM events)
+        SELECT event_id, user_id, ts_ns,
+               CASE WHEN prev_err IS NULL AND next_err IS NULL THEN NULL
+                    WHEN prev_err IS NULL THEN next_err - ts_ns
+                    WHEN next_err IS NULL THEN prev_err - ts_ns
+                    WHEN ts_ns - prev_err <= next_err - ts_ns
+                      THEN prev_err - ts_ns
+                    ELSE next_err - ts_ns END AS nearest_error_delta_ns
+        FROM t WHERE event_type = 'purchase' ORDER BY event_id
+        """,
+        tags=("extension", "temporal", "join"),
+        description="Nearest-neighbor as-of (signed delta to closest "
+        "error): merge-based two-frame window, zero join product.",
+    ),
+    QueryDef(
+        "range_band_price_pairs",
+        range_band_price_pairs,
+        f"""
+        WITH p AS (
+          SELECT p_partkey, p_brand,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+          FROM part)
+        SELECT LEAST(a.p_brand, b.p_brand) AS brand_lo,
+               GREATEST(a.p_brand, b.p_brand) AS brand_hi,
+               COUNT(*) AS n_pairs,
+               MIN(ABS(a.cents - b.cents)) AS min_gap_cents
+        FROM p a JOIN p b
+          ON a.p_partkey < b.p_partkey
+         AND ABS(a.cents - b.cents) <= {BAND_CENTS}
+         AND a.p_brand <> b.p_brand
+        GROUP BY 1, 2 ORDER BY brand_lo, brand_hi
+        """,
+        tags=("extension", "temporal", "join"),
+        description="Value-band self-join via 3-bucket explode equi-join "
+        "(the O(n^2) theta join made shuffle-bounded).",
+    ),
     QueryDef(
         "temporal_scd2_user_state",
         temporal_scd2_user_state,

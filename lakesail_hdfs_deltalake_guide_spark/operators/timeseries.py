@@ -87,7 +87,122 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# EWMA with α = 0.3 over a 24-hour horizon, in fixed-point: the float
+# weights (1-α)^k are frozen ONCE here as integer ppm literals, and both
+# engines consume the same literals — the recurrence y_t = αx_t+(1-α)y_t-1
+# is unrolled into a finite weighted sum whose tail ((1-α)^24 ≈ 1.9e-4)
+# is below the ppm quantum anyway. All arithmetic after the freeze is
+# BIGINT: no float recurrence, no cross-engine drift, exact oracle.
+EWMA_HORIZON = 24
+EWMA_W_PPM = [round((0.7**k) * 1_000_000) for k in range(EWMA_HORIZON)]
+_EWMA_WSUM = sum(EWMA_W_PPM)
+
+
+def ts_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of hourly event counts.
+
+    The stream-recurrence form of EWMA is inherently sequential; the
+    Spark-first form is the unrolled finite-horizon weighted sum over
+    the dense gap-filled grid (missing hours count 0, exactly like the
+    gap-fill above): ``ewma_x1000(t) = 1000·Σ_k w_k·n(t-k) div Σ_k w_k``
+    with the frozen integer weights in ``EWMA_W_PPM``. That is 24
+    ``lag`` taps over ONE window pass — a single exchange on the series
+    key, no iteration, no state store; hours before the series start
+    contribute 0 (zero-padded warmup, the standard convention).
+
+    Scale posture: the window runs over the *hourly aggregate* grid
+    (span-hours × series rows), not the fact table — the facts collapse
+    map-side in the pre-aggregation. Horizon and weights are
+    compile-time constants, so the plan is static regardless of data
+    volume."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    hour_us = us - us % HOUR_US
+    hourly = (
+        ev.select("event_type", hour_us.alias("hour_us"))
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    span = ev.agg(F.min(us).alias("min_us"), F.max(us).alias("max_us")).select(
+        (F.col("min_us") - F.col("min_us") % HOUR_US).alias("start_us"),
+        (F.col("max_us") - F.col("max_us") % HOUR_US).alias("end_us"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("start_us"), F.col("end_us"), F.lit(HOUR_US))
+        ).alias("hour_us"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour_us"], "left").select(
+        "event_type",
+        "hour_us",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_us")
+    num = None
+    for k, wk in enumerate(EWMA_W_PPM):
+        term = F.lit(wk).cast("long") * F.lag("n_events", k, 0).over(w)
+        num = term if num is None else num + term
+    return (
+        dense.select("event_type", "hour_us", "n_events", num.alias("wnum"))
+        .select(
+            "event_type",
+            "hour_us",
+            "n_events",
+            F.expr(f"wnum * 1000 div {_EWMA_WSUM}").alias("ewma_x1000"),
+        )
+        .orderBy("event_type", "hour_us")
+    )
+
+
+def _ewma_sql_terms() -> str:
+    parts = [f"{EWMA_W_PPM[0]} * n_events"]
+    parts += [
+        f"{wk} * LAG(n_events, {k}, 0) OVER w"
+        for k, wk in enumerate(EWMA_W_PPM)
+        if k > 0
+    ]
+    return " + ".join(parts)
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "ts_ewma_hourly",
+        ts_ewma_hourly,
+        f"""
+        WITH hourly AS (
+          SELECT event_type,
+                 epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        span AS (
+          SELECT MIN(epoch_us(ts)) - MIN(epoch_us(ts)) % {HOUR_US} AS start_us,
+                 MAX(epoch_us(ts)) - MAX(epoch_us(ts)) % {HOUR_US} AS end_us
+          FROM events),
+        grid AS (
+          SELECT t.event_type, g.hour_us
+          FROM (SELECT DISTINCT event_type FROM events) t,
+               span,
+               UNNEST(range(span.start_us, span.end_us + 1, {HOUR_US}))
+                 AS g(hour_us)),
+        dense AS (
+          SELECT grid.event_type, grid.hour_us,
+                 COALESCE(hourly.n_events, 0) AS n_events
+          FROM grid LEFT JOIN hourly
+            ON grid.event_type = hourly.event_type
+           AND grid.hour_us = hourly.hour_us)
+        SELECT event_type, hour_us, CAST(n_events AS BIGINT) AS n_events,
+               CAST(({_ewma_sql_terms()}) * 1000 // {_EWMA_WSUM} AS BIGINT)
+                 AS ewma_x1000
+        FROM dense
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_us)
+        ORDER BY event_type, hour_us
+        """,
+        tags=("extension", "timeseries", "window"),
+        description="Fixed-point EWMA: frozen integer ppm weights, 24 lag "
+        "taps in one window pass over the dense hourly grid.",
+    ),
     QueryDef(
         "ts_gapfill_hourly",
         ts_gapfill_hourly,

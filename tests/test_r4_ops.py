@@ -1,0 +1,208 @@
+"""Round-4 operator invariants: CMS, Lorenz, temperature mix, EWMA,
+nearest as-of, band join, triangle census, SemDeDup.
+
+Each new operator gets a check that is INDEPENDENT of its DuckDB oracle
+twin (those run in test_oracle_parity): either a brute-force/pandas
+recomputation or a structural invariant the algorithm must satisfy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def test_cms_overestimates_and_orders(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        stats_countmin_heavy_hitters,
+    )
+
+    rows = stats_countmin_heavy_hitters(spark, sf_smoke).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # one-sided error: CMS never underestimates
+        assert r.est_n >= r.exact_n >= 1
+        assert r.overcount == r.est_n - r.exact_n
+    ests = [r.est_n for r in rows]
+    assert ests == sorted(ests, reverse=True)
+
+
+def test_lorenz_monotone_and_complete(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.profiling import (
+        profile_token_lorenz,
+    )
+
+    rows = profile_token_lorenz(spark, sf_smoke).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_share_ppm for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1_000_000
+    n_docs = load_table(spark, sf_smoke, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    # deciles are sorted by token count: later deciles hold more mass/doc
+    per_doc = [r.decile_tokens / r.n_docs for r in rows]
+    assert per_doc == sorted(per_doc)
+
+
+def test_temperature_mix_sums_to_budget_and_flattens(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        MIX_TEMP_BUDGET,
+        sample_temperature_mix,
+    )
+
+    rows = sample_temperature_mix(spark, sf_smoke).collect()
+    assert sum(r.alloc_docs for r in rows) == MIX_TEMP_BUDGET
+    total_docs = sum(r.n_docs for r in rows)
+    for r in rows:
+        assert r.weight == int(np.floor(np.sqrt(r.n_docs)))
+    # temperature damps the head: the largest source's allocated share
+    # must not exceed its proportional share; the smallest must not fall
+    # below it (equalities occur when sources are uniform, e.g. sf0.001
+    # where every source has exactly 25 docs).
+    head = max(rows, key=lambda r: r.n_docs)
+    tail = min(rows, key=lambda r: r.n_docs)
+    allocs = [r.alloc_docs for r in rows]
+    if head.n_docs == tail.n_docs:
+        assert max(allocs) - min(allocs) <= 1  # Hamilton split of the budget
+    else:
+        assert head.alloc_docs / MIX_TEMP_BUDGET < head.n_docs / total_docs
+        assert tail.alloc_docs / MIX_TEMP_BUDGET > tail.n_docs / total_docs
+
+
+def test_ewma_matches_pandas_recurrence(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.timeseries import (
+        EWMA_W_PPM,
+        HOUR_US,
+        ts_ewma_hourly,
+    )
+
+    out = ts_ewma_hourly(spark, sf_smoke).toPandas()
+    wsum = sum(EWMA_W_PPM)
+    for etype, grp in out.groupby("event_type"):
+        grp = grp.sort_values("hour_us", ignore_index=True)
+        # dense grid: consecutive hours, no gaps
+        assert (np.diff(grp.hour_us.to_numpy()) == HOUR_US).all()
+        x = grp.n_events.to_numpy()
+        padded = np.concatenate([np.zeros(len(EWMA_W_PPM) - 1, dtype=np.int64), x])
+        want = [
+            sum(
+                w * padded[len(EWMA_W_PPM) - 1 + t - k]
+                for k, w in enumerate(EWMA_W_PPM)
+            )
+            * 1000
+            // wsum
+            for t in range(len(x))
+        ]
+        assert grp.ewma_x1000.tolist() == want, etype
+
+
+def test_asof_nearest_matches_bruteforce(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.temporal import (
+        temporal_asof_nearest,
+    )
+
+    got = temporal_asof_nearest(spark, sf_smoke).toPandas()
+    ev = (
+        load_table(spark, sf_smoke, "events")
+        .select("event_id", "user_id", "event_type", "ts_ns")
+        .toPandas()
+    )
+    errors = ev[ev.event_type == "error"]
+    err_by_user = {u: g.ts_ns.to_numpy() for u, g in errors.groupby("user_id")}
+    purchases = ev[ev.event_type == "purchase"]
+    assert len(got) == len(purchases)
+    by_id = got.set_index("event_id").nearest_error_delta_ns
+    for r in purchases.itertuples():
+        errs = err_by_user.get(r.user_id)
+        if errs is None:
+            assert pd.isna(by_id[r.event_id])
+            continue
+        deltas = errs - r.ts_ns
+        best = min(deltas, key=lambda d: (abs(d), d > 0))
+        assert by_id[r.event_id] == best, (r.event_id, best, by_id[r.event_id])
+
+
+def test_band_join_matches_bruteforce(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.temporal import (
+        BAND_CENTS,
+        range_band_price_pairs,
+    )
+
+    got = range_band_price_pairs(spark, sf_smoke).toPandas()
+    p = load_table(spark, sf_smoke, "part").toPandas()
+    p["cents"] = (p.p_retailprice * 100).round().astype(np.int64)
+    brute: dict[tuple[str, str], list[int]] = {}
+    rows = list(p.itertuples())
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            if a.p_brand == b.p_brand:
+                continue
+            gap = abs(int(a.cents) - int(b.cents))
+            if gap <= BAND_CENTS:
+                key = tuple(sorted((a.p_brand, b.p_brand)))
+                brute.setdefault(key, []).append(gap)
+    want = {
+        k: (len(v), min(v)) for k, v in brute.items()
+    }
+    have = {
+        (r.brand_lo, r.brand_hi): (r.n_pairs, r.min_gap_cents)
+        for r in got.itertuples()
+    }
+    assert have == want
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        BASKET_CAP,
+        graph_triangle_count,
+    )
+
+    row = graph_triangle_count(spark, sf_smoke).collect()[0]
+    li = (
+        load_table(spark, sf_smoke, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    sizes = li.groupby("l_orderkey").size()
+    keep = set(sizes[sizes <= BASKET_CAP].index)
+    li = li[li.l_orderkey.isin(keep)]
+    edges: set[tuple[int, int]] = set()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(grp.l_partkey)
+        for i, u in enumerate(parts):
+            for v in parts[i + 1 :]:
+                edges.add((u, v))
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    fwd: dict[int, set[int]] = {}
+    for u, v in edges:
+        fwd.setdefault(u, set()).add(v)
+    tri = sum(
+        len(fwd.get(u, set()) & fwd.get(v, set())) for u, v in edges
+    )
+    wedges = sum(len(fwd.get(v, set())) for u, v in edges)
+    assert row.n_nodes == len(nodes)
+    assert row.n_edges == len(edges)
+    assert row.n_wedges == wedges
+    assert row.n_triangles == tri
+
+
+def test_semdedup_drops_planted_copies(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        SEMDEDUP_K,
+        dedup_semdedup_clusters,
+    )
+
+    rows = dedup_semdedup_clusters(spark, sf_smoke).collect()
+    assert len(rows) == SEMDEDUP_K
+    n_corpus = load_table(spark, sf_smoke, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_corpus + 25
+    dropped = sum(r.n_members - r.n_survivors for r in rows)
+    # the 25 planted near-copies must go; natural near-dups may add more
+    assert dropped >= 25
+    # survivors keep at least one representative per cluster
+    for r in rows:
+        assert 1 <= r.n_survivors <= r.n_members
