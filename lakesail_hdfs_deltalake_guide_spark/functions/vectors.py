@@ -31,6 +31,26 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Unrolled dot product for a compile-time-known dimension.
+
+    ``aggregate``/``zip_with`` are higher-order functions that Spark
+    interprets per element (no whole-stage codegen) — measured ~25 µs
+    per 64-dim dot. The unrolled ``element_at`` sum is a plain codegen'd
+    expression (~20× faster) with the SAME value bit-for-bit: the fold's
+    0.0 seed is exact (0.0 + x == x), so both are the left-to-right
+    sequential sum that DuckDB's ``list_dot_product`` also computes."""
+    terms = (F.element_at(a, i) * F.element_at(b, i) for i in range(1, dim + 1))
+    out = None
+    for t in terms:
+        out = t if out is None else out + t
+    return out
+
+
+def norm_fixed(a: Column, dim: int) -> Column:
+    return F.sqrt(dot_fixed(a, a, dim))
+
+
 def cosine(a: Column, b: Column) -> Column:
     """dot/(norm*norm) with a fixed op order (oracle-replicable)."""
     return dot(a, b) / (norm(a) * norm(b))

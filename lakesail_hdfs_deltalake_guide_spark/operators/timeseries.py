@@ -199,7 +199,7 @@ QUERIES: list[QueryDef] = [
         WINDOW w AS (PARTITION BY event_type ORDER BY hour_us)
         ORDER BY event_type, hour_us
         """,
-        tags=("extension", "timeseries", "window"),
+        tags=("extension", "timeseries", "window", "bench"),
         description="Fixed-point EWMA: frozen integer ppm weights, 24 lag "
         "taps in one window pass over the dense hourly grid.",
     ),

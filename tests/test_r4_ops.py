@@ -192,13 +192,13 @@ def test_triangle_count_matches_bruteforce(spark, sf_smoke):
 
 def test_semdedup_drops_planted_copies(spark, sf_smoke):
     from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
-        SEMDEDUP_K,
         dedup_semdedup_clusters,
+        semdedup_k,
     )
 
     rows = dedup_semdedup_clusters(spark, sf_smoke).collect()
-    assert len(rows) == SEMDEDUP_K
     n_corpus = load_table(spark, sf_smoke, "embeddings").count()
+    assert len(rows) == semdedup_k(n_corpus)
     assert sum(r.n_members for r in rows) == n_corpus + 25
     dropped = sum(r.n_members - r.n_survivors for r in rows)
     # the 25 planted near-copies must go; natural near-dups may add more
