@@ -323,7 +323,133 @@ def _sql_funnel_hits() -> str:
     return " + ".join(parts)
 
 
+MAD_SIGMA = 5  # |x - median| > MAD_SIGMA * MAD flags an outlier
+
+
+def clean_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median absolute deviation (MAD), not
+    mean/stddev — one fat-fingered 10^9 reading shifts a mean-based
+    z-score enough to mask real outliers (and clean_clip_bounds'
+    fixed bounds need domain knowledge); the median/MAD pair has a 50%
+    breakdown point and needs no tuning.
+
+    Exactness contract: medians are the LOWER median — the value at
+    row_number (n+1) div 2 under a (value, event_id) total order —
+    because DuckDB's native ``median`` *averages* the two middle values
+    for even n while Spark's ``percentile`` interpolates differently;
+    the explicit row_number formulation is the only bit-identical
+    common ground, and is used on both sides.
+
+    Scale honesty: two ranking passes partitioned by a 5-value key is a
+    near-global sort per pass — fine for a report, wrong for 100 TB.
+    The production swap is ``approx_percentile(cents, 0.5)`` (one
+    mergeable-sketch aggregate, no sort) with identical output shape;
+    exact ranking is kept here because the oracle demands determinism —
+    the same trade as stats_equidepth_quartiles and NTILE deciles."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    wt = Window.partitionBy("event_type")
+    w1 = wt.orderBy("cents", "event_id")
+    medians = (
+        ev.select(
+            "event_type",
+            "cents",
+            F.row_number().over(w1).alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("cents").alias("med_cents"))
+    )
+    dev = ev.join(F.broadcast(medians), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    w2 = wt.orderBy("adev", "event_id")
+    mads = (
+        dev.select(
+            "event_type",
+            "adev",
+            F.row_number().over(w2).alias("rn"),
+            F.count(F.lit(1)).over(wt).alias("n"),
+        )
+        .where(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("adev").alias("mad_cents"))
+    )
+    return (
+        dev.join(F.broadcast(mads), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med_cents").alias("med_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.col("adev") > MAD_SIGMA * F.col("mad_cents"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "med_cents",
+            "mad_cents",
+            "n_outliers",
+            F.expr("n_outliers * 1000000 div n").alias("outlier_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "clean_outlier_mad",
+        clean_outlier_mad,
+        f"""
+        WITH ev AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        med AS (
+          SELECT event_type, cents AS med_cents FROM (
+            SELECT event_type, cents,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY cents, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM ev)
+          WHERE rn = (n + 1) // 2),
+        dev AS (
+          SELECT e.event_type, e.event_id, e.cents, m.med_cents,
+                 ABS(e.cents - m.med_cents) AS adev
+          FROM ev e JOIN med m ON e.event_type = m.event_type),
+        mad AS (
+          SELECT event_type, adev AS mad_cents FROM (
+            SELECT event_type, adev,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                     ORDER BY adev, event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM dev)
+          WHERE rn = (n + 1) // 2)
+        SELECT d.event_type, COUNT(*) AS n,
+               MAX(d.med_cents) AS med_cents,
+               MAX(a.mad_cents) AS mad_cents,
+               CAST(SUM(CASE WHEN d.adev > {MAD_SIGMA} * a.mad_cents
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(SUM(CASE WHEN d.adev > {MAD_SIGMA} * a.mad_cents
+                    THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+                 AS outlier_ppm
+        FROM dev d JOIN mad a ON d.event_type = a.event_type
+        GROUP BY d.event_type ORDER BY d.event_type
+        """,
+        tags=("extension", "cleaning", "stats", "pipeline"),
+        description="MAD-based robust outlier detection: exact lower-median "
+        "row_number formulation, bit-identical on both engines.",
+    ),
     QueryDef(
         "pipeline_quality_funnel",
         pipeline_quality_funnel,

@@ -638,6 +638,96 @@ _SQL_13GRAMS = (
 )
 
 
+BLOOM_BITS = 1 << 14  # 16 KiB bitset (2 KiB serialized) regardless of set size
+BLOOM_HASHES = 3
+
+
+def _bloom_pos(fp: F.Column, i: int) -> F.Column:
+    """Hash i's bit position: 32-bit md5 prefix of ``i:fp`` mod m — the
+    same md5-prefix family as the KMV/CMS sketches, bit-reproducible in
+    ANSI SQL."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), fp)), 1, 8), 16, 10
+        ).cast("long")
+        % BLOOM_BITS
+    )
+
+
+def dedup_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark-contamination prefilter, false positives
+    measured in-query. Completes the engine's sketch family (KMV
+    distinct, CMS frequency, HLL — and now Bloom membership).
+
+    Why a Bloom filter when dedup_contamination_check already does the
+    exact fingerprint semi-join: at 100 TB the *benchmark* side may
+    itself be large (every eval suite ever published), and the exact
+    join ships the full fingerprint set to every task. The Bloom bitset
+    is CONSTANT size (m = 16 Ki bits here) no matter how many
+    fingerprints it encodes — the membership test becomes a broadcast
+    of 2 KiB and a map-side probe. Spark's own runtime filters inject
+    exactly this structure (InjectRuntimeFilter's bloom_filter_agg);
+    this operator expresses it relationally — bit positions as a
+    distinct-position table, probe = positions equi-join, doc flagged
+    iff ALL its k distinct positions are set — so the DuckDB twin can
+    replay it bit-exactly and the false-positive count (flagged but not
+    an exact hit) is part of the output, making the ε/m trade
+    observable instead of assumed."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(_norm_text()).alias("fp")
+    )
+    bench = d.where(F.col("doc_id") < 20)
+    train = d.where(F.col("doc_id") >= 20)
+    bits = (
+        bench.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("fp"), i) for i in range(BLOOM_HASHES)])
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probes = train.select(
+        "doc_id",
+        "lang",
+        "fp",
+        F.explode(
+            F.array_distinct(
+                F.array(*[_bloom_pos(F.col("fp"), i) for i in range(BLOOM_HASHES)])
+            )
+        ).alias("pos"),
+    )
+    flags = (
+        probes.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "lang", "fp")
+        .agg(
+            (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("hit"), F.lit(0)))).alias(
+                "flagged"
+            )
+        )
+    )
+    exact = bench.select("fp").distinct().withColumn("is_exact", F.lit(1))
+    return (
+        flags.join(F.broadcast(exact), "fp", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum(F.when(F.col("is_exact").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_hits"),
+            F.sum(
+                F.when(F.col("flagged") & F.col("is_exact").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .orderBy("lang")
+    )
+
+
 SEMDEDUP_MIN_K = 8  # centroid-count floor (deterministic bootstrap: vec_id < K)
 SEMDEDUP_PER_CLUSTER = 64  # target cluster population: K = max(8, n div 64)
 SEMDEDUP_TAU = 0.99
@@ -791,6 +881,44 @@ _SEMDEDUP_K_SQL = (
 
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "dedup_bloom_contamination",
+        dedup_bloom_contamination,
+        f"""
+        WITH d AS (
+          SELECT doc_id, lang, md5({_NORM_SQL}) AS fp FROM documents),
+        bench AS (SELECT * FROM d WHERE doc_id < 20),
+        train AS (SELECT * FROM d WHERE doc_id >= 20),
+        bits AS (
+          SELECT DISTINCT CAST(('0x' || substring(md5(t.i || ':' || fp), 1, 8))
+                   AS BIGINT) % {BLOOM_BITS} AS pos
+          FROM bench, range({BLOOM_HASHES}) t(i)),
+        probe AS (
+          SELECT DISTINCT doc_id, lang, fp,
+                 CAST(('0x' || substring(md5(t.i || ':' || fp), 1, 8))
+                   AS BIGINT) % {BLOOM_BITS} AS pos
+          FROM train, range({BLOOM_HASHES}) t(i)),
+        flags AS (
+          SELECT p.doc_id, p.lang, p.fp,
+                 COUNT(*) = SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                   AS flagged
+          FROM probe p LEFT JOIN bits b ON p.pos = b.pos
+          GROUP BY 1, 2, 3),
+        ex AS (SELECT DISTINCT fp FROM bench)
+        SELECT lang, COUNT(*) AS n_train,
+               CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_flagged,
+               CAST(SUM(CASE WHEN ex.fp IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_exact_hits,
+               CAST(SUM(CASE WHEN flagged AND ex.fp IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_false_pos
+        FROM flags LEFT JOIN ex ON flags.fp = ex.fp
+        GROUP BY lang ORDER BY lang
+        """,
+        tags=("extension", "dedup", "pipeline", "approx", "sketch"),
+        description="Bloom-filter contamination prefilter: constant-size "
+        "md5-bit membership sketch, false positives measured in-query.",
+    ),
     QueryDef(
         "dedup_semdedup_clusters",
         dedup_semdedup_clusters,

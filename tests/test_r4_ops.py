@@ -190,6 +190,55 @@ def test_triangle_count_matches_bruteforce(spark, sf_smoke):
     assert row.n_triangles == tri
 
 
+def test_bloom_no_false_negatives(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        dedup_bloom_contamination,
+    )
+
+    rows = dedup_bloom_contamination(spark, sf_smoke).toPandas()
+    d = load_table(spark, sf_smoke, "documents").toPandas()
+    norm = d.text.str.replace(r"\s+", " ", regex=True).str.lower()
+    import hashlib
+
+    fps = norm.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    bench_fps = set(fps[d.doc_id < 20])
+    train = d[d.doc_id >= 20].assign(fp=fps[d.doc_id >= 20])
+    exact_by_lang = (
+        train[train.fp.isin(bench_fps)].groupby("lang").size().to_dict()
+    )
+    for r in rows.itertuples():
+        # the defining Bloom property: membership is never missed
+        assert r.n_flagged >= r.n_exact_hits
+        assert r.n_false_pos == r.n_flagged - r.n_exact_hits
+        assert r.n_exact_hits == exact_by_lang.get(r.lang, 0)
+    assert rows.n_train.sum() == len(train)
+
+
+def test_mad_outliers_match_bruteforce(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+        MAD_SIGMA,
+        clean_outlier_mad,
+    )
+
+    rows = clean_outlier_mad(spark, sf_smoke).toPandas()
+    ev = load_table(spark, sf_smoke, "events").toPandas()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+
+    def lower_median(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    for r in rows.itertuples():
+        grp = ev[ev.event_type == r.event_type]
+        med = lower_median(grp.cents)
+        adev = (grp.cents - med).abs()
+        mad = lower_median(adev)
+        assert r.med_cents == med
+        assert r.mad_cents == mad
+        assert r.n_outliers == int((adev > MAD_SIGMA * mad).sum())
+        assert r.outlier_ppm == r.n_outliers * 1_000_000 // r.n
+
+
 def test_semdedup_drops_planted_copies(spark, sf_smoke):
     from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
         dedup_semdedup_clusters,
