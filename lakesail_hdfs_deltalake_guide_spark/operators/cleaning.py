@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import int_div_expr
 from ..querydef import QueryDef
-from ..tables import load_table
+from ..tables import load_table, spread_compute
 
 BAD_ABOVE = 9.9  # values above this are sentinel "sensor errors"
 HOUR_US = 3_600_000_000
@@ -244,7 +244,9 @@ def pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint)."""
     from .text import STOPWORDS
 
-    d = load_table(spark, sf_dir, "documents")
+    # six regex/split/3-gram stages over every doc: CPU-bound — spread
+    # the under-split fixture scan (no-op when natural splits exist)
+    d = spread_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.split(F.col("text"), " ")
     hits = sum(
         F.size(F.filter(toks, lambda t: t.isin(*words)))

@@ -117,23 +117,12 @@ def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- X2: MinHash-LSH near-dup ----------------------------------------------
 def _sketch_parallel(corpus: DataFrame, key: str = "doc_id") -> DataFrame:
-    """Spread the CPU-bound sketch pass across all cores — only when the
-    source arrives under-split.
+    """Spread the CPU-bound sketch pass across all cores — delegates to
+    the shared conditional in tables.spread_compute (no-op when the
+    source already has natural splits)."""
+    from ..tables import spread_compute
 
-    Fixture tables are one small parquet file = one input partition, so the
-    sketch math would serialize on one core without this. At 100 TB the
-    scan already has thousands of natural splits, and the conditional makes
-    the repartition (a full-corpus raw-text shuffle) vanish from the plan
-    instead of being inherited from the fixture workaround."""
-    sc = corpus.sparkSession.sparkContext
-    # probe the physical plan's partition count JVM-side: `corpus.rdd`
-    # builds the Python-serializer RDD wrapper (~1.3 s of classloading on
-    # first use, ~0.1 s per call after); queryExecution().toRdd() reads
-    # the same partitioning off the internal RDD for ~half that
-    n_parts = corpus._jdf.queryExecution().toRdd().getNumPartitions()  # noqa: SLF001
-    if n_parts >= sc.defaultParallelism:
-        return corpus
-    return corpus.repartition(sc.defaultParallelism, key)
+    return spread_compute(corpus, key)
 
 
 def _minhash_sigs(corpus: DataFrame) -> DataFrame:
@@ -560,7 +549,7 @@ def dedup_crossdoc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``xxhash64(gram)`` (8 bytes) instead of the strings and re-join the
     top hashes back for display — kept as strings here so the DuckDB
     oracle can replay it exactly."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _sketch_parallel(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - BOILERPLATE_K),
@@ -598,7 +587,8 @@ def dedup_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-join, so nothing quadratic and no full-text shuffle ever
     happens — at 100 TB this is a broadcast-hash semi-join per
     partition."""
-    d = load_table(spark, sf_dir, "documents")
+    # gram explosion is the CPU-heavy pass; spread the under-split fixture
+    d = _sketch_parallel(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - CONTAM_K),

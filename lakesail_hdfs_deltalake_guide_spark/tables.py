@@ -71,6 +71,26 @@ def _postprocess(name: str, df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_compute(df: DataFrame, key: str) -> DataFrame:
+    """Spread a CPU-bound pass across all cores — only when the source
+    arrives under-split.
+
+    Fixture tables are one small parquet file = one input partition, so
+    regex/shingle/dot-product math downstream would serialize on one
+    core (measured: pipeline_quality_funnel 2.46 s → 0.85 s at sf0.1
+    from this alone). At 100 TB the scan already has thousands of
+    natural splits and this is a no-op — the conditional makes the
+    repartition vanish from the plan instead of being inherited from
+    the fixture workaround."""
+    sc = df.sparkSession.sparkContext
+    # probe the physical partition count JVM-side (queryExecution().toRdd()
+    # avoids the Python-serializer RDD wrapper's ~1.3 s first-use cost)
+    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()  # noqa: SLF001
+    if n_parts >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism, key)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
     return _postprocess(name, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
