@@ -215,8 +215,11 @@ def test_quality_funnel_is_single_aggregation_pass(spark, sf_smoke):
     # six stages, ONE scan. Two exchanges are correct-minimal: the plain
     # conditional counts fold in one partial+final pass, and the exact
     # COUNT(DISTINCT fp) stage needs its own repartition-by-fp — there is
-    # no single-exchange plan for a global exact distinct count.
-    assert shuffle_count(pipeline_quality_funnel(spark, sf_smoke)) <= 2
+    # no single-exchange plan for a global exact distinct count. The
+    # third exchange is spread_compute's conditional fixture spread
+    # (under-split single-file scan → repartition; a no-op at any real
+    # split count, asserted by test_minhash_no_repartition_when_well_split).
+    assert shuffle_count(pipeline_quality_funnel(spark, sf_smoke)) <= 3
 
 
 def test_quantized_topk_has_no_cartesian_product(spark, sf_smoke):
@@ -227,3 +230,81 @@ def test_quantized_topk_has_no_cartesian_product(spark, sf_smoke):
     plan = similarity_quantized_topk(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan, "query set must broadcast"
+
+
+def test_asof_nearest_is_merge_based(spark, sf_smoke):
+    """Nearest-error as-of must stay the two-frame window over ONE user
+    exchange (+ the final orderBy) — a min-abs-delta join formulation
+    would show a join product here."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.temporal import (
+        temporal_asof_nearest,
+    )
+
+    df = temporal_asof_nearest(spark, sf_smoke)
+    assert shuffle_count(df) <= 2
+    assert "Join" not in explain_str(df)
+
+
+def test_cms_probe_broadcasts_counter_grid(spark, sf_smoke):
+    """The ≤ depth×width counter grid must broadcast to the probe side —
+    shuffling the per-key probe rows against it would add a facts-sized
+    exchange."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        stats_countmin_heavy_hitters,
+    )
+
+    df = stats_countmin_heavy_hitters(spark, sf_smoke)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 3  # counter agg + exact-count agg (+ top-k)
+
+
+def test_band_join_is_equi_not_theta(spark, sf_smoke):
+    """The ±δ price band join must run as a bucket equi-join; a
+    CartesianProduct or BroadcastNestedLoopJoin means the inequality
+    leaked into the join condition (the O(n²) plan)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.temporal import (
+        range_band_price_pairs,
+    )
+
+    plan = explain_str(range_band_price_pairs(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "bucket" in plan
+
+
+def test_triangle_census_joins_are_keyed(spark, sf_smoke):
+    """Wedge/closure joins must be hash/sort-merge equi-joins on node
+    keys. BroadcastNestedLoop appears ONLY for the final 1×1×1 crossJoin
+    of the four single-row aggregates — never for the edge joins."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        graph_triangle_count,
+    )
+
+    plan = explain_str(graph_triangle_count(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    # edge joins resolve as equi-joins (hash or sort-merge)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_bloom_bitset_broadcasts(spark, sf_smoke):
+    """Both small sides (bit-position table, exact fingerprint set) must
+    broadcast; the train probe stream stays map-side."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        dedup_bloom_contamination,
+    )
+
+    assert broadcast_join_count(dedup_bloom_contamination(spark, sf_smoke)) >= 2
+
+
+def test_semdedup_has_no_unbounded_cartesian(spark, sf_smoke):
+    """The only nested-loop allowed is the broadcast of the K-row
+    centroid table; within-cluster pairs must come from the cid
+    equi-join."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        dedup_semdedup_clusters,
+    )
+
+    plan = explain_str(dedup_semdedup_clusters(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
