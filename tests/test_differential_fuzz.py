@@ -212,3 +212,48 @@ def test_random_setops_match_duckdb(spark, seed):
             key=lambda t: (str(t[0]), str(t[1])),
         )
         assert got == want, f"seed={seed} op={name}"
+
+
+_FRAME_LOWERS = ["UNBOUNDED PRECEDING", "CURRENT ROW", "{n} PRECEDING"]
+_FRAME_UPPERS = ["UNBOUNDED FOLLOWING", "CURRENT ROW", "{n} FOLLOWING"]
+_FRAME_AGGS = ["SUM(v)", "MIN(v)", "MAX(v)", "COUNT(v)", "COUNT(*)"]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_random_window_frames_match_duckdb(spark, seed):
+    """ROWS/RANGE frame semantics with random bounds — the subtle window
+    surface the rank fuzzer doesn't touch: RANGE peers on tied order
+    keys, empty frames (n PRECEDING .. m PRECEDING never generated, but
+    0-width CURRENT..CURRENT is), null-skipping aggregates over frames.
+
+    The SAME SQL text runs on both engines (selectExpr vs DuckDB), so
+    any mismatch is an engine-semantics difference, not a translation
+    bug. ROWS frames order by the unique (w, id) key — a ROWS frame
+    over a tied order key is ambiguous by definition; RANGE frames
+    order by w alone and must treat ties as peers identically."""
+    rng = random.Random(2000 + seed)
+    rows = _gen_rows(rng)
+    frame_type = rng.choice(["ROWS", "RANGE"])
+    lower = rng.choice(_FRAME_LOWERS).format(n=rng.randint(0, 60))
+    upper = rng.choice(_FRAME_UPPERS).format(n=rng.randint(0, 60))
+    agg = rng.choice(_FRAME_AGGS)
+    order = "w, id" if frame_type == "ROWS" else "w"
+    over = (
+        f"OVER (PARTITION BY k ORDER BY {order} "
+        f"{frame_type} BETWEEN {lower} AND {upper})"
+    )
+    sql = f"CAST({agg} {over} AS BIGINT)"
+
+    df = spark.createDataFrame(rows, "id bigint, k string, v bigint, w bigint")
+    got = {
+        (r.k, r.id, r.a)
+        for r in df.selectExpr("k", "id", f"{sql} AS a").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id BIGINT, k VARCHAR, v BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    want = {
+        tuple(r)
+        for r in con.execute(f"SELECT k, id, {sql} FROM t").fetchall()
+    }
+    assert got == want, f"seed={seed} frame={frame_type} {lower}..{upper} {agg}"
