@@ -55,14 +55,18 @@ _TIER_MODULES = (
     "operators.text",
 )
 
-# Names with a driver-issued row in CORRECTNESS_r01.json (entries 1-50),
-# CORRECTNESS_r02.json (49 green + 1 rows-only-by-design
-# `dedup_minhash_lsh`), or CORRECTNESS_r03.json (48 green + 2
-# rows-only-by-design sketches). These are re-verified last; everything
-# else gets first claim on the driver's per-round verification window.
-DRIVER_VERIFIED = frozenset(
+# Names with a driver-issued row, grouped by the round that issued it:
+# CORRECTNESS_r01.json (entries 1-50), CORRECTNESS_r02.json (49 green +
+# 1 rows-only-by-design `dedup_minhash_lsh`), CORRECTNESS_r03.json (48
+# green + 2 rows-only-by-design sketches), CORRECTNESS_r04.json (48
+# green + 2 rows-only-by-design ANN sketches). With every registered
+# query now driver-verified, the steady state is: newly registered
+# queries get first claim on the driver's ~50-entry window, and the
+# remainder of the window re-confirms the OLDEST rows (r01 first) as
+# regression re-verification — so each round rolls the re-confirm
+# cursor forward one round.
+_R01_VERIFIED = frozenset(
     {
-        # --- round 1 (CORRECTNESS_r01.json) ---
         "flagship_customer_order_analysis",
         "projection_aliases",
         "selectexpr_arithmetic",
@@ -113,7 +117,11 @@ DRIVER_VERIFIED = frozenset(
         "text_fingerprint_duplicates",
         "text_tfidf_top_terms",
         "dedup_exact_keep_first",
-        # --- round 2 (CORRECTNESS_r02.json) ---
+    }
+)
+
+_R02_VERIFIED = frozenset(
+    {
         "agg_percentile_approx",
         "chunk_pack_sequences",
         "chunk_sliding_windows",
@@ -164,8 +172,13 @@ DRIVER_VERIFIED = frozenset(
         "udf_table_function_sentences",
         "versioned_merge_upsert",
         "versioned_snapshot_counts",
-        # --- round 3 (CORRECTNESS_r03.json; 48 green + 2 rows-only-by-design
-        # sketches `similarity_lsh_topk`, `dedup_minhash_pairs`) ---
+    }
+)
+
+# Round 3: 48 green + 2 rows-only-by-design sketches
+# (`similarity_lsh_topk`, `dedup_minhash_pairs`).
+_R03_VERIFIED = frozenset(
+    {
         "chunk_doc_coverage",
         "clean_pii_redact",
         "dedup_cluster_sizes",
@@ -219,6 +232,72 @@ DRIVER_VERIFIED = frozenset(
     }
 )
 
+# Round 4: 48 green + 2 rows-only-by-design ANN sketches
+# (`similarity_ivf_topk`, `dedup_embedding_cosine`).
+_R04_VERIFIED = frozenset(
+    {
+        "clean_clip_bounds",
+        "clean_drop_invalid",
+        "clean_impute_group_mean",
+        "clean_outlier_mad",
+        "clean_try_cast_ingestion",
+        "cohort_weekly_retention",
+        "dedup_bloom_contamination",
+        "dedup_contamination_check",
+        "dedup_embedding_cosine",
+        "dedup_levenshtein_pairs",
+        "dedup_ngram_jaccard_pairs",
+        "dedup_semdedup_clusters",
+        "dedup_simhash_pairs",
+        "delta_native_overwrite_append",
+        "delta_native_partition_prune",
+        "delta_native_restore",
+        "delta_native_time_travel",
+        "graph_triangle_count",
+        "io_delta_roundtrip_append",
+        "io_orc_roundtrip_agg",
+        "io_parquet_roundtrip_agg",
+        "io_partitioned_prune_agg",
+        "io_range_roundtrip_count",
+        "io_xml_roundtrip_agg",
+        "join_full_outer_hourly",
+        "olap_unpivot_lineitem_metrics",
+        "profile_token_lorenz",
+        "range_band_price_pairs",
+        "sample_per_source_topk",
+        "sample_temperature_mix",
+        "scalar_array_ops",
+        "scalar_date_arithmetic",
+        "scalar_string_functions",
+        "similarity_ivf_topk",
+        "stats_approx_distinct_users",
+        "stats_countmin_heavy_hitters",
+        "stats_price_histogram",
+        "stats_qty_price_correlation",
+        "streaming_dedup_within_watermark",
+        "streaming_interval_join_click_error",
+        "streaming_interval_join_full_outer",
+        "temporal_asof_nearest",
+        "tpch_q9_product_type_profit",
+        "tpch_q11_balance_concentration",
+        "tpch_q13_order_count_distribution",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q20_promo_part_suppliers",
+        "ts_ewma_hourly",
+        "udf_group_zscore",
+        "udf_rowwise_token_count",
+    }
+)
+
+# Oldest round first: the re-confirm cursor starts at r01.
+DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
+    _R01_VERIFIED,
+    _R02_VERIFIED,
+    _R03_VERIFIED,
+    _R04_VERIFIED,
+)
+DRIVER_VERIFIED = frozenset().union(*DRIVER_VERIFIED_ROUNDS)
+
 
 def _load_tier(modname: str) -> list[QueryDef]:
     """Import one tier module's QUERIES; tolerate only the module itself
@@ -240,12 +319,21 @@ def build_registry() -> QueryRegistry:
     tiers = [_load_tier(m) for m in _TIER_MODULES]
 
     unverified: list[list[QueryDef]] = []
-    verified: list[QueryDef] = []
+    # verified_by_round[i] = queries whose driver row was issued in round
+    # i+1, in tier order. Emitted oldest round first so the driver's
+    # window re-confirms the stalest rows after new queries claim it.
+    verified_by_round: list[list[QueryDef]] = [
+        [] for _ in DRIVER_VERIFIED_ROUNDS
+    ]
     for tier in tiers:
         pending = [q for q in tier if q.name not in DRIVER_VERIFIED]
         if pending:
             unverified.append(pending)
-        verified.extend(q for q in tier if q.name in DRIVER_VERIFIED)
+        for q in tier:
+            for i, rnd in enumerate(DRIVER_VERIFIED_ROUNDS):
+                if q.name in rnd:
+                    verified_by_round[i].append(q)
+                    break
 
     reg = QueryRegistry()
     # Round-robin across tiers: cycle 1 takes each tier's first pending
@@ -255,8 +343,9 @@ def build_registry() -> QueryRegistry:
         for tier in unverified:
             if i < len(tier):
                 reg.add(tier[i])
-    for q in verified:
-        reg.add(q)
+    for rnd_queries in verified_by_round:
+        for q in rnd_queries:
+            reg.add(q)
     return reg
 
 

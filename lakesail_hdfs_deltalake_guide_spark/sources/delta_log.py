@@ -974,6 +974,302 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Row-level DML (copy-on-write MERGE / UPDATE / DELETE)
+#
+# The reference claims full ACID DML on its Delta tables
+# (``/root/reference/README.md:302``); delta-spark expresses it as
+# ``DeltaTable.merge/update/delete``. The protocol mechanism is
+# copy-on-write: identify the files that contain at least one affected
+# row, rewrite ONLY those files without the deleted rows / with the
+# updated rows, and commit paired ``remove``+``add`` actions with
+# ``dataChange: true``. Untouched files are never read twice or
+# rewritten, so the cost is O(affected files), not O(table) — at 100 TB
+# a point-delete rewrites a handful of files while MVCC keeps every
+# prior snapshot time-travelable, composing with OPTIMIZE, RESTORE,
+# checkpoints, schema evolution, and the version-diff CDC unchanged.
+
+
+class DeltaConcurrentModification(RuntimeError):
+    """A concurrent commit changed files this DML transaction read.
+
+    Matches delta-spark's ConcurrentDeleteReadException family: the
+    rewrite was derived from a snapshot whose files are no longer all
+    live, so blindly committing would resurrect or double-apply rows.
+    Callers re-run the whole DML call against the new snapshot."""
+
+
+def _snapshot_scan_with_file(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict[str, str], dict, dict[str, dict]]:
+    """Latest-snapshot scan carrying ``__ls_file`` (the add-action's
+    relative path for each row) + (basename→rel map, metaData, live).
+    The per-row file identity is Spark's ``_metadata.file_path`` hidden
+    column — evaluated scan-side, no shuffle, no UDF; we reduce it to
+    the unique basename (data files are ``part-{uuid}.parquet``) so the
+    mapping back to log-relative paths is a tiny broadcast-free
+    driver-side dict lookup applied only to the DISTINCT affected set."""
+    from pyspark.sql.types import StructType
+
+    _, meta, live, _ = _snapshot_state(spark, path)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    base_map = {f.rsplit("/", 1)[-1]: f for f in live}
+    if not live:
+        empty = spark.createDataFrame([], schema).withColumn(
+            "__ls_file", F.lit(None).cast("string")
+        )
+        return empty, base_map, meta, live
+    reader = spark.read.schema(schema).option("basePath", path)
+    scan = reader.parquet(*[f"{path}/{f}" for f in sorted(live)])
+    scan = scan.select(
+        *[f.name for f in schema.fields],
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "__ls_file"
+        ),
+    )
+    return scan, base_map, meta, live
+
+
+def _coerce_predicate(predicate) -> "F.Column":
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # SQL DML three-valued logic: a NULL predicate row is NOT affected
+    return F.coalesce(pred, F.lit(False))
+
+
+def _commit_rewrite(
+    spark: SparkSession,
+    path: str,
+    affected: list[str],
+    adds: list[dict],
+    extra_actions: list[dict] | None = None,
+    max_retries: int = 3,
+) -> int:
+    """Publish a copy-on-write commit (removes for ``affected`` + staged
+    ``adds``). On a lost OCC race the removes are re-validated against
+    the winner's snapshot: if every affected file is still live the
+    commit retries at the next version (the staged files are reused
+    verbatim, Delta's OptimisticTransaction behavior); if any was
+    removed/rewritten, raises DeltaConcurrentModification — committing
+    would apply the DML to rows that no longer exist."""
+    now = int(time.time() * 1000)
+    removes = [
+        {"remove": {"path": f, "deletionTimestamp": now, "dataChange": True}}
+        for f in sorted(affected)
+    ]
+    actions = (extra_actions or []) + removes + adds
+    version = _list_versions(spark, path)[-1] + 1
+    for attempt in range(max_retries + 1):
+        try:
+            _write_commit(spark, path, version, actions)
+            break
+        except RuntimeError:
+            if attempt == max_retries:
+                raise
+            _, _, live_now, _ = _snapshot_state(spark, path)
+            gone = [f for f in affected if f not in live_now]
+            if gone:
+                raise DeltaConcurrentModification(
+                    f"files read by this DML were removed by a concurrent "
+                    f"commit to {path}: {gone[:3]}"
+                ) from None
+            version = _list_versions(spark, path)[-1] + 1
+    if version % CHECKPOINT_INTERVAL == 0:
+        _auto_checkpoint(spark, path, version)
+    return version
+
+
+def delta_delete(spark: SparkSession, path: str, predicate) -> int:
+    """``DELETE FROM t WHERE predicate`` on the native log, copy-on-write.
+
+    Distributed two-phase plan: (1) one snapshot scan evaluates the
+    predicate and aggregates the DISTINCT affected file set (driver
+    receives file names only — metadata-sized); (2) ONLY those files are
+    re-read, surviving rows (predicate false/NULL) re-staged, and the
+    commit pairs their removes with the survivor adds. A file whose rows
+    all match simply gets a remove. Files without matches are untouched.
+    Returns the committed version (current version if nothing matched)."""
+    pred = _coerce_predicate(predicate)
+    scan, base_map, meta, _live = _snapshot_scan_with_file(spark, path)
+    hit_names = [
+        r[0]
+        for r in scan.where(pred).select("__ls_file").distinct().collect()
+    ]
+    if not hit_names:
+        return _list_versions(spark, path)[-1]
+    affected = [base_map[b] for b in hit_names]
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    reader = spark.read.schema(schema).option("basePath", path)
+    sub = reader.parquet(*[f"{path}/{f}" for f in sorted(affected)]).select(
+        *[f.name for f in schema.fields]
+    )
+    survivors = sub.where(~pred)
+    adds = _stage_data_files(
+        survivors, path, meta.get("partitionColumns") or None
+    )
+    return _commit_rewrite(spark, path, affected, adds)
+
+
+def delta_update(
+    spark: SparkSession, path: str, predicate, assignments: dict
+) -> int:
+    """``UPDATE t SET col = expr WHERE predicate``, copy-on-write.
+
+    ``assignments`` maps column name → Column/SQL-string expression
+    evaluated against the pre-update row. Same two-phase plan as
+    delta_delete; rewritten files hold every row they held before (the
+    row count is invariant under UPDATE), with matching rows transformed.
+    All assignments are applied simultaneously from the preimage (SQL
+    UPDATE semantics — ``SET a = b, b = a`` swaps)."""
+    pred = _coerce_predicate(predicate)
+    exprs = {
+        col: (F.expr(e) if isinstance(e, str) else e)
+        for col, e in assignments.items()
+    }
+    scan, base_map, meta, _live = _snapshot_scan_with_file(spark, path)
+    unknown = set(exprs) - {c for c in scan.columns if c != "__ls_file"}
+    if unknown:
+        raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
+    hit_names = [
+        r[0]
+        for r in scan.where(pred).select("__ls_file").distinct().collect()
+    ]
+    if not hit_names:
+        return _list_versions(spark, path)[-1]
+    affected = [base_map[b] for b in hit_names]
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    reader = spark.read.schema(schema).option("basePath", path)
+    sub = reader.parquet(*[f"{path}/{f}" for f in sorted(affected)]).select(
+        *[f.name for f in schema.fields]
+    )
+    # one simultaneous select from the preimage; casts pin each updated
+    # column to its declared type so UPDATE can never widen the schema
+    updated = sub.select(
+        *[
+            F.when(pred, exprs[f.name].cast(f.dataType))
+            .otherwise(F.col(f.name))
+            .alias(f.name)
+            if f.name in exprs
+            else F.col(f.name)
+            for f in schema.fields
+        ]
+    )
+    adds = _stage_data_files(
+        updated, path, meta.get("partitionColumns") or None
+    )
+    return _commit_rewrite(spark, path, affected, adds)
+
+
+def delta_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    update_cols: list[str] | None = None,
+    insert_unmatched: bool = True,
+) -> int:
+    """``MERGE INTO target USING source ON keys`` upsert
+    (whenMatchedUpdate + whenNotMatchedInsert), copy-on-write.
+
+    Phase 1 (distributed): join the snapshot scan's key+file projection
+    to the source keys — the distinct matched-file set is the only thing
+    collected. Phase 2: re-read ONLY matched files, left-join the source
+    and overwrite ``update_cols`` (default: every non-key column the
+    source carries) on matched rows; unmatched-in-target source rows are
+    appended as inserts, conformed to the table schema (missing columns
+    → typed nulls). One commit carries removes + rewritten adds + insert
+    adds — the upsert is atomic.
+
+    Ambiguity check (delta-spark raises the same way): a source with
+    duplicate keys would update one target row twice nondeterministically
+    — rejected before any file is staged."""
+    if not on:
+        raise ValueError("merge requires at least one key column")
+    dup = (
+        source.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "MERGE source has duplicate rows per key — each target row "
+            "must match at most one source row"
+        )
+    scan, base_map, meta, _live = _snapshot_scan_with_file(spark, path)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    tcols = [f.name for f in schema.fields]
+    missing = [k for k in on if k not in tcols or k not in source.columns]
+    if missing:
+        raise ValueError(f"merge keys absent from target or source: {missing}")
+    upd = update_cols or [
+        c for c in source.columns if c in tcols and c not in on
+    ]
+    src = source.localCheckpoint(eager=False)  # 3 consumers, 1 compute
+    hit_names = [
+        r[0]
+        for r in scan.select(*on, "__ls_file")
+        .join(src.select(*on).distinct(), on=on, how="left_semi")
+        .select("__ls_file")
+        .distinct()
+        .collect()
+    ]
+    affected = [base_map[b] for b in hit_names]
+    pieces: list[DataFrame] = []
+    if affected:
+        reader = spark.read.schema(schema).option("basePath", path)
+        sub = reader.parquet(
+            *[f"{path}/{f}" for f in sorted(affected)]
+        ).select(*tcols)
+        # explicit match flag, not COALESCE: a matched source row that
+        # carries NULL in an update column must write that NULL
+        src_upd = src.select(
+            *on,
+            F.lit(True).alias("__src_matched"),
+            *[F.col(c).alias(f"__src_{c}") for c in upd],
+        )
+        merged = sub.join(src_upd, on=on, how="left").select(
+            *[
+                F.when(
+                    F.coalesce(F.col("__src_matched"), F.lit(False)),
+                    F.col(f"__src_{c}").cast(schema[c].dataType),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in upd
+                else F.col(c)
+                for c in tcols
+            ]
+        )
+        pieces.append(merged)
+    if insert_unmatched:
+        target_keys = scan.select(*on).distinct()
+        inserts = src.join(target_keys, on=on, how="left_anti").select(
+            *[
+                F.col(c).cast(schema[c].dataType).alias(c)
+                if c in src.columns
+                else F.lit(None).cast(schema[c].dataType).alias(c)
+                for c in tcols
+            ]
+        )
+        pieces.append(inserts)
+    if not pieces:
+        return _list_versions(spark, path)[-1]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    adds = _stage_data_files(out, path, meta.get("partitionColumns") or None)
+    return _commit_rewrite(spark, path, affected, adds)
+
+
+# ---------------------------------------------------------------------------
 # Registered queries
 
 
@@ -1224,7 +1520,130 @@ def delta_native_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert on the native log (delta-spark's
+    ``whenMatchedUpdateAll/whenNotMatchedInsertAll``): target = even
+    custkeys, source = %3 custkeys with doubled balances. Matched rows
+    (custkey %6 == 0) take the source balance, unmatched source rows
+    insert — one atomic copy-on-write commit; the pre-merge snapshot
+    stays time-travelable at version 0. Balances are integer cents
+    end-to-end so the oracle comparison is exact."""
+    import tempfile
+
+    from ..tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0)
+        .cast("long")
+        .alias("acct_cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_merge_")
+    target = c.where(F.col("c_custkey") % 2 == 0)
+    # spread over several files so the merge rewrites a strict subset
+    delta_write(target.repartition(8), path, mode="overwrite")
+    source = c.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", (F.col("acct_cents") * 2).alias("acct_cents")
+    )
+    delta_merge(spark, path, source, on=["c_custkey"])
+    back = delta_read(spark, path)
+    return (
+        back.groupBy((F.col("c_custkey") % 5).alias("key_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("acct_cents").alias("sum_cents"),
+        )
+        .orderBy("key_bucket")
+    )
+
+
+def delta_native_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE + UPDATE lifecycle on the native log: delete every 'F'
+    order, then bump urgent orders' totals by 500 cents — two
+    copy-on-write commits rewriting only files holding affected rows;
+    versions 0/1/2 all stay readable (MVCC). Grouped totals oracle the
+    final snapshot."""
+    import tempfile
+
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_dml_")
+    delta_write(o.repartition(8), path, mode="overwrite")
+    delta_delete(spark, path, "o_orderstatus = 'F'")
+    delta_update(
+        spark,
+        path,
+        "o_orderpriority = '1-URGENT'",
+        {"cents": F.col("cents") + 500},
+    )
+    back = delta_read(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "delta_native_merge_upsert",
+        delta_native_merge_upsert,
+        """
+        WITH target AS (
+          SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents
+          FROM customer WHERE c_custkey % 2 = 0),
+        source AS (
+          SELECT c_custkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) * 2 AS acct_cents
+          FROM customer WHERE c_custkey % 3 = 0),
+        merged AS (
+          SELECT t.c_custkey,
+                 CASE WHEN s.c_custkey IS NOT NULL THEN s.acct_cents
+                      ELSE t.acct_cents END AS acct_cents
+          FROM target t LEFT JOIN source s ON t.c_custkey = s.c_custkey
+          UNION ALL
+          SELECT s.c_custkey, s.acct_cents FROM source s
+          WHERE NOT EXISTS (SELECT 1 FROM target t
+                            WHERE t.c_custkey = s.c_custkey))
+        SELECT c_custkey % 5 AS key_bucket, COUNT(*) AS n_rows,
+               CAST(SUM(acct_cents) AS BIGINT) AS sum_cents
+        FROM merged GROUP BY key_bucket ORDER BY key_bucket
+        """,
+        tags=("parity", "delta", "io", "dml"),
+        description="MERGE upsert (matched update + unmatched insert) as one "
+        "atomic copy-on-write commit on the native Delta log.",
+    ),
+    QueryDef(
+        "delta_native_delete_update",
+        delta_native_delete_update,
+        """
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        after_del AS (SELECT * FROM base WHERE o_orderstatus <> 'F'),
+        after_upd AS (
+          SELECT o_orderstatus,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN cents + 500
+                      ELSE cents END AS cents
+          FROM after_del)
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM after_upd GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        tags=("parity", "delta", "io", "dml"),
+        description="DELETE + UPDATE as copy-on-write commits rewriting only "
+        "affected files; all versions stay time-travelable.",
+    ),
     QueryDef(
         "delta_native_restore",
         delta_native_restore,
