@@ -33,6 +33,7 @@ from ..functions.hashing import (
 )
 from ..querydef import QueryDef
 from ..tables import load_table
+from .similarity import _hyperplanes, bucket_match_sql, planes_values_sql
 
 PLANT_OFFSET = 100_000
 NUM_PERM = 32
@@ -1071,8 +1072,50 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "dedup_embedding_cosine",
         dedup_embedding_cosine,
-        None,  # float reduction order differs across engines; invariants in tests
+        # exact SQL twin: the planted perturbation (float32 nudge on dim
+        # 64), the 32-plane/4-band LSH candidate join, and the rounded
+        # cosine verify are all re-derived; plane dots are O(0.1), far
+        # outside summation-order error, so signatures match bit-for-bit
+        f"""
+        WITH planes(plane_id, pv) AS (VALUES {{planes}}),
+        corpus AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + {PLANT_OFFSET},
+                 CAST(list_append(embedding[1:63],
+                      CAST(embedding[64] + 0.03 AS REAL)) AS DOUBLE[])
+          FROM embeddings WHERE vec_id < 25),
+        sigs AS (
+          SELECT e.vec_id,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0
+                               THEN (CAST(1 AS BIGINT) << p.plane_id)
+                               ELSE 0 END) AS BIGINT) AS sig
+          FROM corpus e CROSS JOIN planes p GROUP BY e.vec_id),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM sigs a JOIN sigs b
+            ON ({{bucket_match}})
+          WHERE a.vec_id < b.vec_id),
+        scored AS (
+          SELECT pairs.vec_a, pairs.vec_b,
+                 FLOOR(list_dot_product(ea.v, eb.v)
+                   / (sqrt(list_dot_product(ea.v, ea.v))
+                      * sqrt(list_dot_product(eb.v, eb.v)))
+                   * 1000000 + 0.5) / 1000000 AS cosine_sim
+          FROM pairs
+          JOIN corpus ea ON ea.vec_id = pairs.vec_a
+          JOIN corpus eb ON eb.vec_id = pairs.vec_b)
+        SELECT vec_a, vec_b, cosine_sim FROM scored
+        WHERE cosine_sim >= 0.99 ORDER BY vec_a, vec_b
+        """.format(
+            planes=planes_values_sql(
+                _hyperplanes(dim=64, seed=7, n_planes=DEDUP_PLANES)
+            ),
+            bucket_match=bucket_match_sql("a.sig", "b.sig", DEDUP_BANDS),
+        ),
         tags=("extension", "dedup", "similarity"),
+        description="Embedding near-dup pairs, fully oracle-backed: LSH "
+        "candidates + rounded-cosine verify re-derived in SQL.",
     ),
     QueryDef(
         "dedup_contamination_check",

@@ -182,7 +182,9 @@ def ivf_codebook_path(sf_dir: str) -> str:
     import tempfile
 
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"ls_ivf_codebook_{key}")
+    # v2: fixed-point (micro-unit) centroid accumulation — a codebook
+    # persisted by the float-sum trainer must not be silently reused
+    return os.path.join(tempfile.gettempdir(), f"ls_ivf_codebook_v2_{key}")
 
 
 def ivf_train_codebook(
@@ -202,9 +204,14 @@ def ivf_train_codebook(
     recomputes means via posexplode + (centroid, dim) aggregation. The
     ONLY driver-side state is the k·dim centroid matrix (the sums
     collect is k·dim rows — metadata-sized at any corpus scale; the
-    per-vector work is all executor-side). Empty clusters keep their
-    previous centroid. Returns the table path; an existing table
-    short-circuits unless ``force``."""
+    per-vector work is all executor-side). Per-dimension accumulation is
+    FIXED-POINT (each coordinate rounded to micro-units, summed as
+    BIGINT): integer sums are independent of partition/merge order, so
+    the trained codebook is bit-identical run-to-run and re-derivable
+    by the DuckDB oracle — the same determinism pattern as the
+    fixed-point EWMA and PageRank. Empty clusters keep their previous
+    centroid. Returns the table path; an existing table short-circuits
+    unless ``force``."""
     import os
 
     from ..sources.io import write_table
@@ -222,14 +229,21 @@ def ivf_train_codebook(
         stats = (
             assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.round(F.col("x") * 1_000_000, 0).cast("long")).alias(
+                    "s_micro"
+                ),
+                F.count(F.lit(1)).alias("c"),
+            )
             .collect()
         )
         dims = max(r.pos for r in stats) + 1
-        sums = {(r.centroid_id, r.pos): (r.s, r.c) for r in stats}
+        sums = {(r.centroid_id, r.pos): (r.s_micro, r.c) for r in stats}
         centroids = [
             [
-                sums[cid, d][0] / sums[cid, d][1] if (cid, d) in sums else old[d]
+                sums[cid, d][0] / 1e6 / sums[cid, d][1]
+                if (cid, d) in sums
+                else old[d]
                 for d in range(dims)
             ]
             for cid, old in enumerate(centroids)
@@ -393,6 +407,146 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def planes_values_sql(planes: list[list[float]]) -> str:
+    """Render hyperplanes as a DuckDB VALUES list ``(plane_id, pv)``.
+
+    The planes are round(6) decimals (``_hyperplanes``), so both engines
+    parse the same literals to the same doubles — the LSH signatures are
+    re-derivable in SQL, which is what moves the ANN queries from
+    rows-only to hash-verified oracles."""
+    return ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(x)) for x in plane)
+        )
+        for i, plane in enumerate(planes)
+    )
+
+
+def bucket_match_sql(
+    a: str, b: str, bands: tuple[tuple[int, int], ...]
+) -> str:
+    """OR-of-band-equalities predicate on two signature columns."""
+    return " OR ".join(
+        f"(({a} >> {lo}) & {(1 << (hi - lo)) - 1}) = "
+        f"(({b} >> {lo}) & {(1 << (hi - lo)) - 1})"
+        for lo, hi in bands
+    )
+
+
+# Exact SQL twin of lsh_topk_join: same hyperplanes (literal-embedded),
+# same band/bucket candidate generation, same rounded-cosine re-rank.
+# The sign of each plane dot is the only float comparison, and the
+# corpus dots are O(0.1) — far outside summation-order error, so the
+# signatures (and hence the candidate set) match bit-for-bit.
+_SQL_LSH_TOPK = f"""
+        WITH planes(plane_id, pv) AS (VALUES {{planes}}),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+        sigs AS (
+          SELECT e.vec_id,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0
+                               THEN (CAST(1 AS BIGINT) << p.plane_id)
+                               ELSE 0 END) AS BIGINT) AS sig
+          FROM emb e CROSS JOIN planes p GROUP BY e.vec_id),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+          FROM sigs q JOIN sigs c
+            ON ({{bucket_match}})
+          WHERE q.vec_id < {NUM_QUERIES} AND q.vec_id <> c.vec_id),
+        scored AS (
+          SELECT cand.query_id, cand.vec_id,
+                 FLOOR(list_dot_product(qe.v, ce.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v))
+                      * sqrt(list_dot_product(ce.v, ce.v)))
+                   * 1000000 + 0.5) / 1000000 AS cosine_sim
+          FROM cand
+          JOIN emb qe ON qe.vec_id = cand.query_id
+          JOIN emb ce ON ce.vec_id = cand.vec_id)
+        SELECT query_id, vec_id, cosine_sim, rank FROM (
+          SELECT query_id, vec_id, cosine_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= {TOP_K} ORDER BY query_id, rank
+        """
+
+
+def _kmeans_iter_sql(prev: str, assign: str, means: str, out: str) -> str:
+    """One unrolled Lloyd iteration as DuckDB CTEs: argmax-dot
+    assignment (tie → higher centroid id, mirroring _assign_centroids'
+    sort-reverse), fixed-point micro-unit mean per (centroid, dim) —
+    the same integer sums ivf_train_codebook computes, so the centroids
+    agree bit-for-bit — and empty clusters keeping their previous
+    centroid."""
+    return f"""
+        {assign} AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC)
+                     AS rn
+            FROM emb e CROSS JOIN {prev} c) WHERE rn = 1),
+        {means} AS (
+          SELECT a.cid, p.pos,
+                 CAST(SUM(CAST(round(e.v[p.pos] * 1000000) AS BIGINT))
+                      AS DOUBLE) / 1000000.0 / COUNT(*) AS mx
+          FROM {assign} a JOIN emb e USING (vec_id)
+          CROSS JOIN range(1, 65) p(pos)
+          GROUP BY a.cid, p.pos),
+        {out} AS (
+          SELECT {prev}.cid, COALESCE(m.cv, {prev}.cv) AS cv
+          FROM {prev} LEFT JOIN (SELECT cid, list(mx ORDER BY pos) AS cv
+                                 FROM {means} GROUP BY cid) m USING (cid))"""
+
+
+# Exact SQL twin of similarity_ivf_topk INCLUDING codebook training:
+# both Lloyd iterations are unrolled as CTEs over the same fixed-point
+# sums, then 1-probe candidate lists join 4-probe query lists on the
+# centroid id and the probed union is exact-cosine re-ranked.
+_SQL_IVF_TOPK = f"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
+               FROM emb WHERE vec_id < {NUM_CENTROIDS}),
+        {_kmeans_iter_sql('c0', 'a1', 'm1', 'c1').lstrip()},
+        {_kmeans_iter_sql('c1', 'a2', 'm2', 'c2').lstrip()},
+        cand_lists AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC)
+                     AS rn
+            FROM emb e CROSS JOIN c2 c) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC)
+                     AS rn
+            FROM emb e CROSS JOIN c2 c
+            WHERE e.vec_id < {NUM_QUERIES}) WHERE rn <= {NUM_PROBES}),
+        pairs AS (
+          SELECT DISTINCT p.query_id, cl.vec_id
+          FROM probes p JOIN cand_lists cl USING (cid)
+          WHERE p.query_id <> cl.vec_id),
+        scored AS (
+          SELECT pairs.query_id, pairs.vec_id,
+                 FLOOR(list_dot_product(qe.v, ce.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v))
+                      * sqrt(list_dot_product(ce.v, ce.v)))
+                   * 1000000 + 0.5) / 1000000 AS cosine_sim
+          FROM pairs
+          JOIN emb qe ON qe.vec_id = pairs.query_id
+          JOIN emb ce ON ce.vec_id = pairs.vec_id)
+        SELECT query_id, vec_id, cosine_sim, rank FROM (
+          SELECT query_id, vec_id, cosine_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= {TOP_K} ORDER BY query_id, rank
+        """
+
+
 # int8 quantization + integer dot in DuckDB list expressions; the double
 # pre-quantization math is the same IEEE expression tree as Spark's, so
 # the quantized integers (and therefore the scores) are bit-identical
@@ -461,13 +615,22 @@ QUERIES: list[QueryDef] = [
     QueryDef(
         "similarity_lsh_topk",
         similarity_lsh_topk,
-        None,  # approximate by design; recall asserted in tests/test_similarity.py
+        _SQL_LSH_TOPK.format(
+            planes=planes_values_sql(_hyperplanes()),
+            bucket_match=bucket_match_sql("q.sig", "c.sig", BANDS),
+        ),
         tags=("extension", "similarity"),
+        description="Hyperplane-LSH ANN top-k, fully oracle-backed: the "
+        "deterministic signatures and banded candidate join are "
+        "re-derived in SQL (recall also asserted in tests).",
     ),
     QueryDef(
         "similarity_ivf_topk",
         similarity_ivf_topk,
-        None,  # approximate by design; recall asserted in tests/test_similarity.py
+        _SQL_IVF_TOPK,
         tags=("extension", "similarity"),
+        description="IVF ANN top-k, fully oracle-backed: fixed-point "
+        "k-means training is bit-deterministic, so the oracle re-trains "
+        "the same codebook in SQL (recall also asserted in tests).",
     ),
 ]

@@ -210,7 +210,9 @@ _R03_VERIFIED = frozenset(
         "scalar_json_extract_stats",
         "session_length_histogram",
         "session_stats",
-        "similarity_lsh_topk",
+        # "similarity_lsh_topk" gained a full oracle in round 5 (was
+        # rows-only) — unparked for driver re-verification under the
+        # stronger contract
         "similarity_quantized_topk",
         "sql_lateral_top_customer",
         "sql_variant_props",
@@ -244,7 +246,9 @@ _R04_VERIFIED = frozenset(
         "cohort_weekly_retention",
         "dedup_bloom_contamination",
         "dedup_contamination_check",
-        "dedup_embedding_cosine",
+        # "dedup_embedding_cosine" + "similarity_ivf_topk" gained full
+        # oracles in round 5 (were rows-only) — unparked for driver
+        # re-verification under the stronger contract
         "dedup_levenshtein_pairs",
         "dedup_ngram_jaccard_pairs",
         "dedup_semdedup_clusters",
@@ -269,7 +273,6 @@ _R04_VERIFIED = frozenset(
         "scalar_array_ops",
         "scalar_date_arithmetic",
         "scalar_string_functions",
-        "similarity_ivf_topk",
         "stats_approx_distinct_users",
         "stats_countmin_heavy_hitters",
         "stats_price_histogram",
