@@ -23,7 +23,7 @@ be absent; absent sides surface as zero counts via ``coalesce``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import int_div_expr
@@ -408,7 +408,125 @@ def clean_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOCKED_DOMAINS = ("src3.example.com", "src7.example.com")
+
+
+def clean_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain-level corpus pre-filter — the C4/RefinedWeb stage that
+    runs BEFORE any text dedup: host extraction, canonicalization
+    (lowercase, strip port, strip ``www.``), registered-domain rollup,
+    blocklist removal, and per-domain doc/token concentration.
+
+    The documents fixture carries no URL column, so one is synthesized
+    deterministically in-plan (mixed-case hosts, ``www.`` prefixes,
+    explicit ports, tracking params — the exact mess canonicalization
+    exists for), the same planted-corpus pattern as the dedup tier.
+
+    Scale shape: canonicalization is pure codegen'd string ops on the
+    scan; the blocklist is a broadcast anti-join (never a shuffle); the
+    only exchange is the groupBy on the canonical domain — and the
+    global-total window for the share runs on the already-aggregated
+    per-domain rows (O(domains), not O(docs))."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("WWW."), F.col("source"), F.lit(".example.com")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.col("source"), F.lit(".example.com:8080")),
+        )
+        .otherwise(
+            F.concat(F.upper(F.col("source")), F.lit(".blog.example.org"))
+        ),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+    )
+    host = F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/?#]+)", 1))
+    canon = F.regexp_replace(
+        F.regexp_replace(host, r":\d+$", ""), r"^www\.", ""
+    )
+    docs = d.select("doc_id", "text", url.alias("url")).select(
+        "doc_id",
+        "text",
+        canon.alias("domain"),
+    )
+    docs = docs.withColumn(
+        "registered_domain",
+        F.regexp_extract(F.col("domain"), r"([^.]+\.[^.]+)$", 1),
+    )
+    blocklist = spark.createDataFrame(
+        [(b,) for b in BLOCKED_DOMAINS], "domain string"
+    )
+    kept = docs.join(F.broadcast(blocklist), "domain", "left_anti").where(
+        ~F.col("domain").endswith(".blog.example.org")
+    )
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    per = kept.groupBy("domain", "registered_domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return per.select(
+        "domain",
+        "registered_domain",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.col("n_tokens") * 1_000_000 / total)
+        .cast("bigint")
+        .alias("token_share_ppm"),
+    ).orderBy("domain")
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "clean_domain_filter",
+        clean_domain_filter,
+        r"""
+        WITH docs AS (
+          SELECT doc_id, text,
+                 'https://' ||
+                 CASE WHEN doc_id % 3 = 0
+                        THEN 'WWW.' || source || '.example.com'
+                      WHEN doc_id % 3 = 1
+                        THEN source || '.example.com:8080'
+                      ELSE upper(source) || '.blog.example.org' END ||
+                 '/p/' || CAST(doc_id AS VARCHAR) ||
+                 CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed'
+                      ELSE '' END AS url
+          FROM documents),
+        canon AS (
+          SELECT doc_id, text,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(url, '^https?://([^/?#]+)', 1)),
+                   ':[0-9]+$', ''), '^www\.', '') AS domain
+          FROM docs),
+        kept AS (
+          SELECT *,
+                 regexp_extract(domain, '([^.]+\.[^.]+)$', 1)
+                   AS registered_domain
+          FROM canon
+          WHERE domain NOT IN ('src3.example.com', 'src7.example.com')
+            AND NOT domain LIKE '%.blog.example.org'),
+        per AS (
+          SELECT domain, registered_domain, COUNT(*) AS n_docs,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS n_tokens
+          FROM kept GROUP BY domain, registered_domain)
+        SELECT domain, registered_domain, n_docs, n_tokens,
+               CAST(FLOOR(n_tokens * 1000000 / SUM(n_tokens) OVER ())
+                    AS BIGINT) AS token_share_ppm
+        FROM per ORDER BY domain
+        """,
+        tags=("extension", "cleaning", "pipeline"),
+        description="URL canonicalization + domain blocklist + per-domain "
+        "token concentration (the C4/RefinedWeb pre-filter stage).",
+    ),
     QueryDef(
         "clean_outlier_mad",
         clean_outlier_mad,

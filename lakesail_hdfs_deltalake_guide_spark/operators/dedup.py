@@ -110,6 +110,80 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PARA_SEP = "\n\n"
+_PARA_HEADER = ("subscribe to ", " newsletter")  # per-source boilerplate
+_PARA_FOOTER = "copyright example corp all rights reserved"  # corpus-wide
+
+
+def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (the Dolma recipe): split each doc on
+    blank-line boundaries, md5 each paragraph, keep only the FIRST
+    occurrence of every digest corpus-wide (ordered by doc_id, position),
+    and reassemble the surviving paragraphs in document order — this
+    removes the cross-document boilerplate that document-level exact
+    dedup can never see.
+
+    The fixture's documents are single-paragraph, so paragraph structure
+    is planted in-plan (same pattern as the planted-duplicate corpora):
+    every doc gets a per-source header and a corpus-wide footer around
+    its unique body. Expected outcome: one doc per source keeps the
+    header, exactly one doc corpus-wide keeps the footer, every body
+    survives.
+
+    Scale shape: first-occurrence selection shuffles ONLY (digest,
+    doc_id, pos) — 16-byte keys, never paragraph text; the text shuffles
+    once, in the reassembly join + groupBy on doc_id. Output pins the
+    reassembled text via md5 so the oracle checks exact reconstruction
+    without hauling documents through the compare."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat_ws(
+        PARA_SEP,
+        F.concat(
+            F.lit(_PARA_HEADER[0]), F.col("source"), F.lit(_PARA_HEADER[1])
+        ),
+        F.col("text"),
+        F.lit(_PARA_FOOTER),
+    )
+    paras = d.select("doc_id", t.alias("t")).select(
+        "doc_id", F.posexplode(F.split("t", PARA_SEP)).alias("pos", "para")
+    )
+    paras = paras.withColumn("digest", F.md5("para"))
+    # key-only first-occurrence pass: the window shuffles 16-byte digests
+    # plus (doc_id, pos), not text
+    w = Window.partitionBy("digest").orderBy("doc_id", "pos")
+    kept_keys = (
+        paras.select("digest", "doc_id", "pos")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "pos", (F.col("rn") == 1).alias("keep"))
+    )
+    return (
+        paras.join(kept_keys, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    PARA_SEP,
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("keep"), F.struct("pos", "para")
+                                )
+                            )
+                        ),
+                        lambda s: s.para,
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain DISTINCT projection (dropDuplicates on a column subset)."""
     d = load_table(spark, sf_dir, "documents")
@@ -872,6 +946,40 @@ _SEMDEDUP_K_SQL = (
 
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "dedup_paragraph_exact",
+        dedup_paragraph_exact,
+        """
+        WITH docs AS (
+          SELECT doc_id,
+                 'subscribe to ' || source || ' newsletter'
+                   || chr(10) || chr(10) || text || chr(10) || chr(10) ||
+                 'copyright example corp all rights reserved' AS t
+          FROM documents),
+        split_docs AS (
+          SELECT doc_id, string_split(t, chr(10) || chr(10)) AS parts
+          FROM docs),
+        paras AS (
+          SELECT doc_id, CAST(i - 1 AS INT) AS pos, parts[i] AS para,
+                 md5(parts[i]) AS digest
+          FROM split_docs, range(1, 8) r(i) WHERE i <= len(parts)),
+        kept AS (
+          SELECT doc_id, pos, para,
+                 (ROW_NUMBER() OVER (PARTITION BY digest
+                    ORDER BY doc_id, pos)) = 1 AS keep
+          FROM paras)
+        SELECT doc_id, COUNT(*) AS n_paras,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               md5(COALESCE(string_agg(CASE WHEN keep THEN para END,
+                     chr(10) || chr(10) ORDER BY pos), '')) AS clean_md5
+        FROM kept GROUP BY doc_id ORDER BY doc_id
+        """,
+        tags=("extension", "dedup", "pipeline"),
+        description="Dolma-style paragraph-level exact dedup: split on "
+        "blank lines, keep first digest occurrence corpus-wide, "
+        "reassemble (md5-pinned reconstruction).",
+    ),
     QueryDef(
         "dedup_bloom_contamination",
         dedup_bloom_contamination,

@@ -1,0 +1,117 @@
+"""Round-5 operator invariants: URL/domain corpus filtering and
+paragraph-level exact dedup.
+
+Each check is INDEPENDENT of the DuckDB oracle twin (those run in
+test_oracle_parity): structural invariants the algorithm must satisfy
+plus plan-shape assertions for the scale-critical pieces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def test_domain_filter_blocklist_and_canonicalization(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+        BLOCKED_DOMAINS,
+        clean_domain_filter,
+    )
+
+    rows = clean_domain_filter(spark, sf_smoke).collect()
+    domains = {r.domain for r in rows}
+    # canonicalization: everything lowercase, no ports, no www., and the
+    # suffix-blocked blog subdomains are gone
+    for d in domains:
+        assert d == d.lower() and ":" not in d and not d.startswith("www.")
+        assert not d.endswith(".blog.example.org")
+    assert domains.isdisjoint(set(BLOCKED_DOMAINS))
+    # 20 sources minus the 2 exact-blocked = 18 surviving apex domains
+    assert len(rows) == 18
+    for r in rows:
+        assert r.registered_domain == "example.com"
+        assert r.n_docs > 0 and r.n_tokens >= r.n_docs
+    # fixed-point shares: floor rounding means the total never exceeds
+    # 1e6 and can't be more than len(rows) ulps short
+    total_ppm = sum(r.token_share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= total_ppm <= 1_000_000
+
+
+def test_domain_filter_blocklist_is_broadcast(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+        clean_domain_filter,
+    )
+
+    plan = clean_domain_filter(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+    # the anti-join against the blocklist must be broadcast, never a
+    # shuffled exchange of the corpus on the domain key
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_paragraph_dedup_keeps_first_occurrences(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        dedup_paragraph_exact,
+    )
+
+    d = load_table(spark, sf_smoke, "documents")
+    n_docs = d.count()
+    n_sources = d.select("source").distinct().count()
+    rows = dedup_paragraph_exact(spark, sf_smoke).collect()
+    assert len(rows) == n_docs
+    # every doc was split into header + body + footer
+    assert all(r.n_paras == 3 for r in rows)
+    # unique survivors: every body (fixture bodies are unique), one
+    # header per source, one footer corpus-wide
+    assert sum(r.n_kept for r in rows) == n_docs + n_sources + 1
+    # the first doc of each source keeps header+body(+footer for the
+    # global first); later docs keep only their body
+    first_per_source = {
+        r.doc_id
+        for r in d.groupBy("source")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    global_first = min(r.doc_id for r in rows)
+    for r in rows:
+        expect = 1
+        if r.doc_id in first_per_source:
+            expect += 1
+        if r.doc_id == global_first:
+            expect += 1
+        assert r.n_kept == expect, r.doc_id
+    # md5 pins reconstruction: a doc that kept only its body must hash
+    # to exactly the original text
+    import hashlib
+
+    sample = (
+        d.where(~F.col("doc_id").isin(list(first_per_source)))
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    )
+    by_id = {r.doc_id: r.clean_md5 for r in rows}
+    for s in sample:
+        assert by_id[s.doc_id] == hashlib.md5(s.text.encode()).hexdigest()
+
+
+def test_paragraph_dedup_shuffles_keys_not_text(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        dedup_paragraph_exact,
+    )
+
+    import contextlib
+    import io
+
+    df = dedup_paragraph_exact(spark, sf_smoke)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the first-occurrence window must run on the key-only projection:
+    # the exchange that feeds it partitions by digest and carries ONLY
+    # (digest, doc_id, pos) — paragraph text must not ride this shuffle
+    blocks = [b for b in plan.split("\n\n") if "hashpartitioning(digest" in b]
+    assert blocks, "expected a digest-keyed exchange in the plan"
+    for b in blocks:
+        assert "para#" not in b, b
