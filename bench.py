@@ -50,9 +50,12 @@ def main() -> None:
     # depend on dict order (the r3 `session_stats` "drift" was exactly
     # this: 0.94 s first-in-order vs 0.61 s order-controlled).
     spark.range(1_000_000).selectExpr("sum(id) as s").collect()
-    for tbl in ("orders", "lineitem", "customer", "events", "documents",
-                "embeddings", "part", "supplier", "nation", "region"):
-        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+    # derived from the fixture dir, not a hard-coded name list: a missing
+    # or renamed table can't crash the warmup or silently skip priming
+    import glob
+
+    for pq in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        spark.read.parquet(pq).count()
 
     timings: dict[str, float] = {}
     for name, qdef in bench_defs.items():

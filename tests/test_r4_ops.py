@@ -68,8 +68,16 @@ def test_temperature_mix_sums_to_budget_and_flattens(spark, sf_smoke):
     if head.n_docs == tail.n_docs:
         assert max(allocs) - min(allocs) <= 1  # Hamilton split of the budget
     else:
-        assert head.alloc_docs / MIX_TEMP_BUDGET < head.n_docs / total_docs
-        assert tail.alloc_docs / MIX_TEMP_BUDGET > tail.n_docs / total_docs
+        # non-strict: a damped share can land exactly on the proportional
+        # share after largest-remainder rounding; the damping must still
+        # be visible somewhere (head and tail can't BOTH sit exactly
+        # proportional when sizes differ)
+        assert head.alloc_docs / MIX_TEMP_BUDGET <= head.n_docs / total_docs
+        assert tail.alloc_docs / MIX_TEMP_BUDGET >= tail.n_docs / total_docs
+        assert (
+            head.alloc_docs / MIX_TEMP_BUDGET < head.n_docs / total_docs
+            or tail.alloc_docs / MIX_TEMP_BUDGET > tail.n_docs / total_docs
+        )
 
 
 def test_ewma_matches_pandas_recurrence(spark, sf_smoke):
@@ -247,7 +255,10 @@ def test_semdedup_drops_planted_copies(spark, sf_smoke):
 
     rows = dedup_semdedup_clusters(spark, sf_smoke).collect()
     n_corpus = load_table(spark, sf_smoke, "embeddings").count()
-    assert len(rows) == semdedup_k(n_corpus)
+    # <=, not ==: a ppm-rounded centroid-cosine tie can leave a cluster
+    # empty (argmax assigns its would-be members elsewhere); the
+    # membership total is the data-independent invariant
+    assert 1 <= len(rows) <= semdedup_k(n_corpus)
     assert sum(r.n_members for r in rows) == n_corpus + 25
     dropped = sum(r.n_members - r.n_survivors for r in rows)
     # the 25 planted near-copies must go; natural near-dups may add more

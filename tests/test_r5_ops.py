@@ -115,3 +115,31 @@ def test_paragraph_dedup_shuffles_keys_not_text(spark, sf_smoke):
     assert blocks, "expected a digest-keyed exchange in the plan"
     for b in blocks:
         assert "para#" not in b, b
+
+
+def test_dot_fixed_is_bit_identical_to_dot(spark, sf_smoke):
+    """Pin the docstring's bit-for-bit claim: the unrolled dot_fixed is
+    kept purely as a measured performance counter-example, and this test
+    keeps its equivalence claim true if either implementation changes."""
+    from lakesail_hdfs_deltalake_guide_spark.functions.vectors import (
+        as_double,
+        dot,
+        dot_fixed,
+        norm,
+        norm_fixed,
+    )
+
+    e = (
+        load_table(spark, sf_smoke, "embeddings")
+        .limit(50)
+        .select("vec_id", as_double("embedding").alias("v"))
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).limit(200)
+    diff = pairs.select(
+        (dot(F.col("a.v"), F.col("b.v")) == dot_fixed(F.col("a.v"), F.col("b.v"), 64)).alias("d_eq"),
+        (norm(F.col("a.v")) == norm_fixed(F.col("a.v"), 64)).alias("n_eq"),
+    )
+    rows = diff.collect()
+    assert rows and all(r.d_eq and r.n_eq for r in rows)
