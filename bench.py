@@ -66,17 +66,38 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(sf_dir),
-            }
-        )
+    out: dict = {
+        "metric": "bench_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    # Regression gate vs the pinned per-query baselines (BASELINE.md):
+    # ratios are only meaningful at the pinned scale factor, and host
+    # contention moves the whole run uniformly — judge per-query ratios
+    # against the run's median ratio, not in isolation.
+    pins_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_PINS.json"
     )
+    if os.path.exists(pins_path):
+        with open(pins_path) as fh:
+            pinned = json.load(fh)
+        if _sf_from_dir(sf_dir) == pinned.get("sf"):
+            pins = pinned["queries"]
+            ratios = {
+                n: round(t / pins[n], 3)
+                for n, t in timings.items()
+                if n in pins
+            }
+            out["vs_pin"] = ratios
+            out["over_2x_vs_pin"] = sorted(
+                n for n, r in ratios.items() if r > 2.0
+            )
+            unpinned = sorted(set(timings) - set(pins))
+            if unpinned:
+                out["unpinned"] = unpinned
+    print(json.dumps(out))
     spark.stop()
 
 

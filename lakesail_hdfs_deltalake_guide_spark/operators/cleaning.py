@@ -523,7 +523,7 @@ QUERIES: list[QueryDef] = [
                     AS BIGINT) AS token_share_ppm
         FROM per ORDER BY domain
         """,
-        tags=("extension", "cleaning", "pipeline"),
+        tags=("extension", "cleaning", "pipeline", "bench"),
         description="URL canonicalization + domain blocklist + per-domain "
         "token concentration (the C4/RefinedWeb pre-filter stage).",
     ),

@@ -975,7 +975,7 @@ QUERIES: list[QueryDef] = [
                      chr(10) || chr(10) ORDER BY pos), '')) AS clean_md5
         FROM kept GROUP BY doc_id ORDER BY doc_id
         """,
-        tags=("extension", "dedup", "pipeline"),
+        tags=("extension", "dedup", "pipeline", "bench"),
         description="Dolma-style paragraph-level exact dedup: split on "
         "blank lines, keep first digest occurrence corpus-wide, "
         "reassemble (md5-pinned reconstruction).",
