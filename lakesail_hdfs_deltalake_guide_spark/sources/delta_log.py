@@ -584,6 +584,7 @@ def _plan_commit(
     mode: str,
     partition_by: list[str] | None,
     merge_schema: bool,
+    configuration: dict | None = None,
 ) -> tuple[int, list[dict], DataFrame]:
     """One optimistic-transaction attempt: resolve the target version
     against the CURRENT log state and build the commit's non-add actions
@@ -604,7 +605,7 @@ def _plan_commit(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
                     "partitionColumns": list(partition_by or []),
-                    "configuration": {},
+                    "configuration": dict(configuration or {}),
                     "createdTime": int(time.time() * 1000),
                 }
             }
@@ -686,9 +687,12 @@ def delta_write(
     merge_schema: bool = False,
     max_retries: int = 3,
     txn: tuple[str, int] | None = None,
+    configuration: dict | None = None,
 ) -> int:
     """Commit df to a protocol-conformant Delta table; returns the
-    committed version.
+    committed version. ``configuration`` seeds metaData.configuration on
+    table CREATION only (e.g. ``{"delta.enableChangeDataFeed": "true"}``
+    turns on cdc-action writes for every later DML commit).
 
     ``merge_schema=True`` (delta-spark's ``mergeSchema`` option,
     reference README.md:302 "schema evolution") lets an append carry new
@@ -715,7 +719,7 @@ def delta_write(
     streaming-sink mechanism."""
     spark = df.sparkSession
     version, actions, conformed = _plan_commit(
-        spark, df, path, mode, partition_by, merge_schema
+        spark, df, path, mode, partition_by, merge_schema, configuration
     )
     txn_action = (
         [{"txn": {"appId": txn[0], "version": int(txn[1])}}] if txn else []
@@ -892,6 +896,11 @@ def delta_vacuum(
         if (
             rel.endswith(".parquet")
             and not rel.startswith("_delta_log")
+            # change-data files are never in any snapshot's live set, so
+            # the unreferenced-file rule would reap them instantly; their
+            # lifetime follows the LOG's (a commit whose JSON is retained
+            # must keep its feed readable) — cleaned with the log, not here
+            and not rel.startswith("_change_data")
             and rel not in referenced
         ):
             fs.delete(status.getPath(), False)
@@ -1079,6 +1088,134 @@ def _commit_rewrite(
     return version
 
 
+def _cdf_enabled(meta: dict | None) -> bool:
+    """The protocol's CDF gate: table property
+    ``delta.enableChangeDataFeed`` in metaData.configuration."""
+    return bool(meta) and (
+        str(
+            meta.get("configuration", {}).get(
+                "delta.enableChangeDataFeed", ""
+            )
+        ).lower()
+        == "true"
+    )
+
+
+def _stage_change_files(df: DataFrame, path: str) -> list[dict]:
+    """Write change rows (data columns + ``_change_type``) as parquet
+    under ``_change_data/`` and return the commit's ``cdc`` actions —
+    the protocol's change-data-file route. A commit that carries cdc
+    actions gives CDF readers an O(changes) read: they open ONLY these
+    files, never the rewritten data files. Change files are written flat
+    (partition values live in the rows, not the directory layout)."""
+    spark = df.sparkSession
+    staging = f"{path}/.staging-cdc-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(staging)
+    fs, staging_path, jvm = _hadoop_fs(spark, staging)
+    cdcs = []
+    it = fs.listFiles(staging_path, True)
+    while it.hasNext():
+        status = it.next()
+        name = status.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        rel = f"_change_data/cdc-{uuid.uuid4().hex}.parquet"
+        dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        fs.mkdirs(dest.getParent())
+        if not fs.rename(status.getPath(), dest):
+            fs.delete(staging_path, True)
+            raise RuntimeError(f"failed to publish change file {rel}")
+        cdcs.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": int(status.getLen()),
+                    "dataChange": False,
+                }
+            }
+        )
+    fs.delete(staging_path, True)
+    return cdcs
+
+
+def delta_read_cdf(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed read over commits [from_version, to_version]:
+    every row the range changed, tagged ``_change_type`` (insert /
+    delete / update_preimage / update_postimage) + ``_commit_version``.
+
+    Commits that carry ``cdc`` actions (the DML writers on a
+    CDF-enabled table) are read from their ``_change_data/`` files —
+    O(changes), no data file opened. Commits without cdc actions fall
+    back to file-granularity derivation: dataChange adds read as
+    inserts, dataChange removes read as deletes (exact for append-only
+    and overwrite commits, the same rule delta-spark applies).
+    dataChange=false layout commits (OPTIMIZE) contribute nothing.
+    Raises when a commit in the range was removed by log cleanup —
+    a silently partial feed would corrupt every downstream increment."""
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no delta table at {path}")
+    hi = versions[-1] if to_version is None else to_version
+    want = set(range(from_version, hi + 1))
+    if not want <= set(versions):
+        raise ValueError(
+            f"CDF range [{from_version}, {hi}] of {path} is no longer "
+            f"reconstructible: commits {sorted(want - set(versions))} "
+            "were removed by log retention cleanup"
+        )
+    pieces: list[DataFrame] = []
+    for v in sorted(want):
+        text = _read_text(spark, _version_file(path, v))
+        cdc_files: list[str] = []
+        add_files: list[str] = []
+        rm_files: list[str] = []
+        for line in text.splitlines():
+            action = json.loads(line)
+            if "cdc" in action:
+                cdc_files.append(action["cdc"]["path"])
+            elif "add" in action and action["add"].get("dataChange", True):
+                add_files.append(action["add"]["path"])
+            elif "remove" in action and action["remove"].get(
+                "dataChange", True
+            ):
+                rm_files.append(action["remove"]["path"])
+        if cdc_files:
+            part = spark.read.parquet(
+                *[f"{path}/{f}" for f in cdc_files]
+            ).withColumn("_commit_version", F.lit(v).cast("bigint"))
+            pieces.append(part)
+            continue
+        for files, ctype in ((add_files, "insert"), (rm_files, "delete")):
+            if not files:
+                continue
+            part = (
+                spark.read.option("basePath", path)
+                .parquet(*[f"{path}/{f}" for f in files])
+                .withColumn("_change_type", F.lit(ctype))
+                .withColumn("_commit_version", F.lit(v).cast("bigint"))
+            )
+            pieces.append(part)
+    if not pieces:
+        _, meta, _, _ = _snapshot_state(spark, path, hi)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        empty = spark.createDataFrame([], schema)
+        return empty.withColumn(
+            "_change_type", F.lit(None).cast("string")
+        ).withColumn("_commit_version", F.lit(None).cast("bigint"))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def delta_delete(spark: SparkSession, path: str, predicate) -> int:
     """``DELETE FROM t WHERE predicate`` on the native log, copy-on-write.
 
@@ -1109,7 +1246,14 @@ def delta_delete(spark: SparkSession, path: str, predicate) -> int:
     adds = _stage_data_files(
         survivors, path, meta.get("partitionColumns") or None
     )
-    return _commit_rewrite(spark, path, affected, adds)
+    cdc = (
+        _stage_change_files(
+            sub.where(pred).withColumn("_change_type", F.lit("delete")), path
+        )
+        if _cdf_enabled(meta)
+        else []
+    )
+    return _commit_rewrite(spark, path, affected, adds, extra_actions=cdc)
 
 
 def delta_update(
@@ -1161,7 +1305,21 @@ def delta_update(
     adds = _stage_data_files(
         updated, path, meta.get("partitionColumns") or None
     )
-    return _commit_rewrite(spark, path, affected, adds)
+    cdc: list[dict] = []
+    if _cdf_enabled(meta):
+        pre = sub.where(pred).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = sub.where(pred).select(
+            *[
+                exprs[f.name].cast(f.dataType).alias(f.name)
+                if f.name in exprs
+                else F.col(f.name)
+                for f in schema.fields
+            ]
+        ).withColumn("_change_type", F.lit("update_postimage"))
+        cdc = _stage_change_files(pre.unionByName(post), path)
+    return _commit_rewrite(spark, path, affected, adds, extra_actions=cdc)
 
 
 def delta_merge(
@@ -1266,7 +1424,30 @@ def delta_merge(
     for p in pieces[1:]:
         out = out.unionByName(p)
     adds = _stage_data_files(out, path, meta.get("partitionColumns") or None)
-    return _commit_rewrite(spark, path, affected, adds)
+    cdc: list[dict] = []
+    if _cdf_enabled(meta):
+        changes: list[DataFrame] = []
+        if affected:
+            matched_keys = src.select(*on).distinct()
+            changes.append(
+                sub.join(matched_keys, on=on, how="left_semi").withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+            )
+            changes.append(
+                merged.join(matched_keys, on=on, how="left_semi").withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        if insert_unmatched:
+            changes.append(
+                inserts.withColumn("_change_type", F.lit("insert"))
+            )
+        feed = changes[0]
+        for c in changes[1:]:
+            feed = feed.unionByName(c)
+        cdc = _stage_change_files(feed, path)
+    return _commit_rewrite(spark, path, affected, adds, extra_actions=cdc)
 
 
 # ---------------------------------------------------------------------------
@@ -1593,7 +1774,71 @@ def delta_native_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed over DML commits: a CDF-enabled table takes a
+    DELETE (v1) then an UPDATE (v2); ``delta_read_cdf(1, 2)`` returns
+    exactly the changed rows — delete images plus update pre/post
+    images — read from the commits' ``_change_data`` files (O(changes);
+    the rewritten data files are never opened, asserted in tests).
+    Output aggregates the feed per (commit, change_type) in cents."""
+    import tempfile
+
+    from ..tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_cdf_")
+    delta_write(
+        c.repartition(8),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_delete(spark, path, "c_custkey % 7 = 0")
+    delta_update(
+        spark, path, "c_custkey % 5 = 0", {"cents": F.col("cents") + 100}
+    )
+    feed = delta_read_cdf(spark, path, 1, 2)
+    return (
+        feed.groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("_commit_version", "_change_type")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "delta_native_cdf_capture",
+        delta_native_cdf_capture,
+        """
+        WITH base AS (
+          SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer),
+        deleted AS (SELECT * FROM base WHERE c_custkey % 7 = 0),
+        updated AS (SELECT * FROM base
+                    WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0)
+        SELECT CAST(1 AS BIGINT) AS _commit_version,
+               'delete' AS _change_type,
+               COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM deleted
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'update_postimage', COUNT(*),
+               CAST(SUM(cents + 100) AS BIGINT)
+        FROM updated
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'update_preimage', COUNT(*),
+               CAST(SUM(cents) AS BIGINT)
+        FROM updated
+        ORDER BY _commit_version, _change_type
+        """,
+        tags=("parity", "delta", "io", "dml"),
+        description="Change Data Feed: DML commits write _change_data "
+        "files + cdc actions; the CDF read is O(changes).",
+    ),
     QueryDef(
         "delta_native_merge_upsert",
         delta_native_merge_upsert,

@@ -964,3 +964,128 @@ def test_dml_conflict_detection(spark, sf_smoke, monkeypatch):
     monkeypatch.setattr(delta_log, "_write_commit", real)
     back = delta_read(spark, path)
     assert back.where(F.col("n_nationkey") % 2 == 0).count() == 0
+
+
+def test_cdf_dml_commits_write_change_files(spark, sf_smoke):
+    """On a CDF-enabled table, DELETE/UPDATE/MERGE commits carry cdc
+    actions pointing into _change_data/, the feed reproduces the exact
+    change rows, and reading it opens ONLY change files (O(changes))."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete,
+        delta_merge,
+        delta_read_cdf,
+        delta_update,
+    )
+
+    n = load_table(spark, sf_smoke, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    path = tempfile.mkdtemp(prefix="ls_dl_cdf_")
+    delta_write(
+        n.repartition(3),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )  # v0
+    delta_delete(spark, path, "n_nationkey % 4 = 0")  # v1
+    delta_update(
+        spark, path, "n_nationkey % 4 = 1", {"n_regionkey": "n_regionkey + 10"}
+    )  # v2
+    source = n.where(F.col("n_nationkey") >= 23).select(
+        (F.col("n_nationkey") + 100).alias("n_nationkey"), "n_regionkey"
+    )
+    delta_merge(spark, path, source, on=["n_nationkey"])  # v3: pure insert
+    # cdc actions present in each DML commit
+    for v, kinds in ((1, {"delete"}), (2, {"update_preimage", "update_postimage"}), (3, {"insert"})):
+        acts = _actions(path, v)
+        cdc = [a for a in acts if "cdc" in a]
+        assert cdc, f"commit {v} missing cdc actions"
+        assert all(a["cdc"]["path"].startswith("_change_data/") for a in cdc)
+        feed_v = delta_read_cdf(spark, path, v, v)
+        got_kinds = {r["_change_type"] for r in feed_v.select("_change_type").distinct().collect()}
+        assert got_kinds == kinds
+        # O(changes): only _change_data files are opened
+        assert all("_change_data/" in f for f in feed_v.inputFiles())
+    # the feed's content is exact
+    feed = delta_read_cdf(spark, path, 1, 3)
+    deleted = {r.n_nationkey for r in feed.where("_change_type = 'delete'").collect()}
+    assert deleted == {
+        r.n_nationkey for r in n.where("n_nationkey % 4 = 0").collect()
+    }
+    pre = feed.where("_change_type = 'update_preimage'")
+    post = feed.where("_change_type = 'update_postimage'")
+    assert pre.count() == post.count() == n.where("n_nationkey % 4 = 1").count()
+    assert (
+        post.agg(F.sum("n_regionkey")).first()[0]
+        - pre.agg(F.sum("n_regionkey")).first()[0]
+        == 10 * pre.count()
+    )
+    ins = {r.n_nationkey for r in feed.where("_change_type = 'insert'").collect()}
+    assert ins == {r.n_nationkey + 100 for r in n.where("n_nationkey >= 23").collect()}
+
+
+def test_cdf_derives_from_data_files_without_cdc_actions(spark, sf_smoke):
+    """Commits without cdc actions (plain append/overwrite, or any
+    commit on a non-CDF table) derive their feed from dataChange
+    add/remove files; OPTIMIZE (dataChange=false) contributes nothing."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_optimize,
+        delta_read_cdf,
+    )
+
+    n = load_table(spark, sf_smoke, "nation").select("n_nationkey")
+    path = tempfile.mkdtemp(prefix="ls_dl_cdf2_")
+    delta_write(n, path)  # v0 (CDF not enabled — derivation path)
+    delta_write(n.where(F.col("n_nationkey") < 5), path, mode="append")  # v1
+    delta_optimize(spark, path, target_files=1)  # v2
+    feed = delta_read_cdf(spark, path, 0, 2)
+    by_type = {
+        (r["_commit_version"], r["_change_type"]): r["n"]
+        for r in feed.groupBy("_commit_version", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert by_type == {
+        (0, "insert"): n.count(),
+        (1, "insert"): 5,
+    }, by_type
+
+
+def test_cdf_range_validation(spark, sf_smoke):
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read_cdf,
+    )
+
+    n = load_table(spark, sf_smoke, "nation").select("n_nationkey")
+    path = tempfile.mkdtemp(prefix="ls_dl_cdf3_")
+    delta_write(n, path)
+    with pytest.raises(ValueError, match="no longer reconstructible"):
+        delta_read_cdf(spark, path, 0, 5)
+
+
+def test_vacuum_spares_change_data_files(spark, sf_smoke):
+    """VACUUM reclaims unreferenced DATA files but never the CDF files:
+    their lifetime follows the log's, and a retained commit must keep
+    its feed readable."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete,
+        delta_read_cdf,
+        delta_vacuum,
+    )
+
+    n = load_table(spark, sf_smoke, "nation").select("n_nationkey")
+    path = tempfile.mkdtemp(prefix="ls_dl_cdfvac_")
+    delta_write(
+        n.repartition(2),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_delete(spark, path, "n_nationkey % 2 = 0")  # v1 writes cdc
+    deleted = delta_vacuum(spark, path, keep_versions=1)
+    assert deleted, "v0's rewritten files should be reclaimed"
+    assert all(not p.startswith("_change_data/") for p in deleted)
+    feed = delta_read_cdf(spark, path, 1, 1)
+    assert feed.where("_change_type = 'delete'").count() == n.where(
+        "n_nationkey % 2 = 0"
+    ).count()
