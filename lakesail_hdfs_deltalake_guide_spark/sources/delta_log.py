@@ -40,6 +40,10 @@ from pyspark.sql import functions as F
 from ..querydef import QueryDef
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+# highest writer version whose features this module actually enforces:
+# v3 = CHECK constraints (delta_add_constraint / _enforce_constraints).
+# Fresh tables still declare v2 until a constraint bumps them.
+_MAX_WRITER_IMPLEMENTED = 3
 
 # Parquet checkpoint cadence (the Delta protocol's own default): every
 # N commits the full snapshot state is written as
@@ -610,18 +614,25 @@ def _plan_commit(
                 }
             }
         )
+        # constraints supplied at creation bind the very first batch
+        _enforce_constraints(
+            df, {"configuration": dict(configuration or {})}
+        )
         return version, actions, df
     proto, meta, live, _ = _snapshot_state(spark, path)
     # writer half of protocol gating: appending to (or overwriting) a
     # table that demands a newer writer would corrupt invariants we do
-    # not implement (constraints, generated columns, ...) — refuse.
+    # not implement (generated columns, identity columns, ...) — refuse.
+    # Version 3 (CHECK constraints) IS implemented (_enforce_constraints),
+    # so tables bumped by delta_add_constraint stay writable here while
+    # non-enforcing writers correctly refuse them.
     if proto is not None:
         found = proto.get("minWriterVersion")
-        if found is not None and int(found) > _PROTOCOL["minWriterVersion"]:
+        if found is not None and int(found) > _MAX_WRITER_IMPLEMENTED:
             raise ValueError(
                 f"cannot write delta table at {path}: it requires "
                 f"minWriterVersion={found} but this writer implements "
-                f"version {_PROTOCOL['minWriterVersion']}"
+                f"version {_MAX_WRITER_IMPLEMENTED}"
             )
     meta = meta or {}
     # a commit whose layout contradicts metaData.partitionColumns
@@ -666,6 +677,10 @@ def _plan_commit(
                     }
                 }
             )
+    # writer-v3 enforcement: the batch must satisfy every table CHECK
+    # constraint before any file is staged (re-runs on OCC retry, so a
+    # constraint added by a racing commit is honored too)
+    _enforce_constraints(df, meta)
     return version, actions, df
 
 
@@ -1088,6 +1103,109 @@ def _commit_rewrite(
     return version
 
 
+# ---------------------------------------------------------------------------
+# CHECK constraints (the protocol's writer-version-3 feature; the last
+# piece of the reference's "ACID transactions" claim, README.md:302)
+
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def _table_constraints(meta: dict | None) -> dict[str, str]:
+    """{name: SQL expr} from metaData.configuration, delta-spark's
+    ``ALTER TABLE ... ADD CONSTRAINT`` storage format."""
+    if not meta:
+        return {}
+    return {
+        k[len(_CONSTRAINT_PREFIX) :]: v
+        for k, v in meta.get("configuration", {}).items()
+        if k.startswith(_CONSTRAINT_PREFIX)
+    }
+
+
+def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
+    """Refuse to stage rows that violate any table CHECK constraint.
+
+    SQL semantics: a row violates only when the expression is FALSE
+    (NULL passes). One executor-side pass with an early-out limit(1) —
+    the write this is guarding already scans the same rows, so the
+    validation is a second cheap pass over the incoming batch only,
+    never the table."""
+    constraints = _table_constraints(meta)
+    if not constraints:
+        return
+    for name, expr in constraints.items():
+        bad = df.where(
+            ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        )
+        if bad.limit(1).count():
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by "
+                "incoming rows; nothing was committed"
+            )
+
+
+def delta_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT: validate the EXISTING snapshot
+    against ``expr`` (a violating table must not gain the constraint),
+    then commit an updated metaData carrying it — and a protocol bump to
+    minWriterVersion 3, exactly how delta-spark marks tables whose
+    writers must enforce checks. Our own writer gate accepts 3 because
+    this module enforces them; foreign writers that don't will refuse
+    the table, which is the protocol working as designed."""
+    proto, meta, _, _ = _snapshot_state(spark, path)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    current = delta_read(spark, path)
+    _enforce_constraints(
+        current,
+        {"configuration": {_CONSTRAINT_PREFIX + name: expr}},
+    )
+    new_meta = dict(meta)
+    new_meta["configuration"] = {
+        **meta.get("configuration", {}),
+        _CONSTRAINT_PREFIX + name: expr,
+    }
+    version = _list_versions(spark, path)[-1] + 1
+    actions: list[dict] = []
+    if int((proto or _PROTOCOL).get("minWriterVersion", 2)) < 3:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": int(
+                        (proto or _PROTOCOL).get("minReaderVersion", 1)
+                    ),
+                    "minWriterVersion": 3,
+                }
+            }
+        )
+    actions.append({"metaData": new_meta})
+    _write_commit(spark, path, version, actions)
+    if version % CHECKPOINT_INTERVAL == 0:
+        _auto_checkpoint(spark, path, version)
+    return version
+
+
+def delta_drop_constraint(spark: SparkSession, path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metaData update removing the key."""
+    _, meta, _, _ = _snapshot_state(spark, path)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    key = _CONSTRAINT_PREFIX + name
+    if key not in meta.get("configuration", {}):
+        raise ValueError(f"no constraint {name!r} on {path}")
+    new_meta = dict(meta)
+    new_meta["configuration"] = {
+        k: v for k, v in meta["configuration"].items() if k != key
+    }
+    version = _list_versions(spark, path)[-1] + 1
+    _write_commit(spark, path, version, [{"metaData": new_meta}])
+    if version % CHECKPOINT_INTERVAL == 0:
+        _auto_checkpoint(spark, path, version)
+    return version
+
+
 def _cdf_enabled(meta: dict | None) -> bool:
     """The protocol's CDF gate: table property
     ``delta.enableChangeDataFeed`` in metaData.configuration."""
@@ -1302,6 +1420,7 @@ def delta_update(
             for f in schema.fields
         ]
     )
+    _enforce_constraints(updated, meta)
     adds = _stage_data_files(
         updated, path, meta.get("partitionColumns") or None
     )
@@ -1423,6 +1542,7 @@ def delta_merge(
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
+    _enforce_constraints(out, meta)
     adds = _stage_data_files(out, path, meta.get("partitionColumns") or None)
     cdc: list[dict] = []
     if _cdf_enabled(meta):

@@ -1089,3 +1089,80 @@ def test_vacuum_spares_change_data_files(spark, sf_smoke):
     assert feed.where("_change_type = 'delete'").count() == n.where(
         "n_nationkey % 2 = 0"
     ).count()
+
+
+def test_check_constraints_enforced_across_write_paths(spark, sf_smoke):
+    """Writer-v3 CHECK constraints: ADD CONSTRAINT validates existing
+    data and bumps the protocol to minWriterVersion 3; every write path
+    (append, UPDATE, MERGE) refuses violating rows atomically; DROP
+    restores unconstrained writes; a v4 table is still refused."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_add_constraint,
+        delta_drop_constraint,
+        delta_merge,
+        delta_update,
+    )
+
+    n = load_table(spark, sf_smoke, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    path = tempfile.mkdtemp(prefix="ls_dl_chk_")
+    delta_write(n, path)  # v0, declares writer v2
+    v = delta_add_constraint(
+        spark, path, "key_nonneg", "n_nationkey >= 0"
+    )  # v1
+    kinds = [next(iter(a)) for a in _actions(path, v)]
+    assert kinds[0] == "protocol"
+    assert _actions(path, v)[0]["protocol"]["minWriterVersion"] == 3
+    # conforming append still works on the v3 table
+    delta_write(n.limit(1), path, mode="append")  # v2
+    # violating append refused, nothing committed
+    bad = n.withColumn("n_nationkey", F.col("n_nationkey") - 1000)
+    before = delta_read(spark, path).count()
+    with pytest.raises(ValueError, match="key_nonneg"):
+        delta_write(bad, path, mode="append")
+    assert delta_read(spark, path).count() == before
+    # violating UPDATE refused
+    with pytest.raises(ValueError, match="key_nonneg"):
+        delta_update(
+            spark, path, "n_nationkey = 1", {"n_nationkey": F.lit(-5)}
+        )
+    # violating MERGE refused: the unmatched source rows would insert
+    # negative keys, so the staged commit must be rejected whole
+    with pytest.raises(ValueError, match="key_nonneg"):
+        delta_merge(
+            spark,
+            path,
+            n.limit(3).select(
+                "n_nationkey",
+                (F.col("n_nationkey") - 1000).alias("n_regionkey"),
+            ).withColumn(
+                "n_nationkey", F.col("n_nationkey") - 1000
+            ),
+            on=["n_nationkey"],
+        )
+    assert delta_read(spark, path).count() == before
+    # a constraint the existing table violates cannot be added
+    with pytest.raises(ValueError, match="small_keys"):
+        delta_add_constraint(spark, path, "small_keys", "n_nationkey < 3")
+    # drop, then the formerly-violating append lands
+    delta_drop_constraint(spark, path, "key_nonneg")
+    delta_write(bad.limit(2), path, mode="append")
+    # foreign v4 tables remain refused by the writer gate
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log as dl
+
+    proto_path = tempfile.mkdtemp(prefix="ls_dl_chk4_")
+    delta_write(n, proto_path)
+    import json as _json
+
+    with open(f"{proto_path}/_delta_log/{1:020d}.json", "w") as fh:
+        fh.write(
+            _json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
+            )
+            + "\n"
+        )
+    with pytest.raises(ValueError, match="minWriterVersion=4"):
+        delta_write(n.limit(1), proto_path, mode="append")

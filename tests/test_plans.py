@@ -308,3 +308,75 @@ def test_semdedup_has_no_unbounded_cartesian(spark, sf_smoke):
 
     plan = explain_str(dedup_semdedup_clusters(spark, sf_smoke))
     assert "CartesianProduct" not in plan
+
+
+def test_dml_candidate_scan_pushes_predicate(spark, sf_smoke):
+    """Phase 1 of copy-on-write DML (find affected files) must push the
+    row predicate into the parquet scan — the `_metadata.file_path`
+    column must not break pushdown, or the discovery pass degrades to a
+    full decode of every live file at 100 TB."""
+    import tempfile
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        _snapshot_scan_with_file,
+        delta_write,
+    )
+
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="ls_plan_dml_")
+    delta_write(o.repartition(4), path)
+    scan, _, _, _ = _snapshot_scan_with_file(spark, path)
+    phase1 = scan.where(F.col("o_totalprice") > 100000.0).select("__ls_file")
+    assert has_pushed_filter(phase1, "o_totalprice")
+
+
+def test_merge_discovery_prunes_to_key_columns(spark, sf_smoke):
+    """MERGE phase 1 joins only (keys, file) against the source keys:
+    column pruning must reach the target scan — hauling non-key columns
+    through the semi join would scan the wide table twice."""
+    import tempfile
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        _snapshot_scan_with_file,
+        delta_write,
+    )
+
+    c = load_table(spark, sf_smoke, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    path = tempfile.mkdtemp(prefix="ls_plan_mrg_")
+    delta_write(c.repartition(4), path)
+    scan, _, _, _ = _snapshot_scan_with_file(spark, path)
+    src = c.select("c_custkey").where(F.col("c_custkey") % 3 == 0)
+    phase1 = (
+        scan.select("c_custkey", "__ls_file")
+        .join(src.distinct(), on=["c_custkey"], how="left_semi")
+        .select("__ls_file")
+        .distinct()
+    )
+    cols = set(read_schema_columns(phase1))
+    assert "c_custkey" in cols
+    assert not {"c_name", "c_acctbal", "c_mktsegment"} & cols, cols
+
+
+def test_domain_filter_aggregates_before_global_window(spark, sf_smoke):
+    """clean_domain_filter's corpus pass is ONE exchange (groupBy on the
+    canonical domain); the global-total window runs on the per-domain
+    aggregate (SinglePartition over O(domains) rows), never on the raw
+    docs — and the scan reads only the three columns the operator needs."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+        clean_domain_filter,
+    )
+
+    df = clean_domain_filter(spark, sf_smoke)
+    plan = explain_str(df)
+    agg_pos = plan.find("hashpartitioning(domain")
+    single_pos = plan.find("SinglePartition")
+    assert agg_pos != -1 and single_pos != -1
+    # the single-partition stage sits AFTER the domain aggregation in
+    # the detail listing (it consumes the per-domain rows, not the docs)
+    assert single_pos > agg_pos
+    cols = set(read_schema_columns(df))
+    assert cols == {"doc_id", "text", "source"}, cols
