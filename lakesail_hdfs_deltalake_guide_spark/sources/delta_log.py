@@ -45,6 +45,28 @@ _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 # Fresh tables still declare v2 until a constraint bumps them.
 _MAX_WRITER_IMPLEMENTED = 3
 
+# Table-feature protocol (reader v3 / writer v7, PROTOCOL.md "Table
+# Features"): instead of a monolithic version bump, the protocol action
+# lists the exact features a reader/writer must implement. This module
+# implements exactly these; gating refuses any table listing one it
+# does not (a feature-aware engine that ignored an unknown feature
+# would read WRONG data, not degraded data).
+_READER_FEATURES_IMPLEMENTED = frozenset({"deletionVectors"})
+_WRITER_FEATURES_IMPLEMENTED = frozenset({"deletionVectors", "checkConstraints"})
+
+# Sidecar directory for deletion-vector storage files (merge-on-read
+# DELETE). Each DV-delete commit writes ONE storage unit under here,
+# shared by every add the commit re-stamps — mirroring the protocol's
+# "multiple DV descriptors may point into one storage file" shape. The
+# on-disk encoding is parquet rows (data-file basename, row_index)
+# rather than the protocol's z85/RoaringBitmap binary framing: the
+# DESCRIPTOR + lifecycle semantics (protocol gating, cardinality,
+# vacuum protection, OPTIMIZE materialization) follow PROTOCOL.md;
+# the byte format is this engine's own, chosen so the reader can apply
+# DVs as a distributed broadcast anti-join instead of a driver-side
+# bitmap probe.
+_DV_DIR = "_deletion_vectors"
+
 # Parquet checkpoint cadence (the Delta protocol's own default): every
 # N commits the full snapshot state is written as
 # ``_delta_log/{v:020d}.checkpoint.parquet`` and ``_last_checkpoint``
@@ -160,6 +182,10 @@ def _checkpoint_arrow_schema():
                     [
                         ("minReaderVersion", pa.int32()),
                         ("minWriterVersion", pa.int32()),
+                        # table-features lists (reader v3 / writer v7);
+                        # null for legacy-version tables
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
                     ]
                 ),
             ),
@@ -191,6 +217,19 @@ def _checkpoint_arrow_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        # merge-on-read deletion-vector descriptor
+                        # (PROTOCOL.md add.deletionVector); null when the
+                        # file has no DV
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -340,7 +379,11 @@ def _read_checkpoint(
             row.get("protocol") is not None
             and row["protocol"].get("minReaderVersion") is not None
         ):
-            proto = dict(row["protocol"])
+            # strip null feature lists so legacy-version protocols
+            # round-trip exactly (a v3 protocol keeps its lists)
+            proto = {
+                k: v for k, v in row["protocol"].items() if v is not None
+            }
         elif row.get("txn") is not None and row["txn"].get("appId") is not None:
             txns[row["txn"]["appId"]] = row["txn"]["version"]
         elif row.get("metaData") is not None:
@@ -369,14 +412,29 @@ def _check_reader_version(path: str, proto: dict | None) -> None:
     legitimately read reader-v1 tables that demand a newer writer)."""
     if proto is None:
         return
-    supported = _PROTOCOL["minReaderVersion"]
     found = proto.get("minReaderVersion")
-    if found is not None and int(found) > supported:
+    if found is None or int(found) <= _PROTOCOL["minReaderVersion"]:
+        return
+    if int(found) == 3:
+        # table-features reader: readable iff every listed readerFeature
+        # is implemented. A v3 protocol action with NO feature list is
+        # malformed per PROTOCOL.md — refuse rather than guess.
+        feats = proto.get("readerFeatures")
+        unknown = set(feats or ()) - _READER_FEATURES_IMPLEMENTED
+        if feats is not None and not unknown:
+            return
         raise ValueError(
-            f"cannot read delta table at {path}: it requires "
-            f"minReaderVersion={found} but this reader implements "
-            f"version {supported}"
+            f"cannot read delta table at {path}: it requires reader "
+            f"features {sorted(unknown) if feats is not None else '<unlisted>'} "
+            f"this reader does not implement "
+            f"(implemented: {sorted(_READER_FEATURES_IMPLEMENTED)})"
         )
+    raise ValueError(
+        f"cannot read delta table at {path}: it requires "
+        f"minReaderVersion={found} but this reader implements "
+        f"version {_PROTOCOL['minReaderVersion']} plus reader features "
+        f"{sorted(_READER_FEATURES_IMPLEMENTED)}"
+    )
 
 
 def _snapshot_state(
@@ -629,11 +687,20 @@ def _plan_commit(
     if proto is not None:
         found = proto.get("minWriterVersion")
         if found is not None and int(found) > _MAX_WRITER_IMPLEMENTED:
-            raise ValueError(
-                f"cannot write delta table at {path}: it requires "
-                f"minWriterVersion={found} but this writer implements "
-                f"version {_MAX_WRITER_IMPLEMENTED}"
-            )
+            # writer v7 = table features: writable iff every listed
+            # writerFeature is implemented (DV tables land here after
+            # their protocol upgrade). Anything else is refused.
+            feats = proto.get("writerFeatures")
+            unknown = set(feats or ()) - _WRITER_FEATURES_IMPLEMENTED
+            if int(found) != 7 or feats is None or unknown:
+                raise ValueError(
+                    f"cannot write delta table at {path}: it requires "
+                    f"minWriterVersion={found} (features "
+                    f"{sorted(unknown) if feats else '<unlisted>'}) but "
+                    f"this writer implements version "
+                    f"{_MAX_WRITER_IMPLEMENTED} plus writer features "
+                    f"{sorted(_WRITER_FEATURES_IMPLEMENTED)}"
+                )
     meta = meta or {}
     # a commit whose layout contradicts metaData.partitionColumns
     # would be protocol-corrupt (adds with wrong partitionValues,
@@ -841,6 +908,20 @@ def delta_read(
         return spark.createDataFrame([], schema)
     reader = spark.read.schema(schema).option("basePath", path)
     scan = reader.parquet(*[f"{path}/{f}" for f, _ in adds])
+    if any(a.get("deletionVector") for _, a in adds):
+        # merge-on-read: anti-join away the rows each add's DV lists.
+        # Row identity is (data-file basename, parquet row position) via
+        # the scan-side _metadata pseudo-columns — no shuffle of the fact
+        # side, the (small) DV side broadcasts. Files without a DV never
+        # match and stream through untouched.
+        scan = scan.select(
+            *[f.name for f in schema.fields],
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_row"),
+        )
+        scan = _dv_anti_filter(spark, path, scan, adds)
     # partition discovery appends partition columns at the END regardless
     # of the supplied schema; re-project to the metaData column order so
     # the snapshot's schema contract holds exactly (zero-cost projection)
@@ -899,8 +980,13 @@ def delta_vacuum(
         return []
     retained = versions[-keep_versions:]
     referenced: set[str] = set()
+    dv_refs: set[str] = set()
     for v in retained:
-        referenced.update(f for f, _ in delta_live_adds(spark, path, v))
+        for f, a in delta_live_adds(spark, path, v):
+            referenced.add(f)
+            d = a.get("deletionVector")
+            if d:
+                dv_refs.add(d["pathOrInlineDv"].strip("/"))
     fs, table_path, jvm = _hadoop_fs(spark, path)
     base_uri = fs.makeQualified(table_path).toUri()
     deleted = []
@@ -908,6 +994,17 @@ def delta_vacuum(
     while it.hasNext():
         status = it.next()
         rel = base_uri.relativize(status.getPath().toUri()).getPath()
+        if rel.startswith(_DV_DIR):
+            # a DV storage unit lives exactly as long as a retained
+            # snapshot's descriptor points at it; superseded units
+            # (merged into a newer one, or materialized by OPTIMIZE)
+            # are reclaimed here like any other unreferenced file
+            if rel.endswith(".parquet") and not any(
+                rel.startswith(p + "/") for p in dv_refs
+            ):
+                fs.delete(status.getPath(), False)
+                deleted.append(rel)
+            continue
         if (
             rel.endswith(".parquet")
             and not rel.startswith("_delta_log")
@@ -971,10 +1068,29 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
     _, meta_c, live_c, _ = _snapshot_state(spark, path)
     new_version = _list_versions(spark, path)[-1] + 1
     fs, _, jvm = _hadoop_fs(spark, path)
+    # an add must be (re-)committed when its path is not live OR its
+    # action differs (a deletion-vector delete re-adds the same path;
+    # restoring across it must re-stamp the old descriptor state)
+    readd = sorted(
+        f for f in live_t if live_c.get(f) != live_t[f]
+    )
     missing = [
         f
-        for f in sorted(set(live_t) - set(live_c))
-        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{f}"))
+        for f in readd
+        if f not in live_c
+        and not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{f}"))
+    ]
+    # a restored descriptor needs its DV storage unit too
+    missing += [
+        dv
+        for dv in sorted(
+            {
+                live_t[f]["deletionVector"]["pathOrInlineDv"]
+                for f in readd
+                if live_t[f].get("deletionVector")
+            }
+        )
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{dv}"))
     ]
     if missing:
         raise ValueError(
@@ -989,7 +1105,7 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
         actions.append(
             {"remove": {"path": f, "deletionTimestamp": now, "dataChange": True}}
         )
-    for f in sorted(set(live_t) - set(live_c)):
+    for f in readd:
         actions.append({"add": {**live_t[f], "dataChange": True}})
     _write_commit(spark, path, new_version, actions)
     if new_version % CHECKPOINT_INTERVAL == 0:
@@ -1049,10 +1165,44 @@ def _snapshot_scan_with_file(
     scan = scan.select(
         *[f.name for f in schema.fields],
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
-            "__ls_file"
+            "__dv_file"
         ),
+        F.col("_metadata.row_index").alias("__dv_row"),
+    )
+    # rows a deletion vector masks are logically gone: DML predicates
+    # must never see (or resurrect) them
+    scan = _dv_anti_filter(spark, path, scan, list(live.items()))
+    scan = scan.select(
+        *[f.name for f in schema.fields],
+        F.col("__dv_file").alias("__ls_file"),
     )
     return scan, base_map, meta, live
+
+
+def _read_affected_files(
+    spark: SparkSession, path: str, meta: dict, live: dict[str, dict], files
+) -> DataFrame:
+    """Read exactly ``files`` of the snapshot with the snapshot schema,
+    deletion vectors applied — the copy-on-write rewrite source. A CoW
+    rewrite of a DV-carrying file materializes the DV (the rewritten
+    file needs no descriptor); without this filter the rewrite would
+    RESURRECT merge-on-read-deleted rows."""
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    reader = spark.read.schema(schema).option("basePath", path)
+    scan = reader.parquet(*[f"{path}/{f}" for f in sorted(files)])
+    subset = [(f, live[f]) for f in files]
+    if any(a.get("deletionVector") for _, a in subset):
+        scan = scan.select(
+            *[f.name for f in schema.fields],
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_row"),
+        )
+        scan = _dv_anti_filter(spark, path, scan, subset)
+    return scan.select(*[f.name for f in schema.fields])
 
 
 def _coerce_predicate(predicate) -> "F.Column":
@@ -1068,6 +1218,7 @@ def _commit_rewrite(
     adds: list[dict],
     extra_actions: list[dict] | None = None,
     max_retries: int = 3,
+    expected: dict[str, dict] | None = None,
 ) -> int:
     """Publish a copy-on-write commit (removes for ``affected`` + staged
     ``adds``). On a lost OCC race the removes are re-validated against
@@ -1075,7 +1226,14 @@ def _commit_rewrite(
     commit retries at the next version (the staged files are reused
     verbatim, Delta's OptimisticTransaction behavior); if any was
     removed/rewritten, raises DeltaConcurrentModification — committing
-    would apply the DML to rows that no longer exist."""
+    would apply the DML to rows that no longer exist.
+
+    ``expected`` ({file: add-action snapshot}) tightens the re-validation
+    from path-liveness to action-equality. Copy-on-write DML doesn't need
+    it (any concurrent rewrite retires the old uuid path), but a
+    deletion-vector update RE-ADDS the same path — a racing DV commit
+    leaves the file live while changing its descriptor, and committing
+    over it would silently drop the winner's deletions."""
     now = int(time.time() * 1000)
     removes = [
         {"remove": {"path": f, "deletionTimestamp": now, "dataChange": True}}
@@ -1097,6 +1255,18 @@ def _commit_rewrite(
                     f"files read by this DML were removed by a concurrent "
                     f"commit to {path}: {gone[:3]}"
                 ) from None
+            if expected is not None:
+                changed = [
+                    f
+                    for f in affected
+                    if f in expected and live_now[f] != expected[f]
+                ]
+                if changed:
+                    raise DeltaConcurrentModification(
+                        f"files read by this DML were modified (e.g. a "
+                        f"deletion-vector update) by a concurrent commit "
+                        f"to {path}: {changed[:3]}"
+                    ) from None
             version = _list_versions(spark, path)[-1] + 1
     if version % CHECKPOINT_INTERVAL == 0:
         _auto_checkpoint(spark, path, version)
@@ -1293,11 +1463,14 @@ def delta_read_cdf(
         cdc_files: list[str] = []
         add_files: list[str] = []
         rm_files: list[str] = []
+        dv_adds = False
         for line in text.splitlines():
             action = json.loads(line)
             if "cdc" in action:
                 cdc_files.append(action["cdc"]["path"])
             elif "add" in action and action["add"].get("dataChange", True):
+                if action["add"].get("deletionVector"):
+                    dv_adds = True
                 add_files.append(action["add"]["path"])
             elif "remove" in action and action["remove"].get(
                 "dataChange", True
@@ -1309,6 +1482,16 @@ def delta_read_cdf(
             ).withColumn("_commit_version", F.lit(v).cast("bigint"))
             pieces.append(part)
             continue
+        if dv_adds:
+            # a DV-delete re-adds a file it did NOT fully insert, so the
+            # file-granularity fallback would misreport the whole file as
+            # inserted — exact feeds over merge-on-read deletes require
+            # cdc actions; refuse rather than corrupt the feed
+            raise ValueError(
+                f"commit {v} of {path} applies deletion vectors without "
+                "cdc actions; enable delta.enableChangeDataFeed for an "
+                "exact feed over merge-on-read deletes"
+            )
         for files, ctype in ((add_files, "insert"), (rm_files, "delete")):
             if not files:
                 continue
@@ -1353,13 +1536,7 @@ def delta_delete(spark: SparkSession, path: str, predicate) -> int:
     if not hit_names:
         return _list_versions(spark, path)[-1]
     affected = [base_map[b] for b in hit_names]
-    from pyspark.sql.types import StructType
-
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    reader = spark.read.schema(schema).option("basePath", path)
-    sub = reader.parquet(*[f"{path}/{f}" for f in sorted(affected)]).select(
-        *[f.name for f in schema.fields]
-    )
+    sub = _read_affected_files(spark, path, meta, _live, affected)
     survivors = sub.where(~pred)
     adds = _stage_data_files(
         survivors, path, meta.get("partitionColumns") or None
@@ -1404,10 +1581,7 @@ def delta_update(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    reader = spark.read.schema(schema).option("basePath", path)
-    sub = reader.parquet(*[f"{path}/{f}" for f in sorted(affected)]).select(
-        *[f.name for f in schema.fields]
-    )
+    sub = _read_affected_files(spark, path, meta, _live, affected)
     # one simultaneous select from the preimage; casts pin each updated
     # column to its declared type so UPDATE can never widen the schema
     updated = sub.select(
@@ -1501,10 +1675,7 @@ def delta_merge(
     affected = [base_map[b] for b in hit_names]
     pieces: list[DataFrame] = []
     if affected:
-        reader = spark.read.schema(schema).option("basePath", path)
-        sub = reader.parquet(
-            *[f"{path}/{f}" for f in sorted(affected)]
-        ).select(*tcols)
+        sub = _read_affected_files(spark, path, meta, _live, affected)
         # explicit match flag, not COALESCE: a matched source row that
         # carries NULL in an update column must write that NULL
         src_upd = src.select(
@@ -1568,6 +1739,214 @@ def delta_merge(
             feed = feed.unionByName(c)
         cdc = _stage_change_files(feed, path)
     return _commit_rewrite(spark, path, affected, adds, extra_actions=cdc)
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read DELETE; reader protocol v3 / writer v7)
+#
+# delta-spark's other DELETE strategy (PROTOCOL.md "Deletion Vectors"):
+# instead of rewriting every file that contains a matching row, commit
+# the SAME data file back with a descriptor pointing at a sidecar that
+# lists the deleted row positions. Write cost becomes O(deleted rows),
+# not O(bytes of affected files) — at 100 TB a point-delete touching
+# 10k files rewrites kilobytes of positions instead of terabytes of
+# parquet. The read side re-applies the DVs as a broadcast anti-join on
+# (file basename, row position); OPTIMIZE materializes them away
+# (its rewrite reads through delta_read, which already filters).
+
+
+def _dv_anti_filter(
+    spark: SparkSession, path: str, df: DataFrame, adds
+) -> DataFrame:
+    """Filter ``df`` (which carries ``__dv_file``/``__dv_row`` scan
+    metadata columns) through the deletion vectors referenced by
+    ``adds``. The DV side is restricted to exactly the (storage unit,
+    data file) pairs the live descriptors name — entries for files whose
+    DV was superseded by a later merge, or that were rewritten since,
+    can never leak in. DV rows are O(deleted rows): broadcast, never a
+    fact-side shuffle."""
+    pairs = [
+        (f.rsplit("/", 1)[-1], a["deletionVector"]["pathOrInlineDv"])
+        for f, a in adds
+        if a.get("deletionVector")
+    ]
+    if not pairs:
+        return df
+    dv_units = sorted({p for _, p in pairs})
+    valid = [f"{p.rsplit('/', 1)[-1]}||{b}" for b, p in pairs]
+    dv = (
+        spark.read.parquet(*[f"{path}/{u}" for u in dv_units])
+        .withColumn(
+            "__dv_unit",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2),
+        )
+        .where(F.concat_ws("||", F.col("__dv_unit"), F.col("file")).isin(valid))
+        .select(
+            F.col("file").alias("__del_file"),
+            F.col("row_index").alias("__del_row"),
+        )
+    )
+    return df.join(
+        F.broadcast(dv),
+        (df["__dv_file"] == dv["__del_file"])
+        & (df["__dv_row"] == dv["__del_row"]),
+        "left_anti",
+    )
+
+
+def _dv_protocol_upgrade(proto: dict | None) -> dict | None:
+    """The protocol action a DV-delete commit must carry when the table
+    does not yet declare the deletionVectors table feature (None when it
+    already does). Upgrading a legacy-version table re-expresses its
+    implied writer features explicitly, per PROTOCOL.md's version-7
+    rule that writerFeatures lists EVERY feature the table uses —
+    constraints enforced at v3 stay declared as checkConstraints."""
+    feats = set(proto.get("readerFeatures") or ()) if proto else set()
+    if (
+        proto is not None
+        and int(proto.get("minReaderVersion", 1)) >= 3
+        and "deletionVectors" in feats
+    ):
+        return None
+    rf = sorted(feats | {"deletionVectors"})
+    wf = sorted(
+        set((proto or {}).get("writerFeatures") or ())
+        | {"deletionVectors", "checkConstraints"}
+    )
+    return {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": rf,
+            "writerFeatures": wf,
+        }
+    }
+
+
+def delta_delete_dv(spark: SparkSession, path: str, predicate) -> int:
+    """``DELETE FROM t WHERE predicate`` via deletion vectors
+    (merge-on-read), the delta-spark DV write path.
+
+    Plan: ONE snapshot scan (existing DVs applied, so re-deletes and CDF
+    images never resurrect already-deleted rows) evaluates the predicate
+    and emits (file basename, row position) hit pairs; hits are unioned
+    with the affected files' prior DV rows (descriptor merge — per-file
+    DVs are monotone) and written distributed as this commit's single DV
+    storage unit. The commit then re-adds each partially-affected file
+    with the new descriptor (remove+add of the SAME path — no data file
+    is read or rewritten) and plain-removes files whose DV now covers
+    every row. First DV commit upgrades the table protocol to reader
+    v3 / writer v7 with the deletionVectors table feature.
+
+    Returns the committed version (current version if nothing matched).
+    Composes with OCC retry (action-equality re-validation via
+    ``expected`` — a racing DV update on the same file aborts rather
+    than dropping its deletions), CDF (delete images from the same
+    scan), checkpoints (descriptor round-trips through the checkpoint
+    schema), RESTORE, and OPTIMIZE (materializes DVs away)."""
+    from pyspark.sql.types import StructType
+
+    pred = _coerce_predicate(predicate)
+    proto, meta, live, _ = _snapshot_state(spark, path)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    versions = _list_versions(spark, path)
+    if not live:
+        return versions[-1]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    base_map = {f.rsplit("/", 1)[-1]: f for f in live}
+    reader = spark.read.schema(schema).option("basePath", path)
+    scan = reader.parquet(*[f"{path}/{f}" for f in sorted(live)]).select(
+        *[f.name for f in schema.fields],
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "__dv_file"
+        ),
+        F.col("_metadata.row_index").alias("__dv_row"),
+    )
+    scan = _dv_anti_filter(spark, path, scan, list(live.items()))
+    hits = scan.where(pred)
+    # materialize the hit positions once (executor-local): the affected-
+    # file listing, the DV merge, the cardinality agg and the DV write
+    # all consume them, and the snapshot scan must run exactly once
+    new_rows = hits.select(
+        F.col("__dv_file").alias("file"), F.col("__dv_row").alias("row_index")
+    ).localCheckpoint()
+    hit_files = [
+        r["file"] for r in new_rows.select("file").distinct().collect()
+    ]
+    if not hit_files:
+        return versions[-1]
+    # merge with the affected files' existing DV rows (restricted to the
+    # exact live (unit, file) descriptor pairs, as in _dv_anti_filter)
+    prior = [
+        (b, live[base_map[b]]["deletionVector"])
+        for b in hit_files
+        if live[base_map[b]].get("deletionVector")
+    ]
+    merged = new_rows
+    if prior:
+        units = sorted({d["pathOrInlineDv"] for _, d in prior})
+        valid = [
+            f"{d['pathOrInlineDv'].rsplit('/', 1)[-1]}||{b}" for b, d in prior
+        ]
+        old = (
+            spark.read.parquet(*[f"{path}/{u}" for u in units])
+            .withColumn(
+                "__dv_unit",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2),
+            )
+            .where(
+                F.concat_ws("||", F.col("__dv_unit"), F.col("file")).isin(valid)
+            )
+            .select("file", "row_index")
+        )
+        merged = merged.unionByName(old)
+    card = {
+        r["file"]: r["n"]
+        for r in merged.groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    dv_rel = f"{_DV_DIR}/dv-{uuid.uuid4().hex}"
+    merged.write.parquet(f"{path}/{dv_rel}")
+    adds_out: list[dict] = []
+    affected: list[str] = []
+    for b in sorted(card):
+        f = base_map[b]
+        old_add = live[f]
+        affected.append(f)
+        num = None
+        if old_add.get("stats"):
+            num = json.loads(old_add["stats"]).get("numRecords")
+        if num is not None and card[b] >= int(num):
+            continue  # DV covers the whole file → plain remove
+        new_add = dict(old_add)
+        new_add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": dv_rel,
+            "cardinality": int(card[b]),
+        }
+        new_add["dataChange"] = True
+        adds_out.append({"add": new_add})
+    extra: list[dict] = []
+    upgrade = _dv_protocol_upgrade(proto)
+    if upgrade is not None:
+        extra.append(upgrade)
+    if _cdf_enabled(meta):
+        extra += _stage_change_files(
+            hits.select(*[f.name for f in schema.fields]).withColumn(
+                "_change_type", F.lit("delete")
+            ),
+            path,
+        )
+    return _commit_rewrite(
+        spark,
+        path,
+        sorted(affected),
+        adds_out,
+        extra_actions=extra,
+        expected={f: live[f] for f in affected},
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1894,6 +2273,39 @@ def delta_native_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors: two DV deletes land as
+    descriptor commits (the data files written at version 0 are never
+    rewritten — asserted in tests/test_delta_log.py), the second merging
+    its positions into the first's on shared files. The snapshot scan
+    re-applies the DVs as a broadcast anti-join on (file, row position).
+    Grouped totals oracle the final logical state."""
+    import tempfile
+
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_dv_")
+    delta_write(
+        o.repartition(8), path, mode="overwrite", stats_cols=["o_orderkey"]
+    )
+    delta_delete_dv(spark, path, "o_orderkey % 3 = 0")
+    delta_delete_dv(spark, path, "o_orderstatus = 'O' AND o_orderkey % 5 = 1")
+    back = delta_read(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed over DML commits: a CDF-enabled table takes a
     DELETE (v1) then an UPDATE (v2); ``delta_read_cdf(1, 2)`` returns
@@ -1931,6 +2343,27 @@ def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "delta_native_deletion_vectors",
+        delta_native_deletion_vectors,
+        """
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        survivors AS (
+          SELECT * FROM base
+          WHERE NOT (o_orderkey % 3 = 0)
+            AND NOT (o_orderstatus = 'O' AND o_orderkey % 5 = 1))
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM survivors GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        tags=("parity", "delta", "io", "dml"),
+        description="Merge-on-read DELETE via deletion vectors: descriptor "
+        "commits (reader v3 table feature), no data file rewritten; the "
+        "read re-applies DVs as a broadcast anti-join.",
+    ),
     QueryDef(
         "delta_native_cdf_capture",
         delta_native_cdf_capture,

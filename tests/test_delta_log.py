@@ -461,16 +461,51 @@ def test_reader_refuses_higher_protocol_version(spark, sf_smoke):
     n = load_table(spark, sf_smoke, "nation")
     path = tempfile.mkdtemp(prefix="ls_dl_proto_r_")
     delta_write(n, path, mode="overwrite")  # v0, protocol (1, 2)
-    # a foreign writer upgrades the table to reader v3 / writer v7
+    # a foreign writer upgrades the table to reader v3 / writer v7 with
+    # a table feature this engine does not implement
     delta_log._write_commit(
-        spark, path, 1, [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}]
+        spark,
+        path,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping"],
+                    "writerFeatures": ["columnMapping"],
+                }
+            }
+        ],
     )
-    with pytest.raises(ValueError, match="minReaderVersion=3"):
+    with pytest.raises(ValueError, match="columnMapping"):
         delta_read(spark, path)
-    with pytest.raises(ValueError, match="minReaderVersion=3"):
+    with pytest.raises(ValueError, match="columnMapping"):
         delta_write(n, path, mode="append")  # replan folds the log too
     # snapshots below the upgrade commit are still this reader's dialect
     assert delta_read(spark, path, version=0).count() == n.count()
+    # a v3 protocol that LISTS no features is malformed — refuse too
+    path2 = tempfile.mkdtemp(prefix="ls_dl_proto_r2_")
+    delta_write(n, path2, mode="overwrite")
+    delta_log._write_commit(
+        spark,
+        path2,
+        1,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}],
+    )
+    with pytest.raises(ValueError, match="reader features"):
+        delta_read(spark, path2)
+    # reader v2 (column mapping, pre-table-features) is above v1: refuse
+    path3 = tempfile.mkdtemp(prefix="ls_dl_proto_r3_")
+    delta_write(n, path3, mode="overwrite")
+    delta_log._write_commit(
+        spark,
+        path3,
+        1,
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}],
+    )
+    with pytest.raises(ValueError, match="minReaderVersion=2"):
+        delta_read(spark, path3)
 
 
 def test_writer_refuses_higher_writer_version_reader_still_works(spark, sf_smoke):
@@ -1166,3 +1201,296 @@ def test_check_constraints_enforced_across_write_paths(spark, sf_smoke):
         )
     with pytest.raises(ValueError, match="minWriterVersion=4"):
         delta_write(n.limit(1), proto_path, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (merge-on-read DELETE; reader v3 / writer v7 features)
+
+
+def _dv_table(spark, prefix: str, n_rows: int = 200, parts: int = 4) -> str:
+    """A fresh DV-test table: n_rows of (id, v) spread over `parts`
+    files, per-file stats recorded so full-file deletion is detectable."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_write,
+    )
+
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    path = tempfile.mkdtemp(prefix=prefix)
+    delta_write(df.repartition(parts), path, stats_cols=["id"])
+    return path
+
+
+def test_dv_delete_commits_descriptor_not_rewrite(spark):
+    """A DV delete must not rewrite or retire any data file: the commit
+    re-adds the SAME paths with deletionVector descriptors, upgrades the
+    protocol to the deletionVectors table feature, and the snapshot scan
+    filters the deleted positions."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+    )
+
+    path = _dv_table(spark, "ls_dv_basic_")
+    before = {f for f, _ in delta_live_adds(spark, path)}
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+    )
+
+    assert delta_delete_dv(spark, path, "id % 3 = 0") == 1
+    adds = delta_live_adds(spark, path)
+    assert {f for f, _ in adds} == before, "data file set must not change"
+    descs = [a["deletionVector"] for _, a in adds]
+    assert all(d["storageType"] == "u" for d in descs)
+    assert sum(d["cardinality"] for d in descs) == len(
+        [i for i in range(200) if i % 3 == 0]
+    )
+    # protocol upgraded in the same commit
+    actions = _actions(path, 1)
+    protos = [a["protocol"] for a in actions if "protocol" in a]
+    assert protos and protos[0]["minReaderVersion"] == 3
+    assert "deletionVectors" in protos[0]["readerFeatures"]
+    assert "deletionVectors" in protos[0]["writerFeatures"]
+    # remove+add pairs for every affected file, no new data files
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds.count("remove") == kinds.count("add")
+    got = sorted(r["id"] for r in delta_read(spark, path).collect())
+    assert got == [i for i in range(200) if i % 3 != 0]
+
+
+def test_dv_second_delete_merges_descriptors(spark):
+    """Per-file DVs are monotone: a second delete's descriptor covers
+    the union of both deletes' positions (prior units merged in), and
+    cardinalities count the union exactly."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_live_adds,
+    )
+
+    path = _dv_table(spark, "ls_dv_merge_")
+    delta_delete_dv(spark, path, "id % 3 = 0")
+    delta_delete_dv(spark, path, "id % 5 = 0")
+    adds = delta_live_adds(spark, path)
+    total = sum(
+        a["deletionVector"]["cardinality"]
+        for _, a in adds
+        if a.get("deletionVector")
+    )
+    expect_deleted = len(
+        [i for i in range(200) if i % 3 == 0 or i % 5 == 0]
+    )
+    assert total == expect_deleted
+    got = sorted(r["id"] for r in delta_read(spark, path).collect())
+    assert got == [i for i in range(200) if i % 3 != 0 and i % 5 != 0]
+    # every live descriptor points at the SECOND commit's storage unit
+    units = {
+        a["deletionVector"]["pathOrInlineDv"]
+        for _, a in adds
+        if a.get("deletionVector")
+    }
+    assert len(units) == 1
+
+
+def test_dv_full_file_delete_becomes_remove(spark):
+    """When a DV would cover every row of a file (per the add's
+    numRecords stats) the commit plain-removes the file instead of
+    carrying a 100%-dead descriptor."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_live_adds,
+        delta_write,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 2).cast("string").alias("bucket"), F.col("id")
+    )
+    path = tempfile.mkdtemp(prefix="ls_dv_full_")
+    delta_write(
+        df.repartition(2),
+        path,
+        partition_by=["bucket"],
+        stats_cols=["id"],
+    )
+    delta_delete_dv(spark, path, "bucket = '1'")
+    adds = delta_live_adds(spark, path)
+    assert all(
+        a.get("partitionValues", {}).get("bucket") == "0" for _, a in adds
+    ), "files of the fully-deleted partition must be removed outright"
+    assert all(not a.get("deletionVector") for _, a in adds)
+    got = sorted(r["id"] for r in delta_read(spark, path).collect())
+    assert got == [i for i in range(100) if i % 2 == 0]
+
+
+def test_dv_time_travel_restore_checkpoint(spark):
+    """DVs are MVCC like everything else: pre-delete snapshots read
+    complete, RESTORE across a DV commit re-stamps the old descriptor
+    state (including descriptor-free), and the descriptor + feature
+    protocol survive a checkpoint round-trip."""
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_checkpoint,
+        delta_delete_dv,
+        delta_restore,
+    )
+
+    path = _dv_table(spark, "ls_dv_tt_")
+    delta_delete_dv(spark, path, "id % 3 = 0")  # v1
+    delta_delete_dv(spark, path, "id % 5 = 0")  # v2
+    assert delta_read(spark, path, version=0).count() == 200
+    assert (
+        delta_read(spark, path, version=1).count()
+        == len([i for i in range(200) if i % 3 != 0])
+    )
+    # checkpoint round-trip: resolve v2 purely from the checkpoint
+    cv = delta_checkpoint(spark, path)
+    proto, meta, live, _ = delta_log._read_checkpoint(spark, path, cv)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    descs = [
+        a["deletionVector"] for a in live.values() if a.get("deletionVector")
+    ]
+    assert descs and all(
+        d["cardinality"] > 0 and d["pathOrInlineDv"] for d in descs
+    )
+    # restore to v1: descriptors revert to the first delete's state
+    delta_restore(spark, path, 1)
+    got = sorted(r["id"] for r in delta_read(spark, path).collect())
+    assert got == [i for i in range(200) if i % 3 != 0]
+    # restore to v0: descriptor-free
+    delta_restore(spark, path, 0)
+    assert delta_read(spark, path).count() == 200
+
+
+def test_dv_optimize_materializes_and_vacuum_reclaims(spark):
+    """OPTIMIZE reads through the DVs and rewrites clean files (the
+    descriptors disappear); VACUUM protects storage units any retained
+    snapshot references and reclaims them once superseded."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_live_adds,
+        delta_optimize,
+        delta_vacuum,
+    )
+
+    path = _dv_table(spark, "ls_dv_opt_")
+    delta_delete_dv(spark, path, "id % 3 = 0")  # v1: unit A
+    delta_delete_dv(spark, path, "id % 5 = 0")  # v2: unit B (supersedes A)
+    # retain v1+v2: unit A is still referenced by v1's snapshot
+    deleted = delta_vacuum(spark, path, keep_versions=2)
+    assert not any(d.startswith("_deletion_vectors") for d in deleted)
+    # retain only v2: unit A is unreferenced now
+    deleted = delta_vacuum(spark, path, keep_versions=1)
+    assert any(d.startswith("_deletion_vectors") for d in deleted)
+    expect = [i for i in range(200) if i % 3 != 0 and i % 5 != 0]
+    assert sorted(
+        r["id"] for r in delta_read(spark, path).collect()
+    ) == expect
+    delta_optimize(spark, path)
+    adds = delta_live_adds(spark, path)
+    assert all(not a.get("deletionVector") for _, a in adds)
+    # with the descriptors gone, the last unit is reclaimable too
+    deleted = delta_vacuum(spark, path, keep_versions=1)
+    assert any(d.startswith("_deletion_vectors") for d in deleted)
+    assert sorted(
+        r["id"] for r in delta_read(spark, path).collect()
+    ) == expect
+
+
+def test_dv_concurrent_dv_update_conflict(spark, monkeypatch):
+    """Two DV deletes racing on the SAME files: the loser must abort
+    (action-equality re-validation) — its descriptor was derived from a
+    superseded DV state, and committing it would silently drop the
+    winner's deletions. Path-liveness alone cannot catch this (the
+    data file stays live throughout)."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        DeltaConcurrentModification,
+        delta_delete_dv,
+    )
+
+    path = _dv_table(spark, "ls_dv_race_")
+    real = delta_log._write_commit
+    state = {"raced": False}
+
+    def dv_races(spark_, p, version, actions):
+        if not state["raced"] and any("remove" in a for a in actions):
+            state["raced"] = True
+            monkeypatch.setattr(delta_log, "_write_commit", real)
+            delta_delete_dv(spark_, p, "id % 7 = 0")
+            monkeypatch.setattr(delta_log, "_write_commit", dv_races)
+        return real(spark_, p, version, actions)
+
+    monkeypatch.setattr(delta_log, "_write_commit", dv_races)
+    with pytest.raises(DeltaConcurrentModification):
+        delta_delete_dv(spark, path, "id % 3 = 0")
+    monkeypatch.setattr(delta_log, "_write_commit", real)
+    # the winner's deletions survived intact
+    got = sorted(r["id"] for r in delta_read(spark, path).collect())
+    assert got == [i for i in range(200) if i % 7 != 0]
+
+
+def test_dv_cdf_exact_and_fallback_refusal(spark):
+    """On a CDF-enabled table a DV delete writes exact cdc delete
+    images (already-deleted rows never reappear in later feeds); on a
+    non-CDF table the file-granularity CDF fallback REFUSES a DV commit
+    instead of misreporting the re-added file as inserted."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_read_cdf,
+        delta_write,
+    )
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    path = tempfile.mkdtemp(prefix="ls_dv_cdf_")
+    delta_write(
+        df.repartition(4),
+        path,
+        stats_cols=["id"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_delete_dv(spark, path, "id % 3 = 0")  # v1
+    delta_delete_dv(spark, path, "id % 3 = 1")  # v2: disjoint images
+    feed1 = delta_read_cdf(spark, path, 1, 1)
+    assert sorted(r["id"] for r in feed1.collect()) == [
+        i for i in range(100) if i % 3 == 0
+    ]
+    feed2 = delta_read_cdf(spark, path, 2, 2)
+    assert sorted(r["id"] for r in feed2.collect()) == [
+        i for i in range(100) if i % 3 == 1
+    ]
+    assert set(r["_change_type"] for r in feed2.collect()) == {"delete"}
+    # non-CDF table: fallback refuses rather than corrupts
+    path2 = _dv_table(spark, "ls_dv_nocdf_")
+    delta_delete_dv(spark, path2, "id % 3 = 0")
+    with pytest.raises(ValueError, match="deletion vectors without"):
+        delta_read_cdf(spark, path2, 1, 1)
+
+
+def test_dv_interleaved_with_cow_dml_and_append(spark):
+    """Lifecycle: DV delete → append → copy-on-write UPDATE → DV delete
+    again; every mechanism sees through the others' commits."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_update,
+        delta_write,
+    )
+
+    path = _dv_table(spark, "ls_dv_mix_")
+    delta_delete_dv(spark, path, "id >= 150")  # keep 0..149
+    extra = spark.range(200, 220).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+    delta_write(extra, path, mode="append", stats_cols=["id"])
+    # CoW update rewrites affected files; their DVs must be applied in
+    # the rewrite (deleted rows must NOT resurrect)
+    delta_update(spark, path, "id % 10 = 0", {"v": F.col("v") + 1})
+    delta_delete_dv(spark, path, "id < 10")
+    rows = {r["id"]: r["v"] for r in delta_read(spark, path).collect()}
+    expect_ids = [i for i in range(10, 150)] + list(range(200, 220))
+    assert sorted(rows) == expect_ids
+    for i in expect_ids:
+        assert rows[i] == i * 2 + (1 if i % 10 == 0 else 0)

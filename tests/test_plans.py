@@ -380,3 +380,28 @@ def test_domain_filter_aggregates_before_global_window(spark, sf_smoke):
     assert single_pos > agg_pos
     cols = set(read_schema_columns(df))
     assert cols == {"doc_id", "text", "source"}, cols
+
+
+def test_dv_read_is_broadcast_anti_join(spark):
+    """A snapshot read over deletion vectors must apply them as a
+    BROADCAST left-anti join on (file, row position): the DV side is
+    O(deleted rows), and a shuffled anti-join would move the whole fact
+    scan for a point-delete's worth of positions."""
+    import tempfile
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_read,
+        delta_write,
+    )
+
+    df = spark.range(500).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    path = tempfile.mkdtemp(prefix="ls_plan_dv_")
+    delta_write(df.repartition(4), path, stats_cols=["id"])
+    delta_delete_dv(spark, path, "id % 9 = 0")
+    back = delta_read(spark, path)
+    plan = explain_str(back)
+    assert "LeftAnti" in plan
+    assert broadcast_join_count(back) >= 1
+    # the fact side must not gain an exchange for the anti-join
+    assert shuffle_count(back) == 0
