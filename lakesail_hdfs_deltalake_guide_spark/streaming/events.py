@@ -201,7 +201,97 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).orderBy("user_id", "session_start_us")
 
 
+def streaming_delta_exactly_once_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once streaming ingest into the native Delta log — the
+    protocol's ``txn`` (appId, version) idempotent-writer mechanism,
+    delta-spark's streaming-sink design (txnAppId/txnVersion).
+
+    The events fixture is staged as three source files and streamed with
+    ``maxFilesPerTrigger=1`` (three micro-batches). Each batch appends to
+    the Delta table with ``txn=(app, batch_id)`` after consulting
+    ``delta_last_txn`` — so when at-least-once delivery re-fires a batch
+    (job restart, checkpoint replay), the sink sees the batch id already
+    committed and skips. The replay is then SIMULATED: the sink is
+    re-invoked with every batch id it already processed; the table
+    version must not advance. Final grouped totals oracle against plain
+    SQL over events — duplicates would break the counts."""
+    from ..sources.delta_log import delta_last_txn, delta_write
+    from ..sources.delta_log import _list_versions, delta_read
+    from ..tables import load_table
+
+    configure_session(spark)
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", _cents().alias("cents")
+    )
+    src_dir = tempfile.mkdtemp(prefix="ls_stream_e1src_")
+    base.repartition(3).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    table = tempfile.mkdtemp(prefix="ls_delta_e1sink_")
+    app = "events_ingest"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = delta_last_txn(batch_df.sparkSession, table, app)
+        if last is not None and batch_id <= last:
+            return  # already durably committed — replayed delivery
+        delta_write(batch_df, table, mode="append", txn=(app, int(batch_id)))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ls_ckpt_e1_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    # simulate an at-least-once replay of every batch after a "restart":
+    # the txn guard must skip them all without advancing the table
+    v_before = _list_versions(spark, table)[-1]
+    replay = spark.read.parquet(src_dir)
+    for bid in range(v_before + 1):
+        sink(replay, bid)
+    v_after = _list_versions(spark, table)[-1]
+    if v_after != v_before:
+        raise AssertionError(
+            f"replayed batches advanced the table: {v_before} -> {v_after}"
+        )
+    return (
+        delta_read(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "streaming_delta_exactly_once_sink",
+        streaming_delta_exactly_once_sink,
+        """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+        tags=("parity", "streaming", "delta", "io"),
+        description="foreachBatch micro-batches append to the native Delta "
+        "log with txn (appId, version); replayed deliveries are skipped — "
+        "exactly-once ingest on at-least-once delivery.",
+    ),
     QueryDef(
         "streaming_tumbling_counts",
         streaming_tumbling_counts,
