@@ -33,6 +33,7 @@ _TIER_MODULES = (
     "sources.layout",
     "sources.pysource",
     "sources.delta_log",
+    "sources.delta_stream",
     "operators.dedup",
     "operators.similarity",
     "operators.multimodal",

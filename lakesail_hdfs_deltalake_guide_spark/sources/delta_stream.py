@@ -1,0 +1,315 @@
+"""Streaming SOURCE over the native Delta log (incremental ingest).
+
+delta-spark's other streaming half: a Delta table is not just a sink,
+it is a **source** — `spark.readStream.format("delta")` tails the
+transaction log and emits each commit's added files as micro-batches,
+giving downstream pipelines exactly-once incremental ingest with the
+log itself as the offset ledger. The reference's Delta surface
+(``/root/reference/README.md:302``) is batch-only; this closes the
+loop for the engine's own protocol-level log (sources/delta_log.py).
+
+Spark has no built-in reader for our log (delta-spark jars absent —
+SCALE.md), so the source is built on the Spark 4 Python DataSource API
+(same machinery as sources/pysource.py):
+
+- **Offsets are log versions** (``{"version": N}``); a micro-batch
+  covers commits ``(start, end]``. The offset ledger is the log — no
+  side state, and a checkpoint-restarted query resumes at the exact
+  commit boundary it left off.
+- **partitions() maps one added file → one input partition** (planned
+  driver-side from the commit JSON, metadata-sized); executors read
+  their file via pyarrow and yield **Arrow RecordBatches** — the
+  vectorized fast path through the Python source API, no per-row
+  Python loop.
+- **dataChange discipline** follows delta-spark: append commits stream
+  their adds; layout commits (OPTIMIZE/compaction, ``dataChange:
+  false``) contribute NOTHING (their adds are rewrites of already-
+  streamed rows); commits that remove or re-stamp live data
+  (overwrite, DML, deletion vectors) are not expressible as an
+  append-only feed — the source raises unless
+  ``skipChangeCommits=true`` (delta-spark's option of the same name)
+  tells it to skip them wholesale.
+
+Scale posture: batch planning folds only the commit tail (never the
+data), each added file is an independent executor-side columnar read,
+and throughput scales with files-per-commit exactly like the batch
+scan. A 100 TB table streaming 1 GB/min of appends plans ~10 file
+partitions per trigger from a few KB of JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from ..querydef import QueryDef
+
+# Spark DDL atom → pyarrow type factory, for typed-null columns when a
+# file predates a schema evolution (kept to the types the fixtures use;
+# anything else fails loudly rather than miscasting)
+_ARROW_TYPES = {
+    "long": "int64",
+    "bigint": "int64",
+    "integer": "int32",
+    "int": "int32",
+    "double": "float64",
+    "string": "string",
+    "boolean": "bool",
+}
+
+
+class _AddFilePartition(InputPartition):
+    def __init__(self, abs_path: str, columns: list[tuple[str, str]]) -> None:
+        self.abs_path = abs_path
+        self.columns = columns  # [(name, spark_ddl_type)] in schema order
+
+
+def _list_log_versions(log_dir: str) -> list[int]:
+    """Driver-side listing of commit versions via pyarrow's filesystem
+    (the source API has no JVM access; pyarrow spans file:// and
+    hdfs:// the same way the engine's footer reads do)."""
+    from pyarrow import fs as pafs
+
+    fsys, root = pafs.FileSystem.from_uri(log_dir)
+    try:
+        infos = fsys.get_file_info(pafs.FileSelector(root, recursive=False))
+    except FileNotFoundError:
+        return []
+    out = []
+    for info in infos:
+        name = info.base_name
+        if name.endswith(".json") and name[:-5].isdigit():
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def _read_commit(log_dir: str, version: int) -> list[dict]:
+    from pyarrow import fs as pafs
+
+    fsys, root = pafs.FileSystem.from_uri(f"{log_dir}/{version:020d}.json")
+    with fsys.open_input_stream(root) as f:
+        text = f.read().decode()
+    return [json.loads(line) for line in text.splitlines() if line.strip()]
+
+
+class DeltaLogStreamReader(DataSourceStreamReader):
+    """Log-tailing stream reader: offsets are commit versions."""
+
+    def __init__(self, options, schema_fields: list[tuple[str, str]]) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("delta_native_stream requires option 'path'")
+        self.log_dir = f"{self.path}/_delta_log"
+        self.starting = int(options.get("startingVersion", "0"))
+        self.skip_change = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
+        self.fields = schema_fields
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting - 1}
+
+    def latestOffset(self) -> dict:
+        versions = _list_log_versions(self.log_dir)
+        if not versions:
+            raise ValueError(f"no delta table at {self.path}")
+        return {"version": versions[-1]}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        available = set(_list_log_versions(self.log_dir))
+        want = set(range(lo + 1, hi + 1))
+        if not want <= available:
+            raise ValueError(
+                f"streaming range ({lo}, {hi}] of {self.path} is no "
+                f"longer reconstructible: commits "
+                f"{sorted(want - available)} were removed by log cleanup"
+            )
+        parts: list[_AddFilePartition] = []
+        for v in sorted(want):
+            actions = _read_commit(self.log_dir, v)
+            adds = [
+                a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            data_removes = any(
+                "remove" in a and a["remove"].get("dataChange", True)
+                for a in actions
+            )
+            dv_adds = any(a.get("deletionVector") for a in adds)
+            if data_removes or dv_adds:
+                # not an append: overwrite/DML/DV re-stamp — delta-spark
+                # semantics: error unless told to skip the whole commit
+                if self.skip_change:
+                    continue
+                raise ValueError(
+                    f"commit {v} of {self.path} updates or deletes live "
+                    "rows; an append-only stream cannot represent it "
+                    "(set skipChangeCommits=true to skip such commits)"
+                )
+            parts.extend(
+                _AddFilePartition(f"{self.path}/{a['path']}", self.fields)
+                for a in adds
+            )
+        # a range of pure layout/skipped commits still needs ≥1 (empty)
+        # partition — the API requires a non-empty plan
+        return parts or [_AddFilePartition("", self.fields)]
+
+    def read(self, partition: _AddFilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        if not partition.abs_path:
+            return iter(())
+        fsys, p = pafs.FileSystem.from_uri(partition.abs_path)
+        table = pq.read_table(p, filesystem=fsys)
+        # conform to the declared schema: evolution-added columns a
+        # pre-evolution file lacks become typed nulls, order pinned
+        arrays = []
+        for name, ddl in partition.columns:
+            if name in table.column_names:
+                arrays.append(table[name].combine_chunks())
+            else:
+                if ddl not in _ARROW_TYPES:
+                    raise ValueError(
+                        f"cannot synthesize nulls for evolved column "
+                        f"{name} of type {ddl}"
+                    )
+                arrays.append(
+                    pa.nulls(len(table), getattr(pa, _ARROW_TYPES[ddl])())
+                )
+        out = pa.table(dict(zip([n for n, _ in partition.columns], arrays)))
+        return iter(out.to_batches())
+
+    def commit(self, end: dict) -> None:
+        pass  # the log IS the ledger; nothing external to acknowledge
+
+
+class DeltaLogStreamSource(DataSource):
+    """``spark.readStream.format("delta_native_stream").option("path", t)``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_native_stream"
+
+    def schema(self) -> str:
+        # resolve the table's current metaData schema driver-side from
+        # the newest commit that carries one (checkpoint-free walk is
+        # fine: metaData re-appears in the JSON tail on every evolution)
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_native_stream requires option 'path'")
+        log_dir = f"{path}/_delta_log"
+        versions = _list_log_versions(log_dir)
+        if not versions:
+            raise ValueError(f"no delta table at {path}")
+        for v in reversed(versions):
+            for action in _read_commit(log_dir, v):
+                if "metaData" in action:
+                    fields = json.loads(action["metaData"]["schemaString"])[
+                        "fields"
+                    ]
+                    self._fields = [(f["name"], f["type"]) for f in fields]
+                    return ", ".join(
+                        f"{n} {t}" for n, t in self._fields
+                    )
+        raise ValueError(f"no metaData action found in the log at {path}")
+
+    def streamReader(self, schema):
+        fields = [(f.name, f.dataType.simpleString()) for f in schema]
+        return DeltaLogStreamReader(self.options, fields)
+
+
+def register_delta_stream_source(spark: SparkSession) -> None:
+    spark.dataSource.register(DeltaLogStreamSource)
+
+
+# ---------------------------------------------------------------------------
+# Registered query
+
+
+def delta_stream_incremental_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end log tailing: four append commits land disjoint orders
+    slices (plus an OPTIMIZE between them that must contribute ZERO
+    rows — its adds are dataChange=false rewrites), the stream drains
+    with availableNow through a foreachBatch sink, and the grouped
+    totals equal plain SQL over ALL orders: any double-read (optimize
+    rewrite streamed) or drop (append missed) breaks the counts."""
+    from ..session import configure_session
+    from ..tables import load_table
+    from .delta_log import delta_optimize, delta_write
+
+    configure_session(spark)
+    register_delta_stream_source(spark)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    table = tempfile.mkdtemp(prefix="ls_delta_src_")
+    delta_write(o.where("o_orderkey % 4 = 0"), table, mode="overwrite")
+    delta_write(o.where("o_orderkey % 4 = 1"), table, mode="append")
+    delta_optimize(spark, table)  # layout-only: must stream nothing
+    delta_write(o.where("o_orderkey % 4 = 2"), table, mode="append")
+    delta_write(o.where("o_orderkey % 4 = 3"), table, mode="append")
+    stream = (
+        spark.readStream.format("delta_native_stream")
+        .option("path", table)
+        .load()
+    )
+    out_dir = tempfile.mkdtemp(prefix="ls_delta_src_out_")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: batch_df.write.mode("append").parquet(
+                out_dir
+            )
+        )
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="ls_delta_src_ckpt_"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "delta_stream_incremental_ingest",
+        delta_stream_incremental_ingest,
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        tags=("parity", "streaming", "delta", "io"),
+        description="Streaming SOURCE over the native Delta log: commit "
+        "versions as offsets, one added file per input partition, "
+        "Arrow-batch executor reads; OPTIMIZE commits stream nothing.",
+    ),
+]

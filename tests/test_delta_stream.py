@@ -1,0 +1,142 @@
+"""Contracts for the native-Delta streaming SOURCE (log tailing):
+offset resumption across restarts, dataChange discipline, schema
+evolution conformance, startingVersion."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+    delta_delete_dv,
+    delta_optimize,
+    delta_write,
+)
+from lakesail_hdfs_deltalake_guide_spark.sources.delta_stream import (
+    register_delta_stream_source,
+)
+
+
+def _drain(spark, table: str, out_dir: str, ckpt: str, **opts) -> None:
+    reader = spark.readStream.format("delta_native_stream").option(
+        "path", table
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(
+            lambda b, _id: b.write.mode("append").parquet(out_dir)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _ids(spark, out_dir: str) -> list[int]:
+    return sorted(r["id"] for r in spark.read.parquet(out_dir).collect())
+
+
+def test_stream_resumes_from_checkpoint(spark):
+    """availableNow drains the log, new appends land, a restart with the
+    SAME checkpoint ingests ONLY the new commits — the log versions are
+    the offset ledger, so nothing is re-read or missed."""
+    register_delta_stream_source(spark)
+    table = tempfile.mkdtemp(prefix="ls_ds_resume_")
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    delta_write(df.where("id < 40"), table, mode="overwrite")
+    delta_write(df.where("id >= 40 AND id < 70"), table, mode="append")
+    out = tempfile.mkdtemp(prefix="ls_ds_out_")
+    ckpt = tempfile.mkdtemp(prefix="ls_ds_ckpt_")
+    _drain(spark, table, out, ckpt)
+    assert _ids(spark, out) == list(range(70))
+    delta_write(df.where("id >= 70"), table, mode="append")
+    _drain(spark, table, out, ckpt)  # same checkpoint: resumes at v2
+    assert _ids(spark, out) == list(range(100)), "restart must not re-read"
+
+
+def test_stream_optimize_contributes_nothing(spark):
+    """dataChange=false layout commits (OPTIMIZE) must stream zero rows
+    even though they carry add actions."""
+    register_delta_stream_source(spark)
+    table = tempfile.mkdtemp(prefix="ls_ds_opt_")
+    df = spark.range(50).select(F.col("id"))
+    delta_write(df.repartition(4), table)
+    delta_optimize(spark, table)
+    out = tempfile.mkdtemp(prefix="ls_ds_opt_out_")
+    _drain(spark, table, out, tempfile.mkdtemp(prefix="ls_ds_opt_ck_"))
+    assert _ids(spark, out) == list(range(50))
+
+
+def test_stream_change_commit_errors_unless_skipped(spark):
+    """A commit that deletes live rows (here a DV delete) cannot be
+    expressed as an append feed: the stream must raise — and with
+    skipChangeCommits=true skip the commit wholesale, delta-spark's
+    documented semantics."""
+    import pytest
+
+    register_delta_stream_source(spark)
+    table = tempfile.mkdtemp(prefix="ls_ds_chg_")
+    df = spark.range(60).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    delta_write(df.where("id < 30"), table, stats_cols=["id"])
+    delta_delete_dv(spark, table, "id % 5 = 0")  # v1: change commit
+    delta_write(df.where("id >= 30"), table, mode="append")  # v2
+    out = tempfile.mkdtemp(prefix="ls_ds_chg_out_")
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _drain(
+            spark, table, out, tempfile.mkdtemp(prefix="ls_ds_chg_ck1_")
+        )
+    out2 = tempfile.mkdtemp(prefix="ls_ds_chg_out2_")
+    _drain(
+        spark,
+        table,
+        out2,
+        tempfile.mkdtemp(prefix="ls_ds_chg_ck2_"),
+        skipChangeCommits="true",
+    )
+    # v0 and v2 stream in full; the DV commit is skipped entirely (its
+    # deletions are invisible to the append feed — documented semantics)
+    assert _ids(spark, out2) == list(range(60))
+
+
+def test_stream_schema_evolution_conforms_old_files(spark):
+    """Files written before a schema evolution stream back with typed
+    nulls in the evolved column, pinned to the declared column order."""
+    register_delta_stream_source(spark)
+    table = tempfile.mkdtemp(prefix="ls_ds_evo_")
+    df = spark.range(20).select(F.col("id"))
+    delta_write(df, table)
+    evolved = spark.range(20, 30).select(
+        F.col("id"), F.lit("tag").alias("label")
+    )
+    delta_write(evolved, table, mode="append", merge_schema=True)
+    out = tempfile.mkdtemp(prefix="ls_ds_evo_out_")
+    _drain(spark, table, out, tempfile.mkdtemp(prefix="ls_ds_evo_ck_"))
+    back = spark.read.parquet(out)
+    assert back.columns == ["id", "label"]
+    rows = {r["id"]: r["label"] for r in back.collect()}
+    assert sorted(rows) == list(range(30))
+    assert all(rows[i] is None for i in range(20))
+    assert all(rows[i] == "tag" for i in range(20, 30))
+
+
+def test_stream_starting_version(spark):
+    """startingVersion skips the table's history below it — the
+    latest-only ingest delta-spark exposes the same way."""
+    register_delta_stream_source(spark)
+    table = tempfile.mkdtemp(prefix="ls_ds_sv_")
+    df = spark.range(40).select(F.col("id"))
+    delta_write(df.where("id < 20"), table)  # v0
+    delta_write(df.where("id >= 20"), table, mode="append")  # v1
+    out = tempfile.mkdtemp(prefix="ls_ds_sv_out_")
+    _drain(
+        spark,
+        table,
+        out,
+        tempfile.mkdtemp(prefix="ls_ds_sv_ck_"),
+        startingVersion="1",
+    )
+    assert _ids(spark, out) == list(range(20, 40))
