@@ -51,8 +51,15 @@ _MAX_WRITER_IMPLEMENTED = 3
 # implements exactly these; gating refuses any table listing one it
 # does not (a feature-aware engine that ignored an unknown feature
 # would read WRONG data, not degraded data).
-_READER_FEATURES_IMPLEMENTED = frozenset({"deletionVectors"})
-_WRITER_FEATURES_IMPLEMENTED = frozenset({"deletionVectors", "checkConstraints"})
+_READER_FEATURES_IMPLEMENTED = frozenset({"deletionVectors", "columnMapping"})
+_WRITER_FEATURES_IMPLEMENTED = frozenset(
+    {
+        "deletionVectors",
+        "columnMapping",
+        "checkConstraints",
+        "generatedColumns",
+    }
+)
 
 # Sidecar directory for deletion-vector storage files (merge-on-read
 # DELETE). Each DV-delete commit writes ONE storage unit under here,
@@ -639,6 +646,291 @@ def _merge_schemas(existing, incoming):
     return StructType(merged)
 
 
+# ---------------------------------------------------------------------------
+# Column mapping (PROTOCOL.md "Column Mapping", mode `name`): every
+# schema field carries a stable physical name (`col-<uuid>`) + id in its
+# metadata; data files are written with PHYSICAL column names and the
+# reader aliases them back to logical names. RENAME COLUMN and DROP
+# COLUMN then become pure metaData commits — zero files rewritten — the
+# other reader-v3 table feature besides deletion vectors. At 100 TB a
+# rename is a KB of JSON instead of a table rewrite.
+
+# Generated columns (PROTOCOL.md writer feature "generatedColumns",
+# delta-spark's GENERATED ALWAYS AS): the expression lives in the field's
+# schema metadata; writers compute the column when a batch omits it and
+# REFUSE a batch that supplies contradicting values; row-level UPDATE /
+# MERGE recompute it from the post-image. Readers are unaffected (pure
+# writer feature — minReaderVersion stays at the table's floor).
+_GEN_EXPR_KEY = "delta.generationExpression"
+
+
+def _generated_columns(meta: dict | None) -> dict[str, str]:
+    """{logical column: generation SQL expr} from the schema metadata."""
+    if not meta:
+        return {}
+    return {
+        f["name"]: (f.get("metadata") or {})[_GEN_EXPR_KEY]
+        for f in json.loads(meta["schemaString"])["fields"]
+        if _GEN_EXPR_KEY in (f.get("metadata") or {})
+    }
+
+
+def _apply_generated(df: DataFrame, meta: dict) -> DataFrame:
+    """Fill-or-verify every generated column on a LOGICAL-name batch:
+    absent columns are computed from the expression; supplied columns
+    are validated value-by-value (delta's rule — a writer may provide
+    the value, but it must EQUAL the generation expression, else the
+    commit is refused). One validation scan per supplied column, zero
+    when callers let the engine compute (the normal path)."""
+    gen = _generated_columns(meta)
+    if not gen:
+        return df
+    types = {
+        f.name: f.dataType for f in _logical_schema(meta).fields
+    }
+    for name, expr in gen.items():
+        computed = F.expr(expr).cast(types[name])
+        if name not in df.columns:
+            df = df.withColumn(name, computed)
+            continue
+        bad = df.where(~F.col(name).eqNullSafe(computed)).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"supplied value for generated column {name} contradicts "
+                f"its generation expression ({expr})"
+            )
+    return df
+
+
+def _recompute_generated(df: DataFrame, meta: dict) -> DataFrame:
+    """FORCE-recompute every generated column from the current row
+    values — the UPDATE/MERGE post-image rule (a dependency may have
+    changed, so fill-or-verify semantics don't apply)."""
+    gen = _generated_columns(meta)
+    if not gen:
+        return df
+    types = {f.name: f.dataType for f in _logical_schema(meta).fields}
+    cols = set(df.columns)
+    for name, expr in gen.items():
+        if name in cols:
+            df = df.withColumn(name, F.expr(expr).cast(types[name]))
+    return df
+
+
+_CM_MODE_KEY = "delta.columnMapping.mode"
+_CM_MAXID_KEY = "delta.columnMapping.maxColumnId"
+_CM_ID = "delta.columnMapping.id"
+_CM_PHYS = "delta.columnMapping.physicalName"
+
+
+def _cm_enabled(meta: dict | None) -> bool:
+    if not meta:
+        return False
+    mode = str(meta.get("configuration", {}).get(_CM_MODE_KEY, "")).lower()
+    if mode in ("", "none"):
+        return False
+    if mode != "name":
+        # `id` mode resolves columns by parquet field ids written by a
+        # foreign engine — not implemented; misreading would be silent
+        raise ValueError(
+            f"columnMapping mode {mode!r} is not supported (only 'name')"
+        )
+    return True
+
+
+def _cm_assign(schema_json: dict, start_id: int) -> tuple[dict, int]:
+    """Assign mapping metadata (id + physical name) to every field that
+    lacks it; returns (new schema json, new maxColumnId). Existing
+    assignments are stable — evolution only mints ids for NEW fields."""
+    max_id = start_id
+    fields = []
+    for f in schema_json["fields"]:
+        f = dict(f)
+        md = dict(f.get("metadata") or {})
+        if _CM_PHYS not in md:
+            max_id += 1
+            md[_CM_ID] = max_id
+            md[_CM_PHYS] = f"col-{uuid.uuid4().hex[:16]}"
+        f["metadata"] = md
+        fields.append(f)
+    return {**schema_json, "fields": fields}, max_id
+
+
+def _cm_pairs(meta: dict) -> list[tuple[str, str]]:
+    """[(physical, logical)] in declared order (identity when unmapped)."""
+    fields = json.loads(meta["schemaString"])["fields"]
+    if not _cm_enabled(meta):
+        return [(f["name"], f["name"]) for f in fields]
+    return [
+        ((f.get("metadata") or {}).get(_CM_PHYS, f["name"]), f["name"])
+        for f in fields
+    ]
+
+
+def _logical_schema(meta: dict):
+    """The snapshot schema with LOGICAL names and no mapping metadata —
+    what callers see and what incoming batches are validated against."""
+    from pyspark.sql.types import StructField, StructType
+
+    st = StructType.fromJson(json.loads(meta["schemaString"]))
+    return StructType(
+        [StructField(f.name, f.dataType, f.nullable) for f in st.fields]
+    )
+
+
+def _physical_schema(meta: dict):
+    """The on-file schema (physical names) for the parquet scan."""
+    from pyspark.sql.types import StructField, StructType
+
+    st = StructType.fromJson(json.loads(meta["schemaString"]))
+    pairs = dict((l, p) for p, l in _cm_pairs(meta))
+    return StructType(
+        [
+            StructField(pairs[f.name], f.dataType, f.nullable)
+            for f in st.fields
+        ]
+    )
+
+
+def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
+    """Rename a logical-name batch to physical names for staging."""
+    if not _cm_enabled(meta):
+        return df
+    pm = {l: p for p, l in _cm_pairs(meta)}
+    return df.select(
+        *[F.col(c).alias(pm.get(c, c)) for c in df.columns]
+    )
+
+
+def _physical_scan(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    files,
+    with_position: bool = False,
+) -> DataFrame:
+    """Scan ``files`` with the snapshot's physical schema and project to
+    LOGICAL column names (+ ``__dv_file``/``__dv_row`` scan-position
+    metadata when requested). The single translation point every reader
+    path (snapshot read, DML scan, rewrite source, DV delete) goes
+    through."""
+    reader = spark.read.schema(_physical_schema(meta)).option(
+        "basePath", path
+    )
+    scan = reader.parquet(*[f"{path}/{f}" for f in sorted(files)])
+    cols = [F.col(p).alias(l) for p, l in _cm_pairs(meta)]
+    if with_position:
+        cols += [
+            F.element_at(
+                F.split(F.col("_metadata.file_path"), "/"), -1
+            ).alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_row"),
+        ]
+    return scan.select(*cols)
+
+
+def _commit_metadata_change(
+    spark: SparkSession, path: str, mutate, max_retries: int = 3
+) -> int:
+    """Commit a metaData-only change produced by ``mutate(meta) ->
+    new_meta`` with OCC retry (re-resolving the current metaData on a
+    lost race, so a racing evolution or rename is rebased, not
+    clobbered)."""
+    for attempt in range(max_retries + 1):
+        _, meta, _, _ = _snapshot_state(spark, path)
+        if meta is None:
+            raise ValueError(f"no delta table at {path}")
+        new_meta = mutate(meta)
+        version = _list_versions(spark, path)[-1] + 1
+        try:
+            _write_commit(spark, path, version, [{"metaData": new_meta}])
+        except RuntimeError:
+            if attempt == max_retries:
+                raise
+            continue
+        if version % CHECKPOINT_INTERVAL == 0:
+            _auto_checkpoint(spark, path, version)
+        return version
+    raise AssertionError("unreachable")
+
+
+def _check_column_not_referenced(meta: dict, col: str, verb: str) -> None:
+    """Refuse schema surgery on a column some table expression depends
+    on (a generation expression or CHECK constraint that silently broke
+    would corrupt every later write) — delta-spark's dependency rule.
+    Word-boundary match is conservative: a false positive blocks a
+    rename, never corrupts."""
+    import re
+
+    refs = [
+        (f"generated column {n}", e)
+        for n, e in _generated_columns(meta).items()
+        if n != col
+    ] + [
+        (f"constraint {n}", e) for n, e in _table_constraints(meta).items()
+    ]
+    for tag, expr in refs:
+        if re.search(rf"\b{re.escape(col)}\b", expr):
+            raise ValueError(
+                f"cannot {verb} column {col}: referenced by {tag} ({expr})"
+            )
+
+
+def delta_rename_column(
+    spark: SparkSession, path: str, old: str, new: str
+) -> int:
+    """``ALTER TABLE ... RENAME COLUMN`` as a pure metaData commit —
+    requires column mapping (the physical name pins the on-file bytes;
+    only the logical label changes). Zero files touched; every prior
+    snapshot time-travels back under its own name."""
+
+    def mutate(meta: dict) -> dict:
+        if not _cm_enabled(meta):
+            raise ValueError(
+                "RENAME COLUMN requires columnMapping (create the table "
+                f"with {{'{_CM_MODE_KEY}': 'name'}})"
+            )
+        sj = json.loads(meta["schemaString"])
+        names = [f["name"] for f in sj["fields"]]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column already exists: {new}")
+        _check_column_not_referenced(meta, old, "rename")
+        sj["fields"] = [
+            {**f, "name": new} if f["name"] == old else f
+            for f in sj["fields"]
+        ]
+        return {**meta, "schemaString": json.dumps(sj)}
+
+    return _commit_metadata_change(spark, path, mutate)
+
+
+def delta_drop_column(spark: SparkSession, path: str, col: str) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` as a pure metaData commit —
+    requires column mapping. The physical column stays in the files
+    (readers project it away); a later RESTORE of an older snapshot
+    brings the column back intact."""
+
+    def mutate(meta: dict) -> dict:
+        if not _cm_enabled(meta):
+            raise ValueError(
+                "DROP COLUMN requires columnMapping (create the table "
+                f"with {{'{_CM_MODE_KEY}': 'name'}})"
+            )
+        sj = json.loads(meta["schemaString"])
+        names = [f["name"] for f in sj["fields"]]
+        if col not in names:
+            raise ValueError(f"no such column: {col}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the table's only column")
+        _check_column_not_referenced(meta, col, "drop")
+        sj["fields"] = [f for f in sj["fields"] if f["name"] != col]
+        return {**meta, "schemaString": json.dumps(sj)}
+
+    return _commit_metadata_change(spark, path, mutate)
+
+
 def _plan_commit(
     spark: SparkSession,
     df: DataFrame,
@@ -647,36 +939,82 @@ def _plan_commit(
     partition_by: list[str] | None,
     merge_schema: bool,
     configuration: dict | None = None,
-) -> tuple[int, list[dict], DataFrame]:
+    generated_columns: dict | None = None,
+) -> tuple[int, list[dict], DataFrame, dict]:
     """One optimistic-transaction attempt: resolve the target version
     against the CURRENT log state and build the commit's non-add actions
     (protocol/metaData/schema-evolution/removes). Returns (version,
-    actions, conformed df). Re-run on every retry so a lost race
-    re-validates against the winner's committed state."""
+    actions, conformed df in LOGICAL names, effective metaData). Re-run
+    on every retry so a lost race re-validates against the winner's
+    committed state."""
     from pyspark.sql.types import StructType
 
     versions = _list_versions(spark, path)
     version = (versions[-1] + 1) if versions else 0
     actions: list[dict] = []
     if version == 0:
-        actions.append({"protocol": _PROTOCOL})
-        actions.append(
-            {
-                "metaData": {
-                    "id": uuid.uuid4().hex,
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": df.schema.json(),
-                    "partitionColumns": list(partition_by or []),
-                    "configuration": dict(configuration or {}),
-                    "createdTime": int(time.time() * 1000),
+        conf = dict(configuration or {})
+        # generated columns a creation batch omits are computed here so
+        # their TYPES land in the schema; value validation + the cast
+        # happen in _apply_generated once the metaData exists
+        typed = df
+        for name, expr in (generated_columns or {}).items():
+            if name not in typed.columns:
+                typed = typed.withColumn(name, F.expr(expr))
+        schema_json = json.loads(typed.schema.json())
+        if generated_columns:
+            schema_json["fields"] = [
+                {
+                    **f,
+                    "metadata": {
+                        **(f.get("metadata") or {}),
+                        _GEN_EXPR_KEY: generated_columns[f["name"]],
+                    },
                 }
+                if f["name"] in generated_columns
+                else f
+                for f in schema_json["fields"]
+            ]
+        reader_feats: list[str] = []
+        writer_feats: list[str] = []
+        if _cm_enabled({"configuration": conf}):
+            if partition_by:
+                raise ValueError(
+                    "column mapping with partitioned layout is not "
+                    "supported (partitionValues would need physical keys)"
+                )
+            schema_json, max_id = _cm_assign(schema_json, 0)
+            conf[_CM_MAXID_KEY] = str(max_id)
+            reader_feats.append("columnMapping")
+            writer_feats.append("columnMapping")
+        if generated_columns:
+            writer_feats.append("generatedColumns")
+        if writer_feats:
+            proto_action = {
+                "minReaderVersion": 3 if reader_feats else 1,
+                "minWriterVersion": 7,
+                "writerFeatures": sorted(
+                    set(writer_feats) | {"checkConstraints"}
+                ),
             }
-        )
+            if reader_feats:
+                proto_action["readerFeatures"] = sorted(reader_feats)
+        else:
+            proto_action = dict(_PROTOCOL)
+        new_meta = {
+            "id": uuid.uuid4().hex,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema_json),
+            "partitionColumns": list(partition_by or []),
+            "configuration": conf,
+            "createdTime": int(time.time() * 1000),
+        }
+        actions.append({"protocol": proto_action})
+        actions.append({"metaData": new_meta})
+        df = _apply_generated(df, new_meta)
         # constraints supplied at creation bind the very first batch
-        _enforce_constraints(
-            df, {"configuration": dict(configuration or {})}
-        )
-        return version, actions, df
+        _enforce_constraints(df, {"configuration": conf})
+        return version, actions, df, new_meta
     proto, meta, live, _ = _snapshot_state(spark, path)
     # writer half of protocol gating: appending to (or overwriting) a
     # table that demands a newer writer would corrupt invariants we do
@@ -711,7 +1049,11 @@ def _plan_commit(
             f"partition_by {partition_by or []} does not match the "
             f"table's declared partitionColumns {declared}"
         )
-    existing = StructType.fromJson(json.loads(meta["schemaString"]))
+    # fill-or-verify generated columns BEFORE schema validation, so a
+    # batch that (correctly) omits them is not a schema mismatch
+    if meta.get("schemaString"):
+        df = _apply_generated(df, meta)
+    existing = _logical_schema(meta)
     if df.schema != existing:
         if not merge_schema:
             raise ValueError(
@@ -731,8 +1073,33 @@ def _plan_commit(
         )
         if merged != existing:
             new_meta = dict(meta)
-            new_meta["schemaString"] = merged.json()
+            merged_json = json.loads(merged.json())
+            # evolution must preserve existing fields' schema metadata
+            # (column-mapping ids/physical names, generation expressions)
+            old_md = {
+                f["name"]: f.get("metadata") or {}
+                for f in json.loads(meta["schemaString"])["fields"]
+            }
+            merged_json["fields"] = [
+                {**f, "metadata": old_md[f["name"]]}
+                if f["name"] in old_md
+                else f
+                for f in merged_json["fields"]
+            ]
+            if _cm_enabled(meta):
+                # only NEW fields mint fresh (id, physicalName)
+                merged_json, max_id = _cm_assign(
+                    merged_json,
+                    int(
+                        meta.get("configuration", {}).get(_CM_MAXID_KEY, "0")
+                    ),
+                )
+                new_conf = dict(new_meta.get("configuration", {}))
+                new_conf[_CM_MAXID_KEY] = str(max_id)
+                new_meta["configuration"] = new_conf
+            new_meta["schemaString"] = json.dumps(merged_json)
             actions.append({"metaData": new_meta})
+            meta = new_meta
     if mode == "overwrite":
         for f in sorted(live):
             actions.append(
@@ -748,7 +1115,7 @@ def _plan_commit(
     # constraint before any file is staged (re-runs on OCC retry, so a
     # constraint added by a racing commit is honored too)
     _enforce_constraints(df, meta)
-    return version, actions, df
+    return version, actions, df, meta
 
 
 def delta_last_txn(spark: SparkSession, path: str, app_id: str) -> int | None:
@@ -770,11 +1137,18 @@ def delta_write(
     max_retries: int = 3,
     txn: tuple[str, int] | None = None,
     configuration: dict | None = None,
+    generated_columns: dict | None = None,
 ) -> int:
     """Commit df to a protocol-conformant Delta table; returns the
     committed version. ``configuration`` seeds metaData.configuration on
     table CREATION only (e.g. ``{"delta.enableChangeDataFeed": "true"}``
     turns on cdc-action writes for every later DML commit).
+
+    ``generated_columns`` ({name: SQL expr}, creation only) declares
+    GENERATED ALWAYS AS columns (writer feature ``generatedColumns``):
+    later batches may omit them (the writer computes the expression) but
+    a batch that supplies contradicting values is refused; UPDATE/MERGE
+    recompute them from each post-image row.
 
     ``merge_schema=True`` (delta-spark's ``mergeSchema`` option,
     reference README.md:302 "schema evolution") lets an append carry new
@@ -800,13 +1174,29 @@ def delta_write(
     skips batches it already landed — Delta's txnAppId/txnVersion
     streaming-sink mechanism."""
     spark = df.sparkSession
-    version, actions, conformed = _plan_commit(
-        spark, df, path, mode, partition_by, merge_schema, configuration
+    version, actions, conformed, eff_meta = _plan_commit(
+        spark,
+        df,
+        path,
+        mode,
+        partition_by,
+        merge_schema,
+        configuration,
+        generated_columns,
     )
     txn_action = (
         [{"txn": {"appId": txn[0], "version": int(txn[1])}}] if txn else []
     )
-    adds = _stage_data_files(conformed, path, partition_by, stats_cols)
+    # mapped tables: files hold PHYSICAL names; stats keys follow
+    staged_stats = stats_cols
+    if _cm_enabled(eff_meta):
+        pm = {l: p for p, l in _cm_pairs(eff_meta)}
+        staged_stats = (
+            [pm.get(c, c) for c in stats_cols] if stats_cols else None
+        )
+    adds = _stage_data_files(
+        _to_physical(conformed, eff_meta), path, partition_by, staged_stats
+    )
     for attempt in range(max_retries + 1):
         try:
             _write_commit(spark, path, version, txn_action + actions + adds)
@@ -814,7 +1204,7 @@ def delta_write(
         except RuntimeError:
             if attempt == max_retries:
                 raise
-            version, actions, _ = _plan_commit(
+            version, actions, _, _ = _plan_commit(
                 spark, df, path, mode, partition_by, merge_schema
             )
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
@@ -885,47 +1275,42 @@ def delta_read(
                 for k, v in partition_filter.items()
             )
         ]
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
     if range_filter:
+        # per-file stats are keyed by PHYSICAL column names on mapped
+        # tables; callers filter in logical names
+        pm = {l: p for p, l in _cm_pairs(meta)}
+
         def _overlaps(a: dict) -> bool:
             stats = a.get("stats")
             if not stats:
                 return True  # no stats → cannot skip
             st = json.loads(stats)
             for col, (lo, hi) in range_filter.items():
-                mn = st.get("minValues", {}).get(col)
-                mx = st.get("maxValues", {}).get(col)
+                mn = st.get("minValues", {}).get(pm.get(col, col))
+                mx = st.get("maxValues", {}).get(pm.get(col, col))
                 if mn is not None and mx is not None and (mn > hi or mx < lo):
                     return False
             return True
 
         adds = [(f, a) for f, a in adds if _overlaps(a)]
-    if meta is None:
-        raise ValueError(f"no delta table at {path}")
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if not adds:
         # a fully-retracted or fully-pruned snapshot is a VALID empty
         # table — reconstruct its schema from metaData, don't error
-        return spark.createDataFrame([], schema)
-    reader = spark.read.schema(schema).option("basePath", path)
-    scan = reader.parquet(*[f"{path}/{f}" for f, _ in adds])
-    if any(a.get("deletionVector") for _, a in adds):
-        # merge-on-read: anti-join away the rows each add's DV lists.
-        # Row identity is (data-file basename, parquet row position) via
-        # the scan-side _metadata pseudo-columns — no shuffle of the fact
-        # side, the (small) DV side broadcasts. Files without a DV never
-        # match and stream through untouched.
-        scan = scan.select(
-            *[f.name for f in schema.fields],
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("__dv_file"),
-            F.col("_metadata.row_index").alias("__dv_row"),
-        )
+        return spark.createDataFrame([], _logical_schema(meta))
+    has_dv = any(a.get("deletionVector") for _, a in adds)
+    # scan with the on-file (physical) schema, project to logical names;
+    # with DVs, carry the scan-position metadata columns and anti-join
+    # away deleted positions (broadcast DV side, no fact-side shuffle)
+    scan = _physical_scan(
+        spark, path, meta, [f for f, _ in adds], with_position=has_dv
+    )
+    if has_dv:
         scan = _dv_anti_filter(spark, path, scan, adds)
-    # partition discovery appends partition columns at the END regardless
-    # of the supplied schema; re-project to the metaData column order so
-    # the snapshot's schema contract holds exactly (zero-cost projection)
-    return scan.select(*[f.name for f in schema.fields])
+    # re-project to the metaData column order so the snapshot's schema
+    # contract holds exactly (zero-cost projection)
+    return scan.select(*[l for _, l in _cm_pairs(meta)])
 
 
 def delta_optimize(
@@ -944,6 +1329,7 @@ def delta_optimize(
     if not versions:
         raise ValueError(f"no delta table at {path}")
     version = versions[-1] + 1
+    _, meta, _, _ = _snapshot_state(spark, path)
     actions: list[dict] = []
     for f, _a in delta_live_adds(spark, path):
         actions.append(
@@ -955,7 +1341,7 @@ def delta_optimize(
                 }
             }
         )
-    adds = _stage_data_files(compacted, path)
+    adds = _stage_data_files(_to_physical(compacted, meta), path)
     for a in adds:
         a["add"]["dataChange"] = False
     actions.extend(adds)
@@ -1148,32 +1534,21 @@ def _snapshot_scan_with_file(
     the unique basename (data files are ``part-{uuid}.parquet``) so the
     mapping back to log-relative paths is a tiny broadcast-free
     driver-side dict lookup applied only to the DISTINCT affected set."""
-    from pyspark.sql.types import StructType
-
     _, meta, live, _ = _snapshot_state(spark, path)
     if meta is None:
         raise ValueError(f"no delta table at {path}")
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
     base_map = {f.rsplit("/", 1)[-1]: f for f in live}
     if not live:
-        empty = spark.createDataFrame([], schema).withColumn(
+        empty = spark.createDataFrame([], _logical_schema(meta)).withColumn(
             "__ls_file", F.lit(None).cast("string")
         )
         return empty, base_map, meta, live
-    reader = spark.read.schema(schema).option("basePath", path)
-    scan = reader.parquet(*[f"{path}/{f}" for f in sorted(live)])
-    scan = scan.select(
-        *[f.name for f in schema.fields],
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
-            "__dv_file"
-        ),
-        F.col("_metadata.row_index").alias("__dv_row"),
-    )
+    scan = _physical_scan(spark, path, meta, sorted(live), with_position=True)
     # rows a deletion vector masks are logically gone: DML predicates
     # must never see (or resurrect) them
     scan = _dv_anti_filter(spark, path, scan, list(live.items()))
     scan = scan.select(
-        *[f.name for f in schema.fields],
+        *[l for _, l in _cm_pairs(meta)],
         F.col("__dv_file").alias("__ls_file"),
     )
     return scan, base_map, meta, live
@@ -1187,22 +1562,12 @@ def _read_affected_files(
     rewrite of a DV-carrying file materializes the DV (the rewritten
     file needs no descriptor); without this filter the rewrite would
     RESURRECT merge-on-read-deleted rows."""
-    from pyspark.sql.types import StructType
-
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    reader = spark.read.schema(schema).option("basePath", path)
-    scan = reader.parquet(*[f"{path}/{f}" for f in sorted(files)])
     subset = [(f, live[f]) for f in files]
-    if any(a.get("deletionVector") for _, a in subset):
-        scan = scan.select(
-            *[f.name for f in schema.fields],
-            F.element_at(
-                F.split(F.col("_metadata.file_path"), "/"), -1
-            ).alias("__dv_file"),
-            F.col("_metadata.row_index").alias("__dv_row"),
-        )
+    has_dv = any(a.get("deletionVector") for _, a in subset)
+    scan = _physical_scan(spark, path, meta, files, with_position=has_dv)
+    if has_dv:
         scan = _dv_anti_filter(spark, path, scan, subset)
-    return scan.select(*[f.name for f in schema.fields])
+    return scan.select(*[l for _, l in _cm_pairs(meta)])
 
 
 def _coerce_predicate(predicate) -> "F.Column":
@@ -1504,10 +1869,7 @@ def delta_read_cdf(
             pieces.append(part)
     if not pieces:
         _, meta, _, _ = _snapshot_state(spark, path, hi)
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        empty = spark.createDataFrame([], schema)
+        empty = spark.createDataFrame([], _logical_schema(meta))
         return empty.withColumn(
             "_change_type", F.lit(None).cast("string")
         ).withColumn("_commit_version", F.lit(None).cast("bigint"))
@@ -1539,7 +1901,9 @@ def delta_delete(spark: SparkSession, path: str, predicate) -> int:
     sub = _read_affected_files(spark, path, meta, _live, affected)
     survivors = sub.where(~pred)
     adds = _stage_data_files(
-        survivors, path, meta.get("partitionColumns") or None
+        _to_physical(survivors, meta),
+        path,
+        meta.get("partitionColumns") or None,
     )
     cdc = (
         _stage_change_files(
@@ -1571,6 +1935,12 @@ def delta_update(
     unknown = set(exprs) - {c for c in scan.columns if c != "__ls_file"}
     if unknown:
         raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
+    gen_assigned = set(exprs) & set(_generated_columns(meta))
+    if gen_assigned:
+        raise ValueError(
+            f"cannot UPDATE generated columns {sorted(gen_assigned)}; "
+            "they are recomputed from their generation expression"
+        )
     hit_names = [
         r[0]
         for r in scan.where(pred).select("__ls_file").distinct().collect()
@@ -1594,22 +1964,29 @@ def delta_update(
             for f in schema.fields
         ]
     )
+    # generated columns follow their dependencies' post-image values
+    updated = _recompute_generated(updated, meta)
     _enforce_constraints(updated, meta)
     adds = _stage_data_files(
-        updated, path, meta.get("partitionColumns") or None
+        _to_physical(updated, meta),
+        path,
+        meta.get("partitionColumns") or None,
     )
     cdc: list[dict] = []
     if _cdf_enabled(meta):
         pre = sub.where(pred).withColumn(
             "_change_type", F.lit("update_preimage")
         )
-        post = sub.where(pred).select(
-            *[
-                exprs[f.name].cast(f.dataType).alias(f.name)
-                if f.name in exprs
-                else F.col(f.name)
-                for f in schema.fields
-            ]
+        post = _recompute_generated(
+            sub.where(pred).select(
+                *[
+                    exprs[f.name].cast(f.dataType).alias(f.name)
+                    if f.name in exprs
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            ),
+            meta,
         ).withColumn("_change_type", F.lit("update_postimage"))
         cdc = _stage_change_files(pre.unionByName(post), path)
     return _commit_rewrite(spark, path, affected, adds, extra_actions=cdc)
@@ -1696,6 +2073,8 @@ def delta_merge(
                 for c in tcols
             ]
         )
+        # generated columns track their dependencies' merged values
+        merged = _recompute_generated(merged, meta)
         pieces.append(merged)
     if insert_unmatched:
         target_keys = scan.select(*on).distinct()
@@ -1707,6 +2086,9 @@ def delta_merge(
                 for c in tcols
             ]
         )
+        # a source that omits a generated column inserts its computed
+        # value, not a typed null
+        inserts = _recompute_generated(inserts, meta)
         pieces.append(inserts)
     if not pieces:
         return _list_versions(spark, path)[-1]
@@ -1714,7 +2096,9 @@ def delta_merge(
     for p in pieces[1:]:
         out = out.unionByName(p)
     _enforce_constraints(out, meta)
-    adds = _stage_data_files(out, path, meta.get("partitionColumns") or None)
+    adds = _stage_data_files(
+        _to_physical(out, meta), path, meta.get("partitionColumns") or None
+    )
     cdc: list[dict] = []
     if _cdf_enabled(meta):
         changes: list[DataFrame] = []
@@ -1844,8 +2228,6 @@ def delta_delete_dv(spark: SparkSession, path: str, predicate) -> int:
     than dropping its deletions), CDF (delete images from the same
     scan), checkpoints (descriptor round-trips through the checkpoint
     schema), RESTORE, and OPTIMIZE (materializes DVs away)."""
-    from pyspark.sql.types import StructType
-
     pred = _coerce_predicate(predicate)
     proto, meta, live, _ = _snapshot_state(spark, path)
     if meta is None:
@@ -1853,16 +2235,8 @@ def delta_delete_dv(spark: SparkSession, path: str, predicate) -> int:
     versions = _list_versions(spark, path)
     if not live:
         return versions[-1]
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
     base_map = {f.rsplit("/", 1)[-1]: f for f in live}
-    reader = spark.read.schema(schema).option("basePath", path)
-    scan = reader.parquet(*[f"{path}/{f}" for f in sorted(live)]).select(
-        *[f.name for f in schema.fields],
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
-            "__dv_file"
-        ),
-        F.col("_metadata.row_index").alias("__dv_row"),
-    )
+    scan = _physical_scan(spark, path, meta, sorted(live), with_position=True)
     scan = _dv_anti_filter(spark, path, scan, list(live.items()))
     hits = scan.where(pred)
     # materialize the hit positions once (executor-local): the affected-
@@ -1934,7 +2308,7 @@ def delta_delete_dv(spark: SparkSession, path: str, predicate) -> int:
         extra.append(upgrade)
     if _cdf_enabled(meta):
         extra += _stage_change_files(
-            hits.select(*[f.name for f in schema.fields]).withColumn(
+            hits.select(*[l for _, l in _cm_pairs(meta)]).withColumn(
                 "_change_type", F.lit("delete")
             ),
             path,
@@ -2306,6 +2680,86 @@ def delta_native_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def delta_native_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-mapping lifecycle: a mapped table (files written under
+    physical ``col-<uuid>`` names) takes a RENAME COLUMN and a DROP
+    COLUMN as pure metaData commits — zero data files rewritten,
+    asserted in tests — then a copy-on-write DELETE through the mapping.
+    Grouped totals over the renamed column oracle the final state."""
+    import tempfile
+
+    from ..tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_cm_")
+    delta_write(
+        c.repartition(4),
+        path,
+        configuration={_CM_MODE_KEY: "name"},
+    )
+    delta_rename_column(spark, path, "cents", "acct_cents")
+    delta_drop_column(spark, path, "c_nationkey")
+    delta_delete(spark, path, "c_custkey % 4 = 0")
+    back = delta_read(spark, path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("acct_cents").alias("sum_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def delta_native_generated_columns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED ALWAYS AS lifecycle: the table declares
+    ``tax_cents = cents * 7 DIV 100``; the creation batch and a later
+    append both OMIT the column (the writer computes it), then an UPDATE
+    bumps urgent orders' ``cents`` and the generated column follows the
+    post-image automatically. Grouped totals over both columns oracle
+    the final state — a stale or null generated value breaks the sums."""
+    import tempfile
+
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_gen_")
+    delta_write(
+        o.where("o_orderkey % 2 = 0").repartition(4),
+        path,
+        mode="overwrite",
+        generated_columns={"tax_cents": "cents * 7 DIV 100"},
+    )
+    delta_write(o.where("o_orderkey % 2 = 1"), path, mode="append")
+    delta_update(
+        spark,
+        path,
+        "o_orderpriority = '1-URGENT'",
+        {"cents": F.col("cents") + 500},
+    )
+    back = delta_read(spark, path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum("tax_cents").alias("sum_tax_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed over DML commits: a CDF-enabled table takes a
     DELETE (v1) then an UPDATE (v2); ``delta_read_cdf(1, 2)`` returns
@@ -2343,6 +2797,47 @@ def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "delta_native_column_mapping",
+        delta_native_column_mapping,
+        """
+        WITH base AS (
+          SELECT c_custkey, c_mktsegment,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents
+          FROM customer WHERE c_custkey % 4 <> 0)
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               CAST(SUM(acct_cents) AS BIGINT) AS sum_cents
+        FROM base GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        tags=("parity", "delta", "io", "ddl"),
+        description="Column mapping (mode=name): RENAME/DROP COLUMN as "
+        "metaData-only commits over physical col-<uuid> file names; "
+        "DML and reads translate through the mapping.",
+    ),
+    QueryDef(
+        "delta_native_generated_columns",
+        delta_native_generated_columns,
+        """
+        WITH base AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        upd AS (
+          SELECT o_orderpriority,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN cents + 500
+                      ELSE cents END AS cents
+          FROM base),
+        final AS (SELECT *, cents * 7 // 100 AS tax_cents FROM upd)
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(SUM(tax_cents) AS BIGINT) AS sum_tax_cents
+        FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        tags=("parity", "delta", "io", "ddl"),
+        description="Generated columns (writer feature): omitted on write "
+        "and computed by the engine; UPDATE recomputes from the "
+        "post-image.",
+    ),
     QueryDef(
         "delta_native_deletion_vectors",
         delta_native_deletion_vectors,

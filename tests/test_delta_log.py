@@ -462,7 +462,7 @@ def test_reader_refuses_higher_protocol_version(spark, sf_smoke):
     path = tempfile.mkdtemp(prefix="ls_dl_proto_r_")
     delta_write(n, path, mode="overwrite")  # v0, protocol (1, 2)
     # a foreign writer upgrades the table to reader v3 / writer v7 with
-    # a table feature this engine does not implement
+    # a table feature this engine does not implement (type widening)
     delta_log._write_commit(
         spark,
         path,
@@ -472,15 +472,15 @@ def test_reader_refuses_higher_protocol_version(spark, sf_smoke):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["columnMapping"],
-                    "writerFeatures": ["columnMapping"],
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
                 }
             }
         ],
     )
-    with pytest.raises(ValueError, match="columnMapping"):
+    with pytest.raises(ValueError, match="typeWidening"):
         delta_read(spark, path)
-    with pytest.raises(ValueError, match="columnMapping"):
+    with pytest.raises(ValueError, match="typeWidening"):
         delta_write(n, path, mode="append")  # replan folds the log too
     # snapshots below the upgrade commit are still this reader's dialect
     assert delta_read(spark, path, version=0).count() == n.count()
@@ -1494,3 +1494,280 @@ def test_dv_interleaved_with_cow_dml_and_append(spark):
     assert sorted(rows) == expect_ids
     for i in expect_ids:
         assert rows[i] == i * 2 + (1 if i % 10 == 0 else 0)
+
+
+# ---------------------------------------------------------------------------
+# Column mapping (mode=name): RENAME/DROP COLUMN as metadata, physical
+# file names, reader/writer translation
+
+
+def _cm_table(spark, prefix: str) -> str:
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_write,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 3).cast("string").alias("tag"),
+    )
+    path = tempfile.mkdtemp(prefix=prefix)
+    delta_write(
+        df.repartition(3),
+        path,
+        stats_cols=["id"],
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    return path
+
+
+def test_cm_files_hold_physical_names_read_is_logical(spark):
+    """Data files of a mapped table are written under stable physical
+    ``col-<uuid>`` names; the snapshot read presents logical names; the
+    protocol declares the columnMapping table feature."""
+    import pyarrow.parquet as pq
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+    )
+
+    path = _cm_table(spark, "ls_cm_basic_")
+    f0 = glob.glob(f"{path}/part-*.parquet")[0]
+    on_disk = pq.read_schema(f0).names
+    assert all(n.startswith("col-") for n in on_disk)
+    assert delta_read(spark, path).columns == ["id", "v", "tag"]
+    protos = [a["protocol"] for a in _actions(path, 0) if "protocol" in a]
+    assert "columnMapping" in protos[0]["readerFeatures"]
+    # per-file stats are keyed by physical names (what skipping reads)
+    adds = [a["add"] for a in _actions(path, 0) if "add" in a]
+    stats = json.loads(adds[0]["stats"])
+    assert all(k.startswith("col-") for k in stats["minValues"])
+
+
+def test_cm_rename_and_drop_are_metadata_only(spark):
+    """RENAME and DROP COLUMN commit ONLY a metaData action — the live
+    file set is byte-identical — and time travel resolves each snapshot
+    under its own schema."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_drop_column,
+        delta_live_adds,
+        delta_read,
+        delta_rename_column,
+    )
+
+    path = _cm_table(spark, "ls_cm_meta_")
+    files0 = delta_live_adds(spark, path)
+    v1 = delta_rename_column(spark, path, "v", "value")
+    v2 = delta_drop_column(spark, path, "tag")
+    assert (v1, v2) == (1, 2)
+    assert delta_live_adds(spark, path) == files0
+    for v in (1, 2):
+        kinds = [next(iter(a)) for a in _actions(path, v)]
+        assert kinds == ["metaData"]
+    assert delta_read(spark, path).columns == ["id", "value"]
+    assert delta_read(spark, path, version=0).columns == ["id", "v", "tag"]
+    got = sorted(
+        (r["id"], r["value"]) for r in delta_read(spark, path).collect()
+    )
+    assert got == [(i, i * 2) for i in range(100)]
+
+
+def test_cm_rename_requires_mapping_and_validates(spark):
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_drop_column,
+        delta_rename_column,
+        delta_write,
+    )
+
+    plain = tempfile.mkdtemp(prefix="ls_cm_plain_")
+    delta_write(spark.range(5).select("id"), plain)
+    with pytest.raises(ValueError, match="columnMapping"):
+        delta_rename_column(spark, plain, "id", "id2")
+    path = _cm_table(spark, "ls_cm_val_")
+    with pytest.raises(ValueError, match="no such column"):
+        delta_rename_column(spark, path, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        delta_rename_column(spark, path, "v", "tag")
+    with pytest.raises(ValueError, match="no such column"):
+        delta_drop_column(spark, path, "nope")
+
+
+def test_cm_dml_and_dv_translate_through_mapping(spark):
+    """Copy-on-write DELETE/UPDATE and merge-on-read DV DELETE all
+    operate on logical names over physical files; rewritten files keep
+    physical names."""
+    import pyarrow.parquet as pq
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete,
+        delta_delete_dv,
+        delta_read,
+        delta_rename_column,
+        delta_update,
+    )
+
+    path = _cm_table(spark, "ls_cm_dml_")
+    delta_rename_column(spark, path, "v", "value")
+    delta_delete(spark, path, "id % 10 = 0")
+    delta_update(spark, path, "id % 7 = 0", {"value": F.col("value") + 1})
+    delta_delete_dv(spark, path, "id >= 90")
+    rows = {r["id"]: r["value"] for r in delta_read(spark, path).collect()}
+    exp = {
+        i: i * 2 + (1 if i % 7 == 0 else 0)
+        for i in range(90)
+        if i % 10 != 0
+    }
+    assert rows == exp
+    # every data file on disk still holds physical names only
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        assert all(n.startswith("col-") for n in pq.read_schema(f).names)
+
+
+def test_cm_evolution_restore_and_stats_pruning(spark):
+    """Schema evolution mints fresh physical names for NEW fields only;
+    RESTORE across rename/drop re-stamps the old logical schema; the
+    range_filter prunes through physical stats keys on logical input."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_drop_column,
+        delta_metadata,
+        delta_read,
+        delta_rename_column,
+        delta_restore,
+        delta_write,
+    )
+
+    path = _cm_table(spark, "ls_cm_evo_")
+    delta_rename_column(spark, path, "v", "value")
+    delta_drop_column(spark, path, "tag")
+    evolved = spark.range(100, 110).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("value"),
+        F.lit(5).cast("long").alias("extra"),
+    )
+    delta_write(
+        evolved, path, mode="append", merge_schema=True, stats_cols=["id"]
+    )
+    meta = delta_metadata(spark, path)
+    fields = {
+        f["name"]: (f.get("metadata") or {})
+        for f in json.loads(meta["schemaString"])["fields"]
+    }
+    assert fields["extra"]["delta.columnMapping.physicalName"].startswith(
+        "col-"
+    )
+    ids = [m["delta.columnMapping.id"] for m in fields.values()]
+    assert len(set(ids)) == len(ids), "field ids must stay unique"
+    # stats pruning through the mapping: only files overlapping [0, 5]
+    pruned = delta_read(spark, path, range_filter={"id": (200, 300)})
+    assert pruned.count() == 0  # metadata-only skip, no file matches
+    # restore to v0: original logical schema returns, data intact
+    delta_restore(spark, path, 0)
+    back = delta_read(spark, path)
+    assert back.columns == ["id", "v", "tag"]
+    assert back.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# Generated columns (writer feature generatedColumns)
+
+
+def test_generated_column_computed_verified_and_recomputed(spark):
+    """Omitted → computed; contradicting values → refused; matching
+    values → accepted; UPDATE recomputes from the post-image; direct
+    UPDATE of the generated column is refused; MERGE inserts compute it."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_merge,
+        delta_update,
+        delta_write,
+    )
+
+    df = spark.range(50).select(F.col("id"), (F.col("id") * 3).alias("a"))
+    path = tempfile.mkdtemp(prefix="ls_gen_")
+    delta_write(df, path, generated_columns={"twice_a": "a * 2"})
+    protos = [p["protocol"] for p in _actions(path, 0) if "protocol" in p]
+    assert protos[0]["minWriterVersion"] == 7
+    assert "generatedColumns" in protos[0]["writerFeatures"]
+    assert protos[0]["minReaderVersion"] == 1  # pure writer feature
+    back = delta_read(spark, path)
+    assert back.columns == ["id", "a", "twice_a"]
+    assert back.where("twice_a <> a * 2").count() == 0
+    # append omitting the generated column
+    delta_write(
+        spark.range(50, 60).select(F.col("id"), (F.col("id") * 3).alias("a")),
+        path,
+        mode="append",
+    )
+    assert delta_read(spark, path).where("twice_a <> a * 2").count() == 0
+    # append SUPPLYING correct values is accepted
+    ok = spark.range(60, 65).select(
+        F.col("id"), (F.col("id") * 3).alias("a"),
+        (F.col("id") * 6).alias("twice_a"),
+    )
+    delta_write(ok, path, mode="append")
+    # contradicting values are refused
+    bad = spark.range(65, 70).select(
+        F.col("id"), (F.col("id") * 3).alias("a"), F.lit(0).cast("long").alias("twice_a")
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        delta_write(bad, path, mode="append")
+    # UPDATE of a dependency recomputes; of the generated column refuses
+    delta_update(spark, path, "id % 5 = 0", {"a": F.col("a") + 1})
+    assert delta_read(spark, path).where("twice_a <> a * 2").count() == 0
+    with pytest.raises(ValueError, match="generated"):
+        delta_update(spark, path, "id = 0", {"twice_a": F.lit(1)})
+    # MERGE: updates and inserts both land with recomputed values
+    src = spark.range(58, 72).select(
+        F.col("id"), (F.col("id") * 10).alias("a")
+    )
+    delta_merge(spark, path, src, on=["id"])
+    final = delta_read(spark, path)
+    assert final.where("twice_a <> a * 2").count() == 0
+    assert final.where("id >= 65").count() == 7  # inserts landed
+    assert final.where("(id BETWEEN 58 AND 71) AND a <> id * 10").count() == 0
+
+
+def test_generated_column_metadata_survives_evolution(spark):
+    """Schema evolution must carry the generation expression forward;
+    rename/drop of a dependency column is refused."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        _generated_columns,
+        delta_metadata,
+        delta_write,
+    )
+
+    df = spark.range(20).select(F.col("id"), (F.col("id") * 3).alias("a"))
+    path = tempfile.mkdtemp(prefix="ls_gen_evo_")
+    delta_write(
+        df,
+        path,
+        generated_columns={"twice_a": "a * 2"},
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    evolved = spark.range(20, 25).select(
+        F.col("id"), (F.col("id") * 3).alias("a"), F.lit("t").alias("note")
+    )
+    delta_write(evolved, path, mode="append", merge_schema=True)
+    assert _generated_columns(delta_metadata(spark, path)) == {
+        "twice_a": "a * 2"
+    }
+    assert delta_read(spark, path).where("twice_a <> a * 2").count() == 0
+    # dependency surgery is refused; unrelated surgery is fine
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_drop_column,
+        delta_rename_column,
+    )
+
+    with pytest.raises(ValueError, match="referenced by"):
+        delta_rename_column(spark, path, "a", "b")
+    with pytest.raises(ValueError, match="referenced by"):
+        delta_drop_column(spark, path, "a")
+    delta_rename_column(spark, path, "note", "comment")
+    assert delta_read(spark, path).columns == [
+        "id", "a", "twice_a", "comment",
+    ]
