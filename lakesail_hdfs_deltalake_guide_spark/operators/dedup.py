@@ -703,6 +703,113 @@ _SQL_13GRAMS = (
 )
 
 
+SPAN_K = 8  # token span length for duplicated-substring coverage
+SPAN_COVERAGE_PPM_MIN = 300_000  # report docs ≥ 30% duplicated spans
+
+
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring coverage per document — the distributed
+    approximation of suffix-array substring dedup (the published
+    training-data dedup result that repeated ~50-token SPANS, not whole
+    documents, are what corpora re-learn): for each doc, the fraction of
+    its distinct 8-token spans that also occur in at least one OTHER
+    doc. Doc-level exact/near dedup misses these partial overlaps;
+    paragraph dedup only catches them on paragraph boundaries.
+
+    Plan: one distinct (doc, span-md5) explosion, ONE aggregation per
+    span computing its document frequency, ONE aggregation per doc
+    folding covered/total counts — the shuffles carry 16-byte span
+    hashes, never text, and nothing is pairwise. Integer-ppm coverage;
+    at 100 TB this is two hash aggregations over the span stream."""
+    corpus = near_duplicate_corpus(spark, sf_dir)
+    toks = tokens("text")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - SPAN_K),
+        lambda i: F.array_join(F.slice(toks, i + 1, SPAN_K), " "),
+    )
+    doc_spans = (
+        _sketch_parallel(corpus)
+        .where(F.size(toks) >= SPAN_K)
+        .select("doc_id", F.explode(F.array_distinct(spans)).alias("s"))
+        .select("doc_id", F.md5("s").alias("g"))
+    )
+    span_df = doc_spans.groupBy("g").agg(
+        F.count(F.lit(1)).alias("span_docs")
+    )
+    return (
+        doc_spans.join(span_df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("span_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_covered"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            F.expr("CAST(n_covered * 1000000 DIV n_spans AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .where(F.col("coverage_ppm") >= SPAN_COVERAGE_PPM_MIN)
+        .orderBy("doc_id")
+    )
+
+
+CONTAINMENT_PPM_MIN = 500_000  # report pairs with ≥ 50% containment
+
+
+def dedup_fuzzy_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination by n-gram CONTAINMENT — the softer metric
+    the corpus-overlap literature applies when exact 13-gram matching is
+    too strict: containment(B, T) = |grams(B) ∩ grams(T)| / |grams(B)|
+    flags a train doc that swallows MOST of a benchmark doc even with
+    edits (Jaccard would be diluted by the train doc's extra content;
+    containment is asymmetric on purpose).
+
+    Plan: one distinct (doc, 3-shingle-md5) explosion per side; the
+    benchmark side (stand-in: doc_id < 20 of the planted near-dup
+    corpus, so mutated copies of the bench docs exist in train) is tiny
+    → both the gram set and the per-bench-doc sizes broadcast; the train
+    side streams map-side into the broadcast hash join, then ONE
+    (train, bench) aggregation computes overlaps. Scores are integer
+    ppm — exact in any engine. At 100 TB: no full-text shuffle, the
+    only exchange carries (train_doc, bench_doc) gram-hit pairs."""
+    corpus = near_duplicate_corpus(spark, sf_dir)
+    toks = tokens("text")
+    grams = (
+        _sketch_parallel(corpus)
+        .select("doc_id", F.explode(shingles(toks, 3)).alias("s"))
+        .select("doc_id", F.md5("s").alias("g"))
+        .distinct()
+    )
+    bench = grams.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    bench_sizes = bench.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("n_bench")
+    )
+    train = grams.where(F.col("doc_id") >= 20)
+    overlap = (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(F.broadcast(bench_sizes), "bench_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.expr("CAST(n_overlap * 1000000 DIV n_bench AS BIGINT)").alias(
+                "containment_ppm"
+            ),
+        )
+        .where(F.col("containment_ppm") >= CONTAINMENT_PPM_MIN)
+        .orderBy("doc_id", "bench_id")
+    )
+
+
 BLOOM_BITS = 1 << 14  # 16 KiB bitset (2 KiB serialized) regardless of set size
 BLOOM_HASHES = 3
 
@@ -1274,5 +1381,60 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "dedup", "string"),
         description="Language-blocked edit-distance fuzzy match on fixed "
         "prefixes.",
+    ),
+    QueryDef(
+        "dedup_fuzzy_containment",
+        dedup_fuzzy_containment,
+        f"""
+        {_sql_neardup_shingles()},
+        grams AS (
+          SELECT DISTINCT doc_id, md5(s) AS g
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+        bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id < 20),
+        bsz AS (SELECT bench_id, COUNT(*) AS n_bench
+                FROM bench GROUP BY bench_id),
+        train AS (SELECT doc_id, g FROM grams WHERE doc_id >= 20),
+        ov AS (SELECT t.doc_id, b.bench_id, COUNT(*) AS n_overlap
+               FROM train t JOIN bench b USING (g) GROUP BY 1, 2)
+        SELECT o.doc_id, o.bench_id,
+               CAST(o.n_overlap * 1000000 // s.n_bench AS BIGINT)
+                 AS containment_ppm
+        FROM ov o JOIN bsz s USING (bench_id)
+        WHERE o.n_overlap * 1000000 // s.n_bench >= {CONTAINMENT_PPM_MIN}
+        ORDER BY doc_id, bench_id
+        """,
+        tags=("extension", "dedup", "contamination"),
+        description="Asymmetric n-gram containment decontamination: "
+        "broadcast bench gram set, integer-ppm scores.",
+    ),
+    QueryDef(
+        "dedup_span_coverage",
+        dedup_span_coverage,
+        f"""
+        {_sql_neardup_shingles()},
+        spans AS (
+          SELECT DISTINCT doc_id, md5(s) AS g
+          FROM (SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, len(toks) - {SPAN_K - 2}),
+                         i -> array_to_string(toks[i:i+{SPAN_K - 1}], ' ')))
+                         AS s
+                FROM tok WHERE len(toks) >= {SPAN_K})),
+        span_df AS (SELECT g, COUNT(*) AS span_docs FROM spans GROUP BY g),
+        agg AS (
+          SELECT s.doc_id, COUNT(*) AS n_spans,
+                 SUM(CASE WHEN d.span_docs >= 2 THEN 1 ELSE 0 END)
+                   AS n_covered
+          FROM spans s JOIN span_df d USING (g) GROUP BY s.doc_id)
+        SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(n_covered * 1000000 // n_spans AS BIGINT)
+                 AS coverage_ppm
+        FROM agg
+        WHERE n_covered * 1000000 // n_spans >= {SPAN_COVERAGE_PPM_MIN}
+        ORDER BY doc_id
+        """,
+        tags=("extension", "dedup", "substring"),
+        description="Duplicated-substring coverage per doc (suffix-array "
+        "dedup approximation): two hash aggs over 8-token span hashes.",
     ),
 ]

@@ -253,6 +253,54 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_SHARDS = 8
+
+
+def sample_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards — the step
+    between a curated corpus and a dataloader: break source/time
+    locality so each shard (and each position within a shard) is an
+    unbiased sample. Randomness is the same Lehmer hash as the splits:
+    shard = h(id) mod S, within-shard order = (h(id), id) — fully
+    reproducible on any cluster and any input partitioning, no RNG
+    state, no driver coordination.
+
+    Output pins BOTH assignments and order: per-shard doc/token counts,
+    the first doc in shard order, and an order-sensitive checksum
+    sum(position * doc_id) — any engine that shuffles differently
+    breaks the checksum even with identical membership.
+
+    Plan: ONE hash exchange on shard_id with an in-partition sort —
+    exactly `repartitionByRange`-style shard writing at scale (each
+    shard streams to its own file in sorted order); the aggregate rides
+    the same exchange. At 100 TB: one pass, one shuffle of (ids,
+    counts), never text."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = lehmer_hash("doc_id")
+    sharded = d.select(
+        (h % SHUFFLE_SHARDS).alias("shard_id"),
+        "doc_id",
+        "n_chars",
+        h.alias("h"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("h", "doc_id")
+    pos = sharded.withColumn("pos", F.row_number().over(w))
+    return (
+        pos.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id"))).alias(
+                "first_doc"
+            ),
+            F.sum(F.col("pos") * F.col("doc_id")).alias("order_checksum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "sample_temperature_mix",
@@ -386,5 +434,24 @@ QUERIES: list[QueryDef] = [
         """,
         tags=("extension", "sampling", "pipeline"),
         description="Deterministic k-per-group sample via hash ranking.",
+    ),
+    QueryDef(
+        "sample_global_shuffle_shards",
+        sample_global_shuffle_shards,
+        f"""
+        WITH sharded AS (
+          SELECT ({_H}) % 8 AS shard_id, doc_id, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY ({_H}) % 8
+                                    ORDER BY {_H}, doc_id) AS pos
+          FROM documents)
+        SELECT shard_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+               MIN(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+               CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+        FROM sharded GROUP BY shard_id ORDER BY shard_id
+        """,
+        tags=("extension", "sampling", "pipeline"),
+        description="Deterministic global shuffle into training shards: "
+        "hash-ordered, hash-sharded, order pinned by checksum.",
     ),
 ]

@@ -278,6 +278,45 @@ _SQL_3GRAMS = (
 )
 
 
+def text_token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-frequency rarity — the LM-free stand-in for
+    the perplexity-based quality filter every big-corpus pipeline runs
+    (a KenLM scorer ranks docs by how surprising their tokens are; the
+    integer-exact proxy here ranks by inverse corpus frequency, which
+    needs no model artifact and is bit-stable across engines).
+
+    rarity(doc) = avg over token OCCURRENCES of (1e6 div corpus_count):
+    a hapax contributes 1,000,000, a 1000× token contributes 1,000 —
+    high scores flag rare-vocabulary docs (non-language junk or genuinely
+    novel text), low scores flag boilerplate. Top-20 reported.
+
+    Plan: one token explosion feeding (a) the global frequency agg and
+    (b) a frequency join back to occurrences — the classic build-side
+    aggregate + probe; both shuffles carry (token, count), never text.
+    At 100 TB the frequency table is vocabulary-sized (Zipf: ~10^7 rows)
+    and broadcastable; Spark's AQE picks that up from stats."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select("doc_id", F.explode(_tokens()).alias("token"))
+    freq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        pairs.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.expr("1000000 DIV cnt")).alias("rarity_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST(rarity_sum DIV n_tokens AS BIGINT)").alias(
+                "rarity_ppm"
+            ),
+        )
+        .orderBy(F.desc("rarity_ppm"), "doc_id")
+        .limit(20)
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "text_intra_doc_repetition",
@@ -448,5 +487,28 @@ QUERIES: list[QueryDef] = [
         """,
         tags=("extension", "text", "pipeline"),
         description="TF-IDF (exact linear-idf) top-3 terms per document.",
+    ),
+    QueryDef(
+        "text_token_rarity_scores",
+        text_token_rarity_scores,
+        """
+        WITH pairs AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        freq AS (SELECT token, COUNT(*) AS cnt FROM pairs GROUP BY token),
+        scored AS (
+          SELECT p.doc_id, COUNT(*) AS n_tokens,
+                 SUM(1000000 // f.cnt) AS rarity_sum
+          FROM pairs p JOIN freq f USING (token)
+          GROUP BY p.doc_id)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(rarity_sum // n_tokens AS BIGINT) AS rarity_ppm
+        FROM scored
+        ORDER BY rarity_ppm DESC, doc_id
+        LIMIT 20
+        """,
+        tags=("extension", "text", "pipeline", "quality"),
+        description="Corpus-frequency rarity score per doc (LM-free "
+        "surprisal proxy for quality filtering), integer-exact ppm.",
     ),
 ]

