@@ -143,10 +143,48 @@ def _read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+def _commit_info(op: str) -> dict:
+    """A ``commitInfo`` payload for ``_write_commit`` to stamp (the
+    timestamp is filled at write time so retries re-stamp)."""
+    return {"commitInfo": {"operation": op}}
+
+
+def _commit_timestamp(spark: SparkSession, path: str, version: int) -> int | None:
+    """The commit's in-commit timestamp (ms) from its commitInfo, or
+    None when the JSON was cleaned / predates timestamp stamping."""
+    try:
+        text = _read_text(spark, _version_file(path, version))
+    except Exception:  # noqa: BLE001 — cleaned commit
+        return None
+    for line in text.splitlines():
+        action = json.loads(line)
+        if "commitInfo" in action:
+            ts = action["commitInfo"].get("timestamp")
+            return int(ts) if ts is not None else None
+    return None
+
+
 def _write_commit(spark: SparkSession, path: str, version: int, actions) -> None:
     """Atomic commit: write temp, rename-with-fail-on-existing (the
     HDFSLogStore optimistic-concurrency contract — a racing writer loses
-    the rename and must retry at version+1)."""
+    the rename and must retry at version+1).
+
+    Every commit is stamped with a ``commitInfo`` first action carrying
+    an in-commit timestamp (the inCommitTimestamp idea: the commit's
+    logical time lives IN the log, immune to file-copy mtime loss) made
+    monotonic against the previous commit — ``max(now, prev + 1)`` —
+    so timestamp-based time travel is well-ordered even when two
+    commits land within one clock tick."""
+    actions = list(actions)
+    if not any("commitInfo" in a for a in actions):
+        actions = [_commit_info("WRITE")] + actions
+    now = int(time.time() * 1000)
+    prev = _commit_timestamp(spark, path, version - 1) if version > 0 else None
+    stamped = max(now, prev + 1) if prev is not None else now
+    for a in actions:
+        if "commitInfo" in a:
+            a["commitInfo"] = {**a["commitInfo"], "timestamp": stamped}
+            break
     fs, _, jvm = _hadoop_fs(spark, path)
     log = jvm.org.apache.hadoop.fs.Path(_log_dir(path))
     fs.mkdirs(log)
@@ -843,7 +881,12 @@ def _commit_metadata_change(
         new_meta = mutate(meta)
         version = _list_versions(spark, path)[-1] + 1
         try:
-            _write_commit(spark, path, version, [{"metaData": new_meta}])
+            _write_commit(
+                spark,
+                path,
+                version,
+                [_commit_info("ALTER TABLE"), {"metaData": new_meta}],
+            )
         except RuntimeError:
             if attempt == max_retries:
                 raise
@@ -1246,12 +1289,67 @@ def delta_live_files(
     return [f for f, _ in delta_live_adds(spark, path, version)]
 
 
+def _version_at_timestamp(spark: SparkSession, path: str, ts: int) -> int:
+    """TIMESTAMP AS OF resolution: the newest version whose commit
+    timestamp is ≤ ``ts`` (in-commit timestamp when stamped, the commit
+    file's modification time as the legacy fallback — delta-spark's own
+    rule). Raises below the first commit's time."""
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no delta table at {path}")
+    fs, _, jvm = _hadoop_fs(spark, path)
+    best: int | None = None
+    for v in versions:
+        ct = _commit_timestamp(spark, path, v)
+        if ct is None:
+            status = fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(_version_file(path, v))
+            )
+            ct = int(status.getModificationTime())
+        if ct <= ts:
+            best = v
+        else:
+            break  # timestamps are monotonic in version order
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the first commit of {path}"
+        )
+    return best
+
+
+def delta_history(spark: SparkSession, path: str) -> list[dict]:
+    """DESCRIBE HISTORY: newest-first [(version, timestamp, operation)]
+    from each retained commit's commitInfo (cleaned commits are absent —
+    history follows log retention, exactly delta-spark's behavior)."""
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no delta table at {path}")
+    out = []
+    for v in reversed(versions):
+        text = _read_text(spark, _version_file(path, v))
+        info: dict = {}
+        for line in text.splitlines():
+            action = json.loads(line)
+            if "commitInfo" in action:
+                info = action["commitInfo"]
+                break
+        out.append(
+            {
+                "version": v,
+                "timestamp": info.get("timestamp"),
+                "operation": info.get("operation"),
+            }
+        )
+    return out
+
+
 def delta_read(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     partition_filter: dict[str, str] | None = None,
     range_filter: dict[str, tuple] | None = None,
+    timestamp: int | None = None,
 ) -> DataFrame:
     """Snapshot read; ``partition_filter`` prunes files from the LOG's
     partitionValues and ``range_filter`` ({col: (lo, hi)}) skips files
@@ -1261,8 +1359,14 @@ def delta_read(
     predicate, skipping only removes provably-irrelevant files. The scan
     always applies the snapshot's metaData schema, so files written
     before a schema evolution read back with typed nulls in the
-    evolution-added columns."""
+    evolution-added columns. ``timestamp`` (ms) is TIMESTAMP AS OF —
+    resolved to the newest version at or before it."""
     from pyspark.sql.types import StructType
+
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass either version or timestamp, not both")
+        version = _version_at_timestamp(spark, path, timestamp)
 
     _, meta, live, _ = _snapshot_state(spark, path, version)
     adds = sorted(live.items())
@@ -1330,7 +1434,7 @@ def delta_optimize(
         raise ValueError(f"no delta table at {path}")
     version = versions[-1] + 1
     _, meta, _, _ = _snapshot_state(spark, path)
-    actions: list[dict] = []
+    actions: list[dict] = [_commit_info("OPTIMIZE")]
     for f, _a in delta_live_adds(spark, path):
         actions.append(
             {
@@ -1483,7 +1587,7 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
             f"cannot restore version {version} of {path}: data files "
             f"removed by vacuum: {missing[:3]}"
         )
-    actions: list[dict] = []
+    actions: list[dict] = [_commit_info("RESTORE")]
     if meta_c != meta_t:
         actions.append({"metaData": meta_t})
     now = int(time.time() * 1000)
@@ -1912,7 +2016,10 @@ def delta_delete(spark: SparkSession, path: str, predicate) -> int:
         if _cdf_enabled(meta)
         else []
     )
-    return _commit_rewrite(spark, path, affected, adds, extra_actions=cdc)
+    return _commit_rewrite(
+        spark, path, affected, adds,
+        extra_actions=[_commit_info("DELETE")] + cdc,
+    )
 
 
 def delta_update(
@@ -1989,7 +2096,10 @@ def delta_update(
             meta,
         ).withColumn("_change_type", F.lit("update_postimage"))
         cdc = _stage_change_files(pre.unionByName(post), path)
-    return _commit_rewrite(spark, path, affected, adds, extra_actions=cdc)
+    return _commit_rewrite(
+        spark, path, affected, adds,
+        extra_actions=[_commit_info("UPDATE")] + cdc,
+    )
 
 
 def delta_merge(
@@ -2122,7 +2232,10 @@ def delta_merge(
         for c in changes[1:]:
             feed = feed.unionByName(c)
         cdc = _stage_change_files(feed, path)
-    return _commit_rewrite(spark, path, affected, adds, extra_actions=cdc)
+    return _commit_rewrite(
+        spark, path, affected, adds,
+        extra_actions=[_commit_info("MERGE")] + cdc,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2302,7 +2415,7 @@ def delta_delete_dv(spark: SparkSession, path: str, predicate) -> int:
         }
         new_add["dataChange"] = True
         adds_out.append({"add": new_add})
-    extra: list[dict] = []
+    extra: list[dict] = [_commit_info("DELETE")]
     upgrade = _dv_protocol_upgrade(proto)
     if upgrade is not None:
         extra.append(upgrade)
@@ -2760,6 +2873,45 @@ def delta_native_generated_columns(
     )
 
 
+def delta_native_history_timestamp_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DESCRIBE HISTORY + TIMESTAMP AS OF: a five-commit lifecycle
+    (write, append, DELETE, OPTIMIZE, RESTORE) stamps each commit with a
+    monotonic in-commit timestamp and an operation name; reading AS OF
+    each commit's own timestamp must reproduce that version's snapshot
+    EXACTLY (asserted in-query for every version — wall-clock values
+    never reach the output). Output: the history's (version, operation)
+    ledger plus each snapshot's row count — fully deterministic."""
+    import tempfile
+
+    from ..tables import load_table
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    path = tempfile.mkdtemp(prefix="ls_delta_hist_")
+    delta_write(n, path, mode="overwrite")  # v0 WRITE
+    delta_write(n.where("n_regionkey = 0"), path, mode="append")  # v1 WRITE
+    delta_delete(spark, path, "n_nationkey % 2 = 0")  # v2 DELETE
+    delta_optimize(spark, path)  # v3 OPTIMIZE
+    delta_restore(spark, path, 1)  # v4 RESTORE
+    hist = delta_history(spark, path)
+    rows = []
+    for h in sorted(hist, key=lambda x: x["version"]):
+        v, ts = h["version"], h["timestamp"]
+        by_ts = delta_read(spark, path, timestamp=ts)
+        by_v = delta_read(spark, path, version=v)
+        n_ts, n_v = by_ts.count(), by_v.count()
+        if n_ts != n_v:
+            raise AssertionError(
+                f"TIMESTAMP AS OF {ts} resolved away from version {v}: "
+                f"{n_ts} vs {n_v} rows"
+            )
+        rows.append((v, h["operation"], n_v))
+    return spark.createDataFrame(
+        rows, "version bigint, operation string, n_rows bigint"
+    ).orderBy("version")
+
+
 def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed over DML commits: a CDF-enabled table takes a
     DELETE (v1) then an UPDATE (v2); ``delta_read_cdf(1, 2)`` returns
@@ -2813,6 +2965,28 @@ QUERIES: list[QueryDef] = [
         description="Column mapping (mode=name): RENAME/DROP COLUMN as "
         "metaData-only commits over physical col-<uuid> file names; "
         "DML and reads translate through the mapping.",
+    ),
+    QueryDef(
+        "delta_native_history_timestamp_travel",
+        delta_native_history_timestamp_travel,
+        """
+        WITH v0 AS (SELECT n_nationkey, n_regionkey FROM nation),
+        v1 AS (SELECT * FROM v0
+               UNION ALL SELECT * FROM v0 WHERE n_regionkey = 0),
+        v2 AS (SELECT * FROM v1 WHERE n_nationkey % 2 <> 0)
+        SELECT * FROM (
+          SELECT CAST(0 AS BIGINT) AS version, 'WRITE' AS operation,
+                 CAST((SELECT COUNT(*) FROM v0) AS BIGINT) AS n_rows
+          UNION ALL SELECT 1, 'WRITE', (SELECT COUNT(*) FROM v1)
+          UNION ALL SELECT 2, 'DELETE', (SELECT COUNT(*) FROM v2)
+          UNION ALL SELECT 3, 'OPTIMIZE', (SELECT COUNT(*) FROM v2)
+          UNION ALL SELECT 4, 'RESTORE', (SELECT COUNT(*) FROM v1)
+        ) ORDER BY version
+        """,
+        tags=("parity", "delta", "io"),
+        description="DESCRIBE HISTORY + TIMESTAMP AS OF: monotonic "
+        "in-commit timestamps, per-commit operation ledger, AS-OF reads "
+        "asserted equal to version reads in-query.",
     ),
     QueryDef(
         "delta_native_generated_columns",

@@ -27,9 +27,11 @@ def test_first_commit_has_protocol_and_metadata(spark, sf_smoke):
     path = tempfile.mkdtemp(prefix="ls_dl_t1_")
     assert delta_write(n, path) == 0
     kinds = [next(iter(a)) for a in _actions(path, 0)]
-    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    # every commit leads with a commitInfo stamp (in-commit timestamp)
+    assert kinds[0] == "commitInfo"
+    assert kinds[1] == "protocol" and kinds[2] == "metaData"
     assert kinds.count("add") >= 1 and "remove" not in kinds
-    meta = _actions(path, 0)[1]["metaData"]
+    meta = _actions(path, 0)[2]["metaData"]
     assert meta["format"]["provider"] == "parquet"
     assert json.loads(meta["schemaString"])["type"] == "struct"
 
@@ -169,7 +171,8 @@ def test_optimize_compacts_without_changing_rows(spark, sf_smoke):
     # compaction commits are layout-only: every action says dataChange false
     for a in _actions(path, v):
         body = a.get("add") or a.get("remove")
-        assert body["dataChange"] is False
+        if body is not None:  # commitInfo stamp carries no dataChange
+            assert body["dataChange"] is False
     # pre-OPTIMIZE snapshot still readable (MVCC)
     assert delta_read(spark, path, version=v - 1).count() == before_rows
 
@@ -1148,9 +1151,8 @@ def test_check_constraints_enforced_across_write_paths(spark, sf_smoke):
     v = delta_add_constraint(
         spark, path, "key_nonneg", "n_nationkey >= 0"
     )  # v1
-    kinds = [next(iter(a)) for a in _actions(path, v)]
-    assert kinds[0] == "protocol"
-    assert _actions(path, v)[0]["protocol"]["minWriterVersion"] == 3
+    protos = [a["protocol"] for a in _actions(path, v) if "protocol" in a]
+    assert protos and protos[0]["minWriterVersion"] == 3
     # conforming append still works on the v3 table
     delta_write(n.limit(1), path, mode="append")  # v2
     # violating append refused, nothing committed
@@ -1563,7 +1565,7 @@ def test_cm_rename_and_drop_are_metadata_only(spark):
     assert delta_live_adds(spark, path) == files0
     for v in (1, 2):
         kinds = [next(iter(a)) for a in _actions(path, v)]
-        assert kinds == ["metaData"]
+        assert kinds == ["commitInfo", "metaData"]
     assert delta_read(spark, path).columns == ["id", "value"]
     assert delta_read(spark, path, version=0).columns == ["id", "v", "tag"]
     got = sorted(
@@ -1771,3 +1773,57 @@ def test_generated_column_metadata_survives_evolution(spark):
     assert delta_read(spark, path).columns == [
         "id", "a", "twice_a", "comment",
     ]
+
+
+# ---------------------------------------------------------------------------
+# In-commit timestamps / DESCRIBE HISTORY / TIMESTAMP AS OF
+
+
+def test_history_and_timestamp_travel(spark, sf_smoke):
+    """Every commit carries a monotonic in-commit timestamp and an
+    operation name; TIMESTAMP AS OF resolves to the newest version at or
+    before the given time, errors below v0, and a between-commits
+    timestamp resolves to the earlier version."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete,
+        delta_history,
+        delta_optimize,
+    )
+
+    n = load_table(spark, sf_smoke, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    path = tempfile.mkdtemp(prefix="ls_dl_hist_")
+    delta_write(n, path)  # v0
+    delta_write(n.where("n_regionkey = 1"), path, mode="append")  # v1
+    delta_delete(spark, path, "n_nationkey < 3")  # v2
+    delta_optimize(spark, path)  # v3
+    hist = delta_history(spark, path)
+    assert [h["version"] for h in hist] == [3, 2, 1, 0]
+    assert [h["operation"] for h in hist] == [
+        "OPTIMIZE",
+        "DELETE",
+        "WRITE",
+        "WRITE",
+    ]
+    stamps = [h["timestamp"] for h in reversed(hist)]
+    assert all(isinstance(t, int) for t in stamps)
+    assert stamps == sorted(stamps) and len(set(stamps)) == 4, "monotonic"
+    # AS OF each commit's own stamp == that version; between-stamps
+    # resolves to the earlier commit; before v0 errors
+    for h in hist:
+        assert (
+            delta_read(spark, path, timestamp=h["timestamp"]).count()
+            == delta_read(spark, path, version=h["version"]).count()
+        )
+    mid = stamps[1] - 1 if stamps[1] - stamps[0] > 1 else stamps[0]
+    assert (
+        delta_read(spark, path, timestamp=mid).count()
+        == delta_read(spark, path, version=0).count()
+    )
+    with pytest.raises(ValueError, match="predates"):
+        delta_read(spark, path, timestamp=stamps[0] - 10_000)
+    with pytest.raises(ValueError, match="not both"):
+        delta_read(spark, path, version=1, timestamp=stamps[1])

@@ -405,3 +405,54 @@ def test_dv_read_is_broadcast_anti_join(spark):
     assert broadcast_join_count(back) >= 1
     # the fact side must not gain an exchange for the anti-join
     assert shuffle_count(back) == 0
+
+
+def test_fuzzy_containment_broadcasts_bench_side(spark, sf_smoke):
+    """Both the benchmark gram set and the per-bench-doc sizes must
+    broadcast; the only exchanges aggregate (train, bench) hit pairs —
+    a shuffled bench join would move the train gram stream twice."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        dedup_fuzzy_containment,
+    )
+
+    df = dedup_fuzzy_containment(spark, sf_smoke)
+    assert broadcast_join_count(df) >= 2
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_span_coverage_is_two_hash_aggs_no_pairs(spark, sf_smoke):
+    """Span coverage must stay per-span/per-doc aggregation — never a
+    doc×doc join: no cartesian, no theta join, shuffles bounded by the
+    span-df agg + per-doc agg (+ sort)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        dedup_span_coverage,
+    )
+
+    df = dedup_span_coverage(spark, sf_smoke)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 4
+
+
+def test_global_shuffle_shards_single_exchange(spark, sf_smoke):
+    """Shard assignment + within-shard order + the aggregate must reuse
+    ONE hash exchange on shard_id (plus the final tiny sort) — sharding
+    100 TB must not shuffle twice."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        sample_global_shuffle_shards,
+    )
+
+    df = sample_global_shuffle_shards(spark, sf_smoke)
+    assert shuffle_count(df) <= 2
+
+
+def test_rarity_join_stays_on_token_key(spark, sf_smoke):
+    """The frequency probe joins on the token key with no cartesian and
+    no text payload in the shuffle (ReadSchema carries doc_id + text
+    only at the scan; the joins move token/count pairs)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        text_token_rarity_scores,
+    )
+
+    df = text_token_rarity_scores(spark, sf_smoke)
+    assert "CartesianProduct" not in explain_str(df)
