@@ -58,6 +58,7 @@ _WRITER_FEATURES_IMPLEMENTED = frozenset(
         "columnMapping",
         "checkConstraints",
         "generatedColumns",
+        "identityColumns",
     }
 )
 
@@ -740,6 +741,107 @@ def _apply_generated(df: DataFrame, meta: dict) -> DataFrame:
     return df
 
 
+# Identity columns (PROTOCOL.md writer feature "identityColumns",
+# delta-spark's GENERATED ALWAYS AS IDENTITY): start/step/highWaterMark
+# live in the field's schema metadata; every identity write allocates a
+# fresh id block above the watermark and commits the advanced watermark
+# in the same transaction. The protocol guarantees UNIQUENESS and a
+# monotone watermark — not contiguity and not any particular row↔id
+# mapping (same as delta-spark).
+_ID_START = "delta.identity.start"
+_ID_STEP = "delta.identity.step"
+_ID_HIGH = "delta.identity.highWaterMark"
+
+
+def _identity_columns(meta: dict | None) -> dict[str, dict]:
+    """{column: {start, step, high(|None)}} from schema metadata."""
+    if not meta:
+        return {}
+    out = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        if _ID_START in md:
+            out[f["name"]] = {
+                "start": int(md[_ID_START]),
+                "step": int(md[_ID_STEP]),
+                "high": int(md[_ID_HIGH]) if _ID_HIGH in md else None,
+            }
+    return out
+
+
+def _allocate_identity(
+    df: DataFrame, meta: dict
+) -> tuple[DataFrame, dict | None]:
+    """Assign every identity column a fresh id block for ``df``'s rows
+    and return (df with ids, metaData action advancing the watermarks —
+    None when the table has no identity columns or df adds no rows).
+
+    Scale shape: ONE materialization of the batch (localCheckpoint), an
+    O(partitions) count collect, then per-partition offsets assigned via
+    a window keyed on the physical partition id — ids are allocated
+    block-per-partition with no global sort and no driver data path.
+    The row↔id mapping follows the physical partitioning (the protocol
+    only promises uniqueness); total allocation per batch is exactly
+    |rows| steps, so watermark advancement is deterministic even though
+    the mapping is not."""
+    from pyspark.sql import Window
+
+    ids = _identity_columns(meta)
+    if not ids:
+        return df, None
+    present = [c for c in ids if c in df.columns]
+    if present:
+        raise ValueError(
+            f"identity columns {present} are GENERATED ALWAYS — remove "
+            "them from the batch; the engine allocates the values"
+        )
+    df = df.localCheckpoint()  # pin partition ids for both passes
+    tagged = df.withColumn("__id_pid", F.spark_partition_id())
+    counts = sorted(
+        (r["__id_pid"], r["n"])
+        for r in tagged.groupBy("__id_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    total = sum(n for _, n in counts)
+    if total == 0:
+        return df, None
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "__id_pid int, __id_off long"
+    )
+    # broadcast the O(partitions) offset table — no chained expression,
+    # no driver data path, works at 100k input splits
+    tagged = tagged.join(F.broadcast(off_df), "__id_pid")
+    w = Window.partitionBy("__id_pid").orderBy(
+        F.monotonically_increasing_id()
+    )
+    pos = (F.row_number().over(w) - 1 + F.col("__id_off")).cast("long")
+    sj = json.loads(meta["schemaString"])
+    for name, spec in ids.items():
+        base = (
+            spec["high"] + spec["step"]
+            if spec["high"] is not None
+            else spec["start"]
+        )
+        tagged = tagged.withColumn(
+            name, (F.lit(base) + pos * F.lit(spec["step"])).cast("long")
+        )
+        new_high = base + (total - 1) * spec["step"]
+        for f in sj["fields"]:
+            if f["name"] == name:
+                f["metadata"] = {
+                    **(f.get("metadata") or {}),
+                    _ID_HIGH: new_high,
+                }
+    out_cols = [f["name"] for f in sj["fields"] if f["name"] in tagged.columns]
+    new_meta = {**meta, "schemaString": json.dumps(sj)}
+    return tagged.select(*out_cols), {"metaData": new_meta}
+
+
 def _recompute_generated(df: DataFrame, meta: dict) -> DataFrame:
     """FORCE-recompute every generated column from the current row
     values — the UPDATE/MERGE post-image rule (a dependency may have
@@ -983,6 +1085,7 @@ def _plan_commit(
     merge_schema: bool,
     configuration: dict | None = None,
     generated_columns: dict | None = None,
+    identity_columns: dict | None = None,
 ) -> tuple[int, list[dict], DataFrame, dict]:
     """One optimistic-transaction attempt: resolve the target version
     against the CURRENT log state and build the commit's non-add actions
@@ -1018,6 +1121,26 @@ def _plan_commit(
                 else f
                 for f in schema_json["fields"]
             ]
+        for name, spec in (identity_columns or {}).items():
+            if name in [f["name"] for f in schema_json["fields"]]:
+                raise ValueError(
+                    f"identity column {name} is GENERATED ALWAYS — it "
+                    "must not be a batch column"
+                )
+            schema_json["fields"].append(
+                {
+                    "name": name,
+                    "type": "long",
+                    # declared nullable so the allocated expression's
+                    # Spark type matches on append validation; values
+                    # are engine-allocated and never null in practice
+                    "nullable": True,
+                    "metadata": {
+                        _ID_START: int(spec.get("start", 1)),
+                        _ID_STEP: int(spec.get("step", 1)),
+                    },
+                }
+            )
         reader_feats: list[str] = []
         writer_feats: list[str] = []
         if _cm_enabled({"configuration": conf}):
@@ -1032,6 +1155,8 @@ def _plan_commit(
             writer_feats.append("columnMapping")
         if generated_columns:
             writer_feats.append("generatedColumns")
+        if identity_columns:
+            writer_feats.append("identityColumns")
         if writer_feats:
             proto_action = {
                 "minReaderVersion": 3 if reader_feats else 1,
@@ -1052,6 +1177,9 @@ def _plan_commit(
             "configuration": conf,
             "createdTime": int(time.time() * 1000),
         }
+        df, id_action = _allocate_identity(df, new_meta)
+        if id_action is not None:
+            new_meta = id_action["metaData"]  # watermark advanced
         actions.append({"protocol": proto_action})
         actions.append({"metaData": new_meta})
         df = _apply_generated(df, new_meta)
@@ -1092,10 +1220,15 @@ def _plan_commit(
             f"partition_by {partition_by or []} does not match the "
             f"table's declared partitionColumns {declared}"
         )
-    # fill-or-verify generated columns BEFORE schema validation, so a
-    # batch that (correctly) omits them is not a schema mismatch
+    # fill-or-verify generated columns and allocate identity blocks
+    # BEFORE schema validation, so a batch that (correctly) omits them
+    # is not a schema mismatch
     if meta.get("schemaString"):
         df = _apply_generated(df, meta)
+        df, id_action = _allocate_identity(df, meta)
+        if id_action is not None:
+            actions.append(id_action)
+            meta = id_action["metaData"]
     existing = _logical_schema(meta)
     if df.schema != existing:
         if not merge_schema:
@@ -1181,6 +1314,7 @@ def delta_write(
     txn: tuple[str, int] | None = None,
     configuration: dict | None = None,
     generated_columns: dict | None = None,
+    identity_columns: dict | None = None,
 ) -> int:
     """Commit df to a protocol-conformant Delta table; returns the
     committed version. ``configuration`` seeds metaData.configuration on
@@ -1226,6 +1360,7 @@ def delta_write(
         merge_schema,
         configuration,
         generated_columns,
+        identity_columns,
     )
     txn_action = (
         [{"txn": {"appId": txn[0], "version": int(txn[1])}}] if txn else []
@@ -1247,6 +1382,15 @@ def delta_write(
         except RuntimeError:
             if attempt == max_retries:
                 raise
+            if _identity_columns(eff_meta):
+                # the staged files hold ids allocated under the LOST
+                # snapshot's watermark; a racing identity write may have
+                # claimed them — blind retry would mint duplicates
+                raise DeltaConcurrentModification(
+                    f"identity-column write to {path} lost the commit "
+                    "race; re-run to allocate above the winner's "
+                    "watermark"
+                ) from None
             version, actions, _, _ = _plan_commit(
                 spark, df, path, mode, partition_by, merge_schema
             )
@@ -2048,6 +2192,12 @@ def delta_update(
             f"cannot UPDATE generated columns {sorted(gen_assigned)}; "
             "they are recomputed from their generation expression"
         )
+    id_assigned = set(exprs) & set(_identity_columns(meta))
+    if id_assigned:
+        raise ValueError(
+            f"cannot UPDATE identity columns {sorted(id_assigned)}; "
+            "their values are engine-allocated"
+        )
     hit_names = [
         r[0]
         for r in scan.where(pred).select("__ls_file").distinct().collect()
@@ -2147,9 +2297,17 @@ def delta_merge(
     missing = [k for k in on if k not in tcols or k not in source.columns]
     if missing:
         raise ValueError(f"merge keys absent from target or source: {missing}")
+    identity = _identity_columns(meta)
     upd = update_cols or [
-        c for c in source.columns if c in tcols and c not in on
+        c
+        for c in source.columns
+        if c in tcols and c not in on and c not in identity
     ]
+    if set(upd) & set(identity):
+        raise ValueError(
+            f"cannot MERGE-update identity columns "
+            f"{sorted(set(upd) & set(identity))}"
+        )
     src = source.localCheckpoint(eager=False)  # 3 consumers, 1 compute
     hit_names = [
         r[0]
@@ -2186,6 +2344,7 @@ def delta_merge(
         # generated columns track their dependencies' merged values
         merged = _recompute_generated(merged, meta)
         pieces.append(merged)
+    id_action = None
     if insert_unmatched:
         target_keys = scan.select(*on).distinct()
         inserts = src.join(target_keys, on=on, how="left_anti").select(
@@ -2199,6 +2358,15 @@ def delta_merge(
         # a source that omits a generated column inserts its computed
         # value, not a typed null
         inserts = _recompute_generated(inserts, meta)
+        if identity:
+            # inserted rows get fresh ids above the watermark; the
+            # advanced watermark commits atomically with the upsert
+            inserts, id_action = _allocate_identity(
+                inserts.drop(*identity), meta
+            )
+            if id_action is not None:
+                meta = id_action["metaData"]
+            inserts = inserts.select(*tcols)
         pieces.append(inserts)
     if not pieces:
         return _list_versions(spark, path)[-1]
@@ -2233,8 +2401,13 @@ def delta_merge(
             feed = feed.unionByName(c)
         cdc = _stage_change_files(feed, path)
     return _commit_rewrite(
-        spark, path, affected, adds,
-        extra_actions=[_commit_info("MERGE")] + cdc,
+        spark,
+        path,
+        affected,
+        adds,
+        extra_actions=[_commit_info("MERGE")]
+        + ([id_action] if id_action else [])
+        + cdc,
     )
 
 
@@ -2912,6 +3085,47 @@ def delta_native_history_timestamp_travel(
     ).orderBy("version")
 
 
+def delta_native_identity_columns(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY lifecycle: a surrogate-key column
+    (start 100, step 3) is allocated by the engine across a write, an
+    append, and a MERGE whose inserts mint fresh ids while its updates
+    keep theirs. The row↔id mapping is partitioning-dependent (the
+    protocol promises uniqueness + watermark monotonicity, like
+    delta-spark), so the output pins the id SET algebraically: count,
+    distinct count, min/max, and the arithmetic-series sum — plus the
+    data column's totals."""
+    import tempfile
+
+    from ..tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_id_")
+    delta_write(
+        c.where("c_custkey % 3 = 0").repartition(4),
+        path,
+        identity_columns={"surrogate_id": {"start": 100, "step": 3}},
+    )
+    delta_write(c.where("c_custkey % 3 = 1"), path, mode="append")
+    src = c.where("c_custkey % 6 = 1").select(
+        "c_custkey", (F.col("cents") * 2).alias("cents")
+    ).unionByName(c.where("c_custkey % 3 = 2"))
+    delta_merge(spark, path, src, on=["c_custkey"])
+    back = delta_read(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("surrogate_id").alias("n_distinct_ids"),
+        F.min("surrogate_id").alias("min_id"),
+        F.max("surrogate_id").alias("max_id"),
+        F.sum("surrogate_id").alias("sum_id"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
 def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed over DML commits: a CDF-enabled table takes a
     DELETE (v1) then an UPDATE (v2); ``delta_read_cdf(1, 2)`` returns
@@ -2987,6 +3201,31 @@ QUERIES: list[QueryDef] = [
         description="DESCRIBE HISTORY + TIMESTAMP AS OF: monotonic "
         "in-commit timestamps, per-commit operation ledger, AS-OF reads "
         "asserted equal to version reads in-query.",
+    ),
+    QueryDef(
+        "delta_native_identity_columns",
+        delta_native_identity_columns,
+        """
+        WITH n AS (SELECT COUNT(*) AS total FROM customer),
+        cents AS (
+          SELECT SUM(CASE WHEN c_custkey % 6 = 1
+                          THEN 2 * CAST(round(c_acctbal * 100) AS BIGINT)
+                          ELSE CAST(round(c_acctbal * 100) AS BIGINT) END)
+                   AS sum_cents
+          FROM customer)
+        SELECT CAST(n.total AS BIGINT) AS n_rows,
+               CAST(n.total AS BIGINT) AS n_distinct_ids,
+               CAST(100 AS BIGINT) AS min_id,
+               CAST(100 + 3 * (n.total - 1) AS BIGINT) AS max_id,
+               CAST(n.total * 100 + 3 * ((n.total - 1) * n.total // 2)
+                 AS BIGINT) AS sum_id,
+               CAST(cents.sum_cents AS BIGINT) AS sum_cents
+        FROM n, cents
+        """,
+        tags=("parity", "delta", "io", "ddl"),
+        description="Identity columns: engine-allocated surrogate keys "
+        "across write/append/MERGE; id set pinned algebraically "
+        "(series min/max/sum, uniqueness).",
     ),
     QueryDef(
         "delta_native_generated_columns",

@@ -1827,3 +1827,82 @@ def test_history_and_timestamp_travel(spark, sf_smoke):
         delta_read(spark, path, timestamp=stamps[0] - 10_000)
     with pytest.raises(ValueError, match="not both"):
         delta_read(spark, path, version=1, timestamp=stamps[1])
+
+
+# ---------------------------------------------------------------------------
+# Identity columns (writer feature identityColumns)
+
+
+def test_identity_allocation_uniqueness_and_watermark(spark):
+    """Engine-allocated ids form the exact arithmetic series across
+    write + append; the watermark advances atomically; explicit values
+    and UPDATE/MERGE assignment of the identity column are refused;
+    MERGE inserts mint fresh ids above the watermark."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        _identity_columns,
+        delta_merge,
+        delta_metadata,
+        delta_update,
+        delta_write,
+    )
+
+    df = spark.range(30).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    path = tempfile.mkdtemp(prefix="ls_idc_")
+    delta_write(
+        df.repartition(4),
+        path,
+        identity_columns={"row_id": {"start": 1000, "step": 2}},
+    )
+    protos = [a["protocol"] for a in _actions(path, 0) if "protocol" in a]
+    assert "identityColumns" in protos[0]["writerFeatures"]
+    delta_write(
+        spark.range(30, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        path,
+        mode="append",
+    )
+    ids = sorted(r["row_id"] for r in delta_read(spark, path).collect())
+    assert ids == list(range(1000, 1000 + 2 * 50, 2))
+    assert _identity_columns(delta_metadata(spark, path))["row_id"] == {
+        "start": 1000,
+        "step": 2,
+        "high": 1098,
+    }
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        delta_write(
+            spark.range(5).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 2).alias("v"),
+                F.lit(9).cast("long").alias("row_id"),
+            ),
+            path,
+            mode="append",
+        )
+    with pytest.raises(ValueError, match="identity"):
+        delta_update(spark, path, "k = 1", {"row_id": F.lit(0)})
+    with pytest.raises(ValueError, match="identity"):
+        delta_merge(
+            spark,
+            path,
+            spark.range(3).select(
+                F.col("id").alias("k"), F.lit(1).cast("long").alias("row_id")
+            ),
+            on=["k"],
+            update_cols=["row_id"],
+        )
+    # MERGE: updates keep ids, inserts mint fresh ones above watermark
+    src = spark.range(45, 60).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+    )
+    delta_merge(spark, path, src, on=["k"])
+    final = delta_read(spark, path)
+    got = {r["k"]: r["row_id"] for r in final.collect()}
+    assert len(got) == 60 and len(set(got.values())) == 60
+    pre_merge_ids = set(range(1000, 1100, 2))
+    assert all(got[k] in pre_merge_ids for k in range(50))  # kept
+    assert all(got[k] > 1098 for k in range(50, 60))  # fresh, above hw
+    hw = _identity_columns(delta_metadata(spark, path))["row_id"]["high"]
+    assert hw == max(got.values())
