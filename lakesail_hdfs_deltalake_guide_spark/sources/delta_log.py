@@ -1599,6 +1599,85 @@ def delta_optimize(
     return version
 
 
+def delta_optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    target_files: int = 8,
+    bits: int = 16,
+) -> int:
+    """OPTIMIZE ... ZORDER BY (col_a, col_b): rewrite the live set
+    clustered on the Morton interleave of the two keys, so per-file
+    min/max stats become tight rectangles in BOTH dimensions and
+    ``range_filter`` skips files for predicates on EITHER key — the
+    multi-dimensional upgrade of plain compaction. Same dataChange=false
+    MVCC discipline as delta_optimize (layout-only; streaming readers
+    skip it; deletion vectors are materialized away by the rewrite).
+    Bit-interleave is pure column arithmetic (whole-stage codegen) and
+    the write is one range exchange on the z-value."""
+    from .layout import zorder_key
+
+    if len(cols) != 2:
+        raise ValueError("zorder currently interleaves exactly 2 columns")
+    current = delta_read(spark, path)
+    # normalize each key to the full bit range before interleaving —
+    # raw keys of different magnitudes would let the wider key's high
+    # bits dominate every z prefix and the narrow key would never
+    # cluster (Delta's ZCube building does the same range-normalization
+    # via its range-partition ids). Min/max is one metadata-sized agg.
+    bounds = current.agg(
+        *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    top = (1 << bits) - 1
+
+    def _norm(i: int, c: str):
+        mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+        if mn is None or mx is None or mx == mn:
+            return F.lit(0).cast("long")
+        return F.expr(
+            f"CAST((CAST({c} AS BIGINT) - {mn}) * {top} DIV {mx - mn} "
+            "AS BIGINT)"
+        )
+
+    z = zorder_key(_norm(0, cols[0]), _norm(1, cols[1]), bits)
+    clustered = (
+        current.withColumn("__z", z)
+        .repartitionByRange(target_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no delta table at {path}")
+    version = versions[-1] + 1
+    _, meta, _, _ = _snapshot_state(spark, path)
+    actions: list[dict] = [_commit_info("OPTIMIZE ZORDER")]
+    for f, _a in delta_live_adds(spark, path):
+        actions.append(
+            {
+                "remove": {
+                    "path": f,
+                    "deletionTimestamp": int(time.time() * 1000),
+                    "dataChange": False,
+                }
+            }
+        )
+    pm = {l: p for p, l in _cm_pairs(meta)}
+    adds = _stage_data_files(
+        _to_physical(clustered, meta),
+        path,
+        stats_cols=[pm.get(c, c) for c in cols],
+    )
+    for a in adds:
+        a["add"]["dataChange"] = False
+    actions.extend(adds)
+    _write_commit(spark, path, version, actions)
+    if version % CHECKPOINT_INTERVAL == 0:
+        _auto_checkpoint(spark, path, version)
+    return version
+
+
 def delta_vacuum(
     spark: SparkSession, path: str, keep_versions: int = 1
 ) -> list[str]:
@@ -3126,6 +3205,53 @@ def delta_native_identity_columns(
     )
 
 
+def delta_native_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY on the native log: orders land in arrival
+    order (custkey scattered across every file), then a z-order rewrite
+    clusters (o_custkey, o_orderkey) so a custkey range predicate can
+    SKIP files on footer stats. The query asserts in-flight that the
+    stats-based file skip actually prunes (post-zorder surviving files <
+    live files) and returns the pruned read's aggregate — wrong skipping
+    (dropping a file it needed) breaks the totals."""
+    import tempfile
+
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_zo_")
+    delta_write(
+        o.repartition(8), path, stats_cols=["o_custkey", "o_orderkey"]
+    )
+    delta_optimize_zorder(spark, path, ["o_custkey", "o_orderkey"])
+    lo, hi = 100, 500
+    live = delta_live_adds(spark, path)
+
+    def survives(a: dict) -> bool:
+        st = json.loads(a["stats"])
+        mn = st["minValues"].get("o_custkey")
+        mx = st["maxValues"].get("o_custkey")
+        return mn is None or mx is None or not (mn > hi or mx < lo)
+
+    surviving = sum(1 for _, a in live if survives(a))
+    if not surviving < len(live):
+        raise AssertionError(
+            f"z-order produced no file skipping: {surviving}/{len(live)}"
+        )
+    pruned = delta_read(spark, path, range_filter={"o_custkey": (lo, hi)})
+    return (
+        pruned.where(F.col("o_custkey").between(lo, hi))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
 def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed over DML commits: a CDF-enabled table takes a
     DELETE (v1) then an UPDATE (v2); ``delta_read_cdf(1, 2)`` returns
@@ -3201,6 +3327,21 @@ QUERIES: list[QueryDef] = [
         description="DESCRIBE HISTORY + TIMESTAMP AS OF: monotonic "
         "in-commit timestamps, per-commit operation ledger, AS-OF reads "
         "asserted equal to version reads in-query.",
+    ),
+    QueryDef(
+        "delta_native_zorder_skip",
+        delta_native_zorder_skip,
+        """
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders WHERE o_custkey BETWEEN 100 AND 500
+        """,
+        tags=("parity", "delta", "io", "layout", "zorder"),
+        description="OPTIMIZE ZORDER BY on the native log: Morton "
+        "clustering makes footer stats skip files on either key; "
+        "skipping asserted in-query.",
     ),
     QueryDef(
         "delta_native_identity_columns",

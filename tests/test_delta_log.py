@@ -1906,3 +1906,50 @@ def test_identity_allocation_uniqueness_and_watermark(spark):
     assert all(got[k] > 1098 for k in range(50, 60))  # fresh, above hw
     hw = _identity_columns(delta_metadata(spark, path))["row_id"]["high"]
     assert hw == max(got.values())
+
+
+def test_zorder_optimize_skips_on_both_keys_and_clears_dvs(spark):
+    """OPTIMIZE ZORDER: after the rewrite, range predicates on EITHER
+    interleaved key prune files on footer stats; DVs present before the
+    rewrite are materialized away; rows are unchanged; the commit is
+    dataChange=false throughout."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_live_adds,
+        delta_optimize_zorder,
+    )
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / F.lit(64)).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_zo_")
+    delta_write(df.repartition(8), path, stats_cols=["x", "y"])
+    delta_delete_dv(spark, path, "payload % 100 = 0")
+    v = delta_optimize_zorder(spark, path, ["x", "y"], target_files=8)
+    adds = delta_live_adds(spark, path)
+    assert all(not a.get("deletionVector") for _, a in adds)
+    for a in _actions(path, v):
+        body = a.get("add") or a.get("remove")
+        if body is not None:
+            assert body["dataChange"] is False
+
+    def surviving(col, lo, hi):
+        n = 0
+        for _, a in adds:
+            st = json.loads(a["stats"])
+            mn, mx = st["minValues"].get(col), st["maxValues"].get(col)
+            if mn is None or not (mn > hi or mx < lo):
+                n += 1
+        return n
+
+    assert surviving("x", 0, 15) < len(adds), "x-range must skip files"
+    assert surviving("y", 0, 15) < len(adds), "y-range must skip files"
+    back = delta_read(spark, path)
+    assert back.count() == 4096 - len([i for i in range(4096) if i % 100 == 0])
+    got = delta_read(spark, path, range_filter={"x": (0, 15)}).where(
+        "x BETWEEN 0 AND 15"
+    )
+    exp = [i for i in range(4096) if i % 64 <= 15 and i % 100 != 0]
+    assert sorted(r["payload"] for r in got.collect()) == exp
