@@ -942,6 +942,23 @@ def _to_physical(df: DataFrame, meta: dict) -> DataFrame:
     )
 
 
+def _is_absolute_ref(ref: str) -> bool:
+    """True for absolute references: a URI with a scheme (Hadoop URIs
+    stringify as ``file:/tmp/...`` — scheme colon, no ``//``) or an
+    absolute filesystem path."""
+    import re
+
+    return ref.startswith("/") or bool(re.match(r"^[A-Za-z][\w+.-]*:", ref))
+
+
+def _data_uri(path: str, ref: str) -> str:
+    """Resolve an add/remove/DV reference to a readable location: the
+    protocol allows RELATIVE paths (within the table dir — the normal
+    case) and ABSOLUTE URIs (shallow clones reference the source
+    table's files in place)."""
+    return ref if _is_absolute_ref(ref) else f"{path}/{ref}"
+
+
 def _physical_scan(
     spark: SparkSession,
     path: str,
@@ -954,10 +971,15 @@ def _physical_scan(
     metadata when requested). The single translation point every reader
     path (snapshot read, DML scan, rewrite source, DV delete) goes
     through."""
-    reader = spark.read.schema(_physical_schema(meta)).option(
-        "basePath", path
-    )
-    scan = reader.parquet(*[f"{path}/{f}" for f in sorted(files)])
+    reader = spark.read.schema(_physical_schema(meta))
+    if not any(_is_absolute_ref(f) for f in files):
+        # basePath powers hive-style partition discovery; an absolute
+        # (shallow-clone) reference lives outside the table dir and
+        # would clash with it. Clones of partitioned tables are refused
+        # at clone time, so dropping basePath here never loses
+        # partition columns.
+        reader = reader.option("basePath", path)
+    scan = reader.parquet(*[_data_uri(path, f) for f in sorted(files)])
     cols = [F.col(p).alias(l) for p, l in _cm_pairs(meta)]
     if with_position:
         cols += [
@@ -1599,6 +1621,64 @@ def delta_optimize(
     return version
 
 
+def delta_clone(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE: create a new Delta table at ``dst`` whose v0
+    references the source snapshot's data files (and DV storage units)
+    IN PLACE by absolute URI — a zero-copy table copy (delta-spark's
+    CREATE TABLE ... SHALLOW CLONE). The clone then evolves
+    independently: appends/DML/OPTIMIZE land new files under the clone
+    dir and retire absolute references; the source never sees any of
+    it. Protocol, schema, configuration (and so constraints, CDF,
+    column mapping, generated/identity specs) carry over; the clone
+    gets a fresh table id. Standard hazard applies: VACUUM on the
+    SOURCE can reap files a shallow clone still references."""
+    proto, meta, live, _ = _snapshot_state(spark, src, version)
+    if meta is None:
+        raise ValueError(f"no delta table at {src}")
+    if meta.get("partitionColumns"):
+        raise ValueError(
+            "shallow clone of a partitioned table is not supported "
+            "(partition values are directory-discovered, which needs a "
+            "single basePath)"
+        )
+    if _list_versions(spark, dst):
+        raise ValueError(f"clone destination {dst} is already a delta table")
+    fs, src_path, _jvm = _hadoop_fs(spark, src)
+    base_uri = str(fs.makeQualified(src_path).toUri())
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        _commit_info("CLONE"),
+        {"protocol": dict(proto or _PROTOCOL)},
+        {
+            "metaData": {
+                **meta,
+                "id": uuid.uuid4().hex,
+                "createdTime": now,
+            }
+        },
+    ]
+    for f, a in sorted(live.items()):
+        add = dict(a)
+        add["path"] = f if _is_absolute_ref(f) else f"{base_uri}/{f}"
+        dv = add.get("deletionVector")
+        if dv and not _is_absolute_ref(dv["pathOrInlineDv"]):
+            # absolute-path descriptor (protocol storageType "p")
+            add["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": f"{base_uri}/{dv['pathOrInlineDv']}",
+            }
+        add["dataChange"] = True
+        actions.append({"add": add})
+    _write_commit(spark, dst, 0, actions)
+    return 0
+
+
 def delta_optimize_zorder(
     spark: SparkSession,
     path: str,
@@ -1791,7 +1871,7 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
         f
         for f in readd
         if f not in live_c
-        and not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{f}"))
+        and not fs.exists(jvm.org.apache.hadoop.fs.Path(_data_uri(path, f)))
     ]
     # a restored descriptor needs its DV storage unit too
     missing += [
@@ -1803,7 +1883,7 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
                 if live_t[f].get("deletionVector")
             }
         )
-        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{dv}"))
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(_data_uri(path, dv)))
     ]
     if missing:
         raise ValueError(
@@ -2170,7 +2250,7 @@ def delta_read_cdf(
                 rm_files.append(action["remove"]["path"])
         if cdc_files:
             part = spark.read.parquet(
-                *[f"{path}/{f}" for f in cdc_files]
+                *[_data_uri(path, f) for f in cdc_files]
             ).withColumn("_commit_version", F.lit(v).cast("bigint"))
             pieces.append(part)
             continue
@@ -2189,7 +2269,7 @@ def delta_read_cdf(
                 continue
             part = (
                 spark.read.option("basePath", path)
-                .parquet(*[f"{path}/{f}" for f in files])
+                .parquet(*[_data_uri(path, f) for f in files])
                 .withColumn("_change_type", F.lit(ctype))
                 .withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
@@ -2524,7 +2604,7 @@ def _dv_anti_filter(
     dv_units = sorted({p for _, p in pairs})
     valid = [f"{p.rsplit('/', 1)[-1]}||{b}" for b, p in pairs]
     dv = (
-        spark.read.parquet(*[f"{path}/{u}" for u in dv_units])
+        spark.read.parquet(*[_data_uri(path, u) for u in dv_units])
         .withColumn(
             "__dv_unit",
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2),
@@ -2629,7 +2709,7 @@ def delta_delete_dv(spark: SparkSession, path: str, predicate) -> int:
             f"{d['pathOrInlineDv'].rsplit('/', 1)[-1]}||{b}" for b, d in prior
         ]
         old = (
-            spark.read.parquet(*[f"{path}/{u}" for u in units])
+            spark.read.parquet(*[_data_uri(path, u) for u in units])
             .withColumn(
                 "__dv_unit",
                 F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2),
@@ -3252,6 +3332,52 @@ def delta_native_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE lifecycle: the clone's v0 references the source's
+    files in place (zero copy — asserted: no data files under the clone
+    dir), inheriting its deletion vectors; the clone then takes an
+    append and an UPDATE the source must never see (asserted in-query).
+    Output: the CLONE's grouped totals."""
+    import glob as _glob
+    import os
+    import tempfile
+
+    from ..tables import load_table
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+    )
+    src = tempfile.mkdtemp(prefix="ls_clone_src_")
+    delta_write(p.repartition(4), src, stats_cols=["p_partkey"])
+    delta_delete_dv(spark, src, "p_partkey % 7 = 0")
+    dst = tempfile.mkdtemp(prefix="ls_clone_dst_")
+    os.rmdir(dst)
+    delta_clone(spark, src, dst)
+    if _glob.glob(f"{dst}/part-*.parquet"):
+        raise AssertionError("shallow clone copied data files")
+    extra = p.where("p_partkey % 5 = 0").select(
+        (F.col("p_partkey") + 1000000).alias("p_partkey"), "cents"
+    )
+    delta_write(extra, dst, mode="append")
+    delta_update(spark, dst, "p_partkey % 11 = 0", {"cents": F.col("cents") + 50})
+    src_total = delta_read(spark, src).agg(F.sum("cents")).collect()[0][0]
+    base_total = (
+        p.where("p_partkey % 7 <> 0").agg(F.sum("cents")).collect()[0][0]
+    )
+    if src_total != base_total:
+        raise AssertionError("clone DML leaked into the source table")
+    return (
+        delta_read(spark, dst)
+        .groupBy((F.col("p_partkey") % 3).alias("key_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("key_bucket")
+    )
+
+
 def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed over DML commits: a CDF-enabled table takes a
     DELETE (v1) then an UPDATE (v2); ``delta_read_cdf(1, 2)`` returns
@@ -3327,6 +3453,34 @@ QUERIES: list[QueryDef] = [
         description="DESCRIBE HISTORY + TIMESTAMP AS OF: monotonic "
         "in-commit timestamps, per-commit operation ledger, AS-OF reads "
         "asserted equal to version reads in-query.",
+    ),
+    QueryDef(
+        "delta_native_shallow_clone",
+        delta_native_shallow_clone,
+        """
+        WITH src AS (
+          SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT)
+                   AS cents
+          FROM part WHERE p_partkey % 7 <> 0),
+        appended AS (
+          SELECT * FROM src
+          UNION ALL
+          SELECT p_partkey + 1000000,
+                 CAST(round(p_retailprice * 100) AS BIGINT)
+          FROM part WHERE p_partkey % 5 = 0),
+        final AS (
+          SELECT p_partkey,
+                 CASE WHEN p_partkey % 11 = 0 THEN cents + 50
+                      ELSE cents END AS cents
+          FROM appended)
+        SELECT p_partkey % 3 AS key_bucket, COUNT(*) AS n_parts,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM final GROUP BY key_bucket ORDER BY key_bucket
+        """,
+        tags=("parity", "delta", "io", "ddl"),
+        description="Shallow clone: zero-copy v0 via absolute file "
+        "references (DVs carried as storageType p); clone evolves "
+        "independently, source isolation asserted in-query.",
     ),
     QueryDef(
         "delta_native_zorder_skip",

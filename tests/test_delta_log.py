@@ -1953,3 +1953,73 @@ def test_zorder_optimize_skips_on_both_keys_and_clears_dvs(spark):
     )
     exp = [i for i in range(4096) if i % 64 <= 15 and i % 100 != 0]
     assert sorted(r["payload"] for r in got.collect()) == exp
+
+
+# ---------------------------------------------------------------------------
+# Shallow clone
+
+
+def test_shallow_clone_zero_copy_and_isolation(spark):
+    """The clone's v0 references source files by absolute URI (no data
+    file under the clone dir), inherits DVs (storageType p), evolves
+    independently (append/UPDATE/OPTIMIZE), never mutates the source,
+    and its VACUUM reaps only clone-local files. Cloning a partitioned
+    table or onto an existing table is refused."""
+    import os
+
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_clone,
+        delta_delete_dv,
+        delta_live_adds,
+        delta_optimize,
+        delta_update,
+        delta_vacuum,
+    )
+
+    df = spark.range(200).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    src = tempfile.mkdtemp(prefix="ls_cl_src_")
+    delta_write(df.repartition(4), src, stats_cols=["id"])
+    delta_delete_dv(spark, src, "id % 10 = 0")
+    dst = tempfile.mkdtemp(prefix="ls_cl_dst_")
+    os.rmdir(dst)
+    delta_clone(spark, src, dst)
+    exp = sorted(i for i in range(200) if i % 10 != 0)
+    assert sorted(r["id"] for r in delta_read(spark, dst).collect()) == exp
+    assert not glob.glob(f"{dst}/part-*.parquet"), "must be zero-copy"
+    adds = delta_live_adds(spark, dst)
+    assert all(a["path"].startswith("file:") for _, a in adds)
+    dvs = [a["deletionVector"] for _, a in adds if a.get("deletionVector")]
+    assert dvs and all(d["storageType"] == "p" for d in dvs)
+    # independent evolution; source untouched
+    delta_write(
+        spark.range(500, 520).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        dst,
+        mode="append",
+    )
+    delta_update(spark, dst, "id = 1", {"v": F.lit(999)})
+    assert delta_read(spark, src).where("v = 999").count() == 0
+    assert delta_read(spark, src).count() == len(exp)
+    # OPTIMIZE localizes every reference; clone vacuum spares the source
+    delta_optimize(spark, dst)
+    assert all(
+        not a["path"].startswith("file:")
+        for _, a in delta_live_adds(spark, dst)
+    )
+    delta_vacuum(spark, dst)
+    assert delta_read(spark, src).count() == len(exp)
+    assert delta_read(spark, dst).count() == len(exp) + 20
+    # refusals
+    with pytest.raises(ValueError, match="already a delta table"):
+        delta_clone(spark, src, dst)
+    part_src = tempfile.mkdtemp(prefix="ls_cl_part_")
+    delta_write(
+        spark.range(20).select(
+            (F.col("id") % 2).cast("string").alias("b"), F.col("id")
+        ),
+        part_src,
+        partition_by=["b"],
+    )
+    with pytest.raises(ValueError, match="partitioned"):
+        delta_clone(spark, part_src, tempfile.mktemp(prefix="ls_cl_p2_"))
