@@ -1403,7 +1403,7 @@ QUERIES: list[QueryDef] = [
         WHERE o.n_overlap * 1000000 // s.n_bench >= {CONTAINMENT_PPM_MIN}
         ORDER BY doc_id, bench_id
         """,
-        tags=("extension", "dedup", "contamination"),
+        tags=("extension", "dedup", "contamination", "bench"),
         description="Asymmetric n-gram containment decontamination: "
         "broadcast bench gram set, integer-ppm scores.",
     ),
@@ -1433,7 +1433,7 @@ QUERIES: list[QueryDef] = [
         WHERE n_covered * 1000000 // n_spans >= {SPAN_COVERAGE_PPM_MIN}
         ORDER BY doc_id
         """,
-        tags=("extension", "dedup", "substring"),
+        tags=("extension", "dedup", "substring", "bench"),
         description="Duplicated-substring coverage per doc (suffix-array "
         "dedup approximation): two hash aggs over 8-token span hashes.",
     ),

@@ -450,7 +450,7 @@ QUERIES: list[QueryDef] = [
                CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
         FROM sharded GROUP BY shard_id ORDER BY shard_id
         """,
-        tags=("extension", "sampling", "pipeline"),
+        tags=("extension", "sampling", "pipeline", "bench"),
         description="Deterministic global shuffle into training shards: "
         "hash-ordered, hash-sharded, order pinned by checksum.",
     ),
