@@ -1,0 +1,131 @@
+"""Model-based differential fuzz of the native Delta log.
+
+A seeded random sequence of table operations (append, copy-on-write
+DELETE/UPDATE, merge-on-read DV DELETE, MERGE upsert, OPTIMIZE,
+RESTORE, checkpoint) runs against BOTH the protocol implementation and
+a trivial in-memory dict model; after every step the table snapshot
+must equal the model exactly, and at the end every historical version
+must still time-travel to its recorded model state. This is the class
+of test that catches INTERACTION bugs (a DV surviving an optimize, a
+restore resurrecting a deleted row, a CoW rewrite ignoring a DV) that
+single-feature tests cannot."""
+
+from __future__ import annotations
+
+import random
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+    delta_checkpoint,
+    delta_delete,
+    delta_delete_dv,
+    delta_merge,
+    delta_optimize,
+    delta_read,
+    delta_restore,
+    delta_update,
+    delta_write,
+)
+
+
+def _snapshot(spark, path) -> dict[int, int]:
+    return {
+        r["k"]: r["v"] for r in delta_read(spark, path).collect()
+    }
+
+
+def _df(spark, rows: list[tuple[int, int]]):
+    return spark.createDataFrame(rows, "k long, v long")
+
+
+@pytest.mark.parametrize("seed", [7, 23, 101])
+def test_delta_model_fuzz(spark, seed):
+    rng = random.Random(seed)
+    path = tempfile.mkdtemp(prefix=f"ls_fuzz_{seed}_")
+    next_key = 0
+
+    def fresh_rows(n: int) -> list[tuple[int, int]]:
+        nonlocal next_key
+        rows = [(next_key + i, rng.randrange(1000)) for i in range(n)]
+        next_key += n
+        return rows
+
+    model: dict[int, int] = dict(fresh_rows(40))
+    delta_write(
+        _df(spark, list(model.items())).repartition(3),
+        path,
+        stats_cols=["k"],
+    )
+    history: dict[int, dict[int, int]] = {0: dict(model)}
+    version = 0
+
+    for step in range(14):
+        op = rng.choice(
+            ["append", "delete", "delete_dv", "update", "merge",
+             "optimize", "restore", "checkpoint"]
+        )
+        if op == "append":
+            rows = fresh_rows(rng.randrange(1, 15))
+            delta_write(_df(spark, rows), path, mode="append")
+            model.update(rows)
+            version += 1
+        elif op in ("delete", "delete_dv"):
+            m = rng.choice([2, 3, 5, 7])
+            r = rng.randrange(m)
+            fn = delta_delete if op == "delete" else delta_delete_dv
+            doomed = [k for k in model if k % m == r]
+            new_v = fn(spark, path, f"k % {m} = {r}")
+            # a no-match delete must be a no-op commit-wise
+            assert new_v == (version + 1 if doomed else version)
+            for k in doomed:
+                del model[k]
+            version = new_v
+        elif op == "update":
+            m = rng.choice([2, 3, 5])
+            r = rng.randrange(m)
+            bump = rng.randrange(1, 50)
+            new_v = delta_update(
+                spark, path, f"k % {m} = {r}", {"v": F.col("v") + bump}
+            )
+            for k in list(model):
+                if k % m == r:
+                    model[k] = model[k] + bump
+            version = new_v
+        elif op == "merge":
+            upd_keys = rng.sample(sorted(model), min(5, len(model)))
+            rows = [(k, rng.randrange(1000)) for k in upd_keys]
+            rows += fresh_rows(rng.randrange(1, 6))
+            delta_merge(spark, path, _df(spark, rows), on=["k"])
+            model.update(rows)
+            version += 1
+        elif op == "optimize":
+            delta_optimize(spark, path, target_files=2)
+            version += 1
+        elif op == "restore":
+            target = rng.choice(sorted(history))
+            delta_restore(spark, path, target)
+            model = dict(history[target])
+            version += 1
+        elif op == "checkpoint":
+            delta_checkpoint(spark, path)
+            history[version] = dict(model)
+            continue  # no new version
+        history[version] = dict(model)
+        got = _snapshot(spark, path)
+        assert got == model, (
+            f"seed {seed} step {step} op {op}: snapshot diverged "
+            f"(extra={set(got) - set(model)}, "
+            f"missing={set(model) - set(got)}, "
+            f"wrong={[k for k in got.keys() & model.keys() if got[k] != model[k]][:5]})"
+        )
+
+    # every recorded version must still time-travel to its model state
+    for v, state in history.items():
+        got = {
+            r["k"]: r["v"]
+            for r in delta_read(spark, path, version=v).collect()
+        }
+        assert got == state, f"seed {seed}: version {v} diverged in history"
