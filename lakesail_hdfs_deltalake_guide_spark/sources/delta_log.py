@@ -2652,38 +2652,25 @@ def _dv_protocol_upgrade(proto: dict | None) -> dict | None:
     }
 
 
-def delta_delete_dv(spark: SparkSession, path: str, predicate) -> int:
-    """``DELETE FROM t WHERE predicate`` via deletion vectors
-    (merge-on-read), the delta-spark DV write path.
-
-    Plan: ONE snapshot scan (existing DVs applied, so re-deletes and CDF
-    images never resurrect already-deleted rows) evaluates the predicate
-    and emits (file basename, row position) hit pairs; hits are unioned
-    with the affected files' prior DV rows (descriptor merge — per-file
-    DVs are monotone) and written distributed as this commit's single DV
-    storage unit. The commit then re-adds each partially-affected file
-    with the new descriptor (remove+add of the SAME path — no data file
-    is read or rewritten) and plain-removes files whose DV now covers
-    every row. First DV commit upgrades the table protocol to reader
-    v3 / writer v7 with the deletionVectors table feature.
-
-    Returns the committed version (current version if nothing matched).
-    Composes with OCC retry (action-equality re-validation via
-    ``expected`` — a racing DV update on the same file aborts rather
-    than dropping its deletions), CDF (delete images from the same
-    scan), checkpoints (descriptor round-trips through the checkpoint
-    schema), RESTORE, and OPTIMIZE (materializes DVs away)."""
-    pred = _coerce_predicate(predicate)
-    proto, meta, live, _ = _snapshot_state(spark, path)
-    if meta is None:
-        raise ValueError(f"no delta table at {path}")
+def _dv_mask_and_commit(
+    spark: SparkSession,
+    path: str,
+    proto: dict | None,
+    meta: dict,
+    live: dict[str, dict],
+    base_map: dict[str, str],
+    hits: DataFrame,
+    op: str,
+    extra_adds: list[dict] | None = None,
+    cdf_df: DataFrame | None = None,
+) -> int:
+    """Shared merge-on-read commit core: mask ``hits``' (file, row
+    position) pairs behind a fresh DV storage unit (merged with the
+    affected files' prior DVs), re-add partially-masked files with the
+    new descriptor, plain-remove fully-masked files, and commit together
+    with ``extra_adds`` (an UPDATE's replacement rows) and the CDF
+    images. OCC re-validation is action-equality (``expected``)."""
     versions = _list_versions(spark, path)
-    if not live:
-        return versions[-1]
-    base_map = {f.rsplit("/", 1)[-1]: f for f in live}
-    scan = _physical_scan(spark, path, meta, sorted(live), with_position=True)
-    scan = _dv_anti_filter(spark, path, scan, list(live.items()))
-    hits = scan.where(pred)
     # materialize the hit positions once (executor-local): the affected-
     # file listing, the DV merge, the cardinality agg and the DV write
     # all consume them, and the snapshot scan must run exactly once
@@ -2747,24 +2734,129 @@ def delta_delete_dv(spark: SparkSession, path: str, predicate) -> int:
         }
         new_add["dataChange"] = True
         adds_out.append({"add": new_add})
-    extra: list[dict] = [_commit_info("DELETE")]
+    extra: list[dict] = [_commit_info(op)]
     upgrade = _dv_protocol_upgrade(proto)
     if upgrade is not None:
         extra.append(upgrade)
-    if _cdf_enabled(meta):
-        extra += _stage_change_files(
-            hits.select(*[l for _, l in _cm_pairs(meta)]).withColumn(
-                "_change_type", F.lit("delete")
-            ),
-            path,
-        )
+    if cdf_df is not None:
+        extra += _stage_change_files(cdf_df, path)
     return _commit_rewrite(
         spark,
         path,
         sorted(affected),
-        adds_out,
+        adds_out + list(extra_adds or []),
         extra_actions=extra,
         expected={f: live[f] for f in affected},
+    )
+
+
+def delta_delete_dv(spark: SparkSession, path: str, predicate) -> int:
+    """``DELETE FROM t WHERE predicate`` via deletion vectors
+    (merge-on-read), the delta-spark DV write path.
+
+    Plan: ONE snapshot scan (existing DVs applied, so re-deletes and CDF
+    images never resurrect already-deleted rows) evaluates the predicate
+    and emits (file basename, row position) hit pairs; hits are unioned
+    with the affected files' prior DV rows (descriptor merge — per-file
+    DVs are monotone) and written distributed as this commit's single DV
+    storage unit. The commit then re-adds each partially-affected file
+    with the new descriptor (remove+add of the SAME path — no data file
+    is read or rewritten) and plain-removes files whose DV now covers
+    every row. First DV commit upgrades the table protocol to reader
+    v3 / writer v7 with the deletionVectors table feature.
+
+    Returns the committed version (current version if nothing matched).
+    Composes with OCC retry (action-equality re-validation via
+    ``expected`` — a racing DV update on the same file aborts rather
+    than dropping its deletions), CDF (delete images from the same
+    scan), checkpoints (descriptor round-trips through the checkpoint
+    schema), RESTORE, and OPTIMIZE (materializes DVs away)."""
+    pred = _coerce_predicate(predicate)
+    proto, meta, live, _ = _snapshot_state(spark, path)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    if not live:
+        return _list_versions(spark, path)[-1]
+    base_map = {f.rsplit("/", 1)[-1]: f for f in live}
+    scan = _physical_scan(spark, path, meta, sorted(live), with_position=True)
+    scan = _dv_anti_filter(spark, path, scan, list(live.items()))
+    hits = scan.where(pred)
+    cdf_df = None
+    if _cdf_enabled(meta):
+        cdf_df = hits.select(*[l for _, l in _cm_pairs(meta)]).withColumn(
+            "_change_type", F.lit("delete")
+        )
+    return _dv_mask_and_commit(
+        spark, path, proto, meta, live, base_map, hits, "DELETE",
+        cdf_df=cdf_df,
+    )
+
+
+def delta_update_dv(
+    spark: SparkSession, path: str, predicate, assignments: dict
+) -> int:
+    """``UPDATE ... SET ...`` via deletion vectors (merge-on-read): the
+    matched positions are MASKED behind a DV and the post-image rows
+    appended as new files — one commit, no affected file rewritten. For
+    a point-update on a 100 TB table this writes O(matched rows) of new
+    data + kilobytes of positions where copy-on-write rewrites every
+    touched file. Assignments follow delta_update semantics (applied
+    simultaneously from the preimage, generated columns recomputed,
+    identity/generated assignment refused, constraints enforced)."""
+    pred = _coerce_predicate(predicate)
+    exprs = {
+        col: (F.expr(e) if isinstance(e, str) else e)
+        for col, e in assignments.items()
+    }
+    proto, meta, live, _ = _snapshot_state(spark, path)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    if not live:
+        return _list_versions(spark, path)[-1]
+    logical = _logical_schema(meta)
+    unknown = set(exprs) - {f.name for f in logical.fields}
+    if unknown:
+        raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
+    blocked = set(exprs) & (
+        set(_generated_columns(meta)) | set(_identity_columns(meta))
+    )
+    if blocked:
+        raise ValueError(
+            f"cannot UPDATE generated/identity columns {sorted(blocked)}"
+        )
+    base_map = {f.rsplit("/", 1)[-1]: f for f in live}
+    scan = _physical_scan(spark, path, meta, sorted(live), with_position=True)
+    scan = _dv_anti_filter(spark, path, scan, list(live.items()))
+    # one materialization feeds the DV mask, the replacement staging,
+    # and the CDF images
+    hits = scan.where(pred).localCheckpoint()
+    updated = hits.select(
+        *[
+            exprs[f.name].cast(f.dataType).alias(f.name)
+            if f.name in exprs
+            else F.col(f.name)
+            for f in logical.fields
+        ]
+    )
+    updated = _recompute_generated(updated, meta)
+    _enforce_constraints(updated, meta)
+    extra_adds = _stage_data_files(
+        _to_physical(updated, meta),
+        path,
+        meta.get("partitionColumns") or None,
+    )
+    cdf_df = None
+    if _cdf_enabled(meta):
+        pre = hits.select(*[l for _, l in _cm_pairs(meta)]).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = updated.withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        cdf_df = pre.unionByName(post)
+    return _dv_mask_and_commit(
+        spark, path, proto, meta, live, base_map, hits, "UPDATE",
+        extra_adds=extra_adds, cdf_df=cdf_df,
     )
 
 
@@ -3378,6 +3470,46 @@ def delta_native_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE: matched positions are masked behind a
+    deletion vector and the post-image rows appended — the affected
+    files are never rewritten (asserted in tests: the pre-update file
+    set stays live, re-stamped with descriptors). Two DV updates stack
+    on shared files; a DV delete then composes on top. Grouped totals
+    oracle the final logical state."""
+    import tempfile
+
+    from ..tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_udv_")
+    delta_write(li.repartition(6), path, stats_cols=["l_orderkey"])
+    delta_update_dv(
+        spark, path, "l_returnflag = 'R'", {"cents": F.col("cents") + 7}
+    )
+    delta_update_dv(
+        spark,
+        path,
+        "l_orderkey % 10 = 3",
+        {"cents": F.col("cents") * 2},
+    )
+    delta_delete_dv(spark, path, "l_linenumber = 7")
+    back = delta_read(spark, path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed over DML commits: a CDF-enabled table takes a
     DELETE (v1) then an UPDATE (v2); ``delta_read_cdf(1, 2)`` returns
@@ -3453,6 +3585,34 @@ QUERIES: list[QueryDef] = [
         description="DESCRIBE HISTORY + TIMESTAMP AS OF: monotonic "
         "in-commit timestamps, per-commit operation ledger, AS-OF reads "
         "asserted equal to version reads in-query.",
+    ),
+    QueryDef(
+        "delta_native_update_dv",
+        delta_native_update_dv,
+        """
+        WITH base AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem),
+        u1 AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+                 CASE WHEN l_returnflag = 'R' THEN cents + 7
+                      ELSE cents END AS cents
+          FROM base),
+        u2 AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag,
+                 CASE WHEN l_orderkey % 10 = 3 THEN cents * 2
+                      ELSE cents END AS cents
+          FROM u1),
+        final AS (SELECT * FROM u2 WHERE l_linenumber <> 7)
+        SELECT l_returnflag, COUNT(*) AS n_items,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM final GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        tags=("parity", "delta", "io", "dml"),
+        description="Merge-on-read UPDATE: positions masked via DV, "
+        "post-image rows appended; stacked updates + delete compose; "
+        "no affected file rewritten.",
     ),
     QueryDef(
         "delta_native_shallow_clone",

@@ -2023,3 +2023,52 @@ def test_shallow_clone_zero_copy_and_isolation(spark):
     )
     with pytest.raises(ValueError, match="partitioned"):
         delta_clone(spark, part_src, tempfile.mktemp(prefix="ls_cl_p2_"))
+
+
+def test_update_dv_masks_positions_without_rewrite(spark):
+    """Merge-on-read UPDATE: the affected data files stay LIVE (re-added
+    with descriptors, never rewritten), post-image rows land in NEW
+    files, stacked updates compose, CDF carries exact pre/post images,
+    and reading applies the masks."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+        delta_read_cdf,
+        delta_update_dv,
+    )
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    path = tempfile.mkdtemp(prefix="ls_udv_")
+    delta_write(
+        df.repartition(4),
+        path,
+        stats_cols=["id"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    files_v0 = {f for f, _ in delta_live_adds(spark, path)}
+    delta_update_dv(spark, path, "id % 4 = 0", {"v": F.col("v") + 1})
+    adds = dict(delta_live_adds(spark, path))
+    # old files all still live with descriptors; new files appended
+    assert files_v0 <= set(adds)
+    assert all(adds[f].get("deletionVector") for f in files_v0)
+    assert len(adds) > len(files_v0), "post-image rows must be new files"
+    rows = {r["id"]: r["v"] for r in delta_read(spark, path).collect()}
+    assert rows == {
+        i: i * 2 + (1 if i % 4 == 0 else 0) for i in range(100)
+    }
+    # stacked second update composes on the same files
+    delta_update_dv(spark, path, "id % 4 = 0", {"v": F.col("v") + 10})
+    rows = {r["id"]: r["v"] for r in delta_read(spark, path).collect()}
+    assert rows == {
+        i: i * 2 + (11 if i % 4 == 0 else 0) for i in range(100)
+    }
+    # CDF: exact images for the first update
+    feed = delta_read_cdf(spark, path, 1, 1)
+    pre = sorted(
+        r["id"] for r in feed.where("_change_type = 'update_preimage'").collect()
+    )
+    post = {
+        r["id"]: r["v"]
+        for r in feed.where("_change_type = 'update_postimage'").collect()
+    }
+    assert pre == [i for i in range(100) if i % 4 == 0]
+    assert post == {i: i * 2 + 1 for i in range(100) if i % 4 == 0}

@@ -27,6 +27,7 @@ from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
     delta_read,
     delta_restore,
     delta_update,
+    delta_update_dv,
     delta_write,
 )
 
@@ -64,8 +65,8 @@ def test_delta_model_fuzz(spark, seed):
 
     for step in range(14):
         op = rng.choice(
-            ["append", "delete", "delete_dv", "update", "merge",
-             "optimize", "restore", "checkpoint"]
+            ["append", "delete", "delete_dv", "update", "update_dv",
+             "merge", "optimize", "restore", "checkpoint"]
         )
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 15))
@@ -83,11 +84,12 @@ def test_delta_model_fuzz(spark, seed):
             for k in doomed:
                 del model[k]
             version = new_v
-        elif op == "update":
+        elif op in ("update", "update_dv"):
             m = rng.choice([2, 3, 5])
             r = rng.randrange(m)
             bump = rng.randrange(1, 50)
-            new_v = delta_update(
+            ufn = delta_update if op == "update" else delta_update_dv
+            new_v = ufn(
                 spark, path, f"k % {m} = {r}", {"v": F.col("v") + bump}
             )
             for k in list(model):
