@@ -1,0 +1,157 @@
+"""End-to-end composed pipelines (medallion architecture).
+
+The engine's pieces exist to be COMPOSED: this module wires the native
+Delta log (sources/delta_log.py), the Delta streaming source
+(sources/delta_stream.py), the exactly-once txn sink, and the corpus
+hygiene operators into the canonical lakehouse shape —
+
+    bronze (raw appends)
+      → incremental stream (commit versions as offsets)
+      → silver (cleaned + deduplicated, exactly-once upsert)
+      → gold (aggregates)
+
+— and proves the composition end-to-end against a plain-SQL oracle.
+The scale posture is inherited from the parts: bronze tailing plans
+one input partition per added file from metadata-sized JSON, the
+silver writer's cross-batch dedup is a broadcast anti-join against
+silver's 16-byte fingerprints, and the txn ledger makes redelivered
+batches no-ops.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .querydef import QueryDef
+
+MIN_CHARS = 50  # silver quality gate
+
+
+def pipeline_medallion_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bronze→silver→gold over TWO incremental drains: the first bronze
+    commit carries the original documents, the second the planted exact
+    duplicates (dedup.py's corpus); each drain streams ONLY the new
+    commits (same checkpoint), and the silver upsert [1] gates quality
+    (n_chars ≥ 50), [2] dedups within the batch (keep lowest doc_id per
+    fingerprint), [3] dedups across batches (broadcast anti-join on
+    silver's existing fingerprints), [4] appends with txn idempotency.
+    Every planted duplicate must die in step 3 — gold totals equal
+    keep-first exact dedup of the cleaned corpus in plain SQL."""
+    from .operators.dedup import PLANT_OFFSET, _norm_text
+    from .session import configure_session
+    from .sources.delta_log import (
+        delta_last_txn,
+        delta_read,
+        delta_write,
+        _list_versions,
+    )
+    from .sources.delta_stream import register_delta_stream_source
+    from .tables import load_table
+
+    configure_session(spark)
+    register_delta_stream_source(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    bronze = tempfile.mkdtemp(prefix="ls_med_bronze_")
+    silver = tempfile.mkdtemp(prefix="ls_med_silver_")
+    app = "medallion_silver"
+
+    def silver_upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if (last := delta_last_txn(batch_df.sparkSession, silver, app)) is not None and batch_id <= last:
+            return  # redelivered batch — already durably in silver
+        batch = batch_df.where(F.col("n_chars") >= MIN_CHARS).withColumn(
+            "fingerprint", F.md5(_norm_text())
+        )
+        w = Window.partitionBy("fingerprint").orderBy("doc_id")
+        batch = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn", "text")
+        )
+        if _list_versions(batch_df.sparkSession, silver):
+            seen = delta_read(batch_df.sparkSession, silver).select(
+                "fingerprint"
+            ).distinct()
+            batch = batch.join(
+                F.broadcast(seen), "fingerprint", "left_anti"
+            )
+        # the anti-join hoists its key to the front; pin the silver
+        # column order so every batch appends with an identical schema
+        delta_write(
+            batch.select("doc_id", "lang", "n_chars", "fingerprint"),
+            silver,
+            mode="append",
+            txn=(app, int(batch_id)),
+        )
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("delta_native_stream")
+            .option("path", bronze)
+            .load()
+            .writeStream.foreachBatch(silver_upsert)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    ckpt = tempfile.mkdtemp(prefix="ls_med_ckpt_")
+    delta_write(d, bronze, mode="overwrite")  # bronze v0: originals
+    drain()
+    dupes = d.where(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + PLANT_OFFSET
+    )
+    delta_write(dupes, bronze, mode="append")  # bronze v1: exact dupes
+    drain()  # same checkpoint: only v1 streams
+    gold = (
+        delta_read(spark, silver)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+    return gold
+
+
+QUERIES: list[QueryDef] = [
+    QueryDef(
+        "pipeline_medallion_incremental",
+        pipeline_medallion_incremental,
+        rf"""
+        WITH corpus AS (
+          SELECT doc_id, text, lang, n_chars FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text, lang, n_chars
+          FROM documents WHERE doc_id < 50),
+        clean AS (SELECT * FROM corpus WHERE n_chars >= {MIN_CHARS}),
+        keyed AS (
+          SELECT *, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+          FROM clean),
+        kept AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+                     AS rn
+            FROM keyed)
+          WHERE rn = 1)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM kept GROUP BY lang ORDER BY lang
+        """,
+        tags=("extension", "pipeline", "streaming", "delta", "dedup"),
+        description="Medallion composition: bronze Delta appends stream "
+        "incrementally into a cleaned, cross-batch-deduplicated silver "
+        "table (exactly-once txn upsert); gold aggregates oracle against "
+        "keep-first dedup in SQL.",
+    ),
+]

@@ -34,6 +34,7 @@ _TIER_MODULES = (
     "sources.pysource",
     "sources.delta_log",
     "sources.delta_stream",
+    "pipelines",
     "operators.dedup",
     "operators.similarity",
     "operators.multimodal",

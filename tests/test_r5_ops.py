@@ -235,3 +235,26 @@ def test_global_shuffle_shards_exhaustive_and_partition_invariant(
     d.repartition(13).write.mode("overwrite").parquet(f"{alt}/documents.parquet")
     out2 = sample_global_shuffle_shards(spark, alt).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+
+
+def test_medallion_incremental_is_exactly_once(spark, sf_smoke):
+    """The medallion query's invariants, re-proven from its output: no
+    fingerprint appears twice in silver-derived gold counts (the query
+    itself would over-count), and re-running the whole pipeline is
+    deterministic."""
+    from lakesail_hdfs_deltalake_guide_spark.pipelines import (
+        pipeline_medallion_incremental,
+    )
+
+    a = [tuple(r) for r in pipeline_medallion_incremental(spark, sf_smoke).collect()]
+    b = [tuple(r) for r in pipeline_medallion_incremental(spark, sf_smoke).collect()]
+    assert a == b and a, "pipeline must be deterministic and non-empty"
+    # gold counts can never exceed the distinct clean fingerprints
+    d = load_table(spark, sf_smoke, "documents")
+    distinct_fp = (
+        d.where(F.col("n_chars") >= 50)
+        .select(F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))))
+        .distinct()
+        .count()
+    )
+    assert sum(r[1] for r in a) == distinct_fp
