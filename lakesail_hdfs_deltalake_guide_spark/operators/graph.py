@@ -239,6 +239,61 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster canonicalization: real pipelines keep the
+    BEST document per duplicate cluster, not the first — a near-dup
+    cluster often mixes a clean original with truncated or boilerplated
+    copies. Representative = argmax of an integer quality score
+    (lexical diversity ppm + capped length bonus; exact integer
+    arithmetic so every engine agrees), doc_id as the tiebreak.
+
+    Plan: the component labels come from the same min-label propagation
+    as the other cluster queries; scoring is scan-side arithmetic; the
+    representative pick is ONE window over the component key. Only
+    multi-doc clusters are reported (singletons are trivially their own
+    representative)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = rare_shingle_edges(docs)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, edges)
+    toks = F.split(F.col("text"), " ")
+    quality = (
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000 "
+            "DIV size(split(text, ' '))"
+        )
+        + F.least(F.size(toks), F.lit(100)) * F.lit(1000)
+    ).cast("long")
+    scored = docs.join(cc, docs.doc_id == cc.node).select(
+        "component", "doc_id", "lang", quality.alias("quality_e6")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality_e6"), F.asc("doc_id")
+    )
+    sizes = (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+        .join(sizes, "component")
+        .select(
+            "component",
+            F.col("doc_id").alias("keep_doc"),
+            "lang",
+            "quality_e6",
+            "n_docs",
+        )
+        .orderBy("component")
+    )
+
+
 _GRAPH_CTE = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -411,6 +466,38 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "dedup", "graph"),
         description="Duplicate-cluster formation: iterative min-label "
         "propagation pinned to a recursive-CTE oracle.",
+    ),
+    QueryDef(
+        "dedup_cluster_best_quality",
+        dedup_cluster_best_quality,
+        _GRAPH_CTE
+        + """
+        , scored AS (
+          SELECT cc.component, d.doc_id, d.lang,
+                 CAST(len(list_distinct(string_split(d.text, ' '))) * 1000000
+                        // len(string_split(d.text, ' '))
+                      + least(len(string_split(d.text, ' ')), 100) * 1000
+                   AS BIGINT) AS quality_e6
+          FROM documents d JOIN cc ON d.doc_id = cc.node),
+        sizes AS (
+          SELECT component, COUNT(*) AS n_docs FROM cc
+          GROUP BY component HAVING COUNT(*) >= 2),
+        reps AS (
+          SELECT * FROM (
+            SELECT s.*, ROW_NUMBER() OVER (
+                     PARTITION BY component
+                     ORDER BY quality_e6 DESC, doc_id) AS rn
+            FROM scored s)
+          WHERE rn = 1)
+        SELECT r.component, r.doc_id AS keep_doc, r.lang, r.quality_e6,
+               CAST(z.n_docs AS BIGINT) AS n_docs
+        FROM reps r JOIN sizes z USING (component)
+        ORDER BY component
+        """,
+        tags=("extension", "dedup", "graph", "quality"),
+        description="Quality-aware cluster canonicalization: keep the "
+        "best-scoring doc per duplicate cluster (integer quality, "
+        "doc_id tiebreak).",
     ),
     QueryDef(
         "dedup_cluster_survivors",
