@@ -558,6 +558,7 @@ def _file_stats(filesystem, root: str, rel: str, stats_cols: list[str]) -> dict:
     md = pq.read_metadata(f"{root}/{rel}", filesystem=filesystem)
     mins: dict = {}
     maxs: dict = {}
+    nulls: dict = {}
     schema_names = md.schema.names
     for rg in range(md.num_row_groups):
         group = md.row_group(rg)
@@ -567,7 +568,11 @@ def _file_stats(filesystem, root: str, rel: str, stats_cols: list[str]) -> dict:
             if name not in stats_cols:
                 continue
             st = col.statistics
-            if st is None or not st.has_min_max:
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if not st.has_min_max:
                 continue
             mins[name] = min(mins[name], st.min) if name in mins else st.min
             maxs[name] = max(maxs[name], st.max) if name in maxs else st.max
@@ -575,6 +580,9 @@ def _file_stats(filesystem, root: str, rel: str, stats_cols: list[str]) -> dict:
         "numRecords": md.num_rows,
         "minValues": mins,
         "maxValues": maxs,
+        # protocol stats.nullCount — lets an IS NOT NULL / IS NULL
+        # predicate skip files whose column is all-null / no-null
+        "nullCount": nulls,
     }
 
 
@@ -1756,6 +1764,56 @@ def delta_optimize_zorder(
     if version % CHECKPOINT_INTERVAL == 0:
         _auto_checkpoint(spark, path, version)
     return version
+
+
+def delta_generate_manifest(spark: SparkSession, path: str) -> list[str]:
+    """``GENERATE symlink_format_manifest`` (delta-spark's command for
+    Presto/Trino/Athena interop): write text manifests listing the
+    snapshot's live data files by absolute URI — one manifest per
+    partition directory (a single root manifest for unpartitioned
+    tables) under ``_symlink_format_manifest/``. Pure metadata: the
+    manifest is the live set the log fold already holds. Returns the
+    manifest relative paths.
+
+    Refused when any live file carries a deletion vector — a symlink
+    consumer reads raw parquet and would resurrect DV-deleted rows;
+    OPTIMIZE first (it materializes the DVs), then regenerate."""
+    _, meta, live, _ = _snapshot_state(spark, path)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    if any(a.get("deletionVector") for a in live.values()):
+        raise ValueError(
+            "cannot generate a symlink manifest while deletion vectors "
+            "are live (symlink consumers read raw files); run "
+            "delta_optimize first"
+        )
+    fs, table_path, jvm = _hadoop_fs(spark, path)
+    base_uri = str(fs.makeQualified(table_path).toUri())
+    part_cols = meta.get("partitionColumns") or []
+    groups: dict[str, list[str]] = {}
+    for f, a in live.items():
+        uri = f if _is_absolute_ref(f) else f"{base_uri}/{f}"
+        subdir = ""
+        if part_cols:
+            pv = a.get("partitionValues", {})
+            subdir = "/".join(f"{c}={pv.get(c)}" for c in part_cols)
+        groups.setdefault(subdir, []).append(uri)
+    out = []
+    for subdir, uris in groups.items():
+        rel = (
+            "_symlink_format_manifest"
+            + (f"/{subdir}" if subdir else "")
+            + "/manifest"
+        )
+        dest = jvm.org.apache.hadoop.fs.Path(f"{path}/{rel}")
+        fs.mkdirs(dest.getParent())
+        stream = fs.create(dest, True)  # regenerate-in-place semantics
+        try:
+            stream.write(("\n".join(sorted(uris)) + "\n").encode())
+        finally:
+            stream.close()
+        out.append(rel)
+    return sorted(out)
 
 
 def delta_vacuum(

@@ -2072,3 +2072,54 @@ def test_update_dv_masks_positions_without_rewrite(spark):
     }
     assert pre == [i for i in range(100) if i % 4 == 0]
     assert post == {i: i * 2 + 1 for i in range(100) if i % 4 == 0}
+
+
+def test_generate_symlink_manifest(spark, sf_smoke):
+    """GENERATE symlink_format_manifest: per-partition text manifests of
+    absolute URIs; scanning exactly the manifest's files reproduces the
+    snapshot; regeneration tracks OPTIMIZE; DV tables are refused until
+    optimized; nullCount lands in per-file stats."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_generate_manifest,
+        delta_live_adds,
+        delta_optimize,
+    )
+
+    n = load_table(spark, sf_smoke, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    path = tempfile.mkdtemp(prefix="ls_manifest_")
+    delta_write(
+        n.withColumn("rk", F.col("n_regionkey").cast("string")),
+        path,
+        partition_by=["rk"],
+        stats_cols=["n_nationkey"],
+    )
+    rels = delta_generate_manifest(spark, path)
+    assert len(rels) == 5  # one per region partition
+    uris = []
+    for rel in rels:
+        with open(f"{path}/{rel}".replace("file:", "")) as fh:
+            uris += [l.strip() for l in fh if l.strip()]
+    live = {f for f, _ in delta_live_adds(spark, path)}
+    assert {u.rsplit("/", 1)[-1] for u in uris} == {
+        f.rsplit("/", 1)[-1] for f in live
+    }
+    # scanning the manifest files reproduces the snapshot rows
+    scanned = spark.read.parquet(*[u.replace("file:", "") for u in uris])
+    assert scanned.count() == n.count()
+    # nullCount present in stats
+    st = json.loads(dict(delta_live_adds(spark, path))[sorted(live)[0]]["stats"])
+    assert st["nullCount"].get("n_nationkey") == 0
+    # DV table refuses until optimized
+    path2 = tempfile.mkdtemp(prefix="ls_manifest_dv_")
+    delta_write(spark.range(50).select("id"), path2, stats_cols=["id"])
+    delta_delete_dv(spark, path2, "id % 5 = 0")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        delta_generate_manifest(spark, path2)
+    delta_optimize(spark, path2)
+    rels2 = delta_generate_manifest(spark, path2)
+    assert rels2 == ["_symlink_format_manifest/manifest"]
