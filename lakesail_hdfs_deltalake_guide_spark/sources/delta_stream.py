@@ -231,8 +231,172 @@ class DeltaLogStreamSource(DataSource):
         return DeltaLogStreamReader(self.options, fields)
 
 
+class _CdfFilePartition(InputPartition):
+    def __init__(
+        self,
+        abs_path: str,
+        columns: list[tuple[str, str]],
+        version: int,
+        ctype: str | None,
+    ) -> None:
+        self.abs_path = abs_path
+        self.columns = columns
+        self.version = version
+        self.ctype = ctype  # None → the cdc file carries _change_type
+
+
+class DeltaCdfStreamReader(DataSourceStreamReader):
+    """Change-feed tailing: each micro-batch emits the commits' exact
+    change rows (insert / delete / update_preimage / update_postimage)
+    tagged with their commit version — the streaming twin of
+    delta_read_cdf. DML commits stream from their ``_change_data``
+    files (O(changes)); insert-only commits derive from their adds;
+    layout commits emit nothing; a change commit without cdc actions
+    raises (enable delta.enableChangeDataFeed)."""
+
+    def __init__(self, options, schema_fields: list[tuple[str, str]]) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("delta_native_cdf_stream requires option 'path'")
+        self.log_dir = f"{self.path}/_delta_log"
+        self.starting = int(options.get("startingVersion", "1"))
+        # data columns only (the wrapper appended the two feed columns)
+        self.fields = [
+            (n, t)
+            for n, t in schema_fields
+            if n not in ("_change_type", "_commit_version")
+        ]
+
+    def initialOffset(self) -> dict:
+        return {"version": self.starting - 1}
+
+    def latestOffset(self) -> dict:
+        versions = _list_log_versions(self.log_dir)
+        if not versions:
+            raise ValueError(f"no delta table at {self.path}")
+        return {"version": versions[-1]}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["version"]), int(end["version"])
+        available = set(_list_log_versions(self.log_dir))
+        want = set(range(lo + 1, hi + 1))
+        if not want <= available:
+            raise ValueError(
+                f"CDF streaming range ({lo}, {hi}] of {self.path} is no "
+                f"longer reconstructible: commits "
+                f"{sorted(want - available)} were removed by log cleanup"
+            )
+        parts: list[_CdfFilePartition] = []
+        for v in sorted(want):
+            actions = _read_commit(self.log_dir, v)
+            cdc = [a["cdc"]["path"] for a in actions if "cdc" in a]
+            adds = [
+                a["add"]
+                for a in actions
+                if "add" in a and a["add"].get("dataChange", True)
+            ]
+            changes = any(
+                "remove" in a and a["remove"].get("dataChange", True)
+                for a in actions
+            ) or any(a.get("deletionVector") for a in adds)
+            if cdc:
+                parts.extend(
+                    _CdfFilePartition(
+                        f"{self.path}/{c}", self.fields, v, None
+                    )
+                    for c in cdc
+                )
+            elif changes:
+                raise ValueError(
+                    f"commit {v} of {self.path} changes live rows without "
+                    "cdc actions; enable delta.enableChangeDataFeed for "
+                    "an exact streaming feed"
+                )
+            else:
+                parts.extend(
+                    _CdfFilePartition(
+                        f"{self.path}/{a['path']}", self.fields, v, "insert"
+                    )
+                    for a in adds
+                )
+        return parts or [_CdfFilePartition("", self.fields, 0, "insert")]
+
+    def read(self, partition: _CdfFilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        if not partition.abs_path:
+            return iter(())
+        fsys, p = pafs.FileSystem.from_uri(partition.abs_path)
+        table = pq.read_table(p, filesystem=fsys)
+        arrays = []
+        names = []
+        for name, ddl in partition.columns:
+            names.append(name)
+            if name in table.column_names:
+                arrays.append(table[name].combine_chunks())
+            else:
+                if ddl not in _ARROW_TYPES:
+                    raise ValueError(
+                        f"cannot synthesize nulls for evolved column "
+                        f"{name} of type {ddl}"
+                    )
+                arrays.append(
+                    pa.nulls(len(table), getattr(pa, _ARROW_TYPES[ddl])())
+                )
+        names.append("_change_type")
+        if partition.ctype is None:
+            arrays.append(table["_change_type"].combine_chunks())
+        else:
+            arrays.append(
+                pa.array([partition.ctype] * len(table), pa.string())
+            )
+        names.append("_commit_version")
+        arrays.append(
+            pa.array([partition.version] * len(table), pa.int64())
+        )
+        return iter(pa.table(dict(zip(names, arrays))).to_batches())
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class DeltaCdfStreamSource(DataSource):
+    """``spark.readStream.format("delta_native_cdf_stream")``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "delta_native_cdf_stream"
+
+    def schema(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("delta_native_cdf_stream requires option 'path'")
+        log_dir = f"{path}/_delta_log"
+        versions = _list_log_versions(log_dir)
+        if not versions:
+            raise ValueError(f"no delta table at {path}")
+        for v in reversed(versions):
+            for action in _read_commit(log_dir, v):
+                if "metaData" in action:
+                    fields = json.loads(action["metaData"]["schemaString"])[
+                        "fields"
+                    ]
+                    cols = ", ".join(f"{f['name']} {f['type']}" for f in fields)
+                    return (
+                        cols + ", _change_type string, _commit_version long"
+                    )
+        raise ValueError(f"no metaData action found in the log at {path}")
+
+    def streamReader(self, schema):
+        fields = [(f.name, f.dataType.simpleString()) for f in schema]
+        return DeltaCdfStreamReader(self.options, fields)
+
+
 def register_delta_stream_source(spark: SparkSession) -> None:
     spark.dataSource.register(DeltaLogStreamSource)
+    spark.dataSource.register(DeltaCdfStreamSource)
 
 
 # ---------------------------------------------------------------------------
@@ -296,7 +460,104 @@ def delta_stream_incremental_ingest(
     )
 
 
+def delta_stream_cdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Change Data Feed: a CDF-enabled table takes an insert
+    load (v0), a DELETE (v1), an OPTIMIZE (v2 — must stream NOTHING),
+    and an UPDATE (v3); tailing the feed from version 0 emits exactly
+    the insert rows plus the DML images tagged with their commit
+    versions. Grouped per (version, change type) — any layout leak,
+    missed image, or double delivery breaks the ledger."""
+    import tempfile
+
+    from ..session import configure_session
+    from ..tables import load_table
+    from .delta_log import (
+        delta_delete,
+        delta_optimize,
+        delta_update,
+        delta_write,
+    )
+
+    configure_session(spark)
+    register_delta_stream_source(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    table = tempfile.mkdtemp(prefix="ls_cdfstream_")
+    delta_write(
+        c.repartition(4),
+        table,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_delete(spark, table, "c_custkey % 7 = 0")
+    delta_optimize(spark, table)
+    delta_update(
+        spark, table, "c_custkey % 5 = 0", {"cents": F.col("cents") + 100}
+    )
+    stream = (
+        spark.readStream.format("delta_native_cdf_stream")
+        .option("path", table)
+        .option("startingVersion", "0")
+        .load()
+    )
+    out_dir = tempfile.mkdtemp(prefix="ls_cdfstream_out_")
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: b.write.mode("append").parquet(out_dir)
+        )
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ls_cdfstream_ck_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("_commit_version", "_change_type")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "delta_stream_cdf_ingest",
+        delta_stream_cdf_ingest,
+        """
+        WITH base AS (
+          SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer),
+        deleted AS (SELECT * FROM base WHERE c_custkey % 7 = 0),
+        updated AS (SELECT * FROM base
+                    WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0)
+        SELECT CAST(0 AS BIGINT) AS _commit_version,
+               'insert' AS _change_type,
+               COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM base
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), 'delete', COUNT(*),
+               CAST(SUM(cents) AS BIGINT)
+        FROM deleted
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'update_postimage', COUNT(*),
+               CAST(SUM(cents + 100) AS BIGINT)
+        FROM updated
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'update_preimage', COUNT(*),
+               CAST(SUM(cents) AS BIGINT)
+        FROM updated
+        ORDER BY _commit_version, _change_type
+        """,
+        tags=("parity", "streaming", "delta", "io", "cdc"),
+        description="Streaming Change Data Feed over the native log: "
+        "cdc files stream per commit, insert-only commits derive from "
+        "adds, OPTIMIZE streams nothing.",
+    ),
     QueryDef(
         "delta_stream_incremental_ingest",
         delta_stream_incremental_ingest,

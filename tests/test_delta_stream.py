@@ -140,3 +140,74 @@ def test_stream_starting_version(spark):
         startingVersion="1",
     )
     assert _ids(spark, out) == list(range(20, 40))
+
+
+def test_cdf_stream_resumes_and_refuses_uncdc_changes(spark):
+    """The CDF stream resumes from its checkpoint (only NEW commits'
+    images on a second drain) and refuses a change commit that carries
+    no cdc actions (non-CDF table) rather than misreporting it."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete,
+        delta_update,
+    )
+
+    table = tempfile.mkdtemp(prefix="ls_ds_cdf_")
+    df = spark.range(60).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    delta_write(
+        df,
+        table,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_delete(spark, table, "id % 6 = 0")  # v1
+    out = tempfile.mkdtemp(prefix="ls_ds_cdf_out_")
+    ckpt = tempfile.mkdtemp(prefix="ls_ds_cdf_ck_")
+
+    def drain():
+        q = (
+            spark.readStream.format("delta_native_cdf_stream")
+            .option("path", table)
+            .option("startingVersion", "0")
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(out)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = spark.read.parquet(out)
+    assert got.where("_change_type = 'insert'").count() == 60
+    assert sorted(
+        r["id"] for r in got.where("_change_type = 'delete'").collect()
+    ) == [i for i in range(60) if i % 6 == 0]
+    # second drain after one more DML: only v2's images arrive
+    delta_update(spark, table, "id % 7 = 1", {"v": F.col("v") + 5})
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 60 + 10 + 2 * len(
+        [i for i in range(60) if i % 7 == 1 and i % 6 != 0]
+    )
+    # non-CDF table with a DML commit: the stream refuses
+    table2 = tempfile.mkdtemp(prefix="ls_ds_nocdf2_")
+    delta_write(df, table2)
+    delta_delete(spark, table2, "id < 5")
+    with pytest.raises(Exception, match="enableChangeDataFeed"):
+        q = (
+            spark.readStream.format("delta_native_cdf_stream")
+            .option("path", table2)
+            .option("startingVersion", "0")
+            .load()
+            .writeStream.foreachBatch(lambda b, _id: None)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ls_ds_nocdf_ck_"),
+            )
+            .start()
+        )
+        q.awaitTermination()
