@@ -483,7 +483,95 @@ def clean_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("domain")
 
 
+
+
+# Gopher-lineage rule thresholds (the published web-corpus quality
+# rules, integer/rational so every engine agrees bit-for-bit)
+GOPHER_MIN_TOKENS = 8
+GOPHER_MEAN_WORD_LEN_MIN_E2 = 300   # 3.00 chars
+GOPHER_MEAN_WORD_LEN_MAX_E2 = 1000  # 10.00 chars
+GOPHER_MAX_NONALPHA_PPM = 300_000   # ≤30% tokens without a letter
+
+
+def clean_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rule-based quality gate of the published web-corpus recipes
+    (word-count floor, mean-word-length band, non-alphabetic token cap)
+    as ONE conditional-aggregate pass: per-language totals, per-rule
+    failure counts, and the docs passing every rule. All arithmetic is
+    integer (mean word length in 1e-2 units, non-alpha share in ppm) so
+    the DuckDB oracle matches bit-for-bit; at 100 TB this is scan-side
+    arithmetic + one partial+final aggregation, no shuffle of text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    # mean word length in 1e-2 units: total chars of tokens / n_tokens
+    mean_len_e2 = F.expr(
+        "aggregate(split(text, ' '), 0L, (a, t) -> a + length(t)) * 100 "
+        "DIV size(split(text, ' '))"
+    )
+    nonalpha_ppm = F.expr(
+        "size(filter(split(text, ' '), t -> t NOT RLIKE '[a-zA-Z]')) "
+        "* 1000000 DIV size(split(text, ' '))"
+    )
+    r_tokens = n_tokens >= GOPHER_MIN_TOKENS
+    r_wordlen = mean_len_e2.between(
+        GOPHER_MEAN_WORD_LEN_MIN_E2, GOPHER_MEAN_WORD_LEN_MAX_E2
+    )
+    r_alpha = nonalpha_ppm <= GOPHER_MAX_NONALPHA_PPM
+    flag = lambda c: F.sum(F.when(c, 0).otherwise(1))  # noqa: E731
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            flag(r_tokens).alias("fail_min_tokens"),
+            flag(r_wordlen).alias("fail_word_len"),
+            flag(r_alpha).alias("fail_nonalpha"),
+            F.sum(
+                F.when(r_tokens & r_wordlen & r_alpha, 1).otherwise(0)
+            ).alias("n_pass"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "clean_gopher_quality_rules",
+        clean_gopher_quality_rules,
+        """
+        WITH scored AS (
+          SELECT lang,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 list_sum(list_transform(string_split(text, ' '),
+                                         t -> length(t))) * 100
+                   // len(string_split(text, ' ')) AS mean_len_e2,
+                 len(list_filter(string_split(text, ' '),
+                                 t -> NOT regexp_matches(t, '[a-zA-Z]')))
+                   * 1000000 // len(string_split(text, ' '))
+                   AS nonalpha_ppm
+          FROM documents),
+        flags AS (
+          SELECT lang,
+                 n_tokens >= 8 AS r_tokens,
+                 mean_len_e2 BETWEEN 300 AND 1000 AS r_wordlen,
+                 nonalpha_ppm <= 300000 AS r_alpha
+          FROM scored)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN r_tokens THEN 0 ELSE 1 END) AS BIGINT)
+                 AS fail_min_tokens,
+               CAST(SUM(CASE WHEN r_wordlen THEN 0 ELSE 1 END) AS BIGINT)
+                 AS fail_word_len,
+               CAST(SUM(CASE WHEN r_alpha THEN 0 ELSE 1 END) AS BIGINT)
+                 AS fail_nonalpha,
+               CAST(SUM(CASE WHEN r_tokens AND r_wordlen AND r_alpha
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        FROM flags GROUP BY lang ORDER BY lang
+        """,
+        tags=("extension", "cleaning", "pipeline", "quality"),
+        description="Gopher-lineage rule gate: token floor, mean-word-"
+        "length band, non-alpha cap — one conditional-aggregate pass, "
+        "integer-exact.",
+    ),
     QueryDef(
         "clean_domain_filter",
         clean_domain_filter,
