@@ -1152,6 +1152,11 @@ def _plan_commit(
                 for f in schema_json["fields"]
             ]
         for name, spec in (identity_columns or {}).items():
+            if int(spec.get("step", 1)) == 0:
+                raise ValueError(
+                    f"identity column {name}: step must be non-zero "
+                    "(step 0 would mint duplicate ids forever)"
+                )
             if name in [f["name"] for f in schema_json["fields"]]:
                 raise ValueError(
                     f"identity column {name} is GENERATED ALWAYS — it "
@@ -1412,6 +1417,16 @@ def delta_write(
         except RuntimeError:
             if attempt == max_retries:
                 raise
+            if version == 0:
+                # table-creation race: the staged files were written
+                # under THIS writer's metaData (its column-mapping
+                # physical names, its generated/identity specs) — they
+                # are not valid under the winner's table; re-running
+                # re-stages against the committed state
+                raise DeltaConcurrentModification(
+                    f"table creation race at {path}: another writer "
+                    "created the table first; re-run the write"
+                ) from None
             if _identity_columns(eff_meta):
                 # the staged files hold ids allocated under the LOST
                 # snapshot's watermark; a racing identity write may have
@@ -1422,7 +1437,15 @@ def delta_write(
                     "watermark"
                 ) from None
             version, actions, _, _ = _plan_commit(
-                spark, df, path, mode, partition_by, merge_schema
+                spark,
+                df,
+                path,
+                mode,
+                partition_by,
+                merge_schema,
+                configuration,
+                generated_columns,
+                identity_columns,
             )
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         _auto_checkpoint(spark, path, version)
@@ -1601,15 +1624,19 @@ def delta_optimize(
     At 100 TB this is the small-file antidote: read-side file count (and
     task count) drops by orders of magnitude while MVCC keeps old
     versions readable."""
-    current = delta_read(spark, path)
-    compacted = current.coalesce(target_files)
     versions = _list_versions(spark, path)
     if not versions:
         raise ValueError(f"no delta table at {path}")
-    version = versions[-1] + 1
-    _, meta, _, _ = _snapshot_state(spark, path)
+    # pin ONE snapshot for both the rewrite source and the remove list —
+    # resolving them at different times would let a concurrent append's
+    # file land in the removes without its rows in the rewrite
+    snap = versions[-1]
+    _, meta, live, _ = _snapshot_state(spark, path, snap)
+    current = delta_read(spark, path, version=snap)
+    compacted = current.coalesce(target_files)
+    version = snap + 1
     actions: list[dict] = [_commit_info("OPTIMIZE")]
-    for f, _a in delta_live_adds(spark, path):
+    for f in sorted(live):
         actions.append(
             {
                 "remove": {
@@ -1623,7 +1650,13 @@ def delta_optimize(
     for a in adds:
         a["add"]["dataChange"] = False
     actions.extend(adds)
-    _write_commit(spark, path, version, actions)
+    try:
+        _write_commit(spark, path, version, actions)
+    except RuntimeError:
+        raise DeltaConcurrentModification(
+            f"a concurrent commit landed during OPTIMIZE of {path}; "
+            "re-run against the new snapshot"
+        ) from None
     if version % CHECKPOINT_INTERVAL == 0:
         _auto_checkpoint(spark, path, version)
     return version
@@ -1707,7 +1740,11 @@ def delta_optimize_zorder(
 
     if len(cols) != 2:
         raise ValueError("zorder currently interleaves exactly 2 columns")
-    current = delta_read(spark, path)
+    versions0 = _list_versions(spark, path)
+    if not versions0:
+        raise ValueError(f"no delta table at {path}")
+    snap = versions0[-1]
+    current = delta_read(spark, path, version=snap)
     # normalize each key to the full bit range before interleaving —
     # raw keys of different magnitudes would let the wider key's high
     # bits dominate every z prefix and the narrow key would never
@@ -1735,13 +1772,10 @@ def delta_optimize_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    versions = _list_versions(spark, path)
-    if not versions:
-        raise ValueError(f"no delta table at {path}")
-    version = versions[-1] + 1
-    _, meta, _, _ = _snapshot_state(spark, path)
+    _, meta, live, _ = _snapshot_state(spark, path, snap)
+    version = snap + 1
     actions: list[dict] = [_commit_info("OPTIMIZE ZORDER")]
-    for f, _a in delta_live_adds(spark, path):
+    for f in sorted(live):
         actions.append(
             {
                 "remove": {
@@ -1760,7 +1794,13 @@ def delta_optimize_zorder(
     for a in adds:
         a["add"]["dataChange"] = False
     actions.extend(adds)
-    _write_commit(spark, path, version, actions)
+    try:
+        _write_commit(spark, path, version, actions)
+    except RuntimeError:
+        raise DeltaConcurrentModification(
+            f"a concurrent commit landed during OPTIMIZE ZORDER of "
+            f"{path}; re-run against the new snapshot"
+        ) from None
     if version % CHECKPOINT_INTERVAL == 0:
         _auto_checkpoint(spark, path, version)
     return version
@@ -1788,6 +1828,12 @@ def delta_generate_manifest(spark: SparkSession, path: str) -> list[str]:
             "delta_optimize first"
         )
     fs, table_path, jvm = _hadoop_fs(spark, path)
+    # regenerate from scratch: a partition whose files all disappeared
+    # since the last GENERATE must lose its manifest, or a symlink
+    # consumer keeps reading retired/vacuumed files
+    stale = jvm.org.apache.hadoop.fs.Path(f"{path}/_symlink_format_manifest")
+    if fs.exists(stale):
+        fs.delete(stale, True)
     base_uri = str(fs.makeQualified(table_path).toUri())
     part_cols = meta.get("partitionColumns") or []
     groups: dict[str, list[str]] = {}
@@ -2049,6 +2095,7 @@ def _commit_rewrite(
     extra_actions: list[dict] | None = None,
     max_retries: int = 3,
     expected: dict[str, dict] | None = None,
+    identity_guard: bool = False,
 ) -> int:
     """Publish a copy-on-write commit (removes for ``affected`` + staged
     ``adds``). On a lost OCC race the removes are re-validated against
@@ -2076,6 +2123,14 @@ def _commit_rewrite(
             _write_commit(spark, path, version, actions)
             break
         except RuntimeError:
+            if identity_guard:
+                # the staged files hold identity ids allocated under the
+                # lost snapshot's watermark — retrying could mint
+                # duplicates the winner already claimed
+                raise DeltaConcurrentModification(
+                    f"identity-column commit to {path} lost the race; "
+                    "re-run to allocate above the winner's watermark"
+                ) from None
             if attempt == max_retries:
                 raise
             _, _, live_now, _ = _snapshot_state(spark, path)
@@ -2322,12 +2377,16 @@ def delta_read_cdf(
                 "cdc actions; enable delta.enableChangeDataFeed for an "
                 "exact feed over merge-on-read deletes"
             )
+        if add_files or rm_files:
+            # read with the snapshot's physical schema projected to
+            # logical names — a column-mapped table's files hold
+            # col-<uuid> names that must never leak into the feed
+            _, meta_v, _, _ = _snapshot_state(spark, path, v)
         for files, ctype in ((add_files, "insert"), (rm_files, "delete")):
             if not files:
                 continue
             part = (
-                spark.read.option("basePath", path)
-                .parquet(*[_data_uri(path, f) for f in files])
+                _physical_scan(spark, path, meta_v, files)
                 .withColumn("_change_type", F.lit(ctype))
                 .withColumn("_commit_version", F.lit(v).cast("bigint"))
             )
@@ -2378,8 +2437,15 @@ def delta_delete(spark: SparkSession, path: str, predicate) -> int:
         else []
     )
     return _commit_rewrite(
-        spark, path, affected, adds,
+        spark,
+        path,
+        affected,
+        adds,
         extra_actions=[_commit_info("DELETE")] + cdc,
+        # action-equality: a racing DV commit keeps the path live while
+        # changing its descriptor; committing over it would resurrect
+        # the DV-deleted rows this rewrite never saw
+        expected={f: _live[f] for f in affected},
     )
 
 
@@ -2464,8 +2530,12 @@ def delta_update(
         ).withColumn("_change_type", F.lit("update_postimage"))
         cdc = _stage_change_files(pre.unionByName(post), path)
     return _commit_rewrite(
-        spark, path, affected, adds,
+        spark,
+        path,
+        affected,
+        adds,
         extra_actions=[_commit_info("UPDATE")] + cdc,
+        expected={f: _live[f] for f in affected},
     )
 
 
@@ -2625,6 +2695,11 @@ def delta_merge(
         extra_actions=[_commit_info("MERGE")]
         + ([id_action] if id_action else [])
         + cdc,
+        expected={f: _live[f] for f in affected},
+        # staged insert files hold ids allocated under THIS snapshot's
+        # watermark; a lost race may have claimed them — abort, never
+        # blind-retry (mirrors delta_write's identity guard)
+        identity_guard=id_action is not None,
     )
 
 

@@ -68,9 +68,120 @@ _ARROW_TYPES = {
 
 
 class _AddFilePartition(InputPartition):
-    def __init__(self, abs_path: str, columns: list[tuple[str, str]]) -> None:
+    def __init__(
+        self, abs_path: str, columns: list[tuple[str, str, str]]
+    ) -> None:
         self.abs_path = abs_path
-        self.columns = columns  # [(name, spark_ddl_type)] in schema order
+        # [(logical name, spark_ddl_type, on-file physical name)] in
+        # schema order — physical == logical except under column mapping
+        self.columns = columns
+
+
+_STREAM_READER_FEATURES = frozenset({"deletionVectors", "columnMapping"})
+
+
+def _file_uri(path: str, ref: str) -> str:
+    """Add paths may be RELATIVE (normal) or ABSOLUTE (shallow clones);
+    mirror delta_log._data_uri without a JVM dependency."""
+    import re
+
+    if ref.startswith("/") or re.match(r"^[A-Za-z][\w+.-]*:", ref):
+        return ref
+    return f"{path}/{ref}"
+
+
+def _check_streamable(path: str, proto: dict | None) -> None:
+    """Reader-feature gating for the streaming sources — same refusal
+    contract as the batch reader: a protocol demanding a feature this
+    source does not implement must error, never silently misread."""
+    if proto is None:
+        return
+    found = int(proto.get("minReaderVersion", 1))
+    if found <= 1:
+        return
+    if found == 3:
+        feats = proto.get("readerFeatures")
+        unknown = set(feats or ()) - _STREAM_READER_FEATURES
+        if feats is not None and not unknown:
+            return
+    raise ValueError(
+        f"cannot stream delta table at {path}: protocol {proto} demands "
+        f"reader features beyond {sorted(_STREAM_READER_FEATURES)}"
+    )
+
+
+def _resolve_meta_proto(path: str) -> tuple[dict, dict | None]:
+    """Driver-side resolution of the table's current metaData +
+    protocol: walk the JSON tail newest→oldest, falling back to the
+    newest parquet checkpoint for tables whose early commits were
+    removed by log cleanup."""
+    from pyarrow import fs as pafs
+
+    log_dir = f"{path}/_delta_log"
+    versions = _list_log_versions(log_dir)
+    if not versions:
+        raise ValueError(f"no delta table at {path}")
+    meta: dict | None = None
+    proto: dict | None = None
+    for v in reversed(versions):
+        for action in _read_commit(log_dir, v):
+            if meta is None and "metaData" in action:
+                meta = action["metaData"]
+            if proto is None and "protocol" in action:
+                proto = action["protocol"]
+        if meta is not None and proto is not None:
+            break
+    if meta is None or proto is None:
+        import pyarrow.parquet as pq
+
+        fsys, root = pafs.FileSystem.from_uri(log_dir)
+        infos = fsys.get_file_info(pafs.FileSelector(root, recursive=False))
+        ckpts = sorted(
+            info.path
+            for info in infos
+            if info.base_name.endswith(".checkpoint.parquet")
+        )
+        if ckpts:
+            for row in pq.read_table(ckpts[-1], filesystem=fsys).to_pylist():
+                if (
+                    meta is None
+                    and row.get("metaData") is not None
+                    and row["metaData"].get("schemaString")
+                ):
+                    meta = dict(row["metaData"])
+                    if isinstance(meta.get("configuration"), list):
+                        meta["configuration"] = dict(meta["configuration"])
+                if (
+                    proto is None
+                    and row.get("protocol") is not None
+                    and row["protocol"].get("minReaderVersion") is not None
+                ):
+                    proto = {
+                        k: v
+                        for k, v in row["protocol"].items()
+                        if v is not None
+                    }
+    if meta is None:
+        raise ValueError(f"no metaData resolvable in the log at {path}")
+    return meta, proto
+
+
+def _resolve_fields(meta: dict) -> list[tuple[str, str, str]]:
+    """[(logical, ddl type, physical)] honoring columnMapping mode=name
+    (physical == logical otherwise)."""
+    mode = str(
+        (meta.get("configuration") or {}).get("delta.columnMapping.mode", "")
+    ).lower()
+    fields = json.loads(meta["schemaString"])["fields"]
+    out = []
+    for f in fields:
+        phys = f["name"]
+        if mode == "name":
+            phys = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+        out.append((f["name"], f["type"], phys))
+    return out
 
 
 def _list_log_versions(log_dir: str) -> list[int]:
@@ -113,7 +224,9 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         self.skip_change = (
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
-        self.fields = schema_fields
+        meta, proto = _resolve_meta_proto(self.path)
+        _check_streamable(self.path, proto)
+        self.fields = _resolve_fields(meta)  # (logical, ddl, physical)
 
     def initialOffset(self) -> dict:
         return {"version": self.starting - 1}
@@ -137,6 +250,10 @@ class DeltaLogStreamReader(DataSourceStreamReader):
         parts: list[_AddFilePartition] = []
         for v in sorted(want):
             actions = _read_commit(self.log_dir, v)
+            for a in actions:
+                if "protocol" in a:
+                    # a mid-stream protocol upgrade must gate too
+                    _check_streamable(self.path, a["protocol"])
             adds = [
                 a["add"]
                 for a in actions
@@ -158,7 +275,7 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                     "(set skipChangeCommits=true to skip such commits)"
                 )
             parts.extend(
-                _AddFilePartition(f"{self.path}/{a['path']}", self.fields)
+                _AddFilePartition(_file_uri(self.path, a["path"]), self.fields)
                 for a in adds
             )
         # a range of pure layout/skipped commits still needs ≥1 (empty)
@@ -174,12 +291,13 @@ class DeltaLogStreamReader(DataSourceStreamReader):
             return iter(())
         fsys, p = pafs.FileSystem.from_uri(partition.abs_path)
         table = pq.read_table(p, filesystem=fsys)
-        # conform to the declared schema: evolution-added columns a
-        # pre-evolution file lacks become typed nulls, order pinned
+        # conform to the declared schema: files hold PHYSICAL names
+        # (column mapping), output is logical; evolution-added columns
+        # a pre-evolution file lacks become typed nulls, order pinned
         arrays = []
-        for name, ddl in partition.columns:
-            if name in table.column_names:
-                arrays.append(table[name].combine_chunks())
+        for name, ddl, phys in partition.columns:
+            if phys in table.column_names:
+                arrays.append(table[phys].combine_chunks())
             else:
                 if ddl not in _ARROW_TYPES:
                     raise ValueError(
@@ -189,7 +307,9 @@ class DeltaLogStreamReader(DataSourceStreamReader):
                 arrays.append(
                     pa.nulls(len(table), getattr(pa, _ARROW_TYPES[ddl])())
                 )
-        out = pa.table(dict(zip([n for n, _ in partition.columns], arrays)))
+        out = pa.table(
+            dict(zip([n for n, _, _ in partition.columns], arrays))
+        )
         return iter(out.to_batches())
 
     def commit(self, end: dict) -> None:
@@ -204,38 +324,27 @@ class DeltaLogStreamSource(DataSource):
         return "delta_native_stream"
 
     def schema(self) -> str:
-        # resolve the table's current metaData schema driver-side from
-        # the newest commit that carries one (checkpoint-free walk is
-        # fine: metaData re-appears in the JSON tail on every evolution)
+        # resolve the current metaData driver-side (JSON tail, parquet
+        # checkpoint fallback for cleaned logs) and gate on the table's
+        # protocol before any data moves
         path = self.options.get("path")
         if not path:
             raise ValueError("delta_native_stream requires option 'path'")
-        log_dir = f"{path}/_delta_log"
-        versions = _list_log_versions(log_dir)
-        if not versions:
-            raise ValueError(f"no delta table at {path}")
-        for v in reversed(versions):
-            for action in _read_commit(log_dir, v):
-                if "metaData" in action:
-                    fields = json.loads(action["metaData"]["schemaString"])[
-                        "fields"
-                    ]
-                    self._fields = [(f["name"], f["type"]) for f in fields]
-                    return ", ".join(
-                        f"{n} {t}" for n, t in self._fields
-                    )
-        raise ValueError(f"no metaData action found in the log at {path}")
+        meta, proto = _resolve_meta_proto(path)
+        _check_streamable(path, proto)
+        return ", ".join(
+            f"{n} {t}" for n, t, _ in _resolve_fields(meta)
+        )
 
     def streamReader(self, schema):
-        fields = [(f.name, f.dataType.simpleString()) for f in schema]
-        return DeltaLogStreamReader(self.options, fields)
+        return DeltaLogStreamReader(self.options, None)
 
 
 class _CdfFilePartition(InputPartition):
     def __init__(
         self,
         abs_path: str,
-        columns: list[tuple[str, str]],
+        columns: list[tuple[str, str, str]],
         version: int,
         ctype: str | None,
     ) -> None:
@@ -260,12 +369,9 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             raise ValueError("delta_native_cdf_stream requires option 'path'")
         self.log_dir = f"{self.path}/_delta_log"
         self.starting = int(options.get("startingVersion", "1"))
-        # data columns only (the wrapper appended the two feed columns)
-        self.fields = [
-            (n, t)
-            for n, t in schema_fields
-            if n not in ("_change_type", "_commit_version")
-        ]
+        meta, proto = _resolve_meta_proto(self.path)
+        _check_streamable(self.path, proto)
+        self.fields = _resolve_fields(meta)  # (logical, ddl, physical)
 
     def initialOffset(self) -> dict:
         return {"version": self.starting - 1}
@@ -287,8 +393,14 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                 f"{sorted(want - available)} were removed by log cleanup"
             )
         parts: list[_CdfFilePartition] = []
+        # cdc files are staged from LOGICAL-name frames; data files hold
+        # physical names — each partition carries the right lookup names
+        cdc_cols = [(n, t, n) for n, t, _ in self.fields]
         for v in sorted(want):
             actions = _read_commit(self.log_dir, v)
+            for a in actions:
+                if "protocol" in a:
+                    _check_streamable(self.path, a["protocol"])
             cdc = [a["cdc"]["path"] for a in actions if "cdc" in a]
             adds = [
                 a["add"]
@@ -302,7 +414,7 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             if cdc:
                 parts.extend(
                     _CdfFilePartition(
-                        f"{self.path}/{c}", self.fields, v, None
+                        _file_uri(self.path, c), cdc_cols, v, None
                     )
                     for c in cdc
                 )
@@ -315,7 +427,10 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             else:
                 parts.extend(
                     _CdfFilePartition(
-                        f"{self.path}/{a['path']}", self.fields, v, "insert"
+                        _file_uri(self.path, a["path"]),
+                        self.fields,
+                        v,
+                        "insert",
                     )
                     for a in adds
                 )
@@ -332,10 +447,10 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         table = pq.read_table(p, filesystem=fsys)
         arrays = []
         names = []
-        for name, ddl in partition.columns:
+        for name, ddl, phys in partition.columns:
             names.append(name)
-            if name in table.column_names:
-                arrays.append(table[name].combine_chunks())
+            if phys in table.column_names:
+                arrays.append(table[phys].combine_chunks())
             else:
                 if ddl not in _ARROW_TYPES:
                     raise ValueError(
@@ -373,25 +488,13 @@ class DeltaCdfStreamSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("delta_native_cdf_stream requires option 'path'")
-        log_dir = f"{path}/_delta_log"
-        versions = _list_log_versions(log_dir)
-        if not versions:
-            raise ValueError(f"no delta table at {path}")
-        for v in reversed(versions):
-            for action in _read_commit(log_dir, v):
-                if "metaData" in action:
-                    fields = json.loads(action["metaData"]["schemaString"])[
-                        "fields"
-                    ]
-                    cols = ", ".join(f"{f['name']} {f['type']}" for f in fields)
-                    return (
-                        cols + ", _change_type string, _commit_version long"
-                    )
-        raise ValueError(f"no metaData action found in the log at {path}")
+        meta, proto = _resolve_meta_proto(path)
+        _check_streamable(path, proto)
+        cols = ", ".join(f"{n} {t}" for n, t, _ in _resolve_fields(meta))
+        return cols + ", _change_type string, _commit_version long"
 
     def streamReader(self, schema):
-        fields = [(f.name, f.dataType.simpleString()) for f in schema]
-        return DeltaCdfStreamReader(self.options, fields)
+        return DeltaCdfStreamReader(self.options, None)
 
 
 def register_delta_stream_source(spark: SparkSession) -> None:

@@ -211,3 +211,61 @@ def test_cdf_stream_resumes_and_refuses_uncdc_changes(spark):
             .start()
         )
         q.awaitTermination()
+
+
+def test_stream_reads_column_mapped_and_cloned_tables(spark):
+    """Regression: the stream must translate physical col-<uuid> file
+    names back to logical columns (a silent all-null read otherwise)
+    and resolve shallow-clone ABSOLUTE file references; a table
+    demanding an unimplemented reader feature must refuse to stream."""
+    import os
+
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_clone,
+    )
+
+    register_delta_stream_source(spark)
+    # column-mapped table: values must come through, not nulls
+    table = tempfile.mkdtemp(prefix="ls_ds_cm_")
+    df = spark.range(30).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    delta_write(
+        df, table, configuration={"delta.columnMapping.mode": "name"}
+    )
+    out = tempfile.mkdtemp(prefix="ls_ds_cm_out_")
+    _drain(spark, table, out, tempfile.mkdtemp(prefix="ls_ds_cm_ck_"))
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert rows == {i: i * 3 for i in range(30)}
+    # shallow clone: absolute references stream too
+    dst = tempfile.mkdtemp(prefix="ls_ds_cl_")
+    os.rmdir(dst)
+    src_t = tempfile.mkdtemp(prefix="ls_ds_clsrc_")
+    delta_write(df, src_t)
+    delta_clone(spark, src_t, dst)
+    out2 = tempfile.mkdtemp(prefix="ls_ds_cl_out_")
+    _drain(spark, dst, out2, tempfile.mkdtemp(prefix="ls_ds_cl_ck_"))
+    assert _ids(spark, out2) == list(range(30))
+    # unimplemented reader feature: refuse at load time
+    bad = tempfile.mkdtemp(prefix="ls_ds_bad_")
+    delta_write(df, bad)
+    delta_log._write_commit(
+        spark,
+        bad,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
+                }
+            }
+        ],
+    )
+    with pytest.raises(Exception, match="typeWidening|reader features"):
+        spark.readStream.format("delta_native_stream").option(
+            "path", bad
+        ).load()
