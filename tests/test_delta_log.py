@@ -2123,3 +2123,85 @@ def test_generate_symlink_manifest(spark, sf_smoke):
     delta_optimize(spark, path2)
     rels2 = delta_generate_manifest(spark, path2)
     assert rels2 == ["_symlink_format_manifest/manifest"]
+
+
+def test_cow_dml_aborts_on_concurrent_dv_commit(spark, monkeypatch):
+    """A copy-on-write UPDATE racing a DV DELETE on the same files must
+    abort: the path stays live (liveness re-check would pass) but its
+    descriptor changed — committing the rewrite would resurrect the DV
+    deletions it never saw."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        DeltaConcurrentModification,
+        delta_delete_dv,
+        delta_update,
+    )
+
+    df = spark.range(80).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    path = tempfile.mkdtemp(prefix="ls_cowdv_")
+    delta_write(df.repartition(2), path, stats_cols=["id"])
+    real = delta_log._write_commit
+    state = {"raced": False}
+
+    def dv_races(spark_, p, version, actions):
+        is_dml = any("remove" in a for a in actions) and any(
+            "add" in a for a in actions
+        )
+        if not state["raced"] and is_dml:
+            state["raced"] = True
+            monkeypatch.setattr(delta_log, "_write_commit", real)
+            delta_delete_dv(spark_, p, "id % 4 = 0")
+            monkeypatch.setattr(delta_log, "_write_commit", dv_races)
+        return real(spark_, p, version, actions)
+
+    monkeypatch.setattr(delta_log, "_write_commit", dv_races)
+    with pytest.raises(DeltaConcurrentModification):
+        delta_update(spark, path, "id % 2 = 0", {"v": F.lit(0)})
+    monkeypatch.setattr(delta_log, "_write_commit", real)
+    # the DV delete's effect survived intact
+    got = sorted(r["id"] for r in delta_read(spark, path).collect())
+    assert got == [i for i in range(80) if i % 4 != 0]
+
+
+def test_optimize_aborts_on_concurrent_append(spark, monkeypatch):
+    """OPTIMIZE whose commit loses to a concurrent append must abort
+    (typed) — its remove list and rewrite came from the pre-append
+    snapshot, and landing it anyway could drop the appended rows."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        DeltaConcurrentModification,
+        delta_optimize,
+    )
+
+    df = spark.range(50).select(F.col("id"))
+    path = tempfile.mkdtemp(prefix="ls_optrace_")
+    delta_write(df.repartition(4), path)
+    real = delta_log._write_commit
+    state = {"raced": False}
+
+    def append_races(spark_, p, version, actions):
+        layout_commit = any(
+            "remove" in a and a["remove"].get("dataChange") is False
+            for a in actions
+        )
+        if not state["raced"] and layout_commit:
+            state["raced"] = True
+            monkeypatch.setattr(delta_log, "_write_commit", real)
+            delta_write(
+                spark_.range(50, 60).select(F.col("id")), p, mode="append"
+            )
+            monkeypatch.setattr(delta_log, "_write_commit", append_races)
+        return real(spark_, p, version, actions)
+
+    monkeypatch.setattr(delta_log, "_write_commit", append_races)
+    with pytest.raises(DeltaConcurrentModification):
+        delta_optimize(spark, path)
+    monkeypatch.setattr(delta_log, "_write_commit", real)
+    # nothing lost: all 60 rows readable
+    assert sorted(r["id"] for r in delta_read(spark, path).collect()) == list(
+        range(60)
+    )
