@@ -24,6 +24,7 @@ from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
     delta_delete_dv,
     delta_merge,
     delta_optimize,
+    delta_optimize_zorder,
     delta_read,
     delta_restore,
     delta_update,
@@ -66,7 +67,7 @@ def test_delta_model_fuzz(spark, seed):
     for step in range(14):
         op = rng.choice(
             ["append", "delete", "delete_dv", "update", "update_dv",
-             "merge", "optimize", "restore", "checkpoint"]
+             "merge", "optimize", "zorder", "restore", "checkpoint"]
         )
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 15))
@@ -105,6 +106,9 @@ def test_delta_model_fuzz(spark, seed):
             version += 1
         elif op == "optimize":
             delta_optimize(spark, path, target_files=2)
+            version += 1
+        elif op == "zorder":
+            delta_optimize_zorder(spark, path, ["k", "v"], target_files=2)
             version += 1
         elif op == "restore":
             target = rng.choice(sorted(history))
