@@ -301,6 +301,54 @@ def sample_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_group_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-disjoint train/val/test split: every document of a source
+    lands in the SAME split. Row-level hash splits (``sample_split_counts``)
+    leak near-duplicates across the train/eval boundary whenever a
+    crawl re-fetches the same site — the standard fix (C4, RefinedWeb,
+    The Pile all do this for eval decontamination) is to split on the
+    *provenance group* (domain / source), not the row.
+
+    Membership is ``md5(source)`` bucketed mod 100 (80/10/10): the one
+    hash both engines compute bit-identically, so split assignment is
+    reproducible across runs, engines, partitionings — and disjoint by
+    construction (a function of the group key alone cannot straddle
+    splits).
+
+    Plan shape: the FIRST aggregate rolls docs up to per-source rows
+    (map-side combine on a low-cardinality key), the split tag is then
+    derived on O(sources) rows, and the per-split rollup is O(sources)
+    → O(3). At 100 TB the only exchange is the source rollup; the text
+    column is never shuffled. Output pins per-split source/doc/token
+    counts; disjointness is structural (split = f(source)), so
+    sum(n_sources) over splits == countDistinct(source) — which the
+    oracle's value hash checks exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        per_source.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "sample_temperature_mix",
@@ -453,5 +501,32 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "sampling", "pipeline", "bench"),
         description="Deterministic global shuffle into training shards: "
         "hash-ordered, hash-sharded, order pinned by checksum.",
+    ),
+    QueryDef(
+        "sample_group_disjoint_split",
+        sample_group_disjoint_split,
+        """
+        WITH per_source AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM documents GROUP BY source),
+        tagged AS (
+          SELECT *,
+                 CASE
+                   WHEN ('0x' || substring(md5(source), 1, 8))::BIGINT
+                        % 100 < 80 THEN 'train'
+                   WHEN ('0x' || substring(md5(source), 1, 8))::BIGINT
+                        % 100 < 90 THEN 'val'
+                   ELSE 'test'
+                 END AS split
+          FROM per_source)
+        SELECT split, COUNT(*) AS n_sources,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(total_chars) AS BIGINT) AS total_chars
+        FROM tagged GROUP BY split ORDER BY split
+        """,
+        tags=("extension", "sampling", "pipeline"),
+        description="Leakage-safe group-disjoint 80/10/10 split: membership "
+        "is a function of the provenance group key, never the row.",
     ),
 ]

@@ -317,6 +317,78 @@ def text_token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed retrieval query for the BM25 ranker (engine constants, not tuned
+# to the corpus — the operator is parameterized by any term set).
+BM25_QUERY_TERMS = ("spark", "join", "window", "stream")
+
+
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed term query — the retrieval
+    scorer behind query-driven corpus curation (e.g. mining in-domain
+    training documents, or scoring eval-set contamination candidates by
+    relevance instead of raw n-gram overlap).
+
+    Same determinism doctrine as ``text_tfidf_top_terms``: the classic
+    ``ln``-idf is replaced by the *rational* Robertson–Spärck-Jones core
+    ``(N - df + 0.5)/(df + 0.5)`` so every step stays in exact BIGINT
+    arithmetic (ppm fixed point) and the ranking is bit-identical on any
+    engine. With k1 = 6/5 and b = 3/4, clearing denominators gives
+
+      sat_ppm  = 22·L·tf·1e6 div (10·L·tf + 3·L + 9·dl·N)
+      idf_ppm  = (2N − 2df + 1)·1e6 div (2df + 1)
+      score    = Σ_terms idf_ppm·sat_ppm div 1e6
+
+    where L = Σ dl (corpus tokens), N = doc count. Headroom: the widest
+    intermediate is 22·L·tf·1e6 — safe in int64 to L·tf ≈ 4·10^11
+    (a ~10^10-token corpus at tf ≤ 40); past that, rescale the ppm
+    factor or move the saturation term to DECIMAL(38,0).
+
+    Plan shape: one token explosion filtered to the |Q| query terms ON
+    THE SCAN (the explode output is pruned before any exchange), tf as
+    a hash agg on (doc, term), df as an O(|Q|)-row agg off tf, both df
+    and the global (L, N) scalars broadcast — the only data-sized
+    shuffle carries (doc_id, term, tf). At 100 TB this is one corpus
+    pass + vocabulary-free joins."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.size(_tokens()).cast("bigint").alias("dl"), "text"
+    )
+    totals = docs.agg(
+        F.sum("dl").alias("corpus_len"), F.count(F.lit(1)).alias("n_docs")
+    )
+    hits = docs.select(
+        "doc_id", "dl", F.explode(_tokens()).alias("token")
+    ).where(F.col("token").isin(*BM25_QUERY_TERMS))
+    tf = hits.groupBy("doc_id", "dl", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf_ppm",
+            F.expr("(2 * n_docs - 2 * df + 1) * 1000000 DIV (2 * df + 1)"),
+        )
+        .withColumn(
+            "sat_ppm",
+            F.expr(
+                "22 * corpus_len * tf * 1000000 DIV "
+                "(10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "dl")
+        .agg(
+            F.sum(F.expr("idf_ppm * sat_ppm DIV 1000000")).alias("score_ppm"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy(F.desc("score_ppm"), "doc_id")
+        .limit(20)
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "text_intra_doc_repetition",
@@ -510,5 +582,43 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "text", "pipeline", "quality"),
         description="Corpus-frequency rarity score per doc (LM-free "
         "surprisal proxy for quality filtering), integer-exact ppm.",
+    ),
+    QueryDef(
+        "text_bm25_rank",
+        text_bm25_rank,
+        f"""
+        WITH docs AS (
+          SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS dl, text
+          FROM documents),
+        tot AS (
+          SELECT CAST(SUM(dl) AS BIGINT) AS corpus_len,
+                 COUNT(*) AS n_docs
+          FROM docs),
+        hits AS (
+          SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents),
+        tf AS (
+          SELECT h.doc_id, d.dl, h.token, COUNT(*) AS tf
+          FROM hits h JOIN docs d USING (doc_id)
+          WHERE h.token IN ('spark', 'join', 'window', 'stream')
+          GROUP BY h.doc_id, d.dl, h.token),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        scored AS (
+          SELECT tf.doc_id, tf.dl,
+                 (2 * t.n_docs - 2 * q.df + 1) * 1000000
+                   // (2 * q.df + 1) AS idf_ppm,
+                 22 * t.corpus_len * tf.tf * 1000000
+                   // (10 * t.corpus_len * tf.tf + 3 * t.corpus_len
+                       + 9 * tf.dl * t.n_docs) AS sat_ppm
+          FROM tf JOIN dfreq q USING (token), tot t)
+        SELECT doc_id, dl,
+               CAST(SUM(idf_ppm * sat_ppm // 1000000) AS BIGINT)
+                 AS score_ppm,
+               COUNT(*) AS n_terms
+        FROM scored GROUP BY doc_id, dl
+        ORDER BY score_ppm DESC, doc_id LIMIT 20
+        """,
+        tags=("extension", "text", "pipeline"),
+        description="BM25 ranking (rational-idf, ppm fixed point) for a "
+        "fixed term query — exact-integer retrieval scoring.",
     ),
 ]

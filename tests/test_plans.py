@@ -456,3 +456,31 @@ def test_rarity_join_stays_on_token_key(spark, sf_smoke):
 
     df = text_token_rarity_scores(spark, sf_smoke)
     assert "CartesianProduct" not in explain_str(df)
+
+
+def test_bm25_small_sides_broadcast(spark, sf_smoke):
+    """BM25's df table (|Q| rows) and the (L, N) scalar row must reach
+    the tf frame as broadcasts — the only data-sized exchange is the
+    (doc, term) tf aggregation. A sort-merge join here would shuffle
+    the corpus-sized tf frame twice more at 100 TB."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        text_bm25_rank,
+    )
+
+    df = text_bm25_rank(spark, sf_smoke)
+    assert broadcast_join_count(df) >= 2
+    assert "SortMergeJoin" not in explain_str(df)
+
+
+def test_group_disjoint_split_aggregates_before_tagging(spark, sf_smoke):
+    """The split tag must be derived AFTER the per-source rollup: the
+    plan holds exactly the source rollup exchange + the O(sources)
+    split rollup (+ final sort), and the text column never leaves the
+    scan."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        sample_group_disjoint_split,
+    )
+
+    df = sample_group_disjoint_split(spark, sf_smoke)
+    assert shuffle_count(df) <= 3
+    assert "text" not in read_schema_columns(df)

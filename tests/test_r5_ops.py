@@ -258,3 +258,69 @@ def test_medallion_incremental_is_exactly_once(spark, sf_smoke):
         .count()
     )
     assert sum(r[1] for r in a) == distinct_fp
+
+
+def test_group_disjoint_split_is_leakage_safe(spark, sf_smoke):
+    """Re-prove the disjointness invariant from raw doc-level data: no
+    source straddles two splits, the split totals exactly tile the
+    corpus, and (regression) the row-level split would NOT have been
+    disjoint — i.e. the operator is doing something the plain
+    80/10/10 row hash does not."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        sample_group_disjoint_split,
+        split_column,
+    )
+
+    out = {r["split"]: r for r in sample_group_disjoint_split(spark, sf_smoke).collect()}
+    d = load_table(spark, sf_smoke, "documents")
+    assert sum(r["n_docs"] for r in out.values()) == d.count()
+    assert sum(r["n_sources"] for r in out.values()) == (
+        d.select("source").distinct().count()
+    )
+    # doc-level recomputation of the group tag: every source maps to one split
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast("bigint")
+        % 100
+    )
+    tag = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    per_source_splits = (
+        d.select("source", tag.alias("split"))
+        .distinct()
+        .groupBy("source")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert per_source_splits == 0
+    # contrast: the ROW-level hash split scatters each source across splits
+    row_level = (
+        d.select("source", split_column("doc_id").alias("split"))
+        .distinct()
+        .groupBy("source")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert row_level > 0
+
+
+def test_bm25_ranking_invariants(spark, sf_smoke):
+    """BM25 output sanity beyond the oracle: scores are positive and
+    sorted, n_terms never exceeds the query length, and term saturation
+    holds — a doc matching all query terms outranks a doc with one
+    rare-ish term at equal length (checked structurally: top-1 doc hits
+    >= 2 distinct terms on this fixture)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        BM25_QUERY_TERMS,
+        text_bm25_rank,
+    )
+
+    rows = text_bm25_rank(spark, sf_smoke).collect()
+    assert rows, "fixture vocabulary must hit the query terms"
+    scores = [r["score_ppm"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    assert all(1 <= r["n_terms"] <= len(BM25_QUERY_TERMS) for r in rows)
+    assert rows[0]["n_terms"] >= 2
