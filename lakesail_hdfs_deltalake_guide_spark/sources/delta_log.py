@@ -59,6 +59,7 @@ _WRITER_FEATURES_IMPLEMENTED = frozenset(
         "checkConstraints",
         "generatedColumns",
         "identityColumns",
+        "rowTracking",
     }
 )
 
@@ -276,6 +277,10 @@ def _checkpoint_arrow_schema():
                                 ]
                             ),
                         ),
+                        # row tracking: the file's fresh-row-id range
+                        # start (PROTOCOL.md add.baseRowId); null on
+                        # tables without the feature
+                        ("baseRowId", pa.int64()),
                     ]
                 ),
             ),
@@ -973,13 +978,24 @@ def _physical_scan(
     meta: dict,
     files,
     with_position: bool = False,
+    with_row_col: bool = False,
 ) -> DataFrame:
     """Scan ``files`` with the snapshot's physical schema and project to
     LOGICAL column names (+ ``__dv_file``/``__dv_row`` scan-position
     metadata when requested). The single translation point every reader
     path (snapshot read, DML scan, rewrite source, DV delete) goes
-    through."""
-    reader = spark.read.schema(_physical_schema(meta))
+    through. ``with_row_col`` additionally reads the row-tracking
+    materialized ``_row_id`` column (exposed as ``__rt_mat``): the read
+    schema declares it, so files a rewrite materialized return their
+    stored ids and files written by plain appends return nulls."""
+    schema = _physical_schema(meta)
+    if with_row_col:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            list(schema.fields) + [StructField(_RT_COL, LongType(), True)]
+        )
+    reader = spark.read.schema(schema)
     if not any(_is_absolute_ref(f) for f in files):
         # basePath powers hive-style partition discovery; an absolute
         # (shallow-clone) reference lives outside the table dir and
@@ -996,6 +1012,8 @@ def _physical_scan(
             ).alias("__dv_file"),
             F.col("_metadata.row_index").alias("__dv_row"),
         ]
+    if with_row_col:
+        cols += [F.col(_RT_COL).alias("__rt_mat")]
     return scan.select(*cols)
 
 
@@ -1192,6 +1210,13 @@ def _plan_commit(
             writer_feats.append("generatedColumns")
         if identity_columns:
             writer_feats.append("identityColumns")
+        if str(conf.get(_RT_ENABLE_KEY, "")).lower() == "true":
+            if any(f["name"] == _RT_COL for f in schema_json["fields"]):
+                raise ValueError(
+                    f"row tracking reserves the physical column name "
+                    f"{_RT_COL}; rename the batch column"
+                )
+            writer_feats.append("rowTracking")
         if writer_feats:
             proto_action = {
                 "minReaderVersion": 3 if reader_feats else 1,
@@ -1338,6 +1363,108 @@ def delta_last_txn(spark: SparkSession, path: str, app_id: str) -> int | None:
     return txns.get(app_id)
 
 
+# ---------------------------------------------------------------------------
+# Row tracking (writer feature ``rowTracking``, PROTOCOL.md "Row
+# Tracking"): every NEW physical file is stamped with a fresh, never-
+# reused ``baseRowId`` range at commit time, and readers resolve each
+# row's stable id as ``coalesce(materialized _row_id, baseRowId +
+# row_index)`` — the same scan-position metadata the DV reader uses, so
+# merge-on-read deletes compose for free (masking removes positions
+# without shifting the survivors' indices). STABILITY across rewrites
+# comes from materialization: copy-on-write UPDATE/DELETE/MERGE and
+# OPTIMIZE write each surviving row's current id into a physical
+# ``_row_id`` column of the rewritten files, which the positional
+# default then defers to. Divergences from delta-spark, chosen to reuse
+# this module's existing machinery: the high watermark lives in
+# ``metaData.configuration`` (not a domainMetadata action — the fold and
+# checkpoint already replicate metaData; consequence: RESTORE rolls the
+# watermark back with the snapshot, exactly like the identity-column
+# watermark), and the materialized column is named ``_row_id`` on file
+# (delta-spark mints a random ``row_id_<uuid>`` physical name).
+
+_RT_ENABLE_KEY = "delta.enableRowTracking"
+_RT_WM_KEY = "delta.rowTracking.rowIdHighWaterMark"
+_RT_COL = "_row_id"
+
+
+def _rt_enabled(meta: dict | None) -> bool:
+    """Row-tracking gate: table property ``delta.enableRowTracking``
+    in metaData.configuration (creation-time opt-in)."""
+    return bool(meta) and (
+        str(meta.get("configuration", {}).get(_RT_ENABLE_KEY, "")).lower()
+        == "true"
+    )
+
+
+def _rt_assign(
+    spark: SparkSession, path: str, meta: dict, adds: list[dict]
+) -> dict | None:
+    """Stamp fresh ``baseRowId`` ranges onto this commit's NEW adds and
+    return the metaData action advancing the row-id high watermark
+    (None when nothing was allocated). An add that already carries a
+    baseRowId — a DV commit re-adding a live path, a shallow clone's
+    copied action — keeps its existing range: re-minting would change
+    ids the protocol promises are stable. Record counts come from the
+    staged files' parquet footers (driver-side, metadata-only, the same
+    pyarrow route as ``_file_stats``) and ride the ``stats`` JSON as
+    ``numRecords`` exactly where delta-spark keeps them."""
+    if not _rt_enabled(meta):
+        return None
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    wm = start = int((meta.get("configuration") or {}).get(_RT_WM_KEY, "0"))
+    pa_fs = pa_root = None
+    for item in adds:
+        add = item.get("add")
+        if add is None or add.get("baseRowId") is not None:
+            continue
+        if pa_fs is None:
+            pa_fs, pa_root = pafs.FileSystem.from_uri(path)
+        stats = json.loads(add["stats"]) if add.get("stats") else {}
+        n = stats.get("numRecords")
+        if n is None:
+            n = pq.read_metadata(
+                f"{pa_root}/{add['path']}", filesystem=pa_fs
+            ).num_rows
+            stats["numRecords"] = int(n)
+            add["stats"] = json.dumps(stats, default=str)
+        add["baseRowId"] = wm
+        wm += int(n)
+    if wm == start:
+        return None
+    new_meta = dict(meta)
+    conf = dict(new_meta.get("configuration") or {})
+    conf[_RT_WM_KEY] = str(wm)
+    new_meta["configuration"] = conf
+    return {"metaData": new_meta}
+
+
+def _rt_attach(spark: SparkSession, scan: DataFrame, adds) -> DataFrame:
+    """Resolve each scanned row's stable id onto ``scan`` (which carries
+    ``__dv_file``/``__dv_row`` positions and the ``__rt_mat``
+    materialized column): prefer the materialized id, fall back to
+    baseRowId + row position. The (file basename → base) map is
+    O(live files) — broadcast join, never a fact-side shuffle."""
+    rows = [
+        (f.rsplit("/", 1)[-1], int(a["baseRowId"]))
+        for f, a in adds
+        if a.get("baseRowId") is not None
+    ]
+    m = spark.createDataFrame(
+        rows, "__rt_file string, __rt_base long"
+    )
+    out = scan.join(
+        F.broadcast(m), scan["__dv_file"] == m["__rt_file"], "left"
+    )
+    return out.withColumn(
+        _RT_COL,
+        F.coalesce(
+            F.col("__rt_mat"), F.col("__rt_base") + F.col("__dv_row")
+        ),
+    ).drop("__rt_file", "__rt_base", "__rt_mat")
+
+
 def delta_write(
     df: DataFrame,
     path: str,
@@ -1410,9 +1537,16 @@ def delta_write(
     adds = _stage_data_files(
         _to_physical(conformed, eff_meta), path, partition_by, staged_stats
     )
+    # row tracking: fresh baseRowId ranges + watermark metaData, ordered
+    # AFTER any creation/evolution metaData so the advanced watermark
+    # wins the fold (it is built from eff_meta, so nothing is lost)
+    rt_action = _rt_assign(spark, path, eff_meta, adds)
+    rt_actions = [rt_action] if rt_action else []
     for attempt in range(max_retries + 1):
         try:
-            _write_commit(spark, path, version, txn_action + actions + adds)
+            _write_commit(
+                spark, path, version, txn_action + actions + rt_actions + adds
+            )
             break
         except RuntimeError:
             if attempt == max_retries:
@@ -1427,12 +1561,13 @@ def delta_write(
                     f"table creation race at {path}: another writer "
                     "created the table first; re-run the write"
                 ) from None
-            if _identity_columns(eff_meta):
-                # the staged files hold ids allocated under the LOST
-                # snapshot's watermark; a racing identity write may have
-                # claimed them — blind retry would mint duplicates
+            if _identity_columns(eff_meta) or rt_action is not None:
+                # the staged files hold ids (identity values / row-id
+                # ranges) allocated under the LOST snapshot's watermark;
+                # a racing allocating write may have claimed them —
+                # blind retry would mint duplicates
                 raise DeltaConcurrentModification(
-                    f"identity-column write to {path} lost the commit "
+                    f"id-allocating write to {path} lost the commit "
                     "race; re-run to allocate above the winner's "
                     "watermark"
                 ) from None
@@ -1547,6 +1682,7 @@ def delta_read(
     partition_filter: dict[str, str] | None = None,
     range_filter: dict[str, tuple] | None = None,
     timestamp: int | None = None,
+    row_ids: bool = False,
 ) -> DataFrame:
     """Snapshot read; ``partition_filter`` prunes files from the LOG's
     partitionValues and ``range_filter`` ({col: (lo, hi)}) skips files
@@ -1557,7 +1693,9 @@ def delta_read(
     always applies the snapshot's metaData schema, so files written
     before a schema evolution read back with typed nulls in the
     evolution-added columns. ``timestamp`` (ms) is TIMESTAMP AS OF —
-    resolved to the newest version at or before it."""
+    resolved to the newest version at or before it. ``row_ids`` (row-
+    tracked tables only) appends the stable ``_row_id`` column —
+    ``coalesce(materialized id, baseRowId + row_index)``."""
     from pyspark.sql.types import StructType
 
     if timestamp is not None:
@@ -1596,19 +1734,35 @@ def delta_read(
             return True
 
         adds = [(f, a) for f, a in adds if _overlaps(a)]
+    if row_ids and not _rt_enabled(meta):
+        raise ValueError(
+            f"row_ids read of {path}: table does not enable "
+            f"{_RT_ENABLE_KEY}"
+        )
     if not adds:
         # a fully-retracted or fully-pruned snapshot is a VALID empty
         # table — reconstruct its schema from metaData, don't error
-        return spark.createDataFrame([], _logical_schema(meta))
+        empty = spark.createDataFrame([], _logical_schema(meta))
+        if row_ids:
+            empty = empty.withColumn(_RT_COL, F.lit(None).cast("long"))
+        return empty
     has_dv = any(a.get("deletionVector") for _, a in adds)
     # scan with the on-file (physical) schema, project to logical names;
     # with DVs, carry the scan-position metadata columns and anti-join
     # away deleted positions (broadcast DV side, no fact-side shuffle)
     scan = _physical_scan(
-        spark, path, meta, [f for f, _ in adds], with_position=has_dv
+        spark,
+        path,
+        meta,
+        [f for f, _ in adds],
+        with_position=has_dv or row_ids,
+        with_row_col=row_ids,
     )
     if has_dv:
         scan = _dv_anti_filter(spark, path, scan, adds)
+    if row_ids:
+        scan = _rt_attach(spark, scan, adds)
+        return scan.select(*[l for _, l in _cm_pairs(meta)], _RT_COL)
     # re-project to the metaData column order so the snapshot's schema
     # contract holds exactly (zero-cost projection)
     return scan.select(*[l for _, l in _cm_pairs(meta)])
@@ -1632,7 +1786,10 @@ def delta_optimize(
     # file land in the removes without its rows in the rewrite
     snap = versions[-1]
     _, meta, live, _ = _snapshot_state(spark, path, snap)
-    current = delta_read(spark, path, version=snap)
+    rt = _rt_enabled(meta)
+    # row-tracked tables compact WITH their stable ids and materialize
+    # them into the compacted files — OPTIMIZE must not renumber rows
+    current = delta_read(spark, path, version=snap, row_ids=rt)
     compacted = current.coalesce(target_files)
     version = snap + 1
     actions: list[dict] = [_commit_info("OPTIMIZE")]
@@ -1649,6 +1806,9 @@ def delta_optimize(
     adds = _stage_data_files(_to_physical(compacted, meta), path)
     for a in adds:
         a["add"]["dataChange"] = False
+    rt_action = _rt_assign(spark, path, meta, adds)
+    if rt_action is not None:
+        actions.append(rt_action)
     actions.extend(adds)
     try:
         _write_commit(spark, path, version, actions)
@@ -1744,7 +1904,9 @@ def delta_optimize_zorder(
     if not versions0:
         raise ValueError(f"no delta table at {path}")
     snap = versions0[-1]
-    current = delta_read(spark, path, version=snap)
+    _, meta, live, _ = _snapshot_state(spark, path, snap)
+    rt = _rt_enabled(meta)
+    current = delta_read(spark, path, version=snap, row_ids=rt)
     # normalize each key to the full bit range before interleaving —
     # raw keys of different magnitudes would let the wider key's high
     # bits dominate every z prefix and the narrow key would never
@@ -1772,7 +1934,6 @@ def delta_optimize_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    _, meta, live, _ = _snapshot_state(spark, path, snap)
     version = snap + 1
     actions: list[dict] = [_commit_info("OPTIMIZE ZORDER")]
     for f in sorted(live):
@@ -1793,6 +1954,9 @@ def delta_optimize_zorder(
     )
     for a in adds:
         a["add"]["dataChange"] = False
+    rt_action = _rt_assign(spark, path, meta, adds)
+    if rt_action is not None:
+        actions.append(rt_action)
     actions.extend(adds)
     try:
         _write_commit(spark, path, version, actions)
@@ -2066,18 +2230,35 @@ def _snapshot_scan_with_file(
 
 
 def _read_affected_files(
-    spark: SparkSession, path: str, meta: dict, live: dict[str, dict], files
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    live: dict[str, dict],
+    files,
+    with_row_ids: bool = False,
 ) -> DataFrame:
     """Read exactly ``files`` of the snapshot with the snapshot schema,
     deletion vectors applied — the copy-on-write rewrite source. A CoW
     rewrite of a DV-carrying file materializes the DV (the rewritten
     file needs no descriptor); without this filter the rewrite would
-    RESURRECT merge-on-read-deleted rows."""
+    RESURRECT merge-on-read-deleted rows. ``with_row_ids`` (row-tracked
+    tables) appends each row's stable ``_row_id`` so the rewrite can
+    materialize it into the replacement files."""
     subset = [(f, live[f]) for f in files]
     has_dv = any(a.get("deletionVector") for _, a in subset)
-    scan = _physical_scan(spark, path, meta, files, with_position=has_dv)
+    scan = _physical_scan(
+        spark,
+        path,
+        meta,
+        files,
+        with_position=has_dv or with_row_ids,
+        with_row_col=with_row_ids,
+    )
     if has_dv:
         scan = _dv_anti_filter(spark, path, scan, subset)
+    if with_row_ids:
+        scan = _rt_attach(spark, scan, subset)
+        return scan.select(*[l for _, l in _cm_pairs(meta)], _RT_COL)
     return scan.select(*[l for _, l in _cm_pairs(meta)])
 
 
@@ -2124,11 +2305,12 @@ def _commit_rewrite(
             break
         except RuntimeError:
             if identity_guard:
-                # the staged files hold identity ids allocated under the
-                # lost snapshot's watermark — retrying could mint
-                # duplicates the winner already claimed
+                # the staged files hold allocated ids (identity values /
+                # row-id ranges) minted under the lost snapshot's
+                # watermark — retrying could duplicate ids the winner
+                # already claimed
                 raise DeltaConcurrentModification(
-                    f"identity-column commit to {path} lost the race; "
+                    f"id-allocating commit to {path} lost the race; "
                     "re-run to allocate above the winner's watermark"
                 ) from None
             if attempt == max_retries:
@@ -2422,16 +2604,25 @@ def delta_delete(spark: SparkSession, path: str, predicate) -> int:
     if not hit_names:
         return _list_versions(spark, path)[-1]
     affected = [base_map[b] for b in hit_names]
-    sub = _read_affected_files(spark, path, meta, _live, affected)
+    rt = _rt_enabled(meta)
+    sub = _read_affected_files(
+        spark, path, meta, _live, affected, with_row_ids=rt
+    )
     survivors = sub.where(~pred)
     adds = _stage_data_files(
         _to_physical(survivors, meta),
         path,
         meta.get("partitionColumns") or None,
     )
+    # survivors carry their materialized _row_id; fresh base ranges are
+    # still stamped (never reused), matching delta-spark's rewrite shape
+    rt_action = _rt_assign(spark, path, meta, adds)
     cdc = (
         _stage_change_files(
-            sub.where(pred).withColumn("_change_type", F.lit("delete")), path
+            sub.where(pred)
+            .drop(_RT_COL)
+            .withColumn("_change_type", F.lit("delete")),
+            path,
         )
         if _cdf_enabled(meta)
         else []
@@ -2441,7 +2632,10 @@ def delta_delete(spark: SparkSession, path: str, predicate) -> int:
         path,
         affected,
         adds,
-        extra_actions=[_commit_info("DELETE")] + cdc,
+        extra_actions=[_commit_info("DELETE")]
+        + ([rt_action] if rt_action else [])
+        + cdc,
+        identity_guard=rt_action is not None,
         # action-equality: a racing DV commit keeps the path live while
         # changing its descriptor; committing over it would resurrect
         # the DV-deleted rows this rewrite never saw
@@ -2491,9 +2685,14 @@ def delta_update(
     from pyspark.sql.types import StructType
 
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
-    sub = _read_affected_files(spark, path, meta, _live, affected)
+    rt = _rt_enabled(meta)
+    sub = _read_affected_files(
+        spark, path, meta, _live, affected, with_row_ids=rt
+    )
     # one simultaneous select from the preimage; casts pin each updated
-    # column to its declared type so UPDATE can never widen the schema
+    # column to its declared type so UPDATE can never widen the schema.
+    # Row-tracked tables carry each row's _row_id through the rewrite —
+    # UPDATE never changes a row's identity.
     updated = sub.select(
         *[
             F.when(pred, exprs[f.name].cast(f.dataType))
@@ -2502,7 +2701,8 @@ def delta_update(
             if f.name in exprs
             else F.col(f.name)
             for f in schema.fields
-        ]
+        ],
+        *([F.col(_RT_COL)] if rt else []),
     )
     # generated columns follow their dependencies' post-image values
     updated = _recompute_generated(updated, meta)
@@ -2512,10 +2712,13 @@ def delta_update(
         path,
         meta.get("partitionColumns") or None,
     )
+    rt_action = _rt_assign(spark, path, meta, adds)
     cdc: list[dict] = []
     if _cdf_enabled(meta):
-        pre = sub.where(pred).withColumn(
-            "_change_type", F.lit("update_preimage")
+        pre = (
+            sub.where(pred)
+            .drop(_RT_COL)
+            .withColumn("_change_type", F.lit("update_preimage"))
         )
         post = _recompute_generated(
             sub.where(pred).select(
@@ -2534,7 +2737,10 @@ def delta_update(
         path,
         affected,
         adds,
-        extra_actions=[_commit_info("UPDATE")] + cdc,
+        extra_actions=[_commit_info("UPDATE")]
+        + ([rt_action] if rt_action else [])
+        + cdc,
+        identity_guard=rt_action is not None,
         expected={f: _live[f] for f in affected},
     )
 
@@ -2605,9 +2811,12 @@ def delta_merge(
         .collect()
     ]
     affected = [base_map[b] for b in hit_names]
+    rt = _rt_enabled(meta)
     pieces: list[DataFrame] = []
     if affected:
-        sub = _read_affected_files(spark, path, meta, _live, affected)
+        sub = _read_affected_files(
+            spark, path, meta, _live, affected, with_row_ids=rt
+        )
         # explicit match flag, not COALESCE: a matched source row that
         # carries NULL in an update column must write that NULL
         src_upd = src.select(
@@ -2626,7 +2835,9 @@ def delta_merge(
                 if c in upd
                 else F.col(c)
                 for c in tcols
-            ]
+            ],
+            # updated rows keep their stable row id through the rewrite
+            *([F.col(_RT_COL)] if rt else []),
         )
         # generated columns track their dependencies' merged values
         merged = _recompute_generated(merged, meta)
@@ -2640,7 +2851,10 @@ def delta_merge(
                 if c in src.columns
                 else F.lit(None).cast(schema[c].dataType).alias(c)
                 for c in tcols
-            ]
+            ],
+            # inserted rows have no prior identity: a null materialized
+            # id defers to the staged file's fresh baseRowId + position
+            *([F.lit(None).cast("long").alias(_RT_COL)] if rt else []),
         )
         # a source that omits a generated column inserts its computed
         # value, not a typed null
@@ -2653,7 +2867,7 @@ def delta_merge(
             )
             if id_action is not None:
                 meta = id_action["metaData"]
-            inserts = inserts.select(*tcols)
+            inserts = inserts.select(*tcols, *([_RT_COL] if rt else []))
         pieces.append(inserts)
     if not pieces:
         return _list_versions(spark, path)[-1]
@@ -2664,24 +2878,29 @@ def delta_merge(
     adds = _stage_data_files(
         _to_physical(out, meta), path, meta.get("partitionColumns") or None
     )
+    rt_action = _rt_assign(spark, path, meta, adds)
+    if rt_action is not None:
+        meta = rt_action["metaData"]
     cdc: list[dict] = []
     if _cdf_enabled(meta):
         changes: list[DataFrame] = []
         if affected:
             matched_keys = src.select(*on).distinct()
             changes.append(
-                sub.join(matched_keys, on=on, how="left_semi").withColumn(
-                    "_change_type", F.lit("update_preimage")
-                )
+                sub.drop(_RT_COL)
+                .join(matched_keys, on=on, how="left_semi")
+                .withColumn("_change_type", F.lit("update_preimage"))
             )
             changes.append(
-                merged.join(matched_keys, on=on, how="left_semi").withColumn(
-                    "_change_type", F.lit("update_postimage")
-                )
+                merged.drop(_RT_COL)
+                .join(matched_keys, on=on, how="left_semi")
+                .withColumn("_change_type", F.lit("update_postimage"))
             )
         if insert_unmatched:
             changes.append(
-                inserts.withColumn("_change_type", F.lit("insert"))
+                inserts.drop(_RT_COL).withColumn(
+                    "_change_type", F.lit("insert")
+                )
             )
         feed = changes[0]
         for c in changes[1:]:
@@ -2692,14 +2911,18 @@ def delta_merge(
         path,
         affected,
         adds,
+        # rt_action is built from the id_action-advanced meta, so
+        # ordering it AFTER id_action keeps the fold's last-metaData-
+        # wins semantics consistent for both watermarks
         extra_actions=[_commit_info("MERGE")]
         + ([id_action] if id_action else [])
+        + ([rt_action] if rt_action else [])
         + cdc,
         expected={f: _live[f] for f in affected},
         # staged insert files hold ids allocated under THIS snapshot's
         # watermark; a lost race may have claimed them — abort, never
         # blind-retry (mirrors delta_write's identity guard)
-        identity_guard=id_action is not None,
+        identity_guard=id_action is not None or rt_action is not None,
     )
 
 
@@ -2796,6 +3019,8 @@ def _dv_mask_and_commit(
     op: str,
     extra_adds: list[dict] | None = None,
     cdf_df: DataFrame | None = None,
+    extra_actions: list[dict] | None = None,
+    guard: bool = False,
 ) -> int:
     """Shared merge-on-read commit core: mask ``hits``' (file, row
     position) pairs behind a fresh DV storage unit (merged with the
@@ -2871,6 +3096,7 @@ def _dv_mask_and_commit(
     upgrade = _dv_protocol_upgrade(proto)
     if upgrade is not None:
         extra.append(upgrade)
+    extra += list(extra_actions or [])
     if cdf_df is not None:
         extra += _stage_change_files(cdf_df, path)
     return _commit_rewrite(
@@ -2880,6 +3106,7 @@ def _dv_mask_and_commit(
         adds_out + list(extra_adds or []),
         extra_actions=extra,
         expected={f: live[f] for f in affected},
+        identity_guard=guard,
     )
 
 
@@ -2958,18 +3185,31 @@ def delta_update_dv(
             f"cannot UPDATE generated/identity columns {sorted(blocked)}"
         )
     base_map = {f.rsplit("/", 1)[-1]: f for f in live}
-    scan = _physical_scan(spark, path, meta, sorted(live), with_position=True)
+    rt = _rt_enabled(meta)
+    scan = _physical_scan(
+        spark,
+        path,
+        meta,
+        sorted(live),
+        with_position=True,
+        with_row_col=rt,
+    )
     scan = _dv_anti_filter(spark, path, scan, list(live.items()))
     # one materialization feeds the DV mask, the replacement staging,
     # and the CDF images
     hits = scan.where(pred).localCheckpoint()
-    updated = hits.select(
+    # row-tracked tables: the replacement rows are the SAME logical rows
+    # — materialize their current ids so the masked positions' identity
+    # migrates to the appended post-image files
+    src = _rt_attach(spark, hits, list(live.items())) if rt else hits
+    updated = src.select(
         *[
             exprs[f.name].cast(f.dataType).alias(f.name)
             if f.name in exprs
             else F.col(f.name)
             for f in logical.fields
-        ]
+        ],
+        *([F.col(_RT_COL)] if rt else []),
     )
     updated = _recompute_generated(updated, meta)
     _enforce_constraints(updated, meta)
@@ -2978,18 +3218,21 @@ def delta_update_dv(
         path,
         meta.get("partitionColumns") or None,
     )
+    rt_action = _rt_assign(spark, path, meta, extra_adds)
     cdf_df = None
     if _cdf_enabled(meta):
         pre = hits.select(*[l for _, l in _cm_pairs(meta)]).withColumn(
             "_change_type", F.lit("update_preimage")
         )
-        post = updated.withColumn(
+        post = updated.drop(_RT_COL).withColumn(
             "_change_type", F.lit("update_postimage")
         )
         cdf_df = pre.unionByName(post)
     return _dv_mask_and_commit(
         spark, path, proto, meta, live, base_map, hits, "UPDATE",
         extra_adds=extra_adds, cdf_df=cdf_df,
+        extra_actions=[rt_action] if rt_action else None,
+        guard=rt_action is not None,
     )
 
 
@@ -3679,6 +3922,50 @@ def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row tracking end-to-end: two single-file sorted appends pin each
+    row's fresh id to its batch rank (baseRowId 0 and |batch1|), then a
+    copy-on-write UPDATE, a CoW DELETE on the second batch's file and a
+    full OPTIMIZE each rewrite files — and every surviving row must read
+    back its ORIGINAL id through the materialized ``_row_id`` column.
+    The oracle recomputes the expected ids as batch-offset row numbers,
+    so any renumbering (a rewrite dropping materialization, OPTIMIZE
+    reassigning positions) is a value mismatch, not just a row-count
+    drift."""
+    import tempfile
+
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    b1 = (
+        o.where(F.col("o_orderkey") % 10 == 1)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    b2 = (
+        o.where(F.col("o_orderkey") % 10 == 2)
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_rt_")
+    delta_write(
+        b1,
+        path,
+        mode="overwrite",
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    delta_write(b2, path, mode="append")
+    delta_update(spark, path, "o_orderkey % 100 = 1", {"o_custkey": "0"})
+    delta_delete(spark, path, "o_orderkey % 100 = 22")
+    delta_optimize(spark, path, target_files=1)
+    back = delta_read(spark, path, row_ids=True)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col(_RT_COL).alias("row_id"),
+    ).orderBy("o_orderkey")
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "delta_native_column_mapping",
@@ -4055,5 +4342,31 @@ QUERIES: list[QueryDef] = [
         """,
         tags=("parity", "delta", "io"),
         description="MVCC time travel on the self-written Delta log.",
+    ),
+    QueryDef(
+        "delta_native_row_tracking",
+        delta_native_row_tracking,
+        """
+        WITH b1 AS (
+          SELECT o_orderkey, o_custkey,
+                 ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
+          FROM orders WHERE o_orderkey % 10 = 1),
+        b2 AS (
+          SELECT o_orderkey, o_custkey,
+                 (SELECT COUNT(*) FROM b1)
+                   + ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS row_id
+          FROM orders WHERE o_orderkey % 10 = 2),
+        u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 100 = 1 THEN 0
+                    ELSE o_custkey END AS o_custkey,
+               CAST(row_id AS BIGINT) AS row_id
+        FROM u
+        WHERE o_orderkey % 100 <> 22
+        ORDER BY o_orderkey
+        """,
+        tags=("parity", "delta", "io", "dml"),
+        description="Row tracking: stable row ids survive CoW UPDATE, "
+        "DELETE, and OPTIMIZE via materialized _row_id columns.",
     ),
 ]

@@ -2205,3 +2205,141 @@ def test_optimize_aborts_on_concurrent_append(spark, monkeypatch):
     assert sorted(r["id"] for r in delta_read(spark, path).collect()) == list(
         range(60)
     )
+
+
+def _rt_table(spark, prefix="ls_rt_"):
+    path = tempfile.mkdtemp(prefix=prefix)
+    mk = lambda a, b: (  # noqa: E731 — tiny fixture builder
+        spark.range(a, b)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .repartition(1)
+        .sortWithinPartitions("k")
+    )
+    delta_write(
+        mk(0, 10),
+        path,
+        mode="overwrite",
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    delta_write(mk(10, 20), path, mode="append")
+    return path
+
+
+def test_row_tracking_ids_survive_full_dml_lifecycle(spark):
+    """Stable row ids through the whole surface: fresh ids are batch-
+    rank based; CoW UPDATE, CoW DELETE, OPTIMIZE, a DV update and a
+    MERGE (update + insert) each preserve every surviving row's id;
+    inserts mint ids strictly above the watermark; ids stay unique
+    throughout."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete,
+        delta_merge,
+        delta_optimize,
+        delta_update,
+        delta_update_dv,
+    )
+
+    path = _rt_table(spark)
+    base = {
+        r["k"]: r["_row_id"]
+        for r in delta_read(spark, path, row_ids=True).collect()
+    }
+    # two sorted single-file appends → id == k on this fixture
+    assert base == {k: k for k in range(20)}
+
+    delta_update(spark, path, "k % 5 = 1", {"v": "v + 1"})
+    delta_delete(spark, path, "k = 3")
+    delta_optimize(spark, path, target_files=1)
+    delta_update_dv(spark, path, "k = 7", {"v": "999"})
+    src = spark.range(8, 12).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    delta_merge(spark, path, src, on=["k"])
+
+    rows = delta_read(spark, path, row_ids=True).collect()
+    got = {r["k"]: r["_row_id"] for r in rows}
+    ids = [r["_row_id"] for r in rows]
+    assert len(set(ids)) == len(ids), "row ids must stay unique"
+    assert 3 not in got
+    # every pre-existing surviving row kept its original id
+    for k in range(20):
+        if k == 3:
+            continue
+        assert got[k] == base[k], f"row {k} was renumbered"
+    # a second merge with keys absent from the target exercises the
+    # insert path: fresh ids, old rows untouched
+    delta_merge(
+        spark,
+        path,
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+        ),
+        on=["k"],
+    )
+    rows2 = delta_read(spark, path, row_ids=True).collect()
+    got2 = {r["k"]: r["_row_id"] for r in rows2}
+    assert all(got2[k] == got[k] for k in got), "merge renumbered old rows"
+    assert min(got2[k] for k in (100, 101, 102)) > max(base.values())
+    assert len(set(got2.values())) == len(got2)
+
+
+def test_row_tracking_composes_with_checkpoint_clone_and_time_travel(spark):
+    """baseRowId survives the checkpoint fold (the add field round-trips
+    the parquet checkpoint schema); a shallow clone preserves ids and
+    allocates its own appends above the inherited watermark; time travel
+    reads the OLD snapshot's ids."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_checkpoint,
+        delta_clone,
+        delta_update,
+    )
+
+    path = _rt_table(spark)
+    delta_update(spark, path, "k % 5 = 1", {"v": "v + 1"})
+    delta_checkpoint(spark, path)
+    mk = lambda a, b: (  # noqa: E731
+        spark.range(a, b)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .repartition(1)
+        .sortWithinPartitions("k")
+    )
+    delta_write(mk(20, 25), path, mode="append")
+    rows = delta_read(spark, path, row_ids=True).collect()
+    got = {r["k"]: r["_row_id"] for r in rows}
+    assert all(got[k] == k for k in range(20)), "checkpoint lost baseRowId"
+    # post-checkpoint appends allocate above the rewrite-advanced
+    # watermark (the UPDATE minted fresh ranges for its rewritten file)
+    assert min(got[k] for k in range(20, 25)) >= 20
+    assert len(set(got.values())) == len(got)
+
+    clone = tempfile.mkdtemp(prefix="ls_rt_clone_")
+    delta_clone(spark, path, clone)
+    crows = delta_read(spark, clone, row_ids=True).collect()
+    assert {r["k"]: r["_row_id"] for r in crows} == got
+    delta_write(mk(30, 32), clone, mode="append")
+    crows2 = delta_read(spark, clone, row_ids=True).collect()
+    cgot = {r["k"]: r["_row_id"] for r in crows2}
+    assert min(cgot[30], cgot[31]) > max(got.values())
+
+    # time travel: version 0 sees only batch1 with its original ids
+    v0 = delta_read(spark, path, version=0, row_ids=True).collect()
+    assert {r["k"]: r["_row_id"] for r in v0} == {k: k for k in range(10)}
+
+
+def test_row_tracking_refuses_reserved_column_and_untracked_read(spark):
+    import pytest
+
+    df = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("_row_id")
+    )
+    path = tempfile.mkdtemp(prefix="ls_rt_bad_")
+    with pytest.raises(ValueError, match="reserves the physical column"):
+        delta_write(
+            df,
+            path,
+            configuration={"delta.enableRowTracking": "true"},
+        )
+    plain = tempfile.mkdtemp(prefix="ls_rt_plain_")
+    delta_write(spark.range(5).select(F.col("id")), plain)
+    with pytest.raises(ValueError, match="does not enable"):
+        delta_read(spark, plain, row_ids=True).collect()

@@ -135,3 +135,110 @@ def test_delta_model_fuzz(spark, seed):
             for r in delta_read(spark, path, version=v).collect()
         }
         assert got == state, f"seed {seed}: version {v} diverged in history"
+
+
+@pytest.mark.parametrize("seed", [13, 57])
+def test_delta_model_fuzz_row_tracked(spark, seed):
+    """The same randomized lifecycle on a row-TRACKED table, with two
+    extra invariants checked after every step: row ids stay unique, and
+    every key surviving from the prior step keeps its id (updates and
+    rewrites must never change a row's identity; restore reverts ids to
+    exactly the target version's mapping). This catches the interaction
+    class single tests can't: a rewrite dropping materialization, an
+    OPTIMIZE renumbering, a DV update migrating identity wrongly."""
+    rng = random.Random(seed)
+    path = tempfile.mkdtemp(prefix=f"ls_rtfuzz_{seed}_")
+    next_key = 0
+
+    def fresh_rows(n: int) -> list[tuple[int, int]]:
+        nonlocal next_key
+        rows = [(next_key + i, rng.randrange(1000)) for i in range(n)]
+        next_key += n
+        return rows
+
+    def _ids(spark_, p) -> dict[int, int]:
+        return {
+            r["k"]: r["_row_id"]
+            for r in delta_read(spark_, p, row_ids=True).collect()
+        }
+
+    model: dict[int, int] = dict(fresh_rows(30))
+    delta_write(
+        _df(spark, list(model.items())).repartition(3),
+        path,
+        stats_cols=["k"],
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    version = 0
+    history: dict[int, dict[int, int]] = {0: dict(model)}
+    ids = _ids(spark, path)
+    assert len(set(ids.values())) == len(ids)
+    id_history: dict[int, dict[int, int]] = {0: dict(ids)}
+
+    for step in range(12):
+        op = rng.choice(
+            ["append", "delete", "delete_dv", "update", "update_dv",
+             "merge", "optimize", "restore", "checkpoint"]
+        )
+        prev_ids = ids
+        if op == "append":
+            rows = fresh_rows(rng.randrange(1, 10))
+            delta_write(_df(spark, rows), path, mode="append")
+            model.update(rows)
+            version += 1
+        elif op in ("delete", "delete_dv"):
+            m = rng.choice([2, 3, 5, 7])
+            r = rng.randrange(m)
+            fn = delta_delete if op == "delete" else delta_delete_dv
+            new_v = fn(spark, path, f"k % {m} = {r}")
+            for k in [k for k in model if k % m == r]:
+                del model[k]
+            version = new_v
+        elif op in ("update", "update_dv"):
+            m = rng.choice([2, 3, 5])
+            r = rng.randrange(m)
+            bump = rng.randrange(1, 50)
+            ufn = delta_update if op == "update" else delta_update_dv
+            version = ufn(
+                spark, path, f"k % {m} = {r}", {"v": F.col("v") + bump}
+            )
+            for k in list(model):
+                if k % m == r:
+                    model[k] = model[k] + bump
+        elif op == "merge":
+            upd_keys = rng.sample(sorted(model), min(4, len(model)))
+            rows = [(k, rng.randrange(1000)) for k in upd_keys]
+            rows += fresh_rows(rng.randrange(1, 5))
+            delta_merge(spark, path, _df(spark, rows), on=["k"])
+            model.update(rows)
+            version += 1
+        elif op == "optimize":
+            delta_optimize(spark, path, target_files=2)
+            version += 1
+        elif op == "restore":
+            target = rng.choice(sorted(history))
+            delta_restore(spark, path, target)
+            model = dict(history[target])
+            prev_ids = id_history[target]
+            version += 1
+        elif op == "checkpoint":
+            delta_checkpoint(spark, path)
+            history[version] = dict(model)
+            id_history[version] = dict(ids)
+            continue
+        history[version] = dict(model)
+        got = _snapshot(spark, path)
+        assert got == model, f"seed {seed} step {step} op {op}: data diverged"
+        ids = _ids(spark, path)
+        assert len(set(ids.values())) == len(ids), (
+            f"seed {seed} step {step} op {op}: duplicate row ids"
+        )
+        changed = {
+            k: (prev_ids[k], ids[k])
+            for k in ids.keys() & prev_ids.keys()
+            if ids[k] != prev_ids[k]
+        }
+        assert not changed, (
+            f"seed {seed} step {step} op {op}: rows renumbered {changed}"
+        )
+        id_history[version] = dict(ids)
