@@ -51,7 +51,9 @@ _MAX_WRITER_IMPLEMENTED = 3
 # implements exactly these; gating refuses any table listing one it
 # does not (a feature-aware engine that ignored an unknown feature
 # would read WRONG data, not degraded data).
-_READER_FEATURES_IMPLEMENTED = frozenset({"deletionVectors", "columnMapping"})
+_READER_FEATURES_IMPLEMENTED = frozenset(
+    {"deletionVectors", "columnMapping", "typeWidening"}
+)
 _WRITER_FEATURES_IMPLEMENTED = frozenset(
     {
         "deletionVectors",
@@ -60,6 +62,7 @@ _WRITER_FEATURES_IMPLEMENTED = frozenset(
         "generatedColumns",
         "identityColumns",
         "rowTracking",
+        "typeWidening",
     }
 )
 
@@ -674,11 +677,46 @@ def delta_metadata(
     return meta
 
 
-def _merge_schemas(existing, incoming):
+# Type widening (Delta table feature ``typeWidening``): tables that opt
+# in at creation may evolve a column to a WIDER type in the same
+# numeric chain on a mergeSchema append — the metaData action records
+# the wider type and files written before the widening read back
+# upcast. Spark 4's vectorized parquet reader performs exactly these
+# promotions when the declared read schema is wider than the file
+# (INT32 → long, FLOAT → double — probed, values exact), so the old
+# files are never rewritten: at 100 TB a column widening is a KB of
+# JSON, not a table rewrite. A batch carrying the NARROWER type after
+# the widening is simply cast up into the table type (no metadata
+# churn). Any type change outside the chains stays rejected — implicit
+# arbitrary retyping on append is how silent corruption happens at
+# scale.
+_TW_ENABLE_KEY = "delta.enableTypeWidening"
+_TW_CHAINS = (("byte", "short", "integer", "long"), ("float", "double"))
+
+
+def _tw_enabled(meta: dict | None) -> bool:
+    return bool(meta) and (
+        str(meta.get("configuration", {}).get(_TW_ENABLE_KEY, "")).lower()
+        == "true"
+    )
+
+
+def _tw_widens(frm, to) -> bool:
+    """True iff ``frm`` → ``to`` is a supported widening (same chain,
+    strictly higher rank)."""
+    a, b = frm.typeName(), to.typeName()
+    for chain in _TW_CHAINS:
+        if a in chain and b in chain:
+            return chain.index(b) > chain.index(a)
+    return False
+
+
+def _merge_schemas(existing, incoming, allow_widening: bool = False):
     """unionByName-style schema merge: existing fields keep their order
     and types; brand-new incoming fields append (nullable). A same-name
-    field with a different type is rejected — implicit type widening on
-    append is how silent corruption happens at scale."""
+    field with a different type is rejected — unless the table enables
+    type widening and the change is a chain widening (either direction:
+    a wider batch widens the table, a narrower batch upcasts into it)."""
     from pyspark.sql.types import StructField, StructType
 
     by_name = {f.name: f for f in incoming.fields}
@@ -686,6 +724,12 @@ def _merge_schemas(existing, incoming):
     for f in existing.fields:
         new = by_name.get(f.name)
         if new is not None and new.dataType != f.dataType:
+            if allow_widening and _tw_widens(f.dataType, new.dataType):
+                merged.append(StructField(f.name, new.dataType, f.nullable))
+                continue
+            if allow_widening and _tw_widens(new.dataType, f.dataType):
+                merged.append(f)  # narrower batch upcasts into the table
+                continue
             raise ValueError(
                 f"schema evolution cannot change column {f.name!r} from "
                 f"{f.dataType.simpleString()} to {new.dataType.simpleString()}"
@@ -1217,6 +1261,11 @@ def _plan_commit(
                     f"{_RT_COL}; rename the batch column"
                 )
             writer_feats.append("rowTracking")
+        if str(conf.get(_TW_ENABLE_KEY, "")).lower() == "true":
+            # readers must know to upcast pre-widening files, so the
+            # feature gates BOTH sides (unlike the writer-only features)
+            reader_feats.append("typeWidening")
+            writer_feats.append("typeWidening")
         if writer_feats:
             proto_action = {
                 "minReaderVersion": 3 if reader_feats else 1,
@@ -1296,12 +1345,17 @@ def _plan_commit(
                 "schema mismatch on write (pass merge_schema=True to "
                 "evolve the table schema, delta-spark's mergeSchema)"
             )
-        merged = _merge_schemas(existing, df.schema)
+        merged = _merge_schemas(
+            existing, df.schema, allow_widening=_tw_enabled(meta)
+        )
         # conform df to the merged shape: evolution-added columns the
-        # incoming batch lacks become typed nulls, column order fixed
+        # incoming batch lacks become typed nulls, column order fixed;
+        # the cast is what upcasts a narrower-typed batch into a
+        # widened table column (a no-op everywhere else — any unsafe
+        # type change was already rejected by the merge)
         df = df.select(
             *[
-                F.col(f.name)
+                F.col(f.name).cast(f.dataType).alias(f.name)
                 if f.name in df.columns
                 else F.lit(None).cast(f.dataType).alias(f.name)
                 for f in merged.fields
@@ -3966,6 +4020,46 @@ def delta_native_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def delta_native_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening: an int `cents` column is widened to bigint by a
+    mergeSchema append carrying the wider type (one metaData commit —
+    the int-typed files are NEVER rewritten and read back upcast), and
+    a later narrower int batch upcasts into the widened table. The
+    grouped totals over all three batches oracle the final state; any
+    value corruption in the upcast path (sign, truncation) breaks the
+    exact cent sums."""
+    import tempfile
+
+    from ..tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0)
+    b1 = c.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_mktsegment", cents.cast("int").alias("cents")
+    )
+    b2 = c.where(F.col("c_custkey") % 3 == 1).select(
+        "c_custkey", "c_mktsegment", cents.cast("long").alias("cents")
+    )
+    b3 = c.where(F.col("c_custkey") % 3 == 2).select(
+        "c_custkey", "c_mktsegment", cents.cast("int").alias("cents")
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_tw_")
+    delta_write(
+        b1, path, configuration={"delta.enableTypeWidening": "true"}
+    )
+    delta_write(b2, path, mode="append", merge_schema=True)
+    delta_write(b3, path, mode="append", merge_schema=True)
+    back = delta_read(spark, path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "delta_native_column_mapping",
@@ -4368,5 +4462,18 @@ QUERIES: list[QueryDef] = [
         tags=("parity", "delta", "io", "dml"),
         description="Row tracking: stable row ids survive CoW UPDATE, "
         "DELETE, and OPTIMIZE via materialized _row_id columns.",
+    ),
+    QueryDef(
+        "delta_native_type_widening",
+        delta_native_type_widening,
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                 AS BIGINT) AS sum_cents
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        tags=("parity", "delta", "io", "ddl"),
+        description="Type widening: int->bigint column evolution as one "
+        "metaData commit; pre-widening files read back upcast.",
     ),
 ]

@@ -465,7 +465,7 @@ def test_reader_refuses_higher_protocol_version(spark, sf_smoke):
     path = tempfile.mkdtemp(prefix="ls_dl_proto_r_")
     delta_write(n, path, mode="overwrite")  # v0, protocol (1, 2)
     # a foreign writer upgrades the table to reader v3 / writer v7 with
-    # a table feature this engine does not implement (type widening)
+    # a table feature this engine does not implement (v2 checkpoints)
     delta_log._write_commit(
         spark,
         path,
@@ -475,15 +475,15 @@ def test_reader_refuses_higher_protocol_version(spark, sf_smoke):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["typeWidening"],
-                    "writerFeatures": ["typeWidening"],
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
                 }
             }
         ],
     )
-    with pytest.raises(ValueError, match="typeWidening"):
+    with pytest.raises(ValueError, match="v2Checkpoint"):
         delta_read(spark, path)
-    with pytest.raises(ValueError, match="typeWidening"):
+    with pytest.raises(ValueError, match="v2Checkpoint"):
         delta_write(n, path, mode="append")  # replan folds the log too
     # snapshots below the upgrade commit are still this reader's dialect
     assert delta_read(spark, path, version=0).count() == n.count()
@@ -2343,3 +2343,73 @@ def test_row_tracking_refuses_reserved_column_and_untracked_read(spark):
     delta_write(spark.range(5).select(F.col("id")), plain)
     with pytest.raises(ValueError, match="does not enable"):
         delta_read(spark, plain, row_ids=True).collect()
+
+
+def test_type_widening_lifecycle(spark):
+    """int→bigint and float→double widening via mergeSchema append: the
+    metaData evolves, pre-widening files read back upcast (no rewrite),
+    a narrower later batch upcasts into the table, time travel below
+    the widening keeps the original types, the checkpoint fold round-
+    trips the widened schema, and non-chain changes stay rejected."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_checkpoint,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_tw_")
+    b1 = spark.range(0, 5).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("int").alias("cents"),
+        F.col("id").cast("float").alias("score"),
+    )
+    delta_write(b1, p, configuration={"delta.enableTypeWidening": "true"})
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_files,
+    )
+
+    files_v0 = set(delta_live_files(spark, p))
+    b2 = spark.range(5, 8).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("long").alias("cents"),
+        F.col("id").cast("double").alias("score"),
+    )
+    delta_write(b2, p, mode="append", merge_schema=True)
+    b3 = spark.range(8, 10).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("int").alias("cents"),
+        F.col("id").cast("float").alias("score"),
+    )
+    delta_write(b3, p, mode="append", merge_schema=True)
+    out = delta_read(spark, p)
+    assert out.schema.simpleString() == (
+        "struct<k:bigint,cents:bigint,score:double>"
+    )
+    got = sorted((r["k"], r["cents"], float(r["score"])) for r in out.collect())
+    assert got == [
+        (k, k * 10 if 5 <= k < 8 else k, float(k)) for k in range(10)
+    ]
+    # the widening never rewrote v0's files
+    assert files_v0 <= set(delta_live_files(spark, p))
+    # time travel below the widening keeps the original narrow types
+    assert delta_read(spark, p, version=0).schema.simpleString() == (
+        "struct<k:bigint,cents:int,score:float>"
+    )
+    delta_checkpoint(spark, p)
+    assert delta_read(spark, p).schema.simpleString() == (
+        "struct<k:bigint,cents:bigint,score:double>"
+    )
+    # non-chain change (int chain -> string) is still corruption, not
+    # evolution
+    bad = spark.range(10, 11).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("string").alias("cents"),
+        F.col("id").cast("float").alias("score"),
+    )
+    with pytest.raises(ValueError, match="cannot change column"):
+        delta_write(bad, p, mode="append", merge_schema=True)
+    # without the table feature, widening appends stay rejected
+    p2 = tempfile.mkdtemp(prefix="ls_tw_off_")
+    delta_write(b1, p2)
+    with pytest.raises(ValueError, match="cannot change column"):
+        delta_write(b2, p2, mode="append", merge_schema=True)
