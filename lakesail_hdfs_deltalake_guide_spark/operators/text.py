@@ -331,17 +331,21 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same determinism doctrine as ``text_tfidf_top_terms``: the classic
     ``ln``-idf is replaced by the *rational* Robertson–Spärck-Jones core
     ``(N - df + 0.5)/(df + 0.5)`` so every step stays in exact BIGINT
-    arithmetic (ppm fixed point) and the ranking is bit-identical on any
-    engine. With k1 = 6/5 and b = 3/4, clearing denominators gives
+    arithmetic and the ranking is bit-identical on any engine. With
+    k1 = 6/5 and b = 3/4, clearing denominators (and floor-normalizing
+    the length ratio through ``avgdl = L div N``, a deterministic
+    variant both engines compute identically) gives
 
-      sat_ppm  = 22·L·tf·1e6 div (10·L·tf + 3·L + 9·dl·N)
-      idf_ppm  = (2N − 2df + 1)·1e6 div (2df + 1)
-      score    = Σ_terms idf_ppm·sat_ppm div 1e6
+      avgdl    = greatest(L div N, 1)
+      q_ppm    = dl·1e6 div avgdl                      (dl/avgdl, ppm)
+      sat_ppm  = 22·tf·1e12 div (1e7·tf + 3e6 + 9·q_ppm)
+      idf_pm   = (2N − 2df + 1)·1000 div (2df + 1)     (idf, per-mille)
+      score    = Σ_terms idf_pm·sat_ppm div 1000        (ppm scale)
 
-    where L = Σ dl (corpus tokens), N = doc count. Headroom: the widest
-    intermediate is 22·L·tf·1e6 — safe in int64 to L·tf ≈ 4·10^11
-    (a ~10^10-token corpus at tf ≤ 40); past that, rescale the ppm
-    factor or move the saturation term to DECIMAL(38,0).
+    where L = Σ dl (corpus tokens), N = doc count. int64 headroom, all
+    bindings checked: 22e12·tf caps tf at 4·10^5; idf_pm·sat_ppm caps N
+    at ~1.5·10^9 documents; q_ppm caps dl at ~9·10^12 — i.e. safe for a
+    100 TB-class corpus (a billion documents) without DECIMAL.
 
     Plan shape: one token explosion filtered to the |Q| query terms ON
     THE SCAN (the explode output is pruned before any exchange), tf as
@@ -367,21 +371,27 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(totals))
         .withColumn(
-            "idf_ppm",
-            F.expr("(2 * n_docs - 2 * df + 1) * 1000000 DIV (2 * df + 1)"),
+            "idf_pm",
+            F.expr("(2 * n_docs - 2 * df + 1) * 1000 DIV (2 * df + 1)"),
+        )
+        .withColumn(
+            "q_ppm",
+            F.expr(
+                "dl * 1000000 DIV GREATEST(corpus_len DIV n_docs, 1)"
+            ),
         )
         .withColumn(
             "sat_ppm",
             F.expr(
-                "22 * corpus_len * tf * 1000000 DIV "
-                "(10 * corpus_len * tf + 3 * corpus_len + 9 * dl * n_docs)"
+                "22 * tf * 1000000000000 DIV "
+                "(10000000 * tf + 3000000 + 9 * q_ppm)"
             ),
         )
     )
     return (
         scored.groupBy("doc_id", "dl")
         .agg(
-            F.sum(F.expr("idf_ppm * sat_ppm DIV 1000000")).alias("score_ppm"),
+            F.sum(F.expr("idf_pm * sat_ppm DIV 1000")).alias("score_ppm"),
             F.count(F.lit(1)).alias("n_terms"),
         )
         .orderBy(F.desc("score_ppm"), "doc_id")
@@ -604,14 +614,16 @@ QUERIES: list[QueryDef] = [
         dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
         scored AS (
           SELECT tf.doc_id, tf.dl,
-                 (2 * t.n_docs - 2 * q.df + 1) * 1000000
-                   // (2 * q.df + 1) AS idf_ppm,
-                 22 * t.corpus_len * tf.tf * 1000000
-                   // (10 * t.corpus_len * tf.tf + 3 * t.corpus_len
-                       + 9 * tf.dl * t.n_docs) AS sat_ppm
+                 (2 * t.n_docs - 2 * q.df + 1) * 1000
+                   // (2 * q.df + 1) AS idf_pm,
+                 22 * tf.tf * 1000000000000
+                   // (10000000 * tf.tf + 3000000
+                       + 9 * (tf.dl * 1000000
+                              // greatest(t.corpus_len // t.n_docs, 1)))
+                   AS sat_ppm
           FROM tf JOIN dfreq q USING (token), tot t)
         SELECT doc_id, dl,
-               CAST(SUM(idf_ppm * sat_ppm // 1000000) AS BIGINT)
+               CAST(SUM(idf_pm * sat_ppm // 1000) AS BIGINT)
                  AS score_ppm,
                COUNT(*) AS n_terms
         FROM scored GROUP BY doc_id, dl

@@ -862,6 +862,11 @@ def _allocate_identity(
     )
     total = sum(n for _, n in counts)
     if total == 0:
+        # an EMPTY batch still conforms: callers re-select the identity
+        # columns afterwards (merge's insert piece), so hand back typed
+        # null columns rather than a frame missing them
+        for name in ids:
+            df = df.withColumn(name, F.lit(None).cast("long"))
         return df, None
     offsets, acc = [], 0
     for pid, n in counts:
@@ -895,8 +900,11 @@ def _allocate_identity(
                     _ID_HIGH: new_high,
                 }
     out_cols = [f["name"] for f in sj["fields"] if f["name"] in tagged.columns]
+    # non-schema passthrough columns (e.g. row tracking's materialized
+    # _row_id riding a MERGE insert piece) survive the allocation select
+    extras = [c for c in df.columns if c not in out_cols]
     new_meta = {**meta, "schemaString": json.dumps(sj)}
-    return tagged.select(*out_cols), {"metaData": new_meta}
+    return tagged.select(*out_cols, *extras), {"metaData": new_meta}
 
 
 def _recompute_generated(df: DataFrame, meta: dict) -> DataFrame:
@@ -1328,6 +1336,15 @@ def _plan_commit(
         raise ValueError(
             f"partition_by {partition_by or []} does not match the "
             f"table's declared partitionColumns {declared}"
+        )
+    # the creation-time reservation must hold on EVERY later append: a
+    # merge_schema batch carrying a _row_id column would evolve it into
+    # the logical schema and collide with the row-tracking read path's
+    # injected physical column, bricking every row-ids read and DML
+    if _rt_enabled(meta) and _RT_COL in df.columns:
+        raise ValueError(
+            f"row tracking reserves the physical column name {_RT_COL}; "
+            "rename the batch column"
         )
     # fill-or-verify generated columns and allocate identity blocks
     # BEFORE schema validation, so a batch that (correctly) omits them

@@ -2413,3 +2413,126 @@ def test_type_widening_lifecycle(spark):
     delta_write(b1, p2)
     with pytest.raises(ValueError, match="cannot change column"):
         delta_write(b2, p2, mode="append", merge_schema=True)
+
+
+def test_row_tracking_on_partitioned_table(spark):
+    """Row tracking composes with hive-partitioned layout: the read
+    schema carries partition columns (directory-discovered) AND the
+    materialized _row_id (file-resident or null) at once; partitioned
+    CoW UPDATE/DELETE preserve ids; a partition-pruned read returns the
+    same ids as the full read."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete,
+        delta_update,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_rt_part_")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("pt"),
+        (F.col("id") * 2).alias("v"),
+    )
+    delta_write(
+        df,
+        p,
+        partition_by=["pt"],
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    r0 = {
+        r["k"]: r["_row_id"]
+        for r in delta_read(spark, p, row_ids=True).collect()
+    }
+    assert len(set(r0.values())) == len(r0) == 20
+    delta_update(spark, p, "k % 5 = 2", {"v": "v + 100"})
+    delta_delete(spark, p, "k = 11")
+    r1 = {
+        r["k"]: r["_row_id"]
+        for r in delta_read(spark, p, row_ids=True).collect()
+    }
+    assert 11 not in r1 and all(r1[k] == r0[k] for k in r1)
+    pruned = {
+        r["k"]: r["_row_id"]
+        for r in delta_read(
+            spark, p, partition_filter={"pt": "2"}, row_ids=True
+        ).collect()
+    }
+    assert set(pruned) == {2, 6, 10, 14, 18}
+    assert all(pruned[k] == r1[k] for k in pruned)
+
+
+def test_row_tracking_composes_with_identity_merge(spark):
+    """Regression (review findings): (a) an insert-bearing MERGE on a
+    table with BOTH rowTracking and identityColumns must allocate ids
+    for the inserts while carrying _row_id through the allocation
+    select; (b) an update-only MERGE (zero inserts) on an identity
+    table must conform the empty insert piece instead of crashing on
+    the missing identity column."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_merge,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_rt_id_")
+    delta_write(
+        spark.range(5).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+        ),
+        p,
+        configuration={"delta.enableRowTracking": "true"},
+        identity_columns={"rid": {"start": 100, "step": 1}},
+    )
+    before = {
+        r["k"]: (r["_row_id"], r["rid"])
+        for r in delta_read(spark, p, row_ids=True).collect()
+    }
+    delta_merge(
+        spark,
+        p,
+        spark.range(3, 8).select(
+            F.col("id").alias("k"), F.lit(2).cast("long").alias("v")
+        ),
+        on=["k"],
+    )
+    rows = delta_read(spark, p, row_ids=True).collect()
+    got = {r["k"]: (r["_row_id"], r["rid"]) for r in rows}
+    assert set(got) == set(range(8))
+    assert all(got[k] == before[k] for k in range(5)), "ids must survive"
+    assert all(got[k][1] is not None for k in (5, 6, 7)), "inserts get rids"
+    assert len({v[0] for v in got.values()}) == len(got)
+    assert len({v[1] for v in got.values()}) == len(got)
+    # update-only merge (no inserts) on an identity table
+    delta_merge(
+        spark,
+        p,
+        spark.range(0, 3).select(
+            F.col("id").alias("k"), F.lit(9).cast("long").alias("v")
+        ),
+        on=["k"],
+    )
+    after = {
+        r["k"]: (r["_row_id"], r["rid"], r["v"])
+        for r in delta_read(spark, p, row_ids=True).collect()
+    }
+    assert all(after[k][:2] == got[k] for k in got)
+    assert all(after[k][2] == 9 for k in range(3))
+
+
+def test_row_tracking_reserved_name_holds_on_append(spark):
+    """Regression (review finding): the _row_id reservation must hold on
+    EVERY append, not just creation — a merge_schema batch carrying a
+    _row_id column would collide with the injected read-schema column
+    and brick every row-tracking path."""
+    import pytest
+
+    p = tempfile.mkdtemp(prefix="ls_rt_resv_")
+    delta_write(
+        spark.range(3).select(F.col("id").alias("k")),
+        p,
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    bad = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("_row_id")
+    )
+    with pytest.raises(ValueError, match="reserves the physical column"):
+        delta_write(bad, p, mode="append", merge_schema=True)
+    # the table is untouched and still fully readable with ids
+    assert delta_read(spark, p, row_ids=True).count() == 3

@@ -139,13 +139,16 @@ def test_delta_model_fuzz(spark, seed):
 
 @pytest.mark.parametrize("seed", [13, 57])
 def test_delta_model_fuzz_row_tracked(spark, seed):
-    """The same randomized lifecycle on a row-TRACKED table, with two
-    extra invariants checked after every step: row ids stay unique, and
-    every key surviving from the prior step keeps its id (updates and
-    rewrites must never change a row's identity; restore reverts ids to
-    exactly the target version's mapping). This catches the interaction
-    class single tests can't: a rewrite dropping materialization, an
-    OPTIMIZE renumbering, a DV update migrating identity wrongly."""
+    """The same randomized lifecycle on a row-TRACKED table — created
+    with identity columns AND Change Data Feed enabled, with occasional
+    schema-evolution appends mixed in, so row tracking is fuzzed in
+    COMPOSITION with the features it must ride alongside (the merge
+    insert piece flows through identity allocation; every DML stages
+    CDF images; evolution widens the schema under the id machinery).
+    Two extra invariants check after every step: row ids stay unique,
+    and every key surviving from the prior step keeps its id (updates
+    and rewrites must never change a row's identity; restore reverts
+    ids to exactly the target version's mapping)."""
     rng = random.Random(seed)
     path = tempfile.mkdtemp(prefix=f"ls_rtfuzz_{seed}_")
     next_key = 0
@@ -167,7 +170,11 @@ def test_delta_model_fuzz_row_tracked(spark, seed):
         _df(spark, list(model.items())).repartition(3),
         path,
         stats_cols=["k"],
-        configuration={"delta.enableRowTracking": "true"},
+        configuration={
+            "delta.enableRowTracking": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+        identity_columns={"rid": {"start": 1000, "step": 1}},
     )
     version = 0
     history: dict[int, dict[int, int]] = {0: dict(model)}
@@ -178,12 +185,27 @@ def test_delta_model_fuzz_row_tracked(spark, seed):
     for step in range(12):
         op = rng.choice(
             ["append", "delete", "delete_dv", "update", "update_dv",
-             "merge", "optimize", "restore", "checkpoint"]
+             "merge", "optimize", "restore", "checkpoint", "evolve"]
         )
         prev_ids = ids
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 10))
-            delta_write(_df(spark, rows), path, mode="append")
+            # merge_schema so the narrow (k, v) batch conforms after an
+            # earlier evolution widened the table (typed nulls)
+            delta_write(
+                _df(spark, rows), path, mode="append", merge_schema=True
+            )
+            model.update(rows)
+            version += 1
+        elif op == "evolve":
+            # schema-evolution append: a brand-new column rides in via
+            # mergeSchema while row tracking + identity keep allocating
+            rows = fresh_rows(rng.randrange(1, 5))
+            extra = spark.createDataFrame(
+                [(k, v, v * 7) for k, v in rows],
+                f"k long, v long, x{step} long",
+            )
+            delta_write(extra, path, mode="append", merge_schema=True)
             model.update(rows)
             version += 1
         elif op in ("delete", "delete_dv"):
