@@ -629,7 +629,7 @@ QUERIES: list[QueryDef] = [
         FROM scored GROUP BY doc_id, dl
         ORDER BY score_ppm DESC, doc_id LIMIT 20
         """,
-        tags=("extension", "text", "pipeline"),
+        tags=("extension", "text", "pipeline", "bench"),
         description="BM25 ranking (rational-idf, ppm fixed point) for a "
         "fixed term query — exact-integer retrieval scoring.",
     ),

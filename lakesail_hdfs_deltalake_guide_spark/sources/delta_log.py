@@ -4476,7 +4476,7 @@ QUERIES: list[QueryDef] = [
         WHERE o_orderkey % 100 <> 22
         ORDER BY o_orderkey
         """,
-        tags=("parity", "delta", "io", "dml"),
+        tags=("parity", "delta", "io", "dml", "bench"),
         description="Row tracking: stable row ids survive CoW UPDATE, "
         "DELETE, and OPTIMIZE via materialized _row_id columns.",
     ),
