@@ -142,6 +142,63 @@ from .sampling import sql_lehmer_hash as _slh  # noqa: E402
 
 _MANIFEST_H = _slh("doc_id")
 
+def profile_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-filter agreement report — the measurement a curation
+    pipeline runs BEFORE swapping one quality filter for another: per
+    source, the 2×2 confusion counts between two document filters, raw
+    agreement, and chance-corrected Cohen's kappa, all in exact ppm
+    integer arithmetic (kappa = (po − pe)/(1 − pe); pe computed as two
+    chained floor divisions ``(n1·1e6 div n)·m1 div n + (n0·1e6 div
+    n)·m0 div n`` so every intermediate stays ≤ 1e15 even at a billion
+    docs per source — the naive ``(n1·m1+n0·m0)·1e6 div n²`` overflows
+    int64 past ~3e6 rows).
+
+    The two filters here are engine constants (a char-length gate vs a
+    token-count band); the operator is parameterized by any pair of
+    boolean columns. Plan: ONE conditional-aggregate pass over the scan
+    (4 cells + count fused into a single partial+final agg on source) —
+    the kappa arithmetic runs on O(sources) rows."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    f1 = (F.col("n_chars") >= 150).cast("long")
+    f2 = ntok.between(20, 80).cast("long")
+    cells = (
+        d.select("source", f1.alias("a"), f2.alias("b"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("a * b")).alias("n11"),
+            F.sum(F.expr("a * (1 - b)")).alias("n10"),
+            F.sum(F.expr("(1 - a) * b")).alias("n01"),
+            F.sum(F.expr("(1 - a) * (1 - b)")).alias("n00"),
+        )
+    )
+    return (
+        cells.select(
+            "source",
+            "n",
+            "n11",
+            "n10",
+            "n01",
+            "n00",
+            F.expr("(n11 + n00) * 1000000 DIV n").alias("po_ppm"),
+            F.expr(
+                "((n11 + n10) * 1000000 DIV n) * (n11 + n01) DIV n"
+                " + ((n01 + n00) * 1000000 DIV n) * (n10 + n00) DIV n"
+            ).alias("pe_ppm"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CASE WHEN pe_ppm = 1000000 THEN 1000000 "
+                "ELSE (po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm) "
+                "END"
+            ).alias("kappa_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "profile_dataset_manifest",
@@ -221,5 +278,42 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "profiling", "pipeline"),
         description="Token-mass Lorenz curve: NTILE deciles + cumulative "
         "share ppm (corpus concentration report).",
+    ),
+    QueryDef(
+        "profile_filter_agreement",
+        profile_filter_agreement,
+        """
+        WITH flags AS (
+          SELECT source,
+                 CAST(n_chars >= 150 AS BIGINT) AS a,
+                 CAST(len(string_split(text, ' '))
+                      BETWEEN 20 AND 80 AS BIGINT) AS b
+          FROM documents),
+        cells AS (
+          SELECT source, COUNT(*) AS n,
+                 CAST(SUM(a * b) AS BIGINT) AS n11,
+                 CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+                 CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+                 CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+          FROM flags GROUP BY source),
+        probs AS (
+          SELECT *,
+                 (n11 + n00) * 1000000 // n AS po_ppm,
+                 ((n11 + n10) * 1000000 // n) * (n11 + n01) // n
+                   + ((n01 + n00) * 1000000 // n) * (n10 + n00) // n
+                   AS pe_ppm
+          FROM cells)
+        SELECT source, n, n11, n10, n01, n00,
+               CAST(po_ppm AS BIGINT) AS po_ppm,
+               CAST(pe_ppm AS BIGINT) AS pe_ppm,
+               CAST(CASE WHEN pe_ppm = 1000000 THEN 1000000
+                    ELSE (po_ppm - pe_ppm) * 1000000
+                         // (1000000 - pe_ppm) END AS BIGINT) AS kappa_ppm
+        FROM probs ORDER BY source
+        """,
+        tags=("extension", "profiling", "pipeline", "quality"),
+        description="Per-source confusion cells + Cohen's kappa (exact "
+        "ppm) between two document quality filters — the swap-a-filter "
+        "pre-flight report.",
     ),
 ]

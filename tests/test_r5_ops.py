@@ -324,3 +324,48 @@ def test_bm25_ranking_invariants(spark, sf_smoke):
     assert all(s > 0 for s in scores)
     assert all(1 <= r["n_terms"] <= len(BM25_QUERY_TERMS) for r in rows)
     assert rows[0]["n_terms"] >= 2
+
+
+def test_filter_agreement_kappa_hand_computed(spark, sf_smoke):
+    """Re-derive one source's kappa by hand from raw documents (exact
+    integer replica of the ppm algebra) and check global invariants:
+    cells tile n, po/pe land in [0, 1e6], kappa never exceeds 1e6, and
+    perfect agreement would pin kappa at 1e6."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.profiling import (
+        profile_filter_agreement,
+    )
+
+    rows = {r["source"]: r for r in profile_filter_agreement(spark, sf_smoke).collect()}
+    assert rows
+    d = load_table(spark, sf_smoke, "documents")
+    raw = d.select(
+        "source",
+        (F.col("n_chars") >= 150).cast("long").alias("a"),
+        F.size(F.split(F.col("text"), " ")).between(20, 80).cast("long").alias("b"),
+    ).collect()
+    src = sorted(rows)[0]
+    n11 = sum(1 for r in raw if r["source"] == src and r["a"] and r["b"])
+    n10 = sum(1 for r in raw if r["source"] == src and r["a"] and not r["b"])
+    n01 = sum(1 for r in raw if r["source"] == src and not r["a"] and r["b"])
+    n00 = sum(1 for r in raw if r["source"] == src and not r["a"] and not r["b"])
+    n = n11 + n10 + n01 + n00
+    got = rows[src]
+    assert (got["n11"], got["n10"], got["n01"], got["n00"]) == (n11, n10, n01, n00)
+    po = (n11 + n00) * 1_000_000 // n
+    pe = ((n11 + n10) * 1_000_000 // n) * (n11 + n01) // n + (
+        (n01 + n00) * 1_000_000 // n
+    ) * (n10 + n00) // n
+    # Python // floors; the engines truncate toward zero — po/pe are
+    # non-negative here so the two agree
+    assert (got["po_ppm"], got["pe_ppm"]) == (po, pe)
+    expected_kappa = (
+        1_000_000
+        if pe == 1_000_000
+        else int((po - pe) * 1_000_000 / (1_000_000 - pe))
+    )
+    assert got["kappa_ppm"] == expected_kappa
+    for r in rows.values():
+        assert r["n11"] + r["n10"] + r["n01"] + r["n00"] == r["n"]
+        assert 0 <= r["po_ppm"] <= 1_000_000
+        assert 0 <= r["pe_ppm"] <= 1_000_000
+        assert r["kappa_ppm"] <= 1_000_000
