@@ -166,7 +166,89 @@ def _ewma_sql_terms() -> str:
     return " + ".join(parts)
 
 
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC resampling (open/high/low/close + volume) per event
+    type — the classic downsample behind every candlestick/telemetry
+    rollup. Values are exact integer cents; open/close are selected by
+    a TOTAL order (timestamp, event_id) so duplicate timestamps cannot
+    make the answer engine-dependent.
+
+    Plan shape: ONE exchange on (event_type, hour) serves the ordered
+    row_number, the unordered partition count, and the final aggregate
+    (same partitioning keys throughout — Spark reuses the exchange and
+    adds only the in-partition sort). High/low/volume are plain min/max/
+    sum; open/close are conditional aggregates on the rank endpoints —
+    no self-join, no collect, no second scan. At 100 TB the output is
+    O(types × hours), and the facts collapse in the partial aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    base = ev.select(
+        "event_type",
+        (us - us % HOUR_US).alias("hour_us"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        "event_id",
+        us.alias("us"),
+    )
+    w_ord = Window.partitionBy("event_type", "hour_us").orderBy(
+        "us", "event_id"
+    )
+    w_all = Window.partitionBy("event_type", "hour_us")
+    pos = base.withColumn("rn", F.row_number().over(w_ord)).withColumn(
+        "cnt", F.count(F.lit(1)).over(w_all)
+    )
+    return (
+        pos.groupBy("event_type", "hour_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias(
+                "open_cents"
+            ),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max(
+                F.when(F.col("rn") == F.col("cnt"), F.col("cents"))
+            ).alias("close_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("event_type", "hour_us")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "ts_ohlc_hourly",
+        ts_ohlc_hourly,
+        f"""
+        WITH base AS (
+          SELECT event_type,
+                 epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                 event_id,
+                 epoch_us(ts) AS us
+          FROM events),
+        pos AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, hour_us
+                                    ORDER BY us, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type, hour_us) AS cnt
+          FROM base)
+        SELECT event_type, hour_us, COUNT(*) AS n_events,
+               CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT)
+                 AS open_cents,
+               CAST(MAX(cents) AS BIGINT) AS high_cents,
+               CAST(MIN(cents) AS BIGINT) AS low_cents,
+               CAST(MAX(CASE WHEN rn = cnt THEN cents END) AS BIGINT)
+                 AS close_cents,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM pos GROUP BY event_type, hour_us
+        ORDER BY event_type, hour_us
+        """,
+        tags=("extension", "timeseries", "pipeline"),
+        description="Hourly OHLC + volume resampling in exact cents; "
+        "open/close picked by a total (ts, id) order.",
+    ),
     QueryDef(
         "ts_ewma_hourly",
         ts_ewma_hourly,

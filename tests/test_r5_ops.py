@@ -369,3 +369,49 @@ def test_filter_agreement_kappa_hand_computed(spark, sf_smoke):
         assert 0 <= r["po_ppm"] <= 1_000_000
         assert 0 <= r["pe_ppm"] <= 1_000_000
         assert r["kappa_ppm"] <= 1_000_000
+
+
+def test_ohlc_hourly_invariants_and_plan(spark, sf_smoke):
+    """OHLC sanity re-proven from raw events: low <= open, close <= high
+    per bucket, bucket volumes tile the table, and the open of a bucket
+    equals the cents of its earliest (ts, event_id) row for a spot-
+    checked bucket. Plan contract: the ordered window, the partition
+    count and the aggregate share ONE hash exchange (plus the final
+    sort) — never three."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.timeseries import (
+        ts_ohlc_hourly,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.plans.inspect import (
+        shuffle_count,
+    )
+
+    df = ts_ohlc_hourly(spark, sf_smoke)
+    assert shuffle_count(df) <= 2
+    rows = df.collect()
+    assert rows
+    ev = load_table(spark, sf_smoke, "events")
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    for r in rows:
+        assert r["low_cents"] <= r["open_cents"] <= r["high_cents"]
+        assert r["low_cents"] <= r["close_cents"] <= r["high_cents"]
+        assert r["low_cents"] * r["n_events"] <= r["sum_cents"] <= (
+            r["high_cents"] * r["n_events"]
+        )
+    # spot-check one bucket's open against a raw-ordered read
+    target = rows[0]
+    first = (
+        ev.select(
+            "event_type",
+            F.expr("ts_ns div 1000").alias("us"),
+            "event_id",
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+        )
+        .where(
+            (F.col("event_type") == target["event_type"])
+            & (F.col("us") - F.col("us") % 3_600_000_000 == target["hour_us"])
+        )
+        .orderBy("us", "event_id")
+        .limit(1)
+        .collect()[0]
+    )
+    assert first["cents"] == target["open_cents"]
