@@ -349,6 +349,73 @@ def sample_group_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-drift report: per language, its share of each split (ppm
+    of that split's size) and the max−min share spread across splits —
+    the QA check run right after any dataset split. A row-hash split
+    keeps every language's spread near zero; a GROUP-disjoint split
+    (``sample_group_disjoint_split``) can legitimately skew the mix
+    when a language concentrates in few sources, and this report is
+    how that skew is caught before training. Shares are exact integer
+    ppm (count·1e6 div split_size), so the drift number is bit-stable.
+
+    Plan: one (split, lang) aggregate off the scan (split derives from
+    the same md5(source) expression — map-side), split totals via a
+    window over the O(splits × langs) aggregate, conditional-aggregate
+    pivot to one row per language. No second scan, no join back to
+    facts."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    cells = (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    shares = cells.withColumn(
+        "share_ppm",
+        F.expr(
+            "n * 1000000 DIV SUM(n) OVER (PARTITION BY split)"
+        ),
+    )
+    # a language ABSENT from a split is share 0 there — the most
+    # extreme drift, not a row to skip — so the pivot coalesces missing
+    # cells to 0 and the spread runs over all three coalesced values
+    pivoted = shares.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.coalesce(
+            F.max(F.when(F.col("split") == "train", F.col("share_ppm"))),
+            F.lit(0),
+        ).alias("train_ppm"),
+        F.coalesce(
+            F.max(F.when(F.col("split") == "val", F.col("share_ppm"))),
+            F.lit(0),
+        ).alias("val_ppm"),
+        F.coalesce(
+            F.max(F.when(F.col("split") == "test", F.col("share_ppm"))),
+            F.lit(0),
+        ).alias("test_ppm"),
+    )
+    return pivoted.select(
+        "lang",
+        "n_docs",
+        "train_ppm",
+        "val_ppm",
+        "test_ppm",
+        (
+            F.greatest("train_ppm", "val_ppm", "test_ppm")
+            - F.least("train_ppm", "val_ppm", "test_ppm")
+        ).alias("drift_ppm"),
+    ).orderBy("lang")
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "sample_temperature_mix",
@@ -528,5 +595,42 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "sampling", "pipeline"),
         description="Leakage-safe group-disjoint 80/10/10 split: membership "
         "is a function of the provenance group key, never the row.",
+    ),
+    QueryDef(
+        "sample_split_drift",
+        sample_split_drift,
+        """
+        WITH cells AS (
+          SELECT CASE
+                   WHEN ('0x' || substring(md5(source), 1, 8))::BIGINT
+                        % 100 < 80 THEN 'train'
+                   WHEN ('0x' || substring(md5(source), 1, 8))::BIGINT
+                        % 100 < 90 THEN 'val'
+                   ELSE 'test'
+                 END AS split,
+                 lang, COUNT(*) AS n
+          FROM documents GROUP BY 1, 2),
+        shares AS (
+          SELECT *, n * 1000000 // SUM(n) OVER (PARTITION BY split)
+                   AS share_ppm
+          FROM cells),
+        pivoted AS (
+          SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+                 CAST(COALESCE(MAX(CASE WHEN split = 'train'
+                        THEN share_ppm END), 0) AS BIGINT) AS train_ppm,
+                 CAST(COALESCE(MAX(CASE WHEN split = 'val'
+                        THEN share_ppm END), 0) AS BIGINT) AS val_ppm,
+                 CAST(COALESCE(MAX(CASE WHEN split = 'test'
+                        THEN share_ppm END), 0) AS BIGINT) AS test_ppm
+          FROM shares GROUP BY lang)
+        SELECT lang, n_docs, train_ppm, val_ppm, test_ppm,
+               CAST(greatest(train_ppm, val_ppm, test_ppm)
+                    - least(train_ppm, val_ppm, test_ppm) AS BIGINT)
+                 AS drift_ppm
+        FROM pivoted ORDER BY lang
+        """,
+        tags=("extension", "sampling", "pipeline", "quality"),
+        description="Per-language split-share drift report (exact ppm): "
+        "catches distribution skew a group-disjoint split can introduce.",
     ),
 ]

@@ -415,3 +415,34 @@ def test_ohlc_hourly_invariants_and_plan(spark, sf_smoke):
         .collect()[0]
     )
     assert first["cents"] == target["open_cents"]
+
+
+def test_split_drift_shares_and_zero_fill(spark, sf_smoke):
+    """Drift-report invariants re-proven from raw data: per-split
+    shares sum to ~1e6 within floor-division slack, the drift equals
+    the max-min spread of the three coalesced shares, and the report's
+    doc totals tile the corpus. Also checks the report exposes REAL
+    drift on this fixture (the group-disjoint split concentrates
+    languages, so at least one language drifts more than a row-hash
+    split ever would)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        sample_split_drift,
+    )
+
+    rows = sample_split_drift(spark, sf_smoke).collect()
+    assert rows
+    d = load_table(spark, sf_smoke, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    n_langs = len(rows)
+    for col in ("train_ppm", "val_ppm", "test_ppm"):
+        total = sum(r[col] for r in rows)
+        # each share floors individually: total in (1e6 - n_langs, 1e6]
+        # unless the split is entirely empty (then exactly 0)
+        assert total == 0 or 1_000_000 - n_langs < total <= 1_000_000
+    for r in rows:
+        shares = (r["train_ppm"], r["val_ppm"], r["test_ppm"])
+        assert r["drift_ppm"] == max(shares) - min(shares)
+        assert all(0 <= s <= 1_000_000 for s in shares)
+    assert max(r["drift_ppm"] for r in rows) > 10_000, (
+        "fixture's group-disjoint split should show measurable drift"
+    )
