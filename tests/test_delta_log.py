@@ -2536,3 +2536,25 @@ def test_row_tracking_reserved_name_holds_on_append(spark):
         delta_write(bad, p, mode="append", merge_schema=True)
     # the table is untouched and still fully readable with ids
     assert delta_read(spark, p, row_ids=True).count() == 3
+
+
+def test_row_tracking_survives_zorder(spark):
+    """OPTIMIZE ZORDER BY is the second id-materializing rewrite path
+    (distinct code from plain compaction: range exchange + clustered
+    staging) — it must preserve every row's id deterministically, not
+    just probabilistically via the fuzzer."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_optimize_zorder,
+    )
+
+    path = _rt_table(spark, prefix="ls_rt_z_")
+    base = {
+        r["k"]: r["_row_id"]
+        for r in delta_read(spark, path, row_ids=True).collect()
+    }
+    delta_optimize_zorder(spark, path, ["k", "v"], target_files=3)
+    after = {
+        r["k"]: r["_row_id"]
+        for r in delta_read(spark, path, row_ids=True).collect()
+    }
+    assert after == base

@@ -185,7 +185,8 @@ def test_delta_model_fuzz_row_tracked(spark, seed):
     for step in range(12):
         op = rng.choice(
             ["append", "delete", "delete_dv", "update", "update_dv",
-             "merge", "optimize", "restore", "checkpoint", "evolve"]
+             "merge", "optimize", "zorder", "restore", "checkpoint",
+             "evolve"]
         )
         prev_ids = ids
         if op == "append":
@@ -236,6 +237,11 @@ def test_delta_model_fuzz_row_tracked(spark, seed):
             version += 1
         elif op == "optimize":
             delta_optimize(spark, path, target_files=2)
+            version += 1
+        elif op == "zorder":
+            # the OTHER id-materializing rewrite path — clustered layout
+            # must preserve row identity exactly like plain compaction
+            delta_optimize_zorder(spark, path, ["k", "v"], target_files=2)
             version += 1
         elif op == "restore":
             target = rng.choice(sorted(history))
