@@ -97,7 +97,20 @@ def main() -> None:
             unpinned = sorted(set(timings) - set(pins))
             if unpinned:
                 out["unpinned"] = unpinned
-    print(json.dumps(out))
+    # The driver captures a bounded tail of stdout; r05's line (35+ pinned
+    # queries + vs_pin ratios) outgrew it and front-truncated, leaving
+    # BENCH_r05 "parsed": null. Two defenses: (a) the FULL payload goes to
+    # a sidecar bench_result.json next to this script, (b) the printed
+    # line is the compact core only (metric/value/unit/sf/queries +
+    # over_2x_vs_pin gate) with no-whitespace separators — vs_pin's ~35
+    # ratio entries live in the sidecar.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
+    )
+    with open(sidecar, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+    line = {k: v for k, v in out.items() if k != "vs_pin"}
+    print(json.dumps(line, separators=(",", ":")))
     spark.stop()
 
 

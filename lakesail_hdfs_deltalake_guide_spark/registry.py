@@ -294,12 +294,59 @@ _R04_VERIFIED = frozenset(
     }
 )
 
-# Oldest round first: the re-confirm cursor starts at r01.
+# Round 5: 50/50 fully green — 33 first-time rows (the native Delta
+# table-features tier, Delta streaming, and the round-5 corpus ops, plus
+# the three former rows-only ANN sketches re-verified under full oracles)
+# and 17 r01 re-confirms from the regression cursor.
+_R05_VERIFIED = frozenset(
+    {
+        "clean_domain_filter",
+        "clean_gopher_quality_rules",
+        "dedup_cluster_best_quality",
+        "dedup_embedding_cosine",
+        "dedup_fuzzy_containment",
+        "dedup_paragraph_exact",
+        "dedup_span_coverage",
+        "delta_native_cdf_capture",
+        "delta_native_column_mapping",
+        "delta_native_delete_update",
+        "delta_native_deletion_vectors",
+        "delta_native_generated_columns",
+        "delta_native_history_timestamp_travel",
+        "delta_native_identity_columns",
+        "delta_native_merge_upsert",
+        "delta_native_row_tracking",
+        "delta_native_shallow_clone",
+        "delta_native_type_widening",
+        "delta_native_update_dv",
+        "delta_native_zorder_skip",
+        "delta_stream_cdf_ingest",
+        "delta_stream_incremental_ingest",
+        "pipeline_medallion_incremental",
+        "profile_filter_agreement",
+        "sample_global_shuffle_shards",
+        "sample_group_disjoint_split",
+        "sample_split_drift",
+        "similarity_ivf_topk",
+        "similarity_lsh_topk",
+        "streaming_delta_exactly_once_sink",
+        "text_bm25_rank",
+        "text_token_rarity_scores",
+        "ts_ohlc_hourly",
+    }
+)
+
+# Oldest round first: the re-confirm cursor starts at r01. r05 already
+# re-confirmed the first 17 r01 rows, so the r06 window = new queries +
+# the r02 cursor (r01's re-confirmed names stay parked at their round
+# position; the driver's ~50-entry window naturally reaches the stalest
+# un-re-confirmed rows first because earlier rounds are emitted first).
 DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
-    _R01_VERIFIED,
     _R02_VERIFIED,
     _R03_VERIFIED,
     _R04_VERIFIED,
+    _R05_VERIFIED,
+    _R01_VERIFIED,
 )
 DRIVER_VERIFIED = frozenset().union(*DRIVER_VERIFIED_ROUNDS)
 

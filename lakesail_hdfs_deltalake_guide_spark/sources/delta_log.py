@@ -61,7 +61,19 @@ _WRITER_FEATURES_IMPLEMENTED = frozenset(
         "checkConstraints",
         "generatedColumns",
         "identityColumns",
-        "rowTracking",
+        # Row tracking is declared under an ENGINE-SPECIFIC feature name,
+        # not the protocol's "rowTracking": this module's watermark lives
+        # in metaData.configuration (not a domainMetadata action) and the
+        # materialized id column is a fixed `_row_id`. A delta-spark
+        # writer seeing the standard name would accept the table, find no
+        # domain-metadata watermark, and mint OVERLAPPING baseRowIds —
+        # silent id corruption. The vendor name makes every foreign
+        # writer refuse cleanly (unknown writerFeature), and symmetrically
+        # this writer refuses foreign "rowTracking" tables (name absent
+        # from this set) instead of corrupting their domain-metadata
+        # watermark discipline. Readers are unaffected either way
+        # (writerFeatures are ignored on the read path).
+        "lakesailRowTracking",
         "typeWidening",
     }
 )
@@ -552,6 +564,7 @@ def _snapshot_state(
             elif "protocol" in action:
                 proto = action["protocol"]
     _check_reader_version(path, proto)
+    _check_type_widening(path, proto, meta)
     return proto, meta, live, txns
 
 
@@ -692,6 +705,54 @@ def delta_metadata(
 # scale.
 _TW_ENABLE_KEY = "delta.enableTypeWidening"
 _TW_CHAINS = (("byte", "short", "integer", "long"), ("float", "double"))
+# PROTOCOL.md: every widened column records its widening history in
+# field metadata under this key, as a list of
+# {"fromType", "toType", "tableVersion"} entries. This engine stamps it
+# on its own widening commits (interop) and — because the public
+# protocol permits widenings this engine does NOT implement
+# (int→double, decimal precision/scale changes, date→timestampNTZ) —
+# validates it when resolving any snapshot: a foreign table whose
+# recorded history leaves the two supported chains is refused with the
+# same clean gating error as an unknown reader feature, instead of
+# passing the feature gate and then misreading (or crashing in) the
+# parquet reader on pre-widening files.
+_TW_PREV_KEY = "delta.typeWidening.previousTypes"
+
+
+def _check_type_widening(path: str, proto: dict | None, meta: dict | None) -> None:
+    """Reader gate for foreign ``typeWidening`` tables: every recorded
+    widening hop must lie strictly within a supported chain."""
+    if proto is None or not meta or not meta.get("schemaString"):
+        return
+    if "typeWidening" not in (proto.get("readerFeatures") or ()):
+        return
+
+    def _walk(node) -> None:
+        if isinstance(node, dict):
+            md = node.get("metadata")
+            if isinstance(md, dict) and md.get(_TW_PREV_KEY):
+                for hop in md[_TW_PREV_KEY]:
+                    frm = str((hop or {}).get("fromType"))
+                    to = str((hop or {}).get("toType"))
+                    if not any(
+                        frm in c and to in c and c.index(to) > c.index(frm)
+                        for c in _TW_CHAINS
+                    ):
+                        raise ValueError(
+                            f"cannot read delta table at {path}: column "
+                            f"{node.get('name')!r} was widened "
+                            f"{frm} -> {to}, outside the widening chains "
+                            f"this reader implements "
+                            f"{[list(c) for c in _TW_CHAINS]}; refusing "
+                            "rather than misreading pre-widening files"
+                        )
+            for v in node.values():
+                _walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                _walk(v)
+
+    _walk(json.loads(meta["schemaString"]))
 
 
 def _tw_enabled(meta: dict | None) -> bool:
@@ -1268,7 +1329,7 @@ def _plan_commit(
                     f"row tracking reserves the physical column name "
                     f"{_RT_COL}; rename the batch column"
                 )
-            writer_feats.append("rowTracking")
+            writer_feats.append("lakesailRowTracking")
         if str(conf.get(_TW_ENABLE_KEY, "")).lower() == "true":
             # readers must know to upcast pre-widening files, so the
             # feature gates BOTH sides (unlike the writer-only features)
@@ -1387,8 +1448,29 @@ def _plan_commit(
                 f["name"]: f.get("metadata") or {}
                 for f in json.loads(meta["schemaString"])["fields"]
             }
+            # protocol interop: widened fields append their hop to
+            # delta.typeWidening.previousTypes, exactly where a foreign
+            # reader (and this engine's own read gate) looks for the
+            # widening history
+            old_types = {f.name: f.dataType for f in existing.fields}
+            widened_md = {}
+            for f in merged.fields:
+                frm = old_types.get(f.name)
+                if frm is not None and frm != f.dataType:
+                    prior = list(old_md.get(f.name, {}).get(_TW_PREV_KEY) or [])
+                    prior.append(
+                        {
+                            "fromType": frm.typeName(),
+                            "toType": f.dataType.typeName(),
+                            "tableVersion": version,
+                        }
+                    )
+                    widened_md[f.name] = {
+                        **old_md.get(f.name, {}),
+                        _TW_PREV_KEY: prior,
+                    }
             merged_json["fields"] = [
-                {**f, "metadata": old_md[f["name"]]}
+                {**f, "metadata": widened_md.get(f["name"], old_md[f["name"]])}
                 if f["name"] in old_md
                 else f
                 for f in merged_json["fields"]
@@ -1435,23 +1517,33 @@ def delta_last_txn(spark: SparkSession, path: str, app_id: str) -> int | None:
 
 
 # ---------------------------------------------------------------------------
-# Row tracking (writer feature ``rowTracking``, PROTOCOL.md "Row
-# Tracking"): every NEW physical file is stamped with a fresh, never-
-# reused ``baseRowId`` range at commit time, and readers resolve each
-# row's stable id as ``coalesce(materialized _row_id, baseRowId +
-# row_index)`` — the same scan-position metadata the DV reader uses, so
-# merge-on-read deletes compose for free (masking removes positions
-# without shifting the survivors' indices). STABILITY across rewrites
-# comes from materialization: copy-on-write UPDATE/DELETE/MERGE and
-# OPTIMIZE write each surviving row's current id into a physical
-# ``_row_id`` column of the rewritten files, which the positional
-# default then defers to. Divergences from delta-spark, chosen to reuse
-# this module's existing machinery: the high watermark lives in
-# ``metaData.configuration`` (not a domainMetadata action — the fold and
-# checkpoint already replicate metaData; consequence: RESTORE rolls the
-# watermark back with the snapshot, exactly like the identity-column
-# watermark), and the materialized column is named ``_row_id`` on file
-# (delta-spark mints a random ``row_id_<uuid>`` physical name).
+# Row tracking (modeled on PROTOCOL.md "Row Tracking", declared as the
+# engine-specific writer feature ``lakesailRowTracking``): every NEW
+# physical file is stamped with a fresh, never-reused ``baseRowId``
+# range at commit time, and readers resolve each row's stable id as
+# ``coalesce(materialized _row_id, baseRowId + row_index)`` — the same
+# scan-position metadata the DV reader uses, so merge-on-read deletes
+# compose for free (masking removes positions without shifting the
+# survivors' indices). STABILITY across rewrites comes from
+# materialization: copy-on-write UPDATE/DELETE/MERGE and OPTIMIZE write
+# each surviving row's current id into a physical ``_row_id`` column of
+# the rewritten files, which the positional default then defers to.
+# Divergences from delta-spark, chosen to reuse this module's existing
+# machinery: the high watermark lives in ``metaData.configuration`` (not
+# a domainMetadata action — the fold and checkpoint already replicate
+# metaData; consequence: RESTORE rolls the watermark back with the
+# snapshot, exactly like the identity-column watermark), the adds omit
+# ``defaultRowCommitVersion``, and the materialized column is named
+# ``_row_id`` on file (delta-spark mints a random ``row_id_<uuid>``
+# physical name). FOREIGN-WRITER HAZARD, and why the feature name is
+# vendor-scoped: if these tables declared the standard ``rowTracking``,
+# a delta-spark writer would accept them, look for the watermark in
+# domainMetadata, find none, and mint overlapping baseRowIds — silently
+# breaking id uniqueness with no error anywhere. Declaring
+# ``lakesailRowTracking`` instead makes a foreign writer refuse the
+# table outright (unknown writerFeature ⇒ protocol-mandated refusal),
+# and this writer symmetrically refuses foreign ``rowTracking`` tables,
+# so neither engine can corrupt the other's watermark discipline.
 
 _RT_ENABLE_KEY = "delta.enableRowTracking"
 _RT_WM_KEY = "delta.rowTracking.rowIdHighWaterMark"
@@ -1956,21 +2048,25 @@ def delta_optimize_zorder(
     path: str,
     cols: list[str],
     target_files: int = 8,
-    bits: int = 16,
+    bits: int | None = None,
 ) -> int:
-    """OPTIMIZE ... ZORDER BY (col_a, col_b): rewrite the live set
-    clustered on the Morton interleave of the two keys, so per-file
-    min/max stats become tight rectangles in BOTH dimensions and
-    ``range_filter`` skips files for predicates on EITHER key — the
-    multi-dimensional upgrade of plain compaction. Same dataChange=false
-    MVCC discipline as delta_optimize (layout-only; streaming readers
-    skip it; deletion vectors are materialized away by the rewrite).
-    Bit-interleave is pure column arithmetic (whole-stage codegen) and
-    the write is one range exchange on the z-value."""
-    from .layout import zorder_key
+    """OPTIMIZE ... ZORDER BY (col_1, ..., col_n): rewrite the live set
+    clustered on the N-dim Morton interleave of the keys, so per-file
+    min/max stats become tight hyper-rectangles in EVERY listed
+    dimension and ``range_filter`` skips files for predicates on ANY of
+    them — the multi-dimensional upgrade of plain compaction. Same
+    dataChange=false MVCC discipline as delta_optimize (layout-only;
+    streaming readers skip it; deletion vectors are materialized away
+    by the rewrite). Bit-interleave is pure column arithmetic
+    (whole-stage codegen) and the write is one range exchange on the
+    z-value. ``bits`` defaults to the finest per-dimension resolution
+    that fits the 62-bit z-lane (16 for 2–3 cols, 15 for 4, ...)."""
+    from .layout import zorder_key_n
 
-    if len(cols) != 2:
-        raise ValueError("zorder currently interleaves exactly 2 columns")
+    if len(cols) < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    if bits is None:
+        bits = min(16, 62 // len(cols))
     versions0 = _list_versions(spark, path)
     if not versions0:
         raise ValueError(f"no delta table at {path}")
@@ -1998,7 +2094,7 @@ def delta_optimize_zorder(
             "AS BIGINT)"
         )
 
-    z = zorder_key(_norm(0, cols[0]), _norm(1, cols[1]), bits)
+    z = zorder_key_n([_norm(i, c) for i, c in enumerate(cols)], bits)
     clustered = (
         current.withColumn("__z", z)
         .repartitionByRange(target_files, "__z")
@@ -3871,6 +3967,70 @@ def delta_native_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_zorder3_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY over THREE columns: lineitem clustered on the
+    3-dim Morton interleave of (l_orderkey, l_partkey, l_suppkey), then
+    one lowest-quarter band per dimension. Asserts in-flight that footer
+    stats prune files on EACH of the three dimensions independently —
+    the property a 2-dim curve cannot give you — and returns the three
+    pruned reads' aggregates (layout-independent, so the oracle runs the
+    same algebra on the raw table). At 100 TB this is the fact-table
+    layout for multi-dimensional dashboards: one rewrite serves range
+    predicates on any of the clustered keys."""
+    import tempfile
+
+    from ..tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_zo3_")
+    dims = ["l_orderkey", "l_partkey", "l_suppkey"]
+    delta_write(li.repartition(8), path, stats_cols=dims)
+    delta_optimize_zorder(spark, path, dims)
+    # lowest-quarter band per dimension, integer floor-div bounds so the
+    # DuckDB oracle reproduces them exactly
+    b = li.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in dims],
+        *[F.max(c).alias(f"mx_{c}") for c in dims],
+    ).collect()[0]
+    bands = {
+        c: (int(b[f"mn_{c}"]), int(b[f"mn_{c}"]) + (int(b[f"mx_{c}"]) - int(b[f"mn_{c}"])) // 4)
+        for c in dims
+    }
+    live = delta_live_adds(spark, path)
+    for c, (lo, hi) in bands.items():
+        def survives(a: dict) -> bool:
+            st = json.loads(a["stats"])
+            mn, mx = st["minValues"].get(c), st["maxValues"].get(c)
+            return mn is None or mx is None or not (mn > hi or mx < lo)
+
+        surviving = sum(1 for _, a in live if survives(a))
+        if not surviving < len(live):
+            raise AssertionError(
+                f"3-dim z-order gave no skipping on {c}: "
+                f"{surviving}/{len(live)}"
+            )
+    parts = []
+    for c, (lo, hi) in bands.items():
+        pruned = delta_read(spark, path, range_filter={c: (lo, hi)})
+        parts.append(
+            pruned.where(F.col(c).between(lo, hi))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(F.lit(c).alias("dim"), "n_rows", "sum_cents")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("dim")
+
+
 def delta_native_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHALLOW CLONE lifecycle: the clone's v0 references the source's
     files in place (zero copy — asserted: no data files under the clone
@@ -4187,6 +4347,37 @@ QUERIES: list[QueryDef] = [
         description="OPTIMIZE ZORDER BY on the native log: Morton "
         "clustering makes footer stats skip files on either key; "
         "skipping asserted in-query.",
+    ),
+    QueryDef(
+        "delta_native_zorder3_skip",
+        delta_native_zorder3_skip,
+        """
+        WITH b AS (
+          SELECT MIN(l_orderkey) AS omn,
+                 MIN(l_orderkey) + (MAX(l_orderkey) - MIN(l_orderkey)) // 4 AS ohi,
+                 MIN(l_partkey) AS pmn,
+                 MIN(l_partkey) + (MAX(l_partkey) - MIN(l_partkey)) // 4 AS phi,
+                 MIN(l_suppkey) AS smn,
+                 MIN(l_suppkey) + (MAX(l_suppkey) - MIN(l_suppkey)) // 4 AS shi
+          FROM lineitem)
+        SELECT 'l_orderkey' AS dim, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM lineitem, b WHERE l_orderkey BETWEEN b.omn AND b.ohi
+        UNION ALL
+        SELECT 'l_partkey', COUNT(*),
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        FROM lineitem, b WHERE l_partkey BETWEEN b.pmn AND b.phi
+        UNION ALL
+        SELECT 'l_suppkey', COUNT(*),
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        FROM lineitem, b WHERE l_suppkey BETWEEN b.smn AND b.shi
+        ORDER BY dim
+        """,
+        tags=("parity", "delta", "io", "layout", "zorder"),
+        description="3-column OPTIMIZE ZORDER: the N-dim Morton curve "
+        "prunes files on each of three clustered keys independently; "
+        "per-dimension skipping asserted in-query.",
     ),
     QueryDef(
         "delta_native_identity_columns",

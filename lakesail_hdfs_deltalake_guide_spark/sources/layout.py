@@ -26,20 +26,37 @@ from pyspark.sql import functions as F
 ZBITS = 10  # keys are bucketed into [0, 2^ZBITS)
 
 
-def zorder_key(a: Column, b: Column, bits: int = ZBITS) -> Column:
-    """Interleave the low ``bits`` of two non-negative ints (Morton code).
-
-    Pure column bit arithmetic — whole-stage codegen, no UDF. 2*bits ≤ 62
-    keeps everything in a signed 64-bit lane."""
-    a = a.cast("long")
-    b = b.cast("long")
+def zorder_key_n(cols: list[Column], bits: int = ZBITS) -> Column:
+    """Interleave the low ``bits`` of N non-negative ints (N-dim Morton
+    code): bit ``i`` of dimension ``j`` lands at position ``N*i + j``,
+    so every dimension contributes equally to each z prefix and files
+    cut from contiguous z-ranges are hyper-rectangles in all N
+    dimensions. Pure column bit arithmetic — whole-stage codegen, no
+    UDF. ``N*bits ≤ 62`` keeps everything in one signed 64-bit lane
+    (real tables cluster on 2–4 columns: 4 dims still get 15 bits =
+    32k buckets per dimension, far finer than any practical file
+    count)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("z-ordering needs at least 2 columns")
+    if n * bits > 62:
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} interleaved bits "
+            "overflows the signed 64-bit z-value (max 62)"
+        )
+    cols = [c.cast("long") for c in cols]
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), n * i + j)
+            )
     return z
+
+
+def zorder_key(a: Column, b: Column, bits: int = ZBITS) -> Column:
+    """2-dim Morton code (bit-identical to ``zorder_key_n([a, b])``)."""
+    return zorder_key_n([a, b], bits)
 
 
 def write_zordered(

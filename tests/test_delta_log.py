@@ -2415,6 +2415,123 @@ def test_type_widening_lifecycle(spark):
         delta_write(b2, p2, mode="append", merge_schema=True)
 
 
+def test_type_widening_history_stamped_and_foreign_gate(spark):
+    """Interop half of type widening: (a) this engine's own widening
+    commits record each hop in the field's
+    ``delta.typeWidening.previousTypes`` metadata (the public protocol's
+    location), so foreign readers see the history; (b) a FOREIGN
+    typeWidening table whose recorded history uses a widening outside
+    the two implemented chains (the protocol also allows int→double,
+    decimal changes, date→timestampNTZ) is refused with the same clean
+    gating error as an unknown reader feature — not passed through to
+    fail or misread inside the parquet scan."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_metadata,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_tw_hist_")
+    b1 = spark.range(0, 5).select(
+        F.col("id").alias("k"), F.col("id").cast("int").alias("cents")
+    )
+    delta_write(b1, p, configuration={"delta.enableTypeWidening": "true"})
+    b2 = spark.range(5, 8).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("long").alias("cents")
+    )
+    delta_write(b2, p, mode="append", merge_schema=True)  # widening = v1
+    fields = {
+        f["name"]: f
+        for f in json.loads(delta_metadata(spark, p)["schemaString"])["fields"]
+    }
+    hops = fields["cents"]["metadata"]["delta.typeWidening.previousTypes"]
+    assert hops == [
+        {"fromType": "integer", "toType": "long", "tableVersion": 1}
+    ]
+    assert "delta.typeWidening.previousTypes" not in (
+        fields["k"].get("metadata") or {}
+    )
+    # the stamped table still reads green through the gate (+ checkpoint)
+    assert delta_read(spark, p).count() == 8
+
+    # forge a foreign table whose history records int -> double
+    pf = tempfile.mkdtemp(prefix="ls_tw_foreign_")
+    delta_write(b1, pf)
+    meta = dict(delta_metadata(spark, pf))
+    sj = json.loads(meta["schemaString"])
+    for f in sj["fields"]:
+        if f["name"] == "cents":
+            f["type"] = "double"
+            f["metadata"] = {
+                "delta.typeWidening.previousTypes": [
+                    {"fromType": "integer", "toType": "double", "tableVersion": 1}
+                ]
+            }
+    meta["schemaString"] = json.dumps(sj)
+    delta_log._write_commit(
+        spark,
+        pf,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["typeWidening"],
+                    "writerFeatures": ["typeWidening"],
+                }
+            },
+            {"metaData": meta},
+        ],
+    )
+    with pytest.raises(ValueError, match="integer -> double"):
+        delta_read(spark, pf)
+    # pre-upgrade snapshots stay readable (gate is per-snapshot)
+    assert delta_read(spark, pf, version=0).count() == 5
+
+
+def test_row_tracking_feature_name_is_vendor_scoped(spark):
+    """Row-id watermark interop: this engine's watermark discipline
+    (metaData.configuration) diverges from delta-spark's domainMetadata,
+    so its tables declare the ENGINE-SPECIFIC writer feature
+    ``lakesailRowTracking`` — a foreign delta-spark writer refuses them
+    (unknown feature) instead of minting overlapping baseRowIds; and
+    symmetrically this writer refuses a foreign table declaring the
+    standard ``rowTracking`` rather than corrupting ITS watermark."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+
+    p = tempfile.mkdtemp(prefix="ls_rt_feat_")
+    df = spark.range(0, 6).select(F.col("id").alias("k"))
+    delta_write(df, p, configuration={"delta.enableRowTracking": "true"})
+    proto, _, _, _ = delta_log._snapshot_state(spark, p)
+    assert "lakesailRowTracking" in proto["writerFeatures"]
+    assert "rowTracking" not in proto["writerFeatures"]
+    # a foreign table with the standard feature name is NOT writable here
+    pf = tempfile.mkdtemp(prefix="ls_rt_foreign_")
+    delta_write(df, pf)
+    delta_log._write_commit(
+        spark,
+        pf,
+        1,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 7,
+                    "writerFeatures": ["rowTracking"],
+                }
+            }
+        ],
+    )
+    with pytest.raises(ValueError, match="rowTracking"):
+        delta_write(df, pf, mode="append")
+    # but it stays readable (reader path ignores writerFeatures)
+    assert delta_read(spark, pf).count() == 6
+
+
 def test_row_tracking_on_partitioned_table(spark):
     """Row tracking composes with hive-partitioned layout: the read
     schema carries partition columns (directory-discovered) AND the
@@ -2536,6 +2653,73 @@ def test_row_tracking_reserved_name_holds_on_append(spark):
         delta_write(bad, p, mode="append", merge_schema=True)
     # the table is untouched and still fully readable with ids
     assert delta_read(spark, p, row_ids=True).count() == 3
+
+
+def test_zorder_three_columns_skips_on_each_dim(spark):
+    """N-dim generalization: a 3-column OPTIMIZE ZORDER must (a) leave
+    the row multiset untouched, (b) give footer-stats skipping on EVERY
+    clustered dimension for a quarter-range band, and (c) auto-derive a
+    bit width that fits the 62-bit lane for 4 columns. A single-column
+    list stays rejected."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+        delta_optimize_zorder,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_zo3_")
+    # three independent-ish dims scattered across arrival order
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 37) % 1000).alias("y"),
+        ((F.col("id") * 101) % 50).alias("z"),
+        (F.col("id") % 7).alias("v"),
+    )
+    delta_write(df.repartition(8), p, stats_cols=["x", "y", "z"])
+    before = sorted(
+        (r["x"], r["y"], r["z"], r["v"]) for r in delta_read(spark, p).collect()
+    )
+    delta_optimize_zorder(spark, p, ["x", "y", "z"], target_files=8)
+    after = sorted(
+        (r["x"], r["y"], r["z"], r["v"]) for r in delta_read(spark, p).collect()
+    )
+    assert before == after
+    live = delta_live_adds(spark, p)
+    spans = {"x": (0, 999), "y": (0, 249), "z": (0, 12)}
+    for c, (lo, hi) in spans.items():
+        surv = 0
+        for _, a in live:
+            st = json.loads(a["stats"])
+            mn, mx = st["minValues"].get(c), st["maxValues"].get(c)
+            if mn is None or mx is None or not (mn > hi or mx < lo):
+                surv += 1
+        assert surv < len(live), f"no skipping on {c}: {surv}/{len(live)}"
+    with pytest.raises(ValueError, match="at least 2"):
+        delta_optimize_zorder(spark, p, ["x"])
+    # 4 columns: default bits drops to 15 (60 interleaved bits) and runs
+    p4 = tempfile.mkdtemp(prefix="ls_zo4_")
+    delta_write(df.repartition(4), p4, stats_cols=["x", "y", "z", "v"])
+    delta_optimize_zorder(spark, p4, ["x", "y", "z", "v"], target_files=4)
+    assert delta_read(spark, p4).count() == 4000
+
+
+def test_zorder_key_wrapper_is_bit_identical_to_n_dim(spark):
+    """zorder_key (the 2-dim entry point every existing caller uses) and
+    zorder_key_n([a, b]) must produce the same z-value bit-for-bit."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.layout import (
+        zorder_key,
+        zorder_key_n,
+    )
+
+    df = spark.range(0, 2048).select(
+        F.col("id").alias("a"), ((F.col("id") * 7919) % 1024).alias("b")
+    )
+    bad = df.where(
+        zorder_key(F.col("a"), F.col("b"), 10)
+        != zorder_key_n([F.col("a"), F.col("b")], 10)
+    ).count()
+    assert bad == 0
 
 
 def test_row_tracking_survives_zorder(spark):

@@ -358,11 +358,15 @@ def test_filter_agreement_kappa_hand_computed(spark, sf_smoke):
     # Python // floors; the engines truncate toward zero — po/pe are
     # non-negative here so the two agree
     assert (got["po_ppm"], got["pe_ppm"]) == (po, pe)
-    expected_kappa = (
-        1_000_000
-        if pe == 1_000_000
-        else int((po - pe) * 1_000_000 / (1_000_000 - pe))
-    )
+    # exact integer arithmetic with truncate-toward-zero semantics (the
+    # engines' DIV) — a float quotient rounding across an integer
+    # boundary must not flake the test
+    if pe == 1_000_000:
+        expected_kappa = 1_000_000
+    else:
+        q = (po - pe) * 1_000_000
+        d_ = 1_000_000 - pe
+        expected_kappa = q // d_ if q >= 0 else -((-q) // d_)
     assert got["kappa_ppm"] == expected_kappa
     for r in rows.values():
         assert r["n11"] + r["n10"] + r["n01"] + r["n00"] == r["n"]
