@@ -419,12 +419,16 @@ def delta_checkpoint(spark: SparkSession, path: str, version: int | None = None)
 
 
 def _read_checkpoint(
-    spark: SparkSession, path: str, version: int
+    spark: SparkSession, path: str, version: int, meta_only: bool = False
 ) -> tuple[dict | None, dict[str, dict], dict[str, int]]:
     """Load one checkpoint parquet into (protocol, metaData, {path: add},
     {txn appId: version}). Read through the Hadoop FileSystem (same
     scheme support as the JSON commits — viewfs://, hdfs://, ...);
-    checkpoints are metadata-sized so one driver-side buffer is fine."""
+    checkpoints are metadata-sized so one driver-side buffer is fine.
+    ``meta_only`` projects the parquet read to the metadata-sized action
+    columns (protocol/metaData/txn) and skips the per-file dict fold —
+    the driver's share of a DISTRIBUTED snapshot resolution, O(1) in the
+    live-file count (the add column is never decoded)."""
     import io as _io
 
     import pyarrow.parquet as pq
@@ -435,7 +439,10 @@ def _read_checkpoint(
         raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
     finally:
         stream.close()
-    table = pq.read_table(_io.BytesIO(raw))
+    table = pq.read_table(
+        _io.BytesIO(raw),
+        columns=["protocol", "metaData", "txn"] if meta_only else None,
+    )
     proto: dict | None = None
     meta: dict | None = None
     live: dict[str, dict] = {}
@@ -503,38 +510,57 @@ def _check_reader_version(path: str, proto: dict | None) -> None:
     )
 
 
-def _snapshot_state(
-    spark: SparkSession, path: str, version: int | None = None
-) -> tuple[dict | None, dict | None, dict[str, dict], dict[str, int]]:
-    """Resolve the snapshot at ``version`` (latest if None) into
-    (protocol, current metaData, live {path: add}, {txn appId: newest
-    version}). Starts from the newest checkpoint ≤ version when one
-    exists and folds only the JSON tail after it — O(CHECKPOINT_INTERVAL)
-    commits, not O(all commits). Raises if the table's protocol demands a
-    newer reader than this module implements."""
+def _fold_range(
+    spark: SparkSession, path: str, version: int | None
+) -> tuple[int | None, int | None, int]:
+    """Resolve (target version, newest usable checkpoint or None, tail
+    start) and enforce the contiguity invariant shared by the driver and
+    distributed folds: the fold is only correct over a CONTIGUOUS
+    [start, target] commit range; a gap means log cleanup removed
+    history below the retained checkpoint — fail loudly rather than
+    return a silently-wrong snapshot."""
     versions = _list_versions(spark, path)
     if not versions:
-        return None, None, {}, {}
+        return None, None, 0
     target = versions[-1] if version is None else version
-    proto: dict | None = None
-    meta: dict | None = None
-    live: dict[str, dict] = {}
-    txns: dict[str, int] = {}
-    start = 0
     ckpts = [c for c in _list_checkpoints(spark, path) if c <= target]
-    if ckpts:
-        proto, meta, live, txns = _read_checkpoint(spark, path, ckpts[-1])
-        start = ckpts[-1] + 1
-    # the fold is only correct over a CONTIGUOUS [start, target] commit
-    # range; a gap means log cleanup removed history below the retained
-    # checkpoint — fail loudly rather than return a silently-wrong
-    # snapshot
+    ck = ckpts[-1] if ckpts else None
+    start = ck + 1 if ck is not None else 0
     available = {v for v in versions if start <= v <= target}
     if available != set(range(start, target + 1)):
         raise ValueError(
             f"version {target} of {path} is no longer reconstructible: "
             f"commits {sorted(set(range(start, target + 1)) - available)} "
             "were removed by log retention cleanup"
+        )
+    return target, ck, start
+
+
+def _snapshot_state(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    include_adds: bool = True,
+) -> tuple[dict | None, dict | None, dict[str, dict], dict[str, int]]:
+    """Resolve the snapshot at ``version`` (latest if None) into
+    (protocol, current metaData, live {path: add}, {txn appId: newest
+    version}). Starts from the newest checkpoint ≤ version when one
+    exists and folds only the JSON tail after it — O(CHECKPOINT_INTERVAL)
+    commits, not O(all commits). Raises if the table's protocol demands a
+    newer reader than this module implements. ``include_adds=False``
+    returns an empty live dict and never decodes the checkpoint's add
+    column — callers pair it with :func:`delta_snapshot_adds_df` for the
+    distributed fold, keeping the driver O(metadata), not O(live files)."""
+    target, ck, start = _fold_range(spark, path, version)
+    if target is None:
+        return None, None, {}, {}
+    proto: dict | None = None
+    meta: dict | None = None
+    live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
+    if ck is not None:
+        proto, meta, live, txns = _read_checkpoint(
+            spark, path, ck, meta_only=not include_adds
         )
     for v in range(start, target + 1):
         try:
@@ -554,9 +580,11 @@ def _snapshot_state(
         for line in text.splitlines():
             action = json.loads(line)
             if "add" in action:
-                live[action["add"]["path"]] = action["add"]
+                if include_adds:
+                    live[action["add"]["path"]] = action["add"]
             elif "remove" in action:
-                live.pop(action["remove"]["path"], None)
+                if include_adds:
+                    live.pop(action["remove"]["path"], None)
             elif "metaData" in action:
                 meta = action["metaData"]
             elif "txn" in action:
@@ -566,6 +594,214 @@ def _snapshot_state(
     _check_reader_version(path, proto)
     _check_type_widening(path, proto, meta)
     return proto, meta, live, txns
+
+
+# ---------------------------------------------------------------------------
+# Distributed snapshot reconstruction. The driver-side fold above is the
+# right tool up to O(10^5) live files; at 100 TB (~10^6 adds) folding the
+# checkpoint into a Python dict is the driver bottleneck delta-spark
+# avoids by reconstructing state as a Spark job. This path does the
+# same: the checkpoint parquet is scanned with spark.read.parquet, the
+# JSON tail with spark.read.text + from_json, and the per-path
+# last-writer-wins reconciliation is ONE hash aggregation on the file
+# path — executors hold the state, the driver sees only the (pruned)
+# survivors it must hand to the parquet scan. Metadata-sized actions
+# (protocol/metaData/txn) stay on the driver via the meta_only
+# checkpoint read, which never decodes the add column.
+
+# Checkpoint row count beyond which delta_read folds the snapshot as a
+# Spark job instead of a driver loop. Below it, JVM job overhead
+# (~100 ms) dwarfs the dict fold; above it, the dict fold's time and
+# driver memory grow without bound while the Spark fold stays flat.
+_DIST_FOLD_ROWS = 100_000
+
+
+def _add_spark_schema():
+    """Spark twin of the checkpoint ``add`` struct (and the JSON commit
+    ``add`` payload) — one schema serves both scans."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("path", StringType()),
+            StructField("partitionValues", MapType(StringType(), StringType())),
+            StructField("size", LongType()),
+            StructField("modificationTime", LongType()),
+            StructField("dataChange", BooleanType()),
+            StructField("stats", StringType()),
+            StructField(
+                "deletionVector",
+                StructType(
+                    [
+                        StructField("storageType", StringType()),
+                        StructField("pathOrInlineDv", StringType()),
+                        StructField("cardinality", LongType()),
+                    ]
+                ),
+            ),
+            StructField("baseRowId", LongType()),
+        ]
+    )
+
+
+def delta_snapshot_adds_df(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The snapshot's live ``add`` set as a DataFrame, reconstructed as
+    a Spark job: checkpoint parquet scan ∪ JSON-tail parse, reconciled
+    per path by (commit version, add-beats-remove) — the in-commit
+    ordering this engine's DV re-stamp commits rely on (a remove and
+    re-add of the same path in one commit nets to the add). Wrong-side
+    protocol/reader gating still applies (driver-side, metadata-only).
+    One shuffle on the file path; no driver loop over adds."""
+    target, ck, start = _fold_range(spark, path, version)
+    if target is None:
+        raise ValueError(f"no delta table at {path}")
+    # reader gating must run even though the add fold is distributed
+    proto, meta, _, _ = _snapshot_state(
+        spark, path, target, include_adds=False
+    )
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    add_schema = _add_spark_schema()
+    cols = [f.name for f in add_schema.fields]
+    parts: list[DataFrame] = []
+    if ck is not None:
+        parts.append(
+            spark.read.parquet(_checkpoint_file(path, ck))
+            .where(F.col("add.path").isNotNull())
+            .select(
+                *[F.col(f"add.{c}").alias(c) for c in cols],
+                F.lit(ck).alias("_v"),
+                F.lit(True).alias("_live"),
+            )
+        )
+    tail = [_version_file(path, v) for v in range(start, target + 1)]
+    if tail:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        line_schema = StructType(
+            [
+                StructField("add", add_schema),
+                StructField(
+                    "remove",
+                    StructType([StructField("path", StringType())]),
+                ),
+            ]
+        )
+        txt = spark.read.text(tail).select(
+            F.from_json("value", line_schema).alias("a"),
+            F.regexp_extract(F.input_file_name(), r"(\d+)\.json$", 1)
+            .cast("long")
+            .alias("_v"),
+        )
+        parts.append(
+            txt.where(F.col("a.add.path").isNotNull()).select(
+                *[F.col(f"a.add.{c}").alias(c) for c in cols],
+                "_v",
+                F.lit(True).alias("_live"),
+            )
+        )
+        parts.append(
+            txt.where(F.col("a.remove.path").isNotNull()).select(
+                F.col("a.remove.path").alias("path"),
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in add_schema.fields[1:]
+                ],
+                "_v",
+                F.lit(False).alias("_live"),
+            )
+        )
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    winner = F.max_by(
+        F.struct(*cols, "_live"),
+        F.struct(F.col("_v"), F.col("_live").cast("int").alias("_a")),
+    ).alias("w")
+    return (
+        union.groupBy("path")
+        .agg(winner)
+        .where(F.col("w._live"))
+        .select("path", *[F.col(f"w.{c}").alias(c) for c in cols if c != "path"])
+    )
+
+
+def _last_checkpoint_info(spark: SparkSession, path: str) -> dict | None:
+    try:
+        return json.loads(
+            _read_text(spark, f"{_log_dir(path)}/_last_checkpoint")
+        )
+    except Exception:  # noqa: BLE001 — absent pointer / foreign format
+        return None
+
+
+def _snapshot_live_for_read(
+    spark: SparkSession,
+    path: str,
+    version: int | None,
+    partition_filter: dict[str, str] | None,
+    range_filter: dict[str, tuple] | None,
+) -> tuple[dict | None, dict[str, dict]]:
+    """(metaData, live adds) for a read, choosing the fold strategy:
+    the driver dict fold for ordinary tables, the Spark-job fold —
+    with partition and stats pruning pushed INTO the job, so the driver
+    only ever collects the pruned survivors — once the checkpoint
+    pointer reports ≥ _DIST_FOLD_ROWS actions. Latest-version reads
+    only (time travel keeps the driver fold: the newest checkpoint may
+    postdate the target and the pointer says nothing about history)."""
+    use_dist = False
+    if version is None:
+        lc = _last_checkpoint_info(spark, path)
+        use_dist = bool(lc) and int(lc.get("size", 0)) >= _DIST_FOLD_ROWS
+    if not use_dist:
+        _, meta, live, _ = _snapshot_state(spark, path, version)
+        return meta, live
+    _, meta, _, _ = _snapshot_state(spark, path, version, include_adds=False)
+    adds_df = delta_snapshot_adds_df(spark, path, version)
+    if partition_filter:
+        for k, v in partition_filter.items():
+            adds_df = adds_df.where(
+                F.col("partitionValues").getItem(k) == F.lit(v)
+            )
+    if range_filter and meta is not None:
+        pm = {l: p for p, l in _cm_pairs(meta)}
+        for col, (lo, hi) in range_filter.items():
+            phys = pm.get(col, col)
+            mn = F.get_json_object("stats", f"$.minValues.{phys}")
+            mx = F.get_json_object("stats", f"$.maxValues.{phys}")
+            if isinstance(lo, bool) or isinstance(hi, bool):
+                pass  # no stats skipping on boolean bounds
+            elif isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+                # numeric bounds compare as double (exact to 2^53 —
+                # beyond that the driver fold is the byte-exact path)
+                mn, mx = mn.cast("double"), mx.cast("double")
+                lo, hi = float(lo), float(hi)
+            adds_df = adds_df.where(
+                mn.isNull() | mx.isNull() | ~((mn > F.lit(hi)) | (mx < F.lit(lo)))
+            )
+    live = {}
+    for r in adds_df.collect():
+        d = {
+            k: v
+            for k, v in r.asDict(recursive=True).items()
+            if v is not None
+        }
+        # a null struct normally surfaces as None (dropped above), but
+        # an all-null-fields struct must not masquerade as a live DV
+        dv = d.get("deletionVector")
+        if dv is not None and dv.get("storageType") is None:
+            d.pop("deletionVector")
+        live[d["path"]] = d
+    return meta, live
 
 
 def _file_stats(filesystem, root: str, rel: str, stats_cols: list[str]) -> dict:
@@ -1866,8 +2102,13 @@ def delta_read(
             raise ValueError("pass either version or timestamp, not both")
         version = _version_at_timestamp(spark, path, timestamp)
 
-    _, meta, live, _ = _snapshot_state(spark, path, version)
+    meta, live = _snapshot_live_for_read(
+        spark, path, version, partition_filter, range_filter
+    )
     adds = sorted(live.items())
+    # on the distributed fold the filters below were already pushed into
+    # the Spark job; re-applying them to the collected survivors is an
+    # idempotent no-op
     if partition_filter:
         adds = [
             (f, a)

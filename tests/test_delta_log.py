@@ -2655,6 +2655,156 @@ def test_row_tracking_reserved_name_holds_on_append(spark):
     assert delta_read(spark, p, row_ids=True).count() == 3
 
 
+def test_distributed_snapshot_fold_matches_driver_fold(spark, monkeypatch):
+    """delta_snapshot_adds_df (the Spark-job snapshot reconstruction)
+    must reproduce the driver dict fold exactly over a lifecycle that
+    exercises every reconciliation rule: checkpoint base state, tail
+    adds, tail removes (CoW), and a same-commit remove+re-add (the DV
+    re-stamp). Then delta_read on the distributed path (threshold forced
+    to 1) must return the same rows and honor pushed-down range_filter
+    pruning."""
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_checkpoint,
+        delta_delete,
+        delta_delete_dv,
+        delta_snapshot_adds_df,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_dist_fold_")
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    delta_write(df.repartition(4), p, stats_cols=["k"])
+    delta_delete_dv(spark, p, "k % 11 = 0")  # same-commit remove+re-add
+    delta_checkpoint(spark, p)
+    delta_write(
+        spark.range(400, 500).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+        ),
+        p,
+        mode="append",
+    )
+    delta_delete(spark, p, "k >= 450")  # CoW: tail removes + adds
+
+    _, _, live, _ = delta_log._snapshot_state(spark, p)
+    dist = {
+        r["path"]: r.asDict(recursive=True)
+        for r in delta_snapshot_adds_df(spark, p).collect()
+    }
+    assert set(dist) == set(live)
+    for f, a in live.items():
+        d = dist[f]
+        assert d.get("baseRowId") == a.get("baseRowId")
+        assert d.get("stats") == a.get("stats")
+        dv_drv = a.get("deletionVector")
+        dv_dist = d.get("deletionVector")
+        if dv_drv is None:
+            assert dv_dist is None or dv_dist.get("storageType") is None
+        else:
+            assert dv_dist["cardinality"] == dv_drv["cardinality"]
+            assert dv_dist["pathOrInlineDv"] == dv_drv["pathOrInlineDv"]
+
+    # force the distributed read path and compare full + pruned reads
+    expected = sorted(
+        (r["k"], r["v"]) for r in delta_read(spark, p).collect()
+    )
+    delta_checkpoint(spark, p)  # refresh pointer at the latest version
+    monkeypatch.setattr(delta_log, "_DIST_FOLD_ROWS", 1)
+    got = sorted((r["k"], r["v"]) for r in delta_read(spark, p).collect())
+    assert got == expected
+    pruned = delta_read(spark, p, range_filter={"k": (0, 50)})
+    got_band = sorted(
+        r["k"] for r in pruned.where("k <= 50").collect()
+    )
+    assert got_band == [k for k in range(51) if k % 11 != 0]
+
+
+def test_distributed_fold_plans_50k_adds_as_spark_job(spark):
+    """Scale proof for the distributed reconstruction: a forged
+    checkpoint carrying 50k add actions plus a JSON tail commit
+    (one remove + one add) resolves via spark.read scans — the
+    checkpoint parquet and the tail commits are INPUT FILES of the
+    returned plan, not driver-parsed — and the last-writer-wins
+    reconciliation nets to exactly 50k live files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_checkpoint,
+        delta_snapshot_adds_df,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_dist_50k_")
+    delta_write(
+        spark.range(0, 10).select(F.col("id").alias("k")), p
+    )
+    delta_checkpoint(spark, p)
+    ckfile = f"{p}/_delta_log/{0:020d}.checkpoint.parquet"
+    t = pq.read_table(ckfile)
+    rows = t.to_pylist()
+    base = next(r for r in rows if r.get("add"))["add"]
+    meta_rows = [r for r in rows if not r.get("add")]
+    synth = []
+    for i in range(50_000):
+        a = dict(base)
+        a["path"] = f"part-synth-{i:06d}.parquet"
+        synth.append(
+            {"protocol": None, "metaData": None, "add": a, "txn": None}
+        )
+    pq.write_table(
+        pa.Table.from_pylist(meta_rows + synth, schema=t.schema), ckfile
+    )
+    # the forged rewrite bypassed Hadoop's LocalFileSystem, whose .crc
+    # sidecar from the original write is now stale — drop it
+    import os
+
+    crc = f"{p}/_delta_log/.{os.path.basename(ckfile)}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    with open(f"{p}/_delta_log/_last_checkpoint", "w") as fh:
+        fh.write(json.dumps({"version": 0, "size": len(meta_rows) + 50_000}))
+    # tail commit: retract one synthetic file, add a replacement
+    delta_log._write_commit(
+        spark,
+        p,
+        1,
+        [
+            {
+                "remove": {
+                    "path": "part-synth-000000.parquet",
+                    "deletionTimestamp": 1,
+                    "dataChange": True,
+                }
+            },
+            {
+                "add": {
+                    "path": "part-tail-000001.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 1,
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    adds = delta_snapshot_adds_df(spark, p)
+    files = adds.inputFiles()
+    assert any("checkpoint.parquet" in f for f in files)
+    assert any(f.endswith("00000000000000000001.json") for f in files)
+    got = adds.select("path")
+    n = got.count()
+    assert n == 50_000
+    paths = {r["path"] for r in got.where(
+        "path IN ('part-synth-000000.parquet', 'part-tail-000001.parquet', "
+        "'part-synth-049999.parquet')"
+    ).collect()}
+    assert "part-synth-000000.parquet" not in paths  # removed by tail
+    assert "part-tail-000001.parquet" in paths  # added by tail
+    assert "part-synth-049999.parquet" in paths
+
+
 def test_zorder_three_columns_skips_on_each_dim(spark):
     """N-dim generalization: a 3-column OPTIMIZE ZORDER must (a) leave
     the row multiset untouched, (b) give footer-stats skipping on EVERY
