@@ -110,6 +110,76 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization exact dedup — the RefinedWeb FIRST stage,
+    run before any text-level dedup: normalize each document's URL
+    (drop scheme, lowercase host, strip ``www.`` and explicit ports,
+    drop query params and fragments, strip the trailing slash) and keep
+    one document per canonical URL (min doc_id), reporting the variant
+    collapse per surviving page.
+
+    The documents fixture carries no URL column, so one is synthesized
+    deterministically in-plan with the full mess canonicalization
+    exists for — mixed schemes, host case, ``www.``, ``:443`` ports,
+    tracking params, fragments, trailing slashes — such that several
+    raw variants resolve to each canonical page (page identity =
+    (source, doc_id mod 120)).
+
+    Scale shape: canonicalization is codegen'd regex/string ops fused
+    into the scan; the ONLY exchange is the groupBy on the 16-byte md5
+    digest of the canonical URL (ids + counts ride along, never text),
+    then a sort of the page-sized result. One shuffle, RefinedWeb's
+    own layout."""
+    d = load_table(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 120).cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("http://")).otherwise(
+            F.lit("https://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("WWW."), F.upper(host)))
+        .when(F.col("doc_id") % 3 == 1, F.concat(host, F.lit(":443")))
+        .otherwise(host),
+        F.lit("/a/"),
+        page,
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("#section-2")).otherwise(
+            F.lit("")
+        ),
+    )
+    docs = d.select("doc_id", url.alias("url"))
+    no_scheme = F.regexp_replace(F.col("url"), r"^https?://", "")
+    raw_host = F.regexp_extract(no_scheme, r"^([^/?#]+)", 1)
+    rest = F.regexp_replace(no_scheme, r"^[^/?#]+", "")
+    canon_host = F.regexp_replace(
+        F.regexp_replace(F.lower(raw_host), r":\d+$", ""), r"^www\.", ""
+    )
+    canon_path = F.regexp_replace(
+        F.regexp_replace(rest, r"[?#].*$", ""), r"/+$", ""
+    )
+    keyed = docs.select(
+        "doc_id",
+        "url",
+        F.concat(canon_host, canon_path).alias("canonical_url"),
+    ).withColumn("digest", F.md5("canonical_url"))
+    return (
+        keyed.groupBy("digest")
+        .agg(
+            F.min("canonical_url").alias("canonical_url"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("url").alias("n_distinct_raw"),
+        )
+        .select(
+            "canonical_url", "keeper_doc_id", "n_variants", "n_distinct_raw"
+        )
+        .orderBy("canonical_url")
+    )
+
+
 PARA_SEP = "\n\n"
 _PARA_HEADER = ("subscribe to ", " newsletter")  # per-source boilerplate
 _PARA_FOOTER = "copyright example corp all rights reserved"  # corpus-wide
@@ -1219,6 +1289,50 @@ QUERIES: list[QueryDef] = [
         ) WHERE rn = 1 ORDER BY doc_id
         """,
         tags=("extension", "dedup", "bench"),
+    ),
+    QueryDef(
+        "dedup_url_canonical",
+        dedup_url_canonical,
+        """
+        WITH raw AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'http://'
+                       ELSE 'https://' END) ||
+                 (CASE WHEN doc_id % 3 = 0
+                       THEN 'WWW.' || upper(source || '.example.com')
+                       WHEN doc_id % 3 = 1 THEN source || '.example.com:443'
+                       ELSE source || '.example.com' END) ||
+                 '/a/' || CAST(doc_id % 120 AS VARCHAR) ||
+                 (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+                 (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed'
+                       ELSE '' END) ||
+                 (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)
+                   AS url
+          FROM documents),
+        keyed AS (
+          SELECT doc_id, url,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(
+                     regexp_replace(url, '^https?://', ''),
+                     '^([^/?#]+)', 1)),
+                   ':[0-9]+$', ''), '^www\\.', '')
+                 ||
+                 regexp_replace(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(url, '^https?://', ''),
+                     '^[^/?#]+', ''),
+                   '[?#].*$', ''), '/+$', '') AS canonical_url
+          FROM raw)
+        SELECT canonical_url, MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_variants,
+               CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw
+        FROM keyed GROUP BY canonical_url ORDER BY canonical_url
+        """,
+        tags=("extension", "dedup", "pipeline"),
+        description="RefinedWeb first-stage URL dedup: full URL "
+        "canonicalization (scheme/www/port/query/fragment/trailing "
+        "slash) + exact keep-first per canonical page, one digest "
+        "shuffle.",
     ),
     QueryDef(
         "dedup_distinct_pairs",

@@ -317,6 +317,125 @@ def text_token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed-point log2 lookup: round(1000 * log2(m / 64)) for the 6-bit
+# mantissa m in [64, 128). 64 small integer constants SHARED by the
+# Spark expression and the DuckDB oracle (both generated from this
+# tuple), so the "logarithm" is exact integer arithmetic by construction
+# — no cross-engine libm drift, per the repo's fixed-point doctrine.
+# Granularity ~0.023 bits (1.6%) — far finer than decile bucketing needs.
+import math as _math  # noqa: E402
+
+LOG2_MB_TABLE = tuple(
+    round(1000 * _math.log2(m / 64)) for m in range(64, 128)
+)
+
+
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality bucketing — the one standard
+    curation gate the rules/repetition/PII tier doesn't cover: score
+    each document's mean bigram cross-entropy under an add-one-smoothed
+    per-language bigram LM estimated from the corpus itself, then cut
+    the corpus into exact deciles (CCNet's head/middle/tail, at 10
+    buckets). Low deciles ≈ fluent, typical text; high deciles ≈
+    boilerplate soup and non-language junk.
+
+    Exactness: P(w2|w1) = (c12+1)/(c1+V) and the per-bigram negative
+    log2-prob is computed entirely in integer arithmetic —
+    r = (c1+V)·2^20 DIV (c12+1), exponent from length(bin(r)) (exact
+    floor-log2 in both engines), 6-bit mantissa refined through the
+    shared LOG2_MB_TABLE constants → millibits. Mean NLL = Σ tf·nll DIV
+    Σ tf. Perplexity itself would be 2^(mbits/1000); bucketing is
+    monotone in it, so it never needs to be materialized.
+
+    Plan shape: ONE bigram explosion → per-doc tf agg (the only
+    data-sized shuffle, keyed (doc, bigram)); the LM tables c12/c1 are
+    re-aggregations OF tf (vocabulary-sized, Zipf — broadcastable at
+    scale), the per-language vocab is a 5-row broadcast. The final
+    exact-decile NTILE is a single-partition sort over the DOC-SIZED
+    score table — the same adjudicated equi-depth idiom as
+    ``stats_equidepth_quartiles``; at 10^9 docs swap it for
+    approx-percentile boundaries (sketch-sized) at the cost of
+    exactness."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    occ = (
+        d.where(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+                    F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+    )
+    tf = occ.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    c12 = tf.groupBy("lang", "w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        d.select("lang", F.explode(toks).alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    arr = F.array(*[F.lit(int(x)) for x in LOG2_MB_TABLE])
+    scored = (
+        tf.join(c12, ["lang", "w1", "w2"])
+        .join(c1, ["lang", "w1"])
+        .join(F.broadcast(vocab), "lang")
+        .withColumn("r", F.expr("(c1 + v) * 1048576 DIV (c12 + 1)"))
+        .withColumn("e", (F.length(F.expr("bin(r)")) - 1).cast("int"))
+        .withColumn(
+            "m6", F.expr("r DIV shiftleft(CAST(1 AS BIGINT), e - 6)")
+        )
+        .withColumn(
+            "nll_mb",
+            (F.col("e") - 20) * 1000
+            + F.element_at(arr, (F.col("m6") - 63).cast("int")),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.expr("tf * nll_mb")).alias("nll_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("nll_sum DIV n_bigrams").alias("xent_mbits"),
+        )
+    )
+    w = Window.orderBy("xent_mbits", "doc_id")
+    return (
+        per_doc.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("xent_mbits").alias("min_mbits"),
+            F.max("xent_mbits").alias("max_mbits"),
+            F.expr("SUM(xent_mbits) DIV COUNT(*)").alias("avg_mbits"),
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_docs",
+            "min_mbits",
+            "max_mbits",
+            "avg_mbits",
+        )
+        .orderBy("decile")
+    )
+
+
 # Fixed retrieval query for the BM25 ranker (engine constants, not tuned
 # to the corpus — the operator is parameterized by any term set).
 BM25_QUERY_TERMS = ("spark", "join", "window", "stream")
@@ -440,6 +559,64 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "text", "pipeline"),
         description="Per-language top-30 bigram counts (n-gram LM "
         "training aggregate), map-side zip-shift pairing.",
+    ),
+    QueryDef(
+        "text_bigram_perplexity",
+        text_bigram_perplexity,
+        f"""
+        WITH docs AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        occ AS (
+          SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+          FROM docs, UNNEST(range(1, len(t))) AS u(i)),
+        tf AS (
+          SELECT doc_id, lang, w1, w2, COUNT(*) AS tf
+          FROM occ GROUP BY doc_id, lang, w1, w2),
+        c12 AS (
+          SELECT lang, w1, w2, SUM(tf) AS c12 FROM tf GROUP BY lang, w1, w2),
+        c1 AS (SELECT lang, w1, SUM(c12) AS c1 FROM c12 GROUP BY lang, w1),
+        vocab AS (
+          SELECT lang, COUNT(DISTINCT tok) AS v
+          FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY lang),
+        scored AS (
+          SELECT tf.doc_id, tf.tf,
+                 CAST((c1.c1 + vocab.v) * 1048576 // (c12.c12 + 1) AS BIGINT)
+                   AS r
+          FROM tf
+          JOIN c12 USING (lang, w1, w2)
+          JOIN c1 USING (lang, w1)
+          JOIN vocab USING (lang)),
+        nll AS (
+          SELECT doc_id, tf,
+                 (length(bin(r)) - 1 - 20) * 1000 +
+                 ([{", ".join(str(int(x)) for x in LOG2_MB_TABLE)}])[
+                   CAST(r // (1::BIGINT << (length(bin(r)) - 1 - 6))
+                        AS INT) - 63] AS nll_mb
+          FROM scored),
+        per_doc AS (
+          SELECT doc_id, SUM(tf) AS n_bigrams, SUM(tf * nll_mb) AS nll_sum
+          FROM nll GROUP BY doc_id),
+        deciled AS (
+          SELECT doc_id,
+                 CAST(nll_sum // n_bigrams AS BIGINT) AS xent_mbits
+          FROM per_doc),
+        buckets AS (
+          SELECT xent_mbits,
+                 NTILE(10) OVER (ORDER BY xent_mbits, doc_id) AS decile
+          FROM deciled)
+        SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+               MIN(xent_mbits) AS min_mbits,
+               MAX(xent_mbits) AS max_mbits,
+               CAST(SUM(xent_mbits) // COUNT(*) AS BIGINT) AS avg_mbits
+        FROM buckets GROUP BY decile ORDER BY decile
+        """,
+        tags=("extension", "text", "pipeline", "perplexity"),
+        description="CCNet-style bigram-LM cross-entropy deciles in "
+        "exact millibits (integer log2 via shared mantissa table); "
+        "add-one smoothed per-language LM estimated in one corpus pass.",
     ),
     QueryDef(
         "text_bpe_token_count",
