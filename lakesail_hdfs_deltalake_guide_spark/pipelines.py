@@ -124,6 +124,165 @@ def pipeline_medallion_incremental(
     return gold
 
 
+def pipeline_cdf_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained SCD Type-2 dimension, driven by the
+    streaming Change Data Feed — the capstone composition of the
+    row-level DML tier (UPDATE/DELETE emit change images), the CDF
+    streaming source, the MERGE upsert, and the txn exactly-once
+    ledger:
+
+        CDF-enabled source table (insert → UPDATE → DELETE → UPDATE)
+          → delta_native_cdf_stream (two drains, one checkpoint)
+          → foreachBatch SCD2 fold (window LEAD over commit versions,
+            seeded with the history's open intervals)
+          → MERGE INTO history ON (key, valid_from_v), txn-guarded
+
+    versus full rebuilds, each drain touches only the NEW change
+    images plus the affected keys' open intervals — O(changes), the
+    point of CDF. Replay is then SIMULATED: every batch id is
+    re-applied and the history version must not advance (the same
+    at-least-once discipline as the exactly-once sink). The final
+    history — every key's (state, valid_from_v, valid_to_v] intervals
+    in commit-version time — oracles against a pure-SQL reconstruction
+    of the DML recipe.
+
+    Scale shape: the fold's only exchange is partitionBy(key) over
+    (changes + affected open intervals); the MERGE re-reads only files
+    holding matched keys (CoW file pruning); the CDF scan is
+    metadata-driven per commit. Nothing is O(dimension size) except
+    the initial load."""
+    from .session import configure_session
+    from .sources.delta_log import (
+        _list_versions,
+        delta_delete,
+        delta_last_txn,
+        delta_merge,
+        delta_read,
+        delta_update,
+        delta_write,
+    )
+    from .sources.delta_stream import register_delta_stream_source
+    from .tables import load_table
+
+    configure_session(spark)
+    register_delta_stream_source(spark)
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 200)
+        .select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    )
+    src = tempfile.mkdtemp(prefix="ls_scd2_src_")
+    hist = tempfile.mkdtemp(prefix="ls_scd2_hist_")
+    ckpt = tempfile.mkdtemp(prefix="ls_scd2_ckpt_")
+    app = "scd2_builder"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        if (
+            last := delta_last_txn(s, hist, app)
+        ) is not None and batch_id <= last:
+            return  # redelivered batch — history already reflects it
+        ev = batch_df.where(
+            F.col("_change_type").isin(
+                "insert", "update_postimage", "delete"
+            )
+        ).select(
+            "c_custkey",
+            F.when(F.col("_change_type") == "delete", F.lit(None))
+            .otherwise(F.col("segment"))
+            .alias("state"),
+            F.col("_commit_version").alias("v"),
+            (F.col("_change_type") != "delete").alias("is_open"),
+        )
+        have_hist = bool(_list_versions(s, hist))
+        if have_hist:
+            # seed the fold with the affected keys' CURRENT open
+            # intervals so a change in this batch closes them
+            seed = (
+                delta_read(s, hist)
+                .where(F.col("valid_to_v").isNull())
+                .join(
+                    ev.select("c_custkey").distinct(),
+                    "c_custkey",
+                    "left_semi",
+                )
+                .select(
+                    "c_custkey",
+                    "state",
+                    F.col("valid_from_v").alias("v"),
+                    F.lit(True).alias("is_open"),
+                )
+            )
+            ev = seed.unionByName(ev)
+        w = Window.partitionBy("c_custkey").orderBy("v")
+        folded = (
+            ev.withColumn("valid_to_v", F.lead("v").over(w))
+            .where(F.col("is_open"))
+            .select(
+                "c_custkey",
+                "state",
+                F.col("v").alias("valid_from_v"),
+                "valid_to_v",
+            )
+        )
+        if have_hist:
+            delta_merge(
+                s,
+                hist,
+                folded,
+                on=["c_custkey", "valid_from_v"],
+                update_cols=["state", "valid_to_v"],
+                txn=(app, int(batch_id)),
+            )
+        else:
+            delta_write(folded, hist, txn=(app, int(batch_id)))
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("delta_native_cdf_stream")
+            .option("path", src)
+            .option("startingVersion", "0")
+            .load()
+            .writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    delta_write(
+        c, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )  # v0: inserts
+    delta_update(
+        spark, src, "c_custkey % 5 = 0", {"segment": F.lit("UPGRADED")}
+    )  # v1
+    drain()  # first drain: v0 + v1
+    delta_delete(spark, src, "c_custkey % 7 = 0")  # v2
+    delta_update(
+        spark, src, "c_custkey % 3 = 0", {"segment": F.lit("PREMIUM")}
+    )  # v3
+    drain()  # same checkpoint: only v2 + v3 stream
+    # at-least-once replay: re-apply every committed batch id; the
+    # history must not advance (the txn ledger rejects them all)
+    v_before = _list_versions(spark, hist)[-1]
+    fake = spark.createDataFrame(
+        [(0, "X", "insert", 0)],
+        "c_custkey long, segment string, _change_type string, "
+        "_commit_version long",
+    )
+    for bid in range(int(delta_last_txn(spark, hist, app)) + 1):
+        apply_batch(fake, bid)
+    if _list_versions(spark, hist)[-1] != v_before:
+        raise AssertionError("replayed batches advanced the SCD2 history")
+    return (
+        delta_read(spark, hist)
+        .select("c_custkey", "state", "valid_from_v", "valid_to_v")
+        .orderBy("c_custkey", "valid_from_v")
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "pipeline_medallion_incremental",
@@ -153,5 +312,38 @@ QUERIES: list[QueryDef] = [
         "incrementally into a cleaned, cross-batch-deduplicated silver "
         "table (exactly-once txn upsert); gold aggregates oracle against "
         "keep-first dedup in SQL.",
+    ),
+    QueryDef(
+        "pipeline_cdf_scd2",
+        pipeline_cdf_scd2,
+        """
+        WITH base AS (
+          SELECT c_custkey AS k, c_mktsegment AS seg FROM customer
+          WHERE c_custkey < 200),
+        chg AS (
+          SELECT k, seg AS state, 0 AS v, TRUE AS is_open FROM base
+          UNION ALL
+          SELECT k, 'UPGRADED', 1, TRUE FROM base WHERE k % 5 = 0
+          UNION ALL
+          SELECT k, NULL, 2, FALSE FROM base WHERE k % 7 = 0
+          UNION ALL
+          SELECT k, 'PREMIUM', 3, TRUE FROM base
+          WHERE k % 3 = 0 AND k % 7 <> 0),
+        folded AS (
+          SELECT k, state, v,
+                 LEAD(v) OVER (PARTITION BY k ORDER BY v) AS valid_to_v,
+                 is_open
+          FROM chg)
+        SELECT k AS c_custkey, state,
+               CAST(v AS BIGINT) AS valid_from_v,
+               CAST(valid_to_v AS BIGINT) AS valid_to_v
+        FROM folded WHERE is_open
+        ORDER BY c_custkey, valid_from_v
+        """,
+        tags=("extension", "pipeline", "streaming", "delta", "cdc", "scd2"),
+        description="CDF-driven incremental SCD2: row-level DML change "
+        "images stream through the CDF source into a MERGE-maintained "
+        "interval history with txn exactly-once; replay must not advance "
+        "the history.",
     ),
 ]

@@ -3160,9 +3160,15 @@ def delta_merge(
     on: list[str],
     update_cols: list[str] | None = None,
     insert_unmatched: bool = True,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """``MERGE INTO target USING source ON keys`` upsert
     (whenMatchedUpdate + whenNotMatchedInsert), copy-on-write.
+
+    ``txn=(app_id, version)`` rides the protocol's idempotent-writer
+    action on the merge commit — the streaming-sink replay guard
+    (consult :func:`delta_last_txn` before re-applying a batch), same
+    contract as ``delta_write``'s txn.
 
     Phase 1 (distributed): join the snapshot scan's key+file projection
     to the source keys — the distinct matched-file set is the only thing
@@ -3323,6 +3329,7 @@ def delta_merge(
         # ordering it AFTER id_action keeps the fold's last-metaData-
         # wins semantics consistent for both watermarks
         extra_actions=[_commit_info("MERGE")]
+        + ([{"txn": {"appId": txn[0], "version": int(txn[1])}}] if txn else [])
         + ([id_action] if id_action else [])
         + ([rt_action] if rt_action else [])
         + cdc,

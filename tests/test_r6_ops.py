@@ -145,6 +145,47 @@ def test_url_canonical_dedup_normalizes_and_tiles(spark, sf_smoke):
     assert first["keeper_doc_id"] == 0
 
 
+def test_cdf_scd2_history_invariants(spark, sf_smoke):
+    """Structural SCD2 invariants independent of the oracle: intervals
+    per key are contiguous in commit-version time (each close equals
+    the next open), every surviving key has EXACTLY one open interval,
+    deleted keys (k%7==0) have none, and states follow the DML recipe.
+    The replay guard is asserted inside the pipeline itself (it raises
+    if a re-applied batch advances the history)."""
+    from lakesail_hdfs_deltalake_guide_spark.pipelines import (
+        pipeline_cdf_scd2,
+    )
+
+    rows = pipeline_cdf_scd2(spark, sf_smoke).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    assert by_key
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r["valid_from_v"])
+        assert ivs[0]["valid_from_v"] == 0
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to_v"] == b["valid_from_v"]  # contiguous
+        opens = [r for r in ivs if r["valid_to_v"] is None]
+        if k % 7 == 0:
+            assert not opens  # deleted: fully closed history
+            assert ivs[-1]["valid_to_v"] == 2
+        else:
+            assert len(opens) == 1
+            if k % 3 == 0:
+                assert opens[0]["state"] == "PREMIUM"
+                assert opens[0]["valid_from_v"] == 3
+            elif k % 5 == 0:
+                assert opens[0]["state"] == "UPGRADED"
+                assert opens[0]["valid_from_v"] == 1
+            else:
+                assert opens[0]["valid_from_v"] == 0
+        # UPGRADED middle interval for %5 keys that were later changed
+        if k % 5 == 0 and (k % 3 == 0 or k % 7 == 0):
+            mid = [r for r in ivs if r["valid_from_v"] == 1]
+            assert mid and mid[0]["state"] == "UPGRADED"
+
+
 def test_url_canonical_dedup_single_digest_shuffle(spark, sf_smoke):
     """Plan contract: ONE exchange (the digest groupBy) plus the final
     sort — canonicalization must fuse into the scan, not shuffle raw
