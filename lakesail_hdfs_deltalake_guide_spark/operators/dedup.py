@@ -1328,7 +1328,7 @@ QUERIES: list[QueryDef] = [
                CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw
         FROM keyed GROUP BY canonical_url ORDER BY canonical_url
         """,
-        tags=("extension", "dedup", "pipeline"),
+        tags=("extension", "dedup", "pipeline", "bench"),
         description="RefinedWeb first-stage URL dedup: full URL "
         "canonicalization (scheme/www/port/query/fragment/trailing "
         "slash) + exact keep-first per canonical page, one digest "

@@ -613,7 +613,7 @@ QUERIES: list[QueryDef] = [
                CAST(SUM(xent_mbits) // COUNT(*) AS BIGINT) AS avg_mbits
         FROM buckets GROUP BY decile ORDER BY decile
         """,
-        tags=("extension", "text", "pipeline", "perplexity"),
+        tags=("extension", "text", "pipeline", "perplexity", "bench"),
         description="CCNet-style bigram-LM cross-entropy deciles in "
         "exact millibits (integer log2 via shared mantissa table); "
         "add-one smoothed per-language LM estimated in one corpus pass.",

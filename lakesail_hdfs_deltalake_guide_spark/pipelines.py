@@ -340,7 +340,7 @@ QUERIES: list[QueryDef] = [
         FROM folded WHERE is_open
         ORDER BY c_custkey, valid_from_v
         """,
-        tags=("extension", "pipeline", "streaming", "delta", "cdc", "scd2"),
+        tags=("extension", "pipeline", "streaming", "delta", "cdc", "scd2", "bench"),
         description="CDF-driven incremental SCD2: row-level DML change "
         "images stream through the CDF source into a MERGE-maintained "
         "interval history with txn exactly-once; replay must not advance "

@@ -120,6 +120,54 @@ def _checkpoint_file(path: str, version: int) -> str:
     return f"{_log_dir(path)}/{version:020d}.checkpoint.parquet"
 
 
+# Multi-part checkpoints (PROTOCOL.md classic checkpoint naming
+# ``<v>.checkpoint.<part>.<parts>.parquet``): the distributed checkpoint
+# writer shards the add actions across N parquet parts written as a
+# Spark job, so neither writing nor reading the snapshot of a
+# 10^6-file table ever builds a driver-side row list. Part 1 carries
+# the metadata-sized actions (protocol/metaData/txn); parts 2..N carry
+# only adds — readers here fold per-row with .get() so the narrower
+# part schema is benign.
+import re as _re  # noqa: E402
+
+_CKPT_PART_RE = _re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
+
+
+def _checkpoint_part_file(
+    path: str, version: int, part: int, parts: int
+) -> str:
+    return (
+        f"{_log_dir(path)}/{version:020d}.checkpoint."
+        f"{part:010d}.{parts:010d}.parquet"
+    )
+
+
+def _checkpoint_files(spark: SparkSession, path: str, version: int) -> list[str]:
+    """The checkpoint's file set at ``version``: the single classic file
+    if present, else the complete multi-part set (part order)."""
+    single = _checkpoint_file(path, version)
+    fs, hpath, _ = _hadoop_fs(spark, single)
+    if fs.exists(hpath):
+        return [single]
+    fs, log_path, _ = _hadoop_fs(spark, _log_dir(path))
+    by_n: dict[int, dict[int, str]] = {}
+    for status in fs.listStatus(log_path):
+        m = _CKPT_PART_RE.match(status.getPath().getName())
+        if m and int(m.group(1)) == version:
+            by_n.setdefault(int(m.group(3)), {})[int(m.group(2))] = (
+                f"{_log_dir(path)}/{m.group(0)}"
+            )
+    for n, parts in sorted(by_n.items()):
+        if set(parts) == set(range(1, n + 1)):
+            return [parts[i] for i in range(1, n + 1)]
+    raise ValueError(
+        f"checkpoint {version} of {path} is incomplete: no complete "
+        f"part set among {sorted(by_n)}"
+    )
+
+
 def _list_versions(spark: SparkSession, path: str) -> list[int]:
     fs, log_path, _ = _hadoop_fs(spark, _log_dir(path))
     if not fs.exists(log_path):
@@ -134,17 +182,33 @@ def _list_versions(spark: SparkSession, path: str) -> list[int]:
 
 
 def _list_checkpoints(spark: SparkSession, path: str) -> list[int]:
+    """Versions with a USABLE checkpoint: classic single files plus
+    COMPLETE multi-part sets (a partially-written set must never be
+    chosen as a fold base — its missing adds would silently drop live
+    files)."""
     fs, log_path, _ = _hadoop_fs(spark, _log_dir(path))
     if not fs.exists(log_path):
         return []
     suffix = ".checkpoint.parquet"
     versions = []
+    # parts grouped by (version, declared part count): sets from an
+    # aborted rewrite with a different N must never pool together
+    multi: dict[tuple[int, int], set[int]] = {}
     for status in fs.listStatus(log_path):
         name = status.getPath().getName()
         stem = name[: -len(suffix)]
         if name.endswith(suffix) and stem.isdigit():
             versions.append(int(stem))
-    return sorted(versions)
+            continue
+        m = _CKPT_PART_RE.match(name)
+        if m:
+            multi.setdefault(
+                (int(m.group(1)), int(m.group(3))), set()
+            ).add(int(m.group(2)))
+    for (v, n), seen in multi.items():
+        if seen == set(range(1, n + 1)):
+            versions.append(v)
+    return sorted(set(versions))
 
 
 def _read_text(spark: SparkSession, path: str) -> str:
@@ -319,12 +383,26 @@ def _maps_to_items(action: dict | None, keys: tuple[str, ...]) -> dict | None:
     return out
 
 
-def delta_checkpoint(spark: SparkSession, path: str, version: int | None = None) -> int:
+def delta_checkpoint(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    distributed: bool = False,
+    part_files: int = 8,
+) -> int:
     """Write a protocol-conformant parquet checkpoint of the snapshot at
     ``version`` (latest if None) and re-point ``_last_checkpoint``.
     Returns the checkpointed version. Pure metadata — no data files are
-    touched; the checkpoint is driver-written (snapshot state is O(live
-    files), the same driver-side object every fold already builds)."""
+    touched. Default path is driver-written (snapshot state is O(live
+    files), the same driver-side object every fold already builds —
+    right up to ~10^5 adds). ``distributed=True`` writes the protocol's
+    MULTI-PART checkpoint (``<v>.checkpoint.<part>.<parts>.parquet``)
+    instead: the add actions are reconstructed and sharded across
+    ``part_files`` parquet parts as a Spark job
+    (:func:`delta_snapshot_adds_df`), with only the metadata-sized
+    actions (protocol/metaData/txn) passing through the driver as part
+    1 — at 10^6 live files neither the write nor later folds ever build
+    a driver-side row list."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -332,6 +410,8 @@ def delta_checkpoint(spark: SparkSession, path: str, version: int | None = None)
     if not versions:
         raise ValueError(f"no delta table at {path}")
     target = versions[-1] if version is None else version
+    if distributed:
+        return _checkpoint_distributed(spark, path, target, part_files)
     proto, meta, live, txns = _snapshot_state(spark, path, target)
     schema = _checkpoint_arrow_schema()
     rows = [
@@ -418,6 +498,129 @@ def delta_checkpoint(spark: SparkSession, path: str, version: int | None = None)
     return target
 
 
+def _checkpoint_distributed(
+    spark: SparkSession, path: str, target: int, part_files: int
+) -> int:
+    """Multi-part checkpoint written as a Spark job: adds sharded into
+    parquet parts 2..N by :func:`delta_snapshot_adds_df`, metadata
+    actions driver-written as part 1 LAST (the part set only becomes
+    complete — and thus listable as a fold base — once every part is
+    in place), then the ``_last_checkpoint`` pointer. Row count for the
+    pointer comes from the staged parts' footers — O(parts) metadata
+    reads, never a driver row scan."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    proto, meta, _, txns = _snapshot_state(
+        spark, path, target, include_adds=False
+    )
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    meta_rows: list[dict] = [
+        {
+            "protocol": dict(proto or _PROTOCOL),
+            "metaData": None,
+            "add": None,
+            "txn": None,
+        },
+        {
+            "protocol": None,
+            "metaData": _maps_to_items(meta, ("configuration",))
+            | {
+                "format": _maps_to_items(meta.get("format", {}), ("options",))
+            },
+            "add": None,
+            "txn": None,
+        },
+    ]
+    for app_id, v in sorted(txns.items()):
+        meta_rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "txn": {"appId": app_id, "version": v},
+            }
+        )
+    adds_df = delta_snapshot_adds_df(spark, path, target)
+    cols = [f.name for f in _add_spark_schema().fields]
+    staging = f"{_log_dir(path)}/.ckpt-staging-{uuid.uuid4().hex}"
+    (
+        adds_df.select(F.struct(*[F.col(c) for c in cols]).alias("add"))
+        .repartition(part_files)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    fs, staging_path, jvm = _hadoop_fs(spark, staging)
+    staged = sorted(
+        s.getPath().getName()
+        for s in fs.listStatus(staging_path)
+        if s.getPath().getName().endswith(".parquet")
+    )
+    n_parts = len(staged) + 1
+    pa_fs, pa_root = pafs.FileSystem.from_uri(staging)
+    n_adds = sum(
+        pq.read_metadata(f"{pa_root}/{s}", filesystem=pa_fs).num_rows
+        for s in staged
+    )
+    # clear stale parts from any earlier (possibly aborted) rewrite of
+    # this version — mixed part sets must not pool in the listing
+    for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(_log_dir(path))):
+        m = _CKPT_PART_RE.match(st.getPath().getName())
+        if m and int(m.group(1)) == target:
+            fs.delete(st.getPath(), False)
+    for i, name in enumerate(staged, start=2):
+        dst = jvm.org.apache.hadoop.fs.Path(
+            _checkpoint_part_file(path, target, i, n_parts)
+        )
+        if not fs.rename(
+            jvm.org.apache.hadoop.fs.Path(f"{staging}/{name}"), dst
+        ):
+            raise RuntimeError(
+                f"failed to publish checkpoint part {i} at {path}"
+            )
+    fs.delete(staging_path, True)
+    buf = _io.BytesIO()
+    pq.write_table(
+        pa.Table.from_pylist(meta_rows, schema=_checkpoint_arrow_schema()),
+        buf,
+    )
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{_log_dir(path)}/.tmp-ckpt-{uuid.uuid4().hex}"
+    )
+    stream = fs.create(tmp, False)
+    try:
+        stream.write(buf.getvalue())
+    finally:
+        stream.close()
+    final = jvm.org.apache.hadoop.fs.Path(
+        _checkpoint_part_file(path, target, 1, n_parts)
+    )
+    if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise RuntimeError(f"failed to publish checkpoint {target} at {path}")
+    pointer = jvm.org.apache.hadoop.fs.Path(
+        f"{_log_dir(path)}/_last_checkpoint"
+    )
+    stream = fs.create(pointer, True)
+    try:
+        stream.write(
+            json.dumps(
+                {
+                    "version": target,
+                    "size": n_adds + len(meta_rows),
+                    "parts": n_parts,
+                }
+            ).encode()
+        )
+    finally:
+        stream.close()
+    return target
+
+
 def _read_checkpoint(
     spark: SparkSession, path: str, version: int, meta_only: bool = False
 ) -> tuple[dict | None, dict[str, dict], dict[str, int]]:
@@ -428,20 +631,36 @@ def _read_checkpoint(
     ``meta_only`` projects the parquet read to the metadata-sized action
     columns (protocol/metaData/txn) and skips the per-file dict fold —
     the driver's share of a DISTRIBUTED snapshot resolution, O(1) in the
-    live-file count (the add column is never decoded)."""
+    live-file count (the add column is never decoded). Multi-part
+    checkpoints: metadata actions live in part 1 only, so meta_only
+    reads exactly one small file regardless of part count."""
     import io as _io
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    fs, hpath, jvm = _hadoop_fs(spark, _checkpoint_file(path, version))
-    stream = fs.open(hpath)
-    try:
-        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
-    table = pq.read_table(
-        _io.BytesIO(raw),
-        columns=["protocol", "metaData", "txn"] if meta_only else None,
+    files = _checkpoint_files(spark, path, version)
+    if meta_only:
+        files = files[:1]
+    pieces = []
+    for f in files:
+        fs, hpath, jvm = _hadoop_fs(spark, f)
+        stream = fs.open(hpath)
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        finally:
+            stream.close()
+        cols = ["protocol", "metaData", "txn"] if meta_only else None
+        piece = pq.read_table(_io.BytesIO(raw), columns=cols)
+        if cols:
+            piece = piece.select(
+                [c for c in cols if c in piece.schema.names]
+            )
+        pieces.append(piece)
+    table = (
+        pieces[0]
+        if len(pieces) == 1
+        else pa.concat_tables(pieces, promote_options="default")
     )
     proto: dict | None = None
     meta: dict | None = None
@@ -674,8 +893,12 @@ def delta_snapshot_adds_df(
     cols = [f.name for f in add_schema.fields]
     parts: list[DataFrame] = []
     if ck is not None:
+        # multi-part checkpoints: parts 2..N carry only the add column;
+        # mergeSchema unions the part schemas and the metadata-only
+        # columns surface as nulls, filtered right out
         parts.append(
-            spark.read.parquet(_checkpoint_file(path, ck))
+            spark.read.option("mergeSchema", "true")
+            .parquet(*_checkpoint_files(spark, path, ck))
             .where(F.col("add.path").isNotNull())
             .select(
                 *[F.col(f"add.{c}").alias(c) for c in cols],
@@ -2518,6 +2741,12 @@ def delta_cleanup_log(spark: SparkSession, path: str) -> list[int]:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(_checkpoint_file(path, c)), False
         )
+    # multi-part checkpoints below the cutoff: every part goes
+    log_path = jvm.org.apache.hadoop.fs.Path(_log_dir(path))
+    for st in fs.listStatus(log_path):
+        m = _CKPT_PART_RE.match(st.getPath().getName())
+        if m and int(m.group(1)) < cutoff:
+            fs.delete(st.getPath(), False)
     return deleted
 
 
@@ -4622,7 +4851,7 @@ QUERIES: list[QueryDef] = [
         FROM lineitem, b WHERE l_suppkey BETWEEN b.smn AND b.shi
         ORDER BY dim
         """,
-        tags=("parity", "delta", "io", "layout", "zorder"),
+        tags=("parity", "delta", "io", "layout", "zorder", "bench"),
         description="3-column OPTIMIZE ZORDER: the N-dim Morton curve "
         "prunes files on each of three clustered keys independently; "
         "per-dimension skipping asserted in-query.",

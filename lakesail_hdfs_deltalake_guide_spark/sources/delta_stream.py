@@ -136,10 +136,20 @@ def _resolve_meta_proto(path: str) -> tuple[dict, dict | None]:
 
         fsys, root = pafs.FileSystem.from_uri(log_dir)
         infos = fsys.get_file_info(pafs.FileSelector(root, recursive=False))
+        import re as _re
+
+        # classic single-file checkpoints, plus part 1 of multi-part
+        # sets (the metadata actions live only in part 1 by the
+        # engine's layout); the 20-digit version prefix keeps the
+        # lexicographic sort version-ordered either way
+        _part1 = _re.compile(
+            r"\.checkpoint\.0000000001\.\d{10}\.parquet$"
+        )
         ckpts = sorted(
             info.path
             for info in infos
             if info.base_name.endswith(".checkpoint.parquet")
+            or _part1.search(info.base_name)
         )
         if ckpts:
             for row in pq.read_table(ckpts[-1], filesystem=fsys).to_pylist():

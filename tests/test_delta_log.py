@@ -2805,6 +2805,90 @@ def test_distributed_fold_plans_50k_adds_as_spark_job(spark):
     assert "part-synth-049999.parquet" in paths
 
 
+def test_distributed_multipart_checkpoint_roundtrip(spark, monkeypatch):
+    """delta_checkpoint(distributed=True): adds shard into protocol-named
+    parts (<v>.checkpoint.<part>.<parts>.parquet) via a Spark job, the
+    metadata actions ride part 1, and EVERY consumer resolves from the
+    multi-part set — the driver fold (delta_read, delta_last_txn), the
+    distributed fold, a tail append after the checkpoint, idempotent
+    re-checkpointing with a different part count, and log cleanup."""
+    import glob as _glob
+
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_checkpoint,
+        delta_cleanup_log,
+        delta_delete_dv,
+        delta_last_txn,
+        delta_snapshot_adds_df,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_mp_ckpt_")
+    df = spark.range(0, 600).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    delta_write(df.repartition(6), p, stats_cols=["k"])
+    delta_write(
+        spark.range(600, 700).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+        ),
+        p,
+        mode="append",
+        txn=("mp_app", 41),
+    )
+    delta_delete_dv(spark, p, "k % 13 = 0")
+    expected = sorted((r["k"], r["v"]) for r in delta_read(spark, p).collect())
+
+    v = delta_checkpoint(spark, p, distributed=True, part_files=3)
+    parts = sorted(
+        _glob.glob(f"{p}/_delta_log/*.checkpoint.*.*.parquet")
+    )
+    assert len(parts) == 4  # 1 metadata part + 3 add parts
+    assert not _glob.glob(f"{p}/_delta_log/*.checkpoint.parquet")
+    lc = json.loads(open(f"{p}/_delta_log/_last_checkpoint").read())
+    assert lc["parts"] == 4 and lc["version"] == v
+    # live adds = 6 + 1 appended + DV re-stamps; pointer size counts them
+    assert lc["size"] >= 7 + 2
+
+    assert v in delta_log._list_checkpoints(spark, p)
+    # driver fold from the multi-part base
+    got = sorted((r["k"], r["v"]) for r in delta_read(spark, p).collect())
+    assert got == expected
+    assert delta_last_txn(spark, p, "mp_app") == 41
+    # distributed fold from the multi-part base
+    dist = sorted(
+        r["path"] for r in delta_snapshot_adds_df(spark, p).collect()
+    )
+    _, _, live, _ = delta_log._snapshot_state(spark, p)
+    assert dist == sorted(live)
+    # distributed READ path over the multi-part pointer
+    monkeypatch.setattr(delta_log, "_DIST_FOLD_ROWS", 1)
+    assert (
+        sorted((r["k"], r["v"]) for r in delta_read(spark, p).collect())
+        == expected
+    )
+    monkeypatch.setattr(delta_log, "_DIST_FOLD_ROWS", 100_000)
+    # tail append after the checkpoint folds on top of it
+    delta_write(
+        spark.range(700, 720).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+        ),
+        p,
+        mode="append",
+    )
+    assert delta_read(spark, p).count() == len(expected) + 20
+    # idempotent rewrite with a different part count replaces the set
+    delta_checkpoint(spark, p, version=v, distributed=True, part_files=2)
+    parts2 = sorted(_glob.glob(f"{p}/_delta_log/*.checkpoint.*.*.parquet"))
+    assert len(parts2) == 3
+    assert delta_read(spark, p).count() == len(expected) + 20
+    # a NEWER single-file checkpoint wins; cleanup reaps the old parts
+    delta_checkpoint(spark, p)
+    delta_cleanup_log(spark, p)
+    assert not _glob.glob(f"{p}/_delta_log/*.checkpoint.*.*.parquet")
+    assert delta_read(spark, p).count() == len(expected) + 20
+
+
 def test_zorder_three_columns_skips_on_each_dim(spark):
     """N-dim generalization: a 3-column OPTIMIZE ZORDER must (a) leave
     the row multiset untouched, (b) give footer-stats skipping on EVERY
