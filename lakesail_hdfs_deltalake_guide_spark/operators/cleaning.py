@@ -534,7 +534,141 @@ def clean_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hashing-trick linear quality classifier (the fastText-style
+# "wiki-reference" model the LLaMA/GPT-3 recipes run after the rule
+# gates). Feature space = 1024 hash buckets; the weight vector is a
+# deterministic planted stand-in derived from md5 (no pretrained
+# artifacts exist in this sandbox) — the Spark-side plumbing (token
+# hashing on the scan, the broadcast weight vector, one corpus pass,
+# exact integer score) is the production shape; deployment swaps the
+# planted table for trained weights without touching the plan.
+CLS_BUCKETS = 1024
+CLS_WEIGHT_SPAN = 2001  # weights in [-1000, 1000] milli-units
+
+
+def clean_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the classifier archetype the
+    rule/repetition/perplexity tiers don't cover: score every document
+    with a hashed bag-of-words linear model (mean token weight in exact
+    milli-units), gate at score ≥ 0, and report the per-language pass
+    ledger.
+
+    score_milli(doc) = (Σ_t w[h(t)]) DIV n_tokens, with
+    h(t) = md5_32("q:" || t) mod 1024 and
+    w[b] = md5_32("w:" || b) mod 2001 − 1000 — both hashes are the
+    repo's standard 32-bit md5-prefix construction, so the DuckDB twin
+    reproduces every score bit-for-bit.
+
+    Plan shape: ONE token explosion; the bucket hash is codegen'd scan
+    arithmetic; the 1024-row weight vector joins by broadcast (at any
+    scale a real model's hashed weight table is KB–MB — always
+    broadcast); per-doc and per-language aggregations are ordinary
+    partial+final hash aggs. Nothing shuffles text."""
+    d = load_table(spark, sf_dir, "documents")
+    weights = spark.range(CLS_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CLS_WEIGHT_SPAN
+            - (CLS_WEIGHT_SPAN - 1) // 2
+        ).alias("w_milli"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("q:"), F.col("token"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % CLS_BUCKETS
+    )
+    pairs = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).select("doc_id", "lang", bucket.alias("bucket"))
+    per_doc = (
+        pairs.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_milli").alias("w_sum"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("w_sum DIV n_tokens").alias("score_milli"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("score_milli") >= 0, 1).otherwise(0)
+            ).alias("n_pass"),
+            F.min("score_milli").alias("min_score_milli"),
+            F.max("score_milli").alias("max_score_milli"),
+            F.expr("SUM(score_milli) DIV COUNT(*)").alias(
+                "avg_score_milli"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_pass",
+            F.expr("n_pass * 1000000 DIV n_docs").alias("pass_ppm"),
+            "min_score_milli",
+            "max_score_milli",
+            "avg_score_milli",
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "clean_classifier_quality",
+        clean_classifier_quality,
+        f"""
+        WITH pairs AS (
+          SELECT doc_id, lang,
+                 CAST(concat('0x', substring(md5(concat('q:', token)), 1, 8))
+                      AS BIGINT) % {CLS_BUCKETS} AS bucket
+          FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+                FROM documents)),
+        weights AS (
+          SELECT b AS bucket,
+                 CAST(concat('0x', substring(md5(concat('w:', CAST(b AS VARCHAR))), 1, 8))
+                      AS BIGINT) % {CLS_WEIGHT_SPAN}
+                   - {(CLS_WEIGHT_SPAN - 1) // 2} AS w_milli
+          FROM (SELECT unnest(range(0, {CLS_BUCKETS})) AS b)),
+        per_doc AS (
+          SELECT doc_id, lang,
+                 CAST(SUM(w_milli) AS BIGINT) // COUNT(*) AS score_milli
+          FROM pairs JOIN weights USING (bucket)
+          GROUP BY doc_id, lang)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN score_milli >= 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_pass,
+               CAST(SUM(CASE WHEN score_milli >= 0 THEN 1 ELSE 0 END)
+                 * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm,
+               CAST(MIN(score_milli) AS BIGINT) AS min_score_milli,
+               CAST(MAX(score_milli) AS BIGINT) AS max_score_milli,
+               CAST(SUM(score_milli) // COUNT(*) AS BIGINT)
+                 AS avg_score_milli
+        FROM per_doc GROUP BY lang ORDER BY lang
+        """,
+        tags=("extension", "cleaning", "pipeline", "classifier"),
+        description="Hashed bag-of-words linear quality classifier "
+        "(fastText archetype): broadcast weight vector, exact "
+        "milli-unit scores, per-language pass ledger.",
+    ),
     QueryDef(
         "clean_gopher_quality_rules",
         clean_gopher_quality_rules,

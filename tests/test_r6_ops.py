@@ -145,6 +145,55 @@ def test_url_canonical_dedup_normalizes_and_tiles(spark, sf_smoke):
     assert first["keeper_doc_id"] == 0
 
 
+def test_classifier_quality_scores_and_plan(spark, sf_smoke):
+    """Hashed-linear-classifier invariants: mean token weight stays in
+    the weight span, the pass ledger tiles, the planted weight vector
+    matches a pure-Python md5 recompute, and the weight join is a
+    broadcast (the model must never shuffle the corpus)."""
+    import hashlib
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+        CLS_BUCKETS,
+        CLS_WEIGHT_SPAN,
+        clean_classifier_quality,
+    )
+
+    df = clean_classifier_quality(spark, sf_smoke)
+    rows = df.collect()
+    d = load_table(spark, sf_smoke, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    half = (CLS_WEIGHT_SPAN - 1) // 2
+    for r in rows:
+        assert 0 <= r["n_pass"] <= r["n_docs"]
+        assert r["pass_ppm"] == r["n_pass"] * 1_000_000 // r["n_docs"]
+        assert -half <= r["min_score_milli"] <= r["max_score_milli"] <= half
+        assert r["min_score_milli"] <= r["avg_score_milli"] <= r["max_score_milli"]
+    # planted weight determinism: bucket 7's weight recomputed by hand
+    w7 = int(hashlib.md5(b"w:7").hexdigest()[:8], 16) % CLS_WEIGHT_SPAN - half
+    got = (
+        spark.range(CLS_BUCKETS)
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % CLS_WEIGHT_SPAN
+                - half
+            ).alias("w")
+        )
+        .collect()[7]["w"]
+    )
+    assert got == w7
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_cdf_scd2_history_invariants(spark, sf_smoke):
     """Structural SCD2 invariants independent of the oracle: intervals
     per key are contiguous in commit-version time (each close equals
