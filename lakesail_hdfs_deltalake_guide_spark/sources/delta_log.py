@@ -360,6 +360,10 @@ def _checkpoint_arrow_schema():
                         # start (PROTOCOL.md add.baseRowId); null on
                         # tables without the feature
                         ("baseRowId", pa.int64()),
+                        # PROTOCOL.md add.tags ("map containing metadata
+                        # about this logical file") — carries the ZCube
+                        # id/spec that makes OPTIMIZE ZORDER incremental
+                        ("tags", pa.map_(pa.string(), pa.string())),
                     ]
                 ),
             ),
@@ -450,7 +454,7 @@ def delta_checkpoint(
             {
                 "protocol": None,
                 "metaData": None,
-                "add": _maps_to_items(add, ("partitionValues",)),
+                "add": _maps_to_items(add, ("partitionValues", "tags")),
                 "txn": None,
             }
         )
@@ -691,6 +695,8 @@ def _read_checkpoint(
             add = {k: v for k, v in row["add"].items() if v is not None}
             if isinstance(add.get("partitionValues"), list):
                 add["partitionValues"] = dict(add["partitionValues"])
+            if isinstance(add.get("tags"), list):
+                add["tags"] = dict(add["tags"])
             live[add["path"]] = add
     return proto, meta, live, txns
 
@@ -866,6 +872,7 @@ def _add_spark_schema():
                 ),
             ),
             StructField("baseRowId", LongType()),
+            StructField("tags", MapType(StringType(), StringType())),
         ]
     )
 
@@ -2513,6 +2520,7 @@ def delta_optimize_zorder(
     cols: list[str],
     target_files: int = 8,
     bits: int | None = None,
+    incremental: bool = False,
 ) -> int:
     """OPTIMIZE ... ZORDER BY (col_1, ..., col_n): rewrite the live set
     clustered on the N-dim Morton interleave of the keys, so per-file
@@ -2524,7 +2532,17 @@ def delta_optimize_zorder(
     by the rewrite). Bit-interleave is pure column arithmetic
     (whole-stage codegen) and the write is one range exchange on the
     z-value. ``bits`` defaults to the finest per-dimension resolution
-    that fits the 62-bit z-lane (16 for 2–3 cols, 15 for 4, ...)."""
+    that fits the 62-bit z-lane (16 for 2–3 cols, 15 for 4, ...).
+
+    Every clustered file is stamped with a ZCube id + column spec in
+    ``add.tags`` (the PROTOCOL.md metadata map — delta-spark's own
+    OPTIMIZE bookkeeping location). ``incremental=True`` then rewrites
+    ONLY the files outside a matching cube — freshly appended files,
+    files clustered on a different column list, and DV-carrying files
+    (their row set changed) — and is a zero-commit no-op when nothing
+    qualifies. At 100 TB this is what makes re-clustering after daily
+    appends O(new data) instead of O(table): delta-spark's ZCube
+    design, reproduced on the native log."""
     from .layout import zorder_key_n
 
     if len(cols) < 2:
@@ -2536,8 +2554,22 @@ def delta_optimize_zorder(
         raise ValueError(f"no delta table at {path}")
     snap = versions0[-1]
     _, meta, live, _ = _snapshot_state(spark, path, snap)
+    zcube_spec = json.dumps(list(cols))
+    if incremental:
+        rewrite = {
+            f: a
+            for f, a in live.items()
+            if (a.get("tags") or {}).get("ZCUBE_ZORDER_BY") != zcube_spec
+            or a.get("deletionVector")
+        }
+        if not rewrite:
+            return snap  # fully clustered — nothing to commit
+    else:
+        rewrite = dict(live)
     rt = _rt_enabled(meta)
-    current = delta_read(spark, path, version=snap, row_ids=rt)
+    current = _read_affected_files(
+        spark, path, meta, live, sorted(rewrite), with_row_ids=rt
+    )
     # normalize each key to the full bit range before interleaving —
     # raw keys of different magnitudes would let the wider key's high
     # bits dominate every z prefix and the narrow key would never
@@ -2567,7 +2599,7 @@ def delta_optimize_zorder(
     )
     version = snap + 1
     actions: list[dict] = [_commit_info("OPTIMIZE ZORDER")]
-    for f in sorted(live):
+    for f in sorted(rewrite):
         actions.append(
             {
                 "remove": {
@@ -2583,8 +2615,13 @@ def delta_optimize_zorder(
         path,
         stats_cols=[pm.get(c, c) for c in cols],
     )
+    cube_id = uuid.uuid4().hex
     for a in adds:
         a["add"]["dataChange"] = False
+        a["add"]["tags"] = {
+            "ZCUBE_ID": cube_id,
+            "ZCUBE_ZORDER_BY": zcube_spec,
+        }
     rt_action = _rt_assign(spark, path, meta, adds)
     if rt_action is not None:
         actions.append(rt_action)

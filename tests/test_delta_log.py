@@ -2938,6 +2938,95 @@ def test_zorder_three_columns_skips_on_each_dim(spark):
     assert delta_read(spark, p4).count() == 4000
 
 
+def test_incremental_zorder_rewrites_only_unclustered_files(spark):
+    """ZCube bookkeeping in add.tags: after a full OPTIMIZE ZORDER, an
+    incremental run [1] leaves the clustered cube's files in place and
+    rewrites only freshly appended files, [2] is a zero-commit no-op
+    when everything is clustered (also across a checkpoint and through
+    the DISTRIBUTED fold — tags must survive both), [3] re-rewrites a
+    file once a deletion vector lands on it, and [4] never changes the
+    row multiset."""
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_checkpoint,
+        delta_delete_dv,
+        delta_live_adds,
+        delta_optimize_zorder,
+        delta_snapshot_adds_df,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_zo_inc_")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("x"), ((F.col("id") * 37) % 500).alias("y")
+    )
+    delta_write(df.repartition(4), p, stats_cols=["x", "y"])
+    v1 = delta_optimize_zorder(spark, p, ["x", "y"], target_files=4)
+    cube_files = set(f for f, a in delta_live_adds(spark, p))
+    tags = {a["tags"]["ZCUBE_ID"] for _, a in delta_live_adds(spark, p)}
+    assert len(tags) == 1  # one cube
+    delta_write(
+        spark.range(2000, 2300).select(
+            F.col("id").alias("x"), ((F.col("id") * 37) % 500).alias("y")
+        ).repartition(2),
+        p,
+        mode="append",
+    )
+    appended = set(f for f, _ in delta_live_adds(spark, p)) - cube_files
+    assert len(appended) == 2
+    v3 = delta_optimize_zorder(
+        spark, p, ["x", "y"], target_files=2, incremental=True
+    )
+    assert v3 == v1 + 2
+    live_now = dict(delta_live_adds(spark, p))
+    assert cube_files <= set(live_now)  # old cube untouched
+    assert appended.isdisjoint(live_now)  # appended files re-clustered
+    assert {a["tags"]["ZCUBE_ZORDER_BY"] for a in live_now.values()} == {
+        '["x", "y"]'
+    }
+    assert delta_read(spark, p).count() == 2300
+    # fully clustered → no-op, with tags resolved THROUGH a checkpoint
+    delta_checkpoint(spark, p)
+    assert (
+        delta_optimize_zorder(spark, p, ["x", "y"], incremental=True) == v3
+    )
+    # ...and through the distributed fold
+    dist_tags = {
+        r["tags"]["ZCUBE_ZORDER_BY"]
+        for r in delta_snapshot_adds_df(spark, p).collect()
+    }
+    assert dist_tags == {'["x", "y"]'}
+    # a different column spec re-clusters everything
+    assert len(
+        {
+            f
+            for f, a in delta_live_adds(spark, p)
+            if (a.get("tags") or {}).get("ZCUBE_ZORDER_BY") != '["y", "x"]'
+        }
+    ) == len(live_now)
+    # DV landing on a cube file forces its rewrite (and only its cube's
+    # affected files)
+    delta_delete_dv(spark, p, "x % 501 = 0")
+    dv_files = {
+        f
+        for f, a in delta_live_adds(spark, p)
+        if a.get("deletionVector")
+    }
+    assert dv_files
+    before_other = {
+        f
+        for f, a in delta_live_adds(spark, p)
+        if not a.get("deletionVector")
+    }
+    delta_optimize_zorder(spark, p, ["x", "y"], incremental=True)
+    after = dict(delta_live_adds(spark, p))
+    assert dv_files.isdisjoint(after)  # DV files rewritten
+    assert before_other <= set(after)  # clean cube files untouched
+    assert not any(a.get("deletionVector") for a in after.values())
+    assert delta_read(spark, p).count() == 2300 - len(
+        [x for x in range(2300) if x % 501 == 0]
+    )
+
+
 def test_zorder_key_wrapper_is_bit_identical_to_n_dim(spark):
     """zorder_key (the 2-dim entry point every existing caller uses) and
     zorder_key_n([a, b]) must produce the same z-value bit-for-bit."""
