@@ -52,7 +52,7 @@ _MAX_WRITER_IMPLEMENTED = 3
 # does not (a feature-aware engine that ignored an unknown feature
 # would read WRONG data, not degraded data).
 _READER_FEATURES_IMPLEMENTED = frozenset(
-    {"deletionVectors", "columnMapping", "typeWidening"}
+    {"deletionVectors", "columnMapping", "typeWidening", "v2Checkpoint"}
 )
 _WRITER_FEATURES_IMPLEMENTED = frozenset(
     {
@@ -75,6 +75,7 @@ _WRITER_FEATURES_IMPLEMENTED = frozenset(
         # (writerFeatures are ignored on the read path).
         "lakesailRowTracking",
         "typeWidening",
+        "v2Checkpoint",
     }
 )
 
@@ -134,6 +135,23 @@ _CKPT_PART_RE = _re.compile(
     r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
 )
 
+# V2 checkpoints (PROTOCOL.md "V2 Spec Checkpoints", reader/writer table
+# feature ``v2Checkpoint``): a UUID-named top file
+# ``<v>.checkpoint.<uniqueStr>.parquet`` holding the metadata-sized
+# actions (protocol/metaData/txn) plus ONE checkpointMetadata action and
+# ``sidecar`` actions pointing at parquet files under
+# ``_delta_log/_sidecars/`` that carry the add actions. The layout
+# delta-spark writes for modern tables — and the natural fit for the
+# distributed checkpoint job: each Spark output part becomes one
+# sidecar, registered by name in the top file, so checkpoint writing,
+# listing and folding are all O(metadata) on the driver at any table
+# size. Sidecar remove actions (vacuum tombstones) don't affect live
+# state and are ignored by the fold, exactly like classic tails.
+_CKPT_V2_RE = _re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-zA-Z-]+)\.parquet$"
+)
+_SIDECAR_DIR = "_sidecars"
+
 
 def _checkpoint_part_file(
     path: str, version: int, part: int, parts: int
@@ -144,27 +162,65 @@ def _checkpoint_part_file(
     )
 
 
+def _read_parquet_bytes(spark: SparkSession, file: str):
+    """One log parquet file as a pyarrow table, via the Hadoop
+    FileSystem (same scheme support as the JSON commits)."""
+    import io as _io
+
+    import pyarrow.parquet as pq
+
+    fs, hpath, jvm = _hadoop_fs(spark, file)
+    stream = fs.open(hpath)
+    try:
+        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return pq.read_table(_io.BytesIO(raw))
+
+
 def _checkpoint_files(spark: SparkSession, path: str, version: int) -> list[str]:
-    """The checkpoint's file set at ``version``: the single classic file
-    if present, else the complete multi-part set (part order)."""
+    """The checkpoint's file set at ``version``, metadata-first: the
+    single classic file; or the complete multi-part set (part order);
+    or the V2 top file followed by its sidecars (the top file lists
+    them — one small driver read resolves the set). In every layout,
+    file [0] is the one holding the metadata-sized actions."""
     single = _checkpoint_file(path, version)
     fs, hpath, _ = _hadoop_fs(spark, single)
     if fs.exists(hpath):
         return [single]
     fs, log_path, _ = _hadoop_fs(spark, _log_dir(path))
     by_n: dict[int, dict[int, str]] = {}
+    v2_tops: list[str] = []
     for status in fs.listStatus(log_path):
-        m = _CKPT_PART_RE.match(status.getPath().getName())
+        name = status.getPath().getName()
+        m = _CKPT_PART_RE.match(name)
         if m and int(m.group(1)) == version:
             by_n.setdefault(int(m.group(3)), {})[int(m.group(2))] = (
-                f"{_log_dir(path)}/{m.group(0)}"
+                f"{_log_dir(path)}/{name}"
             )
+            continue
+        m = _CKPT_V2_RE.match(name)
+        if m and int(m.group(1)) == version:
+            v2_tops.append(f"{_log_dir(path)}/{name}")
     for n, parts in sorted(by_n.items()):
         if set(parts) == set(range(1, n + 1)):
             return [parts[i] for i in range(1, n + 1)]
+    if v2_tops:
+        top = sorted(v2_tops)[-1]
+        files = [top]
+        for row in _read_parquet_bytes(spark, top).to_pylist():
+            sc = row.get("sidecar")
+            if sc is not None and sc.get("path"):
+                p = sc["path"]
+                files.append(
+                    p
+                    if _is_absolute_ref(p)
+                    else f"{_log_dir(path)}/{_SIDECAR_DIR}/{p}"
+                )
+        return files
     raise ValueError(
         f"checkpoint {version} of {path} is incomplete: no complete "
-        f"part set among {sorted(by_n)}"
+        f"part set among {sorted(by_n)} and no v2 top file"
     )
 
 
@@ -205,6 +261,12 @@ def _list_checkpoints(spark: SparkSession, path: str) -> list[int]:
             multi.setdefault(
                 (int(m.group(1)), int(m.group(3))), set()
             ).add(int(m.group(2)))
+            continue
+        m = _CKPT_V2_RE.match(name)
+        if m:
+            # the UUID-named top file is written LAST (after its
+            # sidecars), so its existence means the checkpoint is whole
+            versions.append(int(m.group(1)))
     for (v, n), seen in multi.items():
         if seen == set(range(1, n + 1)):
             versions.append(v)
@@ -387,12 +449,201 @@ def _maps_to_items(action: dict | None, keys: tuple[str, ...]) -> dict | None:
     return out
 
 
+def delta_enable_v2_checkpoints(spark: SparkSession, path: str) -> int:
+    """Commit the protocol upgrade that opts the table into V2
+    checkpoints (reader+writer table feature ``v2Checkpoint``,
+    delta-spark's ``delta.checkpointPolicy = v2``). Existing declared
+    features are preserved; legacy-implied features this engine does
+    not enforce (appendOnly, invariants — never configured on tables
+    it creates) are deliberately NOT claimed, so foreign writers don't
+    assume enforcement that isn't there. Returns the upgrade commit's
+    version."""
+    proto, meta, _, _ = _snapshot_state(spark, path)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    proto = proto or dict(_PROTOCOL)
+    reader = set(proto.get("readerFeatures") or [])
+    writer = set(proto.get("writerFeatures") or [])
+    if "v2Checkpoint" in reader and "v2Checkpoint" in writer:
+        return _list_versions(spark, path)[-1]
+    reader.add("v2Checkpoint")
+    writer |= {"v2Checkpoint", "checkConstraints"}
+    version = _list_versions(spark, path)[-1] + 1
+    actions = [
+        _commit_info("UPGRADE PROTOCOL"),
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": sorted(reader),
+                "writerFeatures": sorted(writer),
+            }
+        },
+    ]
+    try:
+        _write_commit(spark, path, version, actions)
+    except RuntimeError:
+        raise DeltaConcurrentModification(
+            f"a concurrent commit landed during the protocol upgrade of "
+            f"{path}; re-run against the new snapshot"
+        ) from None
+    return version
+
+
+def _checkpoint_v2(
+    spark: SparkSession, path: str, target: int, part_files: int
+) -> int:
+    """V2 checkpoint writer: the add actions become ``part_files``
+    sidecar parquet files under ``_delta_log/_sidecars/`` (written as a
+    Spark job — never a driver row list), then ONE UUID-named top file
+    carries protocol/metaData/txn + checkpointMetadata + the sidecar
+    registry, published last so listing only ever sees whole
+    checkpoints. Requires the table to declare the ``v2Checkpoint``
+    feature (:func:`delta_enable_v2_checkpoints`)."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    proto, meta, _, txns = _snapshot_state(
+        spark, path, target, include_adds=False
+    )
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    feats = set((proto or {}).get("readerFeatures") or [])
+    if "v2Checkpoint" not in feats:
+        raise ValueError(
+            f"table at {path} does not declare the v2Checkpoint feature; "
+            "run delta_enable_v2_checkpoints first (a v2 checkpoint on an "
+            "un-upgraded table would break readers that only know the "
+            "classic layout)"
+        )
+    adds_df = delta_snapshot_adds_df(spark, path, target)
+    cols = [f.name for f in _add_spark_schema().fields]
+    staging = f"{_log_dir(path)}/.ckpt-staging-{uuid.uuid4().hex}"
+    (
+        adds_df.select(F.struct(*[F.col(c) for c in cols]).alias("add"))
+        .repartition(part_files)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    fs, staging_path, jvm = _hadoop_fs(spark, staging)
+    staged = sorted(
+        s.getPath().getName()
+        for s in fs.listStatus(staging_path)
+        if s.getPath().getName().endswith(".parquet")
+    )
+    pa_fs, pa_root = pafs.FileSystem.from_uri(staging)
+    n_adds = sum(
+        pq.read_metadata(f"{pa_root}/{s}", filesystem=pa_fs).num_rows
+        for s in staged
+    )
+    side_dir = f"{_log_dir(path)}/{_SIDECAR_DIR}"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(side_dir))
+    sidecars: list[dict] = []
+    for name in staged:
+        sc_name = f"{uuid.uuid4().hex}.parquet"
+        src = jvm.org.apache.hadoop.fs.Path(f"{staging}/{name}")
+        size = fs.getFileStatus(src).getLen()
+        dst = jvm.org.apache.hadoop.fs.Path(f"{side_dir}/{sc_name}")
+        if not fs.rename(src, dst):
+            raise RuntimeError(
+                f"failed to publish checkpoint sidecar at {path}"
+            )
+        sidecars.append(
+            {
+                "path": sc_name,
+                "sizeInBytes": int(size),
+                "modificationTime": int(time.time() * 1000),
+            }
+        )
+    fs.delete(staging_path, True)
+    base = _checkpoint_arrow_schema()
+    schema = pa.schema(
+        list(base)
+        + [
+            pa.field(
+                "checkpointMetadata",
+                pa.struct([("version", pa.int64())]),
+            ),
+            pa.field(
+                "sidecar",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("sizeInBytes", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    blank = {
+        "protocol": None,
+        "metaData": None,
+        "add": None,
+        "txn": None,
+        "checkpointMetadata": None,
+        "sidecar": None,
+    }
+    rows: list[dict] = [
+        blank | {"checkpointMetadata": {"version": target}},
+        blank | {"protocol": dict(proto or _PROTOCOL)},
+        blank
+        | {
+            "metaData": _maps_to_items(meta, ("configuration",))
+            | {
+                "format": _maps_to_items(meta.get("format", {}), ("options",))
+            }
+        },
+    ]
+    for app_id, v in sorted(txns.items()):
+        rows.append(blank | {"txn": {"appId": app_id, "version": v}})
+    for sc in sidecars:
+        rows.append(blank | {"sidecar": sc})
+    buf = _io.BytesIO()
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), buf)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{_log_dir(path)}/.tmp-ckpt-{uuid.uuid4().hex}"
+    )
+    stream = fs.create(tmp, False)
+    try:
+        stream.write(buf.getvalue())
+    finally:
+        stream.close()
+    top = jvm.org.apache.hadoop.fs.Path(
+        f"{_log_dir(path)}/{target:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+    )
+    if not fs.rename(tmp, top):
+        fs.delete(tmp, False)
+        raise RuntimeError(f"failed to publish checkpoint {target} at {path}")
+    pointer = jvm.org.apache.hadoop.fs.Path(
+        f"{_log_dir(path)}/_last_checkpoint"
+    )
+    stream = fs.create(pointer, True)
+    try:
+        stream.write(
+            json.dumps(
+                {
+                    "version": target,
+                    "size": n_adds + len(rows),
+                    "sidecars": len(sidecars),
+                }
+            ).encode()
+        )
+    finally:
+        stream.close()
+    return target
+
+
 def delta_checkpoint(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     distributed: bool = False,
     part_files: int = 8,
+    format: str = "classic",
 ) -> int:
     """Write a protocol-conformant parquet checkpoint of the snapshot at
     ``version`` (latest if None) and re-point ``_last_checkpoint``.
@@ -414,6 +665,10 @@ def delta_checkpoint(
     if not versions:
         raise ValueError(f"no delta table at {path}")
     target = versions[-1] if version is None else version
+    if format == "v2":
+        return _checkpoint_v2(spark, path, target, part_files)
+    if format != "classic":
+        raise ValueError(f"unknown checkpoint format {format!r}")
     if distributed:
         return _checkpoint_distributed(spark, path, target, part_files)
     proto, meta, live, txns = _snapshot_state(spark, path, target)
@@ -2778,12 +3033,35 @@ def delta_cleanup_log(spark: SparkSession, path: str) -> list[int]:
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(_checkpoint_file(path, c)), False
         )
-    # multi-part checkpoints below the cutoff: every part goes
+    # multi-part checkpoints below the cutoff: every part goes; v2 tops
+    # below the cutoff go too, and sidecars survive only while a
+    # RETAINED v2 top still references them
     log_path = jvm.org.apache.hadoop.fs.Path(_log_dir(path))
+    keep_sidecars: set[str] = set()
     for st in fs.listStatus(log_path):
-        m = _CKPT_PART_RE.match(st.getPath().getName())
+        name = st.getPath().getName()
+        m = _CKPT_PART_RE.match(name)
         if m and int(m.group(1)) < cutoff:
             fs.delete(st.getPath(), False)
+            continue
+        m = _CKPT_V2_RE.match(name)
+        if m:
+            if int(m.group(1)) < cutoff:
+                fs.delete(st.getPath(), False)
+            else:
+                for row in _read_parquet_bytes(
+                    spark, f"{_log_dir(path)}/{name}"
+                ).to_pylist():
+                    sc = row.get("sidecar")
+                    if sc is not None and sc.get("path"):
+                        keep_sidecars.add(sc["path"])
+    side_path = jvm.org.apache.hadoop.fs.Path(
+        f"{_log_dir(path)}/{_SIDECAR_DIR}"
+    )
+    if fs.exists(side_path):
+        for st in fs.listStatus(side_path):
+            if st.getPath().getName() not in keep_sidecars:
+                fs.delete(st.getPath(), False)
     return deleted
 
 

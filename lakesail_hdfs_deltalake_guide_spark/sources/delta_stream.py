@@ -145,11 +145,19 @@ def _resolve_meta_proto(path: str) -> tuple[dict, dict | None]:
         _part1 = _re.compile(
             r"\.checkpoint\.0000000001\.\d{10}\.parquet$"
         )
+        # v2 (uuid-named) top files also hold the metadata actions
+        _v2top = _re.compile(
+            r"\.checkpoint\.[0-9a-zA-Z-]+\.parquet$"
+        )
         ckpts = sorted(
             info.path
             for info in infos
             if info.base_name.endswith(".checkpoint.parquet")
             or _part1.search(info.base_name)
+            or (
+                _v2top.search(info.base_name)
+                and not _re.search(r"\.\d{10}\.\d{10}\.parquet$", info.base_name)
+            )
         )
         if ckpts:
             for row in pq.read_table(ckpts[-1], filesystem=fsys).to_pylist():

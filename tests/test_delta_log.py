@@ -465,7 +465,7 @@ def test_reader_refuses_higher_protocol_version(spark, sf_smoke):
     path = tempfile.mkdtemp(prefix="ls_dl_proto_r_")
     delta_write(n, path, mode="overwrite")  # v0, protocol (1, 2)
     # a foreign writer upgrades the table to reader v3 / writer v7 with
-    # a table feature this engine does not implement (v2 checkpoints)
+    # a table feature this engine does not implement
     delta_log._write_commit(
         spark,
         path,
@@ -475,15 +475,15 @@ def test_reader_refuses_higher_protocol_version(spark, sf_smoke):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["v2Checkpoint"],
-                    "writerFeatures": ["v2Checkpoint"],
+                    "readerFeatures": ["icebergCompatV9"],
+                    "writerFeatures": ["icebergCompatV9"],
                 }
             }
         ],
     )
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="icebergCompatV9"):
         delta_read(spark, path)
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="icebergCompatV9"):
         delta_write(n, path, mode="append")  # replan folds the log too
     # snapshots below the upgrade commit are still this reader's dialect
     assert delta_read(spark, path, version=0).count() == n.count()
@@ -2887,6 +2887,83 @@ def test_distributed_multipart_checkpoint_roundtrip(spark, monkeypatch):
     delta_cleanup_log(spark, p)
     assert not _glob.glob(f"{p}/_delta_log/*.checkpoint.*.*.parquet")
     assert delta_read(spark, p).count() == len(expected) + 20
+
+
+def test_v2_checkpoint_roundtrip_and_gating(spark, monkeypatch):
+    """V2 checkpoints: writing requires the table to declare the
+    v2Checkpoint feature; the UUID-named top file + sidecar layout is
+    then the fold base for the driver fold, the distributed fold,
+    delta_last_txn, and folds with a JSON tail on top; log cleanup
+    reaps superseded tops AND their orphaned sidecars."""
+    import glob as _glob
+
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_checkpoint,
+        delta_cleanup_log,
+        delta_delete_dv,
+        delta_enable_v2_checkpoints,
+        delta_last_txn,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_v2ck_")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    )
+    delta_write(df.repartition(4), p, stats_cols=["k"])
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        delta_checkpoint(spark, p, format="v2")
+    delta_write(
+        spark.range(500, 550).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+        ),
+        p,
+        mode="append",
+        txn=("v2app", 7),
+    )
+    delta_delete_dv(spark, p, "k % 17 = 0")
+    expected = sorted((r["k"], r["v"]) for r in delta_read(spark, p).collect())
+    up_v = delta_enable_v2_checkpoints(spark, p)
+    # idempotent
+    assert delta_enable_v2_checkpoints(spark, p) == up_v
+    v = delta_checkpoint(spark, p, format="v2", part_files=3)
+    assert v == up_v
+    tops = _glob.glob(f"{p}/_delta_log/*.checkpoint.*.parquet")
+    assert len(tops) == 1 and ".checkpoint.parquet" not in tops[0]
+    sidecars = _glob.glob(f"{p}/_delta_log/_sidecars/*.parquet")
+    assert len(sidecars) == 3
+    lc = json.loads(open(f"{p}/_delta_log/_last_checkpoint").read())
+    assert lc["version"] == v and lc["sidecars"] == 3
+    assert v in delta_log._list_checkpoints(spark, p)
+    # driver fold from the v2 base
+    got = sorted((r["k"], r["v"]) for r in delta_read(spark, p).collect())
+    assert got == expected
+    assert delta_last_txn(spark, p, "v2app") == 7
+    # distributed fold + distributed READ from the v2 base
+    monkeypatch.setattr(delta_log, "_DIST_FOLD_ROWS", 1)
+    assert (
+        sorted((r["k"], r["v"]) for r in delta_read(spark, p).collect())
+        == expected
+    )
+    monkeypatch.setattr(delta_log, "_DIST_FOLD_ROWS", 100_000)
+    # JSON tail after the v2 checkpoint folds on top of it
+    delta_write(
+        spark.range(550, 560).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+        ),
+        p,
+        mode="append",
+    )
+    assert delta_read(spark, p).count() == len(expected) + 10
+    # a newer classic checkpoint supersedes it; cleanup reaps top+sidecars
+    delta_checkpoint(spark, p)
+    delta_cleanup_log(spark, p)
+    assert not _glob.glob(f"{p}/_delta_log/_sidecars/*.parquet")
+    remaining = _glob.glob(f"{p}/_delta_log/*.checkpoint.*")
+    assert all(t.endswith(".checkpoint.parquet") for t in remaining)
+    assert delta_read(spark, p).count() == len(expected) + 10
 
 
 def test_zorder_three_columns_skips_on_each_dim(spark):
