@@ -4362,6 +4362,104 @@ def delta_native_checkpoint_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_v2_checkpoint_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 checkpoint as the ONLY fold base: part lands in two append
+    halves, a DV delete re-stamps files, the protocol upgrades to
+    v2Checkpoint and a sidecar-backed V2 checkpoint is written; log
+    cleanup then deletes every pre-checkpoint JSON commit, and a tail
+    append lands AFTER the checkpoint — so the final read MUST resolve
+    from UUID-top + sidecars + tail (asserted in-flight: no classic
+    checkpoint exists, sidecars do). Totals oracle against plain SQL."""
+    import glob as _glob
+    import tempfile
+
+    from ..tables import load_table
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_v2fold_")
+    delta_write(p.where("p_partkey % 2 = 0").repartition(2), path)
+    delta_write(p.where("p_partkey % 2 = 1"), path, mode="append")
+    delta_delete_dv(spark, path, "p_partkey % 9 = 0")
+    delta_enable_v2_checkpoints(spark, path)
+    v = delta_checkpoint(spark, path, format="v2", part_files=3)
+    if not delta_cleanup_log(spark, path):
+        raise RuntimeError("cleanup should remove pre-checkpoint commits")
+    extra = p.where("p_partkey % 10 = 0").select(
+        (F.col("p_partkey") + 1000000).alias("p_partkey"), "cents"
+    )
+    delta_write(extra, path, mode="append")
+    fs, single, _ = _hadoop_fs(spark, _checkpoint_file(path, v))
+    if fs.exists(single):
+        raise AssertionError("fold base must be the v2 top, not classic")
+    if not _glob.glob(f"{path}/_delta_log/_sidecars/*.parquet"):
+        raise AssertionError("v2 checkpoint wrote no sidecars")
+    return (
+        delta_read(spark, path)
+        .groupBy((F.col("p_partkey") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def delta_native_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE ZORDER: the first two-thirds of orders is
+    fully z-ordered (one ZCube), the last third appended afterwards;
+    ``incremental=True`` must rewrite ONLY the appended files — the
+    original cube's files are asserted still-live, every live file
+    carries the cube spec tag, and an immediate re-run is a
+    zero-commit no-op. The banded pruned read then oracles against the
+    layout-independent SQL — re-clustering after appends stays
+    O(new data) without changing a single row."""
+    import tempfile
+
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_zo_inc_q_")
+    dims = ["o_custkey", "o_orderkey"]
+    delta_write(
+        o.where("o_orderkey % 3 != 0").repartition(6), path, stats_cols=dims
+    )
+    delta_optimize_zorder(spark, path, dims, target_files=4)
+    cube = set(delta_live_files(spark, path))
+    delta_write(
+        o.where("o_orderkey % 3 = 0").repartition(2), path, mode="append"
+    )
+    v = delta_optimize_zorder(
+        spark, path, dims, target_files=2, incremental=True
+    )
+    live = dict(delta_live_adds(spark, path))
+    if not cube <= set(live):
+        raise AssertionError("incremental zorder rewrote the clustered cube")
+    if any(
+        (a.get("tags") or {}).get("ZCUBE_ZORDER_BY") != json.dumps(dims)
+        for a in live.values()
+    ):
+        raise AssertionError("live files missing the ZCube spec tag")
+    if delta_optimize_zorder(spark, path, dims, incremental=True) != v:
+        raise AssertionError("re-run on a clustered table must be a no-op")
+    lo, hi = 100, 500
+    pruned = delta_read(spark, path, range_filter={"o_custkey": (lo, hi)})
+    return (
+        pruned.where(F.col("o_custkey").between(lo, hi))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.countDistinct("o_orderkey").alias("n_orders_distinct"),
+        )
+    )
+
+
 def delta_native_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on append (reference README.md:302): the first
     commit has two columns, the append carries a third with
@@ -5344,6 +5442,42 @@ QUERIES: list[QueryDef] = [
         tags=("parity", "delta", "io"),
         description="CDC version diff between two MVCC snapshots of the "
         "native Delta log.",
+    ),
+    QueryDef(
+        "delta_native_v2_checkpoint_fold",
+        delta_native_v2_checkpoint_fold,
+        """
+        WITH base AS (
+          SELECT p_partkey AS k,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+          FROM part),
+        kept AS (SELECT k, cents FROM base WHERE k % 9 <> 0),
+        extra AS (SELECT k + 1000000 AS k, cents FROM base WHERE k % 10 = 0),
+        allr AS (SELECT * FROM kept UNION ALL SELECT * FROM extra)
+        SELECT k % 7 AS bucket, COUNT(*) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM allr GROUP BY bucket ORDER BY bucket
+        """,
+        tags=("parity", "delta", "io", "checkpoint"),
+        description="V2 checkpoint (UUID top + sidecars) as the only "
+        "fold base after log cleanup, with DV state and a JSON tail on "
+        "top; classic-absence and sidecar presence asserted in-query.",
+    ),
+    QueryDef(
+        "delta_native_zorder_incremental",
+        delta_native_zorder_incremental,
+        """
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+                 AS n_orders_distinct
+        FROM orders WHERE o_custkey BETWEEN 100 AND 500
+        """,
+        tags=("parity", "delta", "io", "layout", "zorder"),
+        description="Incremental OPTIMIZE ZORDER via ZCube add.tags: "
+        "appended files re-cluster, the existing cube stays in place, "
+        "re-runs are zero-commit no-ops; invariants asserted in-query.",
     ),
     QueryDef(
         "delta_native_checkpoint_read",
