@@ -1476,6 +1476,20 @@ def _check_type_widening(path: str, proto: dict | None, meta: dict | None) -> No
     _walk(json.loads(meta["schemaString"]))
 
 
+_APPEND_ONLY_KEY = "delta.appendOnly"
+
+
+def _append_only(meta: dict | None) -> bool:
+    """delta.appendOnly=true (a legacy writer-v2 contract): commits may
+    only ADD data — any operation that removes or rewrites committed
+    rows must be refused. Layout-only commits (OPTIMIZE / ZORDER,
+    dataChange=false) remain legal, matching delta-spark."""
+    return bool(meta) and (
+        str(meta.get("configuration", {}).get(_APPEND_ONLY_KEY, "")).lower()
+        == "true"
+    )
+
+
 def _tw_enabled(meta: dict | None) -> bool:
     return bool(meta) and (
         str(meta.get("configuration", {}).get(_TW_ENABLE_KEY, "")).lower()
@@ -2211,6 +2225,11 @@ def _plan_commit(
             actions.append({"metaData": new_meta})
             meta = new_meta
     if mode == "overwrite":
+        if live and _append_only(meta):
+            raise ValueError(
+                f"table at {path} is append-only (delta.appendOnly="
+                "true); overwrite would retract committed rows"
+            )
         for f in sorted(live):
             actions.append(
                 {
@@ -3114,7 +3133,13 @@ def delta_restore(spark: SparkSession, path: str, version: int) -> int:
     if meta_c != meta_t:
         actions.append({"metaData": meta_t})
     now = int(time.time() * 1000)
-    for f in sorted(set(live_c) - set(live_t)):
+    retract = sorted(set(live_c) - set(live_t))
+    if retract and _append_only(meta_c):
+        raise ValueError(
+            f"table at {path} is append-only (delta.appendOnly=true); "
+            "RESTORE would retract committed rows"
+        )
+    for f in retract:
         actions.append(
             {"remove": {"path": f, "deletionTimestamp": now, "dataChange": True}}
         )
@@ -3229,6 +3254,7 @@ def _commit_rewrite(
     max_retries: int = 3,
     expected: dict[str, dict] | None = None,
     identity_guard: bool = False,
+    meta: dict | None = None,
 ) -> int:
     """Publish a copy-on-write commit (removes for ``affected`` + staged
     ``adds``). On a lost OCC race the removes are re-validated against
@@ -3244,6 +3270,11 @@ def _commit_rewrite(
     deletion-vector update RE-ADDS the same path — a racing DV commit
     leaves the file live while changing its descriptor, and committing
     over it would silently drop the winner's deletions."""
+    if affected and _append_only(meta):
+        raise ValueError(
+            f"table at {path} is append-only (delta.appendOnly=true); "
+            "this operation would remove or rewrite committed rows"
+        )
     now = int(time.time() * 1000)
     removes = [
         {"remove": {"path": f, "deletionTimestamp": now, "dataChange": True}}
@@ -3311,17 +3342,44 @@ def _table_constraints(meta: dict | None) -> dict[str, str]:
     }
 
 
-def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
-    """Refuse to stage rows that violate any table CHECK constraint.
+def _field_invariants(meta: dict | None) -> dict[str, str]:
+    """Column invariants (PROTOCOL.md "Column Invariants", the legacy
+    writer-v2 contract delta-spark stores as ``delta.invariants`` in
+    field metadata): {column: SQL expression}. Tables THIS engine
+    creates use CHECK constraints instead, but a foreign writer-v2
+    table carrying invariants must have them ENFORCED on our writes —
+    ignoring them would corrupt the foreign table's contract (writer
+    v2 is accepted by the writer gate precisely because this engine
+    honors everything v2 implies)."""
+    if not meta or not meta.get("schemaString"):
+        return {}
+    out: dict[str, str] = {}
+    for f in json.loads(meta["schemaString"])["fields"]:
+        inv = (f.get("metadata") or {}).get("delta.invariants")
+        if not inv:
+            continue
+        try:
+            expr = json.loads(inv)["expression"]["expression"]
+        except (ValueError, KeyError, TypeError) as exc:
+            raise ValueError(
+                f"unparseable delta.invariants on column {f['name']!r}: "
+                f"{inv!r}"
+            ) from exc
+        out[f["name"]] = expr
+    return out
 
-    SQL semantics: a row violates only when the expression is FALSE
-    (NULL passes). One executor-side pass with an early-out limit(1) —
-    the write this is guarding already scans the same rows, so the
-    validation is a second cheap pass over the incoming batch only,
-    never the table."""
+
+def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
+    """Refuse to stage rows that violate any table CHECK constraint or
+    column invariant.
+
+    SQL semantics: a CHECK row violates only when the expression is
+    FALSE (NULL passes); an INVARIANT must hold for NULL too
+    (delta-spark treats a null invariant result as a violation). One
+    executor-side pass with an early-out limit(1) — the write this is
+    guarding already scans the same rows, so the validation is a second
+    cheap pass over the incoming batch only, never the table."""
     constraints = _table_constraints(meta)
-    if not constraints:
-        return
     for name, expr in constraints.items():
         bad = df.where(
             ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
@@ -3329,6 +3387,18 @@ def _enforce_constraints(df: DataFrame, meta: dict | None) -> None:
         if bad.limit(1).count():
             raise ValueError(
                 f"CHECK constraint {name!r} ({expr}) violated by "
+                "incoming rows; nothing was committed"
+            )
+    for col, expr in _field_invariants(meta).items():
+        if col not in df.columns:
+            continue  # absent column → typed nulls; NOT NULL-style
+            # invariants on evolution-added columns are delta's own gap
+        bad = df.where(
+            ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+        )
+        if bad.limit(1).count():
+            raise ValueError(
+                f"column invariant on {col!r} ({expr}) violated by "
                 "incoming rows; nothing was committed"
             )
 
@@ -3592,6 +3662,7 @@ def delta_delete(spark: SparkSession, path: str, predicate) -> int:
         # changing its descriptor; committing over it would resurrect
         # the DV-deleted rows this rewrite never saw
         expected={f: _live[f] for f in affected},
+        meta=meta,
     )
 
 
@@ -3694,6 +3765,7 @@ def delta_update(
         + cdc,
         identity_guard=rt_action is not None,
         expected={f: _live[f] for f in affected},
+        meta=meta,
     )
 
 
@@ -3882,6 +3954,7 @@ def delta_merge(
         # watermark; a lost race may have claimed them — abort, never
         # blind-retry (mirrors delta_write's identity guard)
         identity_guard=id_action is not None or rt_action is not None,
+        meta=meta,
     )
 
 
@@ -4066,6 +4139,7 @@ def _dv_mask_and_commit(
         extra_actions=extra,
         expected={f: live[f] for f in affected},
         identity_guard=guard,
+        meta=meta,
     )
 
 

@@ -2889,6 +2889,93 @@ def test_distributed_multipart_checkpoint_roundtrip(spark, monkeypatch):
     assert delta_read(spark, p).count() == len(expected) + 20
 
 
+def test_append_only_tables_refuse_row_removal(spark):
+    """delta.appendOnly=true: appends and layout-only OPTIMIZE stay
+    legal; overwrite, CoW DELETE/UPDATE, DV DELETE and a retracting
+    RESTORE are all refused with nothing committed."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete,
+        delta_delete_dv,
+        delta_optimize,
+        delta_restore,
+        delta_update,
+        _list_versions,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_apponly_")
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    delta_write(df, p, configuration={"delta.appendOnly": "true"})
+    delta_write(
+        spark.range(100, 120).select(F.col("id").alias("k")), p, mode="append"
+    )
+    delta_optimize(spark, p)  # dataChange=false: allowed
+    v = _list_versions(spark, p)[-1]
+    for op in (
+        lambda: delta_write(df, p, mode="overwrite"),
+        lambda: delta_delete(spark, p, "k % 2 = 0"),
+        lambda: delta_update(spark, p, "k < 5", {"k": F.col("k") + 1}),
+        lambda: delta_delete_dv(spark, p, "k % 2 = 0"),
+        lambda: delta_restore(spark, p, 0),
+    ):
+        with pytest.raises(ValueError, match="append-only"):
+            op()
+    assert _list_versions(spark, p)[-1] == v  # nothing committed
+    assert delta_read(spark, p).count() == 120
+
+
+def test_column_invariants_enforced_on_foreign_tables(spark):
+    """A foreign writer-v2 table carrying delta.invariants in its field
+    metadata: this engine's writes must enforce the invariant (writer
+    v2 is accepted exactly because everything it implies is honored) —
+    a violating batch is refused, NULL violates (delta's invariant
+    semantics, stricter than CHECK), and a passing batch commits."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_metadata,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_invariant_")
+    # nullable k so the NULL-violates case is schema-compatible
+    df = spark.range(1, 50).select(
+        F.expr("CASE WHEN id > 0 THEN id END").alias("k")
+    )
+    delta_write(df, p)
+    # forge the foreign invariant k > 0 into the field metadata
+    meta = dict(delta_metadata(spark, p))
+    sj = json.loads(meta["schemaString"])
+    sj["fields"][0]["metadata"] = {
+        "delta.invariants": json.dumps(
+            {"expression": {"expression": "k > 0"}}
+        )
+    }
+    meta["schemaString"] = json.dumps(sj)
+    delta_log._write_commit(spark, p, 1, [{"metaData": meta}])
+    delta_write(
+        spark.range(50, 60).select(
+            F.expr("CASE WHEN id > 0 THEN id END").alias("k")
+        ),
+        p,
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="invariant"):
+        delta_write(
+            spark.range(-3, 2).select(
+                F.expr("CASE WHEN id >= -3 THEN id END").alias("k")
+            ),
+            p,
+            mode="append",
+        )
+    with pytest.raises(ValueError, match="invariant"):
+        delta_write(
+            spark.sql("SELECT CAST(NULL AS BIGINT) AS k"), p, mode="append"
+        )
+    assert delta_read(spark, p).count() == 59
+
+
 def test_v2_checkpoint_roundtrip_and_gating(spark, monkeypatch):
     """V2 checkpoints: writing requires the table to declare the
     v2Checkpoint feature; the UUID-named top file + sidecar layout is
