@@ -273,6 +273,62 @@ def _list_checkpoints(spark: SparkSession, path: str) -> list[int]:
     return sorted(set(versions))
 
 
+# Log-compaction files (the protocol's minor log compaction,
+# ``<start>.<end>.compacted.json``): the action reconciliation of the
+# contiguous commit range [start, end] — per path the LAST add/remove
+# (removes kept as tombstones), the latest metaData/protocol, the latest
+# txn per appId. A fold that would walk the range's individual commits
+# reads the ONE compacted file instead: between checkpoints a busy
+# table's tail shrinks from O(interval) file opens to O(1) without the
+# cost of a full checkpoint rewrite. The per-commit JSON files are NOT
+# deleted (streaming/CDF readers and in-commit-timestamp resolution
+# still walk them); compaction is purely a snapshot-read accelerator,
+# exactly the protocol's contract.
+_COMPACTED_RE = _re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
+
+
+def _compacted_file(path: str, start: int, end: int) -> str:
+    return f"{_log_dir(path)}/{start:020d}.{end:020d}.compacted.json"
+
+
+def _list_compactions(spark: SparkSession, path: str) -> list[tuple[int, int]]:
+    fs, log_path, _ = _hadoop_fs(spark, _log_dir(path))
+    if not fs.exists(log_path):
+        return []
+    out = []
+    for status in fs.listStatus(log_path):
+        m = _COMPACTED_RE.match(status.getPath().getName())
+        if m:
+            out.append((int(m.group(1)), int(m.group(2))))
+    return sorted(out)
+
+
+def _tail_plan(
+    spark: SparkSession, path: str, start: int, target: int
+) -> list[tuple[str, int]]:
+    """The files a fold of the JSON tail [start, target] should read, in
+    order, each with the version its actions reconcile AT (a compacted
+    file's actions order at its END version — legal because the range
+    was already reconciled internally). Compaction files are consumed
+    greedily (longest span first) wherever one starts exactly at the
+    fold cursor; everything else falls back to per-commit files."""
+    comps: dict[int, int] = {}
+    for cs, ce in _list_compactions(spark, path):
+        if start <= cs and ce <= target and ce > cs:
+            comps[cs] = max(comps.get(cs, -1), ce)
+    plan: list[tuple[str, int]] = []
+    v = start
+    while v <= target:
+        ce = comps.get(v)
+        if ce is not None:
+            plan.append((_compacted_file(path, v, ce), ce))
+            v = ce + 1
+        else:
+            plan.append((_version_file(path, v), v))
+            v += 1
+    return plan
+
+
 def _read_text(spark: SparkSession, path: str) -> str:
     # py4j copies Python bytearrays INTO the JVM, so stream.read(buf)
     # can't hand data back — drain JVM-side (commons-io ships with Hadoop)
@@ -1042,9 +1098,9 @@ def _snapshot_state(
         proto, meta, live, txns = _read_checkpoint(
             spark, path, ck, meta_only=not include_adds
         )
-    for v in range(start, target + 1):
+    for file, v in _tail_plan(spark, path, start, target):
         try:
-            text = _read_text(spark, _version_file(path, v))
+            text = _read_text(spark, file)
         except Exception as exc:  # noqa: BLE001 — JVM IOException via py4j
             # a commit listed moments ago can vanish mid-fold when a
             # concurrent delta_cleanup_log runs between our listing and
@@ -1168,7 +1224,7 @@ def delta_snapshot_adds_df(
                 F.lit(True).alias("_live"),
             )
         )
-    tail = [_version_file(path, v) for v in range(start, target + 1)]
+    tail = [f for f, _ in _tail_plan(spark, path, start, target)]
     if tail:
         from pyspark.sql.types import StringType, StructField, StructType
 
@@ -1181,9 +1237,22 @@ def delta_snapshot_adds_df(
                 ),
             ]
         )
+        # a compacted tail file's actions order at its END version (the
+        # second number in <start>.<end>.compacted.json); per-commit
+        # files at their own version — two anchored extracts, coalesced
         txt = spark.read.text(tail).select(
             F.from_json("value", line_schema).alias("a"),
-            F.regexp_extract(F.input_file_name(), r"(\d+)\.json$", 1)
+            F.coalesce(
+                F.nullif(
+                    F.regexp_extract(
+                        F.input_file_name(),
+                        r"\.(\d+)\.compacted\.json$",
+                        1,
+                    ),
+                    F.lit(""),
+                ),
+                F.regexp_extract(F.input_file_name(), r"(\d+)\.json$", 1),
+            )
             .cast("long")
             .alias("_v"),
         )
@@ -3023,6 +3092,89 @@ def delta_vacuum(
     return sorted(deleted)
 
 
+def delta_compact_log(
+    spark: SparkSession,
+    path: str,
+    start: int | None = None,
+    end: int | None = None,
+) -> str:
+    """Minor log compaction (the protocol's
+    ``<start>.<end>.compacted.json``): write ONE file holding the action
+    reconciliation of the contiguous commit range — per path the LAST
+    add/remove (removes kept as tombstones so reconciliation with an
+    older checkpoint still retracts), the latest metaData/protocol, the
+    latest txn per appId. Defaults compact the current JSON tail (newest
+    checkpoint exclusive → latest commit). Snapshot folds (driver and
+    distributed) then read this one file instead of walking the range's
+    commits — O(1) tail opens between checkpoints at a fraction of a
+    full checkpoint rewrite's cost. The per-commit files stay: streaming
+    and CDF readers keep their per-version walk, and log cleanup remains
+    the only thing that deletes history. Returns the compacted file's
+    path; raises if the range is not contiguous on disk or spans fewer
+    than two commits (nothing to reconcile)."""
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no delta table at {path}")
+    if end is None:
+        end = versions[-1]
+    if start is None:
+        ckpts = [c for c in _list_checkpoints(spark, path) if c <= end]
+        start = ckpts[-1] + 1 if ckpts else 0
+    if end <= start:
+        raise ValueError(
+            f"log compaction range [{start}, {end}] spans fewer than two "
+            "commits; nothing to reconcile"
+        )
+    available = {v for v in versions if start <= v <= end}
+    if available != set(range(start, end + 1)):
+        raise ValueError(
+            f"cannot compact [{start}, {end}] of {path}: commits "
+            f"{sorted(set(range(start, end + 1)) - available)} are missing"
+        )
+    latest: dict[str, dict] = {}  # path → its last add/remove action line
+    meta = proto = None
+    txns: dict[str, int] = {}
+    for v in range(start, end + 1):
+        for line in _read_text(spark, _version_file(path, v)).splitlines():
+            action = json.loads(line)
+            if "add" in action:
+                latest[action["add"]["path"]] = action
+            elif "remove" in action:
+                latest[action["remove"]["path"]] = action
+            elif "metaData" in action:
+                meta = action
+            elif "protocol" in action:
+                proto = action
+            elif "txn" in action:
+                txns[action["txn"]["appId"]] = action["txn"]["version"]
+    actions: list[dict] = []
+    if proto is not None:
+        actions.append(proto)
+    if meta is not None:
+        actions.append(meta)
+    actions += [
+        {"txn": {"appId": a, "version": v}} for a, v in sorted(txns.items())
+    ]
+    actions += [latest[p] for p in sorted(latest)]
+    fs, _, jvm = _hadoop_fs(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{_log_dir(path)}/.tmp-{uuid.uuid4().hex}"
+    )
+    final_str = _compacted_file(path, start, end)
+    final = jvm.org.apache.hadoop.fs.Path(final_str)
+    payload = "".join(json.dumps(a) + "\n" for a in actions).encode()
+    stream = fs.create(tmp, False)
+    try:
+        stream.write(payload)
+    finally:
+        stream.close()
+    if fs.exists(final) or not fs.rename(tmp, final):
+        # an identical compaction of the same immutable range already
+        # landed (racing maintenance job) — not a conflict
+        fs.delete(tmp, False)
+    return final_str
+
+
 def delta_cleanup_log(spark: SparkSession, path: str) -> list[int]:
     """Log retention cleanup (the protocol's metadata cleanup, the knob
     delta-spark exposes as ``delta.logRetentionDuration``): delete JSON
@@ -3059,6 +3211,13 @@ def delta_cleanup_log(spark: SparkSession, path: str) -> list[int]:
     keep_sidecars: set[str] = set()
     for st in fs.listStatus(log_path):
         name = st.getPath().getName()
+        m = _COMPACTED_RE.match(name)
+        if m and int(m.group(1)) < cutoff:
+            # a compaction whose range dips below the cutoff can never
+            # again start at a fold cursor (folds begin at the retained
+            # checkpoint) — expired with the commits it reconciles
+            fs.delete(st.getPath(), False)
+            continue
         m = _CKPT_PART_RE.match(name)
         if m and int(m.group(1)) < cutoff:
             fs.delete(st.getPath(), False)
@@ -3255,6 +3414,7 @@ def _commit_rewrite(
     expected: dict[str, dict] | None = None,
     identity_guard: bool = False,
     meta: dict | None = None,
+    layout_only: bool = False,
 ) -> int:
     """Publish a copy-on-write commit (removes for ``affected`` + staged
     ``adds``). On a lost OCC race the removes are re-validated against
@@ -3269,15 +3429,26 @@ def _commit_rewrite(
     it (any concurrent rewrite retires the old uuid path), but a
     deletion-vector update RE-ADDS the same path — a racing DV commit
     leaves the file live while changing its descriptor, and committing
-    over it would silently drop the winner's deletions."""
-    if affected and _append_only(meta):
+    over it would silently drop the winner's deletions.
+
+    ``layout_only`` marks a rewrite whose SNAPSHOT rows are unchanged
+    (REORG PURGE): removes are stamped ``dataChange: false`` so
+    streaming readers skip the commit, and the append-only guard does
+    not apply — no logical row is retracted."""
+    if affected and not layout_only and _append_only(meta):
         raise ValueError(
             f"table at {path} is append-only (delta.appendOnly=true); "
             "this operation would remove or rewrite committed rows"
         )
     now = int(time.time() * 1000)
     removes = [
-        {"remove": {"path": f, "deletionTimestamp": now, "dataChange": True}}
+        {
+            "remove": {
+                "path": f,
+                "deletionTimestamp": now,
+                "dataChange": not layout_only,
+            }
+        }
         for f in sorted(affected)
     ]
     actions = (extra_actions or []) + removes + adds
@@ -4269,6 +4440,231 @@ def delta_update_dv(
     )
 
 
+def delta_reorg_purge(spark: SparkSession, path: str) -> int:
+    """``REORG TABLE ... APPLY (PURGE)`` (delta-spark's DV-materializing
+    rewrite): rewrite ONLY the live files carrying deletion-vector
+    descriptors, physically dropping their masked rows, and commit the
+    replacement with ``dataChange: false`` — the snapshot's logical rows
+    are unchanged, so streaming readers skip the commit exactly as they
+    skip OPTIMIZE. Files without a DV are untouched (unlike OPTIMIZE,
+    which rewrites the whole live set). This is the mandatory first step
+    of retiring the deletionVectors table feature: after the purge no
+    live add references a DV storage unit, VACUUM can reclaim the units,
+    and :func:`delta_drop_feature` can downgrade the protocol.
+
+    Row-tracked tables keep every surviving row's ``_row_id`` through
+    the rewrite (materialized into the replacement files, same as
+    OPTIMIZE). Returns the committed version (current version when no
+    live file carries a DV — a no-op writes no commit)."""
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no delta table at {path}")
+    snap = versions[-1]
+    _, meta, live, _ = _snapshot_state(spark, path, snap)
+    affected = sorted(f for f, a in live.items() if a.get("deletionVector"))
+    if not affected:
+        return snap
+    rt = _rt_enabled(meta)
+    survivors = _read_affected_files(
+        spark, path, meta, live, affected, with_row_ids=rt
+    )
+    adds = _stage_data_files(
+        _to_physical(survivors, meta),
+        path,
+        meta.get("partitionColumns") or None,
+    )
+    for a in adds:
+        a["add"]["dataChange"] = False
+    rt_action = _rt_assign(spark, path, meta, adds)
+    return _commit_rewrite(
+        spark,
+        path,
+        affected,
+        adds,
+        extra_actions=[_commit_info("REORG PURGE")]
+        + ([rt_action] if rt_action else []),
+        # action-equality: a racing DV delete on an affected file would
+        # add deletions this rewrite's survivors never dropped —
+        # committing over it would resurrect them
+        expected={f: live[f] for f in affected},
+        identity_guard=rt_action is not None,
+        meta=meta,
+        layout_only=True,
+    )
+
+
+# Features delta_drop_feature knows how to retire, with the per-feature
+# "still in use" predicate documented at the call site. Everything else
+# is refused: columnMapping leaves physical names inside every data
+# file, v2Checkpoint would need the checkpoint history rewritten, and
+# lakesailRowTracking would orphan the id watermark discipline.
+_DROPPABLE_FEATURES = frozenset(
+    {
+        "deletionVectors",
+        "typeWidening",
+        "checkConstraints",
+        "generatedColumns",
+        "identityColumns",
+    }
+)
+
+
+def delta_drop_feature(
+    spark: SparkSession,
+    path: str,
+    feature: str,
+    truncate_history: bool = False,
+) -> int:
+    """``ALTER TABLE ... DROP FEATURE`` (delta-spark's two-step feature
+    retirement): commit a protocol action WITHOUT ``feature``, downgrading
+    to the legacy version pair when no table feature remains. A reader
+    below the drop commit still needs the feature for time travel, so the
+    drop is refused while any RETAINED log range (commit JSON or
+    checkpoint) uses it — ``truncate_history=True`` first checkpoints the
+    current snapshot and expires the older log (delta-spark's
+    ``DROP FEATURE ... TRUNCATE HISTORY``), after which nothing below the
+    cutoff is reconstructible and the feature can go.
+
+    Per-feature "in use" gates (all refuse with the remedial step named):
+    deletionVectors — any live add carrying a descriptor (run
+    :func:`delta_reorg_purge` first); typeWidening — any field with a
+    recorded widening history (pre-widening files need upcast-on-read
+    forever); checkConstraints / generatedColumns / identityColumns —
+    any constraint / generation expression / identity spec still in the
+    schema. The feature-enabling configuration key (e.g.
+    ``delta.enableTypeWidening``) is cleared in the same commit."""
+    proto, meta, live, _ = _snapshot_state(spark, path)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    if feature not in _DROPPABLE_FEATURES:
+        raise ValueError(
+            f"feature {feature!r} cannot be dropped (supported: "
+            f"{sorted(_DROPPABLE_FEATURES)})"
+        )
+    rf = set((proto or {}).get("readerFeatures") or ())
+    wf = set((proto or {}).get("writerFeatures") or ())
+    if feature not in rf | wf:
+        raise ValueError(
+            f"table at {path} does not declare feature {feature!r}"
+        )
+    # --- live-snapshot "in use" gates ---------------------------------
+    if feature == "deletionVectors":
+        dv_live = [f for f, a in live.items() if a.get("deletionVector")]
+        if dv_live:
+            raise ValueError(
+                f"cannot drop deletionVectors from {path}: "
+                f"{len(dv_live)} live file(s) still carry descriptors; "
+                "run delta_reorg_purge first"
+            )
+    elif feature == "typeWidening":
+        widened = [
+            f["name"]
+            for f in json.loads(meta["schemaString"])["fields"]
+            if (f.get("metadata") or {}).get(_TW_PREV_KEY)
+        ]
+        if widened:
+            raise ValueError(
+                f"cannot drop typeWidening from {path}: columns "
+                f"{sorted(widened)} record a widening history and their "
+                "pre-widening files need upcast-on-read forever"
+            )
+    elif feature == "checkConstraints":
+        if _table_constraints(meta) or _field_invariants(meta):
+            raise ValueError(
+                f"cannot drop checkConstraints from {path}: constraints "
+                "are still defined; drop them first"
+            )
+    elif feature == "generatedColumns":
+        if _generated_columns(meta):
+            raise ValueError(
+                f"cannot drop generatedColumns from {path}: generation "
+                "expressions are still defined"
+            )
+    elif feature == "identityColumns":
+        if _identity_columns(meta):
+            raise ValueError(
+                f"cannot drop identityColumns from {path}: identity "
+                "specs are still defined"
+            )
+    # --- history gate --------------------------------------------------
+    if truncate_history:
+        # checkpoint the CURRENT snapshot (whose live set passed the gate
+        # above) and expire everything below it: time travel into the
+        # feature-using range now raises instead of needing the feature
+        current = _list_versions(spark, path)[-1]
+        delta_checkpoint(spark, path, current)
+        delta_cleanup_log(spark, path)
+    if feature == "deletionVectors":
+        # any retained commit or checkpoint that still resolves a
+        # DV-carrying snapshot forces readers to implement the feature;
+        # delta-spark runs the same retained-history scan before the
+        # protocol downgrade. O(retained log) driver work — metadata-
+        # sized, and bounded by log retention.
+        used = []
+        for v in _list_versions(spark, path):
+            try:
+                text = _read_text(spark, _version_file(path, v))
+            except Exception:  # noqa: BLE001 — a commit that vanished
+                # mid-scan was just expired by concurrent cleanup; it is
+                # no longer retained, so it cannot force the feature
+                continue
+            if '"deletionVector"' in text:
+                used.append(v)
+        for c in _list_checkpoints(spark, path):
+            _, _, ck_live, _ = _snapshot_state(spark, path, c)
+            if any(a.get("deletionVector") for a in ck_live.values()):
+                used.append(c)
+        if used:
+            raise ValueError(
+                f"cannot drop deletionVectors from {path}: retained log "
+                f"versions {sorted(set(used))[:5]} still use it; pass "
+                "truncate_history=True (after delta_reorg_purge) to "
+                "expire them"
+            )
+    # --- protocol downgrade -------------------------------------------
+    rf.discard(feature)
+    wf.discard(feature)
+    if not rf and wf <= {"checkConstraints"}:
+        # legacy downgrade: checkConstraints was only listed because v7
+        # requires every implied feature spelled out — the minimal legacy
+        # pair depends on whether constraints are actually DEFINED
+        new_proto = {
+            "minReaderVersion": 1,
+            "minWriterVersion": 3
+            if (_table_constraints(meta) or _field_invariants(meta))
+            else 2,
+        }
+    else:
+        new_proto = {
+            "minReaderVersion": 3 if rf else 1,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(wf | {"checkConstraints"}),
+        }
+        if rf:
+            new_proto["readerFeatures"] = sorted(rf)
+    actions: list[dict] = [_commit_info("DROP FEATURE"), {"protocol": new_proto}]
+    enable_keys = {
+        "deletionVectors": "delta.enableDeletionVectors",
+        "typeWidening": _TW_ENABLE_KEY,
+    }
+    key = enable_keys.get(feature)
+    conf = dict(meta.get("configuration") or {})
+    if key and key in conf:
+        conf.pop(key)
+        actions.append({"metaData": {**meta, "configuration": conf}})
+    version = _list_versions(spark, path)[-1] + 1
+    try:
+        _write_commit(spark, path, version, actions)
+    except RuntimeError:
+        raise DeltaConcurrentModification(
+            f"a concurrent commit landed during DROP FEATURE on {path}; "
+            "re-run against the new snapshot"
+        ) from None
+    if version % CHECKPOINT_INTERVAL == 0:
+        _auto_checkpoint(spark, path, version)
+    return version
+
+
 # ---------------------------------------------------------------------------
 # Registered queries
 
@@ -5081,6 +5477,94 @@ def delta_native_update_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_reorg_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full deletion-vector retirement lifecycle: two DV deletes mask
+    rows behind descriptors (no data file rewritten), REORG PURGE then
+    rewrites ONLY the descriptor-carrying files with dataChange=false
+    (materializing the DVs away), and DROP FEATURE with history
+    truncation downgrades the protocol to the legacy version pair — the
+    final table is a plain reader-v1 Delta table a featureless client
+    can read. In-query invariants: post-purge the live set carries zero
+    descriptors, and post-drop the protocol declares no deletionVectors
+    feature. Grouped totals oracle the final logical state."""
+    import tempfile
+
+    from ..tables import load_table
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_purge_")
+    delta_write(p.repartition(6), path, stats_cols=["p_partkey"])
+    delta_delete_dv(spark, path, "p_partkey % 4 = 1")
+    delta_delete_dv(spark, path, "p_brand = 'Brand#23' AND p_partkey % 4 = 2")
+    delta_reorg_purge(spark, path)
+    _, _, live, _ = _snapshot_state(spark, path)
+    assert not any(a.get("deletionVector") for a in live.values()), (
+        "REORG PURGE left live deletion-vector descriptors"
+    )
+    delta_drop_feature(spark, path, "deletionVectors", truncate_history=True)
+    proto, _, _, _ = _snapshot_state(spark, path)
+    feats = set((proto or {}).get("readerFeatures") or ()) | set(
+        (proto or {}).get("writerFeatures") or ()
+    )
+    assert "deletionVectors" not in feats, (
+        "DROP FEATURE left deletionVectors in the protocol"
+    )
+    back = delta_read(spark, path)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def delta_native_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minor log compaction: after three append/overwrite commits and a
+    copy-on-write DELETE, ``delta_compact_log`` reconciles the whole
+    4-commit tail into one ``0.3.compacted.json``; the snapshot fold
+    then plans exactly ONE tail read (asserted in-query via _tail_plan —
+    the mechanism-level read spy lives in tests/test_delta_log.py).
+    Grouped totals oracle the final state."""
+    import tempfile
+
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_compact_")
+    delta_write(o.where("o_orderkey % 3 = 0").repartition(3), path)
+    delta_write(
+        o.where("o_orderkey % 3 = 1").repartition(3), path, mode="append"
+    )
+    delta_write(
+        o.where("o_orderkey % 3 = 2").repartition(3), path, mode="append"
+    )
+    delta_delete(spark, path, "o_orderkey % 10 = 7")
+    delta_compact_log(spark, path)
+    plan = _tail_plan(spark, path, 0, 3)
+    assert plan == [(_compacted_file(path, 0, 3), 3)], (
+        f"fold should read the one compacted file, planned {plan}"
+    )
+    back = delta_read(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed over DML commits: a CDF-enabled table takes a
     DELETE (v1) then an UPDATE (v2); ``delta_read_cdf(1, 2)`` returns
@@ -5412,6 +5896,47 @@ QUERIES: list[QueryDef] = [
         description="Merge-on-read DELETE via deletion vectors: descriptor "
         "commits (reader v3 table feature), no data file rewritten; the "
         "read re-applies DVs as a broadcast anti-join.",
+    ),
+    QueryDef(
+        "delta_native_log_compaction",
+        delta_native_log_compaction,
+        """
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        survivors AS (
+          SELECT * FROM base WHERE NOT (o_orderkey % 10 = 7))
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM survivors GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        tags=("parity", "delta", "io", "checkpoint"),
+        description="Minor log compaction (<start>.<end>.compacted.json): "
+        "the snapshot fold reads ONE reconciled tail file instead of "
+        "walking the commit range; per-commit files stay for streaming.",
+    ),
+    QueryDef(
+        "delta_native_reorg_purge",
+        delta_native_reorg_purge,
+        """
+        WITH base AS (
+          SELECT p_partkey, p_brand,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+          FROM part),
+        survivors AS (
+          SELECT * FROM base
+          WHERE NOT (p_partkey % 4 = 1)
+            AND NOT (p_brand = 'Brand#23' AND p_partkey % 4 = 2))
+        SELECT p_brand, COUNT(*) AS n_parts,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM survivors GROUP BY p_brand ORDER BY p_brand
+        """,
+        tags=("parity", "delta", "io", "dml"),
+        description="REORG PURGE materializes deletion vectors away "
+        "(dataChange=false rewrite of only descriptor-carrying files); "
+        "DROP FEATURE + TRUNCATE HISTORY then downgrades the protocol "
+        "to legacy reader v1.",
     ),
     QueryDef(
         "delta_native_cdf_capture",

@@ -3229,3 +3229,322 @@ def test_row_tracking_survives_zorder(spark):
         for r in delta_read(spark, path, row_ids=True).collect()
     }
     assert after == base
+
+
+# ---------------------------------------------------------------------------
+# REORG TABLE APPLY (PURGE) + ALTER TABLE DROP FEATURE
+
+
+def test_reorg_purge_materializes_dvs_layout_only(spark):
+    """PURGE rewrites ONLY descriptor-carrying files, with
+    dataChange=false on both sides of the swap (streaming readers skip
+    it, like OPTIMIZE); untouched files keep their original adds and the
+    logical snapshot is row-identical."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_live_adds,
+        delta_reorg_purge,
+    )
+
+    path = _dv_table(spark, "ls_purge_basic_")
+    delta_delete_dv(spark, path, "id % 3 = 0")  # v1
+    before = dict(delta_live_adds(spark, path))
+    untouched = {f for f, a in before.items() if not a.get("deletionVector")}
+    v = delta_reorg_purge(spark, path)
+    assert v == 2
+    after = dict(delta_live_adds(spark, path))
+    assert not any(a.get("deletionVector") for a in after.values())
+    # files without a DV were not rewritten
+    assert untouched <= set(after)
+    # the purge commit is layout-only on both sides
+    actions = _actions(path, v)
+    for a in actions:
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is False
+        if "add" in a:
+            assert a["add"]["dataChange"] is False
+    got = sorted(r["id"] for r in delta_read(spark, path).collect())
+    assert got == [i for i in range(200) if i % 3 != 0]
+    # pre-purge version still resolves with DVs applied
+    got1 = sorted(r["id"] for r in delta_read(spark, path, version=1).collect())
+    assert got1 == got
+
+
+def test_reorg_purge_noop_without_dvs(spark):
+    """A table with no live descriptors purges as a no-op: same version,
+    no new commit."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_reorg_purge,
+    )
+
+    path = _dv_table(spark, "ls_purge_noop_")
+    assert delta_reorg_purge(spark, path) == 0
+    assert sorted(glob.glob(f"{path}/_delta_log/*.json")) == [
+        f"{path}/_delta_log/{0:020d}.json"
+    ]
+
+
+def test_reorg_purge_keeps_row_ids(spark):
+    """Row-tracked tables: PURGE materializes surviving rows' stable ids
+    into the replacement files — same discipline as OPTIMIZE."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_reorg_purge,
+        delta_write,
+    )
+
+    df = spark.range(120).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    path = tempfile.mkdtemp(prefix="ls_purge_rt_")
+    delta_write(
+        df.repartition(4),
+        path,
+        stats_cols=["k"],
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    delta_delete_dv(spark, path, "k % 4 = 2")
+    base = {
+        r["k"]: r["_row_id"]
+        for r in delta_read(spark, path, row_ids=True).collect()
+    }
+    delta_reorg_purge(spark, path)
+    after = {
+        r["k"]: r["_row_id"]
+        for r in delta_read(spark, path, row_ids=True).collect()
+    }
+    assert after == base
+
+
+def test_drop_feature_refuses_while_in_use(spark):
+    """Each gate names its remedial step: live DVs refuse the DV drop;
+    recorded widening history refuses the typeWidening drop; defined
+    constraints refuse the checkConstraints drop."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_drop_feature,
+    )
+
+    path = _dv_table(spark, "ls_drop_inuse_")
+    delta_delete_dv(spark, path, "id % 3 = 0")
+    with pytest.raises(ValueError, match="delta_reorg_purge"):
+        delta_drop_feature(spark, path, "deletionVectors")
+    with pytest.raises(ValueError, match="cannot be dropped"):
+        delta_drop_feature(spark, path, "columnMapping")
+    with pytest.raises(ValueError, match="does not declare"):
+        delta_drop_feature(spark, path, "identityColumns")
+
+
+def test_drop_feature_refuses_retained_history_then_truncates(spark):
+    """After a purge the LIVE set is clean but retained commits below it
+    still carry descriptors — the drop refuses without truncate_history
+    and succeeds with it, landing a downgraded legacy protocol that a
+    featureless reader accepts."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_drop_feature,
+        delta_reorg_purge,
+    )
+
+    path = _dv_table(spark, "ls_drop_hist_")
+    delta_delete_dv(spark, path, "id % 3 = 0")
+    delta_reorg_purge(spark, path)
+    with pytest.raises(ValueError, match="truncate_history"):
+        delta_drop_feature(spark, path, "deletionVectors")
+    v = delta_drop_feature(
+        spark, path, "deletionVectors", truncate_history=True
+    )
+    protos = [a["protocol"] for a in _actions(path, v) if "protocol" in a]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    # time travel below the truncation cutoff now raises loudly
+    with pytest.raises(ValueError, match="no longer reconstructible"):
+        delta_read(spark, path, version=1).collect()
+    got = sorted(r["id"] for r in delta_read(spark, path).collect())
+    assert got == [i for i in range(200) if i % 3 != 0]
+    # a later DV delete re-upgrades the protocol cleanly
+    delta_delete_dv(spark, path, "id % 7 = 1")
+    got2 = sorted(r["id"] for r in delta_read(spark, path).collect())
+    assert got2 == [i for i in range(200) if i % 3 != 0 and i % 7 != 1]
+
+
+def test_drop_feature_unused_type_widening_no_truncation(spark):
+    """typeWidening enabled but never exercised drops without history
+    truncation, clearing the enabling configuration key in the same
+    commit; a widened table refuses (pre-widening files need upcasting
+    forever)."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_drop_feature,
+        delta_metadata,
+        delta_write,
+    )
+
+    df = spark.range(50).select(F.col("id").cast("int").alias("k"))
+    path = tempfile.mkdtemp(prefix="ls_drop_tw_")
+    delta_write(df, path, configuration={"delta.enableTypeWidening": "true"})
+    v = delta_drop_feature(spark, path, "typeWidening")
+    meta = delta_metadata(spark, path)
+    assert "delta.enableTypeWidening" not in meta.get("configuration", {})
+    protos = [a["protocol"] for a in _actions(path, v) if "protocol" in a]
+    assert protos[0]["minReaderVersion"] == 1
+    # widened table: the gate refuses
+    path2 = tempfile.mkdtemp(prefix="ls_drop_tw2_")
+    delta_write(df, path2, configuration={"delta.enableTypeWidening": "true"})
+    wide = spark.range(50).select(F.col("id").cast("long").alias("k"))
+    delta_write(wide, path2, mode="append", merge_schema=True)
+    with pytest.raises(ValueError, match="widening history"):
+        delta_drop_feature(spark, path2, "typeWidening")
+
+
+def test_reorg_purge_allowed_on_append_only_table(spark):
+    """delta.appendOnly blocks row-retracting rewrites but PURGE is
+    layout-only (logical rows unchanged) — it must pass the guard, like
+    OPTIMIZE."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_reorg_purge,
+        delta_write,
+    )
+
+    df = spark.range(60).select(F.col("id").alias("k"))
+    path = tempfile.mkdtemp(prefix="ls_purge_ao_")
+    delta_write(
+        df.repartition(3),
+        path,
+        stats_cols=["k"],
+        configuration={"delta.appendOnly": "true"},
+    )
+    # no DVs can exist on an append-only table (DV DML is refused), so
+    # purge is a no-op — the point is that it does NOT raise
+    assert delta_reorg_purge(spark, path) == 0
+
+
+# ---------------------------------------------------------------------------
+# Minor log compaction (<start>.<end>.compacted.json)
+
+
+def test_log_compaction_fold_reads_one_file_and_keeps_tombstones(spark):
+    """A fold over checkpoint + compacted tail must read exactly one
+    tail file AND honor the compacted remove tombstones: an overwrite
+    INSIDE the compacted range retracts files live in the checkpoint
+    below it — dropping tombstones at compaction would resurrect them."""
+    import lakesail_hdfs_deltalake_guide_spark.sources.delta_log as dl
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    path = tempfile.mkdtemp(prefix="ls_compact_fold_")
+    dl.delta_write(df.repartition(2), path)                      # v0
+    dl.delta_write(df.repartition(2), path, mode="append")       # v1
+    dl.delta_write(df.repartition(2), path, mode="append")       # v2
+    dl.delta_checkpoint(spark, path, 2)
+    dl.delta_write(df.repartition(2), path, mode="append")       # v3
+    # overwrite inside the to-be-compacted range: every pre-v4 file
+    # becomes a tombstone the compacted file must carry
+    dl.delta_write(
+        df.where("k % 2 = 0").repartition(2), path, mode="overwrite"
+    )                                                            # v4
+    dl.delta_write(
+        df.where("k % 2 = 1").repartition(2), path, mode="append"
+    )                                                            # v5
+    expect = sorted(
+        r["k"] for r in dl.delta_read(spark, path).collect()
+    )
+    out = dl.delta_compact_log(spark, path)  # defaults: [3, 5]
+    assert out.endswith(
+        f"{3:020d}.{5:020d}.compacted.json"
+    )
+    reads: list[str] = []
+    orig = dl._read_text
+
+    def spy(spark_, p):
+        reads.append(p)
+        return orig(spark_, p)
+
+    dl._read_text = spy
+    try:
+        got = sorted(r["k"] for r in dl.delta_read(spark, path).collect())
+    finally:
+        dl._read_text = orig
+    assert got == expect == sorted(list(range(0, 100, 2)) + list(range(1, 100, 2)))
+    tail_reads = [p for p in reads if p.endswith(".json") and "_last_checkpoint" not in p]
+    compacted_reads = [p for p in tail_reads if "compacted" in p]
+    commit_reads = [
+        p for p in tail_reads
+        if "compacted" not in p and int(p.rsplit("/", 1)[-1][:-5]) >= 3
+    ]
+    assert compacted_reads and not commit_reads, (
+        f"fold read raw tail commits {commit_reads} despite compaction"
+    )
+
+
+def test_log_compaction_distributed_fold_consumes_it(spark):
+    """delta_snapshot_adds_df (the Spark-job fold) must reconcile the
+    compacted file at its END version: its live path set equals the
+    driver fold's."""
+    import lakesail_hdfs_deltalake_guide_spark.sources.delta_log as dl
+
+    df = spark.range(60).select(F.col("id").alias("k"))
+    path = tempfile.mkdtemp(prefix="ls_compact_dist_")
+    dl.delta_write(df.repartition(2), path)                      # v0
+    dl.delta_write(df.repartition(2), path, mode="append")       # v1
+    dl.delta_write(
+        df.where("k < 30").repartition(2), path, mode="overwrite"
+    )                                                            # v2
+    dl.delta_write(df.repartition(2), path, mode="append")       # v3
+    expect = set(dl.delta_live_files(spark, path))
+    dl.delta_compact_log(spark, path, 0, 3)
+    got = {
+        r["path"]
+        for r in dl.delta_snapshot_adds_df(spark, path).select("path").collect()
+    }
+    assert got == expect
+
+
+def test_log_compaction_txn_and_meta_survive(spark):
+    """The latest txn per appId and the newest metaData ride the
+    compacted file — delta_last_txn and schema resolution must not
+    regress when the fold switches to it."""
+    import lakesail_hdfs_deltalake_guide_spark.sources.delta_log as dl
+
+    df = spark.range(20).select(F.col("id").alias("k"))
+    path = tempfile.mkdtemp(prefix="ls_compact_txn_")
+    dl.delta_write(df, path)                                     # v0
+    dl.delta_write(df, path, mode="append", txn=("app", 4))      # v1
+    wide = df.withColumn("v", F.col("k") * 2)
+    dl.delta_write(wide, path, mode="append", merge_schema=True,
+                   txn=("app", 9))                               # v2
+    dl.delta_compact_log(spark, path, 0, 2)
+    plan = dl._tail_plan(spark, path, 0, 2)
+    assert len(plan) == 1
+    assert dl.delta_last_txn(spark, path, "app") == 9
+    back = dl.delta_read(spark, path)
+    assert set(back.columns) == {"k", "v"}
+    assert back.count() == 60
+
+
+def test_log_compaction_validation_and_cleanup(spark):
+    """Bad ranges refuse loudly; log cleanup expires compactions whose
+    range starts below the new cutoff."""
+    import glob as _glob
+
+    import pytest
+
+    import lakesail_hdfs_deltalake_guide_spark.sources.delta_log as dl
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    path = tempfile.mkdtemp(prefix="ls_compact_val_")
+    dl.delta_write(df, path)                                     # v0
+    dl.delta_write(df, path, mode="append")                      # v1
+    with pytest.raises(ValueError, match="fewer than two"):
+        dl.delta_compact_log(spark, path, 1, 1)
+    with pytest.raises(ValueError, match="missing"):
+        dl.delta_compact_log(spark, path, 0, 5)
+    dl.delta_compact_log(spark, path, 0, 1)
+    for _ in range(9):
+        dl.delta_write(df, path, mode="append")                  # v2..v10
+    # v10 wrote the cadence checkpoint; cleanup expires [0, 9] and with
+    # them the [0,1] compaction
+    dl.delta_cleanup_log(spark, path)
+    assert not _glob.glob(f"{path}/_delta_log/*.compacted.json")
+    assert dl.delta_read(spark, path).count() == 110

@@ -2,7 +2,8 @@
 
 A seeded random sequence of table operations (append, copy-on-write
 DELETE/UPDATE, merge-on-read DV DELETE, MERGE upsert, OPTIMIZE,
-RESTORE, checkpoint) runs against BOTH the protocol implementation and
+REORG PURGE, RESTORE, checkpoint) runs against BOTH the protocol
+implementation and
 a trivial in-memory dict model; after every step the table snapshot
 must equal the model exactly, and at the end every historical version
 must still time-travel to its recorded model state. This is the class
@@ -26,6 +27,7 @@ from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
     delta_optimize,
     delta_optimize_zorder,
     delta_read,
+    delta_reorg_purge,
     delta_restore,
     delta_update,
     delta_update_dv,
@@ -67,7 +69,8 @@ def test_delta_model_fuzz(spark, seed):
     for step in range(14):
         op = rng.choice(
             ["append", "delete", "delete_dv", "update", "update_dv",
-             "merge", "optimize", "zorder", "restore", "checkpoint"]
+             "merge", "optimize", "zorder", "restore", "checkpoint",
+             "purge"]
         )
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 15))
@@ -110,6 +113,10 @@ def test_delta_model_fuzz(spark, seed):
         elif op == "zorder":
             delta_optimize_zorder(spark, path, ["k", "v"], target_files=2)
             version += 1
+        elif op == "purge":
+            # REORG PURGE: layout-only DV materialization — model rows
+            # unchanged; a DV-free snapshot makes it a version no-op
+            version = delta_reorg_purge(spark, path)
         elif op == "restore":
             target = rng.choice(sorted(history))
             delta_restore(spark, path, target)
@@ -186,7 +193,7 @@ def test_delta_model_fuzz_row_tracked(spark, seed):
         op = rng.choice(
             ["append", "delete", "delete_dv", "update", "update_dv",
              "merge", "optimize", "zorder", "restore", "checkpoint",
-             "evolve"]
+             "evolve", "purge"]
         )
         prev_ids = ids
         if op == "append":
@@ -243,6 +250,9 @@ def test_delta_model_fuzz_row_tracked(spark, seed):
             # must preserve row identity exactly like plain compaction
             delta_optimize_zorder(spark, path, ["k", "v"], target_files=2)
             version += 1
+        elif op == "purge":
+            # layout-only DV materialization: rows AND ids must survive
+            version = delta_reorg_purge(spark, path)
         elif op == "restore":
             target = rng.choice(sorted(history))
             delta_restore(spark, path, target)
