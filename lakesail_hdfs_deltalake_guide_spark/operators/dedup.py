@@ -254,6 +254,80 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINE_SEP = "\n"
+LINE_DF_MAX = 2  # a line in more docs than this is boilerplate
+_LINE_NAV = "home | about | contact | "  # per-source nav menu
+_LINE_COOKIE = "we use cookies to improve your experience"  # corpus-wide
+
+
+def dedup_line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (the RefinedWeb/FineWeb recipe, run AFTER
+    URL dedup and BEFORE fuzzy text dedup): any line occurring in more
+    than LINE_DF_MAX distinct documents is boilerplate (nav menus,
+    cookie banners) and is removed from EVERY document — unlike
+    paragraph keep-first, no occurrence survives, because a nav menu is
+    noise in its first document too. Lines shared by ≤ LINE_DF_MAX docs
+    (legitimate quotes, cross-references) are kept everywhere.
+
+    The fixture's documents are single-line, so line structure is
+    planted in-plan: a per-source nav line (df ≈ docs-per-source →
+    removed), the two body halves (df = 1 → kept), a pair line shared
+    by exactly 2 docs (df = 2 → kept, proving the threshold
+    discriminates), and a corpus-wide cookie banner (df = N → removed).
+
+    Scale shape: the document-frequency pass shuffles ONLY (16-byte
+    digest, doc_id); text moves once, in the reassembly groupBy. The
+    flag joins back on (doc_id, pos) — two exchanges total, the same
+    layout as the Dolma paragraph pass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    half = F.floor(F.size(toks) / 2).cast("int")
+    lines = F.array(
+        F.concat(F.lit(_LINE_NAV), F.col("source")),
+        F.concat_ws(" ", F.slice(toks, 1, half)),
+        F.concat(
+            F.lit("related: story-"), (F.col("doc_id") / 2).cast("long")
+        ),
+        F.lit(_LINE_COOKIE),
+        F.concat_ws(" ", F.slice(toks, half + 1, F.size(toks) - half)),
+    )
+    exploded = d.select("doc_id", lines.alias("lines")).select(
+        "doc_id", F.posexplode("lines").alias("pos", "line")
+    )
+    keyed = exploded.withColumn("digest", F.md5("line"))
+    df_counts = (
+        keyed.select("digest", "doc_id")
+        .groupBy("digest")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+    )
+    flagged = keyed.join(df_counts, "digest").withColumn(
+        "keep", F.col("line_df") <= LINE_DF_MAX
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    LINE_SEP,
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("keep"), F.struct("pos", "line"))
+                            )
+                        ),
+                        lambda s: s.line,
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain DISTINCT projection (dropDuplicates on a column subset)."""
     d = load_table(spark, sf_dir, "documents")
@@ -1156,6 +1230,46 @@ QUERIES: list[QueryDef] = [
         description="Dolma-style paragraph-level exact dedup: split on "
         "blank lines, keep first digest occurrence corpus-wide, "
         "reassemble (md5-pinned reconstruction).",
+    ),
+    QueryDef(
+        "dedup_line_corpus",
+        dedup_line_corpus,
+        f"""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS tk,
+                 CAST(floor(len(string_split(text, ' ')) / 2) AS INT) AS half
+          FROM documents),
+        docs AS (
+          SELECT doc_id,
+                 ['{_LINE_NAV}' || source,
+                  array_to_string(list_slice(tk, 1, half), ' '),
+                  'related: story-' || CAST(doc_id // 2 AS BIGINT),
+                  '{_LINE_COOKIE}',
+                  array_to_string(list_slice(tk, half + 1, len(tk)), ' ')]
+                   AS lines
+          FROM toks),
+        exploded AS (
+          SELECT doc_id, CAST(i - 1 AS INT) AS pos, lines[i] AS line,
+                 md5(lines[i]) AS digest
+          FROM docs, range(1, 6) r(i)),
+        dfc AS (
+          SELECT digest, COUNT(DISTINCT doc_id) AS line_df
+          FROM exploded GROUP BY digest),
+        flagged AS (
+          SELECT e.doc_id, e.pos, e.line, dfc.line_df <= {LINE_DF_MAX} AS keep
+          FROM exploded e JOIN dfc USING (digest))
+        SELECT doc_id, COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed,
+               md5(COALESCE(string_agg(CASE WHEN keep THEN line END,
+                     chr(10) ORDER BY pos), '')) AS clean_md5
+        FROM flagged GROUP BY doc_id ORDER BY doc_id
+        """,
+        tags=("extension", "dedup", "pipeline"),
+        description="RefinedWeb-style corpus line dedup: lines in more "
+        "than 2 distinct docs are boilerplate and removed from every "
+        "document; digest-only document-frequency shuffle, md5-pinned "
+        "reconstruction.",
     ),
     QueryDef(
         "dedup_bloom_contamination",

@@ -416,7 +416,176 @@ def sample_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+DSIR_BUCKETS = 64  # hashed-unigram feature buckets
+DSIR_TOP = 20
+DSIR_TARGET_LANG = "en"
+
+
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (the published
+    hashed-n-gram recipe): score every RAW-pool document by how much
+    more likely its tokens are under the TARGET domain's hashed-feature
+    distribution than under the raw pool's own, and select the top
+    scorers. Here target = ``lang = 'en'`` documents, raw pool = the
+    rest; features are unigrams hashed into DSIR_BUCKETS md5 buckets.
+
+    log importance weight(doc) = Σ_tokens log2 p̂(b) − log2 q̂(b) with
+    add-one-smoothed bucket probabilities p̂ = (t_b+1)/(T+B) (target)
+    and q̂ = (r_b+1)/(R+B) (raw). Both logs are EXACT integer millibits
+    via the shared LOG2_MB_TABLE mantissa constants (each ratio is ≥ 1
+    by construction, so the perplexity op's machinery applies verbatim);
+    the weight is their difference summed with integer bucket counts —
+    bit-identical on any engine. Selection is deterministic top-k by
+    weight (the Gumbel-noise variant replaces the ORDER BY with
+    weight + planted noise; ranking is the substance).
+
+    Plan shape: ONE token explosion feeds the per-doc bucket counts
+    (the only data-sized shuffle, keyed (doc, bucket)) and both LM
+    tables (B-row re-aggregations — broadcast); totals are a 1-row
+    broadcast. BIGINT headroom: (T+B)·2^20 caps corpus tokens at ~2^43
+    (~8·10^12 tokens) before the ratio overflows — beyond any single
+    training corpus."""
+    from .text import LOG2_MB_TABLE
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    occ = d.select(
+        "doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", "lang", "source", bucket.alias("b"))
+    doc_b = occ.groupBy("doc_id", "lang", "source", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t_b = (
+        occ.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t_b"))
+    )
+    r_b = (
+        occ.where(F.col("lang") != DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("r_b"))
+    )
+    totals = occ.groupBy().agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("t_total"),
+        F.sum(
+            F.when(F.col("lang") != DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("r_total"),
+    )
+    arr = F.array(*[F.lit(int(x)) for x in LOG2_MB_TABLE])
+
+    def mb(num: str, den: str) -> F.Column:
+        e = (F.length(F.expr(f"bin(({num}) * 1048576 DIV ({den}))")) - 1).cast(
+            "int"
+        )
+        m6 = F.expr(
+            f"(({num}) * 1048576 DIV ({den})) DIV "
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"length(bin(({num}) * 1048576 DIV ({den}))) - 1 - 6)"
+        )
+        return (e - 20) * 1000 + F.element_at(arr, (m6 - 63).cast("int"))
+
+    grid = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    tabs = (
+        grid.join(t_b, "b", "left")
+        .join(r_b, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            mb(
+                f"t_total + {DSIR_BUCKETS}", "coalesce(t_b, 0) + 1"
+            ).alias("nll_p"),
+            mb(
+                f"r_total + {DSIR_BUCKETS}", "coalesce(r_b, 0) + 1"
+            ).alias("nll_q"),
+        )
+    )
+    raw_docs = doc_b.where(F.col("lang") != DSIR_TARGET_LANG)
+    w = Window.orderBy(F.desc("weight_mbits"), F.asc("doc_id"))
+    return (
+        raw_docs.join(F.broadcast(tabs), "b")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.expr("cnt * (nll_q - nll_p)")).alias("weight_mbits"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= DSIR_TOP)
+        .orderBy("rank")
+    )
+
+
+def _dsir_nll_sql(num: str, den: str) -> str:
+    """DuckDB twin of the integer-millibit log2: same mantissa table,
+    same bin()-length exponent, same truncating divisions."""
+    from .text import LOG2_MB_TABLE
+
+    r = f"(({num}) * 1048576 // ({den}))"
+    table = ", ".join(str(int(x)) for x in LOG2_MB_TABLE)
+    return (
+        f"(length(bin({r})) - 1 - 20) * 1000 + "
+        f"([{table}])[CAST({r} // (1::BIGINT << (length(bin({r})) - 1 - 6)) "
+        f"AS INT) - 63]"
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sample_dsir_importance",
+        sample_dsir_importance,
+        f"""
+        WITH occ AS (
+          SELECT doc_id, lang, source,
+                 CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT)
+                   % {DSIR_BUCKETS} AS b
+          FROM (SELECT doc_id, lang, source,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents)),
+        doc_b AS (
+          SELECT doc_id, lang, source, b, COUNT(*) AS cnt
+          FROM occ GROUP BY doc_id, lang, source, b),
+        tb AS (SELECT b, COUNT(*) AS t_b FROM occ
+               WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+        rb AS (SELECT b, COUNT(*) AS r_b FROM occ
+               WHERE lang <> '{DSIR_TARGET_LANG}' GROUP BY b),
+        tot AS (
+          SELECT (SELECT COUNT(*) FROM occ
+                  WHERE lang = '{DSIR_TARGET_LANG}') AS t_total,
+                 (SELECT COUNT(*) FROM occ
+                  WHERE lang <> '{DSIR_TARGET_LANG}') AS r_total),
+        tabs AS (
+          SELECT g.b,
+                 {_dsir_nll_sql("tot.t_total + " + str(DSIR_BUCKETS),
+                                "COALESCE(tb.t_b, 0) + 1")} AS nll_p,
+                 {_dsir_nll_sql("tot.r_total + " + str(DSIR_BUCKETS),
+                                "COALESCE(rb.r_b, 0) + 1")} AS nll_q
+          FROM range(0, {DSIR_BUCKETS}) g(b)
+          LEFT JOIN tb ON tb.b = g.b
+          LEFT JOIN rb ON rb.b = g.b
+          CROSS JOIN tot),
+        weighted AS (
+          SELECT d.doc_id, d.lang, d.source,
+                 CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+                 CAST(SUM(d.cnt * (t.nll_q - t.nll_p)) AS BIGINT)
+                   AS weight_mbits
+          FROM doc_b d JOIN tabs t USING (b)
+          WHERE d.lang <> '{DSIR_TARGET_LANG}'
+          GROUP BY d.doc_id, d.lang, d.source)
+        SELECT doc_id, lang, source, n_tokens, weight_mbits, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY weight_mbits DESC, doc_id)
+                   AS rank
+          FROM weighted)
+        WHERE rank <= {DSIR_TOP} ORDER BY rank
+        """,
+        tags=("extension", "sampling", "pipeline"),
+        description="DSIR importance resampling: hashed-unigram bucket "
+        "LMs for target vs raw pool, exact integer-millibit log ratio "
+        "weights, deterministic top-k selection.",
+    ),
     QueryDef(
         "sample_temperature_mix",
         sample_temperature_mix,

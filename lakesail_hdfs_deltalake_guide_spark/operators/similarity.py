@@ -407,6 +407,148 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Product quantization (PQ / ADC) ---------------------------------------
+# The third classic ANN compression next to LSH and IVF: split the
+# 64-dim vector into PQ_M=8 subspaces of 8 dims, quantize each subspace
+# against its own PQ_K=16-entry codebook, and store only the M code
+# bytes per vector (64 floats → 8 codes = 32× memory). Queries score
+# candidates with an Asymmetric Distance Computation table: per
+# subspace, the query's exact distance to each of the K centroids —
+# M·K integers per query — and a candidate's approximate distance is M
+# table lookups. Everything is FIXED-POINT (coordinates floored to
+# micro-units, distances exact BIGINT sums) so the codes, tables, and
+# scores are bit-identical on any engine — the property that lets the
+# DuckDB oracle re-derive the whole index in SQL.
+#
+# Codebook: the sampled-init codebook (subslices of the first PQ_K
+# corpus vectors) — deterministic, the standard PQ bootstrap; a trained
+# codebook would persist via the ivf_train_codebook pattern.
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (PQ_M * PQ_SUBDIM = 64)
+PQ_K = 16  # centroids per subspace
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[int]]]:
+    """cb[m][k] = centroid (m, k) as PQ_SUBDIM micro-unit BIGINTs —
+    floor(x * 1e6), the one rounding mode Python, Spark, and DuckDB
+    agree on bit-for-bit. PQ_K rows collected: metadata-sized (the same
+    bounded codebook object a FAISS index ships to every worker)."""
+    import math
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        e.where(F.col("vec_id") < PQ_K)
+        .orderBy("vec_id")
+        .select(as_double("embedding").alias("v"))
+        .collect()
+    )
+    return [
+        [
+            [
+                int(math.floor(rows[k]["v"][m * PQ_SUBDIM + d] * 1_000_000))
+                for d in range(PQ_SUBDIM)
+            ]
+            for k in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+
+
+def _pq_micro(col: F.Column) -> F.Column:
+    return F.transform(col, lambda x: F.floor(x * 1_000_000).cast("long"))
+
+
+def _pq_subdists(xq: F.Column, cb_m: list[list[int]], m: int) -> F.Column:
+    """Array of PQ_K exact integer L2 distances between subvector m of
+    ``xq`` (micro-units) and subspace m's centroids."""
+    sub = F.slice(xq, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(c).cast("long") for c in centroid]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for centroid in cb_m
+        ]
+    )
+
+
+def pq_topk_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    cb: list[list[list[int]]],
+    k: int = TOP_K,
+) -> DataFrame:
+    """PQ/ADC ANN top-k. ``queries``: (query_id, qv array<double>);
+    ``candidates``: (vec_id, v array<double>).
+
+    Plan: candidates encode in ONE scan (codes = per-subspace integer
+    argmin against literal centroids — pure codegen, no shuffle, no
+    Python); queries build their M×K ADC tables the same way; the tiny
+    query side broadcasts and scoring is M element_at lookups per pair.
+    The only exchange is the per-query top-k window. At 100 TB the
+    encode is the one corpus pass a real PQ index build does, and the
+    resident index is codes-only (32× smaller than the raw vectors)."""
+    argmin = lambda dists: F.element_at(  # noqa: E731 — (dist,k) lexi-min
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(PQ_K - 1)),
+                lambda s, i: F.struct(s.alias("d"), i.alias("k")),
+            )
+        ),
+        1,
+    )["k"]
+    cand = candidates.select(
+        "vec_id",
+        F.array(
+            *[argmin(_pq_subdists(_pq_micro(F.col("v")), cb[m], m)) for m in range(PQ_M)]
+        ).alias("codes"),
+    )
+    qtab = queries.select(
+        "query_id",
+        *[
+            _pq_subdists(_pq_micro(F.col("qv")), cb[m], m).alias(f"t{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    score = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.col(f"t{m}"), F.element_at(F.col("codes"), m + 1) + 1
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("vec_id")
+    )
+    return (
+        cand.join(F.broadcast(qtab))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", score.cast("bigint").alias("approx_dist"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (ADC scoring), fully fixed-point —
+    the oracle re-derives codebook, codes, tables, and scores in SQL.
+    Recall on planted near-duplicates asserted in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    candidates = e.select("vec_id", as_double("embedding").alias("v"))
+    return pq_topk_join(queries, candidates, cb, TOP_K)
+
+
 def planes_values_sql(planes: list[list[float]]) -> str:
     """Render hyperplanes as a DuckDB VALUES list ``(plane_id, pv)``.
 
@@ -611,6 +753,52 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "similarity"),
         description="Int8 symmetric quantization + exact integer-dot "
         "top-k (4x memory, drift-free scores).",
+    ),
+    QueryDef(
+        "similarity_pq_topk",
+        similarity_pq_topk,
+        f"""
+        WITH emb AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * 1000000) AS BIGINT)) AS xq
+          FROM embeddings),
+        cb AS (
+          SELECT m.m, e.vec_id AS k,
+                 list_transform(range(1, {PQ_SUBDIM} + 1),
+                                d -> e.xq[m.m * {PQ_SUBDIM} + d]) AS cq
+          FROM emb e CROSS JOIN range(0, {PQ_M}) m(m)
+          WHERE e.vec_id < {PQ_K}),
+        dists AS (
+          SELECT e.vec_id, c.m, c.k,
+                 CAST(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                      d -> (e.xq[c.m * {PQ_SUBDIM} + d] - c.cq[d])
+                         * (e.xq[c.m * {PQ_SUBDIM} + d] - c.cq[d])))
+                      AS BIGINT) AS dist
+          FROM emb e CROSS JOIN cb c),
+        enc AS (
+          SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist, k) AS rn
+            FROM dists) WHERE rn = 1),
+        scored AS (
+          SELECT d.vec_id AS query_id, e2.vec_id AS vec_id,
+                 CAST(SUM(d.dist) AS BIGINT) AS approx_dist
+          FROM enc e2 JOIN dists d ON d.m = e2.m AND d.k = e2.code
+          WHERE d.vec_id < {NUM_QUERIES} AND d.vec_id <> e2.vec_id
+          GROUP BY d.vec_id, e2.vec_id)
+        SELECT query_id, vec_id, approx_dist, rank FROM (
+          SELECT query_id, vec_id, approx_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx_dist, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= {TOP_K} ORDER BY query_id, rank
+        """,
+        tags=("extension", "similarity"),
+        description="Product-quantization ANN (8 subspaces x 16 codes, "
+        "ADC table scoring) in exact fixed point — codebook, codes, and "
+        "scores all re-derived by the SQL oracle bit-for-bit.",
     ),
     QueryDef(
         "similarity_lsh_topk",

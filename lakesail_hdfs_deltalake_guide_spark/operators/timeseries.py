@@ -216,7 +216,197 @@ def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DAY_US = 24 * HOUR_US
+SEASON_P = 24  # hours per seasonal cycle
+
+
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event
+    series (the statsmodels ``seasonal_decompose``/STL-lite recipe), in
+    exact fixed point:
+
+    1. trend = centered 2×24 moving average over the DENSE hourly grid
+       (half-weight end taps: ``(500·n[t−12] + 1000·Σ n[t−11..t+11]
+       + 500·n[t+12]) DIV 24``) — NULL at the first/last 12 hours, the
+       classical edge convention, falling out of NULL lag/lead taps;
+    2. detrended = 1000·n − trend (milli-units);
+    3. seasonal index per (event_type, hour-of-day) = truncating mean
+       of detrended, then centered by subtracting the mean of the 24
+       indices — Σ seasonal ≈ 0, the additive-model identity;
+    4. residual = detrended − seasonal; reported as mean |residual|.
+
+    All arithmetic is BIGINT with TRUNCATING division (negative
+    quantities divide toward zero in both engines — the DuckDB twin
+    spells the CASE out because ``//`` floors). Plan: facts collapse to
+    the hourly grid map-side; ONE window pass (25 lag/lead taps sharing
+    one exchange on the series key) computes the trend; the seasonal
+    table is a 24×types re-aggregation joined back broadcast. No
+    iteration, no state, no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    hour_us = us - us % HOUR_US
+    hourly = (
+        ev.select("event_type", hour_us.alias("hour_us"))
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    span = ev.agg(F.min(us).alias("min_us"), F.max(us).alias("max_us")).select(
+        (F.col("min_us") - F.col("min_us") % HOUR_US).alias("start_us"),
+        (F.col("max_us") - F.col("max_us") % HOUR_US).alias("end_us"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("start_us"), F.col("end_us"), F.lit(HOUR_US))
+        ).alias("hour_us"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour_us"], "left").select(
+        "event_type",
+        "hour_us",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_us")
+    half = SEASON_P // 2
+    trend_num = F.lit(500) * (
+        F.lag("n", half).over(w) + F.lead("n", half).over(w)
+    )
+    for k in range(-(half - 1), half):
+        tap = (
+            F.col("n")
+            if k == 0
+            else (F.lag("n", k).over(w) if k > 0 else F.lead("n", -k).over(w))
+        )
+        trend_num = trend_num + F.lit(1000) * tap
+    det = (
+        dense.withColumn("_tnum", trend_num)
+        .select(
+            "event_type",
+            "hour_us",
+            ((F.col("hour_us") % DAY_US) / HOUR_US).cast("int").alias("hod"),
+            "n",
+            (F.col("n") * 1000 - F.expr(f"_tnum DIV {SEASON_P}")).alias("det"),
+        )
+    )
+    s_raw = (
+        det.where(F.col("det").isNotNull())
+        .groupBy("event_type", "hod")
+        .agg(
+            F.sum("det").alias("sum_det"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .withColumn("s_raw", F.expr("sum_det DIV n_hours"))
+    )
+    seasonal = s_raw.withColumn(
+        "s_adj",
+        F.col("s_raw")
+        - F.expr(f"SUM(s_raw) OVER (PARTITION BY event_type) DIV {SEASON_P}"),
+    ).select("event_type", "hod", "n_hours", "s_adj")
+    return (
+        det.where(F.col("det").isNotNull())
+        .join(F.broadcast(seasonal), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.max("n_hours").alias("n_hours"),
+            F.max("s_adj").alias("seasonal_x1000"),
+            F.expr("SUM(ABS(det - s_adj)) DIV COUNT(*)").alias(
+                "mean_abs_resid_x1000"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("hod").cast("bigint").alias("hod"),
+            "n_hours",
+            "seasonal_x1000",
+            "mean_abs_resid_x1000",
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+def _tdiv_sql(x: str, d: str) -> str:
+    """Truncating integer division for DuckDB (Spark's DIV truncates
+    toward zero; DuckDB's // floors — they disagree on negatives)."""
+    return (
+        f"CASE WHEN ({x}) >= 0 THEN ({x}) // ({d}) "
+        f"ELSE -((-({x})) // ({d})) END"
+    )
+
+
+def _season_trend_taps_sql() -> str:
+    half = SEASON_P // 2
+    inner = " + ".join(
+        ["n"]
+        + [f"LAG(n, {k}) OVER w" for k in range(1, half)]
+        + [f"LEAD(n, {k}) OVER w" for k in range(1, half)]
+    )
+    return (
+        f"500 * (LAG(n, {half}) OVER w + LEAD(n, {half}) OVER w) "
+        f"+ 1000 * ({inner})"
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "ts_seasonal_decompose",
+        ts_seasonal_decompose,
+        f"""
+        WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        hourly AS (
+          SELECT event_type, us - us % {HOUR_US} AS hour_us, COUNT(*) AS n
+          FROM ev GROUP BY event_type, us - us % {HOUR_US}),
+        span AS (
+          SELECT MIN(us) - MIN(us) % {HOUR_US} AS start_us,
+                 MAX(us) - MAX(us) % {HOUR_US} AS end_us
+          FROM ev),
+        grid AS (
+          SELECT t.event_type, g.hour_us
+          FROM (SELECT DISTINCT event_type FROM ev) t
+          CROSS JOIN (SELECT unnest(range(span.start_us,
+                                          span.end_us + 1,
+                                          {HOUR_US})) AS hour_us
+                      FROM span) g),
+        dense AS (
+          SELECT grid.event_type, grid.hour_us,
+                 CAST(COALESCE(h.n, 0) AS BIGINT) AS n
+          FROM grid LEFT JOIN hourly h
+            ON h.event_type = grid.event_type
+           AND h.hour_us = grid.hour_us),
+        tr AS (
+          SELECT event_type, hour_us, n,
+                 {_season_trend_taps_sql()} AS tnum
+          FROM dense
+          WINDOW w AS (PARTITION BY event_type ORDER BY hour_us)),
+        det AS (
+          SELECT event_type, hour_us,
+                 CAST((hour_us % {DAY_US}) // {HOUR_US} AS INT) AS hod,
+                 n * 1000 - (tnum // {SEASON_P}) AS det
+          FROM tr WHERE tnum IS NOT NULL),
+        sr AS (
+          SELECT event_type, hod, COUNT(*) AS n_hours,
+                 {_tdiv_sql("SUM(det)", "COUNT(*)")} AS s_raw
+          FROM det GROUP BY event_type, hod),
+        se AS (
+          SELECT event_type, hod, n_hours,
+                 s_raw - {_tdiv_sql(
+                     "SUM(s_raw) OVER (PARTITION BY event_type)",
+                     str(SEASON_P))} AS s_adj
+          FROM sr)
+        SELECT se.event_type, CAST(se.hod AS BIGINT) AS hod,
+               CAST(se.n_hours AS BIGINT) AS n_hours,
+               CAST(se.s_adj AS BIGINT) AS seasonal_x1000,
+               CAST(SUM(ABS(d.det - se.s_adj)) // COUNT(*) AS BIGINT)
+                 AS mean_abs_resid_x1000
+        FROM det d JOIN se
+          ON d.event_type = se.event_type AND d.hod = se.hod
+        GROUP BY se.event_type, se.hod, se.n_hours, se.s_adj
+        ORDER BY se.event_type, hod
+        """,
+        tags=("extension", "timeseries"),
+        description="Classical additive seasonal decomposition (2x24 "
+        "centered MA trend, centered hour-of-day indices, residuals) in "
+        "exact fixed point over the dense hourly grid.",
+    ),
     QueryDef(
         "ts_ohlc_hourly",
         ts_ohlc_hourly,

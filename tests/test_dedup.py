@@ -90,3 +90,25 @@ def test_exact_dedup_is_idempotent(spark, sf_oracle):
     dupes = once.groupBy("fingerprint").count().where(F.col("count") > 1).count()
     assert dupes == 0
     assert once.count() == 500
+
+
+def test_line_corpus_dedup_semantics(spark, sf_oracle):
+    """Nav (per-source df >> 2) and cookie (corpus-wide) lines are
+    removed from EVERY doc; the pair line (df == 2) and both body
+    halves (df == 1) survive — the threshold discriminates in both
+    directions."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        dedup_line_corpus,
+    )
+
+    rows = dedup_line_corpus(spark, sf_oracle).collect()
+    assert rows, "empty result"
+    assert all(r.n_lines == 5 for r in rows)
+    # every doc loses exactly nav + cookie (bodies are unique; the pair
+    # line is shared by exactly 2 docs, at or under the threshold)
+    assert all(r.n_removed == 2 for r in rows), (
+        sorted({r.n_removed for r in rows})
+    )
+    # deterministic: the reconstruction digest is stable across runs
+    again = {r.doc_id: r.clean_md5 for r in dedup_line_corpus(spark, sf_oracle).collect()}
+    assert all(again[r.doc_id] == r.clean_md5 for r in rows)

@@ -87,3 +87,21 @@ def test_token_budget_mix_caps_every_source(spark, sf_smoke):
     smallest = min(rows, key=lambda r: r.total_chars)
     assert smallest.rate_ppm == 1_000_000
     assert smallest.kept_chars == smallest.total_chars
+
+
+def test_dsir_importance_properties(spark, sf_oracle):
+    """DSIR selection: only raw-pool (non-target-lang) docs are ranked,
+    ranks are dense 1..TOP, and integer scoring makes re-runs
+    bit-identical."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        DSIR_TARGET_LANG,
+        DSIR_TOP,
+        sample_dsir_importance,
+    )
+
+    rows = sample_dsir_importance(spark, sf_oracle).collect()
+    assert [r.rank for r in rows] == list(range(1, DSIR_TOP + 1))
+    assert all(r.lang != DSIR_TARGET_LANG for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+    again = sample_dsir_importance(spark, sf_oracle).collect()
+    assert rows == again

@@ -150,3 +150,65 @@ def test_ivf_codebook_trained_once_and_persisted(spark, sf_oracle, monkeypatch):
     similarity._CODEBOOK_CACHE.clear()
     assert similarity.similarity_ivf_topk(spark, sf_oracle).collect() == r1
     assert writes["n"] == 0
+
+
+def test_pq_topk_recall_on_planted_near_dupes(spark, sf_oracle):
+    """PQ/ADC must rank a perturbed copy's ORIGINAL first: the original
+    encodes to the codes nearest the query's subvectors, so its ADC
+    distance is near-minimal. Recall measured on planted copies (the
+    corpus itself is near-orthogonal, where PQ pruning weak neighbors
+    is correct)."""
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.functions.vectors import as_double
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    n_queries = 25
+    offset = 100_000
+    queries = (
+        e.where(F.col("vec_id") < n_queries)
+        .select(
+            (F.col("vec_id") + offset).alias("query_id"),
+            as_double("embedding").alias("qv"),
+        )
+        .withColumn(
+            "qv",
+            F.concat(
+                F.slice(F.col("qv"), 1, 63),
+                F.array(F.element_at(F.col("qv"), 64) + F.lit(0.03)),
+            ),
+        )
+    )
+    candidates = e.select("vec_id", as_double("embedding").alias("v"))
+    cb = similarity._pq_codebook(spark, sf_oracle)
+    topk = similarity.pq_topk_join(queries, candidates, cb, k=1).collect()
+    hits = sum(1 for r in topk if r.vec_id == r.query_id - offset)
+    recall = hits / n_queries
+    assert recall >= 0.8, f"planted-near-dup PQ recall too low: {recall}"
+
+
+def test_pq_codes_exact_for_sampled_vectors(spark, sf_oracle):
+    """A vector the codebook was sampled FROM has distance 0 to its own
+    centroid in every subspace, so its ADC distance from itself is 0 —
+    and integer scoring makes re-runs bit-identical."""
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.functions.vectors import as_double
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    cb = similarity._pq_codebook(spark, sf_oracle)
+    offset = 100_000
+    queries = e.where(F.col("vec_id") < similarity.PQ_K).select(
+        (F.col("vec_id") + offset).alias("query_id"),
+        as_double("embedding").alias("qv"),
+    )
+    candidates = e.select("vec_id", as_double("embedding").alias("v"))
+    top1 = similarity.pq_topk_join(queries, candidates, cb, k=1).collect()
+    for r in top1:
+        assert r.vec_id == r.query_id - offset
+        assert r.approx_dist == 0
+    a = similarity.similarity_pq_topk(spark, sf_oracle).collect()
+    b = similarity.similarity_pq_topk(spark, sf_oracle).collect()
+    assert a == b

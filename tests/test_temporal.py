@@ -60,3 +60,26 @@ def test_range_join_matches_bruteforce(spark, sf_smoke):
     )
     assert bucketed.exceptAll(brute).count() == 0
     assert brute.exceptAll(bucketed).count() == 0
+
+
+def test_seasonal_decompose_identities(spark, sf_oracle):
+    """Additive-model invariants: 24 hour-of-day rows per event type;
+    per type the centered seasonal indices sum to ~0 (within the
+    truncating-division remainder, |sum| < 24); integer arithmetic makes
+    re-runs bit-identical."""
+    from collections import defaultdict
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.timeseries import (
+        ts_seasonal_decompose,
+    )
+
+    rows = ts_seasonal_decompose(spark, sf_oracle).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for t, rs in by_type.items():
+        assert sorted(r.hod for r in rs) == list(range(24)), t
+        s = sum(r.seasonal_x1000 for r in rs)
+        assert abs(s) < 24, f"{t}: seasonal indices not centered (sum {s})"
+        assert all(r.mean_abs_resid_x1000 >= 0 for r in rs)
+    assert rows == ts_seasonal_decompose(spark, sf_oracle).collect()
