@@ -631,7 +631,149 @@ def clean_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def clean_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-vs-rules reliability ladder — the decile-refined
+    companion to the 2×2 kappa report: bin every document into exact
+    deciles of the hashed-classifier score (clean_classifier_quality's
+    model) and report each decile's Gopher-rule pass rate
+    (clean_gopher_quality_rules' gate) in exact ppm. A classifier worth
+    swapping in for the rule gate shows a monotone-ish ladder: high
+    score deciles ≈ high rule-pass rates. This is the calibration curve
+    every filter-replacement decision reads before flipping the flag.
+
+    Plan shape: ONE token explosion feeds the score (broadcast weight
+    join, per-doc agg); the rule flags are scan-side integer arithmetic
+    on the same documents scan; the decile NTILE is a single-partition
+    sort over the DOC-SIZED score table (the adjudicated equi-depth
+    idiom — swap for approx-percentile boundaries at 10^9 docs)."""
+    d = load_table(spark, sf_dir, "documents")
+    weights = spark.range(CLS_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CLS_WEIGHT_SPAN
+            - (CLS_WEIGHT_SPAN - 1) // 2
+        ).alias("w_milli"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("q:"), F.col("token"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % CLS_BUCKETS
+    )
+    scores = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .select("doc_id", bucket.alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_milli").alias("w_sum"),
+        )
+        .select("doc_id", F.expr("w_sum DIV n_tokens").alias("score_milli"))
+    )
+    toks = F.split(F.col("text"), " ")
+    mean_len_e2 = F.expr(
+        "aggregate(split(text, ' '), 0L, (a, t) -> a + length(t)) * 100 "
+        "DIV size(split(text, ' '))"
+    )
+    nonalpha_ppm = F.expr(
+        "size(filter(split(text, ' '), t -> t NOT RLIKE '[a-zA-Z]')) "
+        "* 1000000 DIV size(split(text, ' '))"
+    )
+    rule_pass = (
+        (F.size(toks) >= GOPHER_MIN_TOKENS)
+        & mean_len_e2.between(
+            GOPHER_MEAN_WORD_LEN_MIN_E2, GOPHER_MEAN_WORD_LEN_MAX_E2
+        )
+        & (nonalpha_ppm <= GOPHER_MAX_NONALPHA_PPM)
+    )
+    labeled = d.select("doc_id", rule_pass.alias("rule_pass")).join(
+        scores, "doc_id"
+    )
+    w = Window.orderBy("score_milli", "doc_id")
+    return (
+        labeled.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("SUM(score_milli) DIV COUNT(*)").alias("avg_score_milli"),
+            F.expr(
+                "SUM(CASE WHEN rule_pass THEN 1 ELSE 0 END) * 1000000 "
+                "DIV COUNT(*)"
+            ).alias("rule_pass_ppm"),
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_docs",
+            "avg_score_milli",
+            "rule_pass_ppm",
+        )
+        .orderBy("decile")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "clean_classifier_calibration",
+        clean_classifier_calibration,
+        f"""
+        WITH pairs AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substring(md5(concat('q:', token)), 1, 8))
+                      AS BIGINT) % {CLS_BUCKETS} AS bucket
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents)),
+        weights AS (
+          SELECT b AS bucket,
+                 CAST(concat('0x', substring(md5(concat('w:', CAST(b AS VARCHAR))), 1, 8))
+                      AS BIGINT) % {CLS_WEIGHT_SPAN}
+                   - {(CLS_WEIGHT_SPAN - 1) // 2} AS w_milli
+          FROM (SELECT unnest(range(0, {CLS_BUCKETS})) AS b)),
+        scores AS (
+          SELECT doc_id,
+                 CAST(SUM(w_milli) AS BIGINT) // COUNT(*) AS score_milli
+          FROM pairs JOIN weights USING (bucket)
+          GROUP BY doc_id),
+        rules AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) >= {GOPHER_MIN_TOKENS}
+                 AND (list_sum(list_transform(string_split(text, ' '),
+                        t -> length(t))) * 100
+                      // len(string_split(text, ' ')))
+                     BETWEEN {GOPHER_MEAN_WORD_LEN_MIN_E2}
+                         AND {GOPHER_MEAN_WORD_LEN_MAX_E2}
+                 AND (len(list_filter(string_split(text, ' '),
+                        t -> NOT regexp_matches(t, '[a-zA-Z]'))) * 1000000
+                      // len(string_split(text, ' ')))
+                     <= {GOPHER_MAX_NONALPHA_PPM} AS rule_pass
+          FROM documents),
+        binned AS (
+          SELECT s.doc_id, s.score_milli, r.rule_pass,
+                 NTILE(10) OVER (ORDER BY s.score_milli, s.doc_id) AS decile
+          FROM scores s JOIN rules r USING (doc_id))
+        SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+               CAST(SUM(score_milli) // COUNT(*) AS BIGINT)
+                 AS avg_score_milli,
+               CAST(SUM(CASE WHEN rule_pass THEN 1 ELSE 0 END) * 1000000
+                    // COUNT(*) AS BIGINT) AS rule_pass_ppm
+        FROM binned GROUP BY decile ORDER BY decile
+        """,
+        tags=("extension", "cleaning", "pipeline", "classifier"),
+        description="Classifier-vs-rule-gate reliability ladder: exact "
+        "score deciles x Gopher-rule pass rate in ppm — the calibration "
+        "curve read before swapping a filter.",
+    ),
     QueryDef(
         "clean_classifier_quality",
         clean_classifier_quality,

@@ -436,6 +436,150 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGES = 3  # unrolled training iterations
+
+
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training (the Sennrich subword recipe), first
+    BPE_MERGES merges unrolled: count adjacent symbol pairs over the
+    word-frequency table, adopt the most frequent pair as a merge rule,
+    apply it corpus-wide, repeat. Returns the learned merge table
+    (iteration, left, right, pair_count) — the artifact a tokenizer
+    ships.
+
+    The greedy left-to-right non-overlapping merge is expressed
+    RELATIONALLY (no per-row procedural scan): symbols live as
+    (word, pos, sym) rows; eligible positions (sym=left ∧ next=right)
+    form maximal consecutive runs, and within a run exactly the
+    even-offset positions merge — the parallel formulation of greedy
+    matching ("a a a a" → "aa aa", "a a a" → "aa a"). Each iteration is
+    two window passes over the per-word position order plus a
+    vocabulary-sized pair aggregation; the chosen rule is a 1-row
+    broadcast. Ties break (count desc, left asc, right asc) —
+    deterministic in both engines.
+
+    Scale shape: training runs on the WORD-FREQUENCY table (vocabulary-
+    sized, Zipf — orders of magnitude below the corpus), exactly like
+    every real BPE trainer; the corpus is scanned once to build it.
+    Iterations materialize via localCheckpoint (Pregel-style
+    supersteps)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        "word", "freq", F.posexplode(F.split("word", "")).alias("pos", "sym")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("word").orderBy("pos")
+    merges = None
+    for it in range(1, BPE_MERGES + 1):
+        paired = syms.withColumn("nxt", F.lead("sym").over(w))
+        best = (
+            paired.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "sym", "nxt")
+            .limit(1)
+            .select(
+                F.lit(it).cast("bigint").alias("iteration"),
+                F.col("sym").alias("left"),
+                F.col("nxt").alias("right"),
+                "pair_count",
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        rule = best.select("left", "right")
+        marked = (
+            paired.crossJoin(F.broadcast(rule))
+            .withColumn(
+                "elig",
+                (F.col("sym") == F.col("left"))
+                & (F.col("nxt") == F.col("right")),
+            )
+            .withColumn(
+                "run_start",
+                F.col("elig")
+                & ~F.coalesce(F.lag("elig").over(w), F.lit(False)),
+            )
+            .withColumn(
+                "run_id", F.sum(F.col("run_start").cast("int")).over(w)
+            )
+        )
+        wr = Window.partitionBy("word", "run_id")
+        marked = marked.withColumn(
+            "taken",
+            F.col("elig")
+            & (
+                (
+                    F.col("pos")
+                    - F.min(F.when(F.col("elig"), F.col("pos"))).over(wr)
+                )
+                % 2
+                == 0
+            ),
+        ).withColumn("dropped", F.coalesce(F.lag("taken").over(w), F.lit(False)))
+        syms = (
+            marked.where(~F.col("dropped"))
+            .select(
+                "word",
+                "freq",
+                F.row_number().over(w).alias("pos"),
+                F.when(
+                    F.col("taken"), F.concat(F.col("sym"), F.col("nxt"))
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return merges.orderBy("iteration")
+
+
+def _bpe_round_sql(prev: str, it: int) -> str:
+    """One BPE training iteration as DuckDB CTEs: pair counts → 1-row
+    best rule → parallel greedy merge (even offsets within eligible
+    runs) → renumbered symbol table."""
+    return f"""
+        p{it} AS MATERIALIZED (
+          SELECT word, freq, pos, sym,
+                 LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+          FROM {prev}),
+        best{it} AS MATERIALIZED (
+          SELECT CAST({it} AS BIGINT) AS iteration, sym AS lft, nxt AS rgt,
+                 CAST(SUM(freq) AS BIGINT) AS pair_count
+          FROM p{it} WHERE nxt IS NOT NULL
+          GROUP BY sym, nxt
+          ORDER BY pair_count DESC, sym, nxt LIMIT 1),
+        m{it} AS MATERIALIZED (
+          SELECT word, freq, pos, sym, nxt, elig,
+                 SUM(CASE WHEN run_start THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY word ORDER BY pos) AS run_id
+          FROM (SELECT *,
+                       elig AND NOT COALESCE(
+                         LAG(elig) OVER (PARTITION BY word ORDER BY pos),
+                         FALSE) AS run_start
+                FROM (SELECT p.*,
+                             (p.sym = b.lft AND p.nxt = b.rgt) AS elig
+                      FROM p{it} p CROSS JOIN best{it} b))),
+        t{it} AS MATERIALIZED (
+          SELECT *,
+                 elig AND (pos - MIN(CASE WHEN elig THEN pos END)
+                   OVER (PARTITION BY word, run_id)) % 2 = 0 AS taken
+          FROM m{it}),
+        s{it} AS MATERIALIZED (
+          SELECT word, freq,
+                 ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+                 CASE WHEN taken THEN sym || nxt ELSE sym END AS sym
+          FROM (SELECT *, COALESCE(
+                  LAG(taken) OVER (PARTITION BY word ORDER BY pos),
+                  FALSE) AS dropped
+                FROM t{it})
+          WHERE NOT dropped)"""
+
+
 # Fixed retrieval query for the BM25 ranker (engine constants, not tuned
 # to the corpus — the operator is parameterized by any term set).
 BM25_QUERY_TERMS = ("spark", "join", "window", "stream")
@@ -617,6 +761,34 @@ QUERIES: list[QueryDef] = [
         description="CCNet-style bigram-LM cross-entropy deciles in "
         "exact millibits (integer log2 via shared mantissa table); "
         "add-one smoothed per-language LM estimated in one corpus pass.",
+    ),
+    QueryDef(
+        "text_bpe_train_merges",
+        text_bpe_train_merges,
+        f"""
+        WITH words AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          GROUP BY word),
+        s0 AS MATERIALIZED (
+          SELECT word, freq, CAST(i AS BIGINT) AS pos, ch[i] AS sym
+          FROM (SELECT word, freq, string_split(word, '') AS ch FROM words),
+               range(1, 64) r(i)
+          WHERE i <= len(ch)),
+        {",".join(_bpe_round_sql(f"s{r - 1}", r).lstrip()
+                  for r in range(1, BPE_MERGES + 1))}
+        {" UNION ALL ".join(
+            f'SELECT iteration, lft AS "left", rgt AS "right", pair_count '
+            f"FROM best{r}"
+            for r in range(1, BPE_MERGES + 1))}
+        ORDER BY iteration
+        """,
+        tags=("extension", "text", "pipeline", "iterative"),
+        description="BPE vocabulary training (3 unrolled merges): pair "
+        "counts over the word-frequency table, parallel greedy "
+        "left-to-right merge via run-parity window logic, deterministic "
+        "tie-break — the learned merge table a tokenizer ships.",
     ),
     QueryDef(
         "text_bpe_token_count",

@@ -76,6 +76,7 @@ _WRITER_FEATURES_IMPLEMENTED = frozenset(
         "lakesailRowTracking",
         "typeWidening",
         "v2Checkpoint",
+        "allowColumnDefaults",
     }
 )
 
@@ -1663,6 +1664,42 @@ def _apply_generated(df: DataFrame, meta: dict) -> DataFrame:
     return df
 
 
+# Column DEFAULT values (PROTOCOL.md writer feature
+# "allowColumnDefaults", delta-spark's ``DEFAULT`` clause): the SQL
+# expression lives in the field's schema metadata under the protocol's
+# ``CURRENT_DEFAULT`` key. Unlike a generated column, a supplied value
+# WINS — the default only substitutes for omission, evaluated at write
+# time (existing files are untouched; this is an insert-time feature,
+# not a read-time one). Pure writer feature: readers ignore it.
+_DEFAULT_KEY = "CURRENT_DEFAULT"
+
+
+def _column_defaults(meta: dict | None) -> dict[str, str]:
+    """{logical column: default SQL expr} from the schema metadata."""
+    if not meta:
+        return {}
+    return {
+        f["name"]: (f.get("metadata") or {})[_DEFAULT_KEY]
+        for f in json.loads(meta["schemaString"])["fields"]
+        if _DEFAULT_KEY in (f.get("metadata") or {})
+    }
+
+
+def _apply_defaults(df: DataFrame, meta: dict) -> DataFrame:
+    """Fill each ABSENT default column of a LOGICAL-name batch with its
+    expression, cast to the declared type. Supplied columns pass through
+    untouched (the defining contrast with _apply_generated's
+    fill-or-verify)."""
+    defaults = _column_defaults(meta)
+    if not defaults:
+        return df
+    types = {f.name: f.dataType for f in _logical_schema(meta).fields}
+    for name, expr in defaults.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr).cast(types[name]))
+    return df
+
+
 # Identity columns (PROTOCOL.md writer feature "identityColumns",
 # delta-spark's GENERATED ALWAYS AS IDENTITY): start/step/highWaterMark
 # live in the field's schema metadata; every identity write allocates a
@@ -2051,6 +2088,7 @@ def _plan_commit(
     configuration: dict | None = None,
     generated_columns: dict | None = None,
     identity_columns: dict | None = None,
+    column_defaults: dict | None = None,
 ) -> tuple[int, list[dict], DataFrame, dict]:
     """One optimistic-transaction attempt: resolve the target version
     against the CURRENT log state and build the commit's non-add actions
@@ -2065,24 +2103,43 @@ def _plan_commit(
     actions: list[dict] = []
     if version == 0:
         conf = dict(configuration or {})
-        # generated columns a creation batch omits are computed here so
-        # their TYPES land in the schema; value validation + the cast
-        # happen in _apply_generated once the metaData exists
+        overlap = set(column_defaults or ()) & (
+            set(generated_columns or ()) | set(identity_columns or ())
+        )
+        if overlap:
+            raise ValueError(
+                f"columns {sorted(overlap)} cannot have a DEFAULT and be "
+                "generated/identity at once"
+            )
+        # generated/default columns a creation batch omits are computed
+        # here so their TYPES land in the schema; value validation + the
+        # cast happen in _apply_generated/_apply_defaults once the
+        # metaData exists
         typed = df
-        for name, expr in (generated_columns or {}).items():
+        for name, expr in {
+            **(generated_columns or {}),
+            **(column_defaults or {}),
+        }.items():
             if name not in typed.columns:
                 typed = typed.withColumn(name, F.expr(expr))
         schema_json = json.loads(typed.schema.json())
-        if generated_columns:
+        field_md = {
+            **{
+                n: {_GEN_EXPR_KEY: e}
+                for n, e in (generated_columns or {}).items()
+            },
+            **{n: {_DEFAULT_KEY: e} for n, e in (column_defaults or {}).items()},
+        }
+        if field_md:
             schema_json["fields"] = [
                 {
                     **f,
                     "metadata": {
                         **(f.get("metadata") or {}),
-                        _GEN_EXPR_KEY: generated_columns[f["name"]],
+                        **field_md[f["name"]],
                     },
                 }
-                if f["name"] in generated_columns
+                if f["name"] in field_md
                 else f
                 for f in schema_json["fields"]
             ]
@@ -2127,6 +2184,8 @@ def _plan_commit(
             writer_feats.append("generatedColumns")
         if identity_columns:
             writer_feats.append("identityColumns")
+        if column_defaults:
+            writer_feats.append("allowColumnDefaults")
         if str(conf.get(_RT_ENABLE_KEY, "")).lower() == "true":
             if any(f["name"] == _RT_COL for f in schema_json["fields"]):
                 raise ValueError(
@@ -2165,6 +2224,7 @@ def _plan_commit(
         actions.append({"protocol": proto_action})
         actions.append({"metaData": new_meta})
         df = _apply_generated(df, new_meta)
+        df = _apply_defaults(df, new_meta)
         # constraints supplied at creation bind the very first batch
         _enforce_constraints(df, {"configuration": conf})
         return version, actions, df, new_meta
@@ -2211,11 +2271,12 @@ def _plan_commit(
             f"row tracking reserves the physical column name {_RT_COL}; "
             "rename the batch column"
         )
-    # fill-or-verify generated columns and allocate identity blocks
-    # BEFORE schema validation, so a batch that (correctly) omits them
-    # is not a schema mismatch
+    # fill-or-verify generated columns, fill omitted DEFAULT columns,
+    # and allocate identity blocks BEFORE schema validation, so a batch
+    # that (correctly) omits them is not a schema mismatch
     if meta.get("schemaString"):
         df = _apply_generated(df, meta)
+        df = _apply_defaults(df, meta)
         df, id_action = _allocate_identity(df, meta)
         if id_action is not None:
             actions.append(id_action)
@@ -2449,6 +2510,7 @@ def delta_write(
     configuration: dict | None = None,
     generated_columns: dict | None = None,
     identity_columns: dict | None = None,
+    column_defaults: dict | None = None,
 ) -> int:
     """Commit df to a protocol-conformant Delta table; returns the
     committed version. ``configuration`` seeds metaData.configuration on
@@ -2495,6 +2557,7 @@ def delta_write(
         configuration,
         generated_columns,
         identity_columns,
+        column_defaults,
     )
     txn_action = (
         [{"txn": {"appId": txn[0], "version": int(txn[1])}}] if txn else []
@@ -2553,6 +2616,7 @@ def delta_write(
                 configuration,
                 generated_columns,
                 identity_columns,
+                column_defaults,
             )
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         _auto_checkpoint(spark, path, version)
@@ -4505,6 +4569,7 @@ _DROPPABLE_FEATURES = frozenset(
         "checkConstraints",
         "generatedColumns",
         "identityColumns",
+        "allowColumnDefaults",
     }
 )
 
@@ -4585,6 +4650,12 @@ def delta_drop_feature(
             raise ValueError(
                 f"cannot drop identityColumns from {path}: identity "
                 "specs are still defined"
+            )
+    elif feature == "allowColumnDefaults":
+        if _column_defaults(meta):
+            raise ValueError(
+                f"cannot drop allowColumnDefaults from {path}: column "
+                "defaults are still defined"
             )
     # --- history gate --------------------------------------------------
     if truncate_history:
@@ -5565,6 +5636,46 @@ def delta_native_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULT values (writer feature ``allowColumnDefaults``):
+    the table declares ``tier DEFAULT 'standard'`` and ``score DEFAULT
+    100``; the creation batch and a later append OMIT both (the writer
+    fills the defaults at insert time), a middle append supplies its own
+    ``tier`` — supplied values WIN, the defining contrast with generated
+    columns. Grouped totals oracle the final state."""
+    import tempfile
+
+    from ..tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_def_")
+    delta_write(
+        c.where("c_custkey % 3 = 0"),
+        path,
+        column_defaults={"tier": "'standard'", "score": "100"},
+    )
+    delta_write(
+        c.where("c_custkey % 3 = 1").withColumn("tier", F.lit("vip")),
+        path,
+        mode="append",
+    )
+    delta_write(c.where("c_custkey % 3 = 2"), path, mode="append")
+    back = delta_read(spark, path)
+    return (
+        back.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum("score").alias("sum_score"),
+        )
+        .orderBy("tier")
+    )
+
+
 def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed over DML commits: a CDF-enabled table takes a
     DELETE (v1) then an UPDATE (v2); ``delta_read_cdf(1, 2)`` returns
@@ -5896,6 +6007,26 @@ QUERIES: list[QueryDef] = [
         description="Merge-on-read DELETE via deletion vectors: descriptor "
         "commits (reader v3 table feature), no data file rewritten; the "
         "read re-applies DVs as a broadcast anti-join.",
+    ),
+    QueryDef(
+        "delta_native_column_defaults",
+        delta_native_column_defaults,
+        """
+        WITH base AS (
+          SELECT c_custkey, c_mktsegment,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                 CASE WHEN c_custkey % 3 = 1 THEN 'vip'
+                      ELSE 'standard' END AS tier
+          FROM customer)
+        SELECT tier, COUNT(*) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(COUNT(*) * 100 AS BIGINT) AS sum_score
+        FROM base GROUP BY tier ORDER BY tier
+        """,
+        tags=("parity", "delta", "io", "ddl"),
+        description="Column DEFAULT values (writer feature "
+        "allowColumnDefaults): omitted columns fill at insert time, "
+        "supplied values win — the contrast with generated columns.",
     ),
     QueryDef(
         "delta_native_log_compaction",

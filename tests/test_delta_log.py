@@ -3548,3 +3548,61 @@ def test_log_compaction_validation_and_cleanup(spark):
     dl.delta_cleanup_log(spark, path)
     assert not _glob.glob(f"{path}/_delta_log/*.compacted.json")
     assert dl.delta_read(spark, path).count() == 110
+
+
+# ---------------------------------------------------------------------------
+# Column DEFAULT values (allowColumnDefaults)
+
+
+def test_column_defaults_fill_and_supplied_wins(spark):
+    """Omitted default columns fill at insert time; a batch supplying
+    the column keeps its own values; the feature and the
+    CURRENT_DEFAULT metadata land in protocol/schema."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_metadata,
+        delta_read,
+        delta_write,
+    )
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    path = tempfile.mkdtemp(prefix="ls_defaults_")
+    delta_write(df, path, column_defaults={"flag": "'new'", "score": "7"})
+    delta_write(
+        df.select((F.col("k") + 10).alias("k"))
+        .withColumn("flag", F.lit("old")),
+        path,
+        mode="append",
+    )
+    back = {r["k"]: (r["flag"], r["score"]) for r in delta_read(spark, path).collect()}
+    assert all(back[k] == ("new", 7) for k in range(10))
+    assert all(back[k] == ("old", 7) for k in range(10, 20))
+    meta = delta_metadata(spark, path)
+    fields = {f["name"]: f for f in json.loads(meta["schemaString"])["fields"]}
+    assert fields["flag"]["metadata"]["CURRENT_DEFAULT"] == "'new'"
+    assert fields["score"]["metadata"]["CURRENT_DEFAULT"] == "7"
+    protos = [a["protocol"] for a in _actions(path, 0) if "protocol" in a]
+    assert "allowColumnDefaults" in protos[0]["writerFeatures"]
+
+
+def test_column_defaults_guards(spark):
+    """A column cannot be both DEFAULT and generated/identity, and the
+    feature refuses to drop while defaults are defined."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_drop_feature,
+        delta_write,
+    )
+
+    df = spark.range(5).select(F.col("id").alias("k"))
+    path = tempfile.mkdtemp(prefix="ls_defaults_g_")
+    with pytest.raises(ValueError, match="DEFAULT and be"):
+        delta_write(
+            df,
+            path,
+            column_defaults={"x": "1"},
+            generated_columns={"x": "k * 2"},
+        )
+    delta_write(df, path, column_defaults={"x": "1"})
+    with pytest.raises(ValueError, match="defaults are still defined"):
+        delta_drop_feature(spark, path, "allowColumnDefaults")

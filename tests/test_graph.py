@@ -55,3 +55,25 @@ def test_pagerank_conserves_mass_and_shape(spark, sf_smoke):
     # total leak at 1% of the probability mass.
     assert total <= PR_SCALE
     assert total >= PR_SCALE * 99 // 100
+
+
+def test_kcore_peel_converges_and_shrinks_monotonically(spark, sf_oracle):
+    """The peel ladder shrinks monotonically, cascades (more than one
+    round does real work), and converges within the unrolled rounds —
+    the last two rounds agree, so the bounded unroll IS the k-core."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        KCORE_ROUNDS,
+        graph_kcore_peel,
+    )
+
+    rows = graph_kcore_peel(spark, sf_oracle).collect()
+    assert [r["round"] for r in rows] == list(range(KCORE_ROUNDS + 1))
+    nodes = [r.n_nodes for r in rows]
+    edges = [r.n_edges for r in rows]
+    assert nodes == sorted(nodes, reverse=True)
+    assert edges == sorted(edges, reverse=True)
+    # cascade: at least two rounds peel something
+    assert sum(1 for i in range(1, len(nodes)) if nodes[i] < nodes[i - 1]) >= 2
+    # fixpoint reached inside the unroll
+    assert (nodes[-1], edges[-1]) == (nodes[-2], edges[-2])
+    assert nodes[-1] > 0, "core collapsed — K is above this graph's core"

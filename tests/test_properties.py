@@ -150,3 +150,62 @@ def test_int_div_negative_cents_spark_equals_duckdb(spark):
     assert got == want
     # and the negative domain is actually exercised
     assert any(v < 0 for v in want.values())
+
+
+def test_bpe_train_merges_match_reference_implementation(spark, sf_oracle):
+    """The relational parallel-greedy BPE must agree with a
+    straightforward sequential Python reference (the Sennrich
+    pseudocode) on the same word-frequency table — merge rules AND
+    counts, all three iterations; counts are non-increasing."""
+    from collections import Counter
+
+    import duckdb
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        BPE_MERGES,
+        text_bpe_train_merges,
+    )
+
+    got = text_bpe_train_merges(spark, sf_oracle).collect()
+    assert len(got) == BPE_MERGES
+    counts = [r.pair_count for r in got]
+    assert counts == sorted(counts, reverse=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_oracle}/documents.parquet')"
+    )
+    vocab = dict(
+        con.execute(
+            "SELECT word, COUNT(*) FROM (SELECT unnest(string_split(text, ' ')) "
+            "AS word FROM documents) GROUP BY word"
+        ).fetchall()
+    )
+    words = {w: list(w) for w in vocab}
+    for it in range(1, BPE_MERGES + 1):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += vocab[w]
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        row = got[it - 1]
+        assert (row["left"], row["right"], row.pair_count) == (left, right, cnt), (
+            f"iteration {it}: engine {row} vs reference {(left, right, cnt)}"
+        )
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
