@@ -1265,7 +1265,7 @@ QUERIES: list[QueryDef] = [
                      chr(10) ORDER BY pos), '')) AS clean_md5
         FROM flagged GROUP BY doc_id ORDER BY doc_id
         """,
-        tags=("extension", "dedup", "pipeline"),
+        tags=("extension", "dedup", "pipeline", "bench"),
         description="RefinedWeb-style corpus line dedup: lines in more "
         "than 2 distinct docs are boilerplate and removed from every "
         "document; digest-only document-frequency shuffle, md5-pinned "

@@ -527,7 +527,7 @@ QUERIES: list[QueryDef] = [
             for r in range(0, KCORE_ROUNDS + 1))}
         ORDER BY round
         """,
-        tags=("extension", "graph", "iterative"),
+        tags=("extension", "graph", "iterative", "bench"),
         description="k-core decomposition (80-core, 6 unrolled peel "
         "rounds) of the co-purchase graph: degree filter + endpoint "
         "semi-joins per round, cascading monotone node/edge ladder "

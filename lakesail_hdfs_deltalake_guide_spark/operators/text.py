@@ -784,7 +784,7 @@ QUERIES: list[QueryDef] = [
             for r in range(1, BPE_MERGES + 1))}
         ORDER BY iteration
         """,
-        tags=("extension", "text", "pipeline", "iterative"),
+        tags=("extension", "text", "pipeline", "iterative", "bench"),
         description="BPE vocabulary training (3 unrolled merges): pair "
         "counts over the word-frequency table, parallel greedy "
         "left-to-right merge via run-parity window logic, deterministic "

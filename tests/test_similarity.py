@@ -212,3 +212,44 @@ def test_pq_codes_exact_for_sampled_vectors(spark, sf_oracle):
     a = similarity.similarity_pq_topk(spark, sf_oracle).collect()
     b = similarity.similarity_pq_topk(spark, sf_oracle).collect()
     assert a == b
+
+
+def test_pq_udf_matches_expression_twin(spark, sf_oracle):
+    """The Arrow-vectorized numpy encode must mint the SAME codes and
+    tables as the pure-expression formulation — both implement
+    floor(x*1e6) micro-quantization + integer L2 + first-occurrence
+    argmin."""
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.functions.vectors import as_double
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    e = load_table(spark, sf_oracle, "embeddings").limit(200)
+    cb = similarity._pq_codebook(spark, sf_oracle)
+    base = e.select("vec_id", as_double("embedding").alias("v"))
+    expr_codes = {
+        r.vec_id: list(r.c)
+        for r in base.select(
+            "vec_id", similarity._pq_codes(F.col("v"), cb).alias("c")
+        ).collect()
+    }
+    udf_codes = {
+        r.vec_id: list(r.c)
+        for r in base.select(
+            "vec_id", similarity._pq_codes_udf(cb)(F.col("v")).alias("c")
+        ).collect()
+    }
+    assert expr_codes == udf_codes
+    expr_tabs = {
+        r.vec_id: [list(t) for t in r.t]
+        for r in base.limit(20).select(
+            "vec_id", similarity._pq_tables(F.col("v"), cb).alias("t")
+        ).collect()
+    }
+    udf_tabs = {
+        r.vec_id: [list(t) for t in r.t]
+        for r in base.limit(20).select(
+            "vec_id", similarity._pq_tables_udf(cb)(F.col("v")).alias("t")
+        ).collect()
+    }
+    assert expr_tabs == udf_tabs
