@@ -122,7 +122,77 @@ def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_defined_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined functions (Spark 4 ``CREATE FUNCTION ... RETURN``):
+    a scalar SQL UDF (``lsfn_tax_cents`` — exact integer tax), a second
+    scalar composing a CASE (``lsfn_priority_class``), and a TABLE
+    function (``lsfn_segment_orders(seg)`` — a parameterized view over
+    an orders⋈customer join) — the catalog-resident reuse surface SQL
+    teams actually share, with zero Python in the execution path: the
+    function bodies inline into the plan at analysis time, so Catalyst
+    optimizes straight through them (codegen, pushdown — unlike any
+    external UDF). The query consumes all three: aggregate the table
+    function's rows by the scalar classifier, taxing every order."""
+    ov = f"ls_orders_fn_{uuid.uuid4().hex[:8]}"
+    cv = f"ls_cust_fn_{uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(ov)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(cv)
+    tf = f"lsfn_segment_orders_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION lsfn_tax_cents(cents BIGINT) "
+        "RETURNS BIGINT RETURN cents * 7 DIV 100"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION lsfn_priority_class(p STRING) "
+        "RETURNS STRING RETURN CASE WHEN p LIKE '1-%' OR p LIKE '2-%' "
+        "THEN 'high' ELSE 'normal' END"
+    )
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION {tf}(seg STRING)
+        RETURNS TABLE (o_orderpriority STRING, cents BIGINT)
+        RETURN SELECT o.o_orderpriority,
+                      CAST(round(o.o_totalprice * 100) AS BIGINT)
+               FROM {ov} o JOIN {cv} c ON o.o_custkey = c.c_custkey
+               WHERE c.c_mktsegment = seg
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT lsfn_priority_class(o_orderpriority) AS priority_class,
+               COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(SUM(lsfn_tax_cents(cents)) AS BIGINT) AS sum_tax_cents
+        FROM {tf}('BUILDING')
+        GROUP BY priority_class ORDER BY priority_class
+        """
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sql_defined_functions",
+        sql_defined_functions,
+        """
+        WITH seg AS (
+          SELECT o.o_orderpriority,
+                 CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = 'BUILDING')
+        SELECT CASE WHEN o_orderpriority LIKE '1-%'
+                      OR o_orderpriority LIKE '2-%'
+                    THEN 'high' ELSE 'normal' END AS priority_class,
+               COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(SUM(cents * 7 // 100) AS BIGINT) AS sum_tax_cents
+        FROM seg
+        GROUP BY priority_class ORDER BY priority_class
+        """,
+        tags=("extension", "modern_sql", "ddl"),
+        description="SQL-defined scalar + table functions (CREATE "
+        "FUNCTION ... RETURN): parameterized-view table function and "
+        "inlined scalar UDFs Catalyst optimizes through.",
+    ),
     QueryDef(
         "sql_named_parameters",
         sql_named_parameters,

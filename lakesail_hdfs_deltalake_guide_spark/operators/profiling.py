@@ -199,7 +199,113 @@ def profile_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: split the corpus into ten
+    equal document deciles in doc_id order and report, cumulatively,
+    total tokens vs distinct tokens seen — the sub-linear vocab curve
+    (V ≈ K·Nᵝ) every tokenizer/vocab-size decision reads, and the
+    profiling twin of the Lorenz token-mass report. The per-decile
+    vocab-per-million-tokens ratio makes the flattening visible in
+    exact integer ppm.
+
+    Exactness without rescans: a token's FIRST document (min doc_id
+    over one exploded aggregation) places its vocabulary contribution
+    in exactly one decile; cumulative sums are a window over the 10-row
+    decile table. The NTILE doc-ordering is the adjudicated equi-depth
+    idiom (doc-sized sort; approx boundaries at 10^9 docs)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    deciles = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    ).withColumn("decile", F.ntile(10).over(w))
+    first_doc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    vocab_by_decile = (
+        first_doc.join(
+            deciles.select("doc_id", "decile"),
+            first_doc.first_doc == F.col("doc_id"),
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
+    )
+    per_decile = (
+        deciles.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .join(vocab_by_decile, "decile", "left")
+        .select(
+            "decile",
+            "n_docs",
+            "tokens",
+            F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_decile.select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.sum("n_docs").over(wc).alias("cum_docs"),
+            F.sum("tokens").over(wc).alias("cum_tokens"),
+            F.sum("new_vocab").over(wc).alias("cum_vocab"),
+        )
+        .withColumn(
+            "vocab_per_mtok_ppm",
+            F.expr("cum_vocab * 1000000 DIV cum_tokens"),
+        )
+        .orderBy("decile")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "profile_vocab_growth",
+        profile_vocab_growth,
+        """
+        WITH docs AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+                 NTILE(10) OVER (ORDER BY doc_id) AS decile
+          FROM documents),
+        first_doc AS (
+          SELECT token, MIN(doc_id) AS first_doc
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                FROM documents)
+          GROUP BY token),
+        vocab_by_decile AS (
+          SELECT d.decile, COUNT(*) AS new_vocab
+          FROM first_doc f JOIN docs d ON f.first_doc = d.doc_id
+          GROUP BY d.decile),
+        per_decile AS (
+          SELECT d.decile, COUNT(*) AS n_docs,
+                 CAST(SUM(d.n_tokens) AS BIGINT) AS tokens,
+                 COALESCE(MAX(v.new_vocab), 0) AS new_vocab
+          FROM docs d LEFT JOIN vocab_by_decile v ON d.decile = v.decile
+          GROUP BY d.decile),
+        cum AS (
+          SELECT CAST(decile AS BIGINT) AS decile,
+                 CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+                 CAST(SUM(tokens) OVER w AS BIGINT) AS cum_tokens,
+                 CAST(SUM(new_vocab) OVER w AS BIGINT) AS cum_vocab
+          FROM per_decile
+          WINDOW w AS (ORDER BY decile
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT decile, cum_docs, cum_tokens, cum_vocab,
+               CAST(cum_vocab * 1000000 // cum_tokens AS BIGINT)
+                 AS vocab_per_mtok_ppm
+        FROM cum ORDER BY decile
+        """,
+        tags=("extension", "profiling", "pipeline"),
+        description="Heaps'-law vocabulary growth: cumulative tokens vs "
+        "distinct tokens per document decile, exact ppm flattening "
+        "curve.",
+    ),
     QueryDef(
         "profile_dataset_manifest",
         profile_dataset_manifest,

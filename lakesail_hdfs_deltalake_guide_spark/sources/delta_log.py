@@ -2569,9 +2569,21 @@ def delta_write(
         staged_stats = (
             [pm.get(c, c) for c in stats_cols] if stats_cols else None
         )
-    adds = _stage_data_files(
-        _to_physical(conformed, eff_meta), path, partition_by, staged_stats
-    )
+    staged_df = _to_physical(conformed, eff_meta)
+    if (
+        str(
+            (eff_meta.get("configuration") or {}).get(_OPT_WRITE_KEY, "")
+        ).lower()
+        == "true"
+    ):
+        # optimizeWrite: an AQE REBALANCE exchange before the file write —
+        # the runtime sizes output partitions to the advisory partition
+        # size (splitting skewed ones, coalescing tiny ones), which is
+        # exactly delta-spark's optimized-write shuffle. Partitioned
+        # tables rebalance ON the partition columns so each hive dir gets
+        # right-sized files instead of one shard per task.
+        staged_df = staged_df.hint("rebalance", *(partition_by or []))
+    adds = _stage_data_files(staged_df, path, partition_by, staged_stats)
     # row tracking: fresh baseRowId ranges + watermark metaData, ordered
     # AFTER any creation/evolution metaData so the advanced watermark
     # wins the fold (it is built from eff_meta, so nothing is lost)
@@ -2620,6 +2632,7 @@ def delta_write(
             )
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         _auto_checkpoint(spark, path, version)
+    _post_commit_auto_compact(spark, path, eff_meta)
     return version
 
 
@@ -2861,6 +2874,85 @@ def delta_optimize(
     if version % CHECKPOINT_INTERVAL == 0:
         _auto_checkpoint(spark, path, version)
     return version
+
+
+_OPT_WRITE_KEY = "delta.autoOptimize.optimizeWrite"
+_AUTO_COMPACT_KEY = "delta.autoOptimize.autoCompact"
+AUTO_COMPACT_MIN_FILES = 4
+AUTO_COMPACT_MAX_SIZE = 16 * 1024 * 1024  # files below this are "small"
+
+
+def delta_optimize_small(
+    spark: SparkSession,
+    path: str,
+    max_file_size: int = AUTO_COMPACT_MAX_SIZE,
+    min_num_files: int = AUTO_COMPACT_MIN_FILES,
+) -> int | None:
+    """Auto-compaction's kernel (delta-spark's
+    ``delta.autoOptimize.autoCompact``): when at least ``min_num_files``
+    live files are smaller than ``max_file_size``, rewrite ONLY those
+    small files into one file per partition directory and commit with
+    ``dataChange: false`` — large files are never touched (the contrast
+    with full OPTIMIZE, which rewrites the whole live set). DV-carrying
+    small files materialize their deletion vectors; row-tracked tables
+    keep stable ids. Returns the committed version, or None when below
+    the threshold (no commit — the no-op must be free, it runs after
+    every write)."""
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"no delta table at {path}")
+    _, meta, live, _ = _snapshot_state(spark, path, versions[-1])
+    small = sorted(
+        f
+        for f, a in live.items()
+        if int(a.get("size", 0)) < max_file_size and not _is_absolute_ref(f)
+    )
+    if len(small) < min_num_files:
+        return None
+    rt = _rt_enabled(meta)
+    rows = _read_affected_files(spark, path, meta, live, small, with_row_ids=rt)
+    part_cols = meta.get("partitionColumns") or None
+    staged = _to_physical(rows, meta)
+    # one output file per partition dir (the compaction target); for an
+    # unpartitioned table that is exactly one file
+    staged = staged.coalesce(1) if not part_cols else staged.repartition(
+        *part_cols
+    )
+    adds = _stage_data_files(staged, path, part_cols)
+    for a in adds:
+        a["add"]["dataChange"] = False
+    rt_action = _rt_assign(spark, path, meta, adds)
+    return _commit_rewrite(
+        spark,
+        path,
+        small,
+        adds,
+        extra_actions=[_commit_info("auto-OPTIMIZE")]
+        + ([rt_action] if rt_action else []),
+        expected={f: live[f] for f in small},
+        identity_guard=rt_action is not None,
+        meta=meta,
+        layout_only=True,
+    )
+
+
+def _post_commit_auto_compact(spark: SparkSession, path: str, meta: dict) -> None:
+    """Best-effort post-commit hook (same doctrine as _auto_checkpoint:
+    the write already durably succeeded, so a failing compaction must
+    warn, not raise)."""
+    if str((meta.get("configuration") or {}).get(_AUTO_COMPACT_KEY, "")).lower() != "true":
+        return
+    import warnings
+
+    try:
+        delta_optimize_small(spark, path)
+    except DeltaConcurrentModification:
+        pass  # a racing writer landed first; its own hook will compact
+    except Exception as exc:  # noqa: BLE001 — commit already durable
+        warnings.warn(
+            f"delta auto-compaction of {path} failed ({exc!r}); the table "
+            "stays correct, only the small-file layout remains"
+        )
 
 
 def delta_clone(
@@ -5676,6 +5768,54 @@ def delta_native_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-file auto-maintenance pair: optimizeWrite (AQE
+    REBALANCE before every file write) keeps each commit's files
+    right-sized, and autoCompact (post-commit hook) folds accumulated
+    small files into one per partition with dataChange=false commits.
+    Three fragmented appends land on a table declaring both; in-query
+    invariant: the final live set is a SINGLE file despite 4 multi-file
+    writes. Totals oracle the final state (layout work must never
+    change rows)."""
+    import tempfile
+
+    from ..tables import load_table
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_ac_")
+    delta_write(
+        s.where("s_suppkey % 4 = 0").repartition(3),
+        path,
+        configuration={
+            _OPT_WRITE_KEY: "true",
+            _AUTO_COMPACT_KEY: "true",
+        },
+    )
+    for r in (1, 2, 3):
+        delta_write(
+            s.where(f"s_suppkey % 4 = {r}").repartition(3),
+            path,
+            mode="append",
+        )
+    live = delta_live_files(spark, path)
+    assert len(live) == 1, (
+        f"auto-compaction should leave ONE live file, found {len(live)}"
+    )
+    back = delta_read(spark, path)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed over DML commits: a CDF-enabled table takes a
     DELETE (v1) then an UPDATE (v2); ``delta_read_cdf(1, 2)`` returns
@@ -6007,6 +6147,20 @@ QUERIES: list[QueryDef] = [
         description="Merge-on-read DELETE via deletion vectors: descriptor "
         "commits (reader v3 table feature), no data file rewritten; the "
         "read re-applies DVs as a broadcast anti-join.",
+    ),
+    QueryDef(
+        "delta_native_auto_compact",
+        delta_native_auto_compact,
+        """
+        SELECT s_nationkey, COUNT(*) AS n_suppliers,
+               CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        tags=("parity", "delta", "io", "layout"),
+        description="optimizeWrite (AQE REBALANCE pre-write) + "
+        "autoCompact (post-commit small-file fold, dataChange=false): "
+        "four fragmented writes leave ONE live file, rows unchanged.",
     ),
     QueryDef(
         "delta_native_column_defaults",

@@ -3606,3 +3606,82 @@ def test_column_defaults_guards(spark):
     delta_write(df, path, column_defaults={"x": "1"})
     with pytest.raises(ValueError, match="defaults are still defined"):
         delta_drop_feature(spark, path, "allowColumnDefaults")
+
+
+# ---------------------------------------------------------------------------
+# optimizeWrite + autoCompact
+
+
+def test_optimize_small_compacts_only_small_files(spark):
+    """delta_optimize_small rewrites ONLY files under the size cap with
+    dataChange=false; larger files keep their original adds; below the
+    count threshold it is a commit-free no-op."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+        delta_optimize_small,
+        delta_write,
+    )
+
+    big = spark.range(50_000).select(F.col("id").alias("k"))
+    small = spark.range(50_000, 50_040).select(F.col("id").alias("k"))
+    path = tempfile.mkdtemp(prefix="ls_ac_small_")
+    delta_write(big.coalesce(1), path)
+    for i in range(4):
+        delta_write(
+            small.where(F.col("k") % 4 == i).coalesce(1),
+            path,
+            mode="append",
+        )
+    adds = dict(delta_live_adds(spark, path))
+    sizes = sorted(a["size"] for a in adds.values())
+    cut = sizes[-1]  # the one big file
+    big_files = {f for f, a in adds.items() if a["size"] == cut}
+    # below the count threshold: no-op
+    assert delta_optimize_small(spark, path, max_file_size=1, min_num_files=1) is None
+    v = delta_optimize_small(spark, path, max_file_size=cut, min_num_files=4)
+    assert v is not None
+    after = dict(delta_live_adds(spark, path))
+    assert big_files <= set(after), "big file must not be rewritten"
+    assert len(after) == 2  # big + one compacted
+    actions = _actions(path, v)
+    for a in actions:
+        if "add" in a:
+            assert a["add"]["dataChange"] is False
+        if "remove" in a:
+            assert a["remove"]["dataChange"] is False
+    got = sorted(r["k"] for r in delta_read(spark, path).collect())
+    assert got == list(range(50_040))
+
+
+def test_auto_compact_hook_and_optimize_write(spark):
+    """A table declaring both auto-optimize properties: every
+    fragmented append triggers the post-commit fold (live files stay
+    ~1), and the REBALANCE write coalesces an 8-shard batch into fewer
+    staged files than shards."""
+    import json as _json
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_files,
+        delta_write,
+    )
+
+    df = spark.range(500).select(F.col("id").alias("k"))
+    path = tempfile.mkdtemp(prefix="ls_ac_hook_")
+    delta_write(
+        df.repartition(8),
+        path,
+        configuration={
+            "delta.autoOptimize.optimizeWrite": "true",
+            "delta.autoOptimize.autoCompact": "true",
+        },
+    )
+    adds_v0 = [a for a in _actions(path, 0) if "add" in a]
+    assert len(adds_v0) < 8, "REBALANCE should coalesce the tiny shards"
+    for i in range(3):
+        delta_write(
+            df.select((F.col("k") + 500 * (i + 1)).alias("k")).repartition(6),
+            path,
+            mode="append",
+        )
+    assert len(delta_live_files(spark, path)) <= 2
+    assert delta_read(spark, path).count() == 2000
