@@ -28,7 +28,7 @@ the iterative Spark result is pinned to a declarative ground truth.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..querydef import QueryDef
@@ -500,7 +500,140 @@ def _kcore_round_sql(prev: str, cur: str) -> str:
           JOIN k_{cur} kv ON e.v = kv.n)"""
 
 
+RULES_MIN_BOTH = 3  # a rule needs this many co-occurrences
+RULES_TOP = 15
+
+
+def graph_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the part co-purchase data:
+    for every directional rule a→b with at least RULES_MIN_BOTH
+    co-occurring orders, support, confidence, and lift in EXACT integer
+    ppm — the classic frequent-itemset readout (Apriori's pair level,
+    which at web scale is the only level run exactly; higher orders go
+    through sampling/sketching):
+
+        support_ppm    = n_both·1e6 DIV N
+        confidence_ppm = n_both·1e6 DIV n_a
+        lift_ppm       = n_both·N·1e6 DIV (n_a·n_b)   (1e6 = independent)
+
+    Top RULES_TOP by (lift desc, a, b). BIGINT headroom: n_both·N·1e6
+    caps basket count at ~10^6 × pair count 10^6 — beyond that, scale
+    N's factor down symmetrically. Plan: distinct items, hub-capped
+    baskets (as the triangle census), per-item counts joined onto the
+    pair aggregation — shuffles keyed on item ids, never raw rows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    small = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .where(F.col("n_parts") <= BASKET_CAP)
+        .select("l_orderkey")
+    )
+    in_scope = items.join(small, "l_orderkey").localCheckpoint(eager=True)
+    n_orders = in_scope.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    item_n = in_scope.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = in_scope.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = in_scope.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= RULES_MIN_BOTH)
+    )
+    directional = pairs.select("u", "v", "n_both").unionByName(
+        pairs.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "n_both"
+        )
+    )
+    scored = (
+        directional.join(
+            item_n.withColumnRenamed("l_partkey", "u").withColumnRenamed(
+                "n_item", "n_a"
+            ),
+            "u",
+        )
+        .join(
+            item_n.withColumnRenamed("l_partkey", "v").withColumnRenamed(
+                "n_item", "n_b"
+            ),
+            "v",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("u").alias("antecedent"),
+            F.col("v").alias("consequent"),
+            "n_both",
+            F.expr("n_both * 1000000 DIV n_orders").alias("support_ppm"),
+            F.expr("n_both * 1000000 DIV n_a").alias("confidence_ppm"),
+            F.expr("n_both * n_orders * 1000000 DIV (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+    w = Window.orderBy(
+        F.desc("lift_ppm"), F.asc("antecedent"), F.asc("consequent")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= RULES_TOP)
+        .orderBy("rank")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "graph_association_rules",
+        graph_association_rules,
+        f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        small AS (
+          SELECT l_orderkey FROM items GROUP BY l_orderkey
+          HAVING COUNT(*) <= {BASKET_CAP}),
+        scoped AS (
+          SELECT i.l_orderkey, i.l_partkey FROM items i
+          JOIN small s ON i.l_orderkey = s.l_orderkey),
+        tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM scoped),
+        item_n AS (
+          SELECT l_partkey, COUNT(*) AS n_item FROM scoped GROUP BY l_partkey),
+        pairs AS (
+          SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n_both
+          FROM scoped a JOIN scoped b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY u, v HAVING COUNT(*) >= {RULES_MIN_BOTH}),
+        directional AS (
+          SELECT u, v, n_both FROM pairs
+          UNION ALL SELECT v, u, n_both FROM pairs),
+        scored AS (
+          SELECT d.u AS antecedent, d.v AS consequent,
+                 CAST(d.n_both AS BIGINT) AS n_both,
+                 CAST(d.n_both * 1000000 // tot.n_orders AS BIGINT)
+                   AS support_ppm,
+                 CAST(d.n_both * 1000000 // na.n_item AS BIGINT)
+                   AS confidence_ppm,
+                 CAST(d.n_both * tot.n_orders * 1000000
+                      // (na.n_item * nb.n_item) AS BIGINT) AS lift_ppm
+          FROM directional d
+          JOIN item_n na ON na.l_partkey = d.u
+          JOIN item_n nb ON nb.l_partkey = d.v
+          CROSS JOIN tot)
+        SELECT antecedent, consequent, n_both, support_ppm,
+               confidence_ppm, lift_ppm, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY lift_ppm DESC,
+                     antecedent, consequent) AS rank
+          FROM scored)
+        WHERE rank <= {RULES_TOP} ORDER BY rank
+        """,
+        tags=("extension", "graph", "stats"),
+        description="Market-basket association rules: support / "
+        "confidence / lift in exact ppm over hub-capped co-purchase "
+        "baskets, top rules by lift.",
+    ),
     QueryDef(
         "graph_kcore_peel",
         graph_kcore_peel,

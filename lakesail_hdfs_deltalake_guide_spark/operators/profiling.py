@@ -264,7 +264,160 @@ def profile_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_BINS = 10
+
+
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the train and test splits'
+    document-length distributions — the ML-ops drift metric
+    (PSI = Σ (p−q)·log(p/q)) run before trusting an eval split or a
+    retrained model: PSI ≈ 0 means the split/feature distribution
+    didn't move; the conventional alarm thresholds (0.1 warn, 0.25
+    act) apply to the summed terms. Group-disjoint splits CAN drift
+    legitimately (sources differ in length profile) — this is the
+    detector.
+
+    Exact fixed point end-to-end: lengths bin into PSI_BINS fixed-width
+    buckets of the global range (1-row broadcast max); per-split shares
+    are add-one-smoothed integer ppm; log2(p/q) in millibits via
+    r = p·2²⁶ DIV q (≥ 64 for every smoothed ppm pair) and the shared
+    LOG2_MB_TABLE mantissa constants; each bin's term is
+    (p_ppm − q_ppm)·log2ratio_mb — by construction ≥ 0, summable by the
+    consumer. One scan, O(bins) everything after."""
+    from .text import LOG2_MB_TABLE
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    docs = d.select(split.alias("split"), F.col("n_chars")).where(
+        F.col("split") != "val"
+    )
+    mx = docs.agg(F.max("n_chars").alias("max_chars"))
+    binned = docs.crossJoin(F.broadcast(mx)).select(
+        "split",
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.expr(f"n_chars * {PSI_BINS} DIV (max_chars + 1)"),
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("split", "bin").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        spark.range(PSI_BINS)
+        .select(F.col("id").alias("bin"))
+        .crossJoin(
+            cells.groupBy("split").agg(F.sum("n").alias("n_split"))
+        )
+        .join(cells, ["split", "bin"], "left")
+        .select(
+            "split",
+            "bin",
+            F.expr(
+                f"(coalesce(n, 0) + 1) * 1000000 DIV (n_split + {PSI_BINS})"
+            ).alias("share_ppm"),
+        )
+    )
+    wide = grid.groupBy("bin").agg(
+        F.max(F.when(F.col("split") == "train", F.col("share_ppm"))).alias(
+            "train_ppm"
+        ),
+        F.max(F.when(F.col("split") == "test", F.col("share_ppm"))).alias(
+            "test_ppm"
+        ),
+    )
+    arr = F.array(*[F.lit(int(x)) for x in LOG2_MB_TABLE])
+    r = "train_ppm * 67108864 DIV test_ppm"
+    e = f"length(bin({r})) - 1"
+    m6 = f"({r}) DIV shiftleft(CAST(1 AS BIGINT), ({e}) - 6)"
+    return (
+        wide.withColumn(
+            "log2ratio_mb",
+            (F.expr(e).cast("int") - 26) * 1000
+            + F.element_at(arr, (F.expr(m6) - 63).cast("int")),
+        )
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            "train_ppm",
+            "test_ppm",
+            F.col("log2ratio_mb").cast("bigint").alias("log2ratio_mb"),
+            (
+                (F.col("train_ppm") - F.col("test_ppm"))
+                * F.col("log2ratio_mb")
+            ).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _psi_sql() -> str:
+    from .text import LOG2_MB_TABLE
+
+    table = ", ".join(str(int(x)) for x in LOG2_MB_TABLE)
+    r = "(train_ppm * 67108864 // test_ppm)"
+    return f"""
+        WITH docs AS (
+          SELECT CASE
+                   WHEN CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT)
+                        % 100 < 80 THEN 'train'
+                   WHEN CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT)
+                        % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split,
+                 n_chars
+          FROM documents),
+        pool AS (SELECT * FROM docs WHERE split <> 'val'),
+        mx AS (SELECT MAX(n_chars) AS max_chars FROM pool),
+        binned AS (
+          SELECT split,
+                 LEAST({PSI_BINS} - 1,
+                       n_chars * {PSI_BINS} // (mx.max_chars + 1)) AS bin
+          FROM pool CROSS JOIN mx),
+        cells AS (
+          SELECT split, bin, COUNT(*) AS n FROM binned GROUP BY split, bin),
+        totals AS (
+          SELECT split, SUM(n) AS n_split FROM cells GROUP BY split),
+        grid AS (
+          SELECT t.split, g.bin,
+                 CAST((COALESCE(c.n, 0) + 1) * 1000000
+                      // (t.n_split + {PSI_BINS}) AS BIGINT) AS share_ppm
+          FROM range(0, {PSI_BINS}) g(bin)
+          CROSS JOIN totals t
+          LEFT JOIN cells c ON c.split = t.split AND c.bin = g.bin),
+        wide AS (
+          SELECT bin,
+                 MAX(CASE WHEN split = 'train' THEN share_ppm END)
+                   AS train_ppm,
+                 MAX(CASE WHEN split = 'test' THEN share_ppm END) AS test_ppm
+          FROM grid GROUP BY bin)
+        SELECT CAST(bin AS BIGINT) AS bin, train_ppm, test_ppm,
+               CAST((length(bin({r})) - 1 - 26) * 1000 +
+                    ([{table}])[CAST({r} // (1::BIGINT <<
+                      (length(bin({r})) - 1 - 6)) AS INT) - 63]
+                    AS BIGINT) AS log2ratio_mb,
+               CAST((train_ppm - test_ppm) *
+                    ((length(bin({r})) - 1 - 26) * 1000 +
+                     ([{table}])[CAST({r} // (1::BIGINT <<
+                       (length(bin({r})) - 1 - 6)) AS INT) - 63])
+                    AS BIGINT) AS psi_term
+        FROM wide ORDER BY bin
+        """
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "profile_psi_drift",
+        profile_psi_drift,
+        _psi_sql(),
+        tags=("extension", "profiling", "pipeline", "stats"),
+        description="Population Stability Index between train/test "
+        "doc-length distributions: smoothed integer-ppm shares, exact "
+        "millibit log2 ratios, non-negative per-bin terms.",
+    ),
     QueryDef(
         "profile_vocab_growth",
         profile_vocab_growth,

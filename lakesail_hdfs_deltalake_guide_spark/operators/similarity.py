@@ -408,6 +408,78 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MATRYOSHKA_DIM = 16  # truncated prefix length
+
+
+def similarity_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation check: do the first MATRYOSHKA_DIM dims
+    rank like the full vector? For each query, the top-1 neighbor under
+    full 64-dim cosine vs under the 16-dim PREFIX cosine, with an
+    agreement flag — the dimension-budget experiment run before
+    shipping truncated embeddings (4× memory/bandwidth if the prefix
+    preserves ranking; on embeddings NOT trained matryoshka-style, low
+    agreement is the expected warning this op exists to surface).
+
+    One broadcast-join pass computes both similarities; two windows
+    rank them; a conditional aggregate per query emits the verdict
+    row. Same rounded-cosine determinism contract as the other
+    similarity ops."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    candidates = e.select("vec_id", as_double("embedding").alias("v"))
+    rounded = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000  # noqa: E731
+    sim_full = rounded(cosine(F.col("qv"), F.col("v")))
+    sim_trunc = rounded(
+        cosine(
+            F.slice(F.col("qv"), 1, MATRYOSHKA_DIM),
+            F.slice(F.col("v"), 1, MATRYOSHKA_DIM),
+        )
+    )
+    pairs = (
+        candidates.join(F.broadcast(queries))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            sim_full.alias("sim_full"),
+            sim_trunc.alias("sim_trunc"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_full"), F.asc("vec_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_trunc"), F.asc("vec_id")
+    )
+    ranked = pairs.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rt", F.row_number().over(wt)
+    )
+    return (
+        ranked.where((F.col("rf") == 1) | (F.col("rt") == 1))
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rf") == 1, F.col("vec_id"))).alias(
+                "top1_full"
+            ),
+            F.max(F.when(F.col("rt") == 1, F.col("vec_id"))).alias(
+                "top1_trunc"
+            ),
+        )
+        .select(
+            "query_id",
+            "top1_full",
+            "top1_trunc",
+            (F.col("top1_full") == F.col("top1_trunc"))
+            .cast("int")
+            .cast("bigint")
+            .alias("agree"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # --- Product quantization (PQ / ADC) ---------------------------------------
 # The third classic ANN compression next to LSH and IVF: split the
 # 64-dim vector into PQ_M=8 subspaces of 8 dims, quantize each subspace
@@ -846,6 +918,48 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "similarity"),
         description="Int8 symmetric quantization + exact integer-dot "
         "top-k (4x memory, drift-free scores).",
+    ),
+    QueryDef(
+        "similarity_matryoshka_agreement",
+        similarity_matryoshka_agreement,
+        f"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+        pairs AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                 FLOOR(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v)))
+                   * 1000000 + 0.5) / 1000000 AS sim_full,
+                 FLOOR(list_dot_product(list_slice(q.v, 1, {MATRYOSHKA_DIM}),
+                                        list_slice(c.v, 1, {MATRYOSHKA_DIM}))
+                   / (sqrt(list_dot_product(list_slice(q.v, 1, {MATRYOSHKA_DIM}),
+                                            list_slice(q.v, 1, {MATRYOSHKA_DIM})))
+                      * sqrt(list_dot_product(list_slice(c.v, 1, {MATRYOSHKA_DIM}),
+                                              list_slice(c.v, 1, {MATRYOSHKA_DIM}))))
+                   * 1000000 + 0.5) / 1000000 AS sim_trunc
+          FROM emb q, emb c
+          WHERE q.vec_id < {NUM_QUERIES} AND q.vec_id <> c.vec_id),
+        ranked AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim_full DESC, vec_id) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim_trunc DESC, vec_id) AS rt
+          FROM pairs)
+        SELECT query_id,
+               MAX(CASE WHEN rf = 1 THEN vec_id END) AS top1_full,
+               MAX(CASE WHEN rt = 1 THEN vec_id END) AS top1_trunc,
+               CAST(CASE WHEN MAX(CASE WHEN rf = 1 THEN vec_id END)
+                            = MAX(CASE WHEN rt = 1 THEN vec_id END)
+                    THEN 1 ELSE 0 END AS BIGINT) AS agree
+        FROM ranked WHERE rf = 1 OR rt = 1
+        GROUP BY query_id ORDER BY query_id
+        """,
+        tags=("extension", "similarity"),
+        description="Matryoshka dimension-budget check: top-1 neighbor "
+        "under full 64-dim cosine vs the 16-dim prefix, per-query "
+        "agreement verdict.",
     ),
     QueryDef(
         "similarity_pq_topk",

@@ -436,6 +436,93 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NOVELTY_NS = (1, 2, 3)
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split n-gram novelty — the memorization-risk profile of an
+    eval split: for n ∈ {1,2,3}, the share of the TEST split's distinct
+    n-grams already present in TRAIN (seen) vs genuinely novel. Splits
+    are the group-disjoint md5(source) buckets (the decontamination
+    split), so this measures what group-disjointness actually buys:
+    high unigram overlap is expected (shared vocabulary), but trigram
+    overlap approaching 1e6 ppm would mean the eval set is effectively
+    memorized text. The novelty ladder (novel_ppm rising with n) is the
+    healthy signature.
+
+    Plan: ONE documents scan explodes all three gram sizes via a
+    flattened struct array; (n, gram, split) distinct + a flag
+    aggregation per (n, gram) — gram strings shuffle once. At 100 TB
+    the distinct would switch to the Bloom/KMV sketch tier for an
+    approximate ladder at a fraction of the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    t = F.split("text", " ")
+
+    def _gram_fn(n: int):
+        # a default-arg lambda (i, n=n) would be read by F.transform as
+        # the two-argument (element, index) form — n must close over
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.array_join(F.slice(t, i, n), " ").alias("gram"),
+        )
+
+    grams = F.flatten(
+        F.array(
+            *[
+                F.when(
+                    F.size(t) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - n + 1), _gram_fn(n)
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<n:int,gram:string>>")
+                )
+                for n in NOVELTY_NS
+            ]
+        )
+    )
+    occ = (
+        d.select(split.alias("split"), F.explode(grams).alias("g"))
+        .where(F.col("split") != "val")
+        .select("split", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .distinct()
+    )
+    flags = occ.groupBy("n", "gram").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "in_train"
+        ),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+            "in_test"
+        ),
+    )
+    return (
+        flags.where(F.col("in_test") == 1)
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_grams"),
+            F.sum("in_train").alias("n_seen"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            "n_test_grams",
+            F.expr("n_seen * 1000000 DIV n_test_grams").alias("seen_ppm"),
+            F.expr(
+                "1000000 - n_seen * 1000000 DIV n_test_grams"
+            ).alias("novel_ppm"),
+        )
+        .orderBy("n")
+    )
+
+
 BPE_MERGES = 3  # unrolled training iterations
 
 
@@ -761,6 +848,43 @@ QUERIES: list[QueryDef] = [
         description="CCNet-style bigram-LM cross-entropy deciles in "
         "exact millibits (integer log2 via shared mantissa table); "
         "add-one smoothed per-language LM estimated in one corpus pass.",
+    ),
+    QueryDef(
+        "text_ngram_novelty",
+        text_ngram_novelty,
+        f"""
+        WITH docs AS (
+          SELECT CASE
+                   WHEN CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT)
+                        % 100 < 80 THEN 'train'
+                   WHEN CAST(('0x' || substring(md5(source), 1, 8)) AS BIGINT)
+                        % 100 < 90 THEN 'val'
+                   ELSE 'test' END AS split,
+                 string_split(text, ' ') AS t
+          FROM documents),
+        occ AS (
+          {" UNION ".join(
+            f'''SELECT DISTINCT split, {n} AS n,
+                 array_to_string(list_slice(t, i, i + {n} - 1), ' ') AS gram
+               FROM docs, UNNEST(range(1, len(t) - {n} + 2)) AS u(i)
+               WHERE split <> 'val' AND len(t) >= {n}'''
+            for n in NOVELTY_NS)}),
+        flags AS (
+          SELECT n, gram,
+                 MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+                 MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+          FROM occ GROUP BY n, gram)
+        SELECT CAST(n AS BIGINT) AS n, COUNT(*) AS n_test_grams,
+               CAST(SUM(in_train) * 1000000 // COUNT(*) AS BIGINT)
+                 AS seen_ppm,
+               CAST(1000000 - SUM(in_train) * 1000000 // COUNT(*) AS BIGINT)
+                 AS novel_ppm
+        FROM flags WHERE in_test = 1 GROUP BY n ORDER BY n
+        """,
+        tags=("extension", "text", "dedup", "pipeline"),
+        description="Cross-split n-gram novelty ladder: share of the "
+        "test split's distinct 1/2/3-grams already seen in train — the "
+        "memorization-risk profile of the group-disjoint split.",
     ),
     QueryDef(
         "text_bpe_train_merges",

@@ -250,3 +250,69 @@ def test_url_canonical_dedup_single_digest_shuffle(spark, sf_smoke):
     # groupBy digest (1) + orderBy range exchange (1); countDistinct may
     # add an expand within the same key's exchange, not a new one
     assert shuffle_count(df) <= 3
+
+
+def test_ngram_novelty_ladder(spark, sf_oracle):
+    """Novelty rises with n (longer grams are rarer across splits), all
+    shares are valid ppm, and seen+novel tile 1e6 exactly."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        text_ngram_novelty,
+    )
+
+    rows = {r.n: r for r in text_ngram_novelty(spark, sf_oracle).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    for r in rows.values():
+        assert 0 <= r.seen_ppm <= 1_000_000
+        assert r.seen_ppm + r.novel_ppm == 1_000_000
+    assert rows[1].novel_ppm <= rows[2].novel_ppm <= rows[3].novel_ppm
+
+
+def test_association_rules_invariants(spark, sf_oracle):
+    """Every rule: confidence ≥ support (n_a ≤ N), lift symmetric in
+    the pair (a→b and b→a share lift), ranks dense."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        RULES_TOP,
+        graph_association_rules,
+    )
+
+    rows = graph_association_rules(spark, sf_oracle).collect()
+    assert [r.rank for r in rows] == list(range(1, min(RULES_TOP, len(rows)) + 1))
+    lift = {}
+    for r in rows:
+        assert r.confidence_ppm >= r.support_ppm
+        lift[(r.antecedent, r.consequent)] = r.lift_ppm
+    for (a, b), l in lift.items():
+        if (b, a) in lift:
+            assert lift[(b, a)] == l
+
+
+def test_psi_drift_nonnegative_terms(spark, sf_oracle):
+    """PSI terms are non-negative by construction ((p−q) and the
+    truncated log2 ratio share a sign); shares are smoothed valid ppm;
+    10 bins always present."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.profiling import (
+        profile_psi_drift,
+    )
+
+    rows = profile_psi_drift(spark, sf_oracle).collect()
+    assert [r.bin for r in rows] == list(range(10))
+    for r in rows:
+        assert 0 < r.train_ppm <= 1_000_000
+        assert 0 < r.test_ppm <= 1_000_000
+        assert r.psi_term >= 0
+
+
+def test_matryoshka_agreement_shape(spark, sf_oracle):
+    """One verdict row per query; tops are real candidate ids distinct
+    from the query; deterministic across runs."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.similarity import (
+        NUM_QUERIES,
+        similarity_matryoshka_agreement,
+    )
+
+    rows = similarity_matryoshka_agreement(spark, sf_oracle).collect()
+    assert len(rows) == NUM_QUERIES
+    for r in rows:
+        assert r.top1_full != r.query_id and r.top1_trunc != r.query_id
+        assert r.agree == (1 if r.top1_full == r.top1_trunc else 0)
+    assert rows == similarity_matryoshka_agreement(spark, sf_oracle).collect()
