@@ -322,7 +322,99 @@ def stats_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benford expected first-digit shares in ppm: round(1e6·log10(1+1/d)).
+# Frozen integer CONSTANTS (computed once here, embedded literally in
+# both engines' plans) — the repo's standard way to keep a
+# transcendental out of the runtime arithmetic.
+import math as _math  # noqa: E402
+
+BENFORD_PPM = tuple(
+    round(1_000_000 * _math.log10(1 + 1 / d)) for d in range(1, 10)
+)
+
+
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic-accounting / data-quality screen (fabricated or
+    unit-mangled amounts flake off the log-uniform digit curve): the
+    observed share of each leading digit of o_totalprice in cents vs
+    the Benford expectation, with the signed deviation and a per-digit
+    chi-square term ((obs−exp)²·1e6 DIV exp in ppm) whose sum is the
+    audit statistic. First digit = first character of the integer cents
+    (exact string arithmetic, no float log); expectations are frozen
+    integer constants. One conditional-aggregate scan."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        o.select(cents.alias("cents"), digit.alias("digit"))
+        .where(F.col("cents") > 0)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_values"))
+    )
+    total = counts.groupBy().agg(F.sum("n_values").alias("n_total"))
+    expected = F.element_at(
+        F.array(*[F.lit(int(x)) for x in BENFORD_PPM]), F.col("digit")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col("digit").cast("bigint").alias("digit"),
+            "n_values",
+            F.expr("n_values * 1000000 DIV n_total").alias("observed_ppm"),
+            expected.cast("bigint").alias("expected_ppm"),
+        )
+        .withColumn(
+            "deviation_ppm", F.col("observed_ppm") - F.col("expected_ppm")
+        )
+        .withColumn(
+            "chi2_term_ppm",
+            F.expr(
+                "(observed_ppm - expected_ppm) * (observed_ppm - expected_ppm)"
+                " * 1000000 DIV expected_ppm DIV 1000000"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_benford_digits",
+        stats_benford_digits,
+        f"""
+        WITH base AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        counts AS (
+          SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT)
+                   AS digit,
+                 COUNT(*) AS n_values
+          FROM base WHERE cents > 0 GROUP BY digit),
+        tot AS (SELECT SUM(n_values) AS n_total FROM counts)
+        SELECT CAST(digit AS BIGINT) AS digit,
+               CAST(n_values AS BIGINT) AS n_values,
+               CAST(n_values * 1000000 // tot.n_total AS BIGINT)
+                 AS observed_ppm,
+               CAST(([{", ".join(str(x) for x in BENFORD_PPM)}])[digit]
+                 AS BIGINT) AS expected_ppm,
+               CAST(n_values * 1000000 // tot.n_total
+                    - ([{", ".join(str(x) for x in BENFORD_PPM)}])[digit]
+                 AS BIGINT) AS deviation_ppm,
+               CAST((n_values * 1000000 // tot.n_total
+                     - ([{", ".join(str(x) for x in BENFORD_PPM)}])[digit])
+                    * (n_values * 1000000 // tot.n_total
+                       - ([{", ".join(str(x) for x in BENFORD_PPM)}])[digit])
+                    * 1000000
+                    // ([{", ".join(str(x) for x in BENFORD_PPM)}])[digit]
+                    // 1000000 AS BIGINT) AS chi2_term_ppm
+        FROM counts CROSS JOIN tot ORDER BY digit
+        """,
+        tags=("extension", "stats", "profiling"),
+        description="Benford's-law first-digit audit: observed vs "
+        "expected leading-digit shares of order totals in exact ppm "
+        "with per-digit chi-square terms.",
+    ),
     QueryDef(
         "stats_equidepth_quartiles",
         stats_equidepth_quartiles,

@@ -304,7 +304,117 @@ def range_band_price_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COALESCE_SPAN_DAYS = 30  # each order opens a 30-day activity interval
+
+
+def temporal_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing — the classic warehouse
+    pattern (contract validity windows, subscription periods, sensor
+    uptime): every order opens a [date, date+30d) activity interval per
+    customer; overlapping or touching intervals MERGE into islands via
+    the running-max-end trick, and the corpus rolls up per island count.
+
+    The algorithm is pure window algebra: order intervals per key by
+    start day; a NEW island begins exactly where start > max(previous
+    ends) (one running-max window); island ids are the running sum of
+    those flags (second pass over the same sort order — ONE exchange
+    serves both); per-island extent is a grouped min/max. All arithmetic
+    is integer day numbers (datediff from an epoch), so coverage sums
+    are engine-exact. Output: per islands-per-customer bucket, customer
+    count, total covered days, longest island."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("start_day"),
+    )
+    iv = o.select(
+        "o_custkey",
+        "start_day",
+        (F.col("start_day") + COALESCE_SPAN_DAYS).alias("end_day"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("start_day", "end_day")
+    prev_max_end = F.max("end_day").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("start_day") > prev_max_end), 1
+        ).otherwise(0),
+    ).withColumn("island_id", F.sum("new_island").over(w))
+    islands = flagged.groupBy("o_custkey", "island_id").agg(
+        F.min("start_day").alias("s"), F.max("end_day").alias("e")
+    )
+    per_cust = islands.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("e") - F.col("s")).alias("covered_days"),
+        F.max(F.col("e") - F.col("s")).alias("max_island_days"),
+    )
+    return (
+        per_cust.groupBy("n_islands")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("covered_days").alias("sum_covered_days"),
+            F.max("max_island_days").alias("max_island_days"),
+        )
+        .select(
+            F.col("n_islands").cast("bigint").alias("n_islands"),
+            "n_customers",
+            "sum_covered_days",
+            "max_island_days",
+        )
+        .orderBy("n_islands")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "temporal_interval_coalesce",
+        temporal_interval_coalesce,
+        f"""
+        WITH iv AS (
+          SELECT o_custkey,
+                 CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+                      AS BIGINT) AS start_day,
+                 CAST(date_diff('day', DATE '1990-01-01', o_orderdate)
+                      + {COALESCE_SPAN_DAYS} AS BIGINT) AS end_day
+          FROM orders),
+        flagged AS (
+          SELECT o_custkey, start_day, end_day,
+                 CASE WHEN prev_max_end IS NULL
+                        OR start_day > prev_max_end THEN 1 ELSE 0 END
+                   AS new_island
+          FROM (SELECT *,
+                       MAX(end_day) OVER (PARTITION BY o_custkey
+                         ORDER BY start_day, end_day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS prev_max_end
+                FROM iv)),
+        numbered AS (
+          SELECT *, SUM(new_island) OVER (PARTITION BY o_custkey
+                      ORDER BY start_day, end_day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS island_id
+          FROM flagged),
+        islands AS (
+          SELECT o_custkey, island_id, MIN(start_day) AS s, MAX(end_day) AS e
+          FROM numbered GROUP BY o_custkey, island_id),
+        per_cust AS (
+          SELECT o_custkey, COUNT(*) AS n_islands,
+                 SUM(e - s) AS covered_days, MAX(e - s) AS max_island_days
+          FROM islands GROUP BY o_custkey)
+        SELECT CAST(n_islands AS BIGINT) AS n_islands,
+               COUNT(*) AS n_customers,
+               CAST(SUM(covered_days) AS BIGINT) AS sum_covered_days,
+               CAST(MAX(max_island_days) AS BIGINT) AS max_island_days
+        FROM per_cust GROUP BY n_islands ORDER BY n_islands
+        """,
+        tags=("extension", "temporal", "warehouse"),
+        description="Gaps-and-islands interval coalescing: running-max-"
+        "end island detection over per-customer 30-day activity "
+        "windows, exact integer day arithmetic.",
+    ),
     QueryDef(
         "temporal_asof_nearest",
         temporal_asof_nearest,

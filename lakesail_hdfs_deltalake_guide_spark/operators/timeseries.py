@@ -324,6 +324,53 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_hourly_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-hour-of-day latency-style quantiles of event value:
+    p50 (lower median) and p95 by the DISCRETE percentile definition —
+    the value AT rank ⌈q·n⌉ — so both engines select the identical cent
+    (no interpolation, no float). The ops-dashboard query (p95 by hour)
+    in its exact form: one window pass ranks cents within each
+    hour-of-day bucket sharing ONE exchange with the count, then a
+    conditional aggregate picks the two rank positions. At 10^9
+    rows/bucket the same shape runs with approx_percentile; exactness
+    here is what the oracle verifies."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr(f"(ts_ns div 1000 % {DAY_US}) div {HOUR_US}")
+        .cast("int")
+        .alias("hod"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("hod").orderBy("cents")
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("hod"))
+    )
+    return (
+        ranked.groupBy("hod")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("cents"))
+            ).alias("p50_cents"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(95 * n + 99) DIV 100"),
+                    F.col("cents"),
+                )
+            ).alias("p95_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .select(
+            F.col("hod").cast("bigint").alias("hod"),
+            "n_events",
+            "p50_cents",
+            "p95_cents",
+            "max_cents",
+        )
+        .orderBy("hod")
+    )
+
+
 def _tdiv_sql(x: str, d: str) -> str:
     """Truncating integer division for DuckDB (Spark's DIV truncates
     toward zero; DuckDB's // floors — they disagree on negatives)."""
@@ -347,6 +394,31 @@ def _season_trend_taps_sql() -> str:
 
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "ts_hourly_quantiles",
+        ts_hourly_quantiles,
+        f"""
+        WITH base AS (
+          SELECT CAST((epoch_us(ts) % {DAY_US}) // {HOUR_US} AS INT) AS hod,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        ranked AS (
+          SELECT hod, cents,
+                 ROW_NUMBER() OVER (PARTITION BY hod ORDER BY cents) AS rn,
+                 COUNT(*) OVER (PARTITION BY hod) AS n
+          FROM base)
+        SELECT CAST(hod AS BIGINT) AS hod, CAST(MAX(n) AS BIGINT) AS n_events,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+               MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN cents END)
+                 AS p95_cents,
+               MAX(cents) AS max_cents
+        FROM ranked GROUP BY hod ORDER BY hod
+        """,
+        tags=("extension", "timeseries", "stats"),
+        description="Exact per-hour-of-day p50/p95 event values "
+        "(discrete percentile at rank ceil(q*n)) — the ops-dashboard "
+        "latency query in its exact form; one ranked window exchange.",
+    ),
     QueryDef(
         "ts_seasonal_decompose",
         ts_seasonal_decompose,

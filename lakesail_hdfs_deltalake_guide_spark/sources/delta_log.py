@@ -1328,6 +1328,13 @@ def _snapshot_live_for_read(
                 F.col("partitionValues").getItem(k) == F.lit(v)
             )
     if range_filter and meta is not None:
+        for g, (glo, ghi) in _derived_partition_bounds(
+            spark, meta, range_filter
+        ).items():
+            pv = F.col("partitionValues").getItem(g)
+            adds_df = adds_df.where(
+                pv.isNull() | ((pv >= F.lit(glo)) & (pv <= F.lit(ghi)))
+            )
         pm = {l: p for p, l in _cm_pairs(meta)}
         for col, (lo, hi) in range_filter.items():
             phys = pm.get(col, col)
@@ -1698,6 +1705,75 @@ def _apply_defaults(df: DataFrame, meta: dict) -> DataFrame:
         if name not in df.columns:
             df = df.withColumn(name, F.expr(expr).cast(types[name]))
     return df
+
+
+# Generated PARTITION columns (delta-spark's partition-on-expression
+# idiom): when a partition column is GENERATED from a base column by a
+# MONOTONE expression, a range predicate on the BASE column derives a
+# partition-value range on the generated column — the reader prunes
+# hive partitions without the query ever naming them. delta-spark
+# recognizes a fixed expression whitelist for exactly this reason
+# (monotonicity is what makes bound-mapping sound); this engine's list:
+_GEN_PART_PATTERNS = (
+    _re.compile(
+        r"date_trunc\(\s*'(?:year|quarter|month|week|day)'\s*,"
+        r"\s*(?P<col>\w+)\s*\)",
+        _re.I,
+    ),
+    _re.compile(r"year\(\s*(?P<col>\w+)\s*\)", _re.I),
+    _re.compile(
+        r"substring\(\s*cast\(\s*(?P<col>\w+)\s+as\s+string\s*\)\s*,"
+        r"\s*1\s*,\s*\d+\s*\)",
+        _re.I,
+    ),
+    _re.compile(
+        r"date_format\(\s*(?P<col>\w+)\s*,"
+        r"\s*'(?:yyyy|yyyy-MM|yyyy-MM-dd)'\s*\)",
+        _re.I,
+    ),
+)
+
+
+def _monotone_base(expr: str) -> str | None:
+    for pat in _GEN_PART_PATTERNS:
+        m = pat.fullmatch(expr.strip())
+        if m:
+            return m.group("col")
+    return None
+
+
+def _derived_partition_bounds(
+    spark: SparkSession, meta: dict, range_filter: dict[str, tuple]
+) -> dict[str, tuple[str, str]]:
+    """{generated partition column: (lo, hi) partition-value strings}
+    derived from range filters on their base columns. The generation
+    expression is evaluated AT THE BOUNDS engine-side (a 2-row local
+    relation — the same Catalyst expression that wrote the partition
+    values, so the derived strings match the stored ones exactly);
+    monotonicity of the whitelisted expressions makes [g(lo), g(hi)]
+    a sound cover of every partition any matching row can live in."""
+    from pyspark.sql.types import StructType
+
+    parts = set(meta.get("partitionColumns") or [])
+    gens = _generated_columns(meta)
+    schema = _logical_schema(meta)
+    out: dict[str, tuple[str, str]] = {}
+    for gcol, expr in gens.items():
+        if gcol not in parts:
+            continue
+        base = _monotone_base(expr)
+        if base is None or base not in range_filter:
+            continue
+        lo, hi = range_filter[base]
+        field = [f for f in schema.fields if f.name == base]
+        if not field:
+            continue
+        probe = spark.createDataFrame(
+            [(lo,), (hi,)], StructType(field)
+        ).select(F.expr(expr).cast("string").alias("g"))
+        vals = sorted(r["g"] for r in probe.collect())
+        out[gcol] = (vals[0], vals[-1])
+    return out
 
 
 # Identity columns (PROTOCOL.md writer feature "identityColumns",
@@ -2771,6 +2847,18 @@ def delta_read(
     if meta is None:
         raise ValueError(f"no delta table at {path}")
     if range_filter:
+        # generated-partition-column pruning: a range on a BASE column
+        # derives partition-value bounds on any monotone-generated
+        # partition column (ISO strings compare lexicographically)
+        for g, (glo, ghi) in _derived_partition_bounds(
+            spark, meta, range_filter
+        ).items():
+            adds = [
+                (f, a)
+                for f, a in adds
+                if a.get("partitionValues", {}).get(g) is None
+                or glo <= a["partitionValues"][g] <= ghi
+            ]
         # per-file stats are keyed by PHYSICAL column names on mapped
         # tables; callers filter in logical names
         pm = {l: p for p, l in _cm_pairs(meta)}
@@ -5816,6 +5904,67 @@ def delta_native_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_generated_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Generated PARTITION columns + derived pruning: the table
+    partitions on ``order_month`` GENERATED AS
+    ``substring(cast(o_orderdate as string), 1, 7)``; a reader filtering
+    only on the BASE date column gets hive-partition pruning for free —
+    the monotone generation expression maps the date bounds to a
+    partition-value range engine-side. In-query invariants: the derived
+    bounds are exactly ('1995-01', '1995-06') and the pruned live set is
+    a strict subset. Monthly totals oracle the rows."""
+    import datetime
+    import tempfile
+
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_gp_")
+    delta_write(
+        o,
+        path,
+        partition_by=["order_month"],
+        generated_columns={
+            "order_month": "substring(cast(o_orderdate as string), 1, 7)"
+        },
+    )
+    rf = {
+        "o_orderdate": (
+            datetime.datetime(1995, 1, 1, 0, 0, 0),
+            datetime.datetime(1995, 6, 30, 23, 59, 59),
+        )
+    }
+    _, meta, live, _ = _snapshot_state(spark, path)
+    bounds = _derived_partition_bounds(spark, meta, rf)
+    assert bounds == {"order_month": ("1995-01", "1995-06")}, bounds
+    kept = [
+        f
+        for f, a in live.items()
+        if "1995-01" <= a["partitionValues"]["order_month"] <= "1995-06"
+    ]
+    assert 0 < len(kept) < len(live), (len(kept), len(live))
+    back = delta_read(spark, path, range_filter=rf)
+    # file pruning is partition-granular; the row predicate restates the
+    # bound (month-aligned here, so it is a no-op — stated for contract)
+    back = back.where(
+        F.col("o_orderdate").between(*rf["o_orderdate"])
+    )
+    return (
+        back.groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("order_month")
+    )
+
+
 def delta_native_cdf_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed over DML commits: a CDF-enabled table takes a
     DELETE (v1) then an UPDATE (v2); ``delta_read_cdf(1, 2)`` returns
@@ -6147,6 +6296,25 @@ QUERIES: list[QueryDef] = [
         description="Merge-on-read DELETE via deletion vectors: descriptor "
         "commits (reader v3 table feature), no data file rewritten; the "
         "read re-applies DVs as a broadcast anti-join.",
+    ),
+    QueryDef(
+        "delta_native_generated_partitions",
+        delta_native_generated_partitions,
+        """
+        SELECT substring(CAST(o_orderdate AS VARCHAR), 1, 7) AS order_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM orders
+        WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+          AND TIMESTAMP '1995-06-30 23:59:59'
+        GROUP BY order_month ORDER BY order_month
+        """,
+        tags=("parity", "delta", "io", "layout"),
+        description="Generated partition columns: a base-column range "
+        "filter derives partition-value bounds through the monotone "
+        "generation expression — hive pruning without naming the "
+        "partition column.",
     ),
     QueryDef(
         "delta_native_auto_compact",

@@ -3685,3 +3685,64 @@ def test_auto_compact_hook_and_optimize_write(spark):
         )
     assert len(delta_live_files(spark, path)) <= 2
     assert delta_read(spark, path).count() == 2000
+
+
+def test_generated_partition_derived_pruning(spark):
+    """A range filter on the BASE column must prune hive partitions
+    through the monotone generation expression: the physical file list
+    of the filtered read excludes out-of-range months entirely."""
+    import datetime
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        _derived_partition_bounds,
+        _snapshot_state,
+        delta_read,
+        delta_write,
+    )
+
+    rows = [
+        (i, datetime.datetime(1995, 1 + i % 6, 1 + i % 27), i * 10)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz, v long")
+    path = tempfile.mkdtemp(prefix="ls_genpart_")
+    delta_write(
+        df,
+        path,
+        partition_by=["month"],
+        generated_columns={"month": "substring(cast(ts as string), 1, 7)"},
+    )
+    rf = {
+        "ts": (
+            datetime.datetime(1995, 2, 1),
+            datetime.datetime(1995, 3, 31, 23, 59, 59),
+        )
+    }
+    _, meta, live, _ = _snapshot_state(spark, path)
+    assert _derived_partition_bounds(spark, meta, rf) == {
+        "month": ("1995-02", "1995-03")
+    }
+    out = delta_read(spark, path, range_filter=rf)
+    files = {
+        r[0].rsplit("/", 2)[-2]
+        for r in out.select(F.input_file_name()).distinct().collect()
+    }
+    assert files and all(
+        f in ("month=1995-02", "month=1995-03") for f in files
+    ), files
+    got = sorted(r["k"] for r in out.collect())
+    assert got == sorted(
+        k for k, ts, _ in rows if ts.month in (2, 3)
+    )
+    # an unrecognized (non-monotone-whitelisted) expression derives
+    # nothing — no unsound pruning
+    assert (
+        _derived_partition_bounds(
+            spark,
+            {**meta, "schemaString": meta["schemaString"].replace(
+                "substring(cast(ts as string), 1, 7)", "month(ts)"
+            )},
+            rf,
+        )
+        == {}
+    )
