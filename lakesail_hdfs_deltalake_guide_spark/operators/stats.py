@@ -16,7 +16,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..querydef import QueryDef
@@ -378,7 +378,113 @@ def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KS_GROUP_A = "BUILDING"
+KS_GROUP_B = "MACHINERY"
+
+
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between two
+    customer segments' order-total distributions — the rigorous "did
+    the distribution move" test behind the PSI screen: D = max |F_A −
+    F_B| over the merged support, computed in EXACT cross-multiplied
+    integers (|cum_a·n_b − cum_b·n_a| — no division until the final ppm
+    report, so ties and ulps cannot flip the argmax). Output: one row
+    with sample sizes, D in ppm, and the value (cents) where the gap
+    peaks (lowest such value on ties).
+
+    Plan: the fact join collapses to per-cents counts first (map-side
+    combine), the running CDFs are one ordered window over DISTINCT
+    values — the single-partition sort is over the value domain, not
+    the rows (the adjudicated equi-depth idiom; at 10^9 distinct values
+    pre-bucket first)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    both = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin(KS_GROUP_A, KS_GROUP_B))
+        .groupBy("cents")
+        .agg(
+            F.sum(
+                F.when(F.col("c_mktsegment") == KS_GROUP_A, 1).otherwise(0)
+            ).alias("k_a"),
+            F.sum(
+                F.when(F.col("c_mktsegment") == KS_GROUP_B, 1).otherwise(0)
+            ).alias("k_b"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = both.select(
+        "cents",
+        F.sum("k_a").over(w).alias("cum_a"),
+        F.sum("k_b").over(w).alias("cum_b"),
+    )
+    totals = both.groupBy().agg(
+        F.sum("k_a").alias("n_a"), F.sum("k_b").alias("n_b")
+    )
+    gaps = cum.crossJoin(F.broadcast(totals)).select(
+        "cents",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ).alias("gap"),
+    )
+    wmax = Window.orderBy(F.desc("gap"), F.asc("cents"))
+    return (
+        gaps.withColumn("rn", F.row_number().over(wmax))
+        .where(F.col("rn") == 1)
+        .select(
+            "n_a",
+            "n_b",
+            F.expr("gap * 1000000 DIV (n_a * n_b)").alias("d_ppm"),
+            F.col("cents").alias("at_cents"),
+        )
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_ks_two_sample",
+        stats_ks_two_sample,
+        f"""
+        WITH both_seg AS (
+          SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+                 SUM(CASE WHEN c.c_mktsegment = '{KS_GROUP_A}'
+                          THEN 1 ELSE 0 END) AS k_a,
+                 SUM(CASE WHEN c.c_mktsegment = '{KS_GROUP_B}'
+                          THEN 1 ELSE 0 END) AS k_b
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment IN ('{KS_GROUP_A}', '{KS_GROUP_B}')
+          GROUP BY cents),
+        cum AS (
+          SELECT cents,
+                 SUM(k_a) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_a,
+                 SUM(k_b) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_b
+          FROM both_seg),
+        tot AS (SELECT SUM(k_a) AS n_a, SUM(k_b) AS n_b FROM both_seg),
+        gaps AS (
+          SELECT cents, tot.n_a, tot.n_b,
+                 ABS(cum_a * tot.n_b - cum_b * tot.n_a) AS gap
+          FROM cum CROSS JOIN tot)
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(gap * 1000000 // (n_a * n_b) AS BIGINT) AS d_ppm,
+               cents AS at_cents
+        FROM gaps ORDER BY gap DESC, cents LIMIT 1
+        """,
+        tags=("extension", "stats"),
+        description="Exact two-sample Kolmogorov-Smirnov D between "
+        "segment order-total distributions: cross-multiplied integer "
+        "CDF gaps, argmax value reported.",
+    ),
     QueryDef(
         "stats_benford_digits",
         stats_benford_digits,

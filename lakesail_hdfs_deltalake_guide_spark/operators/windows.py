@@ -165,7 +165,84 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_rising_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (the MATCH_RECOGNIZE workalike Spark
+    expresses with lag chains): per user, count strictly-rising value
+    TRIPLES — positions where v[i-2] < v[i-1] < v[i] in event-time
+    order — then roll up how many users hit each triple count. The
+    same lag-flag conjunction extends to any fixed-length pattern
+    (down-up-down, threshold crossings); three is the demo depth.
+
+    Values compare as exact integer cents; ordering is the tz-free
+    (ts_ns, event_id) total order every window op here uses. ONE
+    exchange on the user key serves both lag flags; the rollups are
+    metadata-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    base = ev.select(
+        "user_id", "ts_ns", "event_id", cents.alias("cents")
+    ).withColumn("rise", (F.col("cents") > F.lag("cents").over(w)).cast("int"))
+    triples = base.withColumn(
+        "triple",
+        F.when(
+            (F.col("rise") == 1) & (F.lag("rise").over(w) == 1), 1
+        ).otherwise(0),
+    )
+    per_user = triples.groupBy("user_id").agg(
+        F.sum("triple").alias("n_triples"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_user.groupBy("n_triples")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("sum_events"),
+        )
+        .select(
+            F.col("n_triples").cast("bigint").alias("n_triples"),
+            "n_users",
+            "sum_events",
+        )
+        .orderBy("n_triples")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "window_rising_streaks",
+        window_rising_streaks,
+        """
+        WITH base AS (
+          SELECT user_id, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents,
+                 epoch_ns(ts) AS ts_ns
+          FROM events),
+        flagged AS (
+          SELECT user_id, ts_ns, event_id,
+                 CASE WHEN cents > LAG(cents) OVER w THEN 1 ELSE 0 END
+                   AS rise
+          FROM base
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+        tripled AS (
+          SELECT user_id,
+                 CASE WHEN rise = 1 AND LAG(rise) OVER w2 = 1
+                      THEN 1 ELSE 0 END AS triple
+          FROM flagged
+          WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+        per_user AS (
+          SELECT user_id, SUM(triple) AS n_triples, COUNT(*) AS n_events
+          FROM tripled GROUP BY user_id)
+        SELECT CAST(n_triples AS BIGINT) AS n_triples,
+               COUNT(*) AS n_users,
+               CAST(SUM(n_events) AS BIGINT) AS sum_events
+        FROM per_user GROUP BY n_triples ORDER BY n_triples
+        """,
+        tags=("extension", "window", "events"),
+        description="Sequence-pattern detection via lag chains: "
+        "strictly-rising value triples per user (exact cents), "
+        "users-per-count rollup.",
+    ),
     QueryDef(
         "window_first_last_nth",
         window_first_last_nth,

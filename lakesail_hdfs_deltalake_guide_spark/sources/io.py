@@ -367,7 +367,89 @@ def io_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(src)
 
 
+def io_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON ingestion with a corrupt-record channel — the
+    reader contract real feeds need (a single mangled line must neither
+    kill the job like FAILFAST nor vanish like DROPMALFORMED): nation
+    rows serialize to JSONL with every ``n_nationkey % 5 = 0`` line
+    deterministically TRUNCATED mid-object; the read declares the
+    schema plus ``_corrupt_record`` and reports, per region, parsed
+    rows, quarantined lines, and the aggregate over the clean subset —
+    the ingestion error-budget report (the try_cast op's file-format
+    sibling).
+
+    Corrupt rows surface with NULL data columns and the raw line in the
+    quarantine column, so accounting is a conditional aggregate; the
+    region key for quarantined lines is recovered from the raw text via
+    get_json_object-style regexp (the triage a real pipeline does
+    before re-requesting the feed)."""
+    n = load_table(spark, sf_dir, "nation")
+    line = F.to_json(F.struct("n_regionkey", "n_nationkey", "n_name"))
+    mangled = F.when(
+        F.col("n_nationkey") % 5 == 0,
+        F.substring(line, 1, F.length(line) - 10),
+    ).otherwise(line)
+    out = tempfile.mkdtemp(prefix="ls_io_corrupt_")
+    n.select(mangled.alias("value")).coalesce(1).write.mode(
+        "overwrite"
+    ).text(out)
+    schema = (
+        "n_nationkey bigint, n_name string, n_regionkey bigint, "
+        "_corrupt_record string"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    # region key first in the serialized object, so truncation (which
+    # eats the tail) always leaves it recoverable from the raw line
+    region = F.coalesce(
+        F.col("n_regionkey"),
+        F.expr(
+            "try_cast(nullif(regexp_extract(_corrupt_record, "
+            "'\"n_regionkey\":(\\\\d+)', 1), '') as bigint)"
+        ),
+    )
+    return (
+        back.select(
+            region.alias("n_regionkey"),
+            F.col("_corrupt_record").isNotNull().alias("bad"),
+            "n_nationkey",
+        )
+        .groupBy("n_regionkey")
+        .agg(
+            F.sum(F.when(~F.col("bad"), 1).otherwise(0)).alias("n_parsed"),
+            F.sum(F.when(F.col("bad"), 1).otherwise(0)).alias("n_quarantined"),
+            F.sum(F.when(~F.col("bad"), F.col("n_nationkey"))).alias(
+                "sum_keys_parsed"
+            ),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "io_json_corrupt_records",
+        io_json_corrupt_records,
+        """
+        SELECT n_regionkey,
+               CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_parsed,
+               CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_quarantined,
+               CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END)
+                 AS BIGINT) AS sum_keys_parsed
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+        tags=("extension", "io", "cleaning"),
+        description="PERMISSIVE JSON read with _corrupt_record "
+        "quarantine: truncated lines surface with raw text, per-region "
+        "ingestion error budget; corrupt rows' keys re-triaged from "
+        "the raw line.",
+    ),
     QueryDef(
         "io_analyze_table_stats",
         io_analyze_table_stats,
