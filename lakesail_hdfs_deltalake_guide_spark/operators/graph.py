@@ -585,7 +585,83 @@ def graph_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree distribution of the co-purchase graph — the
+    first diagnostic run on any production graph (is it power-law? where
+    does the hub tail start? what does BASKET_CAP actually clip?):
+    bin = ⌊log2(degree)⌋ via the exact bin()-length idiom, one
+    aggregation over the degree table. The log-binned histogram is what
+    stays readable when degrees span 6 orders of magnitude."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    small = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .where(F.col("n_parts") <= BASKET_CAP)
+        .select("l_orderkey")
+    )
+    in_scope = items.join(small, "l_orderkey")
+    a = in_scope.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = in_scope.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.withColumn(
+            "log2_bin", (F.length(F.expr("bin(deg)")) - 1).cast("bigint")
+        )
+        .groupBy("log2_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+            F.sum("deg").alias("sum_deg"),
+        )
+        .orderBy("log2_bin")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "graph_degree_distribution",
+        graph_degree_distribution,
+        f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        small AS (
+          SELECT l_orderkey FROM items GROUP BY l_orderkey
+          HAVING COUNT(*) <= {BASKET_CAP}),
+        scoped AS (
+          SELECT i.l_orderkey, i.l_partkey FROM items i
+          JOIN small s ON i.l_orderkey = s.l_orderkey),
+        edges AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM scoped a JOIN scoped b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        deg AS (
+          SELECT n, COUNT(*) AS deg FROM (
+            SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
+          GROUP BY n)
+        SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS log2_bin,
+               COUNT(*) AS n_nodes,
+               CAST(MIN(deg) AS BIGINT) AS min_deg,
+               CAST(MAX(deg) AS BIGINT) AS max_deg,
+               CAST(SUM(deg) AS BIGINT) AS sum_deg
+        FROM deg GROUP BY log2_bin ORDER BY log2_bin
+        """,
+        tags=("extension", "graph", "profiling"),
+        description="Log2-binned degree distribution of the co-purchase "
+        "graph (exact bin-length floor-log2) — the power-law/hub-tail "
+        "diagnostic.",
+    ),
     QueryDef(
         "graph_association_rules",
         graph_association_rules,

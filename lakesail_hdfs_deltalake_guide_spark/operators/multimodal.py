@@ -209,7 +209,162 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DHASH_ROWS, DHASH_COLS = 8, 9  # 8×9 grid → 64 difference bits
+DHASH_HAM_MAX = 6  # near-dup threshold (standard dHash radius)
+
+
+def _dhash_bytes_hex(payload: F.Column) -> F.Column:
+    """Payload → fixed 144-hex-char string (72 bytes, zero-padded): the
+    deterministic stand-in for the stub decoder's 8×9 grayscale
+    downsample (a real decoder resizes the image; the stub reads the
+    first 72 payload bytes as the pixel grid — same plumbing, same
+    shapes)."""
+    return F.rpad(F.hex(payload), 2 * DHASH_ROWS * DHASH_COLS, "0")
+
+
+def multimodal_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (dHash) near-duplicate detection over binary
+    media payloads — the image twin of MinHash text dedup: each payload
+    downsamples to an 8×9 grid (stub decode: first 72 bytes), the hash
+    is the 64 horizontal gradient bits (pixel < right neighbor), and
+    near-duplicates are pairs within Hamming distance DHASH_HAM_MAX.
+
+    Scale shape: candidates come from a 4-band LSH on 16-bit hash
+    slices (a ≤6-bit difference leaves ≥1 of 4 bands intact — the
+    pigeonhole guarantee, same banding algebra as MinHash), so the join
+    is a band-key equi-join, never all-pairs; the exact Hamming filter
+    is ``bit_count(a XOR b)`` on the candidates only. Output: pair
+    count per Hamming distance (0 = byte-identical prefix,
+    1–6 = perceptual neighbors).
+
+    The hash is pure codegen string/integer arithmetic on the hex
+    encoding — bit-identical in DuckDB, no decode libraries."""
+    media = media_corpus(spark, sf_dir)
+    hx = _dhash_bytes_hex(F.col("payload"))
+    byte_at = lambda i: F.conv(  # noqa: E731 — 0-based byte i
+        F.substring(hx, 2 * i + 1, 2), 16, 10
+    ).cast("long")
+    # two 32-bit halves: bit 63 would need a sign-bit shift (DuckDB
+    # range-checks 1<<63); halves keep every value comfortably positive
+    lo_terms, hi_terms = [], []
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
+            k = r * (DHASH_COLS - 1) + c
+            bit = (
+                byte_at(r * DHASH_COLS + c) < byte_at(r * DHASH_COLS + c + 1)
+            ).cast("bigint")
+            (lo_terms if k < 32 else hi_terms).append(
+                F.shiftleft(bit, k if k < 32 else k - 32)
+            )
+    add = lambda ts: __import__("functools").reduce(  # noqa: E731
+        lambda a, b: a + b, ts
+    )
+    hashed = media.select(
+        "doc_id", add(lo_terms).alias("h_lo"), add(hi_terms).alias("h_hi")
+    ).localCheckpoint(eager=True)
+    bands = hashed.select(
+        "doc_id",
+        "h_lo",
+        "h_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.shiftright(
+                            F.col("h_lo") if j < 2 else F.col("h_hi"),
+                            16 * (j % 2),
+                        )
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "h_lo", "h_hi", "b.band_id", "b.band")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.bit_count(F.col("a.h_lo").bitwiseXOR(F.col("b.h_lo")))
+                + F.bit_count(F.col("a.h_hi").bitwiseXOR(F.col("b.h_hi")))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= DHASH_HAM_MAX)
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            F.col("hamming").cast("bigint").alias("hamming"), "n_pairs"
+        )
+        .orderBy("hamming")
+    )
+
+
+def _dhash_sql() -> str:
+    """DuckDB twin: same hex-string byte grid, same 64 gradient bits."""
+    byte_at = (
+        lambda i: f"CAST(('0x' || substring(hx, {2 * i + 1}, 2)) AS BIGINT)"
+    )
+    lo_terms, hi_terms = [], []
+    for r in range(DHASH_ROWS):
+        for c in range(DHASH_COLS - 1):
+            k = r * (DHASH_COLS - 1) + c
+            term = (
+                f"(CASE WHEN {byte_at(r * DHASH_COLS + c)} < "
+                f"{byte_at(r * DHASH_COLS + c + 1)} THEN 1::BIGINT << "
+                f"{k if k < 32 else k - 32} ELSE 0 END)"
+            )
+            (lo_terms if k < 32 else hi_terms).append(term)
+    lo_expr = " + ".join(lo_terms)
+    hi_expr = " + ".join(hi_terms)
+    return f"""
+        WITH media AS (
+          SELECT doc_id,
+                 rpad(hex(encode(text)), {2 * DHASH_ROWS * DHASH_COLS}, '0')
+                   AS hx
+          FROM documents),
+        hashed AS MATERIALIZED (
+          SELECT doc_id, {lo_expr} AS h_lo, {hi_expr} AS h_hi FROM media),
+        bands AS MATERIALIZED (
+          SELECT doc_id, h_lo, h_hi, j.band_id,
+                 ((CASE WHEN j.band_id < 2 THEN h_lo ELSE h_hi END)
+                  >> (16 * (j.band_id % 2))) & 65535 AS band
+          FROM hashed CROSS JOIN range(0, 4) j(band_id)),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.h_lo, b.h_lo))
+                   + bit_count(xor(a.h_hi, b.h_hi)) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band = b.band
+           AND a.doc_id < b.doc_id)
+        SELECT CAST(hamming AS BIGINT) AS hamming, COUNT(*) AS n_pairs
+        FROM pairs WHERE hamming <= {DHASH_HAM_MAX}
+        GROUP BY hamming ORDER BY hamming
+        """
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "multimodal_dhash_neardup",
+        multimodal_dhash_neardup,
+        _dhash_sql(),
+        tags=("extension", "multimodal", "dedup"),
+        description="Perceptual dHash near-dup detection on binary "
+        "payloads: 64 gradient bits from the stub-decoded 8x9 grid, "
+        "4-band LSH candidates, exact bit_count Hamming verify.",
+    ),
     QueryDef(
         "multimodal_audio_windows",
         multimodal_audio_windows,

@@ -436,6 +436,40 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the confusion matrix of the stopword
+    classifier against the labeled language — the eval every language
+    filter runs before gating a corpus on its predictions (per-cell
+    counts plus the cell's share of its labeled row in exact ppm;
+    diagonal cells are the per-language recall). One conditional-
+    aggregate pass over the same scan-side hit arithmetic as the
+    classifier itself."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    hits = {lang: _hits(toks, words) for lang, words in STOPWORDS.items()}
+    en, es, de, fr = hits["en"], hits["es"], hits["de"], hits["fr"]
+    predicted = (
+        F.when((en + es + de + fr) == 0, "unknown")
+        .when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    cells = (
+        d.select(F.col("lang").alias("labeled_lang"), predicted.alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr(
+            "n_docs * 1000000 DIV SUM(n_docs) OVER (PARTITION BY labeled_lang)"
+        ).alias("row_share_ppm"),
+    ).orderBy("labeled_lang", "predicted_lang")
+
+
 NOVELTY_NS = (1, 2, 3)
 
 
@@ -848,6 +882,44 @@ QUERIES: list[QueryDef] = [
         description="CCNet-style bigram-LM cross-entropy deciles in "
         "exact millibits (integer log2 via shared mantissa table); "
         "add-one smoothed per-language LM estimated in one corpus pass.",
+    ),
+    QueryDef(
+        "text_langid_confusion",
+        text_langid_confusion,
+        f"""
+        WITH pred AS (
+          SELECT lang AS labeled_lang,
+                 CASE
+                   WHEN {_sql_hits("text", STOPWORDS["en"])}
+                        + {_sql_hits("text", STOPWORDS["es"])}
+                        + {_sql_hits("text", STOPWORDS["de"])}
+                        + {_sql_hits("text", STOPWORDS["fr"])} = 0
+                     THEN 'unknown'
+                   WHEN {_sql_hits("text", STOPWORDS["en"])} >= {_sql_hits("text", STOPWORDS["es"])}
+                    AND {_sql_hits("text", STOPWORDS["en"])} >= {_sql_hits("text", STOPWORDS["de"])}
+                    AND {_sql_hits("text", STOPWORDS["en"])} >= {_sql_hits("text", STOPWORDS["fr"])}
+                     THEN 'en'
+                   WHEN {_sql_hits("text", STOPWORDS["es"])} >= {_sql_hits("text", STOPWORDS["de"])}
+                    AND {_sql_hits("text", STOPWORDS["es"])} >= {_sql_hits("text", STOPWORDS["fr"])}
+                     THEN 'es'
+                   WHEN {_sql_hits("text", STOPWORDS["de"])} >= {_sql_hits("text", STOPWORDS["fr"])}
+                     THEN 'de'
+                   ELSE 'fr'
+                 END AS predicted_lang
+          FROM documents),
+        cells AS (
+          SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+          FROM pred GROUP BY labeled_lang, predicted_lang)
+        SELECT labeled_lang, predicted_lang, n_docs,
+               CAST(n_docs * 1000000 //
+                    SUM(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT)
+                 AS row_share_ppm
+        FROM cells ORDER BY labeled_lang, predicted_lang
+        """,
+        tags=("extension", "text", "pipeline"),
+        description="Language-ID confusion matrix vs labels: per-cell "
+        "counts and exact-ppm row shares (diagonal = per-language "
+        "recall) — the eval before gating on predictions.",
     ),
     QueryDef(
         "text_ngram_novelty",
