@@ -12,7 +12,7 @@ oracle. Sums are integer cents (see streaming/events.py rationale).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..querydef import QueryDef
@@ -148,7 +148,97 @@ def olap_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the canonical CRM/warehouse scoring:
+    per customer, Recency (days since last order, vs the corpus max
+    date), Frequency (order count), Monetary (lifetime cents), each cut
+    into quintiles by NTILE over a TOTAL order (metric, then customer
+    key — NTILE at a tie boundary is engine-arbitrary without it), and
+    the 5×5×5 segment grid rolled up with per-segment value totals.
+    Score semantics: 5 is best (most recent / most orders / most
+    spend).
+
+    One orders aggregation (map-side combine on the customer key),
+    three doc-sized NTILE sorts sharing the per-customer table, one
+    rollup — the exact-quintile idiom; approx boundaries at 10^9
+    customers."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
+        ),
+    )
+    mx = per_cust.agg(F.max("last_order").alias("max_date"))
+    scored = per_cust.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_days",
+        F.datediff(F.col("max_date"), F.col("last_order")).cast("long"),
+    )
+    r_w = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
+    f_w = Window.orderBy(F.asc("n_orders"), F.asc("o_custkey"))
+    m_w = Window.orderBy(F.asc("cents"), F.asc("o_custkey"))
+    rfm = (
+        scored.withColumn("r_score", F.ntile(5).over(r_w))
+        .withColumn("f_score", F.ntile(5).over(f_w))
+        .withColumn("m_score", F.ntile(5).over(m_w))
+    )
+    return (
+        rfm.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum("n_orders").alias("sum_orders"),
+        )
+        .select(
+            F.col("r_score").cast("bigint").alias("r_score"),
+            F.col("f_score").cast("bigint").alias("f_score"),
+            F.col("m_score").cast("bigint").alias("m_score"),
+            "n_customers",
+            "sum_cents",
+            "sum_orders",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "olap_rfm_segmentation",
+        olap_rfm_segmentation,
+        """
+        WITH per_cust AS (
+          SELECT o_custkey, MAX(o_orderdate) AS last_order,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey),
+        mx AS (SELECT MAX(last_order) AS max_date FROM per_cust),
+        scored AS (
+          SELECT p.*, CAST(date_diff('day', p.last_order, mx.max_date)
+                           AS BIGINT) AS recency_days
+          FROM per_cust p CROSS JOIN mx),
+        rfm AS (
+          SELECT o_custkey, n_orders, cents,
+                 NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                   AS r_score,
+                 NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS f_score,
+                 NTILE(5) OVER (ORDER BY cents, o_custkey) AS m_score
+          FROM scored)
+        SELECT CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               COUNT(*) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(SUM(n_orders) AS BIGINT) AS sum_orders
+        FROM rfm GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score
+        """,
+        tags=("extension", "olap", "warehouse"),
+        description="RFM segmentation: recency/frequency/monetary "
+        "quintiles over total orders (tie-broken NTILE), 5x5x5 segment "
+        "grid with value totals.",
+    ),
     QueryDef(
         "olap_rollup_revenue",
         olap_rollup_revenue,

@@ -371,6 +371,70 @@ def ts_hourly_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-volume anomaly detection at |z| > 3 with EXACT integer
+    arithmetic — no sqrt, no float z-scores: the flag
+    ``(x−μ)² > 9σ²`` cross-multiplies to
+    ``(n·x − S)²·(n−1) > 9·n·(n·Q − S²)`` over the per-series moment
+    sums (S = Σx, Q = Σx², n hours), which is pure BIGINT and therefore
+    bit-identical on any engine (a float z at the 3.0 boundary flips
+    between engines; the cross-multiplied form cannot). Hours come from
+    the DENSE grid (a silent outage hour — count 0 — must be scoreable,
+    not absent). Per series: hour count, mean in milli-events, anomaly
+    count, and the peak hour's count.
+
+    BIGINT headroom: (n·x)² ·n caps hourly counts around 2^20 with 10^4
+    grid hours — far beyond any hourly event volume the 100 TB tier
+    aggregates to O(series × hours) rows anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    hour_us = us - us % HOUR_US
+    hourly = (
+        ev.select("event_type", hour_us.alias("hour_us"))
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    span = ev.agg(F.min(us).alias("min_us"), F.max(us).alias("max_us")).select(
+        (F.col("min_us") - F.col("min_us") % HOUR_US).alias("start_us"),
+        (F.col("max_us") - F.col("max_us") % HOUR_US).alias("end_us"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("start_us"), F.col("end_us"), F.lit(HOUR_US))
+        ).alias("hour_us"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour_us"], "left").select(
+        "event_type",
+        "hour_us",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("x"),
+    )
+    moments = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.expr("x * x")).alias("q"),
+    )
+    flagged = dense.join(F.broadcast(moments), "event_type").withColumn(
+        "anomalous",
+        F.expr(
+            "(n * x - s) * (n * x - s) * (n - 1) > 9 * n * (n * q - s * s)"
+        ),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_hours"),
+            F.expr("MAX(s) * 1000 DIV MAX(n)").alias("mean_milli"),
+            F.sum(F.when(F.col("anomalous"), 1).otherwise(0)).alias(
+                "n_anomalous"
+            ),
+            F.max("x").alias("max_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _tdiv_sql(x: str, d: str) -> str:
     """Truncating integer division for DuckDB (Spark's DIV truncates
     toward zero; DuckDB's // floors — they disagree on negatives)."""
@@ -394,6 +458,50 @@ def _season_trend_taps_sql() -> str:
 
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "ts_anomaly_hours",
+        ts_anomaly_hours,
+        f"""
+        WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        hourly AS (
+          SELECT event_type, us - us % {HOUR_US} AS hour_us, COUNT(*) AS n
+          FROM ev GROUP BY event_type, us - us % {HOUR_US}),
+        span AS (
+          SELECT MIN(us) - MIN(us) % {HOUR_US} AS start_us,
+                 MAX(us) - MAX(us) % {HOUR_US} AS end_us
+          FROM ev),
+        grid AS (
+          SELECT t.event_type, g.hour_us
+          FROM (SELECT DISTINCT event_type FROM ev) t
+          CROSS JOIN (SELECT unnest(range(span.start_us,
+                                          span.end_us + 1,
+                                          {HOUR_US})) AS hour_us
+                      FROM span) g),
+        dense AS (
+          SELECT grid.event_type, grid.hour_us,
+                 CAST(COALESCE(h.n, 0) AS BIGINT) AS x
+          FROM grid LEFT JOIN hourly h
+            ON h.event_type = grid.event_type
+           AND h.hour_us = grid.hour_us),
+        moments AS (
+          SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q
+          FROM dense GROUP BY event_type)
+        SELECT d.event_type,
+               CAST(MAX(m.n) AS BIGINT) AS n_hours,
+               CAST(MAX(m.s) * 1000 // MAX(m.n) AS BIGINT) AS mean_milli,
+               CAST(SUM(CASE WHEN (m.n * d.x - m.s) * (m.n * d.x - m.s)
+                                  * (m.n - 1)
+                                > 9 * m.n * (m.n * m.q - m.s * m.s)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+               CAST(MAX(d.x) AS BIGINT) AS max_count
+        FROM dense d JOIN moments m USING (event_type)
+        GROUP BY d.event_type ORDER BY d.event_type
+        """,
+        tags=("extension", "timeseries", "stats"),
+        description="Hourly-volume anomaly hours at |z| > 3 in exact "
+        "cross-multiplied integers (no sqrt, no float boundary flips), "
+        "scored over the dense grid so outage hours count.",
+    ),
     QueryDef(
         "ts_hourly_quantiles",
         ts_hourly_quantiles,
