@@ -447,7 +447,95 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit between two categoricals
+    (customer market segment × order priority) in exact integers: per
+    contingency cell, observed count, expected in milli-units
+    (row·col·1000 DIV N), and the chi-square term scaled ×1e6 —
+    ``(o·N − r·c)² DIV (r·c·N) ·1e6`` cross-multiplied so no division
+    happens before the final scaling. Independence is the null every
+    segmentation assumption quietly makes; summed terms against the
+    χ²((R−1)(C−1)) table is the test. One fact join, one contingency
+    aggregation, O(cells) everything after.
+
+    Headroom: the cross products run in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — (o·N)² would overflow BIGINT already at ~3·10⁹
+    cell-count·total products (sf0.1 territory); 38 digits carry the
+    form to ~10¹⁹-row tables. Spark's decimal DIV and DuckDB's HUGEINT
+    // agree exactly (verified)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    wr = Window.partitionBy("c_mktsegment")
+    wc = Window.partitionBy("o_orderpriority")
+    wn = Window.partitionBy()
+    return (
+        cells.withColumn("r_total", F.sum("observed").over(wr))
+        .withColumn("c_total", F.sum("observed").over(wc))
+        .withColumn("n_total", F.sum("observed").over(wn))
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "observed",
+            F.expr(
+                "CAST(CAST(r_total AS DECIMAL(38,0)) * c_total * 1000 "
+                "DIV n_total AS BIGINT)"
+            ).alias("expected_milli"),
+            F.expr(
+                "CAST((CAST(observed AS DECIMAL(38,0)) * n_total"
+                " - CAST(r_total AS DECIMAL(38,0)) * c_total)"
+                " * (CAST(observed AS DECIMAL(38,0)) * n_total"
+                " - CAST(r_total AS DECIMAL(38,0)) * c_total)"
+                " * 1000000 DIV (CAST(r_total AS DECIMAL(38,0))"
+                " * c_total * n_total) AS BIGINT)"
+            ).alias("chi2_term_micro"),
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_chi2_independence",
+        stats_chi2_independence,
+        """
+        WITH cells AS (
+          SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS observed
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment, o.o_orderpriority),
+        tot AS (
+          SELECT *,
+                 SUM(observed) OVER (PARTITION BY c_mktsegment) AS r_total,
+                 SUM(observed) OVER (PARTITION BY o_orderpriority)
+                   AS c_total,
+                 SUM(observed) OVER () AS n_total
+          FROM cells)
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(observed AS BIGINT) AS observed,
+               CAST(CAST(r_total AS HUGEINT) * c_total * 1000 // n_total
+                 AS BIGINT) AS expected_milli,
+               CAST((CAST(observed AS HUGEINT) * n_total
+                     - CAST(r_total AS HUGEINT) * c_total)
+                    * (CAST(observed AS HUGEINT) * n_total
+                       - CAST(r_total AS HUGEINT) * c_total)
+                    * 1000000 // (CAST(r_total AS HUGEINT) * c_total
+                                  * n_total) AS BIGINT)
+                 AS chi2_term_micro
+        FROM tot ORDER BY c_mktsegment, o_orderpriority
+        """,
+        tags=("extension", "stats", "olap"),
+        description="Chi-square independence audit (segment x priority) "
+        "in exact cross-multiplied integers: per-cell observed, "
+        "expected milli, chi2 term micro.",
+    ),
     QueryDef(
         "stats_ks_two_sample",
         stats_ks_two_sample,

@@ -208,7 +208,65 @@ def window_rising_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DAY_US = 86_400_000_000
+
+
+def window_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting curve: per day, event volume, NEW users (first
+    corpus-wide appearance that day) and the cumulative distinct-user
+    count — the DAU/new/cumulative triple every product dashboard
+    leads with. Exactness without a per-day distinct: a user's first
+    event day (one min-aggregation) places their +1 in exactly one
+    day; the cumulative curve is a running sum over the day table —
+    the same first-occurrence trick as the vocab-growth profiler."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(f"(ts_ns div 1000) div {DAY_US}").cast("long")
+    base = ev.select(day.alias("day"), "user_id")
+    daily = base.groupBy("day").agg(F.count(F.lit(1)).alias("n_events"))
+    first_day = base.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_users = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new_users, "day", "left")
+        .select(
+            "day",
+            "n_events",
+            F.coalesce("n_new_users", F.lit(0)).alias("n_new_users"),
+        )
+        .withColumn("cum_users", F.sum("n_new_users").over(w))
+        .orderBy("day")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "window_new_users_daily",
+        window_new_users_daily,
+        f"""
+        WITH base AS (
+          SELECT CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS day, user_id
+          FROM events),
+        daily AS (
+          SELECT day, COUNT(*) AS n_events FROM base GROUP BY day),
+        first_day AS (
+          SELECT user_id, MIN(day) AS day FROM base GROUP BY user_id),
+        new_users AS (
+          SELECT day, COUNT(*) AS n_new_users FROM first_day GROUP BY day)
+        SELECT d.day, d.n_events,
+               CAST(COALESCE(n.n_new_users, 0) AS BIGINT) AS n_new_users,
+               CAST(SUM(COALESCE(n.n_new_users, 0)) OVER (ORDER BY d.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_users
+        FROM daily d LEFT JOIN new_users n ON d.day = n.day
+        ORDER BY d.day
+        """,
+        tags=("extension", "window", "events", "warehouse"),
+        description="Growth accounting: daily events, first-appearance "
+        "new users, cumulative distinct users — exact via the "
+        "first-occurrence day, no per-day distinct.",
+    ),
     QueryDef(
         "window_rising_streaks",
         window_rising_streaks,
