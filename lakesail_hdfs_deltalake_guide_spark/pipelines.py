@@ -283,7 +283,93 @@ def pipeline_cdf_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus-ingestion dedup — the shape every recurring
+    crawl runs: each arriving batch dedups WITHIN itself (keep-first
+    per content fingerprint), then against ALL HISTORY via an anti-join
+    on the persisted fingerprint state table, and appends only its
+    novel fingerprints back to the state (a native-Delta table, so the
+    state itself is ACID and replayable). Batch 2 overlaps batch 1 by
+    construction (doc_id % 3 in {0,1} then {1,2}), so the cross-run
+    path is exercised, not just the intra-batch one.
+
+    Scale shape: the state table holds 16-byte digests + keeper ids —
+    orders of magnitude under the corpus; the anti-join shuffles
+    digests only. This composes the dedup tier with the Delta tier: at
+    100 TB the state is exactly delta-spark's dedup-sink idiom
+    (append-only, compacted by OPTIMIZE on cadence)."""
+    from .sources.delta_log import delta_read, delta_write
+    from .tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    docs = d.select("doc_id", fp.alias("fp"))
+    state_path = tempfile.mkdtemp(prefix="ls_dedup_state_")
+    # v0: empty state with the right schema
+    delta_write(
+        spark.createDataFrame([], "fp string, first_doc long"), state_path
+    )
+    out_rows = []
+    batches = (("batch_1", (0, 1)), ("batch_2", (1, 2)))
+    for name, mods in batches:
+        batch = docs.where((F.col("doc_id") % 3).isin(*mods))
+        in_batch = (
+            batch.groupBy("fp")
+            .agg(F.min("doc_id").alias("first_doc"))
+        )
+        state = delta_read(spark, state_path)
+        novel = in_batch.join(state.select("fp"), "fp", "left_anti")
+        novel_cnt = novel.count()
+        delta_write(novel, state_path, mode="append")
+        out_rows.append(
+            (
+                name,
+                batch.count(),
+                in_batch.count(),
+                novel_cnt,
+                delta_read(spark, state_path).count(),
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "batch string, n_input long, n_unique_in_batch long, "
+        "n_novel long, state_size_after long",
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "pipeline_incremental_dedup",
+        pipeline_incremental_dedup,
+        """
+        WITH fps AS (
+          SELECT doc_id,
+                 md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        b1 AS (SELECT * FROM fps WHERE doc_id % 3 IN (0, 1)),
+        b2 AS (SELECT * FROM fps WHERE doc_id % 3 IN (1, 2)),
+        u1 AS (SELECT fp FROM b1 GROUP BY fp),
+        u2 AS (SELECT fp FROM b2 GROUP BY fp),
+        novel2 AS (SELECT fp FROM u2 WHERE fp NOT IN (SELECT fp FROM u1))
+        SELECT 'batch_1' AS batch,
+               (SELECT COUNT(*) FROM b1) AS n_input,
+               (SELECT COUNT(*) FROM u1) AS n_unique_in_batch,
+               (SELECT COUNT(*) FROM u1) AS n_novel,
+               (SELECT COUNT(*) FROM u1) AS state_size_after
+        UNION ALL
+        SELECT 'batch_2',
+               (SELECT COUNT(*) FROM b2),
+               (SELECT COUNT(*) FROM u2),
+               (SELECT COUNT(*) FROM novel2),
+               (SELECT COUNT(*) FROM u1) + (SELECT COUNT(*) FROM novel2)
+        ORDER BY batch
+        """,
+        tags=("extension", "pipeline", "dedup", "delta"),
+        description="Incremental crawl-ingestion dedup: within-batch "
+        "keep-first + anti-join against a persisted Delta fingerprint "
+        "state, novel digests appended back — cross-run dedup with an "
+        "ACID state table.",
+    ),
     QueryDef(
         "pipeline_medallion_incremental",
         pipeline_medallion_incremental,
