@@ -3746,3 +3746,36 @@ def test_generated_partition_derived_pruning(spark):
         )
         == {}
     )
+
+
+def test_drop_feature_truncate_at_cadence_checkpoint_version(spark):
+    """truncate_history re-checkpoints the CURRENT version; when the
+    cadence checkpoint already landed there (version % interval == 0)
+    the re-checkpoint must be idempotent, not a spurious failure."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_drop_feature,
+        delta_read,
+        delta_reorg_purge,
+        delta_write,
+    )
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    path = tempfile.mkdtemp(prefix="ls_drop_ckptv_")
+    delta_write(df.repartition(2), path, stats_cols=["k"])
+    for i in range(7):
+        delta_write(
+            df.select((F.col("k") + 100 * (i + 1)).alias("k")),
+            path,
+            mode="append",
+        )  # v1..v7
+    delta_delete_dv(spark, path, "k % 7 = 3")  # v8
+    delta_reorg_purge(spark, path)  # v9
+    delta_write(
+        df.select((F.col("k") + 10_000).alias("k")), path, mode="append"
+    )  # v10 — cadence checkpoint fires here
+    v = delta_drop_feature(
+        spark, path, "deletionVectors", truncate_history=True
+    )
+    assert v == 11
+    assert delta_read(spark, path).count() == 786
