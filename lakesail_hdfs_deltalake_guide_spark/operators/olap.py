@@ -202,7 +202,82 @@ def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def olap_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share shift report — the BI staple: per (year, segment),
+    revenue share of the year in exact ppm, the segment's revenue rank
+    within the year, and the rank's change vs the previous year (lag
+    over the segment's own year series). Shares come from a window
+    total over the O(years × segments) aggregate — the fact table
+    collapses map-side first; everything after is metadata-sized."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("order_year", "c_mktsegment")
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+    wy = Window.partitionBy("order_year")
+    wr = Window.partitionBy("order_year").orderBy(
+        F.desc("revenue_cents"), F.asc("c_mktsegment")
+    )
+    ws = Window.partitionBy("c_mktsegment").orderBy("order_year")
+    ranked = (
+        cells.withColumn(
+            "share_ppm",
+            F.expr(
+                "revenue_cents * 1000000 DIV "
+                "SUM(revenue_cents) OVER (PARTITION BY order_year)"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+    )
+    return ranked.select(
+        "order_year",
+        "c_mktsegment",
+        "revenue_cents",
+        "share_ppm",
+        "rank",
+        (F.lag("rank").over(ws) - F.col("rank")).alias("rank_change"),
+    ).orderBy("order_year", "rank")
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "olap_share_shift",
+        olap_share_shift,
+        """
+        WITH cells AS (
+          SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)
+                   AS order_year,
+                 c.c_mktsegment,
+                 CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS revenue_cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY order_year, c.c_mktsegment),
+        ranked AS (
+          SELECT *,
+                 CAST(revenue_cents * 1000000 //
+                      SUM(revenue_cents) OVER (PARTITION BY order_year)
+                      AS BIGINT) AS share_ppm,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY order_year
+                        ORDER BY revenue_cents DESC, c_mktsegment)
+                      AS BIGINT) AS rank
+          FROM cells)
+        SELECT order_year, c_mktsegment, revenue_cents, share_ppm, rank,
+               CAST(LAG(rank) OVER (PARTITION BY c_mktsegment
+                      ORDER BY order_year) - rank AS BIGINT) AS rank_change
+        FROM ranked ORDER BY order_year, rank
+        """,
+        tags=("extension", "olap", "warehouse"),
+        description="Market-share shift: per-year segment revenue share "
+        "in exact ppm, within-year rank, and year-over-year rank change.",
+    ),
     QueryDef(
         "olap_rfm_segmentation",
         olap_rfm_segmentation,

@@ -217,7 +217,73 @@ def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BURST_WINDOW_NS = 6 * 3600 * 10**9  # 6-hour sliding window
+BURST_T = 5  # flag users reaching this many events in one window
+
+
+def session_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst / abuse detection: users whose event rate exceeds BURST_T
+    within ANY sliding BURST_WINDOW — the rate-limit audit every API
+    and anti-scraping pipeline runs. The sliding count is a RANGE-frame
+    window over event time (every event's trailing-window population in
+    one pass — no per-window explosion, no state store), per-user max,
+    threshold flag. Duplicate timestamps are frame PEERS (RANGE, not
+    ROWS), so the count is timestamp-deterministic on both engines.
+
+    Output: the flagged users with their peak burst, total events, and
+    the burst moment — bounded by the flagged population, which is the
+    point of a threshold."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rangeBetween(-(BURST_WINDOW_NS - 1), 0)
+    )
+    bursts = ev.select("user_id", "ts_ns").withColumn(
+        "burst", F.count(F.lit(1)).over(w)
+    )
+    per_user = bursts.groupBy("user_id").agg(
+        F.max("burst").alias("max_burst"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(
+            F.when(F.col("burst") >= BURST_T, F.col("ts_ns"))
+        ).alias("first_burst_ns"),
+    )
+    return (
+        per_user.where(F.col("max_burst") >= BURST_T)
+        .select("user_id", "max_burst", "n_events", "first_burst_ns")
+        .orderBy("user_id")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "session_burst_detection",
+        session_burst_detection,
+        f"""
+        WITH b AS (
+          SELECT user_id, epoch_ns(ts) AS ts_ns FROM events),
+        c AS (
+          SELECT user_id, ts_ns,
+                 COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_ns
+                   RANGE BETWEEN {BURST_WINDOW_NS - 1} PRECEDING
+                   AND CURRENT ROW) AS burst
+          FROM b),
+        per_user AS (
+          SELECT user_id, MAX(burst) AS max_burst, COUNT(*) AS n_events,
+                 MIN(CASE WHEN burst >= {BURST_T} THEN ts_ns END)
+                   AS first_burst_ns
+          FROM c GROUP BY user_id)
+        SELECT user_id, CAST(max_burst AS BIGINT) AS max_burst,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(first_burst_ns AS BIGINT) AS first_burst_ns
+        FROM per_user WHERE max_burst >= {BURST_T} ORDER BY user_id
+        """,
+        tags=("extension", "sessions", "events"),
+        description="Burst/abuse detection: trailing 6h RANGE-frame "
+        "event counts per user, threshold flag with peak burst and "
+        "first breach moment.",
+    ),
     QueryDef(
         "session_context_examples",
         session_context_examples,

@@ -502,7 +502,83 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of customer lifetime spend, per market
+    segment — the inequality index behind every revenue-concentration
+    ("whale") analysis, the scalar twin of the Lorenz decile report.
+    Rank-sum formula ``G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)`` with
+    values ranked ascending (ties broken by customer key — the rank-sum
+    is tie-order-invariant because tied values contribute equal xᵢ, so
+    the tiebreak only pins engine agreement on i). All products run in
+    DECIMAL(38,0)/HUGEINT, reported in exact ppm.
+
+    Plan: one customer-spend aggregation, one per-segment rank window,
+    one moment rollup — the rank window is per-segment, so even the
+    sort is partition-parallel."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("cents").alias("x"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("x", "c_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w).cast("long"))
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("x").alias("sum_cents"),
+            F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * x")).alias("rs"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "sum_cents",
+            F.expr(
+                "CAST((2 * rs - (CAST(n_customers AS DECIMAL(38,0)) + 1)"
+                " * sum_cents) * 1000000"
+                " DIV (CAST(n_customers AS DECIMAL(38,0)) * sum_cents)"
+                " AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_gini_coefficient",
+        stats_gini_coefficient,
+        """
+        WITH spend AS (
+          SELECT c.c_mktsegment, c.c_custkey,
+                 CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment, c.c_custkey),
+        ranked AS (
+          SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                           ORDER BY x, c_custkey) AS BIGINT) AS i
+          FROM spend)
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               CAST(SUM(x) AS BIGINT) AS sum_cents,
+               CAST((2 * SUM(CAST(i AS HUGEINT) * x)
+                     - (CAST(COUNT(*) AS HUGEINT) + 1) * SUM(x)) * 1000000
+                    // (CAST(COUNT(*) AS HUGEINT) * SUM(x)) AS BIGINT)
+                 AS gini_ppm
+        FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        tags=("extension", "stats", "profiling"),
+        description="Exact per-segment Gini coefficient of customer "
+        "spend (rank-sum formula, DECIMAL/HUGEINT cross products, ppm) "
+        "- the revenue-concentration index.",
+    ),
     QueryDef(
         "stats_chi2_independence",
         stats_chi2_independence,
