@@ -19,7 +19,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import (
@@ -390,7 +390,87 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth: revenue per month, absolute delta, and
+    growth in exact ppm (``(cur − prev)·1e6 DIV prev``), plus the
+    running streak of consecutive growth months (gaps-and-islands over
+    the up/down flag). The trend KPI every revenue dashboard leads
+    with, in oracle-exact integers; two lag/flag windows sharing one
+    (single-series) sort over the O(months) aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy("month")
+    g = (
+        monthly.withColumn("prev", F.lag("revenue").over(w))
+        .withColumn("delta", F.col("revenue") - F.col("prev"))
+        .withColumn(
+            "growth_ppm", F.expr("(revenue - prev) * 1000000 DIV prev")
+        )
+        .withColumn(
+            "up", F.when(F.col("delta") > 0, 1).otherwise(0)
+        )
+    )
+    # consecutive-growth streak: reset marker at every non-up month,
+    # streak = rows since the last reset (the islands idiom)
+    g = g.withColumn(
+        "grp",
+        F.sum(F.when(F.col("up") == 0, 1).otherwise(0)).over(w),
+    ).withColumn(
+        "growth_streak",
+        F.when(
+            F.col("up") == 1,
+            F.row_number().over(Window.partitionBy("grp").orderBy("month"))
+            - 1,
+        ).otherwise(0).cast("bigint"),
+    )
+    return g.select(
+        "month", "revenue", "delta", "growth_ppm", "growth_streak"
+    ).orderBy("month")
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "monthly_revenue_growth",
+        monthly_revenue_growth,
+        """
+        WITH monthly AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS revenue
+          FROM orders GROUP BY month),
+        g AS (
+          SELECT month, revenue,
+                 LAG(revenue) OVER (ORDER BY month) AS prev
+          FROM monthly),
+        flagged AS (
+          SELECT *, revenue - prev AS delta,
+                 CASE WHEN revenue - prev > 0 THEN 1 ELSE 0 END AS up
+          FROM g),
+        grouped AS (
+          SELECT *, SUM(CASE WHEN up = 0 THEN 1 ELSE 0 END)
+                      OVER (ORDER BY month
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS grp
+          FROM flagged)
+        SELECT month, revenue, CAST(delta AS BIGINT) AS delta,
+               CAST((revenue - prev) * 1000000 // prev AS BIGINT)
+                 AS growth_ppm,
+               CAST(CASE WHEN up = 1
+                    THEN ROW_NUMBER() OVER (PARTITION BY grp
+                           ORDER BY month) - 1
+                    ELSE 0 END AS BIGINT) AS growth_streak
+        FROM grouped ORDER BY month
+        """,
+        tags=("extension", "agg", "warehouse", "timeseries"),
+        description="Month-over-month revenue growth in exact ppm with "
+        "consecutive-growth streaks (islands over the up/down flag).",
+    ),
     QueryDef(
         "flagship_customer_order_analysis",
         flagship_customer_order_analysis,

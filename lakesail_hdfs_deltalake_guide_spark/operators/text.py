@@ -436,6 +436,68 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_like_nll_sql(num: str, den: str) -> str:
+    """DuckDB twin of the integer-millibit log2 (same construction as
+    sampling._dsir_nll_sql, local so text.py stays import-light)."""
+    r = f"(({num}) * 1048576 // ({den}))"
+    table = ", ".join(str(int(x)) for x in LOG2_MB_TABLE)
+    return (
+        f"(length(bin({r})) - 1 - 20) * 1000 + "
+        f"([{table}])[CAST({r} // (1::BIGINT << (length(bin({r})) - 1 - 6)) "
+        f"AS INT) - 63]"
+    )
+
+
+def text_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution in EXACT
+    integer millibits — the lexical-diversity number behind "is this
+    source boilerplate or prose" triage (low entropy = repetitive
+    templates; high = diverse text), and the information-theoretic twin
+    of the distinct-ratio heuristics. H = Σ (c/N)·log2(N/c) computed as
+    ``Σ c·mb(N·2²⁰ DIV c) DIV N`` with the shared LOG2_MB_TABLE
+    mantissa machinery (every ratio ≥ 1, so the perplexity op's
+    integer log2 applies verbatim). Also reports the max possible
+    entropy (log2 of the vocab size) so the normalized diversity is a
+    division away.
+
+    One token explosion → per-(source, token) counts (the only
+    data-sized shuffle) → vocabulary-sized entropy fold per source."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(_tokens()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    arr = F.array(*[F.lit(int(x)) for x in LOG2_MB_TABLE])
+
+    def mb(num: str, den: str) -> F.Column:
+        r = f"(({num}) * 1048576 DIV ({den}))"
+        e = (F.length(F.expr(f"bin({r})")) - 1).cast("int")
+        m6 = F.expr(
+            f"{r} DIV shiftleft(CAST(1 AS BIGINT), "
+            f"length(bin({r})) - 1 - 6)"
+        )
+        return (e - 20) * 1000 + F.element_at(arr, (m6 - 63).cast("int"))
+
+    scored = counts.join(F.broadcast(totals), "source").withColumn(
+        "term", F.col("c") * mb("n_tokens", "c")
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.max("vocab").alias("vocab"),
+            F.expr("SUM(term) DIV MAX(n_tokens)").alias("entropy_mb"),
+            mb("MAX(vocab)", "1").alias("max_entropy_mb"),
+        )
+        .orderBy("source")
+    )
+
+
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID evaluation: the confusion matrix of the stopword
     classifier against the labeled language — the eval every language
@@ -882,6 +944,37 @@ QUERIES: list[QueryDef] = [
         description="CCNet-style bigram-LM cross-entropy deciles in "
         "exact millibits (integer log2 via shared mantissa table); "
         "add-one smoothed per-language LM estimated in one corpus pass.",
+    ),
+    QueryDef(
+        "text_source_entropy",
+        text_source_entropy,
+        f"""
+        WITH counts AS (
+          SELECT source, tok, COUNT(*) AS c
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY source, tok),
+        totals AS (
+          SELECT source, SUM(c) AS n_tokens, COUNT(*) AS vocab
+          FROM counts GROUP BY source),
+        scored AS (
+          SELECT c.source, c.c,
+                 t.n_tokens, t.vocab,
+                 {_dsir_like_nll_sql("t.n_tokens", "c.c")} AS nll_mb
+          FROM counts c JOIN totals t USING (source))
+        SELECT source, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(MAX(vocab) AS BIGINT) AS vocab,
+               CAST(SUM(c * nll_mb) // MAX(n_tokens) AS BIGINT)
+                 AS entropy_mb,
+               CAST({_dsir_like_nll_sql("MAX(vocab)", "1")} AS BIGINT)
+                 AS max_entropy_mb
+        FROM scored GROUP BY source ORDER BY source
+        """,
+        tags=("extension", "text", "profiling"),
+        description="Per-source Shannon entropy of the token "
+        "distribution in exact integer millibits (shared mantissa-table "
+        "log2) plus the log2-vocab ceiling — the lexical-diversity "
+        "triage number.",
     ),
     QueryDef(
         "text_langid_confusion",
