@@ -368,7 +368,99 @@ def temporal_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temporal_scd2_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the query SCD2 EXISTS for (and
+    the feature-store training-set join): probe events resolve the
+    dimension state that was valid AT their timestamp, via the interval
+    containment join ``valid_from ≤ ts < valid_to`` (open current
+    interval = NULL valid_to). Training-data leakage is exactly a
+    botched version of this join — using today's state for yesterday's
+    example — so the AS-OF discipline is load-bearing, not stylistic.
+
+    Intervals are the SCD2 recipe (lag-flag + lead-close, one user-key
+    exchange); probes are every 7th event. The containment join is
+    per-user (intervals per user = state CHANGES, a small multiple), so
+    the range predicate rides a user-key equi-join — never a global
+    inequality join. Rollup per resolved state: lookups, users, and the
+    exact total age-at-lookup in seconds (probe ts − interval start)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 30)
+        .select("user_id", "ts_ns", "event_id", "event_type")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    changes = ev.withColumn("prev_state", F.lag("event_type").over(w)).where(
+        F.col("prev_state").isNull()
+        | (F.col("prev_state") != F.col("event_type"))
+    )
+    intervals = changes.withColumn("valid_to_ns", F.lead("ts_ns").over(w)).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_ns").alias("valid_from_ns"),
+        "valid_to_ns",
+    )
+    probes = ev.where(F.col("event_id") % 7 == 0).select(
+        "user_id", F.col("ts_ns").alias("probe_ns")
+    )
+    joined = probes.join(intervals, "user_id").where(
+        (F.col("probe_ns") >= F.col("valid_from_ns"))
+        & (
+            F.col("valid_to_ns").isNull()
+            | (F.col("probe_ns") < F.col("valid_to_ns"))
+        )
+    )
+    return (
+        joined.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_lookups"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.expr("(probe_ns - valid_from_ns) div 1000000000")
+            ).alias("sum_age_s"),
+        )
+        .orderBy("state")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "temporal_scd2_pointlookup",
+        temporal_scd2_pointlookup,
+        """
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, event_type
+          FROM events WHERE user_id < 30),
+        changes AS (
+          SELECT * FROM (
+            SELECT user_id, ts_ns, event_id, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts_ns, event_id) AS prev_state
+            FROM ev)
+          WHERE prev_state IS NULL OR prev_state <> event_type),
+        intervals AS (
+          SELECT user_id, event_type AS state, ts_ns AS valid_from_ns,
+                 LEAD(ts_ns) OVER (PARTITION BY user_id
+                   ORDER BY ts_ns, event_id) AS valid_to_ns
+          FROM changes),
+        probes AS (
+          SELECT user_id, ts_ns AS probe_ns FROM ev
+          WHERE event_id % 7 = 0)
+        SELECT i.state, COUNT(*) AS n_lookups,
+               CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users,
+               CAST(SUM((p.probe_ns - i.valid_from_ns) // 1000000000)
+                    AS BIGINT) AS sum_age_s
+        FROM probes p JOIN intervals i
+          ON p.user_id = i.user_id
+         AND p.probe_ns >= i.valid_from_ns
+         AND (i.valid_to_ns IS NULL OR p.probe_ns < i.valid_to_ns)
+        GROUP BY i.state ORDER BY i.state
+        """,
+        tags=("extension", "temporal", "warehouse", "pipeline"),
+        description="Point-in-time SCD2 lookup (the feature-store "
+        "AS-OF join): probes resolve the state valid at their "
+        "timestamp via per-user interval containment; exact "
+        "age-at-lookup totals.",
+    ),
     QueryDef(
         "temporal_interval_coalesce",
         temporal_interval_coalesce,
