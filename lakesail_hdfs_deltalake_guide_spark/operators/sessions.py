@@ -217,6 +217,7 @@ def session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOUR_US = 3_600_000_000
 BURST_WINDOW_NS = 6 * 3600 * 10**9  # 6-hour sliding window
 BURST_T = 5  # flag users reaching this many events in one window
 
@@ -256,7 +257,77 @@ def session_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the usage-pattern
+    matrix behind capacity planning and anomaly baselines: event counts
+    per (dow, hour) cell with each cell's share of its day in exact ppm
+    and a distinct-user count. Day-of-week derives from the epoch day
+    number (``(day + 4) % 7`` — 1970-01-01 was a Thursday; pure integer
+    arithmetic, no timezone/locale functions whose week conventions
+    differ across engines). One conditional aggregation off the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    day = F.expr(f"(ts_ns div 1000) div {24 * HOUR_US}")
+    cells = (
+        ev.select(
+            ((day + 4) % 7).cast("int").alias("dow"),
+            F.expr(
+                f"((ts_ns div 1000) % {24 * HOUR_US}) div {HOUR_US}"
+            )
+            .cast("int")
+            .alias("hour"),
+            "user_id",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    return (
+        cells.withColumn(
+            "day_share_ppm",
+            F.expr(
+                "n_events * 1000000 DIV SUM(n_events) OVER (PARTITION BY dow)"
+            ),
+        )
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("hour").cast("bigint").alias("hour"),
+            "n_events",
+            "n_users",
+            "day_share_ppm",
+        )
+        .orderBy("dow", "hour")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "session_activity_heatmap",
+        session_activity_heatmap,
+        f"""
+        WITH cells AS (
+          SELECT CAST((epoch_us(ts) // {24 * HOUR_US} + 4) % 7 AS INT)
+                   AS dow,
+                 CAST((epoch_us(ts) % {24 * HOUR_US}) // {HOUR_US} AS INT)
+                   AS hour,
+                 COUNT(*) AS n_events,
+                 COUNT(DISTINCT user_id) AS n_users
+          FROM events GROUP BY dow, hour)
+        SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_users AS BIGINT) AS n_users,
+               CAST(n_events * 1000000 //
+                    SUM(n_events) OVER (PARTITION BY dow) AS BIGINT)
+                 AS day_share_ppm
+        FROM cells ORDER BY dow, hour
+        """,
+        tags=("extension", "sessions", "events", "olap"),
+        description="Day-of-week x hour activity heatmap with exact-ppm "
+        "day shares and distinct users; epoch-integer dow (no "
+        "locale/timezone week conventions).",
+    ),
     QueryDef(
         "session_burst_detection",
         session_burst_detection,

@@ -551,7 +551,101 @@ def stats_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the monthly-revenue sequence — the
+    nonparametric "is this series random or trending/oscillating"
+    check: months flag above/below the median revenue (exact lower
+    median via the rank idiom, median-equal months dropped — the
+    standard convention), runs = maximal same-flag stretches, and the
+    expected run count under randomness ``1 + 2·n₁·n₂/(n₁+n₂)`` is
+    reported in exact milli-units next to the observed count. Observed
+    far below expected = trending; far above = oscillating. One
+    months-sized sort; every number integer-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy("revenue", "month")
+    ranked = monthly.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_all", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    med = ranked.where(
+        F.col("rn") == F.expr("(n_all + 1) DIV 2")
+    ).select(F.col("revenue").alias("median_rev"))
+    flagged = (
+        monthly.crossJoin(F.broadcast(med))
+        .where(F.col("revenue") != F.col("median_rev"))
+        .select(
+            "month", (F.col("revenue") > F.col("median_rev")).alias("above")
+        )
+    )
+    ws = Window.orderBy("month")
+    runs = flagged.withColumn(
+        "new_run",
+        F.when(
+            F.lag("above").over(ws).isNull()
+            | (F.lag("above").over(ws) != F.col("above")),
+            1,
+        ).otherwise(0),
+    )
+    return runs.groupBy().agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).alias("n_above"),
+        F.sum(F.when(~F.col("above"), 1).otherwise(0)).alias("n_below"),
+        F.sum("new_run").alias("observed_runs"),
+        F.expr(
+            "1000 + 2000 * SUM(CASE WHEN above THEN 1 ELSE 0 END)"
+            " * SUM(CASE WHEN NOT above THEN 1 ELSE 0 END)"
+            " DIV COUNT(*)"
+        ).alias("expected_runs_milli"),
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_runs_test",
+        stats_runs_test,
+        """
+        WITH monthly AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS revenue
+          FROM orders GROUP BY month),
+        med AS (
+          SELECT revenue AS median_rev FROM (
+            SELECT revenue,
+                   ROW_NUMBER() OVER (ORDER BY revenue, month) AS rn,
+                   COUNT(*) OVER () AS n_all
+            FROM monthly)
+          WHERE rn = (n_all + 1) // 2),
+        flagged AS (
+          SELECT month, revenue > med.median_rev AS above
+          FROM monthly CROSS JOIN med
+          WHERE revenue <> med.median_rev),
+        runs AS (
+          SELECT above,
+                 CASE WHEN LAG(above) OVER (ORDER BY month) IS NULL
+                        OR LAG(above) OVER (ORDER BY month) <> above
+                      THEN 1 ELSE 0 END AS new_run
+          FROM flagged)
+        SELECT CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_above,
+               CAST(SUM(CASE WHEN NOT above THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_below,
+               CAST(SUM(new_run) AS BIGINT) AS observed_runs,
+               CAST(1000 + 2000 * SUM(CASE WHEN above THEN 1 ELSE 0 END)
+                    * SUM(CASE WHEN NOT above THEN 1 ELSE 0 END)
+                    // COUNT(*) AS BIGINT) AS expected_runs_milli
+        FROM runs
+        """,
+        tags=("extension", "stats", "timeseries"),
+        description="Wald-Wolfowitz runs test on monthly revenue: "
+        "observed above/below-median runs vs the exact-milli expected "
+        "count under randomness.",
+    ),
     QueryDef(
         "stats_gini_coefficient",
         stats_gini_coefficient,
