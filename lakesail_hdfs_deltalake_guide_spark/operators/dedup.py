@@ -328,6 +328,72 @@ def dedup_line_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration — the sketch-quality audit run
+    before trusting a banding threshold: for every LSH candidate pair,
+    the 128-permutation Jaccard ESTIMATE against the exact 3-gram
+    Jaccard, bucketed by estimate decile with mean estimate, mean
+    truth, and mean absolute error in exact ppm. A well-calibrated
+    sketch shows est ≈ truth per bucket (the estimator is unbiased);
+    the error column is the ±1/√k noise made visible — this is how a
+    pipeline picks NUM_PERM and the banding threshold empirically.
+
+    The exact side joins gram SETS only for CANDIDATE pairs (LSH
+    restricts the quadratic), the same per-bucket verify a production
+    dedup runs — so the calibration is itself scale-shaped."""
+    corpus = near_duplicate_corpus(spark, sf_dir)
+    cand = minhash_candidate_pairs(corpus)
+    sets = _sketch_parallel(corpus).select(
+        "doc_id",
+        F.array_distinct(shingles(tokens("text"), 3)).alias("grams"),
+    )
+    joined = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga")
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.floor(F.col("est_jaccard") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("est_ppm"),
+            F.expr(
+                "CAST(size(array_intersect(ga, gb)) AS BIGINT) * 1000000 "
+                "DIV size(array_union(ga, gb))"
+            ).alias("exact_ppm"),
+        )
+    )
+    return (
+        joined.withColumn(
+            "bucket", F.least(F.lit(9), F.expr("est_ppm DIV 100000"))
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("SUM(est_ppm) DIV COUNT(*)").alias("mean_est_ppm"),
+            F.expr("SUM(exact_ppm) DIV COUNT(*)").alias("mean_exact_ppm"),
+            F.expr("SUM(ABS(est_ppm - exact_ppm)) DIV COUNT(*)").alias(
+                "mean_abs_err_ppm"
+            ),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_pairs",
+            "mean_est_ppm",
+            "mean_exact_ppm",
+            "mean_abs_err_ppm",
+        )
+        .orderBy("bucket")
+    )
+
+
 def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain DISTINCT projection (dropDuplicates on a column subset)."""
     d = load_table(spark, sf_dir, "documents")
@@ -1479,6 +1545,37 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "dedup"),
         description="MinHash-LSH candidate pairs with estimated Jaccard; "
         "bit-exact md5-based oracle twin.",
+    ),
+    QueryDef(
+        "dedup_minhash_calibration",
+        dedup_minhash_calibration,
+        f"""
+        {_sql_minhash_cand()},
+        sets AS (
+          SELECT doc_id, list_distinct(shingles) AS grams FROM sh),
+        joined AS (
+          SELECT CAST(FLOOR(c.est_jaccard * 1000000 + 0.5) AS BIGINT)
+                   AS est_ppm,
+                 CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+                   * 1000000
+                   // len(list_distinct(list_concat(a.grams, b.grams)))
+                   AS exact_ppm
+          FROM cand c
+          JOIN sets a ON a.doc_id = c.doc_a
+          JOIN sets b ON b.doc_id = c.doc_b)
+        SELECT CAST(LEAST(9, est_ppm // 100000) AS BIGINT) AS bucket,
+               COUNT(*) AS n_pairs,
+               CAST(SUM(est_ppm) // COUNT(*) AS BIGINT) AS mean_est_ppm,
+               CAST(SUM(exact_ppm) // COUNT(*) AS BIGINT) AS mean_exact_ppm,
+               CAST(SUM(ABS(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT)
+                 AS mean_abs_err_ppm
+        FROM joined GROUP BY bucket ORDER BY bucket
+        """,
+        tags=("extension", "dedup", "sketch"),
+        description="MinHash estimator calibration: per estimate decile, "
+        "mean estimate vs exact 3-gram Jaccard and mean absolute error "
+        "in exact ppm — the sketch-quality audit behind threshold "
+        "choices.",
     ),
     QueryDef(
         "dedup_simhash_pairs",

@@ -112,3 +112,24 @@ def test_line_corpus_dedup_semantics(spark, sf_oracle):
     # deterministic: the reconstruction digest is stable across runs
     again = {r.doc_id: r.clean_md5 for r in dedup_line_corpus(spark, sf_oracle).collect()}
     assert all(again[r.doc_id] == r.clean_md5 for r in rows)
+
+
+def test_minhash_calibration_tracks_truth(spark, sf_oracle):
+    """The estimator is unbiased: in every populated decile the mean
+    estimate stays within the sketch's ±1/sqrt(128) noise band of the
+    mean exact Jaccard (ppm), and the planted exact-duplicate bucket
+    (est = 1e6) has near-zero error."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        dedup_minhash_calibration,
+    )
+
+    rows = dedup_minhash_calibration(spark, sf_oracle).collect()
+    assert rows, "no candidate pairs"
+    band = int(1_000_000 / (128 ** 0.5)) + 50_000  # ~88k + slack
+    for r in rows:
+        assert abs(r.mean_est_ppm - r.mean_exact_ppm) <= band, (
+            r.bucket, r.mean_est_ppm, r.mean_exact_ppm
+        )
+    top = rows[-1]
+    assert top.bucket == 9
+    assert top.mean_abs_err_ppm <= band
