@@ -1240,6 +1240,147 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact-substring cross-doc span dedup (Lee et al. 2022) -----------------
+SPAN_W = 12  # gram width in tokens (the paper's 50-token spans, fixture-sized)
+SPAN_PLANT_MAX_ID = 40
+SPAN_PLANT_MIN_TOKENS = 30
+_SPAN_TAIL = " plagiarized excerpt id "
+
+
+def substring_plant_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ planted partial plagiarists: each doc_id<40 with ≥30
+    tokens spawns a new doc whose text is a verbatim 20-token excerpt
+    (source tokens 6..25, 1-based) plus a unique tail — a cross-doc
+    duplicated SPAN inside an otherwise-novel document, the case
+    document- and paragraph-level dedup both miss."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    planted = (
+        d.where(
+            (F.col("doc_id") < SPAN_PLANT_MAX_ID)
+            & (F.size(toks) >= SPAN_PLANT_MIN_TOKENS)
+        )
+        .select(
+            (F.col("doc_id") + PLANT_OFFSET).alias("doc_id"),
+            F.concat(
+                F.concat_ws(" ", F.slice(toks, 6, 20)),
+                F.lit(_SPAN_TAIL),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    return d.unionByName(planted)
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup — the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" ExactSubstr pass, the
+    stage between line-level dedup and MinHash: any ≥W-token run shared
+    verbatim across documents is removed from every occurrence except
+    the global first (min doc_id, then min start position), even when
+    the surrounding documents are otherwise unique.
+
+    Spark-first formulation of the paper's suffix-array scan: stride-1
+    W-token shingles per document (a shared run of length ≥ W is shared
+    iff at least one W-gram matches, with no alignment assumption),
+    md5-digested; one document-frequency + first-occurrence shuffle on
+    the 16-byte digests; flagged occurrences explode to their covered
+    token positions (union of overlapping grams), and the survivor text
+    is reassembled minus the covered positions, pinned via md5.
+
+    Scale shape: the seed pass shuffles (digest, doc_id, pos) — the
+    same token-order work a suffix array does, no text. The coverage
+    explode is W× on FLAGGED grams only (rare by construction at any
+    scale); reassembly is one groupBy on doc_id. At 100 TB the seed
+    stride rises (every-k-th gram with W+k-1 windows) — the layout is
+    unchanged, only the shingle generator's step parameter."""
+    corpus = substring_plant_corpus(spark, sf_dir)
+    toks = F.split("text", " ")
+    tk = _sketch_parallel(corpus).select("doc_id", toks.alias("tk"))
+    grams = tk.select(
+        "doc_id",
+        F.posexplode(
+            # sequence(1, 0) DESCENDS in Spark, so short docs need an
+            # explicit empty-array branch, not a greatest() clamp
+            F.expr(
+                f"CASE WHEN size(tk) >= {SPAN_W} THEN "
+                f"transform(sequence(1, size(tk) - {SPAN_W} + 1),"
+                f" i -> md5(concat_ws(' ', slice(tk, i, {SPAN_W})))) "
+                "ELSE array() END"
+            )
+        ).alias("pos", "digest"),
+    )
+    stats = grams.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("span_df"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    flagged = (
+        grams.join(stats, "digest")
+        .where(
+            (F.col("span_df") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    removed = flagged.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_W - 1))
+        ).alias("tpos"),
+    ).distinct()
+    tokpos = tk.select("doc_id", F.posexplode("tk").alias("tpos", "tok"))
+    marked = tokpos.join(
+        removed.withColumn("cut", F.lit(True)), ["doc_id", "tpos"], "left"
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("cut"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("removed_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("cut").isNull(), F.struct("tpos", "tok"))
+                        )
+                    ),
+                    lambda s: s.tok,
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    n_dup = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams")
+    )
+    return (
+        per_doc.join(n_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            "removed_tokens",
+            "clean_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PLANT_OFFSET},
+         array_to_string(list_slice(string_split(text, ' '), 6, 25), ' ')
+           || '{_SPAN_TAIL}' || CAST(doc_id AS VARCHAR)
+  FROM documents
+  WHERE doc_id < {SPAN_PLANT_MAX_ID}
+    AND len(string_split(text, ' ')) >= {SPAN_PLANT_MIN_TOKENS}"""
+
+
 _SEMDEDUP_CORPUS_SQL = f"""
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   UNION ALL
@@ -1336,6 +1477,60 @@ QUERIES: list[QueryDef] = [
         "than 2 distinct docs are boilerplate and removed from every "
         "document; digest-only document-frequency shuffle, md5-pinned "
         "reconstruction.",
+    ),
+    QueryDef(
+        "dedup_substring_spans",
+        dedup_substring_spans,
+        f"""
+        WITH corpus AS ({_SPAN_CORPUS_SQL}),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
+        tokpos AS (
+          SELECT doc_id, CAST(i - 1 AS INT) AS tpos, tk[i] AS tok
+          FROM toks, range(1, 200) r(i) WHERE i <= len(tk)),
+        grams AS (
+          SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                 md5(array_to_string(
+                       list_slice(tk, i, i + {SPAN_W - 1}), ' ')) AS digest
+          FROM toks, range(1, 200) r(i)
+          WHERE i <= len(tk) - {SPAN_W - 1}),
+        dfc AS (
+          SELECT digest, COUNT(DISTINCT doc_id) AS span_df
+          FROM grams GROUP BY digest),
+        ranked AS (
+          SELECT g.doc_id, g.pos,
+                 ROW_NUMBER() OVER (PARTITION BY g.digest
+                    ORDER BY g.doc_id, g.pos) AS rn,
+                 d.span_df
+          FROM grams g JOIN dfc d USING (digest)),
+        flagged AS (
+          SELECT doc_id, pos FROM ranked WHERE span_df >= 2 AND rn > 1),
+        removed AS (
+          SELECT DISTINCT doc_id, pos + o AS tpos
+          FROM flagged, range(0, {SPAN_W}) r(o)),
+        perdoc AS (
+          SELECT t.doc_id, COUNT(*) AS n_tokens,
+                 CAST(SUM(CASE WHEN r.tpos IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS removed_tokens,
+                 md5(COALESCE(string_agg(
+                       CASE WHEN r.tpos IS NULL THEN t.tok END,
+                       ' ' ORDER BY t.tpos), '')) AS clean_md5
+          FROM tokpos t LEFT JOIN removed r
+            ON t.doc_id = r.doc_id AND t.tpos = r.tpos
+          GROUP BY t.doc_id),
+        ndg AS (
+          SELECT doc_id, COUNT(*) AS n_dup_grams
+          FROM flagged GROUP BY doc_id)
+        SELECT p.doc_id, p.n_tokens,
+               CAST(COALESCE(n.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+               p.removed_tokens, p.clean_md5
+        FROM perdoc p LEFT JOIN ndg n USING (doc_id)
+        ORDER BY p.doc_id
+        """,
+        tags=("extension", "dedup", "pipeline", "bench"),
+        description="Lee et al. ExactSubstr span dedup: stride-1 "
+        f"{SPAN_W}-token gram digests, document-frequency + global "
+        "first-occurrence shuffle, all-but-first occurrences removed "
+        "via covered-position union, md5-pinned reconstruction.",
     ),
     QueryDef(
         "dedup_bloom_contamination",

@@ -50,14 +50,19 @@ def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("sum_value_cents"),
         )
     )
-    span = ev.agg(
-        F.min(us).alias("min_us"),
-        F.max(us).alias("max_us"),
-    ).select(
-        (F.col("min_us") - F.col("min_us") % HOUR_US).alias("start_us"),
-        (F.col("max_us") - F.col("max_us") % HOUR_US).alias("end_us"),
+    # Span and series set both derive from `hourly`, not from fresh
+    # `events` scans: min/max of the floored hour equals the floored
+    # global min/max, and the distinct types are identical. Column
+    # pruning makes the three consumer subtrees non-identical (so
+    # exchange reuse alone can't kick in); materializing the aggregate —
+    # span-hours × series rows, bounded at any data scale — pins ONE fact
+    # scan and lets every branch read the tiny checkpoint instead.
+    hourly = hourly.localCheckpoint(eager=True)
+    span = hourly.agg(
+        F.min("hour_us").alias("start_us"),
+        F.max("hour_us").alias("end_us"),
     )
-    types = ev.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     grid = (
         types.crossJoin(F.broadcast(span))
         .select(

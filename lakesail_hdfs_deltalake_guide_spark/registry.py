@@ -137,7 +137,6 @@ _R02_VERIFIED = frozenset(
         "graph_pagerank_trade",
         "hypertable_multires_rollup",
         "io_bucketed_join_agg",
-        "io_ctas_insert",
         "layout_zorder_scan",
         "multimodal_decode_features",
         "multimodal_metadata_prune",
@@ -157,7 +156,6 @@ _R02_VERIFIED = frozenset(
         "skew_salted_agg_returnflag",
         "skew_salted_join_events",
         "sql_named_parameters",
-        "sql_over_views_flagship",
         "sql_recursive_month_spine",
         "stats_observed_scan_metrics",
         "streaming_delta_append_sink",
@@ -336,17 +334,77 @@ _R05_VERIFIED = frozenset(
     }
 )
 
-# Oldest round first: the re-confirm cursor starts at r01. r05 already
-# re-confirmed the first 17 r01 rows, so the r06 window = new queries +
-# the r02 cursor (r01's re-confirmed names stay parked at their round
-# position; the driver's ~50-entry window naturally reaches the stalest
-# un-re-confirmed rows first because earlier rounds are emitted first).
+# Round 6: 50/50 fully green — 48 first-time rows (the whole round-6
+# extension surface X59–X107) plus 2 r02 re-confirms (`io_ctas_insert`,
+# `sql_over_views_flagship`), which moved here because their freshest
+# driver row is now r06.
+_R06_VERIFIED = frozenset(
+    {
+        "clean_classifier_calibration",
+        "clean_classifier_quality",
+        "dedup_line_corpus",
+        "dedup_minhash_calibration",
+        "dedup_url_canonical",
+        "delta_native_auto_compact",
+        "delta_native_column_defaults",
+        "delta_native_generated_partitions",
+        "delta_native_log_compaction",
+        "delta_native_reorg_purge",
+        "delta_native_v2_checkpoint_fold",
+        "delta_native_zorder3_skip",
+        "delta_native_zorder_incremental",
+        "graph_association_rules",
+        "graph_degree_distribution",
+        "graph_kcore_peel",
+        "io_ctas_insert",
+        "io_json_corrupt_records",
+        "monthly_revenue_growth",
+        "multimodal_dhash_neardup",
+        "olap_rfm_segmentation",
+        "olap_share_shift",
+        "pipeline_cdf_scd2",
+        "pipeline_incremental_dedup",
+        "profile_psi_drift",
+        "profile_vocab_growth",
+        "sample_dsir_importance",
+        "session_activity_heatmap",
+        "session_burst_detection",
+        "similarity_matryoshka_agreement",
+        "similarity_pq_topk",
+        "sql_defined_functions",
+        "sql_over_views_flagship",
+        "stats_benford_digits",
+        "stats_chi2_independence",
+        "stats_gini_coefficient",
+        "stats_ks_two_sample",
+        "stats_runs_test",
+        "temporal_interval_coalesce",
+        "temporal_scd2_pointlookup",
+        "text_bigram_perplexity",
+        "text_bpe_train_merges",
+        "text_langid_confusion",
+        "text_ngram_novelty",
+        "text_source_entropy",
+        "ts_anomaly_hours",
+        "ts_hourly_quantiles",
+        "ts_seasonal_decompose",
+        "window_new_users_daily",
+        "window_rising_streaks",
+    }
+)
+
+# Oldest driver row first: the re-confirm cursor. r05 re-confirmed the
+# first 17 r01 rows; r06's window re-confirmed only 2 r02 rows (48 new
+# queries claimed the rest), so r02 still holds the stalest rows and
+# stays at the front — the r07 window = new queries + the remaining r02
+# cursor. Re-confirmed names move to the round that re-issued their row.
 DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _R02_VERIFIED,
     _R03_VERIFIED,
     _R04_VERIFIED,
     _R05_VERIFIED,
     _R01_VERIFIED,
+    _R06_VERIFIED,
 )
 DRIVER_VERIFIED = frozenset().union(*DRIVER_VERIFIED_ROUNDS)
 

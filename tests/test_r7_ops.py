@@ -1,0 +1,75 @@
+"""Round-7 operator invariants (structural checks independent of the
+DuckDB oracle twins in test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def test_substring_spans_remove_planted_excerpts(spark, sf_smoke):
+    """Lee et al. ExactSubstr invariants: every planted plagiarist loses
+    at least its whole 20-token copied excerpt (9 overlapping 12-grams),
+    nothing loses more tokens than it has, and exactly the eligible
+    source docs spawn a planted copy."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        PLANT_OFFSET,
+        SPAN_PLANT_MAX_ID,
+        SPAN_PLANT_MIN_TOKENS,
+        dedup_substring_spans,
+    )
+
+    out = dedup_substring_spans(spark, sf_smoke).cache()
+    d = load_table(spark, sf_smoke, "documents")
+    n_docs = d.count()
+    n_eligible = d.where(
+        (F.col("doc_id") < SPAN_PLANT_MAX_ID)
+        & (F.size(F.split("text", " ")) >= SPAN_PLANT_MIN_TOKENS)
+    ).count()
+    assert n_eligible > 0, "fixture must yield planted spans"
+    assert out.count() == n_docs + n_eligible
+
+    planted = out.where(F.col("doc_id") >= PLANT_OFFSET)
+    assert planted.count() == n_eligible
+    # the 20 copied tokens are covered by 9 stride-1 12-grams, all of
+    # which are non-first occurrences (the source doc_id is smaller)
+    bad = planted.where(
+        (F.col("removed_tokens") < 20) | (F.col("n_dup_grams") < 9)
+    ).count()
+    assert bad == 0
+    assert out.where(F.col("removed_tokens") > F.col("n_tokens")).count() == 0
+    out.unpersist()
+
+
+def test_substring_spans_keep_one_occurrence(spark, sf_smoke):
+    """Global keep-first: for each planted pair, the SOURCE document
+    retains strictly more of the shared excerpt than the plagiarist —
+    i.e. the excerpt survives somewhere (dedup removes copies, not
+    content). Verified via the reconstruction md5 changing only for
+    docs with removed_tokens > 0."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        dedup_substring_spans,
+        substring_plant_corpus,
+    )
+
+    out = dedup_substring_spans(spark, sf_smoke)
+    corpus = substring_plant_corpus(spark, sf_smoke).select(
+        "doc_id", F.md5("text").alias("orig_md5")
+    )
+    joined = out.join(corpus, "doc_id").cache()
+    assert (
+        joined.where(
+            (F.col("removed_tokens") == 0)
+            & (F.col("clean_md5") != F.col("orig_md5"))
+        ).count()
+        == 0
+    )
+    assert (
+        joined.where(
+            (F.col("removed_tokens") > 0)
+            & (F.col("clean_md5") == F.col("orig_md5"))
+        ).count()
+        == 0
+    )
+    joined.unpersist()
