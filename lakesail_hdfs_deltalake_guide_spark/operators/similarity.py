@@ -681,20 +681,13 @@ def pq_topk_join(
     qtab = queries.select(
         "query_id", _pq_tables_udf(cb)(F.col("qv")).alias("tabs")
     )
-    score = None
-    for m in range(PQ_M):
-        term = F.element_at(
-            F.element_at(F.col("tabs"), m + 1),
-            F.element_at(F.col("codes"), m + 1) + 1,
-        )
-        score = term if score is None else score + term
     w = Window.partitionBy("query_id").orderBy(
         F.asc("approx_dist"), F.asc("vec_id")
     )
     return (
         cand.join(F.broadcast(qtab))
         .where(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "vec_id", score.cast("bigint").alias("approx_dist"))
+        .select("query_id", "vec_id", _adc_score().alias("approx_dist"))
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
@@ -712,6 +705,82 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     candidates = e.select("vec_id", as_double("embedding").alias("v"))
     return pq_topk_join(queries, candidates, cb, TOP_K)
+
+
+def _adc_score() -> F.Column:
+    """Σ_m tabs[m][codes[m]] — the ADC approximate distance as M
+    element_at lookups (codegen'd; no per-pair vector math)."""
+    score = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.element_at(F.col("tabs"), m + 1),
+            F.element_at(F.col("codes"), m + 1) + 1,
+        )
+        score = term if score is None else score + term
+    return score.cast("bigint")
+
+
+def ivf_pq_topk_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    coarse: list,
+    cb: list[list[list[int]]],
+    k: int = TOP_K,
+    probes: int = NUM_PROBES,
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the composed production FAISS layout
+    (IndexIVFPQ): the coarse quantizer routes every candidate into ONE
+    inverted list and every query into its ``probes`` nearest lists, and
+    PQ/ADC scoring runs ONLY inside probed lists — the quantized scan
+    touches cells, never the corpus, which is the only PQ shape that
+    works at 10⁹ vectors.
+
+    Plan: one candidate pass assigns the coarse cell (codegen'd dot
+    folds against literal centroids) and encodes the PQ codes
+    (Arrow-vectorized numpy); the query side builds its M×K ADC tables
+    once per query, joins its probe list, and broadcasts. The ONLY
+    exchange on the corpus side is the per-query top-k window; the
+    centroid_id equi-join replaces pq_topk_join's broadcast cross
+    product, cutting scored pairs to probed cells (asserted in
+    tests/test_plans.py)."""
+    cand = _assign_centroids(candidates, "v", coarse, top_p=1).select(
+        "vec_id", "centroid_id", _pq_codes_udf(cb)(F.col("v")).alias("codes")
+    )
+    qtab = queries.select(
+        "query_id", _pq_tables_udf(cb)(F.col("qv")).alias("tabs")
+    )
+    probe_lists = _assign_centroids(queries, "qv", coarse, top_p=probes).select(
+        "query_id", "centroid_id"
+    )
+    qside = probe_lists.join(qtab, "query_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("vec_id")
+    )
+    return (
+        cand.join(F.broadcast(qside), "centroid_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", _adc_score().alias("approx_dist"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index: trained coarse codebook (persisted Lloyd
+    k-means, `ivf_train_codebook`) for cell routing + fixed-point PQ
+    codes for in-cell ADC scoring. Fully oracle-derivable: the SQL twin
+    re-trains the coarse quantizer, re-encodes the codes, and scores the
+    same probed pairs bit-for-bit. Recall vs the exact baseline asserted
+    in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    coarse = _load_codebook(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    candidates = e.select("vec_id", as_double("embedding").alias("v"))
+    return ivf_pq_topk_join(queries, candidates, coarse, cb, TOP_K)
 
 
 def planes_values_sql(planes: list[list[float]]) -> str:
@@ -1006,6 +1075,78 @@ QUERIES: list[QueryDef] = [
         description="Product-quantization ANN (8 subspaces x 16 codes, "
         "ADC table scoring) in exact fixed point — codebook, codes, and "
         "scores all re-derived by the SQL oracle bit-for-bit.",
+    ),
+    QueryDef(
+        "similarity_ivf_pq_topk",
+        similarity_ivf_pq_topk,
+        f"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
+               FROM emb WHERE vec_id < {NUM_CENTROIDS}),
+        {_kmeans_iter_sql('c0', 'a1', 'm1', 'c1').lstrip()},
+        {_kmeans_iter_sql('c1', 'a2', 'm2', 'c2').lstrip()},
+        cand_lists AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC)
+                     AS rn
+            FROM emb e CROSS JOIN c2 c) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC)
+                     AS rn
+            FROM emb e CROSS JOIN c2 c
+            WHERE e.vec_id < {NUM_QUERIES}) WHERE rn <= {NUM_PROBES}),
+        embq AS (
+          SELECT vec_id,
+                 list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))
+                   AS xq
+          FROM emb),
+        cb AS (
+          SELECT m.m, e.vec_id AS k,
+                 list_transform(range(1, {PQ_SUBDIM} + 1),
+                                d -> e.xq[m.m * {PQ_SUBDIM} + d]) AS cq
+          FROM embq e CROSS JOIN range(0, {PQ_M}) m(m)
+          WHERE e.vec_id < {PQ_K}),
+        dists AS (
+          SELECT e.vec_id, c.m, c.k,
+                 CAST(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                      d -> (e.xq[c.m * {PQ_SUBDIM} + d] - c.cq[d])
+                         * (e.xq[c.m * {PQ_SUBDIM} + d] - c.cq[d])))
+                      AS BIGINT) AS dist
+          FROM embq e CROSS JOIN cb c),
+        enc AS (
+          SELECT vec_id, m, k AS code FROM (
+            SELECT vec_id, m, k,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist, k) AS rn
+            FROM dists) WHERE rn = 1),
+        scored AS (
+          SELECT p.query_id, e2.vec_id AS vec_id,
+                 CAST(SUM(d.dist) AS BIGINT) AS approx_dist
+          FROM enc e2
+          JOIN cand_lists cl ON cl.vec_id = e2.vec_id
+          JOIN probes p ON p.cid = cl.cid
+          JOIN dists d ON d.m = e2.m AND d.k = e2.code
+                      AND d.vec_id = p.query_id
+          WHERE p.query_id <> e2.vec_id
+          GROUP BY p.query_id, e2.vec_id)
+        SELECT query_id, vec_id, approx_dist, rank FROM (
+          SELECT query_id, vec_id, approx_dist,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY approx_dist, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= {TOP_K} ORDER BY query_id, rank
+        """,
+        tags=("extension", "similarity", "bench"),
+        description="Composed IVF-PQ (the FAISS IndexIVFPQ layout): "
+        "trained coarse quantizer routes candidates to cells and "
+        "queries to probed cells; PQ/ADC scoring runs only inside "
+        "probed cells — both index levels re-derived by the oracle.",
     ),
     QueryDef(
         "similarity_lsh_topk",

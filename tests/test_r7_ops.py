@@ -73,3 +73,78 @@ def test_substring_spans_keep_one_occurrence(spark, sf_smoke):
         == 0
     )
     joined.unpersist()
+
+
+def test_ivf_pq_topk_recall_on_planted_near_dupes(spark, sf_oracle):
+    """Composed IVF-PQ must still rank a perturbed copy's ORIGINAL
+    first: the copy routes to the same (or a probed) coarse cell as the
+    original, and ADC inside the cell ranks it top — the recall contract
+    the composition must not break vs plain PQ."""
+    from lakesail_hdfs_deltalake_guide_spark.functions.vectors import as_double
+    from lakesail_hdfs_deltalake_guide_spark.operators import similarity
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    n_queries = 25
+    offset = 100_000
+    queries = (
+        e.where(F.col("vec_id") < n_queries)
+        .select(
+            (F.col("vec_id") + offset).alias("query_id"),
+            as_double("embedding").alias("qv"),
+        )
+        .withColumn(
+            "qv",
+            F.concat(
+                F.slice(F.col("qv"), 1, 63),
+                F.array(F.element_at(F.col("qv"), 64) + F.lit(0.03)),
+            ),
+        )
+    )
+    candidates = e.select("vec_id", as_double("embedding").alias("v"))
+    coarse = similarity._load_codebook(spark, sf_oracle)
+    cb = similarity._pq_codebook(spark, sf_oracle)
+    topk = similarity.ivf_pq_topk_join(
+        queries, candidates, coarse, cb, k=1
+    ).collect()
+    hits = sum(1 for r in topk if r.vec_id == r.query_id - offset)
+    recall = hits / n_queries
+    assert recall >= 0.8, f"planted-near-dup IVF-PQ recall too low: {recall}"
+
+
+def test_ivf_pq_scores_only_probed_cells(spark, sf_oracle):
+    """The scale contract of the composition: ADC lookups happen on a
+    centroid_id EQUI-JOIN (probed cells only), never the corpus-wide
+    broadcast cross product plain PQ uses — scored pairs must be a
+    strict subset of queries x corpus."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.similarity import (
+        NUM_QUERIES,
+        similarity_ivf_pq_topk,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.plans.inspect import explain_str
+
+    df = similarity_ivf_pq_topk(spark, sf_oracle)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "centroid_id" in plan
+    # the unranked pair stream (pre-window) must be cell-bounded
+    from lakesail_hdfs_deltalake_guide_spark.functions.vectors import as_double
+    from lakesail_hdfs_deltalake_guide_spark.operators import similarity
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    coarse = similarity._load_codebook(spark, sf_oracle)
+    queries = e.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    candidates = e.select("vec_id", as_double("embedding").alias("v"))
+    cand_cells = similarity._assign_centroids(candidates, "v", coarse, top_p=1)
+    probe_cells = similarity._assign_centroids(
+        queries, "qv", coarse, top_p=similarity.NUM_PROBES
+    ).select("query_id", "centroid_id")
+    scored_pairs = probe_cells.join(
+        cand_cells.select("vec_id", "centroid_id"), "centroid_id"
+    ).count()
+    n = e.count()
+    assert scored_pairs < NUM_QUERIES * n, (
+        f"IVF-PQ scored {scored_pairs} pairs — not cell-bounded "
+        f"(corpus-wide would be {NUM_QUERIES * n})"
+    )
