@@ -622,13 +622,11 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 3  # unrolled training iterations
 
 
-def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE vocabulary training (the Sennrich subword recipe), first
-    BPE_MERGES merges unrolled: count adjacent symbol pairs over the
-    word-frequency table, adopt the most frequent pair as a merge rule,
-    apply it corpus-wide, repeat. Returns the learned merge table
-    (iteration, left, right, pair_count) — the artifact a tokenizer
-    ships.
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run BPE_MERGES training rounds over the word-frequency table.
+    Returns (merge table, final per-word symbol table) — the second is
+    the word→subword cache the encode pass reads (see
+    text_bpe_train_merges for the algorithm and scale notes).
 
     The greedy left-to-right non-overlapping merge is expressed
     RELATIONALLY (no per-row procedural scan): symbols live as
@@ -718,7 +716,100 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return merges, syms
+
+
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training (the Sennrich subword recipe), first
+    BPE_MERGES merges unrolled: count adjacent symbol pairs over the
+    word-frequency table, adopt the most frequent pair as a merge rule,
+    apply it corpus-wide, repeat. Returns the learned merge table
+    (iteration, left, right, pair_count) — the artifact a tokenizer
+    ships.
+
+    The greedy left-to-right non-overlapping merge is expressed
+    RELATIONALLY (no per-row procedural scan): symbols live as
+    (word, pos, sym) rows; eligible positions (sym=left ∧ next=right)
+    form maximal consecutive runs, and within a run exactly the
+    even-offset positions merge — the parallel formulation of greedy
+    matching ("a a a a" → "aa aa", "a a a" → "aa a"). Each iteration is
+    two window passes over the per-word position order plus a
+    vocabulary-sized pair aggregation; the chosen rule is a 1-row
+    broadcast. Ties break (count desc, left asc, right asc) —
+    deterministic in both engines.
+
+    Scale shape: training runs on the WORD-FREQUENCY table (vocabulary-
+    sized, Zipf — orders of magnitude below the corpus), exactly like
+    every real BPE trainer; the corpus is scanned once to build it.
+    Iterations materialize via localCheckpoint (Pregel-style
+    supersteps)."""
+    merges, _ = _bpe_train(spark, sf_dir)
     return merges.orderBy("iteration")
+
+
+def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE pass — the other half of the tokenizer loop: apply
+    the trained merge table corpus-wide and report exact tokens-per-doc
+    and compression-ratio (chars per BPE token) deciles, the numbers a
+    data pipeline uses to budget token counts before a training run.
+
+    The encode exploits the same factorization every fast tokenizer
+    does: identical words encode identically, so the merge rules are
+    applied ONCE PER DISTINCT WORD (the training loop's final symbol
+    table IS that word→subword-count cache), and the corpus pass is a
+    plain equi-join of exploded words against the vocabulary-sized
+    cache — no per-document procedural scan, no Python in the corpus
+    path. Per-doc compression ratio is exact integer ppm
+    (chars·10⁶ div bpe_tokens); deciles are NTILE(10) over the total
+    order (ratio, doc_id).
+
+    Scale shape: one corpus explode + one join against a Zipf-sized
+    word cache (shuffle keys are words; AQE broadcasts the cache when
+    it fits) + one doc-level aggregation. The merge-table depth only
+    affects the vocabulary-sized training loop, never the corpus
+    pass."""
+    _, syms = _bpe_train(spark, sf_dir)
+    word_tok = syms.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_syms")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    doc_words = d.select("doc_id", F.explode(_tokens()).alias("word"))
+    per_doc = (
+        doc_words.join(word_tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe"),
+            F.sum(F.length("word")).alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe",
+            F.expr("n_chars * 1000000 div n_bpe").alias("ratio_ppm"),
+        )
+    )
+    deciled = per_doc.withColumn(
+        "decile",
+        F.ntile(10)
+        .over(Window.orderBy("ratio_ppm", "doc_id"))
+        .cast("bigint"),
+    )
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("sum_words"),
+            F.sum("n_bpe").alias("sum_bpe_tokens"),
+            F.expr("SUM(n_bpe) * 1000 DIV COUNT(*)").alias(
+                "mean_tokens_per_doc_x1000"
+            ),
+            F.min("ratio_ppm").alias("min_ratio_ppm"),
+            F.max("ratio_ppm").alias("max_ratio_ppm"),
+            F.expr("SUM(ratio_ppm) DIV COUNT(*)").alias("mean_ratio_ppm"),
+        )
+        .orderBy("decile")
+    )
 
 
 def _bpe_round_sql(prev: str, it: int) -> str:
@@ -1078,6 +1169,57 @@ QUERIES: list[QueryDef] = [
         "counts over the word-frequency table, parallel greedy "
         "left-to-right merge via run-parity window logic, deterministic "
         "tie-break — the learned merge table a tokenizer ships.",
+    ),
+    QueryDef(
+        "text_bpe_encode_corpus",
+        text_bpe_encode_corpus,
+        f"""
+        WITH words AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          GROUP BY word),
+        s0 AS MATERIALIZED (
+          SELECT word, freq, CAST(i AS BIGINT) AS pos, ch[i] AS sym
+          FROM (SELECT word, freq, string_split(word, '') AS ch FROM words),
+               range(1, 64) r(i)
+          WHERE i <= len(ch)),
+        {",".join(_bpe_round_sql(f"s{r - 1}", r).lstrip()
+                  for r in range(1, BPE_MERGES + 1))},
+        wt AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms
+          FROM s{BPE_MERGES} GROUP BY word),
+        dw AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+        pd AS (
+          SELECT doc_id, COUNT(*) AS n_words,
+                 CAST(SUM(n_syms) AS BIGINT) AS n_bpe,
+                 CAST(SUM(len(word)) AS BIGINT) AS n_chars
+          FROM dw JOIN wt USING (word) GROUP BY doc_id),
+        r AS (
+          SELECT doc_id, n_words, n_bpe,
+                 n_chars * 1000000 // n_bpe AS ratio_ppm
+          FROM pd),
+        t AS (
+          SELECT *, CAST(NTILE(10) OVER (ORDER BY ratio_ppm, doc_id)
+                         AS BIGINT) AS decile
+          FROM r)
+        SELECT decile, COUNT(*) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS sum_words,
+               CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+               CAST(SUM(n_bpe) * 1000 // COUNT(*) AS BIGINT)
+                 AS mean_tokens_per_doc_x1000,
+               MIN(ratio_ppm) AS min_ratio_ppm,
+               MAX(ratio_ppm) AS max_ratio_ppm,
+               CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS mean_ratio_ppm
+        FROM t GROUP BY decile ORDER BY decile
+        """,
+        tags=("extension", "text", "pipeline", "bench"),
+        description="BPE encode pass: the trained merge table applied "
+        "corpus-wide through the distinct-word subword cache (one "
+        "explode + one vocab join, no per-doc procedural scan); exact "
+        "tokens-per-doc and chars-per-token compression deciles.",
     ),
     QueryDef(
         "text_bpe_token_count",

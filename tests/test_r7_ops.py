@@ -148,3 +148,70 @@ def test_ivf_pq_scores_only_probed_cells(spark, sf_oracle):
         f"IVF-PQ scored {scored_pairs} pairs — not cell-bounded "
         f"(corpus-wide would be {NUM_QUERIES * n})"
     )
+
+
+def test_bpe_encode_matches_sequential_reference(spark, sf_oracle):
+    """The encode pass's word→subword cache must agree with a
+    sequential Python BPE (the Sennrich pseudocode) applying the same
+    learned merges: per-word symbol counts identical for EVERY vocab
+    word."""
+    from collections import Counter
+
+    import duckdb
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        BPE_MERGES,
+        _bpe_train,
+    )
+
+    merges_df, syms = _bpe_train(spark, sf_oracle)
+    merges = [(r["left"], r["right"]) for r in merges_df.orderBy("iteration").collect()]
+    assert len(merges) == BPE_MERGES
+    got = {
+        r.word: r.n
+        for r in syms.groupBy("word").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_oracle}/documents.parquet')"
+    )
+    vocab = [
+        w
+        for (w,) in con.execute(
+            "SELECT DISTINCT unnest(string_split(text, ' ')) FROM documents"
+        ).fetchall()
+    ]
+    words = {w: list(w) for w in vocab}
+    for left, right in merges:
+        for w, s in words.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            words[w] = out
+    want = {w: len(s) for w, s in words.items()}
+    assert got == want
+
+
+def test_bpe_encode_decile_invariants(spark, sf_smoke):
+    """Deciles tile the corpus; compression is sane: every doc has at
+    least as many chars as BPE tokens and at least as many BPE tokens
+    as words (a word is >= 1 subword)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        text_bpe_encode_corpus,
+    )
+
+    rows = text_bpe_encode_corpus(spark, sf_smoke).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    d = load_table(spark, sf_smoke, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert r.sum_bpe_tokens >= r.sum_words
+        assert r.min_ratio_ppm >= 1_000_000  # >= 1 char per token
+        assert r.min_ratio_ppm <= r.mean_ratio_ppm <= r.max_ratio_ppm
