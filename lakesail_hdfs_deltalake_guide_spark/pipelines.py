@@ -298,7 +298,11 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digests only. This composes the dedup tier with the Delta tier: at
     100 TB the state is exactly delta-spark's dedup-sink idiom
     (append-only, compacted by OPTIMIZE on cadence)."""
-    from .sources.delta_log import delta_read, delta_write
+    from .sources.delta_log import (
+        delta_read,
+        delta_row_count_from_stats,
+        delta_write,
+    )
     from .tables import load_table
 
     d = load_table(spark, sf_dir, "documents")
@@ -321,13 +325,15 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel = in_batch.join(state.select("fp"), "fp", "left_anti")
         novel_cnt = novel.count()
         delta_write(novel, state_path, mode="append")
+        # ledger size from the log's add-action numRecords — a metadata
+        # fold, never a rescan of the (crawl-history-sized) state table
         out_rows.append(
             (
                 name,
                 batch.count(),
                 in_batch.count(),
                 novel_cnt,
-                delta_read(spark, state_path).count(),
+                delta_row_count_from_stats(spark, state_path),
             )
         )
     return spark.createDataFrame(
@@ -337,7 +343,180 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_incremental_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental NEAR-dedup against persisted LSH state — the
+    recurring-crawl extension of ``pipeline_incremental_dedup`` from
+    exact digests to MinHash band signatures: each batch's documents
+    sketch once, their band keys join against the persisted
+    band-signature state (any shared (band_id, band_hash) with history
+    → near-duplicate of an already-accepted doc → dropped), survivors
+    then near-dedup within the batch (drop the higher doc_id of any
+    banded pair), and ONLY the kept docs' band rows append to the
+    state — ACID via the native Delta log, replayable.
+
+    Batch 1 carries the original documents; batch 2 carries the planted
+    near-duplicate mutations (first two tokens dropped) plus an exact
+    re-crawl of every 10th original — so both the fuzzy-vs-history and
+    identical-vs-history paths are exercised and every batch-2 arrival
+    must die against state.
+
+    Scale shape: state rows are (doc_id, band_id, 60-bit band_hash) —
+    NUM_BANDS rows per accepted doc, orders of magnitude under the
+    corpus; the history check is a band-key equi-join (shuffles 8-byte
+    hashes), within-batch dedup is the standard banded self-join, and
+    the ledger's state size comes from the log's add-action numRecords
+    (a metadata fold, never a state rescan). The banding threshold
+    (8 bands × 4 rows ⇒ s-curve at J≈0.5) is the accept/reject rule, as
+    in FineWeb-style single-pass configs; an est-Jaccard verify against
+    persisted signatures is the documented swap-in at lower band
+    counts."""
+    from .functions.hashing import band_keys
+    from .operators.dedup import (
+        NUM_BANDS,
+        PLANT_OFFSET,
+        ROWS_PER_BAND,
+        _minhash_sigs,
+        near_duplicate_corpus,
+    )
+    from .sources.delta_log import (
+        delta_read,
+        delta_row_count_from_stats,
+        delta_write,
+    )
+
+    corpus = near_duplicate_corpus(spark, sf_dir)
+    sigs = _minhash_sigs(corpus)
+    bands_all = (
+        sigs.select(
+            "doc_id",
+            F.explode(
+                band_keys(F.col("sig"), NUM_BANDS, ROWS_PER_BAND)
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_id", "band.band_hash")
+        .localCheckpoint(eager=True)  # one sketch pass feeds both batches
+    )
+    state_path = tempfile.mkdtemp(prefix="ls_minhash_state_")
+    # v0: empty state carved from the band stream itself, so the state
+    # schema (incl. nullability) matches every future append exactly
+    delta_write(bands_all.limit(0), state_path)
+    out_rows = []
+    batches = (
+        ("batch_1", F.col("doc_id") < PLANT_OFFSET),
+        (
+            "batch_2",
+            (F.col("doc_id") >= PLANT_OFFSET)
+            | (F.col("doc_id") % 10 == 0),
+        ),
+    )
+    for name, cond in batches:
+        b = bands_all.where(cond)
+        state = delta_read(spark, state_path)
+        hist_dup = (
+            b.join(
+                state.select("band_id", "band_hash"),
+                ["band_id", "band_hash"],
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        fresh = b.join(hist_dup, "doc_id", "left_anti")
+        x, y = fresh.alias("a"), fresh.alias("b")
+        batch_dup = (
+            x.join(
+                y,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("b.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        keep = fresh.join(batch_dup, "doc_id", "left_anti")
+        delta_write(keep, state_path, mode="append")
+        out_rows.append(
+            (
+                name,
+                b.select("doc_id").distinct().count(),
+                hist_dup.count(),
+                batch_dup.count(),
+                keep.select("doc_id").distinct().count(),
+                delta_row_count_from_stats(spark, state_path),
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "batch string, n_input long, n_dup_vs_history long, "
+        "n_dup_in_batch long, n_kept long, state_rows_after long",
+    )
+
+
+def _sql_incremental_minhash() -> str:
+    """DuckDB twin of pipeline_incremental_minhash: the shared MinHash
+    CTE prefix (bit-exact band hashes), unpivoted to long-form band
+    rows, then both batch rounds replayed as set algebra."""
+    from .operators.dedup import NUM_BANDS, PLANT_OFFSET, _sql_minhash_cand
+
+    case = " ".join(
+        f"WHEN {b} THEN band{b}" for b in range(NUM_BANDS)
+    )
+    vals = ", ".join(f"({b})" for b in range(NUM_BANDS))
+    return f"""
+        {_sql_minhash_cand()},
+        bands AS (
+          SELECT doc_id, b.band_id,
+                 CASE b.band_id {case} END AS band_hash
+          FROM banded, (VALUES {vals}) b(band_id)),
+        b1 AS (SELECT * FROM bands WHERE doc_id < {PLANT_OFFSET}),
+        d1 AS (
+          SELECT DISTINCT y.doc_id FROM b1 x JOIN b1 y
+            ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+           AND x.doc_id < y.doc_id),
+        k1 AS (SELECT * FROM b1
+               WHERE doc_id NOT IN (SELECT doc_id FROM d1)),
+        b2 AS (SELECT * FROM bands
+               WHERE doc_id >= {PLANT_OFFSET} OR doc_id % 10 = 0),
+        h2 AS (
+          SELECT DISTINCT b2.doc_id
+          FROM b2 JOIN k1 USING (band_id, band_hash)),
+        f2 AS (SELECT * FROM b2
+               WHERE doc_id NOT IN (SELECT doc_id FROM h2)),
+        d2 AS (
+          SELECT DISTINCT y.doc_id FROM f2 x JOIN f2 y
+            ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+           AND x.doc_id < y.doc_id),
+        k2 AS (SELECT * FROM f2
+               WHERE doc_id NOT IN (SELECT doc_id FROM d2))
+        SELECT 'batch_1' AS batch,
+               (SELECT COUNT(DISTINCT doc_id) FROM b1) AS n_input,
+               CAST(0 AS BIGINT) AS n_dup_vs_history,
+               (SELECT COUNT(*) FROM d1) AS n_dup_in_batch,
+               (SELECT COUNT(DISTINCT doc_id) FROM k1) AS n_kept,
+               (SELECT COUNT(*) FROM k1) AS state_rows_after
+        UNION ALL
+        SELECT 'batch_2',
+               (SELECT COUNT(DISTINCT doc_id) FROM b2),
+               (SELECT COUNT(*) FROM h2),
+               (SELECT COUNT(*) FROM d2),
+               (SELECT COUNT(DISTINCT doc_id) FROM k2),
+               (SELECT COUNT(*) FROM k1) + (SELECT COUNT(*) FROM k2)
+        ORDER BY batch
+        """
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "pipeline_incremental_minhash",
+        pipeline_incremental_minhash,
+        _sql_incremental_minhash(),
+        tags=("extension", "pipeline", "dedup", "delta", "bench"),
+        description="Incremental NEAR-dedup vs persisted LSH state: "
+        "batch band keys anti-joined against the Delta band-signature "
+        "history, within-batch banded self-join, survivors' bands "
+        "appended ACID; ledger sizes from log stats, not state scans.",
+    ),
     QueryDef(
         "pipeline_incremental_dedup",
         pipeline_incremental_dedup,

@@ -74,6 +74,10 @@ _WRITER_FEATURES_IMPLEMENTED = frozenset(
         # watermark discipline. Readers are unaffected either way
         # (writerFeatures are ignored on the read path).
         "lakesailRowTracking",
+        # Liquid-clustering keys live in metaData.configuration, not a
+        # domainMetadata action — vendor-scoped for the same reason as
+        # row tracking (see the CLUSTER BY section)
+        "lakesailClustering",
         "typeWidening",
         "v2Checkpoint",
         "allowColumnDefaults",
@@ -1424,11 +1428,12 @@ def _stage_data_files(
     writer.parquet(staging)
     fs, staging_path, jvm = _hadoop_fs(spark, staging)
     adds = []
-    pa_fs = pa_root = None
-    if stats_cols:
-        from pyarrow import fs as pafs
+    # numRecords is recorded for EVERY file (footer-only read), matching
+    # delta-spark — COUNT(*) and incremental-pipeline ledgers then fold
+    # from the log instead of rescanning data; min/max only for stats_cols
+    from pyarrow import fs as pafs
 
-        pa_fs, pa_root = pafs.FileSystem.from_uri(path)
+    pa_fs, pa_root = pafs.FileSystem.from_uri(path)
     # URI-relativize against the FS's own qualified form: string-splitting
     # on the caller's raw path breaks when Hadoop qualifies it differently
     # (file:///tmp/t → file:/tmp/t, hdfs://nn/t → hdfs://nn:8020/t)
@@ -1468,12 +1473,11 @@ def _stage_data_files(
             "modificationTime": int(time.time() * 1000),
             "dataChange": True,
         }
-        if stats_cols:
-            # Delta stores per-file stats as a JSON *string* field;
-            # default=str keeps date/timestamp/Decimal stats serializable
-            add["stats"] = json.dumps(
-                _file_stats(pa_fs, pa_root, rel, stats_cols), default=str
-            )
+        # Delta stores per-file stats as a JSON *string* field;
+        # default=str keeps date/timestamp/Decimal stats serializable
+        add["stats"] = json.dumps(
+            _file_stats(pa_fs, pa_root, rel, stats_cols or []), default=str
+        )
         adds.append({"add": add})
     fs.delete(staging_path, True)
     return adds
@@ -2800,6 +2804,27 @@ def delta_history(spark: SparkSession, path: str) -> list[dict]:
     return out
 
 
+def delta_row_count_from_stats(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int | None:
+    """Snapshot row count from the log's per-file ``numRecords`` stats —
+    NO data scan: the answer lives in the add actions, which is how
+    delta-spark serves ``COUNT(*)`` on a stats-complete table. Returns
+    None when any live file lacks stats (caller falls back to a scan);
+    an empty table is 0."""
+    adds = delta_snapshot_adds_df(spark, path, version).select(
+        F.get_json_object("stats", "$.numRecords").alias("n")
+    )
+    agg = adds.agg(
+        F.count(F.lit(1)).alias("files"),
+        F.count("n").alias("with_stats"),
+        F.sum(F.col("n").cast("long")).alias("rows"),
+    ).head()
+    if agg["files"] != agg["with_stats"]:
+        return None
+    return int(agg["rows"] or 0)
+
+
 def delta_read(
     spark: SparkSession,
     path: str,
@@ -3132,8 +3157,8 @@ def delta_optimize_zorder(
     design, reproduced on the native log."""
     from .layout import zorder_key_n
 
-    if len(cols) < 2:
-        raise ValueError("zorder needs at least 2 columns")
+    if not cols:
+        raise ValueError("zorder needs at least 1 column")
     if bits is None:
         bits = min(16, 62 // len(cols))
     versions0 = _list_versions(spark, path)
@@ -3223,6 +3248,119 @@ def delta_optimize_zorder(
     if version % CHECKPOINT_INTERVAL == 0:
         _auto_checkpoint(spark, path, version)
     return version
+
+
+# --- Liquid-clustering-style CLUSTER BY -------------------------------------
+# The modern public replacement for explicit OPTIMIZE ZORDER: clustering
+# keys are TABLE METADATA, writes stay cheap, and OPTIMIZE incrementally
+# clusters only not-yet-clustered files (no full rewrites on append).
+# Divergence from delta-spark, following this module's row-tracking
+# precedent: the protocol's `clustering` feature keys its column list
+# off a domainMetadata action; this engine keeps it in
+# metaData.configuration (the fold and checkpoint already replicate
+# metaData). Declaring the standard feature name would let a
+# delta-spark OPTIMIZE accept the table, find no clustering domain, and
+# silently treat it as unclustered — so the writer feature is
+# vendor-scoped (foreign writers refuse cleanly; readers are unaffected
+# since clustering is layout-only).
+_CLUSTER_KEY = "lakesail.clusteringColumns"
+_CLUSTER_FEATURE = "lakesailClustering"
+
+
+def delta_clustering_columns(meta: dict | None) -> list[str] | None:
+    """The table's clustering column list, or None when not clustered."""
+    raw = ((meta or {}).get("configuration") or {}).get(_CLUSTER_KEY)
+    return json.loads(raw) if raw else None
+
+
+def delta_cluster_by(
+    spark: SparkSession, path: str, cols: list[str] | None
+) -> int:
+    """ALTER TABLE ... CLUSTER BY (liquid clustering): record the
+    clustering key list as table metadata (``CLUSTER BY NONE`` with
+    ``cols=None``) and declare the writer feature. Layout changes
+    happen LATER, in ``delta_optimize_clustered`` — this commit is
+    metadata-only, which is what makes re-keying a 100 TB table free
+    until the next maintenance OPTIMIZE. Hive-partitioned tables are
+    refused (clustering and directory partitioning are mutually
+    exclusive, as in delta-spark)."""
+    proto, meta, _, _ = _snapshot_state(spark, path)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    if cols:
+        if meta.get("partitionColumns"):
+            raise ValueError(
+                "CLUSTER BY is incompatible with hive partitioning — "
+                "a table has one layout authority"
+            )
+        names = [
+            f["name"] for f in json.loads(meta["schemaString"])["fields"]
+        ]
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(f"clustering columns not in schema: {missing}")
+    conf = dict(meta.get("configuration") or {})
+    if cols:
+        conf[_CLUSTER_KEY] = json.dumps(list(cols))
+    else:
+        conf.pop(_CLUSTER_KEY, None)
+    actions: list[dict] = [_commit_info("CLUSTER BY")]
+    wf = set((proto or {}).get("writerFeatures") or ())
+    if cols and _CLUSTER_FEATURE not in wf:
+        rf = set((proto or {}).get("readerFeatures") or ())
+        new_proto = {
+            "minReaderVersion": int(
+                (proto or _PROTOCOL).get("minReaderVersion", 1)
+            ),
+            "minWriterVersion": 7,
+            # version-7 rule: every feature the table uses is spelled out
+            "writerFeatures": sorted(
+                wf | {_CLUSTER_FEATURE, "checkConstraints"}
+            ),
+        }
+        if rf:
+            new_proto["readerFeatures"] = sorted(rf)
+        actions.append({"protocol": new_proto})
+    actions.append({"metaData": {**meta, "configuration": conf}})
+    version = _list_versions(spark, path)[-1] + 1
+    try:
+        _write_commit(spark, path, version, actions)
+    except RuntimeError:
+        raise DeltaConcurrentModification(
+            f"a concurrent commit landed during CLUSTER BY on {path}; "
+            "re-run against the new snapshot"
+        ) from None
+    if version % CHECKPOINT_INTERVAL == 0:
+        _auto_checkpoint(spark, path, version)
+    return version
+
+
+def delta_optimize_clustered(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 8,
+    bits: int | None = None,
+) -> int:
+    """OPTIMIZE on a CLUSTER BY table: read the clustering keys from
+    table metadata and incrementally cluster ONLY the files outside a
+    matching ZCube — fresh appends, files clustered under a previous
+    key list, DV-carrying files. A fully-clustered table is a
+    zero-commit no-op. This is the liquid-clustering maintenance loop:
+    appends stay cheap, every OPTIMIZE is O(new data), and changing the
+    keys (delta_cluster_by) naturally re-clusters everything on the
+    next pass because the stale cube spec no longer matches."""
+    _, meta, _, _ = _snapshot_state(spark, path)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    cols = delta_clustering_columns(meta)
+    if not cols:
+        raise ValueError(
+            f"{path} has no clustering columns — run delta_cluster_by first"
+        )
+    return delta_optimize_zorder(
+        spark, path, cols, target_files=target_files, bits=bits,
+        incremental=True,
+    )
 
 
 def delta_generate_manifest(spark: SparkSession, path: str) -> list[str]:
@@ -5181,6 +5319,69 @@ def delta_native_zorder_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def delta_native_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liquid-clustering lifecycle on the native log: orders land in
+    arrival order, CLUSTER BY (o_custkey, o_orderkey) is recorded as
+    metadata (no rewrite), the first OPTIMIZE clusters the whole live
+    set, an append stays cheap (unclustered), and the second OPTIMIZE
+    touches ONLY the appended files — asserted in-flight: the original
+    cube survives, every live file carries the cluster spec tag, an
+    immediate re-run is a zero-commit no-op, and a custkey range
+    predicate skips files on footer stats. Returns the pruned read's
+    aggregate (layout-independent → plain-SQL oracle)."""
+    import tempfile
+
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_cluster_")
+    keys = ["o_custkey", "o_orderkey"]
+    delta_write(o.where("o_orderkey % 3 != 0").repartition(6), path)
+    delta_cluster_by(spark, path, keys)
+    _, meta, _, _ = _snapshot_state(spark, path)
+    if delta_clustering_columns(meta) != keys:
+        raise AssertionError("clustering columns not recorded in metadata")
+    delta_optimize_clustered(spark, path, target_files=4)
+    cube = set(delta_live_files(spark, path))
+    delta_write(
+        o.where("o_orderkey % 3 = 0").repartition(2), path, mode="append"
+    )
+    v = delta_optimize_clustered(spark, path, target_files=2)
+    live = dict(delta_live_adds(spark, path))
+    if not cube <= set(live):
+        raise AssertionError("clustered OPTIMIZE rewrote the existing cube")
+    if any(
+        (a.get("tags") or {}).get("ZCUBE_ZORDER_BY") != json.dumps(keys)
+        for a in live.values()
+    ):
+        raise AssertionError("live files missing the cluster spec tag")
+    if delta_optimize_clustered(spark, path) != v:
+        raise AssertionError("OPTIMIZE on a clustered table must be a no-op")
+    lo, hi = 100, 500
+
+    def survives(a: dict) -> bool:
+        st = json.loads(a["stats"])
+        mn = st["minValues"].get("o_custkey")
+        mx = st["maxValues"].get("o_custkey")
+        return mn is None or mx is None or not (mn > hi or mx < lo)
+
+    surviving = sum(1 for a in live.values() if survives(a))
+    if not surviving < len(live):
+        raise AssertionError(
+            f"clustering produced no file skipping: {surviving}/{len(live)}"
+        )
+    pruned = delta_read(spark, path, range_filter={"o_custkey": (lo, hi)})
+    return pruned.where(F.col("o_custkey").between(lo, hi)).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("sum_cents"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
 def delta_native_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on append (reference README.md:302): the first
     commit has two columns, the append carries a third with
@@ -6530,6 +6731,22 @@ QUERIES: list[QueryDef] = [
         description="Incremental OPTIMIZE ZORDER via ZCube add.tags: "
         "appended files re-cluster, the existing cube stays in place, "
         "re-runs are zero-commit no-ops; invariants asserted in-query.",
+    ),
+    QueryDef(
+        "delta_native_cluster_by",
+        delta_native_cluster_by,
+        """
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        FROM orders WHERE o_custkey BETWEEN 100 AND 500
+        """,
+        tags=("parity", "delta", "io", "layout", "zorder", "bench"),
+        description="Liquid-clustering-style CLUSTER BY: keys recorded "
+        "as table metadata, OPTIMIZE incrementally clusters only "
+        "unclustered files (appends stay cheap, re-runs no-op), footer "
+        "stats skip on the clustered keys; lifecycle asserted in-query.",
     ),
     QueryDef(
         "delta_native_checkpoint_read",

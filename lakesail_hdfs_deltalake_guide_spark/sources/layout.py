@@ -37,8 +37,12 @@ def zorder_key_n(cols: list[Column], bits: int = ZBITS) -> Column:
     32k buckets per dimension, far finer than any practical file
     count)."""
     n = len(cols)
-    if n < 2:
-        raise ValueError("z-ordering needs at least 2 columns")
+    if n < 1:
+        raise ValueError("z-ordering needs at least 1 column")
+    if n == 1:
+        # degenerate 1-dim curve = plain range clustering on the key
+        # (liquid clustering's single-column case)
+        return cols[0].cast("long").bitwiseAND(F.lit((1 << bits) - 1))
     if n * bits > 62:
         raise ValueError(
             f"{n} columns x {bits} bits = {n * bits} interleaved bits "

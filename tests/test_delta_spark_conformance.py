@@ -1,0 +1,142 @@
+"""delta-spark interop conformance (VERDICT r6 item 7).
+
+The native ``_delta_log`` writer (sources/delta_log.py) is protocol-
+conformant by construction; this suite proves it against the REAL
+delta-spark implementation whenever its jars are on the session's JVM
+classpath:
+
+- native-write → delta-spark-read (snapshot + time travel)
+- delta-spark-write → native-read
+- feature gating: a native table declaring the vendor-scoped
+  ``lakesailRowTracking`` / ``lakesailClustering`` writer features must
+  be READABLE by delta-spark (writerFeatures are ignored on read) while
+  a delta-spark WRITE against it must fail (unknown writer feature) —
+  the exact foreign-writer refusal X66's gating exists for.
+
+The sandbox ships no delta-spark jars, so the whole module skips there.
+To run it for real:
+
+    pip install delta-spark==<matching your pyspark>
+    pytest tests/test_delta_spark_conformance.py \
+        --deltajars  # or: spark.jars.packages=io.delta:delta-spark_2.13:…
+
+(the jars must be visible to the SAME JVM the test session uses —
+start pytest with ``PYSPARK_SUBMIT_ARGS="--packages io.delta:… pyspark-
+shell"`` when installing at session-build time).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def _delta_format_available(spark) -> bool:
+    """True when the delta-spark DataSource is registered in this JVM
+    (jar on classpath) — the minimum for format('delta') round-trips."""
+    try:
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.delta.sources.DeltaDataSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+@pytest.fixture(scope="module")
+def delta_spark(spark):
+    if not _delta_format_available(spark):
+        pytest.skip(
+            "delta-spark jars not on the JVM classpath — conformance "
+            "suite needs a real delta-spark installation (see module "
+            "docstring)"
+        )
+    return spark
+
+
+def test_native_write_delta_spark_read(delta_spark, sf_smoke):
+    """Tables written by the native log must read identically through
+    delta-spark, including an older snapshot via time travel."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+        delta_write,
+    )
+
+    spark = delta_spark
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    path = tempfile.mkdtemp(prefix="ls_conf_nw_")
+    delta_write(o.where("o_orderkey % 2 = 0"), path)
+    delta_write(o.where("o_orderkey % 2 = 1"), path, mode="append")
+
+    native = delta_read(spark, path)
+    foreign = spark.read.format("delta").load(path)
+    assert foreign.count() == native.count() == o.count()
+    assert (
+        foreign.agg(F.sum("o_custkey")).head()[0]
+        == native.agg(F.sum("o_custkey")).head()[0]
+    )
+    v0 = (
+        spark.read.format("delta")
+        .option("versionAsOf", 0)
+        .load(path)
+        .count()
+    )
+    assert v0 == delta_read(spark, path, version=0).count()
+
+
+def test_delta_spark_write_native_read(delta_spark, sf_smoke):
+    """Tables written by delta-spark must read identically through the
+    native log fold (snapshot, stats, partition pruning untouched)."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+    )
+
+    spark = delta_spark
+    c = load_table(spark, sf_smoke, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    path = tempfile.mkdtemp(prefix="ls_conf_fw_")
+    c.write.format("delta").save(path)
+    c.limit(10).write.format("delta").mode("append").save(path)
+
+    native = delta_read(spark, path)
+    foreign = spark.read.format("delta").load(path)
+    assert native.count() == foreign.count()
+    assert (
+        native.agg(F.sum("c_custkey")).head()[0]
+        == foreign.agg(F.sum("c_custkey")).head()[0]
+    )
+
+
+def test_vendor_features_gate_foreign_writers(delta_spark, sf_smoke):
+    """X66 gating, exercised against the real foreign engine: a native
+    row-tracked table READS fine in delta-spark (writerFeatures are not
+    reader gates) but a delta-spark APPEND must refuse the unknown
+    ``lakesailRowTracking`` writer feature instead of corrupting the
+    id watermark."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_write,
+    )
+
+    spark = delta_spark
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    path = tempfile.mkdtemp(prefix="ls_conf_rt_")
+    delta_write(
+        o.limit(50),
+        path,
+        mode="overwrite",
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    delta_write(o.limit(20), path, mode="append")
+    assert spark.read.format("delta").load(path).count() == 70
+    with pytest.raises(Exception):
+        o.limit(5).write.format("delta").mode("append").save(path)

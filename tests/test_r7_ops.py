@@ -215,3 +215,209 @@ def test_bpe_encode_decile_invariants(spark, sf_smoke):
         assert r.sum_bpe_tokens >= r.sum_words
         assert r.min_ratio_ppm >= 1_000_000  # >= 1 char per token
         assert r.min_ratio_ppm <= r.mean_ratio_ppm <= r.max_ratio_ppm
+
+
+def test_incremental_minhash_replay_is_noop(spark, sf_smoke):
+    """Crash-replay contract: re-processing an already-ingested batch
+    against the final state drops EVERY document as a history
+    near-duplicate and appends nothing — the state table converges."""
+    import tempfile
+
+    from lakesail_hdfs_deltalake_guide_spark.functions.hashing import band_keys
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        NUM_BANDS,
+        PLANT_OFFSET,
+        ROWS_PER_BAND,
+        _minhash_sigs,
+        near_duplicate_corpus,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+        delta_row_count_from_stats,
+        delta_write,
+    )
+
+    corpus = near_duplicate_corpus(spark, sf_smoke)
+    bands_all = (
+        _minhash_sigs(corpus)
+        .select(
+            "doc_id",
+            F.explode(
+                band_keys(F.col("sig"), NUM_BANDS, ROWS_PER_BAND)
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_id", "band.band_hash")
+        .localCheckpoint(eager=True)
+    )
+    path = tempfile.mkdtemp(prefix="ls_minhash_replay_")
+    delta_write(bands_all.limit(0), path)
+
+    def drain(cond):
+        b = bands_all.where(cond)
+        state = delta_read(spark, path)
+        hist = (
+            b.join(state.select("band_id", "band_hash"), ["band_id", "band_hash"])
+            .select("doc_id")
+            .distinct()
+        )
+        fresh = b.join(hist, "doc_id", "left_anti")
+        x, y = fresh.alias("a"), fresh.alias("b")
+        dup = (
+            x.join(
+                y,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("b.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        keep = fresh.join(dup, "doc_id", "left_anti")
+        delta_write(keep, path, mode="append")
+        return hist.count(), keep.count()
+
+    b2 = (F.col("doc_id") >= PLANT_OFFSET) | (F.col("doc_id") % 10 == 0)
+    drain(F.col("doc_id") < PLANT_OFFSET)
+    drain(b2)
+    size_before = delta_row_count_from_stats(spark, path)
+    n_hist, n_kept = drain(b2)  # replay
+    assert n_kept == 0
+    n_batch2_docs = bands_all.where(b2).select("doc_id").distinct().count()
+    assert n_hist == n_batch2_docs
+    assert delta_row_count_from_stats(spark, path) == size_before
+
+
+def test_row_count_from_stats_matches_scan(spark, sf_smoke):
+    """The log-stats ledger must equal a real COUNT(*) on a table built
+    through ordinary appends."""
+    import tempfile
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+        delta_row_count_from_stats,
+        delta_write,
+    )
+
+    path = tempfile.mkdtemp(prefix="ls_stats_count_")
+    delta_write(spark.range(7).selectExpr("id", "id * 2 AS v"), path)
+    delta_write(
+        spark.range(5).selectExpr("id + 100 AS id", "id AS v"),
+        path,
+        mode="append",
+    )
+    assert delta_row_count_from_stats(spark, path) == 12
+    assert delta_read(spark, path).count() == 12
+
+
+def _custkey_survivors(live, lo, hi):
+    import json
+
+    n = 0
+    for _, a in live:
+        st = json.loads(a["stats"])
+        mn = st["minValues"].get("o_custkey")
+        mx = st["maxValues"].get("o_custkey")
+        if mn is None or mx is None or not (mn > hi or mx < lo):
+            n += 1
+    return n
+
+
+def test_cluster_by_skips_like_explicit_zorder(spark, sf_smoke):
+    """CLUSTER BY + OPTIMIZE must produce the same footer-stats file
+    skipping as an explicit OPTIMIZE ZORDER on the same keys and target
+    file count — liquid clustering is the same layout with metadata-
+    driven keys."""
+    import tempfile
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_cluster_by,
+        delta_live_adds,
+        delta_optimize_clustered,
+        delta_optimize_zorder,
+        delta_write,
+    )
+
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    keys = ["o_custkey", "o_orderkey"]
+    pa = tempfile.mkdtemp(prefix="ls_cl_a_")
+    pb = tempfile.mkdtemp(prefix="ls_cl_b_")
+    delta_write(o.repartition(6), pa)
+    delta_write(o.repartition(6), pb)
+    delta_cluster_by(spark, pa, keys)
+    delta_optimize_clustered(spark, pa, target_files=4)
+    delta_optimize_zorder(spark, pb, keys, target_files=4)
+    lo, hi = 100, 500
+    sa = _custkey_survivors(delta_live_adds(spark, pa), lo, hi)
+    sb = _custkey_survivors(delta_live_adds(spark, pb), lo, hi)
+    na = len(delta_live_adds(spark, pa))
+    assert sa == sb, f"clusterBy skipping {sa} != zorder skipping {sb}"
+    assert sa < na, "no skipping at all"
+
+
+def test_cluster_by_rekey_reclusters_everything(spark, sf_smoke):
+    """Changing the clustering keys is a metadata-only commit; the NEXT
+    OPTIMIZE rewrites every file because the old cube spec no longer
+    matches — and stamps the new spec."""
+    import json
+    import tempfile
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_cluster_by,
+        delta_live_adds,
+        delta_live_files,
+        delta_optimize_clustered,
+        delta_write,
+    )
+
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    p = tempfile.mkdtemp(prefix="ls_cl_rekey_")
+    delta_write(o.repartition(4), p)
+    delta_cluster_by(spark, p, ["o_custkey", "o_orderkey"])
+    delta_optimize_clustered(spark, p, target_files=3)
+    old = set(delta_live_files(spark, p))
+    delta_cluster_by(spark, p, ["o_orderkey", "cents"])
+    delta_optimize_clustered(spark, p, target_files=3)
+    live = dict(delta_live_adds(spark, p))
+    assert not (old & set(live)), "re-key left stale-cube files live"
+    spec = json.dumps(["o_orderkey", "cents"])
+    assert all(
+        (a.get("tags") or {}).get("ZCUBE_ZORDER_BY") == spec
+        for a in live.values()
+    )
+
+
+def test_cluster_by_single_column_and_partition_refusal(spark, sf_smoke):
+    """Single-key clustering degenerates to range clustering (valid per
+    liquid semantics); hive-partitioned tables refuse CLUSTER BY."""
+    import tempfile
+
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_cluster_by,
+        delta_live_adds,
+        delta_optimize_clustered,
+        delta_write,
+    )
+
+    o = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    p = tempfile.mkdtemp(prefix="ls_cl_one_")
+    delta_write(o.repartition(5), p)
+    delta_cluster_by(spark, p, ["o_custkey"])
+    delta_optimize_clustered(spark, p, target_files=4)
+    lo, hi = 100, 500
+    live = delta_live_adds(spark, p)
+    assert _custkey_survivors(live, lo, hi) < len(live)
+
+    pp = tempfile.mkdtemp(prefix="ls_cl_part_")
+    delta_write(o, pp, partition_by=["o_orderpriority"])
+    with pytest.raises(ValueError, match="hive partitioning"):
+        delta_cluster_by(spark, pp, ["o_custkey"])
