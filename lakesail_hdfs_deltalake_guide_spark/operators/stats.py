@@ -604,6 +604,193 @@ def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MW_GROUP_A = "click"
+MW_GROUP_B = "purchase"
+
+
+def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann–Whitney U (Wilcoxon rank-sum) between two event
+    types' value distributions — the nonparametric two-sample location
+    test run when KS flags a shift and you want a direction + effect
+    size. Tie-exact: per distinct value (cents) the average rank is
+    carried DOUBLED (2·avg_rank = 2·cum_before + k + 1, always an
+    integer), so ties never mint fractions; U is reported ×2 and the
+    rank-biserial effect size / AUC estimate in exact ppm:
+    ``auc_ppm = U_a·10⁶ div (n_a·n_b)`` (with U×2 and the 2 folded in).
+    Identity U_a + U_b = n_a·n_b is asserted by construction (both are
+    derived from the same rank sums).
+
+    Plan: the fact scan collapses to per-value counts first (map-side
+    combine over the value domain), one ordered window builds the
+    cumulative ranks — the single-partition sort is over DISTINCT
+    values, the KS idiom."""
+    ev = load_table(spark, sf_dir, "events")
+    both = (
+        ev.where(F.col("event_type").isin(MW_GROUP_A, MW_GROUP_B))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == MW_GROUP_A, 1).otherwise(0)
+            ).alias("k_a"),
+            F.sum(
+                F.when(F.col("event_type") == MW_GROUP_B, 1).otherwise(0)
+            ).alias("k_b"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = both.select(
+        "cents",
+        "k_a",
+        "k_b",
+        (F.col("k_a") + F.col("k_b")).alias("k"),
+        (F.sum(F.col("k_a") + F.col("k_b")).over(w)).alias("cum"),
+    ).select(
+        "k_a",
+        "k_b",
+        # 2·avg_rank for this tie group = 2·(cum-k) + k + 1
+        (2 * (F.col("cum") - F.col("k")) + F.col("k") + 1).alias("r2"),
+    )
+    return ranked.groupBy().agg(
+        F.sum("k_a").alias("n_a"),
+        F.sum("k_b").alias("n_b"),
+        F.expr(
+            "SUM(k_a * r2) - SUM(k_a) * (SUM(k_a) + 1)"
+        ).alias("u_a_x2"),
+        F.expr(
+            "SUM(k_b * r2) - SUM(k_b) * (SUM(k_b) + 1)"
+        ).alias("u_b_x2"),
+        F.expr(
+            "(SUM(k_a * r2) - SUM(k_a) * (SUM(k_a) + 1)) * 500000"
+            " DIV (SUM(k_a) * SUM(k_b))"
+        ).alias("auc_ppm"),
+    )
+
+
+HOUR_US = 3_600_000_000
+ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def _hourly_dense_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (gap-filled) hourly event counts with exact zero-sum
+    deviations: dev = n·H − T where H = hour count, T = total events —
+    integers whose sum over the series is exactly 0, the drift-free
+    centering for CUSUM/ACF. One fact aggregation; the grid derives
+    from the checkpointed hourly table (the gapfill layout)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    hour_us = us - us % HOUR_US
+    hourly = (
+        ev.select(hour_us.alias("hour_us"))
+        .groupBy("hour_us")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    span = hourly.agg(
+        F.min("hour_us").alias("start_us"), F.max("hour_us").alias("end_us")
+    )
+    grid = span.select(
+        F.explode(
+            F.sequence(F.col("start_us"), F.col("end_us"), F.lit(HOUR_US))
+        ).alias("hour_us")
+    )
+    dense = grid.join(hourly, "hour_us", "left").select(
+        "hour_us", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    wall = Window.partitionBy()
+    return dense.select(
+        "hour_us",
+        "n",
+        (
+            F.col("n") * F.count(F.lit(1)).over(wall)
+            - F.sum("n").over(wall)
+        ).alias("dev"),
+        F.count(F.lit(1)).over(wall).alias("h"),
+        F.sum("n").over(wall).alias("t"),
+    )
+
+
+def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the hourly event series: the
+    running sum of exact zero-sum deviations (n·H − T) peaks — in
+    absolute value — at the most likely single changepoint (the classic
+    CUSUM argmax estimator). Integer-exact end to end: the deviations
+    sum to 0 by construction, so the walk starts and ends at 0 and the
+    peak is well-defined; ties break to the earliest hour. Reports the
+    series size, the changepoint hour, the peak |CUSUM|, and the sign
+    (+1 = level drop after the peak, −1 = level rise).
+
+    Plan: one fact aggregation + the hour-domain window walk — the
+    single-partition sort is over the bounded time domain, never the
+    facts."""
+    dense = _hourly_dense_counts(spark, sf_dir)
+    wcum = Window.orderBy("hour_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = dense.select(
+        "hour_us",
+        "h",
+        "t",
+        F.sum("dev").over(wcum).alias("cusum"),
+    )
+    wmax = Window.orderBy(F.abs(F.col("cusum")).desc(), F.asc("hour_us"))
+    return (
+        walk.withColumn("rn", F.row_number().over(wmax))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("h").alias("n_hours"),
+            F.col("t").alias("total_events"),
+            F.col("hour_us").alias("changepoint_hour_us"),
+            F.abs(F.col("cusum")).alias("max_abs_cusum"),
+            F.signum("cusum").cast("bigint").alias("direction"),
+        )
+    )
+
+
+def stats_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sample autocorrelation of hourly event counts at the
+    standard seasonal probe lags (1, 2, 3, 6, 12, 24) — the "does this
+    series have hourly/daily structure" diagnostic run before any
+    seasonal decomposition or forecast. ACF_k = Σ dev_i·dev_{i+k} /
+    Σ dev_i² over the SAME zero-sum integer deviations as the CUSUM
+    walk; products run in DECIMAL(38,0)/HUGEINT (dev ~ n·H can reach
+    10⁹ at 100 TB scale; squares overflow BIGINT) and the ratio is
+    exact ppm. Lags are compile-time literals → 24 lead taps over one
+    window pass, no self-join."""
+    dense = _hourly_dense_counts(spark, sf_dir)
+    wlead = Window.orderBy("hour_us")
+    taps = dense.select(
+        "dev",
+        *[
+            F.lead("dev", k).over(wlead).alias(f"dev_{k}")
+            for k in ACF_LAGS
+        ],
+    )
+    rows = []
+    for k in ACF_LAGS:
+        rows.append(
+            taps.agg(
+                F.lit(k).cast("bigint").alias("lag"),
+                F.count(f"dev_{k}").alias("n_pairs"),
+                F.expr(
+                    f"CAST(SUM(CAST(dev AS DECIMAL(38,0)) * dev_{k})"
+                    " * 1000000"
+                    " DIV SUM(CAST(dev AS DECIMAL(38,0)) * dev)"
+                    " AS BIGINT)"
+                ).alias("acf_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("lag")
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "stats_runs_test",
