@@ -701,9 +701,12 @@ def clean_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = d.select("doc_id", rule_pass.alias("rule_pass")).join(
         scores, "doc_id"
     )
-    w = Window.orderBy("score_milli", "doc_id")
+    # decile cut via the distributed exact rank (operators/ranks.py) —
+    # document-level rows never funnel into a single-task sort
+    from .ranks import exact_ntile
+
     return (
-        labeled.withColumn("decile", F.ntile(10).over(w))
+        exact_ntile(labeled, ["score_milli", "doc_id"], 10, out="decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -159,9 +159,9 @@ def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend).
 
     One orders aggregation (map-side combine on the customer key),
-    three doc-sized NTILE sorts sharing the per-customer table, one
-    rollup — the exact-quintile idiom; approx boundaries at 10^9
-    customers."""
+    three distributed exact-rank quintile cuts over the per-customer
+    table (parallel range exchanges — operators/ranks.py), one
+    rollup."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -175,13 +175,19 @@ def olap_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recency_days",
         F.datediff(F.col("max_date"), F.col("last_order")).cast("long"),
     )
-    r_w = Window.orderBy(F.desc("recency_days"), F.asc("o_custkey"))
-    f_w = Window.orderBy(F.asc("n_orders"), F.asc("o_custkey"))
-    m_w = Window.orderBy(F.asc("cents"), F.asc("o_custkey"))
-    rfm = (
-        scored.withColumn("r_score", F.ntile(5).over(r_w))
-        .withColumn("f_score", F.ntile(5).over(f_w))
-        .withColumn("m_score", F.ntile(5).over(m_w))
+    # three exact quintile cuts via the distributed rank helper
+    # (operators/ranks.py) — each is a parallel range exchange over the
+    # per-customer table, never a single-task sort of all customers
+    from .ranks import exact_ntile
+
+    rfm = exact_ntile(
+        scored, [F.desc("recency_days"), F.asc("o_custkey")], 5, out="r_score"
+    )
+    rfm = exact_ntile(
+        rfm, [F.asc("n_orders"), F.asc("o_custkey")], 5, out="f_score"
+    )
+    rfm = exact_ntile(
+        rfm, [F.asc("cents"), F.asc("o_custkey")], 5, out="m_score"
     )
     return (
         rfm.groupBy("r_score", "f_score", "m_score")

@@ -100,23 +100,19 @@ def profile_token_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the tokens" number every corpus card publishes (and the input to
     a Gini coefficient). All integer arithmetic → bit-exact oracle.
 
-    Scale posture: the NTILE needs a global total order — exact and
-    fine at report time over *document-level* rows (one row per doc,
-    not per token; the sort is over ids+counts only after the token
-    counting collapses each doc map-side). At 100 TB the same report
-    swaps NTILE for ``approx_percentile`` cut points (one pass, no
-    global sort) with identical output shape — the exact NTILE is kept
-    here because the oracle demands determinism, same trade as
-    stats_equidepth_quartiles."""
-    from pyspark.sql import Window
+    Scale posture: the decile cut is exact AND distributed — the
+    operators/ranks.py helper (range exchange + per-partition counts +
+    local rank) replaces the unpartitioned NTILE window, so nothing
+    sorts document-level rows in a single task; the only remaining
+    global window below runs over the 10 decile rows."""
+    from .ranks import exact_ntile
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok")
     )
-    w = Window.orderBy("n_tok", "doc_id")
     agg = (
-        toks.select("n_tok", F.ntile(10).over(w).cast("long").alias("decile"))
+        exact_ntile(toks, ["n_tok", "doc_id"], 10, out="decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -1,0 +1,98 @@
+"""Distributed exact global ranks — the scale-safe replacement for
+``row_number()/ntile() OVER (ORDER BY ...)`` with an empty partition
+spec.
+
+An unpartitioned window compiles to ``Exchange SinglePartition`` +
+``Sort`` — ONE task sorts every row. Fine over a bounded domain
+(months, hours, deciles), a scale-killer over entity-level rows
+(documents, customers, orders: 10⁸–10¹⁰ rows at 100 TB). The exact,
+bit-identical alternative used here is the classic three-step:
+
+1. ``repartitionByRange`` on the sort keys (parallel range exchange —
+   partition *p* holds a contiguous key range, ranges ascend with *p*),
+   freeze the partitioning with ``localCheckpoint`` (boundary sampling
+   is per-execution; the offsets below must describe THIS execution);
+2. per-partition row counts — a metadata-sized collect (one row per
+   partition), turned into cumulative offsets;
+3. local ``row_number`` within each partition (parallel sort of
+   1/P of the data) + the broadcast offset literal.
+
+Every step is a parallel exchange; nothing ever funnels through a
+single task. Output is bit-identical to the global window whenever the
+sort keys form a TOTAL order (all callers tie-break on a key column —
+the same discipline their DuckDB oracles already require).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_by: list[Column | str],
+    out: str = "rn",
+    parts: int | None = None,
+) -> tuple[DataFrame, int]:
+    """``row_number() OVER (ORDER BY *order_by)`` without the
+    single-task sort; returns ``(df + out column, total row count)``.
+    ``order_by`` must be a total order (add a unique tie-break key) —
+    with ties, rank assignment among tied rows would be
+    partitioner-arbitrary, exactly as it is in any engine."""
+    spark = df.sparkSession
+    parts = parts or spark.sparkContext.defaultParallelism
+    staged = (
+        df.repartitionByRange(parts, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in staged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    total = 0
+    for pid in sorted(counts):
+        offsets[pid] = total
+        total += counts[pid]
+    if not offsets:  # empty input — keep the schema contract
+        return staged.drop("__pid").withColumn(out, F.lit(0).cast("long")), 0
+    off = F.create_map(
+        *[F.lit(x) for pid, o in offsets.items() for x in (pid, o)]
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    ranked = staged.withColumn(
+        out,
+        (F.row_number().over(w).cast("long") + off[F.col("__pid")]),
+    ).drop("__pid")
+    return ranked, total
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_by: list[Column | str],
+    q: int,
+    out: str = "tile",
+    parts: int | None = None,
+) -> DataFrame:
+    """``NTILE(q) OVER (ORDER BY *order_by)`` — bit-identical tiling
+    (first ``n % q`` tiles carry one extra row, the ANSI rule) computed
+    from the distributed exact rank, so the only full-data exchanges
+    are the two parallel shuffles of :func:`exact_global_rank`."""
+    ranked, n = exact_global_rank(df, order_by, out="__rn", parts=parts)
+    base, rem = divmod(n, q)
+    big = base + 1
+    rn = F.col("__rn")
+    if base == 0:
+        tile = rn  # fewer rows than tiles: tile i = row i
+    else:
+        tile = F.when(
+            rn <= rem * big,
+            F.expr(f"(__rn - 1) DIV {big} + 1"),
+        ).otherwise(
+            F.expr(f"{rem} + (__rn - {rem * big} - 1) DIV {base} + 1")
+        )
+    return ranked.withColumn(out, tile.cast("long")).drop("__rn")

@@ -505,16 +505,24 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     raw_docs = doc_b.where(F.col("lang") != DSIR_TARGET_LANG)
-    w = Window.orderBy(F.desc("weight_mbits"), F.asc("doc_id"))
-    return (
+    weighted = (
         raw_docs.join(F.broadcast(tabs), "b")
         .groupBy("doc_id", "lang", "source")
         .agg(
             F.sum("cnt").alias("n_tokens"),
             F.sum(F.expr("cnt * (nll_q - nll_p)")).alias("weight_mbits"),
         )
+    )
+    # global top-k as orderBy().limit(k) — compiles to
+    # TakeOrderedAndProject (per-partition heaps + driver merge of k
+    # rows), not a row_number over a single-task sort of every doc;
+    # the rank window below runs over only the k survivors
+    order = [F.desc("weight_mbits"), F.asc("doc_id")]
+    w = Window.orderBy(*order)
+    return (
+        weighted.orderBy(*order)
+        .limit(DSIR_TOP)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= DSIR_TOP)
         .orderBy("rank")
     )
 

@@ -214,15 +214,17 @@ def stats_equidepth_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exact min/max cents come out of one aggregation. The complement
     of the fixed-width histogram above — equi-depth adapts bucket
     boundaries to the distribution (what an optimizer's statistics
-    collector stores). One window sort + one aggregate, both on the
-    quartile key."""
-    from pyspark.sql import Window
+    collector stores). The quartile cut is the distributed exact rank
+    (range exchange + local sort + broadcast offsets — see
+    operators/ranks.py), never a single-task global sort over the
+    order rows."""
+    from .ranks import exact_ntile
 
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    base = o.select("o_totalprice", "o_orderkey", cents.alias("cents"))
     return (
-        o.select(cents.alias("cents"), F.ntile(4).over(w).alias("quartile"))
+        exact_ntile(base, ["o_totalprice", "o_orderkey"], 4, out="quartile")
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -1116,5 +1118,118 @@ QUERIES: list[QueryDef] = [
         description="Count-Min sketch frequency estimates: md5-bucketed "
         "counter grid, broadcast probe, bit-exact oracle incl. the "
         "one-sided overcount invariant.",
+    ),
+    QueryDef(
+        "stats_mann_whitney",
+        stats_mann_whitney,
+        f"""
+        WITH bv AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                 SUM(CASE WHEN event_type = '{MW_GROUP_A}'
+                          THEN 1 ELSE 0 END) AS k_a,
+                 SUM(CASE WHEN event_type = '{MW_GROUP_B}'
+                          THEN 1 ELSE 0 END) AS k_b
+          FROM events
+          WHERE event_type IN ('{MW_GROUP_A}', '{MW_GROUP_B}')
+          GROUP BY cents),
+        r AS (
+          SELECT k_a, k_b,
+                 2 * (SUM(k_a + k_b) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - (k_a + k_b)) + (k_a + k_b) + 1 AS r2
+          FROM bv)
+        SELECT CAST(SUM(k_a) AS BIGINT) AS n_a,
+               CAST(SUM(k_b) AS BIGINT) AS n_b,
+               CAST(SUM(k_a * r2) - SUM(k_a) * (SUM(k_a) + 1) AS BIGINT)
+                 AS u_a_x2,
+               CAST(SUM(k_b * r2) - SUM(k_b) * (SUM(k_b) + 1) AS BIGINT)
+                 AS u_b_x2,
+               CAST((SUM(k_a * r2) - SUM(k_a) * (SUM(k_a) + 1)) * 500000
+                    // (SUM(k_a) * SUM(k_b)) AS BIGINT) AS auc_ppm
+        FROM r
+        """,
+        tags=("extension", "stats"),
+        description="Exact tie-corrected Mann-Whitney U between two "
+        "event types' value distributions: doubled average ranks keep "
+        "everything integer; U x2 both sides + rank-biserial AUC ppm.",
+    ),
+    QueryDef(
+        "stats_cusum_changepoint",
+        stats_cusum_changepoint,
+        f"""
+        WITH hourly AS (
+          SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1),
+        span AS (SELECT MIN(hour_us) AS s, MAX(hour_us) AS e FROM hourly),
+        grid AS (
+          SELECT g.hour_us
+          FROM span, UNNEST(range(span.s, span.e + 1, {HOUR_US}))
+            AS g(hour_us)),
+        dense AS (
+          SELECT g.hour_us, COALESCE(h.n, 0) AS n
+          FROM grid g LEFT JOIN hourly h ON g.hour_us = h.hour_us),
+        tot AS (SELECT COUNT(*) AS h, SUM(n) AS t FROM dense),
+        walk AS (
+          SELECT d.hour_us, tot.h, tot.t,
+                 SUM(d.n * tot.h - tot.t) OVER (ORDER BY d.hour_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cusum
+          FROM dense d CROSS JOIN tot)
+        SELECT CAST(h AS BIGINT) AS n_hours,
+               CAST(t AS BIGINT) AS total_events,
+               CAST(hour_us AS BIGINT) AS changepoint_hour_us,
+               CAST(ABS(cusum) AS BIGINT) AS max_abs_cusum,
+               CAST(SIGN(cusum) AS BIGINT) AS direction
+        FROM walk ORDER BY ABS(cusum) DESC, hour_us LIMIT 1
+        """,
+        tags=("extension", "stats", "timeseries"),
+        description="CUSUM changepoint over gap-filled hourly counts: "
+        "argmax |running sum| of exact zero-sum deviations n*H - T; "
+        "integer end to end.",
+    ),
+    QueryDef(
+        "stats_autocorr_lags",
+        stats_autocorr_lags,
+        f"""
+        WITH hourly AS (
+          SELECT epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1),
+        span AS (SELECT MIN(hour_us) AS s, MAX(hour_us) AS e FROM hourly),
+        grid AS (
+          SELECT g.hour_us
+          FROM span, UNNEST(range(span.s, span.e + 1, {HOUR_US}))
+            AS g(hour_us)),
+        dense AS (
+          SELECT g.hour_us, COALESCE(h.n, 0) AS n
+          FROM grid g LEFT JOIN hourly h ON g.hour_us = h.hour_us),
+        tot AS (SELECT COUNT(*) AS h, SUM(n) AS t FROM dense),
+        devs AS (
+          SELECT d.hour_us, d.n * tot.h - tot.t AS dev
+          FROM dense d CROSS JOIN tot),
+        taps AS (
+          SELECT dev,
+                 {", ".join(
+                     f"LEAD(dev, {k}) OVER (ORDER BY hour_us) AS dev_{k}"
+                     for k in ACF_LAGS
+                 )}
+          FROM devs)
+        SELECT * FROM (
+          {" UNION ALL ".join(
+              f"SELECT CAST({k} AS BIGINT) AS lag,"
+              f" COUNT(dev_{k}) AS n_pairs,"
+              f" CAST(SUM(CAST(dev AS HUGEINT) * dev_{k}) * 1000000"
+              f" // SUM(CAST(dev AS HUGEINT) * dev) AS BIGINT) AS acf_ppm"
+              f" FROM taps"
+              for k in ACF_LAGS
+          )}
+        ) ORDER BY lag
+        """,
+        tags=("extension", "stats", "timeseries"),
+        description="Exact sample autocorrelation of hourly counts at "
+        "lags 1/2/3/6/12/24 in ppm: lead taps over one window pass, "
+        "HUGEINT/DECIMAL(38,0) cross products, shared zero-sum "
+        "deviations with the CUSUM walk.",
     ),
 ]

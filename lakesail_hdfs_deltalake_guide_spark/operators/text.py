@@ -415,9 +415,12 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("nll_sum DIV n_bigrams").alias("xent_mbits"),
         )
     )
-    w = Window.orderBy("xent_mbits", "doc_id")
+    # decile cut via the distributed exact rank (operators/ranks.py) —
+    # per-document rows never funnel into a single-task sort
+    from .ranks import exact_ntile
+
     return (
-        per_doc.withColumn("decile", F.ntile(10).over(w))
+        exact_ntile(per_doc, ["xent_mbits", "doc_id"], 10, out="decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -789,12 +792,11 @@ def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_chars * 1000000 div n_bpe").alias("ratio_ppm"),
         )
     )
-    deciled = per_doc.withColumn(
-        "decile",
-        F.ntile(10)
-        .over(Window.orderBy("ratio_ppm", "doc_id"))
-        .cast("bigint"),
-    )
+    # compression-ratio deciles via the distributed exact rank
+    # (operators/ranks.py) — no single-task sort over document rows
+    from .ranks import exact_ntile
+
+    deciled = exact_ntile(per_doc, ["ratio_ppm", "doc_id"], 10, out="decile")
     return (
         deciled.groupBy("decile")
         .agg(

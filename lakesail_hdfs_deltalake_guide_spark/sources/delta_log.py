@@ -595,11 +595,7 @@ def _checkpoint_v2(
         for s in fs.listStatus(staging_path)
         if s.getPath().getName().endswith(".parquet")
     )
-    pa_fs, pa_root = pafs.FileSystem.from_uri(staging)
-    n_adds = sum(
-        pq.read_metadata(f"{pa_root}/{s}", filesystem=pa_fs).num_rows
-        for s in staged
-    )
+    n_adds = sum(_footer_num_rows(spark, f"{staging}/{s}") for s in staged)
     side_dir = f"{_log_dir(path)}/{_SIDECAR_DIR}"
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(side_dir))
     sidecars: list[dict] = []
@@ -881,11 +877,7 @@ def _checkpoint_distributed(
         if s.getPath().getName().endswith(".parquet")
     )
     n_parts = len(staged) + 1
-    pa_fs, pa_root = pafs.FileSystem.from_uri(staging)
-    n_adds = sum(
-        pq.read_metadata(f"{pa_root}/{s}", filesystem=pa_fs).num_rows
-        for s in staged
-    )
+    n_adds = sum(_footer_num_rows(spark, f"{staging}/{s}") for s in staged)
     # clear stale parts from any earlier (possibly aborted) rewrite of
     # this version — mixed part sets must not pool in the listing
     for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(_log_dir(path))):
@@ -1409,6 +1401,94 @@ def _file_stats(filesystem, root: str, rel: str, stats_cols: list[str]) -> dict:
     }
 
 
+def _file_stats_jvm(jvm, conf, jpath, stats_cols: list[str]) -> dict:
+    """Footer stats through the JVM Hadoop FileSystem — the fallback for
+    schemes pyarrow cannot resolve (viewfs://, kerberized hdfs:// with
+    no libhdfs in the container). This is how delta-spark itself reads
+    footers (parquet-hadoop is always on Spark's classpath), so Delta
+    writes keep per-file ``numRecords`` — which COUNT(*) folds and the
+    incremental-pipeline ledgers depend on — on EVERY filesystem the
+    JVM can reach, not just the ones libhdfs can. min/max/nullCount are
+    best-effort: primitive and UTF-8 binary statistics convert cleanly
+    over py4j; anything else is skipped (the file simply never skips on
+    that column — correct, just unpruned)."""
+
+    def _py(v):
+        # py4j auto-converts java primitives/strings; Binary stays a
+        # JavaObject → decode as UTF-8 (parquet string min/max)
+        if v is None or isinstance(v, (int, float, bool, str)):
+            return v
+        try:
+            return v.toStringUsingUTF8()
+        except Exception:
+            return None
+
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+        jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            jpath, conf
+        )
+    )
+    try:
+        blocks = reader.getFooter().getBlocks()
+        num = 0
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        for b in blocks:
+            num += b.getRowCount()
+            if not stats_cols:
+                continue
+            for c in b.getColumns():
+                name = c.getPath().toDotString()
+                if name not in stats_cols:
+                    continue
+                st = c.getStatistics()
+                if st is None or st.isEmpty():
+                    continue
+                if st.isNumNullsSet():
+                    nulls[name] = nulls.get(name, 0) + st.getNumNulls()
+                if not st.hasNonNullValue():
+                    continue
+                mn, mx = _py(st.genericGetMin()), _py(st.genericGetMax())
+                if mn is None or mx is None:
+                    continue
+                mins[name] = min(mins[name], mn) if name in mins else mn
+                maxs[name] = max(maxs[name], mx) if name in maxs else mx
+    finally:
+        reader.close()
+    return {
+        "numRecords": num,
+        "minValues": mins,
+        "maxValues": maxs,
+        "nullCount": nulls,
+    }
+
+
+def _footer_num_rows(spark: SparkSession, uri: str) -> int:
+    """Row count from one parquet footer — pyarrow when the scheme
+    resolves, parquet-hadoop through the JVM Hadoop FS otherwise
+    (viewfs://, kerberized hdfs://). Metadata-only either way."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    try:
+        pa_fs, pa_root = pafs.FileSystem.from_uri(uri)
+    except Exception:
+        _, jpath, jvm = _hadoop_fs(spark, uri)
+        reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+            jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                jpath, spark._jsc.hadoopConfiguration()  # noqa: SLF001
+            )
+        )
+        try:
+            return sum(
+                b.getRowCount() for b in reader.getFooter().getBlocks()
+            )
+        finally:
+            reader.close()
+    return pq.read_metadata(pa_root, filesystem=pa_fs).num_rows
+
+
 def _stage_data_files(
     df: DataFrame,
     path: str,
@@ -1430,10 +1510,16 @@ def _stage_data_files(
     adds = []
     # numRecords is recorded for EVERY file (footer-only read), matching
     # delta-spark — COUNT(*) and incremental-pipeline ledgers then fold
-    # from the log instead of rescanning data; min/max only for stats_cols
+    # from the log instead of rescanning data; min/max only for stats_cols.
+    # pyarrow footer reads are the fast path, but pyarrow cannot resolve
+    # JVM-only schemes (viewfs://, hdfs:// without libhdfs) — those fall
+    # back to parquet-hadoop through the Hadoop FS handle we already hold.
     from pyarrow import fs as pafs
 
-    pa_fs, pa_root = pafs.FileSystem.from_uri(path)
+    try:
+        pa_fs, pa_root = pafs.FileSystem.from_uri(path)
+    except Exception:
+        pa_fs = pa_root = None
     # URI-relativize against the FS's own qualified form: string-splitting
     # on the caller's raw path breaks when Hadoop qualifies it differently
     # (file:///tmp/t → file:/tmp/t, hdfs://nn/t → hdfs://nn:8020/t)
@@ -1475,9 +1561,16 @@ def _stage_data_files(
         }
         # Delta stores per-file stats as a JSON *string* field;
         # default=str keeps date/timestamp/Decimal stats serializable
-        add["stats"] = json.dumps(
-            _file_stats(pa_fs, pa_root, rel, stats_cols or []), default=str
-        )
+        if pa_fs is not None:
+            stats = _file_stats(pa_fs, pa_root, rel, stats_cols or [])
+        else:
+            stats = _file_stats_jvm(
+                jvm,
+                spark._jsc.hadoopConfiguration(),  # noqa: SLF001
+                dest,
+                stats_cols or [],
+            )
+        add["stats"] = json.dumps(stats, default=str)
         adds.append({"add": add})
     fs.delete(staging_path, True)
     return adds
@@ -2523,23 +2616,15 @@ def _rt_assign(
     ``numRecords`` exactly where delta-spark keeps them."""
     if not _rt_enabled(meta):
         return None
-    import pyarrow.parquet as pq
-    from pyarrow import fs as pafs
-
     wm = start = int((meta.get("configuration") or {}).get(_RT_WM_KEY, "0"))
-    pa_fs = pa_root = None
     for item in adds:
         add = item.get("add")
         if add is None or add.get("baseRowId") is not None:
             continue
-        if pa_fs is None:
-            pa_fs, pa_root = pafs.FileSystem.from_uri(path)
         stats = json.loads(add["stats"]) if add.get("stats") else {}
         n = stats.get("numRecords")
         if n is None:
-            n = pq.read_metadata(
-                f"{pa_root}/{add['path']}", filesystem=pa_fs
-            ).num_rows
+            n = _footer_num_rows(spark, f"{path}/{add['path']}")
             stats["numRecords"] = int(n)
             add["stats"] = json.dumps(stats, default=str)
         add["baseRowId"] = wm
@@ -3133,6 +3218,7 @@ def delta_optimize_zorder(
     target_files: int = 8,
     bits: int | None = None,
     incremental: bool = False,
+    _allow_single: bool = False,
 ) -> int:
     """OPTIMIZE ... ZORDER BY (col_1, ..., col_n): rewrite the live set
     clustered on the N-dim Morton interleave of the keys, so per-file
@@ -3157,8 +3243,19 @@ def delta_optimize_zorder(
     design, reproduced on the native log."""
     from .layout import zorder_key_n
 
-    if not cols:
-        raise ValueError("zorder needs at least 1 column")
+    # public ZORDER keeps delta-spark's contract: interleaving needs ≥2
+    # dimensions (a 1-column "z-order" is plain range clustering — that
+    # is exactly what liquid clustering's single-key case wants, so
+    # delta_optimize_clustered opts in via _allow_single; direct callers
+    # asking to ZORDER one column almost certainly meant OPTIMIZE or
+    # forgot a key, and get told so)
+    if len(cols) < (1 if _allow_single else 2):
+        raise ValueError(
+            "zorder needs at least 1 column"
+            if _allow_single
+            else "zorder needs at least 2 columns (one-column clustering "
+            "is plain range layout — use CLUSTER BY or compaction)"
+        )
     if bits is None:
         bits = min(16, 62 // len(cols))
     versions0 = _list_versions(spark, path)
@@ -3359,7 +3456,7 @@ def delta_optimize_clustered(
         )
     return delta_optimize_zorder(
         spark, path, cols, target_files=target_files, bits=bits,
-        incremental=True,
+        incremental=True, _allow_single=True,
     )
 
 

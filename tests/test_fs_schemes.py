@@ -107,3 +107,31 @@ def test_versioned_log_lifecycle_on_scheme(spark, sf_smoke, scheme):
     assert versioned.read_version(spark, path).count() == 2 * s.count()
     assert versioned.read_version(spark, path, version_as_of=0).count() == s.count()
     assert versioned.list_versions(path) == [0, 1]
+
+
+@pytest.mark.parametrize("scheme", SCHEMES)
+def test_footer_stats_in_adds_on_scheme(spark, sf_smoke, scheme):
+    """Every add carries numRecords (and min/max for stats_cols) on
+    EVERY scheme: pyarrow footers on file://, parquet-hadoop through
+    the JVM Hadoop FS on viewfs:// — the round-7 regression was an
+    unconditional pyarrow FileSystem.from_uri that raised
+    'Unable to load libhdfs' on any JVM-only scheme."""
+    import json
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_row_count_from_stats,
+    )
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = _table_path(spark, scheme, f"stats_{scheme}")
+    delta_write(n.repartition(3), path, stats_cols=["n_nationkey"])
+    total = 0
+    for _, a in delta_live_adds(spark, path):
+        st = json.loads(a["stats"])
+        assert st["numRecords"] > 0
+        total += st["numRecords"]
+        assert st["minValues"].get("n_nationkey") is not None
+        assert st["maxValues"].get("n_nationkey") is not None
+    assert total == n.count()
+    # the log-fold COUNT(*) (what incremental-pipeline ledgers use)
+    assert delta_row_count_from_stats(spark, path) == n.count()

@@ -323,10 +323,18 @@ def _custkey_survivors(live, lo, hi):
 
 
 def test_cluster_by_skips_like_explicit_zorder(spark, sf_smoke):
-    """CLUSTER BY + OPTIMIZE must produce the same footer-stats file
-    skipping as an explicit OPTIMIZE ZORDER on the same keys and target
-    file count — liquid clustering is the same layout with metadata-
-    driven keys."""
+    """CLUSTER BY + OPTIMIZE produces the same KIND of layout as an
+    explicit OPTIMIZE ZORDER on the same keys and target file count —
+    liquid clustering is the z-curve with metadata-driven keys. The two
+    writes are independent range exchanges and Spark's
+    repartitionByRange samples boundaries with an RDD-id-derived seed,
+    so file cut points (and thus survivor counts under a band
+    predicate) are NOT bit-deterministic across runs — delta-spark's
+    own OPTIMIZE has the same property. The contract asserted here is
+    therefore a documented bound, not equality: BOTH layouts must
+    actually skip files on the clustering key, and the clustered
+    table's survivor count must be within one file of the explicit
+    z-order's (one boundary landing on the band edge)."""
     import tempfile
 
     from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
@@ -352,8 +360,13 @@ def test_cluster_by_skips_like_explicit_zorder(spark, sf_smoke):
     sa = _custkey_survivors(delta_live_adds(spark, pa), lo, hi)
     sb = _custkey_survivors(delta_live_adds(spark, pb), lo, hi)
     na = len(delta_live_adds(spark, pa))
-    assert sa == sb, f"clusterBy skipping {sa} != zorder skipping {sb}"
-    assert sa < na, "no skipping at all"
+    nb = len(delta_live_adds(spark, pb))
+    assert sa < na, f"clusterBy layout does not skip: {sa}/{na} survive"
+    assert sb < nb, f"zorder layout does not skip: {sb}/{nb} survive"
+    assert abs(sa - sb) <= 1, (
+        f"clusterBy skipping {sa}/{na} vs zorder {sb}/{nb} — more than a "
+        "boundary-sampling difference; layouts have diverged"
+    )
 
 
 def test_cluster_by_rekey_reclusters_everything(spark, sf_smoke):

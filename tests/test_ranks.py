@@ -1,0 +1,90 @@
+"""exact_global_rank / exact_ntile: bit-parity with the unpartitioned
+window functions they replace, and a plan contract that nothing
+funnels through a single-task sort (the 100 TB reason they exist)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.operators.ranks import (
+    exact_global_rank,
+    exact_ntile,
+)
+
+
+def _df(spark, n):
+    # keys collide (id*37 % 97) so the tie-break column does real work
+    return spark.range(n).select(
+        (F.col("id") * 37 % 97).alias("k"), F.col("id")
+    )
+
+
+def test_exact_rank_matches_global_window(spark):
+    df = _df(spark, 1000)
+    ranked, total = exact_global_rank(df, ["k", "id"], out="rn", parts=7)
+    assert total == 1000
+    expect = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("k", "id")).cast("long")
+    )
+    assert sorted(map(tuple, ranked.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+
+def test_exact_rank_desc_order(spark):
+    df = _df(spark, 300)
+    order = [F.desc("k"), F.asc("id")]
+    ranked, _ = exact_global_rank(df, order, out="rn", parts=5)
+    expect = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    assert sorted(map(tuple, ranked.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+
+def test_exact_ntile_matches_ntile(spark):
+    # n % q == 0, uneven tiles, fewer rows than tiles, single row
+    for n, q in [(1000, 10), (17, 5), (3, 7), (1, 4), (20, 4)]:
+        df = _df(spark, n)
+        got = exact_ntile(df, ["k", "id"], q, out="t", parts=4)
+        exp = df.withColumn(
+            "t", F.ntile(q).over(Window.orderBy("k", "id")).cast("long")
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, exp.collect())
+        ), (n, q)
+
+
+def test_exact_rank_plan_has_no_single_partition_exchange(spark):
+    ranked, _ = exact_global_rank(_df(spark, 500), ["k", "id"], parts=6)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the local per-partition rank is a window
+
+
+def test_entity_scale_queries_carry_no_global_ntile(spark, sf_oracle):
+    """The seven queries the round-7 verdict flagged: no ntile over an
+    empty partition spec anywhere in their optimized plans (the decile
+    cut now rides the distributed exact rank), and DSIR's top-k
+    compiles to TakeOrderedAndProject instead of a global
+    row_number + filter."""
+    from lakesail_hdfs_deltalake_guide_spark.registry import build_registry
+
+    reg = build_registry()
+    deciled = [
+        "clean_classifier_calibration",
+        "profile_token_lorenz",
+        "text_bigram_perplexity",
+        "text_bpe_encode_corpus",
+        "olap_rfm_segmentation",
+        "stats_equidepth_quartiles",
+    ]
+    for name in deciled:
+        df = reg.defs[name].fn(spark, sf_oracle)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        assert "ntile(" not in plan, f"{name} still global-NTILEs"
+    dsir = reg.defs["sample_dsir_importance"].fn(spark, sf_oracle)
+    phys = dsir._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert "TakeOrderedAndProject" in phys
