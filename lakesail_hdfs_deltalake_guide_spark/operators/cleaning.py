@@ -534,6 +534,120 @@ def clean_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher repetition thresholds: the published recipe fails a document
+# when too much of it is one phrase repeated (top-2-gram character
+# share) or re-spent on repeated trigrams (duplicate-3-gram overhead)
+GOPHER_TOP2_MAX_PPM = 200_000  # >20% of chars inside the top bigram
+GOPHER_DUP3_MAX_PPM = 150_000  # >15% of chars re-spent on repeat trigrams
+
+
+def clean_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher REPETITION rules — the other half of the published
+    web-corpus gate (clean_gopher_quality_rules covers the length/shape
+    rules): per document, [1] the character share of the most frequent
+    word BIGRAM (``count · (len(w1)+len(w2)) / total_chars`` — a page
+    that is one phrase over and over fails), and [2] the duplicate-
+    TRIGRAM overhead (``Σ (count−1)·len(gram)`` over trigrams occurring
+    ≥ 2× — the characters that would vanish if each repeated trigram
+    collapsed to one occurrence). Both in exact ppm; per-source failure
+    counts and integer mean shares.
+
+    Plan shape: n-gram streams are pure array arithmetic on the scan
+    (``transform`` over filtered positions — codegen, no UDF, no
+    self-join); each stream collapses map-side to per-(doc, gram)
+    counts; the top-bigram pick is a window PARTITIONED by doc_id
+    (never global); text itself is shuffled zero times. The ppm gate
+    thresholds are integers, so the DuckDB oracle is bit-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.split("text", " ").alias("t"),
+        F.expr(
+            "aggregate(split(text, ' '), 0L, (a, w) -> a + length(w))"
+        ).alias("n_chars"),
+    )
+    # positions via filter(sequence(...)) — safe for 1-token docs where
+    # sequence(1, size-1) would flip into a DESCENDING range
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(filter(sequence(1, size(t)), i -> i < size(t)),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.asc("w1"), F.asc("w2")
+    )
+    top2 = (
+        bi.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            (F.col("cnt") * (F.length("w1") + F.length("w2")))
+            .cast("long")
+            .alias("top2_chars"),
+        )
+    )
+    tri = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(filter(sequence(1, size(t)), i -> i < size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2,"
+                "             element_at(t, i + 2) AS w3))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2", "g.w3")
+    dup3 = (
+        tri.groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (F.col("cnt") - 1)
+                * (F.length("w1") + F.length("w2") + F.length("w3"))
+            ).alias("dup3_chars")
+        )
+    )
+    per_doc = (
+        base.select("doc_id", "source", "n_chars")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "source",
+            F.expr(
+                "coalesce(top2_chars, 0) * 1000000 DIV n_chars"
+            ).alias("top2_ppm"),
+            F.expr(
+                "coalesce(dup3_chars, 0) * 1000000 DIV n_chars"
+            ).alias("dup3_ppm"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("top2_ppm") > GOPHER_TOP2_MAX_PPM, 1).otherwise(0)
+            ).alias("n_fail_top2"),
+            F.sum(
+                F.when(F.col("dup3_ppm") > GOPHER_DUP3_MAX_PPM, 1).otherwise(0)
+            ).alias("n_fail_dup3"),
+            F.expr("SUM(top2_ppm) DIV COUNT(*)").alias("mean_top2_ppm"),
+            F.expr("SUM(dup3_ppm) DIV COUNT(*)").alias("mean_dup3_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 # Hashing-trick linear quality classifier (the fastText-style
 # "wiki-reference" model the LLaMA/GPT-3 recipes run after the rule
 # gates). Feature space = 1024 hash buckets; the weight vector is a
@@ -1117,5 +1231,60 @@ QUERIES: list[QueryDef] = [
         """,
         tags=("extension", "join", "cleaning"),
         description="FULL OUTER hourly alignment with zero-fill.",
+    ),
+    QueryDef(
+        "clean_gopher_repetition",
+        clean_gopher_repetition,
+        f"""
+        WITH docs AS (
+          SELECT doc_id, source, string_split(text, ' ') AS t,
+                 CAST(list_aggregate(
+                        list_transform(string_split(text, ' '),
+                                       w -> length(w)), 'sum')
+                      AS BIGINT) AS n_chars
+          FROM documents),
+        bi AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS cnt
+          FROM docs, UNNEST(range(1, len(t))) AS r(i)
+          GROUP BY doc_id, w1, w2),
+        top2 AS (
+          SELECT doc_id,
+                 CAST(cnt * (length(w1) + length(w2)) AS BIGINT)
+                   AS top2_chars
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY cnt DESC, w1, w2) AS rn FROM bi)
+          WHERE rn = 1),
+        tri AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
+                 COUNT(*) AS cnt
+          FROM docs, UNNEST(range(1, len(t) - 1)) AS r(i)
+          GROUP BY doc_id, w1, w2, w3),
+        dup3 AS (
+          SELECT doc_id,
+                 CAST(SUM((cnt - 1) * (length(w1) + length(w2)
+                                       + length(w3))) AS BIGINT)
+                   AS dup3_chars
+          FROM tri WHERE cnt >= 2 GROUP BY doc_id),
+        per_doc AS (
+          SELECT d.source,
+                 COALESCE(top2_chars, 0) * 1000000 // n_chars AS top2_ppm,
+                 COALESCE(dup3_chars, 0) * 1000000 // n_chars AS dup3_ppm
+          FROM docs d
+          LEFT JOIN top2 USING (doc_id)
+          LEFT JOIN dup3 USING (doc_id))
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN top2_ppm > {GOPHER_TOP2_MAX_PPM}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_top2,
+               CAST(SUM(CASE WHEN dup3_ppm > {GOPHER_DUP3_MAX_PPM}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup3,
+               CAST(SUM(top2_ppm) // COUNT(*) AS BIGINT) AS mean_top2_ppm,
+               CAST(SUM(dup3_ppm) // COUNT(*) AS BIGINT) AS mean_dup3_ppm
+        FROM per_doc GROUP BY source ORDER BY source
+        """,
+        tags=("extension", "cleaning", "text", "pipeline"),
+        description="Gopher repetition rules: top-bigram character "
+        "share and duplicate-trigram overhead per doc in exact ppm; "
+        "per-source failure counts — the repetition half of the "
+        "published web-corpus gate.",
     ),
 ]

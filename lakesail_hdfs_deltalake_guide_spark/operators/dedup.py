@@ -1486,13 +1486,13 @@ QUERIES: list[QueryDef] = [
         toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM corpus),
         tokpos AS (
           SELECT doc_id, CAST(i - 1 AS INT) AS tpos, tk[i] AS tok
-          FROM toks, range(1, 200) r(i) WHERE i <= len(tk)),
+          FROM toks, UNNEST(range(1, len(tk) + 1)) AS r(i)),
         grams AS (
           SELECT doc_id, CAST(i - 1 AS INT) AS pos,
                  md5(array_to_string(
                        list_slice(tk, i, i + {SPAN_W - 1}), ' ')) AS digest
-          FROM toks, range(1, 200) r(i)
-          WHERE i <= len(tk) - {SPAN_W - 1}),
+          FROM toks,
+               UNNEST(range(1, len(tk) - {SPAN_W - 1} + 1)) AS r(i)),
         dfc AS (
           SELECT digest, COUNT(DISTINCT doc_id) AS span_df
           FROM grams GROUP BY digest),

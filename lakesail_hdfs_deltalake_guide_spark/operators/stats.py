@@ -793,6 +793,44 @@ def stats_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("lag")
 
 
+def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Spearman rank correlation between two per-document quality
+    signals — token count vs distinct-token count (does longer mean
+    lexically richer?) — the monotone-association check run before
+    trusting one signal as a proxy for another in a filtering pipeline.
+
+    Ranks are over the TOTAL orders (signal, doc_id) — the tie-break is
+    part of the statistic's definition here, identical in both engines —
+    and come from the distributed exact rank (operators/ranks.py), so
+    ranking 10¹⁰ documents is two parallel range exchanges, never a
+    single-task sort. ρ = 1 − 6·Σd²/(n(n²−1)) in exact ppm: Σd² rides
+    DECIMAL(38,0)/HUGEINT (it reaches n³, past BIGINT at ~2M rows) and
+    the division truncates toward zero in both engines (verified)."""
+    from .ranks import exact_global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sig = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("x"),
+        F.size(F.array_distinct(toks)).cast("long").alias("y"),
+    )
+    rx, _ = exact_global_rank(sig, ["x", "doc_id"], out="rx")
+    rxy, _ = exact_global_rank(rx, ["y", "doc_id"], out="ry")
+    return rxy.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        .cast("long")
+        .alias("sum_d2"),
+        F.expr(
+            "CAST(1000000 - (CAST(6 AS DECIMAL(38,0))"
+            " * SUM((rx - ry) * (rx - ry)) * 1000000)"
+            " DIV ((CAST(COUNT(*) AS DECIMAL(38,0)) * COUNT(*) * COUNT(*))"
+            " - COUNT(*)) AS BIGINT)"
+        ).alias("rho_ppm"),
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "stats_runs_test",
@@ -1231,5 +1269,35 @@ QUERIES: list[QueryDef] = [
         "lags 1/2/3/6/12/24 in ppm: lead taps over one window pass, "
         "HUGEINT/DECIMAL(38,0) cross products, shared zero-sum "
         "deviations with the CUSUM walk.",
+    ),
+    QueryDef(
+        "stats_spearman_rank",
+        stats_spearman_rank,
+        """
+        WITH sig AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+                 CAST(len(list_distinct(string_split(text, ' ')))
+                      AS BIGINT) AS y
+          FROM documents),
+        r AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY x, doc_id)
+                      AS BIGINT) AS rx,
+                 CAST(ROW_NUMBER() OVER (ORDER BY y, doc_id)
+                      AS BIGINT) AS ry
+          FROM sig)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+               CAST(1000000 - (CAST(6 AS HUGEINT)
+                    * SUM((rx - ry) * (rx - ry)) * 1000000)
+                    // ((CAST(COUNT(*) AS HUGEINT) * COUNT(*) * COUNT(*))
+                        - COUNT(*)) AS BIGINT) AS rho_ppm
+        FROM r
+        """,
+        tags=("extension", "stats", "profiling"),
+        description="Exact Spearman rank correlation (token count vs "
+        "distinct-token count per doc) in ppm: tie-broken total-order "
+        "ranks from the distributed exact-rank helper, HUGEINT/DECIMAL "
+        "sum of squared rank gaps.",
     ),
 ]

@@ -750,6 +750,39 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges.orderBy("iteration")
 
 
+def _bpe_encode_per_doc(doc_words: DataFrame, word_tok: DataFrame) -> DataFrame:
+    """Encode exploded ``(doc_id, word)`` rows against the distinct-word
+    subword cache: per-doc word/BPE-token/char counts and the exact
+    integer compression ratio. LEFT join with a per-CHARACTER fallback
+    (an out-of-vocabulary word costs ``length(word)`` tokens — no merge
+    learned for it applies, so every character stays its own symbol).
+    The fallback is what makes encode correct the day the corpus
+    outgrows the training snapshot — an inner join would silently drop
+    OOV words from every count."""
+    return (
+        doc_words.join(word_tok, "word", "left")
+        .select(
+            "doc_id",
+            "word",
+            F.coalesce(
+                F.col("n_syms"), F.length("word").cast("long")
+            ).alias("n_syms"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe"),
+            F.sum(F.length("word")).alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe",
+            F.expr("n_chars * 1000000 div n_bpe").alias("ratio_ppm"),
+        )
+    )
+
+
 def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE pass — the other half of the tokenizer loop: apply
     the trained merge table corpus-wide and report exact tokens-per-doc
@@ -777,21 +810,7 @@ def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = load_table(spark, sf_dir, "documents")
     doc_words = d.select("doc_id", F.explode(_tokens()).alias("word"))
-    per_doc = (
-        doc_words.join(word_tok, "word")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_syms").alias("n_bpe"),
-            F.sum(F.length("word")).alias("n_chars"),
-        )
-        .select(
-            "doc_id",
-            "n_words",
-            "n_bpe",
-            F.expr("n_chars * 1000000 div n_bpe").alias("ratio_ppm"),
-        )
-    )
+    per_doc = _bpe_encode_per_doc(doc_words, word_tok)
     # compression-ratio deciles via the distributed exact rank
     # (operators/ranks.py) — no single-task sort over document rows
     from .ranks import exact_ntile
@@ -938,7 +957,395 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unigram-LM segmentation (the SentencePiece family, vs BPE's merge
+# family): candidate pieces are all substrings up to UNI_MAX_PIECE
+# chars; a word's optimal segmentation minimizes total piece NLL under
+# the corpus unigram piece model. UNI_MAX_WORD is an operator contract
+# applied identically in BOTH engines (the report covers words up to
+# that length), not an oracle-only truncation. UNI_BASE packs
+# (cost, piece count) into one integer so the Viterbi MIN is a single
+# lexicographic reduction: cost·BASE + pieces, pieces < BASE always.
+UNI_MAX_PIECE = 4
+UNI_MAX_WORD = 16
+UNI_BASE = 64
+
+
+def text_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM subword segmentation — the OTHER tokenizer family
+    (Kudo's SentencePiece model; BPE's train/encode pair lives above):
+    score every candidate piece (all substrings ≤ UNI_MAX_PIECE chars
+    of corpus words) by its corpus NLL in exact integer millibits, then
+    segment each distinct word OPTIMALLY by Viterbi DP — minimize total
+    piece cost, ties to fewer pieces — and report the piece-count
+    distribution with frequency mass and cost stats.
+
+    The Viterbi recurrence best(j) = min_i best(i) + cost(word[i+1..j])
+    runs as ONE codegen'd higher-order expression per word
+    (``aggregate`` builds the DP array, ``transform``+``array_min`` is
+    the inner minimization, the word's own piece costs ride a
+    collect_list'd map) — no Python, no per-row iteration outside the
+    expression engine, no join per DP step. The tie-break is exact:
+    candidates are compared as cost·64 + pieces, a single integer.
+
+    Scale shape: everything past the one corpus token scan is
+    VOCABULARY-sized (distinct words → pieces → DP), the same posture
+    as the BPE trainer; the piece-cost table is a sub-vocabulary
+    broadcast. The DuckDB twin unrolls the same DP as chained CTEs
+    (one per position, UNI_MAX_WORD deep) — bit-identical costs via
+    the shared LOG2_MB_TABLE mantissa log2."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_tokens()).alias("word"))
+        .where(F.length("word") <= UNI_MAX_WORD)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)  # vocab-sized; feeds pieces + DP
+    )
+    subs = words.select(
+        "word",
+        "freq",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(word)),"
+                f" i -> transform("
+                f"   sequence(1, least({UNI_MAX_PIECE},"
+                f"                     length(word) - i + 1)),"
+                f"   L -> substring(word, i, L))))"
+            )
+        ).alias("sub"),
+    )
+    sfreq = subs.groupBy("sub").agg(F.sum("freq").alias("sfreq"))
+    totals = sfreq.agg(F.sum("sfreq").alias("t"))
+    arr = F.array(*[F.lit(int(x)) for x in LOG2_MB_TABLE])
+    costs = (
+        sfreq.crossJoin(F.broadcast(totals))
+        .withColumn("r", F.expr("t * 1048576 DIV sfreq"))
+        .withColumn("e", (F.length(F.expr("bin(r)")) - 1).cast("int"))
+        .withColumn(
+            "m6", F.expr("r DIV shiftleft(CAST(1 AS BIGINT), e - 6)")
+        )
+        .select(
+            "sub",
+            (
+                (
+                    (F.col("e") - 20) * 1000
+                    + F.element_at(arr, (F.col("m6") - 63).cast("int"))
+                ).cast("long")
+                * UNI_BASE
+                + 1
+            ).alias("comb"),
+        )
+    )
+    wmap = (
+        subs.select("word", "sub")
+        .distinct()
+        .join(costs, "sub")
+        .groupBy("word")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("sub", "comb"))
+            ).alias("m")
+        )
+    )
+    dp = words.join(wmap, "word").withColumn(
+        "best",
+        F.expr(
+            f"""element_at(
+              aggregate(
+                sequence(1, length(word)),
+                array(CAST(0 AS BIGINT)),
+                (acc, j) -> array_append(acc,
+                  array_min(transform(
+                    sequence(greatest(j - {UNI_MAX_PIECE}, 0), j - 1),
+                    i -> element_at(acc, i + 1)
+                         + element_at(m, substring(word, i + 1, j - i)))))),
+              length(word) + 1)"""
+        ),
+    )
+    return (
+        dp.select(
+            "freq",
+            F.expr(f"best % {UNI_BASE}").alias("n_pieces"),
+            F.expr(f"best DIV {UNI_BASE}").alias("cost_mb"),
+        )
+        .groupBy("n_pieces")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("freq").alias("total_freq"),
+            F.min("cost_mb").alias("min_cost_mb"),
+            F.expr("SUM(cost_mb) DIV COUNT(*)").alias("mean_cost_mb"),
+        )
+        .select(
+            F.col("n_pieces").cast("long").alias("n_pieces"),
+            "n_words",
+            "total_freq",
+            "min_cost_mb",
+            "mean_cost_mb",
+        )
+        .orderBy("n_pieces")
+    )
+
+
+def _uni_dp_sql() -> str:
+    """The DuckDB Viterbi unroll: d0..d{UNI_MAX_WORD} CTEs, one per
+    word position; d{j} minimizes over the ≤ UNI_MAX_PIECE predecessor
+    states, joining each candidate's piece cost by literal substring
+    bounds — the same recurrence the Spark higher-order expression
+    evaluates, as chained relational steps."""
+    parts = [
+        "d0 AS MATERIALIZED (SELECT word, freq, CAST(0 AS BIGINT) AS best FROM words)"
+    ]
+    for j in range(1, UNI_MAX_WORD + 1):
+        branches = " UNION ALL ".join(
+            f"SELECT d.word, d.freq, d.best + c.comb AS cand"
+            f" FROM d{i} d JOIN costs c"
+            f" ON c.sub = substring(d.word, {i + 1}, {j - i})"
+            f" WHERE len(d.word) >= {j}"
+            for i in range(max(0, j - UNI_MAX_PIECE), j)
+        )
+        parts.append(
+            f"d{j} AS MATERIALIZED (SELECT word, freq, MIN(cand) AS best"
+            f" FROM ({branches}) GROUP BY word, freq)"
+        )
+    final = " UNION ALL ".join(
+        f"SELECT word, freq, best FROM d{j} WHERE len(word) = {j}"
+        for j in range(1, UNI_MAX_WORD + 1)
+    )
+    parts.append(f"final AS ({final})")
+    return ",\n        ".join(parts)
+
+
+# Hybrid retrieval fusion constants: RRF with the published K = 60,
+# per-signal candidate pools of 20, final top-5 per query.
+RRF_K = 60
+RRF_POOL = 20
+RRF_TOP = 5
+
+
+def text_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval with Reciprocal Rank Fusion —
+    the standard RAG/curation retriever: each query document retrieves
+    a candidate pool by BM25 (its distinct tokens as the term set) and
+    a pool by exact cosine over the aligned embedding, and the two
+    rankings fuse as ``Σ 10⁶ div (K + rank)`` (K = 60, the published
+    constant) — rank-based fusion needs no score calibration between
+    incommensurable signals, which is why RRF is the default hybrid.
+
+    Integer end to end: the BM25 core is the rational RSJ/BIGINT form
+    text_bm25_rank documents; cosine ranks reuse the 6-decimal-rounded
+    similarity the brute-force baseline pins; RRF contributions are
+    exact ppm divisions.
+
+    Plan shape: ONE corpus token explosion filtered on the scan by the
+    broadcast union of query terms (tf shuffles only matching (doc,
+    term) rows); document frequencies and corpus totals are
+    metadata-sized broadcasts; the vector side broadcasts the query
+    embeddings against a single partitioned corpus scan; every rank
+    window is PARTITIONED by query_id; the fusion join touches
+    Q × pool rows. At 100 TB: one text pass + one embedding pass."""
+    from .similarity import NUM_QUERIES, _scored_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.size(_tokens()).cast("bigint").alias("dl")
+    )
+    totals = docs.agg(
+        F.sum("dl").alias("corpus_len"), F.count(F.lit(1)).alias("n_docs")
+    )
+    qterms = d.where(F.col("doc_id") < NUM_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(_tokens())).alias("token"),
+    )
+    tf = (
+        d.select(
+            "doc_id",
+            F.size(_tokens()).cast("bigint").alias("dl"),
+            F.explode(_tokens()).alias("token"),
+        )
+        .join(F.broadcast(qterms.select("token").distinct()), "token")
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    lex_scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf_pm",
+            F.expr("(2 * n_docs - 2 * df + 1) * 1000 DIV (2 * df + 1)"),
+        )
+        .withColumn(
+            "q_ppm",
+            F.expr("dl * 1000000 DIV GREATEST(corpus_len DIV n_docs, 1)"),
+        )
+        .withColumn(
+            "sat_ppm",
+            F.expr(
+                "22 * tf * 1000000000000 DIV "
+                "(10000000 * tf + 3000000 + 9 * q_ppm)"
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.expr("idf_pm * sat_ppm DIV 1000")).alias("score_ppm"))
+    )
+    wlex = Window.partitionBy("query_id").orderBy(
+        F.desc("score_ppm"), F.asc("doc_id")
+    )
+    lex = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(wlex))
+        .where(F.col("lex_rank") <= RRF_POOL)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    wvec = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    vec = (
+        _scored_pairs(spark, sf_dir)
+        .withColumn("vec_rank", F.row_number().over(wvec))
+        .where(F.col("vec_rank") <= RRF_POOL)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "vec_rank")
+    )
+    fused = (
+        lex.join(vec, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 DIV ({RRF_K} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 DIV ({RRF_K} + vec_rank)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_ppm"),
+            F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_ppm"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("rank") <= RRF_TOP)
+        .orderBy("query_id", "rank")
+    )
+
+
+from .similarity import NUM_QUERIES as _RRF_Q  # noqa: E402
+from .similarity import _SQL_SIM as _SQL_COS  # noqa: E402
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "text_hybrid_rrf_retrieval",
+        text_hybrid_rrf_retrieval,
+        f"""
+        WITH docs AS (
+          SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS dl FROM documents),
+        tot AS (
+          SELECT CAST(SUM(dl) AS BIGINT) AS corpus_len, COUNT(*) AS n_docs
+          FROM docs),
+        qterms AS (
+          SELECT doc_id AS query_id,
+                 unnest(list_distinct({_SQL_TOKS})) AS token
+          FROM documents WHERE doc_id < {_RRF_Q}),
+        qtok AS (SELECT DISTINCT token FROM qterms),
+        tf AS (
+          SELECT h.doc_id, h.dl, h.token, COUNT(*) AS tf
+          FROM (SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS dl,
+                       unnest({_SQL_TOKS}) AS token FROM documents) h
+          JOIN qtok USING (token)
+          GROUP BY h.doc_id, h.dl, h.token),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        lex_scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(SUM(
+                   ((2 * t.n_docs - 2 * f.df + 1) * 1000 // (2 * f.df + 1))
+                   * (22 * tf.tf * 1000000000000
+                      // (10000000 * tf.tf + 3000000
+                          + 9 * (tf.dl * 1000000
+                                 // greatest(t.corpus_len // t.n_docs, 1))))
+                   // 1000) AS BIGINT) AS score_ppm
+          FROM tf
+          JOIN qterms q USING (token)
+          JOIN dfreq f USING (token), tot t
+          WHERE tf.doc_id <> q.query_id
+          GROUP BY q.query_id, tf.doc_id),
+        lex AS (
+          SELECT query_id, doc_id, lex_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score_ppm DESC, doc_id) AS lex_rank
+            FROM lex_scored) WHERE lex_rank <= {RRF_POOL}),
+        vec AS (
+          SELECT query_id, doc_id, vec_rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_SQL_COS} DESC, c.vec_id) AS vec_rank
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < {_RRF_Q} AND q.vec_id <> c.vec_id)
+          WHERE vec_rank <= {RRF_POOL}),
+        fused AS (
+          SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 CAST(COALESCE(1000000 // ({RRF_K} + l.lex_rank), 0)
+                      + COALESCE(1000000 // ({RRF_K} + v.vec_rank), 0)
+                      AS BIGINT) AS rrf_ppm,
+                 CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+                 CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank
+          FROM lex l FULL OUTER JOIN vec v
+            ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+        SELECT query_id, doc_id, rrf_ppm, lex_rank, vec_rank,
+               CAST(rn AS BIGINT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rrf_ppm DESC, doc_id) AS rn FROM fused)
+        WHERE rn <= {RRF_TOP} ORDER BY query_id, rank
+        """,
+        tags=("extension", "text", "similarity", "pipeline", "bench"),
+        description="Hybrid retrieval: per-query BM25 pool + exact "
+        "cosine pool fused by Reciprocal Rank Fusion (K=60) in exact "
+        "ppm — the calibration-free lexical+vector retriever.",
+    ),
+    QueryDef(
+        "text_unigram_segmentation",
+        text_unigram_segmentation,
+        f"""
+        WITH words AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+          WHERE len(word) <= {UNI_MAX_WORD}
+          GROUP BY word),
+        subs AS (
+          SELECT word, freq, substring(word, i, L) AS sub
+          FROM words,
+               UNNEST(range(1, len(word) + 1)) AS ri(i),
+               UNNEST(range(1, least({UNI_MAX_PIECE},
+                                     len(word) - i + 1) + 1)) AS rl(L)),
+        sfreq AS (
+          SELECT sub, CAST(SUM(freq) AS BIGINT) AS sfreq
+          FROM subs GROUP BY sub),
+        tot AS (SELECT CAST(SUM(sfreq) AS BIGINT) AS t FROM sfreq),
+        costs AS MATERIALIZED (
+          SELECT sub,
+                 CAST(({_dsir_like_nll_sql("t", "sfreq")}) AS BIGINT)
+                   * {UNI_BASE} + 1 AS comb
+          FROM sfreq, tot),
+        {_uni_dp_sql()}
+        SELECT CAST(best % {UNI_BASE} AS BIGINT) AS n_pieces,
+               COUNT(*) AS n_words,
+               CAST(SUM(freq) AS BIGINT) AS total_freq,
+               CAST(MIN(best // {UNI_BASE}) AS BIGINT) AS min_cost_mb,
+               CAST(SUM(best // {UNI_BASE}) // COUNT(*) AS BIGINT)
+                 AS mean_cost_mb
+        FROM final GROUP BY n_pieces ORDER BY n_pieces
+        """,
+        tags=("extension", "text", "pipeline"),
+        description="Unigram-LM (SentencePiece-family) optimal subword "
+        "segmentation: Viterbi DP per distinct word as one codegen'd "
+        "higher-order expression, integer-millibit piece costs, "
+        "piece-count distribution with frequency mass.",
+    ),
     QueryDef(
         "text_intra_doc_repetition",
         text_intra_doc_repetition,
@@ -1184,8 +1591,7 @@ QUERIES: list[QueryDef] = [
         s0 AS MATERIALIZED (
           SELECT word, freq, CAST(i AS BIGINT) AS pos, ch[i] AS sym
           FROM (SELECT word, freq, string_split(word, '') AS ch FROM words),
-               range(1, 64) r(i)
-          WHERE i <= len(ch)),
+               UNNEST(range(1, len(ch) + 1)) AS r(i)),
         {",".join(_bpe_round_sql(f"s{r - 1}", r).lstrip()
                   for r in range(1, BPE_MERGES + 1))},
         wt AS (
@@ -1196,9 +1602,9 @@ QUERIES: list[QueryDef] = [
           FROM documents),
         pd AS (
           SELECT doc_id, COUNT(*) AS n_words,
-                 CAST(SUM(n_syms) AS BIGINT) AS n_bpe,
+                 CAST(SUM(COALESCE(n_syms, len(word))) AS BIGINT) AS n_bpe,
                  CAST(SUM(len(word)) AS BIGINT) AS n_chars
-          FROM dw JOIN wt USING (word) GROUP BY doc_id),
+          FROM dw LEFT JOIN wt USING (word) GROUP BY doc_id),
         r AS (
           SELECT doc_id, n_words, n_bpe,
                  n_chars * 1000000 // n_bpe AS ratio_ppm

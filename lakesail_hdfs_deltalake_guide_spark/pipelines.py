@@ -411,6 +411,7 @@ def pipeline_incremental_minhash(
             | (F.col("doc_id") % 10 == 0),
         ),
     )
+    state_rows = 0
     for name, cond in batches:
         b = bands_all.where(cond)
         state = delta_read(spark, state_path)
@@ -422,7 +423,11 @@ def pipeline_incremental_minhash(
             .select("doc_id")
             .distinct()
         )
-        fresh = b.join(hist_dup, "doc_id", "left_anti")
+        # the history band-join runs exactly ONCE: fresh is frozen here,
+        # so the self-join, the write, and the ledger all reuse it
+        fresh = b.join(hist_dup, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
         x, y = fresh.alias("a"), fresh.alias("b")
         batch_dup = (
             x.join(
@@ -436,14 +441,24 @@ def pipeline_incremental_minhash(
         )
         keep = fresh.join(batch_dup, "doc_id", "left_anti")
         delta_write(keep, state_path, mode="append")
+        # Ledger WITHOUT re-running any join: every doc carries exactly
+        # NUM_BANDS band rows (band_keys always emits the full band
+        # vector), so doc counts fold from band-row counts — b and
+        # fresh are checkpointed (near-free counts) and the state size
+        # is the log's add-action numRecords (a metadata fold).
+        n_input = b.count() // NUM_BANDS
+        n_fresh = fresh.count() // NUM_BANDS
+        new_state_rows = delta_row_count_from_stats(spark, state_path)
+        n_kept = (new_state_rows - state_rows) // NUM_BANDS
+        state_rows = new_state_rows
         out_rows.append(
             (
                 name,
-                b.select("doc_id").distinct().count(),
-                hist_dup.count(),
-                batch_dup.count(),
-                keep.select("doc_id").distinct().count(),
-                delta_row_count_from_stats(spark, state_path),
+                n_input,
+                n_input - n_fresh,
+                n_fresh - n_kept,
+                n_kept,
+                new_state_rows,
             )
         )
     return spark.createDataFrame(

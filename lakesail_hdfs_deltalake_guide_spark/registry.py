@@ -125,53 +125,8 @@ _R01_VERIFIED = frozenset(
 _R02_VERIFIED = frozenset(
     {
         "agg_percentile_approx",
-        "chunk_pack_sequences",
-        "chunk_sliding_windows",
-        "clean_schema_drift_union",
-        "cluster_centroid_assign",
-        "cluster_random_projection",
-        "dedup_distinct_pairs",
-        "dedup_minhash_lsh",
-        "delta_native_optimize_compact",
-        "delta_native_stats_skip",
-        "graph_pagerank_trade",
-        "hypertable_multires_rollup",
-        "io_bucketed_join_agg",
-        "layout_zorder_scan",
-        "multimodal_decode_features",
-        "multimodal_metadata_prune",
-        "olap_cube_orders",
-        "olap_rollup_revenue",
-        "profile_dataset_manifest",
-        "pysource_lehmer_filtered",
-        "pysource_lehmer_histogram",
-        "sample_token_budget_mix",
-        "sample_weighted_by_length",
-        "scalar_bool_aggregates",
-        "scalar_map_explode_props",
-        "session_context_examples",
-        "session_transition_matrix",
-        "similarity_bruteforce_topk",
-        "similarity_threshold_pairs",
-        "skew_salted_agg_returnflag",
-        "skew_salted_join_events",
-        "sql_named_parameters",
-        "sql_recursive_month_spine",
-        "stats_observed_scan_metrics",
-        "streaming_delta_append_sink",
-        "streaming_sliding_stats",
-        "streaming_stateful_user_profiles",
-        "streaming_tumbling_counts",
-        "streaming_upsert_versioned",
-        "temporal_asof_last_error",
-        "temporal_range_conversions",
         "text_bigram_counts",
         "tpch_q2_min_balance_supplier",
-        "ts_gapfill_hourly",
-        "udf_arrow_batch_tokens",
-        "udf_table_function_sentences",
-        "versioned_merge_upsert",
-        "versioned_snapshot_counts",
     }
 )
 
@@ -393,6 +348,65 @@ _R06_VERIFIED = frozenset(
     }
 )
 
+# Round 7: 50/50 fully green — 5 first-time rows (the round-7 operator
+# tier: exact-substring spans, IVF-PQ, BPE corpus encode, incremental
+# MinHash state, liquid clusterBy) plus 45 r02 re-confirms, which move
+# here because their freshest driver row is now r07.
+_R07_VERIFIED = frozenset(
+    {
+        "chunk_pack_sequences",
+        "chunk_sliding_windows",
+        "clean_schema_drift_union",
+        "cluster_centroid_assign",
+        "cluster_random_projection",
+        "dedup_distinct_pairs",
+        "dedup_minhash_lsh",
+        "dedup_substring_spans",
+        "delta_native_cluster_by",
+        "delta_native_optimize_compact",
+        "delta_native_stats_skip",
+        "graph_pagerank_trade",
+        "hypertable_multires_rollup",
+        "io_bucketed_join_agg",
+        "layout_zorder_scan",
+        "multimodal_decode_features",
+        "multimodal_metadata_prune",
+        "olap_cube_orders",
+        "olap_rollup_revenue",
+        "pipeline_incremental_minhash",
+        "profile_dataset_manifest",
+        "pysource_lehmer_filtered",
+        "pysource_lehmer_histogram",
+        "sample_token_budget_mix",
+        "sample_weighted_by_length",
+        "scalar_bool_aggregates",
+        "scalar_map_explode_props",
+        "session_context_examples",
+        "session_transition_matrix",
+        "similarity_bruteforce_topk",
+        "similarity_ivf_pq_topk",
+        "similarity_threshold_pairs",
+        "skew_salted_agg_returnflag",
+        "skew_salted_join_events",
+        "sql_named_parameters",
+        "sql_recursive_month_spine",
+        "stats_observed_scan_metrics",
+        "streaming_delta_append_sink",
+        "streaming_sliding_stats",
+        "streaming_stateful_user_profiles",
+        "streaming_tumbling_counts",
+        "streaming_upsert_versioned",
+        "temporal_asof_last_error",
+        "temporal_range_conversions",
+        "text_bpe_encode_corpus",
+        "ts_gapfill_hourly",
+        "udf_arrow_batch_tokens",
+        "udf_table_function_sentences",
+        "versioned_merge_upsert",
+        "versioned_snapshot_counts",
+    }
+)
+
 # Oldest driver row first: the re-confirm cursor. r05 re-confirmed the
 # first 17 r01 rows; r06's window re-confirmed only 2 r02 rows (48 new
 # queries claimed the rest), so r02 still holds the stalest rows and
@@ -405,6 +419,7 @@ DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _R05_VERIFIED,
     _R01_VERIFIED,
     _R06_VERIFIED,
+    _R07_VERIFIED,
 )
 DRIVER_VERIFIED = frozenset().union(*DRIVER_VERIFIED_ROUNDS)
 

@@ -5563,6 +5563,50 @@ def delta_native_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM lifecycle: v0 overwrite (nation, 2 files) → v1 append
+    (3 files) → v2 destructive overwrite (region-0 subset, 1 file) →
+    VACUUM retaining only the newest snapshot. The five files only
+    v0/v1 reference are physically reclaimed, the current read is
+    untouched, time travel to v0 now fails at scan time, and the log
+    still lists all three versions (VACUUM reclaims data bytes, never
+    history metadata) — delta-spark's storage/history trade, with a
+    version-count retention knob for deterministic tests in place of
+    the 7-day default."""
+    import tempfile
+
+    from ..tables import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="ls_delta_vacuum_")
+    delta_write(n.repartition(2), path, mode="overwrite")  # v0: 2 files
+    delta_write(n.repartition(3), path, mode="append")  # v1: +3 files
+    delta_write(
+        n.where(F.col("n_regionkey") == 0).repartition(1),
+        path,
+        mode="overwrite",
+    )  # v2: 1 live file, 5 tombstones
+    reclaimed = delta_vacuum(spark, path, keep_versions=1)
+    n_live = delta_read(spark, path).count()
+    try:
+        delta_read(spark, path, version=0).count()
+        v0_fails = 0
+    except Exception:  # noqa: BLE001 — reclaimed data file
+        v0_fails = 1
+    return spark.createDataFrame(
+        [
+            (
+                n_live,
+                len(reclaimed),
+                len(_list_versions(spark, path)),
+                v0_fails,
+            )
+        ],
+        "n_live_rows long, n_files_reclaimed long, "
+        "n_versions_in_log long, v0_travel_fails long",
+    )
+
+
 def delta_native_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE upsert on the native log (delta-spark's
     ``whenMatchedUpdateAll/whenNotMatchedInsertAll``): target = even
@@ -6777,6 +6821,21 @@ QUERIES: list[QueryDef] = [
         tags=("parity", "delta", "io"),
         description="RESTORE TO VERSION as a pure-metadata MVCC commit "
         "(re-adds the old generation, keeps history).",
+    ),
+    QueryDef(
+        "delta_native_vacuum",
+        delta_native_vacuum,
+        """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_live_rows,
+               CAST(5 AS BIGINT) AS n_files_reclaimed,
+               CAST(3 AS BIGINT) AS n_versions_in_log,
+               CAST(1 AS BIGINT) AS v0_travel_fails
+        FROM nation WHERE n_regionkey = 0
+        """,
+        tags=("parity", "delta", "io"),
+        description="VACUUM: unreferenced data files reclaimed (5 of 6), "
+        "current snapshot intact, expired time travel fails cleanly, "
+        "log history preserved.",
     ),
     QueryDef(
         "delta_native_version_diff",

@@ -434,3 +434,30 @@ def test_cluster_by_single_column_and_partition_refusal(spark, sf_smoke):
     delta_write(o, pp, partition_by=["o_orderpriority"])
     with pytest.raises(ValueError, match="hive partitioning"):
         delta_cluster_by(spark, pp, ["o_custkey"])
+
+
+def test_bpe_encode_oov_falls_back_to_chars(spark):
+    """Encode on a corpus the trainer never saw: an in-vocab word costs
+    its cached subword count, an OOV word falls back to per-character
+    tokens (length(word)) instead of silently vanishing — the round-7
+    inner-join bug this pins."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        _bpe_encode_per_doc,
+    )
+
+    word_tok = spark.createDataFrame(
+        [("hello", 2), ("world", 3)], "word string, n_syms long"
+    )
+    doc_words = spark.createDataFrame(
+        [(1, "hello"), (1, "unseen"), (2, "world"), (2, "zz")],
+        "doc_id long, word string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in _bpe_encode_per_doc(doc_words, word_tok).collect()
+    }
+    assert rows[1]["n_words"] == 2
+    assert rows[1]["n_bpe"] == 2 + len("unseen")
+    assert rows[2]["n_bpe"] == 3 + len("zz")
+    # ratio = chars*1e6 div bpe = (5+6)*1e6 div (2+6)
+    assert rows[1]["ratio_ppm"] == (11 * 1_000_000) // 8

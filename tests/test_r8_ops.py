@@ -1,0 +1,129 @@
+"""Round-8 operator invariants (structural checks independent of the
+DuckDB oracle twins in test_oracle_parity)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def test_unigram_segmentation_matches_sequential_dp(spark, sf_smoke):
+    """The relational Viterbi (one higher-order expression per word)
+    must agree with a sequential Python DP applying the same integer
+    piece costs — the classic pseudocode as the reference, same
+    doctrine as the BPE sequential-reference test."""
+    import duckdb
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        LOG2_MB_TABLE,
+        UNI_BASE,
+        UNI_MAX_PIECE,
+        UNI_MAX_WORD,
+        text_unigram_segmentation,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    words = dict(
+        con.execute(
+            "SELECT word, COUNT(*) FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+            f"WHERE len(word) <= {UNI_MAX_WORD} GROUP BY word"
+        ).fetchall()
+    )
+    sfreq: Counter = Counter()
+    for w, f in words.items():
+        for i in range(len(w)):
+            for ln in range(1, min(UNI_MAX_PIECE, len(w) - i) + 1):
+                sfreq[w[i : i + ln]] += f
+    total = sum(sfreq.values())
+
+    def mb(num: int, den: int) -> int:
+        r = num * 1048576 // den
+        e = r.bit_length() - 1
+        m6 = r >> (e - 6)
+        # engines index the mantissa table 1-based (element_at / DuckDB
+        # list indexing); python is 0-based
+        return (e - 20) * 1000 + LOG2_MB_TABLE[m6 - 64]
+
+    comb = {s: mb(total, f) * UNI_BASE + 1 for s, f in sfreq.items()}
+
+    def best(w: str) -> int:
+        dp = [0]
+        for j in range(1, len(w) + 1):
+            dp.append(
+                min(
+                    dp[i] + comb[w[i:j]]
+                    for i in range(max(0, j - UNI_MAX_PIECE), j)
+                )
+            )
+        return dp[-1]
+
+    agg: dict[int, list[int]] = {}
+    for w, f in words.items():
+        b = best(w)
+        a = agg.setdefault(b % UNI_BASE, [0, 0, 1 << 62, 0])
+        a[0] += 1
+        a[1] += f
+        a[2] = min(a[2], b // UNI_BASE)
+        a[3] += b // UNI_BASE
+    want = sorted(
+        (p, a[0], a[1], a[2], a[3] // a[0]) for p, a in agg.items()
+    )
+    got = sorted(
+        tuple(int(x) for x in r)
+        for r in text_unigram_segmentation(spark, sf_smoke).collect()
+    )
+    assert got == want
+
+
+def test_hybrid_rrf_pools_and_scores(spark, sf_smoke):
+    """RRF output invariants: every fused row carries at least one
+    signal rank, scores decompose exactly into the two reciprocal
+    contributions, and per-query ranks are 1..TOP without gaps."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        RRF_K,
+        RRF_TOP,
+        text_hybrid_rrf_retrieval,
+    )
+
+    rows = text_hybrid_rrf_retrieval(spark, sf_smoke).collect()
+    assert rows, "retriever returned nothing"
+    by_query: dict[int, list] = {}
+    for r in rows:
+        assert r.lex_rank > 0 or r.vec_rank > 0
+        want = (1_000_000 // (RRF_K + r.lex_rank) if r.lex_rank else 0) + (
+            1_000_000 // (RRF_K + r.vec_rank) if r.vec_rank else 0
+        )
+        assert r.rrf_ppm == want
+        by_query.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_query.items():
+        assert sorted(ranks) == list(range(1, RRF_TOP + 1)), q
+
+
+def test_vacuum_reclaims_only_unreferenced(spark, sf_smoke):
+    """VACUUM must never touch a file the retained snapshot references:
+    after reclaim, every live add still opens, and re-running VACUUM is
+    a no-op."""
+    import tempfile
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+        delta_vacuum,
+        delta_write,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_vacuum_inv_")
+    delta_write(n.repartition(2), path)
+    delta_write(n.repartition(2), path, mode="append")
+    delta_write(n.where(F.col("n_nationkey") < 5), path, mode="overwrite")
+    first = delta_vacuum(spark, path, keep_versions=1)
+    assert len(first) == 4
+    assert delta_read(spark, path).count() == 5
+    assert delta_vacuum(spark, path, keep_versions=1) == []
