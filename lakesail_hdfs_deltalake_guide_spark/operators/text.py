@@ -351,11 +351,40 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-sized shuffle, keyed (doc, bigram)); the LM tables c12/c1 are
     re-aggregations OF tf (vocabulary-sized, Zipf — broadcastable at
     scale), the per-language vocab is a 5-row broadcast. The final
-    exact-decile NTILE is a single-partition sort over the DOC-SIZED
-    score table — the same adjudicated equi-depth idiom as
-    ``stats_equidepth_quartiles``; at 10^9 docs swap it for
-    approx-percentile boundaries (sketch-sized) at the cost of
-    exactness."""
+    exact deciles ride the distributed exact rank
+    (operators/ranks.py) over the DOC-SIZED score table — no
+    single-task sort anywhere."""
+    per_doc = _perplexity_per_doc(spark, sf_dir)
+    # decile cut via the distributed exact rank (operators/ranks.py) —
+    # per-document rows never funnel into a single-task sort
+    from .ranks import exact_ntile
+
+    return (
+        exact_ntile(per_doc, ["xent_mbits", "doc_id"], 10, out="decile")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("xent_mbits").alias("min_mbits"),
+            F.max("xent_mbits").alias("max_mbits"),
+            F.expr("SUM(xent_mbits) DIV COUNT(*)").alias("avg_mbits"),
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_docs",
+            "min_mbits",
+            "max_mbits",
+            "avg_mbits",
+        )
+        .orderBy("decile")
+    )
+
+
+def _perplexity_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scoring stage of text_bigram_perplexity, pre-decile: per-doc
+    mean bigram NLL in millibits. Exposed separately so plan contracts
+    (vocab broadcast, no text in exchanges) are assertable — the decile
+    cut's localCheckpoint boundary hides this stage from the final
+    query's executed plan."""
     d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     occ = (
@@ -415,28 +444,7 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("nll_sum DIV n_bigrams").alias("xent_mbits"),
         )
     )
-    # decile cut via the distributed exact rank (operators/ranks.py) —
-    # per-document rows never funnel into a single-task sort
-    from .ranks import exact_ntile
-
-    return (
-        exact_ntile(per_doc, ["xent_mbits", "doc_id"], 10, out="decile")
-        .groupBy("decile")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.min("xent_mbits").alias("min_mbits"),
-            F.max("xent_mbits").alias("max_mbits"),
-            F.expr("SUM(xent_mbits) DIV COUNT(*)").alias("avg_mbits"),
-        )
-        .select(
-            F.col("decile").cast("bigint").alias("decile"),
-            "n_docs",
-            "min_mbits",
-            "max_mbits",
-            "avg_mbits",
-        )
-        .orderBy("decile")
-    )
+    return per_doc
 
 
 def _dsir_like_nll_sql(num: str, den: str) -> str:
@@ -970,29 +978,14 @@ UNI_MAX_WORD = 16
 UNI_BASE = 64
 
 
-def text_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM subword segmentation — the OTHER tokenizer family
-    (Kudo's SentencePiece model; BPE's train/encode pair lives above):
-    score every candidate piece (all substrings ≤ UNI_MAX_PIECE chars
-    of corpus words) by its corpus NLL in exact integer millibits, then
-    segment each distinct word OPTIMALLY by Viterbi DP — minimize total
-    piece cost, ties to fewer pieces — and report the piece-count
-    distribution with frequency mass and cost stats.
-
-    The Viterbi recurrence best(j) = min_i best(i) + cost(word[i+1..j])
-    runs as ONE codegen'd higher-order expression per word
-    (``aggregate`` builds the DP array, ``transform``+``array_min`` is
-    the inner minimization, the word's own piece costs ride a
-    collect_list'd map) — no Python, no per-row iteration outside the
-    expression engine, no join per DP step. The tie-break is exact:
-    candidates are compared as cost·64 + pieces, a single integer.
-
-    Scale shape: everything past the one corpus token scan is
-    VOCABULARY-sized (distinct words → pieces → DP), the same posture
-    as the BPE trainer; the piece-cost table is a sub-vocabulary
-    broadcast. The DuckDB twin unrolls the same DP as chained CTEs
-    (one per position, UNI_MAX_WORD deep) — bit-identical costs via
-    the shared LOG2_MB_TABLE mantissa log2."""
+def _unigram_prepare(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared unigram-LM machinery: the word-frequency table (words ≤
+    UNI_MAX_WORD chars), the piece-cost table (combined cost·BASE+1 per
+    candidate substring), and the per-word piece-cost map — everything
+    both the segmentation report and the EM count step consume.
+    All vocabulary-sized past the one corpus token scan."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(_tokens()).alias("word"))
@@ -1047,20 +1040,48 @@ def text_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m")
         )
     )
+    return words, costs, wmap
+
+
+# the Viterbi DP array: acc[k] = best combined cost of word[1..k-1]
+# (1-indexed array, acc[1] = 0), built by one higher-order expression
+_UNI_ACC_EXPR = f"""aggregate(
+  sequence(1, length(word)),
+  array(CAST(0 AS BIGINT)),
+  (acc, j) -> array_append(acc,
+    array_min(transform(
+      sequence(greatest(j - {UNI_MAX_PIECE}, 0), j - 1),
+      i -> element_at(acc, i + 1)
+           + element_at(m, substring(word, i + 1, j - i))))))"""
+
+
+def text_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM subword segmentation — the OTHER tokenizer family
+    (Kudo's SentencePiece model; BPE's train/encode pair lives above):
+    score every candidate piece (all substrings ≤ UNI_MAX_PIECE chars
+    of corpus words) by its corpus NLL in exact integer millibits, then
+    segment each distinct word OPTIMALLY by Viterbi DP — minimize total
+    piece cost, ties to fewer pieces — and report the piece-count
+    distribution with frequency mass and cost stats.
+
+    The Viterbi recurrence best(j) = min_i best(i) + cost(word[i+1..j])
+    runs as ONE codegen'd higher-order expression per word
+    (``aggregate`` builds the DP array, ``transform``+``array_min`` is
+    the inner minimization, the word's own piece costs ride a
+    collect_list'd map) — no Python, no per-row iteration outside the
+    expression engine, no join per DP step. The tie-break is exact:
+    candidates are compared as cost·64 + pieces, a single integer.
+
+    Scale shape: everything past the one corpus token scan is
+    VOCABULARY-sized (distinct words → pieces → DP), the same posture
+    as the BPE trainer; the piece-cost table is a sub-vocabulary
+    broadcast. The DuckDB twin unrolls the same DP as chained CTEs
+    (one per position, UNI_MAX_WORD deep) — bit-identical costs via
+    the shared LOG2_MB_TABLE mantissa log2."""
+    words, _, wmap = _unigram_prepare(spark, sf_dir)
     dp = words.join(wmap, "word").withColumn(
         "best",
-        F.expr(
-            f"""element_at(
-              aggregate(
-                sequence(1, length(word)),
-                array(CAST(0 AS BIGINT)),
-                (acc, j) -> array_append(acc,
-                  array_min(transform(
-                    sequence(greatest(j - {UNI_MAX_PIECE}, 0), j - 1),
-                    i -> element_at(acc, i + 1)
-                         + element_at(m, substring(word, i + 1, j - i)))))),
-              length(word) + 1)"""
-        ),
+        F.expr(f"element_at(({_UNI_ACC_EXPR}), length(word) + 1)"),
     )
     return (
         dp.select(
@@ -1084,6 +1105,125 @@ def text_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_pieces")
     )
+
+
+# the argmin predecessor of position st.j: the SMALLEST i whose
+# candidate equals the DP optimum (filter preserves sequence order, so
+# element 1 is the first match) — the deterministic tie-break the
+# DuckDB twin mirrors with MIN(CASE WHEN ... THEN pos END)
+_UNI_ISTAR = f"""element_at(
+  filter(sequence(greatest(st.j - {UNI_MAX_PIECE}, 0), st.j - 1),
+         i -> element_at(acc, i + 1)
+              + element_at(m, substring(word, i + 1, st.j - i))
+              = element_at(acc, st.j + 1)),
+  1)"""
+
+
+def text_unigram_em_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The E-step of SentencePiece training (hard-EM / Viterbi
+    variant): extract each word's OPTIMAL segmentation path from the DP
+    array and accumulate expected piece counts — Σ word_freq per piece
+    occurrence in the optimal segmentations — the statistics the M-step
+    re-estimates piece probabilities from (and the pruning step ranks
+    candidates by). Reports the top pieces by expected count with the
+    words reached and the current model cost.
+
+    The backtrack is the segmentation analog of the DP itself: one
+    higher-order ``aggregate`` walks j from word-end to 0, each step
+    picking the argmin predecessor (smallest i on ties — exact, both
+    engines) and emitting the piece — still zero Python, zero joins per
+    step. The DuckDB twin unrolls the same walk as chained materialized
+    CTEs over the DP relation.
+
+    Scale shape: identical to the segmentation report — vocabulary-
+    sized after the one corpus scan; the output explode is pieces per
+    distinct word (≤ word length), re-aggregated map-side."""
+    words, costs, wmap = _unigram_prepare(spark, sf_dir)
+    seg = (
+        words.join(wmap, "word")
+        .withColumn("acc", F.expr(_UNI_ACC_EXPR))
+        .withColumn(
+            "parts",
+            F.expr(
+                f"""aggregate(
+                  sequence(1, length(word)),
+                  named_struct('j', length(word),
+                               'ps', CAST(array() AS ARRAY<STRING>)),
+                  (st, k) -> IF(st.j <= 0, st,
+                    named_struct(
+                      'j', {_UNI_ISTAR},
+                      'ps', array_append(st.ps,
+                              substring(word, {_UNI_ISTAR} + 1,
+                                        st.j - {_UNI_ISTAR})))),
+                  st -> st.ps)"""
+            ),
+        )
+    )
+    occ = seg.select("word", "freq", F.explode("parts").alias("sub"))
+    return (
+        occ.groupBy("sub")
+        .agg(
+            F.sum("freq").alias("em_count"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .join(
+            costs.select(
+                "sub", F.expr(f"comb DIV {UNI_BASE}").alias("cost_mb")
+            ),
+            "sub",
+        )
+        .orderBy(F.desc("em_count"), F.asc("sub"))
+        .limit(20)
+        .select(
+            F.col("sub").alias("piece"), "em_count", "n_words", "cost_mb"
+        )
+    )
+
+
+def _uni_backtrack_sql() -> str:
+    """DuckDB twin of the Viterbi backtrack: the DP relation A(word,
+    pos, best) unions the d{j} CTEs, then s1..s{UNI_MAX_WORD} walk the
+    argmin chain (MIN(pos) on ties = the Spark filter-first tie-break),
+    each step emitting one piece."""
+    a = " UNION ALL ".join(
+        [
+            "SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS best FROM words"
+        ]
+        + [
+            f"SELECT word, {j} AS pos, best FROM d{j}"
+            for j in range(1, UNI_MAX_WORD + 1)
+        ]
+    )
+    parts = [
+        f"A AS MATERIALIZED ({a})",
+        "s0 AS MATERIALIZED"
+        " (SELECT word, freq, len(word) AS j FROM words)",
+    ]
+    for k in range(1, UNI_MAX_WORD + 1):
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+          SELECT word, freq, istar AS j,
+                 substring(word, istar + 1, jp - istar) AS piece
+          FROM (
+            SELECT s.word, s.freq, s.j AS jp,
+                   MIN(CASE WHEN a.best + c.comb = cur.best
+                            THEN a.pos END) AS istar
+            FROM s{k - 1} s
+            JOIN A cur ON cur.word = s.word AND cur.pos = s.j
+            JOIN A a ON a.word = s.word
+                    AND a.pos BETWEEN greatest(s.j - {UNI_MAX_PIECE}, 0)
+                                  AND s.j - 1
+            JOIN costs c
+              ON c.sub = substring(s.word, a.pos + 1, s.j - a.pos)
+            WHERE s.j > 0
+            GROUP BY s.word, s.freq, s.j))"""
+        )
+    emitted = " UNION ALL ".join(
+        f"SELECT word, freq, piece FROM s{k}"
+        for k in range(1, UNI_MAX_WORD + 1)
+    )
+    parts.append(f"pieces AS ({emitted})")
+    return ",\n        ".join(parts)
 
 
 def _uni_dp_sql() -> str:
@@ -1345,6 +1485,46 @@ QUERIES: list[QueryDef] = [
         "segmentation: Viterbi DP per distinct word as one codegen'd "
         "higher-order expression, integer-millibit piece costs, "
         "piece-count distribution with frequency mass.",
+    ),
+    QueryDef(
+        "text_unigram_em_counts",
+        text_unigram_em_counts,
+        f"""
+        WITH words AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+          WHERE len(word) <= {UNI_MAX_WORD}
+          GROUP BY word),
+        subs AS (
+          SELECT word, freq, substring(word, i, L) AS sub
+          FROM words,
+               UNNEST(range(1, len(word) + 1)) AS ri(i),
+               UNNEST(range(1, least({UNI_MAX_PIECE},
+                                     len(word) - i + 1) + 1)) AS rl(L)),
+        sfreq AS (
+          SELECT sub, CAST(SUM(freq) AS BIGINT) AS sfreq
+          FROM subs GROUP BY sub),
+        tot AS (SELECT CAST(SUM(sfreq) AS BIGINT) AS t FROM sfreq),
+        costs AS MATERIALIZED (
+          SELECT sub,
+                 CAST(({_dsir_like_nll_sql("t", "sfreq")}) AS BIGINT)
+                   * {UNI_BASE} + 1 AS comb
+          FROM sfreq, tot),
+        {_uni_dp_sql()},
+        {_uni_backtrack_sql()}
+        SELECT p.piece,
+               CAST(SUM(p.freq) AS BIGINT) AS em_count,
+               CAST(COUNT(DISTINCT p.word) AS BIGINT) AS n_words,
+               CAST(MIN(c.comb) // {UNI_BASE} AS BIGINT) AS cost_mb
+        FROM pieces p JOIN costs c ON c.sub = p.piece
+        GROUP BY p.piece
+        ORDER BY em_count DESC, piece LIMIT 20
+        """,
+        tags=("extension", "text", "pipeline"),
+        description="SentencePiece E-step: expected piece counts from "
+        "each word's optimal Viterbi segmentation (backtrack as one "
+        "higher-order expression; argmin ties to the smallest split "
+        "point in both engines); top pieces by expected count.",
     ),
     QueryDef(
         "text_intra_doc_repetition",

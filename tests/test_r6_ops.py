@@ -102,13 +102,15 @@ def test_bigram_perplexity_hand_computed_tiny_corpus(spark, tmp_path):
 def test_bigram_perplexity_plan_broadcasts_vocab(spark, sf_smoke):
     """The 5-row per-language vocab must join by broadcast; the LM
     tables and tf join on (lang, w1[, w2]) without any text column in
-    an exchange."""
+    an exchange. Asserted on the scoring stage (_perplexity_per_doc):
+    the decile cut's exact-rank localCheckpoint hides this stage from
+    the final query's executed plan."""
     from lakesail_hdfs_deltalake_guide_spark.operators.text import (
-        text_bigram_perplexity,
+        _perplexity_per_doc,
     )
 
     plan = (
-        text_bigram_perplexity(spark, sf_smoke)
+        _perplexity_per_doc(spark, sf_smoke)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

@@ -80,6 +80,48 @@ def test_unigram_segmentation_matches_sequential_dp(spark, sf_smoke):
     )
     assert got == want
 
+    # EM E-step: sequential backtrack (argmin ties to the smallest
+    # split point) must reproduce the engine's expected piece counts
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        text_unigram_em_counts,
+    )
+
+    def pieces_of(w: str) -> list[str]:
+        dp = [0]
+        for j in range(1, len(w) + 1):
+            dp.append(
+                min(
+                    dp[i] + comb[w[i:j]]
+                    for i in range(max(0, j - UNI_MAX_PIECE), j)
+                )
+            )
+        out, j = [], len(w)
+        while j > 0:
+            i = next(
+                i
+                for i in range(max(0, j - UNI_MAX_PIECE), j)
+                if dp[i] + comb[w[i:j]] == dp[j]
+            )
+            out.append(w[i:j])
+            j = i
+        return out
+
+    em: dict[str, int] = {}
+    nw: dict[str, set] = {}
+    for w, f in words.items():
+        for p in pieces_of(w):
+            em[p] = em.get(p, 0) + f
+            nw.setdefault(p, set()).add(w)
+    ranked = sorted(em.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want_em = [
+        (p, c, len(nw[p]), (comb[p] - 1) // UNI_BASE) for p, c in ranked
+    ]
+    got_em = [
+        (r.piece, int(r.em_count), int(r.n_words), int(r.cost_mb))
+        for r in text_unigram_em_counts(spark, sf_smoke).collect()
+    ]
+    assert got_em == want_em
+
 
 def test_hybrid_rrf_pools_and_scores(spark, sf_smoke):
     """RRF output invariants: every fused row carries at least one
