@@ -60,14 +60,21 @@ def exact_global_rank(
         total += counts[pid]
     if not offsets:  # empty input — keep the schema contract
         return staged.drop("__pid").withColumn(out, F.lit(0).cast("long")), 0
-    off = F.create_map(
-        *[F.lit(x) for pid, o in offsets.items() for x in (pid, o)]
+    # offsets ride a broadcast hash join, not a literal map: CreateMap
+    # lookup is a linear scan per row (and bloats codegen) once a real
+    # cluster's parallelism puts thousands of entries in it
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        "__pid int, __off long",
     )
     w = Window.partitionBy("__pid").orderBy(*order_by)
-    ranked = staged.withColumn(
-        out,
-        (F.row_number().over(w).cast("long") + off[F.col("__pid")]),
-    ).drop("__pid")
+    ranked = (
+        staged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out, F.row_number().over(w).cast("long") + F.col("__off")
+        )
+        .drop("__pid", "__off")
+    )
     return ranked, total
 
 

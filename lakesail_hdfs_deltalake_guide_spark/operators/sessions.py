@@ -302,7 +302,116 @@ def session_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+FUNNEL_WINDOW_US = 259_200_000_000  # 72 h per step
+
+
+def session_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per user,
+    the FIRST view, the first click within 72 h AT/after it, the first
+    purchase within 72 h at/after that — the classic product-analytics
+    funnel with step-windowing, reported as step counts and exact-ppm
+    conversion rates.
+
+    Plan shape: three aggregations chained on the USER key (each step's
+    candidates join the previous step's 1-row-per-user table on user_id
+    — co-partitioned equi-joins, no self-join explosion, no window over
+    event rows); timestamps are integer microseconds end to end."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("us")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(
+            (F.col("us") >= F.col("t1"))
+            & (F.col("us") <= F.col("t1") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(
+            (F.col("us") >= F.col("t2"))
+            & (F.col("us") <= F.col("t2") + FUNNEL_WINDOW_US)
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    totals = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    return (
+        totals.crossJoin(F.broadcast(v.agg(F.count(F.lit(1)).alias("n_viewed"))))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchased"))))
+        .select(
+            "n_users",
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            F.expr("n_clicked * 1000000 DIV n_viewed").alias(
+                "view_click_ppm"
+            ),
+            F.expr("n_purchased * 1000000 DIV GREATEST(n_clicked, 1)").alias(
+                "click_purchase_ppm"
+            ),
+            F.expr("n_purchased * 1000000 DIV n_viewed").alias(
+                "full_funnel_ppm"
+            ),
+        )
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "session_conversion_funnel",
+        session_conversion_funnel,
+        f"""
+        WITH ev AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        v AS (
+          SELECT user_id, MIN(us) AS t1 FROM ev
+          WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(e.us) AS t2
+          FROM ev e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click'
+            AND e.us >= v.t1 AND e.us <= v.t1 + {FUNNEL_WINDOW_US}
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(e.us) AS t3
+          FROM ev e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase'
+            AND e.us >= c.t2 AND e.us <= c.t2 + {FUNNEL_WINDOW_US}
+          GROUP BY e.user_id)
+        SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM ev) AS BIGINT)
+                 AS n_users,
+               CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+               CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked,
+               CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased,
+               CAST((SELECT COUNT(*) FROM c) * 1000000
+                    // (SELECT COUNT(*) FROM v) AS BIGINT)
+                 AS view_click_ppm,
+               CAST((SELECT COUNT(*) FROM p) * 1000000
+                    // greatest((SELECT COUNT(*) FROM c), 1) AS BIGINT)
+                 AS click_purchase_ppm,
+               CAST((SELECT COUNT(*) FROM p) * 1000000
+                    // (SELECT COUNT(*) FROM v) AS BIGINT)
+                 AS full_funnel_ppm
+        """,
+        tags=("extension", "session", "olap"),
+        description="Ordered view->click->purchase funnel with 72h "
+        "step windows: per-user first-event chaining on the user key, "
+        "exact-ppm step conversions.",
+    ),
+
     QueryDef(
         "session_activity_heatmap",
         session_activity_heatmap,

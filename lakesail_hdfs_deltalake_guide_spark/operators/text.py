@@ -1520,7 +1520,7 @@ QUERIES: list[QueryDef] = [
         GROUP BY p.piece
         ORDER BY em_count DESC, piece LIMIT 20
         """,
-        tags=("extension", "text", "pipeline"),
+        tags=("extension", "text", "pipeline", "bench"),
         description="SentencePiece E-step: expected piece counts from "
         "each word's optimal Viterbi segmentation (backtrack as one "
         "higher-order expression; argmin ties to the smallest split "
