@@ -81,6 +81,9 @@ _WRITER_FEATURES_IMPLEMENTED = frozenset(
         "typeWidening",
         "v2Checkpoint",
         "allowColumnDefaults",
+        # PROTOCOL.md domainMetadata: full support — commit API, fold,
+        # checkpoint restatement (all three layouts), log compaction
+        "domainMetadata",
     }
 )
 
@@ -494,6 +497,21 @@ def _checkpoint_arrow_schema():
                 "txn",
                 pa.struct([("appId", pa.string()), ("version", pa.int64())]),
             ),
+            # PROTOCOL.md domainMetadata: per-domain string configuration
+            # owned by the writer that declares the feature. Checkpoints
+            # restate the LIVE domains (removed=true tombstones are
+            # reconciliation artifacts of the JSON tail / compacted
+            # ranges, never of a complete snapshot).
+            (
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
+                    ]
+                ),
+            ),
         ]
     )
 
@@ -657,6 +675,17 @@ def _checkpoint_v2(
     ]
     for app_id, v in sorted(txns.items()):
         rows.append(blank | {"txn": {"appId": app_id, "version": v}})
+    for dom, cfg in sorted(delta_domain_metadata(spark, path, target).items()):
+        rows.append(
+            blank
+            | {
+                "domainMetadata": {
+                    "domain": dom,
+                    "configuration": cfg,
+                    "removed": False,
+                }
+            }
+        )
     for sc in sidecars:
         rows.append(blank | {"sidecar": sc})
     buf = _io.BytesIO()
@@ -729,6 +758,7 @@ def delta_checkpoint(
     if distributed:
         return _checkpoint_distributed(spark, path, target, part_files)
     proto, meta, live, txns = _snapshot_state(spark, path, target)
+    domains = delta_domain_metadata(spark, path, target)
     schema = _checkpoint_arrow_schema()
     rows = [
         # propagate the TABLE's protocol action (falling back to ours for
@@ -759,6 +789,18 @@ def delta_checkpoint(
                 "metaData": None,
                 "add": None,
                 "txn": {"appId": app_id, "version": v},
+            }
+        )
+    # live domains restated (removed tombstones never reach a complete
+    # snapshot); absent dict keys become nulls under the explicit schema
+    for dom in sorted(domains):
+        rows.append(
+            {
+                "domainMetadata": {
+                    "domain": dom,
+                    "configuration": domains[dom],
+                    "removed": False,
+                }
             }
         )
     for _, add in sorted(live.items()):
@@ -859,6 +901,16 @@ def _checkpoint_distributed(
                 "metaData": None,
                 "add": None,
                 "txn": {"appId": app_id, "version": v},
+            }
+        )
+    for dom, cfg in sorted(delta_domain_metadata(spark, path, target).items()):
+        meta_rows.append(
+            {
+                "domainMetadata": {
+                    "domain": dom,
+                    "configuration": cfg,
+                    "removed": False,
+                }
             }
         )
     adds_df = delta_snapshot_adds_df(spark, path, target)
@@ -2889,6 +2941,141 @@ def delta_history(spark: SparkSession, path: str) -> list[dict]:
     return out
 
 
+# --- Domain metadata (PROTOCOL.md ``domainMetadata`` action) ----------------
+# Per-domain string configuration owned by the writer that sets it —
+# delta-spark keeps liquid-clustering keys and row-tracking watermarks
+# here. Writer feature "domainMetadata" (table-features v7); readers
+# ignore domains they don't understand, so there is no reader gate.
+_DOMAIN_FEATURE = "domainMetadata"
+_SYSTEM_DOMAIN_PREFIX = "delta."
+
+
+def delta_domain_metadata(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict[str, str]:
+    """The snapshot's LIVE domain metadata: {domain: configuration}.
+    Same fold shape as the main snapshot resolution (newest checkpoint ≤
+    version + the JSON/compacted tail) but touching ONLY the
+    domainMetadata column/actions — a dedicated accessor, so the
+    40-call-site (protocol, meta, live, txns) tuple stays put. Removed
+    domains are absent, exactly like a dropped key."""
+    import io as _io
+
+    import pyarrow.parquet as pq
+
+    target, ck, start = _fold_range(spark, path, version)
+    if target is None:
+        raise ValueError(f"no delta table at {path}")
+    domains: dict[str, str] = {}
+    if ck is not None:
+        # domains live in the metadata part (file [0]) of every layout,
+        # like protocol/metaData/txn
+        f = _checkpoint_files(spark, path, ck)[0]
+        fs, hpath, jvm = _hadoop_fs(spark, f)
+        stream = fs.open(hpath)
+        try:
+            raw = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        buf = _io.BytesIO(raw)
+        if "domainMetadata" in pq.read_schema(buf).names:
+            buf.seek(0)
+            for row in (
+                pq.read_table(buf, columns=["domainMetadata"]).to_pylist()
+            ):
+                dm = row.get("domainMetadata")
+                if dm is None or dm.get("domain") is None:
+                    continue
+                if dm.get("removed"):
+                    domains.pop(dm["domain"], None)
+                else:
+                    domains[dm["domain"]] = dm.get("configuration")
+    for file, _v in _tail_plan(spark, path, start, target):
+        for line in _read_text(spark, file).splitlines():
+            dm = json.loads(line).get("domainMetadata")
+            if dm is None:
+                continue
+            if dm.get("removed"):
+                domains.pop(dm["domain"], None)
+            else:
+                domains[dm["domain"]] = dm.get("configuration")
+    return domains
+
+
+def _commit_domain_action(
+    spark: SparkSession, path: str, dm: dict, op: str
+) -> int:
+    proto, meta, _, _ = _snapshot_state(
+        spark, path, include_adds=False
+    )
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    actions: list[dict] = [_commit_info(op)]
+    wf = set((proto or {}).get("writerFeatures") or ())
+    if _DOMAIN_FEATURE not in wf:
+        rf = set((proto or {}).get("readerFeatures") or ())
+        new_proto = {
+            "minReaderVersion": int(
+                (proto or _PROTOCOL).get("minReaderVersion", 1)
+            ),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(
+                wf | {_DOMAIN_FEATURE, "checkConstraints"}
+            ),
+        }
+        if rf:
+            new_proto["readerFeatures"] = sorted(rf)
+        actions.append({"protocol": new_proto})
+    actions.append({"domainMetadata": dm})
+    version = _list_versions(spark, path)[-1] + 1
+    try:
+        _write_commit(spark, path, version, actions)
+    except RuntimeError:
+        raise DeltaConcurrentModification(
+            f"a concurrent commit landed during {op} on {path}; "
+            "re-run against the new snapshot"
+        ) from None
+    if version % CHECKPOINT_INTERVAL == 0:
+        _auto_checkpoint(spark, path, version)
+    return version
+
+
+def delta_set_domain_metadata(
+    spark: SparkSession, path: str, domain: str, configuration: str
+) -> int:
+    """SET a metadata domain (create or replace its configuration
+    string) as one commit. ``delta.``-prefixed domains are
+    system-controlled (the protocol reserves them for table features);
+    user writes there are refused — exactly delta-spark's rule."""
+    if domain.startswith(_SYSTEM_DOMAIN_PREFIX):
+        raise ValueError(
+            f"domain {domain!r} is system-controlled "
+            f"({_SYSTEM_DOMAIN_PREFIX}* is reserved for table features)"
+        )
+    dm = {"domain": domain, "configuration": configuration, "removed": False}
+    return _commit_domain_action(spark, path, dm, "SET DOMAIN METADATA")
+
+
+def delta_remove_domain_metadata(
+    spark: SparkSession, path: str, domain: str
+) -> int:
+    """REMOVE a metadata domain: commits a removed=true tombstone (the
+    reconciliation artifact later folds retract on). Removing an absent
+    domain is refused loudly — a silent no-op here would hide a caller
+    racing its own earlier removal."""
+    if domain.startswith(_SYSTEM_DOMAIN_PREFIX):
+        raise ValueError(
+            f"domain {domain!r} is system-controlled "
+            f"({_SYSTEM_DOMAIN_PREFIX}* is reserved for table features)"
+        )
+    if domain not in delta_domain_metadata(spark, path):
+        raise ValueError(f"domain {domain!r} not present at {path}")
+    dm = {"domain": domain, "configuration": None, "removed": True}
+    return _commit_domain_action(spark, path, dm, "REMOVE DOMAIN METADATA")
+
+
 def delta_row_count_from_stats(
     spark: SparkSession, path: str, version: int | None = None
 ) -> int | None:
@@ -3354,12 +3541,15 @@ def delta_optimize_zorder(
 # Divergence from delta-spark, following this module's row-tracking
 # precedent: the protocol's `clustering` feature keys its column list
 # off a domainMetadata action; this engine keeps it in
-# metaData.configuration (the fold and checkpoint already replicate
-# metaData). Declaring the standard feature name would let a
-# delta-spark OPTIMIZE accept the table, find no clustering domain, and
-# silently treat it as unclustered — so the writer feature is
-# vendor-scoped (foreign writers refuse cleanly; readers are unaffected
-# since clustering is layout-only).
+# metaData.configuration. Generic domainMetadata IS now fully supported
+# (commit API, fold, checkpoint restatement — see delta_domain_metadata),
+# but the clustering keys stay in configuration for compatibility with
+# this engine's own earlier tables, and the writer feature stays
+# vendor-scoped: declaring the standard name would let a delta-spark
+# OPTIMIZE accept the table, look for the `delta.clustering` DOMAIN,
+# find none, and silently treat it as unclustered. Foreign writers
+# refuse cleanly instead; readers are unaffected since clustering is
+# layout-only.
 _CLUSTER_KEY = "lakesail.clusteringColumns"
 _CLUSTER_FEATURE = "lakesailClustering"
 
@@ -3613,6 +3803,9 @@ def delta_compact_log(
     latest: dict[str, dict] = {}  # path → its last add/remove action line
     meta = proto = None
     txns: dict[str, int] = {}
+    # last domainMetadata action per domain — removed=true tombstones are
+    # KEPT (reconciliation with an older checkpoint must still retract)
+    doms: dict[str, dict] = {}
     for v in range(start, end + 1):
         for line in _read_text(spark, _version_file(path, v)).splitlines():
             action = json.loads(line)
@@ -3626,6 +3819,8 @@ def delta_compact_log(
                 proto = action
             elif "txn" in action:
                 txns[action["txn"]["appId"]] = action["txn"]["version"]
+            elif "domainMetadata" in action:
+                doms[action["domainMetadata"]["domain"]] = action
     actions: list[dict] = []
     if proto is not None:
         actions.append(proto)
@@ -3634,6 +3829,7 @@ def delta_compact_log(
     actions += [
         {"txn": {"appId": a, "version": v}} for a, v in sorted(txns.items())
     ]
+    actions += [doms[d] for d in sorted(doms)]
     actions += [latest[p] for p in sorted(latest)]
     fs, _, jvm = _hadoop_fs(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(
@@ -5607,6 +5803,70 @@ def delta_native_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_domain_metadata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """domainMetadata lifecycle (the protocol's per-domain writer
+    metadata — where delta-spark keeps clustering keys and row-tracking
+    watermarks): set two domains, update one, tombstone the other,
+    verify MVCC time travel sees the old domain state, then cross the
+    checkpoint interval and drop the pre-checkpoint JSON so the fold
+    MUST resolve domains from the checkpoint restatement alone. Also
+    pins the two refusals: writes to system (``delta.``-prefixed)
+    domains and removal of an absent domain."""
+    import tempfile
+
+    from ..tables import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="ls_delta_domains_")
+    delta_write(n, path)  # v0
+    delta_set_domain_metadata(
+        spark, path, "app.pipeline", '{"stage": "bronze"}'
+    )  # v1
+    delta_set_domain_metadata(spark, path, "app.owner", "team-data")  # v2
+    delta_set_domain_metadata(
+        spark, path, "app.pipeline", '{"stage": "silver"}'
+    )  # v3
+    delta_remove_domain_metadata(spark, path, "app.owner")  # v4
+    try:
+        delta_set_domain_metadata(spark, path, "delta.clustering", "{}")
+        sys_refused = 0
+    except ValueError:
+        sys_refused = 1
+    try:
+        delta_remove_domain_metadata(spark, path, "app.owner")
+        absent_refused = 0
+    except ValueError:
+        absent_refused = 1
+    at_v2 = delta_domain_metadata(spark, path, version=2)
+    v2_ok = int(
+        at_v2.get("app.owner") == "team-data"
+        and at_v2.get("app.pipeline") == '{"stage": "bronze"}'
+    )
+    one = n.where(F.col("n_nationkey") == 0)
+    for _ in range(CHECKPOINT_INTERVAL - 4):  # v5..v10, auto-ckpt at 10
+        delta_write(one, path, mode="append")
+    delta_cleanup_log(spark, path)
+    domains = delta_domain_metadata(spark, path)
+    return spark.createDataFrame(
+        [
+            (
+                delta_read(spark, path).count(),
+                len(domains),
+                int(domains.get("app.pipeline") == '{"stage": "silver"}'),
+                int("app.owner" not in domains),
+                v2_ok,
+                sys_refused,
+                absent_refused,
+            )
+        ],
+        "n_rows long, n_live_domains long, pipeline_updated long, "
+        "owner_removed long, v2_travel_ok long, system_refused long, "
+        "absent_remove_refused long",
+    )
+
+
 def delta_native_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE upsert on the native log (delta-spark's
     ``whenMatchedUpdateAll/whenNotMatchedInsertAll``): target = even
@@ -6821,6 +7081,24 @@ QUERIES: list[QueryDef] = [
         tags=("parity", "delta", "io"),
         description="RESTORE TO VERSION as a pure-metadata MVCC commit "
         "(re-adds the old generation, keeps history).",
+    ),
+    QueryDef(
+        "delta_native_domain_metadata",
+        delta_native_domain_metadata,
+        """
+        SELECT CAST(COUNT(*) + 6 AS BIGINT) AS n_rows,
+               CAST(1 AS BIGINT) AS n_live_domains,
+               CAST(1 AS BIGINT) AS pipeline_updated,
+               CAST(1 AS BIGINT) AS owner_removed,
+               CAST(1 AS BIGINT) AS v2_travel_ok,
+               CAST(1 AS BIGINT) AS system_refused,
+               CAST(1 AS BIGINT) AS absent_remove_refused
+        FROM nation
+        """,
+        tags=("parity", "delta", "io"),
+        description="domainMetadata lifecycle: set/update/tombstone, "
+        "MVCC travel of domain state, checkpoint restatement after log "
+        "cleanup, system-domain and absent-removal refusals.",
     ),
     QueryDef(
         "delta_native_vacuum",

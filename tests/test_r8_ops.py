@@ -169,3 +169,84 @@ def test_vacuum_reclaims_only_unreferenced(spark, sf_smoke):
     assert len(first) == 4
     assert delta_read(spark, path).count() == 5
     assert delta_vacuum(spark, path, keep_versions=1) == []
+
+
+def _dm_table(spark, sf_smoke, prefix):
+    import tempfile
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_set_domain_metadata,
+        delta_write,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix=prefix)
+    delta_write(n, path)
+    delta_set_domain_metadata(spark, path, "app.a", "one")
+    delta_set_domain_metadata(spark, path, "app.b", "two")
+    return path
+
+
+def test_domain_metadata_survives_distributed_checkpoint(spark, sf_smoke):
+    """Domains are restated in the multi-part checkpoint's metadata part
+    and resolve after the JSON tail is expired."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_checkpoint,
+        delta_cleanup_log,
+        delta_domain_metadata,
+    )
+
+    path = _dm_table(spark, sf_smoke, "ls_dm_dist_")
+    delta_checkpoint(spark, path, distributed=True, part_files=3)
+    assert delta_cleanup_log(spark, path)
+    assert delta_domain_metadata(spark, path) == {
+        "app.a": "one",
+        "app.b": "two",
+    }
+
+
+def test_domain_metadata_survives_v2_checkpoint(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_checkpoint,
+        delta_cleanup_log,
+        delta_domain_metadata,
+        delta_enable_v2_checkpoints,
+    )
+
+    path = _dm_table(spark, sf_smoke, "ls_dm_v2_")
+    delta_enable_v2_checkpoints(spark, path)
+    delta_checkpoint(spark, path, format="v2")
+    assert delta_cleanup_log(spark, path)
+    assert delta_domain_metadata(spark, path) == {
+        "app.a": "one",
+        "app.b": "two",
+    }
+
+
+def test_domain_metadata_compaction_keeps_tombstones(spark, sf_smoke):
+    """Log compaction reconciles to the LAST action per domain and keeps
+    removed=true tombstones, so a fold that starts from a checkpoint
+    OLDER than the removal still retracts the domain."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_checkpoint,
+        delta_compact_log,
+        delta_domain_metadata,
+        delta_remove_domain_metadata,
+        delta_set_domain_metadata,
+        delta_write,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    path = _dm_table(spark, sf_smoke, "ls_dm_compact_")  # v0..v2
+    ck = delta_checkpoint(spark, path)  # checkpoint holds a AND b
+    n = load_table(spark, sf_smoke, "nation")
+    delta_write(n.limit(1), path, mode="append")  # v3
+    delta_remove_domain_metadata(spark, path, "app.b")  # v4
+    delta_set_domain_metadata(spark, path, "app.c", "three")  # v5
+    delta_compact_log(spark, path, ck + 1, 5)
+    # fold = checkpoint(a, b) + compacted tail: b must retract, c appear
+    assert delta_domain_metadata(spark, path) == {
+        "app.a": "one",
+        "app.c": "three",
+    }
