@@ -250,3 +250,32 @@ def test_domain_metadata_compaction_keeps_tombstones(spark, sf_smoke):
         "app.a": "one",
         "app.c": "three",
     }
+
+
+def test_bench_headline_plans_have_no_cartesian_product(spark, sf_smoke):
+    """Sweep contract over every bench-tagged analytical query: the
+    physical plan must never contain a true CartesianProduct (both
+    sides multi-row, no broadcast). BroadcastNestedLoopJoin of a
+    1-row/tiny broadcast side (totals, spans, codebooks) is the
+    deliberate pattern and stays allowed. Lifecycle queries (delta /
+    streaming / pipeline writes) are excluded — building their
+    DataFrame executes the lifecycle."""
+    from lakesail_hdfs_deltalake_guide_spark.registry import build_registry
+
+    reg = build_registry()
+    skip_tags = {"delta", "streaming", "versioned"}
+    checked = 0
+    for name, q in reg.defs.items():
+        if "bench" not in q.tags or (skip_tags & set(q.tags)):
+            continue
+        if name.startswith("pipeline_"):  # multi-commit write lifecycles
+            continue
+        phys = (
+            q.fn(spark, sf_smoke)
+            ._jdf.queryExecution()  # noqa: SLF001
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in phys, name
+        checked += 1
+    assert checked >= 30, f"sweep shrank unexpectedly: {checked} queries"
