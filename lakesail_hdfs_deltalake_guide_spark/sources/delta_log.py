@@ -52,7 +52,17 @@ _MAX_WRITER_IMPLEMENTED = 3
 # does not (a feature-aware engine that ignored an unknown feature
 # would read WRONG data, not degraded data).
 _READER_FEATURES_IMPLEMENTED = frozenset(
-    {"deletionVectors", "columnMapping", "typeWidening", "v2Checkpoint"}
+    {
+        "deletionVectors",
+        "columnMapping",
+        "typeWidening",
+        "v2Checkpoint",
+        # vacuumProtocolCheck: the feature's whole contract is "VACUUM
+        # must read the protocol before reclaiming files" — delta_vacuum
+        # enforces it below (unknown writer features refuse the vacuum,
+        # since such a feature may reference files outside add actions)
+        "vacuumProtocolCheck",
+    }
 )
 _WRITER_FEATURES_IMPLEMENTED = frozenset(
     {
@@ -84,6 +94,7 @@ _WRITER_FEATURES_IMPLEMENTED = frozenset(
         # PROTOCOL.md domainMetadata: full support — commit API, fold,
         # checkpoint restatement (all three layouts), log compaction
         "domainMetadata",
+        "vacuumProtocolCheck",
     }
 )
 
@@ -3719,6 +3730,24 @@ def delta_vacuum(
     versions = _list_versions(spark, path)
     if not versions:
         return []
+    # the vacuumProtocolCheck contract: read the protocol BEFORE
+    # reclaiming anything — a writer feature this engine doesn't
+    # implement may reference data files outside the add actions
+    # (deletion vectors are exactly that shape), and vacuuming blind
+    # would delete them
+    proto, _, _, _ = _snapshot_state(
+        spark, path, include_adds=False
+    )
+    unknown = (
+        set((proto or {}).get("writerFeatures") or ())
+        - _WRITER_FEATURES_IMPLEMENTED
+    )
+    if unknown:
+        raise ValueError(
+            f"refusing to VACUUM {path}: writer features "
+            f"{sorted(unknown)} are not implemented here and may "
+            "reference files outside the add actions"
+        )
     retained = versions[-keep_versions:]
     referenced: set[str] = set()
     dv_refs: set[str] = set()

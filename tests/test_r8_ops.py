@@ -279,3 +279,44 @@ def test_bench_headline_plans_have_no_cartesian_product(spark, sf_smoke):
         assert "CartesianProduct" not in phys, name
         checked += 1
     assert checked >= 30, f"sweep shrank unexpectedly: {checked} queries"
+
+
+def test_vacuum_refuses_unknown_writer_features(spark, sf_smoke):
+    """vacuumProtocolCheck: a foreign table declaring a writer feature
+    this engine doesn't implement must refuse VACUUM (the feature may
+    reference files outside the add actions), while our own tables
+    vacuum normally."""
+    import json
+    import tempfile
+
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        _read_text,
+        _version_file,
+        delta_vacuum,
+        delta_write,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_vacuum_proto_")
+    delta_write(n, path)
+    # forge a foreign protocol upgrade with an unknown writer feature
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        _write_commit,
+    )
+
+    proto = None
+    for line in _read_text(spark, _version_file(path, 0)).splitlines():
+        a = json.loads(line)
+        if "protocol" in a:
+            proto = a["protocol"]
+    new_proto = {
+        "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+        "minWriterVersion": 7,
+        "writerFeatures": ["someFutureVacuumHazard"],
+    }
+    _write_commit(spark, path, 1, [{"protocol": new_proto}])
+    with pytest.raises(ValueError, match="someFutureVacuumHazard"):
+        delta_vacuum(spark, path, keep_versions=1)

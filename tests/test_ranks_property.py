@@ -1,0 +1,48 @@
+"""Property-based parity for the distributed exact rank: across random
+row counts, tile counts, key-collision densities, and partition counts,
+exact_global_rank/exact_ntile must be bit-identical to the unpartitioned
+window functions they replace."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.operators.ranks import (
+    exact_global_rank,
+    exact_ntile,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    q=st.integers(min_value=1, max_value=12),
+    mod=st.integers(min_value=1, max_value=50),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_exact_rank_and_ntile_match_windows(spark, n, q, mod, parts):
+    df = spark.range(n).select(
+        (F.col("id") * 31 % mod).alias("k"), F.col("id")
+    )
+    ranked, total = exact_global_rank(df, ["k", "id"], out="rn", parts=parts)
+    assert total == n
+    expect_rank = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("k", "id")).cast("long")
+    )
+    assert sorted(map(tuple, ranked.collect())) == sorted(
+        map(tuple, expect_rank.collect())
+    )
+    tiled = exact_ntile(df, ["k", "id"], q, out="t", parts=parts)
+    expect_tile = df.withColumn(
+        "t", F.ntile(q).over(Window.orderBy("k", "id")).cast("long")
+    )
+    assert sorted(map(tuple, tiled.collect())) == sorted(
+        map(tuple, expect_tile.collect())
+    )
