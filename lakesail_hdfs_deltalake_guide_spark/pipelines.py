@@ -521,7 +521,103 @@ def _sql_incremental_minhash() -> str:
         """
 
 
+def pipeline_incremental_ann_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental vector-index maintenance against persisted Delta
+    postings — the lakehouse version of "keep the FAISS index fresh as
+    the corpus grows": the IVF coarse codebook is trained once
+    (persisted table, shared with similarity_ivf_topk); each embedding
+    batch assigns to its nearest centroid (one codegen pass) and ONLY
+    vectors not already indexed append to the postings state (vec_id
+    anti-join — replaying a batch, or shipping an overlapping crawl, is
+    a no-op). Queries then serve from the STATE: probe NUM_PROBES
+    cells, candidates come from the Delta postings, exact cosine
+    re-ranks inside probed cells only.
+
+    The batch split here is deliberately OVERLAPPING (evens, then the
+    full corpus) so the idempotence path is exercised, and the oracle
+    is the strongest possible check: the state-served top-k must be
+    BIT-IDENTICAL to the fresh-index IVF oracle (same codebook, same
+    assignments, same re-rank) — index maintenance must never change
+    answers.
+
+    Scale shape: postings rows are (vec_id, centroid_id) — 12 bytes per
+    vector; the anti-join ships ids only; per-batch cost is one scan of
+    the BATCH, never the corpus; query-time work is unchanged from the
+    fresh index."""
+    from .functions.vectors import as_double, cosine
+    from .operators.similarity import (
+        NUM_PROBES,
+        NUM_QUERIES,
+        TOP_K,
+        _assign_centroids,
+        _load_codebook,
+    )
+    from .sources.delta_log import delta_read, delta_write
+    from .tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    coarse = _load_codebook(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ls_ann_state_")
+    empty = (
+        _assign_centroids(e.limit(0), "v", coarse, 1)
+        .select("vec_id", "centroid_id")
+    )
+    delta_write(empty, path)  # v0: typed empty state
+    for cond in (F.col("vec_id") % 2 == 0, F.lit(True)):
+        batch = e.where(cond)
+        assigned = _assign_centroids(batch, "v", coarse, 1).select(
+            "vec_id", "centroid_id"
+        )
+        state_ids = delta_read(spark, path).select("vec_id")
+        fresh = assigned.join(state_ids, "vec_id", "left_anti")
+        delta_write(fresh, path, mode="append")
+    postings = delta_read(spark, path)
+    queries = e.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probes = _assign_centroids(queries, "qv", coarse, NUM_PROBES).select(
+        "query_id", "qv", "centroid_id"
+    )
+    cand = (
+        probes.join(postings, "centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    sim = cosine(F.col("qv"), F.col("v"))
+    scored = cand.join(e, "vec_id").select(
+        "query_id",
+        "vec_id",
+        (F.floor(sim * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+from .operators.similarity import _SQL_IVF_TOPK as _SQL_ANN_STATE_TOPK  # noqa: E402
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "pipeline_incremental_ann_index",
+        pipeline_incremental_ann_index,
+        _SQL_ANN_STATE_TOPK,
+        tags=("extension", "pipeline", "similarity", "delta"),
+        description="Incremental IVF postings maintained in Delta "
+        "(anti-join idempotent appends, overlapping batches); "
+        "state-served top-k bit-identical to the fresh-index IVF "
+        "oracle.",
+    ),
     QueryDef(
         "pipeline_incremental_minhash",
         pipeline_incremental_minhash,

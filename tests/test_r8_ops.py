@@ -320,3 +320,40 @@ def test_vacuum_refuses_unknown_writer_features(spark, sf_smoke):
     _write_commit(spark, path, 1, [{"protocol": new_proto}])
     with pytest.raises(ValueError, match="someFutureVacuumHazard"):
         delta_vacuum(spark, path, keep_versions=1)
+
+
+def test_ann_index_append_is_idempotent(spark, sf_smoke):
+    """Replaying a batch (or shipping an overlapping crawl) into the
+    IVF postings state must be a no-op: the vec_id anti-join keeps the
+    state one row per vector."""
+    import tempfile
+
+    from lakesail_hdfs_deltalake_guide_spark.functions.vectors import (
+        as_double,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.operators.similarity import (
+        _assign_centroids,
+        _load_codebook,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+        delta_write,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    e = load_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    coarse = _load_codebook(spark, sf_smoke)
+    path = tempfile.mkdtemp(prefix="ls_ann_idem_")
+    assigned = _assign_centroids(e, "v", coarse, 1).select(
+        "vec_id", "centroid_id"
+    )
+    delta_write(assigned, path)
+    n = e.count()
+    assert delta_read(spark, path).count() == n
+    for _ in range(2):  # replay the full corpus twice
+        state_ids = delta_read(spark, path).select("vec_id")
+        fresh = assigned.join(state_ids, "vec_id", "left_anti")
+        delta_write(fresh, path, mode="append")
+        assert delta_read(spark, path).count() == n
