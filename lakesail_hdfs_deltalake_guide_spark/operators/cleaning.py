@@ -9,9 +9,10 @@ operators are the standard cleaning toolkit:
 - **drop** rows with invalid values and report the loss;
 - **impute** invalid values with the per-group exact mean (integer-cents
   arithmetic, so Spark's and the oracle's means agree bit-for-bit);
-- **clip/winsorize** to fixed bounds (at scale, fixed bounds beat
-  quantile bounds: no extra pass, no sort — quantile clipping would use
-  ``approx_percentile`` and accept its error band).
+- **clip/winsorize** to fixed bounds (zero extra passes) — and, since
+  round 8, to EXACT quantile bounds via the distributed exact rank
+  (clean_winsorize_quantile: one parallel range exchange, no
+  approx_percentile error band, no single-task sort).
 
 All three are map-side except the imputation mean (one partial+final agg
 broadcast back into the projection).
@@ -840,7 +841,88 @@ def clean_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def clean_winsorize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-quantile winsorization — the upgrade clean_clip_bounds
+    documents itself wishing for: clip order totals at the exact P1/P99
+    values (rank ceil(q·n) over the total order (cents, key)) instead
+    of fixed bounds or approx_percentile's error band. The quantile
+    bounds come from the distributed exact rank (operators/ranks.py:
+    range exchange + broadcast offsets — no single-task sort), so the
+    exactness holds at any corpus size; the bounds themselves are a
+    1-row broadcast back into the clip projection.
+
+    Reports the bounds, the clip counts on each side, and the raw vs
+    winsorized exact-cent sums — the before/after a feature pipeline
+    logs when taming heavy tails."""
+    from .ranks import exact_global_rank
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    ranked, n = exact_global_rank(o, ["cents", "o_orderkey"], out="rn")
+    k_lo = (n + 99) // 100  # ceil(0.01 n)
+    k_hi = (99 * n + 99) // 100  # ceil(0.99 n)
+    bounds = ranked.where(F.col("rn").isin(k_lo, k_hi)).agg(
+        F.min(F.when(F.col("rn") == k_lo, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("rn") == k_hi, F.col("cents"))).alias("hi"),
+    )
+    return ranked.crossJoin(F.broadcast(bounds)).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("lo").alias("lo_cents"),
+        F.max("hi").alias("hi_cents"),
+        F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0)).alias(
+            "n_clipped_low"
+        ),
+        F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0)).alias(
+            "n_clipped_high"
+        ),
+        F.sum("cents").alias("sum_cents_raw"),
+        F.sum(
+            F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents")))
+        ).alias("sum_cents_winsorized"),
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "clean_winsorize_quantile",
+        clean_winsorize_quantile,
+        """
+        WITH t AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        r AS (
+          SELECT cents,
+                 ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM t),
+        b AS (
+          SELECT MIN(CASE WHEN rn = (n + 99) // 100 THEN cents END) AS lo,
+                 MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)
+                   AS hi
+          FROM r)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MAX(b.lo) AS BIGINT) AS lo_cents,
+               CAST(MAX(b.hi) AS BIGINT) AS hi_cents,
+               CAST(SUM(CASE WHEN r.cents < b.lo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_low,
+               CAST(SUM(CASE WHEN r.cents > b.hi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_high,
+               CAST(SUM(r.cents) AS BIGINT) AS sum_cents_raw,
+               CAST(SUM(greatest(b.lo, least(b.hi, r.cents))) AS BIGINT)
+                 AS sum_cents_winsorized
+        FROM r CROSS JOIN b
+        """,
+        tags=("extension", "cleaning", "stats"),
+        description="Exact P1/P99 winsorization: quantile bounds from "
+        "the distributed exact rank (no approx error band, no "
+        "single-task sort), clip counts and raw vs clipped cent sums.",
+    ),
+
     QueryDef(
         "clean_classifier_calibration",
         clean_classifier_calibration,

@@ -541,7 +541,128 @@ def _dsir_nll_sql(num: str, den: str) -> str:
     )
 
 
+
+
+def sample_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate LEAKAGE audit across the train/eval boundary —
+    the eval-hygiene check behind the group-disjoint split: take the
+    MinHash-LSH near-duplicate pairs (est_jaccard ≥ 0.5 over the
+    planted corpus) and count, under BOTH split policies, how many
+    pairs straddle splits. A row-hash split scatters near-duplicate
+    pairs across train/eval (memorized eval answers); the
+    group-disjoint split keeps every pair within one split by
+    construction (plants inherit their source), so its leak count is
+    structurally zero — the audit proves it rather than asserting it.
+
+    Plan shape: the pair set is the existing banded-LSH candidate join
+    (digest-sized shuffles); split tags are scan-side hash arithmetic
+    on a doc-id-sized table; the audit join ships (doc_id, split)
+    pairs only."""
+    from .dedup import minhash_candidate_pairs, near_duplicate_corpus
+
+    corpus = near_duplicate_corpus(spark, sf_dir)
+    pairs = (
+        minhash_candidate_pairs(corpus)
+        .where(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    grp_bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        % 100
+    )
+    grp_split = (
+        F.when(grp_bucket < 80, "train")
+        .when(grp_bucket < 90, "val")
+        .otherwise("test")
+    )
+    tagged = corpus.select(
+        "doc_id",
+        split_column("doc_id").alias("row_split"),
+        grp_split.alias("grp_split"),
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    j = pairs.join(a, F.col("doc_a") == F.col("a.doc_id")).join(
+        b, F.col("doc_b") == F.col("b.doc_id")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (F.col("a.row_split") != F.col("b.row_split")).cast("long")
+        ).alias("row_cross"),
+        F.sum(
+            (F.col("a.grp_split") != F.col("b.grp_split")).cast("long")
+        ).alias("grp_cross"),
+    )
+    return (
+        agg.selectExpr(
+            "stack(2, 'group_disjoint', n_pairs, grp_cross, "
+            "'row_hash', n_pairs, row_cross) "
+            "AS (policy, n_pairs, n_cross_split)"
+        )
+        .withColumn(
+            "leak_ppm", F.expr("n_cross_split * 1000000 DIV n_pairs")
+        )
+        .orderBy("policy")
+    )
+
+
+def _minhash_cand_sql() -> str:
+    """Deferred import of the dedup tier's bit-exact MinHash CTE
+    prefix (corpus + cand), shared by the leakage audit oracle."""
+    from .dedup import _sql_minhash_cand
+
+    return _sql_minhash_cand()
+
+
+_MINHASH_CAND = _minhash_cand_sql()
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sample_split_leakage",
+        sample_split_leakage,
+        f"""
+        {_MINHASH_CAND}
+        , tag AS (
+          SELECT doc_id,
+                 CASE WHEN {_H} % 100 < 80 THEN 'train'
+                      WHEN {_H} % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS row_split,
+                 CASE WHEN grp_b < 80 THEN 'train'
+                      WHEN grp_b < 90 THEN 'val'
+                      ELSE 'test' END AS grp_split
+          FROM (SELECT doc_id,
+                       CAST(('0x' || substring(md5(source), 1, 8))
+                            AS BIGINT) % 100 AS grp_b
+                FROM corpus)),
+        pairs AS (
+          SELECT doc_a, doc_b FROM cand WHERE est_jaccard >= 0.5),
+        agg AS (
+          SELECT COUNT(*) AS n_pairs,
+                 CAST(SUM(CASE WHEN ta.row_split <> tb.row_split
+                               THEN 1 ELSE 0 END) AS BIGINT) AS row_cross,
+                 CAST(SUM(CASE WHEN ta.grp_split <> tb.grp_split
+                               THEN 1 ELSE 0 END) AS BIGINT) AS grp_cross
+          FROM pairs
+          JOIN tag ta ON ta.doc_id = pairs.doc_a
+          JOIN tag tb ON tb.doc_id = pairs.doc_b)
+        SELECT policy, n_pairs, n_cross_split,
+               n_cross_split * 1000000 // n_pairs AS leak_ppm
+        FROM (
+          SELECT 'group_disjoint' AS policy, n_pairs, grp_cross
+                   AS n_cross_split FROM agg
+          UNION ALL
+          SELECT 'row_hash', n_pairs, row_cross FROM agg)
+        ORDER BY policy
+        """,
+        tags=("extension", "sampling", "dedup", "pipeline"),
+        description="Near-dup leakage audit: LSH pairs straddling the "
+        "train/eval boundary under row-hash vs group-disjoint splits "
+        "(the group split's leak count is structurally zero).",
+    ),
+
     QueryDef(
         "sample_dsir_importance",
         sample_dsir_importance,
