@@ -4652,9 +4652,20 @@ def delta_merge(
     update_cols: list[str] | None = None,
     insert_unmatched: bool = True,
     txn: tuple[str, int] | None = None,
+    schema_evolution: bool = False,
 ) -> int:
     """``MERGE INTO target USING source ON keys`` upsert
     (whenMatchedUpdate + whenNotMatchedInsert), copy-on-write.
+
+    ``schema_evolution=True`` is delta-spark's ``withSchemaEvolution()``:
+    source columns the target lacks evolve the table schema in the SAME
+    commit (new nullable fields appended; existing fields keep their
+    schema metadata, column-mapping tables mint fresh ids/physical
+    names for the new fields only). Matched rows take the new columns'
+    source values, pre-evolution rows read back as nulls — no file is
+    rewritten for the evolution itself. Same-name type conflicts are
+    rejected (MERGE never widens types; that is the append path's
+    typeWidening contract).
 
     ``txn=(app_id, version)`` rides the protocol's idempotent-writer
     action on the merge commit — the streaming-sink replay guard
@@ -4695,6 +4706,39 @@ def delta_merge(
     missing = [k for k in on if k not in tcols or k not in source.columns]
     if missing:
         raise ValueError(f"merge keys absent from target or source: {missing}")
+    evo_action = None
+    if schema_evolution and any(
+        f.name not in tcols for f in source.schema.fields
+    ):
+        # append-only evolution: _merge_schemas keeps existing fields
+        # (order, types — conflicts raise) and appends the new ones
+        # nullable; existing fields keep their schema metadata
+        merged_schema = _merge_schemas(schema, source.schema)
+        merged_json = json.loads(merged_schema.json())
+        old_md = {
+            f["name"]: f.get("metadata") or {}
+            for f in json.loads(meta["schemaString"])["fields"]
+        }
+        merged_json["fields"] = [
+            {**f, "metadata": old_md[f["name"]]}
+            if f["name"] in old_md
+            else f
+            for f in merged_json["fields"]
+        ]
+        new_meta = dict(meta)
+        if _cm_enabled(meta):
+            merged_json, max_id = _cm_assign(
+                merged_json,
+                int(meta.get("configuration", {}).get(_CM_MAXID_KEY, "0")),
+            )
+            conf = dict(new_meta.get("configuration", {}))
+            conf[_CM_MAXID_KEY] = str(max_id)
+            new_meta["configuration"] = conf
+        new_meta["schemaString"] = json.dumps(merged_json)
+        evo_action = {"metaData": new_meta}
+        meta = new_meta
+        schema = merged_schema
+        tcols = [f.name for f in schema.fields]
     identity = _identity_columns(meta)
     upd = update_cols or [
         c
@@ -4729,16 +4773,25 @@ def delta_merge(
             F.lit(True).alias("__src_matched"),
             *[F.col(c).alias(f"__src_{c}") for c in upd],
         )
+        # a column the OLD files don't carry (just-evolved) reads as a
+        # typed null on the unmatched side
+        def _old(c: str):
+            return (
+                F.col(c)
+                if c in sub.columns
+                else F.lit(None).cast(schema[c].dataType)
+            )
+
         merged = sub.join(src_upd, on=on, how="left").select(
             *[
                 F.when(
                     F.coalesce(F.col("__src_matched"), F.lit(False)),
                     F.col(f"__src_{c}").cast(schema[c].dataType),
                 )
-                .otherwise(F.col(c))
+                .otherwise(_old(c))
                 .alias(c)
                 if c in upd
-                else F.col(c)
+                else _old(c).alias(c)
                 for c in tcols
             ],
             # updated rows keep their stable row id through the rewrite
@@ -4791,10 +4844,20 @@ def delta_merge(
         changes: list[DataFrame] = []
         if affected:
             matched_keys = src.select(*on).distinct()
+            pre = sub.drop(_RT_COL).join(matched_keys, on=on, how="left_semi")
+            if evo_action is not None:
+                # conform the pre-image to the evolved schema (new
+                # columns null) so the change feed unions cleanly
+                pre = pre.select(
+                    *[
+                        F.col(c)
+                        if c in pre.columns
+                        else F.lit(None).cast(schema[c].dataType).alias(c)
+                        for c in tcols
+                    ]
+                )
             changes.append(
-                sub.drop(_RT_COL)
-                .join(matched_keys, on=on, how="left_semi")
-                .withColumn("_change_type", F.lit("update_preimage"))
+                pre.withColumn("_change_type", F.lit("update_preimage"))
             )
             changes.append(
                 merged.drop(_RT_COL)
@@ -4821,6 +4884,9 @@ def delta_merge(
         # wins semantics consistent for both watermarks
         extra_actions=[_commit_info("MERGE")]
         + ([{"txn": {"appId": txn[0], "version": int(txn[1])}}] if txn else [])
+        # evolution first: id/rt metaData actions were built FROM the
+        # evolved meta, so last-metaData-wins stays consistent
+        + ([evo_action] if evo_action else [])
         + ([id_action] if id_action else [])
         + ([rt_action] if rt_action else [])
         + cdc,
@@ -5829,6 +5895,44 @@ def delta_native_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_live_rows long, n_files_reclaimed long, "
         "n_versions_in_log long, v0_travel_fails long",
+    )
+
+
+def delta_native_merge_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION (delta-spark's withSchemaEvolution):
+    the source carries a column the target lacks (``tier``); one MERGE
+    commit evolves the schema, updates matched rows with the new
+    column's values, inserts unmatched source rows, and every
+    pre-evolution row reads back with a null — no data file rewritten
+    for the evolution itself."""
+    import tempfile
+
+    from ..tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_mergevo_")
+    delta_write(c.where(F.col("k") % 2 == 0).repartition(4), path)
+    source = c.where(F.col("k") % 3 == 0).select(
+        "k",
+        (F.col("cents") * 2).alias("cents"),
+        F.when(F.col("k") % 2 == 0, "matched")
+        .otherwise("inserted")
+        .alias("tier"),
+    )
+    delta_merge(spark, path, source, on=["k"], schema_evolution=True)
+    return (
+        delta_read(spark, path)
+        .groupBy(F.coalesce("tier", F.lit("legacy")).alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("tier")
     )
 
 
@@ -7110,6 +7214,35 @@ QUERIES: list[QueryDef] = [
         tags=("parity", "delta", "io"),
         description="RESTORE TO VERSION as a pure-metadata MVCC commit "
         "(re-adds the old generation, keeps history).",
+    ),
+    QueryDef(
+        "delta_native_merge_evolution",
+        delta_native_merge_evolution,
+        """
+        WITH c AS (
+          SELECT c_custkey AS k,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer),
+        t AS (SELECT k, cents FROM c WHERE k % 2 = 0),
+        s AS (
+          SELECT k, cents * 2 AS cents,
+                 CASE WHEN k % 2 = 0 THEN 'matched'
+                      ELSE 'inserted' END AS tier
+          FROM c WHERE k % 3 = 0),
+        final AS (
+          SELECT t.k, COALESCE(s.cents, t.cents) AS cents, s.tier
+          FROM t LEFT JOIN s ON t.k = s.k
+          UNION ALL
+          SELECT k, cents, tier FROM s WHERE k % 2 <> 0)
+        SELECT COALESCE(tier, 'legacy') AS tier,
+               COUNT(*) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM final GROUP BY 1 ORDER BY 1
+        """,
+        tags=("parity", "delta", "io"),
+        description="MERGE with schema evolution: source-only column "
+        "evolves the table in the merge commit; matched rows take its "
+        "values, pre-evolution rows read back null.",
     ),
     QueryDef(
         "delta_native_domain_metadata",

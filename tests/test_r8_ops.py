@@ -357,3 +357,52 @@ def test_ann_index_append_is_idempotent(spark, sf_smoke):
         fresh = assigned.join(state_ids, "vec_id", "left_anti")
         delta_write(fresh, path, mode="append")
         assert delta_read(spark, path).count() == n
+
+
+def test_merge_schema_evolution_contracts(spark, sf_smoke):
+    """MERGE schema evolution: [1] type conflicts on existing columns
+    refuse (MERGE never widens), [2] evolution composes with CDF — the
+    change feed's pre-images conform to the evolved schema (null new
+    column), [3] time travel to the pre-merge version shows the OLD
+    schema."""
+    import tempfile
+
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_merge,
+        delta_read,
+        delta_read_cdf,
+        delta_write,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    n = load_table(spark, sf_smoke, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+    )
+    path = tempfile.mkdtemp(prefix="ls_mergevo_cdf_")
+    delta_write(
+        n, path, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    src = n.where(F.col("k") < 5).select(
+        "k", "name", F.lit(7).cast("long").alias("score")
+    )
+    v = delta_merge(spark, path, src, on=["k"], schema_evolution=True)
+    back = delta_read(spark, path)
+    assert "score" in back.columns
+    assert back.where(F.col("score").isNotNull()).count() == 5
+    # pre-merge snapshot keeps the old schema
+    assert "score" not in delta_read(spark, path, version=v - 1).columns
+    # CDF pre-images carry the evolved schema with null score
+    feed = delta_read_cdf(spark, path, from_version=v)
+    pre = feed.where(F.col("_change_type") == "update_preimage")
+    assert pre.count() == 5
+    assert pre.where(F.col("score").isNull()).count() == 5
+    # type conflict on an existing column refuses
+    bad = n.where(F.col("k") < 3).select(
+        "k",
+        F.col("k").cast("double").alias("name"),  # conflicts with string
+        F.lit(1).cast("long").alias("extra"),  # triggers evolution
+    )
+    with pytest.raises(ValueError, match="cannot change column"):
+        delta_merge(spark, path, bad, on=["k"], schema_evolution=True)
