@@ -1008,11 +1008,23 @@ def _unigram_prepare(
         ).alias("sub"),
     )
     sfreq = subs.groupBy("sub").agg(F.sum("freq").alias("sfreq"))
-    totals = sfreq.agg(F.sum("sfreq").alias("t"))
+    costs = _uni_costs_from_counts(sfreq, "sfreq")
+    pairs = subs.select("word", "sub").distinct()
+    wmap = _uni_wmap(pairs, costs)
+    return words, pairs, costs, wmap
+
+
+def _uni_costs_from_counts(cnt_df: DataFrame, cnt_col: str) -> DataFrame:
+    """(sub, comb) piece-cost table from a (sub, count) table: integer
+    millibit NLL vs the count total (shared LOG2_MB_TABLE mantissa
+    log2), combined as cost·UNI_BASE + 1 for the lexicographic
+    (cost, pieces) Viterbi minimization. Used for the raw substring
+    frequencies (round 1) AND the EM-re-estimated counts (round 2)."""
+    totals = cnt_df.agg(F.sum(cnt_col).alias("t"))
     arr = F.array(*[F.lit(int(x)) for x in LOG2_MB_TABLE])
-    costs = (
-        sfreq.crossJoin(F.broadcast(totals))
-        .withColumn("r", F.expr("t * 1048576 DIV sfreq"))
+    return (
+        cnt_df.crossJoin(F.broadcast(totals))
+        .withColumn("r", F.expr(f"t * 1048576 DIV {cnt_col}"))
         .withColumn("e", (F.length(F.expr("bin(r)")) - 1).cast("int"))
         .withColumn(
             "m6", F.expr("r DIV shiftleft(CAST(1 AS BIGINT), e - 6)")
@@ -1029,10 +1041,15 @@ def _unigram_prepare(
             ).alias("comb"),
         )
     )
-    wmap = (
-        subs.select("word", "sub")
-        .distinct()
-        .join(costs, "sub")
+
+
+def _uni_wmap(pairs: DataFrame, costs: DataFrame) -> DataFrame:
+    """Per-word map of its own pieces' combined costs (INNER join —
+    pieces outside the cost table simply never appear; array_min skips
+    the resulting null candidates, which is how a PRUNED vocabulary
+    flows through the same DP expression)."""
+    return (
+        pairs.join(costs, "sub")
         .groupBy("word")
         .agg(
             F.map_from_entries(
@@ -1040,7 +1057,6 @@ def _unigram_prepare(
             ).alias("m")
         )
     )
-    return words, costs, wmap
 
 
 # the Viterbi DP array: acc[k] = best combined cost of word[1..k-1]
@@ -1078,7 +1094,7 @@ def text_unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. The DuckDB twin unrolls the same DP as chained CTEs
     (one per position, UNI_MAX_WORD deep) — bit-identical costs via
     the shared LOG2_MB_TABLE mantissa log2."""
-    words, _, wmap = _unigram_prepare(spark, sf_dir)
+    words, _, _, wmap = _unigram_prepare(spark, sf_dir)
     dp = words.join(wmap, "word").withColumn(
         "best",
         F.expr(f"element_at(({_UNI_ACC_EXPR}), length(word) + 1)"),
@@ -1118,6 +1134,20 @@ _UNI_ISTAR = f"""element_at(
               = element_at(acc, st.j + 1)),
   1)"""
 
+# the full backtrack: walk j from word-end to 0, emitting the argmin
+# predecessor's piece at each step — one higher-order aggregate
+_UNI_PARTS_EXPR = f"""aggregate(
+  sequence(1, length(word)),
+  named_struct('j', length(word),
+               'ps', CAST(array() AS ARRAY<STRING>)),
+  (st, k) -> IF(st.j <= 0, st,
+    named_struct(
+      'j', {_UNI_ISTAR},
+      'ps', array_append(st.ps,
+              substring(word, {_UNI_ISTAR} + 1,
+                        st.j - {_UNI_ISTAR})))),
+  st -> st.ps)"""
+
 
 def text_unigram_em_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The E-step of SentencePiece training (hard-EM / Viterbi
@@ -1138,26 +1168,11 @@ def text_unigram_em_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the segmentation report — vocabulary-
     sized after the one corpus scan; the output explode is pieces per
     distinct word (≤ word length), re-aggregated map-side."""
-    words, costs, wmap = _unigram_prepare(spark, sf_dir)
+    words, _, costs, wmap = _unigram_prepare(spark, sf_dir)
     seg = (
         words.join(wmap, "word")
         .withColumn("acc", F.expr(_UNI_ACC_EXPR))
-        .withColumn(
-            "parts",
-            F.expr(
-                f"""aggregate(
-                  sequence(1, length(word)),
-                  named_struct('j', length(word),
-                               'ps', CAST(array() AS ARRAY<STRING>)),
-                  (st, k) -> IF(st.j <= 0, st,
-                    named_struct(
-                      'j', {_UNI_ISTAR},
-                      'ps', array_append(st.ps,
-                              substring(word, {_UNI_ISTAR} + 1,
-                                        st.j - {_UNI_ISTAR})))),
-                  st -> st.ps)"""
-            ),
-        )
+        .withColumn("parts", F.expr(_UNI_PARTS_EXPR))
     )
     occ = seg.select("word", "freq", F.explode("parts").alias("sub"))
     return (
@@ -1226,33 +1241,114 @@ def _uni_backtrack_sql() -> str:
     return ",\n        ".join(parts)
 
 
-def _uni_dp_sql() -> str:
-    """The DuckDB Viterbi unroll: d0..d{UNI_MAX_WORD} CTEs, one per
-    word position; d{j} minimizes over the ≤ UNI_MAX_PIECE predecessor
-    states, joining each candidate's piece cost by literal substring
-    bounds — the same recurrence the Spark higher-order expression
-    evaluates, as chained relational steps."""
+def _uni_dp_sql(prefix: str = "d", costs: str = "costs") -> str:
+    """The DuckDB Viterbi unroll: {prefix}0..{prefix}{UNI_MAX_WORD}
+    CTEs, one per word position; step j minimizes over the
+    ≤ UNI_MAX_PIECE predecessor states, joining each candidate's piece
+    cost by literal substring bounds — the same recurrence the Spark
+    higher-order expression evaluates, as chained relational steps.
+    The cost JOIN is INNER, so a PRUNED vocabulary (EM round 2) flows
+    through identically: absent pieces contribute no candidate row.
+    Exposes ``{prefix}_final`` (and keeps the legacy ``final`` name for
+    the default prefix)."""
+    d = prefix
     parts = [
-        "d0 AS MATERIALIZED (SELECT word, freq, CAST(0 AS BIGINT) AS best FROM words)"
+        f"{d}0 AS MATERIALIZED"
+        " (SELECT word, freq, CAST(0 AS BIGINT) AS best FROM words)"
     ]
     for j in range(1, UNI_MAX_WORD + 1):
         branches = " UNION ALL ".join(
-            f"SELECT d.word, d.freq, d.best + c.comb AS cand"
-            f" FROM d{i} d JOIN costs c"
-            f" ON c.sub = substring(d.word, {i + 1}, {j - i})"
-            f" WHERE len(d.word) >= {j}"
+            f"SELECT s.word, s.freq, s.best + c.comb AS cand"
+            f" FROM {d}{i} s JOIN {costs} c"
+            f" ON c.sub = substring(s.word, {i + 1}, {j - i})"
+            f" WHERE len(s.word) >= {j}"
             for i in range(max(0, j - UNI_MAX_PIECE), j)
         )
         parts.append(
-            f"d{j} AS MATERIALIZED (SELECT word, freq, MIN(cand) AS best"
+            f"{d}{j} AS MATERIALIZED (SELECT word, freq, MIN(cand) AS best"
             f" FROM ({branches}) GROUP BY word, freq)"
         )
     final = " UNION ALL ".join(
-        f"SELECT word, freq, best FROM d{j} WHERE len(word) = {j}"
+        f"SELECT word, freq, best FROM {d}{j} WHERE len(word) = {j}"
         for j in range(1, UNI_MAX_WORD + 1)
     )
-    parts.append(f"final AS ({final})")
+    parts.append(f"{d}_final AS ({final})")
+    if d == "d":
+        parts.append(f"final AS (SELECT * FROM {d}_final)")
     return ",\n        ".join(parts)
+
+
+
+
+def text_unigram_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One FULL unigram-LM training round (SentencePiece's hard-EM
+    iteration, closing the loop the E-step opened): segment the corpus
+    under the raw substring-frequency model (round 1), re-estimate
+    piece counts from the optimal segmentations (M-step: expected
+    counts; the vocabulary PRUNES to used pieces ∪ single characters,
+    unused singles floor at count 1 so every word stays coverable),
+    then re-segment under the re-estimated model (round 2). Reports
+    per round the vocabulary size, the freq-weighted corpus Viterbi
+    cost, and the total piece count — the numbers a tokenizer trainer
+    logs per iteration (cost should drop or hold as probability mass
+    concentrates on pieces actually used).
+
+    Plan shape: both rounds are the same vocabulary-sized DP
+    expression; the pruned round-2 vocabulary flows through the
+    identical plan because the per-word cost map is an inner join and
+    ``array_min`` skips the null candidates of absent pieces. Nothing
+    beyond the corpus scan is corpus-sized."""
+    words, pairs, costs1, wmap1 = _unigram_prepare(spark, sf_dir)
+    seg1 = (
+        words.join(wmap1, "word")
+        .withColumn("acc", F.expr(_UNI_ACC_EXPR))
+        .withColumn("best", F.expr("element_at(acc, length(word) + 1)"))
+        .withColumn("parts", F.expr(_UNI_PARTS_EXPR))
+        .localCheckpoint(eager=True)  # vocab-sized; feeds M-step + stats
+    )
+    em = (
+        seg1.select("freq", F.explode("parts").alias("sub"))
+        .groupBy("sub")
+        .agg(F.sum("freq").alias("em"))
+    )
+    singles = (
+        words.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word)),"
+                    " i -> substring(word, i, 1))"
+                )
+            ).alias("sub")
+        )
+        .distinct()
+    )
+    vocab2 = em.join(singles, "sub", "full_outer").select(
+        "sub", F.coalesce("em", F.lit(1)).alias("cnt")
+    )
+    costs2 = _uni_costs_from_counts(vocab2, "cnt")
+    wmap2 = _uni_wmap(pairs, costs2)
+    seg2 = (
+        words.join(wmap2, "word")
+        .withColumn("acc", F.expr(_UNI_ACC_EXPR))
+        .withColumn("best", F.expr("element_at(acc, length(word) + 1)"))
+    )
+
+    def stats(seg):
+        return seg.agg(
+            F.sum(F.expr(f"freq * (best DIV {UNI_BASE})")).alias("cost"),
+            F.sum(F.expr(f"freq * (best % {UNI_BASE})")).alias("pieces"),
+        ).collect()[0]
+
+    v1, v2 = costs1.count(), vocab2.count()
+    s1, s2 = stats(seg1), stats(seg2)
+    return spark.createDataFrame(
+        [
+            (1, v1, s1["cost"], s1["pieces"]),
+            (2, v2, s2["cost"], s2["pieces"]),
+        ],
+        "round long, vocab_size long, corpus_cost_mb long, "
+        "corpus_pieces long",
+    )
 
 
 # Hybrid retrieval fusion constants: RRF with the published K = 60,
@@ -1485,6 +1581,70 @@ QUERIES: list[QueryDef] = [
         "segmentation: Viterbi DP per distinct word as one codegen'd "
         "higher-order expression, integer-millibit piece costs, "
         "piece-count distribution with frequency mass.",
+    ),
+    QueryDef(
+        "text_unigram_em_round",
+        text_unigram_em_round,
+        f"""
+        WITH words AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+          WHERE len(word) <= {UNI_MAX_WORD}
+          GROUP BY word),
+        subs AS (
+          SELECT word, freq, substring(word, i, L) AS sub
+          FROM words,
+               UNNEST(range(1, len(word) + 1)) AS ri(i),
+               UNNEST(range(1, least({UNI_MAX_PIECE},
+                                     len(word) - i + 1) + 1)) AS rl(L)),
+        sfreq AS (
+          SELECT sub, CAST(SUM(freq) AS BIGINT) AS sfreq
+          FROM subs GROUP BY sub),
+        tot AS (SELECT CAST(SUM(sfreq) AS BIGINT) AS t FROM sfreq),
+        costs AS MATERIALIZED (
+          SELECT sub,
+                 CAST(({_dsir_like_nll_sql("t", "sfreq")}) AS BIGINT)
+                   * {UNI_BASE} + 1 AS comb
+          FROM sfreq, tot),
+        {_uni_dp_sql()},
+        {_uni_backtrack_sql()},
+        em AS MATERIALIZED (
+          SELECT piece AS sub, CAST(SUM(freq) AS BIGINT) AS em
+          FROM pieces GROUP BY piece),
+        singles AS (
+          SELECT DISTINCT substring(word, i, 1) AS sub
+          FROM words, UNNEST(range(1, len(word) + 1)) AS r(i)),
+        vocab2 AS MATERIALIZED (
+          SELECT COALESCE(e.sub, s.sub) AS sub,
+                 CAST(COALESCE(e.em, 1) AS BIGINT) AS cnt
+          FROM em e FULL OUTER JOIN singles s ON e.sub = s.sub),
+        tot2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t2 FROM vocab2),
+        costs2 AS MATERIALIZED (
+          SELECT sub,
+                 CAST(({_dsir_like_nll_sql("t2", "cnt")}) AS BIGINT)
+                   * {UNI_BASE} + 1 AS comb
+          FROM vocab2, tot2),
+        {_uni_dp_sql(prefix="e", costs="costs2")}
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS round,
+                 (SELECT COUNT(*) FROM costs) AS vocab_size,
+                 CAST(SUM(freq * (best // {UNI_BASE})) AS BIGINT)
+                   AS corpus_cost_mb,
+                 CAST(SUM(freq * (best % {UNI_BASE})) AS BIGINT)
+                   AS corpus_pieces
+          FROM final
+          UNION ALL
+          SELECT 2, (SELECT COUNT(*) FROM vocab2),
+                 CAST(SUM(freq * (best // {UNI_BASE})) AS BIGINT),
+                 CAST(SUM(freq * (best % {UNI_BASE})) AS BIGINT)
+          FROM e_final)
+        ORDER BY round
+        """,
+        tags=("extension", "text", "pipeline"),
+        description="SentencePiece hard-EM training round: segment, "
+        "re-estimate piece counts from the optimal segmentations "
+        "(prune to used pieces + single chars), re-segment; per-round "
+        "vocab size, corpus Viterbi cost, piece totals.",
     ),
     QueryDef(
         "text_unigram_em_counts",

@@ -406,3 +406,23 @@ def test_merge_schema_evolution_contracts(spark, sf_smoke):
     )
     with pytest.raises(ValueError, match="cannot change column"):
         delta_merge(spark, path, bad, on=["k"], schema_evolution=True)
+
+
+def test_unigram_em_round_improves_model(spark, sf_smoke):
+    """The hard-EM guarantee, observed: re-estimating piece counts from
+    the optimal segmentations concentrates probability mass on pieces
+    actually used, so round 2's corpus Viterbi cost must not exceed
+    round 1's and the vocabulary must prune (used ∪ singles ⊆ all
+    candidate substrings)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        text_unigram_em_round,
+    )
+
+    rows = {
+        r["round"]: r
+        for r in text_unigram_em_round(spark, sf_smoke).collect()
+    }
+    assert rows[1]["corpus_cost_mb"] > 0
+    assert rows[2]["corpus_cost_mb"] <= rows[1]["corpus_cost_mb"]
+    assert 0 < rows[2]["vocab_size"] <= rows[1]["vocab_size"]
+    assert rows[2]["corpus_pieces"] > 0
