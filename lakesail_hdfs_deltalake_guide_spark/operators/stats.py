@@ -831,7 +831,97 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test on the monthly revenue series — the
+    nonparametric "is there a monotone trend" companion to the runs
+    test (runs asks "random?", MK asks "which way?"). S = Σ sign(x_j −
+    x_i) over all month pairs i < j; under H0, Var(S) =
+    n(n−1)(2n+5)/18 − Σ_t t(t−1)(2t+5)/18 (tie-corrected) — reported
+    ×18 so everything stays integer. Direction = sign(S).
+
+    Plan: the fact table collapses to ≤ a few dozen month rows
+    map-side; the pair "join" is over the BOUNDED month domain (n² of
+    a few hundred pairs), never the facts — the KS/runs-test idiom."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("rev")
+        )
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    pairs = a.join(b, F.col("a.m") < F.col("b.m")).select(
+        F.signum(
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+        ).cast("long").alias("sgn")
+    )
+    base = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("sgn").alias("s"),
+    )
+    ties = (
+        monthly.groupBy("rev")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_months_check"),
+            F.sum(
+                F.expr("t * (t - 1) * (2 * t + 5)")
+            ).alias("tie_term_x18"),
+        )
+    )
+    n = monthly.count()
+    return base.crossJoin(F.broadcast(ties)).select(
+        F.lit(n).cast("long").alias("n_months"),
+        "n_pairs",
+        F.col("s").alias("s_statistic"),
+        (
+            F.lit(n * (n - 1) * (2 * n + 5)).cast("long")
+            - F.col("tie_term_x18")
+        ).alias("var_s_x18"),
+        F.signum(F.col("s").cast("double")).cast("long").alias("direction"),
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_mann_kendall",
+        stats_mann_kendall,
+        """
+        WITH monthly AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS rev
+          FROM orders GROUP BY m),
+        pairs AS (
+          SELECT CAST(SIGN(b.rev - a.rev) AS BIGINT) AS sgn
+          FROM monthly a JOIN monthly b ON a.m < b.m),
+        base AS (
+          SELECT COUNT(*) AS n_pairs, CAST(SUM(sgn) AS BIGINT) AS s
+          FROM pairs),
+        nn AS (SELECT COUNT(*) AS n FROM monthly),
+        ties AS (
+          SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                   AS tie_term_x18
+          FROM (SELECT COUNT(*) AS t FROM monthly GROUP BY rev))
+        SELECT CAST(nn.n AS BIGINT) AS n_months,
+               base.n_pairs,
+               base.s AS s_statistic,
+               CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                    - ties.tie_term_x18 AS BIGINT) AS var_s_x18,
+               CAST(SIGN(base.s) AS BIGINT) AS direction
+        FROM base, nn, ties
+        """,
+        tags=("extension", "stats", "timeseries"),
+        description="Mann-Kendall monotone-trend test on monthly "
+        "revenue: exact S over bounded month pairs, tie-corrected "
+        "variance x18, direction — the 'which way' companion to the "
+        "runs test.",
+    ),
+
     QueryDef(
         "stats_runs_test",
         stats_runs_test,
