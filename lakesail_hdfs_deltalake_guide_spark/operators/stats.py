@@ -886,7 +886,238 @@ def stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _isqrt_expr(x: str) -> str:
+    """isqrt as a single CASE expression over a FLOOR(SQRT()) seed.
+
+    Valid on Spark SQL and DuckDB alike; ``x`` must be a non-negative
+    integer expression small enough that (seed+1)² fits BIGINT (seed ≤
+    ~3·10⁹, i.e. x ≤ ~9·10¹⁸ — the full BIGINT domain)."""
+    seed = f"CAST(FLOOR(SQRT(CAST(({x}) AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({seed} + 1) * ({seed} + 1) <= ({x}) THEN {seed} + 1 "
+        f"WHEN {seed} * {seed} > ({x}) THEN {seed} - 1 "
+        f"ELSE {seed} END)"
+    )
+
+
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the segment × priority contingency
+    table — the "how strong is the association" companion to the χ²
+    independence audit (χ² says "not independent", V says "by how
+    much" on a 0–1 scale comparable across table shapes). V =
+    sqrt(χ² / (N·min(R−1, C−1))), reported in exact ppm via a guarded
+    integer sqrt (IEEE seed, ±1 correction against exact squares — no
+    float-rounding divergence between engines).
+
+    Plan: identical to the χ² query — one fact join, one contingency
+    aggregate, O(cells) window math — plus a single-row rollup; the
+    per-cell χ² terms reuse the same cross-multiplied DECIMAL(38)
+    form, so this composes (not re-derives) the audit."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    wr = Window.partitionBy("c_mktsegment")
+    wc = Window.partitionBy("o_orderpriority")
+    wn = Window.partitionBy()
+    terms = (
+        cells.withColumn("r_total", F.sum("observed").over(wr))
+        .withColumn("c_total", F.sum("observed").over(wc))
+        .withColumn("n_total", F.sum("observed").over(wn))
+        .select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "n_total",
+            F.expr(
+                "CAST((CAST(observed AS DECIMAL(38,0)) * n_total"
+                " - CAST(r_total AS DECIMAL(38,0)) * c_total)"
+                " * (CAST(observed AS DECIMAL(38,0)) * n_total"
+                " - CAST(r_total AS DECIMAL(38,0)) * c_total)"
+                " * 1000000 DIV (CAST(r_total AS DECIMAL(38,0))"
+                " * c_total * n_total) AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    rolled = terms.agg(
+        F.max("n_total").alias("n_total"),
+        F.countDistinct("c_mktsegment").alias("r_cats"),
+        F.countDistinct("o_orderpriority").alias("c_cats"),
+        F.sum("term_micro").alias("chi2_micro"),
+    )
+    # V²·10¹² as an integer: the ×10⁶ product rides DECIMAL(38) so the
+    # form survives any N; the quotient itself is ≤ 10¹² (V ≤ 1), so
+    # the BIGINT cast and the isqrt seed are always in range.
+    v2_e12 = (
+        "CAST(CAST(chi2_micro AS DECIMAL(38,0)) * 1000000"
+        " DIV (CAST(n_total AS DECIMAL(38,0))"
+        " * least(r_cats - 1, c_cats - 1)) AS BIGINT)"
+    )
+    return rolled.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("r_cats").cast("long").alias("r_cats"),
+        F.col("c_cats").cast("long").alias("c_cats"),
+        F.col("chi2_micro").cast("long").alias("chi2_micro"),
+        F.expr(_isqrt_expr(v2_e12)).cast("long").alias("cramers_v_ppm"),
+    )
+
+
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen slope estimator on the monthly revenue series — the
+    robust trend MAGNITUDE companion to Mann–Kendall (MK gives the
+    direction verdict; Theil–Sen gives the median-of-pairwise-slopes
+    cents-per-month rate, immune to outlier months that wreck OLS).
+    Slope per pair (i<j) = Δrev DIV Δmonths in exact cents (calendar
+    month index = year·12 + month, so gaps weigh correctly); the
+    estimate is the exact lower/upper median of the pair slopes (sum
+    reported ×2 so the even-count midpoint stays integer).
+
+    Plan: the fact table collapses to ≤ a few dozen month rows
+    map-side; pairs, the sort, and the median all run over the BOUNDED
+    month-pair domain (thousands of rows at ANY corpus scale) — the
+    Mann-Kendall/KS idiom, never a fact-level window."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("rev")
+        )
+        .select(
+            F.expr("year(m) * 12 + month(m)").cast("long").alias("mi"),
+            "rev",
+        )
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = a.join(b, F.col("a.mi") < F.col("b.mi")).select(
+        F.expr(
+            "(b.rev - a.rev) DIV (b.mi - a.mi)"
+        ).cast("long").alias("slope")
+    )
+    w = Window.orderBy("slope")
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_pairs", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    med = ranked.where(
+        F.expr("rn = (n_pairs + 1) DIV 2 OR rn = n_pairs DIV 2 + 1")
+    ).agg(
+        F.max("n_pairs").alias("n_pairs"),
+        F.min("slope").alias("slope_cents_lo"),
+        F.max("slope").alias("slope_cents_hi"),
+        (F.min("slope") + F.max("slope")).alias("slope_cents_x2"),
+    )
+    n_months = monthly.count()
+    return med.select(
+        F.lit(n_months).cast("long").alias("n_months"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("slope_cents_lo").cast("long").alias("slope_cents_lo"),
+        F.col("slope_cents_hi").cast("long").alias("slope_cents_hi"),
+        F.col("slope_cents_x2").cast("long").alias("slope_cents_x2"),
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_cramers_v",
+        stats_cramers_v,
+        """
+        WITH cells AS (
+          SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS observed
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment, o.o_orderpriority),
+        tot AS (
+          SELECT *,
+                 SUM(observed) OVER (PARTITION BY c_mktsegment) AS r_total,
+                 SUM(observed) OVER (PARTITION BY o_orderpriority)
+                   AS c_total,
+                 SUM(observed) OVER () AS n_total
+          FROM cells),
+        terms AS (
+          SELECT c_mktsegment, o_orderpriority, n_total,
+                 CAST((CAST(observed AS HUGEINT) * n_total
+                       - CAST(r_total AS HUGEINT) * c_total)
+                      * (CAST(observed AS HUGEINT) * n_total
+                         - CAST(r_total AS HUGEINT) * c_total)
+                      * 1000000 // (CAST(r_total AS HUGEINT) * c_total
+                                    * n_total) AS BIGINT) AS term_micro
+          FROM tot),
+        rolled AS (
+          SELECT MAX(n_total) AS n_total,
+                 COUNT(DISTINCT c_mktsegment) AS r_cats,
+                 COUNT(DISTINCT o_orderpriority) AS c_cats,
+                 SUM(term_micro) AS chi2_micro
+          FROM terms),
+        v AS (
+          SELECT *,
+                 CAST(CAST(chi2_micro AS HUGEINT) * 1000000
+                      // (CAST(n_total AS HUGEINT)
+                          * least(r_cats - 1, c_cats - 1)) AS BIGINT) AS x
+          FROM rolled),
+        s AS (
+          SELECT *, CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT) AS s0
+          FROM v)
+        SELECT CAST(n_total AS BIGINT) AS n_total,
+               CAST(r_cats AS BIGINT) AS r_cats,
+               CAST(c_cats AS BIGINT) AS c_cats,
+               CAST(chi2_micro AS BIGINT) AS chi2_micro,
+               CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1
+                         WHEN s0 * s0 > x THEN s0 - 1
+                         ELSE s0 END AS BIGINT) AS cramers_v_ppm
+        FROM s
+        """,
+        tags=("extension", "stats", "olap"),
+        description="Cramér's V effect size (segment x priority) in "
+        "exact ppm: chi2 rollup + guarded integer sqrt — association "
+        "STRENGTH on a 0-1 scale, composing the chi2 audit.",
+    ),
+    QueryDef(
+        "stats_theil_sen",
+        stats_theil_sen,
+        """
+        WITH monthly AS (
+          SELECT CAST(year(m2) * 12 + month(m2) AS BIGINT) AS mi,
+                 rev
+          FROM (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m2,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM orders GROUP BY m2)),
+        pairs AS (
+          SELECT CAST((b.rev - a.rev) // (b.mi - a.mi) AS BIGINT) AS slope
+          FROM monthly a JOIN monthly b ON a.mi < b.mi),
+        ranked AS (
+          SELECT slope,
+                 ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+                 COUNT(*) OVER () AS n_pairs
+          FROM pairs),
+        med AS (
+          SELECT MAX(n_pairs) AS n_pairs,
+                 MIN(slope) AS slope_cents_lo,
+                 MAX(slope) AS slope_cents_hi
+          FROM ranked
+          WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1),
+        nn AS (SELECT COUNT(*) AS n FROM monthly)
+        SELECT CAST(nn.n AS BIGINT) AS n_months,
+               CAST(med.n_pairs AS BIGINT) AS n_pairs,
+               CAST(med.slope_cents_lo AS BIGINT) AS slope_cents_lo,
+               CAST(med.slope_cents_hi AS BIGINT) AS slope_cents_hi,
+               CAST(med.slope_cents_lo + med.slope_cents_hi AS BIGINT)
+                 AS slope_cents_x2
+        FROM med, nn
+        """,
+        tags=("extension", "stats", "timeseries"),
+        description="Theil-Sen robust trend slope on monthly revenue: "
+        "exact median of pairwise cents-per-month slopes over the "
+        "bounded month domain — the magnitude companion to "
+        "Mann-Kendall's direction.",
+    ),
     QueryDef(
         "stats_mann_kendall",
         stats_mann_kendall,
