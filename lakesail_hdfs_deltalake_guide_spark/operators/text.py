@@ -1470,10 +1470,211 @@ def text_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# WordPiece (the THIRD tokenizer family, after BPE's greedy-merge pair
+# and unigram-LM's optimal-DP pair): greedy longest-match-first over a
+# position-aware vocabulary — word-INITIAL pieces vs '##'-marked
+# CONTINUATION pieces, exactly the BERT convention. The vocabulary is
+# corpus-derived and deterministic: every (form, substring ≤
+# WP_MAX_PIECE chars) whose frequency-weighted occurrence count meets
+# WP_MIN_COUNT, plus ALL single characters unconditionally (so the
+# greedy walk always advances — no UNK, total coverage by
+# construction). Words longer than WP_MAX_WORD chars or containing the
+# marker character are excluded by contract (not truncation): the '#'
+# exclusion keeps the '##' namespace collision-free.
+WP_MAX_PIECE = 6
+WP_MAX_WORD = 16
+WP_MIN_COUNT = 40
+WP_TOP = 25
+
+# longest vocab match at 0-based position st.i: descending candidate
+# lengths, filter keeps vocab hits in order, element 1 = the longest.
+# Singles are always present, so this is never null.
+_WP_LSTAR = f"""element_at(
+  filter(sequence(least({WP_MAX_PIECE}, length(word) - st.i), 1, -1),
+         l -> element_at(m, IF(st.i = 0,
+                substring(word, st.i + 1, l),
+                concat('##', substring(word, st.i + 1, l))))
+              IS NOT NULL),
+  1)"""
+
+# the greedy walk: one higher-order aggregate, ≤ length(word) steps,
+# each consuming the longest matching piece and emitting its marked form
+_WP_WALK = f"""aggregate(
+  sequence(1, length(word)),
+  named_struct('i', 0, 'ps', CAST(array() AS ARRAY<STRING>)),
+  (st, k) -> IF(st.i >= length(word), st,
+    named_struct(
+      'i', st.i + {_WP_LSTAR},
+      'ps', array_append(st.ps, IF(st.i = 0,
+              substring(word, st.i + 1, {_WP_LSTAR}),
+              concat('##', substring(word, st.i + 1, {_WP_LSTAR})))))),
+  st -> st.ps)"""
+
+
+def text_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match-first segmentation — completes
+    the tokenizer triad (BPE = greedy merges, unigram = optimal DP,
+    WordPiece = greedy longest prefix), with BERT's word-initial vs
+    '##'-continuation piece forms. Reports the top corpus pieces by
+    encoded frequency mass.
+
+    The walk runs as ONE codegen'd higher-order expression per
+    distinct word (``aggregate`` carries (position, pieces); the inner
+    longest-match is ``filter`` over descending candidate lengths
+    against the word's broadcast piece-presence map) — zero Python,
+    zero joins per step, the unigram-DP posture exactly.
+
+    Scale shape: one corpus token scan collapses to the distinct-word
+    table; candidates, vocabulary, presence maps, the walk, and the
+    output aggregation are all VOCABULARY-sized. The DuckDB twin
+    unrolls the same greedy walk as WP_MAX_WORD chained materialized
+    CTEs, each step taking MAX(l) over the identical vocab join."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_tokens()).alias("word"))
+        .where(
+            (F.length("word") <= WP_MAX_WORD)
+            & (F.length("word") > 0)
+            & (~F.col("word").contains("#"))
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)  # vocab-sized; feeds occ + walk
+    )
+    cand = words.select(
+        "word",
+        "freq",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(word)),"
+                f" i -> transform("
+                f"   sequence(1, least({WP_MAX_PIECE},"
+                f"                     length(word) - i + 1)),"
+                f"   L -> IF(i = 1, substring(word, i, L),"
+                f"           concat('##', substring(word, i, L))))))"
+            )
+        ).alias("key"),
+    )
+    vocab = (
+        cand.groupBy("key")
+        .agg(F.sum("freq").alias("occ"))
+        .where(
+            (F.col("occ") >= WP_MIN_COUNT)
+            | (F.length(F.regexp_replace("key", "^##", "")) == 1)
+        )
+        .select("key")
+    )
+    wmap = (
+        cand.select("word", "key")
+        .distinct()
+        .join(vocab, "key")
+        .groupBy("word")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("key"), F.lit(1)))
+            ).alias("m")
+        )
+    )
+    pieces = (
+        words.join(wmap, "word")
+        .select("word", "freq", F.explode(F.expr(_WP_WALK)).alias("piece"))
+    )
+    return (
+        pieces.groupBy("piece")
+        .agg(
+            F.sum("freq").alias("encoded_count"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy(F.desc("encoded_count"), F.asc("piece"))
+        .limit(WP_TOP)
+        .select(
+            "piece",
+            F.col("encoded_count").cast("long").alias("encoded_count"),
+            F.col("n_words").cast("long").alias("n_words"),
+        )
+    )
+
+
+def _wp_oracle_sql() -> str:
+    """DuckDB twin of the greedy walk: g0..g{WP_MAX_WORD} chained
+    materialized CTEs, step k finding MAX(l) whose marked substring is
+    in the vocab at the word's current position (identical longest-
+    match rule), emitting the piece and advancing; pieces union all
+    steps. Bounds derive from word length, never fixed literals."""
+    steps = [
+        "words AS MATERIALIZED (\n"
+        "  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (\n"
+        "    SELECT UNNEST(string_split(text, ' ')) AS word\n"
+        "    FROM documents) t\n"
+        f"  WHERE length(word) BETWEEN 1 AND {WP_MAX_WORD}\n"
+        "    AND word NOT LIKE '%#%'\n"
+        "  GROUP BY word)",
+        "cand AS MATERIALIZED (\n"
+        "  SELECT word, freq,\n"
+        "         CASE WHEN i = 1 THEN substring(word, i, l)\n"
+        "              ELSE '##' || substring(word, i, l) END AS key\n"
+        "  FROM (\n"
+        "    SELECT word, freq, CAST(i AS INTEGER) AS i,\n"
+        "           CAST(ll AS INTEGER) AS l\n"
+        "    FROM words,\n"
+        "         UNNEST(range(1, length(word) + 1)) AS t(i),\n"
+        f"         UNNEST(range(1, least({WP_MAX_PIECE},\n"
+        "                  length(word) - i + 1) + 1)) AS u(ll)))",
+        "vocab AS MATERIALIZED (\n"
+        "  SELECT key FROM cand GROUP BY key\n"
+        f"  HAVING SUM(freq) >= {WP_MIN_COUNT}\n"
+        "      OR length(regexp_replace(key, '^##', '')) = 1)",
+        "g0 AS MATERIALIZED (\n"
+        "  SELECT word, freq, 0 AS i FROM words)",
+    ]
+    for k in range(1, WP_MAX_WORD + 1):
+        steps.append(
+            f"""g{k} AS MATERIALIZED (
+  SELECT word, freq, i + lstar AS i,
+         CASE WHEN i = 0 THEN substring(word, i + 1, lstar)
+              ELSE '##' || substring(word, i + 1, lstar) END AS piece
+  FROM (
+    SELECT g.word, g.freq, g.i, MAX(CAST(ll AS INTEGER)) AS lstar
+    FROM g{k - 1} g,
+         UNNEST(range(1, least({WP_MAX_PIECE},
+                  length(g.word) - g.i) + 1)) AS u(ll)
+    JOIN vocab v
+      ON v.key = CASE WHEN g.i = 0
+                      THEN substring(g.word, g.i + 1, CAST(ll AS INTEGER))
+                      ELSE '##' || substring(g.word, g.i + 1,
+                                             CAST(ll AS INTEGER)) END
+    WHERE g.i < length(g.word)
+    GROUP BY g.word, g.freq, g.i))"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT word, freq, piece FROM g{k}"
+        for k in range(1, WP_MAX_WORD + 1)
+    )
+    return f"""
+        WITH {','.join(steps)},
+        pieces AS ({union})
+        SELECT piece,
+               CAST(SUM(freq) AS BIGINT) AS encoded_count,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+        FROM pieces GROUP BY piece
+        ORDER BY encoded_count DESC, piece ASC LIMIT {WP_TOP}
+        """
+
+
 from .similarity import NUM_QUERIES as _RRF_Q  # noqa: E402
 from .similarity import _SQL_SIM as _SQL_COS  # noqa: E402
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "text_wordpiece_encode",
+        text_wordpiece_encode,
+        _wp_oracle_sql(),
+        tags=("extension", "text", "tokenizer"),
+        description="WordPiece greedy longest-match segmentation with "
+        "BERT-style ##-continuation pieces over a corpus-derived "
+        "vocabulary — top pieces by encoded frequency mass; completes "
+        "the BPE/unigram/WordPiece tokenizer triad.",
+    ),
     QueryDef(
         "text_hybrid_rrf_retrieval",
         text_hybrid_rrf_retrieval,

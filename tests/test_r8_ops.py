@@ -426,3 +426,73 @@ def test_unigram_em_round_improves_model(spark, sf_smoke):
     assert rows[2]["corpus_cost_mb"] <= rows[1]["corpus_cost_mb"]
     assert 0 < rows[2]["vocab_size"] <= rows[1]["vocab_size"]
     assert rows[2]["corpus_pieces"] > 0
+
+
+def test_wordpiece_matches_sequential_greedy(spark, sf_smoke):
+    """The relational greedy walk (one higher-order expression per
+    word) must agree with a sequential Python longest-match-first
+    WordPiece encoder over the same corpus-derived vocabulary — the
+    BERT tokenizer pseudocode as the reference, same doctrine as the
+    BPE and unigram sequential-reference tests."""
+    import duckdb
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        WP_MAX_PIECE,
+        WP_MAX_WORD,
+        WP_MIN_COUNT,
+        WP_TOP,
+        text_wordpiece_encode,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    words = dict(
+        con.execute(
+            "SELECT word, COUNT(*) FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) "
+            f"WHERE len(word) BETWEEN 1 AND {WP_MAX_WORD} "
+            "AND word NOT LIKE '%#%' GROUP BY word"
+        ).fetchall()
+    )
+
+    def key(w: str, i: int, ln: int) -> str:
+        sub = w[i : i + ln]
+        return sub if i == 0 else "##" + sub
+
+    occ: dict[str, int] = {}
+    for w, f in words.items():
+        for i in range(len(w)):
+            for ln in range(1, min(WP_MAX_PIECE, len(w) - i) + 1):
+                k = key(w, i, ln)
+                occ[k] = occ.get(k, 0) + f
+    vocab = {
+        k
+        for k, c in occ.items()
+        if c >= WP_MIN_COUNT or len(k.replace("##", "", 1)) == 1
+    }
+
+    enc_count: dict[str, int] = {}
+    n_words: dict[str, set] = {}
+    for w, f in words.items():
+        i = 0
+        while i < len(w):
+            for ln in range(min(WP_MAX_PIECE, len(w) - i), 0, -1):
+                k = key(w, i, ln)
+                if k in vocab:
+                    enc_count[k] = enc_count.get(k, 0) + f
+                    n_words.setdefault(k, set()).add(w)
+                    i += ln
+                    break
+    want = sorted(
+        ((-c, p) for p, c in enc_count.items())
+    )[:WP_TOP]
+    want = [(p, -nc, len(n_words[p])) for nc, p in want]
+
+    got = [
+        (r["piece"], int(r["encoded_count"]), int(r["n_words"]))
+        for r in text_wordpiece_encode(spark, sf_smoke).collect()
+    ]
+    assert got == want
