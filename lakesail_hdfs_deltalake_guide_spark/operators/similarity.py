@@ -923,6 +923,141 @@ _SQL_IVF_TOPK = f"""
         """
 
 
+# MMR (maximal marginal relevance) re-ranking: diversity-aware top-k.
+# λ = 0.7 expressed as exact integer weights (score = 7·rel − 3·redun
+# in micro-cosine units), so the greedy argmax chain is pure BIGINT
+# arithmetic — bit-identical across engines with no float-order risk.
+MMR_POOL = 20
+MMR_SELECT = 5
+
+
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k — the RAG/near-dup
+    answer to "the 5 nearest neighbors are 5 copies of each other":
+    after the exact cosine top-MMR_POOL candidate pool per query,
+    greedily pick MMR_SELECT items maximizing λ·relevance − (1−λ)·
+    max-similarity-to-already-picked (λ=0.7 as exact 7/3 integer
+    weights over micro-cosines; ties → smaller vec_id). Pick 1 is pure
+    relevance (redundancy 0 by definition).
+
+    Plan: the corpus-sized work is exactly the brute-force top-k pass
+    (broadcast queries, per-query top-k window); everything after —
+    pool pairwise sims (POOL² per query) and the MMR_SELECT-step
+    greedy chain, unrolled as bounded joins partitioned by query_id —
+    is CONSTANT-sized per query. At 10⁹ vectors the pool pass is the
+    ANN index's job (IVF/PQ above); MMR composes on any pool."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        as_double("embedding").alias("qv"),
+    )
+    cands = e.select("vec_id", as_double("embedding").alias("cv"))
+    rel = (
+        cands.join(F.broadcast(queries))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "cv",
+            F.floor(cosine(F.col("qv"), F.col("cv")) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("rel_micro"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_micro"), F.asc("vec_id")
+    )
+    pool = (
+        rel.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= MMR_POOL)
+        .select("query_id", "vec_id", "cv", "rel_micro")
+        .localCheckpoint(eager=True)  # POOL rows/query; feeds 5 greedy steps
+    )
+    a, b = pool.alias("a"), pool.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.vec_id").alias("ca"),
+            F.col("b.vec_id").alias("cb"),
+            F.floor(
+                cosine(F.col("a.cv"), F.col("b.cv")) * 1_000_000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("sim_micro"),
+        )
+        .localCheckpoint(eager=True)  # POOL² rows/query, constant-bounded
+    )
+    slim = pool.select("query_id", "vec_id", "rel_micro")
+    first = (
+        slim.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("rel_micro"), F.asc("vec_id")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).cast("long").alias("pick"),
+            "vec_id",
+            "rel_micro",
+            (F.col("rel_micro") * 7).alias("mmr_score"),
+        )
+    )
+    selected = first
+    for t in range(2, MMR_SELECT + 1):
+        remaining = slim.join(
+            selected.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+        )
+        redun = (
+            pairs.join(
+                selected.select(
+                    "query_id", F.col("vec_id").alias("cb")
+                ),
+                ["query_id", "cb"],
+            )
+            .groupBy("query_id", F.col("ca").alias("vec_id"))
+            .agg(F.max("sim_micro").alias("max_sim_micro"))
+        )
+        scored = remaining.join(redun, ["query_id", "vec_id"]).select(
+            "query_id",
+            "vec_id",
+            "rel_micro",
+            (F.col("rel_micro") * 7 - F.col("max_sim_micro") * 3).alias(
+                "mmr_score"
+            ),
+        )
+        pick = (
+            scored.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("mmr_score"), F.asc("vec_id")
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(t).cast("long").alias("pick"),
+                "vec_id",
+                "rel_micro",
+                "mmr_score",
+            )
+        )
+        # checkpoint keeps the greedy chain's plan linear in steps (each
+        # step references the previous selection three times)
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.orderBy("query_id", "pick")
+
+
 # int8 quantization + integer dot in DuckDB list expressions; the double
 # pre-quantization math is the same IEEE expression tree as Spark's, so
 # the quantized integers (and therefore the scores) are bit-identical
@@ -940,7 +1075,90 @@ _SQL_SIM = """FLOOR(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embed
     * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
  * 1000000 + 0.5) / 1000000"""
 
+
+def _mmr_oracle_sql() -> str:
+    """DuckDB twin of the greedy MMR chain: pool + pairwise micro-sims,
+    then MMR_SELECT unrolled argmax steps (NOT EXISTS = the anti-join,
+    MAX over the selected set = the redundancy term, identical integer
+    7/3 scoring and vec_id tie-break)."""
+    micro = (
+        "CAST(FLOOR(list_dot_product(CAST({x}.embedding AS DOUBLE[]),"
+        " CAST({y}.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST({x}.embedding AS DOUBLE[]),"
+        " CAST({x}.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST({y}.embedding AS DOUBLE[]),"
+        " CAST({y}.embedding AS DOUBLE[]))))"
+        " * 1000000 + 0.5) AS BIGINT)"
+    )
+    parts = [
+        f"""rel AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         {micro.format(x='q', y='c')} AS rel_micro
+  FROM embeddings c JOIN embeddings q
+    ON q.vec_id < {NUM_QUERIES} AND q.vec_id <> c.vec_id)""",
+        f"""pool AS MATERIALIZED (
+  SELECT query_id, vec_id, rel_micro FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rel_micro DESC, vec_id) AS rn FROM rel)
+  WHERE rn <= {MMR_POOL})""",
+        f"""ps AS MATERIALIZED (
+  SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
+         {micro.format(x='ea', y='eb')} AS sim_micro
+  FROM pool a JOIN pool b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id)""",
+        """sel1 AS MATERIALIZED (
+  SELECT query_id, CAST(1 AS BIGINT) AS pick, vec_id, rel_micro,
+         CAST(rel_micro * 7 AS BIGINT) AS mmr_score
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY rel_micro DESC, vec_id) AS rn FROM pool)
+  WHERE rn = 1)""",
+    ]
+    for t in range(2, MMR_SELECT + 1):
+        parts.append(
+            f"""sc{t} AS MATERIALIZED (
+  SELECT c.query_id, c.vec_id, c.rel_micro,
+         CAST(c.rel_micro * 7 - 3 * MAX(ps.sim_micro) AS BIGINT)
+           AS mmr_score
+  FROM pool c
+  JOIN ps ON ps.query_id = c.query_id AND ps.ca = c.vec_id
+  JOIN sel{t - 1} s
+    ON s.query_id = ps.query_id AND s.vec_id = ps.cb
+  WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} x
+                    WHERE x.query_id = c.query_id
+                      AND x.vec_id = c.vec_id)
+  GROUP BY c.query_id, c.vec_id, c.rel_micro)""",
+        )
+        parts.append(
+            f"""sel{t} AS MATERIALIZED (
+  SELECT * FROM sel{t - 1}
+  UNION ALL
+  SELECT query_id, CAST({t} AS BIGINT) AS pick, vec_id, rel_micro,
+         mmr_score
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY mmr_score DESC, vec_id) AS rn FROM sc{t})
+  WHERE rn = 1)""",
+        )
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined}
+        SELECT query_id, pick, vec_id, rel_micro, mmr_score
+        FROM sel{MMR_SELECT} ORDER BY query_id, pick
+        """
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "similarity_mmr_rerank",
+        similarity_mmr_rerank,
+        _mmr_oracle_sql(),
+        tags=("extension", "similarity", "bench"),
+        description="Maximal-marginal-relevance diversified top-5 over "
+        "the exact cosine top-20 pool per query: greedy 7/3 integer "
+        "scoring in micro-cosines — relevance minus redundancy to the "
+        "already-picked set.",
+    ),
     QueryDef(
         "similarity_bruteforce_topk",
         similarity_bruteforce_topk,

@@ -1669,7 +1669,7 @@ QUERIES: list[QueryDef] = [
         "text_wordpiece_encode",
         text_wordpiece_encode,
         _wp_oracle_sql(),
-        tags=("extension", "text", "tokenizer"),
+        tags=("extension", "text", "tokenizer", "bench"),
         description="WordPiece greedy longest-match segmentation with "
         "BERT-style ##-continuation pieces over a corpus-derived "
         "vocabulary — top pieces by encoded frequency mass; completes "

@@ -496,3 +496,35 @@ def test_wordpiece_matches_sequential_greedy(spark, sf_smoke):
         for r in text_wordpiece_encode(spark, sf_smoke).collect()
     ]
     assert got == want
+
+
+def test_mmr_rerank_diversifies(spark, sf_smoke):
+    """Structural MMR invariants independent of the oracle: pick 1 is
+    the pure-relevance argmax, picks are distinct, and the diversity
+    term actually binds on this corpus (the MMR set differs from the
+    pure top-k for at least one query — with redundancy-heavy
+    synthetic embeddings it should, for all of them)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.similarity import (
+        MMR_SELECT,
+        similarity_bruteforce_topk,
+        similarity_mmr_rerank,
+    )
+
+    mmr = similarity_mmr_rerank(spark, sf_smoke).collect()
+    top = similarity_bruteforce_topk(spark, sf_smoke).collect()
+    by_q: dict[int, list] = {}
+    for r in mmr:
+        by_q.setdefault(r["query_id"], []).append(r)
+    top1 = {r["query_id"]: r["vec_id"] for r in top if r["rank"] == 1}
+    topk = {}
+    for r in top:
+        topk.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(by_q) == set(top1)
+    n_diff = 0
+    for q, rows in by_q.items():
+        picks = [r["vec_id"] for r in sorted(rows, key=lambda r: r["pick"])]
+        assert len(picks) == MMR_SELECT == len(set(picks))
+        assert picks[0] == top1[q], "pick 1 must be the relevance argmax"
+        if set(picks) != topk[q]:
+            n_diff += 1
+    assert n_diff >= 1, "diversity never bound — MMR degenerated to top-k"
