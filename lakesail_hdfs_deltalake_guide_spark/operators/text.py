@@ -1470,6 +1470,112 @@ def text_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM vs the add-one baseline — the
+    standard "did smoothing actually help" model-fit report behind
+    CCNet-style perplexity gating (the add-one decile gate above uses
+    the weaker model; this measures how much better the KN estimate
+    fits, per language). With discount D = 0.75 as the exact rational
+    3/4:
+
+        P_KN(w2|w1) = max(4·c12 − 3, 0)/(4·c1)
+                      + (3·N1+(w1,·)/(4·c1)) · N1+(·,w2)/T
+
+    (T = bigram types; the continuation distribution is KN's insight —
+    "how many contexts does w2 complete" instead of raw frequency).
+    Per-language corpus cross-entropy = Σ c12·nll DIV Σ c12, where
+    each bigram's nll comes from the shared integer millibit log2
+    (r = 4·c1·T·2²⁰ DIV (max(4c12−3,0)·T + 3·N1w1·Ncont), exact ≥ 1
+    because the probability components sum to 1). The add-one column
+    runs the identical machinery on (c1+V)·2²⁰ DIV (c12+1) — same
+    rounding, so the comparison is apples-to-apples.
+
+    Headroom: the r numerator rides DECIMAL(38)/HUGEINT (c1·T·2²²
+    overflows BIGINT at web scale); r itself is ≤ 4·c1·2²⁰ — BIGINT-
+    safe because the denominator is ≥ T.
+
+    Plan: one bigram explosion → bigram-type table (the only
+    data-sized shuffle); N1+(w1,·), N1+(·,w2), T, V are all
+    re-aggregations of the TYPE table (vocabulary-sized, Zipf) joined
+    back on vocabulary keys; the per-language rollup is 5 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    occ = (
+        d.where(F.size(toks) >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+                    F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "lang",
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+    )
+    c12 = (
+        occ.groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)  # vocab-sized; feeds 4 re-aggregations
+    )
+    c1 = c12.groupBy("lang", "w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1w1")
+    )
+    ncont = c12.groupBy("lang", "w2").agg(F.count(F.lit(1)).alias("ncont"))
+    per_lang = c12.groupBy("lang").agg(F.count(F.lit(1)).alias("ntypes"))
+    vocab = (
+        d.select("lang", F.explode(toks).alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    arr = F.array(*[F.lit(int(x)) for x in LOG2_MB_TABLE])
+
+    def mb_of(r: str) -> F.Column:
+        e = (F.length(F.expr(f"bin({r})")) - 1).cast("int")
+        m6 = F.expr(
+            f"({r}) DIV shiftleft(CAST(1 AS BIGINT), "
+            f"length(bin({r})) - 1 - 6)"
+        )
+        return (e - 20) * 1000 + F.element_at(arr, (m6 - 63).cast("int"))
+
+    kn_r = (
+        "CAST(CAST(4 AS DECIMAL(38,0)) * c1 * ntypes * 1048576"
+        " DIV (greatest(4 * c12 - 3, 0) * CAST(ntypes AS DECIMAL(38,0))"
+        " + CAST(3 AS DECIMAL(38,0)) * n1w1 * ncont) AS BIGINT)"
+    )
+    a1_r = "((c1 + v) * 1048576 DIV (c12 + 1))"
+    scored = (
+        c12.join(c1, ["lang", "w1"])
+        .join(ncont, ["lang", "w2"])
+        .join(F.broadcast(per_lang), "lang")
+        .join(F.broadcast(vocab), "lang")
+        .withColumn("kn_r", F.expr(kn_r))
+        .withColumn("kn_mb", mb_of("kn_r"))
+        .withColumn("a1_mb", mb_of(a1_r))
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.sum("c12").alias("n_bigram_tokens"),
+            F.count(F.lit(1)).alias("n_bigram_types"),
+            F.expr("SUM(c12 * kn_mb) DIV SUM(c12)").alias("kn_xent_mb"),
+            F.expr("SUM(c12 * a1_mb) DIV SUM(c12)").alias("addone_xent_mb"),
+        )
+        .select(
+            "lang",
+            F.col("n_bigram_tokens").cast("long").alias("n_bigram_tokens"),
+            F.col("n_bigram_types").cast("long").alias("n_bigram_types"),
+            F.col("kn_xent_mb").cast("long").alias("kn_xent_mb"),
+            F.col("addone_xent_mb").cast("long").alias("addone_xent_mb"),
+        )
+        .orderBy("lang")
+    )
+
+
 # WordPiece (the THIRD tokenizer family, after BPE's greedy-merge pair
 # and unigram-LM's optimal-DP pair): greedy longest-match-first over a
 # position-aware vocabulary — word-INITIAL pieces vs '##'-marked
@@ -1665,6 +1771,71 @@ from .similarity import NUM_QUERIES as _RRF_Q  # noqa: E402
 from .similarity import _SQL_SIM as _SQL_COS  # noqa: E402
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "text_kneser_ney_bigram",
+        text_kneser_ney_bigram,
+        f"""
+        WITH docs AS (
+          SELECT lang, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        occ AS (
+          SELECT lang, t[i] AS w1, t[i + 1] AS w2
+          FROM docs, UNNEST(range(1, len(t))) AS u(i)),
+        c12 AS MATERIALIZED (
+          SELECT lang, w1, w2, COUNT(*) AS c12
+          FROM occ GROUP BY lang, w1, w2),
+        c1 AS (
+          SELECT lang, w1, SUM(c12) AS c1, COUNT(*) AS n1w1
+          FROM c12 GROUP BY lang, w1),
+        ncont AS (
+          SELECT lang, w2, COUNT(*) AS ncont FROM c12 GROUP BY lang, w2),
+        per_lang AS (
+          SELECT lang, COUNT(*) AS ntypes FROM c12 GROUP BY lang),
+        vocab AS (
+          SELECT lang, COUNT(DISTINCT tok) AS v
+          FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY lang),
+        scored AS (
+          SELECT c12.lang, c12.c12,
+                 CAST(CAST(4 AS HUGEINT) * c1.c1 * per_lang.ntypes
+                      * 1048576
+                      // (greatest(4 * c12.c12 - 3, 0)
+                          * CAST(per_lang.ntypes AS HUGEINT)
+                          + CAST(3 AS HUGEINT) * c1.n1w1 * ncont.ncont)
+                   AS BIGINT) AS kn_r,
+                 CAST((c1.c1 + vocab.v) * 1048576 // (c12.c12 + 1)
+                   AS BIGINT) AS a1_r
+          FROM c12
+          JOIN c1 USING (lang, w1)
+          JOIN ncont USING (lang, w2)
+          JOIN per_lang USING (lang)
+          JOIN vocab USING (lang)),
+        nll AS (
+          SELECT lang, c12,
+                 (length(bin(kn_r)) - 1 - 20) * 1000 +
+                 ([{", ".join(str(int(x)) for x in LOG2_MB_TABLE)}])[
+                   CAST(kn_r // (1::BIGINT << (length(bin(kn_r)) - 1 - 6))
+                        AS INT) - 63] AS kn_mb,
+                 (length(bin(a1_r)) - 1 - 20) * 1000 +
+                 ([{", ".join(str(int(x)) for x in LOG2_MB_TABLE)}])[
+                   CAST(a1_r // (1::BIGINT << (length(bin(a1_r)) - 1 - 6))
+                        AS INT) - 63] AS a1_mb
+          FROM scored)
+        SELECT lang,
+               CAST(SUM(c12) AS BIGINT) AS n_bigram_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_bigram_types,
+               CAST(SUM(c12 * kn_mb) // SUM(c12) AS BIGINT) AS kn_xent_mb,
+               CAST(SUM(c12 * a1_mb) // SUM(c12) AS BIGINT)
+                 AS addone_xent_mb
+        FROM nll GROUP BY lang ORDER BY lang
+        """,
+        tags=("extension", "text", "quality"),
+        description="Interpolated Kneser-Ney bigram LM (D=3/4 exact) "
+        "vs the add-one baseline: per-language corpus cross-entropy "
+        "in integer millibits via the shared mantissa log2 — the "
+        "model-fit report behind perplexity gating.",
+    ),
     QueryDef(
         "text_wordpiece_encode",
         text_wordpiece_encode,

@@ -528,3 +528,20 @@ def test_mmr_rerank_diversifies(spark, sf_smoke):
         if set(picks) != topk[q]:
             n_diff += 1
     assert n_diff >= 1, "diversity never bound — MMR degenerated to top-k"
+
+
+def test_kneser_ney_fits_better_than_addone(spark, sf_smoke):
+    """The point of KN smoothing, observed: on the corpus the model
+    was estimated from, the interpolated-KN cross-entropy must beat
+    (or tie) add-one for every language — add-one bleeds probability
+    mass to the V-sized unseen space, KN only discounts D=3/4 per
+    seen type."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        text_kneser_ney_bigram,
+    )
+
+    rows = text_kneser_ney_bigram(spark, sf_smoke).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["kn_xent_mb"] <= r["addone_xent_mb"], r["lang"]
+        assert r["n_bigram_types"] <= r["n_bigram_tokens"]
