@@ -126,7 +126,229 @@ def cluster_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Cosine-argmax assignment of every vector to a broadcast centroid
+    set (sims quantized to 1e-6 BEFORE the argmax; ties → smallest
+    centroid id) — the shared E-step of both Lloyd passes."""
+    sim_e6 = F.floor(
+        cosine(as_double("embedding"), F.col("cvec")) * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_e6"), F.asc("cid")
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", "cid", sim_e6.alias("sim_e6"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "cid", "sim_e6")
+    )
+
+
+def cluster_lloyd_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd (k-means) round — the training loop the
+    centroid-ASSIGN query is the E-step of, and the machinery behind
+    every IVF coarse quantizer and SemDeDup cluster table: assign to
+    the deterministic seeds, re-estimate each centroid as the
+    component-wise MEAN of its members, re-assign, and report how the
+    clustering moved. Exactness: vector components quantize to integer
+    micro-units at the M-step boundary, so the mean is an
+    order-independent integer SUM ... DIV count and the re-assignment
+    scores derive from bit-identical centroid doubles (micro/1e6 is
+    exact in IEEE for this range) — no float-accumulation-order drift
+    between engines, the same doctrine as the correlation moments.
+
+    Output per cluster: members before/after, movers in/out, the L1
+    centroid shift in micro-units, and the post-move mean similarity.
+
+    Plan: two broadcast-assign passes over the vectors (map-side, no
+    vector ever shuffles on a data-sized key) + one component
+    aggregation keyed (cluster, dim) — K·64 rows — reassembled into
+    centroid arrays with an order-pinning sort. The 100 TB shape of
+    IVF training verbatim; more rounds = the same plan iterated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = centroid_seeds(emb).select(
+        F.col("assigned_label").alias("cid"),
+        as_double("seed_vec").alias("cvec"),
+    )
+    a1 = _assign(emb, seeds).localCheckpoint(eager=True)
+    comp = (
+        emb.join(a1.select("vec_id", "cid"), "vec_id")
+        .select(
+            "cid",
+            F.posexplode(as_double("embedding")).alias("pos", "x"),
+        )
+        .groupBy("cid", "pos")
+        .agg(
+            F.sum(F.expr("CAST(round(x * 1000000) AS BIGINT)")).alias(
+                "sum_micro"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cid",
+            "pos",
+            F.expr("sum_micro DIV n").alias("c_micro"),
+        )
+    )
+    new_cents = comp.groupBy("cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, c_micro))),"
+            " s -> CAST(s.c_micro AS DOUBLE) / 1000000)"
+        ).alias("cvec")
+    )
+    shift = (
+        comp.join(
+            seeds.select(
+                "cid",
+                F.posexplode(
+                    F.expr(
+                        "transform(cvec,"
+                        " x -> CAST(round(x * 1000000) AS BIGINT))"
+                    )
+                ).alias("pos", "s_micro"),
+            ),
+            ["cid", "pos"],
+        )
+        .groupBy("cid")
+        .agg(F.sum(F.abs(F.col("c_micro") - F.col("s_micro"))).alias(
+            "shift_micro"
+        ))
+    )
+    a2 = _assign(emb, new_cents).localCheckpoint(eager=True)
+    moves = a1.select("vec_id", F.col("cid").alias("c1")).join(
+        a2.select("vec_id", F.col("cid").alias("c2"), "sim_e6"), "vec_id"
+    )
+    before = a1.groupBy("cid").agg(F.count(F.lit(1)).alias("n_before"))
+    after = moves.groupBy(F.col("c2").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum(F.when(F.col("c1") != F.col("c2"), 1).otherwise(0)).alias(
+            "n_moved_in"
+        ),
+        F.expr("SUM(sim_e6) DIV COUNT(*)").alias("mean_sim_e6"),
+    )
+    out = moves.groupBy(F.col("c1").alias("cid")).agg(
+        F.sum(F.when(F.col("c1") != F.col("c2"), 1).otherwise(0)).alias(
+            "n_moved_out"
+        )
+    )
+    return (
+        before.join(after, "cid", "full_outer")
+        .join(out, "cid", "full_outer")
+        .join(shift, "cid", "full_outer")
+        .select(
+            F.col("cid").cast("long").alias("cluster"),
+            F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("n_moved_in", F.lit(0)).cast("long").alias(
+                "n_moved_in"
+            ),
+            F.coalesce("n_moved_out", F.lit(0)).cast("long").alias(
+                "n_moved_out"
+            ),
+            F.coalesce("shift_micro", F.lit(0)).cast("long").alias(
+                "shift_micro"
+            ),
+            F.coalesce("mean_sim_e6", F.lit(0)).cast("long").alias(
+                "mean_sim_e6"
+            ),
+        )
+        .orderBy("cluster")
+    )
+
+
+_COS_NC = (
+    f"({_DOT.format(a='v.embedding', b='s.cvec')}"
+    f" / (sqrt({_DOT.format(a='v.embedding', b='v.embedding')})"
+    f" * sqrt(list_dot_product(s.cvec, s.cvec))))"
+)
+
+_LLOYD_ORACLE = f"""
+        WITH seeds AS (
+          SELECT e.label AS cid, CAST(e.embedding AS DOUBLE[]) AS cvec
+          FROM embeddings e
+          JOIN (SELECT label, MIN(vec_id) AS seed_id
+                FROM embeddings GROUP BY label) s
+            ON e.vec_id = s.seed_id),
+        a1 AS MATERIALIZED (
+          SELECT vec_id, label, cid, sim_e6 FROM (
+            SELECT v.vec_id, v.label, s.cid,
+                   CAST(FLOOR({_COS_NC} * 1000000 + 0.5) AS BIGINT)
+                     AS sim_e6,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                     CAST(FLOOR({_COS_NC} * 1000000 + 0.5) AS BIGINT)
+                       DESC, s.cid) AS rn
+            FROM embeddings v, seeds s) WHERE rn = 1),
+        comp AS MATERIALIZED (
+          SELECT a.cid, CAST(i AS BIGINT) AS pos,
+                 CAST(SUM(CAST(round(CAST(v.embedding[i + 1] AS DOUBLE)
+                                     * 1000000) AS BIGINT))
+                      // COUNT(*) AS BIGINT) AS c_micro
+          FROM embeddings v
+          JOIN a1 a USING (vec_id),
+               UNNEST(range(0, {EMB_DIM})) AS t(i)
+          GROUP BY a.cid, i),
+        nc AS MATERIALIZED (
+          SELECT cid,
+                 list(CAST(c_micro AS DOUBLE) / 1000000 ORDER BY pos)
+                   AS cvec
+          FROM comp GROUP BY cid),
+        a2 AS MATERIALIZED (
+          SELECT vec_id, label, cid, sim_e6 FROM (
+            SELECT v.vec_id, v.label, s.cid,
+                   CAST(FLOOR({_COS_NC} * 1000000 + 0.5) AS BIGINT)
+                     AS sim_e6,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                     CAST(FLOOR({_COS_NC} * 1000000 + 0.5) AS BIGINT)
+                       DESC, s.cid) AS rn
+            FROM embeddings v, nc s) WHERE rn = 1),
+        sh AS (
+          SELECT c.cid,
+                 SUM(ABS(c.c_micro
+                         - CAST(round(s.cvec[CAST(c.pos AS INT) + 1]
+                                      * 1000000) AS BIGINT)))
+                   AS shift_micro
+          FROM comp c JOIN seeds s ON s.cid = c.cid
+          GROUP BY c.cid),
+        mv AS (
+          SELECT a1.vec_id, a1.cid AS c1, a2.cid AS c2, a2.sim_e6
+          FROM a1 JOIN a2 USING (vec_id)),
+        bf AS (SELECT cid, COUNT(*) AS n_before FROM a1 GROUP BY cid),
+        af AS (
+          SELECT c2 AS cid, COUNT(*) AS n_after,
+                 SUM(CASE WHEN c1 <> c2 THEN 1 ELSE 0 END) AS n_moved_in,
+                 SUM(sim_e6) // COUNT(*) AS mean_sim_e6
+          FROM mv GROUP BY c2),
+        o AS (
+          SELECT c1 AS cid,
+                 SUM(CASE WHEN c1 <> c2 THEN 1 ELSE 0 END) AS n_moved_out
+          FROM mv GROUP BY c1)
+        SELECT CAST(cid AS BIGINT) AS cluster,
+               CAST(COALESCE(n_before, 0) AS BIGINT) AS n_before,
+               CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+               CAST(COALESCE(n_moved_in, 0) AS BIGINT) AS n_moved_in,
+               CAST(COALESCE(n_moved_out, 0) AS BIGINT) AS n_moved_out,
+               CAST(COALESCE(shift_micro, 0) AS BIGINT) AS shift_micro,
+               CAST(COALESCE(mean_sim_e6, 0) AS BIGINT) AS mean_sim_e6
+        FROM bf
+        FULL JOIN af USING (cid)
+        FULL JOIN o USING (cid)
+        FULL JOIN sh USING (cid)
+        ORDER BY cluster
+        """
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "cluster_lloyd_iteration",
+        cluster_lloyd_iteration,
+        _LLOYD_ORACLE,
+        tags=("extension", "similarity", "clustering", "pipeline"),
+        description="One full Lloyd k-means round: seed-assign, exact "
+        "integer-micro centroid means, re-assign — members "
+        "before/after, movers in/out, L1 centroid shift, post-move "
+        "mean similarity per cluster.",
+    ),
     QueryDef(
         "cluster_random_projection",
         cluster_random_projection,
