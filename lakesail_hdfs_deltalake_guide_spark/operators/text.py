@@ -1576,6 +1576,186 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information — the
+    "new york"/"machine learning" detector behind phrase-aware
+    tokenization and n-gram vocabulary induction. PMI(w1,w2) =
+    log2(c12·N / (c1·c2)) in exact integer millibits via the shared
+    mantissa log2; pairs below PMI_MIN_COUNT occurrences are noise-
+    gated (the classic Church–Hanks caveat: PMI explodes on hapax
+    pairs), and only positive-PMI pairs (ratio ≥ 1, where the integer
+    machinery lives) rank.
+
+    Headroom: c12·N·2²⁰ rides DECIMAL(38)/HUGEINT; the ratio itself is
+    ≤ N·2²⁰ — BIGINT-safe to ~8·10¹² bigram tokens.
+
+    Plan: one bigram explosion → type counts (the only data-sized
+    shuffle); margins re-aggregate the type table; the final top-k is
+    TakeOrderedAndProject (orderBy+limit), never a global window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    occ = (
+        d.where(F.size(toks) >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+                    F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c12 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c12 = c12.localCheckpoint(eager=True)  # vocab-sized; 3 re-aggregations
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    n = c12.agg(F.sum("c12").alias("n_bg"))
+    arr = F.array(*[F.lit(int(x)) for x in LOG2_MB_TABLE])
+    r = (
+        "CAST(CAST(c12 AS DECIMAL(38,0)) * n_bg * 1048576"
+        " DIV (CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+    )
+    scored = (
+        c12.where(F.col("c12") >= PMI_MIN_COUNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn("r", F.expr(r))
+        .where(F.col("r") >= 1048576)
+        .withColumn(
+            "pmi_mb",
+            (
+                (F.length(F.expr("bin(r)")) - 1).cast("int") - 20
+            ) * 1000
+            + F.element_at(
+                arr,
+                (
+                    F.expr(
+                        "r DIV shiftleft(CAST(1 AS BIGINT),"
+                        " length(bin(r)) - 1 - 6)"
+                    )
+                    - 63
+                ).cast("int"),
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.col("pmi_mb").cast("long").alias("pmi_mb"),
+        )
+        .orderBy(F.desc("pmi_mb"), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+
+
+TFIDF_MAX_DF_PCT = 90  # inverted-index pruning knob: drop ubiquitous toks
+TFIDF_PAIR_TOP = 20
+
+
+def text_tfidf_doc_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-doc similarity over SPARSE TF-IDF vectors via the inverted-
+    index join — the lexical twin of the dense embedding near-dup pass
+    (catches verbatim/template overlap that embedding models smooth
+    away). Weights are exact integers: w = tf · idf_mb (idf in
+    millibits from the shared mantissa log2); similarity is reported
+    as cos² in ppm — dot²·10⁶ DIV (‖a‖²·‖b‖²) — so NO square root
+    ever runs and everything stays in DECIMAL(38)/HUGEINT.
+
+    Scale: the pair explosion is bounded by the inverted index — only
+    docs SHARING a token meet, and tokens in > TFIDF_MAX_DF_PCT% of
+    docs are pruned first (the stopword row of the index is the whole
+    corpus squared; dropping it is the standard scale knob, logged
+    here as a constant contract, not a silent cap). Top pairs via
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # doc_id is the table key and tf is already one row per (doc, tok),
+    # so plain counts equal the distinct counts without a dedup pass
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    arr = F.array(*[F.lit(int(x)) for x in LOG2_MB_TABLE])
+    kept = (
+        df.crossJoin(F.broadcast(n_docs))
+        .where(F.expr(f"df * 100 <= n_docs * {TFIDF_MAX_DF_PCT}"))
+        .withColumn("r", F.expr("n_docs * 1048576 DIV df"))
+        .select(
+            "tok",
+            (
+                (
+                    (F.length(F.expr("bin(r)")) - 1).cast("int") - 20
+                ) * 1000
+                + F.element_at(
+                    arr,
+                    (
+                        F.expr(
+                            "r DIV shiftleft(CAST(1 AS BIGINT),"
+                            " length(bin(r)) - 1 - 6)"
+                        )
+                        - 63
+                    ).cast("int"),
+                )
+            ).cast("long").alias("idf_mb"),
+        )
+    )
+    w = tf.join(kept, "tok").select(
+        "doc_id", "tok", (F.col("tf") * F.col("idf_mb")).alias("w")
+    )
+    w = w.localCheckpoint(eager=True)  # feeds norms + the index join
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * w")).alias("n2")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(
+                F.expr("CAST(a.w AS DECIMAL(38,0)) * b.w")
+            ).alias("dot"),
+        )
+    )
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr(
+                "CAST(dot * dot * 1000000 DIV (n2a * n2b) AS BIGINT)"
+            ).alias("cos2_ppm"),
+        )
+        .orderBy(F.desc("cos2_ppm"), "doc_a", "doc_b")
+        .limit(TFIDF_PAIR_TOP)
+    )
+
+
 # WordPiece (the THIRD tokenizer family, after BPE's greedy-merge pair
 # and unigram-LM's optimal-DP pair): greedy longest-match-first over a
 # position-aware vocabulary — word-INITIAL pieces vs '##'-marked
@@ -1835,6 +2015,93 @@ QUERIES: list[QueryDef] = [
         "vs the add-one baseline: per-language corpus cross-entropy "
         "in integer millibits via the shared mantissa log2 — the "
         "model-fit report behind perplexity gating.",
+    ),
+    QueryDef(
+        "text_pmi_collocations",
+        text_pmi_collocations,
+        f"""
+        WITH docs AS (
+          SELECT string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        occ AS (
+          SELECT t[i] AS w1, t[i + 1] AS w2
+          FROM docs, UNNEST(range(1, len(t))) AS u(i)),
+        c12 AS MATERIALIZED (
+          SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY w1, w2),
+        c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+        c2 AS (SELECT w2, SUM(c12) AS c2 FROM c12 GROUP BY w2),
+        n AS (SELECT SUM(c12) AS n_bg FROM c12),
+        scored AS (
+          SELECT c12.w1, c12.w2, c12.c12,
+                 CAST(CAST(c12.c12 AS HUGEINT) * n.n_bg * 1048576
+                      // (CAST(c1.c1 AS HUGEINT) * c2.c2) AS BIGINT) AS r
+          FROM c12
+          JOIN c1 USING (w1)
+          JOIN c2 USING (w2)
+          CROSS JOIN n
+          WHERE c12.c12 >= {PMI_MIN_COUNT})
+        SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+               CAST((length(bin(r)) - 1 - 20) * 1000 +
+                 ([{", ".join(str(int(x)) for x in LOG2_MB_TABLE)}])[
+                   CAST(r // (1::BIGINT << (length(bin(r)) - 1 - 6))
+                        AS INT) - 63] AS BIGINT) AS pmi_mb
+        FROM scored WHERE r >= 1048576
+        ORDER BY pmi_mb DESC, w1, w2 LIMIT {PMI_TOP}
+        """,
+        tags=("extension", "text"),
+        description="Top collocations by pointwise mutual information "
+        "in exact integer millibits: noise-gated positive-PMI bigram "
+        "pairs — the phrase detector behind n-gram vocabulary "
+        "induction.",
+    ),
+    QueryDef(
+        "text_tfidf_doc_cosine",
+        text_tfidf_doc_cosine,
+        f"""
+        WITH tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) t
+          GROUP BY doc_id, tok),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        dfx AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        kept AS (
+          SELECT tok,
+                 CAST((length(bin(r)) - 1 - 20) * 1000 +
+                   ([{", ".join(str(int(x)) for x in LOG2_MB_TABLE)}])[
+                     CAST(r // (1::BIGINT << (length(bin(r)) - 1 - 6))
+                          AS INT) - 63] AS BIGINT) AS idf_mb
+          FROM (
+            SELECT tok, CAST(n_docs * 1048576 // df AS BIGINT) AS r
+            FROM dfx CROSS JOIN nd
+            WHERE df * 100 <= n_docs * {TFIDF_MAX_DF_PCT})),
+        w AS MATERIALIZED (
+          SELECT tf.doc_id, tf.tok, CAST(tf.tf * kept.idf_mb AS BIGINT)
+                   AS w
+          FROM tf JOIN kept USING (tok)),
+        norms AS (
+          SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS n2
+          FROM w GROUP BY doc_id),
+        dots AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 COUNT(*) AS n_shared,
+                 SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
+          FROM w a JOIN w b
+            ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(d.dot * d.dot * 1000000 // (na.n2 * nb.n2) AS BIGINT)
+                 AS cos2_ppm
+        FROM dots d
+        JOIN norms na ON na.doc_id = d.doc_a
+        JOIN norms nb ON nb.doc_id = d.doc_b
+        ORDER BY cos2_ppm DESC, doc_a, doc_b LIMIT {TFIDF_PAIR_TOP}
+        """,
+        tags=("extension", "text", "dedup", "bench"),
+        description="Sparse TF-IDF doc-doc cosine via the inverted-"
+        "index join: integer tf*idf_mb weights, cos^2 in ppm with no "
+        "sqrt, ubiquitous tokens pruned by the max-df knob — the "
+        "lexical twin of embedding near-dup.",
     ),
     QueryDef(
         "text_wordpiece_encode",
