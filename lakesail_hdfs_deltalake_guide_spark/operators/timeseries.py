@@ -462,7 +462,160 @@ def _season_trend_taps_sql() -> str:
     )
 
 
+# Holt's linear method: α = 1/4, β = 1/8 as exact dyadic rationals so
+# the recurrence is pure integer arithmetic (DIV truncation each step,
+# identical in both engines).
+_HOLT_LP = "((2 * element_at(xs, k) * 1000 + 6 * (st.l + st.b)) DIV 8)"
+_HOLT_FOLD = f"""IF(size(xs) < 3,
+  named_struct('l', element_at(xs, 1) * CAST(1000 AS BIGINT),
+               'b', (element_at(xs, 2) - element_at(xs, 1))
+                    * CAST(1000 AS BIGINT),
+               'sae', CAST(0 AS BIGINT)),
+  aggregate(
+    sequence(3, size(xs)),
+    named_struct('l', element_at(xs, 1) * CAST(1000 AS BIGINT),
+                 'b', (element_at(xs, 2) - element_at(xs, 1))
+                      * CAST(1000 AS BIGINT),
+                 'sae', CAST(0 AS BIGINT)),
+    (st, k) -> named_struct(
+      'l', {_HOLT_LP},
+      'b', ({_HOLT_LP} - st.l + 7 * st.b) DIV 8,
+      'sae', st.sae + abs(element_at(xs, k) * 1000 - (st.l + st.b))),
+    st -> st))"""
+
+
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per event-type
+    series — the forecasting step the EWMA/seasonal tier stops short
+    of: level AND trend states evolve over the dense hourly grid
+    (α=1/4, β=1/8 as exact dyadic rationals, so every update is
+    integer shifts-and-adds with DIV truncation — bit-identical in
+    both engines), initialized the textbook way (l₀=x₁, b₀=x₂−x₁).
+    Output per series: final level/trend in milli-units, the
+    sum-of-absolute one-step-ahead errors (the fit number), and the
+    1h/24h-ahead linear forecasts.
+
+    The recurrence is inherently sequential IN TIME but parallel
+    ACROSS series: each series' fold runs as ONE codegen'd
+    higher-order ``aggregate`` over its collected dense array —
+    series length is bounded by the time span (720 hours here),
+    never by data volume, so the collect is safe at any corpus
+    scale and the facts still collapse map-side in the hourly
+    pre-aggregation. The DuckDB twin walks the identical recurrence
+    as a RECURSIVE CTE over the indexed grid."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    hour_us = us - us % HOUR_US
+    hourly = (
+        ev.select("event_type", hour_us.alias("hour_us"))
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    span = ev.agg(F.min(us).alias("min_us"), F.max(us).alias("max_us")).select(
+        (F.col("min_us") - F.col("min_us") % HOUR_US).alias("start_us"),
+        (F.col("max_us") - F.col("max_us") % HOUR_US).alias("end_us"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("start_us"), F.col("end_us"), F.lit(HOUR_US))
+        ).alias("hour_us"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour_us"], "left").select(
+        "event_type",
+        "hour_us",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    )
+    series = dense.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(hour_us, n_events)))"
+            ", s -> s.n_events)"
+        ).alias("xs")
+    )
+    return (
+        series.withColumn("st", F.expr(_HOLT_FOLD))
+        .select(
+            "event_type",
+            F.size("xs").cast("long").alias("n_hours"),
+            F.col("st.l").alias("level_milli"),
+            F.col("st.b").alias("trend_milli"),
+            F.col("st.sae").alias("sae_milli"),
+            (F.col("st.l") + F.col("st.b")).alias("forecast_1h_milli"),
+            (F.col("st.l") + 24 * F.col("st.b")).alias(
+                "forecast_24h_milli"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "ts_holt_linear",
+        ts_holt_linear,
+        f"""
+        WITH RECURSIVE hourly AS (
+          SELECT event_type,
+                 epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        span AS (
+          SELECT MIN(epoch_us(ts)) - MIN(epoch_us(ts)) % {HOUR_US}
+                   AS start_us,
+                 MAX(epoch_us(ts)) - MAX(epoch_us(ts)) % {HOUR_US}
+                   AS end_us
+          FROM events),
+        grid AS (
+          SELECT t.event_type, g.hour_us
+          FROM (SELECT DISTINCT event_type FROM events) t,
+               span,
+               UNNEST(range(span.start_us, span.end_us + 1, {HOUR_US}))
+                 AS g(hour_us)),
+        idx AS MATERIALIZED (
+          SELECT grid.event_type,
+                 CAST(COALESCE(hourly.n_events, 0) AS BIGINT) AS n_events,
+                 ROW_NUMBER() OVER (PARTITION BY grid.event_type
+                                    ORDER BY grid.hour_us) AS i
+          FROM grid LEFT JOIN hourly
+            ON grid.event_type = hourly.event_type
+           AND grid.hour_us = hourly.hour_us),
+        x12 AS (
+          SELECT event_type,
+                 MAX(CASE WHEN i = 1 THEN n_events END) AS x1,
+                 MAX(CASE WHEN i = 2 THEN n_events END) AS x2,
+                 MAX(i) AS n
+          FROM idx GROUP BY event_type),
+        st AS (
+          SELECT event_type, 2 AS i, n,
+                 CAST(x1 * 1000 AS BIGINT) AS l,
+                 CAST((x2 - x1) * 1000 AS BIGINT) AS b,
+                 CAST(0 AS BIGINT) AS sae
+          FROM x12
+          UNION ALL
+          SELECT s.event_type, s.i + 1, s.n,
+                 (2 * d.n_events * 1000 + 6 * (s.l + s.b)) // 8,
+                 ((2 * d.n_events * 1000 + 6 * (s.l + s.b)) // 8
+                  - s.l + 7 * s.b) // 8,
+                 s.sae + abs(d.n_events * 1000 - (s.l + s.b))
+          FROM st s
+          JOIN idx d ON d.event_type = s.event_type AND d.i = s.i + 1
+          WHERE s.i < s.n)
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_hours,
+               l AS level_milli,
+               b AS trend_milli,
+               sae AS sae_milli,
+               CAST(l + b AS BIGINT) AS forecast_1h_milli,
+               CAST(l + 24 * b AS BIGINT) AS forecast_24h_milli
+        FROM st WHERE i = n ORDER BY event_type
+        """,
+        tags=("extension", "timeseries", "bench"),
+        description="Holt's linear double exponential smoothing per "
+        "series: alpha=1/4, beta=1/8 as exact dyadic integer "
+        "recurrences over the dense hourly grid — final level/trend, "
+        "one-step SAE fit, 1h/24h forecasts.",
+    ),
     QueryDef(
         "ts_anomaly_hours",
         ts_anomaly_hours,
