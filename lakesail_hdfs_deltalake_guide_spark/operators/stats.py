@@ -1023,7 +1023,270 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the two event types'
+    value distributions — the parametric companion to Mann–Whitney
+    (same groups): does the MEAN differ, without assuming equal
+    variances. Everything is exact cross-multiplied integers:
+
+        t² = (S₁n₂ − S₂n₁)²·(n₁−1)(n₂−1) / (A·n₂²(n₂−1) + B·n₁²(n₁−1))
+
+    with A = n₁·Σx₁² − S₁² (= n₁²(n₁−1)·v₁/n₁), B likewise — reported
+    ×1000, all products in DECIMAL(38)/HUGEINT (headroom to ~10⁵ cents
+    × ~10⁷ rows per group; beyond that, pre-scale cents to dollars —
+    the knob is the unit, not the form). The Welch–Satterthwaite dof
+    rides ppm-scaled per-group variance components (a = A·10⁶ DIV
+    n₁²(n₁−1)), truncation-deterministic in both engines.
+
+    Plan: one conditional-aggregate scan collapses the facts to six
+    moments; everything after is a single-row expression."""
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.where(
+        F.col("event_type").isin(MW_GROUP_A, MW_GROUP_B)
+    ).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    g = lambda grp: F.col("event_type") == grp  # noqa: E731
+    m = both.agg(
+        F.sum(F.when(g(MW_GROUP_A), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(g(MW_GROUP_B), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(g(MW_GROUP_A), F.col("cents")).otherwise(0)).alias(
+            "s1"
+        ),
+        F.sum(F.when(g(MW_GROUP_B), F.col("cents")).otherwise(0)).alias(
+            "s2"
+        ),
+        F.sum(
+            F.when(
+                g(MW_GROUP_A),
+                F.expr("CAST(cents AS DECIMAL(38,0)) * cents"),
+            ).otherwise(F.expr("CAST(0 AS DECIMAL(38,0))"))
+        ).alias("q1"),
+        F.sum(
+            F.when(
+                g(MW_GROUP_B),
+                F.expr("CAST(cents AS DECIMAL(38,0)) * cents"),
+            ).otherwise(F.expr("CAST(0 AS DECIMAL(38,0))"))
+        ).alias("q2"),
+    )
+    withv = m.withColumn(
+        "va",
+        F.expr(
+            "CAST((n1 * q1 - CAST(s1 AS DECIMAL(38,0)) * s1) * 1000000"
+            " DIV (CAST(n1 AS DECIMAL(38,0)) * n1 * (n1 - 1)) AS BIGINT)"
+        ),
+    ).withColumn(
+        "vb",
+        F.expr(
+            "CAST((n2 * q2 - CAST(s2 AS DECIMAL(38,0)) * s2) * 1000000"
+            " DIV (CAST(n2 AS DECIMAL(38,0)) * n2 * (n2 - 1)) AS BIGINT)"
+        ),
+    )
+    return withv.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.expr("s1 * 1000 DIV n1").cast("long").alias("mean_a_milli"),
+        F.expr("s2 * 1000 DIV n2").cast("long").alias("mean_b_milli"),
+        F.expr(
+            "CAST((CAST(s1 AS DECIMAL(38,0)) * n2"
+            " - CAST(s2 AS DECIMAL(38,0)) * n1)"
+            " * (CAST(s1 AS DECIMAL(38,0)) * n2"
+            "    - CAST(s2 AS DECIMAL(38,0)) * n1)"
+            " * (n1 - 1) * (n2 - 1) * 1000"
+            " DIV ((n1 * q1 - CAST(s1 AS DECIMAL(38,0)) * s1)"
+            "      * n2 * n2 * (n2 - 1)"
+            "      + (n2 * q2 - CAST(s2 AS DECIMAL(38,0)) * s2)"
+            "        * n1 * n1 * (n1 - 1)) AS BIGINT)"
+        ).alias("t2_milli"),
+        F.expr(
+            "CAST(CAST(va + vb AS DECIMAL(38,0)) * (va + vb) * 1000"
+            " DIV (CAST(va AS DECIMAL(38,0)) * va DIV (n1 - 1)"
+            "      + CAST(vb AS DECIMAL(38,0)) * vb DIV (n2 - 1))"
+            " AS BIGINT)"
+        ).alias("dof_milli"),
+    )
+
+
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between line-item quantity and discount — the
+    rank-concordance companion to Spearman (τ counts PAIR agreements,
+    robust to any monotone transform; the tie correction matters here
+    because both variables live on small discrete domains). Pairs are
+    NEVER enumerated over rows: the facts collapse to the 50×11
+    (quantity, permille-discount) contingency table and C/D/tie counts
+    are cell-pair sums over the BOUNDED domain (≤ 550² pairs at any
+    corpus scale — the Mann-Kendall/KS idiom). τ-b is reported as the
+    signed square in exact ppm — sign(C−D)·(C−D)²·10⁶ DIV
+    ((n₀−n₁)(n₀−n₂)) — so no square root runs; products ride
+    DECIMAL(38)/HUGEINT."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 1000, 0).cast("long").alias("d"),
+    )
+    cells = li.groupBy("q", "d").agg(F.count(F.lit(1)).alias("n"))
+    cells = cells.localCheckpoint(eager=True)  # ≤ 550 rows
+    a, b = cells.alias("a"), cells.alias("b")
+    cd = (
+        a.join(
+            b,
+            (F.col("a.q") < F.col("b.q"))
+            & (F.col("a.d") != F.col("b.d")),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("a.d") < F.col("b.d"),
+                    F.expr("CAST(a.n AS DECIMAL(38,0)) * b.n"),
+                ).otherwise(F.expr("CAST(0 AS DECIMAL(38,0))"))
+            ).alias("c"),
+            F.sum(
+                F.when(
+                    F.col("a.d") > F.col("b.d"),
+                    F.expr("CAST(a.n AS DECIMAL(38,0)) * b.n"),
+                ).otherwise(F.expr("CAST(0 AS DECIMAL(38,0))"))
+            ).alias("d_"),
+        )
+    )
+    tx = (
+        cells.groupBy("q")
+        .agg(F.sum("n").alias("t"))
+        .agg(
+            F.sum(
+                F.expr("CAST(t AS DECIMAL(38,0)) * (t - 1) DIV 2")
+            ).alias("n1p")
+        )
+    )
+    ty = (
+        cells.groupBy("d")
+        .agg(F.sum("n").alias("t"))
+        .agg(
+            F.sum(
+                F.expr("CAST(t AS DECIMAL(38,0)) * (t - 1) DIV 2")
+            ).alias("n2p")
+        )
+    )
+    tot = cells.agg(F.sum("n").alias("nr"))
+    return (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nr").cast("long").alias("n_rows"),
+            F.col("c").cast("long").alias("concordant"),
+            F.col("d_").cast("long").alias("discordant"),
+            F.col("n1p").cast("long").alias("ties_x_pairs"),
+            F.col("n2p").cast("long").alias("ties_y_pairs"),
+            F.expr(
+                "CAST(CASE WHEN c >= d_ THEN 1 ELSE -1 END"
+                " * (c - d_) * (c - d_) * 1000000"
+                " DIV ((CAST(nr AS DECIMAL(38,0)) * (nr - 1) DIV 2 - n1p)"
+                "    * (CAST(nr AS DECIMAL(38,0)) * (nr - 1) DIV 2 - n2p))"
+                " AS BIGINT)"
+            ).alias("tau_b2_signed_ppm"),
+        )
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_welch_ttest",
+        stats_welch_ttest,
+        f"""
+        WITH m AS (
+          SELECT
+            SUM(CASE WHEN event_type = '{MW_GROUP_A}' THEN 1 ELSE 0 END)
+              AS n1,
+            SUM(CASE WHEN event_type = '{MW_GROUP_B}' THEN 1 ELSE 0 END)
+              AS n2,
+            SUM(CASE WHEN event_type = '{MW_GROUP_A}' THEN cents
+                     ELSE 0 END) AS s1,
+            SUM(CASE WHEN event_type = '{MW_GROUP_B}' THEN cents
+                     ELSE 0 END) AS s2,
+            SUM(CASE WHEN event_type = '{MW_GROUP_A}'
+                     THEN CAST(cents AS HUGEINT) * cents ELSE 0 END)
+              AS q1,
+            SUM(CASE WHEN event_type = '{MW_GROUP_B}'
+                     THEN CAST(cents AS HUGEINT) * cents ELSE 0 END)
+              AS q2
+          FROM (SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE event_type IN ('{MW_GROUP_A}', '{MW_GROUP_B}'))),
+        v AS (
+          SELECT *,
+            CAST((n1 * q1 - CAST(s1 AS HUGEINT) * s1) * 1000000
+                 // (CAST(n1 AS HUGEINT) * n1 * (n1 - 1)) AS BIGINT)
+              AS va,
+            CAST((n2 * q2 - CAST(s2 AS HUGEINT) * s2) * 1000000
+                 // (CAST(n2 AS HUGEINT) * n2 * (n2 - 1)) AS BIGINT)
+              AS vb
+          FROM m)
+        SELECT CAST(n1 AS BIGINT) AS n_a,
+               CAST(n2 AS BIGINT) AS n_b,
+               CAST(s1 * 1000 // n1 AS BIGINT) AS mean_a_milli,
+               CAST(s2 * 1000 // n2 AS BIGINT) AS mean_b_milli,
+               CAST((CAST(s1 AS HUGEINT) * n2 - CAST(s2 AS HUGEINT) * n1)
+                    * (CAST(s1 AS HUGEINT) * n2
+                       - CAST(s2 AS HUGEINT) * n1)
+                    * (n1 - 1) * (n2 - 1) * 1000
+                    // ((n1 * q1 - CAST(s1 AS HUGEINT) * s1)
+                        * n2 * n2 * (n2 - 1)
+                        + (n2 * q2 - CAST(s2 AS HUGEINT) * s2)
+                          * n1 * n1 * (n1 - 1)) AS BIGINT) AS t2_milli,
+               CAST(CAST(va + vb AS HUGEINT) * (va + vb) * 1000
+                    // (CAST(va AS HUGEINT) * va // (n1 - 1)
+                        + CAST(vb AS HUGEINT) * vb // (n2 - 1))
+                 AS BIGINT) AS dof_milli
+        FROM v
+        """,
+        tags=("extension", "stats"),
+        description="Welch's unequal-variance t-test (click vs "
+        "purchase values) in exact cross-multiplied integers: t^2 and "
+        "Welch-Satterthwaite dof x1000 from one six-moment scan.",
+    ),
+    QueryDef(
+        "stats_kendall_tau",
+        stats_kendall_tau,
+        """
+        WITH li AS (
+          SELECT CAST(l_quantity AS BIGINT) AS q,
+                 CAST(round(l_discount * 1000) AS BIGINT) AS d
+          FROM lineitem),
+        cells AS MATERIALIZED (
+          SELECT q, d, COUNT(*) AS n FROM li GROUP BY q, d),
+        cd AS (
+          SELECT
+            SUM(CASE WHEN a.d < b.d
+                     THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS c,
+            SUM(CASE WHEN a.d > b.d
+                     THEN CAST(a.n AS HUGEINT) * b.n ELSE 0 END) AS d_
+          FROM cells a JOIN cells b ON a.q < b.q AND a.d <> b.d),
+        tx AS (
+          SELECT SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS n1p
+          FROM (SELECT SUM(n) AS t FROM cells GROUP BY q)),
+        ty AS (
+          SELECT SUM(CAST(t AS HUGEINT) * (t - 1) // 2) AS n2p
+          FROM (SELECT SUM(n) AS t FROM cells GROUP BY d)),
+        tot AS (SELECT SUM(n) AS nr FROM cells)
+        SELECT CAST(nr AS BIGINT) AS n_rows,
+               CAST(c AS BIGINT) AS concordant,
+               CAST(d_ AS BIGINT) AS discordant,
+               CAST(n1p AS BIGINT) AS ties_x_pairs,
+               CAST(n2p AS BIGINT) AS ties_y_pairs,
+               CAST(CASE WHEN c >= d_ THEN 1 ELSE -1 END
+                    * (c - d_) * (c - d_) * 1000000
+                    // ((CAST(nr AS HUGEINT) * (nr - 1) // 2 - n1p)
+                        * (CAST(nr AS HUGEINT) * (nr - 1) // 2 - n2p))
+                 AS BIGINT) AS tau_b2_signed_ppm
+        FROM cd, tx, ty, tot
+        """,
+        tags=("extension", "stats"),
+        description="Kendall's tau-b (quantity vs discount) over the "
+        "bounded 50x11 contingency domain: exact concordant/discordant "
+        "pair counts, tie corrections, signed tau^2 in ppm with no "
+        "sqrt.",
+    ),
     QueryDef(
         "stats_cramers_v",
         stats_cramers_v,
