@@ -404,7 +404,93 @@ def _psi_sql() -> str:
         """
 
 
+def profile_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-richness profile — the three classical
+    vocabulary-concentration numbers the entropy/Heaps tier doesn't
+    report: hapax share (tokens seen once ÷ vocab — the "is this
+    corpus still growing" signal), Simpson's repeat-rate D =
+    Σc(c−1)/(N(N−1)) in exact ppm (the probability two random tokens
+    coincide), and Yule's K = 10⁴·(Σc² − N)/N² in exact milli-units
+    (the length-invariant repetitiveness constant — boilerplate
+    sources jump out). Σc² rides DECIMAL(38)/HUGEINT.
+
+    One token explosion → per-(source, token) counts (the only
+    data-sized shuffle, map-side combinable) → vocabulary-sized
+    moment rollup per source."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("c2"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * (c - 1)")).alias(
+                "crep"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.expr("hapax * 1000000 DIV vocab").cast("long").alias(
+                "hapax_ppm"
+            ),
+            F.expr(
+                "CAST(crep * 1000000"
+                " DIV (CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1))"
+                " AS BIGINT)"
+            ).alias("simpson_ppm"),
+            F.expr(
+                "CAST((c2 - n_tokens) * 10000000"
+                " DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens)"
+                " AS BIGINT)"
+            ).alias("yule_k_milli"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "profile_lexical_richness",
+        profile_lexical_richness,
+        """
+        WITH counts AS (
+          SELECT source, tok, COUNT(*) AS c FROM (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents) t
+          GROUP BY source, tok),
+        m AS (
+          SELECT source,
+                 SUM(c) AS n_tokens,
+                 COUNT(*) AS vocab,
+                 SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+                 SUM(CAST(c AS HUGEINT) * c) AS c2,
+                 SUM(CAST(c AS HUGEINT) * (c - 1)) AS crep
+          FROM counts GROUP BY source)
+        SELECT source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(vocab AS BIGINT) AS vocab,
+               CAST(hapax * 1000000 // vocab AS BIGINT) AS hapax_ppm,
+               CAST(crep * 1000000
+                    // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1))
+                 AS BIGINT) AS simpson_ppm,
+               CAST((c2 - n_tokens) * 10000000
+                    // (CAST(n_tokens AS HUGEINT) * n_tokens)
+                 AS BIGINT) AS yule_k_milli
+        FROM m ORDER BY source
+        """,
+        tags=("extension", "profiling", "text"),
+        description="Per-source lexical richness: hapax share, "
+        "Simpson repeat-rate ppm, Yule's K milli — exact integer "
+        "vocabulary-concentration profile.",
+    ),
     QueryDef(
         "profile_psi_drift",
         profile_psi_drift,

@@ -369,7 +369,171 @@ def session_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MARKOV_ITERS = 16
+
+
+def session_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event-type Markov
+    chain — where user journeys SETTLE, the PageRank sibling of the
+    transition matrix above (the matrix says "what follows a click";
+    the stationary π says "what share of an infinitely long session is
+    clicks"). Sixteen power-iteration steps from the uniform start, in
+    exact ppm integers: π'_j = (Σ_i π_i·p_ppm(i,j)) DIV 10⁶ — the
+    per-step truncation is part of the metric's definition, identical
+    in both engines, and the reported mass column makes the truncation
+    leak visible instead of silently renormalized.
+
+    Plan: the event scan is the SAME lag-window pass as the transition
+    matrix; the chain itself collapses to a K×K ppm matrix in ONE
+    broadcast row, and all 16 iterations run as a single codegen'd
+    nested higher-order fold — zero joins, zero shuffles, zero
+    driver-side loops in the iteration."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    pairs = (
+        ev.select("user_id", "ts_ns", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    idx = (
+        ev.select(F.col("event_type").alias("state"))
+        .distinct()
+        .withColumn(
+            "i",
+            F.row_number().over(Window.orderBy("state")) - 1,
+        )
+    )
+    mat = (
+        counts.join(F.broadcast(totals), "prev_type")
+        .join(
+            F.broadcast(idx.select(F.col("state").alias("prev_type"), "i")),
+            "prev_type",
+        )
+        .join(
+            F.broadcast(
+                idx.select(
+                    F.col("state").alias("next_type"), F.col("i").alias("j")
+                )
+            ),
+            "next_type",
+        )
+        .select("i", "j", F.expr("n * 1000000 DIV row_total").alias("p_ppm"))
+    )
+    kdf = idx.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.expr("array_sort(collect_list(state))").alias("st"),
+    )
+    row = mat.crossJoin(F.broadcast(kdf)).agg(
+        F.first("k").alias("k"),
+        F.first("st").alias("st"),
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.expr("CAST(i * k + j AS BIGINT)").alias("key"),
+                    F.expr("CAST(p_ppm AS BIGINT)").alias("value"),
+                )
+            )
+        ).alias("m"),
+    )
+    fold = f"""aggregate(
+      sequence(1, {MARKOV_ITERS}),
+      transform(sequence(0, k - 1), x -> CAST(1000000 DIV k AS BIGINT)),
+      (pi, t) -> transform(sequence(0, k - 1), j ->
+        aggregate(sequence(0, k - 1), CAST(0 AS BIGINT),
+          (acc, i) -> acc + element_at(pi, CAST(i + 1 AS INT))
+            * coalesce(element_at(m, CAST(i * k + j AS BIGINT)),
+                       CAST(0 AS BIGINT)))
+        DIV 1000000))"""
+    out = (
+        row.withColumn("pi", F.expr(fold))
+        .withColumn(
+            "mass_ppm",
+            F.expr("aggregate(pi, CAST(0 AS BIGINT), (a, x) -> a + x)"),
+        )
+        .select(
+            F.expr("posexplode(arrays_zip(st, pi))").alias("idx", "z"),
+            "mass_ppm",
+        )
+        .select(
+            F.col("z.st").alias("state"),
+            F.col("z.pi").cast("long").alias("pi_ppm"),
+            F.col("mass_ppm").cast("long").alias("mass_ppm"),
+        )
+        .orderBy("state")
+    )
+    return out
+
+
+def _markov_oracle_sql() -> str:
+    """DuckDB twin: the identical power iteration unrolled as
+    MARKOV_ITERS chained materialized CTEs over the indexed ppm
+    matrix (LEFT JOIN + COALESCE 0 = the fold's missing-entry
+    semantics)."""
+    parts = [
+        """pairs AS (
+          SELECT user_id, event_type AS next_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ns(ts), event_id) AS prev_type
+          FROM events)""",
+        """counts AS (
+          SELECT prev_type, next_type, COUNT(*) AS n
+          FROM pairs WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, next_type)""",
+        """sidx AS MATERIALIZED (
+          SELECT state, ROW_NUMBER() OVER (ORDER BY state) - 1 AS i
+          FROM (SELECT DISTINCT event_type AS state FROM events))""",
+        """mat AS MATERIALIZED (
+          SELECT ci.i, cj.i AS j,
+                 CAST(c.n * 1000000 // t.row_total AS BIGINT) AS p_ppm
+          FROM counts c
+          JOIN (SELECT prev_type, SUM(n) AS row_total
+                FROM counts GROUP BY prev_type) t USING (prev_type)
+          JOIN sidx ci ON ci.state = c.prev_type
+          JOIN sidx cj ON cj.state = c.next_type)""",
+        """kk AS (SELECT COUNT(*) AS k FROM sidx)""",
+        """it0 AS MATERIALIZED (
+          SELECT i AS j, CAST(1000000 // kk.k AS BIGINT) AS v
+          FROM sidx, kk)""",
+    ]
+    for t in range(1, MARKOV_ITERS + 1):
+        parts.append(
+            f"""it{t} AS MATERIALIZED (
+          SELECT s.i AS j,
+                 CAST(COALESCE(SUM(p.v * m.p_ppm), 0) // 1000000
+                   AS BIGINT) AS v
+          FROM sidx s
+          LEFT JOIN mat m ON m.j = s.i
+          LEFT JOIN it{t - 1} p ON p.j = m.i
+          GROUP BY s.i)"""
+        )
+    joined = ",\n        ".join(parts)
+    return f"""
+        WITH {joined},
+        mass AS (SELECT SUM(v) AS mass_ppm FROM it{MARKOV_ITERS})
+        SELECT s.state, CAST(p.v AS BIGINT) AS pi_ppm,
+               CAST(mass.mass_ppm AS BIGINT) AS mass_ppm
+        FROM sidx s
+        JOIN it{MARKOV_ITERS} p ON p.j = s.i
+        CROSS JOIN mass
+        ORDER BY s.state
+        """
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "session_markov_stationary",
+        session_markov_stationary,
+        _markov_oracle_sql(),
+        tags=("extension", "sessions", "graph"),
+        description="Stationary distribution of the event-type Markov "
+        "chain: 16 exact-ppm power-iteration steps as one nested "
+        "higher-order fold over the broadcast K x K matrix — where "
+        "user journeys settle.",
+    ),
     QueryDef(
         "session_conversion_funnel",
         session_conversion_funnel,
