@@ -2952,6 +2952,160 @@ def delta_history(spark: SparkSession, path: str) -> list[dict]:
     return out
 
 
+# --- Version checksums (delta-spark's VERSION_CHECKSUM ``.crc`` sidecar) ---
+# One JSON file per version next to the commit: snapshot aggregates
+# (tableSizeBytes, numFiles, protocol, metadata) a reader can cheaply
+# validate its reconstructed state against — delta-spark writes these on
+# every commit and uses them to catch state corruption / lost updates.
+# Emission here is a catch-up pass (every version missing a sidecar),
+# each from the checkpoint-started snapshot fold, so cost is
+# O(versions · CHECKPOINT_INTERVAL) metadata reads — never data files.
+
+
+def _crc_file(path: str, version: int) -> str:
+    return f"{_log_dir(path)}/{version:020d}.crc"
+
+
+def _snapshot_crc_payload(
+    spark: SparkSession, path: str, version: int
+) -> dict:
+    proto, meta, live, _ = _snapshot_state(spark, path, version)
+    return {
+        "tableSizeBytes": int(
+            sum(int(a.get("size", 0)) for a in live.values())
+        ),
+        "numFiles": len(live),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "metadata": meta,
+        "protocol": proto,
+    }
+
+
+def _write_crc(spark: SparkSession, path: str, version: int, payload: dict) -> None:
+    fs, _, jvm = _hadoop_fs(spark, path)
+    hp = jvm.org.apache.hadoop.fs.Path(_crc_file(path, version))
+    stream = fs.create(hp, True)  # crc files are overwritable by contract
+    try:
+        stream.write((json.dumps(payload) + "\n").encode())
+    finally:
+        stream.close()
+
+
+def delta_emit_checksums(spark: SparkSession, path: str) -> int:
+    """Write the VERSION_CHECKSUM sidecar for every retained version
+    that lacks one; returns how many were emitted."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    emitted = 0
+    for v in _list_versions(spark, path):
+        hp = jvm.org.apache.hadoop.fs.Path(_crc_file(path, v))
+        if fs.exists(hp):
+            continue
+        _write_crc(spark, path, v, _snapshot_crc_payload(spark, path, v))
+        emitted += 1
+    return emitted
+
+
+def delta_verify_checksums(spark: SparkSession, path: str) -> list[dict]:
+    """Validate every version's ``.crc`` against the snapshot
+    reconstructed from the log: [(version, present, valid, num_files)].
+    Valid = size, file count, metadata id, and protocol all match —
+    the delta-spark state-validation contract."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    rows = []
+    for v in _list_versions(spark, path):
+        crc = _crc_file(path, v)
+        hp = jvm.org.apache.hadoop.fs.Path(crc)
+        want = _snapshot_crc_payload(spark, path, v)
+        if not fs.exists(hp):
+            rows.append(
+                {
+                    "version": v,
+                    "present": False,
+                    "valid": False,
+                    "num_files": want["numFiles"],
+                }
+            )
+            continue
+        stored = json.loads(_read_text(spark, crc))
+        valid = (
+            stored.get("tableSizeBytes") == want["tableSizeBytes"]
+            and stored.get("numFiles") == want["numFiles"]
+            and (stored.get("metadata") or {}).get("id")
+            == (want["metadata"] or {}).get("id")
+            and stored.get("protocol") == want["protocol"]
+        )
+        rows.append(
+            {
+                "version": v,
+                "present": True,
+                "valid": valid,
+                "num_files": want["numFiles"],
+            }
+        )
+    return rows
+
+
+def delta_native_version_checksum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VERSION_CHECKSUM lifecycle: a four-commit table (write, append,
+    DELETE, OPTIMIZE) gets a ``.crc`` sidecar per version; every
+    sidecar must validate against the log-reconstructed snapshot, and
+    a deliberately corrupted v1 sidecar must FAIL validation while
+    every other version still passes — the tamper-detection contract,
+    asserted in-query. Output: per version, the snapshot row count and
+    the 1/0 validity before and after the tamper."""
+    import tempfile
+
+    from ..tables import load_table
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_crc_")
+    delta_write(n, path, mode="overwrite")  # v0
+    delta_write(n.where("n_regionkey = 0"), path, mode="append")  # v1
+    delta_delete(spark, path, "n_nationkey % 2 = 0")  # v2
+    delta_optimize(spark, path)  # v3
+    emitted = delta_emit_checksums(spark, path)
+    before = delta_verify_checksums(spark, path)
+    if emitted != len(before) or not all(r["valid"] for r in before):
+        raise AssertionError(
+            f"fresh checksums must all validate: emitted={emitted}, "
+            f"rows={before}"
+        )
+    _write_crc(
+        spark,
+        path,
+        1,
+        {
+            "tableSizeBytes": -1,
+            "numFiles": 999,
+            "numMetadata": 1,
+            "numProtocol": 1,
+        },
+    )
+    after = {r["version"]: r for r in delta_verify_checksums(spark, path)}
+    rows = []
+    for r in before:
+        v = r["version"]
+        n_rows = delta_read(spark, path, version=v).count()
+        rows.append(
+            (
+                v,
+                n_rows,
+                1 if r["valid"] else 0,
+                1 if after[v]["valid"] else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version bigint, n_rows bigint, crc_valid bigint,"
+        " crc_valid_after_tamper bigint",
+    ).orderBy("version")
+
+
 # --- Domain metadata (PROTOCOL.md ``domainMetadata`` action) ----------------
 # Per-domain string configuration owned by the writer that sets it —
 # delta-spark keeps liquid-clustering keys and row-tracking watermarks
@@ -6821,6 +6975,30 @@ def delta_native_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "delta_native_version_checksum",
+        delta_native_version_checksum,
+        """
+        WITH v0 AS (SELECT n_nationkey, n_regionkey FROM nation),
+        v1 AS (SELECT * FROM v0
+               UNION ALL SELECT * FROM v0 WHERE n_regionkey = 0),
+        v2 AS (SELECT * FROM v1 WHERE n_nationkey % 2 <> 0)
+        SELECT * FROM (
+          SELECT CAST(0 AS BIGINT) AS version,
+                 CAST((SELECT COUNT(*) FROM v0) AS BIGINT) AS n_rows,
+                 CAST(1 AS BIGINT) AS crc_valid,
+                 CAST(1 AS BIGINT) AS crc_valid_after_tamper
+          UNION ALL SELECT 1, (SELECT COUNT(*) FROM v1), 1, 0
+          UNION ALL SELECT 2, (SELECT COUNT(*) FROM v2), 1, 1
+          UNION ALL SELECT 3, (SELECT COUNT(*) FROM v2), 1, 1
+        ) ORDER BY version
+        """,
+        tags=("parity", "delta", "io"),
+        description="VERSION_CHECKSUM (.crc) sidecars: per-version "
+        "snapshot aggregates emitted and validated against the "
+        "log-reconstructed state; a tampered sidecar fails validation "
+        "while every other version still passes.",
+    ),
     QueryDef(
         "delta_native_column_mapping",
         delta_native_column_mapping,
