@@ -369,6 +369,67 @@ def session_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the ordered funnel: among
+    users who completed view → click → purchase (the funnel query's
+    own gating), the view→purchase latency in whole seconds, cut into
+    exact quartiles — the "how long does conversion take" number the
+    completion-rate funnel can't answer. Quartiles ride the
+    distributed exact rank (operators/ranks.py), so converting-user
+    rows never funnel into a single-task sort; per-quartile min/max/
+    truncated-mean are exact integers.
+
+    Plan: the SAME chained gated min-aggregates as the funnel (one
+    user_id hash exchange serves all three stages), one latency
+    projection, then the two parallel exchanges of the exact rank."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns"
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_view"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts_ns") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_click"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts_ns") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_purchase"))
+    )
+    lat = purchases.join(views, "user_id").select(
+        "user_id",
+        F.expr("(t_purchase - t_view) DIV 1000000000").alias("latency_s"),
+    )
+    from .ranks import exact_ntile
+
+    return (
+        exact_ntile(lat, ["latency_s", "user_id"], 4, out="quartile")
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("latency_s").alias("min_s"),
+            F.max("latency_s").alias("max_s"),
+            F.expr("SUM(latency_s) DIV COUNT(*)").alias("mean_s"),
+        )
+        .select(
+            F.col("quartile").cast("long").alias("quartile"),
+            "n_users",
+            "min_s",
+            "max_s",
+            "mean_s",
+        )
+        .orderBy("quartile")
+    )
+
+
 MARKOV_ITERS = 16
 
 
@@ -524,6 +585,43 @@ def _markov_oracle_sql() -> str:
 
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "session_funnel_latency",
+        session_funnel_latency,
+        """
+        WITH views AS (
+          SELECT user_id, MIN(epoch_ns(ts)) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        clicks AS (
+          SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_click
+          FROM events e JOIN views v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t_view
+          GROUP BY e.user_id),
+        purchases AS (
+          SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t_purchase
+          FROM events e JOIN clicks c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t_click
+          GROUP BY e.user_id),
+        lat AS (
+          SELECT p.user_id,
+                 (p.t_purchase - v.t_view) // 1000000000 AS latency_s
+          FROM purchases p JOIN views v ON p.user_id = v.user_id),
+        tiled AS (
+          SELECT latency_s,
+                 NTILE(4) OVER (ORDER BY latency_s, user_id) AS quartile
+          FROM lat)
+        SELECT CAST(quartile AS BIGINT) AS quartile,
+               COUNT(*) AS n_users,
+               CAST(MIN(latency_s) AS BIGINT) AS min_s,
+               CAST(MAX(latency_s) AS BIGINT) AS max_s,
+               CAST(SUM(latency_s) // COUNT(*) AS BIGINT) AS mean_s
+        FROM tiled GROUP BY quartile ORDER BY quartile
+        """,
+        tags=("extension", "sessions", "funnel", "temporal"),
+        description="Time-to-convert exact quartiles for the ordered "
+        "view->click->purchase funnel via the distributed exact rank "
+        "— per-quartile user counts and min/max/mean seconds.",
+    ),
     QueryDef(
         "session_markov_stationary",
         session_markov_stationary,
