@@ -619,7 +619,84 @@ def _minhash_cand_sql() -> str:
 _MINHASH_CAND = _minhash_cand_sql()
 
 
+KFOLD_K = 5
+
+
+def sample_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment with a balance
+    audit — the eval-protocol sibling of the 80/10/10 split: fold =
+    lehmer(doc_id) mod K (stable across runs and engines, no RNG
+    state), and per (fold, lang) the document count plus the fold's
+    language share vs the corpus share in exact ppm — the drift number
+    that tells you whether per-fold metrics are comparable before you
+    average them.
+
+    One scan assigns folds map-side; both rollups are K×lang-sized."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (lehmer_hash("doc_id") % KFOLD_K).alias("fold")
+    )
+    per = d.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    fold_tot = per.groupBy("fold").agg(F.sum("n_docs").alias("fold_total"))
+    lang_tot = per.groupBy("lang").agg(F.sum("n_docs").alias("lang_total"))
+    all_tot = per.agg(F.sum("n_docs").alias("n_total"))
+    return (
+        per.join(F.broadcast(fold_tot), "fold")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(all_tot))
+        .select(
+            F.col("fold").cast("long").alias("fold"),
+            "lang",
+            "n_docs",
+            F.expr("n_docs * 1000000 DIV fold_total").alias(
+                "fold_share_ppm"
+            ),
+            F.expr("lang_total * 1000000 DIV n_total").alias(
+                "corpus_share_ppm"
+            ),
+            F.expr(
+                "abs(n_docs * 1000000 DIV fold_total"
+                " - lang_total * 1000000 DIV n_total)"
+            ).alias("drift_ppm"),
+        )
+        .orderBy("fold", "lang")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sample_kfold_balance",
+        sample_kfold_balance,
+        f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 {sql_lehmer_hash('doc_id')} % {KFOLD_K} AS fold
+          FROM documents),
+        per AS (
+          SELECT fold, lang, COUNT(*) AS n_docs
+          FROM d GROUP BY fold, lang),
+        ft AS (SELECT fold, SUM(n_docs) AS fold_total FROM per GROUP BY fold),
+        lt AS (SELECT lang, SUM(n_docs) AS lang_total FROM per GROUP BY lang),
+        tot AS (SELECT SUM(n_docs) AS n_total FROM per)
+        SELECT CAST(per.fold AS BIGINT) AS fold, per.lang,
+               CAST(per.n_docs AS BIGINT) AS n_docs,
+               CAST(per.n_docs * 1000000 // ft.fold_total AS BIGINT)
+                 AS fold_share_ppm,
+               CAST(lt.lang_total * 1000000 // tot.n_total AS BIGINT)
+                 AS corpus_share_ppm,
+               CAST(abs(per.n_docs * 1000000 // ft.fold_total
+                        - lt.lang_total * 1000000 // tot.n_total)
+                 AS BIGINT) AS drift_ppm
+        FROM per
+        JOIN ft USING (fold)
+        JOIN lt USING (lang)
+        CROSS JOIN tot
+        ORDER BY fold, lang
+        """,
+        tags=("extension", "sampling", "pipeline"),
+        description="Deterministic k-fold assignment (lehmer mod K) "
+        "with a per-fold language-balance audit in exact ppm — fold "
+        "share vs corpus share drift.",
+    ),
     QueryDef(
         "sample_split_leakage",
         sample_split_leakage,
