@@ -607,7 +607,234 @@ def pipeline_incremental_ann_index(
 
 from .operators.similarity import _SQL_IVF_TOPK as _SQL_ANN_STATE_TOPK  # noqa: E402
 
+SESSION_GAP_NS = 30 * 60 * 10**9  # 30-minute inactivity gap
+
+
+def _sessionize(ev: DataFrame) -> DataFrame:
+    """Gap-islands sessionization of (user_id, event_id, ts_ns) rows:
+    per-user sessions split where the inactivity gap exceeds
+    SESSION_GAP_NS; returns (user_id, sid, start_ns, end_ns,
+    n_events). One user-keyed exchange."""
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    flagged = ev.withColumn("prev", F.lag("ts_ns").over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("ts_ns") - F.col("prev") > SESSION_GAP_NS),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.withColumn("sid", F.sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts_ns").alias("start_ns"),
+            F.max("ts_ns").alias("end_ns"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def _canon_session_cols(df: DataFrame) -> DataFrame:
+    """Stable (user_id, start_ns, end_ns, n_events) schema for the
+    Delta tables: every column LONG and nullable (DataFrame.to — a
+    when(TRUE, col) wrapper would be constant-folded back to the
+    non-nullable source), so batch-1 aggregates (count is
+    non-nullable) and batch-2 merge expressions (when/coalesce are
+    nullable) conform to ONE table schema."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cols = ("user_id", "start_ns", "end_ns", "n_events")
+    schema = StructType(
+        [StructField(c, LongType(), True) for c in cols]
+    )
+    empty = df.sparkSession.createDataFrame([], schema)
+    # union with an empty all-nullable frame is the one construction
+    # Catalyst cannot fold back to the source's non-nullable marks
+    return empty.unionByName(
+        df.select(*[F.col(c).cast("long").alias(c) for c in cols])
+    )
+
+
+def pipeline_incremental_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental sessionization with OPEN-session state persisted in
+    a native Delta table — the canonical streaming-sessionization
+    shape (close a session only once its user has been silent past
+    the gap; carry the still-open tail forward), run here over two
+    time-split batches. The correctness statement IS the oracle: the
+    batch-incremental session set must be BIT-IDENTICAL to one-shot
+    sessionizing all events — a session spanning the batch boundary
+    must come out as ONE session with the merged event count.
+
+    Per batch: sessionize the batch, merge each user's FIRST batch
+    session with their open state when the boundary gap allows, close
+    everything ending before watermark − gap (append to the sessions
+    table), persist the open remainder as the new state (overwrite —
+    state is tiny: ≤ 1 open session per active user). End-of-stream
+    flushes the final open state. Output: the session-length histogram
+    with total durations.
+
+    Scale: every step is user-keyed (the sessionize exchange, the
+    first-session merge join, the state upsert); state size is bounded
+    by ACTIVE USERS, not events — the applyInPandasWithState posture,
+    expressed as Delta-backed batch state."""
+    from .sources.delta_log import delta_read, delta_write
+    from .tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_ns"
+    )
+    span = ev.agg(
+        F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi")
+    ).collect()[0]
+    cut = span["lo"] + (span["hi"] - span["lo"]) // 2
+    sessions_path = tempfile.mkdtemp(prefix="ls_sess_closed_")
+    state_path = tempfile.mkdtemp(prefix="ls_sess_state_")
+
+    # --- batch 1 ---
+    b1 = ev.where(F.col("ts_ns") < cut)
+    s1 = _sessionize(b1)
+    wm1 = cut  # watermark: everything before the cut has been seen
+    closed1 = s1.where(F.col("end_ns") <= wm1 - SESSION_GAP_NS).select(
+        "user_id", "start_ns", "end_ns", "n_events"
+    )
+    open1 = s1.where(F.col("end_ns") > wm1 - SESSION_GAP_NS).select(
+        "user_id", "start_ns", "end_ns", "n_events"
+    )
+    delta_write(_canon_session_cols(closed1), sessions_path, mode="overwrite")
+    delta_write(_canon_session_cols(open1), state_path, mode="overwrite")
+
+    # --- batch 2: merge against the state read BACK from Delta ---
+    state = delta_read(spark, state_path)
+    b2 = ev.where(F.col("ts_ns") >= cut)
+    s2 = _sessionize(b2)
+    wf = Window.partitionBy("user_id").orderBy("sid")
+    s2r = s2.withColumn("rk", F.row_number().over(wf))
+    first = s2r.where(F.col("rk") == 1)
+    rest = s2r.where(F.col("rk") > 1).select(
+        "user_id", "start_ns", "end_ns", "n_events"
+    )
+    st = state.select(
+        "user_id",
+        F.col("start_ns").alias("o_start"),
+        F.col("end_ns").alias("o_end"),
+        F.col("n_events").alias("o_n"),
+    )
+    fj = first.join(st, "user_id", "full_outer")
+    merged_first = fj.select(
+        "user_id",
+        F.when(
+            F.col("o_end").isNotNull()
+            & F.col("start_ns").isNotNull()
+            & (F.col("start_ns") - F.col("o_end") <= SESSION_GAP_NS),
+            F.col("o_start"),
+        )
+        .otherwise(F.coalesce("start_ns", "o_start"))
+        .alias("start_ns_m"),
+        F.coalesce("end_ns", "o_end").alias("end_ns_m"),
+        F.when(
+            F.col("o_end").isNotNull()
+            & F.col("start_ns").isNotNull()
+            & (F.col("start_ns") - F.col("o_end") <= SESSION_GAP_NS),
+            F.col("n_events") + F.col("o_n"),
+        )
+        .otherwise(F.coalesce("n_events", "o_n"))
+        .alias("n_events_m"),
+        # a state session NOT merged (gap too large or no batch-2
+        # events) stands alone and must not be lost
+        F.when(
+            F.col("o_end").isNotNull()
+            & F.col("start_ns").isNotNull()
+            & (F.col("start_ns") - F.col("o_end") > SESSION_GAP_NS),
+            1,
+        )
+        .otherwise(0)
+        .alias("state_stands"),
+        "o_start",
+        "o_end",
+        "o_n",
+    )
+    standalone_state = merged_first.where(
+        F.col("state_stands") == 1
+    ).select(
+        "user_id",
+        F.col("o_start").alias("start_ns"),
+        F.col("o_end").alias("end_ns"),
+        F.col("o_n").alias("n_events"),
+    )
+    merged = merged_first.select(
+        "user_id",
+        F.col("start_ns_m").alias("start_ns"),
+        F.col("end_ns_m").alias("end_ns"),
+        F.col("n_events_m").alias("n_events"),
+    ).unionByName(standalone_state).unionByName(rest)
+    wm2 = span["hi"]
+    closed2 = merged.where(F.col("end_ns") <= wm2 - SESSION_GAP_NS)
+    open2 = merged.where(F.col("end_ns") > wm2 - SESSION_GAP_NS)
+    delta_write(_canon_session_cols(closed2), sessions_path, mode="append")
+    delta_write(_canon_session_cols(open2), state_path, mode="overwrite")
+
+    # --- end of stream: flush the remaining open state ---
+    delta_write(
+        delta_read(spark, state_path), sessions_path, mode="append"
+    )
+    allsess = delta_read(spark, sessions_path)
+    return (
+        allsess.groupBy(F.col("n_events").alias("session_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                F.expr("(end_ns - start_ns) DIV 1000000000")
+            ).alias("total_duration_s"),
+        )
+        .select(
+            F.col("session_len").cast("long").alias("session_len"),
+            "n_sessions",
+            F.col("total_duration_s").cast("long").alias(
+                "total_duration_s"
+            ),
+        )
+        .orderBy("session_len")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "pipeline_incremental_sessions",
+        pipeline_incremental_sessions,
+        f"""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ns(ts) AS tsn FROM events),
+        f AS (
+          SELECT *,
+                 CASE WHEN LAG(tsn) OVER w IS NULL
+                        OR tsn - LAG(tsn) OVER w > {SESSION_GAP_NS}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+        s AS (
+          SELECT *,
+                 SUM(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY tsn, event_id) AS sid
+          FROM f),
+        g AS (
+          SELECT user_id, sid, COUNT(*) AS n_events,
+                 (MAX(tsn) - MIN(tsn)) // 1000000000 AS dur_s
+          FROM s GROUP BY user_id, sid)
+        SELECT CAST(n_events AS BIGINT) AS session_len,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(dur_s) AS BIGINT) AS total_duration_s
+        FROM g GROUP BY n_events ORDER BY session_len
+        """,
+        tags=("extension", "pipeline", "sessions", "delta", "bench"),
+        description="Incremental sessionization with open-session "
+        "state in Delta: two time-split batches, boundary-spanning "
+        "sessions merged through the persisted state, closed sessions "
+        "appended — proven bit-identical to one-shot gap-islands "
+        "sessionization of all events.",
+    ),
     QueryDef(
         "pipeline_incremental_ann_index",
         pipeline_incremental_ann_index,

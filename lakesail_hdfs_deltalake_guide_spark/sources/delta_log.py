@@ -2518,6 +2518,11 @@ def _plan_commit(
             actions.append(id_action)
             meta = id_action["metaData"]
     existing = _logical_schema(meta)
+    if df.schema != existing and _nullability_conforms(df.schema, existing):
+        # delta-spark accepts a STRICTER batch (non-nullable column into
+        # a nullable table column) without schema evolution — only the
+        # nullability marks differ, so conform the batch to the table
+        df = df.to(existing)
     if df.schema != existing:
         if not merge_schema:
             raise ValueError(
@@ -2960,6 +2965,21 @@ def delta_history(spark: SparkSession, path: str) -> list[dict]:
 # Emission here is a catch-up pass (every version missing a sidecar),
 # each from the checkpoint-started snapshot fold, so cost is
 # O(versions · CHECKPOINT_INTERVAL) metadata reads — never data files.
+
+
+def _nullability_conforms(batch, table) -> bool:
+    """True when ``batch`` differs from ``table`` ONLY by top-level
+    nullability marks that may legally tighten: same names and data
+    types in order, and no batch field nullable where the table's is
+    not (a nullable batch cannot write into a non-nullable column)."""
+    if len(batch.fields) != len(table.fields):
+        return False
+    for b, t in zip(batch.fields, table.fields):
+        if b.name != t.name or b.dataType != t.dataType:
+            return False
+        if b.nullable and not t.nullable:
+            return False
+    return True
 
 
 def _crc_file(path: str, version: int) -> str:
