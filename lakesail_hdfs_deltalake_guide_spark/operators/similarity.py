@@ -847,6 +847,103 @@ _SQL_LSH_TOPK = f"""
         """
 
 
+def similarity_lsh_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Measured recall@k of the hyperplane-LSH index against the exact
+    brute-force top-k, per query — the self-evaluation every ANN
+    deployment runs before trusting an index (the oracle proves both
+    sides CORRECT; this query reports how much the approximation
+    MISSES). Output: per query, ground-truth k, hits, recall in exact
+    ppm.
+
+    Plan: composes the two existing passes (broadcast-query exact
+    top-k + banded-signature candidate join) and joins their k-sized
+    outputs per query — the audit itself adds only a k-row join."""
+    bf = similarity_bruteforce_topk(spark, sf_dir).select(
+        "query_id", "vec_id"
+    )
+    lsh = similarity_lsh_topk(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(lsh, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            F.col("k").cast("long").alias("k"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.expr("n_hit * 1000000 DIV k").cast("long").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+_SQL_ANN_RECALL = f"""
+        WITH planes(plane_id, pv) AS (VALUES {{planes}}),
+        emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+        sigs AS (
+          SELECT e.vec_id,
+                 CAST(SUM(CASE WHEN list_dot_product(e.v, p.pv) > 0
+                               THEN (CAST(1 AS BIGINT) << p.plane_id)
+                               ELSE 0 END) AS BIGINT) AS sig
+          FROM emb e CROSS JOIN planes p GROUP BY e.vec_id),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS vec_id
+          FROM sigs q JOIN sigs c
+            ON ({{bucket_match}})
+          WHERE q.vec_id < {NUM_QUERIES} AND q.vec_id <> c.vec_id),
+        lsh_scored AS (
+          SELECT cand.query_id, cand.vec_id,
+                 FLOOR(list_dot_product(qe.v, ce.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v))
+                      * sqrt(list_dot_product(ce.v, ce.v)))
+                   * 1000000 + 0.5) / 1000000 AS cosine_sim
+          FROM cand
+          JOIN emb qe ON qe.vec_id = cand.query_id
+          JOIN emb ce ON ce.vec_id = cand.vec_id),
+        lsh AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine_sim DESC, vec_id) AS rank
+            FROM lsh_scored)
+          WHERE rank <= {TOP_K}),
+        bf_scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id,
+                 FLOOR(list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(c.v, c.v)))
+                   * 1000000 + 0.5) / 1000000 AS cosine_sim
+          FROM emb c JOIN emb q
+            ON q.vec_id < {NUM_QUERIES} AND q.vec_id <> c.vec_id),
+        bf AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine_sim DESC, vec_id) AS rank
+            FROM bf_scored)
+          WHERE rank <= {TOP_K})
+        SELECT b.query_id,
+               COUNT(*) AS k,
+               CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hit,
+               CAST(SUM(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+        FROM bf b
+        LEFT JOIN lsh l
+          ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+        GROUP BY b.query_id ORDER BY b.query_id
+        """
+
+
 def _kmeans_iter_sql(prev: str, assign: str, means: str, out: str) -> str:
     """One unrolled Lloyd iteration as DuckDB CTEs: argmax-dot
     assignment (tie → higher centroid id, mirroring _assign_centroids'
@@ -1149,6 +1246,18 @@ def _mmr_oracle_sql() -> str:
 
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "similarity_lsh_recall_audit",
+        similarity_lsh_recall_audit,
+        _SQL_ANN_RECALL.format(
+            planes=planes_values_sql(_hyperplanes()),
+            bucket_match=bucket_match_sql("q.sig", "c.sig", BANDS),
+        ),
+        tags=("extension", "similarity"),
+        description="Measured recall@k of hyperplane-LSH vs the exact "
+        "brute-force top-k, per query in exact ppm — the ANN "
+        "self-evaluation audit.",
+    ),
     QueryDef(
         "similarity_mmr_rerank",
         similarity_mmr_rerank,

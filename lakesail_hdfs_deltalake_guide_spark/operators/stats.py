@@ -1188,7 +1188,233 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_ols_segment_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS revenue trend — the least-squares companion to
+    Theil–Sen (TS is the robust slope of ONE series; this fits every
+    market segment's monthly revenue line in one pass and makes the
+    segments comparable). x = months since the segment's first month
+    (0-based, so the intercept is the fitted LAUNCH-month revenue),
+    y = monthly cents. Slope and intercept come from the closed-form
+    moment ratios, cross-multiplied in DECIMAL(38)/HUGEINT and
+    reported ×1000:
+
+        slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
+
+    Plan: facts collapse to (segment, month) map-side; the regression
+    is a five-moment rollup per segment over the BOUNDED month domain
+    — one row of math per segment, no window anywhere."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "year(date_trunc('month', o_orderdate)) * 12"
+            " + month(date_trunc('month', o_orderdate))"
+        ).alias("mi"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "mi")
+        .agg(F.sum("cents").alias("y"))
+    )
+    centered = monthly.withColumn(
+        "x",
+        F.col("mi")
+        - F.min("mi").over(Window.partitionBy("c_mktsegment")),
+    )
+    mom = centered.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    den = (
+        "(CAST(n AS DECIMAL(38,0)) * sxx"
+        " - CAST(sx AS DECIMAL(38,0)) * sx)"
+    )
+    return mom.select(
+        "c_mktsegment",
+        F.col("n").cast("long").alias("n_months"),
+        F.expr(
+            f"CAST((CAST(n AS DECIMAL(38,0)) * sxy"
+            f" - CAST(sx AS DECIMAL(38,0)) * sy) * 1000"
+            f" DIV {den} AS BIGINT)"
+        ).alias("slope_milli"),
+        F.expr(
+            f"CAST((CAST(sy AS DECIMAL(38,0)) * sxx"
+            f" - CAST(sx AS DECIMAL(38,0)) * sxy) * 1000"
+            f" DIV {den} AS BIGINT)"
+        ).alias("intercept_milli"),
+    ).orderBy("c_mktsegment")
+
+
+def stats_poisson_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson overdispersion index of hourly event counts per type —
+    the variance-to-mean ratio D that separates memoryless arrivals
+    (D ≈ 1) from bursty/clumped traffic (D ≫ 1): the statistical
+    verdict behind the burst-detection tier's threshold flags.
+    Computed over the dense hourly grid (silent hours ARE zero
+    observations) in exact integers: D×1000 = (nΣc² − S²)·1000 DIV
+    ((n−1)·S).
+
+    Plan: facts collapse to the hourly aggregate map-side; the dense
+    grid is span-bounded; the index is a three-moment rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    hour_us = (us - us % 3_600_000_000).alias("hour_us")
+    hourly = (
+        ev.select("event_type", hour_us)
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    span = ev.agg(
+        F.expr("min(ts_ns div 1000) - min(ts_ns div 1000) % 3600000000")
+        .alias("start_us"),
+        F.expr("max(ts_ns div 1000) - max(ts_ns div 1000) % 3600000000")
+        .alias("end_us"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("start_us"),
+                    F.col("end_us"),
+                    F.lit(3_600_000_000),
+                )
+            ).alias("hour_us"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "hour_us"], "left").select(
+        "event_type",
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    return (
+        dense.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("c").alias("s"),
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("s2"),
+        )
+        .select(
+            "event_type",
+            F.col("n_hours").cast("long").alias("n_hours"),
+            F.expr("s * 1000 DIV n_hours").cast("long").alias(
+                "mean_milli"
+            ),
+            F.expr(
+                "CAST((CAST(n_hours AS DECIMAL(38,0)) * s2"
+                " - CAST(s AS DECIMAL(38,0)) * s) * 1000"
+                " DIV ((n_hours - 1) * CAST(s AS DECIMAL(38,0)))"
+                " AS BIGINT)"
+            ).alias("dispersion_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_ols_segment_trend",
+        stats_ols_segment_trend,
+        """
+        WITH monthly AS (
+          SELECT c.c_mktsegment,
+                 CAST(year(date_trunc('month', o.o_orderdate)) * 12
+                      + month(date_trunc('month', o.o_orderdate))
+                   AS BIGINT) AS mi,
+                 CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) AS y
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment, mi),
+        centered AS (
+          SELECT c_mktsegment,
+                 mi - MIN(mi) OVER (PARTITION BY c_mktsegment) AS x,
+                 y
+          FROM monthly),
+        mom AS (
+          SELECT c_mktsegment,
+                 COUNT(*) AS n,
+                 SUM(x) AS sx,
+                 SUM(y) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx
+          FROM centered GROUP BY c_mktsegment)
+        SELECT c_mktsegment,
+               CAST(n AS BIGINT) AS n_months,
+               CAST((CAST(n AS HUGEINT) * sxy
+                     - CAST(sx AS HUGEINT) * sy) * 1000
+                    // (CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+                 AS slope_milli,
+               CAST((CAST(sy AS HUGEINT) * sxx
+                     - CAST(sx AS HUGEINT) * sxy) * 1000
+                    // (CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx) AS BIGINT)
+                 AS intercept_milli
+        FROM mom ORDER BY c_mktsegment
+        """,
+        tags=("extension", "stats", "olap"),
+        description="Per-segment OLS monthly-revenue trend: exact "
+        "cross-multiplied slope and launch-month intercept x1000 from "
+        "a five-moment rollup over the bounded month domain.",
+    ),
+    QueryDef(
+        "stats_poisson_dispersion",
+        stats_poisson_dispersion,
+        """
+        WITH hourly AS (
+          SELECT event_type,
+                 epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+                 COUNT(*) AS c
+          FROM events GROUP BY 1, 2),
+        span AS (
+          SELECT MIN(epoch_us(ts)) - MIN(epoch_us(ts)) % 3600000000
+                   AS start_us,
+                 MAX(epoch_us(ts)) - MAX(epoch_us(ts)) % 3600000000
+                   AS end_us
+          FROM events),
+        grid AS (
+          SELECT t.event_type, g.hour_us
+          FROM (SELECT DISTINCT event_type FROM events) t,
+               span,
+               UNNEST(range(span.start_us, span.end_us + 1, 3600000000))
+                 AS g(hour_us)),
+        dense AS (
+          SELECT grid.event_type,
+                 CAST(COALESCE(hourly.c, 0) AS BIGINT) AS c
+          FROM grid LEFT JOIN hourly
+            ON grid.event_type = hourly.event_type
+           AND grid.hour_us = hourly.hour_us),
+        mom AS (
+          SELECT event_type,
+                 COUNT(*) AS n_hours,
+                 SUM(c) AS s,
+                 SUM(CAST(c AS HUGEINT) * c) AS s2
+          FROM dense GROUP BY event_type)
+        SELECT event_type,
+               CAST(n_hours AS BIGINT) AS n_hours,
+               CAST(s * 1000 // n_hours AS BIGINT) AS mean_milli,
+               CAST((CAST(n_hours AS HUGEINT) * s2
+                     - CAST(s AS HUGEINT) * s) * 1000
+                    // ((n_hours - 1) * CAST(s AS HUGEINT)) AS BIGINT)
+                 AS dispersion_milli
+        FROM mom ORDER BY event_type
+        """,
+        tags=("extension", "stats", "timeseries"),
+        description="Poisson overdispersion index per event type over "
+        "the dense hourly grid: variance-to-mean ratio x1000 in exact "
+        "integers — memoryless vs bursty arrivals.",
+    ),
     QueryDef(
         "stats_welch_ttest",
         stats_welch_ttest,
