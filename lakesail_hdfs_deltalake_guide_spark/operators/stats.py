@@ -1036,7 +1036,11 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     × ~10⁷ rows per group; beyond that, pre-scale cents to dollars —
     the knob is the unit, not the form). The Welch–Satterthwaite dof
     rides ppm-scaled per-group variance components (a = A·10⁶ DIV
-    n₁²(n₁−1)), truncation-deterministic in both engines.
+    n₁²(n₁−1)) and is then fully cross-multiplied —
+    (a+b)²(n₁−1)(n₂−1) DIV (a²(n₂−1) + b²(n₁−1)) — so no
+    intermediate quotient ever leaves DECIMAL(38)/HUGEINT headroom
+    (a² DIV (n₁−1) alone overflows int64 on small high-variance
+    groups); truncation-deterministic in both engines.
 
     Plan: one conditional-aggregate scan collapses the facts to six
     moments; everything after is a single-row expression."""
@@ -1100,9 +1104,11 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "        * n1 * n1 * (n1 - 1)) AS BIGINT)"
         ).alias("t2_milli"),
         F.expr(
-            "CAST(CAST(va + vb AS DECIMAL(38,0)) * (va + vb) * 1000"
-            " DIV (CAST(va AS DECIMAL(38,0)) * va DIV (n1 - 1)"
-            "      + CAST(vb AS DECIMAL(38,0)) * vb DIV (n2 - 1))"
+            "CAST((CAST(va AS DECIMAL(38,0)) + vb)"
+            " * (CAST(va AS DECIMAL(38,0)) + vb)"
+            " * (n1 - 1) * (n2 - 1) * 1000"
+            " DIV (CAST(va AS DECIMAL(38,0)) * va * (n2 - 1)"
+            "      + CAST(vb AS DECIMAL(38,0)) * vb * (n1 - 1))"
             " AS BIGINT)"
         ).alias("dof_milli"),
     )
@@ -1460,9 +1466,11 @@ QUERIES: list[QueryDef] = [
                         * n2 * n2 * (n2 - 1)
                         + (n2 * q2 - CAST(s2 AS HUGEINT) * s2)
                           * n1 * n1 * (n1 - 1)) AS BIGINT) AS t2_milli,
-               CAST(CAST(va + vb AS HUGEINT) * (va + vb) * 1000
-                    // (CAST(va AS HUGEINT) * va // (n1 - 1)
-                        + CAST(vb AS HUGEINT) * vb // (n2 - 1))
+               CAST((CAST(va AS HUGEINT) + vb)
+                    * (CAST(va AS HUGEINT) + vb)
+                    * (n1 - 1) * (n2 - 1) * 1000
+                    // (CAST(va AS HUGEINT) * va * (n2 - 1)
+                        + CAST(vb AS HUGEINT) * vb * (n1 - 1))
                  AS BIGINT) AS dof_milli
         FROM v
         """,

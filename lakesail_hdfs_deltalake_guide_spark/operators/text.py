@@ -2539,11 +2539,12 @@ QUERIES: list[QueryDef] = [
           FROM (SELECT unnest(string_split(text, ' ')) AS word
                 FROM documents)
           GROUP BY word),
+        s0a AS MATERIALIZED (
+          SELECT word, freq, ch, unnest(range(1, len(ch) + 1)) AS i
+          FROM (SELECT word, freq, string_split(word, '') AS ch FROM words)),
         s0 AS MATERIALIZED (
           SELECT word, freq, CAST(i AS BIGINT) AS pos, ch[i] AS sym
-          FROM (SELECT word, freq, string_split(word, '') AS ch FROM words),
-               range(1, 64) r(i)
-          WHERE i <= len(ch)),
+          FROM s0a),
         {",".join(_bpe_round_sql(f"s{r - 1}", r).lstrip()
                   for r in range(1, BPE_MERGES + 1))}
         {" UNION ALL ".join(

@@ -550,6 +550,138 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Holt-Winters additive, season m=24 h. l' for step k (alpha=1/4):
+# (x_k*1000 - s_head + 3*(l+b)) DIV 4, with s_head = the seasonal that
+# applies to step k (the state array rotates once per step).
+_HW_LP = (
+    "((element_at(xs, k) * 1000 - element_at(st.s, 1)"
+    " + 3 * (st.l + st.b)) DIV 4)"
+)
+_HW_INIT = """named_struct(
+    'l', p1 * CAST(1000 AS BIGINT) DIV 24,
+    'b', (p2 - p1) * CAST(1000 AS BIGINT) DIV 576,
+    's', transform(slice(xs, 1, 24),
+                   x -> x * CAST(1000 AS BIGINT)
+                        - p1 * CAST(1000 AS BIGINT) DIV 24),
+    'sae', CAST(0 AS BIGINT))"""
+_HW_FOLD = f"""IF(size(xs) < 49,
+  named_struct(
+    'l', aggregate(xs, CAST(0 AS BIGINT), (a, x) -> a + x) * 1000
+         DIV size(xs),
+    'b', CAST(0 AS BIGINT),
+    's', array_repeat(CAST(0 AS BIGINT), 24),
+    'sae', CAST(0 AS BIGINT)),
+  aggregate(
+    sequence(25, size(xs)),
+    {_HW_INIT},
+    (st, k) -> named_struct(
+      'l', {_HW_LP},
+      'b', ({_HW_LP} - st.l + 7 * st.b) DIV 8,
+      's', concat(slice(st.s, 2, 23),
+                  array((element_at(xs, k) * 1000 - {_HW_LP}
+                         + 3 * element_at(st.s, 1)) DIV 4)),
+      'sae', st.sae + abs(element_at(xs, k) * 1000
+                          - (st.l + st.b + element_at(st.s, 1)))),
+    st -> st))"""
+
+
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing per
+    event-type series — the seasonal forecaster that completes the
+    EWMA → Holt-linear → seasonal-decompose family: level, trend AND
+    a 24-hour seasonal profile evolve together over the dense hourly
+    grid. All three smoothing weights are exact dyadic rationals
+    (alpha=1/4, beta=1/8, gamma=1/4), so every update is integer
+    shifts-and-adds with DIV truncation — bit-identical in both
+    engines. Recurrences (classical additive form, milli-scaled):
+
+        l_t = (x_t - s_{{t-24}} + 3*(l+b)) DIV 4
+        b_t = (l_t - l + 7*b) DIV 8
+        s_t = (x_t - l_t + 3*s_{{t-24}}) DIV 4
+
+    initialized the textbook way from the first two full seasons
+    (l0 = mean of season 1, b0 = period-mean slope, s0_j = x_j - l0),
+    smoothing from step 25. Output per series: final level/trend, the
+    next hour's seasonal, one-step-ahead SAE fit (forecast = l+b+s
+    BEFORE observing), and seasonal-aware 1h/24h forecasts.
+
+    Scale shape is ts_holt_linear's: sequential IN TIME, parallel
+    ACROSS series; the state (a 24-slot rotating seasonal queue in a
+    struct) rides ONE codegen'd higher-order ``aggregate`` per
+    collected dense series, span-bounded — the facts still collapse
+    map-side in the hourly pre-aggregation, so the collect is safe at
+    any corpus scale. The DuckDB twin walks the identical recurrence
+    (rotating LIST state) as a RECURSIVE CTE over the indexed grid."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("ts_ns div 1000")
+    hour_us = us - us % HOUR_US
+    hourly = (
+        ev.select("event_type", hour_us.alias("hour_us"))
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    span = ev.agg(F.min(us).alias("min_us"), F.max(us).alias("max_us")).select(
+        (F.col("min_us") - F.col("min_us") % HOUR_US).alias("start_us"),
+        (F.col("max_us") - F.col("max_us") % HOUR_US).alias("end_us"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("start_us"), F.col("end_us"), F.lit(HOUR_US))
+        ).alias("hour_us"),
+    )
+    dense = grid.join(hourly, ["event_type", "hour_us"], "left").select(
+        "event_type",
+        "hour_us",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+    )
+    series = (
+        dense.groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(hour_us,"
+                " n_events))), s -> s.n_events)"
+            ).alias("xs")
+        )
+        .withColumn(
+            "p1",
+            F.expr(
+                "aggregate(slice(xs, 1, 24), CAST(0 AS BIGINT),"
+                " (a, x) -> a + x)"
+            ),
+        )
+        .withColumn(
+            "p2",
+            F.expr(
+                "aggregate(slice(xs, 25, 24), CAST(0 AS BIGINT),"
+                " (a, x) -> a + x)"
+            ),
+        )
+    )
+    return (
+        series.withColumn("st", F.expr(_HW_FOLD))
+        .select(
+            "event_type",
+            F.size("xs").cast("long").alias("n_hours"),
+            F.col("st.l").alias("level_milli"),
+            F.col("st.b").alias("trend_milli"),
+            F.expr("element_at(st.s, 1)").alias("season_1h_milli"),
+            F.col("st.sae").alias("sae_milli"),
+            F.expr("st.l + st.b + element_at(st.s, 1)").alias(
+                "forecast_1h_milli"
+            ),
+            F.expr("st.l + 24 * st.b + element_at(st.s, 24)").alias(
+                "forecast_24h_milli"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# DuckDB twin of _HW_LP over the recursive-CTE state row.
+_HW_LP_SQL = "((d.x * 1000 - s.s[1] + 3 * (s.l + s.b)) // 4)"
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "ts_holt_linear",
@@ -847,5 +979,83 @@ QUERIES: list[QueryDef] = [
         """,
         tags=("extension", "timeseries", "window", "bench"),
         description="Dense-grid hourly resample with zero-fill and LOCF.",
+    ),
+    QueryDef(
+        "ts_holt_winters",
+        ts_holt_winters,
+        f"""
+        WITH RECURSIVE hourly AS (
+          SELECT event_type,
+                 epoch_us(ts) - epoch_us(ts) % {HOUR_US} AS hour_us,
+                 COUNT(*) AS n_events
+          FROM events GROUP BY 1, 2),
+        span AS (
+          SELECT MIN(epoch_us(ts)) - MIN(epoch_us(ts)) % {HOUR_US}
+                   AS start_us,
+                 MAX(epoch_us(ts)) - MAX(epoch_us(ts)) % {HOUR_US}
+                   AS end_us
+          FROM events),
+        grid AS (
+          SELECT t.event_type, g.hour_us
+          FROM (SELECT DISTINCT event_type FROM events) t,
+               span,
+               UNNEST(range(span.start_us, span.end_us + 1, {HOUR_US}))
+                 AS g(hour_us)),
+        idx AS MATERIALIZED (
+          SELECT grid.event_type,
+                 CAST(COALESCE(hourly.n_events, 0) AS BIGINT) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY grid.event_type
+                                    ORDER BY grid.hour_us) AS i
+          FROM grid LEFT JOIN hourly
+            ON grid.event_type = hourly.event_type
+           AND grid.hour_us = hourly.hour_us),
+        mom AS MATERIALIZED (
+          SELECT event_type, MAX(i) AS n,
+                 SUM(CASE WHEN i <= 24 THEN x ELSE 0 END) AS p1,
+                 SUM(CASE WHEN i BETWEEN 25 AND 48 THEN x ELSE 0 END)
+                   AS p2
+          FROM idx GROUP BY event_type),
+        init AS MATERIALIZED (
+          SELECT m.event_type, m.n,
+                 CAST(m.p1 * 1000 // 24 AS BIGINT) AS l0,
+                 CAST((m.p2 - m.p1) * 1000 // 576 AS BIGINT) AS b0,
+                 (SELECT list(d.x * 1000 - CAST(m.p1 * 1000 // 24
+                                                AS BIGINT)
+                              ORDER BY d.i)
+                  FROM idx d
+                  WHERE d.event_type = m.event_type AND d.i <= 24) AS s0
+          FROM mom m),
+        st AS (
+          SELECT event_type, CAST(24 AS BIGINT) AS i, n,
+                 l0 AS l, b0 AS b, s0 AS s, CAST(0 AS BIGINT) AS sae
+          FROM init
+          UNION ALL
+          SELECT s.event_type, s.i + 1, s.n,
+                 {_HW_LP_SQL},
+                 ({_HW_LP_SQL} - s.l + 7 * s.b) // 8,
+                 list_append(s.s[2:],
+                             (d.x * 1000 - {_HW_LP_SQL}
+                              + 3 * s.s[1]) // 4),
+                 s.sae + abs(d.x * 1000 - (s.l + s.b + s.s[1]))
+          FROM st s
+          JOIN idx d ON d.event_type = s.event_type AND d.i = s.i + 1
+          WHERE s.i < s.n)
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_hours,
+               l AS level_milli,
+               b AS trend_milli,
+               s[1] AS season_1h_milli,
+               sae AS sae_milli,
+               CAST(l + b + s[1] AS BIGINT) AS forecast_1h_milli,
+               CAST(l + 24 * b + s[24] AS BIGINT) AS forecast_24h_milli
+        FROM st WHERE i = n ORDER BY event_type
+        """,
+        tags=("extension", "timeseries", "iterative"),
+        description="Holt-Winters additive triple exponential "
+        "smoothing per series: alpha=1/4, beta=1/8, gamma=1/4 as "
+        "exact dyadic integer recurrences with a rotating 24-hour "
+        "seasonal state over the dense hourly grid — final "
+        "level/trend/seasonal, one-step SAE fit, seasonal-aware "
+        "1h/24h forecasts.",
     ),
 ]
