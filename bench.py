@@ -109,7 +109,22 @@ def main() -> None:
     )
     with open(sidecar, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
+    # The driver parses a bounded (2000-char) TAIL of stdout: a JSON line
+    # longer than that front-truncates and records "parsed": null (r05 and
+    # r08 both hit this as the query count grew). Guarantee the printed
+    # line fits: keep the most expensive queries until it does, count the
+    # omissions, and leave the full per-query dict in the sidecar.
     line = {k: v for k, v in out.items() if k != "vs_pin"}
+    by_cost = sorted(timings, key=lambda n: -timings[n])
+    keep = len(by_cost)
+    while keep > 1:
+        line["queries"] = {n: timings[n] for n in by_cost[:keep]}
+        omitted = len(by_cost) - keep
+        if omitted:
+            line["queries_omitted"] = omitted
+        if len(json.dumps(line, separators=(",", ":"))) <= 1900:
+            break
+        keep -= 5
     print(json.dumps(line, separators=(",", ":")))
     spark.stop()
 

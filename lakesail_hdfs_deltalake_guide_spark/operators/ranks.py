@@ -42,10 +42,15 @@ def exact_global_rank(
     partitioner-arbitrary, exactly as it is in any engine."""
     spark = df.sparkSession
     parts = parts or spark.sparkContext.defaultParallelism
+    # LAZY checkpoint: the counts collect below is the helper's ONLY
+    # action — it materializes the checkpoint as its side effect, so the
+    # range exchange is computed exactly once and its partitioning is
+    # frozen by the same job that measures it (an eager checkpoint +
+    # separate counts scan would pay two actions for the same data).
     staged = (
         df.repartitionByRange(parts, *order_by)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     counts = {
         r["__pid"]: r["cnt"]

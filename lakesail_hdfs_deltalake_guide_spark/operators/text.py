@@ -1657,24 +1657,31 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TFIDF_MAX_DF_PCT = 90  # inverted-index pruning knob: drop ubiquitous toks
+TFIDF_POSTING_CAP = 64  # prefix filter: top-P docs by weight per token
 TFIDF_PAIR_TOP = 20
 
 
 def text_tfidf_doc_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc-doc similarity over SPARSE TF-IDF vectors via the inverted-
-    index join — the lexical twin of the dense embedding near-dup pass
-    (catches verbatim/template overlap that embedding models smooth
-    away). Weights are exact integers: w = tf · idf_mb (idf in
-    millibits from the shared mantissa log2); similarity is reported
-    as cos² in ppm — dot²·10⁶ DIV (‖a‖²·‖b‖²) — so NO square root
-    ever runs and everything stays in DECIMAL(38)/HUGEINT.
+    """Doc-doc similarity over SPARSE TF-IDF vectors via a CAPPED
+    inverted-index join — the lexical twin of the dense embedding
+    near-dup pass (catches verbatim/template overlap that embedding
+    models smooth away). Weights are exact integers: w = tf · idf_mb
+    (idf in millibits from the shared mantissa log2); similarity is
+    reported as cos² in ppm — dot²·10⁶ DIV (‖a‖²·‖b‖²) — so NO square
+    root ever runs and everything stays in DECIMAL(38)/HUGEINT.
 
-    Scale: the pair explosion is bounded by the inverted index — only
-    docs SHARING a token meet, and tokens in > TFIDF_MAX_DF_PCT% of
-    docs are pruned first (the stopword row of the index is the whole
-    corpus squared; dropping it is the standard scale knob, logged
-    here as a constant contract, not a silent cap). Top pairs via
-    TakeOrderedAndProject."""
+    Scale contract (prefix filtering, Bayardo all-pairs style):
+    candidate pairs are generated ONLY from each token's top
+    TFIDF_POSTING_CAP postings by weight (ties broken by doc_id — the
+    deterministic rank rides a tok-partitioned window, never a global
+    sort), so the candidate join is bounded by V·P² regardless of
+    corpus size — the uncapped a.tok == b.tok self-join is O(corpus²)
+    on any ubiquitous token and was measured at 224 M rows on the
+    sf0.1 fixture. Scoring over the surfaced candidates is then EXACT:
+    the full (uncapped) postings rejoin per candidate pair, so
+    n_shared / cos² carry no approximation — only the candidate set
+    does. Tokens in > TFIDF_MAX_DF_PCT% of docs are dropped outright
+    first. Top pairs via TakeOrderedAndProject."""
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(_tokens()).alias("tok"))
@@ -1712,41 +1719,79 @@ def text_tfidf_doc_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = tf.join(kept, "tok").select(
         "doc_id", "tok", (F.col("tf") * F.col("idf_mb")).alias("w")
     )
-    w = w.localCheckpoint(eager=True)  # feeds norms + the index join
-    norms = w.groupBy("doc_id").agg(
-        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * w")).alias("n2")
+    w = w.localCheckpoint(eager=True)  # feeds the cap pass + doc vectors
+    # One pass builds BOTH the per-doc sparse vector (a map, bounded by
+    # doc length) and its squared norm — the rescore then never touches
+    # the token-level index again: each candidate pair fetches two doc
+    # vectors and runs a doc-length-bounded map aggregate, replacing
+    # the composite-key (doc, tok) shuffle join with two doc_id joins.
+    vec = w.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("tok", "w"))
+        ).alias("vec"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * w")).alias("n2"),
     )
-    a, b = w.alias("a"), w.alias("b")
-    dots = (
-        a.join(
-            b,
+    cap = (
+        w.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("tok").orderBy(F.desc("w"), "doc_id")
+            ),
+        )
+        .where(F.col("rk") <= TFIDF_POSTING_CAP)
+        .select("doc_id", "tok")
+    )
+    cands = (
+        cap.alias("a")
+        .join(
+            cap.alias("b"),
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_shared"),
-            F.sum(
-                F.expr("CAST(a.w AS DECIMAL(38,0)) * b.w")
-            ).alias("dot"),
-        )
+        .distinct()
     )
-    return (
-        dots.join(
-            norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a")),
+    scored = (
+        cands.join(
+            vec.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("vec").alias("va"),
+                F.col("n2").alias("n2a"),
+            ),
             "doc_a",
         )
         .join(
-            norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b")),
+            vec.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("vec").alias("vb"),
+                F.col("n2").alias("n2b"),
+            ),
             "doc_b",
         )
         .select(
             "doc_a",
             "doc_b",
-            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr(
+                "size(map_filter(va, (k, v) -> vb[k] IS NOT NULL))"
+            ).cast("long").alias("n_shared"),
+            F.expr(
+                "aggregate(map_entries(va), CAST(0 AS DECIMAL(38,0)),"
+                " (acc, e) -> CAST(acc + CAST(e.value AS DECIMAL(38,0))"
+                " * coalesce(vb[e.key], CAST(0 AS BIGINT))"
+                " AS DECIMAL(38,0)))"
+            ).alias("dot"),
+            F.col("n2a"),
+            F.col("n2b"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
             F.expr(
                 "CAST(dot * dot * 1000000 DIV (n2a * n2b) AS BIGINT)"
             ).alias("cos2_ppm"),
@@ -2082,13 +2127,24 @@ QUERIES: list[QueryDef] = [
         norms AS (
           SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS n2
           FROM w GROUP BY doc_id),
+        cap AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id, tok,
+                   ROW_NUMBER() OVER (PARTITION BY tok
+                                      ORDER BY w DESC, doc_id) AS rk
+            FROM w) r WHERE rk <= {TFIDF_POSTING_CAP}),
+        cands AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM cap a JOIN cap b
+            ON a.tok = b.tok AND a.doc_id < b.doc_id),
         dots AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          SELECT c.doc_a, c.doc_b,
                  COUNT(*) AS n_shared,
-                 SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
-          FROM w a JOIN w b
-            ON a.tok = b.tok AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id)
+                 SUM(CAST(wa.w AS HUGEINT) * wb.w) AS dot
+          FROM cands c
+          JOIN w wa ON wa.doc_id = c.doc_a
+          JOIN w wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok
+          GROUP BY c.doc_a, c.doc_b)
         SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
                CAST(d.dot * d.dot * 1000000 // (na.n2 * nb.n2) AS BIGINT)
                  AS cos2_ppm
@@ -2098,10 +2154,11 @@ QUERIES: list[QueryDef] = [
         ORDER BY cos2_ppm DESC, doc_a, doc_b LIMIT {TFIDF_PAIR_TOP}
         """,
         tags=("extension", "text", "dedup", "bench"),
-        description="Sparse TF-IDF doc-doc cosine via the inverted-"
-        "index join: integer tf*idf_mb weights, cos^2 in ppm with no "
-        "sqrt, ubiquitous tokens pruned by the max-df knob — the "
-        "lexical twin of embedding near-dup.",
+        description="Sparse TF-IDF doc-doc cosine via a prefix-"
+        "filtered inverted index: candidates from each token's top-P "
+        "postings (V*P^2 bound), EXACT integer tf*idf_mb rescoring "
+        "over the candidates, cos^2 in ppm with no sqrt — the lexical "
+        "twin of embedding near-dup.",
     ),
     QueryDef(
         "text_wordpiece_encode",

@@ -464,14 +464,14 @@ def _season_trend_taps_sql() -> str:
 
 # Holt's linear method: α = 1/4, β = 1/8 as exact dyadic rationals so
 # the recurrence is pure integer arithmetic (DIV truncation each step,
-# identical in both engines).
+# identical in both engines). Series shorter than HOLT_MIN_HOURS are
+# excluded BY CONTRACT on both sides (the init needs x1/x2 plus at
+# least one smoothed step) — a filter both engines share beats a
+# fallback branch only one engine has (the r8 oracle dropped n=1
+# series that Spark emitted with a NULL trend).
+HOLT_MIN_HOURS = 3
 _HOLT_LP = "((2 * element_at(xs, k) * 1000 + 6 * (st.l + st.b)) DIV 8)"
-_HOLT_FOLD = f"""IF(size(xs) < 3,
-  named_struct('l', element_at(xs, 1) * CAST(1000 AS BIGINT),
-               'b', (element_at(xs, 2) - element_at(xs, 1))
-                    * CAST(1000 AS BIGINT),
-               'sae', CAST(0 AS BIGINT)),
-  aggregate(
+_HOLT_FOLD = f"""aggregate(
     sequence(3, size(xs)),
     named_struct('l', element_at(xs, 1) * CAST(1000 AS BIGINT),
                  'b', (element_at(xs, 2) - element_at(xs, 1))
@@ -481,7 +481,7 @@ _HOLT_FOLD = f"""IF(size(xs) < 3,
       'l', {_HOLT_LP},
       'b', ({_HOLT_LP} - st.l + 7 * st.b) DIV 8,
       'sae', st.sae + abs(element_at(xs, k) * 1000 - (st.l + st.b))),
-    st -> st))"""
+    st -> st)"""
 
 
 def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -502,7 +502,12 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     never by data volume, so the collect is safe at any corpus
     scale and the facts still collapse map-side in the hourly
     pre-aggregation. The DuckDB twin walks the identical recurrence
-    as a RECURSIVE CTE over the indexed grid."""
+    as a RECURSIVE CTE over the indexed grid.
+
+    Contract: series spanning fewer than HOLT_MIN_HOURS (=3) hours
+    are EXCLUDED on both sides — the init consumes x1/x2 and the
+    smoothing isn't defined without a third point (shared filter, no
+    engine-specific fallback branch)."""
     ev = load_table(spark, sf_dir, "events")
     us = F.expr("ts_ns div 1000")
     hour_us = us - us % HOUR_US
@@ -534,7 +539,8 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xs")
     )
     return (
-        series.withColumn("st", F.expr(_HOLT_FOLD))
+        series.where(F.size("xs") >= HOLT_MIN_HOURS)
+        .withColumn("st", F.expr(_HOLT_FOLD))
         .select(
             "event_type",
             F.size("xs").cast("long").alias("n_hours"),
@@ -564,14 +570,12 @@ _HW_INIT = """named_struct(
                    x -> x * CAST(1000 AS BIGINT)
                         - p1 * CAST(1000 AS BIGINT) DIV 24),
     'sae', CAST(0 AS BIGINT))"""
-_HW_FOLD = f"""IF(size(xs) < 49,
-  named_struct(
-    'l', aggregate(xs, CAST(0 AS BIGINT), (a, x) -> a + x) * 1000
-         DIV size(xs),
-    'b', CAST(0 AS BIGINT),
-    's', array_repeat(CAST(0 AS BIGINT), 24),
-    'sae', CAST(0 AS BIGINT)),
-  aggregate(
+# Series shorter than HW_MIN_HOURS (two full 24-h seasons + one
+# smoothed step) are excluded BY CONTRACT on both sides — the init
+# needs both season sums complete; a shared filter replaces the r8
+# Spark-only mean-level fallback the oracle never had.
+HW_MIN_HOURS = 49
+_HW_FOLD = f"""aggregate(
     sequence(25, size(xs)),
     {_HW_INIT},
     (st, k) -> named_struct(
@@ -582,7 +586,7 @@ _HW_FOLD = f"""IF(size(xs) < 49,
                          + 3 * element_at(st.s, 1)) DIV 4)),
       'sae', st.sae + abs(element_at(xs, k) * 1000
                           - (st.l + st.b + element_at(st.s, 1)))),
-    st -> st))"""
+    st -> st)"""
 
 
 def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,7 +615,12 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected dense series, span-bounded — the facts still collapse
     map-side in the hourly pre-aggregation, so the collect is safe at
     any corpus scale. The DuckDB twin walks the identical recurrence
-    (rotating LIST state) as a RECURSIVE CTE over the indexed grid."""
+    (rotating LIST state) as a RECURSIVE CTE over the indexed grid.
+
+    Contract: series spanning fewer than HW_MIN_HOURS (=49) hours are
+    EXCLUDED on both sides — the init needs two complete 24-h seasons
+    plus one smoothed step (shared filter, no engine-specific
+    fallback branch)."""
     ev = load_table(spark, sf_dir, "events")
     us = F.expr("ts_ns div 1000")
     hour_us = us - us % HOUR_US
@@ -660,7 +669,8 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        series.withColumn("st", F.expr(_HW_FOLD))
+        series.where(F.size("xs") >= HW_MIN_HOURS)
+        .withColumn("st", F.expr(_HW_FOLD))
         .select(
             "event_type",
             F.size("xs").cast("long").alias("n_hours"),
@@ -717,7 +727,8 @@ QUERIES: list[QueryDef] = [
                  MAX(CASE WHEN i = 1 THEN n_events END) AS x1,
                  MAX(CASE WHEN i = 2 THEN n_events END) AS x2,
                  MAX(i) AS n
-          FROM idx GROUP BY event_type),
+          FROM idx GROUP BY event_type
+          HAVING MAX(i) >= {HOLT_MIN_HOURS}),
         st AS (
           SELECT event_type, 2 AS i, n,
                  CAST(x1 * 1000 AS BIGINT) AS l,
@@ -1014,7 +1025,8 @@ QUERIES: list[QueryDef] = [
                  SUM(CASE WHEN i <= 24 THEN x ELSE 0 END) AS p1,
                  SUM(CASE WHEN i BETWEEN 25 AND 48 THEN x ELSE 0 END)
                    AS p2
-          FROM idx GROUP BY event_type),
+          FROM idx GROUP BY event_type
+          HAVING MAX(i) >= {HW_MIN_HOURS}),
         init AS MATERIALIZED (
           SELECT m.event_type, m.n,
                  CAST(m.p1 * 1000 // 24 AS BIGINT) AS l0,

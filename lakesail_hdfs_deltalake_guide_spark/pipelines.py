@@ -317,23 +317,40 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches = (("batch_1", (0, 1)), ("batch_2", (1, 2)))
     for name, mods in batches:
         batch = docs.where((F.col("doc_id") % 3).isin(*mods))
+        # keep the per-fp batch multiplicity so the whole batch-side
+        # ledger (n_input, n_unique) folds from ONE metadata-sized scan
+        # of this lazily-checkpointed aggregate after the write action
+        # materializes it — 2 actions per batch total (was 4: the
+        # same fuse-from-log treatment the minhash twin got in r8)
         in_batch = (
             batch.groupBy("fp")
-            .agg(F.min("doc_id").alias("first_doc"))
+            .agg(
+                F.min("doc_id").alias("first_doc"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .localCheckpoint(eager=False)
         )
         state = delta_read(spark, state_path)
-        novel = in_batch.join(state.select("fp"), "fp", "left_anti")
-        novel_cnt = novel.count()
-        delta_write(novel, state_path, mode="append")
-        # ledger size from the log's add-action numRecords — a metadata
-        # fold, never a rescan of the (crawl-history-sized) state table
+        novel = in_batch.join(
+            state.select("fp"), "fp", "left_anti"
+        ).select("fp", "first_doc")
+        size_before = delta_row_count_from_stats(spark, state_path)
+        delta_write(novel, state_path, mode="append")  # action 1
+        # ledger sizes from the log's add-action numRecords — a metadata
+        # fold, never a rescan of the (crawl-history-sized) state table;
+        # the novel count is the append's numRecords delta
+        size_after = delta_row_count_from_stats(spark, state_path)
+        ledger = in_batch.agg(
+            F.sum("n_docs").alias("n_input"),
+            F.count(F.lit(1)).alias("n_uniq"),
+        ).head()  # action 2 (reads the checkpointed aggregate)
         out_rows.append(
             (
                 name,
-                batch.count(),
-                in_batch.count(),
-                novel_cnt,
-                delta_row_count_from_stats(spark, state_path),
+                ledger["n_input"],
+                ledger["n_uniq"],
+                size_after - size_before,
+                size_after,
             )
         )
     return spark.createDataFrame(
@@ -697,10 +714,15 @@ def pipeline_incremental_sessions(
     b1 = ev.where(F.col("ts_ns") < cut)
     s1 = _sessionize(b1)
     wm1 = cut  # watermark: everything before the cut has been seen
-    closed1 = s1.where(F.col("end_ns") <= wm1 - SESSION_GAP_NS).select(
+    # STRICT close: a session ending exactly at wm − GAP can still be
+    # extended by an event exactly at wm (``_sessionize`` splits only
+    # when gap > GAP, not >=) — closing it here would break bit-identity
+    # with the one-shot oracle on boundary-equal timestamps, so such a
+    # session stays OPEN and rides the state table into the next batch.
+    closed1 = s1.where(F.col("end_ns") < wm1 - SESSION_GAP_NS).select(
         "user_id", "start_ns", "end_ns", "n_events"
     )
-    open1 = s1.where(F.col("end_ns") > wm1 - SESSION_GAP_NS).select(
+    open1 = s1.where(F.col("end_ns") >= wm1 - SESSION_GAP_NS).select(
         "user_id", "start_ns", "end_ns", "n_events"
     )
     delta_write(_canon_session_cols(closed1), sessions_path, mode="overwrite")
@@ -771,8 +793,11 @@ def pipeline_incremental_sessions(
         F.col("n_events_m").alias("n_events"),
     ).unionByName(standalone_state).unionByName(rest)
     wm2 = span["hi"]
-    closed2 = merged.where(F.col("end_ns") <= wm2 - SESSION_GAP_NS)
-    open2 = merged.where(F.col("end_ns") > wm2 - SESSION_GAP_NS)
+    # same strict-close convention as batch 1 (here every open session
+    # flushes at end-of-stream anyway, so this is consistency, not a
+    # correctness boundary)
+    closed2 = merged.where(F.col("end_ns") < wm2 - SESSION_GAP_NS)
+    open2 = merged.where(F.col("end_ns") >= wm2 - SESSION_GAP_NS)
     delta_write(_canon_session_cols(closed2), sessions_path, mode="append")
     delta_write(_canon_session_cols(open2), state_path, mode="overwrite")
 

@@ -122,16 +122,14 @@ _R01_VERIFIED = frozenset(
     }
 )
 
-_R02_VERIFIED = frozenset(
-    {
-        "agg_percentile_approx",
-        "text_bigram_counts",
-        "tpch_q2_min_balance_supplier",
-    }
-)
+# Round 2's last three stale rows were all re-confirmed by the r08
+# window — the set is empty and retired (names now live in _R08).
 
 # Round 3: 48 green + 2 rows-only-by-design sketches
-# (`similarity_lsh_topk`, `dedup_minhash_pairs`).
+# (`similarity_lsh_topk`, `dedup_minhash_pairs`). Both later gained
+# full oracles and were unparked: lsh_topk re-verified r05;
+# minhash_pairs never re-sampled through r08, so it is unparked here
+# (absent from every set) to claim a front slot in the r09 window.
 _R03_VERIFIED = frozenset(
     {
         "chunk_doc_coverage",
@@ -139,20 +137,14 @@ _R03_VERIFIED = frozenset(
         "dedup_cluster_sizes",
         "dedup_cluster_survivors",
         "dedup_crossdoc_boilerplate",
-        "dedup_minhash_pairs",
         "dedup_ngram_contamination",
         "delta_native_checkpoint_read",
         "delta_native_schema_evolution",
         "delta_native_version_diff",
         "funnel_view_click_purchase",
         "hypertable_incremental_refresh",
-        "io_analyze_table_stats",
-        "io_csv_roundtrip_agg",
-        "io_json_roundtrip_agg",
         "multimodal_audio_windows",
         "multimodal_frame_sample",
-        "olap_approx_distinct",
-        "olap_grouping_sets",
         "olap_pivot_priority",
         "pipeline_quality_funnel",
         "profile_orders_columns",
@@ -173,10 +165,6 @@ _R03_VERIFIED = frozenset(
         "sql_variant_props",
         "stats_equidepth_quartiles",
         "stats_kmv_distinct_users",
-        "streaming_dedup_users_per_type",
-        "streaming_interval_join_left_outer",
-        "streaming_session_windows",
-        "streaming_static_enrich",
         "temporal_scd2_user_state",
         "text_intra_doc_repetition",
         "tpch_q7_volume_shipping",
@@ -407,19 +395,84 @@ _R07_VERIFIED = frozenset(
     }
 )
 
-# Oldest driver row first: the re-confirm cursor. r05 re-confirmed the
-# first 17 r01 rows; r06's window re-confirmed only 2 r02 rows (48 new
-# queries claimed the rest), so r02 still holds the stalest rows and
-# stays at the front — the r07 window = new queries + the remaining r02
-# cursor. Re-confirmed names move to the round that re-issued their row.
+# Round 8: 50/50 fully green — 38 first-time rows (the round-8 tier:
+# stats batch, tokenizer completion, TF-IDF cosine, RRF, MMR/recall
+# audits, Lloyd round, incremental sessions/ANN pipelines, Delta
+# checksum/domainMetadata/MERGE-evolution/VACUUM, sessions/sampling/
+# cleaning/TS batch) plus 12 re-confirms (all 3 remaining r02 rows and
+# 9 r03 rows), which move here because their freshest driver row is
+# now r08.
+_R08_VERIFIED = frozenset(
+    {
+        "agg_percentile_approx",
+        "clean_gopher_repetition",
+        "clean_winsorize_quantile",
+        "cluster_lloyd_iteration",
+        "delta_native_domain_metadata",
+        "delta_native_merge_evolution",
+        "delta_native_vacuum",
+        "delta_native_version_checksum",
+        "io_analyze_table_stats",
+        "io_csv_roundtrip_agg",
+        "io_json_roundtrip_agg",
+        "olap_approx_distinct",
+        "olap_grouping_sets",
+        "pipeline_incremental_ann_index",
+        "pipeline_incremental_sessions",
+        "profile_lexical_richness",
+        "sample_kfold_balance",
+        "sample_split_leakage",
+        "session_conversion_funnel",
+        "session_funnel_latency",
+        "session_markov_stationary",
+        "similarity_lsh_recall_audit",
+        "similarity_mmr_rerank",
+        "stats_autocorr_lags",
+        "stats_cramers_v",
+        "stats_cusum_changepoint",
+        "stats_kendall_tau",
+        "stats_mann_kendall",
+        "stats_mann_whitney",
+        "stats_ols_segment_trend",
+        "stats_poisson_dispersion",
+        "stats_spearman_rank",
+        "stats_theil_sen",
+        "stats_welch_ttest",
+        "streaming_dedup_users_per_type",
+        "streaming_interval_join_left_outer",
+        "streaming_session_windows",
+        "streaming_static_enrich",
+        "text_bigram_counts",
+        "text_hybrid_rrf_retrieval",
+        "text_kneser_ney_bigram",
+        "text_pmi_collocations",
+        "text_tfidf_doc_cosine",
+        "text_unigram_em_counts",
+        "text_unigram_em_round",
+        "text_unigram_segmentation",
+        "text_wordpiece_encode",
+        "tpch_q2_min_balance_supplier",
+        "ts_holt_linear",
+        "ts_holt_winters",
+    }
+)
+
+# Oldest driver row first: the re-confirm cursor. r08's window emptied
+# r02 (its 3 stale rows re-confirmed) and took the first 9 r03 rows, so
+# the r03 remainder now holds the stalest driver rows and leads — the
+# r09 window = new queries + unparked `dedup_minhash_pairs` + the
+# remaining r03 cursor. Re-confirmed names move to the round that
+# re-issued their row. (_R01 sits after _R05 because r05's window
+# re-issued the 17 stalest r01 rows in place — the set's remaining rows
+# date newer than the r05 batch.)
 DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
-    _R02_VERIFIED,
     _R03_VERIFIED,
     _R04_VERIFIED,
     _R05_VERIFIED,
     _R01_VERIFIED,
     _R06_VERIFIED,
     _R07_VERIFIED,
+    _R08_VERIFIED,
 )
 DRIVER_VERIFIED = frozenset().union(*DRIVER_VERIFIED_ROUNDS)
 
