@@ -128,52 +128,13 @@ _R01_VERIFIED = frozenset(
 # Round 3: 48 green + 2 rows-only-by-design sketches
 # (`similarity_lsh_topk`, `dedup_minhash_pairs`). Both later gained
 # full oracles and were unparked: lsh_topk re-verified r05;
-# minhash_pairs never re-sampled through r08, so it is unparked here
-# (absent from every set) to claim a front slot in the r09 window.
+# minhash_pairs claimed its front slot in the r09 window and passed
+# with the full oracle (now lives in _R09).
 _R03_VERIFIED = frozenset(
     {
-        "chunk_doc_coverage",
-        "clean_pii_redact",
-        "dedup_cluster_sizes",
-        "dedup_cluster_survivors",
-        "dedup_crossdoc_boilerplate",
-        "dedup_ngram_contamination",
-        "delta_native_checkpoint_read",
-        "delta_native_schema_evolution",
-        "delta_native_version_diff",
-        "funnel_view_click_purchase",
-        "hypertable_incremental_refresh",
-        "multimodal_audio_windows",
-        "multimodal_frame_sample",
-        "olap_pivot_priority",
-        "pipeline_quality_funnel",
-        "profile_orders_columns",
-        "pysource_audit_write_roundtrip",
-        "pysource_stream_lehmer_counts",
-        "sample_split_counts",
-        "sample_stratified_by_lang",
-        "sample_temporal_split",
-        "scalar_date_breakdown",
-        "scalar_json_extract_stats",
-        "session_length_histogram",
-        "session_stats",
         # "similarity_lsh_topk" gained a full oracle in round 5 (was
         # rows-only) — unparked for driver re-verification under the
         # stronger contract
-        "similarity_quantized_topk",
-        "sql_lateral_top_customer",
-        "sql_variant_props",
-        "stats_equidepth_quartiles",
-        "stats_kmv_distinct_users",
-        "temporal_scd2_user_state",
-        "text_intra_doc_repetition",
-        "tpch_q7_volume_shipping",
-        "tpch_q8_market_share",
-        "udf_pandas_cosine_topk",
-        "udf_polymorphic_melt",
-        "versioned_changes",
-        "versioned_incremental_agg",
-        "window_first_last_nth",
     }
 )
 
@@ -201,14 +162,7 @@ _R04_VERIFIED = frozenset(
         "delta_native_restore",
         "delta_native_time_travel",
         "graph_triangle_count",
-        "io_delta_roundtrip_append",
-        "io_orc_roundtrip_agg",
-        "io_parquet_roundtrip_agg",
-        "io_partitioned_prune_agg",
-        "io_range_roundtrip_count",
-        "io_xml_roundtrip_agg",
         "join_full_outer_hourly",
-        "olap_unpivot_lineitem_metrics",
         "profile_token_lorenz",
         "range_band_price_pairs",
         "sample_per_source_topk",
@@ -220,9 +174,6 @@ _R04_VERIFIED = frozenset(
         "stats_countmin_heavy_hitters",
         "stats_price_histogram",
         "stats_qty_price_correlation",
-        "streaming_dedup_within_watermark",
-        "streaming_interval_join_click_error",
-        "streaming_interval_join_full_outer",
         "temporal_asof_nearest",
         "tpch_q9_product_type_profit",
         "tpch_q11_balance_concentration",
@@ -457,14 +408,72 @@ _R08_VERIFIED = frozenset(
     }
 )
 
-# Oldest driver row first: the re-confirm cursor. r08's window emptied
-# r02 (its 3 stale rows re-confirmed) and took the first 9 r03 rows, so
-# the r03 remainder now holds the stalest driver rows and leads — the
-# r09 window = new queries + unparked `dedup_minhash_pairs` + the
-# remaining r03 cursor. Re-confirmed names move to the round that
-# re-issued their row. (_R01 sits after _R05 because r05's window
-# re-issued the 17 stalest r01 rows in place — the set's remaining rows
-# date newer than the r05 batch.)
+# Round 9: 50/50 fully green — 1 first-time row (dedup_minhash_pairs,
+# the last never-sampled query, steered to the front of the window as
+# briefed) plus 49 re-confirms (39 r03 rows + 10 r04 rows), which move
+# here because their freshest driver row is now r09.
+_R09_VERIFIED = frozenset(
+    {
+        "chunk_doc_coverage",
+        "clean_pii_redact",
+        "dedup_cluster_sizes",
+        "dedup_cluster_survivors",
+        "dedup_crossdoc_boilerplate",
+        "dedup_minhash_pairs",
+        "dedup_ngram_contamination",
+        "delta_native_checkpoint_read",
+        "delta_native_schema_evolution",
+        "delta_native_version_diff",
+        "funnel_view_click_purchase",
+        "hypertable_incremental_refresh",
+        "io_delta_roundtrip_append",
+        "io_orc_roundtrip_agg",
+        "io_parquet_roundtrip_agg",
+        "io_partitioned_prune_agg",
+        "io_range_roundtrip_count",
+        "io_xml_roundtrip_agg",
+        "multimodal_audio_windows",
+        "multimodal_frame_sample",
+        "olap_pivot_priority",
+        "olap_unpivot_lineitem_metrics",
+        "pipeline_quality_funnel",
+        "profile_orders_columns",
+        "pysource_audit_write_roundtrip",
+        "pysource_stream_lehmer_counts",
+        "sample_split_counts",
+        "sample_stratified_by_lang",
+        "sample_temporal_split",
+        "scalar_date_breakdown",
+        "scalar_json_extract_stats",
+        "session_length_histogram",
+        "session_stats",
+        "similarity_quantized_topk",
+        "sql_lateral_top_customer",
+        "sql_variant_props",
+        "stats_equidepth_quartiles",
+        "stats_kmv_distinct_users",
+        "streaming_dedup_within_watermark",
+        "streaming_interval_join_click_error",
+        "streaming_interval_join_full_outer",
+        "temporal_scd2_user_state",
+        "text_intra_doc_repetition",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "udf_pandas_cosine_topk",
+        "udf_polymorphic_melt",
+        "versioned_changes",
+        "versioned_incremental_agg",
+        "window_first_last_nth",
+    }
+)
+
+# Oldest driver row first: the re-confirm cursor. r09's window took 39
+# r03 rows and 10 r04 rows, so the single r03 remainder still holds
+# the stalest driver row and leads — the r10 window = new queries +
+# the remaining r03 cursor, then r04. Re-confirmed names move to the
+# round that re-issued their row. (_R01 sits after _R05 because r05's
+# window re-issued the 17 stalest r01 rows in place — the set's
+# remaining rows date newer than the r05 batch.)
 DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _R03_VERIFIED,
     _R04_VERIFIED,
@@ -473,6 +482,7 @@ DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _R06_VERIFIED,
     _R07_VERIFIED,
     _R08_VERIFIED,
+    _R09_VERIFIED,
 )
 DRIVER_VERIFIED = frozenset().union(*DRIVER_VERIFIED_ROUNDS)
 
