@@ -33,6 +33,7 @@ from ..functions.hashing import (
 )
 from ..querydef import QueryDef
 from ..tables import load_table
+from .allpairs import capped_candidate_pairs, capped_pairs_sql
 from .similarity import _hyperplanes, bucket_match_sql, planes_values_sql
 
 PLANT_OFFSET = 100_000
@@ -1020,6 +1021,76 @@ def dedup_fuzzy_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX_JACCARD_CAP = 16  # prefix filter: first-P docs per shingle posting list
+PREFIX_JACCARD_PPM_MIN = 500_000
+
+
+def dedup_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-Jaccard near-dup pairs via the prefix-filtered
+    all-pairs kernel (operators/allpairs.py) — the deterministic
+    lexical twin of SemDeDup and the exact-scoring counterpart of
+    MinHash-LSH: where LSH *estimates* Jaccard from banded signatures
+    (collision-probabilistic candidates, sketch-approximate scores),
+    this pass surfaces candidates from each shingle's first
+    PREFIX_JACCARD_CAP postings and then scores them EXACTLY over the
+    full distinct-shingle sets — integer ppm, no sketch error, bucket
+    the calibration audits can be anchored to.
+
+    Scale contract: the candidate join is bounded by V·P(P−1)/2
+    (shingle vocabulary × cap²), never O(corpus²); posting lists rank
+    by doc_id inside a shingle-partitioned window (set membership has
+    no weight — any doc sharing a RARE shingle with ≤ P−1 others is
+    guaranteed surfaced, and near-dups share many rare shingles). The
+    rescore joins doc-length-bounded distinct-gram sets on the two
+    doc_id keys only. Planted near-dup copies (first two tokens
+    dropped, ≥ MIN_PLANT_TOKENS) must surface with Jaccard ≥ 50%."""
+    corpus = near_duplicate_corpus(spark, sf_dir)
+    toks = tokens("text")
+    grams = (
+        _sketch_parallel(corpus)
+        .select("doc_id", F.explode(shingles(toks, 3)).alias("s"))
+        .select("doc_id", F.md5("s").alias("g"))
+        .distinct()
+    )
+    grams = grams.localCheckpoint(eager=True)  # cap pass + sizes + rescore
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    cands = capped_candidate_pairs(
+        grams, PREFIX_JACCARD_CAP, key_col="g", weight_col=None
+    )
+    overlap = (
+        cands.join(
+            grams.select(F.col("doc_id").alias("doc_a"), "g"), "doc_a"
+        )
+        .join(
+            grams.select(F.col("doc_id").alias("doc_b"), "g"),
+            ["doc_b", "g"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_overlap",
+            F.expr(
+                "CAST(n_overlap * 1000000 DIV (na + nb - n_overlap)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .where(F.col("jaccard_ppm") >= PREFIX_JACCARD_PPM_MIN)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 BLOOM_BITS = 1 << 14  # 16 KiB bitset (2 KiB serialized) regardless of set size
 BLOOM_HASHES = 3
 
@@ -1926,6 +1997,45 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "dedup", "contamination", "bench"),
         description="Asymmetric n-gram containment decontamination: "
         "broadcast bench gram set, integer-ppm scores.",
+    ),
+    QueryDef(
+        "dedup_prefix_jaccard_pairs",
+        dedup_prefix_jaccard_pairs,
+        f"""
+        {_sql_neardup_shingles()},
+        grams AS MATERIALIZED (
+          SELECT DISTINCT doc_id, md5(s) AS g
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_grams
+                  FROM grams GROUP BY doc_id),
+        cands AS MATERIALIZED {capped_pairs_sql(
+            "grams", PREFIX_JACCARD_CAP, key_col="g", weight_col=None
+        )},
+        ov AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_overlap
+          FROM cands c
+          JOIN grams ga ON ga.doc_id = c.doc_a
+          JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+          GROUP BY c.doc_a, c.doc_b)
+        SELECT o.doc_a, o.doc_b,
+               CAST(o.n_overlap AS BIGINT) AS n_overlap,
+               CAST(o.n_overlap * 1000000
+                    // (sa.n_grams + sb.n_grams - o.n_overlap)
+                    AS BIGINT) AS jaccard_ppm
+        FROM ov o
+        JOIN sizes sa ON sa.doc_id = o.doc_a
+        JOIN sizes sb ON sb.doc_id = o.doc_b
+        WHERE o.n_overlap * 1000000
+              // (sa.n_grams + sb.n_grams - o.n_overlap)
+              >= {PREFIX_JACCARD_PPM_MIN}
+        ORDER BY doc_a, doc_b
+        """,
+        tags=("extension", "dedup", "bench"),
+        description="Exact shingle-Jaccard near-dup pairs via the "
+        "prefix-filtered all-pairs kernel: candidates from each "
+        "shingle's first-P postings (V*P^2 bound), exact integer-ppm "
+        "Jaccard over full distinct-shingle sets — the deterministic "
+        "twin of MinHash-LSH sharing one kernel with tfidf cosine.",
     ),
     QueryDef(
         "dedup_span_coverage",

@@ -817,14 +817,31 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rx, _ = exact_global_rank(sig, ["x", "doc_id"], out="rx")
     rxy, _ = exact_global_rank(rx, ["y", "doc_id"], out="ry")
+    return spearman_from_ranks(rxy)
+
+
+def spearman_from_ranks(rxy: DataFrame) -> DataFrame:
+    """Σd² and ρ (ppm) from a frame carrying BIGINT rank columns
+    (rx, ry). The square is taken in DECIMAL(38,0) — one operand cast
+    BEFORE the multiply — so both the per-term product and the running
+    SUM have n³ headroom (plain BIGINT accumulation wraps silently past
+    ~3M rows in non-ANSI Spark; DuckDB's HUGEINT twin mirrors the cast).
+    Σd² is presented as BIGINT: past 2⁶³ the presentation cast fails
+    LOUDLY on both engines (ANSI CAST_OVERFLOW carrying the exact
+    decimal value / HUGEINT cast error) instead of wrapping silently,
+    while the accumulation itself is exact at any n. Contract tested
+    at n = 3.0M/3.1M reversed ranks (tests/test_r10_ops.py)."""
     return rxy.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum((F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry")))
+        F.sum(
+            (F.col("rx") - F.col("ry")).cast("decimal(38,0)")
+            * (F.col("rx") - F.col("ry"))
+        )
         .cast("long")
         .alias("sum_d2"),
         F.expr(
             "CAST(1000000 - (CAST(6 AS DECIMAL(38,0))"
-            " * SUM((rx - ry) * (rx - ry)) * 1000000)"
+            " * SUM(CAST(rx - ry AS DECIMAL(38,0)) * (rx - ry)) * 1000000)"
             " DIV ((CAST(COUNT(*) AS DECIMAL(38,0)) * COUNT(*) * COUNT(*))"
             " - COUNT(*)) AS BIGINT)"
         ).alias("rho_ppm"),
@@ -2105,9 +2122,10 @@ QUERIES: list[QueryDef] = [
                       AS BIGINT) AS ry
           FROM sig)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+               CAST(SUM(CAST(rx - ry AS HUGEINT) * (rx - ry))
+                    AS BIGINT) AS sum_d2,
                CAST(1000000 - (CAST(6 AS HUGEINT)
-                    * SUM((rx - ry) * (rx - ry)) * 1000000)
+                    * SUM(CAST(rx - ry AS HUGEINT) * (rx - ry)) * 1000000)
                     // ((CAST(COUNT(*) AS HUGEINT) * COUNT(*) * COUNT(*))
                         - COUNT(*)) AS BIGINT) AS rho_ppm
         FROM r

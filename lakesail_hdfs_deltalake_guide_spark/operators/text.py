@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from ..querydef import QueryDef
 from ..tables import load_table
+from .allpairs import capped_candidate_pairs
+from .allpairs import capped_pairs_sql as _capped_pairs_sql
 
 # Tiny per-language stopword lists for the language-ID heuristic. These are
 # engine constants (not tuned to the corpus) — the heuristic is: most
@@ -1661,28 +1663,12 @@ TFIDF_POSTING_CAP = 64  # prefix filter: top-P docs by weight per token
 TFIDF_PAIR_TOP = 20
 
 
-def text_tfidf_doc_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Doc-doc similarity over SPARSE TF-IDF vectors via a CAPPED
-    inverted-index join — the lexical twin of the dense embedding
-    near-dup pass (catches verbatim/template overlap that embedding
-    models smooth away). Weights are exact integers: w = tf · idf_mb
-    (idf in millibits from the shared mantissa log2); similarity is
-    reported as cos² in ppm — dot²·10⁶ DIV (‖a‖²·‖b‖²) — so NO square
-    root ever runs and everything stays in DECIMAL(38)/HUGEINT.
-
-    Scale contract (prefix filtering, Bayardo all-pairs style):
-    candidate pairs are generated ONLY from each token's top
-    TFIDF_POSTING_CAP postings by weight (ties broken by doc_id — the
-    deterministic rank rides a tok-partitioned window, never a global
-    sort), so the candidate join is bounded by V·P² regardless of
-    corpus size — the uncapped a.tok == b.tok self-join is O(corpus²)
-    on any ubiquitous token and was measured at 224 M rows on the
-    sf0.1 fixture. Scoring over the surfaced candidates is then EXACT:
-    the full (uncapped) postings rejoin per candidate pair, so
-    n_shared / cos² carry no approximation — only the candidate set
-    does. Tokens in > TFIDF_MAX_DF_PCT% of docs are dropped outright
-    first. Top pairs via TakeOrderedAndProject."""
-    d = load_table(spark, sf_dir, "documents")
+def _tfidf_postings(d: DataFrame) -> DataFrame:
+    """Exact-integer weighted postings (doc_id, tok, w = tf·idf_mb)
+    over a documents frame — the input both to the prefix-filter cap
+    pass and to the exact rescore vectors. Tokens in >
+    TFIDF_MAX_DF_PCT% of docs are dropped; idf_mb is the shared
+    mantissa-log2 millibit table, bit-identical in the DuckDB twin."""
     tf = (
         d.select("doc_id", F.explode(_tokens()).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -1716,9 +1702,34 @@ def text_tfidf_doc_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("idf_mb"),
         )
     )
-    w = tf.join(kept, "tok").select(
+    return tf.join(kept, "tok").select(
         "doc_id", "tok", (F.col("tf") * F.col("idf_mb")).alias("w")
     )
+
+
+def text_tfidf_doc_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-doc similarity over SPARSE TF-IDF vectors via a CAPPED
+    inverted-index join — the lexical twin of the dense embedding
+    near-dup pass (catches verbatim/template overlap that embedding
+    models smooth away). Weights are exact integers: w = tf · idf_mb
+    (idf in millibits from the shared mantissa log2); similarity is
+    reported as cos² in ppm — dot²·10⁶ DIV (‖a‖²·‖b‖²) — so NO square
+    root ever runs and everything stays in DECIMAL(38)/HUGEINT.
+
+    Scale contract (prefix filtering via the shared all-pairs kernel,
+    operators/allpairs.py): candidate pairs are generated ONLY from
+    each token's top TFIDF_POSTING_CAP postings by weight (ties broken
+    by doc_id — the deterministic rank rides a tok-partitioned window,
+    never a global sort), so the candidate join is bounded by V·P²
+    regardless of corpus size — the uncapped a.tok == b.tok self-join
+    is O(corpus²) on any ubiquitous token and was measured at 224 M
+    rows on the sf0.1 fixture. Scoring over the surfaced candidates is
+    then EXACT: the full (uncapped) postings rejoin per candidate
+    pair, so n_shared / cos² carry no approximation — only the
+    candidate set does. Tokens in > TFIDF_MAX_DF_PCT% of docs are
+    dropped outright first. Top pairs via TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _tfidf_postings(d)
     w = w.localCheckpoint(eager=True)  # feeds the cap pass + doc vectors
     # One pass builds BOTH the per-doc sparse vector (a map, bounded by
     # doc length) and its squared norm — the rescore then never touches
@@ -1731,29 +1742,7 @@ def text_tfidf_doc_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vec"),
         F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * w")).alias("n2"),
     )
-    cap = (
-        w.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("tok").orderBy(F.desc("w"), "doc_id")
-            ),
-        )
-        .where(F.col("rk") <= TFIDF_POSTING_CAP)
-        .select("doc_id", "tok")
-    )
-    cands = (
-        cap.alias("a")
-        .join(
-            cap.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    cands = capped_candidate_pairs(w, TFIDF_POSTING_CAP)
     scored = (
         cands.join(
             vec.select(
@@ -2127,16 +2116,7 @@ QUERIES: list[QueryDef] = [
         norms AS (
           SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS n2
           FROM w GROUP BY doc_id),
-        cap AS (
-          SELECT doc_id, tok FROM (
-            SELECT doc_id, tok,
-                   ROW_NUMBER() OVER (PARTITION BY tok
-                                      ORDER BY w DESC, doc_id) AS rk
-            FROM w) r WHERE rk <= {TFIDF_POSTING_CAP}),
-        cands AS MATERIALIZED (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM cap a JOIN cap b
-            ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        cands AS MATERIALIZED {_capped_pairs_sql("w", TFIDF_POSTING_CAP)},
         dots AS (
           SELECT c.doc_a, c.doc_b,
                  COUNT(*) AS n_shared,

@@ -1,0 +1,124 @@
+"""Round-10 operator invariants (structural checks independent of the
+DuckDB oracle twins in test_oracle_parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_spearman_sum_d2_has_decimal_headroom(spark):
+    """Σd² reaches n³: at n = 3.1M reversed ranks it exceeds 2⁶³, where
+    a plain-BIGINT accumulation wraps (non-ANSI) or aborts mid-SUM
+    (ANSI) — either way the statistic is lost. The shipped agg squares
+    into DECIMAL(38,0) (operators/stats.py::spearman_from_ranks), so
+    the SUM itself carries full precision at any n; only the final
+    present-as-BIGINT cast of sum_d2 can overflow, and it does so
+    LOUDLY, with the exact decimal value in the error — proof the
+    accumulation never lost a digit (DuckDB's HUGEINT twin errors on
+    the same cast, symmetrically)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        spearman_from_ranks,
+    )
+
+    n = 3_100_000
+    true_sum_d2 = n * (n * n - 1) // 3  # reversed ranks: Σ(2i−n−1)²
+    assert true_sum_d2 > 2**63 - 1  # the regime plain BIGINT dies in
+    rxy = spark.range(n).select(
+        (F.col("id") + 1).alias("rx"),
+        (F.lit(n) - F.col("id")).alias("ry"),
+    )
+    with pytest.raises(ArithmeticException, match=str(true_sum_d2)):
+        spearman_from_ranks(rxy).collect()
+
+
+def test_spearman_exact_at_bigint_edge(spark):
+    """Just below the presentation edge (n = 3.0M, Σd² ≈ 9.0·10¹⁸ <
+    2⁶³−1): the full pipeline returns the EXACT closed-form Σd² and
+    ρ = −1,000,000 ppm for reversed ranks — 19-digit integer arithmetic
+    with zero drift."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        spearman_from_ranks,
+    )
+
+    n = 3_000_000
+    true_sum_d2 = n * (n * n - 1) // 3
+    assert true_sum_d2 < 2**63 - 1
+    rxy = spark.range(n).select(
+        (F.col("id") + 1).alias("rx"),
+        (F.lit(n) - F.col("id")).alias("ry"),
+    )
+    row = spearman_from_ranks(rxy).collect()[0]
+    assert row["n_docs"] == n
+    assert row["sum_d2"] == true_sum_d2
+    assert row["rho_ppm"] == -1_000_000
+
+
+def test_spearman_from_ranks_exact_small(spark):
+    """Sanity at a wrap-free n: ranks (1,2,3,4)/(2,1,4,3) ⇒ Σd² = 4,
+    ρ = 1 − 24/60 = 0.6 ⇒ 600,000 ppm (truncating division)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        spearman_from_ranks,
+    )
+
+    rxy = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4), (4, 3)], "rx long, ry long"
+    )
+    row = spearman_from_ranks(rxy).collect()[0]
+    assert (row["n_docs"], row["sum_d2"], row["rho_ppm"]) == (4, 4, 600_000)
+
+
+def test_prefix_jaccard_candidate_join_is_bounded(spark, sf_oracle):
+    """The shared all-pairs kernel's V·P² invariant on the SECOND
+    caller: dedup_prefix_jaccard_pairs' candidate count must obey
+    n_shingles · P(P−1)/2 — corpus-size-independent — and sit far below
+    the uncapped posting-list self-join."""
+    from lakesail_hdfs_deltalake_guide_spark.functions.hashing import (
+        shingles,
+        tokens,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.operators.allpairs import (
+        capped_candidate_pairs,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        PREFIX_JACCARD_CAP,
+        near_duplicate_corpus,
+    )
+
+    grams = (
+        near_duplicate_corpus(spark, sf_oracle)
+        .select("doc_id", F.explode(shingles(tokens("text"), 3)).alias("s"))
+        .select("doc_id", F.md5("s").alias("g"))
+        .distinct()
+    )
+    n_shingles = grams.select("g").distinct().count()
+    n_cands = capped_candidate_pairs(
+        grams, PREFIX_JACCARD_CAP, key_col="g", weight_col=None
+    ).count()
+    bound = n_shingles * PREFIX_JACCARD_CAP * (PREFIX_JACCARD_CAP - 1) // 2
+    assert 0 < n_cands <= bound
+
+
+def test_prefix_jaccard_surfaces_planted_near_dups(spark, sf_oracle):
+    """Recall contract: every planted (orig, orig+OFFSET) near-dup pair
+    must appear in the output — near-dups share rare shingles, and any
+    shingle with ≤ P−1 co-occupants guarantees the pair is surfaced by
+    the capped posting list."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        PLANT_OFFSET,
+        dedup_prefix_jaccard_pairs,
+        planted_near_dup_ids,
+    )
+
+    planted = set(planted_near_dup_ids(spark, sf_oracle))
+    assert planted  # fixture sanity
+    out = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_prefix_jaccard_pairs(spark, sf_oracle).collect()
+    }
+    missing = {
+        (i, i + PLANT_OFFSET) for i in planted
+    } - out
+    assert not missing

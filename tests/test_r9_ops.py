@@ -14,46 +14,22 @@ def test_tfidf_candidate_join_is_bounded(spark, sf_oracle):
     bounded by V·P(P-1)/2 and, on this fixture, orders of magnitude
     below the uncapped O(n_docs²) index self-join (224 M rows at
     sf0.1 before the fix)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.allpairs import (
+        capped_candidate_pairs,
+    )
     from lakesail_hdfs_deltalake_guide_spark.operators.text import (
-        TFIDF_MAX_DF_PCT,
         TFIDF_POSTING_CAP,
-        _tokens,
+        _tfidf_postings,
     )
     from lakesail_hdfs_deltalake_guide_spark.tables import load_table
 
     d = load_table(spark, sf_oracle, "documents")
     n_docs = d.count()
-    tf = (
-        d.select("doc_id", F.explode(_tokens()).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    kept = (
-        tf.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") * 100 <= n_docs * TFIDF_MAX_DF_PCT)
-    )
-    n_tokens = kept.count()
-    w = tf.join(kept, "tok").select("doc_id", "tok", F.col("tf").alias("w"))
-    cap = (
-        w.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("tok").orderBy(F.desc("w"), "doc_id")
-            ),
-        )
-        .where(F.col("rk") <= TFIDF_POSTING_CAP)
-        .select("doc_id", "tok")
-    )
-    n_cands = (
-        cap.alias("a")
-        .join(
-            cap.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .count()
-    )
+    # the PRODUCTION postings (w = tf·idf_mb) and the PRODUCTION kernel
+    # — the test exercises the exact capped ranking that ships
+    w = _tfidf_postings(d)
+    n_tokens = w.select("tok").distinct().count()
+    n_cands = capped_candidate_pairs(w, TFIDF_POSTING_CAP).count()
     # The invariant that kills the O(corpus²) blow-up: the candidate
     # count obeys the V·P² bound, which does NOT involve n_docs — at
     # 100× the corpus this number cannot grow past it (the uncapped
