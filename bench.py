@@ -91,8 +91,16 @@ def main() -> None:
                 if n in pins
             }
             out["vs_pin"] = ratios
+            # 2x flag with a sub-second floor: host scheduler noise swings
+            # 0.2-0.5 s queries past 2x routinely (r09's sample_split_counts
+            # false positive on a 0.2314 s pin), so a ratio trip only counts
+            # when the pin is >= 0.5 s — plus an absolute backstop so a
+            # genuine 0.3 s -> 6 s blow-up on a tiny pin still flags.
             out["over_2x_vs_pin"] = sorted(
-                n for n, r in ratios.items() if r > 2.0
+                n
+                for n, r in ratios.items()
+                if r > 2.0
+                and (pins[n] >= 0.5 or timings[n] >= pins[n] + 5.0)
             )
             unpinned = sorted(set(timings) - set(pins))
             if unpinned:
@@ -117,14 +125,20 @@ def main() -> None:
     line = {k: v for k, v in out.items() if k != "vs_pin"}
     by_cost = sorted(timings, key=lambda n: -timings[n])
     keep = len(by_cost)
-    while keep > 1:
+    while True:
         line["queries"] = {n: timings[n] for n in by_cost[:keep]}
         omitted = len(by_cost) - keep
         if omitted:
             line["queries_omitted"] = omitted
-        if len(json.dumps(line, separators=(",", ":"))) <= 1900:
+        if len(json.dumps(line, separators=(",", ":"))) <= 1900 or keep == 0:
             break
-        keep -= 5
+        # clamp so keep=1 is actually tried, then keep=0 drops the
+        # queries dict entirely (non-query fields alone can exceed the
+        # budget when the gate lists are long)
+        keep = max(0, keep - 5) if keep > 5 else keep - 1
+    if keep == 0:
+        line.pop("queries", None)
+        line["queries_omitted"] = len(by_cost)
     print(json.dumps(line, separators=(",", ":")))
     spark.stop()
 

@@ -1037,20 +1037,31 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights over micro-cosines; ties → smaller vec_id). Pick 1 is pure
     relevance (redundancy 0 by definition).
 
-    Plan: the corpus-sized work is exactly the brute-force top-k pass
-    (broadcast queries, per-query top-k window); everything after —
+    Plan: the corpus-sized work is the IVF ANN pass — candidates
+    routed once into inverted lists by the PERSISTED trained codebook
+    (ivf_train_codebook), queries probing their NUM_PROBES nearest
+    lists, exact micro-cosine relevance computed over the probed
+    candidates ONLY (≈ probes/K of the corpus, the centroid_id
+    equi-join — never the broadcast cross product). Everything after —
     pool pairwise sims (POOL² per query) and the MMR_SELECT-step
     greedy chain, unrolled as bounded joins partitioned by query_id —
-    is CONSTANT-sized per query. At 10⁹ vectors the pool pass is the
-    ANN index's job (IVF/PQ above); MMR composes on any pool."""
+    is CONSTANT-sized per query. The DuckDB twin re-trains the
+    codebook (unrolled Lloyd CTEs) and replays the same probed pool
+    bit-for-bit; pool recall vs the brute-force top-POOL is asserted
+    in tests/test_r10_ops.py — the recall-audit pattern."""
     e = load_table(spark, sf_dir, "embeddings")
+    centroids = _load_codebook(spark, sf_dir)
     queries = e.where(F.col("vec_id") < NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         as_double("embedding").alias("qv"),
     )
     cands = e.select("vec_id", as_double("embedding").alias("cv"))
+    # one inverted list per candidate + NUM_PROBES lists per query ⇒
+    # (query_id, vec_id) is unique by construction, no dedup pass
+    cand_lists = _assign_centroids(cands, "cv", centroids, top_p=1)
+    probed = _assign_centroids(queries, "qv", centroids, top_p=NUM_PROBES)
     rel = (
-        cands.join(F.broadcast(queries))
+        probed.join(cand_lists, "centroid_id")
         .where(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
@@ -1174,7 +1185,9 @@ _SQL_SIM = """FLOOR(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embed
 
 
 def _mmr_oracle_sql() -> str:
-    """DuckDB twin of the greedy MMR chain: pool + pairwise micro-sims,
+    """DuckDB twin of the greedy MMR chain: the IVF ANN pool (codebook
+    re-trained via unrolled Lloyd CTEs, probes × inverted lists on the
+    centroid id — the _SQL_IVF_TOPK front end) + pairwise micro-sims,
     then MMR_SELECT unrolled argmax steps (NOT EXISTS = the anti-join,
     MAX over the selected set = the redundancy term, identical integer
     7/3 scoring and vec_id tie-break)."""
@@ -1188,11 +1201,35 @@ def _mmr_oracle_sql() -> str:
         " * 1000000 + 0.5) AS BIGINT)"
     )
     parts = [
+        f"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings)""",
+        f"""c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
+                   FROM emb WHERE vec_id < {NUM_CENTROIDS})""",
+        _kmeans_iter_sql("c0", "a1", "m1", "c1").lstrip().lstrip(),
+        _kmeans_iter_sql("c1", "a2", "m2", "c2").lstrip(),
+        f"""cand_lists AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC) AS rn
+    FROM emb e CROSS JOIN c2 c) WHERE rn = 1)""",
+        f"""probes AS (
+  SELECT vec_id AS query_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC) AS rn
+    FROM emb e CROSS JOIN c2 c
+    WHERE e.vec_id < {NUM_QUERIES}) WHERE rn <= {NUM_PROBES})""",
+        f"""ivf_pairs AS (
+  SELECT p.query_id, cl.vec_id
+  FROM probes p JOIN cand_lists cl USING (cid)
+  WHERE p.query_id <> cl.vec_id)""",
         f"""rel AS MATERIALIZED (
-  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+  SELECT ip.query_id, ip.vec_id,
          {micro.format(x='q', y='c')} AS rel_micro
-  FROM embeddings c JOIN embeddings q
-    ON q.vec_id < {NUM_QUERIES} AND q.vec_id <> c.vec_id)""",
+  FROM ivf_pairs ip
+  JOIN embeddings q ON q.vec_id = ip.query_id
+  JOIN embeddings c ON c.vec_id = ip.vec_id)""",
         f"""pool AS MATERIALIZED (
   SELECT query_id, vec_id, rel_micro FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1264,9 +1301,10 @@ QUERIES: list[QueryDef] = [
         _mmr_oracle_sql(),
         tags=("extension", "similarity", "bench"),
         description="Maximal-marginal-relevance diversified top-5 over "
-        "the exact cosine top-20 pool per query: greedy 7/3 integer "
-        "scoring in micro-cosines — relevance minus redundancy to the "
-        "already-picked set.",
+        "the IVF-probed ANN candidate pool (trained coarse codebook, "
+        "exact micro-cosine top-20 within probed lists): greedy 7/3 "
+        "integer scoring — relevance minus redundancy to the "
+        "already-picked set; pool recall vs brute force asserted.",
     ),
     QueryDef(
         "similarity_bruteforce_topk",

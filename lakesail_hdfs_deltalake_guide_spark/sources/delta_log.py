@@ -3153,19 +3153,26 @@ def delta_domain_metadata(
         raise ValueError(f"no delta table at {path}")
     domains: dict[str, str] = {}
     if ck is not None:
-        # domains live in the metadata part (file [0]) of every layout,
-        # like protocol/metaData/txn
-        f = _checkpoint_files(spark, path, ck)[0]
-        fs, hpath, jvm = _hadoop_fs(spark, f)
-        stream = fs.open(hpath)
-        try:
-            raw = bytes(
-                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            )
-        finally:
-            stream.close()
-        buf = _io.BytesIO(raw)
-        if "domainMetadata" in pq.read_schema(buf).names:
+        # This engine's own checkpoints put domains in the metadata part
+        # (file [0]) like protocol/metaData/txn, but a foreign
+        # delta-spark multi-part classic checkpoint distributes actions
+        # across parts with no placement contract — so fold EVERY part
+        # whose schema carries the column (a footer read per part;
+        # skipped parts cost no data I/O). Within one checkpoint a
+        # domain appears at most once (it holds the reconciled state),
+        # so part order can't change the fold.
+        for f in _checkpoint_files(spark, path, ck):
+            fs, hpath, jvm = _hadoop_fs(spark, f)
+            stream = fs.open(hpath)
+            try:
+                raw = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            buf = _io.BytesIO(raw)
+            if "domainMetadata" not in pq.read_schema(buf).names:
+                continue
             buf.seek(0)
             for row in (
                 pq.read_table(buf, columns=["domainMetadata"]).to_pylist()

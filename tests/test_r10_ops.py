@@ -122,3 +122,124 @@ def test_prefix_jaccard_surfaces_planted_near_dups(spark, sf_oracle):
         (i, i + PLANT_OFFSET) for i in planted
     } - out
     assert not missing
+
+
+def test_mmr_ann_pool_recall_vs_bruteforce(spark, sf_oracle):
+    """similarity_mmr_rerank now sources its candidate pool from the
+    IVF ANN pass (r10 recomposition). The recall-audit contract: the
+    union of MMR picks must stay mostly inside the brute-force
+    top-MMR_POOL relevance pool — the approximation lives in the
+    CANDIDATE set only, and on this near-orthogonal corpus the probed
+    lists recover most of the true pool."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from lakesail_hdfs_deltalake_guide_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.operators.similarity import (
+        MMR_POOL,
+        NUM_QUERIES,
+        similarity_mmr_rerank,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_oracle, "embeddings")
+    q = e.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    c = e.select("vec_id", as_double("embedding").alias("cv"))
+    bf_pool = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.floor(cosine(F.col("qv"), F.col("cv")) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("rel_micro"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("rel_micro"), F.asc("vec_id")
+                )
+            ),
+        )
+        .where(F.col("rn") <= MMR_POOL)
+    )
+    truth = {(r["query_id"], r["vec_id"]) for r in bf_pool.collect()}
+    picks = [
+        (r["query_id"], r["vec_id"])
+        for r in similarity_mmr_rerank(spark, sf_oracle).collect()
+    ]
+    assert picks  # fixture sanity
+    hits = sum(1 for p in picks if p in truth)
+    recall = hits / len(picks)
+    assert recall >= 0.6, f"MMR ANN-pool recall too low: {recall}"
+
+
+def test_domain_metadata_scattered_across_checkpoint_parts(spark, sf_smoke):
+    """Foreign-layout interop (r10 fix): a delta-spark multi-part
+    classic checkpoint has NO placement contract for domainMetadata —
+    actions can land in any part. Simulate it by physically moving each
+    domain row out of part [0] into a different non-first part, then
+    assert the fold still resolves both domains (the pre-fix reader
+    only looked at part [0] and would silently return {})."""
+    import pyarrow.parquet as pq
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        _checkpoint_files,
+        delta_checkpoint,
+        delta_cleanup_log,
+        delta_domain_metadata,
+        delta_set_domain_metadata,
+        delta_write,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+    import tempfile
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dm_scatter_")
+    delta_write(n, path)
+    delta_set_domain_metadata(spark, path, "app.a", "one")
+    delta_set_domain_metadata(spark, path, "app.b", "two")
+    ck = delta_checkpoint(spark, path, distributed=True, part_files=3)
+    assert delta_cleanup_log(spark, path)  # the JSON tail can't answer
+
+    parts = _checkpoint_files(spark, path, ck)
+    assert len(parts) >= 2  # a tiny table may coalesce below part_files
+    local = [p[len("file:"):] if p.startswith("file:") else p for p in parts]
+    tables = [pq.read_table(p) for p in local]
+    t0 = tables[0]
+    assert "domainMetadata" in t0.schema.names
+    dm_col = t0.column("domainMetadata").to_pylist()
+    dom_idx = [i for i, v in enumerate(dm_col) if v is not None]
+    assert len(dom_idx) == 2  # both domains restated in part [0] today
+    keep_idx = [i for i in range(t0.num_rows) if i not in dom_idx]
+    # scatter: spread the domain rows over the non-first parts
+    import pyarrow as pa
+
+    for k, i in enumerate(dom_idx):
+        j = 1 + k % (len(tables) - 1)
+        # promote: the engine's own data parts are add-only; a foreign
+        # part holding a domain row widens to carry the column
+        tables[j] = pa.concat_tables(
+            [tables[j], t0.slice(i, 1)], promote_options="default"
+        )
+    tables[0] = t0.take(keep_idx)
+    import os
+
+    for p, t in zip(local, tables):
+        pq.write_table(t, p)
+        # drop Hadoop local-FS checksum sidecars invalidated by the rewrite
+        crc = os.path.join(os.path.dirname(p), f".{os.path.basename(p)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    assert delta_domain_metadata(spark, path) == {
+        "app.a": "one",
+        "app.b": "two",
+    }
