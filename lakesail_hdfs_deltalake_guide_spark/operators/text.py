@@ -449,6 +449,129 @@ def _perplexity_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc
 
 
+def text_ccnet_paragraph_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet AT ITS PUBLISHED GRANULARITY: the pipeline scores and
+    filters PARAGRAPHS, not documents (Wenzek et al. 2020 compute the
+    KenLM score per paragraph and cut the corpus into head/middle/tail
+    thirds) — the doc-level decile gate above can't drop the boilerplate
+    paragraph inside an otherwise-fluent page; this one can.
+
+    Paragraph structure is planted in-plan exactly like
+    dedup_paragraph_exact (per-source header + body + corpus-wide
+    footer around each single-paragraph fixture doc), so the repeated
+    boilerplate paragraphs demonstrably land in the low-entropy HEAD
+    while junk bodies land in the TAIL. Each paragraph with ≥ 2 tokens
+    is scored by mean bigram NLL under the add-one per-language LM
+    estimated from the PARAGRAPH corpus — the same exact-integer
+    millibit machinery as text_bigram_perplexity (shared mantissa-table
+    log2, zero float). Sub-2-token paragraphs are excluded on BOTH
+    engines (the Holt-style shared contract).
+
+    Scale: one paragraph explosion → one bigram explosion → per-para
+    agg (the only data-sized shuffles, keyed (doc, pos, bigram)); LM
+    tables are vocabulary-sized re-aggregations; the head/middle/tail
+    cut rides the distributed exact 3-tile over the PARAGRAPH-sized
+    score table — no single-task sort."""
+    from .dedup import _PARA_FOOTER, _PARA_HEADER, PARA_SEP
+    from .ranks import exact_ntile
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat_ws(
+        PARA_SEP,
+        F.concat(
+            F.lit(_PARA_HEADER[0]), F.col("source"), F.lit(_PARA_HEADER[1])
+        ),
+        F.col("text"),
+        F.lit(_PARA_FOOTER),
+    )
+    paras = d.select("doc_id", "lang", t.alias("t")).select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("t", PARA_SEP)).alias("pos", "para"),
+    )
+    pt = F.split("para", " ")
+    # vocabulary over ALL paragraphs (V is corpus-wide even when a
+    # short paragraph itself is unscorable)
+    vocab = (
+        paras.select("lang", F.explode(pt).alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scorable = paras.where(F.size(pt) >= 2)
+    occ = scorable.select(
+        "doc_id",
+        "pos",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice(pt, 1, F.size(pt) - 1).alias("w1"),
+                F.slice(pt, 2, F.size(pt) - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "pos",
+        "lang",
+        F.col("bg.w1").alias("w1"),
+        F.col("bg.w2").alias("w2"),
+    )
+    tf = occ.groupBy("doc_id", "pos", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    c12 = tf.groupBy("lang", "w1", "w2").agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
+    arr = F.array(*[F.lit(int(x)) for x in LOG2_MB_TABLE])
+    scored = (
+        tf.join(c12, ["lang", "w1", "w2"])
+        .join(c1, ["lang", "w1"])
+        .join(F.broadcast(vocab), "lang")
+        .withColumn("r", F.expr("(c1 + v) * 1048576 DIV (c12 + 1)"))
+        .withColumn("e", (F.length(F.expr("bin(r)")) - 1).cast("int"))
+        .withColumn(
+            "m6", F.expr("r DIV shiftleft(CAST(1 AS BIGINT), e - 6)")
+        )
+        .withColumn(
+            "nll_mb",
+            (F.col("e") - 20) * 1000
+            + F.element_at(arr, (F.col("m6") - 63).cast("int")),
+        )
+    )
+    per_para = (
+        scored.groupBy("doc_id", "pos")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.expr("tf * nll_mb")).alias("nll_sum"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.expr("nll_sum DIV n_bigrams").alias("xent_mbits"),
+        )
+    )
+    return (
+        exact_ntile(per_para, ["xent_mbits", "doc_id", "pos"], 3, out="bucket")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("xent_mbits").alias("min_mbits"),
+            F.max("xent_mbits").alias("max_mbits"),
+            F.expr("SUM(xent_mbits) DIV COUNT(*)").alias("avg_mbits"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_paras",
+            "n_docs",
+            "min_mbits",
+            "max_mbits",
+            "avg_mbits",
+        )
+        .orderBy("bucket")
+    )
+
+
 def _dsir_like_nll_sql(num: str, den: str) -> str:
     """DuckDB twin of the integer-millibit log2 (same construction as
     sampling._dsir_nll_sql, local so text.py stays import-light)."""
@@ -1472,6 +1595,155 @@ def text_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rrf_oracle_ctes() -> str:
+    """The hybrid-RRF retrieval as a DuckDB CTE chain ending in
+    ``rrf_ranked`` (query_id, doc_id, rrf_ppm, lex_rank, vec_rank,
+    rank ≤ RRF_TOP) — shared by the RRF query's own oracle and the
+    cross-encoder reranker's, so both replay ONE pool definition."""
+    return f"""docs AS (
+          SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS dl FROM documents),
+        tot AS (
+          SELECT CAST(SUM(dl) AS BIGINT) AS corpus_len, COUNT(*) AS n_docs
+          FROM docs),
+        qterms AS (
+          SELECT doc_id AS query_id,
+                 unnest(list_distinct({_SQL_TOKS})) AS token
+          FROM documents WHERE doc_id < {_RRF_Q}),
+        qtok AS (SELECT DISTINCT token FROM qterms),
+        tf AS (
+          SELECT h.doc_id, h.dl, h.token, COUNT(*) AS tf
+          FROM (SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS dl,
+                       unnest({_SQL_TOKS}) AS token FROM documents) h
+          JOIN qtok USING (token)
+          GROUP BY h.doc_id, h.dl, h.token),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        lex_scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 CAST(SUM(
+                   ((2 * t.n_docs - 2 * f.df + 1) * 1000 // (2 * f.df + 1))
+                   * (22 * tf.tf * 1000000000000
+                      // (10000000 * tf.tf + 3000000
+                          + 9 * (tf.dl * 1000000
+                                 // greatest(t.corpus_len // t.n_docs, 1))))
+                   // 1000) AS BIGINT) AS score_ppm
+          FROM tf
+          JOIN qterms q USING (token)
+          JOIN dfreq f USING (token), tot t
+          WHERE tf.doc_id <> q.query_id
+          GROUP BY q.query_id, tf.doc_id),
+        lex AS (
+          SELECT query_id, doc_id, lex_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score_ppm DESC, doc_id) AS lex_rank
+            FROM lex_scored) WHERE lex_rank <= {RRF_POOL}),
+        vec AS (
+          SELECT query_id, doc_id, vec_rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_SQL_COS} DESC, c.vec_id) AS vec_rank
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < {_RRF_Q} AND q.vec_id <> c.vec_id)
+          WHERE vec_rank <= {RRF_POOL}),
+        fused AS (
+          SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                 CAST(COALESCE(1000000 // ({RRF_K} + l.lex_rank), 0)
+                      + COALESCE(1000000 // ({RRF_K} + v.vec_rank), 0)
+                      AS BIGINT) AS rrf_ppm,
+                 CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+                 CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank
+          FROM lex l FULL OUTER JOIN vec v
+            ON l.query_id = v.query_id AND l.doc_id = v.doc_id),
+        rrf_ranked AS MATERIALIZED (
+          SELECT query_id, doc_id, rrf_ppm, lex_rank, vec_rank,
+                 CAST(rn AS BIGINT) AS rank
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY rrf_ppm DESC, doc_id) AS rn FROM fused)
+          WHERE rn <= {RRF_TOP})"""
+
+
+CE_BUCKET_SPAN = 2001  # hashed interaction weight range: [-1000, 1000] milli
+
+
+def text_crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-style second-stage rerank over the hybrid-RRF
+    pool — the standard retrieve-then-rerank stack (RRF recalls a cheap
+    pool; an expensive pairwise model re-scores ONLY the pool). A real
+    cross-encoder runs a transformer over the (query, doc) pair
+    jointly; the model here is a deterministic STUB with the same
+    plumbing and cost shape: the score is the mean hashed
+    token-INTERACTION weight over all (query-token × doc-token) pairs —
+    a genuinely joint feature no bi-encoder/BM25 factorization can
+    express (the md5-prefix weight of the CONCATENATED pair, the
+    clean_classifier_quality hash family, so the DuckDB twin replays
+    every score bit-for-bit).
+
+    Scale contract: pairwise work is pool-bounded — Q · RRF_TOP pairs ×
+    |q|·|d| token products, independent of corpus size; the corpus-
+    sized work is the RRF pass it composes on. The token "cross" rides
+    two equi-joins (query_id, then doc_id) — no cross join node; doc
+    tokens are fetched by a pool-semi-joined scan. Swapping the stub
+    for a real model keeps the plan: the scorer becomes an Arrow-batched
+    pandas_udf over the same pool-bounded pair frame."""
+    d = load_table(spark, sf_dir, "documents")
+    pool = text_hybrid_rrf_retrieval(spark, sf_dir).select(
+        "query_id", "doc_id", "rrf_ppm", F.col("rank").alias("rrf_rank")
+    )
+    pool = pool.localCheckpoint(eager=True)  # feeds tokens join + output
+    qtoks = d.where(F.col("doc_id") < _RRF_Q).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(_tokens())).alias("qt"),
+    )
+    dtoks = d.join(
+        pool.select("doc_id").distinct(), "doc_id", "left_semi"
+    ).select("doc_id", F.explode(F.array_distinct(_tokens())).alias("dt"))
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("x:"), F.col("qt"), F.lit("|"), F.col("dt")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CE_BUCKET_SPAN
+        - (CE_BUCKET_SPAN - 1) // 2
+    )
+    scores = (
+        pool.select("query_id", "doc_id")
+        .join(F.broadcast(qtoks), "query_id")
+        .join(dtoks, "doc_id")
+        .select("query_id", "doc_id", w.alias("w"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("SUM(w) DIV COUNT(*)").alias("ce_milli"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("ce_milli"), F.asc("doc_id")
+    )
+    return (
+        pool.join(scores, ["query_id", "doc_id"])
+        .withColumn("ce_rank", F.row_number().over(wq).cast("long"))
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_rank",
+            "n_pairs",
+            "ce_milli",
+            "ce_rank",
+            (F.col("rrf_rank") - F.col("ce_rank")).alias("rank_shift"),
+        )
+        .orderBy("query_id", "ce_rank")
+    )
+
+
 def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser–Ney bigram LM vs the add-one baseline — the
     standard "did smoothing actually help" model-fit report behind
@@ -2154,70 +2426,57 @@ QUERIES: list[QueryDef] = [
         "text_hybrid_rrf_retrieval",
         text_hybrid_rrf_retrieval,
         f"""
-        WITH docs AS (
-          SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS dl FROM documents),
-        tot AS (
-          SELECT CAST(SUM(dl) AS BIGINT) AS corpus_len, COUNT(*) AS n_docs
-          FROM docs),
-        qterms AS (
-          SELECT doc_id AS query_id,
-                 unnest(list_distinct({_SQL_TOKS})) AS token
-          FROM documents WHERE doc_id < {_RRF_Q}),
-        qtok AS (SELECT DISTINCT token FROM qterms),
-        tf AS (
-          SELECT h.doc_id, h.dl, h.token, COUNT(*) AS tf
-          FROM (SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS dl,
-                       unnest({_SQL_TOKS}) AS token FROM documents) h
-          JOIN qtok USING (token)
-          GROUP BY h.doc_id, h.dl, h.token),
-        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-        lex_scored AS (
-          SELECT q.query_id, tf.doc_id,
-                 CAST(SUM(
-                   ((2 * t.n_docs - 2 * f.df + 1) * 1000 // (2 * f.df + 1))
-                   * (22 * tf.tf * 1000000000000
-                      // (10000000 * tf.tf + 3000000
-                          + 9 * (tf.dl * 1000000
-                                 // greatest(t.corpus_len // t.n_docs, 1))))
-                   // 1000) AS BIGINT) AS score_ppm
-          FROM tf
-          JOIN qterms q USING (token)
-          JOIN dfreq f USING (token), tot t
-          WHERE tf.doc_id <> q.query_id
-          GROUP BY q.query_id, tf.doc_id),
-        lex AS (
-          SELECT query_id, doc_id, lex_rank FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY score_ppm DESC, doc_id) AS lex_rank
-            FROM lex_scored) WHERE lex_rank <= {RRF_POOL}),
-        vec AS (
-          SELECT query_id, doc_id, vec_rank FROM (
-            SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                     ORDER BY {_SQL_COS} DESC, c.vec_id) AS vec_rank
-            FROM embeddings q, embeddings c
-            WHERE q.vec_id < {_RRF_Q} AND q.vec_id <> c.vec_id)
-          WHERE vec_rank <= {RRF_POOL}),
-        fused AS (
-          SELECT COALESCE(l.query_id, v.query_id) AS query_id,
-                 COALESCE(l.doc_id, v.doc_id) AS doc_id,
-                 CAST(COALESCE(1000000 // ({RRF_K} + l.lex_rank), 0)
-                      + COALESCE(1000000 // ({RRF_K} + v.vec_rank), 0)
-                      AS BIGINT) AS rrf_ppm,
-                 CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
-                 CAST(COALESCE(v.vec_rank, 0) AS BIGINT) AS vec_rank
-          FROM lex l FULL OUTER JOIN vec v
-            ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
-        SELECT query_id, doc_id, rrf_ppm, lex_rank, vec_rank,
-               CAST(rn AS BIGINT) AS rank
-        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY rrf_ppm DESC, doc_id) AS rn FROM fused)
-        WHERE rn <= {RRF_TOP} ORDER BY query_id, rank
+        WITH {_rrf_oracle_ctes()}
+        SELECT query_id, doc_id, rrf_ppm, lex_rank, vec_rank, rank
+        FROM rrf_ranked ORDER BY query_id, rank
         """,
         tags=("extension", "text", "similarity", "pipeline", "bench"),
         description="Hybrid retrieval: per-query BM25 pool + exact "
         "cosine pool fused by Reciprocal Rank Fusion (K=60) in exact "
         "ppm — the calibration-free lexical+vector retriever.",
+    ),
+    QueryDef(
+        "text_crossencoder_rerank",
+        text_crossencoder_rerank,
+        f"""
+        WITH {_rrf_oracle_ctes()},
+        ce_qtoks AS (
+          SELECT doc_id AS query_id,
+                 unnest(list_distinct({_SQL_TOKS})) AS qt
+          FROM documents WHERE doc_id < {_RRF_Q}),
+        ce_dtoks AS (
+          SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS dt
+          FROM documents
+          WHERE doc_id IN (SELECT DISTINCT doc_id FROM rrf_ranked)),
+        ce_scores AS (
+          SELECT p.query_id, p.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(
+                   CAST(concat('0x',
+                        substring(md5(concat('x:', q.qt, '|', d.dt)), 1, 8))
+                        AS BIGINT) % {CE_BUCKET_SPAN}
+                   - {(CE_BUCKET_SPAN - 1) // 2}
+                 ) // COUNT(*) AS BIGINT) AS ce_milli
+          FROM rrf_ranked p
+          JOIN ce_qtoks q USING (query_id)
+          JOIN ce_dtoks d USING (doc_id)
+          GROUP BY p.query_id, p.doc_id)
+        SELECT query_id, doc_id, rrf_rank, n_pairs, ce_milli,
+               CAST(ce_rank AS BIGINT) AS ce_rank,
+               rrf_rank - CAST(ce_rank AS BIGINT) AS rank_shift
+        FROM (
+          SELECT r.query_id, r.doc_id, r.rank AS rrf_rank,
+                 s.n_pairs, s.ce_milli,
+                 ROW_NUMBER() OVER (PARTITION BY r.query_id
+                   ORDER BY s.ce_milli DESC, r.doc_id) AS ce_rank
+          FROM rrf_ranked r JOIN ce_scores s USING (query_id, doc_id))
+        ORDER BY query_id, ce_rank
+        """,
+        tags=("extension", "text", "similarity", "pipeline", "bench"),
+        description="Cross-encoder-style second-stage rerank over the "
+        "RRF pool: mean hashed token-INTERACTION weight over all "
+        "(query-token x doc-token) pairs — pool-bounded pairwise work, "
+        "deterministic md5-prefix model stub, rank shifts vs RRF.",
     ),
     QueryDef(
         "text_unigram_segmentation",
@@ -2460,6 +2719,73 @@ QUERIES: list[QueryDef] = [
         description="CCNet-style bigram-LM cross-entropy deciles in "
         "exact millibits (integer log2 via shared mantissa table); "
         "add-one smoothed per-language LM estimated in one corpus pass.",
+    ),
+    QueryDef(
+        "text_ccnet_paragraph_quality",
+        text_ccnet_paragraph_quality,
+        f"""
+        WITH pdocs AS (
+          SELECT doc_id, lang,
+                 'subscribe to ' || source || ' newsletter'
+                   || chr(10) || chr(10) || text || chr(10) || chr(10) ||
+                 'copyright example corp all rights reserved' AS t
+          FROM documents),
+        split_docs AS (
+          SELECT doc_id, lang, string_split(t, chr(10) || chr(10)) AS parts
+          FROM pdocs),
+        paras AS MATERIALIZED (
+          SELECT doc_id, lang, CAST(i - 1 AS INT) AS pos,
+                 string_split(parts[i], ' ') AS pt
+          FROM split_docs, range(1, 8) r(i) WHERE i <= len(parts)),
+        vocab AS (
+          SELECT lang, COUNT(DISTINCT tok) AS v
+          FROM (SELECT lang, unnest(pt) AS tok FROM paras)
+          GROUP BY lang),
+        occ AS (
+          SELECT doc_id, pos, lang, pt[i] AS w1, pt[i + 1] AS w2
+          FROM (SELECT * FROM paras WHERE len(pt) >= 2),
+               UNNEST(range(1, len(pt))) AS u(i)),
+        tf AS (
+          SELECT doc_id, pos, lang, w1, w2, COUNT(*) AS tf
+          FROM occ GROUP BY doc_id, pos, lang, w1, w2),
+        c12 AS (
+          SELECT lang, w1, w2, SUM(tf) AS c12 FROM tf GROUP BY lang, w1, w2),
+        c1 AS (SELECT lang, w1, SUM(c12) AS c1 FROM c12 GROUP BY lang, w1),
+        scored AS (
+          SELECT tf.doc_id, tf.pos, tf.tf,
+                 CAST((c1.c1 + vocab.v) * 1048576 // (c12.c12 + 1) AS BIGINT)
+                   AS r
+          FROM tf
+          JOIN c12 USING (lang, w1, w2)
+          JOIN c1 USING (lang, w1)
+          JOIN vocab USING (lang)),
+        nll AS (
+          SELECT doc_id, pos, tf,
+                 (length(bin(r)) - 1 - 20) * 1000 +
+                 ([{", ".join(str(int(x)) for x in LOG2_MB_TABLE)}])[
+                   CAST(r // (1::BIGINT << (length(bin(r)) - 1 - 6))
+                        AS INT) - 63] AS nll_mb
+          FROM scored),
+        per_para AS (
+          SELECT doc_id, pos,
+                 CAST(SUM(tf * nll_mb) // SUM(tf) AS BIGINT) AS xent_mbits
+          FROM nll GROUP BY doc_id, pos),
+        tiles AS (
+          SELECT doc_id, xent_mbits,
+                 NTILE(3) OVER (ORDER BY xent_mbits, doc_id, pos) AS bucket
+          FROM per_para)
+        SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_paras,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               MIN(xent_mbits) AS min_mbits,
+               MAX(xent_mbits) AS max_mbits,
+               CAST(SUM(xent_mbits) // COUNT(*) AS BIGINT) AS avg_mbits
+        FROM tiles GROUP BY bucket ORDER BY bucket
+        """,
+        tags=("extension", "text", "pipeline", "perplexity", "bench"),
+        description="CCNet at its published granularity: per-PARAGRAPH "
+        "bigram-LM cross-entropy (planted header/body/footer paragraph "
+        "structure) cut into exact head/middle/tail thirds — the "
+        "boilerplate-dropping gate the doc-level decile can't express.",
     ),
     QueryDef(
         "text_source_entropy",
