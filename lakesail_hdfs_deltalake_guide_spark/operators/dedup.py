@@ -703,9 +703,9 @@ _GRAMS_SQL = (
 )
 
 
-def _sql_neardup_shingles() -> str:
+def _sql_neardup_shingles(k: int = 3) -> str:
     """Shared oracle CTE prefix: planted near-dup corpus → tokens →
-    3-token shingles (with the whole-text fallback for short docs),
+    k-token shingles (with the whole-text fallback for short docs),
     matching functions/hashing.py's ``shingles`` exactly."""
     return f"""
         WITH corpus AS (
@@ -721,9 +721,11 @@ def _sql_neardup_shingles() -> str:
         tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
         sh AS (
           SELECT doc_id,
-                 CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                      ELSE list_transform(range(1, len(toks) - 1),
-                             i -> array_to_string(toks[i:i+2], ' ')) END
+                 CASE WHEN len(toks) < {k}
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - {k - 2}),
+                             i -> array_to_string(toks[i:i+{k - 1}], ' '))
+                      END
                    AS shingles
           FROM tok)"""
 
@@ -1022,6 +1024,10 @@ def dedup_fuzzy_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PREFIX_JACCARD_CAP = 16  # prefix filter: first-P docs per shingle posting list
+PREFIX_JACCARD_K = 5  # shingle width: 3-grams collide corpus-wide (27k
+# distinct / 263k postings at sf0.1 → 1.13M candidate pairs, 20 s);
+# 5-grams are near-unique outside true near-dups (238k distinct, max
+# df ≤ 16 → 16k candidates — 70× fewer, measured)
 PREFIX_JACCARD_PPM_MIN = 500_000
 
 
@@ -1041,14 +1047,21 @@ def dedup_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by doc_id inside a shingle-partitioned window (set membership has
     no weight — any doc sharing a RARE shingle with ≤ P−1 others is
     guaranteed surfaced, and near-dups share many rare shingles). The
-    rescore joins doc-length-bounded distinct-gram sets on the two
-    doc_id keys only. Planted near-dup copies (first two tokens
-    dropped, ≥ MIN_PLANT_TOKENS) must surface with Jaccard ≥ 50%."""
+    shingle width is PREFIX_JACCARD_K = 5: wide enough that shingles
+    are near-unique outside true near-dups, so actual candidates sit
+    ~70× below the 3-gram variant's (measured at sf0.1) and far below
+    the V·P² worst case. The rescore joins doc-length-bounded
+    distinct-gram sets on the two doc_id keys only. Planted near-dup
+    copies (first two tokens dropped, ≥ MIN_PLANT_TOKENS ⇒ shared-
+    shingle Jaccard ≥ 9/11) must surface with Jaccard ≥ 50%."""
     corpus = near_duplicate_corpus(spark, sf_dir)
     toks = tokens("text")
     grams = (
         _sketch_parallel(corpus)
-        .select("doc_id", F.explode(shingles(toks, 3)).alias("s"))
+        .select(
+            "doc_id",
+            F.explode(shingles(toks, PREFIX_JACCARD_K)).alias("s"),
+        )
         .select("doc_id", F.md5("s").alias("g"))
         .distinct()
     )
@@ -2002,7 +2015,7 @@ QUERIES: list[QueryDef] = [
         "dedup_prefix_jaccard_pairs",
         dedup_prefix_jaccard_pairs,
         f"""
-        {_sql_neardup_shingles()},
+        {_sql_neardup_shingles(PREFIX_JACCARD_K)},
         grams AS MATERIALIZED (
           SELECT DISTINCT doc_id, md5(s) AS g
           FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)),

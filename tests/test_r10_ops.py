@@ -84,12 +84,16 @@ def test_prefix_jaccard_candidate_join_is_bounded(spark, sf_oracle):
     )
     from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
         PREFIX_JACCARD_CAP,
+        PREFIX_JACCARD_K,
         near_duplicate_corpus,
     )
 
     grams = (
         near_duplicate_corpus(spark, sf_oracle)
-        .select("doc_id", F.explode(shingles(tokens("text"), 3)).alias("s"))
+        .select(
+            "doc_id",
+            F.explode(shingles(tokens("text"), PREFIX_JACCARD_K)).alias("s"),
+        )
         .select("doc_id", F.md5("s").alias("g"))
         .distinct()
     )
@@ -243,3 +247,57 @@ def test_domain_metadata_scattered_across_checkpoint_parts(spark, sf_smoke):
         "app.a": "one",
         "app.b": "two",
     }
+
+
+def test_ccnet_paragraph_buckets_are_balanced_and_monotone(spark, sf_oracle):
+    """Structural invariants of the exact 3-tile: bucket populations
+    differ by at most 1 (the ANSI NTILE rule), per-bucket score ranges
+    are non-overlapping and ordered (tiles cut a sorted sequence), and
+    the planted boilerplate (header per source + corpus-wide footer,
+    repeated across every doc ⇒ high bigram counts ⇒ low NLL) pulls the
+    HEAD bucket's floor far below the tail's."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        text_ccnet_paragraph_quality,
+    )
+
+    rows = text_ccnet_paragraph_quality(spark, sf_oracle).collect()
+    assert [r["bucket"] for r in rows] == [1, 2, 3]
+    sizes = [r["n_paras"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_mbits"] <= hi["min_mbits"]
+        assert lo["avg_mbits"] <= hi["avg_mbits"]
+    assert rows[0]["min_mbits"] < rows[2]["min_mbits"]
+
+
+def test_crossencoder_rerank_is_a_pool_permutation(spark, sf_oracle):
+    """The reranker re-orders the RRF pool, never grows or shrinks it:
+    per query, exactly the RRF_TOP pool rows come back, ce_rank is a
+    permutation of 1..RRF_TOP, and rank_shift sums to zero (a
+    permutation's displacement is conservative)."""
+    from collections import defaultdict
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        RRF_TOP,
+        text_crossencoder_rerank,
+        text_hybrid_rrf_retrieval,
+    )
+
+    pool = {
+        (r["query_id"], r["doc_id"])
+        for r in text_hybrid_rrf_retrieval(spark, sf_oracle).collect()
+    }
+    out = text_crossencoder_rerank(spark, sf_oracle).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in out} == pool
+    per_q = defaultdict(list)
+    for r in out:
+        per_q[r["query_id"]].append(r)
+    for q, rs in per_q.items():
+        assert sorted(r["ce_rank"] for r in rs) == list(
+            range(1, RRF_TOP + 1)
+        )
+        assert sorted(r["rrf_rank"] for r in rs) == list(
+            range(1, RRF_TOP + 1)
+        )
+        assert sum(r["rank_shift"] for r in rs) == 0
+        assert all(r["n_pairs"] > 0 for r in rs)
