@@ -263,6 +263,73 @@ def profile_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 PSI_BINS = 10
 
 
+def profile_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank–frequency fit: OLS slope of log2(freq) on log2(rank)
+    over the full token vocabulary — the corpus-statistics number every
+    corpus card quotes (natural language sits near slope ≈ −1; a flat
+    slope flags boilerplate/template corpora, a steep one flags
+    vocabulary collapse).
+
+    Exact integer end to end: ranks come from the distributed exact
+    rank (freq DESC, token — a total order, no single-task sort); both
+    logs are the shared mantissa-table millibit log2 on r·2²⁰ (so
+    log2(1) = 0 exactly); the five OLS moments accumulate in
+    DECIMAL(38,0)/HUGEINT (Σxy reaches vocab · (2·10⁴)² ≈ 4·10¹⁵ at a
+    10⁷-type web vocabulary, and the n·Σxy cross-multiply tops 10²² —
+    past BIGINT, the chi²/KS/Spearman headroom doctrine); slope and
+    intercept are closed-form cross-multiplied rationals ×1000.
+
+    Plan: one token explosion → vocabulary-sized frequency agg → two
+    range exchanges for the rank → a single 5-moment global aggregate.
+    Nothing document-sized survives past the first groupBy."""
+    from .ranks import exact_global_rank
+    from .text import LOG2_MB_TABLE
+
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("neg", -F.col("cnt"))
+    )
+    ranked, _ = exact_global_rank(freq, ["neg", "token"], out="rank")
+    arr = F.array(*[F.lit(int(x)) for x in LOG2_MB_TABLE])
+
+    def log2_mb(col: str) -> F.Column:
+        e = (F.length(F.expr(f"bin({col} * 1048576)")) - 1).cast("int")
+        m6 = F.expr(
+            f"({col} * 1048576) DIV shiftleft(CAST(1 AS BIGINT),"
+            f" length(bin({col} * 1048576)) - 1 - 6)"
+        )
+        return (e - 20) * 1000 + F.element_at(
+            arr, (m6 - 63).cast("int")
+        )
+
+    pts = ranked.select(
+        log2_mb("rank").cast("long").alias("x"),
+        log2_mb("cnt").cast("long").alias("y"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    moments = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(dec.format("x"))).alias("sx"),
+        F.sum(F.expr(dec.format("y"))).alias("sy"),
+        F.sum(F.expr(dec.format("x") + " * y")).alias("sxy"),
+        F.sum(F.expr(dec.format("x") + " * x")).alias("sxx"),
+    )
+    return moments.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * sxy - sx * sy) * 1000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_milli"),
+        F.expr(
+            "CAST((sy * sxx - sx * sxy) * 1000"
+            " DIV (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx) AS BIGINT)"
+        ).alias("intercept_milli"),
+    )
+
+
 def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the train and test splits'
     document-length distributions — the ML-ops drift metric
@@ -349,6 +416,49 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def _zipf_sql() -> str:
+    from .text import LOG2_MB_TABLE
+
+    table = ", ".join(str(int(x)) for x in LOG2_MB_TABLE)
+
+    def log2_mb(col: str) -> str:
+        return (
+            f"(length(bin({col} * 1048576)) - 1 - 20) * 1000 + "
+            f"([{table}])[CAST(({col} * 1048576)"
+            f" // (1::BIGINT << (length(bin({col} * 1048576)) - 1 - 6))"
+            f" AS INT) - 63]"
+        )
+
+    return f"""
+        WITH freq AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents)
+          GROUP BY token),
+        ranked AS (
+          SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token)
+                           AS BIGINT) AS rank
+          FROM freq),
+        pts AS (
+          SELECT CAST({log2_mb('rank')} AS BIGINT) AS x,
+                 CAST({log2_mb('cnt')} AS BIGINT) AS y
+          FROM ranked),
+        m AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx
+          FROM pts)
+        SELECT CAST(n AS BIGINT) AS n_types,
+               CAST((n * sxy - sx * sy) * 1000
+                    // (n * sxx - sx * sx) AS BIGINT) AS slope_milli,
+               CAST((sy * sxx - sx * sxy) * 1000
+                    // (n * sxx - sx * sx) AS BIGINT) AS intercept_milli
+        FROM m
+        """
 
 
 def _psi_sql() -> str:
@@ -490,6 +600,16 @@ QUERIES: list[QueryDef] = [
         description="Per-source lexical richness: hapax share, "
         "Simpson repeat-rate ppm, Yule's K milli — exact integer "
         "vocabulary-concentration profile.",
+    ),
+    QueryDef(
+        "profile_zipf_slope",
+        profile_zipf_slope,
+        _zipf_sql(),
+        tags=("extension", "profiling", "text", "stats"),
+        description="Zipf rank-frequency OLS fit: slope and intercept "
+        "(x1000) of millibit log2(freq) on log2(rank) over the whole "
+        "vocabulary — exact mantissa-table logs, HUGEINT/DECIMAL(38) "
+        "moment accumulation, distributed exact rank.",
     ),
     QueryDef(
         "profile_psi_drift",

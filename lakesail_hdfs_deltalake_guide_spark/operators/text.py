@@ -966,6 +966,54 @@ def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit — the per-language health check run on
+    every trained tokenizer before a corpus is budgeted (fertility =
+    subword pieces per word; a language far above the corpus mean is
+    being penalized by the shared vocabulary — the standard
+    multilingual-tokenizer equity finding). Reports, per language:
+    occurrence-weighted fertility (pieces per word, ppm), compression
+    (chars per piece, ppm), and the UNMERGED share — word occurrences
+    no learned merge applies to (n_pieces == n_chars), the direct
+    measure of vocabulary coverage at this merge depth.
+
+    Composes the trained BPE artifact (same _bpe_train the train/encode
+    queries share): the corpus pass is one token explode joined against
+    the vocabulary-sized word→piece-count cache (Zipf — broadcastable),
+    grouped by language; no per-document procedural scan, no Python."""
+    _, syms = _bpe_train(spark, sf_dir)
+    word_tok = syms.groupBy("word").agg(F.count(F.lit(1)).alias("n_syms"))
+    d = load_table(spark, sf_dir, "documents")
+    dw = d.select("lang", F.explode(_tokens()).alias("word"))
+    joined = dw.join(word_tok, "word", "left").select(
+        "lang",
+        "word",
+        F.coalesce(F.col("n_syms"), F.length("word").cast("long")).alias(
+            "n_syms"
+        ),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.countDistinct("word").alias("n_distinct_words"),
+            F.sum("n_syms").alias("n_pieces"),
+            F.expr("SUM(n_syms) * 1000000 DIV COUNT(*)").alias(
+                "fertility_ppm"
+            ),
+            F.expr("SUM(n_chars) * 1000000 DIV SUM(n_syms)").alias(
+                "chars_per_piece_ppm"
+            ),
+            F.expr(
+                "SUM(CASE WHEN n_syms = n_chars THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*)"
+            ).alias("unmerged_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _bpe_round_sql(prev: str, it: int) -> str:
     """One BPE training iteration as DuckDB CTEs: pair counts → 1-row
     best rule → parallel greedy merge (even offsets within eligible
@@ -2971,6 +3019,50 @@ QUERIES: list[QueryDef] = [
         "corpus-wide through the distinct-word subword cache (one "
         "explode + one vocab join, no per-doc procedural scan); exact "
         "tokens-per-doc and chars-per-token compression deciles.",
+    ),
+    QueryDef(
+        "text_tokenizer_fertility",
+        text_tokenizer_fertility,
+        f"""
+        WITH words AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          GROUP BY word),
+        s0 AS MATERIALIZED (
+          SELECT word, freq, CAST(i AS BIGINT) AS pos, ch[i] AS sym
+          FROM (SELECT word, freq, string_split(word, '') AS ch FROM words),
+               UNNEST(range(1, len(ch) + 1)) AS r(i)),
+        {",".join(_bpe_round_sql(f"s{r - 1}", r).lstrip()
+                  for r in range(1, BPE_MERGES + 1))},
+        wt AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms
+          FROM s{BPE_MERGES} GROUP BY word),
+        dw AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+        j AS (
+          SELECT lang, word,
+                 COALESCE(n_syms, len(word)) AS n_syms,
+                 len(word) AS n_chars
+          FROM dw LEFT JOIN wt USING (word))
+        SELECT lang,
+               COUNT(*) AS n_words,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct_words,
+               CAST(SUM(n_syms) AS BIGINT) AS n_pieces,
+               CAST(SUM(n_syms) * 1000000 // COUNT(*) AS BIGINT)
+                 AS fertility_ppm,
+               CAST(SUM(n_chars) * 1000000 // SUM(n_syms) AS BIGINT)
+                 AS chars_per_piece_ppm,
+               CAST(SUM(CASE WHEN n_syms = n_chars THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS unmerged_ppm
+        FROM j GROUP BY lang ORDER BY lang
+        """,
+        tags=("extension", "text", "tokenizer", "pipeline"),
+        description="Per-language tokenizer fertility audit over the "
+        "trained BPE: pieces per word, chars per piece, and unmerged "
+        "occurrence share in exact ppm — the multilingual vocabulary-"
+        "equity check run before budgeting a corpus.",
     ),
     QueryDef(
         "text_bpe_token_count",
