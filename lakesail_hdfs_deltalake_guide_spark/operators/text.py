@@ -1643,6 +1643,198 @@ def text_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COVERAGE_TRAIN_BUCKETS = 8  # of 10 md5 buckets: 80/20 train/held-out
+
+
+def text_heldout_bigram_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Held-out n-gram coverage — the generalization sanity check run
+    before trusting any corpus-trained LM/tokenizer artifact: split the
+    corpus 80/20 by a deterministic doc hash, and measure what share of
+    the held-out split's bigrams the train split has seen, per
+    language — by TYPE (vocabulary coverage) and by OCCURRENCE
+    (probability-mass coverage; the add-one LMs above back off exactly
+    on the uncovered part). A language with low coverage needs more
+    data before its perplexity numbers mean anything.
+
+    Plan: one bigram explosion split by the hash bucket; the train side
+    collapses to distinct types (vocabulary-sized); the val side joins
+    it on (lang, w1, w2) — a vocabulary-keyed equi-join, broadcastable
+    at scale; the report is one row per language."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cov:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+    )
+    occ = (
+        d.where(F.size(toks) >= 2)
+        .select(
+            "lang",
+            bucket.alias("bucket"),
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+                    F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+    )
+    train_types = (
+        occ.where(F.col("bucket") < COVERAGE_TRAIN_BUCKETS)
+        .select("lang", "w1", "w2")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    val = (
+        occ.where(F.col("bucket") >= COVERAGE_TRAIN_BUCKETS)
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        val.join(train_types, ["lang", "w1", "w2"], "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_val_types"),
+            F.sum("tf").alias("n_val_occ"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias(
+                "n_covered_types"
+            ),
+            F.sum(
+                F.when(F.col("hit").isNotNull(), F.col("tf")).otherwise(0)
+            ).alias("n_covered_occ"),
+            F.expr(
+                "SUM(CASE WHEN hit IS NOT NULL THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(*)"
+            ).alias("type_coverage_ppm"),
+            F.expr(
+                "SUM(CASE WHEN hit IS NOT NULL THEN tf ELSE 0 END)"
+                " * 1000000 DIV SUM(tf)"
+            ).alias("occ_coverage_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+KEYNESS_TOP = 10
+_KEYNESS_CLAMP = 1 << 62  # ratio clamp: keeps bin() input BIGINT at any scale
+
+
+def _slog2_mb_spark(num: str, den: str) -> str:
+    """Signed millibit log2(num/den) as a Spark-SQL expression: the ≥ 1
+    side rides r = big·2²⁰ DIV small through the shared mantissa table
+    (exact integer log2), the < 1 side is its negation. num/den are
+    DECIMAL(38,0)-safe products; r is clamped at 2⁶² so bin() always
+    sees a BIGINT (a hapax token in a 10¹⁴-token corpus would otherwise
+    overflow the scale — the clamp caps log2 at ~42 bits, far above any
+    real keyness, and both engines clamp identically)."""
+    table = ", ".join(str(int(x)) for x in LOG2_MB_TABLE)
+
+    def mb(n: str, d: str) -> str:
+        r = (
+            f"CAST(LEAST(CAST({n} AS DECIMAL(38,0)) * 1048576 DIV ({d}),"
+            f" CAST({_KEYNESS_CLAMP} AS DECIMAL(38,0))) AS BIGINT)"
+        )
+        return (
+            f"(length(bin({r})) - 1 - 20) * 1000"
+            f" + element_at(array({table}),"
+            f" CAST(({r}) DIV shiftleft(CAST(1 AS BIGINT),"
+            f" length(bin({r})) - 1 - 6) AS INT) - 63)"
+        )
+
+    return (
+        f"CASE WHEN CAST({num} AS DECIMAL(38,0)) >= {den}"
+        f" THEN {mb(num, den)} ELSE -({mb(den, num)}) END"
+    )
+
+
+def _slog2_mb_duck(num: str, den: str) -> str:
+    """The DuckDB twin of :func:`_slog2_mb_spark` (HUGEINT products,
+    1-based list indexing) — same clamp, same mantissa constants."""
+    table = ", ".join(str(int(x)) for x in LOG2_MB_TABLE)
+
+    def mb(n: str, d: str) -> str:
+        r = (
+            f"CAST(LEAST(CAST({n} AS HUGEINT) * 1048576 // ({d}),"
+            f" CAST({_KEYNESS_CLAMP} AS HUGEINT)) AS BIGINT)"
+        )
+        return (
+            f"(length(bin({r})) - 1 - 20) * 1000"
+            f" + ([{table}])[CAST(({r}) // (1::BIGINT <<"
+            f" (length(bin({r})) - 1 - 6)) AS INT) - 63]"
+        )
+
+    return (
+        f"CASE WHEN CAST({num} AS HUGEINT) >= {den}"
+        f" THEN {mb(num, den)} ELSE -({mb(den, num)}) END"
+    )
+
+
+def text_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyword KEYNESS by Dunning log-likelihood (the G²
+    statistic corpus linguistics standardized for "what words
+    characterize this source vs the rest"): for each (source, token),
+    G² = 2·(a·log(a/E_a) + b·log(b/E_b)) over the 2×2 contingency of
+    (in-source vs rest) × (token vs rest-of-tokens) — the
+    frequency-profiling companion to PMI (PMI finds collocations
+    WITHIN text; keyness finds what distinguishes CORPORA). Logs are
+    base-2 millibits via the shared mantissa table; both log ratios
+    reduce to integer rationals (a·cd vs c·ab and b·cd vs d·ab), signed
+    via the ≥ 1 branch — bit-identical in DuckDB. Top KEYNESS_TOP
+    tokens per source by G².
+
+    Plan: one token explosion → (source, token) counts (the only
+    data-sized shuffle); marginals are re-aggregations of that table
+    (sources × vocabulary — Zipf-bounded); the rank window partitions
+    by source. Zero floats anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select("source", F.explode(_tokens()).alias("token"))
+    a_tab = pairs.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("a")
+    )
+    c_tab = a_tab.groupBy("source").agg(F.sum("a").alias("c"))
+    ab_tab = a_tab.groupBy("token").agg(F.sum("a").alias("ab"))
+    cd_tab = c_tab.agg(F.sum("c").alias("cd"))
+    term_a = _slog2_mb_spark("a * cd", "c * ab")
+    term_b = _slog2_mb_spark("b * cd", "d * ab")
+    scored = (
+        a_tab.join(F.broadcast(c_tab), "source")
+        .join(ab_tab, "token")
+        .crossJoin(F.broadcast(cd_tab))
+        .withColumn("b", F.expr("ab - a"))
+        .withColumn("d", F.expr("cd - c"))
+        .withColumn(
+            "g2_mb",
+            F.expr(
+                f"2 * (a * ({term_a})"
+                f" + CASE WHEN b = 0 THEN 0 ELSE b * ({term_b}) END)"
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("g2_mb"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= KEYNESS_TOP)
+        .select("source", "token", F.col("a").alias("n_in_source"), "g2_mb", "rank")
+        .orderBy("source", "rank")
+    )
+
+
 def _rrf_oracle_ctes() -> str:
     """The hybrid-RRF retrieval as a DuckDB CTE chain ending in
     ``rrf_ranked`` (query_id, doc_id, rrf_ppm, lex_rank, vec_rank,
@@ -2525,6 +2717,89 @@ QUERIES: list[QueryDef] = [
         "RRF pool: mean hashed token-INTERACTION weight over all "
         "(query-token x doc-token) pairs — pool-bounded pairwise work, "
         "deterministic md5-prefix model stub, rank shifts vs RRF.",
+    ),
+    QueryDef(
+        "text_keyness_llr",
+        text_keyness_llr,
+        f"""
+        WITH pairs AS (
+          SELECT source, unnest({_SQL_TOKS}) AS token FROM documents),
+        a_tab AS MATERIALIZED (
+          SELECT source, token, CAST(COUNT(*) AS BIGINT) AS a
+          FROM pairs GROUP BY source, token),
+        c_tab AS (SELECT source, SUM(a) AS c FROM a_tab GROUP BY source),
+        ab_tab AS (SELECT token, SUM(a) AS ab FROM a_tab GROUP BY token),
+        cd_tab AS (SELECT SUM(c) AS cd FROM c_tab),
+        j AS (
+          SELECT t.source, t.token, t.a,
+                 c_tab.c, ab_tab.ab, cd_tab.cd,
+                 ab_tab.ab - t.a AS b, cd_tab.cd - c_tab.c AS d
+          FROM a_tab t
+          JOIN c_tab USING (source)
+          JOIN ab_tab USING (token), cd_tab),
+        scored AS (
+          SELECT source, token, a,
+                 CAST(2 * (a * ({_slog2_mb_duck('a * cd', 'c * ab')})
+                      + CASE WHEN b = 0 THEN 0
+                        ELSE b * ({_slog2_mb_duck('b * cd', 'd * ab')})
+                        END) AS BIGINT) AS g2_mb
+          FROM j)
+        SELECT source, token, a AS n_in_source, g2_mb,
+               CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY g2_mb DESC, token) AS rank
+              FROM scored)
+        WHERE rank <= {KEYNESS_TOP} ORDER BY source, rank
+        """,
+        tags=("extension", "text", "profiling", "stats"),
+        description="Dunning log-likelihood (G^2) keyword keyness per "
+        "source vs the rest of the corpus: signed millibit log2 over "
+        "integer contingency rationals, top tokens per source — the "
+        "what-characterizes-this-source profiler.",
+    ),
+    QueryDef(
+        "text_heldout_bigram_coverage",
+        text_heldout_bigram_coverage,
+        f"""
+        WITH docs AS (
+          SELECT lang,
+                 CAST(('0x' || substring(md5('cov:' || CAST(doc_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) % 10 AS bucket,
+                 string_split(text, ' ') AS t
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        occ AS (
+          SELECT lang, bucket, t[i] AS w1, t[i + 1] AS w2
+          FROM docs, UNNEST(range(1, len(t))) AS u(i)),
+        train_types AS (
+          SELECT DISTINCT lang, w1, w2 FROM occ
+          WHERE bucket < {COVERAGE_TRAIN_BUCKETS}),
+        val AS (
+          SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM occ WHERE bucket >= {COVERAGE_TRAIN_BUCKETS}
+          GROUP BY lang, w1, w2),
+        j AS (
+          SELECT v.lang, v.tf,
+                 CASE WHEN t.w1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM val v
+          LEFT JOIN train_types t
+            ON t.lang = v.lang AND t.w1 = v.w1 AND t.w2 = v.w2)
+        SELECT lang,
+               COUNT(*) AS n_val_types,
+               CAST(SUM(tf) AS BIGINT) AS n_val_occ,
+               CAST(SUM(hit) AS BIGINT) AS n_covered_types,
+               CAST(SUM(hit * tf) AS BIGINT) AS n_covered_occ,
+               CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT)
+                 AS type_coverage_ppm,
+               CAST(SUM(hit * tf) * 1000000 // SUM(tf) AS BIGINT)
+                 AS occ_coverage_ppm
+        FROM j GROUP BY lang ORDER BY lang
+        """,
+        tags=("extension", "text", "pipeline", "quality"),
+        description="Held-out bigram coverage per language (80/20 "
+        "deterministic doc-hash split): type and occurrence coverage "
+        "of the held-out split by the train split in exact ppm — the "
+        "generalization check behind every corpus-trained LM gate.",
     ),
     QueryDef(
         "text_unigram_segmentation",
