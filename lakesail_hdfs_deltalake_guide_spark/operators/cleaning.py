@@ -886,7 +886,127 @@ def clean_winsorize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K_MILLI = 4448  # 3 × 1.4826 (normal-consistency constant), ×1000
+
+
+def clean_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier gate: median/MAD instead of
+    mean/stddev (one pathological 10 MB document shifts a mean filter's
+    own threshold; the median absolute deviation doesn't move). A doc
+    is an outlier when |len − median| · 1000 > MAD_K_MILLI · MAD — the
+    standard 3σ-equivalent robust cut (3 × 1.4826·MAD). When MAD = 0
+    (more than half the source shares one length) any deviation flags —
+    the documented degenerate case of the robust rule.
+
+    Exact AND scale-safe per group: medians come from cumulative counts
+    over the (source, length) HISTOGRAM — the value domain is bounded
+    (distinct lengths), so the per-source ordered window runs over
+    histogram rows, never document rows; deviations re-histogram the
+    same way. Both medians are the LOWER median (first value whose
+    cumulative count reaches ceil(n/2)) — deterministic, replayed
+    bit-for-bit by the oracle. No document-sized sort or window
+    anywhere."""
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    hist = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy("n_chars")
+    tot = hist.groupBy("source").agg(F.sum("cnt").alias("n"))
+    med = (
+        hist.withColumn("cum", F.sum("cnt").over(w))
+        .join(tot, "source")
+        .where(F.expr("cum >= (n + 1) DIV 2"))
+        .groupBy("source")
+        .agg(F.min("n_chars").alias("med"))
+    )
+    dev_hist = (
+        hist.join(F.broadcast(med), "source")
+        .select(
+            "source",
+            F.abs(F.col("n_chars") - F.col("med")).alias("dev"),
+            "cnt",
+        )
+        .groupBy("source", "dev")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wd = Window.partitionBy("source").orderBy("dev")
+    mad = (
+        dev_hist.withColumn("cum", F.sum("cnt").over(wd))
+        .join(tot, "source")
+        .where(F.expr("cum >= (n + 1) DIV 2"))
+        .groupBy("source")
+        .agg(F.min("dev").alias("mad"))
+    )
+    return (
+        dev_hist.join(F.broadcast(mad), "source")
+        .join(F.broadcast(med), "source")
+        .join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max("med").cast("long").alias("median_chars"),
+            F.max("mad").cast("long").alias("mad_chars"),
+            F.sum(
+                F.when(
+                    F.expr(f"dev * 1000 > {MAD_K_MILLI} * mad"), F.col("cnt")
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.expr(
+                f"SUM(CASE WHEN dev * 1000 > {MAD_K_MILLI} * mad"
+                " THEN cnt ELSE 0 END) * 1000000 DIV MAX(n)"
+            ).alias("outlier_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "clean_mad_outliers",
+        clean_mad_outliers,
+        f"""
+        WITH hist AS (
+          SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY source, n_chars),
+        tot AS (SELECT source, SUM(cnt) AS n FROM hist GROUP BY source),
+        med AS (
+          SELECT source, MIN(n_chars) AS med FROM (
+            SELECT h.source, h.n_chars, t.n,
+                   SUM(h.cnt) OVER (PARTITION BY h.source
+                                    ORDER BY h.n_chars) AS cum
+            FROM hist h JOIN tot t USING (source))
+          WHERE cum >= (n + 1) // 2 GROUP BY source),
+        dev_hist AS (
+          SELECT h.source, abs(h.n_chars - m.med) AS dev,
+                 SUM(h.cnt) AS cnt
+          FROM hist h JOIN med m USING (source)
+          GROUP BY h.source, abs(h.n_chars - m.med)),
+        mad AS (
+          SELECT source, MIN(dev) AS mad FROM (
+            SELECT d.source, d.dev, t.n,
+                   SUM(d.cnt) OVER (PARTITION BY d.source
+                                    ORDER BY d.dev) AS cum
+            FROM dev_hist d JOIN tot t USING (source))
+          WHERE cum >= (n + 1) // 2 GROUP BY source)
+        SELECT d.source,
+               CAST(MAX(t.n) AS BIGINT) AS n_docs,
+               CAST(MAX(m.med) AS BIGINT) AS median_chars,
+               CAST(MAX(a.mad) AS BIGINT) AS mad_chars,
+               CAST(SUM(CASE WHEN d.dev * 1000 > {MAD_K_MILLI} * a.mad
+                    THEN d.cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(SUM(CASE WHEN d.dev * 1000 > {MAD_K_MILLI} * a.mad
+                    THEN d.cnt ELSE 0 END) * 1000000 // MAX(t.n)
+                    AS BIGINT) AS outlier_ppm
+        FROM dev_hist d
+        JOIN mad a USING (source)
+        JOIN med m USING (source)
+        JOIN tot t USING (source)
+        GROUP BY d.source ORDER BY d.source
+        """,
+        tags=("extension", "cleaning", "quality", "stats"),
+        description="Robust per-source length-outlier gate: exact "
+        "lower-median and MAD from cumulative counts over the bounded "
+        "(source, length) histogram — never a document-sized sort; "
+        "3x1.4826-MAD cut, counts and ppm per source.",
+    ),
     QueryDef(
         "clean_winsorize_quantile",
         clean_winsorize_quantile,
