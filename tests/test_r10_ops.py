@@ -301,3 +301,58 @@ def test_crossencoder_rerank_is_a_pool_permutation(spark, sf_oracle):
         )
         assert sum(r["rank_shift"] for r in rs) == 0
         assert all(r["n_pairs"] > 0 for r in rs)
+
+
+def test_r10_text_profiling_invariants(spark, sf_oracle):
+    """Cheap cross-cutting invariants over the round-10 analysis ops:
+    fertility ≥ 1 piece/word and unmerged share ≤ 1; Zipf slope is
+    negative (frequency falls with rank) with the full vocabulary
+    counted; keyness returns an exact top-KEYNESS_TOP block per source
+    with positive leading scores; held-out coverage ppm are valid
+    shares and covered counts never exceed totals; MAD outliers are a
+    subset of each source's documents."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+        clean_mad_outliers,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.operators.profiling import (
+        profile_zipf_slope,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        KEYNESS_TOP,
+        text_heldout_bigram_coverage,
+        text_keyness_llr,
+        text_tokenizer_fertility,
+    )
+
+    fert = text_tokenizer_fertility(spark, sf_oracle).collect()
+    assert fert
+    for r in fert:
+        assert r["fertility_ppm"] >= 1_000_000  # ≥ 1 piece per word
+        assert 0 <= r["unmerged_ppm"] <= 1_000_000
+        assert r["n_pieces"] >= r["n_words"]
+
+    z = profile_zipf_slope(spark, sf_oracle).collect()[0]
+    assert z["n_types"] > 0 and z["slope_milli"] < 0
+
+    key = text_keyness_llr(spark, sf_oracle).collect()
+    by_src = {}
+    for r in key:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= KEYNESS_TOP
+        assert rs[0]["g2_mb"] >= rs[-1]["g2_mb"]
+
+    cov = text_heldout_bigram_coverage(spark, sf_oracle).collect()
+    assert cov
+    for r in cov:
+        assert 0 <= r["type_coverage_ppm"] <= 1_000_000
+        assert 0 <= r["occ_coverage_ppm"] <= 1_000_000
+        assert r["n_covered_types"] <= r["n_val_types"]
+        assert r["n_covered_occ"] <= r["n_val_occ"]
+
+    mad = clean_mad_outliers(spark, sf_oracle).collect()
+    assert mad
+    for r in mad:
+        assert 0 <= r["n_outliers"] <= r["n_docs"]
+        assert r["mad_chars"] >= 0 and r["median_chars"] > 0
