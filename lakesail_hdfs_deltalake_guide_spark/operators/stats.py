@@ -176,6 +176,61 @@ def stats_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct-user estimate via MERGED KMV sketches —
+    the pattern that makes windowed cardinality viable at 100 TB: exact
+    rolling distinct would re-scan every window (or hold per-window
+    user sets in state); k-minimum sketches MERGE (the union's k
+    smallest is computable from the per-day k smallest alone), so each
+    day reduces to a K-row sketch once and every window is K·7 bounded
+    arithmetic. Windows still filling (< K minima in the union) are
+    EXACT by definition, estimate = count — the same rule as the global
+    KMV.
+
+    Plan: the only data-sized work is one distinct over (day, 32-bit
+    md5 hash) pairs — the dedup is the map-side combiner, the payload
+    never shuffles; per-day top-K rides a day-partitioned window; the
+    rolling union runs over the BOUNDED day domain (30 rows here, ~10³
+    at a decade of days). Bit-exact oracle: order statistics of a
+    deterministic hash."""
+    ev = load_table(spark, sf_dir, "events")
+    hashes = ev.select(
+        F.to_date("ts").alias("day"),
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    wd = Window.partitionBy("day").orderBy("h")
+    day_sk = (
+        hashes.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("day")
+        .agg(F.array_sort(F.collect_list("h")).alias("sk"))
+    )
+    wroll = Window.orderBy("day").rowsBetween(-6, 0)
+    rolled = (
+        day_sk.withColumn("n_days", F.count(F.lit(1)).over(wroll))
+        .withColumn(
+            "u",
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("sk").over(wroll)))
+            ),
+        )
+    )
+    return rolled.select(
+        "day",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.least(F.size("u"), F.lit(KMV_K)).cast("long").alias("n_minima"),
+        F.when(F.size("u") < KMV_K, F.size("u").cast("long"))
+        .otherwise(
+            F.expr(f"{(KMV_K - 1) * _KMV_M}L DIV element_at(u, {KMV_K})")
+        )
+        .alias("est_users_7d"),
+    ).orderBy("day")
+
+
 def stats_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``df.observe``: audit metrics piggybacked on a real job's scan.
 
@@ -1390,6 +1445,42 @@ QUERIES: list[QueryDef] = [
         description="Per-segment OLS monthly-revenue trend: exact "
         "cross-multiplied slope and launch-month intercept x1000 from "
         "a five-moment rollup over the bounded month domain.",
+    ),
+    QueryDef(
+        "ts_kmv_rolling_distinct",
+        ts_kmv_rolling_distinct,
+        f"""
+        WITH hashes AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day,
+                 CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                       1, 8)) AS BIGINT) AS h
+          FROM events),
+        day_sk AS (
+          SELECT day, list(h ORDER BY h) AS sk FROM (
+            SELECT day, h,
+                   ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+            FROM hashes) WHERE rn <= {KMV_K}
+          GROUP BY day),
+        rolled AS (
+          SELECT day,
+                 CAST(COUNT(*) OVER w AS BIGINT) AS n_days,
+                 list_sort(list_distinct(flatten(list(sk) OVER w))) AS u
+          FROM day_sk
+          WINDOW w AS (ORDER BY day
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        SELECT day, n_days,
+               CAST(LEAST(len(u), {KMV_K}) AS BIGINT) AS n_minima,
+               CAST(CASE WHEN len(u) < {KMV_K} THEN len(u)
+                    ELSE {(KMV_K - 1) * _KMV_M} // u[{KMV_K}]
+                    END AS BIGINT) AS est_users_7d
+        FROM rolled ORDER BY day
+        """,
+        tags=("extension", "stats", "timeseries", "sketch"),
+        description="Rolling 7-day distinct-user estimate via MERGED "
+        "KMV sketches: per-day k-minima reduce each day to a K-row "
+        "sketch, window union re-takes k smallest — windowed "
+        "cardinality with no per-window rescan; exact while the union "
+        "holds < K minima.",
     ),
     QueryDef(
         "stats_poisson_dispersion",
