@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -149,6 +149,70 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("frame_bytes").cast("long").alias("frame_len"),
         )
         .orderBy("doc_id", "frame_no")
+    )
+
+
+SHOT_DELTA_MIN = 160  # summed-ASCII brightness jump declaring a cut
+
+
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the frame stream — the video
+    preprocessing step that runs BEFORE frame dedup/captioning (sample
+    one keyframe per shot instead of every Nth frame). The real
+    pipeline compares adjacent frame histograms; the deterministic
+    stand-in scores each 16-byte frame by its summed byte value
+    ("brightness") and declares a cut when the frame-to-frame jump
+    exceeds SHOT_DELTA_MIN — same plumbing (per-video ordered frame
+    walk, adjacent-frame delta, threshold), real decode swaps in as a
+    mapInPandas batch without touching the plan.
+
+    Plan: frames explode from the payload as pure column ops (the
+    frame_sample construction); brightness is a codegen'd higher-order
+    fold; the lag rides a doc-partitioned window (frames per video are
+    bounded); output is one row per video. No Python anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    n_frames = F.floor(F.length("text") / 64).cast("int") + 1
+    frames = (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_no").cast("long").alias("frame_no"),
+            F.substring(
+                F.col("text"), F.col("frame_no") * 64 + 1, F.lit(16)
+            ).alias("fr"),
+        )
+        .where(F.length("fr") > 0)
+    )
+    bright = frames.select(
+        "doc_id",
+        "frame_no",
+        F.expr(
+            "aggregate(sequence(1, length(fr)), CAST(0 AS BIGINT),"
+            " (acc, i) -> acc + ascii(substring(fr, i, 1)))"
+        ).alias("b"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    deltas = bright.withColumn(
+        "delta", F.abs(F.col("b") - F.lag("b").over(w))
+    )
+    return (
+        deltas.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(
+                F.when(F.col("delta") > SHOT_DELTA_MIN, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_cuts"),
+            F.coalesce(F.max("delta"), F.lit(0)).cast("long").alias(
+                "max_delta"
+            ),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -433,5 +497,46 @@ QUERIES: list[QueryDef] = [
         ORDER BY doc_id, frame_no
         """,
         tags=("extension", "multimodal"),
+    ),
+    QueryDef(
+        "multimodal_shot_boundaries",
+        multimodal_shot_boundaries,
+        f"""
+        -- documents.text is pure ASCII (verified), so char slicing on
+        -- text == byte slicing on the encoded payload
+        WITH expanded AS (
+          SELECT doc_id, text,
+                 unnest(range(0, octet_length(encode(text)) // 64 + 1))
+                   AS frame_no
+          FROM documents),
+        frames AS (
+          SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+                 substring(text, CAST(frame_no * 64 + 1 AS INT), 16) AS fr
+          FROM expanded
+          WHERE length(substring(text, CAST(frame_no * 64 + 1 AS INT), 16))
+                > 0),
+        bright AS (
+          SELECT doc_id, frame_no,
+                 CAST(list_sum(list_transform(range(1, len(fr) + 1),
+                      i -> ascii(fr[i]))) AS BIGINT) AS b
+          FROM frames),
+        deltas AS (
+          SELECT doc_id,
+                 abs(b - LAG(b) OVER (PARTITION BY doc_id
+                                      ORDER BY frame_no)) AS delta
+          FROM bright)
+        SELECT doc_id,
+               COUNT(*) AS n_frames,
+               CAST(SUM(CASE WHEN delta > {SHOT_DELTA_MIN} THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_cuts,
+               CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS max_delta
+        FROM deltas GROUP BY doc_id ORDER BY doc_id
+        """,
+        tags=("extension", "multimodal", "pipeline"),
+        description="Shot-boundary detection over the byte-frame "
+        "stream: per-frame summed-byte brightness, adjacent-frame "
+        "delta over a doc-partitioned window, threshold cut count per "
+        "video — keyframe-per-shot plumbing with a deterministic "
+        "decode stand-in.",
     ),
 ]
