@@ -231,6 +231,107 @@ def ts_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def stats_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve for time-to-first-
+    purchase — the right-censoring-aware answer to "how long until a
+    user converts" (a plain average silently drops everyone who hasn't
+    converted YET; KM keeps them in the risk set until their censor
+    time). Cohort: users with a 'view'; event: first 'purchase' after
+    the first view; users without one are censored at the corpus
+    horizon. Day-grid estimator:
+
+        S(d) = Π_{i ≤ d} (n_i − e_i) / n_i   (n = at risk, e = events)
+
+    in EXACT ppm: the product chain folds sequentially as
+    S ← S·(n−e) DIV n — a codegen'd higher-order aggregate over the
+    cumulative day rows (the day grid is BOUNDED, ≤ span days), so the
+    truncating-integer product is bit-identical in both engines (a
+    float exp(Σlog) would drift).
+
+    Plan: per-user first-view/first-purchase collapse map-side into one
+    (duration, observed) row per user (the only data-sized shuffle,
+    user-keyed); the life table and the fold run over the bounded day
+    domain."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("hmax"))
+    views = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("tp")
+    )
+    first_p = (
+        views.join(purchases, "user_id")
+        .where(F.col("tp") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    durations = (
+        views.join(first_p, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.when(
+                F.col("tp").isNotNull(),
+                F.expr(
+                    "CAST((unix_micros(tp) - unix_micros(t0))"
+                    " DIV 86400000000 AS BIGINT)"
+                ),
+            )
+            .otherwise(
+                F.expr(
+                    "CAST((unix_micros(hmax) - unix_micros(t0))"
+                    " DIV 86400000000 AS BIGINT)"
+                )
+            )
+            .alias("day"),
+            F.col("tp").isNotNull().cast("int").alias("observed"),
+        )
+    )
+    n_cohort = durations.groupBy().agg(F.count(F.lit(1)).alias("n0"))
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    life = (
+        durations.groupBy("day")
+        .agg(
+            F.sum("observed").alias("e"),
+            F.sum(F.expr("1 - observed")).alias("c"),
+        )
+        .crossJoin(F.broadcast(n_cohort))
+        .withColumn(
+            "n_at_risk",
+            F.col("n0")
+            - F.coalesce(
+                F.sum(F.expr("e + c")).over(
+                    Window.orderBy("day").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "factors",
+            F.collect_list(F.struct(F.col("n_at_risk").alias("n"), F.col("e"))).over(
+                wcum
+            ),
+        )
+        .withColumn(
+            "survival_ppm",
+            F.expr(
+                "aggregate(factors, CAST(1000000 AS BIGINT),"
+                " (s, x) -> s * (x.n - x.e) DIV x.n)"
+            ),
+        )
+    )
+    return life.select(
+        "day",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("e").cast("long").alias("n_events"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.col("survival_ppm").cast("long").alias("survival_ppm"),
+    ).orderBy("day")
+
+
 def stats_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``df.observe``: audit metrics piggybacked on a real job's scan.
 
@@ -1445,6 +1546,59 @@ QUERIES: list[QueryDef] = [
         description="Per-segment OLS monthly-revenue trend: exact "
         "cross-multiplied slope and launch-month intercept x1000 from "
         "a five-moment rollup over the bounded month domain.",
+    ),
+    QueryDef(
+        "stats_survival_km",
+        stats_survival_km,
+        """
+        WITH horizon AS (SELECT MAX(ts) AS hmax FROM events),
+        views AS (
+          SELECT user_id, MIN(ts) AS t0 FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        first_p AS (
+          SELECT e.user_id, MIN(e.ts) AS tp
+          FROM events e JOIN views v USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= v.t0
+          GROUP BY e.user_id),
+        durations AS (
+          SELECT v.user_id,
+                 CAST(CASE WHEN p.tp IS NOT NULL
+                      THEN (epoch_us(p.tp) - epoch_us(v.t0)) // 86400000000
+                      ELSE (epoch_us(h.hmax) - epoch_us(v.t0)) // 86400000000
+                      END AS BIGINT) AS day,
+                 CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS observed
+          FROM views v LEFT JOIN first_p p USING (user_id), horizon h),
+        n0 AS (SELECT COUNT(*) AS n0 FROM durations),
+        life AS (
+          SELECT day, CAST(SUM(observed) AS BIGINT) AS e,
+                 CAST(SUM(1 - observed) AS BIGINT) AS c
+          FROM durations GROUP BY day),
+        risk AS (
+          SELECT day, e, c,
+                 CAST(n0.n0 - COALESCE(SUM(e + c) OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS n_at_risk
+          FROM life, n0),
+        folded AS (
+          SELECT day, n_at_risk, e, c,
+                 list(struct_pack(n := n_at_risk, e := e))
+                   OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS fs
+          FROM risk)
+        SELECT day, n_at_risk, e AS n_events, c AS n_censored,
+               CAST(list_reduce(
+                 list_prepend(struct_pack(n := 1000000::BIGINT,
+                                          e := 0::BIGINT), fs),
+                 (acc, x) -> struct_pack(
+                   n := acc.n * (x.n - x.e) // x.n,
+                   e := 0::BIGINT)).n AS BIGINT) AS survival_ppm
+        FROM folded ORDER BY day
+        """,
+        tags=("extension", "stats", "sessions", "pipeline"),
+        description="Kaplan-Meier product-limit survival for time-to-"
+        "first-purchase with right censoring at the corpus horizon: "
+        "exact-ppm truncating product fold over the bounded day-grid "
+        "life table — the censoring-aware conversion-latency curve.",
     ),
     QueryDef(
         "ts_kmv_rolling_distinct",
