@@ -79,28 +79,26 @@ PACK_WINDOW = 512  # tokens per packed training sequence
 def chunk_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents (in deterministic doc_id order)
     to fixed-capacity training sequences by running token count —
-    ``pack_id = (cumsum - 1) div capacity``. One global running-sum window
-    (the deterministic equivalent of greedy first-fit packing when order
-    is pinned), then per-pack occupancy stats — the utilization dashboard
-    for context-window packing.
+    ``pack_id = (cumsum - 1) div capacity``. The running sum rides the
+    DISTRIBUTED exact prefix sum (operators/ranks.py: range exchange +
+    per-partition sums + broadcast offsets — r10, replacing the
+    unpartitioned window this query shipped with), so the global packing
+    order costs two parallel exchanges at any corpus size, never a
+    single-task sort. Then per-pack occupancy stats — the utilization
+    dashboard for context-window packing. Bit-identical to the global
+    window (doc_id is the total order); the oracle keeps the window
+    form."""
+    from .ranks import exact_prefix_sum
 
-    Scale note: the single unpartitioned window is the textbook scale
-    hazard; at 100 TB one packs per shard (partitionBy(shard) window) and
-    accepts shard-boundary fragmentation. The fixture query keeps the
-    global order so the oracle is exact; the per-shard variant is the same
-    expression with one extra partition key."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
-    packed = toks.select(
+    summed, _ = exact_prefix_sum(toks, ["doc_id"], "n_tokens", out="cum")
+    packed = summed.select(
         "doc_id",
         "n_tokens",
-        # SQL-form window so the bucket division is exact bigint `div`
-        F.expr(
-            "(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)"
-            f" - 1) div {PACK_WINDOW}"
-        ).alias("pack_id"),
+        F.expr(f"(cum - 1) div {PACK_WINDOW}").alias("pack_id"),
     )
     return (
         packed.groupBy("pack_id")
@@ -111,6 +109,54 @@ def chunk_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .orderBy("pack_id")
+    )
+
+
+def chunk_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency summary for concat-and-chunk training
+    sequences of PACK_WINDOW tokens: how many documents get SPLIT
+    across a sequence boundary (their context window sees a hard
+    break), how many sequences the corpus fills, the tail padding, and
+    utilization — the numbers that decide between plain concatenation
+    and boundary-aware packing before a training run.
+
+    A document spanning tokens [start, end) is split iff
+    ``start div B != (end-1) div B``. Start/end offsets come from the
+    distributed exact prefix sum (operators/ranks.py) over the pinned
+    doc_id order — two parallel exchanges, no single-task sort — and
+    the report is ONE aggregate over the doc-level flags."""
+    from .ranks import exact_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    summed, total = exact_prefix_sum(toks, ["doc_id"], "n_tokens", out="cum")
+    n_seq = (total + PACK_WINDOW - 1) // PACK_WINDOW
+    flags = summed.select(
+        "n_tokens",
+        F.expr(
+            f"CASE WHEN (cum - n_tokens) DIV {PACK_WINDOW}"
+            f" != (cum - 1) DIV {PACK_WINDOW} THEN 1 ELSE 0 END"
+        ).alias("split"),
+        F.expr(
+            f"(cum - 1) DIV {PACK_WINDOW} - (cum - n_tokens)"
+            f" DIV {PACK_WINDOW} + 1"
+        ).alias("n_spanned"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.lit(n_seq).cast("long").alias("n_sequences"),
+        F.sum("split").cast("long").alias("n_split_docs"),
+        F.expr("SUM(split) * 1000000 DIV COUNT(*)").alias("split_ppm"),
+        F.lit(n_seq * PACK_WINDOW - total).cast("long").alias(
+            "tail_padding"
+        ),
+        F.lit(total * 1_000_000 // (n_seq * PACK_WINDOW))
+        .cast("long")
+        .alias("utilization_ppm"),
+        F.max("n_spanned").cast("long").alias("max_seqs_spanned"),
     )
 
 
@@ -154,7 +200,52 @@ QUERIES: list[QueryDef] = [
         """,
         tags=("extension", "text", "chunking", "pipeline"),
         description="Context-window sequence packing by running token "
-        "count.",
+        "count (distributed exact prefix sum — no single-task window).",
+    ),
+    QueryDef(
+        "chunk_packing_waste",
+        chunk_packing_waste,
+        f"""
+        WITH toks AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+                   AS n_tokens
+          FROM documents),
+        summed AS (
+          SELECT doc_id, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM toks),
+        tot AS (
+          SELECT SUM(n_tokens) AS total,
+                 (SUM(n_tokens) + {PACK_WINDOW} - 1) // {PACK_WINDOW}
+                   AS n_seq
+          FROM toks),
+        flags AS (
+          SELECT n_tokens,
+                 CASE WHEN (cum - n_tokens) // {PACK_WINDOW}
+                      != (cum - 1) // {PACK_WINDOW} THEN 1 ELSE 0 END
+                   AS split,
+                 (cum - 1) // {PACK_WINDOW}
+                   - (cum - n_tokens) // {PACK_WINDOW} + 1 AS n_spanned
+          FROM summed)
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(t.n_seq) AS BIGINT) AS n_sequences,
+               CAST(SUM(split) AS BIGINT) AS n_split_docs,
+               CAST(SUM(split) * 1000000 // COUNT(*) AS BIGINT)
+                 AS split_ppm,
+               CAST(MAX(t.n_seq) * {PACK_WINDOW} - MAX(t.total) AS BIGINT)
+                 AS tail_padding,
+               CAST(MAX(t.total) * 1000000
+                    // (MAX(t.n_seq) * {PACK_WINDOW}) AS BIGINT)
+                 AS utilization_ppm,
+               CAST(MAX(n_spanned) AS BIGINT) AS max_seqs_spanned
+        FROM flags, tot t
+        """,
+        tags=("extension", "text", "chunking", "pipeline"),
+        description="Concat-and-chunk packing-waste report: split-doc "
+        "count/share, sequence count, tail padding, utilization — "
+        "boundary offsets from the distributed exact prefix sum.",
     ),
     QueryDef(
         "chunk_doc_coverage",

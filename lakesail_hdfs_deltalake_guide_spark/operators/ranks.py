@@ -83,6 +83,58 @@ def exact_global_rank(
     return ranked, total
 
 
+def exact_prefix_sum(
+    df: DataFrame,
+    order_by: list[Column | str],
+    value_col: str,
+    out: str = "ps",
+    parts: int | None = None,
+) -> tuple[DataFrame, int]:
+    """``SUM(value) OVER (ORDER BY *order_by ROWS UNBOUNDED PRECEDING)``
+    (inclusive running sum) without the single-task sort — the same
+    three-step as :func:`exact_global_rank` with per-partition SUMS as
+    the broadcast offsets. Returns ``(df + out column, grand total)``.
+    ``order_by`` must be a total order; ``value_col`` must be integral
+    (the offsets collect is exact BIGINT arithmetic)."""
+    spark = df.sparkSession
+    parts = parts or spark.sparkContext.defaultParallelism
+    staged = (
+        df.repartitionByRange(parts, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    sums = {
+        r["__pid"]: r["s"]
+        for r in staged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    total = 0
+    for pid in sorted(sums):
+        offsets[pid] = total
+        total += int(sums[pid] or 0)
+    if not offsets:  # empty input — keep the schema contract
+        return staged.drop("__pid").withColumn(out, F.lit(0).cast("long")), 0
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        "__pid int, __off long",
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    summed = (
+        staged.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out, F.sum(value_col).over(w).cast("long") + F.col("__off")
+        )
+        .drop("__pid", "__off")
+    )
+    return summed, total
+
+
 def exact_ntile(
     df: DataFrame,
     order_by: list[Column | str],

@@ -231,6 +231,89 @@ def ts_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def dedup_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-overlap matrix from merged KMV sketches — the
+    "how much does crawl A repeat crawl B" triage every multi-source
+    corpus runs before assigning mixing weights (two 30%-overlapping
+    snapshots double-count their shared mass). Exact pairwise Jaccard
+    is a corpus×corpus join; sketches make it |S|² work on K-row
+    summaries: per source, the K smallest md5 hashes of its distinct
+    5-token shingles; for each source pair the union's k-th minimum
+    estimates |A∪B|, inclusion–exclusion gives |A∩B|, Jaccard in ppm.
+    Sketches (and every estimate) are pure order statistics of a
+    deterministic hash — bit-exact in both engines; sources with < K
+    minima are exact by definition.
+
+    Plan: one (source, shingle-hash) distinct pass (the dedup is the
+    map-side combiner), per-source top-K via a source-partitioned
+    window, then a BOUNDED |S|²/2 self-join over K-row sketch arrays —
+    at 100 TB the sketch table is |sources|·K rows, kilobytes."""
+    from ..functions.hashing import shingles, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    hashes = (
+        d.select(
+            "source", F.explode(shingles(tokens("text"), 5)).alias("s")
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    wk = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("h")).alias("sk"))
+    )
+    est = (
+        f"CASE WHEN size({{u}}) < {KMV_K} THEN CAST(size({{u}}) AS BIGINT)"
+        f" ELSE {(KMV_K - 1) * _KMV_M}L DIV element_at({{u}}, {KMV_K}) END"
+    )
+    pairs = (
+        sk.alias("a")
+        .join(sk.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+            F.col("a.sk").alias("ska"),
+            F.col("b.sk").alias("skb"),
+        )
+        .withColumn(
+            "u",
+            F.expr(
+                f"slice(array_sort(array_distinct(concat(ska, skb))),"
+                f" 1, {KMV_K})"
+            ),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.expr(est.format(u="ska")).alias("est_a"),
+            F.expr(est.format(u="skb")).alias("est_b"),
+            F.expr(est.format(u="u")).alias("est_union"),
+        )
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        F.greatest(
+            F.lit(0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+        ).alias("est_inter"),
+        F.expr(
+            "GREATEST(0, est_a + est_b - est_union) * 1000000"
+            " DIV GREATEST(est_union, 1)"
+        ).alias("jaccard_ppm"),
+    ).orderBy("src_a", "src_b")
+
+
 def stats_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier product-limit survival curve for time-to-first-
     purchase — the right-censoring-aware answer to "how long until a
@@ -1546,6 +1629,67 @@ QUERIES: list[QueryDef] = [
         description="Per-segment OLS monthly-revenue trend: exact "
         "cross-multiplied slope and launch-month intercept x1000 from "
         "a five-moment rollup over the bounded month domain.",
+    ),
+    QueryDef(
+        "dedup_source_overlap_kmv",
+        dedup_source_overlap_kmv,
+        f"""
+        WITH tok AS (
+          SELECT source, string_split(text, ' ') AS toks FROM documents),
+        sh AS (
+          SELECT source,
+                 CASE WHEN len(toks) < 5
+                      THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks) - 3),
+                             i -> array_to_string(toks[i:i+4], ' '))
+                      END AS shingles
+          FROM tok),
+        hashes AS (
+          SELECT DISTINCT source,
+                 CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h
+          FROM (SELECT source, unnest(shingles) AS s FROM sh)),
+        sk AS (
+          SELECT source, list(h ORDER BY h) AS sk FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM hashes) WHERE rn <= {KMV_K}
+          GROUP BY source),
+        pairs AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 a.sk AS ska, b.sk AS skb,
+                 list_sort(list_distinct(list_concat(a.sk, b.sk)))
+                   [1:{KMV_K}] AS u
+          FROM sk a JOIN sk b ON a.source < b.source),
+        ests AS (
+          SELECT src_a, src_b,
+                 CASE WHEN len(ska) < {KMV_K}
+                      THEN CAST(len(ska) AS BIGINT)
+                      ELSE {(KMV_K - 1) * _KMV_M} // ska[{KMV_K}]
+                      END AS est_a,
+                 CASE WHEN len(skb) < {KMV_K}
+                      THEN CAST(len(skb) AS BIGINT)
+                      ELSE {(KMV_K - 1) * _KMV_M} // skb[{KMV_K}]
+                      END AS est_b,
+                 CASE WHEN len(u) < {KMV_K}
+                      THEN CAST(len(u) AS BIGINT)
+                      ELSE {(KMV_K - 1) * _KMV_M} // u[{KMV_K}]
+                      END AS est_union
+          FROM pairs)
+        SELECT src_a, src_b,
+               CAST(est_a AS BIGINT) AS est_a,
+               CAST(est_b AS BIGINT) AS est_b,
+               CAST(est_union AS BIGINT) AS est_union,
+               CAST(GREATEST(0, est_a + est_b - est_union) AS BIGINT)
+                 AS est_inter,
+               CAST(GREATEST(0, est_a + est_b - est_union) * 1000000
+                    // GREATEST(est_union, 1) AS BIGINT) AS jaccard_ppm
+        FROM ests ORDER BY src_a, src_b
+        """,
+        tags=("extension", "dedup", "stats", "sketch"),
+        description="Pairwise source-overlap matrix from merged KMV "
+        "shingle sketches: per-source K-minima, theta-style union, "
+        "inclusion-exclusion intersection, Jaccard in ppm — the "
+        "multi-source double-counting triage on K-row summaries.",
     ),
     QueryDef(
         "stats_survival_km",

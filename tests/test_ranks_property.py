@@ -46,3 +46,35 @@ def test_exact_rank_and_ntile_match_windows(spark, n, q, mod, parts):
     assert sorted(map(tuple, tiled.collect())) == sorted(
         map(tuple, expect_tile.collect())
     )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    mod=st.integers(min_value=1, max_value=50),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_exact_prefix_sum_matches_window(spark, n, mod, parts):
+    from lakesail_hdfs_deltalake_guide_spark.operators.ranks import (
+        exact_prefix_sum,
+    )
+
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") * 7 % mod + 1).cast("long").alias("v")
+    )
+    summed, total = exact_prefix_sum(df, ["id"], "v", out="ps", parts=parts)
+    expect = df.withColumn(
+        "ps",
+        F.sum("v")
+        .over(
+            Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long"),
+    )
+    rows = sorted(map(tuple, summed.collect()))
+    assert rows == sorted(map(tuple, expect.collect()))
+    assert total == sum(r[1] for r in rows)
