@@ -231,6 +231,139 @@ def ts_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+def stats_ab_proportion_ztest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-proportion z-test on conversion (view → any purchase) between
+    a deterministic 50/50 user split — the experiment-readout shape
+    every A/B platform computes, in exact integers: with per-arm
+    (n, x) and pooled X = x₁+x₂, N = n₁+n₂,
+
+        z² = (x₁n₂ − x₂n₁)²·N / (n₁·n₂·X·(N−X))
+
+    reported ×1000, cross-multiplied in DECIMAL(38)/HUGEINT with the
+    pooled term floored at 1 (all-convert / none-convert degenerates to
+    z² = 0 — the numerator is 0 there too), (valid to
+    ~10⁸ users per arm before the square outgrows 38 digits — the
+    chi²/Spearman headroom doctrine), significant at z² > 3.841 (χ²₁
+    95%). Variant assignment is user_id parity — deterministic, so the
+    oracle replays the whole test bit-for-bit.
+
+    Plan: per-user exposure/conversion collapse map-side (user-keyed,
+    the only data-sized shuffle) → a 2-row arm table → 1 row of
+    closed-form math."""
+    ev = load_table(spark, sf_dir, "events")
+    exposed = ev.where(F.col("event_type") == "view").select(
+        "user_id", (F.col("user_id") % 2).alias("variant")
+    ).distinct()
+    converted = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    arms = (
+        exposed.join(converted, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("conv", F.lit(0))).alias("x"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("x"))).alias("x_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("x"))).alias("x_b"),
+    )
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("x_a").cast("long").alias("x_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("x_b").cast("long").alias("x_b"),
+        F.expr("x_a * 1000000 DIV n_a").alias("rate_a_ppm"),
+        F.expr("x_b * 1000000 DIV n_b").alias("rate_b_ppm"),
+        F.expr(
+            "CAST(CAST(x_a * n_b - x_b * n_a AS DECIMAL(38,0))"
+            " * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 1000"
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b"
+            " * GREATEST((x_a + x_b) * (n_a + n_b - x_a - x_b), 1))"
+            " AS BIGINT)"
+        ).alias("z2_milli"),
+    ).select(
+        "*",
+        (F.col("z2_milli") > 3841).cast("long").alias("significant_95"),
+    )
+
+
+HOURLY_ANOM_Z2_MILLI = 9_000  # |x−μ| > 3σ (population), as z²·1000
+
+
+def ts_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly scores for hourly event volume: each
+    hour is compared against the (day-of-week × hour-of-day) cell it
+    belongs to — "is this Tuesday 3 pm weird FOR a Tuesday 3 pm" — the
+    ops-monitoring shape that plain global z-scores get wrong on any
+    workload with a weekly pulse. Score = z²·1000 against the cell's
+    population moments, all cross-multiplied integers:
+
+        score = (c·n − s)²·1000 / max(n·q − s², 1)
+        (n, s, q = cell count, Σc, Σc²; the hour is part of its own
+        baseline — fine for flagging, documented)
+
+    flagged at > HOURLY_ANOM_Z2_MILLI (3σ). dow/hod derive from epoch
+    arithmetic (locale/timezone-proof).
+
+    Plan: facts collapse to the bounded hour grid map-side; the
+    baseline is a re-aggregation of the 168-cell week grid; the score
+    join is hour-grid × broadcast cells."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            F.expr(
+                "unix_micros(ts) - unix_micros(ts) % 3600000000"
+            ).alias("hour_us")
+        )
+        .groupBy("hour_us")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "hour_us",
+            "c",
+            # epoch day 0 = Thursday = dow 4 (ISO Mon=1)
+            F.expr(
+                "(hour_us DIV 86400000000 + 3) % 7 + 1"
+            ).alias("dow"),
+            F.expr("hour_us DIV 3600000000 % 24").alias("hod"),
+        )
+    )
+    cells = hourly.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.expr("c * c")).alias("q"),
+    )
+    return (
+        hourly.join(F.broadcast(cells), ["dow", "hod"])
+        .select(
+            "hour_us",
+            "dow",
+            "hod",
+            F.col("c").alias("observed"),
+            F.col("n").alias("cell_hours"),
+            F.expr(
+                "CAST((c * n - s) * (c * n - s) * 1000"
+                " DIV GREATEST(n * q - s * s, 1) AS BIGINT)"
+            ).alias("score_milli"),
+        )
+        .select(
+            "*",
+            (F.col("score_milli") > HOURLY_ANOM_Z2_MILLI)
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+        .orderBy("hour_us")
+    )
+
+
 def dedup_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise SOURCE-overlap matrix from merged KMV sketches — the
     "how much does crawl A repeat crawl B" triage every multi-source
@@ -1629,6 +1762,92 @@ QUERIES: list[QueryDef] = [
         description="Per-segment OLS monthly-revenue trend: exact "
         "cross-multiplied slope and launch-month intercept x1000 from "
         "a five-moment rollup over the bounded month domain.",
+    ),
+    QueryDef(
+        "stats_ab_proportion_ztest",
+        stats_ab_proportion_ztest,
+        """
+        WITH exposed AS (
+          SELECT DISTINCT user_id, user_id % 2 AS variant
+          FROM events WHERE event_type = 'view'),
+        conv AS (
+          SELECT DISTINCT user_id, 1 AS conv
+          FROM events WHERE event_type = 'purchase'),
+        arms AS (
+          SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(COALESCE(conv, 0)) AS BIGINT) AS x
+          FROM exposed LEFT JOIN conv USING (user_id)
+          GROUP BY variant),
+        wide AS (
+          SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+                 MAX(CASE WHEN variant = 0 THEN x END) AS x_a,
+                 MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+                 MAX(CASE WHEN variant = 1 THEN x END) AS x_b
+          FROM arms),
+        scored AS (
+          SELECT n_a, x_a, n_b, x_b,
+                 x_a * 1000000 // n_a AS rate_a_ppm,
+                 x_b * 1000000 // n_b AS rate_b_ppm,
+                 CAST(CAST(x_a * n_b - x_b * n_a AS HUGEINT)
+                      * (x_a * n_b - x_b * n_a) * (n_a + n_b) * 1000
+                      // (CAST(n_a AS HUGEINT) * n_b
+                          * GREATEST((x_a + x_b)
+                                     * (n_a + n_b - x_a - x_b), 1))
+                      AS BIGINT)
+                   AS z2_milli
+          FROM wide)
+        SELECT n_a, x_a, n_b, x_b,
+               CAST(rate_a_ppm AS BIGINT) AS rate_a_ppm,
+               CAST(rate_b_ppm AS BIGINT) AS rate_b_ppm,
+               z2_milli,
+               CAST(CASE WHEN z2_milli > 3841 THEN 1 ELSE 0 END AS BIGINT)
+                 AS significant_95
+        FROM scored
+        """,
+        tags=("extension", "stats", "sessions"),
+        description="Two-proportion conversion z-test between a "
+        "deterministic 50/50 user split: exact cross-multiplied "
+        "z-squared x1000 with chi-squared-1df 95% verdict — the A/B "
+        "experiment readout.",
+    ),
+    QueryDef(
+        "ts_seasonal_anomaly",
+        ts_seasonal_anomaly,
+        f"""
+        WITH hourly AS (
+          SELECT hour_us, CAST(COUNT(*) AS BIGINT) AS c,
+                 (hour_us // 86400000000 + 3) % 7 + 1 AS dow,
+                 hour_us // 3600000000 % 24 AS hod
+          FROM (SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us
+                FROM events)
+          GROUP BY hour_us),
+        cells AS (
+          SELECT dow, hod, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(c) AS BIGINT) AS s,
+                 CAST(SUM(c * c) AS BIGINT) AS q
+          FROM hourly GROUP BY dow, hod)
+        SELECT h.hour_us, CAST(h.dow AS BIGINT) AS dow,
+               CAST(h.hod AS BIGINT) AS hod,
+               h.c AS observed,
+               cells.n AS cell_hours,
+               CAST((h.c * cells.n - cells.s) * (h.c * cells.n - cells.s)
+                    * 1000 // GREATEST(cells.n * cells.q
+                                       - cells.s * cells.s, 1)
+                    AS BIGINT) AS score_milli,
+               CAST(CASE WHEN (h.c * cells.n - cells.s)
+                              * (h.c * cells.n - cells.s) * 1000
+                              // GREATEST(cells.n * cells.q
+                                          - cells.s * cells.s, 1)
+                              > {HOURLY_ANOM_Z2_MILLI}
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        FROM hourly h JOIN cells USING (dow, hod)
+        ORDER BY hour_us
+        """,
+        tags=("extension", "stats", "timeseries"),
+        description="Weekday-hour seasonal-baseline anomaly scores for "
+        "hourly event volume: z-squared x1000 against the (dow, hod) "
+        "cell's population moments in cross-multiplied integers, "
+        "3-sigma flags.",
     ),
     QueryDef(
         "dedup_source_overlap_kmv",
