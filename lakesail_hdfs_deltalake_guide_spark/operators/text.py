@@ -2090,6 +2090,97 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_jelinek_mercer_bigram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jelinek–Mercer interpolated bigram LM vs the add-one baseline —
+    completes the smoothing triad (add-one, Kneser–Ney, JM): where KN
+    redistributes mass by CONTINUATION counts, JM linearly interpolates
+    the ML bigram with the unigram, λ = 3/4 as an exact rational:
+
+        P_JM(w2|w1) = 3/4 · c12/c1 + 1/4 · c2/N
+                    = (3·c12·N + c1·c2) / (4·c1·N)
+
+    (c2 = unigram count of w2, N = per-language token total — a proper
+    distribution, Σ_w2 P = 1). Per-language corpus cross-entropy
+    Σ c12·nll DIV Σ c12 in exact millibits via the shared mantissa
+    log2 on r = 4·c1·N·2²⁰ DIV (3·c12·N + c1·c2); the numerator rides
+    DECIMAL(38)/HUGEINT (c1·N outgrows BIGINT at web scale), r itself
+    is ≤ 4·c1·2²⁰ — BIGINT-safe. The add-one column runs the identical
+    machinery, so the model comparison is apples-to-apples.
+
+    Plan: one bigram explosion → type table (the only data-sized
+    shuffle); unigram counts, totals and vocab are re-aggregations on
+    vocabulary keys; the rollup is one row per language."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    occ = (
+        d.where(F.size(toks) >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, F.size(toks) - 1).alias("w1"),
+                    F.slice(toks, 2, F.size(toks) - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        )
+        .select("lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c12 = occ.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
+    uni = (
+        d.select("lang", F.explode(toks).alias("w2"))
+        .groupBy("lang", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    per_lang = uni.groupBy("lang").agg(
+        F.sum("c2").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    arr = F.array(*[F.lit(int(x)) for x in LOG2_MB_TABLE])
+
+    def mb_of(r: str) -> F.Column:
+        e = (F.length(F.expr(f"bin({r})")) - 1).cast("int")
+        m6 = F.expr(
+            f"({r}) DIV shiftleft(CAST(1 AS BIGINT), "
+            f"length(bin({r})) - 1 - 6)"
+        )
+        return (e - 20) * 1000 + F.element_at(arr, (m6 - 63).cast("int"))
+
+    jm_r = (
+        "CAST(CAST(4 AS DECIMAL(38,0)) * c1 * n * 1048576"
+        " DIV (CAST(3 AS DECIMAL(38,0)) * c12 * n"
+        " + CAST(c1 AS DECIMAL(38,0)) * c2) AS BIGINT)"
+    )
+    a1_r = "((c1 + v) * 1048576 DIV (c12 + 1))"
+    scored = (
+        c12.join(c1, ["lang", "w1"])
+        .join(uni, ["lang", "w2"])
+        .join(F.broadcast(per_lang), "lang")
+        .withColumn("jm_r", F.expr(jm_r))
+        .withColumn("jm_mb", mb_of("jm_r"))
+        .withColumn("a1_mb", mb_of(a1_r))
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.sum("c12").alias("n_bigram_tokens"),
+            F.expr("SUM(c12 * jm_mb) DIV SUM(c12)").alias("jm_xent_mb"),
+            F.expr("SUM(c12 * a1_mb) DIV SUM(c12)").alias("addone_xent_mb"),
+        )
+        .select(
+            "lang",
+            F.col("n_bigram_tokens").cast("long").alias("n_bigram_tokens"),
+            F.col("jm_xent_mb").cast("long").alias("jm_xent_mb"),
+            F.col("addone_xent_mb").cast("long").alias("addone_xent_mb"),
+            (F.col("jm_xent_mb") - F.col("addone_xent_mb"))
+            .cast("long")
+            .alias("jm_minus_addone_mb"),
+        )
+        .orderBy("lang")
+    )
+
+
 PMI_MIN_COUNT = 5
 PMI_TOP = 20
 
@@ -2561,6 +2652,67 @@ QUERIES: list[QueryDef] = [
         "vs the add-one baseline: per-language corpus cross-entropy "
         "in integer millibits via the shared mantissa log2 — the "
         "model-fit report behind perplexity gating.",
+    ),
+    QueryDef(
+        "text_jelinek_mercer_bigram",
+        text_jelinek_mercer_bigram,
+        f"""
+        WITH docs AS (
+          SELECT lang, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+        occ AS (
+          SELECT lang, t[i] AS w1, t[i + 1] AS w2
+          FROM docs, UNNEST(range(1, len(t))) AS u(i)),
+        c12 AS MATERIALIZED (
+          SELECT lang, w1, w2, COUNT(*) AS c12
+          FROM occ GROUP BY lang, w1, w2),
+        c1 AS (
+          SELECT lang, w1, SUM(c12) AS c1 FROM c12 GROUP BY lang, w1),
+        uni AS (
+          SELECT lang, tok AS w2, COUNT(*) AS c2
+          FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          GROUP BY lang, tok),
+        per_lang AS (
+          SELECT lang, SUM(c2) AS n, COUNT(*) AS v FROM uni GROUP BY lang),
+        scored AS (
+          SELECT c12.lang, c12.c12,
+                 CAST(CAST(4 AS HUGEINT) * c1.c1 * per_lang.n * 1048576
+                      // (CAST(3 AS HUGEINT) * c12.c12 * per_lang.n
+                          + CAST(c1.c1 AS HUGEINT) * uni.c2)
+                   AS BIGINT) AS jm_r,
+                 CAST((c1.c1 + per_lang.v) * 1048576 // (c12.c12 + 1)
+                   AS BIGINT) AS a1_r
+          FROM c12
+          JOIN c1 USING (lang, w1)
+          JOIN uni USING (lang, w2)
+          JOIN per_lang USING (lang)),
+        nll AS (
+          SELECT lang, c12,
+                 (length(bin(jm_r)) - 1 - 20) * 1000 +
+                 ([{", ".join(str(int(x)) for x in LOG2_MB_TABLE)}])[
+                   CAST(jm_r // (1::BIGINT << (length(bin(jm_r)) - 1 - 6))
+                        AS INT) - 63] AS jm_mb,
+                 (length(bin(a1_r)) - 1 - 20) * 1000 +
+                 ([{", ".join(str(int(x)) for x in LOG2_MB_TABLE)}])[
+                   CAST(a1_r // (1::BIGINT << (length(bin(a1_r)) - 1 - 6))
+                        AS INT) - 63] AS a1_mb
+          FROM scored)
+        SELECT lang,
+               CAST(SUM(c12) AS BIGINT) AS n_bigram_tokens,
+               CAST(SUM(c12 * jm_mb) // SUM(c12) AS BIGINT) AS jm_xent_mb,
+               CAST(SUM(c12 * a1_mb) // SUM(c12) AS BIGINT)
+                 AS addone_xent_mb,
+               CAST(SUM(c12 * jm_mb) // SUM(c12)
+                    - SUM(c12 * a1_mb) // SUM(c12) AS BIGINT)
+                 AS jm_minus_addone_mb
+        FROM nll GROUP BY lang ORDER BY lang
+        """,
+        tags=("extension", "text", "quality"),
+        description="Jelinek-Mercer interpolated bigram LM (lambda=3/4 "
+        "exact rational) vs the add-one baseline — completes the "
+        "add-one/KN/JM smoothing triad; per-language cross-entropy in "
+        "integer millibits via the shared mantissa log2.",
     ),
     QueryDef(
         "text_pmi_collocations",
