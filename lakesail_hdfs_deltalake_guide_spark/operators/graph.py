@@ -629,7 +629,109 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HC_HOPS = 3  # BFS truncation: the 25-node trade graph's diameter is ~2
+
+
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality over the nation trade graph — the
+    disconnected-graph-safe cousin of closeness (unreachable nodes
+    contribute 0 instead of poisoning the mean): H(v) = Σ_{u≠v} 1/d(v,u)
+    over OUT-going hop distances, reported ×1000 with truncating
+    integer division (1000 DIV d). Distances come from HC_HOPS unrolled
+    min-plus BFS rounds — exact for every pair within the truncation
+    radius (the graph's diameter is ~2; pairs beyond HC_HOPS count as
+    unreachable, identically in both engines).
+
+    Plan: the fact-sized work is the one trade_edges aggregation
+    (shuffles on the join keys); everything after runs on the ≤ N²-row
+    distance frames (N = 25 nations — bounded by the TPC-H spec at
+    every SF), each round a bounded self-join + min-aggregate."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("v"), "n_name"
+    )
+    e = (
+        trade_edges(spark, sf_dir)
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds every BFS round
+    )
+    dist = e.select("src", "dst", F.lit(1).cast("long").alias("d"))
+    frontier = dist
+    for h in range(2, HC_HOPS + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .where(F.col("f.src") != F.col("e.dst"))
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                F.lit(h).cast("long").alias("d"),
+            )
+            .distinct()
+        )
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    best = dist.groupBy("src", "dst").agg(F.min("d").alias("d"))
+    scores = best.groupBy("src").agg(
+        F.count(F.lit(1)).alias("reach"),
+        F.sum(F.expr("1000 DIV d")).alias("harmonic_milli"),
+    )
+    return (
+        nation.join(scores, nation.v == scores.src, "left")
+        .select(
+            "v",
+            "n_name",
+            F.coalesce("reach", F.lit(0)).cast("long").alias("reach"),
+            F.coalesce("harmonic_milli", F.lit(0))
+            .cast("long")
+            .alias("harmonic_milli"),
+        )
+        .orderBy(F.desc("harmonic_milli"), "v")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "graph_harmonic_centrality",
+        graph_harmonic_centrality,
+        f"""
+        WITH e AS (
+          SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE c.c_nationkey <> s.s_nationkey),
+        d1 AS (SELECT src, dst, CAST(1 AS BIGINT) AS d FROM e),
+        d2 AS (
+          SELECT DISTINCT f.src, e.dst, CAST(2 AS BIGINT) AS d
+          FROM d1 f JOIN e ON f.dst = e.src WHERE f.src <> e.dst),
+        d3 AS (
+          SELECT DISTINCT f.src, e.dst, CAST(3 AS BIGINT) AS d
+          FROM d2 f JOIN e ON f.dst = e.src WHERE f.src <> e.dst),
+        best AS (
+          SELECT src, dst, MIN(d) AS d
+          FROM (SELECT * FROM d1 UNION ALL
+                SELECT * FROM d2 UNION ALL
+                SELECT * FROM d3)
+          GROUP BY src, dst),
+        scores AS (
+          SELECT src, CAST(COUNT(*) AS BIGINT) AS reach,
+                 CAST(SUM(1000 // d) AS BIGINT) AS harmonic_milli
+          FROM best GROUP BY src)
+        SELECT n.n_nationkey AS v, n.n_name,
+               COALESCE(s.reach, 0) AS reach,
+               COALESCE(s.harmonic_milli, 0) AS harmonic_milli
+        FROM nation n LEFT JOIN scores s ON s.src = n.n_nationkey
+        ORDER BY harmonic_milli DESC, v
+        """,
+        tags=("extension", "graph"),
+        description="Harmonic centrality over the nation trade graph: "
+        "HC_HOPS unrolled min-plus BFS rounds on the bounded N^2 "
+        "distance frame, sum of 1000 DIV d per source — the "
+        "disconnected-safe closeness.",
+    ),
     QueryDef(
         "graph_degree_distribution",
         graph_degree_distribution,
