@@ -15,7 +15,7 @@ operators/olap.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..querydef import QueryDef
@@ -261,6 +261,89 @@ def profile_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PSI_BINS = 10
+
+
+def profile_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Kolmogorov–Smirnov distance between the source's
+    doc-length distribution and the REST of the corpus — the
+    "which source is distributionally weird" ranking run before
+    debugging a quality regression source by source (PSI above compares
+    two fixed splits; this sweeps every source against its complement).
+    KS = max |CDF_s − CDF_rest| in exact ppm, argmax length reported
+    (ties → smallest length).
+
+    Exact and scale-safe: both CDFs come from cumulative counts over
+    the bounded (source, length) HISTOGRAM — the per-source window
+    orders histogram rows (distinct lengths), never documents; the
+    "rest" side is the global histogram minus the source's own cell —
+    one broadcast join, no second corpus pass."""
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    hist = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # every (source, length) cell must exist for the CDF walk: cross the
+    # source list with the global length domain (bounded × bounded)
+    lengths = hist.select("n_chars").distinct()
+    sources = hist.select("source").distinct()
+    glob = hist.groupBy("n_chars").agg(F.sum("cnt").alias("gcnt"))
+    dense = (
+        sources.crossJoin(lengths)
+        .join(hist, ["source", "n_chars"], "left")
+        .select(
+            "source",
+            "n_chars",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+        .join(F.broadcast(glob), "n_chars")
+    )
+    tot_s = hist.groupBy("source").agg(F.sum("cnt").alias("n_s"))
+    tot = d.count()
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walked = (
+        dense.withColumn("cum_s", F.sum("cnt").over(w))
+        .withColumn("cum_g", F.sum("gcnt").over(w))
+        .join(F.broadcast(tot_s), "source")
+        .select(
+            "source",
+            "n_chars",
+            "cum_s",
+            F.expr(f"cum_g - cum_s").alias("cum_r"),
+            "n_s",
+            F.lit(tot).alias("n_tot"),
+        )
+        .withColumn(
+            "dev_ppm",
+            F.abs(
+                F.expr("cum_s * 1000000 DIV n_s")
+                - F.expr("cum_r * 1000000 DIV (n_tot - n_s)")
+            ),
+        )
+    )
+    # argmax via max-of-struct: (dev, -length) so ties pick the SMALLEST
+    # length — one aggregate, no join-back or window-in-agg
+    return (
+        walked.groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_docs"),
+            F.max(
+                F.struct(
+                    F.col("dev_ppm").alias("dev"),
+                    (-F.col("n_chars")).alias("nl"),
+                )
+            ).alias("m"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.col("m.dev").cast("long").alias("ks_ppm"),
+            (-F.col("m.nl")).cast("long").alias("ks_at_length"),
+        )
+        .orderBy(F.desc("ks_ppm"), "source")
+    )
 
 
 def profile_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,6 +683,55 @@ QUERIES: list[QueryDef] = [
         description="Per-source lexical richness: hapax share, "
         "Simpson repeat-rate ppm, Yule's K milli — exact integer "
         "vocabulary-concentration profile.",
+    ),
+    QueryDef(
+        "profile_source_ks_drift",
+        profile_source_ks_drift,
+        """
+        WITH hist AS (
+          SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY source, n_chars),
+        lengths AS (SELECT DISTINCT n_chars FROM hist),
+        sources AS (SELECT DISTINCT source FROM hist),
+        ghist AS (SELECT n_chars, SUM(cnt) AS gcnt
+                 FROM hist GROUP BY n_chars),
+        dense AS (
+          SELECT s.source, l.n_chars, COALESCE(h.cnt, 0) AS cnt, g.gcnt
+          FROM sources s CROSS JOIN lengths l
+          LEFT JOIN hist h ON h.source = s.source
+                          AND h.n_chars = l.n_chars
+          JOIN ghist g ON g.n_chars = l.n_chars),
+        tot_s AS (SELECT source, SUM(cnt) AS n_s FROM hist GROUP BY source),
+        tot AS (SELECT COUNT(*) AS n_tot FROM documents),
+        walked AS (
+          SELECT d.source, d.n_chars,
+                 SUM(d.cnt) OVER w AS cum_s,
+                 SUM(d.gcnt) OVER w - SUM(d.cnt) OVER w AS cum_r,
+                 t.n_s, tt.n_tot
+          FROM dense d JOIN tot_s t USING (source), tot tt
+          WINDOW w AS (PARTITION BY d.source ORDER BY d.n_chars
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        dev AS (
+          SELECT source, n_chars, n_s,
+                 abs(cum_s * 1000000 // n_s
+                     - cum_r * 1000000 // (n_tot - n_s)) AS dev_ppm
+          FROM walked),
+        mx AS (
+          SELECT source, MAX(n_s) AS n_docs, MAX(dev_ppm) AS ks_ppm
+          FROM dev GROUP BY source)
+        SELECT m.source, CAST(m.n_docs AS BIGINT) AS n_docs,
+               CAST(m.ks_ppm AS BIGINT) AS ks_ppm,
+               CAST(MIN(d.n_chars) AS BIGINT) AS ks_at_length
+        FROM mx m JOIN dev d ON d.source = m.source
+                            AND d.dev_ppm = m.ks_ppm
+        GROUP BY m.source, m.n_docs, m.ks_ppm
+        ORDER BY ks_ppm DESC, m.source
+        """,
+        tags=("extension", "profiling", "stats", "quality"),
+        description="Per-source KS distance (doc length vs the rest of "
+        "the corpus) in exact ppm with argmax length: cumulative counts "
+        "over the bounded (source, length) histogram — the which-"
+        "source-is-weird drift ranking.",
     ),
     QueryDef(
         "profile_zipf_slope",
