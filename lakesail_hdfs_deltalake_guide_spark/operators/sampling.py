@@ -662,7 +662,107 @@ def sample_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPS_TARGET = 100  # systematic draws (large docs can absorb several)
+
+
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sampling — the
+    weighted-draw design survey statistics uses when big units must be
+    likelier picks (here: sample documents ∝ length, so a token-mass-
+    representative audit sample): lay every document's weight on a line
+    (running char-count offsets), then take every ``step = total DIV
+    target``-th point; a document is hit once per multiple of ``step``
+    inside its (start, end] interval — hits = end DIV step − start DIV
+    step, so a document longer than ``step`` absorbs several draws
+    (textbook PPS-with-replacement behavior, kept deliberately).
+
+    Deterministic (anchor at step, not a random start) and exact; the
+    line offsets come from the distributed exact prefix sum
+    (operators/ranks.py) over the pinned doc_id order — two parallel
+    exchanges, no single-task window. Output: the per-source draw
+    ledger (docs, draws, drawn weight, draw share vs weight share)."""
+    from .ranks import exact_prefix_sum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("w")
+    )
+    summed, total = exact_prefix_sum(d, ["doc_id"], "w", out="cum")
+    step = max(total // PPS_TARGET, 1)
+    hits = summed.select(
+        "source",
+        "w",
+        F.expr(f"cum DIV {step} - (cum - w) DIV {step}").alias("n_hits"),
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("source_chars"),
+            F.sum("n_hits").cast("long").alias("n_draws"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_drawn_docs"),
+            F.sum(
+                F.when(F.col("n_hits") > 0, F.col("w")).otherwise(0)
+            ).alias("drawn_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "source_chars",
+            "n_draws",
+            "n_drawn_docs",
+            "drawn_chars",
+            F.lit(total).cast("long").alias("total_chars"),
+            F.expr(f"source_chars * 1000000 DIV {total}").alias(
+                "weight_share_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sample_pps_systematic",
+        sample_pps_systematic,
+        f"""
+        WITH docs AS (
+          SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w
+          FROM documents),
+        summed AS (
+          SELECT doc_id, source, w,
+                 SUM(w) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM docs),
+        tot AS (
+          SELECT SUM(w) AS total,
+                 GREATEST(SUM(w) // {PPS_TARGET}, 1) AS step
+          FROM docs),
+        hits AS (
+          SELECT s.source, s.w,
+                 s.cum // t.step - (s.cum - s.w) // t.step AS n_hits,
+                 t.total
+          FROM summed s, tot t)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(w) AS BIGINT) AS source_chars,
+               CAST(SUM(n_hits) AS BIGINT) AS n_draws,
+               CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_drawn_docs,
+               CAST(SUM(CASE WHEN n_hits > 0 THEN w ELSE 0 END) AS BIGINT)
+                 AS drawn_chars,
+               CAST(MAX(total) AS BIGINT) AS total_chars,
+               CAST(SUM(w) * 1000000 // MAX(total) AS BIGINT)
+                 AS weight_share_ppm
+        FROM hits GROUP BY source ORDER BY source
+        """,
+        tags=("extension", "sampling", "pipeline"),
+        description="Deterministic probability-proportional-to-size "
+        "systematic sampling over running char-count offsets (the "
+        "distributed exact prefix sum): per-source draw ledger with "
+        "multi-hit large documents — the weighted audit-sample design.",
+    ),
     QueryDef(
         "sample_kfold_balance",
         sample_kfold_balance,

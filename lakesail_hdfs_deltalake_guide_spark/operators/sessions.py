@@ -222,6 +222,58 @@ BURST_WINDOW_NS = 6 * 3600 * 10**9  # 6-hour sliding window
 BURST_T = 5  # flag users reaching this many events in one window
 
 
+def session_interevent_cv2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-interval burstiness per event type: CV² of the gaps
+    between a user's consecutive same-type events — the INTERVAL-based
+    companion to the Poisson overdispersion index (that one tests
+    per-hour COUNTS; this tests the waiting times directly: a Poisson
+    process has exponential gaps ⇒ CV² = 1, bursty traffic ≫ 1,
+    clockwork schedulers ≪ 1). Exact integers throughout:
+
+        cv2_milli = n·(n·Σg² − (Σg)²) · 1000 DIV ((n−1)·(Σg)²)
+
+    (sample variance over mean² — both cross-multiplied; Σg² rides
+    DECIMAL(38)/HUGEINT since μs² gaps square past BIGINT at long
+    horizons). Types with < 2 gaps are excluded on both engines.
+
+    Plan: gaps from a (user, type)-partitioned lag window (per-user
+    event chains are bounded), then one global per-type aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_ns", "event_id"
+    )
+    gaps = (
+        ev.select("user_id", "event_type", "event_id", F.col("ts_ns"))
+        .withColumn("prev", F.lag("ts_ns").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            F.expr("(ts_ns - prev) DIV 1000").alias("g"),  # µs gaps
+        )
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("g").alias("sg"),
+            F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g")).alias("sg2"),
+        )
+        .where(F.col("n_gaps") >= 2)
+        .select(
+            "event_type",
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.expr("sg DIV n_gaps").cast("long").alias("mean_gap_us"),
+            F.expr(
+                "CAST(n_gaps * (n_gaps * sg2"
+                " - CAST(sg AS DECIMAL(38,0)) * sg) * 1000"
+                " DIV ((n_gaps - 1) * CAST(sg AS DECIMAL(38,0)) * sg)"
+                " AS BIGINT)"
+            ).alias("cv2_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def session_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst / abuse detection: users whose event rate exceeds BURST_T
     within ANY sliding BURST_WINDOW — the rate-limit audit every API
@@ -698,6 +750,38 @@ QUERIES: list[QueryDef] = [
         description="Day-of-week x hour activity heatmap with exact-ppm "
         "day shares and distinct users; epoch-integer dow (no "
         "locale/timezone week conventions).",
+    ),
+    QueryDef(
+        "session_interevent_cv2",
+        session_interevent_cv2,
+        """
+        WITH ordered AS (
+          SELECT user_id, event_type, epoch_ns(ts) AS tns,
+                 LAG(epoch_ns(ts)) OVER (PARTITION BY user_id, event_type
+                   ORDER BY epoch_ns(ts), event_id) AS prev
+          FROM events),
+        gaps AS (
+          SELECT event_type, (tns - prev) // 1000 AS g
+          FROM ordered WHERE prev IS NOT NULL),
+        agg AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                 CAST(SUM(g) AS BIGINT) AS sg,
+                 SUM(CAST(g AS HUGEINT) * g) AS sg2
+          FROM gaps GROUP BY event_type)
+        SELECT event_type, n_gaps,
+               CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+               CAST(n_gaps * (n_gaps * sg2 - CAST(sg AS HUGEINT) * sg)
+                    * 1000
+                    // ((n_gaps - 1) * CAST(sg AS HUGEINT) * sg)
+                    AS BIGINT) AS cv2_milli
+        FROM agg WHERE n_gaps >= 2 ORDER BY event_type
+        """,
+        tags=("extension", "sessions", "events", "stats"),
+        description="Inter-event-interval burstiness per event type: "
+        "exact cross-multiplied CV-squared x1000 of per-user same-type "
+        "gaps (Poisson = 1, bursty >> 1) — the interval-based twin of "
+        "the Poisson overdispersion index.",
     ),
     QueryDef(
         "session_burst_detection",
