@@ -356,3 +356,72 @@ def test_r10_text_profiling_invariants(spark, sf_oracle):
     for r in mad:
         assert 0 <= r["n_outliers"] <= r["n_docs"]
         assert r["mad_chars"] >= 0 and r["median_chars"] > 0
+
+
+def test_r10_second_batch_invariants(spark, sf_oracle):
+    """Cross-cutting invariants over the late-round-10 operators:
+    Kaplan–Meier survival is monotone non-increasing with a consistent
+    risk-set ledger; PPS draws land near the target with shares summing
+    to ~1; harmonic centrality is bounded by reach·1000; the KMV
+    source-overlap matrix is symmetric-complete with Jaccard in [0,1];
+    sequence packing's split count is bounded by n_sequences − 1 (a
+    boundary can split at most one doc)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.chunking import (
+        chunk_packing_waste,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        graph_harmonic_centrality,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        PPS_TARGET,
+        sample_pps_systematic,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        dedup_source_overlap_kmv,
+        stats_survival_km,
+    )
+
+    km = stats_survival_km(spark, sf_oracle).collect()
+    assert km
+    prev = 1_000_000
+    at_risk_prev = None
+    for r in km:
+        assert r["survival_ppm"] <= prev  # monotone non-increasing
+        prev = r["survival_ppm"]
+        if at_risk_prev is not None:
+            assert r["n_at_risk"] <= at_risk_prev
+        at_risk_prev = r["n_at_risk"]
+    assert km[0]["n_at_risk"] == sum(
+        r["n_events"] + r["n_censored"] for r in km
+    )
+
+    pps = sample_pps_systematic(spark, sf_oracle).collect()
+    total_draws = sum(r["n_draws"] for r in pps)
+    # systematic PPS yields exactly floor(total/step) draws; with
+    # step = total DIV target that is within one of the target
+    assert abs(total_draws - PPS_TARGET) <= 1
+    assert sum(r["weight_share_ppm"] for r in pps) <= 1_000_000
+    for r in pps:
+        assert r["n_drawn_docs"] <= min(r["n_docs"], r["n_draws"])
+
+    hc = graph_harmonic_centrality(spark, sf_oracle).collect()
+    assert hc
+    for r in hc:
+        assert 0 <= r["harmonic_milli"] <= r["reach"] * 1000
+
+    ov = dedup_source_overlap_kmv(spark, sf_oracle).collect()
+    srcs = {r["src_a"] for r in ov} | {r["src_b"] for r in ov}
+    assert len(ov) == len(srcs) * (len(srcs) - 1) // 2  # every pair once
+    for r in ov:
+        assert 0 <= r["jaccard_ppm"] <= 1_000_000
+        # estimator noise can push est_union past est_a + est_b (each is
+        # an independent order statistic); the inclusion-exclusion
+        # intersection must then floor at 0 — the shipped contract
+        assert r["est_inter"] == max(
+            0, r["est_a"] + r["est_b"] - r["est_union"]
+        )
+
+    pw = chunk_packing_waste(spark, sf_oracle).collect()[0]
+    assert pw["n_split_docs"] <= pw["n_sequences"] - 1
+    assert 0 < pw["utilization_ppm"] <= 1_000_000
+    assert pw["tail_padding"] < 2048  # < one sequence by construction
