@@ -95,6 +95,11 @@ _WRITER_FEATURES_IMPLEMENTED = frozenset(
         # checkpoint restatement (all three layouts), log compaction
         "domainMetadata",
         "vacuumProtocolCheck",
+        # PROTOCOL.md inCommitTimestamps: every commit is stamped
+        # monotonically (max(now, prev+1)) by _write_commit and the
+        # protocol field is written on post-enablement commits;
+        # _commit_timestamp prefers the protocol field on reads
+        "inCommitTimestamp",
     }
 )
 
@@ -369,7 +374,27 @@ def _commit_info(op: str) -> dict:
 
 def _commit_timestamp(spark: SparkSession, path: str, version: int) -> int | None:
     """The commit's in-commit timestamp (ms) from its commitInfo, or
-    None when the JSON was cleaned / predates timestamp stamping."""
+    None when the JSON was cleaned / predates timestamp stamping.
+    The PROTOCOL field name (``inCommitTimestamp``, written when the
+    table carries the writer feature) takes precedence over this
+    engine's historical ``timestamp`` stamp — interop with delta-spark
+    ICT tables reads the same field delta-spark wrote."""
+    info = _commit_info_fields(spark, path, version)
+    if info is None:
+        return None
+    ts = info.get("inCommitTimestamp", info.get("timestamp"))
+    return int(ts) if ts is not None else None
+
+
+_ICT_FEATURE = "inCommitTimestamp"
+
+
+def _commit_info_fields(
+    spark: SparkSession, path: str, version: int
+) -> dict | None:
+    """The commit's raw commitInfo payload, or None when the JSON was
+    cleaned — shared by the timestamp reader and the ICT stickiness
+    check so both see the same fields."""
     try:
         text = _read_text(spark, _version_file(path, version))
     except Exception:  # noqa: BLE001 — cleaned commit
@@ -377,8 +402,7 @@ def _commit_timestamp(spark: SparkSession, path: str, version: int) -> int | Non
     for line in text.splitlines():
         action = json.loads(line)
         if "commitInfo" in action:
-            ts = action["commitInfo"].get("timestamp")
-            return int(ts) if ts is not None else None
+            return action["commitInfo"]
     return None
 
 
@@ -397,11 +421,26 @@ def _write_commit(spark: SparkSession, path: str, version: int, actions) -> None
     if not any("commitInfo" in a for a in actions):
         actions = [_commit_info("WRITE")] + actions
     now = int(time.time() * 1000)
-    prev = _commit_timestamp(spark, path, version - 1) if version > 0 else None
+    prev_info = (
+        _commit_info_fields(spark, path, version - 1) if version > 0 else None
+    )
+    prev = None
+    if prev_info is not None:
+        raw = prev_info.get("inCommitTimestamp", prev_info.get("timestamp"))
+        prev = int(raw) if raw is not None else None
     stamped = max(now, prev + 1) if prev is not None else now
+    # the PROTOCOL field is sticky: once a commit carries
+    # inCommitTimestamp (the enablement commit writes it because its own
+    # protocol action declares the feature), every later commit does too
+    ict_on = (prev_info is not None and "inCommitTimestamp" in prev_info) or any(
+        _ICT_FEATURE in ((a.get("protocol") or {}).get("writerFeatures") or [])
+        for a in actions
+    )
     for a in actions:
         if "commitInfo" in a:
             a["commitInfo"] = {**a["commitInfo"], "timestamp": stamped}
+            if ict_on:
+                a["commitInfo"]["inCommitTimestamp"] = stamped
             break
     fs, _, jvm = _hadoop_fs(spark, path)
     log = jvm.org.apache.hadoop.fs.Path(_log_dir(path))
@@ -3194,6 +3233,53 @@ def delta_domain_metadata(
             else:
                 domains[dm["domain"]] = dm.get("configuration")
     return domains
+
+
+def delta_enable_in_commit_timestamps(spark: SparkSession, path: str) -> int:
+    """Opt the table into PROTOCOL in-commit timestamps (writer feature
+    ``inCommitTimestamp``, table-features v7; delta-spark's
+    ``delta.enableInCommitTimestamps``): one commit carrying the
+    protocol upgrade, the enabling table property, and the enablement
+    provenance the protocol prescribes (enablement version — so readers
+    know timestamps BEFORE it come from file-modification semantics).
+    The enablement commit itself is the first to carry
+    ``commitInfo.inCommitTimestamp`` (the _write_commit stamp is sticky
+    from here on); this engine's monotonicity guarantee
+    (``max(now, prev+1)``) already satisfies the feature's ordering
+    requirement. Returns the enablement commit version; idempotent."""
+    proto, meta, _, _ = _snapshot_state(spark, path, include_adds=False)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    wf = set((proto or {}).get("writerFeatures") or ())
+    if _ICT_FEATURE in wf:
+        return _list_versions(spark, path)[-1]
+    version = _list_versions(spark, path)[-1] + 1
+    rf = set((proto or {}).get("readerFeatures") or ())
+    new_proto = {
+        "minReaderVersion": int(
+            (proto or _PROTOCOL).get("minReaderVersion", 1)
+        ),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(wf | {_ICT_FEATURE, "checkConstraints"}),
+    }
+    if rf:
+        new_proto["readerFeatures"] = sorted(rf)
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.enableInCommitTimestamps"] = "true"
+    conf["delta.inCommitTimestampEnablementVersion"] = str(version)
+    actions = [
+        _commit_info("UPGRADE PROTOCOL"),
+        {"protocol": new_proto},
+        {"metaData": {**meta, "configuration": conf}},
+    ]
+    try:
+        _write_commit(spark, path, version, actions)
+    except RuntimeError:
+        raise DeltaConcurrentModification(
+            f"a concurrent commit landed during the ICT enablement of "
+            f"{path}; re-run against the new snapshot"
+        ) from None
+    return version
 
 
 def _commit_domain_action(
@@ -6406,6 +6492,69 @@ def delta_native_history_timestamp_travel(
     ).orderBy("version")
 
 
+def delta_native_in_commit_timestamps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROTOCOL in-commit timestamps (writer feature
+    ``inCommitTimestamp``) as a feature-gated lifecycle: a pre-ICT
+    write, the enablement commit (protocol upgrade + table property +
+    enablement-version provenance), and two post-enablement commits.
+    Asserted in-query (wall-clock values never reach the output):
+    ``commitInfo.inCommitTimestamp`` present on exactly the commits ≥
+    the enablement version, strictly monotonic timestamps across the
+    mixed pre/post history, TIMESTAMP AS OF each commit's own stamp
+    resolving to exactly that version, enablement idempotent, and the
+    enablement version recorded in the table configuration. Output:
+    the deterministic (version, operation, has_ict, n_rows) ledger +
+    the enablement version."""
+    import tempfile
+
+    from ..tables import load_table
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_ict_")
+    delta_write(n, path, mode="overwrite")  # v0: pre-ICT
+    ev = delta_enable_in_commit_timestamps(spark, path)  # v1: enable
+    if delta_enable_in_commit_timestamps(spark, path) != ev:
+        raise AssertionError("ICT enablement must be idempotent")
+    delta_write(n.where("n_regionkey = 0"), path, mode="append")  # v2
+    delta_delete(spark, path, "n_nationkey % 2 = 0")  # v3
+    proto, meta, _, _ = _snapshot_state(spark, path, include_adds=False)
+    if _ICT_FEATURE not in (proto.get("writerFeatures") or []):
+        raise AssertionError("writer feature missing after enablement")
+    conf = meta.get("configuration") or {}
+    if conf.get("delta.enableInCommitTimestamps") != "true" or int(
+        conf.get("delta.inCommitTimestampEnablementVersion", -1)
+    ) != ev:
+        raise AssertionError(f"enablement provenance wrong: {conf}")
+    rows = []
+    prev_ts = None
+    ops = {h["version"]: h["operation"] for h in delta_history(spark, path)}
+    for v in _list_versions(spark, path):
+        info = _commit_info_fields(spark, path, v) or {}
+        has_ict = 1 if "inCommitTimestamp" in info else 0
+        if has_ict != (1 if v >= ev else 0):
+            raise AssertionError(
+                f"v{v}: inCommitTimestamp presence violates the gate"
+            )
+        ts = _commit_timestamp(spark, path, v)
+        if prev_ts is not None and ts <= prev_ts:
+            raise AssertionError(f"v{v}: timestamps not monotonic")
+        prev_ts = ts
+        n_rows = delta_read(spark, path, timestamp=ts).count()
+        if n_rows != delta_read(spark, path, version=v).count():
+            raise AssertionError(f"v{v}: AS OF its own ICT missed")
+        rows.append((v, ops.get(v, "WRITE"), has_ict, n_rows))
+    return spark.createDataFrame(
+        rows,
+        "version bigint, operation string, has_ict bigint, n_rows bigint",
+    ).select(
+        "*", F.lit(ev).cast("long").alias("enablement_version")
+    ).orderBy("version")
+
+
 def delta_native_identity_columns(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7064,6 +7213,30 @@ QUERIES: list[QueryDef] = [
         description="DESCRIBE HISTORY + TIMESTAMP AS OF: monotonic "
         "in-commit timestamps, per-commit operation ledger, AS-OF reads "
         "asserted equal to version reads in-query.",
+    ),
+    QueryDef(
+        "delta_native_in_commit_timestamps",
+        delta_native_in_commit_timestamps,
+        """
+        WITH v0 AS (SELECT n_nationkey, n_regionkey FROM nation),
+        v2 AS (SELECT * FROM v0
+               UNION ALL SELECT * FROM v0 WHERE n_regionkey = 0),
+        v3 AS (SELECT * FROM v2 WHERE n_nationkey % 2 <> 0)
+        SELECT *, CAST(1 AS BIGINT) AS enablement_version FROM (
+          SELECT CAST(0 AS BIGINT) AS version, 'WRITE' AS operation,
+                 CAST(0 AS BIGINT) AS has_ict,
+                 CAST((SELECT COUNT(*) FROM v0) AS BIGINT) AS n_rows
+          UNION ALL SELECT 1, 'UPGRADE PROTOCOL', 1,
+                 (SELECT COUNT(*) FROM v0)
+          UNION ALL SELECT 2, 'WRITE', 1, (SELECT COUNT(*) FROM v2)
+          UNION ALL SELECT 3, 'DELETE', 1, (SELECT COUNT(*) FROM v3)
+        ) ORDER BY version
+        """,
+        tags=("parity", "delta", "io"),
+        description="Writer feature inCommitTimestamp as a gated "
+        "lifecycle: protocol upgrade + enablement provenance property, "
+        "commitInfo.inCommitTimestamp on exactly the post-enablement "
+        "commits, monotonicity and AS-OF resolution asserted in-query.",
     ),
     QueryDef(
         "delta_native_update_dv",
