@@ -231,6 +231,105 @@ def ts_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+BOOT_REPLICAS = 32
+# Poisson(1) CDF thresholds in per-mille for the hash draw: the Poisson
+# bootstrap (Chamandy et al., "Estimating Uncertainty for Massive Data
+# Streams") replaces with-replacement resampling by an independent
+# Poisson(1) inclusion count per (row, replica) — the streaming/
+# distributed bootstrap, here made DETERMINISTIC by drawing from the
+# md5 hash of (replica, doc). P(X≥4) mass folds into m=4.
+_BOOT_CDF_PM = (368, 736, 920, 981)
+
+
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean document length — the
+    uncertainty quantification a corpus card should attach to every
+    point estimate, via the POISSON bootstrap (the only bootstrap that
+    distributes: each replica assigns every doc an independent
+    Poisson(1) multiplicity, so no replica ever needs a global
+    with-replacement sample). Deterministic: the multiplicity is a
+    4-threshold lookup on md5_32("b:doc") per (replica, doc) — both
+    engines draw identical replicas, so the CI is bit-exact. Replica
+    statistic = Σ m·len DIV Σ m (exact integer mean); the interval is
+    the 2nd smallest / 2nd largest of BOOT_REPLICAS = 32 replica means
+    (≈ a 94% percentile interval at B=32).
+
+    Plan: ONE replica explosion (B rows per doc, map-side arithmetic —
+    at 100 TB this is the classic mapper-side bootstrap, no shuffle of
+    payloads) → a B-group aggregate → an O(B) rank over the replica
+    means. Output: point estimate, CI, replica spread."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("x")
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    reps = d.select(
+        "doc_id",
+        "x",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOT_REPLICAS - 1))
+        ).alias("b"),
+    ).withColumn(
+        "m",
+        F.when(draw < _BOOT_CDF_PM[0], 0)
+        .when(draw < _BOOT_CDF_PM[1], 1)
+        .when(draw < _BOOT_CDF_PM[2], 2)
+        .when(draw < _BOOT_CDF_PM[3], 3)
+        .otherwise(4),
+    )
+    means = (
+        reps.groupBy("b")
+        .agg(
+            F.sum("m").alias("n_eff"),
+            F.sum(F.expr("m * x")).alias("sx"),
+        )
+        .select("b", F.expr("sx DIV n_eff").alias("mean_b"))
+    )
+    point = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("SUM(x) DIV COUNT(*)").alias("point_mean"),
+    )
+    ranked = means.select(
+        F.expr(
+            "row_number() OVER (ORDER BY mean_b, b)"
+        ).alias("rk"),
+        "mean_b",
+    )
+    ci = ranked.agg(
+        F.min(F.when(F.col("rk") == 2, F.col("mean_b"))).alias("boot_lo"),
+        F.min(
+            F.when(F.col("rk") == BOOT_REPLICAS - 1, F.col("mean_b"))
+        ).alias("boot_hi"),
+        F.min("mean_b").alias("boot_min"),
+        F.max("mean_b").alias("boot_max"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("point_mean").cast("long").alias("point_mean"),
+        F.col("boot_lo").cast("long").alias("boot_lo"),
+        F.col("boot_hi").cast("long").alias("boot_hi"),
+        F.col("boot_min").cast("long").alias("boot_min"),
+        F.col("boot_max").cast("long").alias("boot_max"),
+        F.lit(BOOT_REPLICAS).cast("long").alias("n_replicas"),
+    )
+
+
 def stats_ab_proportion_ztest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1762,6 +1861,58 @@ QUERIES: list[QueryDef] = [
         description="Per-segment OLS monthly-revenue trend: exact "
         "cross-multiplied slope and launch-month intercept x1000 from "
         "a five-moment rollup over the bounded month domain.",
+    ),
+    QueryDef(
+        "stats_bootstrap_ci",
+        stats_bootstrap_ci,
+        f"""
+        WITH d AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents),
+        reps AS (
+          SELECT x, b,
+                 CASE
+                   WHEN h < {_BOOT_CDF_PM[0]} THEN 0
+                   WHEN h < {_BOOT_CDF_PM[1]} THEN 1
+                   WHEN h < {_BOOT_CDF_PM[2]} THEN 2
+                   WHEN h < {_BOOT_CDF_PM[3]} THEN 3
+                   ELSE 4 END AS m
+          FROM (
+            SELECT d.x, b.b,
+                   CAST(('0x' || substring(md5(CAST(b.b AS VARCHAR) || ':'
+                        || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                     % 1000 AS h
+            FROM d, range(0, {BOOT_REPLICAS}) b(b)) t),
+        means AS (
+          SELECT b, SUM(m * x) // SUM(m) AS mean_b
+          FROM reps GROUP BY b),
+        ranked AS (
+          SELECT mean_b,
+                 ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rk
+          FROM means),
+        ci AS (
+          SELECT MIN(CASE WHEN rk = 2 THEN mean_b END) AS boot_lo,
+                 MIN(CASE WHEN rk = {BOOT_REPLICAS - 1} THEN mean_b END)
+                   AS boot_hi,
+                 MIN(mean_b) AS boot_min,
+                 MAX(mean_b) AS boot_max
+          FROM ranked),
+        pt AS (
+          SELECT COUNT(*) AS n_docs, SUM(x) // COUNT(*) AS point_mean
+          FROM d)
+        SELECT CAST(pt.n_docs AS BIGINT) AS n_docs,
+               CAST(pt.point_mean AS BIGINT) AS point_mean,
+               CAST(ci.boot_lo AS BIGINT) AS boot_lo,
+               CAST(ci.boot_hi AS BIGINT) AS boot_hi,
+               CAST(ci.boot_min AS BIGINT) AS boot_min,
+               CAST(ci.boot_max AS BIGINT) AS boot_max,
+               CAST({BOOT_REPLICAS} AS BIGINT) AS n_replicas
+        FROM pt, ci
+        """,
+        tags=("extension", "stats", "sampling"),
+        description="Deterministic Poisson bootstrap CI for the mean "
+        "doc length: per-(replica, doc) Poisson(1) multiplicity from an "
+        "md5 threshold lookup, 32 replica means, 2nd-order-statistic "
+        "interval — distributed uncertainty quantification, bit-exact.",
     ),
     QueryDef(
         "stats_ab_proportion_ztest",
