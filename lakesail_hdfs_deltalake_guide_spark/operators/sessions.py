@@ -222,6 +222,72 @@ BURST_WINDOW_NS = 6 * 3600 * 10**9  # 6-hour sliding window
 BURST_T = 5  # flag users reaching this many events in one window
 
 
+def session_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard by week — the retention triangle's
+    complement and the product metric cohort tables feed: for each
+    week, of the users ALIVE entering it (first activity ≤ w ≤ last
+    activity), what share had their LAST-ever activity there —
+    censoring-aware (users whose last week IS the corpus horizon are
+    censored, not churned; the horizon can't witness their future).
+
+        hazard(w) = churned(w) · 10⁶ DIV alive(w)
+
+    Exact and scale-safe: users collapse to one (first_week, last_week)
+    row map-side (the only data-sized shuffle, user-keyed); alive(w)
+    derives from cumulative start/end counts over the BOUNDED week
+    domain — no user×week explosion, no entity-scale window."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_ns")
+    week = F.expr(f"ts_ns div {WEEK_NS}")
+    spans = ev.groupBy("user_id").agg(
+        F.min(week).alias("fw"), F.max(week).alias("lw")
+    )
+    horizon = spans.agg(F.max("lw").alias("h"))
+    starts = spans.groupBy("fw").agg(F.count(F.lit(1)).alias("n_start"))
+    ends = spans.groupBy("lw").agg(F.count(F.lit(1)).alias("n_end"))
+    bounds = spans.agg(
+        F.min("fw").alias("wmin"), F.max("lw").alias("wmax")
+    )
+    weeks = bounds.select(
+        F.explode(F.sequence("wmin", "wmax")).alias("week")
+    )
+    dense = (
+        weeks.join(starts, weeks.week == starts.fw, "left")
+        .join(ends, weeks.week == ends.lw, "left")
+        .select(
+            "week",
+            F.coalesce("n_start", F.lit(0)).alias("n_start"),
+            F.coalesce("n_end", F.lit(0)).alias("n_end"),
+        )
+    )
+    w = Window.orderBy("week").rowsBetween(Window.unboundedPreceding, 0)
+    walked = (
+        dense.withColumn("cum_start", F.sum("n_start").over(w))
+        .withColumn("cum_end", F.sum("n_end").over(w))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "week",
+            # alive entering w: started by w, not ended BEFORE w
+            (F.col("cum_start") - (F.col("cum_end") - F.col("n_end")))
+            .alias("n_alive"),
+            F.when(F.col("week") < F.col("h"), F.col("n_end"))
+            .otherwise(0)
+            .alias("n_churned"),
+            F.when(F.col("week") == F.col("h"), F.col("n_end"))
+            .otherwise(0)
+            .alias("n_censored"),
+        )
+    )
+    return walked.select(
+        F.col("week").cast("long").alias("week"),
+        F.col("n_alive").cast("long").alias("n_alive"),
+        F.col("n_churned").cast("long").alias("n_churned"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        F.expr(
+            "CAST(n_churned * 1000000 DIV GREATEST(n_alive, 1) AS BIGINT)"
+        ).alias("hazard_ppm"),
+    ).orderBy("week")
+
+
 def session_interevent_cv2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event-interval burstiness per event type: CV² of the gaps
     between a user's consecutive same-type events — the INTERVAL-based
@@ -750,6 +816,51 @@ QUERIES: list[QueryDef] = [
         description="Day-of-week x hour activity heatmap with exact-ppm "
         "day shares and distinct users; epoch-integer dow (no "
         "locale/timezone week conventions).",
+    ),
+    QueryDef(
+        "session_churn_hazard",
+        session_churn_hazard,
+        f"""
+        WITH spans AS (
+          SELECT user_id, MIN(epoch_ns(ts) // {WEEK_NS}) AS fw,
+                 MAX(epoch_ns(ts) // {WEEK_NS}) AS lw
+          FROM events GROUP BY user_id),
+        horizon AS (SELECT MAX(lw) AS h FROM spans),
+        starts AS (SELECT fw, COUNT(*) AS n_start FROM spans GROUP BY fw),
+        ends AS (SELECT lw, COUNT(*) AS n_end FROM spans GROUP BY lw),
+        weeks AS (
+          SELECT unnest(range((SELECT MIN(fw) FROM spans),
+                              (SELECT MAX(lw) FROM spans) + 1)) AS week),
+        dense AS (
+          SELECT w.week,
+                 COALESCE(s.n_start, 0) AS n_start,
+                 COALESCE(e.n_end, 0) AS n_end
+          FROM weeks w
+          LEFT JOIN starts s ON s.fw = w.week
+          LEFT JOIN ends e ON e.lw = w.week),
+        walked AS (
+          SELECT week, n_end,
+                 SUM(n_start) OVER (ORDER BY week
+                   ROWS UNBOUNDED PRECEDING) AS cum_start,
+                 SUM(n_end) OVER (ORDER BY week
+                   ROWS UNBOUNDED PRECEDING) AS cum_end
+          FROM dense)
+        SELECT CAST(week AS BIGINT) AS week,
+               CAST(cum_start - (cum_end - n_end) AS BIGINT) AS n_alive,
+               CAST(CASE WHEN week < h.h THEN n_end ELSE 0 END AS BIGINT)
+                 AS n_churned,
+               CAST(CASE WHEN week = h.h THEN n_end ELSE 0 END AS BIGINT)
+                 AS n_censored,
+               CAST(CASE WHEN week < h.h THEN n_end ELSE 0 END * 1000000
+                    // GREATEST(cum_start - (cum_end - n_end), 1)
+                    AS BIGINT) AS hazard_ppm
+        FROM walked, horizon h ORDER BY week
+        """,
+        tags=("extension", "sessions", "events", "stats"),
+        description="Discrete-time weekly churn hazard, censoring-aware "
+        "(horizon-week exits are censored, not churned): alive/churned "
+        "ledgers from cumulative start/end counts over the bounded "
+        "week domain — the retention triangle's complement.",
     ),
     QueryDef(
         "session_interevent_cv2",
