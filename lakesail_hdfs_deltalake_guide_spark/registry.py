@@ -57,145 +57,81 @@ _TIER_MODULES = (
     "operators.text",
 )
 
-# Names with a driver-issued row, grouped by the round that issued it:
-# CORRECTNESS_r01.json (entries 1-50), CORRECTNESS_r02.json (49 green +
-# 1 rows-only-by-design `dedup_minhash_lsh`), CORRECTNESS_r03.json (48
-# green + 2 rows-only-by-design sketches), CORRECTNESS_r04.json (48
-# green + 2 rows-only-by-design ANN sketches). With every registered
-# query now driver-verified, the steady state is: newly registered
-# queries get first claim on the driver's ~50-entry window, and the
-# remainder of the window re-confirms the OLDEST rows (r01 first) as
-# regression re-verification — so each round rolls the re-confirm
-# cursor forward one round.
+# Names with a driver-issued row, keyed by the round whose
+# CORRECTNESS_r{NN}.json holds their FRESHEST green row (regenerated
+# from the CORRECTNESS files each round — a re-confirmed name moves to
+# the re-issuing round's set). The driver verifies the first ~50
+# registry entries per round; emitting these sets stalest-round-first
+# (after never-verified queries) makes that window a rolling
+# regression re-confirmation of the oldest driver signal.
+#
+# Round-11 rotation (VERDICT r10 item 1): the 33 r01 rows + 11 r04
+# rows are the stalest driver signal; with <=6 new queries this round
+# the 50-entry window covers all 44.
+
 _R01_VERIFIED = frozenset(
     {
-        "flagship_customer_order_analysis",
-        "projection_aliases",
-        "selectexpr_arithmetic",
-        "literal_projection",
-        "filter_equality",
-        "filter_comparison_sort",
-        "having_count",
-        "join_inner_group",
-        "join_semi_customers_with_orders",
-        "join_anti_customers_without_orders",
-        "join_broadcast_nation_region",
-        "agg_global_stats",
-        "agg_stats_by_flag",
-        "tpch_q1_pricing_summary",
-        "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier_volume",
-        "topk_orders",
         "case_account_bands",
         "group_priority_year",
         "monthly_revenue",
-        "tpch_q4_order_priority",
-        "tpch_q6_revenue_forecast",
+        "setop_except_positive_nonbuilding",
+        "setop_intersect_nations",
+        "setop_union_all_counts",
+        "text_bpe_token_count",
+        "text_fingerprint_duplicates",
+        "text_language_id",
+        "text_quality_score",
+        "text_rolling_hash_fingerprint",
+        "text_tfidf_top_terms",
+        "text_token_frequency",
+        "text_token_stats",
+        "topk_orders",
         "tpch_q10_returned_items",
         "tpch_q12_priority_shipping",
         "tpch_q14_promo_effect",
-        "tpch_q18_large_volume_customer",
-        "tpch_q19_or_predicates",
-        "tpch_q22_dormant_customers",
         "tpch_q15_top_supplier",
         "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_volume_customer",
+        "tpch_q19_or_predicates",
         "tpch_q21_sole_late_supplier",
-        "setop_union_all_counts",
-        "setop_intersect_nations",
-        "setop_except_positive_nonbuilding",
-        "window_range_frame_trailing",
+        "tpch_q22_dormant_customers",
+        "tpch_q4_order_priority",
+        "tpch_q6_revenue_forecast",
         "window_distribution_ranks",
-        "window_topn_per_segment",
-        "window_rank_orders_per_customer",
         "window_lag_event_delta",
-        "window_running_revenue",
         "window_moving_avg_events",
-        "text_bpe_token_count",
-        "text_rolling_hash_fingerprint",
-        "text_token_stats",
-        "text_token_frequency",
-        "text_quality_score",
-        "text_language_id",
-        "text_fingerprint_duplicates",
-        "text_tfidf_top_terms",
-        "dedup_exact_keep_first",
+        "window_range_frame_trailing",
+        "window_rank_orders_per_customer",
+        "window_running_revenue",
+        "window_topn_per_segment",
     }
 )
 
-# Round 2's last three stale rows were all re-confirmed by the r08
-# window — the set is empty and retired (names now live in _R08).
-
-# Round 3: 48 green + 2 rows-only-by-design sketches
-# (`similarity_lsh_topk`, `dedup_minhash_pairs`). Both later gained
-# full oracles and were unparked: lsh_topk re-verified r05;
-# minhash_pairs claimed its front slot in the r09 window and passed
-# with the full oracle (now lives in _R09).
-_R03_VERIFIED = frozenset(
-    {
-        # "similarity_lsh_topk" gained a full oracle in round 5 (was
-        # rows-only) — unparked for driver re-verification under the
-        # stronger contract
-    }
-)
-
-# Round 4: 48 green + 2 rows-only-by-design ANN sketches
-# (`similarity_ivf_topk`, `dedup_embedding_cosine`).
 _R04_VERIFIED = frozenset(
     {
-        "clean_clip_bounds",
-        "clean_drop_invalid",
-        "clean_impute_group_mean",
-        "clean_outlier_mad",
-        "clean_try_cast_ingestion",
-        "cohort_weekly_retention",
-        "dedup_bloom_contamination",
-        "dedup_contamination_check",
-        # "dedup_embedding_cosine" + "similarity_ivf_topk" gained full
-        # oracles in round 5 (were rows-only) — unparked for driver
-        # re-verification under the stronger contract
-        "dedup_levenshtein_pairs",
-        "dedup_ngram_jaccard_pairs",
-        "dedup_semdedup_clusters",
-        "dedup_simhash_pairs",
-        "delta_native_overwrite_append",
-        "delta_native_partition_prune",
-        "delta_native_restore",
-        "delta_native_time_travel",
         "graph_triangle_count",
-        "join_full_outer_hourly",
         "profile_token_lorenz",
-        "range_band_price_pairs",
-        "sample_per_source_topk",
-        "sample_temperature_mix",
-        "scalar_array_ops",
-        "scalar_date_arithmetic",
-        "scalar_string_functions",
         "stats_approx_distinct_users",
         "stats_countmin_heavy_hitters",
         "stats_price_histogram",
         "stats_qty_price_correlation",
-        "temporal_asof_nearest",
-        "tpch_q9_product_type_profit",
         "tpch_q11_balance_concentration",
         "tpch_q13_order_count_distribution",
         "tpch_q16_supplier_part_counts",
         "tpch_q20_promo_part_suppliers",
-        "ts_ewma_hourly",
-        "udf_group_zscore",
-        "udf_rowwise_token_count",
+        "tpch_q9_product_type_profit",
     }
 )
 
-# Round 5: 50/50 fully green — 33 first-time rows (the native Delta
-# table-features tier, Delta streaming, and the round-5 corpus ops, plus
-# the three former rows-only ANN sketches re-verified under full oracles)
-# and 17 r01 re-confirms from the regression cursor.
 _R05_VERIFIED = frozenset(
     {
+        "agg_global_stats",
+        "agg_stats_by_flag",
         "clean_domain_filter",
         "clean_gopher_quality_rules",
         "dedup_cluster_best_quality",
         "dedup_embedding_cosine",
+        "dedup_exact_keep_first",
         "dedup_fuzzy_containment",
         "dedup_paragraph_exact",
         "dedup_span_coverage",
@@ -214,24 +150,34 @@ _R05_VERIFIED = frozenset(
         "delta_native_zorder_skip",
         "delta_stream_cdf_ingest",
         "delta_stream_incremental_ingest",
+        "filter_comparison_sort",
+        "filter_equality",
+        "flagship_customer_order_analysis",
+        "having_count",
+        "join_anti_customers_without_orders",
+        "join_broadcast_nation_region",
+        "join_inner_group",
+        "join_semi_customers_with_orders",
+        "literal_projection",
         "pipeline_medallion_incremental",
         "profile_filter_agreement",
+        "projection_aliases",
         "sample_global_shuffle_shards",
         "sample_group_disjoint_split",
         "sample_split_drift",
+        "selectexpr_arithmetic",
         "similarity_ivf_topk",
         "similarity_lsh_topk",
         "streaming_delta_exactly_once_sink",
         "text_bm25_rank",
         "text_token_rarity_scores",
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
         "ts_ohlc_hourly",
     }
 )
 
-# Round 6: 50/50 fully green — 48 first-time rows (the whole round-6
-# extension surface X59–X107) plus 2 r02 re-confirms (`io_ctas_insert`,
-# `sql_over_views_flagship`), which moved here because their freshest
-# driver row is now r06.
 _R06_VERIFIED = frozenset(
     {
         "clean_classifier_calibration",
@@ -287,10 +233,6 @@ _R06_VERIFIED = frozenset(
     }
 )
 
-# Round 7: 50/50 fully green — 5 first-time rows (the round-7 operator
-# tier: exact-substring spans, IVF-PQ, BPE corpus encode, incremental
-# MinHash state, liquid clusterBy) plus 45 r02 re-confirms, which move
-# here because their freshest driver row is now r07.
 _R07_VERIFIED = frozenset(
     {
         "chunk_pack_sequences",
@@ -346,13 +288,6 @@ _R07_VERIFIED = frozenset(
     }
 )
 
-# Round 8: 50/50 fully green — 38 first-time rows (the round-8 tier:
-# stats batch, tokenizer completion, TF-IDF cosine, RRF, MMR/recall
-# audits, Lloyd round, incremental sessions/ANN pipelines, Delta
-# checksum/domainMetadata/MERGE-evolution/VACUUM, sessions/sampling/
-# cleaning/TS batch) plus 12 re-confirms (all 3 remaining r02 rows and
-# 9 r03 rows), which move here because their freshest driver row is
-# now r08.
 _R08_VERIFIED = frozenset(
     {
         "agg_percentile_approx",
@@ -408,10 +343,6 @@ _R08_VERIFIED = frozenset(
     }
 )
 
-# Round 9: 50/50 fully green — 1 first-time row (dedup_minhash_pairs,
-# the last never-sampled query, steered to the front of the window as
-# briefed) plus 49 re-confirms (39 r03 rows + 10 r04 rows), which move
-# here because their freshest driver row is now r09.
 _R09_VERIFIED = frozenset(
     {
         "chunk_doc_coverage",
@@ -467,22 +398,71 @@ _R09_VERIFIED = frozenset(
     }
 )
 
-# Oldest driver row first: the re-confirm cursor. r09's window took 39
-# r03 rows and 10 r04 rows, so the single r03 remainder still holds
-# the stalest driver row and leads — the r10 window = new queries +
-# the remaining r03 cursor, then r04. Re-confirmed names move to the
-# round that re-issued their row. (_R01 sits after _R05 because r05's
-# window re-issued the 17 stalest r01 rows in place — the set's
-# remaining rows date newer than the r05 batch.)
+_R10_VERIFIED = frozenset(
+    {
+        "chunk_packing_waste",
+        "clean_clip_bounds",
+        "clean_drop_invalid",
+        "clean_impute_group_mean",
+        "clean_mad_outliers",
+        "clean_outlier_mad",
+        "clean_try_cast_ingestion",
+        "cohort_weekly_retention",
+        "dedup_bloom_contamination",
+        "dedup_contamination_check",
+        "dedup_levenshtein_pairs",
+        "dedup_ngram_jaccard_pairs",
+        "dedup_prefix_jaccard_pairs",
+        "dedup_semdedup_clusters",
+        "dedup_simhash_pairs",
+        "dedup_source_overlap_kmv",
+        "delta_native_in_commit_timestamps",
+        "delta_native_overwrite_append",
+        "delta_native_partition_prune",
+        "delta_native_restore",
+        "delta_native_time_travel",
+        "graph_harmonic_centrality",
+        "join_full_outer_hourly",
+        "multimodal_shot_boundaries",
+        "profile_source_ks_drift",
+        "profile_zipf_slope",
+        "range_band_price_pairs",
+        "sample_per_source_topk",
+        "sample_pps_systematic",
+        "sample_temperature_mix",
+        "scalar_array_ops",
+        "scalar_date_arithmetic",
+        "scalar_string_functions",
+        "session_churn_hazard",
+        "session_interevent_cv2",
+        "stats_ab_proportion_ztest",
+        "stats_bootstrap_ci",
+        "stats_survival_km",
+        "temporal_asof_nearest",
+        "text_ccnet_paragraph_quality",
+        "text_crossencoder_rerank",
+        "text_heldout_bigram_coverage",
+        "text_jelinek_mercer_bigram",
+        "text_keyness_llr",
+        "text_tokenizer_fertility",
+        "ts_ewma_hourly",
+        "ts_kmv_rolling_distinct",
+        "ts_seasonal_anomaly",
+        "udf_group_zscore",
+        "udf_rowwise_token_count",
+    }
+)
+
+# Stalest driver row first: the re-confirm cursor.
 DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
-    _R03_VERIFIED,
+    _R01_VERIFIED,
     _R04_VERIFIED,
     _R05_VERIFIED,
-    _R01_VERIFIED,
     _R06_VERIFIED,
     _R07_VERIFIED,
     _R08_VERIFIED,
     _R09_VERIFIED,
+    _R10_VERIFIED,
 )
 DRIVER_VERIFIED = frozenset().union(*DRIVER_VERIFIED_ROUNDS)
 

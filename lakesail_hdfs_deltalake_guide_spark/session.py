@@ -2,8 +2,10 @@
 
 Mirrors the reference's session-bootstrap surface (SURVEY.md §2.8):
 ``SparkSession.builder`` with Hadoop/Kerberos conf pass-through
-(``/root/reference/examples/example_lakesail_kerberos.py:56-72``) — but
-self-hosted on a local/cluster Spark instead of a Spark Connect server.
+(``/root/reference/examples/example_lakesail_kerberos.py:56-72``) in two
+modes: self-hosted local/cluster Spark, or a Spark Connect endpoint via
+``master="sc://host:port"`` / ``$SPARK_REMOTE`` exactly as the reference
+connects to its server (``examples/create_deltalake_hdfs.py:13-16``).
 
 Scale posture (100 TB design, applied here at local[32]):
 - AQE on (runtime re-plan, skew-join splitting, partition coalescing).
@@ -85,6 +87,13 @@ def build_session(
     and ``hdfs://`` URIs (SURVEY.md §2.1 S9).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    remote = None
+    if master is not None and master.startswith("sc://"):
+        remote = master
+    elif master is None and os.environ.get("SPARK_REMOTE", "").startswith("sc://"):
+        remote = os.environ["SPARK_REMOTE"]
+    if remote is not None:
+        return _build_remote_session(app_name, remote, shuffle_partitions, extra_conf)
     master = master or f"local[{cpus}]"
     builder = (
         SparkSession.builder.master(master)
@@ -104,4 +113,33 @@ def build_session(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    return configure_session(spark)
+
+
+def _build_remote_session(
+    app_name: str,
+    remote_url: str,
+    shuffle_partitions: int | None,
+    extra_conf: dict[str, str] | None,
+) -> SparkSession:
+    """Spark Connect branch: ``sc://host:port`` / ``$SPARK_REMOTE``.
+
+    The reference connects to its server exclusively this way
+    (``/root/reference/examples/create_deltalake_hdfs.py:13-16``,
+    ``README.md:102-104``); every DataFrame built by this engine is
+    Connect-compatible (no RDD surface in query paths), so the only
+    difference is session construction. Static cluster confs (driver
+    memory, master) belong to the server; we pass only runtime confs,
+    via :func:`configure_session`, which already degrades per-conf when
+    the server forbids a setting.
+    """
+    builder = SparkSession.builder.remote(remote_url).appName(app_name)
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    if shuffle_partitions is not None:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        except Exception:
+            pass
     return configure_session(spark)

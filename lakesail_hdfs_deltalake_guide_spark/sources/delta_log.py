@@ -1123,6 +1123,12 @@ def _check_reader_version(path: str, proto: dict | None) -> None:
     found = proto.get("minReaderVersion")
     if found is None or int(found) <= _PROTOCOL["minReaderVersion"]:
         return
+    if int(found) == 2:
+        # PROTOCOL.md legacy reader version 2 == column mapping: exactly
+        # what delta-spark stamps on column-mapped tables below table
+        # features (the vendored golden fixture caught a refusal here).
+        if "columnMapping" in _READER_FEATURES_IMPLEMENTED:
+            return
     if int(found) == 3:
         # table-features reader: readable iff every listed readerFeature
         # is implemented. A v3 protocol action with NO feature list is
@@ -1313,12 +1319,26 @@ def delta_snapshot_adds_df(
         # multi-part checkpoints: parts 2..N carry only the add column;
         # mergeSchema unions the part schemas and the metadata-only
         # columns surface as nulls, filtered right out
-        parts.append(
+        ckpt = (
             spark.read.option("mergeSchema", "true")
             .parquet(*_checkpoint_files(spark, path, ck))
             .where(F.col("add.path").isNotNull())
-            .select(
-                *[F.col(f"add.{c}").alias(c) for c in cols],
+        )
+        # foreign checkpoints (delta-spark) carry only the add fields
+        # their writer knows — absent ones (deletionVector, baseRowId on
+        # a non-DV table) surface as typed nulls instead of failing the
+        # struct-field resolution (caught by the golden fixture)
+        present = set(ckpt.schema["add"].dataType.fieldNames())
+        parts.append(
+            ckpt.select(
+                *[
+                    (
+                        F.col(f"add.{f.name}")
+                        if f.name in present
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in add_schema.fields
+                ],
                 F.lit(ck).alias("_v"),
                 F.lit(True).alias("_live"),
             )
@@ -2532,6 +2552,11 @@ def _plan_commit(
     # would be protocol-corrupt (adds with wrong partitionValues,
     # mixed directory layouts) — reject it loudly
     declared = meta.get("partitionColumns", [])
+    if partition_by is None and declared:
+        # delta-spark UX: a write that omits partitionBy on an existing
+        # partitioned table inherits its layout (the golden foreign-
+        # fixture append); only a CONTRADICTING spec is protocol-corrupt
+        partition_by = list(declared)
     if list(partition_by or []) != list(declared):
         raise ValueError(
             f"partition_by {partition_by or []} does not match the "
@@ -2831,15 +2856,25 @@ def delta_write(
         identity_columns,
         column_defaults,
     )
+    if partition_by is None and eff_meta.get("partitionColumns"):
+        # _plan_commit inherited the existing table's layout; staging
+        # and retry re-plans must use the same effective spec
+        partition_by = list(eff_meta["partitionColumns"])
     txn_action = (
         [{"txn": {"appId": txn[0], "version": int(txn[1])}}] if txn else []
     )
-    # mapped tables: files hold PHYSICAL names; stats keys follow
+    # mapped tables: files hold PHYSICAL names; stats keys, hive
+    # partition dirs, and add.partitionValues keys follow (the golden
+    # foreign-fixture append caught logical names leaking into staging)
     staged_stats = stats_cols
+    staged_partition_by = partition_by
     if _cm_enabled(eff_meta):
         pm = {l: p for p, l in _cm_pairs(eff_meta)}
         staged_stats = (
             [pm.get(c, c) for c in stats_cols] if stats_cols else None
+        )
+        staged_partition_by = (
+            [pm.get(c, c) for c in partition_by] if partition_by else None
         )
     staged_df = _to_physical(conformed, eff_meta)
     if (
@@ -2854,8 +2889,8 @@ def delta_write(
         # exactly delta-spark's optimized-write shuffle. Partitioned
         # tables rebalance ON the partition columns so each hive dir gets
         # right-sized files instead of one shard per task.
-        staged_df = staged_df.hint("rebalance", *(partition_by or []))
-    adds = _stage_data_files(staged_df, path, partition_by, staged_stats)
+        staged_df = staged_df.hint("rebalance", *(staged_partition_by or []))
+    adds = _stage_data_files(staged_df, path, staged_partition_by, staged_stats)
     # row tracking: fresh baseRowId ranges + watermark metaData, ordered
     # AFTER any creation/evolution metaData so the advanced watermark
     # wins the fold (it is built from eff_meta, so nothing is lost)

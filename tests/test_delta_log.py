@@ -122,8 +122,19 @@ def test_append_with_wrong_partitioning_is_rejected(spark, sf_smoke):
     n = load_table(spark, sf_smoke, "nation")
     path = tempfile.mkdtemp(prefix="ls_dl_t6_")
     delta_write(n, path, partition_by=["n_regionkey"])
+    # omitted partition_by INHERITS the table's layout (delta-spark UX,
+    # pinned by the golden foreign-fixture append in r11)
+    assert delta_write(n, path, mode="append") == 1
+    adds = dict(
+        __import__(
+            "lakesail_hdfs_deltalake_guide_spark.sources.delta_log",
+            fromlist=["delta_live_adds"],
+        ).delta_live_adds(spark, path)
+    )
+    assert all("n_regionkey" in a["partitionValues"] for a in adds.values())
+    # a CONTRADICTING explicit spec is protocol-corrupt — still refused
     with pytest.raises(ValueError, match="partitionColumns"):
-        delta_write(n, path, mode="append")  # partition_by forgotten
+        delta_write(n, path, mode="append", partition_by=["n_nationkey"])
 
 
 def test_fully_retracted_snapshot_reads_empty(spark, sf_smoke):
@@ -498,7 +509,10 @@ def test_reader_refuses_higher_protocol_version(spark, sf_smoke):
     )
     with pytest.raises(ValueError, match="reader features"):
         delta_read(spark, path2)
-    # reader v2 (column mapping, pre-table-features) is above v1: refuse
+    # reader v2 is the LEGACY column-mapping version (what delta-spark
+    # stamps on column-mapped tables below table features) — this reader
+    # implements columnMapping, so v2 tables are readable (r11 fix
+    # caught by the golden fixture); only v4+ legacy versions refuse
     path3 = tempfile.mkdtemp(prefix="ls_dl_proto_r3_")
     delta_write(n, path3, mode="overwrite")
     delta_log._write_commit(
@@ -507,8 +521,17 @@ def test_reader_refuses_higher_protocol_version(spark, sf_smoke):
         1,
         [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}],
     )
-    with pytest.raises(ValueError, match="minReaderVersion=2"):
-        delta_read(spark, path3)
+    assert delta_read(spark, path3).count() == n.count()
+    path4 = tempfile.mkdtemp(prefix="ls_dl_proto_r4_")
+    delta_write(n, path4, mode="overwrite")
+    delta_log._write_commit(
+        spark,
+        path4,
+        1,
+        [{"protocol": {"minReaderVersion": 4, "minWriterVersion": 7}}],
+    )
+    with pytest.raises(ValueError, match="minReaderVersion=4"):
+        delta_read(spark, path4)
 
 
 def test_writer_refuses_higher_writer_version_reader_still_works(spark, sf_smoke):

@@ -1,0 +1,156 @@
+"""Foreign-log conformance against the vendored golden Delta fixture
+(VERDICT r10 item 2).
+
+``tests/fixtures/golden_delta`` is a committed table whose ``_delta_log``
+is authored in delta-spark 3.2's wire format (commitInfo-first commits,
+physical-name partition dirs + stats keys, checkpoint adds with
+``dataChange=false`` and ``tags``, classic + 2-part checkpoints,
+``_last_checkpoint`` with ``parts`` — see
+``tests/fixtures/make_golden_delta.py`` for the honesty note: hand-
+authored to that format, since no delta-spark jars exist in-sandbox).
+
+Unlike ``test_delta_spark_conformance.py`` (which needs real jars and
+skips here), this suite runs on every pytest invocation: it proves the
+native reader folds a FOREIGN log — snapshot, time travel, multi-part
+checkpoint, domainMetadata, column mapping, SetTransaction — without
+ever having written a byte of it. Expected values are fixed by the
+generator's layout table, not computed from the reader under test.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+    _read_checkpoint,
+    delta_domain_metadata,
+    delta_history,
+    delta_last_txn,
+    delta_live_adds,
+    delta_read,
+    delta_row_count_from_stats,
+    delta_write,
+)
+
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "fixtures", "golden_delta")
+
+# version -> (row count, sum(amount)) fixed by the generator layout
+EXPECTED = {
+    0: (5, 151.25),
+    1: (7, 282.0),
+    2: (8, 362.0),
+    3: (7, 322.0),
+    4: (8, 412.0),
+    5: (9, 512.0),
+}
+
+
+def test_snapshot_fold_and_column_mapping(spark):
+    df = delta_read(spark, GOLDEN)
+    # logical names in metaData order, never physical col-* names
+    assert df.columns == ["id", "dept", "amount", "note"]
+    rows = {r["id"]: r for r in df.collect()}
+    assert sorted(rows) == [1, 2, 3, 5, 6, 7, 8, 9, 10]  # id 4 deleted @v3
+    assert round(sum(r["amount"] for r in rows.values()), 2) == 512.0
+    assert rows[10]["dept"] == "mkt" and rows[9]["dept"] == "eng"
+
+
+@pytest.mark.parametrize("version", sorted(EXPECTED))
+def test_time_travel_every_version(spark, version):
+    count, amount = EXPECTED[version]
+    df = delta_read(spark, GOLDEN, version=version)
+    got = df.collect()
+    assert len(got) == count
+    assert round(sum(r["amount"] for r in got), 2) == amount
+
+
+def test_multipart_checkpoint_folds_both_parts(spark):
+    """v4 resolves through the 2-part checkpoint alone (no tail): part 1
+    carries protocol/metaData/domainMetadata + 1 add, part 2 the other
+    3 adds — a fold that read only part 1 would lose 3 live files."""
+    proto, meta, live, txns = _read_checkpoint(spark, GOLDEN, 4)
+    assert proto["minReaderVersion"] == 2
+    assert proto["minWriterVersion"] == 7
+    assert set(proto["writerFeatures"]) == {"columnMapping", "domainMetadata"}
+    assert meta["partitionColumns"] == ["dept"]
+    assert len(live) == 4  # A, C, E, F
+    assert txns == {}
+    # meta-only projection reads part 1 alone and still finds metaData
+    proto2, meta2, live2, _ = _read_checkpoint(spark, GOLDEN, 4, meta_only=True)
+    assert proto2 == proto and meta2["id"] == meta["id"] and live2 == {}
+
+
+def test_checkpoint_adds_survive_foreign_field_shape(spark):
+    """delta-spark checkpoints re-emit adds with dataChange=false, a tags
+    column, and map-typed partitionValues — all must fold to live files
+    with PHYSICAL partition keys preserved."""
+    _, _, live, _ = _read_checkpoint(spark, GOLDEN, 2)
+    assert len(live) == 4  # A, B, C, D live at v2
+    for add in live.values():
+        assert add["dataChange"] is False
+        assert list(add["partitionValues"]) == ["col-9e8f7a6b"]
+        assert add["partitionValues"]["col-9e8f7a6b"] in {"eng", "mkt"}
+
+
+def test_domain_metadata_from_checkpoint_and_log(spark):
+    domains = delta_domain_metadata(spark, GOLDEN)
+    assert domains["lakesail.retention"] == '{"days":30}'
+    # not yet set at v1
+    assert "lakesail.retention" not in delta_domain_metadata(
+        spark, GOLDEN, version=1
+    )
+
+
+def test_set_transaction_visible(spark):
+    assert delta_last_txn(spark, GOLDEN, "golden-app") == 7
+    assert delta_last_txn(spark, GOLDEN, "absent-app") is None
+
+
+def test_stats_fold_row_counts(spark):
+    """add.stats strings (physical-name keys) drive the metadata-only
+    row count — must equal the scanned count at every version."""
+    assert delta_row_count_from_stats(spark, GOLDEN) == 9
+    assert delta_row_count_from_stats(spark, GOLDEN, version=2) == 8
+
+
+def test_partition_prune_on_logical_name(spark):
+    """partition_filter uses PHYSICAL keys in the log; pruning by the
+    physical partition value must skip mkt files entirely."""
+    live = dict(delta_live_adds(spark, GOLDEN))
+    eng = [f for f in live if f.startswith("col-9e8f7a6b=eng/")]
+    assert len(eng) == 3
+    df = delta_read(spark, GOLDEN,
+                    partition_filter={"col-9e8f7a6b": "eng"})
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3, 6, 7, 9]
+
+
+def test_history_reads_foreign_commit_info(spark):
+    hist = delta_history(spark, GOLDEN)
+    ops = {h["version"]: h.get("operation") for h in hist}
+    assert ops[0] == "WRITE" and ops[3] == "DELETE"
+    assert len(hist) == 6
+
+
+def test_native_append_onto_foreign_table(spark, tmp_path):
+    """The write half of the interop: every writerFeature the golden
+    table declares (columnMapping, domainMetadata) is implemented
+    natively, so a native append must succeed, translate logical →
+    physical names, and leave the table readable at both versions."""
+    dest = str(tmp_path / "golden_copy")
+    shutil.copytree(GOLDEN, dest)
+    extra = spark.createDataFrame(
+        [(11, "eng", 5.0, "k")], "id int, dept string, amount double, note string"
+    )
+    v = delta_write(extra, dest, mode="append")
+    assert v == 6
+    df = delta_read(spark, dest)
+    assert df.count() == 10
+    assert round(
+        sum(r["amount"] for r in df.collect()), 2
+    ) == 517.0
+    # prior history still intact
+    assert delta_read(spark, dest, version=5).count() == 9

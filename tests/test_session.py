@@ -1,0 +1,136 @@
+"""Session-construction surface (SURVEY.md §2.8).
+
+The Spark Connect branch mirrors how the reference's examples connect to
+their server (``/root/reference/examples/create_deltalake_hdfs.py:13-16``:
+``builder.remote("sc://localhost:15002")``). No live Connect endpoint
+exists in-sandbox, so the branch is exercised against a recording fake:
+what matters is that ``sc://`` masters and ``$SPARK_REMOTE`` route through
+``builder.remote`` (never ``.master``) and still receive the engine's
+runtime confs via ``configure_session``.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakesail_hdfs_deltalake_guide_spark import session as session_mod
+from lakesail_hdfs_deltalake_guide_spark.session import RUNTIME_CONFS, build_session
+
+
+class _FakeConf:
+    def __init__(self):
+        self.values: dict[str, str] = {}
+
+    def set(self, key, value):
+        self.values[key] = value
+
+    def get(self, key):
+        if key not in self.values:
+            raise KeyError(key)
+        return self.values[key]
+
+
+class _FakeSparkContext:
+    defaultParallelism = 8
+
+    def setLogLevel(self, level):
+        pass
+
+
+class _FakeSession:
+    def __init__(self, remote_url, confs):
+        self.remote_url = remote_url
+        self.conf = _FakeConf()
+        self.conf.values.update(confs)
+
+    @property
+    def sparkContext(self):
+        if self.remote_url is not None:
+            # Connect sessions have no SparkContext
+            raise RuntimeError("SparkContext is not available in Spark Connect")
+        return _FakeSparkContext()
+
+
+class _FakeBuilder:
+    def __init__(self, record):
+        self._record = record
+
+    def remote(self, url):
+        self._record["remote_url"] = url
+        return self
+
+    def master(self, m):
+        self._record["master"] = m
+        return self
+
+    def appName(self, name):
+        self._record["app_name"] = name
+        return self
+
+    def config(self, key, value):
+        self._record.setdefault("confs", {})[key] = value
+        return self
+
+    def getOrCreate(self):
+        return _FakeSession(
+            self._record.get("remote_url"), self._record.get("confs", {})
+        )
+
+
+class _FakeSparkSession:
+    record: dict = {}
+
+    class _BuilderDescriptor:
+        def __get__(self, obj, objtype=None):
+            return _FakeBuilder(_FakeSparkSession.record)
+
+    builder = _BuilderDescriptor()
+
+
+@pytest.fixture()
+def fake_spark(monkeypatch):
+    _FakeSparkSession.record = {}
+    monkeypatch.setattr(session_mod, "SparkSession", _FakeSparkSession)
+    return _FakeSparkSession.record
+
+
+def test_sc_master_routes_to_builder_remote(fake_spark):
+    spark = build_session(master="sc://example.host:15002")
+    assert fake_spark["remote_url"] == "sc://example.host:15002"
+    assert "master" not in fake_spark  # never .master() for Connect
+    # runtime confs applied post-construction (configure_session path)
+    for key, value in RUNTIME_CONFS.items():
+        assert spark.conf.values[key] == value
+
+
+def test_spark_remote_env_routes_to_builder_remote(fake_spark, monkeypatch):
+    monkeypatch.setenv("SPARK_REMOTE", "sc://env.host:15002")
+    spark = build_session()
+    assert fake_spark["remote_url"] == "sc://env.host:15002"
+    assert spark.conf.values["spark.sql.session.timeZone"] == "UTC"
+
+
+def test_explicit_master_wins_over_spark_remote_env(fake_spark, monkeypatch):
+    monkeypatch.setenv("SPARK_REMOTE", "sc://env.host:15002")
+    build_session(master="sc://explicit.host:443")
+    assert fake_spark["remote_url"] == "sc://explicit.host:443"
+
+
+def test_remote_shuffle_partitions_and_extra_conf(fake_spark):
+    spark = build_session(
+        master="sc://h:15002",
+        shuffle_partitions=96,
+        extra_conf={"spark.hadoop.hadoop.security.authentication": "kerberos"},
+    )
+    assert spark.conf.values["spark.sql.shuffle.partitions"] == "96"
+    # Kerberos/Hadoop conf pass-through identical to the local branch
+    assert (
+        fake_spark["confs"]["spark.hadoop.hadoop.security.authentication"]
+        == "kerberos"
+    )
+
+
+def test_local_branch_unaffected(fake_spark):
+    build_session(master="local[4]", app_name="t")
+    assert fake_spark.get("remote_url") is None
+    assert fake_spark["master"] == "local[4]"
