@@ -17,7 +17,7 @@ asserted in tests/test_chunking.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..querydef import QueryDef
@@ -160,6 +160,178 @@ def chunk_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- semantic chunking (r11, VERDICT r10 item 6) -------------------------
+#
+# Boundary-aware chunking for RAG ingestion: segment each document into
+# fixed 8-token "sentence" units, embed each unit with a deterministic
+# integer stub projector (the fixtures carry no sentence structure or
+# real encoder — the projector is the same md5-token-hash family as
+# text_rolling_hash_fingerprint, so the oracle replays it bit-exactly;
+# swapping in a real sentence encoder changes ONE expression), then cut
+# a chunk boundary wherever adjacent-unit cosine drops below τ=0.5.
+# The cosine test is pure BIGINT: boundary ⇔ dot ≤ 0 or
+# dot²·10⁶ < τ²ppm·|a|²·|b|² — no sqrt, no float, no cross-engine drift.
+# A 4-unit (32-token) cap sub-splits long coherent segments so no chunk
+# exceeds the context budget.
+#
+# Scale shape: one shuffle on (doc_id, sentence_id), then doc-bounded
+# windows (lag + running boundary count) — no corpus-wide window, no
+# Python. At 100 TB this is groupBy + per-doc windows, exactly as cheap
+# as the fixed sliding-window chunker beside it.
+
+SENT_LEN = 8  # tokens per sentence unit
+EMB_DIM = 16  # stub sentence-embedding dimensions
+CHUNK_SENTS = 4  # cap: 4 units = 32 tokens per chunk
+TAU2_PPM = 250_000  # τ = 0.5 → τ² in ppm
+
+
+def chunk_semantic_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc semantic-chunking report: sentence units, semantic
+    boundaries, resulting chunk count, largest chunk, token coverage."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    ).select(
+        "doc_id",
+        (F.col("pos") / SENT_LEN).cast("bigint").alias("sent_id"),
+        (
+            F.pmod(
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
+                F.lit(2_147_483_647),
+            )
+            % 1000
+        ).alias("hm"),
+    )
+    sents = toks.groupBy("doc_id", "sent_id").agg(
+        F.count(F.lit(1)).alias("sent_tokens"),
+        *[
+            F.sum((F.col("hm") * (dd + 3)) % 17 - 8).alias(f"c{dd}")
+            for dd in range(EMB_DIM)
+        ],
+    )
+    w = Window.partitionBy("doc_id").orderBy("sent_id")
+    lagged = sents.select(
+        "doc_id",
+        "sent_id",
+        "sent_tokens",
+        *[F.col(f"c{dd}") for dd in range(EMB_DIM)],
+        *[
+            F.lag(f"c{dd}").over(w).alias(f"p{dd}")
+            for dd in range(EMB_DIM)
+        ],
+    )
+    dot = sum(F.col(f"c{dd}") * F.col(f"p{dd}") for dd in range(EMB_DIM))
+    na2 = sum(F.col(f"p{dd}") * F.col(f"p{dd}") for dd in range(EMB_DIM))
+    nb2 = sum(F.col(f"c{dd}") * F.col(f"c{dd}") for dd in range(EMB_DIM))
+    flagged = lagged.select(
+        "doc_id",
+        "sent_id",
+        "sent_tokens",
+        F.when(F.col("p0").isNull(), F.lit(0))
+        .when(dot <= 0, F.lit(1))
+        .when(dot * dot * 1_000_000 < F.lit(TAU2_PPM) * na2 * nb2, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("brk"),
+    )
+    seg = flagged.select(
+        "doc_id",
+        "sent_id",
+        "sent_tokens",
+        "brk",
+        F.sum("brk").over(w).alias("segment"),
+    )
+    wseg = Window.partitionBy("doc_id", "segment").orderBy("sent_id")
+    chunks = seg.select(
+        "doc_id",
+        "sent_tokens",
+        "brk",
+        "segment",
+        ((F.row_number().over(wseg) - 1) / CHUNK_SENTS)
+        .cast("bigint")
+        .alias("sub"),
+    ).groupBy(
+        "doc_id", "segment", "sub"
+    ).agg(
+        F.sum("sent_tokens").alias("chunk_tokens"),
+        F.count(F.lit(1)).alias("chunk_sents"),
+        F.sum("brk").alias("brks"),
+    )
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.sum("chunk_sents").cast("bigint").alias("n_sentences"),
+            F.sum("brks").cast("bigint").alias("n_boundaries"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.max("chunk_tokens").cast("bigint").alias("max_chunk_tokens"),
+            F.sum("chunk_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _semantic_sql() -> str:
+    """DuckDB twin of chunk_semantic_boundaries (same integer stub
+    projector and BIGINT cosine test, window form)."""
+    comps = ",\n                 ".join(
+        f"SUM((hm * {dd + 3}) % 17 - 8) AS c{dd}" for dd in range(EMB_DIM)
+    )
+    lags = ",\n                 ".join(
+        f"LAG(c{dd}) OVER w AS p{dd}" for dd in range(EMB_DIM)
+    )
+    dot = " + ".join(f"c{dd} * p{dd}" for dd in range(EMB_DIM))
+    na2 = " + ".join(f"p{dd} * p{dd}" for dd in range(EMB_DIM))
+    nb2 = " + ".join(f"c{dd} * c{dd}" for dd in range(EMB_DIM))
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, (u.pos - 1) // {SENT_LEN} AS sent_id,
+                 CAST(concat('0x', substring(md5(t[u.pos]), 1, 8)) AS BIGINT)
+                   % 2147483647 % 1000 AS hm
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+               UNNEST(range(1, len(t) + 1)) AS u(pos)),
+        sent AS (
+          SELECT doc_id, sent_id, COUNT(*) AS sent_tokens,
+                 {comps}
+          FROM tok GROUP BY doc_id, sent_id),
+        lagged AS (
+          SELECT *,
+                 {lags}
+          FROM sent
+          WINDOW w AS (PARTITION BY doc_id ORDER BY sent_id)),
+        flagged AS (
+          SELECT doc_id, sent_id, sent_tokens,
+                 CASE WHEN p0 IS NULL THEN 0
+                      WHEN ({dot}) <= 0 THEN 1
+                      WHEN ({dot}) * ({dot}) * 1000000
+                           < {TAU2_PPM} * ({na2}) * ({nb2}) THEN 1
+                      ELSE 0 END AS brk
+          FROM lagged),
+        seg AS (
+          SELECT doc_id, sent_id, sent_tokens, brk,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY sent_id
+                                ROWS UNBOUNDED PRECEDING) AS segment
+          FROM flagged),
+        subbed AS (
+          SELECT doc_id, segment, sent_tokens, brk,
+                 (ROW_NUMBER() OVER (PARTITION BY doc_id, segment
+                                     ORDER BY sent_id) - 1)
+                   // {CHUNK_SENTS} AS sub
+          FROM seg),
+        chunks AS (
+          SELECT doc_id, segment, sub,
+                 SUM(sent_tokens) AS chunk_tokens,
+                 COUNT(*) AS chunk_sents, SUM(brk) AS brks
+          FROM subbed GROUP BY doc_id, segment, sub)
+        SELECT doc_id,
+               CAST(SUM(chunk_sents) AS BIGINT) AS n_sentences,
+               CAST(SUM(brks) AS BIGINT) AS n_boundaries,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(MAX(chunk_tokens) AS BIGINT) AS max_chunk_tokens,
+               CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens
+        FROM chunks GROUP BY doc_id ORDER BY doc_id
+        """
+
+
 _TOKS = "SELECT doc_id, string_split(text, ' ') AS t FROM documents"
 _CHUNKS = f"""
 SELECT doc_id, CAST((start - 1) // {STRIDE} AS BIGINT) AS chunk_idx,
@@ -172,6 +344,15 @@ FROM ({_TOKS}) toks,
 """
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "chunk_semantic_boundaries",
+        chunk_semantic_boundaries,
+        _semantic_sql(),
+        tags=("extension", "text", "chunking", "pipeline", "bench"),
+        description="Boundary-aware semantic chunking: 8-token sentence "
+        "units, integer stub embeddings, BIGINT cosine boundary test "
+        "(τ=0.5), 32-token chunk cap — per-doc coverage report.",
+    ),
     QueryDef(
         "chunk_sliding_windows",
         chunk_sliding_windows,

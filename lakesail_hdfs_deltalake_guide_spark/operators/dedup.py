@@ -1487,7 +1487,63 @@ _SEMDEDUP_K_SQL = (
 )
 
 
+def _hard_negatives_oracle_sql() -> str:
+    """DuckDB twin of similarity_hard_negatives (Spark side in
+    operators/similarity.py; registered HERE because this oracle needs
+    _sql_minhash_cand at import time and dedup → similarity is the
+    existing one-way import edge): MinHash candidate state + the shared
+    IVF pool fragment + the same exclusion anti-join and band CASE."""
+    from .similarity import (
+        HN_DUP_MICRO,
+        HN_HARD,
+        HN_MEDIUM,
+        HN_POOL,
+        _ivf_pool_sql_parts,
+    )
+
+    pool_parts = ",\n        ".join(_ivf_pool_sql_parts(HN_POOL))
+    return f"""
+        {_sql_minhash_cand()},
+        {pool_parts},
+        dup AS (
+          SELECT doc_a, doc_b FROM cand WHERE est_jaccard >= 0.5
+          UNION ALL
+          SELECT doc_b, doc_a FROM cand WHERE est_jaccard >= 0.5),
+        mined AS (
+          SELECT query_id, vec_id, rel_micro,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rel_micro DESC, vec_id) AS rank
+          FROM pool p
+          WHERE rel_micro < {HN_DUP_MICRO}
+            AND NOT EXISTS (SELECT 1 FROM dup
+                            WHERE dup.doc_a = p.query_id
+                              AND dup.doc_b = p.vec_id))
+        SELECT query_id, vec_id, rel_micro AS cosine_ppm,
+               CAST(rank AS BIGINT) AS rank,
+               CASE WHEN rank <= {HN_HARD} THEN 'hard'
+                    WHEN rank <= {HN_MEDIUM} THEN 'medium'
+                    ELSE 'easy' END AS band
+        FROM mined ORDER BY query_id, rank
+        """
+
+
+def _hard_negatives_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import similarity_hard_negatives
+
+    return similarity_hard_negatives(spark, sf_dir)
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "similarity_hard_negatives",
+        _hard_negatives_fn,
+        _hard_negatives_oracle_sql(),
+        tags=("extension", "similarity", "dedup", "pipeline", "bench"),
+        description="Hard-negative mining for contrastive training: "
+        "IVF-probed pool minus exact/semantic/lexical near-dups "
+        "(SemDeDup cosine + MinHash-LSH doc state), rank-banded "
+        "hard/medium/easy.",
+    ),
     QueryDef(
         "dedup_paragraph_exact",
         dedup_paragraph_exact,

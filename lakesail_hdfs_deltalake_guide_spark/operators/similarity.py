@@ -1028,27 +1028,17 @@ MMR_POOL = 20
 MMR_SELECT = 5
 
 
-def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal-marginal-relevance diversified top-k — the RAG/near-dup
-    answer to "the 5 nearest neighbors are 5 copies of each other":
-    after the exact cosine top-MMR_POOL candidate pool per query,
-    greedily pick MMR_SELECT items maximizing λ·relevance − (1−λ)·
-    max-similarity-to-already-picked (λ=0.7 as exact 7/3 integer
-    weights over micro-cosines; ties → smaller vec_id). Pick 1 is pure
-    relevance (redundancy 0 by definition).
-
-    Plan: the corpus-sized work is the IVF ANN pass — candidates
-    routed once into inverted lists by the PERSISTED trained codebook
-    (ivf_train_codebook), queries probing their NUM_PROBES nearest
-    lists, exact micro-cosine relevance computed over the probed
-    candidates ONLY (≈ probes/K of the corpus, the centroid_id
-    equi-join — never the broadcast cross product). Everything after —
-    pool pairwise sims (POOL² per query) and the MMR_SELECT-step
-    greedy chain, unrolled as bounded joins partitioned by query_id —
-    is CONSTANT-sized per query. The DuckDB twin re-trains the
-    codebook (unrolled Lloyd CTEs) and replays the same probed pool
-    bit-for-bit; pool recall vs the brute-force top-POOL is asserted
-    in tests/test_r10_ops.py — the recall-audit pattern."""
+def ivf_candidate_pool(
+    spark: SparkSession, sf_dir: str, pool_size: int
+) -> DataFrame:
+    """IVF-probed exact-cosine candidate pool, top ``pool_size`` per
+    query: the shared ANN front end of the rerank family (MMR, hard-
+    negative mining). Candidates route once into inverted lists via the
+    PERSISTED trained codebook, queries probe NUM_PROBES lists, and the
+    exact micro-cosine ranks probed candidates only — the centroid_id
+    equi-join, never a broadcast cross product. Returns (query_id,
+    vec_id, cv, rel_micro), localCheckpointed (POOL rows/query) so the
+    bounded downstream passes never re-run the ANN scan."""
     e = load_table(spark, sf_dir, "embeddings")
     centroids = _load_codebook(spark, sf_dir)
     queries = e.where(F.col("vec_id") < NUM_QUERIES).select(
@@ -1075,12 +1065,36 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("rel_micro"), F.asc("vec_id")
     )
-    pool = (
+    return (
         rel.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= MMR_POOL)
+        .where(F.col("rn") <= pool_size)
         .select("query_id", "vec_id", "cv", "rel_micro")
-        .localCheckpoint(eager=True)  # POOL rows/query; feeds 5 greedy steps
+        .localCheckpoint(eager=True)
     )
+
+
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k — the RAG/near-dup
+    answer to "the 5 nearest neighbors are 5 copies of each other":
+    after the exact cosine top-MMR_POOL candidate pool per query,
+    greedily pick MMR_SELECT items maximizing λ·relevance − (1−λ)·
+    max-similarity-to-already-picked (λ=0.7 as exact 7/3 integer
+    weights over micro-cosines; ties → smaller vec_id). Pick 1 is pure
+    relevance (redundancy 0 by definition).
+
+    Plan: the corpus-sized work is the IVF ANN pass — candidates
+    routed once into inverted lists by the PERSISTED trained codebook
+    (ivf_train_codebook), queries probing their NUM_PROBES nearest
+    lists, exact micro-cosine relevance computed over the probed
+    candidates ONLY (≈ probes/K of the corpus, the centroid_id
+    equi-join — never the broadcast cross product). Everything after —
+    pool pairwise sims (POOL² per query) and the MMR_SELECT-step
+    greedy chain, unrolled as bounded joins partitioned by query_id —
+    is CONSTANT-sized per query. The DuckDB twin re-trains the
+    codebook (unrolled Lloyd CTEs) and replays the same probed pool
+    bit-for-bit; pool recall vs the brute-force top-POOL is asserted
+    in tests/test_r10_ops.py — the recall-audit pattern."""
+    pool = ivf_candidate_pool(spark, sf_dir, MMR_POOL)
     a, b = pool.alias("a"), pool.alias("b")
     pairs = (
         a.join(
@@ -1184,23 +1198,23 @@ _SQL_SIM = """FLOOR(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embed
  * 1000000 + 0.5) / 1000000"""
 
 
-def _mmr_oracle_sql() -> str:
-    """DuckDB twin of the greedy MMR chain: the IVF ANN pool (codebook
-    re-trained via unrolled Lloyd CTEs, probes × inverted lists on the
-    centroid id — the _SQL_IVF_TOPK front end) + pairwise micro-sims,
-    then MMR_SELECT unrolled argmax steps (NOT EXISTS = the anti-join,
-    MAX over the selected set = the redundancy term, identical integer
-    7/3 scoring and vec_id tie-break)."""
-    micro = (
-        "CAST(FLOOR(list_dot_product(CAST({x}.embedding AS DOUBLE[]),"
-        " CAST({y}.embedding AS DOUBLE[]))"
-        " / (sqrt(list_dot_product(CAST({x}.embedding AS DOUBLE[]),"
-        " CAST({x}.embedding AS DOUBLE[])))"
-        " * sqrt(list_dot_product(CAST({y}.embedding AS DOUBLE[]),"
-        " CAST({y}.embedding AS DOUBLE[]))))"
-        " * 1000000 + 0.5) AS BIGINT)"
-    )
-    parts = [
+_MICRO_COS = (
+    "CAST(FLOOR(list_dot_product(CAST({x}.embedding AS DOUBLE[]),"
+    " CAST({y}.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST({x}.embedding AS DOUBLE[]),"
+    " CAST({x}.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({y}.embedding AS DOUBLE[]),"
+    " CAST({y}.embedding AS DOUBLE[]))))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+def _ivf_pool_sql_parts(pool_size: int) -> list[str]:
+    """DuckDB CTE fragments for the shared IVF candidate pool (the SQL
+    twin of ivf_candidate_pool): codebook re-trained via unrolled Lloyd
+    CTEs, probes × inverted lists on the centroid id, micro-cosine
+    relevance, top-``pool_size`` per query as ``pool``."""
+    return [
         f"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                     FROM embeddings)""",
         f"""c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
@@ -1226,7 +1240,7 @@ def _mmr_oracle_sql() -> str:
   WHERE p.query_id <> cl.vec_id)""",
         f"""rel AS MATERIALIZED (
   SELECT ip.query_id, ip.vec_id,
-         {micro.format(x='q', y='c')} AS rel_micro
+         {_MICRO_COS.format(x='q', y='c')} AS rel_micro
   FROM ivf_pairs ip
   JOIN embeddings q ON q.vec_id = ip.query_id
   JOIN embeddings c ON c.vec_id = ip.vec_id)""",
@@ -1234,7 +1248,19 @@ def _mmr_oracle_sql() -> str:
   SELECT query_id, vec_id, rel_micro FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY rel_micro DESC, vec_id) AS rn FROM rel)
-  WHERE rn <= {MMR_POOL})""",
+  WHERE rn <= {pool_size})""",
+    ]
+
+
+def _mmr_oracle_sql() -> str:
+    """DuckDB twin of the greedy MMR chain: the IVF ANN pool (codebook
+    re-trained via unrolled Lloyd CTEs, probes × inverted lists on the
+    centroid id — the _SQL_IVF_TOPK front end) + pairwise micro-sims,
+    then MMR_SELECT unrolled argmax steps (NOT EXISTS = the anti-join,
+    MAX over the selected set = the redundancy term, identical integer
+    7/3 scoring and vec_id tie-break)."""
+    micro = _MICRO_COS
+    parts = _ivf_pool_sql_parts(MMR_POOL) + [
         f"""ps AS MATERIALIZED (
   SELECT a.query_id, a.vec_id AS ca, b.vec_id AS cb,
          {micro.format(x='ea', y='eb')} AS sim_micro
@@ -1280,6 +1306,81 @@ def _mmr_oracle_sql() -> str:
         SELECT query_id, pick, vec_id, rel_micro, mmr_score
         FROM sel{MMR_SELECT} ORDER BY query_id, pick
         """
+
+
+# --- hard-negative mining (r11, VERDICT r10 item 7) -------------------------
+#
+# Contrastive-training data from the existing ANN + dedup stacks: for
+# each query, the IVF-probed candidate pool MINUS likely positives —
+# exact/near-identical vectors and semantic near-dups (micro-cosine ≥
+# HN_DUP_MICRO, the SemDeDup criterion) and MinHash-LSH lexical
+# near-dups of the query's DOCUMENT (vec_id ↔ doc_id; the same banded
+# candidate state dedup_minhash_lsh maintains) — labeled by rank band
+# (hard / medium / easy), the curriculum labels a contrastive trainer
+# samples by. Composes ivf_candidate_pool + minhash_candidate_pairs the
+# way sample_split_leakage composes its tiers; every stage is bounded:
+# POOL rows/query from the ANN pass, V·P²-bounded MinHash candidates,
+# one anti-join. On this synthetic corpus the lexical tier is usually
+# empty on real-doc pairs (31-token vocabulary, near-orthogonal docs) —
+# its exclusion semantics are pinned with planted dups in
+# tests/test_r11_ops.py.
+
+HN_POOL = 20
+HN_DUP_MICRO = 350_000  # cosine ≥ 0.35 → likely positive, not a negative
+HN_HARD = 5
+HN_MEDIUM = 12
+
+
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query hard-negative candidates: (query_id, vec_id,
+    cosine_ppm, rank, band) after positive/near-dup exclusion."""
+    from .dedup import minhash_candidate_pairs, near_duplicate_corpus
+
+    pool = ivf_candidate_pool(spark, sf_dir, HN_POOL).drop("cv")
+    dup = (
+        minhash_candidate_pairs(near_duplicate_corpus(spark, sf_dir))
+        .where(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    sym = dup.unionByName(
+        dup.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    mined = (
+        # one predicate covers exact matches (1 000 000 ppm) and
+        # semantic near-dups — both are positives, not negatives
+        pool.where(F.col("rel_micro") < HN_DUP_MICRO)
+        .join(
+            sym,
+            (pool["query_id"] == sym["doc_a"])
+            & (pool["vec_id"] == sym["doc_b"]),
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_micro"), F.asc("vec_id")
+    )
+    return (
+        mined.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("rel_micro").alias("cosine_ppm"),
+            "rank",
+            F.when(F.col("rank") <= HN_HARD, F.lit("hard"))
+            .when(F.col("rank") <= HN_MEDIUM, F.lit("medium"))
+            .otherwise(F.lit("easy"))
+            .alias("band"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# (the QueryDef + oracle live in operators/dedup.py — the oracle needs
+# dedup's _sql_minhash_cand at import time and dedup already imports
+# this module at ITS import time; registering there keeps the import
+# graph acyclic)
 
 
 QUERIES: list[QueryDef] = [

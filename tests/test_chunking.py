@@ -39,3 +39,32 @@ def test_chunk_sizes_bounded(spark, sf_smoke):
 def test_chunk_explosion_is_shuffle_free(spark, sf_smoke):
     d = load_table(spark, sf_smoke, "documents")
     assert shuffle_count(chunked(d)) == 0
+
+
+def test_semantic_chunks_cover_docs_and_respect_cap(spark, sf_smoke):
+    """Invariants pinned for chunk_semantic_boundaries (r11): chunk
+    tokens sum back to the doc's token count (full coverage, no loss or
+    duplication), no chunk exceeds the 32-token cap, and the chunk count
+    is at least the cap-forced minimum ceil(n_sentences / CHUNK_SENTS)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.chunking import (
+        CHUNK_SENTS,
+        SENT_LEN,
+        chunk_semantic_boundaries,
+    )
+
+    rep = chunk_semantic_boundaries(spark, sf_smoke)
+    d = load_table(spark, sf_smoke, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("expect")
+    )
+    joined = rep.join(toks, "doc_id")
+    assert joined.where(F.col("n_tokens") != F.col("expect")).count() == 0
+    cap = CHUNK_SENTS * SENT_LEN
+    assert rep.where(F.col("max_chunk_tokens") > cap).count() == 0
+    assert rep.where(
+        F.col("n_chunks") * CHUNK_SENTS < F.col("n_sentences")
+    ).count() == 0
+    # boundaries are BETWEEN sentences: strictly fewer than unit count
+    assert rep.where(F.col("n_boundaries") >= F.col("n_sentences")).count() == 0
+    # τ actually cuts somewhere on this corpus (non-degenerate operator)
+    assert rep.agg(F.sum("n_boundaries")).collect()[0][0] > 0

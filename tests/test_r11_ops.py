@@ -1,0 +1,134 @@
+"""Round-11 operator invariants: hard-negative mining bounds and the
+cross-modal retrieval recall audit (semantic-chunking invariants live in
+tests/test_chunking.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.operators.multimodal import (
+    XM_TOP_K,
+    _frame_embeddings,
+    _query_embeddings,
+    multimodal_text_frame_topk,
+)
+from lakesail_hdfs_deltalake_guide_spark.operators.similarity import (
+    HN_DUP_MICRO,
+    HN_HARD,
+    HN_MEDIUM,
+    HN_POOL,
+    ivf_candidate_pool,
+    similarity_hard_negatives,
+)
+
+
+def test_hard_negatives_bounds_and_exclusions(spark, sf_oracle):
+    """Candidate bounds + both exclusion tiers actually enforced:
+    ≤ POOL rows per query, every survivor below the near-dup cosine
+    ceiling, the SemDeDup tier fired (the raw pool does contain
+    excluded candidates), no survivor is a MinHash near-dup pair, and
+    bands partition the rank range."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        near_duplicate_corpus,
+    )
+
+    out = similarity_hard_negatives(spark, sf_oracle).localCheckpoint()
+    per_q = out.groupBy("query_id").count()
+    assert per_q.where(F.col("count") > HN_POOL).count() == 0
+    assert out.where(F.col("cosine_ppm") >= HN_DUP_MICRO).count() == 0
+    # the exclusion is real: the raw pool holds candidates above the
+    # ceiling that the mined set dropped
+    pool = ivf_candidate_pool(spark, sf_oracle, HN_POOL)
+    assert pool.where(F.col("rel_micro") >= HN_DUP_MICRO).count() > 0
+    # anti-join guarantee: no surviving pair is in the MinHash dup state
+    dup = (
+        minhash_candidate_pairs(near_duplicate_corpus(spark, sf_oracle))
+        .where(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    sym = dup.unionByName(
+        dup.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    leaked = out.join(
+        sym,
+        (out["query_id"] == sym["doc_a"]) & (out["vec_id"] == sym["doc_b"]),
+        "inner",
+    )
+    assert leaked.count() == 0
+    # bands are a partition of the rank range
+    bad_band = out.where(
+        ((F.col("rank") <= HN_HARD) & (F.col("band") != "hard"))
+        | (
+            (F.col("rank") > HN_HARD)
+            & (F.col("rank") <= HN_MEDIUM)
+            & (F.col("band") != "medium")
+        )
+        | ((F.col("rank") > HN_MEDIUM) & (F.col("band") != "easy"))
+    )
+    assert bad_band.count() == 0
+    # ranks are dense 1..n per query
+    agg = out.groupBy("query_id").agg(
+        F.max("rank").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    assert agg.where(F.col("mx") != F.col("n")).count() == 0
+
+
+def test_cross_modal_recall_vs_bruteforce(spark, sf_oracle):
+    """The IVF-probed cross-modal top-k must recover most of the exact
+    brute-force top-k (the recall-audit pattern): with 3 probes over 8
+    cells at sf0.01, every query recovers ≥ 2/5 and the mean recall is
+    ≥ 0.6 (measured 2/5, 4/5, 4/5 — a query whose tail winners sit in
+    an unprobed cell is inherent ANN behavior, not a bug)."""
+    ivf = multimodal_text_frame_topk(spark, sf_oracle)
+    fr = _frame_embeddings(spark, sf_oracle)
+    q = _query_embeddings(spark, sf_oracle)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    micro = F.floor(
+        dot("qv", "fv").cast("double")
+        / (
+            F.sqrt(dot("qv", "qv").cast("double"))
+            * F.sqrt(dot("fv", "fv").cast("double"))
+        )
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_ppm"), F.asc("doc_id"), F.asc("frame_no")
+    )
+    bf = (
+        q.join(fr)
+        .select("query_id", "doc_id", "frame_no", micro.alias("cosine_ppm"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= XM_TOP_K)
+    )
+    hits = bf.join(
+        ivf.select("query_id", "doc_id", "frame_no"),
+        ["query_id", "doc_id", "frame_no"],
+        "left_semi",
+    )
+    recall = (
+        bf.select("query_id")
+        .distinct()
+        .join(hits.groupBy("query_id").count(), "query_id", "left")
+        .select("query_id", F.coalesce("count", F.lit(0)).alias("hits"))
+        .collect()
+    )
+    assert recall, "no queries produced"
+    for row in recall:
+        assert row["hits"] >= 2, (
+            f"query {row['query_id']}: recall@{XM_TOP_K} = "
+            f"{row['hits']}/{XM_TOP_K} below the 2/5 per-query floor"
+        )
+    total = sum(row["hits"] for row in recall)
+    assert total >= 3 * len(recall), (
+        f"mean recall {total}/{XM_TOP_K * len(recall)} below 0.6"
+    )
