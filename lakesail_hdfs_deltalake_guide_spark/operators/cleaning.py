@@ -958,7 +958,74 @@ def clean_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-anonymity audit (r11) ------------------------------------------------
+#
+# Data-governance pass before releasing a training corpus or its
+# metadata: rows whose QUASI-IDENTIFIER combination (here lang × source
+# × a 50-char length bucket — the released columns an attacker can
+# join on) lands in a group of fewer than K peers are re-identifiable
+# (Sweeney's k-anonymity). The audit reports, per (lang, source), the
+# bucket count, how many buckets violate K, the row mass at risk, and
+# the smallest bucket — the table a privacy review signs off on. One
+# two-level aggregate, integer-only; at 100 TB it is a single shuffle
+# on the quasi-identifier key.
+
+K_ANON = 5
+K_ANON_BUCKET = 50  # n_chars bucket width
+
+
+def clean_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    groups = (
+        d.select(
+            "lang",
+            "source",
+            F.expr(f"n_chars DIV {K_ANON_BUCKET}").alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        groups.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.col("cnt") < K_ANON).cast("bigint")).alias(
+                "n_small_buckets"
+            ),
+            F.sum(
+                F.when(F.col("cnt") < K_ANON, F.col("cnt")).otherwise(0)
+            ).alias("rows_at_risk"),
+            F.min("cnt").alias("min_bucket"),
+            F.sum("cnt").alias("n_rows"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "clean_k_anonymity_audit",
+        clean_k_anonymity_audit,
+        f"""
+        WITH groups AS (
+          SELECT lang, source, n_chars // {K_ANON_BUCKET} AS len_bucket,
+                 COUNT(*) AS cnt
+          FROM documents GROUP BY lang, source, len_bucket)
+        SELECT lang, source,
+               COUNT(*) AS n_buckets,
+               CAST(SUM(CASE WHEN cnt < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_small_buckets,
+               CAST(SUM(CASE WHEN cnt < {K_ANON} THEN cnt ELSE 0 END)
+                 AS BIGINT) AS rows_at_risk,
+               CAST(MIN(cnt) AS BIGINT) AS min_bucket,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows
+        FROM groups GROUP BY lang, source ORDER BY lang, source
+        """,
+        tags=("extension", "cleaning", "pipeline"),
+        description="k-anonymity audit over quasi-identifiers (lang x "
+        "source x 50-char length bucket): per-cohort violating-bucket "
+        "count, rows at risk, smallest bucket (K=5).",
+    ),
     QueryDef(
         "clean_mad_outliers",
         clean_mad_outliers,

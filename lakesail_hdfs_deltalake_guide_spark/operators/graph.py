@@ -240,6 +240,56 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def dedup_softdedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup: DOWN-WEIGHT duplicate clusters instead of dropping
+    them (per SoftDeDup / "soft deduplication" reweighting: each doc in
+    an s-doc duplicate cluster trains with weight 1/s, so every cluster
+    contributes ~one document's worth of gradient while unique phrasing
+    within the cluster is preserved — the alternative the hard-dedup
+    survivor queries beside this one discard).
+
+    Report: per cluster size s — doc count, the exact integer weight
+    (1e6 div s ppm), raw vs effective (weight-summed) token counts.
+    The all-ones row (s=1) is the undeduplicated mass; Σ effective ≈
+    "effective corpus size" in tokens, the number a data-budget plan
+    uses.
+
+    Plan shape: same min-label propagation as the cluster family (the
+    component labels are the reusable state), one join back to the
+    corpus for token counts, one aggregate. Integer arithmetic only."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = rare_shingle_edges(docs)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    cc = connected_components(nodes, edges)
+    sized = cc.groupBy("component").agg(F.count(F.lit(1)).alias("s"))
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    per_doc = (
+        cc.join(sized, "component")
+        .join(toks, cc.node == toks.doc_id)
+        .select("s", "n_tokens", F.expr("1000000 DIV s").alias("weight_ppm"))
+    )
+    return (
+        per_doc.groupBy("s", "weight_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("raw_tokens"),
+            F.sum(F.expr("n_tokens * weight_ppm DIV 1000000")).alias(
+                "effective_tokens"
+            ),
+        )
+        .select(
+            F.col("s").cast("bigint").alias("cluster_size"),
+            "n_docs",
+            "weight_ppm",
+            "raw_tokens",
+            "effective_tokens",
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware cluster canonicalization: real pipelines keep the
     BEST document per duplicate cluster, not the first — a near-dup
@@ -883,6 +933,31 @@ QUERIES: list[QueryDef] = [
         description="Weighted fixed-point PageRank (3 iterations) over the "
         "customer→supplier nation trade graph, pinned to an unrolled-CTE "
         "oracle.",
+    ),
+    QueryDef(
+        "dedup_softdedup_weights",
+        dedup_softdedup_weights,
+        _GRAPH_CTE
+        + """
+        , sized AS (
+          SELECT component, COUNT(*) AS s FROM cc GROUP BY component),
+        per_doc AS (
+          SELECT z.s, 1000000 // z.s AS weight_ppm,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+          FROM cc JOIN sized z USING (component)
+          JOIN documents d ON d.doc_id = cc.node)
+        SELECT CAST(s AS BIGINT) AS cluster_size,
+               COUNT(*) AS n_docs,
+               CAST(weight_ppm AS BIGINT) AS weight_ppm,
+               CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+               CAST(SUM(n_tokens * weight_ppm // 1000000) AS BIGINT)
+                 AS effective_tokens
+        FROM per_doc GROUP BY s, weight_ppm ORDER BY cluster_size
+        """,
+        tags=("extension", "dedup", "graph", "pipeline"),
+        description="SoftDeDup cluster down-weighting: per duplicate-"
+        "cluster-size 1/s training weights in exact ppm, raw vs "
+        "effective token mass — reweight-instead-of-drop dedup.",
     ),
     QueryDef(
         "dedup_cluster_sizes",

@@ -445,7 +445,12 @@ def _frame_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, frame_no, fv): integer stub 'image tower' over each full
     16-char frame of the byte-stream 'video' (frame stream layout of
     multimodal_frame_sample)."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..tables import spread_compute
+
+    # the tower is CPU-bound HOF arithmetic (64 dims × 16 chars per
+    # frame); the single-file documents scan would otherwise evaluate it
+    # all on one core — spread across executors before the explode
+    d = spread_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     n_frames = F.floor(F.length("text") / 64).cast("int") + 1
     frames = (
         d.select(
@@ -503,8 +508,16 @@ def multimodal_text_frame_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-probed shared space (coarse cells = the frame-0 embeddings of
     docs 0..7, integer argmax-dot routing, micro-cosine rerank inside
     probed cells only)."""
-    fr = _frame_embeddings(spark, sf_dir)
-    q = _query_embeddings(spark, sf_dir)
+    # Materialize both towers' outputs: the embedding columns are
+    # EXPRESSIONS until then, and every downstream reference (cell
+    # routing ×8 centroids, per-pair scoring) would re-run the full
+    # tower — the text tower is 64 dims × one md5 per token, so unstated
+    # recomputation turned the first bench run into 280M md5 calls
+    # (32 s). Materializing frame embeddings is also what a real
+    # pipeline does: they ARE the ANN index state (cf. the incremental
+    # IVF postings table); the query side is QUERIES rows.
+    fr = _frame_embeddings(spark, sf_dir).localCheckpoint(eager=True)
+    q = _query_embeddings(spark, sf_dir).localCheckpoint(eager=True)
     cents = fr.where(
         (F.col("frame_no") == 0) & (F.col("doc_id") < XM_CENTROIDS)
     ).select(
@@ -526,6 +539,7 @@ def multimodal_text_frame_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wf))
         .where(F.col("rn") == 1)
         .select("doc_id", "frame_no", "fv", "cid")
+        .localCheckpoint(eager=True)  # the routed index: frames × (fv, cell)
     )
     qroute = (_xm_dot("qv", "cv").cast("double") / F.col("cnorm")).alias("aff")
     wq = Window.partitionBy("query_id").orderBy(F.desc("aff"), F.asc("cid"))

@@ -722,7 +722,150 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DoReMi-style domain reweighting (r11) ----------------------------------
+#
+# One multiplicative-weights update of training-mixture domain weights
+# (Xie et al., "DoReMi: Optimizing Data Mixtures Speeds Up Language
+# Model Pretraining", 2023): domains whose proxy loss exceeds the
+# reference get UP-weighted, w ∝ w₀·exp(η·excess_loss). Two published-
+# faithful substitutions keep the round exactly replayable by the
+# oracle: (a) the proxy/reference loss gap is stood in by a lexical
+# hardness signal computable from the corpus alone — the complement of
+# the per-doc type-token ratio, averaged per source (repetitive
+# domains = low hardness; the fixtures ship no model losses, and a real
+# run swaps one column); (b) exp(η·L) becomes the hedge/multiplicative-
+# weights form (1+η)^k with η=1/10 and k = the domain's hardness RANK —
+# (11/10)^k is an exact BIGINT rational (11^k·10^(S−1−k) over a common
+# 10^(S−1) denominator), so normalized weights are integer-exact where
+# float exp would drift between engines' libm in the last ulp.
+#
+# Scale shape: one aggregate over the corpus (per-source token sums +
+# mean TTR), then S-row arithmetic. The 100 TB cost is the single scan.
+
+DOREMI_ETA_NUM = 11  # 1 + η as the exact rational 11/10
+DOREMI_ETA_DEN = 10
+DOREMI_BUCKETS = 10  # hardness-rank deciles: k ∈ 0..9, so 11^k·10^(9-k)
+#                      stays ≤ 11^9 ≈ 2.4e9 — BIGINT-safe at ANY domain
+#                      count (20 raw ranks would need 11^19 > 2^63)
+
+
+def sample_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hedge update of per-source mixture weights from lexical
+    hardness: (source, n_docs, total_tokens, hardness_ppm, k,
+    weight_ppm, alloc_tokens)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    per_doc = d.select(
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000 DIV size(split(text, ' '))"
+        ).alias("ttr_ppm"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr("1000000 - SUM(ttr_ppm) DIV COUNT(*)").alias("hardness_ppm"),
+    )
+    n_src = per_src.count()
+    total_tokens = per_src.agg(F.sum("total_tokens")).collect()[0][0]
+    # exact integer 11^k · 10^(9-k): aggregate over a bounded sequence
+    # (double pow() could land at x.999… and floor wrong); the k=0 guard
+    # matters because Spark's sequence(1, 0) DESCENDS instead of
+    # returning empty
+    int_pow = (
+        "CASE WHEN {e} <= 0 THEN CAST(1 AS BIGINT)"
+        " ELSE aggregate(sequence(1, CAST({e} AS INT)),"
+        " CAST(1 AS BIGINT), (acc, i) -> acc * {base}) END"
+    )
+    ranked = per_src.withColumn(
+        "k",
+        F.expr(
+            f"(rank() OVER (ORDER BY hardness_ppm, source) - 1)"
+            f" * {DOREMI_BUCKETS} DIV {n_src}"
+        ).cast("bigint"),
+    ).withColumn(
+        "w_scaled",
+        F.expr(
+            int_pow.format(e="k", base=DOREMI_ETA_NUM)
+            + " * "
+            + int_pow.format(e=f"{DOREMI_BUCKETS - 1} - k", base=DOREMI_ETA_DEN)
+        ),
+    )
+    denom = ranked.agg(F.sum("w_scaled")).collect()[0][0]
+    return (
+        ranked.select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "hardness_ppm",
+            "k",
+            F.expr(f"w_scaled * 1000000 DIV {denom}").alias("weight_ppm"),
+            F.expr(
+                f"CAST({total_tokens} AS BIGINT)"
+                f" * (w_scaled * 1000000 DIV {denom}) DIV 1000000"
+            ).alias("alloc_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def _doremi_sql() -> str:
+    return f"""
+        WITH per_doc AS (
+          SELECT source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   * 1000000 // len(string_split(text, ' ')) AS ttr_ppm
+          FROM documents),
+        per_src AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(1000000 - SUM(ttr_ppm) // COUNT(*) AS BIGINT)
+                   AS hardness_ppm
+          FROM per_doc GROUP BY source),
+        meta AS (
+          SELECT COUNT(*) AS n_src, SUM(total_tokens) AS grand
+          FROM per_src),
+        krank AS (
+          SELECT p.*, m.n_src, m.grand,
+                 (RANK() OVER (ORDER BY hardness_ppm, source) - 1)
+                   * {DOREMI_BUCKETS} // m.n_src AS k
+          FROM per_src p, meta m),
+        ranked AS (
+          SELECT *,
+                 CASE WHEN k <= 0 THEN CAST(1 AS BIGINT)
+                      ELSE list_reduce(list_transform(range(1, k + 1),
+                             x -> CAST({DOREMI_ETA_NUM} AS BIGINT)),
+                             (a, b) -> a * b) END
+                 * CASE WHEN {DOREMI_BUCKETS - 1} - k <= 0
+                        THEN CAST(1 AS BIGINT)
+                        ELSE list_reduce(list_transform(
+                               range(1, {DOREMI_BUCKETS} - k),
+                               x -> CAST({DOREMI_ETA_DEN} AS BIGINT)),
+                               (a, b) -> a * b) END AS w_scaled
+          FROM krank),
+        denom AS (SELECT SUM(w_scaled) AS s FROM ranked)
+        SELECT source, n_docs, total_tokens, hardness_ppm,
+               CAST(k AS BIGINT) AS k,
+               CAST(w_scaled * 1000000 // d.s AS BIGINT) AS weight_ppm,
+               CAST(grand * (w_scaled * 1000000 // d.s) // 1000000 AS BIGINT)
+                 AS alloc_tokens
+        FROM ranked, denom d ORDER BY source
+        """
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sample_doremi_weights",
+        sample_doremi_weights,
+        _doremi_sql(),
+        tags=("extension", "sampling", "pipeline"),
+        description="DoReMi-style domain reweighting: one exact-rational "
+        "hedge update (11/10)^rank over per-source lexical hardness, "
+        "normalized mixture weights + token allocations in integer ppm.",
+    ),
     QueryDef(
         "sample_pps_systematic",
         sample_pps_systematic,
