@@ -348,6 +348,277 @@ def _ckpt_rows(actions: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=_CKPT_SCHEMA)
 
 
+# ------------------------------------------------------------- v2 fixture
+#
+# Second table (golden_delta_v2): the V2-spec checkpoint layout
+# delta-spark 3.x writes under delta.checkpointPolicy=v2 — a UUID-named
+# top file carrying the non-file actions + checkpointMetadata + sidecar
+# registry, with the add actions in _delta_log/_sidecars/*.parquet.
+# Unpartitioned, no column mapping (the classic fixture covers those);
+# protocol is reader 3 / writer 7 with the v2Checkpoint feature on both
+# lists, exactly as delta-spark stamps it.
+
+ROOT_V2 = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "golden_delta_v2"
+)
+LOG_V2 = os.path.join(ROOT_V2, "_delta_log")
+
+V2_PROTOCOL = {
+    "protocol": {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["v2Checkpoint"],
+        "writerFeatures": ["v2Checkpoint"],
+    }
+}
+
+V2_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            {
+                "name": "amount",
+                "type": "double",
+                "nullable": True,
+                "metadata": {},
+            },
+        ],
+    },
+    separators=(",", ":"),
+)
+
+V2_METADATA = {
+    "metaData": {
+        "id": "0c7e55aa-91b3-47d2-8f10-2ab34cd56e78",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": V2_SCHEMA_STRING,
+        "partitionColumns": [],
+        "configuration": {"delta.checkpointPolicy": "v2"},
+        "createdTime": T0,
+    }
+}
+
+# (file-id, rows [(k, v, amount)])
+V2_FILES = {
+    "H": [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.0), (4, "d", 4.0)],
+    "I": [(5, "e", 5.5), (6, "f", 6.0), (7, "g", 7.5)],
+    "J": [(8, "h", 8.0), (9, "i", 9.5)],
+    "K": [(10, "j", 10.0)],
+    "L": [(11, "k", 11.5), (12, "l", 12.0)],
+}
+V2_PART_UUIDS = {
+    "H": "71a1b2c3-d4e5-4f60-8172-838485868788",
+    "I": "82b2c3d4-e5f6-4071-9283-94a5b6c7d8e9",
+    "J": "93c3d4e5-f607-4182-a394-a5b6c7d8e9fa",
+    "K": "a4d4e5f6-0718-4293-b4a5-b6c7d8e9fa0b",
+    "L": "b5e5f607-1829-43a4-c5b6-c7d8e9fa0b1c",
+}
+V2_CKPT_UUID = "80a083e8-7026-4e79-81be-64bd76c43a11"
+V2_SIDECAR_UUIDS = (
+    "3a1b5c7d-9e0f-4213-8456-789abcdef012",
+    "4b2c6d8e-0f10-4324-9567-89abcdef0123",
+)
+
+
+def _v2_rel_path(fid: str) -> str:
+    return f"part-00000-{V2_PART_UUIDS[fid]}.c000.snappy.parquet"
+
+
+def _v2_write_data_file(fid: str) -> int:
+    rows = V2_FILES[fid]
+    table = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int32()),
+            "v": pa.array([r[1] for r in rows], pa.string()),
+            "amount": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    dest = os.path.join(ROOT_V2, _v2_rel_path(fid))
+    pq.write_table(table, dest, compression="snappy")
+    return os.path.getsize(dest)
+
+
+def _v2_stats(fid: str) -> str:
+    rows = V2_FILES[fid]
+    ks = [r[0] for r in rows]
+    vs = [r[1] for r in rows]
+    am = [r[2] for r in rows]
+    return json.dumps(
+        {
+            "numRecords": len(rows),
+            "minValues": {"k": min(ks), "v": min(vs), "amount": min(am)},
+            "maxValues": {"k": max(ks), "v": max(vs), "amount": max(am)},
+            "nullCount": {"k": 0, "v": 0, "amount": 0},
+        },
+        separators=(",", ":"),
+    )
+
+
+def _v2_add(fid: str, size: int, ts: int) -> dict:
+    return {
+        "add": {
+            "path": _v2_rel_path(fid),
+            "partitionValues": {},
+            "size": size,
+            "modificationTime": ts,
+            "dataChange": True,
+            "stats": _v2_stats(fid),
+        }
+    }
+
+
+_CKPT_META_TYPE = pa.struct([("version", pa.int64()), ("tags", _PV_TYPE)])
+_SIDECAR_TYPE = pa.struct(
+    [
+        ("path", pa.string()),
+        ("sizeInBytes", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("tags", _PV_TYPE),
+    ]
+)
+
+_V2_TOP_SCHEMA = pa.schema(
+    [
+        ("txn", _TXN_TYPE),
+        ("metaData", _META_TYPE),
+        ("protocol", _PROTO_TYPE),
+        ("checkpointMetadata", _CKPT_META_TYPE),
+        ("sidecar", _SIDECAR_TYPE),
+    ]
+)
+_V2_SIDECAR_SCHEMA = pa.schema([("add", _ADD_TYPE), ("remove", _REMOVE_TYPE)])
+
+
+def _v2_rows(actions: list[dict], schema: pa.Schema) -> pa.Table:
+    rows = []
+    for action in actions:
+        row = {name: None for name in schema.names}
+        (kind, payload), = action.items()
+        payload = dict(payload)
+        for key in ("partitionValues", "configuration", "tags"):
+            if isinstance(payload.get(key), dict):
+                payload[key] = list(payload[key].items())
+        if kind == "metaData":
+            fmt = dict(payload.get("format") or {})
+            if isinstance(fmt.get("options"), dict):
+                fmt["options"] = list(fmt["options"].items())
+            payload["format"] = fmt
+        if kind == "add":
+            payload["dataChange"] = False
+        row[kind] = payload
+        rows.append(row)
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def _v2_write_commit(version: int, actions: list[dict]) -> None:
+    dest = os.path.join(LOG_V2, f"{version:020d}.json")
+    with open(dest, "w") as fh:
+        for action in actions:
+            fh.write(json.dumps(action, separators=(",", ":")) + "\n")
+
+
+def make_v2() -> None:
+    if os.path.isdir(ROOT_V2):
+        shutil.rmtree(ROOT_V2)
+    os.makedirs(LOG_V2)
+    os.makedirs(os.path.join(LOG_V2, "_sidecars"))
+    sizes = {fid: _v2_write_data_file(fid) for fid in V2_FILES}
+
+    ts = T0 + 1000
+    _v2_write_commit(
+        0,
+        [
+            _commit_info(
+                ts, "WRITE", {"mode": "ErrorIfExists", "partitionBy": "[]"},
+                {"numFiles": "2", "numOutputRows": "7",
+                 "numOutputBytes": str(sizes["H"] + sizes["I"])},
+                True, "b0000000-0000-4000-8000-000000000000",
+            ),
+            V2_PROTOCOL,
+            V2_METADATA,
+            _v2_add("H", sizes["H"], ts),
+            _v2_add("I", sizes["I"], ts),
+        ],
+    )
+    ts = T0 + 2000
+    _v2_write_commit(
+        1,
+        [
+            _commit_info(
+                ts, "WRITE", {"mode": "Append", "partitionBy": "[]"},
+                {"numFiles": "1", "numOutputRows": "2",
+                 "numOutputBytes": str(sizes["J"])},
+                True, "b1111111-0000-4000-8000-000000000000",
+            ),
+            _v2_add("J", sizes["J"], ts),
+        ],
+    )
+    ts = T0 + 3000
+    _v2_write_commit(
+        2,
+        [
+            _commit_info(
+                ts, "WRITE", {"mode": "Append", "partitionBy": "[]"},
+                {"numFiles": "1", "numOutputRows": "1",
+                 "numOutputBytes": str(sizes["K"])},
+                True, "b2222222-0000-4000-8000-000000000000",
+            ),
+            _v2_add("K", sizes["K"], ts),
+        ],
+    )
+    # V2 checkpoint @2: sidecars first, UUID top file last
+    side_actions = (
+        [_v2_add("H", sizes["H"], T0 + 1000), _v2_add("I", sizes["I"], T0 + 1000)],
+        [_v2_add("J", sizes["J"], T0 + 2000), _v2_add("K", sizes["K"], T0 + 3000)],
+    )
+    side_meta = []
+    for uuid_, actions in zip(V2_SIDECAR_UUIDS, side_actions):
+        dest = os.path.join(LOG_V2, "_sidecars", f"{uuid_}.parquet")
+        pq.write_table(
+            _v2_rows(actions, _V2_SIDECAR_SCHEMA), dest, compression="snappy"
+        )
+        side_meta.append(
+            {
+                "sidecar": {
+                    "path": f"{uuid_}.parquet",
+                    "sizeInBytes": os.path.getsize(dest),
+                    "modificationTime": T0 + 3500,
+                }
+            }
+        )
+    top_actions = [
+        V2_PROTOCOL,
+        V2_METADATA,
+        {"checkpointMetadata": {"version": 2}},
+        *side_meta,
+    ]
+    pq.write_table(
+        _v2_rows(top_actions, _V2_TOP_SCHEMA),
+        os.path.join(LOG_V2, f"{2:020d}.checkpoint.{V2_CKPT_UUID}.parquet"),
+        compression="snappy",
+    )
+    with open(os.path.join(LOG_V2, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 2, "size": len(top_actions) + 4},
+                            separators=(",", ":")))
+
+    ts = T0 + 4000
+    _v2_write_commit(
+        3,
+        [
+            _commit_info(
+                ts, "WRITE", {"mode": "Append", "partitionBy": "[]"},
+                {"numFiles": "1", "numOutputRows": "2",
+                 "numOutputBytes": str(sizes["L"])},
+                True, "b3333333-0000-4000-8000-000000000000",
+            ),
+            _v2_add("L", sizes["L"], ts),
+        ],
+    )
+    print(f"golden delta v2 fixture written to {ROOT_V2}")
+
+
 def main() -> None:
     if os.path.isdir(ROOT):
         shutil.rmtree(ROOT)
@@ -505,3 +776,4 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    make_v2()

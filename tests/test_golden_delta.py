@@ -15,6 +15,10 @@ native reader folds a FOREIGN log — snapshot, time travel, multi-part
 checkpoint, domainMetadata, column mapping, SetTransaction — without
 ever having written a byte of it. Expected values are fixed by the
 generator's layout table, not computed from the reader under test.
+
+``golden_delta_v2`` (second half of this module) covers the V2-spec
+checkpoint layout (UUID-named top file + ``_sidecars/`` add files +
+``checkpointMetadata``, reader-v3 table features) the same way.
 """
 
 from __future__ import annotations
@@ -154,3 +158,72 @@ def test_native_append_onto_foreign_table(spark, tmp_path):
     ) == 517.0
     # prior history still intact
     assert delta_read(spark, dest, version=5).count() == 9
+
+
+# --- golden_delta_v2: the V2-spec (UUID top file + sidecars) layout ---------
+
+GOLDEN_V2 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "fixtures", "golden_delta_v2")
+
+EXPECTED_V2 = {0: (7, 30.0), 1: (9, 47.5), 2: (10, 57.5), 3: (12, 81.0)}
+
+
+@pytest.mark.parametrize("version", sorted(EXPECTED_V2))
+def test_v2_time_travel_every_version(spark, version):
+    count, amount = EXPECTED_V2[version]
+    got = delta_read(spark, GOLDEN_V2, version=version).collect()
+    assert len(got) == count
+    assert round(sum(r["amount"] for r in got), 2) == amount
+
+
+def test_v2_checkpoint_resolves_top_plus_sidecars(spark):
+    """The v2 fold must read the UUID top file AND both sidecars: the
+    adds live only in the sidecars, the metadata only in the top —
+    either half alone loses the snapshot."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        _checkpoint_files,
+        _list_checkpoints,
+    )
+
+    assert _list_checkpoints(spark, GOLDEN_V2) == [2]
+    files = _checkpoint_files(spark, GOLDEN_V2, 2)
+    assert len(files) == 3
+    assert ".checkpoint.80a083e8" in files[0]
+    assert all("_sidecars/" in f for f in files[1:])
+    proto, meta, live, txns = _read_checkpoint(spark, GOLDEN_V2, 2)
+    assert proto["minReaderVersion"] == 3
+    assert proto["readerFeatures"] == ["v2Checkpoint"]
+    assert meta["configuration"]["delta.checkpointPolicy"] == "v2"
+    assert len(live) == 4  # H, I, J, K from the two sidecars
+    # meta-only projection: top file alone, no sidecar decode
+    proto2, meta2, live2, _ = _read_checkpoint(
+        spark, GOLDEN_V2, 2, meta_only=True
+    )
+    assert proto2 == proto and meta2["id"] == meta["id"] and live2 == {}
+
+
+def test_v2_checkpoint_only_resolution_after_cleanup(spark, tmp_path):
+    """Drop the pre-checkpoint JSON commits: the snapshot must fold from
+    the v2 checkpoint + tail alone (the layout's whole point)."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_cleanup_log,
+    )
+
+    dest = str(tmp_path / "golden_v2_copy")
+    shutil.copytree(GOLDEN_V2, dest)
+    assert delta_cleanup_log(spark, dest)
+    assert delta_read(spark, dest).count() == 12
+    assert delta_read(spark, dest, version=2).count() == 10
+
+
+def test_v2_native_append_onto_foreign_table(spark, tmp_path):
+    """v2Checkpoint is in the native writer's feature set, so appends
+    onto the foreign v2 table must work and auto-inherit its layout."""
+    dest = str(tmp_path / "golden_v2_append")
+    shutil.copytree(GOLDEN_V2, dest)
+    extra = spark.createDataFrame(
+        [(13, "m", 9.0)], "k int, v string, amount double"
+    )
+    assert delta_write(extra, dest, mode="append") == 4
+    assert delta_read(spark, dest).count() == 13
+    assert delta_read(spark, dest, version=3).count() == 12

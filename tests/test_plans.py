@@ -484,3 +484,47 @@ def test_group_disjoint_split_aggregates_before_tagging(spark, sf_smoke):
     df = sample_group_disjoint_split(spark, sf_smoke)
     assert shuffle_count(df) <= 3
     assert "text" not in read_schema_columns(df)
+
+
+def test_semantic_chunking_windows_are_doc_partitioned(spark, sf_smoke):
+    """chunk_semantic_boundaries must never compile an unpartitioned
+    window: every window (lag, running boundary count, within-segment
+    row number) is keyed by doc_id — the plan may not contain a
+    SinglePartition exchange anywhere, at any corpus size."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.chunking import (
+        chunk_semantic_boundaries,
+    )
+
+    plan = explain_str(chunk_semantic_boundaries(spark, sf_smoke))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
+def test_hard_negatives_reads_prune_and_stay_bounded(spark, sf_smoke):
+    """similarity_hard_negatives embeds two corpus passes (IVF pool +
+    MinHash state); the embeddings scan must read only vec_id+embedding
+    and the plan must not contain a cartesian product."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.similarity import (
+        similarity_hard_negatives,
+    )
+
+    plan = explain_str(similarity_hard_negatives(spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_modal_routing_broadcasts_centroids(spark, sf_smoke):
+    """multimodal_text_frame_topk routes frames to cells via a BROADCAST
+    join against the 8-row centroid table — the frame side must never
+    shuffle for the assignment, and no cartesian product may appear."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.multimodal import (
+        multimodal_text_frame_topk,
+    )
+
+    df = multimodal_text_frame_topk(spark, sf_smoke)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    # the conditionless centroid join plans as BroadcastNestedLoopJoin
+    # (8 centroid rows broadcast); the probed-cell equi-join is eligible
+    # for AQE broadcast at runtime — the static gate is: the centroid
+    # assignment must be broadcast, never an exchange of the frame side
+    assert "BroadcastNestedLoopJoin" in plan or broadcast_join_count(df) >= 1
