@@ -1,0 +1,112 @@
+"""Spark Connect server bootstrap (SURVEY.md §2.8, last row).
+
+The reference boots a Sail Spark-Connect-protocol server and blocks on it
+(``/root/reference/examples/start_lakesail_server.py:149-158``:
+``SparkConnectServer(ip, port, spark_conf).start(background=False)``).
+The Spark-native equivalent is Spark 4's built-in Connect endpoint: a
+plain ``SparkSession`` built with ``spark.api.mode=connect`` starts the
+gRPC service inside the JVM, after which any client connects with
+``build_session(master="sc://host:port")`` (session.py's remote branch).
+
+:class:`SparkConnectServer` mirrors the reference's constructor surface
+(ip, port, spark_conf pass-through — Kerberos/Hadoop conf identical to the
+reference's usage at ``start_lakesail_server.py:136-152``) so a user of
+the reference can port their bootstrap script by changing one import.
+
+Environment gating, same doctrine as the Kerberized-HDFS row: the Connect
+service needs the ``grpcio``/``protobuf`` wheels, absent from this
+sandbox, so :func:`connect_available` reports capability and the class
+raises a clear error instead of a deep JVM stack. The pytest suite
+(tests/test_session.py) asserts the gating and the conf plumbing; the
+live server path runs wherever the wheels exist.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .session import RUNTIME_CONFS
+
+
+def connect_available() -> bool:
+    """True when the Spark Connect service dependencies are importable
+    (grpcio + protobuf — ``pip install "pyspark[connect]"``)."""
+    try:
+        import google.protobuf  # noqa: F401
+        import grpc  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class SparkConnectServer:
+    """Reference-shaped bootstrap for Spark's built-in Connect endpoint.
+
+    Unlike the reference's Sail server (its own Rust process), Spark's
+    endpoint lives inside a local SparkSession's JVM: ``start()`` builds
+    that session with ``spark.api.mode=connect`` bound to ``ip:port``;
+    ``stop()`` tears it down. ``background`` is accepted for surface
+    parity — Spark's endpoint always serves from the JVM's own threads,
+    so ``background=True`` and ``False`` only differ in whether start()
+    blocks (the reference blocks with ``background=False``).
+    """
+
+    def __init__(
+        self,
+        ip: str = "0.0.0.0",
+        port: int = 50051,
+        spark_conf: dict[str, str] | None = None,
+    ) -> None:
+        self.ip = ip
+        self.port = port
+        self.spark_conf = dict(spark_conf or {})
+        self._session: SparkSession | None = None
+
+    @property
+    def url(self) -> str:
+        host = "localhost" if self.ip in ("0.0.0.0", "::") else self.ip
+        return f"sc://{host}:{self.port}"
+
+    def _builder(self):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        builder = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("lakesail-spark-connect-server")
+            .config("spark.api.mode", "connect")
+            .config("spark.connect.grpc.binding.address", self.ip)
+            .config("spark.connect.grpc.binding.port", str(self.port))
+        )
+        for key, value in RUNTIME_CONFS.items():
+            builder = builder.config(key, value)
+        # Hadoop/Kerberos conf pass-through, verbatim — the same dict the
+        # reference feeds its server (start_lakesail_server.py:136-152)
+        for key, value in self.spark_conf.items():
+            builder = builder.config(key, value)
+        return builder
+
+    def start(self, background: bool = True) -> SparkSession:
+        if not connect_available():
+            raise RuntimeError(
+                "Spark Connect service needs grpcio + protobuf "
+                '(pip install "pyspark[connect]"); not available in '
+                "this environment"
+            )
+        self._session = self._builder().getOrCreate()
+        if not background:
+            # reference parity: block until the JVM goes away
+            import time
+
+            try:
+                while True:
+                    time.sleep(3600)
+            except KeyboardInterrupt:
+                self.stop()
+        return self._session
+
+    def stop(self) -> None:
+        if self._session is not None:
+            self._session.stop()
+            self._session = None

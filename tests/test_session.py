@@ -134,3 +134,41 @@ def test_local_branch_unaffected(fake_spark):
     build_session(master="local[4]", app_name="t")
     assert fake_spark.get("remote_url") is None
     assert fake_spark["master"] == "local[4]"
+
+
+# --- Spark Connect server bootstrap (SURVEY 2.8 last row) -------------------
+
+
+def test_connect_server_gating_and_conf_plumbing(monkeypatch):
+    """Without grpcio/protobuf the bootstrap must refuse with a clear
+    message (environment gating, the Kerberos-row doctrine); the builder
+    must carry the Connect binding + Kerberos conf pass-through either
+    way (asserted against a recording fake, never a live JVM)."""
+    from lakesail_hdfs_deltalake_guide_spark import server as server_mod
+    from lakesail_hdfs_deltalake_guide_spark.server import SparkConnectServer
+
+    srv = SparkConnectServer(
+        ip="0.0.0.0",
+        port=50051,
+        spark_conf={"spark.kerberos.principal": "sail@EXAMPLE.COM"},
+    )
+    assert srv.url == "sc://localhost:50051"
+
+    _FakeSparkSession.record = {}
+    monkeypatch.setattr(server_mod, "SparkSession", _FakeSparkSession)
+    confs = srv._builder()._record["confs"]
+    assert confs["spark.api.mode"] == "connect"
+    assert confs["spark.connect.grpc.binding.port"] == "50051"
+    assert confs["spark.kerberos.principal"] == "sail@EXAMPLE.COM"
+    # engine runtime confs ride along (nanosAsLong etc.)
+    assert confs["spark.sql.session.timeZone"] == "UTC"
+
+    if not server_mod.connect_available():
+        with pytest.raises(RuntimeError, match="grpcio"):
+            srv.start()
+    else:  # live path where the wheels exist
+        session = srv.start(background=True)
+        try:
+            assert session is not None
+        finally:
+            srv.stop()
