@@ -227,3 +227,42 @@ def test_v2_native_append_onto_foreign_table(spark, tmp_path):
     assert delta_write(extra, dest, mode="append") == 4
     assert delta_read(spark, dest).count() == 13
     assert delta_read(spark, dest, version=3).count() == 12
+
+
+def test_unknown_actions_and_fields_are_ignored(spark, tmp_path):
+    """PROTOCOL.md forward-compatibility: readers MUST ignore action
+    types and fields they do not recognize (feature-gated semantics are
+    what reader features exist for). Inject a future action type plus
+    unknown fields into a commit of the golden table — every read must
+    be identical to the pristine fixture."""
+    import json
+
+    dest = str(tmp_path / "golden_future")
+    shutil.copytree(GOLDEN, dest)
+    commit = os.path.join(dest, "_delta_log", f"{5:020d}.json")
+    lines = open(commit).read().splitlines()
+    patched = []
+    for line in lines:
+        action = json.loads(line)
+        if "add" in action:
+            action["add"]["futureFileLevelField"] = {"x": 1}
+        if "commitInfo" in action:
+            action["commitInfo"]["futureEngineTag"] = "v99"
+        patched.append(json.dumps(action, separators=(",", ":")))
+    patched.insert(1, json.dumps(
+        {"futureAction": {"payload": "ignore-me", "n": 42}},
+        separators=(",", ":")))
+    with open(commit, "w") as fh:
+        fh.write("\n".join(patched) + "\n")
+
+    df = delta_read(spark, dest)
+    rows = df.collect()
+    assert len(rows) == 9
+    assert round(sum(r["amount"] for r in rows), 2) == 512.0
+    # the distributed fold path tolerates it too
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_snapshot_adds_df,
+    )
+
+    assert delta_snapshot_adds_df(spark, dest).count() == 5  # A C E F G
+    assert delta_last_txn(spark, dest, "golden-app") == 7
