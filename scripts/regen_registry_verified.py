@@ -1,0 +1,40 @@
+"""Regenerate registry.py's driver-verified round sets from the
+CORRECTNESS_r*.json files (round-rhythm bookkeeping).
+
+Each name belongs to the round holding its FRESHEST green driver row;
+DRIVER_VERIFIED_ROUNDS is emitted stalest-first so the driver's ~50-entry
+verification window re-confirms the oldest signal after new (unverified)
+queries claim their slots. Run from the repo root after each round's
+CORRECTNESS file lands, then paste the output over the generated section
+of lakesail_hdfs_deltalake_guide_spark/registry.py (between the
+"# Names with a driver-issued row" header and DRIVER_VERIFIED).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+
+
+def main() -> None:
+    rounds: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        n = int(re.search(r"r(\d+)", path).group(1))
+        for name in json.load(open(path)):
+            rounds[name] = max(rounds.get(name, 0), n)
+    by_round: dict[int, list[str]] = {}
+    for name, n in rounds.items():
+        by_round.setdefault(n, []).append(name)
+    for n in sorted(by_round):
+        names = "".join(f'        "{q}",\n' for q in sorted(by_round[n]))
+        print(f"_R{n:02d}_VERIFIED = frozenset(\n    {{\n{names}    }}\n)\n")
+    order = "".join(f"    _R{n:02d}_VERIFIED,\n" for n in sorted(by_round))
+    print(
+        "DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (\n"
+        f"{order})"
+    )
+
+
+if __name__ == "__main__":
+    main()
