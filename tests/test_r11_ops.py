@@ -132,3 +132,154 @@ def test_cross_modal_recall_vs_bruteforce(spark, sf_oracle):
     assert total >= 3 * len(recall), (
         f"mean recall {total}/{XM_TOP_K * len(recall)} below 0.6"
     )
+
+
+# --- sequential-Python reference for semantic chunking ----------------------
+
+
+def _py_semantic_report(texts):
+    """Pure-Python reference of chunk_semantic_boundaries' per-doc report
+    (same md5 token hash, stub projector, BIGINT cosine test, 4-unit
+    cap), written independently of the Spark/SQL expression forms."""
+    import hashlib
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.chunking import (
+        CHUNK_SENTS,
+        EMB_DIM,
+        SENT_LEN,
+        TAU2_PPM,
+    )
+
+    out = {}
+    for doc_id, text in texts:
+        toks = text.split(" ")
+        sents = [toks[i : i + SENT_LEN] for i in range(0, len(toks), SENT_LEN)]
+
+        def emb(sent):
+            comp = [0] * EMB_DIM
+            for tok in sent:
+                hm = (
+                    int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                    % 2147483647
+                    % 1000
+                )
+                for d in range(EMB_DIM):
+                    comp[d] += (hm * (d + 3)) % 17 - 8
+            return comp
+
+        embs = [emb(s) for s in sents]
+        brks = [0]
+        for prev, cur in zip(embs, embs[1:]):
+            dot = sum(a * b for a, b in zip(prev, cur))
+            na2 = sum(a * a for a in prev)
+            nb2 = sum(b * b for b in cur)
+            brks.append(
+                1
+                if dot <= 0 or dot * dot * 1_000_000 < TAU2_PPM * na2 * nb2
+                else 0
+            )
+        chunks = {}
+        seg, rn = 0, 0
+        for i, s in enumerate(sents):
+            if brks[i]:
+                seg, rn = seg + 1, 0
+            chunks.setdefault((seg, rn // CHUNK_SENTS), []).append(i)
+            rn += 1
+        chunk_tokens = {
+            key: sum(len(sents[i]) for i in idx) for key, idx in chunks.items()
+        }
+        out[doc_id] = {
+            "n_sentences": len(sents),
+            "n_boundaries": sum(brks),
+            "n_chunks": len(chunks),
+            "max_chunk_tokens": max(chunk_tokens.values()),
+            "n_tokens": len(toks),
+        }
+    return out
+
+
+def test_semantic_chunking_matches_python_reference(spark, sf_smoke):
+    """Bit-exact agreement between the distributed operator and an
+    independently-written sequential reference on the smoke corpus."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.chunking import (
+        chunk_semantic_boundaries,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    texts = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    expect = _py_semantic_report(texts)
+    got = {
+        r["doc_id"]: {
+            "n_sentences": r["n_sentences"],
+            "n_boundaries": r["n_boundaries"],
+            "n_chunks": r["n_chunks"],
+            "max_chunk_tokens": r["max_chunk_tokens"],
+            "n_tokens": r["n_tokens"],
+        }
+        for r in chunk_semantic_boundaries(spark, sf_smoke).collect()
+    }
+    assert got == expect
+
+
+def test_doremi_weights_invariants(spark, sf_oracle):
+    """Hedge-update invariants: weights are a (floor-)normalized
+    distribution, monotone non-decreasing in the hardness bucket, and
+    token allocations never exceed the corpus."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        sample_doremi_weights,
+    )
+
+    rows = sample_doremi_weights(spark, sf_oracle).collect()
+    total_w = sum(r["weight_ppm"] for r in rows)
+    # truncating integer division loses < 1 ppm per domain
+    assert 1_000_000 - len(rows) <= total_w <= 1_000_000
+    by_k = sorted(rows, key=lambda r: (r["k"], r["source"]))
+    for a, b in zip(by_k, by_k[1:]):
+        if a["k"] < b["k"]:
+            assert a["weight_ppm"] < b["weight_ppm"]
+        elif a["k"] == b["k"]:
+            assert a["weight_ppm"] == b["weight_ppm"]
+    grand = sum(r["total_tokens"] for r in rows)
+    assert sum(r["alloc_tokens"] for r in rows) <= grand
+    assert 0 <= min(r["k"] for r in rows) <= max(r["k"] for r in rows) <= 9
+
+
+def test_softdedup_weights_invariants(spark, sf_oracle):
+    """1/s down-weighting: weight_ppm == 1e6 div s exactly, effective
+    mass never exceeds raw mass, and doc counts cover the corpus."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        dedup_softdedup_weights,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    rows = dedup_softdedup_weights(spark, sf_oracle).collect()
+    for r in rows:
+        assert r["weight_ppm"] == 1_000_000 // r["cluster_size"]
+        assert r["effective_tokens"] <= r["raw_tokens"]
+        # every member of an s-cluster is counted, so n_docs is a
+        # multiple of the cluster size
+        assert r["n_docs"] % r["cluster_size"] == 0
+    n_docs = load_table(spark, sf_oracle, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_k_anonymity_audit_invariants(spark, sf_oracle):
+    from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+        K_ANON,
+        clean_k_anonymity_audit,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    rows = clean_k_anonymity_audit(spark, sf_oracle).collect()
+    for r in rows:
+        assert 1 <= r["min_bucket"]
+        assert r["n_small_buckets"] <= r["n_buckets"]
+        assert r["rows_at_risk"] <= r["n_small_buckets"] * (K_ANON - 1)
+        assert r["rows_at_risk"] <= r["n_rows"]
+    n_docs = load_table(spark, sf_oracle, "documents").count()
+    assert sum(r["n_rows"] for r in rows) == n_docs
