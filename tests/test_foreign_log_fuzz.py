@@ -1,0 +1,282 @@
+"""Foreign-log differential fuzz: randomized delta-spark-shaped logs vs
+a pure-Python model fold.
+
+The golden fixtures (tests/fixtures/golden_delta*) pin ONE instance each
+of the classic and V2 layouts; this suite generates a FAMILY — random
+commit sequences (appends, deletes, SetTransaction, domainMetadata,
+unknown future actions/fields) with a checkpoint in a random layout
+(classic single-file or 2-part) at a random version, all authored in the
+same foreign wire format (commitInfo-first, delta-spark checkpoint
+structs via the generator's helpers) — and checks the native reader's
+snapshot, time travel, txn, and domainMetadata folds against an
+independent dict-model of the log. Every byte the reader sees was
+written by this test, never by the writer under test.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+    delta_domain_metadata,
+    delta_last_txn,
+    delta_read,
+    delta_snapshot_adds_df,
+)
+
+_GEN_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "make_golden_delta.py"
+)
+_spec = importlib.util.spec_from_file_location("make_golden_delta", _GEN_PATH)
+_gen = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_gen)
+
+SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    },
+    separators=(",", ":"),
+)
+
+
+def _write_data(root: str, fid: int, rows: list[tuple[int, str]]) -> dict:
+    rel = f"part-{fid:05d}-deadbeef-{fid:08x}.c000.snappy.parquet"
+    table = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int32()),
+            "v": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    dest = os.path.join(root, rel)
+    pq.write_table(table, dest, compression="snappy")
+    stats = json.dumps(
+        {
+            "numRecords": len(rows),
+            "minValues": {"k": min(r[0] for r in rows)},
+            "maxValues": {"k": max(r[0] for r in rows)},
+            "nullCount": {"k": 0},
+        },
+        separators=(",", ":"),
+    )
+    return {
+        "add": {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(dest),
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+            "stats": stats,
+        }
+    }
+
+
+def _commit(log: str, version: int, actions: list[dict]) -> None:
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+        for action in actions:
+            fh.write(json.dumps(action, separators=(",", ":")) + "\n")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_foreign_log_random_fold(spark, tmp_path, seed):
+    rng = random.Random(1000 + seed)
+    root = str(tmp_path / f"foreign_{seed}")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+
+    next_k = [0]
+
+    def fresh_rows():
+        n = rng.randint(1, 4)
+        rows = [(next_k[0] + i, f"r{next_k[0] + i}") for i in range(n)]
+        next_k[0] += n
+        return rows
+
+    # model state per version: live {path: rowcount}, txns, domains
+    live: dict[str, int] = {}
+    txns: dict[str, int] = {}
+    domains: dict[str, str] = {}
+    model: list[dict] = []  # model[v] = snapshot after commit v
+
+    n_commits = rng.randint(5, 9)
+    fid = [0]
+    for v in range(n_commits):
+        actions: list[dict] = [
+            _gen._commit_info(
+                1700000000000 + 1000 * v,
+                "WRITE",
+                {"mode": "Append"},
+                {},
+                True,
+                f"c{seed:02d}{v:02d}0000-0000-4000-8000-000000000000",
+            )
+        ]
+        if v == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {
+                    "metaData": {
+                        "id": f"fuzz-{seed}",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": SCHEMA_STRING,
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": 1700000000000,
+                    }
+                }
+            )
+        ops = rng.sample(
+            ["add", "add", "delete", "txn", "domain", "future"],
+            k=rng.randint(1, 3),
+        )
+        if v == 0 and "add" not in ops:
+            ops.append("add")
+        # deletes target files live BEFORE this commit: an add + remove
+        # of the same path within one commit is a shape no writer emits
+        # (the protocol's same-commit pairing is remove-then-RE-add, the
+        # DV re-stamp, where the add wins) and the two fold paths
+        # deliberately resolve it differently
+        deletable = set(live)
+        for op in ops:
+            if op == "add":
+                rows = fresh_rows()
+                action = _write_data(root, fid[0], rows)
+                fid[0] += 1
+                actions.append(action)
+                live[action["add"]["path"]] = len(rows)
+            elif op == "delete" and deletable & set(live):
+                victim = rng.choice(sorted(deletable & set(live)))
+                actions.append(
+                    {
+                        "remove": {
+                            "path": victim,
+                            "deletionTimestamp": 1700000000000 + 1000 * v,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                del live[victim]
+            elif op == "txn":
+                app = f"app-{rng.randint(0, 2)}"
+                ver = rng.randint(0, 50)
+                actions.append({"txn": {"appId": app, "version": ver}})
+                txns[app] = ver
+            elif op == "domain":
+                dom = f"fuzz.domain{rng.randint(0, 2)}"
+                cfg = json.dumps({"v": rng.randint(0, 9)})
+                actions.append(
+                    {
+                        "domainMetadata": {
+                            "domain": dom,
+                            "configuration": cfg,
+                            "removed": False,
+                        }
+                    }
+                )
+                domains[dom] = cfg
+            elif op == "future":
+                actions.append(
+                    {"futureAction": {"seed": seed, "v": v}}
+                )
+        # random unknown fields inside a random action's payload
+        if rng.random() < 0.5:
+            act = rng.choice(actions)
+            payload = act[next(iter(act))]
+            if isinstance(payload, dict):
+                payload["futureField"] = "x"
+        _commit(log, v, actions)
+        model.append(
+            {
+                "live": dict(live),
+                "txns": dict(txns),
+                "domains": dict(domains),
+            }
+        )
+
+    # checkpoint at a random interior version, random foreign layout
+    ck = rng.randint(1, n_commits - 2)
+    state = model[ck]
+    ck_actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": f"fuzz-{seed}",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": SCHEMA_STRING,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 1700000000000,
+            }
+        },
+        *(
+            {"txn": {"appId": a, "version": ver}}
+            for a, ver in state["txns"].items()
+        ),
+        *(
+            {
+                "domainMetadata": {
+                    "domain": d,
+                    "configuration": c,
+                    "removed": False,
+                }
+            }
+            for d, c in state["domains"].items()
+        ),
+        *(
+            {
+                "add": {
+                    "path": p,
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 1700000000000,
+                    "dataChange": False,
+                    "stats": json.dumps({"numRecords": n}),
+                }
+            }
+            for p, n in sorted(state["live"].items())
+        ),
+    ]
+    if rng.random() < 0.5:
+        pq.write_table(
+            _gen._ckpt_rows(ck_actions),
+            os.path.join(log, f"{ck:020d}.checkpoint.parquet"),
+            compression="snappy",
+        )
+    else:
+        half = len(ck_actions) // 2 + 1  # metadata actions stay in part 1
+        for part, chunk in ((1, ck_actions[:half]), (2, ck_actions[half:])):
+            pq.write_table(
+                _gen._ckpt_rows(chunk),
+                os.path.join(
+                    log, f"{ck:020d}.checkpoint.{part:010d}.{2:010d}.parquet"
+                ),
+                compression="snappy",
+            )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": ck, "size": len(ck_actions)}))
+
+    # ---- differential checks at latest + two random versions
+    versions = sorted({n_commits - 1, rng.randint(0, n_commits - 1), ck})
+    for v in versions:
+        snap = model[v]
+        expect_rows = sum(snap["live"].values())
+        got = delta_read(spark, root, version=None if v == n_commits - 1 else v)
+        assert got.count() == expect_rows, (seed, v)
+    latest = model[-1]
+    adds_df = delta_snapshot_adds_df(spark, root)
+    assert adds_df.count() == len(latest["live"]), seed
+    for app, ver in latest["txns"].items():
+        assert delta_last_txn(spark, root, app) == ver, (seed, app)
+    assert delta_domain_metadata(spark, root) == latest["domains"], seed
