@@ -1021,7 +1021,7 @@ QUERIES: list[QueryDef] = [
                CAST(SUM(cnt) AS BIGINT) AS n_rows
         FROM groups GROUP BY lang, source ORDER BY lang, source
         """,
-        tags=("extension", "cleaning", "pipeline"),
+        tags=("extension", "cleaning", "pipeline", "bench"),
         description="k-anonymity audit over quasi-identifiers (lang x "
         "source x 50-char length bucket): per-cohort violating-bucket "
         "count, rows at risk, smallest bucket (K=5).",

@@ -954,7 +954,7 @@ QUERIES: list[QueryDef] = [
                  AS effective_tokens
         FROM per_doc GROUP BY s, weight_ppm ORDER BY cluster_size
         """,
-        tags=("extension", "dedup", "graph", "pipeline"),
+        tags=("extension", "dedup", "graph", "pipeline", "bench"),
         description="SoftDeDup cluster down-weighting: per duplicate-"
         "cluster-size 1/s training weights in exact ppm, raw vs "
         "effective token mass — reweight-instead-of-drop dedup.",

@@ -861,7 +861,7 @@ QUERIES: list[QueryDef] = [
         "sample_doremi_weights",
         sample_doremi_weights,
         _doremi_sql(),
-        tags=("extension", "sampling", "pipeline"),
+        tags=("extension", "sampling", "pipeline", "bench"),
         description="DoReMi-style domain reweighting: one exact-rational "
         "hedge update (11/10)^rank over per-source lexical hardness, "
         "normalized mixture weights + token allocations in integer ppm.",
