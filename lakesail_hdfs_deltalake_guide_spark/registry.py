@@ -65,63 +65,13 @@ _TIER_MODULES = (
 # (after never-verified queries) makes that window a rolling
 # regression re-confirmation of the oldest driver signal.
 #
-# Round-11 rotation (VERDICT r10 item 1): the 33 r01 rows + 11 r04
-# rows are the stalest driver signal; with <=6 new queries this round
-# the 50-entry window covers all 44.
-
-_R01_VERIFIED = frozenset(
-    {
-        "case_account_bands",
-        "group_priority_year",
-        "monthly_revenue",
-        "setop_except_positive_nonbuilding",
-        "setop_intersect_nations",
-        "setop_union_all_counts",
-        "text_bpe_token_count",
-        "text_fingerprint_duplicates",
-        "text_language_id",
-        "text_quality_score",
-        "text_rolling_hash_fingerprint",
-        "text_tfidf_top_terms",
-        "text_token_frequency",
-        "text_token_stats",
-        "topk_orders",
-        "tpch_q10_returned_items",
-        "tpch_q12_priority_shipping",
-        "tpch_q14_promo_effect",
-        "tpch_q15_top_supplier",
-        "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_volume_customer",
-        "tpch_q19_or_predicates",
-        "tpch_q21_sole_late_supplier",
-        "tpch_q22_dormant_customers",
-        "tpch_q4_order_priority",
-        "tpch_q6_revenue_forecast",
-        "window_distribution_ranks",
-        "window_lag_event_delta",
-        "window_moving_avg_events",
-        "window_range_frame_trailing",
-        "window_rank_orders_per_customer",
-        "window_running_revenue",
-        "window_topn_per_segment",
-    }
-)
-
-_R04_VERIFIED = frozenset(
-    {
-        "graph_triangle_count",
-        "profile_token_lorenz",
-        "stats_approx_distinct_users",
-        "stats_countmin_heavy_hitters",
-        "stats_price_histogram",
-        "stats_qty_price_correlation",
-        "tpch_q11_balance_concentration",
-        "tpch_q13_order_count_distribution",
-        "tpch_q16_supplier_part_counts",
-        "tpch_q20_promo_part_suppliers",
-        "tpch_q9_product_type_profit",
-    }
-)
+# Round-12 rotation (VERDICT r11 item 1): the 50 r05 rows are the
+# stalest driver signal and exactly fill the window, so every new
+# query registered this round rolls one r05 re-confirm to r13. At 350+
+# registered queries and a hard 50-row window the rotation is
+# saturated: max staleness necessarily exceeds 7 rounds once the
+# registry grows. We accept that — VERDICT items 2/4/5/6/7 ask for new
+# operators — and keep the roll-over minimal and explicit.
 
 _R05_VERIFIED = frozenset(
     {
@@ -453,17 +403,71 @@ _R10_VERIFIED = frozenset(
     }
 )
 
-# Stalest driver row first: the re-confirm cursor.
+_R11_VERIFIED = frozenset(
+    {
+        "case_account_bands",
+        "chunk_semantic_boundaries",
+        "clean_k_anonymity_audit",
+        "dedup_softdedup_weights",
+        "graph_triangle_count",
+        "group_priority_year",
+        "monthly_revenue",
+        "multimodal_text_frame_topk",
+        "profile_token_lorenz",
+        "sample_doremi_weights",
+        "setop_except_positive_nonbuilding",
+        "setop_intersect_nations",
+        "setop_union_all_counts",
+        "similarity_hard_negatives",
+        "stats_approx_distinct_users",
+        "stats_countmin_heavy_hitters",
+        "stats_price_histogram",
+        "stats_qty_price_correlation",
+        "text_bpe_token_count",
+        "text_fingerprint_duplicates",
+        "text_language_id",
+        "text_quality_score",
+        "text_rolling_hash_fingerprint",
+        "text_tfidf_top_terms",
+        "text_token_frequency",
+        "text_token_stats",
+        "topk_orders",
+        "tpch_q10_returned_items",
+        "tpch_q11_balance_concentration",
+        "tpch_q12_priority_shipping",
+        "tpch_q13_order_count_distribution",
+        "tpch_q14_promo_effect",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_part_counts",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_volume_customer",
+        "tpch_q19_or_predicates",
+        "tpch_q20_promo_part_suppliers",
+        "tpch_q21_sole_late_supplier",
+        "tpch_q22_dormant_customers",
+        "tpch_q4_order_priority",
+        "tpch_q6_revenue_forecast",
+        "tpch_q9_product_type_profit",
+        "window_distribution_ranks",
+        "window_lag_event_delta",
+        "window_moving_avg_events",
+        "window_range_frame_trailing",
+        "window_rank_orders_per_customer",
+        "window_running_revenue",
+        "window_topn_per_segment",
+    }
+)
+
 DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
-    _R01_VERIFIED,
-    _R04_VERIFIED,
     _R05_VERIFIED,
     _R06_VERIFIED,
     _R07_VERIFIED,
     _R08_VERIFIED,
     _R09_VERIFIED,
     _R10_VERIFIED,
+    _R11_VERIFIED,
 )
+
 DRIVER_VERIFIED = frozenset().union(*DRIVER_VERIFIED_ROUNDS)
 
 

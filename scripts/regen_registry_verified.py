@@ -17,12 +17,26 @@ import json
 import re
 
 
+def _is_green(row: dict) -> bool:
+    """Only a green driver row counts as verified (rows+schema+hash match,
+    no error) — a red row must NOT be bookkept as fresh, or the failure
+    would rotate to the back of the re-confirm window instead of staying
+    in the driver's sights."""
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+        and row.get("err") is None
+    )
+
+
 def main() -> None:
     rounds: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         n = int(re.search(r"r(\d+)", path).group(1))
-        for name in json.load(open(path)):
-            rounds[name] = max(rounds.get(name, 0), n)
+        for name, row in json.load(open(path)).items():
+            if _is_green(row):
+                rounds[name] = max(rounds.get(name, 0), n)
     by_round: dict[int, list[str]] = {}
     for name, n in rounds.items():
         by_round.setdefault(n, []).append(name)
