@@ -94,9 +94,13 @@ class SparkConnectServer:
                 '(pip install "pyspark[connect]"); not available in '
                 "this environment"
             )
-        self._session = self._builder().getOrCreate()
+        session = self._builder().getOrCreate()
+        self._session = session
         if not background:
-            # reference parity: block until the JVM goes away
+            # reference parity: block until interrupted. Capture the
+            # session locally first — stop() clears self._session, and
+            # the documented contract returns the (now-stopped) session
+            # either way.
             import time
 
             try:
@@ -104,7 +108,7 @@ class SparkConnectServer:
                     time.sleep(3600)
             except KeyboardInterrupt:
                 self.stop()
-        return self._session
+        return session
 
     def stop(self) -> None:
         if self._session is not None:

@@ -1065,11 +1065,14 @@ def _read_checkpoint(
         finally:
             stream.close()
         cols = ["protocol", "metaData", "txn"] if meta_only else None
-        piece = pq.read_table(_io.BytesIO(raw), columns=cols)
         if cols:
-            piece = piece.select(
-                [c for c in cols if c in piece.schema.names]
-            )
+            # a checkpoint legitimately omits columns for action types
+            # it contains none of (e.g. no txn column when no writer
+            # ever committed a SetTransaction) — intersect BEFORE the
+            # projected read or pyarrow raises "No match for FieldRef"
+            avail = set(pq.read_schema(_io.BytesIO(raw)).names)
+            cols = [c for c in cols if c in avail]
+        piece = pq.read_table(_io.BytesIO(raw), columns=cols)
         pieces.append(piece)
     table = (
         pieces[0]
@@ -1293,6 +1296,52 @@ def _add_spark_schema():
     )
 
 
+def _conform_struct_col(col, expected, actual):
+    """Project a struct column onto ``expected``, subfield by subfield:
+    absent subfields become typed nulls, EXTRA foreign subfields are
+    dropped (delta-spark checkpoints carry the full 6-field
+    deletionVector descriptor — offset/sizeInBytes/maxRowIndex — which
+    would otherwise fail the unionByName with the JSON-tail parts'
+    3-field struct), and nested structs recurse. A NULL struct stays
+    NULL (no empty-struct fabrication)."""
+    from pyspark.sql.types import StructType
+
+    have = {f.name: f for f in actual.fields}
+    subs = []
+    for f in expected.fields:
+        if f.name not in have:
+            subs.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif isinstance(f.dataType, StructType) and isinstance(
+            have[f.name].dataType, StructType
+        ):
+            subs.append(
+                _conform_struct_col(
+                    col[f.name], f.dataType, have[f.name].dataType
+                ).alias(f.name)
+            )
+        else:
+            subs.append(col[f.name].cast(f.dataType).alias(f.name))
+    return F.when(col.isNotNull(), F.struct(*subs))
+
+
+def _conform_field(parent, field, actual):
+    """One expected top-level field of ``parent`` (a struct column with
+    runtime StructType ``actual``) conformed to the native schema:
+    missing → typed null, struct → recursive rebuild, scalar → cast."""
+    from pyspark.sql.types import StructType
+
+    have = {f.name: f for f in actual.fields}
+    if field.name not in have:
+        return F.lit(None).cast(field.dataType).alias(field.name)
+    if isinstance(field.dataType, StructType) and isinstance(
+        have[field.name].dataType, StructType
+    ):
+        return _conform_struct_col(
+            parent[field.name], field.dataType, have[field.name].dataType
+        ).alias(field.name)
+    return parent[field.name].cast(field.dataType).alias(field.name)
+
+
 def delta_snapshot_adds_df(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -1324,19 +1373,17 @@ def delta_snapshot_adds_df(
             .parquet(*_checkpoint_files(spark, path, ck))
             .where(F.col("add.path").isNotNull())
         )
-        # foreign checkpoints (delta-spark) carry only the add fields
-        # their writer knows — absent ones (deletionVector, baseRowId on
-        # a non-DV table) surface as typed nulls instead of failing the
-        # struct-field resolution (caught by the golden fixture)
-        present = set(ckpt.schema["add"].dataType.fieldNames())
+        # foreign checkpoints (delta-spark) differ from the native add
+        # shape in BOTH directions: fields this engine knows may be
+        # absent (→ typed nulls), and present struct fields may be
+        # WIDER (the full 6-field deletionVector descriptor) — conform
+        # each field recursively so the union with the JSON-tail parts
+        # resolves (caught by the golden fixture + the widened-DV test)
+        add_actual = ckpt.schema["add"].dataType
         parts.append(
             ckpt.select(
                 *[
-                    (
-                        F.col(f"add.{f.name}")
-                        if f.name in present
-                        else F.lit(None).cast(f.dataType)
-                    ).alias(f.name)
+                    _conform_field(F.col("add"), f, add_actual)
                     for f in add_schema.fields
                 ],
                 F.lit(ck).alias("_v"),

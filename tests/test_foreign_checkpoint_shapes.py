@@ -1,0 +1,196 @@
+"""Foreign checkpoint SHAPE variants the golden fixtures don't cover
+(ADVICE r11): a delta-spark checkpoint whose ``add.deletionVector``
+carries the full 6-field descriptor (offset/sizeInBytes/maxRowIndex on
+top of the native 3), and a checkpoint that omits entire action columns
+for action types it contains none of (no ``txn``/``remove``/
+``domainMetadata`` columns at all). Both are protocol-legal outputs of
+real writers; the native reader must conform them, not crash.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+    _read_checkpoint,
+    delta_snapshot_adds_df,
+)
+
+_PV = pa.map_(pa.string(), pa.string())
+
+# the full delta-spark deletionVector descriptor — wider than the native
+# reader's 3-field shape (storageType, pathOrInlineDv, cardinality)
+_DV6 = pa.struct(
+    [
+        ("storageType", pa.string()),
+        ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()),
+        ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+        ("maxRowIndex", pa.int64()),
+    ]
+)
+_ADD_WIDE = pa.struct(
+    [
+        ("path", pa.string()),
+        ("partitionValues", _PV),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
+        ("tags", _PV),
+        ("deletionVector", _DV6),
+    ]
+)
+_META = pa.struct(
+    [
+        ("id", pa.string()),
+        ("format", pa.struct([("provider", pa.string()), ("options", _PV)])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", _PV),
+        ("createdTime", pa.int64()),
+    ]
+)
+_PROTO = pa.struct(
+    [
+        ("minReaderVersion", pa.int32()),
+        ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
+    ]
+)
+# NOTE: deliberately NO txn / remove / domainMetadata columns — a
+# checkpoint omits columns for action types not present (ADVICE r11)
+_CKPT_SCHEMA = pa.schema(
+    [("add", _ADD_WIDE), ("metaData", _META), ("protocol", _PROTO)]
+)
+
+_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+        ],
+    },
+    separators=(",", ":"),
+)
+
+
+def _write_data(root: str, rel: str, ks: list[int]) -> int:
+    dest = os.path.join(root, rel)
+    pq.write_table(pa.table({"k": pa.array(ks, pa.int32())}), dest)
+    return os.path.getsize(dest)
+
+
+def _make_dv_table(root: str) -> None:
+    """v0 (checkpointed, wide-DV add) + v1 JSON tail (plain add)."""
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    size_a = _write_data(root, "part-a.parquet", [1, 2, 3])
+    size_b = _write_data(root, "part-b.parquet", [4, 5])
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }
+    meta = {
+        "id": "dvshape-0001",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": _SCHEMA_STRING,
+        "partitionColumns": [],
+        "configuration": {},
+        "createdTime": 1700000000000,
+    }
+    add_a = {
+        "path": "part-a.parquet",
+        "partitionValues": {},
+        "size": size_a,
+        "modificationTime": 1700000000000,
+        "dataChange": True,
+        "stats": json.dumps({"numRecords": 3}),
+        "deletionVector": {
+            "storageType": "u",
+            "pathOrInlineDv": "ab12cd!XYZ",
+            "offset": 1,
+            "sizeInBytes": 40,
+            "cardinality": 1,
+            "maxRowIndex": 2,
+        },
+    }
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": proto}) + "\n")
+        fh.write(json.dumps({"metaData": meta}) + "\n")
+        fh.write(json.dumps({"add": add_a}) + "\n")
+    # checkpoint @0 in the wide foreign shape
+    ck_meta = dict(meta)
+    ck_meta["format"] = {"provider": "parquet", "options": []}
+    ck_meta["configuration"] = []
+    ck_add = dict(add_a)
+    ck_add["partitionValues"] = []
+    ck_add["dataChange"] = False
+    rows = [
+        {"add": None, "metaData": None, "protocol": proto},
+        {"add": None, "metaData": ck_meta, "protocol": None},
+        {"add": ck_add, "metaData": None, "protocol": None},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_CKPT_SCHEMA),
+        os.path.join(log, f"{0:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(json.dumps({"version": 0, "size": 3}))
+    # v1: ordinary JSON append (native 3-field DV absent entirely)
+    add_b = {
+        "path": "part-b.parquet",
+        "partitionValues": {},
+        "size": size_b,
+        "modificationTime": 1700000001000,
+        "dataChange": True,
+        "stats": json.dumps({"numRecords": 2}),
+    }
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"add": add_b}) + "\n")
+
+
+def test_wide_dv_checkpoint_distributed_fold(spark, tmp_path):
+    """The distributed fold must union a 6-field foreign DV descriptor
+    with the 3-field JSON-tail shape: common subfields preserved, extra
+    ones dropped, absent DVs null (AnalysisException FIELD_NOT_FOUND
+    before the conform fix)."""
+    root = str(tmp_path / "dvshape")
+    _make_dv_table(root)
+    adds = delta_snapshot_adds_df(spark, root)
+    got = {r["path"]: r for r in adds.collect()}
+    assert set(got) == {"part-a.parquet", "part-b.parquet"}
+    dv = got["part-a.parquet"]["deletionVector"]
+    assert dv is not None
+    assert dv["storageType"] == "u"
+    assert dv["pathOrInlineDv"] == "ab12cd!XYZ"
+    assert dv["cardinality"] == 1
+    assert set(dv.asDict()) == {
+        "storageType",
+        "pathOrInlineDv",
+        "cardinality",
+    }
+    assert got["part-b.parquet"]["deletionVector"] is None
+
+
+def test_checkpoint_without_txn_column(spark, tmp_path):
+    """meta_only checkpoint reads must tolerate absent action columns
+    (pyarrow raised "No match for FieldRef.Name(txn)" before the
+    intersect fix); the full read already tolerated them."""
+    root = str(tmp_path / "dvshape2")
+    _make_dv_table(root)
+    proto, meta, live, txns = _read_checkpoint(spark, root, 0, meta_only=True)
+    assert proto["minReaderVersion"] == 3
+    assert meta["id"] == "dvshape-0001"
+    assert txns == {}
+    proto_f, _, live_f, _ = _read_checkpoint(spark, root, 0, meta_only=False)
+    assert proto_f["minReaderVersion"] == 3
+    assert set(live_f) == {"part-a.parquet"}
