@@ -825,7 +825,654 @@ def pipeline_incremental_sessions(
     )
 
 
+# --- X182: end-to-end curation capstone (VERDICT r11 item 2) -------------
+#
+# The composed artifact a real LLM-data pipeline ships: raw documents
+# through quality gate → exact dedup → MinHash near-dedup → 13-gram
+# decontamination → temperature mixing → sequence packing, with the
+# per-stage attrition ledger (docs/tokens surviving each gate). Every
+# stage reuses the exact arithmetic of its standalone operator
+# (clean_gopher_repetition, clean_classifier_quality,
+# dedup_exact_keep_first, dedup_minhash_lsh, dedup_ngram_contamination,
+# sample_temperature_mix, chunk_packing_waste), so the capstone is the
+# composition proof, not a re-derivation.
+
+CURATION_BENCH_DOCS = 20  # doc_id < 20 = held-out benchmark stand-in
+CURATION_SHINGLE_K = 5  # 3-token shingles collide corpus-wide on the
+#                         ~31-token fixture vocabulary (r10 finding);
+#                         5-token shingles keep LSH candidates sparse
+CURATION_MIX_NUM, CURATION_MIX_DEN = 3, 5  # token budget = 60% of s4
+
+
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as ONE artifact: the attrition ledger.
+
+    Stages (docs with doc_id < 20 are the benchmark set, excluded from
+    the pipeline corpus up front):
+
+      0 raw            pipeline corpus (doc_id ≥ 20)
+      1 quality_gate   Gopher repetition rules (top-bigram char share ≤
+                       20%, duplicate-trigram overhead ≤ 15%) AND the
+                       hashed linear classifier (score_milli ≥ 0)
+      2 exact_dedup    keep-first (min doc_id) per md5(text)
+      3 minhash_neardup MinHash-LSH (32 perms, 8×4 bands, 5-token
+                       shingles) — drop the larger doc_id of any pair
+                       with est_jaccard ≥ 0.5
+      4 decontaminate  drop docs sharing ANY token 13-gram with the
+                       benchmark set (broadcast semi-join)
+      5 mix_sample     temperature mixing (T=2: weight = isqrt(n_docs)
+                       per source, Hamilton largest-remainder over a
+                       budget of 60% of surviving docs) APPLIED — keep
+                       each source's first alloc docs by doc_id
+      6 pack_sequences the packing/waste report over survivors:
+                       n_docs = packed sequences of PACK_WINDOW tokens,
+                       dropped_tokens = tail padding, kept_ppm =
+                       utilization ppm (for stages 1–5 kept_ppm is docs
+                       surviving vs the previous stage)
+
+    All arithmetic integer/ppm (md5-prefix hashes, isqrt via
+    correctly-rounded IEEE sqrt, Hamilton apportionment) — the DuckDB
+    oracle reproduces the whole ledger bit-for-bit.
+
+    Scale shape (each stage inherits its standalone operator's posture):
+    the gates shuffle per-(doc, gram) counts or 16-byte digests, never
+    text; the classifier weight table broadcasts; LSH candidates are
+    band-bounded; the benchmark gram set broadcasts; mixing collapses
+    to |sources| rows before its windows; the packing report is one
+    aggregate. Stage survivors persist as (doc_id, source, text,
+    n_tokens) — at 100 TB those are metadata-plus-text scans that would
+    instead checkpoint to the lakehouse between stages, with identical
+    plan shapes."""
+    from .functions.hashing import (
+        band_keys,
+        minhash_signature,
+        minhash_similarity,
+        shingle_hashes,
+        shingles,
+        tokens,
+    )
+    from .operators.chunking import PACK_WINDOW
+    from .operators.cleaning import (
+        CLS_BUCKETS,
+        CLS_WEIGHT_SPAN,
+        GOPHER_DUP3_MAX_PPM,
+        GOPHER_TOP2_MAX_PPM,
+    )
+    from .operators.dedup import CONTAM_K, NUM_BANDS, NUM_PERM, ROWS_PER_BAND
+    from .tables import load_table, spread_compute
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = (
+        spread_compute(
+            d.where(F.col("doc_id") >= CURATION_BENCH_DOCS), "doc_id"
+        )
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .persist()
+    )
+
+    # ---- stage 1: quality gate (gopher repetition + classifier) ----
+    base = raw.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.expr(
+            "aggregate(split(text, ' '), 0L, (a, w) -> a + length(w))"
+        ).alias("n_chars"),
+    )
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(filter(sequence(1, size(t)), i -> i < size(t)),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2")
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.asc("w1"), F.asc("w2")
+    )
+    top2 = (
+        bi.groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            (F.col("cnt") * (F.length("w1") + F.length("w2")))
+            .cast("long")
+            .alias("top2_chars"),
+        )
+    )
+    tri = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(filter(sequence(1, size(t)), i -> i < size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1,"
+                "             element_at(t, i + 1) AS w2,"
+                "             element_at(t, i + 2) AS w3))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2", "g.w3")
+    dup3 = (
+        tri.groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (F.col("cnt") - 1)
+                * (F.length("w1") + F.length("w2") + F.length("w3"))
+            ).alias("dup3_chars")
+        )
+    )
+    weights = spark.range(CLS_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CLS_WEIGHT_SPAN
+            - (CLS_WEIGHT_SPAN - 1) // 2
+        ).alias("w_milli"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("q:"), F.col("token"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % CLS_BUCKETS
+    )
+    score = (
+        raw.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .select("doc_id", bucket.alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("w_milli").alias("w_sum"),
+        )
+        .select("doc_id", F.expr("w_sum DIV n_tok").alias("score_milli"))
+    )
+    quality = (
+        base.select("doc_id", "n_chars")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .join(score, "doc_id")
+        .where(
+            (
+                F.expr("coalesce(top2_chars, 0) * 1000000 DIV n_chars")
+                <= GOPHER_TOP2_MAX_PPM
+            )
+            & (
+                F.expr("coalesce(dup3_chars, 0) * 1000000 DIV n_chars")
+                <= GOPHER_DUP3_MAX_PPM
+            )
+            & (F.col("score_milli") >= 0)
+        )
+        .select("doc_id")
+    )
+    s1 = raw.join(quality, "doc_id", "left_semi").persist()
+
+    # ---- stage 2: exact dedup (keep-first per md5 digest) ----
+    first = s1.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s2 = s1.join(first.select("doc_id"), "doc_id", "left_semi").persist()
+
+    # ---- stage 3: MinHash-LSH near-dedup (5-token shingles) ----
+    sigs = s2.select(
+        "doc_id",
+        minhash_signature(
+            shingle_hashes(shingles(tokens("text"), CURATION_SHINGLE_K)),
+            NUM_PERM,
+        ).alias("sig"),
+    ).persist()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(band_keys(F.col("sig"), NUM_BANDS, ROWS_PER_BAND)).alias(
+            "band"
+        ),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    pa_, pb_ = bands.alias("a"), bands.alias("b")
+    pairs = (
+        pa_.join(
+            pb_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    near_drop = (
+        pairs.join(
+            sigs.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+            ),
+            "doc_b",
+        )
+        .where(
+            minhash_similarity(F.col("sig_a"), F.col("sig_b"), NUM_PERM)
+            >= 0.5
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(near_drop, "doc_id", "left_anti").persist()
+
+    # ---- stage 4: 13-gram benchmark decontamination ----
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - CONTAM_K),
+        lambda i: F.array_join(F.slice(toks, i + 1, CONTAM_K), " "),
+    )
+    long_enough = F.size(toks) >= CONTAM_K
+    bench = (
+        d.where((F.col("doc_id") < CURATION_BENCH_DOCS) & long_enough)
+        .select(F.explode(F.array_distinct(grams)).alias("gram"))
+        .distinct()
+    )
+    contaminated = (
+        s3.where(long_enough)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        .join(F.broadcast(bench), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    s4 = s3.join(contaminated, "doc_id", "left_anti").persist()
+
+    # ---- stage 5: temperature mixing, applied ----
+    per_src = s4.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    x = per_src.select(
+        "source",
+        F.floor(F.sqrt(F.col("n_docs"))).cast("long").alias("w"),
+        F.expr(
+            f"{CURATION_MIX_NUM} * sum(n_docs) over ()"
+            f" div {CURATION_MIX_DEN}"
+        ).alias("b"),
+    )
+    y = x.select(
+        "source",
+        "b",
+        F.expr("w * b div sum(w) over ()").alias("base"),
+        F.expr("(w * b) % sum(w) over ()").alias("rem"),
+    )
+    z = y.select(
+        "source",
+        "base",
+        F.expr("row_number() over (order by rem desc, source)").alias("rk"),
+        F.expr("b - sum(base) over ()").alias("deficit"),
+    )
+    alloc = z.select(
+        "source",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("deficit"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("alloc"),
+    )
+    ranked = s4.withColumn(
+        "rkd",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("doc_id")
+        ),
+    )
+    s5 = (
+        ranked.join(alloc, "source")
+        .where(F.col("rkd") <= F.col("alloc"))
+        .select("doc_id", "source", "n_tokens")
+        .persist()
+    )
+
+    # ---- ledger ----
+    def stage_row(df: DataFrame, sid: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        ).select(
+            F.lit(sid).cast("long").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+
+    rows = (
+        stage_row(raw, 0, "raw")
+        .unionByName(stage_row(s1, 1, "quality_gate"))
+        .unionByName(stage_row(s2, 2, "exact_dedup"))
+        .unionByName(stage_row(s3, 3, "minhash_neardup"))
+        .unionByName(stage_row(s4, 4, "decontaminate"))
+        .unionByName(stage_row(s5, 5, "mix_sample"))
+    )
+    led = rows.select(
+        "stage_id",
+        "stage",
+        "n_docs",
+        "n_tokens",
+        F.coalesce(
+            F.expr("lag(n_docs) over (order by stage_id)") - F.col("n_docs"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dropped_docs"),
+        F.coalesce(
+            F.expr("lag(n_tokens) over (order by stage_id)")
+            - F.col("n_tokens"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("dropped_tokens"),
+        F.expr(
+            "CASE WHEN lag(n_docs) over (order by stage_id) IS NULL"
+            "     THEN 1000000"
+            "     WHEN lag(n_docs) over (order by stage_id) = 0 THEN 0"
+            "     ELSE n_docs * 1000000"
+            "          DIV lag(n_docs) over (order by stage_id) END"
+        )
+        .cast("long")
+        .alias("kept_ppm"),
+    )
+    pk = (
+        s5.agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("t5")
+        )
+        .select(
+            F.lit(6).cast("long").alias("stage_id"),
+            F.lit("pack_sequences").alias("stage"),
+            F.expr(f"(t5 + {PACK_WINDOW - 1}) div {PACK_WINDOW}")
+            .cast("long")
+            .alias("n_docs"),
+            F.col("t5").alias("n_tokens"),
+            F.lit(0).cast("long").alias("dropped_docs"),
+            F.expr(
+                f"(t5 + {PACK_WINDOW - 1}) div {PACK_WINDOW}"
+                f" * {PACK_WINDOW} - t5"
+            )
+            .cast("long")
+            .alias("dropped_tokens"),
+            F.expr(
+                f"CASE WHEN t5 = 0 THEN 0 ELSE t5 * 1000000 div"
+                f" ((t5 + {PACK_WINDOW - 1}) div {PACK_WINDOW}"
+                f" * {PACK_WINDOW}) END"
+            )
+            .cast("long")
+            .alias("kept_ppm"),
+        )
+    )
+    return led.unionByName(pk).orderBy("stage_id")
+
+
+def _sql_curation_e2e() -> str:
+    """DuckDB twin of the full curation ledger — every stage's CTE is
+    the bit-exact mirror of its standalone operator's oracle (same
+    md5-prefix hashes, ppm thresholds, Hamilton apportionment), chained
+    with MATERIALIZED survivor sets (they feed multiple consumers and
+    would otherwise inline combinatorially)."""
+    from .functions.hashing import MINHASH_PRIME, minhash_coefficients
+    from .operators.chunking import PACK_WINDOW
+    from .operators.cleaning import (
+        CLS_BUCKETS,
+        CLS_WEIGHT_SPAN,
+        GOPHER_DUP3_MAX_PPM,
+        GOPHER_TOP2_MAX_PPM,
+    )
+    from .operators.dedup import CONTAM_K, NUM_BANDS, NUM_PERM, ROWS_PER_BAND
+
+    p = MINHASH_PRIME
+    k = CURATION_SHINGLE_K
+    coeffs = minhash_coefficients(NUM_PERM, 42)
+    mins = ",\n                 ".join(
+        f"MIN(({a} * x + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_cols = []
+    for b in range(NUM_BANDS):
+        cat = " || '_' || ".join(
+            f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        band_cols.append(
+            f"CAST(('0x' || substring(md5({cat}), 1, 15)) AS BIGINT)"
+            f" AS band{b}"
+        )
+    agree = " + ".join(
+        f"CAST(a.m{i} = b.m{i} AS INT)" for i in range(NUM_PERM)
+    )
+    band_match = " OR ".join(
+        f"a.band{b} = b.band{b}" for b in range(NUM_BANDS)
+    )
+    grams13 = (
+        f"list_distinct(list_transform("
+        f"range(1, len(t) - {CONTAM_K - 2}),"
+        f" i -> array_to_string(t[i:i+{CONTAM_K - 1}], ' ')))"
+    )
+    B = PACK_WINDOW
+    return f"""
+        WITH raw AS MATERIALIZED (
+          SELECT doc_id, source, text, string_split(text, ' ') AS t,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents WHERE doc_id >= {CURATION_BENCH_DOCS}),
+        nch AS (
+          SELECT doc_id,
+                 CAST(list_aggregate(list_transform(t, w -> length(w)),
+                                     'sum') AS BIGINT) AS n_chars
+          FROM raw),
+        bi AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS cnt
+          FROM raw, UNNEST(range(1, len(t))) AS r(i)
+          GROUP BY doc_id, w1, w2),
+        top2 AS (
+          SELECT doc_id,
+                 CAST(cnt * (length(w1) + length(w2)) AS BIGINT)
+                   AS top2_chars
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY cnt DESC, w1, w2) AS rn FROM bi)
+          WHERE rn = 1),
+        tri AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
+                 COUNT(*) AS cnt
+          FROM raw, UNNEST(range(1, len(t) - 1)) AS r(i)
+          GROUP BY doc_id, w1, w2, w3),
+        dup3 AS (
+          SELECT doc_id,
+                 CAST(SUM((cnt - 1) * (length(w1) + length(w2)
+                                       + length(w3))) AS BIGINT)
+                   AS dup3_chars
+          FROM tri WHERE cnt >= 2 GROUP BY doc_id),
+        cls AS (
+          SELECT doc_id,
+                 CAST(SUM(w_milli) AS BIGINT) // COUNT(*) AS score_milli
+          FROM (SELECT doc_id,
+                       CAST(concat('0x',
+                              substring(md5(concat('q:', token)), 1, 8))
+                            AS BIGINT) % {CLS_BUCKETS} AS bucket
+                FROM (SELECT doc_id, unnest(t) AS token FROM raw))
+          JOIN (SELECT b AS bucket,
+                       CAST(concat('0x',
+                              substring(md5(concat('w:',
+                                CAST(b AS VARCHAR))), 1, 8))
+                            AS BIGINT) % {CLS_WEIGHT_SPAN}
+                         - {(CLS_WEIGHT_SPAN - 1) // 2} AS w_milli
+                FROM (SELECT unnest(range(0, {CLS_BUCKETS})) AS b))
+            USING (bucket)
+          GROUP BY doc_id),
+        s1 AS MATERIALIZED (
+          SELECT r.* FROM raw r
+          JOIN nch USING (doc_id)
+          JOIN cls USING (doc_id)
+          LEFT JOIN top2 USING (doc_id)
+          LEFT JOIN dup3 USING (doc_id)
+          WHERE COALESCE(top2_chars, 0) * 1000000 // n_chars
+                  <= {GOPHER_TOP2_MAX_PPM}
+            AND COALESCE(dup3_chars, 0) * 1000000 // n_chars
+                  <= {GOPHER_DUP3_MAX_PPM}
+            AND score_milli >= 0),
+        s2 AS MATERIALIZED (
+          SELECT * FROM s1
+          WHERE doc_id IN (SELECT MIN(doc_id) FROM s1 GROUP BY md5(text))),
+        shq AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < {k}
+                      THEN [array_to_string(t, ' ')]
+                      ELSE list_transform(range(1, len(t) - {k - 2}),
+                             i -> array_to_string(t[i:i+{k - 1}], ' '))
+                      END AS shingles
+          FROM s2),
+        hx AS (
+          SELECT doc_id,
+                 CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)
+                   % {p} AS x
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM shq)),
+        sig AS (
+          SELECT doc_id,
+                 {mins}
+          FROM hx GROUP BY doc_id),
+        banded AS MATERIALIZED (
+          SELECT sig.*, {", ".join(band_cols)} FROM sig),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(({agree}) AS DOUBLE) / {NUM_PERM} AS est_jaccard
+          FROM banded a JOIN banded b
+            ON a.doc_id < b.doc_id AND ({band_match})),
+        near_drop AS (
+          SELECT DISTINCT doc_b AS doc_id FROM cand
+          WHERE est_jaccard >= 0.5),
+        s3 AS MATERIALIZED (
+          SELECT * FROM s2
+          WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+        bgrams AS (
+          SELECT DISTINCT g
+          FROM (SELECT unnest({grams13}) AS g
+                FROM (SELECT string_split(text, ' ') AS t FROM documents
+                      WHERE doc_id < {CURATION_BENCH_DOCS}
+                        AND len(string_split(text, ' ')) >= {CONTAM_K}))),
+        cont AS (
+          SELECT DISTINCT doc_id
+          FROM (SELECT doc_id, unnest({grams13}) AS g
+                FROM s3 WHERE len(t) >= {CONTAM_K})
+          JOIN bgrams USING (g)),
+        s4 AS MATERIALIZED (
+          SELECT * FROM s3
+          WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        persrc AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS w
+          FROM s4 GROUP BY source),
+        mx AS (
+          SELECT source, w,
+                 {CURATION_MIX_NUM} * CAST(SUM(n_docs) OVER () AS BIGINT)
+                   // {CURATION_MIX_DEN} AS b,
+                 CAST(SUM(w) OVER () AS BIGINT) AS wsum
+          FROM persrc),
+        my AS (
+          SELECT source, b, w * b // wsum AS base, (w * b) % wsum AS rem
+          FROM mx),
+        mz AS (
+          SELECT source, base,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+                 b - CAST(SUM(base) OVER () AS BIGINT) AS deficit
+          FROM my),
+        alloc AS (
+          SELECT source,
+                 base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS alloc
+          FROM mz),
+        s5 AS MATERIALIZED (
+          SELECT doc_id, source, n_tokens
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY doc_id) AS rkd FROM s4)
+          JOIN alloc USING (source)
+          WHERE rkd <= alloc),
+        lg AS (
+          SELECT 0 AS stage_id, 'raw' AS stage, COUNT(*) AS n_docs,
+                 CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens
+          FROM raw
+          UNION ALL
+          SELECT 1, 'quality_gate', COUNT(*),
+                 CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s1
+          UNION ALL
+          SELECT 2, 'exact_dedup', COUNT(*),
+                 CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s2
+          UNION ALL
+          SELECT 3, 'minhash_neardup', COUNT(*),
+                 CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s3
+          UNION ALL
+          SELECT 4, 'decontaminate', COUNT(*),
+                 CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s4
+          UNION ALL
+          SELECT 5, 'mix_sample', COUNT(*),
+                 CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM s5),
+        led AS (
+          SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+                 n_docs, n_tokens,
+                 CAST(COALESCE(LAG(n_docs) OVER (ORDER BY stage_id)
+                               - n_docs, 0) AS BIGINT) AS dropped_docs,
+                 CAST(COALESCE(LAG(n_tokens) OVER (ORDER BY stage_id)
+                               - n_tokens, 0) AS BIGINT)
+                   AS dropped_tokens,
+                 CAST(CASE WHEN LAG(n_docs) OVER (ORDER BY stage_id)
+                             IS NULL THEN 1000000
+                           WHEN LAG(n_docs) OVER (ORDER BY stage_id) = 0
+                             THEN 0
+                           ELSE n_docs * 1000000
+                                // LAG(n_docs) OVER (ORDER BY stage_id)
+                      END AS BIGINT) AS kept_ppm
+          FROM lg),
+        pk AS (
+          SELECT CAST(6 AS BIGINT) AS stage_id,
+                 'pack_sequences' AS stage,
+                 (t5 + {B - 1}) // {B} AS n_docs,
+                 t5 AS n_tokens,
+                 CAST(0 AS BIGINT) AS dropped_docs,
+                 (t5 + {B - 1}) // {B} * {B} - t5 AS dropped_tokens,
+                 CASE WHEN t5 = 0 THEN 0
+                      ELSE t5 * 1000000 // ((t5 + {B - 1}) // {B} * {B})
+                 END AS kept_ppm
+          FROM (SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS t5
+                FROM s5))
+        SELECT * FROM led
+        UNION ALL
+        SELECT * FROM pk
+        ORDER BY stage_id
+        """
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "pipeline_curation_e2e",
+        pipeline_curation_e2e,
+        _sql_curation_e2e(),
+        tags=("extension", "pipeline", "dedup", "cleaning", "sampling",
+              "chunking", "bench"),
+        description="End-to-end curation capstone: quality gate -> "
+        "exact dedup -> MinHash near-dedup -> 13-gram decontamination "
+        "-> temperature mixing -> sequence packing, as one per-stage "
+        "attrition ledger (docs/tokens surviving each gate), bit-exact "
+        "vs the composed DuckDB oracle.",
+    ),
     QueryDef(
         "pipeline_incremental_sessions",
         pipeline_incremental_sessions,
