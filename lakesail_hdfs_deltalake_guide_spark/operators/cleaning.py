@@ -1002,7 +1002,233 @@ def clean_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L_DIVERSITY = 3  # sensitive attribute must take >= 3 values per cohort
+
+
+def clean_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the governance gate AFTER k-anonymity
+    (clean_k_anonymity_audit): a cohort can be large (k-anonymous) yet
+    still leak if everyone in it shares the sensitive attribute value.
+    Quasi-identifiers here are (source, 50-char length bucket); the
+    sensitive attribute is ``lang``. A cohort violates distinct
+    l-diversity when it carries fewer than L=3 distinct langs; the
+    audit reports, per source, the violating-cohort count, the rows
+    exposed by them, and the worst (minimum) diversity — the numbers a
+    corpus steward reads before publishing the dataset-card manifest
+    (profile_dataset_manifest).
+
+    Same two-level aggregate shape as the k-anonymity audit: one
+    shuffle on the QI key (the distinct-count rides it as a
+    two-phase exact distinct), then a |sources|-row rollup. At 100 TB:
+    two hash aggregations over (QI, lang) pairs, never text."""
+    d = load_table(spark, sf_dir, "documents")
+    cohorts = (
+        d.select(
+            "source",
+            F.expr(f"n_chars DIV {K_ANON_BUCKET}").alias("len_bucket"),
+            "lang",
+        )
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.countDistinct("lang").alias("n_langs"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return (
+        cohorts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_cohorts"),
+            F.sum((F.col("n_langs") < L_DIVERSITY).cast("bigint")).alias(
+                "n_violations"
+            ),
+            F.sum(
+                F.when(F.col("n_langs") < L_DIVERSITY, F.col("cnt")).otherwise(
+                    0
+                )
+            ).alias("rows_at_risk"),
+            F.min("n_langs").alias("min_diversity"),
+            F.sum("cnt").alias("n_rows"),
+        )
+        .orderBy("source")
+    )
+
+
+# Structured-PII patterns (all bounded — fixed digit groups, no nested
+# quantifiers, so neither engine's regex can backtrack catastrophically)
+CARD_RE = r"\b\d{16}\b"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _luhn_sql(var: str) -> str:
+    """Luhn checksum of a 16-digit string as a pure-SQL digit transform
+    (identical text works in Spark SQL and DuckDB): double the odd
+    1-based positions (= every second digit from the right for even
+    length), fold >9 back by subtracting 9, sum mod 10."""
+    terms = []
+    for i in range(1, 17):
+        d = f"CAST(substring({var}, {i}, 1) AS INT)"
+        if i % 2 == 1:
+            terms.append(f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9"
+                         f" ELSE 2 * {d} END)")
+        else:
+            terms.append(d)
+    return "(" + " + ".join(terms) + ") % 10"
+
+
+def clean_pii_luhn_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-PII sweep beyond emails (clean_pii_redact): credit-
+    card-shaped 16-digit numbers validated with the Luhn checksum (a
+    digit string that fails Luhn is a serial number, not a card — it
+    must NOT be redacted), phone numbers (NNN-NNN-NNNN), and IPv4
+    addresses, with per-source match and byte accounting.
+
+    The fixture text carries no PII, so deterministic subsets get
+    values planted in-plan: a Luhn-VALID card on doc_id % 7 == 0, a
+    Luhn-INVALID 16-digit decoy on doc_id % 11 == 0 (counted as a
+    candidate, never as a card), a phone on doc_id % 5 == 0, an IPv4 on
+    doc_id % 13 == 0 — every branch of the matcher demonstrably fires
+    at any SF.
+
+    chars_redacted counts phones/IPs by replace-length delta and valid
+    cards as 10 chars each (16-digit match → 6-char '[CARD]'), i.e. the
+    conditional redaction a Luhn-aware scrubber performs. The Luhn fold
+    is an unrolled 16-term integer expression — JVM codegen per
+    candidate, no UDF; one shuffle total (the per-source rollup).
+    At 100 TB: a map-only pass plus a |sources|-row aggregate."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    plant = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(" call 555-123-4567")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit(" card 4539578763621486")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(" acct 4539578763621487")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit(" from 192.168.1.10")
+        ).otherwise(F.lit("")),
+    )
+    base = d.select(
+        "source",
+        plant.alias("t"),
+    ).select(
+        "source",
+        F.expr(r"regexp_extract_all(t, '\\b\\d{16}\\b', 0)").alias("cards"),
+        F.regexp_count("t", F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count("t", F.lit(IPV4_RE)).alias("n_ips"),
+        (
+            F.length("t")
+            - F.length(
+                F.regexp_replace(
+                    F.regexp_replace("t", PHONE_RE, "[PHONE]"),
+                    IPV4_RE,
+                    "[IP]",
+                )
+            )
+        ).alias("pi_chars"),
+    )
+    scored = base.select(
+        "source",
+        F.size("cards").alias("n_candidates"),
+        F.expr(
+            f"size(filter(cards, c -> {_luhn_sql('c')} = 0))"
+        ).alias("n_cards"),
+        "n_phones",
+        "n_ips",
+        "pi_chars",
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_candidates").cast("bigint").alias("n_card_candidates"),
+            F.sum("n_cards").cast("bigint").alias("n_cards_valid"),
+            F.sum("n_phones").cast("bigint").alias("n_phones"),
+            F.sum("n_ips").cast("bigint").alias("n_ipv4"),
+            (F.sum("pi_chars") + F.sum("n_cards") * (16 - 6))
+            .cast("bigint")
+            .alias("chars_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "clean_l_diversity_audit",
+        clean_l_diversity_audit,
+        f"""
+        WITH cohorts AS (
+          SELECT source, n_chars // {K_ANON_BUCKET} AS len_bucket,
+                 COUNT(DISTINCT lang) AS n_langs,
+                 COUNT(*) AS cnt
+          FROM documents GROUP BY source, len_bucket)
+        SELECT source,
+               COUNT(*) AS n_cohorts,
+               CAST(SUM(CASE WHEN n_langs < {L_DIVERSITY} THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_violations,
+               CAST(SUM(CASE WHEN n_langs < {L_DIVERSITY} THEN cnt ELSE 0 END)
+                 AS BIGINT) AS rows_at_risk,
+               CAST(MIN(n_langs) AS BIGINT) AS min_diversity,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows
+        FROM cohorts GROUP BY source ORDER BY source
+        """,
+        tags=("extension", "cleaning", "pipeline", "governance"),
+        description="Distinct l-diversity audit (L=3) of the sensitive "
+        "lang attribute within (source x 50-char length bucket) "
+        "cohorts: violating cohorts, rows exposed, worst diversity — "
+        "the governance gate after k-anonymity.",
+    ),
+    QueryDef(
+        "clean_pii_luhn_sweep",
+        clean_pii_luhn_sweep,
+        f"""
+        WITH planted AS (
+          SELECT source,
+                 text
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' call 555-123-4567' ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' card 4539578763621486' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' acct 4539578763621487' ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0
+                         THEN ' from 192.168.1.10' ELSE '' END AS t
+          FROM documents),
+        scored AS (
+          SELECT source,
+                 len(regexp_extract_all(t, '{CARD_RE}')) AS n_candidates,
+                 len(list_filter(regexp_extract_all(t, '{CARD_RE}'),
+                                 c -> {_luhn_sql('c')} = 0)) AS n_cards,
+                 len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+                 len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ips,
+                 length(t) - length(
+                   regexp_replace(
+                     regexp_replace(t, '{PHONE_RE}', '[PHONE]', 'g'),
+                     '{IPV4_RE}', '[IP]', 'g')) AS pi_chars
+          FROM planted)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_candidates) AS BIGINT) AS n_card_candidates,
+               CAST(SUM(n_cards) AS BIGINT) AS n_cards_valid,
+               CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+               CAST(SUM(n_ips) AS BIGINT) AS n_ipv4,
+               CAST(SUM(pi_chars) + SUM(n_cards) * (16 - 6) AS BIGINT)
+                 AS chars_redacted
+        FROM scored GROUP BY source ORDER BY source
+        """,
+        tags=("extension", "cleaning", "pipeline", "governance"),
+        description="Luhn-validated structured-PII sweep: 16-digit card "
+        "candidates gated by the Luhn checksum (pure-SQL digit "
+        "transform), phone/IPv4 patterns, per-source match and "
+        "redacted-byte accounting with planted fixtures.",
+    ),
     QueryDef(
         "clean_k_anonymity_audit",
         clean_k_anonymity_audit,
