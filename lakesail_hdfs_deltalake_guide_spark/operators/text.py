@@ -1984,6 +1984,91 @@ def text_crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_colbert_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction rerank — the industry-standard
+    middle rung between the factorized first stage
+    (text_hybrid_rrf_retrieval) and the fully joint cross-encoder
+    (text_crossencoder_rerank): MaxSim. For each (query, doc) pair in
+    the shared RRF pool, take the MAX interaction weight over the doc's
+    tokens for EACH query token, then SUM over query tokens — a doc
+    scores high when every query token finds at least one strong match
+    somewhere in it, the property mean-pooling dilutes and BM25's exact
+    matching misses.
+
+    The token-pair weights are the SAME md5-prefix interaction stub the
+    cross-encoder uses ("x:qt|dt", clean_classifier_quality hash
+    family), so the two rerankers differ ONLY in the aggregation rule
+    (sum-of-per-query-token-maxima vs mean-over-all-pairs) — the
+    agreement test isolates the decision rule, and the DuckDB twin
+    replays every score bit-for-bit.
+
+    Scale contract, same as the cross-encoder: pairwise work is
+    pool-bounded (Q · RRF_TOP pairs × |q|·|d| token products), the
+    token cross rides two equi-joins, and the extra MaxSim step is ONE
+    more hash aggregation over the same pair frame (group on (query,
+    doc, qt) for the max, then on (query, doc) for the sum). A real
+    ColBERT swaps the stub for per-token embedding dot products — an
+    Arrow-batched pandas_udf over the identical frame."""
+    d = load_table(spark, sf_dir, "documents")
+    pool = text_hybrid_rrf_retrieval(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("rrf_rank")
+    )
+    pool = pool.localCheckpoint(eager=True)  # feeds tokens join + output
+    qtoks = d.where(F.col("doc_id") < _RRF_Q).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(_tokens())).alias("qt"),
+    )
+    dtoks = d.join(
+        pool.select("doc_id").distinct(), "doc_id", "left_semi"
+    ).select("doc_id", F.explode(F.array_distinct(_tokens())).alias("dt"))
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("x:"), F.col("qt"), F.lit("|"), F.col("dt")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CE_BUCKET_SPAN
+        - (CE_BUCKET_SPAN - 1) // 2
+    )
+    per_qt = (
+        pool.select("query_id", "doc_id")
+        .join(F.broadcast(qtoks), "query_id")
+        .join(dtoks, "doc_id")
+        .select("query_id", "doc_id", "qt", w.alias("w"))
+        .groupBy("query_id", "doc_id", "qt")
+        .agg(F.max("w").alias("mx"))
+    )
+    scores = per_qt.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_qtoks"),
+        F.sum("mx").cast("long").alias("maxsim_milli"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("maxsim_milli"), F.asc("doc_id")
+    )
+    return (
+        pool.join(scores, ["query_id", "doc_id"])
+        .withColumn("colbert_rank", F.row_number().over(wq).cast("long"))
+        .select(
+            "query_id",
+            "doc_id",
+            "rrf_rank",
+            "n_qtoks",
+            "maxsim_milli",
+            "colbert_rank",
+            (F.col("rrf_rank") - F.col("colbert_rank")).alias("rank_shift"),
+        )
+        .orderBy("query_id", "colbert_rank")
+    )
+
+
 def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser–Ney bigram LM vs the add-one baseline — the
     standard "did smoothing actually help" model-fit report behind
@@ -2869,6 +2954,53 @@ QUERIES: list[QueryDef] = [
         "RRF pool: mean hashed token-INTERACTION weight over all "
         "(query-token x doc-token) pairs — pool-bounded pairwise work, "
         "deterministic md5-prefix model stub, rank shifts vs RRF.",
+    ),
+    QueryDef(
+        "text_colbert_maxsim_rerank",
+        text_colbert_maxsim_rerank,
+        f"""
+        WITH {_rrf_oracle_ctes()},
+        ce_qtoks AS (
+          SELECT doc_id AS query_id,
+                 unnest(list_distinct({_SQL_TOKS})) AS qt
+          FROM documents WHERE doc_id < {_RRF_Q}),
+        ce_dtoks AS (
+          SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS dt
+          FROM documents
+          WHERE doc_id IN (SELECT DISTINCT doc_id FROM rrf_ranked)),
+        per_qt AS (
+          SELECT p.query_id, p.doc_id, q.qt,
+                 MAX(
+                   CAST(concat('0x',
+                        substring(md5(concat('x:', q.qt, '|', d.dt)), 1, 8))
+                        AS BIGINT) % {CE_BUCKET_SPAN}
+                   - {(CE_BUCKET_SPAN - 1) // 2}
+                 ) AS mx
+          FROM rrf_ranked p
+          JOIN ce_qtoks q USING (query_id)
+          JOIN ce_dtoks d USING (doc_id)
+          GROUP BY p.query_id, p.doc_id, q.qt),
+        mm_scores AS (
+          SELECT query_id, doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_qtoks,
+                 CAST(SUM(mx) AS BIGINT) AS maxsim_milli
+          FROM per_qt GROUP BY query_id, doc_id)
+        SELECT query_id, doc_id, rrf_rank, n_qtoks, maxsim_milli,
+               CAST(colbert_rank AS BIGINT) AS colbert_rank,
+               rrf_rank - CAST(colbert_rank AS BIGINT) AS rank_shift
+        FROM (
+          SELECT r.query_id, r.doc_id, r.rank AS rrf_rank,
+                 s.n_qtoks, s.maxsim_milli,
+                 ROW_NUMBER() OVER (PARTITION BY r.query_id
+                   ORDER BY s.maxsim_milli DESC, r.doc_id) AS colbert_rank
+          FROM rrf_ranked r JOIN mm_scores s USING (query_id, doc_id))
+        ORDER BY query_id, colbert_rank
+        """,
+        tags=("extension", "text", "similarity", "pipeline", "bench"),
+        description="ColBERT-style MaxSim late-interaction rerank over "
+        "the shared RRF pool: per-query-token MAX over doc-token "
+        "interaction weights, summed — pool-bounded, same stub weights "
+        "as the cross-encoder so only the aggregation rule differs.",
     ),
     QueryDef(
         "text_keyness_llr",
