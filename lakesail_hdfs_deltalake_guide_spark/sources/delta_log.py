@@ -6678,6 +6678,68 @@ def delta_native_identity_columns(
     )
 
 
+def delta_native_check_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECK-constraint lifecycle (PROTOCOL.md "CHECK Constraints",
+    delta-spark's ALTER TABLE ADD CONSTRAINT / writer-v3 contract):
+
+      1. write the non-negative half of a cents table;
+      2. ADD CONSTRAINT nonneg (cents >= 0) — validates the existing
+         snapshot, bumps minWriterVersion to 3;
+      3. an append carrying violating rows must REFUSE atomically
+         (nothing committed — counted, and any leak breaks the final
+         aggregate);
+      4. a clean append commits under the constraint;
+      5. ADD CONSTRAINT the current data violates must REFUSE (the
+         alter-side validation);
+      6. DROP CONSTRAINT, after which the once-refused rows commit.
+
+    The output pins the final state (row/sum/negative counts), both
+    refusal counters, and the protocol's writer version — a constraint
+    that silently failed to enforce, failed to validate, or failed to
+    bump the protocol shows up in one of them."""
+    import tempfile
+
+    from ..tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_ck_")
+    delta_write(
+        c.where("c_custkey % 2 = 0 AND cents >= 0").repartition(4), path
+    )
+    delta_add_constraint(spark, path, "nonneg", "cents >= 0")
+    odds = c.where("c_custkey % 2 = 1")
+    refused_appends = 0
+    try:
+        delta_write(odds, path, mode="append")  # carries negatives
+    except ValueError:
+        refused_appends += 1
+    delta_write(odds.where("cents >= 0"), path, mode="append")
+    refused_alters = 0
+    try:
+        delta_add_constraint(spark, path, "rich", "cents >= 500000")
+    except ValueError:
+        refused_alters += 1
+    delta_drop_constraint(spark, path, "nonneg")
+    delta_write(odds.where("cents < 0"), path, mode="append")
+    proto, _, _, _ = _snapshot_state(spark, path, include_adds=False)
+    back = delta_read(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum((F.col("cents") < 0).cast("bigint")).alias("n_neg_rows"),
+        F.lit(int((proto or {}).get("minWriterVersion", 0)))
+        .cast("long")
+        .alias("min_writer_version"),
+        F.lit(refused_appends).cast("long").alias("n_refused_appends"),
+        F.lit(refused_alters).cast("long").alias("n_refused_alters"),
+    )
+
+
 def delta_native_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE ZORDER BY on the native log: orders land in arrival
     order (custkey scattered across every file), then a z-order rewrite
@@ -7421,6 +7483,33 @@ QUERIES: list[QueryDef] = [
         description="3-column OPTIMIZE ZORDER: the N-dim Morton curve "
         "prunes files on each of three clustered keys independently; "
         "per-dimension skipping asserted in-query.",
+    ),
+    QueryDef(
+        "delta_native_check_constraints",
+        delta_native_check_constraints,
+        """
+        WITH base AS (
+          SELECT c_custkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer),
+        final AS (
+          SELECT * FROM base WHERE c_custkey % 2 = 0 AND cents >= 0
+          UNION ALL
+          SELECT * FROM base WHERE c_custkey % 2 = 1)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_neg_rows,
+               CAST(3 AS BIGINT) AS min_writer_version,
+               CAST(1 AS BIGINT) AS n_refused_appends,
+               CAST(1 AS BIGINT) AS n_refused_alters
+        FROM final
+        """,
+        tags=("parity", "delta", "io", "ddl", "governance"),
+        description="CHECK-constraint lifecycle: ADD CONSTRAINT "
+        "validates the snapshot and bumps writer v3, violating appends "
+        "and alters refuse atomically, DROP CONSTRAINT re-admits — "
+        "final state, refusal counters, and protocol version pinned.",
     ),
     QueryDef(
         "delta_native_identity_columns",
