@@ -505,9 +505,12 @@ def _xm_dot(a, b) -> F.Column:
 
 def multimodal_text_frame_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal top-k: text queries retrieve video frames through the
-    IVF-probed shared space (coarse cells = the frame-0 embeddings of
-    docs 0..7, integer argmax-dot routing, micro-cosine rerank inside
-    probed cells only)."""
+    IVF-probed shared space, routed by a TRAINED coarse quantizer (one
+    Lloyd round seeded from the frame-0 embeddings of docs 0..7 — the
+    cluster_lloyd_iteration machinery applied to the frame tower), so
+    the retrieval stub's plan is shape-identical to the serving ANN
+    path: train codebook → route index → probe cells → micro-cosine
+    rerank inside probed cells only (VERDICT r11 item 3)."""
     # Materialize both towers' outputs: the embedding columns are
     # EXPRESSIONS until then, and every downstream reference (cell
     # routing ×8 centroids, per-pair scoring) would re-run the full
@@ -518,12 +521,46 @@ def multimodal_text_frame_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF postings table); the query side is QUERIES rows.
     fr = _frame_embeddings(spark, sf_dir).localCheckpoint(eager=True)
     q = _query_embeddings(spark, sf_dir).localCheckpoint(eager=True)
-    cents = fr.where(
+    seeds = fr.where(
         (F.col("frame_no") == 0) & (F.col("doc_id") < XM_CENTROIDS)
     ).select(
         F.col("doc_id").cast("int").alias("cid"),
         F.col("fv").alias("cv"),
         F.sqrt(_xm_dot("fv", "fv").cast("double")).alias("cnorm"),
+    )
+    # Lloyd E-step under the SERVING metric (centroid-norm-normalized
+    # dot — training and routing must agree or cells drift), M-step as
+    # the exact integer component mean: (cid, dim)-keyed SUM DIV n,
+    # K·64 rows, reassembled with an order-pinning sort — the same
+    # doctrine as cluster_lloyd_iteration. Empty cells simply vanish
+    # from the codebook (fewer, fuller cells).
+    aff0 = (_xm_dot("fv", "cv").cast("double") / F.col("cnorm")).alias("aff")
+    w0 = Window.partitionBy("doc_id", "frame_no").orderBy(
+        F.desc("aff"), F.asc("cid")
+    )
+    assigned = (
+        fr.join(F.broadcast(seeds))
+        .select("doc_id", "frame_no", "fv", "cid", aff0)
+        .withColumn("rn", F.row_number().over(w0))
+        .where(F.col("rn") == 1)
+        .select("cid", "fv")
+    )
+    cents = (
+        assigned.select("cid", F.posexplode("fv").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(F.expr("SUM(x) DIV COUNT(*)").alias("c"))
+        .groupBy("cid")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, c))),"
+                " s -> s.c)"
+            ).alias("cv")
+        )
+        .select(
+            "cid",
+            "cv",
+            F.sqrt(_xm_dot("cv", "cv").cast("double")).alias("cnorm"),
+        )
     )
     # 8 rows — broadcast both assignment joins; routing normalizes by
     # the CENTROID norm (cosine up to the row's own constant norm): raw
@@ -596,9 +633,24 @@ def _xm_sql_parts() -> list[str]:
              ((CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT)
                % 2147483647 % 1000 * (d + 5)) % 13) - 6))) AS qv
   FROM documents WHERE doc_id < {XM_QUERIES})""",
-        f"""xcents AS (
+        f"""xseeds AS (
   SELECT CAST(doc_id AS INT) AS cid, fv AS cv FROM femb
   WHERE frame_no = 0 AND doc_id < {XM_CENTROIDS})""",
+        """xassign AS (
+  SELECT cid, fv FROM (
+    SELECT f.fv, s.cid,
+           ROW_NUMBER() OVER (PARTITION BY f.doc_id, f.frame_no
+             ORDER BY CAST(list_dot_product(f.fv, s.cv) AS DOUBLE)
+               / sqrt(CAST(list_dot_product(s.cv, s.cv) AS DOUBLE))
+               DESC, s.cid) AS rn
+    FROM femb f CROSS JOIN xseeds s) WHERE rn = 1)""",
+        f"""xcomp AS (
+  SELECT cid, u.d AS pos,
+         CAST(SUM(fv[CAST(u.d + 1 AS INT)]) AS BIGINT) // COUNT(*) AS c
+  FROM xassign, UNNEST(range(0, {XM_DIM})) AS u(d)
+  GROUP BY cid, u.d)""",
+        """xcents AS MATERIALIZED (
+  SELECT cid, list(c ORDER BY pos) AS cv FROM xcomp GROUP BY cid)""",
         f"""xcand AS (
   SELECT doc_id, frame_no, fv, cid FROM (
     SELECT f.doc_id, f.frame_no, f.fv, c.cid,
