@@ -2632,9 +2632,15 @@ def _plan_commit(
     if df.schema != existing and _nullability_conforms(df.schema, existing):
         # delta-spark accepts a STRICTER batch (non-nullable column into
         # a nullable table column) without schema evolution — only the
-        # nullability marks differ, so conform the batch to the table
+        # nullability marks differ, so conform the batch to the table.
+        # Spark's to() keeps the batch's tighter non-null marks, so the
+        # schemas may still differ afterwards — the second check below
+        # re-tests conformance rather than raw equality (the staged
+        # parquet simply contains no nulls in those columns).
         df = df.to(existing)
-    if df.schema != existing:
+    if df.schema != existing and not _nullability_conforms(
+        df.schema, existing
+    ):
         if not merge_schema:
             raise ValueError(
                 "schema mismatch on write (pass merge_schema=True to "

@@ -1,0 +1,212 @@
+"""Round-12 operator invariants: the curation-capstone ledger, the
+Luhn PII sweep, the l-diversity audit, MaxSim-vs-cross-encoder
+agreement on the shared pool, and foreign-table CHECK-constraint
+enforcement (the oracle-parity suite checks values; these check the
+properties the values must satisfy)."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.operators.chunking import PACK_WINDOW
+from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+    L_DIVERSITY,
+    _luhn_sql,
+    clean_l_diversity_audit,
+    clean_pii_luhn_sweep,
+)
+from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+    text_colbert_maxsim_rerank,
+    text_crossencoder_rerank,
+)
+from lakesail_hdfs_deltalake_guide_spark.pipelines import (
+    pipeline_curation_e2e,
+)
+
+
+def test_curation_ledger_invariants(spark, sf_oracle):
+    """The attrition ledger must be internally consistent: 7 stages,
+    monotone non-increasing docs/tokens through the gates, every
+    dropped/kept column derivable from its neighbors, and the packing
+    row's capacity arithmetic exact."""
+    rows = {
+        r["stage_id"]: r
+        for r in pipeline_curation_e2e(spark, sf_oracle).collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5, 6]
+    assert [rows[i]["stage"] for i in range(7)] == [
+        "raw",
+        "quality_gate",
+        "exact_dedup",
+        "minhash_neardup",
+        "decontaminate",
+        "mix_sample",
+        "pack_sequences",
+    ]
+    for i in range(1, 6):  # gates: monotone + ledger arithmetic
+        prev, cur = rows[i - 1], rows[i]
+        assert 0 <= cur["n_docs"] <= prev["n_docs"]
+        assert 0 <= cur["n_tokens"] <= prev["n_tokens"]
+        assert cur["dropped_docs"] == prev["n_docs"] - cur["n_docs"]
+        assert cur["dropped_tokens"] == prev["n_tokens"] - cur["n_tokens"]
+        assert (
+            cur["kept_ppm"] == cur["n_docs"] * 1_000_000 // prev["n_docs"]
+        )
+    assert rows[0]["dropped_docs"] == 0 and rows[0]["kept_ppm"] == 1_000_000
+    # the pipeline demonstrably gates: SOMETHING must drop overall
+    assert rows[5]["n_docs"] < rows[0]["n_docs"]
+    pk, mix = rows[6], rows[5]
+    n_seq = (mix["n_tokens"] + PACK_WINDOW - 1) // PACK_WINDOW
+    assert pk["n_docs"] == n_seq
+    assert pk["n_tokens"] == mix["n_tokens"]
+    assert pk["dropped_tokens"] == n_seq * PACK_WINDOW - mix["n_tokens"]
+    assert (
+        pk["kept_ppm"]
+        == mix["n_tokens"] * 1_000_000 // (n_seq * PACK_WINDOW)
+    )
+
+
+def test_luhn_expression_and_sweep(spark, sf_oracle):
+    """The unrolled Luhn fold validates known-good card numbers and
+    rejects off-by-one forgeries; the sweep counts candidates vs valid
+    cards separately (the decoy is detected but never redacted)."""
+    cases = spark.createDataFrame(
+        [
+            ("4539578763621486", 0),  # valid (planted in the sweep)
+            ("4539578763621487", 1),  # the planted decoy
+            ("4111111111111111", 0),  # canonical test PAN
+            ("4111111111111112", 1),
+        ],
+        "c string, expected int",
+    )
+    got = cases.select(
+        "expected", F.expr(f"{_luhn_sql('c')}").alias("luhn")
+    ).collect()
+    for r in got:
+        assert (r["luhn"] == 0) == (r["expected"] == 0)
+    out = clean_pii_luhn_sweep(spark, sf_oracle).collect()
+    assert len(out) > 0
+    tot = {
+        k: sum(r[k] for r in out)
+        for k in (
+            "n_docs",
+            "n_card_candidates",
+            "n_cards_valid",
+            "n_phones",
+            "n_ipv4",
+            "chars_redacted",
+        )
+    }
+    # planted densities: 1/7 valid cards, 1/11 decoys, 1/5 phones, 1/13 IPs
+    assert tot["n_cards_valid"] > 0
+    assert tot["n_card_candidates"] > tot["n_cards_valid"]  # decoys counted
+    assert tot["n_phones"] > 0 and tot["n_ipv4"] > 0
+    # every redaction shrinks: phones 18→7 (11), IPs ≥7→4, cards 16→6
+    expected_min = (
+        tot["n_cards_valid"] * 10 + tot["n_phones"] * 5 + tot["n_ipv4"] * 3
+    )
+    assert tot["chars_redacted"] >= expected_min
+
+
+def test_l_diversity_invariants(spark, sf_oracle):
+    out = clean_l_diversity_audit(spark, sf_oracle).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r["n_violations"] <= r["n_cohorts"]
+        assert 0 <= r["rows_at_risk"] <= r["n_rows"]
+        assert r["min_diversity"] >= 1
+        # a source with zero violations must have min diversity >= L
+        if r["n_violations"] == 0:
+            assert r["min_diversity"] >= L_DIVERSITY
+        # violating cohorts have < L langs each, so the rows they expose
+        # exist only if there are violations
+        if r["rows_at_risk"] > 0:
+            assert r["n_violations"] > 0
+
+
+def test_maxsim_agrees_with_crossencoder_pool(spark, sf_oracle):
+    """MaxSim and the cross-encoder rerank the SAME RRF pool with the
+    SAME stub weights; per (query, doc): sum-of-per-token-maxima >=
+    n_qtoks * floor-mean (max >= mean per query token), and each
+    reranker's ranks are a permutation of 1..pool_size."""
+    mm = {
+        (r["query_id"], r["doc_id"]): r
+        for r in text_colbert_maxsim_rerank(spark, sf_oracle).collect()
+    }
+    ce = {
+        (r["query_id"], r["doc_id"]): r
+        for r in text_crossencoder_rerank(spark, sf_oracle).collect()
+    }
+    assert set(mm) == set(ce) and len(mm) > 0  # shared pool, row for row
+    by_q: dict[int, list] = {}
+    for (q, _), r in mm.items():
+        by_q.setdefault(q, []).append(r)
+        cer = ce[(q, r["doc_id"])]
+        assert r["rrf_rank"] == cer["rrf_rank"]
+        assert r["maxsim_milli"] >= r["n_qtoks"] * cer["ce_milli"]
+    for q, rs in by_q.items():
+        assert sorted(r["colbert_rank"] for r in rs) == list(
+            range(1, len(rs) + 1)
+        )
+
+
+def test_foreign_check_constraints_enforced(spark):
+    """A foreign writer-v3 table carrying delta.constraints.* in its
+    metaData configuration: this engine's appends must enforce the
+    CHECK (writer v3 is accepted exactly because checks are honored) —
+    a violating batch refuses atomically, NULL PASSES (CHECK semantics,
+    unlike invariants), and a passing batch commits."""
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_metadata,
+        delta_read,
+        delta_write,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_foreign_ck_")
+    df = spark.range(1, 50).select(
+        F.expr("CASE WHEN id > 0 THEN id END").alias("k")
+    )
+    delta_write(df, p)
+    # forge the foreign constraint + writer-v3 protocol into the log
+    meta = dict(delta_metadata(spark, p))
+    meta["configuration"] = {
+        **meta.get("configuration", {}),
+        "delta.constraints.positive_k": "k > 0",
+    }
+    delta_log._write_commit(
+        spark,
+        p,
+        1,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+            {"metaData": meta},
+        ],
+    )
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        delta_write(
+            spark.range(-3, 2).select(F.col("id").alias("k")),
+            p,
+            mode="append",
+        )
+    assert delta_read(spark, p).count() == 49  # nothing leaked
+    # NULL passes a CHECK (SQL semantics) and clean rows commit
+    delta_write(
+        spark.sql("SELECT CAST(NULL AS BIGINT) AS k"), p, mode="append"
+    )
+    delta_write(
+        spark.range(50, 60).select(F.col("id").alias("k")), p, mode="append"
+    )
+    assert delta_read(spark, p).count() == 60
+    # the forged log survives a JSON round-trip (commit really on disk)
+    with open(f"{p}/_delta_log/{1:020d}.json") as fh:
+        lines = [json.loads(line) for line in fh]
+    assert any(
+        "delta.constraints.positive_k"
+        in (a.get("metaData", {}).get("configuration") or {})
+        for a in lines
+    )
