@@ -87,6 +87,51 @@ def _commit(log: str, version: int, actions: list[dict]) -> None:
             fh.write(json.dumps(action, separators=(",", ":")) + "\n")
 
 
+# the full delta-spark deletionVector descriptor — wider than the native
+# reader's 3-field shape (shape-only widening; values stay null)
+_DV6 = pa.struct(
+    [
+        ("storageType", pa.string()),
+        ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()),
+        ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+        ("maxRowIndex", pa.int64()),
+    ]
+)
+
+
+def _foreign_shape(table: pa.Table, rng: random.Random) -> pa.Table:
+    """Randomize the checkpoint's COLUMN SHAPE the way real writers do
+    (ADVICE r11): sometimes omit action columns for action types the
+    checkpoint contains none of (txn/domainMetadata/remove), sometimes
+    widen the add struct with the full 6-field deletionVector
+    descriptor. Values are untouched — only the wire shape varies."""
+    if rng.random() < 0.5:
+        drop = [
+            n
+            for n in ("txn", "domainMetadata", "remove")
+            if n in table.schema.names
+            and table.column(n).null_count == len(table)
+        ]
+        if drop:
+            table = table.drop_columns(drop)
+    if rng.random() < 0.5 and "add" in table.schema.names:
+        add = table.column("add").combine_chunks()
+        if isinstance(add, pa.ChunkedArray):
+            add = add.chunk(0) if add.num_chunks else pa.nulls(0, add.type)
+        children = [add.field(i) for i in range(add.type.num_fields)]
+        names = [f.name for f in add.type]
+        wide = pa.StructArray.from_arrays(
+            children + [pa.nulls(len(table), _DV6)],
+            names + ["deletionVector"],
+            mask=add.is_null(),
+        )
+        idx = table.schema.get_field_index("add")
+        table = table.set_column(idx, pa.field("add", wide.type), wide)
+    return table
+
+
 @pytest.mark.parametrize("seed", range(6))
 def test_foreign_log_random_fold(spark, tmp_path, seed):
     rng = random.Random(1000 + seed)
@@ -250,7 +295,7 @@ def test_foreign_log_random_fold(spark, tmp_path, seed):
     ]
     if rng.random() < 0.5:
         pq.write_table(
-            _gen._ckpt_rows(ck_actions),
+            _foreign_shape(_gen._ckpt_rows(ck_actions), rng),
             os.path.join(log, f"{ck:020d}.checkpoint.parquet"),
             compression="snappy",
         )
@@ -258,7 +303,7 @@ def test_foreign_log_random_fold(spark, tmp_path, seed):
         half = len(ck_actions) // 2 + 1  # metadata actions stay in part 1
         for part, chunk in ((1, ck_actions[:half]), (2, ck_actions[half:])):
             pq.write_table(
-                _gen._ckpt_rows(chunk),
+                _foreign_shape(_gen._ckpt_rows(chunk), rng),
                 os.path.join(
                     log, f"{ck:020d}.checkpoint.{part:010d}.{2:010d}.parquet"
                 ),
