@@ -1074,16 +1074,19 @@ def _read_checkpoint(
             cols = [c for c in cols if c in avail]
         piece = pq.read_table(_io.BytesIO(raw), columns=cols)
         pieces.append(piece)
-    table = (
-        pieces[0]
-        if len(pieces) == 1
-        else pa.concat_tables(pieces, promote_options="default")
-    )
+    # fold piece-by-piece instead of concat_tables: multi-part schemas
+    # may legitimately differ in column set AND nested struct width
+    # (a part holding only adds omits the metadata action columns;
+    # foreign writers carry wider add structs) — dict rows tolerate
+    # every shape, arrow unification does not
+    import itertools as _it
+
+    rows_iter = _it.chain.from_iterable(p.to_pylist() for p in pieces)
     proto: dict | None = None
     meta: dict | None = None
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
-    for row in table.to_pylist():
+    for row in rows_iter:
         if (
             row.get("protocol") is not None
             and row["protocol"].get("minReaderVersion") is not None
