@@ -1,0 +1,234 @@
+"""Sequential pure-Python reference for the curation capstone
+(pipeline_curation_e2e): a THIRD independent implementation — besides
+the Spark plan and the DuckDB oracle — of every stage's arithmetic
+(gopher ppm gates, md5 classifier, keep-first dedup, 32-perm MinHash
+banding, 13-gram decontamination, isqrt/Hamilton mixing, packing).
+Catches errors the Spark↔DuckDB twin pair could share (both are
+generated from the same constants by the same author)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pyarrow.parquet as pq
+
+from lakesail_hdfs_deltalake_guide_spark.functions.hashing import (
+    MINHASH_PRIME,
+    minhash_coefficients,
+)
+from lakesail_hdfs_deltalake_guide_spark.operators.chunking import PACK_WINDOW
+from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+    CLS_BUCKETS,
+    CLS_WEIGHT_SPAN,
+    GOPHER_DUP3_MAX_PPM,
+    GOPHER_TOP2_MAX_PPM,
+)
+from lakesail_hdfs_deltalake_guide_spark.operators.dedup import (
+    CONTAM_K,
+    NUM_BANDS,
+    NUM_PERM,
+    ROWS_PER_BAND,
+)
+from lakesail_hdfs_deltalake_guide_spark.pipelines import (
+    CURATION_BENCH_DOCS,
+    CURATION_MIX_DEN,
+    CURATION_MIX_NUM,
+    CURATION_SHINGLE_K,
+    pipeline_curation_e2e,
+)
+
+
+def _md5_prefix(s: str, n: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:n], 16)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero division (Spark DIV / DuckDB // semantics;
+    Python's // floors, which differs on negative numerators)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _shingles(toks: list[str], k: int) -> list[str]:
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _reference_ledger(sf_dir: str) -> list[tuple]:
+    docs = sorted(
+        pq.read_table(f"{sf_dir}/documents.parquet").to_pylist(),
+        key=lambda r: r["doc_id"],
+    )
+    corpus = [d for d in docs if d["doc_id"] >= CURATION_BENCH_DOCS]
+    bench = [d for d in docs if d["doc_id"] < CURATION_BENCH_DOCS]
+    toks = {d["doc_id"]: d["text"].split(" ") for d in docs}
+    ntok = {d["doc_id"]: len(toks[d["doc_id"]]) for d in docs}
+
+    # stage 1: gopher repetition + classifier
+    weights = [
+        _md5_prefix(f"w:{b}", 8) % CLS_WEIGHT_SPAN - (CLS_WEIGHT_SPAN - 1) // 2
+        for b in range(CLS_BUCKETS)
+    ]
+    s1 = []
+    for d in corpus:
+        t = toks[d["doc_id"]]
+        n_chars = sum(len(w) for w in t)
+        bi = Counter(zip(t, t[1:]))
+        if bi:
+            (w1, w2), cnt = min(
+                bi.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            top2 = cnt * (len(w1) + len(w2))
+        else:
+            top2 = 0
+        tri = Counter(zip(t, t[1:], t[2:]))
+        dup3 = sum(
+            (c - 1) * (len(a) + len(b) + len(g))
+            for (a, b, g), c in tri.items()
+            if c >= 2
+        )
+        w_sum = sum(weights[_md5_prefix("q:" + w, 8) % CLS_BUCKETS] for w in t)
+        if (
+            top2 * 1_000_000 // n_chars <= GOPHER_TOP2_MAX_PPM
+            and dup3 * 1_000_000 // n_chars <= GOPHER_DUP3_MAX_PPM
+            and _tdiv(w_sum, len(t)) >= 0
+        ):
+            s1.append(d)
+
+    # stage 2: exact keep-first per md5(text)
+    first: dict[str, int] = {}
+    for d in s1:
+        h = hashlib.md5(d["text"].encode()).hexdigest()
+        first.setdefault(h, d["doc_id"])
+    keep2 = set(first.values())
+    s2 = [d for d in s1 if d["doc_id"] in keep2]
+
+    # stage 3: MinHash-LSH, 5-token shingles, est >= 0.5 drops doc_b
+    coeffs = minhash_coefficients(NUM_PERM, 42)
+    sigs: dict[int, list[int]] = {}
+    for d in s2:
+        hs = {
+            _md5_prefix(s, 8) % MINHASH_PRIME
+            for s in _shingles(toks[d["doc_id"]], CURATION_SHINGLE_K)
+        }
+        sigs[d["doc_id"]] = [
+            min((a * x + b) % MINHASH_PRIME for x in hs) for a, b in coeffs
+        ]
+    buckets: dict[tuple, list[int]] = {}
+    for did, sig in sigs.items():
+        for b in range(NUM_BANDS):
+            cat = "_".join(
+                str(sig[b * ROWS_PER_BAND + r]) for r in range(ROWS_PER_BAND)
+            )
+            buckets.setdefault((b, _md5_prefix(cat, 15)), []).append(did)
+    drop3 = set()
+    pairs = set()
+    for mem in buckets.values():
+        for i, a in enumerate(sorted(mem)):
+            for b in sorted(mem)[i + 1 :]:
+                pairs.add((a, b))
+    for a, b in pairs:
+        agree = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        if agree / NUM_PERM >= 0.5:
+            drop3.add(b)
+    s3 = [d for d in s2 if d["doc_id"] not in drop3]
+
+    # stage 4: 13-gram decontamination vs the benchmark docs
+    bgrams = set()
+    for d in bench:
+        t = toks[d["doc_id"]]
+        if len(t) >= CONTAM_K:
+            bgrams.update(
+                " ".join(t[i : i + CONTAM_K])
+                for i in range(len(t) - CONTAM_K + 1)
+            )
+    s4 = []
+    for d in s3:
+        t = toks[d["doc_id"]]
+        grams = (
+            {
+                " ".join(t[i : i + CONTAM_K])
+                for i in range(len(t) - CONTAM_K + 1)
+            }
+            if len(t) >= CONTAM_K
+            else set()
+        )
+        if not (grams & bgrams):
+            s4.append(d)
+
+    # stage 5: temperature mixing, applied (isqrt weights + Hamilton)
+    per_src = Counter(d["source"] for d in s4)
+    budget = CURATION_MIX_NUM * len(s4) // CURATION_MIX_DEN
+    ws = {s: math.isqrt(n) for s, n in per_src.items()}
+    wsum = sum(ws.values())
+    alloc = {}
+    if wsum:
+        base = {s: w * budget // wsum for s, w in ws.items()}
+        rem = {s: (w * budget) % wsum for s, w in ws.items()}
+        deficit = budget - sum(base.values())
+        order = sorted(ws, key=lambda s: (-rem[s], s))
+        alloc = {
+            s: base[s] + (1 if i < deficit else 0)
+            for i, s in enumerate(order)
+        }
+    seen: Counter = Counter()
+    s5 = []
+    for d in s4:  # already doc_id-sorted
+        seen[d["source"]] += 1
+        if seen[d["source"]] <= alloc.get(d["source"], 0):
+            s5.append(d)
+
+    # ledger
+    stages = [
+        ("raw", corpus),
+        ("quality_gate", s1),
+        ("exact_dedup", s2),
+        ("minhash_neardup", s3),
+        ("decontaminate", s4),
+        ("mix_sample", s5),
+    ]
+    out = []
+    prev = None
+    for i, (name, rows) in enumerate(stages):
+        nd = len(rows)
+        nt = sum(ntok[d["doc_id"]] for d in rows)
+        if prev is None:
+            out.append((i, name, nd, nt, 0, 0, 1_000_000))
+        else:
+            pd_, pt = prev
+            kept = 1_000_000 if pd_ == 0 else nd * 1_000_000 // pd_
+            out.append((i, name, nd, nt, pd_ - nd, pt - nt, kept))
+        prev = (nd, nt)
+    t5 = prev[1]
+    n_seq = (t5 + PACK_WINDOW - 1) // PACK_WINDOW
+    out.append(
+        (
+            6,
+            "pack_sequences",
+            n_seq,
+            t5,
+            0,
+            n_seq * PACK_WINDOW - t5,
+            0 if t5 == 0 else t5 * 1_000_000 // (n_seq * PACK_WINDOW),
+        )
+    )
+    return out
+
+
+def test_curation_ledger_matches_python_reference(spark, sf_smoke):
+    got = [
+        (
+            r["stage_id"],
+            r["stage"],
+            r["n_docs"],
+            r["n_tokens"],
+            r["dropped_docs"],
+            r["dropped_tokens"],
+            r["kept_ppm"],
+        )
+        for r in pipeline_curation_e2e(spark, sf_smoke).collect()
+    ]
+    assert got == _reference_ledger(sf_smoke)

@@ -112,6 +112,39 @@ def test_luhn_expression_and_sweep(spark, sf_oracle):
     assert tot["chars_redacted"] >= expected_min
 
 
+def test_luhn_sql_property():
+    """Property check of the shared Luhn SQL text (identical string runs
+    in Spark and DuckDB) against an independent Python implementation,
+    over random 16-digit strings — evaluated in DuckDB so hypothesis can
+    afford hundreds of examples."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    def luhn_py(c: str) -> int:
+        tot = 0
+        for i, ch in enumerate(c):  # 1-based pos = i + 1
+            d = int(ch)
+            if (i + 1) % 2 == 1:
+                d = 2 * d
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="0123456789", min_size=16, max_size=16))
+    def check(c):
+        got = con.execute(
+            f"SELECT {_luhn_sql('c')} FROM (SELECT ? AS c)", [c]
+        ).fetchone()[0]
+        assert got == luhn_py(c), c
+
+    check()
+
+
 def test_l_diversity_invariants(spark, sf_oracle):
     out = clean_l_diversity_audit(spark, sf_oracle).collect()
     assert len(out) > 0
