@@ -366,6 +366,17 @@ def _read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+def _read_raw_bytes(spark: SparkSession, path: str) -> bytes:
+    """Raw file bytes via the Hadoop FileSystem (same scheme support as
+    every other log read — foreign DV ``.bin`` storage files)."""
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
 def _commit_info(op: str) -> dict:
     """A ``commitInfo`` payload for ``_write_commit`` to stamp (the
     timestamp is filled at write time so retries re-stamp)."""
@@ -520,15 +531,21 @@ def _checkpoint_arrow_schema():
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
                         # merge-on-read deletion-vector descriptor
-                        # (PROTOCOL.md add.deletionVector); null when the
-                        # file has no DV
+                        # (PROTOCOL.md add.deletionVector, FULL protocol
+                        # shape — offset/sizeInBytes/maxRowIndex are
+                        # null on native units but must survive
+                        # checkpointing for foreign wire-format DVs);
+                        # null when the file has no DV
                         (
                             "deletionVector",
                             pa.struct(
                                 [
                                     ("storageType", pa.string()),
                                     ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
                                     ("cardinality", pa.int64()),
+                                    ("maxRowIndex", pa.int64()),
                                 ]
                             ),
                         ),
@@ -1268,6 +1285,7 @@ def _add_spark_schema():
     ``add`` payload) — one schema serves both scans."""
     from pyspark.sql.types import (
         BooleanType,
+        IntegerType,
         LongType,
         MapType,
         StringType,
@@ -1285,11 +1303,17 @@ def _add_spark_schema():
             StructField("stats", StringType()),
             StructField(
                 "deletionVector",
+                # full protocol descriptor: offset/sizeInBytes/
+                # maxRowIndex null on native units, REQUIRED to apply a
+                # foreign (delta-spark) wire-format DV
                 StructType(
                     [
                         StructField("storageType", StringType()),
                         StructField("pathOrInlineDv", StringType()),
+                        StructField("offset", IntegerType()),
+                        StructField("sizeInBytes", IntegerType()),
                         StructField("cardinality", LongType()),
+                        StructField("maxRowIndex", LongType()),
                     ]
                 ),
             ),
@@ -4134,6 +4158,8 @@ def delta_vacuum(
                 deleted.append(rel)
             continue
         if (
+            # the .parquet suffix rule also shields a FOREIGN table's
+            # deletion_vector_*.bin storage files from reclamation
             rel.endswith(".parquet")
             and not rel.startswith("_delta_log")
             # change-data files are never in any snapshot's live set, so
@@ -5276,32 +5302,70 @@ def _dv_anti_filter(
 ) -> DataFrame:
     """Filter ``df`` (which carries ``__dv_file``/``__dv_row`` scan
     metadata columns) through the deletion vectors referenced by
-    ``adds``. The DV side is restricted to exactly the (storage unit,
-    data file) pairs the live descriptors name — entries for files whose
-    DV was superseded by a later merge, or that were rewritten since,
-    can never leak in. DV rows are O(deleted rows): broadcast, never a
+    ``adds``. Two descriptor dialects are applied:
+
+    - NATIVE units (pathOrInlineDv under ``_deletion_vectors/``):
+      parquet row sets, scanned distributed. The DV side is restricted
+      to exactly the (storage unit, data file) pairs the live
+      descriptors name — entries for files whose DV was superseded by a
+      later merge, or that were rewritten since, can never leak in.
+    - FOREIGN wire-format descriptors (delta-spark: inline Z85,
+      UUID-addressed or absolute ``.bin`` RoaringBitmapArray files) —
+      decoded driver-side by sources/dv_codec.py. Per the protocol a
+      DV is O(deleted rows in ONE file) and capped by delta-spark's
+      own sizing; descriptors are per-live-file, so the decode is
+      bounded by the snapshot's DV'd-file count. (An executor-side
+      ``mapInPandas`` decode over the descriptor frame is the drop-in
+      upgrade if a foreign table ever carries millions of DVs.)
+
+    Either way DV rows are O(deleted rows): broadcast, never a
     fact-side shuffle."""
-    pairs = [
-        (f.rsplit("/", 1)[-1], a["deletionVector"]["pathOrInlineDv"])
-        for f, a in adds
-        if a.get("deletionVector")
-    ]
-    if not pairs:
+    native_pairs = []
+    foreign_rows: list[tuple[str, int]] = []
+    for f, a in adds:
+        d = a.get("deletionVector")
+        if not d:
+            continue
+        ref = d.get("pathOrInlineDv") or ""
+        if d.get("storageType") in ("u", "p") and _DV_DIR in ref:
+            native_pairs.append((f.rsplit("/", 1)[-1], ref))
+        else:
+            from .dv_codec import decode_descriptor_rows
+
+            base = f.rsplit("/", 1)[-1]
+            rows = decode_descriptor_rows(
+                d, lambda rel: _read_raw_bytes(spark, _data_uri(path, rel))
+            )
+            foreign_rows.extend((base, r) for r in rows)
+    if not native_pairs and not foreign_rows:
         return df
-    dv_units = sorted({p for _, p in pairs})
-    valid = [f"{p.rsplit('/', 1)[-1]}||{b}" for b, p in pairs]
-    dv = (
-        spark.read.parquet(*[_data_uri(path, u) for u in dv_units])
-        .withColumn(
-            "__dv_unit",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2),
+    parts = []
+    if native_pairs:
+        dv_units = sorted({p for _, p in native_pairs})
+        valid = [f"{p.rsplit('/', 1)[-1]}||{b}" for b, p in native_pairs]
+        parts.append(
+            spark.read.parquet(*[_data_uri(path, u) for u in dv_units])
+            .withColumn(
+                "__dv_unit",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2),
+            )
+            .where(
+                F.concat_ws("||", F.col("__dv_unit"), F.col("file")).isin(valid)
+            )
+            .select(
+                F.col("file").alias("__del_file"),
+                F.col("row_index").alias("__del_row"),
+            )
         )
-        .where(F.concat_ws("||", F.col("__dv_unit"), F.col("file")).isin(valid))
-        .select(
-            F.col("file").alias("__del_file"),
-            F.col("row_index").alias("__del_row"),
+    if foreign_rows:
+        parts.append(
+            spark.createDataFrame(
+                foreign_rows, "__del_file string, __del_row long"
+            )
         )
-    )
+    dv = parts[0]
+    for p in parts[1:]:
+        dv = dv.unionByName(p)
     return df.join(
         F.broadcast(dv),
         (df["__dv_file"] == dv["__del_file"])
@@ -6687,6 +6751,166 @@ def delta_native_identity_columns(
     )
 
 
+def delta_native_foreign_dv_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Read-in-place of a FOREIGN deletion-vector table (PROTOCOL.md
+    "Deletion Vector Format" — the delta-spark wire encoding this
+    engine does not itself write): the query AUTHORS the foreign bytes
+    deterministically from the customer fixture — file A (even
+    custkeys, custkey order) with an INLINE Z85 RoaringBitmapArray
+    deleting every 7th row position, file B (odd custkeys) with a
+    UUID-addressed ``.bin`` storage file ('u', version/size/CRC
+    framing) deleting every 5th position — then folds the log and
+    applies the DVs through sources/dv_codec.py. The authoring is
+    necessarily engine-external (that is the point: these bytes come
+    from a different writer); the READ is the engine under test.
+    Survivors are pinned by position arithmetic the oracle reproduces
+    with ROW_NUMBER.
+
+    Scale shape: decode is O(deleted rows per descriptor), the apply is
+    the same broadcast anti-join as native DVs — no fact-side
+    shuffle."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from .dv_codec import frame_dv_file, roaring_array_encode, z85_encode
+
+    cust = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    rows = sorted(
+        zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_acctbal").to_pylist(),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="ls_foreign_dv_")
+    os.makedirs(f"{root}/_delta_log")
+
+    def author(rel: str, subset: list[tuple], drop_mod: int) -> dict:
+        _pq.write_table(
+            _pa.table(
+                {
+                    "c_custkey": _pa.array(
+                        [k for k, _ in subset], _pa.int64()
+                    ),
+                    "c_acctbal": _pa.array(
+                        [b for _, b in subset], _pa.float64()
+                    ),
+                }
+            ),
+            f"{root}/{rel}",
+        )
+        bitmap = roaring_array_encode(
+            [i for i in range(len(subset)) if i % drop_mod == 0]
+        )
+        return {
+            "path": rel,
+            "size": os.path.getsize(f"{root}/{rel}"),
+            "bitmap": bitmap,
+            "cardinality": (len(subset) + drop_mod - 1) // drop_mod,
+        }
+
+    a = author("part-a.parquet", [r for r in rows if r[0] % 2 == 0], 7)
+    b = author("part-b.parquet", [r for r in rows if r[0] % 2 == 1], 5)
+    pad_a = a["bitmap"] + b"\x00" * (-len(a["bitmap"]) % 4)
+    dv_a = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(pad_a),
+        "sizeInBytes": len(a["bitmap"]),
+        "cardinality": a["cardinality"],
+    }
+    u = _uuid.UUID(int=0xABCDEF, version=4)
+    os.makedirs(f"{root}/ab")
+    with open(f"{root}/ab/deletion_vector_{u}.bin", "wb") as fh:
+        fh.write(frame_dv_file(b["bitmap"]))
+    dv_b = {
+        "storageType": "u",
+        "pathOrInlineDv": "ab" + z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(b["bitmap"]),
+        "cardinality": b["cardinality"],
+    }
+    schema_string = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "c_custkey",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {},
+                },
+                {
+                    "name": "c_acctbal",
+                    "type": "double",
+                    "nullable": True,
+                    "metadata": {},
+                },
+            ],
+        },
+        separators=(",", ":"),
+    )
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "foreign-dv-driver",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_string,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 1700000000000,
+            }
+        },
+        {
+            "add": {
+                "path": "part-a.parquet",
+                "partitionValues": {},
+                "size": a["size"],
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+                "deletionVector": dv_a,
+            }
+        },
+        {
+            "add": {
+                "path": "part-b.parquet",
+                "partitionValues": {},
+                "size": b["size"],
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+                "deletionVector": dv_b,
+            }
+        },
+    ]
+    with open(f"{root}/_delta_log/{0:020d}.json", "w") as fh:
+        for act in actions:
+            fh.write(json.dumps(act, separators=(",", ":")) + "\n")
+    back = delta_read(spark, root)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.countDistinct("c_custkey").alias("n_customers"),
+        F.min("c_custkey").alias("min_custkey"),
+        F.max("c_custkey").alias("max_custkey"),
+    )
+
+
 def delta_native_check_constraints(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7492,6 +7716,37 @@ QUERIES: list[QueryDef] = [
         description="3-column OPTIMIZE ZORDER: the N-dim Morton curve "
         "prunes files on each of three clustered keys independently; "
         "per-dimension skipping asserted in-query.",
+    ),
+    QueryDef(
+        "delta_native_foreign_dv_read",
+        delta_native_foreign_dv_read,
+        """
+        WITH evens AS (
+          SELECT c_custkey, c_acctbal,
+                 ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS idx
+          FROM customer WHERE c_custkey % 2 = 0),
+        odds AS (
+          SELECT c_custkey, c_acctbal,
+                 ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS idx
+          FROM customer WHERE c_custkey % 2 = 1),
+        surv AS (
+          SELECT c_custkey, c_acctbal FROM evens WHERE idx % 7 <> 0
+          UNION ALL
+          SELECT c_custkey, c_acctbal FROM odds WHERE idx % 5 <> 0)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               COUNT(DISTINCT c_custkey) AS n_customers,
+               CAST(MIN(c_custkey) AS BIGINT) AS min_custkey,
+               CAST(MAX(c_custkey) AS BIGINT) AS max_custkey
+        FROM surv
+        """,
+        tags=("parity", "delta", "io", "interop"),
+        description="Foreign deletion-vector read-in-place: inline Z85 "
+        "and UUID-addressed .bin RoaringBitmapArray descriptors "
+        "(delta-spark wire format) decoded and applied as the standard "
+        "broadcast anti-join; survivors pinned by row-position "
+        "arithmetic.",
     ),
     QueryDef(
         "delta_native_check_constraints",

@@ -1,0 +1,288 @@
+"""Foreign deletion-vector codec (PROTOCOL.md "Deletion Vector
+Descriptor Schema" + "Deletion Vector Format",
+https://github.com/delta-io/delta/blob/master/PROTOCOL.md).
+
+The native writer stores deletion vectors as parquet row sets under
+``_deletion_vectors/`` (sources/delta_log.py doctrine: distributed
+anti-join instead of a driver bitmap probe). A FOREIGN table written by
+delta-spark instead carries the protocol wire format, which this module
+decodes so those tables are readable in place:
+
+- ``storageType "i"``: ``pathOrInlineDv`` is the Z85-encoded serialized
+  bitmap itself (ZeroMQ Z85, chosen by the protocol because every
+  character is URI-safe).
+- ``storageType "u"``: ``pathOrInlineDv`` is ``<random prefix><20-char
+  Z85-encoded UUID>``; the bitmap lives in
+  ``<table>/<prefix>/deletion_vector_<uuid>.bin``.
+- ``storageType "p"``: an absolute path to such a ``.bin`` file.
+
+``.bin`` file framing (written by Java ``DataOutputStream`` — integers
+BIG-endian): ``[format version: 1 byte = 1]`` then per stored DV
+``[dataSize: int32][bitmap bytes][CRC-32 of bitmap: int32]``; the
+descriptor's ``offset`` points at the dataSize word.
+
+The serialized bitmap is a 64-bit **RoaringBitmapArray** in the
+"portable" format: ``[magic: int32 LE = 1681511377][number of 32-bit
+bitmaps: int64 LE]`` followed by that many standard 32-bit
+RoaringBitmap "portable" serializations in key order (the i-th bitmap
+holds row indexes whose high 32 bits equal i). The 32-bit layout
+follows the published RoaringFormatSpec (cookies 12346/12347,
+array/bitmap/run containers, little-endian).
+
+Honesty note (the golden-fixture doctrine, tests/fixtures/
+make_golden_delta.py): delta-spark cannot run in this sandbox, so the
+framing is hand-implemented to the published specs and the decoder
+REFUSES loudly on any cookie/magic/length/CRC/cardinality mismatch —
+a misframed file raises, it never yields silently wrong row sets. The
+Z85 and Roaring layers are pinned against published test vectors in
+tests/test_foreign_dv.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import uuid as _uuid
+import zlib
+
+# ZeroMQ Z85 alphabet (https://rfc.zeromq.org/spec/32/)
+Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(Z85_CHARS)}
+
+ROARING_ARRAY_MAGIC = 1681511377
+_SERIAL_COOKIE = 12347
+_SERIAL_COOKIE_NO_RUN = 12346
+_NO_OFFSET_THRESHOLD = 4
+
+DV_FILE_VERSION = 1
+
+
+def z85_encode(data: bytes) -> str:
+    if len(data) % 4:
+        raise ValueError(f"Z85 input length {len(data)} not a multiple of 4")
+    out = []
+    for i in range(0, len(data), 4):
+        (word,) = struct.unpack(">I", data[i : i + 4])
+        chunk = []
+        for _ in range(5):
+            chunk.append(Z85_CHARS[word % 85])
+            word //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise ValueError(f"Z85 input length {len(s)} not a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        word = 0
+        for c in s[i : i + 5]:
+            if c not in _Z85_INDEX:
+                raise ValueError(f"invalid Z85 character {c!r}")
+            word = word * 85 + _Z85_INDEX[c]
+        if word > 0xFFFFFFFF:
+            raise ValueError("Z85 group overflows 32 bits")
+        out += struct.pack(">I", word)
+    return bytes(out)
+
+
+def dv_unique_filename(path_or_inline: str) -> tuple[str, str]:
+    """Split a storageType-"u" ``pathOrInlineDv`` into (prefix, file
+    name): the last 20 chars Z85-decode to the 16-byte UUID, anything
+    before them is the random directory prefix."""
+    if len(path_or_inline) < 20:
+        raise ValueError(
+            f"storageType u pathOrInlineDv too short: {path_or_inline!r}"
+        )
+    prefix, enc = path_or_inline[:-20], path_or_inline[-20:]
+    u = _uuid.UUID(bytes=z85_decode(enc))
+    return prefix, f"deletion_vector_{u}.bin"
+
+
+def _decode_rb32(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """One standard 32-bit RoaringBitmap, portable format
+    (RoaringFormatSpec). Returns (sorted values, next position)."""
+    if pos + 4 > len(buf):
+        raise ValueError("roaring: truncated cookie")
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    if cookie & 0xFFFF == _SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        pos += 4
+        nflag = (n + 7) // 8
+        run_flags = buf[pos : pos + nflag]
+        pos += nflag
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", buf, pos + 4)
+        pos += 8
+        run_flags = b"\x00" * ((n + 7) // 8)
+        has_offsets = True
+    else:
+        raise ValueError(f"roaring: bad cookie {cookie}")
+    keys, cards = [], []
+    for _ in range(n):
+        key, card_m1 = struct.unpack_from("<HH", buf, pos)
+        keys.append(key)
+        cards.append(card_m1 + 1)
+        pos += 4
+    if has_offsets:
+        pos += 4 * n  # containers follow sequentially; offsets redundant
+    values: list[int] = []
+    for i in range(n):
+        base = keys[i] << 16
+        card = cards[i]
+        if run_flags[i // 8] & (1 << (i % 8)):
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, len_m1 = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(base | v for v in range(start, start + len_m1 + 1))
+        elif card <= 4096:
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            values.extend(base | v for v in vals)
+        else:
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    values.append(base | (wi * 64 + b.bit_length() - 1))
+                    w ^= b
+    return values, pos
+
+
+def roaring_array_decode(data: bytes) -> list[int]:
+    """A 64-bit RoaringBitmapArray (delta's portable framing) → sorted
+    row indexes. Refuses on magic/exhaustion mismatches."""
+    if len(data) < 12:
+        raise ValueError("RoaringBitmapArray: truncated header")
+    magic, count = struct.unpack_from("<iq", data, 0)
+    if magic != ROARING_ARRAY_MAGIC:
+        raise ValueError(
+            f"RoaringBitmapArray: bad magic {magic} "
+            f"(expected {ROARING_ARRAY_MAGIC})"
+        )
+    pos = 12
+    out: list[int] = []
+    for key in range(count):
+        vals, pos = _decode_rb32(data, pos)
+        out.extend((key << 32) | v for v in vals)
+    if pos != len(data):
+        raise ValueError(
+            f"RoaringBitmapArray: {len(data) - pos} trailing bytes — "
+            "framing mismatch"
+        )
+    return out
+
+
+def roaring_array_encode(vals: list[int]) -> bytes:
+    """Serialize row indexes as a 64-bit RoaringBitmapArray (portable
+    framing, array containers only — always valid, never the smallest
+    encoding). Used to AUTHOR foreign-format fixtures (the driver query
+    and tests); the engine's own DVs remain parquet row sets."""
+    by_hi: dict[int, dict[int, list[int]]] = {}
+    for v in sorted(set(vals)):
+        lo32 = v & 0xFFFFFFFF
+        by_hi.setdefault(v >> 32, {}).setdefault(lo32 >> 16, []).append(
+            lo32 & 0xFFFF
+        )
+    n_keys = max(by_hi) + 1 if by_hi else 0
+    out = struct.pack("<iq", ROARING_ARRAY_MAGIC, n_keys)
+    for key in range(n_keys):
+        containers = by_hi.get(key, {})  # gap key → 0-container bitmap
+        n = len(containers)
+        out += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+        for k16 in sorted(containers):
+            out += struct.pack("<HH", k16, len(containers[k16]) - 1)
+        pos = 4 + 4 + 4 * n + 4 * n
+        for k16 in sorted(containers):
+            out += struct.pack("<I", pos)
+            pos += 2 * len(containers[k16])
+        for k16 in sorted(containers):
+            c = containers[k16]
+            out += struct.pack(f"<{len(c)}H", *c)
+    return out
+
+
+def frame_dv_file(bitmap: bytes) -> bytes:
+    """Wrap one serialized bitmap in the ``.bin`` storage-file framing
+    (version byte + big-endian size + bitmap + CRC-32)."""
+    return (
+        bytes([DV_FILE_VERSION])
+        + struct.pack(">i", len(bitmap))
+        + bitmap
+        + struct.pack(">I", zlib.crc32(bitmap) & 0xFFFFFFFF)
+    )
+
+
+def decode_dv_file_slice(
+    data: bytes, offset: int | None, size_in_bytes: int | None
+) -> bytes:
+    """Extract one DV's bitmap bytes from a ``.bin`` storage file:
+    validate the format version, the big-endian dataSize word against
+    the descriptor, and the trailing CRC-32."""
+    if not data or data[0] != DV_FILE_VERSION:
+        raise ValueError(
+            f"DV file: unsupported format version {data[0] if data else None}"
+        )
+    off = 1 if offset is None else int(offset)
+    if off + 4 > len(data):
+        raise ValueError("DV file: offset past end of file")
+    (size,) = struct.unpack_from(">i", data, off)
+    if size_in_bytes is not None and size != int(size_in_bytes):
+        raise ValueError(
+            f"DV file: stored size {size} != descriptor sizeInBytes "
+            f"{size_in_bytes}"
+        )
+    bitmap = data[off + 4 : off + 4 + size]
+    if len(bitmap) != size:
+        raise ValueError("DV file: truncated bitmap")
+    (crc,) = struct.unpack_from(">I", data, off + 4 + size)
+    if zlib.crc32(bitmap) & 0xFFFFFFFF != crc:
+        raise ValueError("DV file: CRC-32 mismatch")
+    return bitmap
+
+
+def decode_descriptor_rows(descriptor: dict, fetch) -> list[int]:
+    """Deleted row indexes for one add's DV descriptor. ``fetch(path)``
+    returns the raw bytes of a storage file (relative paths are
+    table-rooted); validation includes the descriptor cardinality."""
+    st = descriptor.get("storageType")
+    if st == "i":
+        # Z85 works on 4-byte groups, so the writer zero-pads the
+        # serialized bitmap before encoding (delta-spark Base85Codec);
+        # sizeInBytes carries the true length to truncate back to
+        bitmap = z85_decode(descriptor["pathOrInlineDv"])
+        size = descriptor.get("sizeInBytes")
+        if size is not None:
+            if len(bitmap) < int(size):
+                raise ValueError(
+                    f"inline DV shorter ({len(bitmap)}) than descriptor "
+                    f"sizeInBytes ({size})"
+                )
+            bitmap = bitmap[: int(size)]
+    elif st in ("u", "p"):
+        if st == "u":
+            prefix, name = dv_unique_filename(descriptor["pathOrInlineDv"])
+            rel = f"{prefix}/{name}" if prefix else name
+        else:
+            rel = descriptor["pathOrInlineDv"]
+        bitmap = decode_dv_file_slice(
+            fetch(rel),
+            descriptor.get("offset"),
+            descriptor.get("sizeInBytes"),
+        )
+    else:
+        raise ValueError(f"unknown DV storageType {st!r}")
+    rows = roaring_array_decode(bitmap)
+    card = descriptor.get("cardinality")
+    if card is not None and len(rows) != int(card):
+        raise ValueError(
+            f"DV cardinality mismatch: descriptor {card}, bitmap {len(rows)}"
+        )
+    return rows

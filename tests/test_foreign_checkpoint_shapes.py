@@ -22,8 +22,9 @@ from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
 
 _PV = pa.map_(pa.string(), pa.string())
 
-# the full delta-spark deletionVector descriptor — wider than the native
-# reader's 3-field shape (storageType, pathOrInlineDv, cardinality)
+# the full delta-spark deletionVector descriptor PLUS a future field the
+# native schema doesn't know — keeps the conform's drop-extra-subfields
+# branch exercised now that the native shape adopted all six real fields
 _DV6 = pa.struct(
     [
         ("storageType", pa.string()),
@@ -32,6 +33,7 @@ _DV6 = pa.struct(
         ("sizeInBytes", pa.int32()),
         ("cardinality", pa.int64()),
         ("maxRowIndex", pa.int64()),
+        ("futureField", pa.string()),
     ]
 )
 _ADD_WIDE = pa.struct(
@@ -121,6 +123,7 @@ def _make_dv_table(root: str) -> None:
             "sizeInBytes": 40,
             "cardinality": 1,
             "maxRowIndex": 2,
+            "futureField": "x",
         },
     }
     with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
@@ -159,10 +162,11 @@ def _make_dv_table(root: str) -> None:
 
 
 def test_wide_dv_checkpoint_distributed_fold(spark, tmp_path):
-    """The distributed fold must union a 6-field foreign DV descriptor
-    with the 3-field JSON-tail shape: common subfields preserved, extra
-    ones dropped, absent DVs null (AnalysisException FIELD_NOT_FOUND
-    before the conform fix)."""
+    """The distributed fold must union a foreign checkpoint's DV struct
+    with the JSON-tail shape via recursive conform (AnalysisException
+    FIELD_NOT_FOUND before the fix). Since the native schema adopted
+    the FULL protocol descriptor (r12 foreign-DV interop), every
+    subfield — including offset/sizeInBytes — round-trips."""
     root = str(tmp_path / "dvshape")
     _make_dv_table(root)
     adds = delta_snapshot_adds_df(spark, root)
@@ -173,11 +177,10 @@ def test_wide_dv_checkpoint_distributed_fold(spark, tmp_path):
     assert dv["storageType"] == "u"
     assert dv["pathOrInlineDv"] == "ab12cd!XYZ"
     assert dv["cardinality"] == 1
-    assert set(dv.asDict()) == {
-        "storageType",
-        "pathOrInlineDv",
-        "cardinality",
-    }
+    assert dv["offset"] == 1
+    assert dv["sizeInBytes"] == 40
+    assert dv["maxRowIndex"] == 2
+    assert "futureField" not in dv.asDict()  # extra subfields dropped
     assert got["part-b.parquet"]["deletionVector"] is None
 
 

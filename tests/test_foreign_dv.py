@@ -1,0 +1,326 @@
+"""Foreign deletion-vector interop: tables whose DVs use the delta-spark
+wire format (PROTOCOL.md "Deletion Vector Format") — inline Z85 ('i'),
+UUID-addressed .bin storage ('u'), absolute-path .bin ('p') — must be
+readable in place: the reader decodes the RoaringBitmapArray and
+anti-joins the deleted row indexes. Codec layers are pinned against
+published spec vectors (Z85 "HelloWorld"; hand-computed roaring bytes)
+so the encoder-in-test / decoder-in-engine pair is not a tautology."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lakesail_hdfs_deltalake_guide_spark.sources.dv_codec import (
+    ROARING_ARRAY_MAGIC,
+    decode_dv_file_slice,
+    dv_unique_filename,
+    roaring_array_decode,
+    z85_decode,
+    z85_encode,
+)
+
+# ---------------------------------------------------------------- codec
+
+
+def _rb32_encode(vals: list[int]) -> bytes:
+    """Standard 32-bit roaring, portable, array containers only (test
+    encoder — engine has no encoder; foreign files are decode-only)."""
+    by_key: dict[int, list[int]] = {}
+    for v in sorted(vals):
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    n = len(by_key)
+    out = struct.pack("<II", 12346, n)
+    for key in sorted(by_key):
+        out += struct.pack("<HH", key, len(by_key[key]) - 1)
+    # offsets (always present for the no-run cookie)
+    pos = 4 + 4 + 4 * n + 4 * n
+    for key in sorted(by_key):
+        out += struct.pack("<I", pos)
+        pos += 2 * len(by_key[key])
+    for key in sorted(by_key):
+        out += struct.pack(f"<{len(by_key[key])}H", *by_key[key])
+    return out
+
+
+def _roaring_array_encode(vals: list[int]) -> bytes:
+    by_hi: dict[int, list[int]] = {}
+    for v in sorted(vals):
+        by_hi.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    n_keys = max(by_hi) + 1 if by_hi else 0
+    out = struct.pack("<iq", ROARING_ARRAY_MAGIC, n_keys)
+    for key in range(n_keys):
+        out += _rb32_encode(by_hi.get(key, []))
+    return out
+
+
+def test_z85_spec_vector():
+    raw = bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])
+    assert z85_encode(raw) == "HelloWorld"  # ZeroMQ RFC 32 test case
+    assert z85_decode("HelloWorld") == raw
+
+
+def test_roaring_hand_vector():
+    """Bytes computed by hand from the RoaringFormatSpec, NOT by the
+    test encoder — pins the decoder independently."""
+    data = (
+        struct.pack("<iq", ROARING_ARRAY_MAGIC, 2)
+        # bitmap 0: one array container, key 0, values {1, 3}
+        + struct.pack("<II", 12346, 1)
+        + struct.pack("<HH", 0, 1)
+        + struct.pack("<I", 16)
+        + struct.pack("<HH", 1, 3)
+        # bitmap 1: one array container, key 1 (i.e. low32 = 65536+500)
+        + struct.pack("<II", 12346, 1)
+        + struct.pack("<HH", 1, 0)
+        + struct.pack("<I", 16)
+        + struct.pack("<H", 500)
+    )
+    assert roaring_array_decode(data) == [
+        1,
+        3,
+        (1 << 32) | (1 << 16) | 500,
+    ]
+
+
+def test_roaring_run_and_bitmap_containers():
+    # run container: values 10..14 (flagged via cookie 12347)
+    run = (
+        struct.pack("<I", 12347 | (0 << 16))  # 1 container
+        + b"\x01"  # run flag bit for container 0
+        + struct.pack("<HH", 0, 4)  # key 0, card-1 = 4
+        # n < 4 with run cookie → no offsets
+        + struct.pack("<H", 1)  # one run
+        + struct.pack("<HH", 10, 4)  # start 10, length-1 = 4
+    )
+    data = struct.pack("<iq", ROARING_ARRAY_MAGIC, 1) + run
+    assert roaring_array_decode(data) == [10, 11, 12, 13, 14]
+    # bitmap container: 5000 even values → cardinality > 4096
+    vals = [2 * i for i in range(5000)]
+    words = [0] * 1024
+    for v in vals:
+        words[v // 64] |= 1 << (v % 64)
+    bm = (
+        struct.pack("<II", 12346, 1)
+        + struct.pack("<HH", 0, 4999)
+        + struct.pack("<I", 16)
+        + struct.pack("<1024Q", *words)
+    )
+    data = struct.pack("<iq", ROARING_ARRAY_MAGIC, 1) + bm
+    assert roaring_array_decode(data) == vals
+
+
+def test_encoder_decoder_roundtrip():
+    vals = [0, 1, 70000, (1 << 32) + 5, (1 << 32) + 70001]
+    assert roaring_array_decode(_roaring_array_encode(vals)) == sorted(vals)
+
+
+def test_codec_encoder_roundtrip():
+    """The codec's own fixture encoder (used by the driver query),
+    including a GAP key (values only in bitmap 0 and 2 → bitmap 1 must
+    serialize as a 0-container roaring)."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.dv_codec import (
+        roaring_array_encode,
+    )
+
+    vals = [3, 1, 70000, (2 << 32) + 9]  # unsorted, key 1 absent
+    assert roaring_array_decode(roaring_array_encode(vals)) == sorted(vals)
+    assert roaring_array_decode(roaring_array_encode([])) == []
+
+
+def test_dv_file_slice_validation():
+    bitmap = _roaring_array_encode([2])
+    framed = (
+        bytes([1])
+        + struct.pack(">i", len(bitmap))
+        + bitmap
+        + struct.pack(">I", zlib.crc32(bitmap) & 0xFFFFFFFF)
+    )
+    assert decode_dv_file_slice(framed, 1, len(bitmap)) == bitmap
+    assert decode_dv_file_slice(framed, None, None) == bitmap
+    with pytest.raises(ValueError, match="sizeInBytes"):
+        decode_dv_file_slice(framed, 1, len(bitmap) + 1)
+    bad = framed[:-1] + bytes([framed[-1] ^ 0xFF])
+    with pytest.raises(ValueError, match="CRC"):
+        decode_dv_file_slice(bad, 1, len(bitmap))
+    with pytest.raises(ValueError, match="version"):
+        decode_dv_file_slice(bytes([9]) + framed[1:], 1, len(bitmap))
+
+
+# ------------------------------------------------------- end-to-end read
+
+_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}}
+        ],
+    },
+    separators=(",", ":"),
+)
+
+
+def _write_rows(root: str, rel: str, ks: list[int]) -> int:
+    dest = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    pq.write_table(pa.table({"k": pa.array(ks, pa.int32())}), dest)
+    return os.path.getsize(dest)
+
+
+def _make_foreign_dv_table(root: str) -> dict[str, list[int]]:
+    """Two data files, each with a foreign-format DV: file A deletes
+    rows {1,3,7} via an INLINE ('i') descriptor, file B deletes rows
+    {0,4} via a UUID-addressed ('u') .bin storage file under a 2-char
+    random prefix. Returns the expected surviving k values per file."""
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    ka = list(range(100, 110))
+    kb = list(range(200, 206))
+    size_a = _write_rows(root, "part-a.parquet", ka)
+    size_b = _write_rows(root, "part-b.parquet", kb)
+    bm_a = _roaring_array_encode([1, 3, 7])
+    dv_a = {
+        "storageType": "i",
+        # Z85 needs 4-byte groups: zero-pad like delta-spark's
+        # Base85Codec; sizeInBytes carries the true length
+        "pathOrInlineDv": z85_encode(bm_a + b"\x00" * (-len(bm_a) % 4)),
+        "sizeInBytes": len(bm_a),
+        "cardinality": 3,
+    }
+    u = uuid.uuid4()
+    prefix = "ab"
+    bm_b = _roaring_array_encode([0, 4])
+    framed = (
+        bytes([1])
+        + struct.pack(">i", len(bm_b))
+        + bm_b
+        + struct.pack(">I", zlib.crc32(bm_b) & 0xFFFFFFFF)
+    )
+    os.makedirs(os.path.join(root, prefix), exist_ok=True)
+    with open(
+        os.path.join(root, prefix, f"deletion_vector_{u}.bin"), "wb"
+    ) as fh:
+        fh.write(framed)
+    dv_b = {
+        "storageType": "u",
+        "pathOrInlineDv": prefix + z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(bm_b),
+        "cardinality": 2,
+        "maxRowIndex": 4,
+    }
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": "foreign-dv-0001",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _SCHEMA_STRING,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 1700000000000,
+            }
+        },
+        {
+            "add": {
+                "path": "part-a.parquet",
+                "partitionValues": {},
+                "size": size_a,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": len(ka)}),
+                "deletionVector": dv_a,
+            }
+        },
+        {
+            "add": {
+                "path": "part-b.parquet",
+                "partitionValues": {},
+                "size": size_b,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+                "stats": json.dumps({"numRecords": len(kb)}),
+                "deletionVector": dv_b,
+            }
+        },
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    return {
+        "a": [k for i, k in enumerate(ka) if i not in (1, 3, 7)],
+        "b": [k for i, k in enumerate(kb) if i not in (0, 4)],
+    }
+
+
+def test_uuid_filename_derivation():
+    u = uuid.UUID("12345678-1234-5678-1234-567812345678")
+    prefix, name = dv_unique_filename("xy" + z85_encode(u.bytes))
+    assert prefix == "xy"
+    assert name == f"deletion_vector_{u}.bin"
+
+
+def test_foreign_dv_table_read(spark, tmp_path):
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+    )
+
+    root = str(tmp_path / "foreign_dv")
+    expect = _make_foreign_dv_table(root)
+    got = sorted(r["k"] for r in delta_read(spark, root).collect())
+    assert got == sorted(expect["a"] + expect["b"])
+
+
+def test_foreign_dv_survives_native_checkpoint(spark, tmp_path):
+    """A native checkpoint of the foreign table must preserve the FULL
+    descriptor (offset/sizeInBytes) — the widened add schema — so the
+    post-checkpoint fold still applies the DVs."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_checkpoint,
+        delta_read,
+    )
+
+    root = str(tmp_path / "foreign_dv_ck")
+    expect = _make_foreign_dv_table(root)
+    delta_checkpoint(spark, root)
+    # remove the v0 JSON so the adds MUST come from the checkpoint; a
+    # commitInfo-only v1 keeps a version marker in the log (the shape
+    # log cleanup leaves behind)
+    os.remove(os.path.join(root, "_delta_log", f"{0:020d}.json"))
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "TEST"}}) + "\n")
+    got = sorted(r["k"] for r in delta_read(spark, root).collect())
+    assert got == sorted(expect["a"] + expect["b"])
+
+
+def test_foreign_dv_corrupt_refuses(spark, tmp_path):
+    root = str(tmp_path / "foreign_dv_bad")
+    _make_foreign_dv_table(root)
+    # corrupt the .bin payload (flip a bitmap byte, CRC now wrong)
+    binf = next(
+        os.path.join(root, "ab", f)
+        for f in os.listdir(os.path.join(root, "ab"))
+    )
+    data = bytearray(open(binf, "rb").read())
+    data[6] ^= 0xFF
+    open(binf, "wb").write(bytes(data))
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+    )
+
+    with pytest.raises(ValueError, match="CRC|magic|cookie"):
+        delta_read(spark, root).collect()
