@@ -1053,6 +1053,83 @@ def clean_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T_CLOSENESS_MAX_PPM = 300_000  # classic t = 0.3 in ppm-quantized TV
+
+
+def clean_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the governance ladder
+    (k-anonymity counts cohort sizes, l-diversity counts distinct
+    sensitive values; t-closeness bounds how far a cohort's sensitive
+    DISTRIBUTION may drift from the corpus-wide one, the leak the other
+    two miss: a large, 3-lang cohort that is 95% one lang still tells an
+    attacker a lot). Distance is total variation over the categorical
+    ``lang`` — for categorical ground distance this IS the Earth
+    Mover's Distance the original paper uses — computed in
+    ppm-quantized integers: per (cohort, lang),
+    ``|cnt·10⁶ DIV n_cohort − g·10⁶ DIV n_global|``, summed over the
+    FULL lang domain (langs absent from the cohort contribute their
+    global mass) and halved. Quantizing each share before the
+    difference keeps every term BIGINT-safe at any corpus size (the
+    exact cross-multiplied form overflows at web scale) and truncates
+    identically in both engines, so the audit is bit-exact.
+
+    Plan: one shuffle keyed on the cohort QI to build (cohort, lang)
+    counts, a broadcast of the |langs|-row global distribution, a dense
+    cohort×lang grid (bounded domain — the profiling-grid precedent),
+    then a |sources|-row rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.expr(f"n_chars DIV {K_ANON_BUCKET}").alias("len_bucket"),
+        "lang",
+    )
+    cohort_lang = base.groupBy("source", "len_bucket", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cohort_tot = base.groupBy("source", "len_bucket").agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    glob = base.groupBy("lang").agg(F.count(F.lit(1)).alias("g"))
+    glob = glob.select(
+        "lang", "g", F.expr("sum(g) over ()").alias("n_g")
+    )
+    grid = cohort_tot.crossJoin(F.broadcast(glob))
+    terms = (
+        grid.join(cohort_lang, ["source", "len_bucket", "lang"], "left")
+        .select(
+            "source",
+            "len_bucket",
+            "n_c",
+            F.expr(
+                "abs(coalesce(cnt, 0) * 1000000 DIV n_c"
+                " - g * 1000000 DIV n_g)"
+            ).alias("term"),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.max("n_c").alias("n_c"),
+            F.expr("SUM(term) DIV 2").alias("tv_ppm"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_cohorts"),
+            F.sum(
+                (F.col("tv_ppm") > T_CLOSENESS_MAX_PPM).cast("bigint")
+            ).alias("n_violations"),
+            F.sum(
+                F.when(
+                    F.col("tv_ppm") > T_CLOSENESS_MAX_PPM, F.col("n_c")
+                ).otherwise(0)
+            ).alias("rows_at_risk"),
+            F.max("tv_ppm").alias("max_tv_ppm"),
+            F.expr("SUM(tv_ppm) DIV COUNT(*)").alias("mean_tv_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
 # Structured-PII patterns (all bounded — fixed digit groups, no nested
 # quantifiers, so neither engine's regex can backtrack catastrophically)
 CARD_RE = r"\b\d{16}\b"
@@ -1184,6 +1261,53 @@ QUERIES: list[QueryDef] = [
         "lang attribute within (source x 50-char length bucket) "
         "cohorts: violating cohorts, rows exposed, worst diversity — "
         "the governance gate after k-anonymity.",
+    ),
+    QueryDef(
+        "clean_t_closeness_audit",
+        clean_t_closeness_audit,
+        f"""
+        WITH base AS (
+          SELECT source, n_chars // {K_ANON_BUCKET} AS len_bucket, lang
+          FROM documents),
+        cohort_lang AS (
+          SELECT source, len_bucket, lang, COUNT(*) AS cnt
+          FROM base GROUP BY source, len_bucket, lang),
+        cohort_tot AS (
+          SELECT source, len_bucket, COUNT(*) AS n_c
+          FROM base GROUP BY source, len_bucket),
+        gdist AS (
+          SELECT lang, COUNT(*) AS g,
+                 CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS n_g
+          FROM base GROUP BY lang),
+        terms AS (
+          SELECT t.source, t.len_bucket,
+                 MAX(t.n_c) AS n_c,
+                 CAST(SUM(abs(COALESCE(cl.cnt, 0) * 1000000 // t.n_c
+                              - gl.g * 1000000 // gl.n_g)) AS BIGINT)
+                   // 2 AS tv_ppm
+          FROM cohort_tot t
+          CROSS JOIN gdist gl
+          LEFT JOIN cohort_lang cl
+            ON cl.source = t.source AND cl.len_bucket = t.len_bucket
+           AND cl.lang = gl.lang
+          GROUP BY t.source, t.len_bucket)
+        SELECT source,
+               COUNT(*) AS n_cohorts,
+               CAST(SUM(CASE WHEN tv_ppm > {T_CLOSENESS_MAX_PPM}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               CAST(SUM(CASE WHEN tv_ppm > {T_CLOSENESS_MAX_PPM}
+                             THEN n_c ELSE 0 END) AS BIGINT)
+                 AS rows_at_risk,
+               CAST(MAX(tv_ppm) AS BIGINT) AS max_tv_ppm,
+               CAST(SUM(tv_ppm) // COUNT(*) AS BIGINT) AS mean_tv_ppm
+        FROM terms GROUP BY source ORDER BY source
+        """,
+        tags=("extension", "cleaning", "pipeline", "governance"),
+        description="t-closeness audit (t=0.3): ppm-quantized total-"
+        "variation distance between each (source x length-bucket) "
+        "cohort's lang distribution and the corpus-wide one, summed "
+        "over the full lang domain — the distribution-leak gate after "
+        "k-anonymity and l-diversity.",
     ),
     QueryDef(
         "clean_pii_luhn_sweep",

@@ -161,6 +161,33 @@ def test_l_diversity_invariants(spark, sf_oracle):
             assert r["n_violations"] > 0
 
 
+def test_t_closeness_invariants(spark, sf_oracle):
+    """TV distance is a metric on [0, 1]: every tv-derived field within
+    ppm bounds, violation accounting consistent, and the ladder
+    coherent with k-anonymity's cohort counts (same QI key)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+        clean_k_anonymity_audit,
+        clean_t_closeness_audit,
+    )
+
+    out = clean_t_closeness_audit(spark, sf_oracle).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r["mean_tv_ppm"] <= r["max_tv_ppm"] <= 1_000_000
+        assert 0 <= r["n_violations"] <= r["n_cohorts"]
+        if r["n_violations"] == 0:
+            assert r["rows_at_risk"] == 0
+    # same QI → per-source cohort counts agree with the k-anon audit
+    kan = clean_k_anonymity_audit(spark, sf_oracle).collect()
+    k_cohorts = {}
+    for r in kan:  # k-anon cohorts are (lang, source, bucket) — sum langs'
+        k_cohorts[r["source"]] = k_cohorts.get(r["source"], 0) + r["n_buckets"]
+    t_cohorts = {r["source"]: r["n_cohorts"] for r in out}
+    # t-closeness cohorts collapse lang, so counts are <= the k-anon sum
+    for s, n in t_cohorts.items():
+        assert n <= k_cohorts[s]
+
+
 def test_maxsim_agrees_with_crossencoder_pool(spark, sf_oracle):
     """MaxSim and the cross-encoder rerank the SAME RRF pool with the
     SAME stub weights; per (query, doc): sum-of-per-token-maxima >=
