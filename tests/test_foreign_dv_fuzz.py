@@ -1,0 +1,250 @@
+"""Foreign-DV differential fuzz: random delete sets encoded with a
+test-local roaring encoder that randomizes CONTAINER TYPES (array, run,
+bitmap) and STORAGE dialects (inline Z85 with padding, UUID-addressed
+and absolute-path .bin files — including several DVs PACKED INTO ONE
+storage file at different offsets, the delta-spark layout), checked
+against a pure-Python survivor model through the full delta_read path.
+The engine's decoder never sees bytes it produced itself."""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import struct
+import uuid
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lakesail_hdfs_deltalake_guide_spark.sources.dv_codec import (
+    ROARING_ARRAY_MAGIC,
+    z85_encode,
+)
+
+_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}}
+        ],
+    },
+    separators=(",", ":"),
+)
+
+
+def _rb32_encode_fuzzed(vals: list[int], rng: random.Random) -> bytes:
+    """32-bit roaring portable bytes with a RANDOM container type per
+    16-bit key block (array / run / bitmap), exercising decoder branches
+    the minimal array-only encoder never reaches."""
+    by_key: dict[int, list[int]] = {}
+    for v in sorted(vals):
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    n = len(by_key)
+    # container type is IMPLIED by cardinality in the portable format
+    # (no flag): card > 4096 MUST be a bitmap, card <= 4096 is an array
+    # unless the run flag marks it — so only run is a free choice
+    kinds = {
+        key: (
+            "bitmap"
+            if len(lows) > 4096
+            else rng.choice(["array", "run"])
+        )
+        for key, lows in by_key.items()
+    }
+    use_run_cookie = any(k == "run" for k in kinds.values())
+    out = b""
+    if use_run_cookie:
+        out += struct.pack("<I", 12347 | ((n - 1) << 16))
+        flags = bytearray((n + 7) // 8)
+        for i, key in enumerate(sorted(by_key)):
+            if kinds[key] == "run":
+                flags[i // 8] |= 1 << (i % 8)
+        out += bytes(flags)
+    else:
+        out += struct.pack("<II", 12346, n)
+    for key in sorted(by_key):
+        out += struct.pack("<HH", key, len(by_key[key]) - 1)
+    bodies = []
+    for key in sorted(by_key):
+        lows = by_key[key]
+        kind = kinds[key]
+        if kind == "run":
+            runs = []
+            start = prev = lows[0]
+            for v in lows[1:]:
+                if v == prev + 1:
+                    prev = v
+                    continue
+                runs.append((start, prev - start))
+                start = prev = v
+            runs.append((start, prev - start))
+            body = struct.pack("<H", len(runs))
+            for s, lm1 in runs:
+                body += struct.pack("<HH", s, lm1)
+        elif kind == "bitmap":
+            words = [0] * 1024
+            for v in lows:
+                words[v // 64] |= 1 << (v % 64)
+            body = struct.pack("<1024Q", *words)
+        else:
+            body = struct.pack(f"<{len(lows)}H", *lows)
+        bodies.append(body)
+    has_offsets = (not use_run_cookie) or n >= 4
+    if has_offsets:
+        pos = len(out) + 4 * n
+        for body in bodies:
+            out += struct.pack("<I", pos)
+            pos += len(body)
+    return out + b"".join(bodies)
+
+
+def _roaring_array_encode_fuzzed(vals: list[int], rng) -> bytes:
+    by_hi: dict[int, list[int]] = {}
+    for v in sorted(vals):
+        by_hi.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    n_keys = max(by_hi) + 1 if by_hi else 0
+    out = struct.pack("<iq", ROARING_ARRAY_MAGIC, n_keys)
+    for key in range(n_keys):
+        lows = by_hi.get(key, [])
+        if lows:
+            out += _rb32_encode_fuzzed(lows, rng)
+        else:
+            out += struct.pack("<II", 12346, 0)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_foreign_dv_fuzz(spark, tmp_path, seed):
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+    )
+
+    rng = random.Random(7000 + seed)
+    root = str(tmp_path / f"dvfuzz_{seed}")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    n_files = rng.randint(2, 4)
+    expected: list[int] = []
+    adds = []
+    # descriptors that will share ONE packed .bin storage file
+    packed: list[tuple[int, bytes]] = []  # (add index, bitmap)
+    next_k = 0
+    for fi in range(n_files):
+        # occasionally big enough that one 16-bit block exceeds 4096
+        # deletions — forcing a BITMAP container through the e2e path
+        n_rows = rng.choice([rng.randint(5, 400), rng.randint(4500, 6000)])
+        ks = list(range(next_k, next_k + n_rows))
+        next_k += n_rows
+        rel = f"part-{fi:03d}.parquet"
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int32())}),
+            os.path.join(root, rel),
+        )
+        n_del = rng.randint(0, n_rows - 1)
+        dead = sorted(rng.sample(range(n_rows), n_del))
+        expected.extend(k for i, k in enumerate(ks) if i not in dead)
+        add = {
+            "path": rel,
+            "partitionValues": {},
+            "size": os.path.getsize(os.path.join(root, rel)),
+            "modificationTime": 1700000000000,
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": n_rows}),
+        }
+        if dead:
+            bitmap = _roaring_array_encode_fuzzed(dead, rng)
+            mode = rng.choice(["inline", "packed", "solo"])
+            if mode == "inline":
+                add["deletionVector"] = {
+                    "storageType": "i",
+                    "pathOrInlineDv": z85_encode(
+                        bitmap + b"\x00" * (-len(bitmap) % 4)
+                    ),
+                    "sizeInBytes": len(bitmap),
+                    "cardinality": len(dead),
+                }
+            elif mode == "packed":
+                packed.append((len(adds), bitmap))
+                add["deletionVector"] = {
+                    "storageType": "u",  # offset filled when file written
+                    "cardinality": len(dead),
+                    "sizeInBytes": len(bitmap),
+                }
+            else:
+                u = uuid.uuid4()
+                prefix = rng.choice(["", "xy"])
+                d = os.path.join(root, prefix) if prefix else root
+                os.makedirs(d, exist_ok=True)
+                framed = (
+                    bytes([1])
+                    + struct.pack(">i", len(bitmap))
+                    + bitmap
+                    + struct.pack(">I", zlib.crc32(bitmap) & 0xFFFFFFFF)
+                )
+                with open(
+                    os.path.join(d, f"deletion_vector_{u}.bin"), "wb"
+                ) as fh:
+                    fh.write(framed)
+                add["deletionVector"] = {
+                    "storageType": "u",
+                    "pathOrInlineDv": prefix + z85_encode(u.bytes),
+                    "offset": 1,
+                    "sizeInBytes": len(bitmap),
+                    "cardinality": len(dead),
+                }
+        adds.append(add)
+    if packed:
+        # several DVs in ONE storage file at successive offsets — the
+        # delta-spark packing layout; addressed absolutely ('p') for one
+        # of them when more than one exists (both dialects on one file)
+        u = uuid.uuid4()
+        name = f"deletion_vector_{u}.bin"
+        blob = bytes([1])
+        offsets = []
+        for _, bitmap in packed:
+            offsets.append(len(blob))
+            blob += (
+                struct.pack(">i", len(bitmap))
+                + bitmap
+                + struct.pack(">I", zlib.crc32(bitmap) & 0xFFFFFFFF)
+            )
+        with open(os.path.join(root, name), "wb") as fh:
+            fh.write(blob)
+        for j, (ai, bitmap) in enumerate(packed):
+            d = adds[ai]["deletionVector"]
+            d["offset"] = offsets[j]
+            if j == 0 or rng.random() < 0.5:
+                d["storageType"] = "u"
+                d["pathOrInlineDv"] = z85_encode(u.bytes)
+            else:
+                d["storageType"] = "p"
+                d["pathOrInlineDv"] = f"{root}/{name}"
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        },
+        {
+            "metaData": {
+                "id": f"dvfuzz-{seed}",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _SCHEMA_STRING,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 1700000000000,
+            }
+        },
+        *({"add": a} for a in adds),
+    ]
+    with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    got = sorted(r["k"] for r in delta_read(spark, root).collect())
+    assert got == expected, (seed, len(got), len(expected))
