@@ -107,13 +107,17 @@ _WRITER_FEATURES_IMPLEMENTED = frozenset(
 # DELETE). Each DV-delete commit writes ONE storage unit under here,
 # shared by every add the commit re-stamps — mirroring the protocol's
 # "multiple DV descriptors may point into one storage file" shape. The
-# on-disk encoding is parquet rows (data-file basename, row_index)
-# rather than the protocol's z85/RoaringBitmap binary framing: the
-# DESCRIPTOR + lifecycle semantics (protocol gating, cardinality,
-# vacuum protection, OPTIMIZE materialization) follow PROTOCOL.md;
-# the byte format is this engine's own, chosen so the reader can apply
-# DVs as a distributed broadcast anti-join instead of a driver-side
-# bitmap probe.
+# DEFAULT on-disk encoding is parquet rows (data-file basename,
+# row_index) rather than the protocol's z85/RoaringBitmap binary
+# framing: the DESCRIPTOR + lifecycle semantics (protocol gating,
+# cardinality, vacuum protection, OPTIMIZE materialization) follow
+# PROTOCOL.md; the byte format is this engine's own, chosen so the
+# reader can apply DVs as a distributed broadcast anti-join instead of
+# a driver-side bitmap probe. Both interop directions are nonetheless
+# covered: the READER decodes foreign wire-format DVs in place
+# (sources/dv_codec.py, X187), and DV DML accepts
+# ``wire_format="standard"`` to COMMIT protocol-format DVs that
+# delta-spark reads directly (X189).
 _DV_DIR = "_deletion_vectors"
 
 # Parquet checkpoint cadence (the Delta protocol's own default): every
@@ -5416,13 +5420,24 @@ def _dv_mask_and_commit(
     cdf_df: DataFrame | None = None,
     extra_actions: list[dict] | None = None,
     guard: bool = False,
+    wire_format: str = "native",
 ) -> int:
     """Shared merge-on-read commit core: mask ``hits``' (file, row
     position) pairs behind a fresh DV storage unit (merged with the
     affected files' prior DVs), re-add partially-masked files with the
     new descriptor, plain-remove fully-masked files, and commit together
     with ``extra_adds`` (an UPDATE's replacement rows) and the CDF
-    images. OCC re-validation is action-equality (``expected``)."""
+    images. OCC re-validation is action-equality (``expected``).
+
+    ``wire_format``: "native" (default) stores the DV as a parquet row
+    set under ``_deletion_vectors/`` — the distributed-anti-join layout;
+    "standard" emits the PROTOCOL.md wire format (one
+    ``deletion_vector_<uuid>.bin`` packing every file's
+    RoaringBitmapArray, Z85-uuid 'u' descriptors with offset/size/CRC) —
+    the table is then DV-readable by delta-spark in place. The standard
+    encode collects the merged positions driver-side (O(deleted rows),
+    the same bound as the foreign decode path); tables with huge delete
+    masses should keep the native layout or OPTIMIZE the DVs away."""
     versions = _list_versions(spark, path)
     # materialize the hit positions once (executor-local): the affected-
     # file listing, the DV merge, the cardinality agg and the DV write
@@ -5443,10 +5458,15 @@ def _dv_mask_and_commit(
         if live[base_map[b]].get("deletionVector")
     ]
     merged = new_rows
-    if prior:
-        units = sorted({d["pathOrInlineDv"] for _, d in prior})
+    native_prior = [
+        (b, d) for b, d in prior if _DV_DIR in (d.get("pathOrInlineDv") or "")
+    ]
+    foreign_prior = [(b, d) for b, d in prior if (b, d) not in native_prior]
+    if native_prior:
+        units = sorted({d["pathOrInlineDv"] for _, d in native_prior})
         valid = [
-            f"{d['pathOrInlineDv'].rsplit('/', 1)[-1]}||{b}" for b, d in prior
+            f"{d['pathOrInlineDv'].rsplit('/', 1)[-1]}||{b}"
+            for b, d in native_prior
         ]
         old = (
             spark.read.parquet(*[_data_uri(path, u) for u in units])
@@ -5460,14 +5480,75 @@ def _dv_mask_and_commit(
             .select("file", "row_index")
         )
         merged = merged.unionByName(old)
-    card = {
-        r["file"]: r["n"]
-        for r in merged.groupBy("file")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    dv_rel = f"{_DV_DIR}/dv-{uuid.uuid4().hex}"
-    merged.write.parquet(f"{path}/{dv_rel}")
+    if foreign_prior:
+        # prior descriptors in the protocol wire format (a foreign table
+        # we now write to, or our own standard-format commits)
+        from .dv_codec import decode_descriptor_rows
+
+        rows: list[tuple[str, int]] = []
+        for b, d in foreign_prior:
+            rows.extend(
+                (b, r)
+                for r in decode_descriptor_rows(
+                    d,
+                    lambda rel: _read_raw_bytes(spark, _data_uri(path, rel)),
+                )
+            )
+        if rows:
+            merged = merged.unionByName(
+                spark.createDataFrame(rows, "file string, row_index long")
+            )
+    descriptors: dict[str, dict]
+    if wire_format == "standard":
+        from .dv_codec import pack_dv_file, roaring_array_encode, z85_encode
+
+        by_file: dict[str, set[int]] = {}
+        for r in merged.collect():  # O(deleted rows) — see docstring
+            by_file.setdefault(r["file"], set()).add(int(r["row_index"]))
+        card = {b: len(v) for b, v in by_file.items()}
+        bitmaps = {
+            b: roaring_array_encode(sorted(v)) for b, v in by_file.items()
+        }
+        blob, offsets = pack_dv_file([bitmaps[b] for b in sorted(bitmaps)])
+        u = uuid.uuid4()
+        fs, hpath, _ = _hadoop_fs(
+            spark, f"{path}/deletion_vector_{u}.bin"
+        )
+        stream = fs.create(hpath, False)
+        try:
+            stream.write(blob)
+        finally:
+            stream.close()
+        descriptors = {
+            b: {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": offsets[i],
+                "sizeInBytes": len(bitmaps[b]),
+                "cardinality": card[b],
+                "maxRowIndex": max(by_file[b]),
+            }
+            for i, b in enumerate(sorted(bitmaps))
+        }
+    elif wire_format == "native":
+        card = {
+            r["file"]: r["n"]
+            for r in merged.groupBy("file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        dv_rel = f"{_DV_DIR}/dv-{uuid.uuid4().hex}"
+        merged.write.parquet(f"{path}/{dv_rel}")
+        descriptors = {
+            b: {
+                "storageType": "u",
+                "pathOrInlineDv": dv_rel,
+                "cardinality": int(card[b]),
+            }
+            for b in card
+        }
+    else:
+        raise ValueError(f"unknown DV wire_format {wire_format!r}")
     adds_out: list[dict] = []
     affected: list[str] = []
     for b in sorted(card):
@@ -5480,11 +5561,7 @@ def _dv_mask_and_commit(
         if num is not None and card[b] >= int(num):
             continue  # DV covers the whole file → plain remove
         new_add = dict(old_add)
-        new_add["deletionVector"] = {
-            "storageType": "u",
-            "pathOrInlineDv": dv_rel,
-            "cardinality": int(card[b]),
-        }
+        new_add["deletionVector"] = descriptors[b]
         new_add["dataChange"] = True
         adds_out.append({"add": new_add})
     extra: list[dict] = [_commit_info(op)]
@@ -5506,7 +5583,9 @@ def _dv_mask_and_commit(
     )
 
 
-def delta_delete_dv(spark: SparkSession, path: str, predicate) -> int:
+def delta_delete_dv(
+    spark: SparkSession, path: str, predicate, wire_format: str = "native"
+) -> int:
     """``DELETE FROM t WHERE predicate`` via deletion vectors
     (merge-on-read), the delta-spark DV write path.
 
@@ -5544,12 +5623,16 @@ def delta_delete_dv(spark: SparkSession, path: str, predicate) -> int:
         )
     return _dv_mask_and_commit(
         spark, path, proto, meta, live, base_map, hits, "DELETE",
-        cdf_df=cdf_df,
+        cdf_df=cdf_df, wire_format=wire_format,
     )
 
 
 def delta_update_dv(
-    spark: SparkSession, path: str, predicate, assignments: dict
+    spark: SparkSession,
+    path: str,
+    predicate,
+    assignments: dict,
+    wire_format: str = "native",
 ) -> int:
     """``UPDATE ... SET ...`` via deletion vectors (merge-on-read): the
     matched positions are MASKED behind a DV and the post-image rows
@@ -5628,7 +5711,7 @@ def delta_update_dv(
         spark, path, proto, meta, live, base_map, hits, "UPDATE",
         extra_adds=extra_adds, cdf_df=cdf_df,
         extra_actions=[rt_action] if rt_action else None,
-        guard=rt_action is not None,
+        guard=rt_action is not None, wire_format=wire_format,
     )
 
 
@@ -6911,6 +6994,54 @@ def delta_native_foreign_dv_read(
     )
 
 
+def delta_native_dv_wire_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Write-side interop for deletion vectors: two successive
+    merge-on-read DELETEs committed in the PROTOCOL wire format
+    (``wire_format="standard"`` — Z85-uuid 'u' descriptors into one
+    packed ``deletion_vector_<uuid>.bin``, offsets/sizes/CRCs per
+    file), the second overlapping the first so the prior-descriptor
+    MERGE runs through the standard decode path. Asserts in-flight that
+    every live descriptor really is wire-format (no
+    ``_deletion_vectors/`` parquet unit leaked in), then returns the
+    survivor aggregate — a delta-spark reader applying the same
+    bitmaps gets the same rows, which is the claim under test."""
+    import tempfile
+
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_dv_wire_")
+    delta_write(o.where("o_orderkey < 3000").repartition(4), path)
+    delta_delete_dv(
+        spark, path, "o_orderkey % 3 = 0", wire_format="standard"
+    )
+    delta_delete_dv(
+        spark, path, "o_orderkey % 5 = 0", wire_format="standard"
+    )
+    for f, a in delta_live_adds(spark, path):
+        d = a.get("deletionVector")
+        if d is None:
+            continue
+        if d["storageType"] != "u" or _DV_DIR in d["pathOrInlineDv"]:
+            raise AssertionError(
+                f"non-wire-format descriptor leaked on {f}: {d}"
+            )
+        if d.get("offset") is None or d.get("sizeInBytes") is None:
+            raise AssertionError(f"descriptor missing framing fields: {d}")
+    back = delta_read(spark, path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
 def delta_native_check_constraints(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7716,6 +7847,26 @@ QUERIES: list[QueryDef] = [
         description="3-column OPTIMIZE ZORDER: the N-dim Morton curve "
         "prunes files on each of three clustered keys independently; "
         "per-dimension skipping asserted in-query.",
+    ),
+    QueryDef(
+        "delta_native_dv_wire_roundtrip",
+        delta_native_dv_wire_roundtrip,
+        """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS sum_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+        FROM orders
+        WHERE o_orderkey < 3000
+          AND o_orderkey % 3 <> 0
+          AND o_orderkey % 5 <> 0
+        """,
+        tags=("parity", "delta", "io", "interop"),
+        description="DV write-side interop: merge-on-read DELETEs "
+        "committed in the protocol wire format (packed .bin + Z85 'u' "
+        "descriptors), overlapping second delete merges through the "
+        "standard decode; live descriptors asserted wire-format.",
     ),
     QueryDef(
         "delta_native_foreign_dv_read",

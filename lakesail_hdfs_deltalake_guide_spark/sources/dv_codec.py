@@ -209,15 +209,24 @@ def roaring_array_encode(vals: list[int]) -> bytes:
     return out
 
 
+def pack_dv_file(bitmaps: list[bytes]) -> tuple[bytes, list[int]]:
+    """Pack serialized bitmaps into ONE ``.bin`` storage blob (version
+    byte, then per DV: big-endian size + bitmap + CRC-32) — the
+    delta-spark layout where one storage file carries every DV a commit
+    re-stamps. Returns (blob, per-DV offsets for the descriptors)."""
+    blob = bytearray([DV_FILE_VERSION])
+    offsets = []
+    for bitmap in bitmaps:
+        offsets.append(len(blob))
+        blob += struct.pack(">i", len(bitmap))
+        blob += bitmap
+        blob += struct.pack(">I", zlib.crc32(bitmap) & 0xFFFFFFFF)
+    return bytes(blob), offsets
+
+
 def frame_dv_file(bitmap: bytes) -> bytes:
-    """Wrap one serialized bitmap in the ``.bin`` storage-file framing
-    (version byte + big-endian size + bitmap + CRC-32)."""
-    return (
-        bytes([DV_FILE_VERSION])
-        + struct.pack(">i", len(bitmap))
-        + bitmap
-        + struct.pack(">I", zlib.crc32(bitmap) & 0xFFFFFFFF)
-    )
+    """One-DV convenience wrapper over :func:`pack_dv_file`."""
+    return pack_dv_file([bitmap])[0]
 
 
 def decode_dv_file_slice(
