@@ -341,6 +341,31 @@ def test_mixed_dialect_dv_lifecycle(spark, tmp_path):
     assert kinds  # at least one live descriptor remains
 
 
+def test_standard_dv_reorg_purge(spark, tmp_path):
+    """REORG TABLE APPLY (PURGE) must materialize wire-format DVs away
+    exactly like native ones (the CoW rewrite source applies them
+    through the same dispatcher), leaving no live descriptor."""
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_live_adds,
+        delta_read,
+        delta_reorg_purge,
+        delta_write,
+    )
+
+    p = str(tmp_path / "std_dv_reorg")
+    delta_write(spark.range(0, 60).select(F.col("id").alias("k")), p)
+    delta_delete_dv(spark, p, "k % 4 = 0", wire_format="standard")
+    delta_reorg_purge(spark, p)
+    assert not any(
+        a.get("deletionVector") for _, a in delta_live_adds(spark, p)
+    )
+    got = sorted(r["k"] for r in delta_read(spark, p).collect())
+    assert got == [k for k in range(60) if k % 4]
+
+
 def test_foreign_dv_corrupt_refuses(spark, tmp_path):
     root = str(tmp_path / "foreign_dv_bad")
     _make_foreign_dv_table(root)
