@@ -6994,6 +6994,100 @@ def delta_native_foreign_dv_read(
     )
 
 
+def delta_convert_parquet(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """``CONVERT TO DELTA parquet.`<path>` [PARTITIONED BY ...]``
+    (delta-spark's in-place adoption of a plain parquet directory) —
+    the one-time migration a parquet-on-HDFS lake runs to join the
+    lakehouse. NO data file is read or rewritten: version 0 is authored
+    from a recursive file listing; hive ``k=v`` directory components
+    become partitionValues (CONVERT requires the partition columns
+    declared, as in delta-spark); the logical schema comes from one
+    Spark schema inference over the directory; per-file stats
+    (numRecords + optional min/max for ``stats_cols``) come from
+    parquet FOOTERS via parquet-hadoop — metadata-only on any
+    JVM-reachable filesystem (viewfs://, kerberized hdfs://). Refuses
+    when a ``_delta_log`` already exists.
+
+    Scale: O(files) footer opens + one commit; at 100 TB this is the
+    same listing the first parquet scan pays, and the files never
+    move — readers switch to the log atomically."""
+    from urllib.parse import unquote
+
+    fs, table_path, jvm = _hadoop_fs(spark, path)
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(_log_dir(path))):
+        raise ValueError(f"{path} is already a delta table")
+    inferred = spark.read.parquet(path)
+    schema_json = json.loads(inferred.schema.json())
+    names = [f["name"] for f in schema_json["fields"]]
+    for c in partition_by or []:
+        if c not in names:
+            raise ValueError(
+                f"partition column {c!r} not in inferred schema {names}"
+            )
+    conf_h = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    base_uri = fs.makeQualified(table_path).toUri()
+    adds: list[dict] = []
+    it = fs.listFiles(table_path, True)
+    while it.hasNext():
+        status = it.next()
+        rel = base_uri.relativize(status.getPath().toUri()).getPath()
+        if not rel.endswith(".parquet") or rel.startswith("_"):
+            continue
+        pv: dict[str, str | None] = {}
+        for comp in rel.split("/")[:-1]:
+            if "=" in comp:
+                k, _, v = comp.partition("=")
+                pv[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                )
+        missing = [c for c in (partition_by or []) if c not in pv]
+        if missing:
+            raise ValueError(
+                f"file {rel} lacks declared partition dirs {missing}"
+            )
+        st = _file_stats_jvm(
+            jvm, conf_h, status.getPath(), list(stats_cols or [])
+        )
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {
+                        c: pv[c] for c in (partition_by or [])
+                    },
+                    "size": int(status.getLen()),
+                    "modificationTime": int(status.getModificationTime()),
+                    "dataChange": True,
+                    "stats": json.dumps(st, separators=(",", ":")),
+                }
+            }
+        )
+    if not adds:
+        raise ValueError(f"no parquet files under {path} to convert")
+    actions = [
+        _commit_info("CONVERT"),
+        {"protocol": dict(_PROTOCOL)},
+        {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema_json),
+                "partitionColumns": list(partition_by or []),
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+        *adds,
+    ]
+    _write_commit(spark, path, 0, actions)
+    return 0
+
+
 def delta_native_dv_wire_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7039,6 +7133,68 @@ def delta_native_dv_wire_roundtrip(
         F.sum("cents").alias("sum_cents"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
+    )
+
+
+def delta_native_convert_parquet(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONVERT TO DELTA lifecycle: a hive-partitioned plain parquet
+    directory (orders < 5000, partitioned by priority, several files
+    per partition) is adopted in place, then proven to be a first-class
+    delta table: a partition-pruned read, a post-convert APPEND
+    (5000 ≤ key < 5100), and the final per-priority rollup — which
+    breaks if partitionValues, stats, or the appended commit are wrong.
+    Converting an already-delta path must refuse."""
+    import tempfile
+
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    raw = tempfile.mkdtemp(prefix="ls_convert_")
+    (
+        o.where("o_orderkey < 5000")
+        .repartition(4)
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(raw)
+    )
+    delta_convert_parquet(
+        spark, raw, partition_by=["o_orderpriority"], stats_cols=["o_orderkey"]
+    )
+    try:
+        delta_convert_parquet(spark, raw)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("double CONVERT must refuse")
+    pruned = delta_read(
+        spark, raw, partition_filter={"o_orderpriority": "1-URGENT"}
+    )
+    if pruned.where("o_orderpriority <> '1-URGENT'").count():
+        raise AssertionError("partition prune returned foreign rows")
+    # the inferred schema orders partition columns LAST — conform the
+    # append batch to the converted table's logical column order
+    delta_write(
+        o.where("o_orderkey >= 5000 AND o_orderkey < 5100").select(
+            "o_orderkey", "cents", "o_orderpriority"
+        ),
+        raw,
+        mode="append",
+        partition_by=["o_orderpriority"],
+    )
+    return (
+        delta_read(spark, raw)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 
@@ -7847,6 +8003,23 @@ QUERIES: list[QueryDef] = [
         description="3-column OPTIMIZE ZORDER: the N-dim Morton curve "
         "prunes files on each of three clustered keys independently; "
         "per-dimension skipping asserted in-query.",
+    ),
+    QueryDef(
+        "delta_native_convert_parquet",
+        delta_native_convert_parquet,
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) AS sum_cents
+        FROM orders WHERE o_orderkey < 5100
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        tags=("parity", "delta", "io", "interop"),
+        description="CONVERT TO DELTA: in-place adoption of a hive-"
+        "partitioned parquet directory (no data rewrite; footer stats, "
+        "dir-derived partitionValues), partition-pruned read, "
+        "post-convert append, double-convert refusal.",
     ),
     QueryDef(
         "delta_native_dv_wire_roundtrip",
