@@ -135,6 +135,41 @@ def test_codec_encoder_roundtrip():
     assert roaring_array_decode(roaring_array_encode([])) == []
 
 
+def test_codec_property_roundtrips():
+    """Hypothesis properties: Z85 round-trips arbitrary 4n-byte
+    payloads; the RoaringBitmapArray encoder/decoder pair round-trips
+    arbitrary row-index sets across container boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.dv_codec import (
+        roaring_array_encode,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(min_size=0, max_size=64).map(
+        lambda b: b + b"\x00" * (-len(b) % 4)
+    ))
+    def z85_rt(data):
+        assert z85_decode(z85_encode(data)) == data
+
+    z85_rt()
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << 33) + 200_000),
+            max_size=300,
+        )
+    )
+    def roaring_rt(vals):
+        assert roaring_array_decode(
+            roaring_array_encode(vals)
+        ) == sorted(set(vals))
+
+    roaring_rt()
+
+
 def test_dv_file_slice_validation():
     bitmap = _roaring_array_encode([2])
     framed = (
