@@ -774,6 +774,307 @@ def main() -> None:
     print(f"golden delta fixture written to {ROOT}")
 
 
+# ------------------------------------------------------------- DV fixture
+#
+# Third table (golden_delta_dv): deletion vectors in the PROTOCOL wire
+# format exactly as delta-spark commits them — a DELETE re-stamps each
+# touched file as remove + add-with-descriptor IN ONE COMMIT (the
+# add-beats-remove same-commit pairing the fold contract pins), one
+# descriptor INLINE (Z85, zero-padded to 4-byte groups, sizeInBytes
+# carrying the true length) and one in a UUID-addressed .bin storage
+# file (version byte + big-endian size + RoaringBitmapArray + CRC-32).
+# The classic checkpoint carries delta-spark's FULL 6-field descriptor
+# struct, pinning the wide-struct conform path in committed bytes.
+# Same honesty note as above: hand-authored to PROTOCOL.md's format.
+
+ROOT_DV = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "golden_delta_dv"
+)
+LOG_DV = os.path.join(ROOT_DV, "_delta_log")
+
+DV_SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "integer", "nullable": True, "metadata": {}},
+            {
+                "name": "amount",
+                "type": "double",
+                "nullable": True,
+                "metadata": {},
+            },
+        ],
+    },
+    separators=(",", ":"),
+)
+
+# (file-id, k values); amount = k + 0.5
+DV_FILES = {
+    "M": list(range(0, 10)),
+    "N": list(range(10, 16)),
+    "O": list(range(20, 25)),
+}
+DV_DELETED_POS = {"M": [1, 4], "N": [0, 5]}  # row positions per file
+DV_BIN_UUID = "0f0e0d0c-0b0a-4908-8706-050403020100"
+
+_Z85_CHARS = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+
+
+def _z85(data: bytes) -> str:
+    import struct as _st
+
+    out = []
+    for i in range(0, len(data), 4):
+        (w,) = _st.unpack(">I", data[i : i + 4])
+        chunk = []
+        for _ in range(5):
+            chunk.append(_Z85_CHARS[w % 85])
+            w //= 85
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _rb_array(vals: list[int]) -> bytes:
+    """RoaringBitmapArray portable bytes, array containers (generator-
+    local — independent of the engine's codec)."""
+    import struct as _st
+
+    by_key: dict[int, list[int]] = {}
+    for v in sorted(vals):
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    out = _st.pack("<iq", 1681511377, (max(by_key) + 1) if by_key else 0)
+    for key in range((max(by_key) + 1) if by_key else 0):
+        lows = by_key.get(key, [])
+        n = 1 if lows else 0
+        out += _st.pack("<II", 12346, n)
+        if lows:
+            out += _st.pack("<HH", 0, len(lows) - 1)
+            out += _st.pack("<I", 16)
+            out += _st.pack(f"<{len(lows)}H", *lows)
+    return out
+
+
+def _dv_write_data(fid: str) -> int:
+    ks = DV_FILES[fid]
+    rel = f"part-0000{ord(fid) - ord('M')}-0dv{fid.lower()}000.c000.snappy.parquet"
+    table = pa.table(
+        {
+            "k": pa.array(ks, pa.int32()),
+            "amount": pa.array([k + 0.5 for k in ks], pa.float64()),
+        }
+    )
+    pq.write_table(table, os.path.join(ROOT_DV, rel), compression="snappy")
+    return os.path.getsize(os.path.join(ROOT_DV, rel))
+
+
+def _dv_rel(fid: str) -> str:
+    return f"part-0000{ord(fid) - ord('M')}-0dv{fid.lower()}000.c000.snappy.parquet"
+
+
+def _dv_add(fid: str, size: int, ts: int, dv: dict | None) -> dict:
+    ks = DV_FILES[fid]
+    payload = {
+        "path": _dv_rel(fid),
+        "partitionValues": {},
+        "size": size,
+        "modificationTime": ts,
+        "dataChange": True,
+        "stats": json.dumps(
+            {
+                "numRecords": len(ks),
+                "minValues": {"k": min(ks)},
+                "maxValues": {"k": max(ks)},
+                "nullCount": {"k": 0},
+            },
+            separators=(",", ":"),
+        ),
+    }
+    if dv is not None:
+        payload["deletionVector"] = dv
+    return {"add": payload}
+
+
+def make_dv() -> None:
+    import struct as _st
+    import uuid as _uuid
+    import zlib as _zlib
+
+    if os.path.isdir(ROOT_DV):
+        shutil.rmtree(ROOT_DV)
+    os.makedirs(LOG_DV)
+    sizes = {fid: _dv_write_data(fid) for fid in DV_FILES}
+
+    def commit(version: int, actions: list[dict]) -> None:
+        with open(os.path.join(LOG_DV, f"{version:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    }
+    meta = {
+        "metaData": {
+            "id": "d3adbeef-dv00-4000-8000-0000000000dv",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": DV_SCHEMA_STRING,
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": T0,
+        }
+    }
+    ts = T0 + 1000
+    commit(
+        0,
+        [
+            _commit_info(
+                ts, "WRITE", {"mode": "ErrorIfExists"}, {}, True,
+                "dv000000-0000-4000-8000-000000000000",
+            ),
+            proto,
+            meta,
+            _dv_add("M", sizes["M"], ts, None),
+            _dv_add("N", sizes["N"], ts, None),
+        ],
+    )
+    # v1: DELETE via DVs — remove + re-add WITH descriptor, one commit
+    ts = T0 + 2000
+    bm_m = _rb_array(DV_DELETED_POS["M"])
+    dv_m = {
+        "storageType": "i",
+        "pathOrInlineDv": _z85(bm_m + b"\x00" * (-len(bm_m) % 4)),
+        "sizeInBytes": len(bm_m),
+        "cardinality": len(DV_DELETED_POS["M"]),
+        "maxRowIndex": max(DV_DELETED_POS["M"]),
+    }
+    bm_n = _rb_array(DV_DELETED_POS["N"])
+    u = _uuid.UUID(DV_BIN_UUID)
+    framed = (
+        bytes([1])
+        + _st.pack(">i", len(bm_n))
+        + bm_n
+        + _st.pack(">I", _zlib.crc32(bm_n) & 0xFFFFFFFF)
+    )
+    with open(os.path.join(ROOT_DV, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(framed)
+    dv_n = {
+        "storageType": "u",
+        "pathOrInlineDv": _z85(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(bm_n),
+        "cardinality": len(DV_DELETED_POS["N"]),
+        "maxRowIndex": max(DV_DELETED_POS["N"]),
+    }
+    commit(
+        1,
+        [
+            _commit_info(
+                ts, "DELETE", {"predicate": '["(k % 5) = 1"]'}, {}, True,
+                "dv111111-0000-4000-8000-000000000000",
+            ),
+            {
+                "remove": {
+                    "path": _dv_rel("M"),
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                }
+            },
+            _dv_add("M", sizes["M"], T0 + 1000, dv_m),
+            {
+                "remove": {
+                    "path": _dv_rel("N"),
+                    "deletionTimestamp": ts,
+                    "dataChange": True,
+                }
+            },
+            _dv_add("N", sizes["N"], T0 + 1000, dv_n),
+        ],
+    )
+    # classic checkpoint @1 with delta-spark's FULL 6-field DV struct
+    dv6 = pa.struct(
+        [
+            ("storageType", pa.string()),
+            ("pathOrInlineDv", pa.string()),
+            ("offset", pa.int32()),
+            ("sizeInBytes", pa.int32()),
+            ("cardinality", pa.int64()),
+            ("maxRowIndex", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+            ("deletionVector", dv6),
+        ]
+    )
+    ck_schema = pa.schema(
+        [
+            ("protocol", _PROTO_TYPE),
+            ("metaData", _META_TYPE),
+            ("add", add_t),
+        ]
+    )
+
+    def ck_row(kind: str, payload: dict) -> dict:
+        row = {n: None for n in ck_schema.names}
+        payload = dict(payload)
+        for key in ("partitionValues", "configuration", "options"):
+            if isinstance(payload.get(key), dict):
+                payload[key] = list(payload[key].items())
+        if kind == "metaData":
+            fmt = dict(payload.get("format") or {})
+            if isinstance(fmt.get("options"), dict):
+                fmt["options"] = list(fmt["options"].items())
+            payload["format"] = fmt
+        if kind == "add":
+            payload["dataChange"] = False
+        row[kind] = payload
+        return row
+
+    ck_rows = [
+        ck_row("protocol", proto["protocol"]),
+        ck_row("metaData", meta["metaData"]),
+        ck_row("add", _dv_add("M", sizes["M"], T0 + 1000, dv_m)["add"]),
+        ck_row("add", _dv_add("N", sizes["N"], T0 + 1000, dv_n)["add"]),
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(ck_rows, schema=ck_schema),
+        os.path.join(LOG_DV, f"{1:020d}.checkpoint.parquet"),
+        compression="snappy",
+    )
+    with open(os.path.join(LOG_DV, "_last_checkpoint"), "w") as fh:
+        fh.write(
+            json.dumps({"version": 1, "size": len(ck_rows)},
+                       separators=(",", ":"))
+        )
+    # v2: plain append on top of the checkpoint
+    ts = T0 + 3000
+    commit(
+        2,
+        [
+            _commit_info(
+                ts, "WRITE", {"mode": "Append"}, {}, True,
+                "dv222222-0000-4000-8000-000000000000",
+            ),
+            _dv_add("O", sizes["O"], ts, None),
+        ],
+    )
+    print(f"golden DV fixture written to {ROOT_DV}")
+
+
 if __name__ == "__main__":
     main()
     make_v2()
+    make_dv()

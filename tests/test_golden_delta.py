@@ -266,3 +266,81 @@ def test_unknown_actions_and_fields_are_ignored(spark, tmp_path):
 
     assert delta_snapshot_adds_df(spark, dest).count() == 5  # A C E F G
     assert delta_last_txn(spark, dest, "golden-app") == 7
+
+
+# ------------------------------------------------------------ DV fixture
+
+GOLDEN_DV = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "golden_delta_dv"
+)
+
+# layout table (make_golden_delta.py make_dv): M = k 0..9 minus row
+# positions {1,4}; N = k 10..15 minus positions {0,5}; O = k 20..24
+_DV_EXPECT_LATEST = sorted(
+    [k for i, k in enumerate(range(0, 10)) if i not in (1, 4)]
+    + [k for i, k in enumerate(range(10, 16)) if i not in (0, 5)]
+    + list(range(20, 25))
+)
+
+
+def test_golden_dv_snapshot_and_time_travel(spark):
+    """Wire-format DVs from a foreign writer: the v1 DELETE commit is
+    the protocol's remove + re-add-with-descriptor pairing (inline Z85
+    for one file, UUID-addressed .bin for the other) — the snapshot
+    must apply both, and v0 time travel must see the pre-delete rows."""
+    got = sorted(r["k"] for r in delta_read(spark, GOLDEN_DV).collect())
+    assert got == _DV_EXPECT_LATEST
+    assert delta_read(spark, GOLDEN_DV, version=0).count() == 16
+    assert delta_read(spark, GOLDEN_DV, version=1).count() == 12
+
+
+def test_golden_dv_checkpoint_fold(spark, tmp_path):
+    """The committed classic checkpoint carries delta-spark's FULL
+    6-field descriptor struct; with the JSON commits ≤ 1 removed, the
+    fold comes from the checkpoint alone plus the v2 tail — both
+    descriptors (incl. offset/sizeInBytes) must survive."""
+    dest = str(tmp_path / "golden_dv_ck")
+    shutil.copytree(GOLDEN_DV, dest)
+    os.remove(os.path.join(dest, "_delta_log", f"{0:020d}.json"))
+    os.remove(os.path.join(dest, "_delta_log", f"{1:020d}.json"))
+    got = sorted(r["k"] for r in delta_read(spark, dest).collect())
+    assert got == _DV_EXPECT_LATEST
+    live = dict(delta_live_adds(spark, dest))
+    dvs = {
+        f: a["deletionVector"]
+        for f, a in live.items()
+        if a.get("deletionVector")
+    }
+    assert len(dvs) == 2
+    kinds = {d["storageType"] for d in dvs.values()}
+    assert kinds == {"i", "u"}
+    for d in dvs.values():
+        if d["storageType"] == "u":
+            assert d["offset"] == 1 and d["sizeInBytes"] > 0
+
+
+def test_golden_dv_writable_after_adoption(spark, tmp_path):
+    """Continuing to WRITE the foreign DV table: a plain append
+    composes, and a further native DV delete merges with the foreign
+    descriptors (cross-dialect prior merge)."""
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+    )
+
+    dest = str(tmp_path / "golden_dv_rw")
+    shutil.copytree(GOLDEN_DV, dest)
+    delta_write(
+        spark.range(30, 33).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") + 0.5).alias("amount"),
+        ),
+        dest,
+        mode="append",
+    )
+    delta_delete_dv(spark, dest, "k % 2 = 0")
+    got = sorted(r["k"] for r in delta_read(spark, dest).collect())
+    assert got == [
+        k for k in _DV_EXPECT_LATEST + [30, 31, 32] if k % 2 == 1
+    ]
