@@ -7050,6 +7050,15 @@ def delta_convert_parquet(
             raise ValueError(
                 f"file {rel} lacks declared partition dirs {missing}"
             )
+        if pv and not partition_by:
+            # delta-spark CONVERT errors the same way: a hive-layout
+            # directory converted without its partition schema would
+            # author adds whose partition columns exist in the logical
+            # schema but in neither partitionValues nor the data files
+            raise ValueError(
+                f"{rel} is hive-partitioned ({sorted(pv)}); declare "
+                "partition_by — CONVERT requires the partition schema"
+            )
         st = _file_stats_jvm(
             jvm, conf_h, status.getPath(), list(stats_cols or [])
         )

@@ -214,6 +214,36 @@ def test_maxsim_agrees_with_crossencoder_pool(spark, sf_oracle):
         )
 
 
+def test_convert_requires_partition_schema(spark, tmp_path):
+    """CONVERT TO DELTA of a hive-partitioned directory WITHOUT the
+    declared partition columns must refuse (delta-spark errors the same
+    way) — silently converting would author adds whose partition
+    columns live in neither partitionValues nor the data files."""
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_convert_parquet,
+        delta_read,
+    )
+
+    raw = str(tmp_path / "hive_parquet")
+    (
+        spark.range(0, 40)
+        .select(F.col("id").alias("k"), (F.col("id") % 3).alias("p"))
+        .write.partitionBy("p")
+        .parquet(raw)
+    )
+    with pytest.raises(ValueError, match="partition"):
+        delta_convert_parquet(spark, raw)
+    # declared correctly it converts, and the partition column reads back
+    delta_convert_parquet(spark, raw, partition_by=["p"])
+    got = delta_read(spark, raw)
+    assert got.count() == 40
+    assert sorted(
+        r["p"] for r in got.select("p").distinct().collect()
+    ) == [0, 1, 2]
+
+
 def test_foreign_check_constraints_enforced(spark):
     """A foreign writer-v3 table carrying delta.constraints.* in its
     metaData configuration: this engine's appends must enforce the
