@@ -199,7 +199,9 @@ def _reference_ledger(sf_dir: str) -> list[tuple]:
             out.append((i, name, nd, nt, 0, 0, 1_000_000))
         else:
             pd_, pt = prev
-            kept = 1_000_000 if pd_ == 0 else nd * 1_000_000 // pd_
+            # engine semantics: an EMPTY previous stage yields kept=0
+            # (the Spark/DuckDB CASE), not 100%
+            kept = 0 if pd_ == 0 else nd * 1_000_000 // pd_
             out.append((i, name, nd, nt, pd_ - nd, pt - nt, kept))
         prev = (nd, nt)
     t5 = prev[1]
