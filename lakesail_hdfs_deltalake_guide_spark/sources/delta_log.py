@@ -4929,6 +4929,139 @@ def delta_delete(spark: SparkSession, path: str, predicate) -> int:
     )
 
 
+def delta_replace_where(
+    spark: SparkSession, path: str, predicate, df: DataFrame
+) -> int:
+    """Selective overwrite — delta-spark's ``.mode("overwrite")
+    .option("replaceWhere", pred)`` with ARBITRARY predicates (not just
+    partition columns), the idempotent-backfill writer a lakehouse job
+    scheduler leans on: re-running "rebuild region P" always converges
+    to the new region (reference surfaces this writer via delta-spark,
+    /root/reference/README.md:302).
+
+    Atomic region swap, one commit:
+
+    1. every conformed incoming row must satisfy the predicate — a row
+       that does not (or where it is NULL) would land OUTSIDE the
+       declared replacement region; delta-spark refuses
+       (DeltaAnalysisException), so do we, with nothing staged or
+       committed;
+    2. existing matching rows leave copy-on-write: files whose rows all
+       match get plain removes, partially-matching files are rewritten
+       keeping their non-matching remainder (NULL-predicate rows are
+       remainder, SQL three-valued logic);
+    3. the incoming rows are conformed to the table schema (typed
+       casts, column DEFAULTs, generated columns recomputed, identity
+       allocated above the watermark, CHECK constraints enforced) and
+       staged; removes + remainder + new data publish in ONE version —
+       a reader sees the old region or the new one, never a mix.
+
+    At 100 TB: phase 1 is one snapshot scan reducing to the DISTINCT
+    affected-file set (driver sees file names only); only those files
+    are re-read. A partition-aligned predicate therefore rewrites
+    nothing — pure remove + append, the classic backfill fast path.
+    """
+    pred = _coerce_predicate(predicate)
+    scan, base_map, meta, _live = _snapshot_scan_with_file(spark, path)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    tcols = [f.name for f in schema.fields]
+    identity = _identity_columns(meta)
+    bad_id = sorted(set(df.columns) & set(identity))
+    if bad_id:
+        raise ValueError(
+            f"cannot supply identity columns {bad_id} in a replaceWhere "
+            "write — ids are table-allocated"
+        )
+    incoming = _apply_defaults(df, meta)
+    incoming = incoming.select(
+        *[
+            F.col(c).cast(schema[c].dataType).alias(c)
+            if c in incoming.columns
+            else F.lit(None).cast(schema[c].dataType).alias(c)
+            for c in tcols
+            if c not in identity
+        ]
+    )
+    incoming = _recompute_generated(incoming, meta)
+    id_action = None
+    if identity:
+        incoming, id_action = _allocate_identity(incoming, meta)
+        if id_action is not None:
+            meta = id_action["metaData"]
+        incoming = incoming.select(*tcols)
+    # three consumers (region check, staging, change feed), one compute
+    incoming = incoming.localCheckpoint(eager=False)
+    outside = incoming.where(~pred).limit(1).count()
+    if outside:
+        raise ValueError(
+            f"replaceWhere({predicate!r}): incoming rows fall outside "
+            "the replacement predicate — nothing was committed"
+        )
+    hit_names = [
+        r[0]
+        for r in scan.where(pred).select("__ls_file").distinct().collect()
+    ]
+    affected = [base_map[b] for b in hit_names]
+    rt = _rt_enabled(meta)
+    sub = None
+    pieces: list[DataFrame] = []
+    if affected:
+        sub = _read_affected_files(
+            spark, path, meta, _live, affected, with_row_ids=rt
+        )
+        # remainder keeps its materialized _row_id through the rewrite
+        pieces.append(sub.where(~pred))
+    new_rows = incoming
+    if rt:
+        # fresh region rows have no prior identity: null defers to the
+        # staged file's fresh baseRowId + position
+        new_rows = new_rows.withColumn(_RT_COL, F.lit(None).cast("long"))
+    pieces.append(new_rows)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    _enforce_constraints(out, meta)
+    adds = _stage_data_files(
+        _to_physical(out, meta), path, meta.get("partitionColumns") or None
+    )
+    rt_action = _rt_assign(spark, path, meta, adds)
+    if rt_action is not None:
+        meta = rt_action["metaData"]
+    cdc: list[dict] = []
+    if _cdf_enabled(meta):
+        changes: list[DataFrame] = []
+        if affected:
+            changes.append(
+                sub.drop(_RT_COL)
+                .where(pred)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        changes.append(
+            incoming.withColumn("_change_type", F.lit("insert"))
+        )
+        feed = changes[0]
+        for c in changes[1:]:
+            feed = feed.unionByName(c)
+        cdc = _stage_change_files(feed, path)
+    return _commit_rewrite(
+        spark,
+        path,
+        affected,
+        adds,
+        # id_action first: rt_action was built from the id-advanced
+        # meta, keeping the fold's last-metaData-wins consistent
+        extra_actions=[_commit_info("WRITE (replaceWhere)")]
+        + ([id_action] if id_action else [])
+        + ([rt_action] if rt_action else [])
+        + cdc,
+        expected={f: _live[f] for f in affected},
+        identity_guard=id_action is not None or rt_action is not None,
+        meta=meta,
+    )
+
+
 def delta_update(
     spark: SparkSession, path: str, predicate, assignments: dict
 ) -> int:
@@ -7207,6 +7340,65 @@ def delta_native_convert_parquet(
     )
 
 
+def delta_native_replace_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """replaceWhere lifecycle (delta-spark ``.mode("overwrite")
+    .option("replaceWhere", ...)``), the scheduler-driven backfill:
+
+      1. orders land scattered (bucket = custkey % 4 across every
+         file — forces the partial-file rewrite path, not the
+         partition fast path);
+      2. region ``bucket = 1`` is atomically replaced by a recomputed
+         half-sized batch (even keys, doubled cents) — odd-key bucket-1
+         rows must vanish with it;
+      3. a batch leaking OUTSIDE its declared region must refuse with
+         nothing committed (version pinned before/after);
+      4. replacing a region with NO existing rows (bucket = 9) degrades
+         to a pure predicate-guarded insert.
+
+    Output: per-bucket counts/sums of the final table + the refusal
+    counter — a leaked row, a resurrected odd key, or a silent commit
+    of the refused batch each breaks a row."""
+    import tempfile
+
+    from ..tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_custkey") % 4).cast("bigint").alias("bucket"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_rw_")
+    delta_write(o.repartition(6), path)
+    repl = o.where("bucket = 1 AND k % 2 = 0").select(
+        "k", "bucket", (F.col("cents") * 2).alias("cents")
+    )
+    delta_replace_where(spark, path, "bucket = 1", repl)
+    refused = 0
+    v_before = _list_versions(spark, path)[-1]
+    try:
+        delta_replace_where(spark, path, "bucket = 2", o.where("bucket = 3"))
+    except ValueError:
+        refused += 1
+    if _list_versions(spark, path)[-1] != v_before:
+        raise AssertionError("refused replaceWhere must commit nothing")
+    fresh = o.where("bucket = 2 AND k % 5 = 0").select(
+        "k", F.lit(9).cast("bigint").alias("bucket"), "cents"
+    )
+    delta_replace_where(spark, path, "bucket = 9", fresh)
+    return (
+        delta_read(spark, path)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .withColumn("n_refused", F.lit(refused).cast("long"))
+        .orderBy("bucket")
+    )
+
+
 def delta_native_check_constraints(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8080,6 +8272,35 @@ QUERIES: list[QueryDef] = [
         "(delta-spark wire format) decoded and applied as the standard "
         "broadcast anti-join; survivors pinned by row-position "
         "arithmetic.",
+    ),
+    QueryDef(
+        "delta_native_replace_where",
+        delta_native_replace_where,
+        """
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 CAST(o_custkey % 4 AS BIGINT) AS bucket,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        final AS (
+          SELECT k, bucket, cents FROM base WHERE bucket <> 1
+          UNION ALL
+          SELECT k, bucket, 2 * cents AS cents FROM base
+          WHERE bucket = 1 AND k % 2 = 0
+          UNION ALL
+          SELECT k, CAST(9 AS BIGINT) AS bucket, cents FROM base
+          WHERE bucket = 2 AND k % 5 = 0)
+        SELECT bucket, COUNT(*) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(1 AS BIGINT) AS n_refused
+        FROM final GROUP BY bucket ORDER BY bucket
+        """,
+        tags=("parity", "delta", "io", "dml"),
+        description="replaceWhere selective overwrite: arbitrary-"
+        "predicate region swap in one atomic commit (partial files "
+        "rewritten keeping remainder), out-of-region batches refused "
+        "with nothing committed, empty-region replace degrades to a "
+        "predicate-guarded insert.",
     ),
     QueryDef(
         "delta_native_check_constraints",

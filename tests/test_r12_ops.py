@@ -300,3 +300,154 @@ def test_foreign_check_constraints_enforced(spark):
         in (a.get("metaData", {}).get("configuration") or {})
         for a in lines
     )
+
+
+# ---------------------------------------------------------------------------
+# replaceWhere (delta_replace_where): the oracle-parity row pins values;
+# these pin the mechanics — partition fast path, NULL-predicate rows as
+# remainder, CDF change types, identity allocation, empty-batch delete.
+
+
+def _rw_live_paths(spark, path):
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+    )
+
+    return {f for f, _ in delta_live_adds(spark, path)}
+
+
+def test_replace_where_partition_fast_path(spark):
+    """A partition-aligned predicate must not rewrite foreign
+    partitions: their add paths survive the commit verbatim."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+        delta_replace_where,
+        delta_write,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_rw_part_")
+    base = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("part")
+    )
+    delta_write(base, p, partition_by=["part"])
+    before = _rw_live_paths(spark, p)
+    keep = {f for f in before if "part=1" not in f}
+    delta_replace_where(
+        spark,
+        p,
+        "part = 1",
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), F.lit(1).alias("part")
+        ),
+    )
+    after = _rw_live_paths(spark, p)
+    assert keep <= after, "foreign partitions were rewritten"
+    assert not any("part=1" in f for f in before & after), (
+        "old region files must all be removed"
+    )
+    got = sorted(
+        r.k for r in delta_read(spark, p).where("part = 1").collect()
+    )
+    assert got == [100, 101, 102, 103, 104]
+    assert delta_read(spark, p).count() == 35
+
+
+def test_replace_where_null_predicate_is_remainder(spark):
+    """Rows where the predicate evaluates NULL are outside the region:
+    they must survive the swap (SQL three-valued logic)."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+        delta_replace_where,
+        delta_write,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_rw_null_")
+    delta_write(
+        spark.sql(
+            "SELECT * FROM VALUES (1, 5), (2, 50), (3, CAST(NULL AS INT))"
+            " AS t(k, v)"
+        ),
+        p,
+    )
+    delta_replace_where(
+        spark, p, "v > 10", spark.sql("SELECT 9 AS k, 99 AS v")
+    )
+    got = {(r.k, r.v) for r in delta_read(spark, p).collect()}
+    assert got == {(1, 5), (3, None), (9, 99)}
+
+
+def test_replace_where_cdf_and_empty_batch(spark):
+    """CDF: the swap emits 'delete' pre-images for the replaced region
+    and 'insert' rows for the batch; an EMPTY batch is a pure region
+    delete (the idempotent 'retract this region' form)."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+        delta_read_cdf,
+        delta_replace_where,
+        delta_write,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_rw_cdf_")
+    base = spark.range(0, 20).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("g")
+    )
+    delta_write(
+        base, p, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    v1 = delta_replace_where(
+        spark,
+        p,
+        "g = 1",
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), F.lit(1).alias("g")
+        ),
+    )
+    feed = delta_read_cdf(spark, p, v1, v1)
+    dels = {r.k for r in feed.where("_change_type = 'delete'").collect()}
+    ins = {r.k for r in feed.where("_change_type = 'insert'").collect()}
+    assert dels == {k for k in range(20) if k % 2 == 1}
+    assert ins == {100, 101, 102}
+    # empty batch: pure delete of the region
+    v2 = delta_replace_where(
+        spark, p, "g = 1", spark.createDataFrame([], "k long, g long")
+    )
+    assert delta_read(spark, p).where("g = 1").count() == 0
+    feed2 = delta_read_cdf(spark, p, v2, v2)
+    assert feed2.where("_change_type = 'insert'").count() == 0
+    assert feed2.where("_change_type = 'delete'").count() == 3
+
+
+def test_replace_where_identity_allocation(spark):
+    """On an identity table the batch must NOT carry the id column
+    (refused); allocated ids land above the pre-swap watermark and stay
+    table-unique."""
+    import pytest as _pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+        delta_replace_where,
+        delta_write,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_rw_id_")
+    delta_write(
+        spark.range(0, 10).select((F.col("id") % 3).alias("g")),
+        p,
+        identity_columns={"row_id": {"start": 1, "step": 1}},
+    )
+    with _pytest.raises(ValueError, match="identity"):
+        delta_replace_where(
+            spark,
+            p,
+            "g = 0",
+            spark.sql("SELECT 0 AS g, 999 AS row_id"),
+        )
+    high = delta_read(spark, p).agg(F.max("row_id")).collect()[0][0]
+    delta_replace_where(
+        spark, p, "g = 0", spark.sql("SELECT 0 AS g UNION ALL SELECT 0")
+    )
+    back = delta_read(spark, p)
+    ids = [r.row_id for r in back.collect()]
+    assert len(ids) == len(set(ids)), "identity collision through the swap"
+    new_ids = [r.row_id for r in back.where("g = 0").collect()]
+    assert len(new_ids) == 2 and min(new_ids) > high
