@@ -451,3 +451,44 @@ def test_replace_where_identity_allocation(spark):
     assert len(ids) == len(set(ids)), "identity collision through the swap"
     new_ids = [r.row_id for r in back.where("g = 0").collect()]
     assert len(new_ids) == 2 and min(new_ids) > high
+
+
+def test_secret_entropy_gate(spark, sf_smoke):
+    """The entropy gate must separate the plants: the repeated-pattern
+    decoy is a candidate but never a secret (1000 mb), the planted key
+    passes (3906 mb), and the integer-millibit entropy agrees with a
+    sequential-Python Shannon reference on both."""
+    import math
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+        SECRET_ENTROPY_MB,
+        _hex_entropy_mb,
+        clean_secret_entropy_scan,
+    )
+
+    def py_entropy_mb(tok: str) -> int:
+        counts = [tok.count(c) for c in "0123456789abcdef"]
+        total = sum(c * round(math.log2(c) * 1000) for c in counts if c > 1)
+        return 5000 - total // 32
+
+    key = "3f7a9c2e8b1d4f6a0c5e7b9d2f4a6c8e"
+    decoy = "ab" * 16
+    assert py_entropy_mb(decoy) == 1000 < SECRET_ENTROPY_MB
+    assert py_entropy_mb(key) >= SECRET_ENTROPY_MB
+    got = {
+        r.tok: r.ent
+        for r in spark.createDataFrame(
+            [(key,), (decoy,)], "tok string"
+        ).select("tok", _hex_entropy_mb(F.col("tok")).alias("ent")).collect()
+    }
+    assert got == {key: py_entropy_mb(key), decoy: py_entropy_mb(decoy)}
+    out = clean_secret_entropy_scan(spark, sf_smoke).toPandas()
+    assert (out.n_hex_secrets < out.n_hex_candidates).any(), (
+        "the decoy must be a candidate somewhere without being a secret"
+    )
+    assert (out.n_hex_secrets > 0).any() and (out.n_akia_keys > 0).any()
+    assert (out.min_entropy_mb >= 0).all()
+    assert (out.max_entropy_mb <= 4000).all()  # 32 chars / 16 symbols cap
+    assert (
+        out.chars_redacted == out.n_hex_secrets * 24 + out.n_akia_keys * 15
+    ).all()
