@@ -856,7 +856,178 @@ def _doremi_sql() -> str:
         """
 
 
+UNIMAX_EPOCHS = 1  # per-language repeat cap (UniMax's N)
+UNIMAX_BUDGET_PCT = 70  # char budget as % of total corpus mass
+
+
+def sample_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): spread a token budget UNIFORMLY across
+    languages, capped at N epochs of each language's own mass — the
+    successor to temperature mixing (sample_temperature_mix) that never
+    over-repeats low-resource tails.
+
+    The allocation is exact integer water-filling in CLOSED FORM: sort
+    languages by capacity (cap = N * chars) ascending, and for each
+    saturation count k test, by cross-multiplied BIGINT comparison (no
+    floats), whether level t_k = (B - cum_k)/(L-k) sits between cap_k
+    and cap_{k+1}. Exactly one k qualifies; saturated languages take
+    their cap, the rest take the level with the remainder spread one
+    char to each of the first (B - cum_k) mod (L-k) free languages in
+    capacity order — allocations sum to B exactly (tested).
+
+    At 100 TB: one |langs|-row aggregate leaves the scan; the
+    water-fill runs as window functions over that L-row frame (L is
+    dozens, a single tiny task). The output weight table then drives
+    the usual scan-side hash-rate filter — the corpus itself is never
+    shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    mass = d.groupBy("lang").agg(F.sum("n_chars").alias("chars"))
+    tot = mass.agg(
+        F.sum("chars").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_langs"),
+    ).select(
+        "total_chars",
+        "n_langs",
+        F.expr(
+            f"total_chars * {UNIMAX_BUDGET_PCT} div 100"
+        ).alias("budget_chars"),
+    )
+    w_ord = Window.orderBy("cap", "lang")
+    caps = (
+        mass.select(
+            "lang",
+            "chars",
+            (F.col("chars") * UNIMAX_EPOCHS).alias("cap"),
+        )
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn(
+            "cum",
+            F.sum("cap").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("cap_next", F.lead("cap").over(w_ord))
+        .crossJoin(F.broadcast(tot))
+    )
+    # candidate saturation counts: k = rn per row, plus the k = 0 row
+    # (no language saturated)
+    cands = caps.select(
+        F.col("rn").alias("k"),
+        (F.col("budget_chars") - F.col("cum")).alias("rem"),
+        (F.col("n_langs") - F.col("rn")).alias("nfree"),
+        F.col("cap").alias("cap_k"),
+        "cap_next",
+    ).unionByName(
+        caps.where(F.col("rn") == 1).select(
+            F.lit(0).cast("int").alias("k"),
+            F.col("budget_chars").alias("rem"),
+            F.col("n_langs").alias("nfree"),
+            F.lit(0).cast("bigint").alias("cap_k"),
+            F.col("cap").alias("cap_next"),
+        )
+    )
+    level = cands.where(
+        F.when(F.col("nfree") == 0, F.col("rem") >= 0).otherwise(
+            (F.col("cap_k") * F.col("nfree") <= F.col("rem"))
+            & (F.col("cap_next") * F.col("nfree") > F.col("rem"))
+        )
+    ).select("k", "rem", "nfree")
+    out = caps.crossJoin(F.broadcast(level)).select(
+        "lang",
+        "chars",
+        "cap",
+        F.when(F.col("rn") <= F.col("k"), F.col("cap"))
+        .otherwise(
+            F.expr("rem div greatest(nfree, 1)")
+            + F.when(
+                F.col("rn") - F.col("k")
+                <= F.col("rem") % F.greatest(F.col("nfree"), F.lit(1)),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("alloc_chars"),
+        (F.col("rn") <= F.col("k")).alias("saturated"),
+        "budget_chars",
+    )
+    return out.select(
+        "lang",
+        "chars",
+        "cap",
+        "alloc_chars",
+        "saturated",
+        F.expr("alloc_chars * 1000000 div chars").alias("epochs_ppm"),
+        "budget_chars",
+    ).orderBy("lang")
+
+
+def _unimax_sql() -> str:
+    return f"""
+        WITH mass AS (
+          SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars
+          FROM documents GROUP BY lang),
+        tot AS (
+          SELECT CAST(SUM(chars) AS BIGINT) AS total_chars,
+                 COUNT(*) AS n_langs,
+                 CAST(SUM(chars) * {UNIMAX_BUDGET_PCT} // 100 AS BIGINT)
+                   AS budget_chars
+          FROM mass),
+        caps AS (
+          SELECT lang, chars, chars * {UNIMAX_EPOCHS} AS cap,
+                 ROW_NUMBER() OVER (ORDER BY chars * {UNIMAX_EPOCHS}, lang)
+                   AS rn,
+                 SUM(chars * {UNIMAX_EPOCHS}) OVER (
+                     ORDER BY chars * {UNIMAX_EPOCHS}, lang
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+                 LEAD(chars * {UNIMAX_EPOCHS}) OVER (
+                     ORDER BY chars * {UNIMAX_EPOCHS}, lang) AS cap_next
+          FROM mass),
+        cands AS (
+          SELECT c.rn AS k, t.budget_chars - c.cum AS rem,
+                 t.n_langs - c.rn AS nfree, c.cap AS cap_k, c.cap_next
+          FROM caps c, tot t
+          UNION ALL
+          SELECT 0, t.budget_chars, t.n_langs, 0, c.cap
+          FROM caps c, tot t WHERE c.rn = 1),
+        level AS (
+          SELECT k, rem, nfree FROM cands
+          WHERE CASE WHEN nfree = 0 THEN rem >= 0
+                     ELSE cap_k * nfree <= rem
+                          AND cap_next * nfree > rem END)
+        SELECT c.lang, c.chars, c.cap,
+               CAST(CASE WHEN c.rn <= l.k THEN c.cap
+                    ELSE l.rem // greatest(l.nfree, 1)
+                         + CASE WHEN c.rn - l.k
+                                     <= l.rem % greatest(l.nfree, 1)
+                                THEN 1 ELSE 0 END END AS BIGINT)
+                 AS alloc_chars,
+               c.rn <= l.k AS saturated,
+               CAST(CASE WHEN c.rn <= l.k THEN c.cap
+                    ELSE l.rem // greatest(l.nfree, 1)
+                         + CASE WHEN c.rn - l.k
+                                     <= l.rem % greatest(l.nfree, 1)
+                                THEN 1 ELSE 0 END END
+                    * 1000000 // c.chars AS BIGINT) AS epochs_ppm,
+               t.budget_chars
+        FROM caps c, level l, tot t
+        ORDER BY c.lang
+    """
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sample_unimax_allocation",
+        sample_unimax_allocation,
+        _unimax_sql(),
+        tags=("extension", "sampling", "pipeline"),
+        description="UniMax epoch-capped uniform language budget: exact "
+        "integer water-filling in closed form over the per-language "
+        "capacity frame (saturated langs take N epochs, the rest an "
+        "equal level, remainder spread deterministically; sums to the "
+        "budget exactly).",
+    ),
     QueryDef(
         "sample_doremi_weights",
         sample_doremi_weights,

@@ -492,3 +492,62 @@ def test_secret_entropy_gate(spark, sf_smoke):
     assert (
         out.chars_redacted == out.n_hex_secrets * 24 + out.n_akia_keys * 15
     ).all()
+
+
+def test_unimax_waterfill_properties():
+    """The closed-form water-fill (one window pass) must agree with the
+    sequential greedy reference on random capacity profiles: identical
+    per-language allocations and saturation flags, allocations summing
+    exactly to the budget, nothing over its cap."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        UNIMAX_BUDGET_PCT,
+        UNIMAX_EPOCHS,
+        _unimax_sql,
+    )
+
+    def greedy(masses: list[int]):
+        caps = sorted(
+            (m * UNIMAX_EPOCHS, f"L{i:02d}") for i, m in enumerate(masses)
+        )
+        budget = sum(masses) * UNIMAX_BUDGET_PCT // 100
+        alloc: dict[str, int] = {}
+        sat: dict[str, bool] = {}
+        rem, free, i = budget, len(caps), 0
+        while i < len(caps) and caps[i][0] * free <= rem:
+            cap, lang = caps[i]
+            alloc[lang], sat[lang] = cap, True
+            rem -= cap
+            free -= 1
+            i += 1
+        base, extra = (rem // free, rem % free) if free else (0, 0)
+        for j, (cap, lang) in enumerate(caps[i:]):
+            alloc[lang] = base + (1 if j < extra else 0)
+            sat[lang] = False
+        return alloc, sat, budget
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.integers(1, 10_000), min_size=1, max_size=12))
+    def run(masses):
+        docs = pd.DataFrame(
+            {
+                "lang": [f"L{i:02d}" for i in range(len(masses))],
+                "n_chars": masses,
+            }
+        )
+        con = duckdb.connect()
+        con.register("documents", docs)
+        got = con.execute(_unimax_sql()).df().set_index("lang")
+        alloc, sat, budget = greedy(masses)
+        assert got.alloc_chars.sum() == budget
+        for lang in alloc:
+            row = got.loc[lang]
+            assert row.alloc_chars == alloc[lang], (masses, lang)
+            assert bool(row.saturated) == sat[lang], (masses, lang)
+            assert row.alloc_chars <= row.cap
+
+    run()
