@@ -551,3 +551,65 @@ def test_unimax_waterfill_properties():
             assert row.alloc_chars <= row.cap
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# Deep clone: the parity row pins the partitioned+DV+source-destroyed
+# lifecycle; these pin the two remaining dialects — materializing a
+# shallow clone's absolute refs, and carrying wire-format DV .bin files.
+
+
+def test_deep_clone_materializes_shallow_clone(spark):
+    """Deep-cloning a SHALLOW clone must materialize the absolute
+    references: destroy both the original source and the shallow clone,
+    and the deep clone still reads with only relative add paths."""
+    import shutil
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        _is_absolute_ref,
+        _snapshot_state,
+        delta_clone,
+        delta_deep_clone,
+        delta_read,
+        delta_write,
+    )
+
+    src = tempfile.mkdtemp(prefix="ls_dcs_src_")
+    delta_write(
+        spark.range(0, 30).select(F.col("id").alias("k")), src
+    )
+    shallow = tempfile.mkdtemp(prefix="ls_dcs_sh_")
+    shutil.rmtree(shallow)
+    delta_clone(spark, src, shallow)
+    deep = tempfile.mkdtemp(prefix="ls_dcs_dp_")
+    shutil.rmtree(deep)
+    delta_deep_clone(spark, shallow, deep)
+    _, _, live, _ = _snapshot_state(spark, deep)
+    assert live and not any(_is_absolute_ref(f) for f in live)
+    shutil.rmtree(src)
+    shutil.rmtree(shallow)
+    assert delta_read(spark, deep).count() == 30
+
+
+def test_deep_clone_wire_format_dv(spark):
+    """A table whose deletes live in wire-format .bin deletion vectors
+    deep-clones with the .bin files copied alongside: source destroyed,
+    clone still excludes the deleted rows."""
+    import shutil
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_deep_clone,
+        delta_delete_dv,
+        delta_read,
+        delta_write,
+    )
+
+    src = tempfile.mkdtemp(prefix="ls_dcw_src_")
+    delta_write(spark.range(0, 40).select(F.col("id").alias("k")), src)
+    delta_delete_dv(spark, src, "k % 4 = 0", wire_format="standard")
+    dst = tempfile.mkdtemp(prefix="ls_dcw_dst_")
+    shutil.rmtree(dst)
+    delta_deep_clone(spark, src, dst)
+    shutil.rmtree(src)
+    got = sorted(r.k for r in delta_read(spark, dst).collect())
+    assert got == [k for k in range(40) if k % 4 != 0]
