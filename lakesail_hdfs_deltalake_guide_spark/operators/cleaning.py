@@ -1518,7 +1518,7 @@ QUERIES: list[QueryDef] = [
                CAST(MAX(max_ent) AS BIGINT) AS max_entropy_mb
         FROM scored GROUP BY source ORDER BY source
         """,
-        tags=("extension", "cleaning", "pipeline", "governance"),
+        tags=("extension", "cleaning", "pipeline", "governance", "bench"),
         description="High-entropy secret scan: 32-char hex candidates "
         "gated by exact integer-millibit Shannon entropy (low-entropy "
         "decoys counted but never redacted) plus AKIA-style key IDs, "
