@@ -3061,6 +3061,36 @@ def delta_live_files(
     return [f for f, _ in delta_live_adds(spark, path, version)]
 
 
+def delta_count_from_stats(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """Metadata-only ``COUNT(*)`` — delta-spark's
+    OptimizeMetadataOnlyQuery: the answer is the sum of live add
+    actions' ``stats.numRecords`` minus live deletion-vector
+    cardinalities. O(log) driver work, ZERO data files opened — at
+    100 TB this turns the most common dashboard query from a full scan
+    into a snapshot fold the reader already performed. Raises if any
+    live file lacks numRecords (caller falls back to a scan; this
+    engine's write path always stamps it)."""
+    _, meta, live, _ = _snapshot_state(spark, path, version)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    total = 0
+    for f, a in live.items():
+        st = a.get("stats")
+        n = json.loads(st).get("numRecords") if st else None
+        if n is None:
+            raise ValueError(
+                f"add action for {f} carries no numRecords stats; "
+                "metadata-only count unavailable — scan instead"
+            )
+        total += int(n)
+        dv = a.get("deletionVector")
+        if dv:
+            total -= int(dv["cardinality"])
+    return total
+
+
 def _version_at_timestamp(spark: SparkSession, path: str, ts: int) -> int:
     """TIMESTAMP AS OF resolution: the newest version whose commit
     timestamp is ≤ ``ts`` (in-commit timestamp when stamped, the commit
@@ -5283,9 +5313,25 @@ def delta_merge(
     insert_unmatched: bool = True,
     txn: tuple[str, int] | None = None,
     schema_evolution: bool = False,
+    matched_delete: str | None = None,
+    matched_condition: str | None = None,
 ) -> int:
     """``MERGE INTO target USING source ON keys`` upsert
     (whenMatchedUpdate + whenNotMatchedInsert), copy-on-write.
+
+    Full matched-clause surface (delta-spark's clause chain, evaluated
+    in the canonical retire-then-refresh order):
+
+    - ``matched_delete`` — ``whenMatchedDelete(condition=...)``,
+      evaluated FIRST on the matched row's PRE-update values: matching
+      rows leave the table (and emit CDF ``delete`` images). Target
+      columns are addressed by name; the source row's values are
+      available as ``__src_<col>``.
+    - ``matched_condition`` — ``whenMatchedUpdate(condition=...)``:
+      matched rows not taken by the delete clause update only when the
+      condition holds (same name addressing); others pass through
+      unchanged and emit no change images. ``None`` keeps the
+      unconditional-update behavior.
 
     ``schema_evolution=True`` is delta-spark's ``withSchemaEvolution()``:
     source columns the target lacks evolve the table schema in the SAME
@@ -5412,10 +5458,32 @@ def delta_merge(
                 else F.lit(None).cast(schema[c].dataType)
             )
 
-        merged = sub.join(src_upd, on=on, how="left").select(
+        del_pred = (
+            _coerce_predicate(matched_delete)
+            if matched_delete is not None
+            else F.lit(False)
+        )
+        upd_pred = (
+            _coerce_predicate(matched_condition)
+            if matched_condition is not None
+            else F.lit(True)
+        )
+        flagged = (
+            sub.join(src_upd, on=on, how="left")
+            .withColumn(
+                "__matched",
+                F.coalesce(F.col("__src_matched"), F.lit(False)),
+            )
+            .withColumn("__del", F.col("__matched") & del_pred)
+            .withColumn(
+                "__upd", F.col("__matched") & ~del_pred & upd_pred
+            )
+            .localCheckpoint(eager=False)  # survivors + 3 CDC consumers
+        )
+        merged_all = flagged.select(
             *[
                 F.when(
-                    F.coalesce(F.col("__src_matched"), F.lit(False)),
+                    F.col("__upd"),
                     F.col(f"__src_{c}").cast(schema[c].dataType),
                 )
                 .otherwise(_old(c))
@@ -5426,7 +5494,10 @@ def delta_merge(
             ],
             # updated rows keep their stable row id through the rewrite
             *([F.col(_RT_COL)] if rt else []),
+            "__del",
+            "__upd",
         )
+        merged = merged_all.where(~F.col("__del")).drop("__del", "__upd")
         # generated columns track their dependencies' merged values
         merged = _recompute_generated(merged, meta)
         pieces.append(merged)
@@ -5473,26 +5544,28 @@ def delta_merge(
     if _cdf_enabled(meta):
         changes: list[DataFrame] = []
         if affected:
-            matched_keys = src.select(*on).distinct()
-            pre = sub.drop(_RT_COL).join(matched_keys, on=on, how="left_semi")
-            if evo_action is not None:
-                # conform the pre-image to the evolved schema (new
-                # columns null) so the change feed unions cleanly
-                pre = pre.select(
-                    *[
-                        F.col(c)
-                        if c in pre.columns
-                        else F.lit(None).cast(schema[c].dataType).alias(c)
-                        for c in tcols
-                    ]
-                )
-            changes.append(
-                pre.withColumn("_change_type", F.lit("update_preimage"))
+            # pre-images from the flagged frame (pre-update values,
+            # conformed to the evolved schema when needed)
+            pre_all = flagged.select(
+                *[_old(c).alias(c) for c in tcols], "__del", "__upd"
             )
             changes.append(
-                merged.drop(_RT_COL)
-                .join(matched_keys, on=on, how="left_semi")
-                .withColumn("_change_type", F.lit("update_postimage"))
+                pre_all.where("__del")
+                .drop("__del", "__upd")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            changes.append(
+                pre_all.where("__upd")
+                .drop("__del", "__upd")
+                .withColumn("_change_type", F.lit("update_preimage"))
+            )
+            changes.append(
+                _recompute_generated(
+                    merged_all.where("__upd").drop(
+                        "__del", "__upd", _RT_COL
+                    ),
+                    meta,
+                ).withColumn("_change_type", F.lit("update_postimage"))
             )
         if insert_unmatched:
             changes.append(
@@ -7449,6 +7522,113 @@ def delta_native_convert_parquet(
     )
 
 
+def delta_native_merge_clauses(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-clause MERGE (delta-spark's whenMatchedDelete +
+    conditional whenMatchedUpdate + whenNotMatchedInsert) on a
+    CDF-enabled table: matched negative balances are RETIRED
+    (delete clause, evaluated first on pre-update values), matched rows
+    update only when the source value is strictly larger (the
+    stale-guard condition ``__src_cents > cents`` — zero-balance rows
+    pass through untouched and emit NO change images), unmatched source
+    rows insert. Output pins the final state AND the change feed's
+    per-kind counts for the merge commit — a clause leak (deleted row
+    surviving, unconditional update firing, phantom images) breaks a
+    value."""
+    import tempfile
+
+    from ..tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_mcl_")
+    delta_write(
+        c.where("c_custkey % 2 = 0").repartition(4),
+        path,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    source = c.where("c_custkey % 3 = 0").select(
+        "c_custkey", (F.col("cents") * 2).alias("cents")
+    )
+    v = delta_merge(
+        spark,
+        path,
+        source,
+        on=["c_custkey"],
+        matched_delete="cents < 0",
+        matched_condition="__src_cents > cents",
+    )
+    feed = delta_read_cdf(spark, path, v, v)
+    kinds = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if kinds.get("update_preimage", 0) != kinds.get(
+        "update_postimage", 0
+    ):
+        raise AssertionError(f"unpaired update images: {kinds}")
+    return delta_read(spark, path).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.lit(kinds.get("delete", 0)).cast("long").alias("n_cdf_deletes"),
+        F.lit(kinds.get("update_preimage", 0))
+        .cast("long")
+        .alias("n_cdf_updates"),
+        F.lit(kinds.get("insert", 0)).cast("long").alias("n_cdf_inserts"),
+    )
+
+
+def delta_native_metadata_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-only COUNT(*) (delta-spark OptimizeMetadataOnlyQuery):
+    a table built through append + copy-on-write DELETE + DV DELETE
+    answers COUNT from the log alone — add stats' numRecords minus DV
+    cardinalities — at the LATEST version and a time-traveled one.
+    The in-flight assertion compares it to the real scan count; the
+    output pins both plus the DV-deleted mass, so a stats-stamping or
+    cardinality bug anywhere in the write paths shows up as a value
+    mismatch."""
+    import tempfile
+
+    from ..tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber"
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_mc_")
+    delta_write(li.where("k < 4000").repartition(4), path)  # v0
+    delta_write(
+        li.where("k >= 4000 AND k < 5000"), path, mode="append"
+    )  # v1
+    delta_delete(spark, path, "k % 7 = 0")  # v2: copy-on-write
+    delta_delete_dv(spark, path, "k % 10 = 0")  # v3: merge-on-read
+    n_v1 = delta_count_from_stats(spark, path, version=1)
+    n_final = delta_count_from_stats(spark, path)
+    n_scan = delta_read(spark, path).count()
+    if n_final != n_scan:
+        raise AssertionError(
+            f"metadata count {n_final} != scan count {n_scan}"
+        )
+    _, _, live, _ = _snapshot_state(spark, path)
+    dv_deleted = sum(
+        int(a["deletionVector"]["cardinality"])
+        for a in live.values()
+        if a.get("deletionVector")
+    )
+    return spark.range(1).select(
+        F.lit(n_v1).cast("long").alias("n_rows_v1"),
+        F.lit(n_final).cast("long").alias("n_rows_final"),
+        F.lit(int(n_scan)).cast("long").alias("n_scan_final"),
+        F.lit(dv_deleted).cast("long").alias("dv_deleted_rows"),
+    )
+
+
 def delta_native_replace_where(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8452,6 +8632,64 @@ QUERIES: list[QueryDef] = [
         "(delta-spark wire format) decoded and applied as the standard "
         "broadcast anti-join; survivors pinned by row-position "
         "arithmetic.",
+    ),
+    QueryDef(
+        "delta_native_merge_clauses",
+        delta_native_merge_clauses,
+        """
+        WITH base AS (
+          SELECT c_custkey AS k,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer),
+        tgt AS (SELECT * FROM base WHERE k % 2 = 0),
+        final AS (
+          SELECT k, CASE WHEN k % 6 = 0 AND cents > 0
+                         THEN 2 * cents ELSE cents END AS cents
+          FROM tgt WHERE NOT (k % 6 = 0 AND cents < 0)
+          UNION ALL
+          SELECT k, 2 * cents FROM base
+          WHERE k % 3 = 0 AND k % 2 <> 0)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST((SELECT COUNT(*) FROM tgt
+                     WHERE k % 6 = 0 AND cents < 0) AS BIGINT)
+                 AS n_cdf_deletes,
+               CAST((SELECT COUNT(*) FROM tgt
+                     WHERE k % 6 = 0 AND cents > 0) AS BIGINT)
+                 AS n_cdf_updates,
+               CAST((SELECT COUNT(*) FROM base
+                     WHERE k % 3 = 0 AND k % 2 <> 0) AS BIGINT)
+                 AS n_cdf_inserts
+        FROM final
+        """,
+        tags=("parity", "delta", "io", "dml"),
+        description="Full-clause MERGE: whenMatchedDelete (pre-update "
+        "predicate, evaluated first) + conditional whenMatchedUpdate "
+        "(stale-guard on __src_ values) + insert, with per-kind CDF "
+        "image counts pinned for the commit.",
+    ),
+    QueryDef(
+        "delta_native_metadata_count",
+        delta_native_metadata_count,
+        """
+        WITH base AS (
+          SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey < 5000)
+        SELECT CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows_v1,
+               CAST((SELECT COUNT(*) FROM base
+                     WHERE k % 7 <> 0 AND k % 10 <> 0) AS BIGINT)
+                 AS n_rows_final,
+               CAST((SELECT COUNT(*) FROM base
+                     WHERE k % 7 <> 0 AND k % 10 <> 0) AS BIGINT)
+                 AS n_scan_final,
+               CAST((SELECT COUNT(*) FROM base
+                     WHERE k % 7 <> 0 AND k % 10 = 0) AS BIGINT)
+                 AS dv_deleted_rows
+        """,
+        tags=("parity", "delta", "io"),
+        description="Metadata-only COUNT(*): answered from add stats' "
+        "numRecords minus DV cardinalities at the latest and a "
+        "time-traveled version, zero data files opened; asserted "
+        "in-flight against the real scan count.",
     ),
     QueryDef(
         "delta_native_replace_where",

@@ -613,3 +613,93 @@ def test_deep_clone_wire_format_dv(spark):
     shutil.rmtree(src)
     got = sorted(r.k for r in delta_read(spark, dst).collect())
     assert got == [k for k in range(40) if k % 4 != 0]
+
+
+def test_merge_clauses_row_tracking_and_images(spark):
+    """Clause-aware MERGE on a row-tracked CDF table: delete-clause rows
+    vanish, stale-guard-skipped rows keep their _row_id AND emit no
+    change images, updated rows keep their _row_id through the
+    rewrite."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_merge,
+        delta_read,
+        delta_read_cdf,
+        delta_write,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_mcl_rt_")
+    delta_write(
+        spark.sql(
+            "SELECT * FROM VALUES (1, 10), (2, -5), (3, 0), (4, 7)"
+            " AS t(k, v)"
+        ),
+        p,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableRowTracking": "true",
+        },
+    )
+    ids_before = {
+        r.k: r._row_id
+        for r in delta_read(spark, p, row_ids=True).collect()
+    }
+    src = spark.sql(
+        "SELECT * FROM VALUES (1, 99), (2, 99), (3, -1), (5, 50)"
+        " AS t(k, v)"
+    )
+    v = delta_merge(
+        spark,
+        p,
+        src,
+        on=["k"],
+        matched_delete="v < 0",
+        matched_condition="__src_v > v",
+    )
+    back = {r.k: r.v for r in delta_read(spark, p).collect()}
+    # k=1 updated (99>10), k=2 deleted (v=-5<0), k=3 skipped (-1>0
+    # false), k=4 untouched (unmatched), k=5 inserted
+    assert back == {1: 99, 3: 0, 4: 7, 5: 50}
+    ids_after = {
+        r.k: r._row_id
+        for r in delta_read(spark, p, row_ids=True).collect()
+    }
+    assert ids_after[1] == ids_before[1]  # updated row: stable id
+    assert ids_after[3] == ids_before[3]  # skipped row: stable id
+    assert ids_after[4] == ids_before[4]
+    feed = delta_read_cdf(spark, p, v, v)
+    kinds = {
+        (r.k, r._change_type) for r in feed.select("k", "_change_type").collect()
+    }
+    assert (2, "delete") in kinds
+    assert (1, "update_preimage") in kinds and (1, "update_postimage") in kinds
+    assert (5, "insert") in kinds
+    assert not any(k == 3 for k, _ in kinds), "skipped row leaked images"
+
+
+def test_metadata_count_refuses_without_stats(spark):
+    """A live add without numRecords stats must make the metadata-only
+    count refuse loudly (the caller's cue to scan), never guess."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        _list_versions,
+        _snapshot_state,
+        _write_commit,
+        delta_count_from_stats,
+        delta_write,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_mc_nostats_")
+    delta_write(spark.range(0, 10).select(F.col("id").alias("k")), p)
+    assert delta_count_from_stats(spark, p) == 10
+    # strip stats from one add via a re-add commit (foreign writers may
+    # omit stats entirely)
+    _, _, live, _ = _snapshot_state(spark, p)
+    f, a = next(iter(live.items()))
+    bare = {k: v for k, v in a.items() if k != "stats"}
+    v = _list_versions(spark, p)[-1] + 1
+    _write_commit(spark, p, v, [{"add": {**bare, "dataChange": False}}])
+    with _pytest.raises(ValueError, match="numRecords"):
+        delta_count_from_stats(spark, p)
