@@ -649,7 +649,149 @@ def profile_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_expectations_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declarative data-contract audit (the dbt-tests / Great
+    Expectations pattern a warehouse runs on every load): five
+    expectation kinds over ``orders`` — NOT NULL and UNIQUE on the key,
+    accepted values on the status domain, a positive-range rule on the
+    price, and referential integrity of ``o_custkey`` into ``customer``
+    — each reported as (expectation, rows checked, violations, passed).
+
+    The fixture is clean, so a deterministic planted batch (one NULL
+    key, one duplicate of key 1, one status 'X', one non-positive
+    price, one orphan custkey) proves every detector FIRES — a contract
+    suite that can't fail is not a contract suite.
+
+    Shape at 100 TB: four of the five are map-side counts folded in ONE
+    scan-side aggregate pass; UNIQUE adds a key-grouped count and the
+    RI check a broadcast anti-join against the dimension — no
+    fact-side shuffle beyond the key group."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    planted = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (CAST(NULL AS BIGINT), CAST(1 AS BIGINT), 'O', CAST(10.0 AS DOUBLE)),
+          (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'F', CAST(10.0 AS DOUBLE)),
+          (CAST(-101 AS BIGINT), CAST(1 AS BIGINT), 'X', CAST(10.0 AS DOUBLE)),
+          (CAST(-102 AS BIGINT), CAST(1 AS BIGINT), 'O', CAST(-5.0 AS DOUBLE)),
+          (CAST(-103 AS BIGINT), CAST(-42 AS BIGINT), 'O', CAST(10.0 AS DOUBLE))
+        AS t(o_orderkey, o_custkey, o_orderstatus, o_totalprice)
+        """
+    )
+    rows = o.unionByName(planted)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    scalar = rows.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("o_orderkey").isNull().cast("bigint")).alias(
+            "v_null"
+        ),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("bigint")
+        ).alias("v_status"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias(
+            "v_range"
+        ),
+    )
+    dup = (
+        rows.where(F.col("o_orderkey").isNotNull())
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("cnt") - 1).alias("v_dup"),
+            F.sum("cnt").alias("n_nonnull"),
+        )
+    )
+    orphans = (
+        rows.where(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(cust),
+            rows.o_custkey == cust.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("v_ri"))
+    )
+    j = scalar.crossJoin(dup).crossJoin(orphans)
+
+    def row(name: str, checked, viol) -> DataFrame:
+        return j.select(
+            F.lit(name).alias("expectation"),
+            checked.cast("bigint").alias("n_checked"),
+            viol.cast("bigint").alias("n_violations"),
+            (viol == 0).alias("passed"),
+        )
+
+    out = (
+        row("accepted_values_orderstatus", F.col("n_total"), F.col("v_status"))
+        .unionByName(row("not_null_orderkey", F.col("n_total"), F.col("v_null")))
+        .unionByName(row("range_totalprice_positive", F.col("n_total"), F.col("v_range")))
+        .unionByName(row("ri_custkey_in_customer", F.col("n_total"), F.col("v_ri")))
+        .unionByName(row("unique_orderkey", F.col("n_nonnull"), F.col("v_dup")))
+    )
+    return out.orderBy("expectation")
+
+
+_EXPECTATIONS_SQL = """
+WITH rows_all AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(NULL AS BIGINT), CAST(1 AS BIGINT), 'O', CAST(10.0 AS DOUBLE)),
+    (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'F', CAST(10.0 AS DOUBLE)),
+    (CAST(-101 AS BIGINT), CAST(1 AS BIGINT), 'X', CAST(10.0 AS DOUBLE)),
+    (CAST(-102 AS BIGINT), CAST(1 AS BIGINT), 'O', CAST(-5.0 AS DOUBLE)),
+    (CAST(-103 AS BIGINT), CAST(-42 AS BIGINT), 'O', CAST(10.0 AS DOUBLE)))
+    AS t(o_orderkey, o_custkey, o_orderstatus, o_totalprice)),
+scalar AS (
+  SELECT COUNT(*) AS n_total,
+         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+         SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                  THEN 1 ELSE 0 END) AS v_status,
+         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_range
+  FROM rows_all),
+dup AS (
+  SELECT COUNT(*) AS n_keys, SUM(cnt - 1) AS v_dup, SUM(cnt) AS n_nonnull
+  FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM rows_all
+        WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)),
+orphans AS (
+  SELECT COUNT(*) AS v_ri FROM rows_all r
+  WHERE r.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = r.o_custkey)),
+expectations AS (
+  SELECT 'accepted_values_orderstatus' AS expectation,
+         n_total AS n_checked, v_status AS n_violations FROM scalar
+  UNION ALL
+  SELECT 'not_null_orderkey', n_total, v_null FROM scalar
+  UNION ALL
+  SELECT 'range_totalprice_positive', n_total, v_range FROM scalar
+  UNION ALL
+  SELECT 'ri_custkey_in_customer', scalar.n_total, orphans.v_ri
+  FROM scalar, orphans
+  UNION ALL
+  SELECT 'unique_orderkey', n_nonnull, v_dup FROM dup)
+SELECT expectation, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM expectations ORDER BY expectation
+"""
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "profile_expectations_audit",
+        profile_expectations_audit,
+        _EXPECTATIONS_SQL,
+        tags=("extension", "profiling", "governance"),
+        description="Declarative data-contract audit (dbt-tests "
+        "pattern): NOT NULL / UNIQUE / accepted-values / range / "
+        "referential-integrity expectations over orders with planted "
+        "violations proving every detector fires.",
+    ),
     QueryDef(
         "profile_lexical_richness",
         profile_lexical_richness,

@@ -2672,7 +2672,88 @@ def _wp_oracle_sql() -> str:
 from .similarity import NUM_QUERIES as _RRF_Q  # noqa: E402
 from .similarity import _SQL_SIM as _SQL_COS  # noqa: E402
 
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease as an exact integer quality signal — the
+    classic readability gate (educational-corpus filters bucket on it):
+    ``206.835 - 1.015*(words/sentences) - 84.6*(syllables/word)`` scaled
+    to millipoints with BIGINT floor division so both engines truncate
+    identically. Words are whitespace tokens (house convention),
+    sentences are ``[.!?]`` runs floored at 1 (the fixture corpus is
+    unpunctuated — every doc is one long sentence, which Flesch duly
+    punishes), syllables are vowel-group runs (the standard heuristic;
+    vowelless CJK tokens contribute zero and surface as a high-ease
+    outlier band per source). Map-only + one |source|-row rollup."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    scored = d.select(
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("words"),
+        F.greatest(
+            F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("sentences"),
+        F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+"))
+        .cast("bigint")
+        .alias("syllables"),
+    ).select(
+        "source",
+        "words",
+        F.expr(
+            "CAST(206835 - (1015000 * words) div (1000 * sentences)"
+            " - (84600 * syllables) div words AS BIGINT)"
+        ).alias("flesch_milli"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").alias("n_words"),
+            F.sum("flesch_milli").alias("sum_flesch_milli"),
+            F.min("flesch_milli").alias("min_flesch_milli"),
+            F.max("flesch_milli").alias("max_flesch_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+_FLESCH_SQL = r"""
+WITH scored AS (
+  SELECT source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS BIGINT) AS sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           AS BIGINT) AS syllables
+  FROM documents),
+milli AS (
+  SELECT source, words,
+         CAST(206835 - (1015000 * words) // (1000 * sentences)
+              - (84600 * syllables) // words AS BIGINT) AS flesch_milli
+  FROM scored)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS n_words,
+       CAST(SUM(flesch_milli) AS BIGINT) AS sum_flesch_milli,
+       CAST(MIN(flesch_milli) AS BIGINT) AS min_flesch_milli,
+       CAST(MAX(flesch_milli) AS BIGINT) AS max_flesch_milli
+FROM milli GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "text_readability_flesch",
+        text_readability_flesch,
+        _FLESCH_SQL,
+        tags=("extension", "text", "pipeline"),
+        description="Flesch reading-ease in exact integer millipoints "
+        "(whitespace words, punctuation-run sentences floored at 1, "
+        "vowel-group syllables), per-source sum/min/max (sum, not mean: "
+        "negative scores would hit the div-vs-floor-division divergence) "
+        "— the classic "
+        "readability quality gate.",
+    ),
     QueryDef(
         "text_kneser_ney_bigram",
         text_kneser_ney_bigram,

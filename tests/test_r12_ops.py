@@ -703,3 +703,53 @@ def test_metadata_count_refuses_without_stats(spark):
     _write_commit(spark, p, v, [{"add": {**bare, "dataChange": False}}])
     with _pytest.raises(ValueError, match="numRecords"):
         delta_count_from_stats(spark, p)
+
+
+def test_expectations_audit_planted_violations(spark, sf_smoke):
+    """Each of the five expectations must fail on exactly its ONE
+    planted violation (the clean fixture contributes zero)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.profiling import (
+        profile_expectations_audit,
+    )
+
+    out = profile_expectations_audit(spark, sf_smoke).toPandas()
+    assert len(out) == 5
+    assert (out.n_violations == 1).all() and (~out.passed).all()
+    n_orders = spark.read.parquet(f"{sf_smoke}/orders.parquet").count()
+    total = out.set_index("expectation").n_checked
+    assert total["not_null_orderkey"] == n_orders + 5
+    assert total["unique_orderkey"] == n_orders + 4  # null key excluded
+
+
+def test_flesch_punctuated_reference(spark):
+    """On hand-built punctuated docs the integer Flesch must equal the
+    sequential-Python reference (same floor-division order)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.text import (
+        text_readability_flesch,
+    )
+    import re
+
+    docs = [
+        (0, "s0", "the cat sat on the mat. it was flat!"),
+        (1, "s0", "reading ease should reward short words. yes?"),
+        (2, "s1", "zh only chars"),
+    ]
+
+    def ref(text):
+        words = len(text.split(" "))
+        sentences = max(len(re.findall(r"[.!?]+", text)), 1)
+        syll = len(re.findall(r"[aeiouy]+", text.lower()))
+        return 206835 - (1015000 * words) // (1000 * sentences) - (
+            84600 * syll
+        ) // words
+
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="ls_flesch_")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, s, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = text_readability_flesch(spark, d).toPandas().set_index("source")
+    assert out.loc["s0"].sum_flesch_milli == ref(docs[0][2]) + ref(docs[1][2])
+    assert out.loc["s1"].min_flesch_milli == ref(docs[2][2])
