@@ -2462,6 +2462,7 @@ def _plan_commit(
     generated_columns: dict | None = None,
     identity_columns: dict | None = None,
     column_defaults: dict | None = None,
+    invariants: dict | None = None,
 ) -> tuple[int, list[dict], DataFrame, dict]:
     """One optimistic-transaction attempt: resolve the target version
     against the CURRENT log state and build the commit's non-add actions
@@ -2503,6 +2504,14 @@ def _plan_commit(
             },
             **{n: {_DEFAULT_KEY: e} for n, e in (column_defaults or {}).items()},
         }
+        for n, e in (invariants or {}).items():
+            if n not in [f["name"] for f in schema_json["fields"]]:
+                raise ValueError(
+                    f"invariant column {n!r} is not a batch column"
+                )
+            field_md.setdefault(n, {})["delta.invariants"] = json.dumps(
+                {"expression": {"expression": e}}
+            )
         if field_md:
             schema_json["fields"] = [
                 {
@@ -2598,8 +2607,9 @@ def _plan_commit(
         actions.append({"metaData": new_meta})
         df = _apply_generated(df, new_meta)
         df = _apply_defaults(df, new_meta)
-        # constraints supplied at creation bind the very first batch
-        _enforce_constraints(df, {"configuration": conf})
+        # constraints/invariants supplied at creation bind the very
+        # first batch (new_meta carries both configuration and schema)
+        _enforce_constraints(df, new_meta)
         return version, actions, df, new_meta
     proto, meta, live, _ = _snapshot_state(spark, path)
     # writer half of protocol gating: appending to (or overwriting) a
@@ -2892,6 +2902,7 @@ def delta_write(
     generated_columns: dict | None = None,
     identity_columns: dict | None = None,
     column_defaults: dict | None = None,
+    invariants: dict | None = None,
 ) -> int:
     """Commit df to a protocol-conformant Delta table; returns the
     committed version. ``configuration`` seeds metaData.configuration on
@@ -2939,6 +2950,7 @@ def delta_write(
         generated_columns,
         identity_columns,
         column_defaults,
+        invariants,
     )
     if partition_by is None and eff_meta.get("partitionColumns"):
         # _plan_commit inherited the existing table's layout; staging
@@ -3020,6 +3032,7 @@ def delta_write(
                 generated_columns,
                 identity_columns,
                 column_defaults,
+                invariants,
             )
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         _auto_checkpoint(spark, path, version)
@@ -4747,9 +4760,11 @@ def _table_constraints(meta: dict | None) -> dict[str, str]:
 def _field_invariants(meta: dict | None) -> dict[str, str]:
     """Column invariants (PROTOCOL.md "Column Invariants", the legacy
     writer-v2 contract delta-spark stores as ``delta.invariants`` in
-    field metadata): {column: SQL expression}. Tables THIS engine
-    creates use CHECK constraints instead, but a foreign writer-v2
-    table carrying invariants must have them ENFORCED on our writes —
+    field metadata): {column: SQL expression}. New tables normally
+    prefer CHECK constraints, but ``delta_write(invariants=...)`` can
+    declare the legacy form for delta-spark parity, and a foreign
+    writer-v2 table carrying invariants must have them ENFORCED on our
+    writes —
     ignoring them would corrupt the foreign table's contract (writer
     v2 is accepted by the writer gate precisely because this engine
     honors everything v2 implies)."""
@@ -7583,6 +7598,173 @@ def delta_native_merge_clauses(
     )
 
 
+def delta_fsck(
+    spark: SparkSession, path: str, dry_run: bool = False
+) -> list[str]:
+    """``FSCK REPAIR TABLE`` (delta-spark): retire add actions whose
+    data files have VANISHED from storage (a cloud lifecycle rule, a
+    manual rm, a botched restore) so reads stop failing on the missing
+    bytes. Returns the missing relative/absolute refs; unless
+    ``dry_run``, commits their removes (``dataChange: true`` — rows
+    really disappeared) in one version.
+
+    Listing-driven: ONE recursive listing of the table dir compared to
+    the live set — at 100 TB that is a LIST page stream, not a
+    million per-file existence RPCs. Absolute refs (shallow clones)
+    are the rare exception and get individual exists() probes."""
+    _, meta, live, _ = _snapshot_state(spark, path)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    fs, root, jvm = _hadoop_fs(spark, path)
+    base_uri = str(fs.makeQualified(root).toUri()) + "/"
+    present: set[str] = set()
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        uri = str(it.next().getPath().toUri())
+        if uri.startswith(base_uri):
+            rel = uri[len(base_uri) :]
+            if not rel.startswith("_delta_log/"):
+                present.add(rel)
+    missing = [
+        f
+        for f in sorted(live)
+        if not _is_absolute_ref(f) and f not in present
+    ]
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    for f in sorted(live):
+        if _is_absolute_ref(f):
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            if not p.getFileSystem(conf).exists(p):
+                missing.append(f)
+    if dry_run or not missing:
+        return missing
+    now = int(time.time() * 1000)
+    actions: list[dict] = [_commit_info("FSCK")] + [
+        {
+            "remove": {
+                "path": f,
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+        }
+        for f in missing
+    ]
+    version = _list_versions(spark, path)[-1] + 1
+    _write_commit(spark, path, version, actions)
+    return missing
+
+
+def delta_native_fsck_repair(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FSCK lifecycle: two single-file commits, one data file deleted
+    out from under the log (the storage-lifecycle accident), dry-run
+    names exactly that file, repair retires it in one commit, and the
+    table keeps serving — a post-repair append lands normally. Output:
+    the surviving per-bucket rollup plus the repair counters."""
+    import os
+    import tempfile
+
+    from ..tables import load_table
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_fsck_")
+    delta_write(p.where("p_partkey % 3 = 0").repartition(1), path)
+    before = set(delta_live_files(spark, path))
+    delta_write(
+        p.where("p_partkey % 3 = 1").repartition(1), path, mode="append"
+    )
+    lost = set(delta_live_files(spark, path)) - before
+    if len(lost) != 1:
+        raise AssertionError(f"expected one appended file, got {lost}")
+    os.remove(os.path.join(path, lost.pop()))
+    dry = delta_fsck(spark, path, dry_run=True)
+    if len(dry) != 1:
+        raise AssertionError(f"dry run should name one file: {dry}")
+    repaired = delta_fsck(spark, path)
+    if repaired != dry:
+        raise AssertionError("repair disagreed with its dry run")
+    if delta_fsck(spark, path, dry_run=True):
+        raise AssertionError("second fsck still sees missing files")
+    delta_write(
+        p.where("p_partkey % 3 = 2"), path, mode="append"
+    )
+    return (
+        delta_read(spark, path)
+        .groupBy((F.col("p_partkey") % 2).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .withColumn("n_repaired", F.lit(len(repaired)).cast("long"))
+        .orderBy("bucket")
+    )
+
+
+def delta_native_column_invariants(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column-invariant lifecycle (PROTOCOL.md "Column Invariants", the
+    legacy writer-v2 contract): creation declares ``cents >= 0`` in
+    field metadata (`delta_write(invariants=...)`), after which
+
+      1. an append carrying negative cents must REFUSE atomically;
+      2. an append carrying a NULL cents must ALSO refuse — the
+         defining contrast with CHECK constraints (X186), where NULL
+         passes: a null invariant result is a violation;
+      3. the clean remainder commits.
+
+    Output pins the final state, both refusal counters, and the
+    protocol's writer version (2 — invariants never bump to 3)."""
+    import tempfile
+
+    from ..tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_inv_")
+    delta_write(
+        c.where("c_custkey % 2 = 0 AND cents >= 0").repartition(4),
+        path,
+        invariants={"cents": "cents >= 0"},
+    )
+    refused_value = 0
+    try:
+        delta_write(c.where("c_custkey % 2 = 1"), path, mode="append")
+    except ValueError:
+        refused_value += 1
+    refused_null = 0
+    try:
+        delta_write(
+            spark.sql(
+                "SELECT CAST(-1 AS BIGINT) AS c_custkey,"
+                " CAST(NULL AS BIGINT) AS cents"
+            ),
+            path,
+            mode="append",
+        )
+    except ValueError:
+        refused_null += 1
+    delta_write(
+        c.where("c_custkey % 2 = 1 AND cents >= 0"), path, mode="append"
+    )
+    proto, _, _, _ = _snapshot_state(spark, path, include_adds=False)
+    return delta_read(spark, path).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.lit(refused_value).cast("long").alias("n_refused_value"),
+        F.lit(refused_null).cast("long").alias("n_refused_null"),
+        F.lit(int((proto or {}).get("minWriterVersion", 0)))
+        .cast("long")
+        .alias("min_writer_version"),
+    )
+
+
 def delta_native_metadata_count(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -8632,6 +8814,50 @@ QUERIES: list[QueryDef] = [
         "(delta-spark wire format) decoded and applied as the standard "
         "broadcast anti-join; survivors pinned by row-position "
         "arithmetic.",
+    ),
+    QueryDef(
+        "delta_native_fsck_repair",
+        delta_native_fsck_repair,
+        """
+        WITH base AS (
+          SELECT p_partkey,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+          FROM part),
+        final AS (
+          SELECT * FROM base WHERE p_partkey % 3 = 0
+          UNION ALL
+          SELECT * FROM base WHERE p_partkey % 3 = 2)
+        SELECT p_partkey % 2 AS bucket, COUNT(*) AS n_parts,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(1 AS BIGINT) AS n_repaired
+        FROM final GROUP BY bucket ORDER BY bucket
+        """,
+        tags=("parity", "delta", "io", "ddl"),
+        description="FSCK REPAIR TABLE: a data file deleted out from "
+        "under the log is named by the dry run and retired in one "
+        "remove commit (listing-driven, no per-file RPCs); the table "
+        "keeps serving and appending.",
+    ),
+    QueryDef(
+        "delta_native_column_invariants",
+        delta_native_column_invariants,
+        """
+        WITH base AS (
+          SELECT c_custkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer)
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(1 AS BIGINT) AS n_refused_value,
+               CAST(1 AS BIGINT) AS n_refused_null,
+               CAST(2 AS BIGINT) AS min_writer_version
+        FROM base WHERE cents >= 0
+        """,
+        tags=("parity", "delta", "io", "ddl", "governance"),
+        description="Column invariants (legacy writer v2): declared in "
+        "field metadata at creation, violating AND null-carrying "
+        "appends refuse atomically (NULL violates an invariant, unlike "
+        "CHECK), writer version stays 2.",
     ),
     QueryDef(
         "delta_native_merge_clauses",

@@ -753,3 +753,50 @@ def test_flesch_punctuated_reference(spark):
     out = text_readability_flesch(spark, d).toPandas().set_index("source")
     assert out.loc["s0"].sum_flesch_milli == ref(docs[0][2]) + ref(docs[1][2])
     assert out.loc["s1"].min_flesch_milli == ref(docs[2][2])
+
+
+def test_invariant_declaration_roundtrip(spark):
+    """delta_write(invariants=...) must author byte-parseable
+    delta.invariants field metadata (delta-spark wire shape), refuse
+    unknown columns, and keep enforcing through DML rewrites."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        _snapshot_state,
+        delta_update,
+        delta_write,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_inv_rt_")
+    with _pytest.raises(ValueError, match="not a batch column"):
+        delta_write(
+            spark.range(3).select(F.col("id").alias("k")),
+            tempfile.mkdtemp(prefix="ls_inv_bad_"),
+            invariants={"nope": "nope > 0"},
+        )
+    delta_write(
+        spark.range(1, 6).select(F.col("id").alias("k")),
+        p,
+        invariants={"k": "k > 0"},
+    )
+    _, meta, _, _ = _snapshot_state(spark, p)
+    fld = next(
+        f
+        for f in _json.loads(meta["schemaString"])["fields"]
+        if f["name"] == "k"
+    )
+    assert _json.loads(fld["metadata"]["delta.invariants"]) == {
+        "expression": {"expression": "k > 0"}
+    }
+    # an UPDATE whose assignments would break the invariant must refuse
+    with _pytest.raises(ValueError, match="invariant"):
+        delta_update(spark, p, "k = 3", {"k": F.lit(-7)})
+    # creation batch itself is validated
+    with _pytest.raises(ValueError, match="invariant"):
+        delta_write(
+            spark.range(-2, 2).select(F.col("id").alias("k")),
+            tempfile.mkdtemp(prefix="ls_inv_c_"),
+            invariants={"k": "k > 0"},
+        )
