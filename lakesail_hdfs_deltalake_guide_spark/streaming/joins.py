@@ -495,7 +495,88 @@ def streaming_delta_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_document_curation_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming CURATION gate over a documents stream — the ingest-time
+    version of the batch curation capstone (X182): as documents arrive
+    they pass a quality gate (>= 20 words, type-token ratio >= 30%) and
+    an exact-text dedup with BOUNDED state
+    (``dropDuplicatesWithinWatermark`` on md5(text), event time derived
+    from doc_id) before landing in the sink; the emitted survivors are
+    then rolled up by 100-word length bucket.
+
+    Determinism under streaming dedup: WHICH duplicate survives is
+    arrival-order-dependent, but duplicates share their text, so every
+    downstream value (word counts, buckets) is representative-invariant
+    — the reason the rollup keys on text-derived quantities only and
+    the oracle is plain DISTINCT-text SQL.
+
+    At 100 TB/day this is the shape of a curation FRONT-END: per-batch
+    state is O(keys in the watermark horizon), the quality gate is
+    map-side, and the expensive batch passes (MinHash, decontamination)
+    run downstream on the already-thinned sink."""
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    docs = stream.select(
+        "text",
+        # +1h: doc_id 0 would otherwise sit AT the initial watermark
+        # (epoch 0) and be dropped as late by the dedup state store
+        F.expr("timestamp_micros((doc_id + 3600) * 1000000)").alias("ts"),
+        F.size(F.split("text", " ")).cast("bigint").alias("words"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("bigint")
+        .alias("uniq"),
+    )
+    gated = docs.where("words >= 20 AND uniq * 100 >= 30 * words")
+    deduped = (
+        gated.withColumn("h", F.md5("text"))
+        .withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["h"])
+        .select("words")
+    )
+    survivors = _run_to_table(
+        deduped, "ls_stream_curation", output_mode="append"
+    )
+    return (
+        survivors.groupBy(F.expr("words div 100").alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").alias("n_words"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "streaming_document_curation_gate",
+        streaming_document_curation_gate,
+        """
+        WITH toks AS (
+          SELECT text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+                 CAST(len(list_distinct(string_split(text, ' ')))
+                   AS BIGINT) AS uniq
+          FROM documents),
+        survivors AS (
+          SELECT DISTINCT text, words FROM toks
+          WHERE words >= 20 AND uniq * 100 >= 30 * words)
+        SELECT words // 100 AS len_bucket, COUNT(*) AS n_docs,
+               CAST(SUM(words) AS BIGINT) AS n_words
+        FROM survivors GROUP BY len_bucket ORDER BY len_bucket
+        """,
+        tags=("extension", "streaming", "pipeline"),
+        description="Streaming curation front-end: quality gate + "
+        "bounded-state exact-text dedup (dropDuplicatesWithinWatermark "
+        "on md5(text)) over a documents stream, rolled up by "
+        "representative-invariant length buckets.",
+    ),
     QueryDef(
         "streaming_interval_join_left_outer",
         streaming_interval_join_left_outer,

@@ -800,3 +800,29 @@ def test_invariant_declaration_roundtrip(spark):
             tempfile.mkdtemp(prefix="ls_inv_c_"),
             invariants={"k": "k > 0"},
         )
+
+
+def test_streaming_curation_gate_matches_batch(spark, sf_smoke):
+    """The streaming curation gate must emit exactly the batch
+    DISTINCT-text survivor set — including doc_id 0, whose derived
+    event time sat AT the initial watermark before the +1h offset and
+    was silently dropped as late (the regression this pins)."""
+    from lakesail_hdfs_deltalake_guide_spark.streaming.joins import (
+        streaming_document_curation_gate,
+    )
+
+    out = streaming_document_curation_gate(spark, sf_smoke).toPandas()
+    batch = (
+        spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .selectExpr(
+            "text",
+            "CAST(size(split(text, ' ')) AS BIGINT) AS words",
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " AS uniq",
+        )
+        .where("words >= 20 AND uniq * 100 >= 30 * words")
+        .select("text", "words")
+        .distinct()
+    )
+    assert out.n_docs.sum() == batch.count()
+    assert out.n_words.sum() == batch.groupBy().sum("words").collect()[0][0]
