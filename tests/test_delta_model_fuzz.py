@@ -1,7 +1,8 @@
 """Model-based differential fuzz of the native Delta log.
 
 A seeded random sequence of table operations (append, copy-on-write
-DELETE/UPDATE, merge-on-read DV DELETE, MERGE upsert, OPTIMIZE,
+DELETE/UPDATE, merge-on-read DV DELETE, MERGE upsert, clause MERGE
+(whenMatchedDelete + stale-guard update), REPLACE WHERE, OPTIMIZE,
 REORG PURGE, RESTORE, checkpoint) runs against BOTH the protocol
 implementation and
 a trivial in-memory dict model; after every step the table snapshot
@@ -28,6 +29,7 @@ from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
     delta_optimize_zorder,
     delta_read,
     delta_reorg_purge,
+    delta_replace_where,
     delta_restore,
     delta_update,
     delta_update_dv,
@@ -69,8 +71,8 @@ def test_delta_model_fuzz(spark, seed):
     for step in range(14):
         op = rng.choice(
             ["append", "delete", "delete_dv", "update", "update_dv",
-             "merge", "optimize", "zorder", "restore", "checkpoint",
-             "purge"]
+             "merge", "merge_clauses", "replace_where", "optimize",
+             "zorder", "restore", "checkpoint", "purge"]
         )
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 15))
@@ -107,6 +109,50 @@ def test_delta_model_fuzz(spark, seed):
             delta_merge(spark, path, _df(spark, rows), on=["k"])
             model.update(rows)
             version += 1
+        elif op == "merge_clauses":
+            pool = sorted(model)
+            upd_keys = rng.sample(pool, min(6, len(pool)))
+            rows = [(k, rng.randrange(1000)) for k in upd_keys]
+            rows += fresh_rows(rng.randrange(1, 4))
+            thr = rng.randrange(1000)
+            delta_merge(
+                spark,
+                path,
+                _df(spark, rows),
+                on=["k"],
+                matched_delete=f"v < {thr}",
+                matched_condition="__src_v > v",
+            )
+            for k, nv in rows:
+                if k in model:
+                    if model[k] < thr:
+                        del model[k]
+                    elif nv > model[k]:
+                        model[k] = nv
+                else:
+                    model[k] = nv
+            version += 1
+        elif op == "replace_where":
+            lo = rng.randrange(0, max(next_key, 1))
+            hi = lo + rng.randrange(1, 30)
+            in_range = sorted(k for k in model if lo <= k < hi)
+            repl = [
+                (k, rng.randrange(1000))
+                for k in rng.sample(
+                    in_range, min(len(in_range), rng.randrange(0, 6))
+                )
+            ]
+            batch = (
+                _df(spark, repl)
+                if repl
+                else spark.createDataFrame([], "k long, v long")
+            )
+            version = delta_replace_where(
+                spark, path, f"k >= {lo} AND k < {hi}", batch
+            )
+            for k in in_range:
+                del model[k]
+            model.update(repl)
         elif op == "optimize":
             delta_optimize(spark, path, target_files=2)
             version += 1
