@@ -528,3 +528,37 @@ def test_cross_modal_routing_broadcasts_centroids(spark, sf_smoke):
     # for AQE broadcast at runtime — the static gate is: the centroid
     # assignment must be broadcast, never an exchange of the frame side
     assert "BroadcastNestedLoopJoin" in plan or broadcast_join_count(df) >= 1
+
+
+def test_binary_hamming_broadcasts_queries_only(spark, sf_smoke):
+    """The binary-ANN scan must broadcast the QUERY side (tiny sign
+    words) and never exchange the corpus before the candidate window:
+    one broadcast join, and shuffles bounded by the two row_number
+    windows + final sort — a corpus-side pre-join exchange would read
+    as an extra shuffle."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.similarity import (
+        similarity_binary_hamming_topk,
+    )
+
+    q = similarity_binary_hamming_topk(spark, sf_smoke)
+    # the query block joins with no equi-key (scored against every
+    # corpus row), so it plans as a broadcast NESTED LOOP join —
+    # broadcast_join_count only counts BroadcastHashJoin
+    assert "BroadcastExchange" in explain_str(q)
+    assert shuffle_count(q) <= 3, explain_str(q)[:2000]
+
+
+def test_secret_scan_is_map_plus_single_rollup(spark, sf_smoke):
+    """The secret scan is a pure scan-side pass: exactly one exchange
+    (the |sources|-row rollup), no joins, and only the referenced
+    columns read from parquet."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+        clean_secret_entropy_scan,
+    )
+
+    q = clean_secret_entropy_scan(spark, sf_smoke)
+    # final orderBy adds a range exchange on 20 rows; scan-side work
+    # contributes exactly the one partial+final aggregate exchange
+    assert shuffle_count(q) <= 2, explain_str(q)[:2000]
+    cols = read_schema_columns(q)
+    assert set(cols) <= {"doc_id", "source", "text"}
