@@ -1360,7 +1360,136 @@ def clean_secret_entropy_scan(
     )
 
 
+SPDX_RE = r"\bSPDX-License-Identifier:\s*[A-Za-z0-9.+-]+"
+COPYRIGHT_RE = r"Copyright \(c\) \d{4}"
+ARR_RE = r"[Aa]ll rights reserved"
+PERMISSIVE_RE = r"Licensed under the (Apache|MIT|BSD)"
+
+
+def clean_license_notice_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """License/notice audit — the code/web-corpus release gate next to
+    the secret scan: SPDX identifiers, copyright lines, "all rights
+    reserved" notices and permissive-license phrases counted per
+    source, plus the actionable flag — documents carrying a
+    RESTRICTIVE notice with NO permissive identifier anywhere (the set
+    a compliance review excludes first).
+
+    Planted in-plan (the fixture text carries no notices): an SPDX tag
+    on doc_id % 6 == 0, a copyright line on % 8 == 0, an
+    all-rights-reserved notice on % 14 == 0, a permissive phrase on
+    % 15 == 0 — so flagged docs are exactly the % 14 docs not also
+    % 6 or % 15, and every counter provably fires.
+
+    Map-only regex pass + one |sources|-row rollup."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    plant = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.lit(" SPDX-License-Identifier: MIT"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 8 == 0,
+            F.lit(" Copyright (c) 2021 Example Corp"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 14 == 0, F.lit(" All rights reserved.")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 15 == 0,
+            F.lit(" Licensed under the Apache License 2.0"),
+        ).otherwise(F.lit("")),
+    )
+    per_doc = d.select(
+        "source",
+        (F.regexp_count(plant, F.lit(SPDX_RE)) > 0)
+        .cast("bigint")
+        .alias("has_spdx"),
+        (F.regexp_count(plant, F.lit(COPYRIGHT_RE)) > 0)
+        .cast("bigint")
+        .alias("has_copyright"),
+        (F.regexp_count(plant, F.lit(ARR_RE)) > 0)
+        .cast("bigint")
+        .alias("has_arr"),
+        (F.regexp_count(plant, F.lit(PERMISSIVE_RE)) > 0)
+        .cast("bigint")
+        .alias("has_permissive"),
+    ).withColumn(
+        "flagged",
+        (
+            (F.col("has_arr") == 1)
+            & (F.col("has_spdx") == 0)
+            & (F.col("has_permissive") == 0)
+        ).cast("bigint"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("has_spdx").alias("n_spdx_docs"),
+            F.sum("has_copyright").alias("n_copyright_docs"),
+            F.sum("has_arr").alias("n_rights_reserved_docs"),
+            F.sum("has_permissive").alias("n_permissive_docs"),
+            F.sum("flagged").alias("n_flagged_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+_LICENSE_SQL = f"""
+WITH planted AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 6 = 0
+                 THEN ' SPDX-License-Identifier: MIT' ELSE '' END
+         || CASE WHEN doc_id % 8 = 0
+                 THEN ' Copyright (c) 2021 Example Corp' ELSE '' END
+         || CASE WHEN doc_id % 14 = 0
+                 THEN ' All rights reserved.' ELSE '' END
+         || CASE WHEN doc_id % 15 = 0
+                 THEN ' Licensed under the Apache License 2.0'
+                 ELSE '' END AS t
+  FROM documents),
+per_doc AS (
+  SELECT source,
+         CASE WHEN regexp_matches(t, '{SPDX_RE}') THEN 1 ELSE 0 END
+           AS has_spdx,
+         CASE WHEN regexp_matches(t, '{COPYRIGHT_RE}') THEN 1 ELSE 0 END
+           AS has_copyright,
+         CASE WHEN regexp_matches(t, '{ARR_RE}') THEN 1 ELSE 0 END
+           AS has_arr,
+         CASE WHEN regexp_matches(t, '{PERMISSIVE_RE}') THEN 1 ELSE 0 END
+           AS has_permissive
+  FROM planted),
+flagged AS (
+  SELECT *, CASE WHEN has_arr = 1 AND has_spdx = 0
+                  AND has_permissive = 0 THEN 1 ELSE 0 END AS flagged
+  FROM per_doc)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(has_spdx) AS BIGINT) AS n_spdx_docs,
+       CAST(SUM(has_copyright) AS BIGINT) AS n_copyright_docs,
+       CAST(SUM(has_arr) AS BIGINT) AS n_rights_reserved_docs,
+       CAST(SUM(has_permissive) AS BIGINT) AS n_permissive_docs,
+       CAST(SUM(flagged) AS BIGINT) AS n_flagged_docs
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "clean_license_notice_scan",
+        clean_license_notice_scan,
+        _LICENSE_SQL,
+        tags=("extension", "cleaning", "pipeline", "governance"),
+        description="License/notice audit: SPDX identifiers, copyright "
+        "lines, all-rights-reserved and permissive phrases per source, "
+        "flagging docs with a restrictive notice and no permissive "
+        "identifier — planted fixtures prove every counter fires.",
+    ),
     QueryDef(
         "clean_l_diversity_audit",
         clean_l_diversity_audit,

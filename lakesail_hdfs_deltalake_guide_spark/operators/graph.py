@@ -144,6 +144,139 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ITERS = 3
+LPA_KNN = 3  # top incident weights kept per node before voting
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    UNDIRECTED nation trade graph — community detection as
+    peer-majority voting: each round every node adopts the label
+    carrying the highest incident edge weight among its neighbors
+    (ties → smaller label), starting from self-labels. LPA finds
+    WEIGHT communities where the dedup family's min-label propagation
+    finds mere reachability; the synchronous unrolled form (3 rounds)
+    is deterministic, unlike the textbook's async sweep.
+
+    Plan: the fact tables are touched once (the edge aggregate); each
+    round joins the broadcast |V|-row label vector to the symmetrized
+    |E|-row edge table, sums (node, label) weights, and picks the
+    argmax with one window — bounded supersteps on the
+    localCheckpointed edge frame, the Pregel layout shared with
+    PageRank/k-core. Output pins every nation's community."""
+    nation = load_table(spark, sf_dir, "nation")
+    e = trade_edges(spark, sf_dir)
+    dense = (
+        e.select("src", "dst", "w")
+        .unionByName(
+            e.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .where("src <> dst")
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    # kNN sparsification: the trade graph is near-complete (25x25), and
+    # majority voting on a dense weighted clique collapses to the
+    # heaviest hub's label in one round — keep each node's top-LPA_KNN
+    # incident weights (union of directions) like any similarity-graph
+    # community pipeline does before LPA
+    wk = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    knn = dense.withColumn("rn", F.row_number().over(wk)).where(
+        F.col("rn") <= LPA_KNN
+    )
+    sym = (
+        knn.select("src", "dst", "w")
+        .unionByName(
+            knn.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = nation.select(
+        F.col("n_nationkey").alias("v"),
+        F.col("n_nationkey").cast("bigint").alias("l"),
+    )
+    for _ in range(LPA_ITERS):
+        votes = (
+            sym.join(F.broadcast(labels), sym.dst == labels.v)
+            .groupBy(F.col("src").alias("node"), "l")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        wv = Window.partitionBy("node").orderBy(F.desc("wsum"), F.asc("l"))
+        picked = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .where("rn = 1")
+            .select(F.col("node").alias("v"), F.col("l").alias("new_l"))
+        )
+        labels = (
+            labels.join(F.broadcast(picked), "v", "left")
+            .select("v", F.coalesce("new_l", "l").alias("l"))
+        )
+    return (
+        labels.join(nation, labels.v == nation.n_nationkey)
+        .select("n_name", F.col("l").cast("bigint").alias("community"))
+        .orderBy("n_name")
+    )
+
+
+def _lpa_iter_sql(prev: str, votes: str, pick: str, out: str) -> str:
+    return f"""{votes} AS (
+  SELECT s.src AS node, p.l, CAST(SUM(s.w) AS BIGINT) AS wsum
+  FROM sym s JOIN {prev} p ON p.v = s.dst GROUP BY 1, 2),
+{pick} AS (
+  SELECT node AS v, l FROM (
+    SELECT node, l, ROW_NUMBER() OVER (PARTITION BY node
+      ORDER BY wsum DESC, l) AS rn FROM {votes}) WHERE rn = 1),
+{out} AS (
+  SELECT a.v, COALESCE(p.l, a.l) AS l
+  FROM {prev} a LEFT JOIN {pick} p USING (v))"""
+
+
+_LPA_SQL = (
+    f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+dense AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM edges
+    UNION ALL
+    SELECT dst, src, w FROM edges)
+  WHERE src <> dst GROUP BY src, dst),
+knn AS (
+  SELECT src, dst, w FROM (
+    SELECT src, dst, w, ROW_NUMBER() OVER (PARTITION BY src
+      ORDER BY w DESC, dst) AS rn FROM dense) WHERE rn <= 3),
+sym AS (
+  SELECT src, dst, CAST(MAX(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM knn
+    UNION ALL
+    SELECT dst, src, w FROM knn)
+  GROUP BY src, dst),
+l0 AS (SELECT n_nationkey AS v, CAST(n_nationkey AS BIGINT) AS l
+       FROM nation),
+"""
+    + ",\n".join(
+        _lpa_iter_sql(f"l{i}", f"v{i + 1}", f"p{i + 1}", f"l{i + 1}")
+        for i in range(LPA_ITERS)
+    )
+    + f"""
+SELECT n.n_name, lf.l AS community
+FROM l{LPA_ITERS} lf JOIN nation n ON n.n_nationkey = lf.v
+ORDER BY n.n_name
+"""
+)
+
+
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (d=0.85, 3 power iterations) over nation trade.
 
@@ -924,6 +1057,17 @@ QUERIES: list[QueryDef] = [
         tags=("extension", "graph"),
         description="Triangle census of the co-purchase graph: id-ordered "
         "edge orientation, two-join enumeration, hub-capped baskets.",
+    ),
+    QueryDef(
+        "graph_label_propagation",
+        graph_label_propagation,
+        _LPA_SQL,
+        tags=("extension", "graph", "iterative"),
+        description="Synchronous label-propagation communities (3 "
+        "unrolled rounds, weight-majority vote with smaller-label "
+        "ties) over the kNN-sparsified (top-3 incident weights) "
+        "nation trade graph; every "
+        "nation's community pinned.",
     ),
     QueryDef(
         "graph_pagerank_trade",

@@ -702,7 +702,89 @@ def _markov_oracle_sql() -> str:
         """
 
 
+WEEK_NS = 7 * 86_400 * 1_000_000_000
+
+
+def session_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics triangle: users
+    are cohorted by their FIRST active epoch-week, and each (cohort,
+    weeks-since) cell reports distinct active users and exact ppm
+    retention against the cohort size. weeks_since 0 is the cohort
+    itself (retention exactly 1e6 — a structural self-check the oracle
+    shares).
+
+    Exact integers: epoch-week = ``ts_ns div WEEK_NS`` (nanos stay in
+    BIGINT; dividing through a double would be off by ±1 µs at 1.7e18).
+    Shape at 100 TB: one (user, week) distinct pass, a user-keyed min
+    for the cohort, and the matrix aggregate — every exchange is on the
+    user key except the final |cohorts × weeks|-row rollup."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts_ns")
+    weekly = ev.select(
+        "user_id", F.expr(f"ts_ns div {WEEK_NS}").alias("week")
+    ).distinct()
+    first = weekly.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    matrix = (
+        weekly.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    return (
+        matrix.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "active_users",
+            "cohort_users",
+            F.expr("active_users * 1000000 div cohort_users").alias(
+                "retention_ppm"
+            ),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+_COHORT_SQL = f"""
+WITH weekly AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {WEEK_NS} AS week FROM events),
+first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_users FROM first
+  GROUP BY cohort_week),
+matrix AS (
+  SELECT f.cohort_week, w.week - f.cohort_week AS weeks_since,
+         COUNT(DISTINCT w.user_id) AS active_users
+  FROM weekly w JOIN first f USING (user_id)
+  GROUP BY f.cohort_week, weeks_since)
+SELECT m.cohort_week, m.weeks_since,
+       CAST(m.active_users AS BIGINT) AS active_users,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       CAST(m.active_users * 1000000 // s.cohort_users AS BIGINT)
+         AS retention_ppm
+FROM matrix m JOIN sizes s USING (cohort_week)
+ORDER BY m.cohort_week, m.weeks_since
+"""
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "session_cohort_retention",
+        session_cohort_retention,
+        _COHORT_SQL,
+        tags=("extension", "sessions"),
+        description="Cohort retention matrix: first-active-week cohorts "
+        "x weeks-since cells with distinct active users and exact ppm "
+        "retention (week-0 structurally 1e6), all epoch-week arithmetic "
+        "in BIGINT nanos.",
+    ),
     QueryDef(
         "session_funnel_latency",
         session_funnel_latency,

@@ -1517,7 +1517,149 @@ ORDER BY query_id, rank
 """
 
 
+def similarity_ivf_binary_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF x binary quantization — the composed serving configuration
+    the two tiers advertise: coarse routing through the PERSISTED
+    trained codebook prunes the corpus to each query's NUM_PROBES
+    inverted lists, the IN-CELL scan ranks by XOR+popcount Hamming over
+    the packed sign words (1 bit/dim), and exact micro-cosine reranks
+    the top-BQ_CAND pool to top-5.
+
+    At 10^9 vectors this multiplies the two savings: the scan touches
+    ~probes/K of the corpus AND reads 32x fewer bytes per vector than
+    float32 — floats are loaded only for the POOL-bounded rerank. The
+    shuffle moves (query x probed-list) sign words on the centroid_id
+    equi-join, never a cross product. The DuckDB twin re-trains the
+    codebook (unrolled Lloyd CTEs) and replays the same probed cells
+    bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = _load_codebook(spark, sf_dir)
+    sig = e.select(
+        "vec_id",
+        as_double("embedding").alias("cv"),
+        _sign_word(F.col("embedding"), 0).alias("w0"),
+        _sign_word(F.col("embedding"), 32).alias("w1"),
+    )
+    queries = sig.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cv").alias("qv"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    cand_lists = _assign_centroids(sig, "cv", centroids, top_p=1)
+    probed = _assign_centroids(queries, "qv", centroids, top_p=NUM_PROBES)
+    ham = (
+        probed.join(cand_lists, "centroid_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "qv",
+            "cv",
+            (
+                F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
+                + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("vec_id")
+    )
+    cand = ham.withColumn("crn", F.row_number().over(wc)).where(
+        F.col("crn") <= BQ_CAND
+    )
+    sim = cosine(F.col("qv"), F.col("cv"))
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        "hamming",
+        (F.floor(sim * 1_000_000 + F.lit(0.5)) / 1_000_000).alias(
+            "cosine_sim"
+        ),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+_SQL_IVF_BINARY = f"""
+        WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
+               FROM emb WHERE vec_id < {NUM_CENTROIDS}),
+        {_kmeans_iter_sql('c0', 'a1', 'm1', 'c1').lstrip()},
+        {_kmeans_iter_sql('c1', 'a2', 'm2', 'c2').lstrip()},
+        sig AS (
+          SELECT vec_id, {_sign_word_sql(0)} AS w0,
+                 {_sign_word_sql(32)} AS w1
+          FROM embeddings),
+        cand_lists AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC)
+                     AS rn
+            FROM emb e CROSS JOIN c2 c) WHERE rn = 1),
+        probes AS (
+          SELECT vec_id AS query_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid DESC)
+                     AS rn
+            FROM emb e CROSS JOIN c2 c
+            WHERE e.vec_id < {NUM_QUERIES}) WHERE rn <= {NUM_PROBES}),
+        ham AS (
+          SELECT p.query_id, cl.vec_id,
+                 CAST(bit_count(xor(sc.w0, sq.w0))
+                      + bit_count(xor(sc.w1, sq.w1)) AS BIGINT) AS hamming
+          FROM probes p
+          JOIN cand_lists cl USING (cid)
+          JOIN sig sq ON sq.vec_id = p.query_id
+          JOIN sig sc ON sc.vec_id = cl.vec_id
+          WHERE p.query_id <> cl.vec_id),
+        cand AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY hamming, vec_id) AS crn
+          FROM ham),
+        scored AS (
+          SELECT c.query_id, c.vec_id, c.hamming,
+                 FLOOR(list_dot_product(qe.v, ce.v)
+                   / (sqrt(list_dot_product(qe.v, qe.v))
+                      * sqrt(list_dot_product(ce.v, ce.v)))
+                   * 1000000 + 0.5) / 1000000 AS cosine_sim
+          FROM cand c
+          JOIN emb qe ON qe.vec_id = c.query_id
+          JOIN emb ce ON ce.vec_id = c.vec_id
+          WHERE c.crn <= {BQ_CAND})
+        SELECT query_id, vec_id, hamming, cosine_sim, rank FROM (
+          SELECT query_id, vec_id, hamming, cosine_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cosine_sim DESC, vec_id) AS rank
+          FROM scored)
+        WHERE rank <= {TOP_K} ORDER BY query_id, rank
+        """
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "similarity_ivf_binary_topk",
+        similarity_ivf_binary_topk,
+        _SQL_IVF_BINARY,
+        tags=("extension", "similarity"),
+        description="IVF x binary quantization: trained-codebook coarse "
+        "routing, in-cell XOR+popcount Hamming scan over packed sign "
+        "words, exact micro-cosine rerank of the 40-candidate pool — "
+        "the composed probes/K x 1-bit/dim serving configuration.",
+    ),
     QueryDef(
         "similarity_binary_hamming_topk",
         similarity_binary_hamming_topk,

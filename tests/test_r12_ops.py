@@ -826,3 +826,88 @@ def test_streaming_curation_gate_matches_batch(spark, sf_smoke):
     )
     assert out.n_docs.sum() == batch.count()
     assert out.n_words.sum() == batch.groupBy().sum("words").collect()[0][0]
+
+
+def test_label_propagation_properties(spark, sf_smoke):
+    """LPA must produce a real partition: every nation labeled, labels
+    drawn from nation keys, more than one community on the sparsified
+    graph (the dense clique collapsed to 1 before kNN sparsification —
+    the regression this pins), and the synchronous sweep is
+    deterministic (two runs agree exactly; labels themselves are mere
+    identifiers — the label's origin node can legitimately migrate to
+    another community)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        graph_label_propagation,
+    )
+
+    out = graph_label_propagation(spark, sf_smoke).toPandas()
+    nations = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{sf_smoke}/nation.parquet").collect()
+    }
+    assert len(out) == len(nations)
+    assert out.community.nunique() >= 2
+    assert set(out.community) <= set(nations.keys())
+    again = graph_label_propagation(spark, sf_smoke).toPandas()
+    assert out.equals(again), "synchronous LPA must be deterministic"
+
+
+def test_cohort_retention_structure(spark, sf_smoke):
+    """Week-0 retention is structurally 1e6 for every cohort, cells are
+    monotone-bounded by cohort size, and cohort sizes sum to the
+    distinct-user count."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.sessions import (
+        session_cohort_retention,
+    )
+
+    out = session_cohort_retention(spark, sf_smoke).toPandas()
+    week0 = out[out.weeks_since == 0]
+    assert (week0.retention_ppm == 1_000_000).all()
+    assert (week0.active_users == week0.cohort_users).all()
+    assert (out.active_users <= out.cohort_users).all()
+    n_users = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert week0.cohort_users.sum() == n_users
+
+
+def test_ivf_binary_is_subset_of_probed_cells(spark, sf_smoke):
+    """Every IVF-binary result must come from the plain-IVF probed
+    cells: its (query, vec) pairs are a subset of the IVF candidate
+    pool universe, and per-query output is exactly TOP_K."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.similarity import (
+        TOP_K,
+        ivf_candidate_pool,
+        similarity_ivf_binary_topk,
+    )
+
+    out = similarity_ivf_binary_topk(spark, sf_smoke).toPandas()
+    assert (out.groupby("query_id").size() == TOP_K).all()
+    pool = ivf_candidate_pool(spark, sf_smoke, 10**6).toPandas()
+    universe = set(zip(pool.query_id, pool.vec_id))
+    assert set(zip(out.query_id, out.vec_id)) <= universe
+
+
+def test_license_scan_flag_algebra(spark, sf_smoke):
+    """The flagged set must be exactly the all-rights-reserved plants
+    not covered by an SPDX or permissive plant (doc % 14 minus
+    doc % 6 / % 15 overlaps)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.cleaning import (
+        clean_license_notice_scan,
+    )
+
+    out = clean_license_notice_scan(spark, sf_smoke).toPandas()
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(
+            f"{sf_smoke}/documents.parquet"
+        ).select("doc_id").collect()
+    ]
+    expect = sum(
+        1 for i in ids if i % 14 == 0 and i % 6 != 0 and i % 15 != 0
+    )
+    assert out.n_flagged_docs.sum() == expect
+    assert out.n_spdx_docs.sum() == sum(1 for i in ids if i % 6 == 0)
