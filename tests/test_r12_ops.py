@@ -911,3 +911,71 @@ def test_license_scan_flag_algebra(spark, sf_smoke):
     )
     assert out.n_flagged_docs.sum() == expect
     assert out.n_spdx_docs.sum() == sum(1 for i in ids if i % 6 == 0)
+
+
+def test_deep_clone_isolation_fuzz(spark):
+    """Randomized lifecycle with a mid-sequence DEEP CLONE: the clone
+    snapshots the model exactly at clone time, stays frozen while the
+    source keeps mutating, and accepts divergent writes the source
+    never sees — the isolation contract, fuzzed."""
+    import random
+    import shutil
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_deep_clone,
+        delta_delete,
+        delta_read,
+        delta_update,
+        delta_write,
+    )
+
+    rng = random.Random(31)
+    src = tempfile.mkdtemp(prefix="ls_dci_src_")
+    model = {k: rng.randrange(100) for k in range(30)}
+    delta_write(
+        spark.createDataFrame(list(model.items()), "k long, v long")
+        .repartition(3),
+        src,
+    )
+
+    def mutate(path, m):
+        op = rng.choice(["append", "delete", "update"])
+        if op == "append":
+            rows = {max(m, default=-1) + 1 + i: rng.randrange(100)
+                    for i in range(rng.randrange(1, 5))}
+            delta_write(
+                spark.createDataFrame(list(rows.items()), "k long, v long"),
+                path, mode="append",
+            )
+            m.update(rows)
+        elif op == "delete":
+            r = rng.randrange(3)
+            delta_delete(spark, path, f"k % 3 = {r}")
+            for k in [k for k in m if k % 3 == r]:
+                del m[k]
+        else:
+            r, bump = rng.randrange(4), rng.randrange(1, 9)
+            delta_update(spark, path, f"k % 4 = {r}", {"v": F.col("v") + bump})
+            for k in m:
+                if k % 4 == r:
+                    m[k] += bump
+
+    for _ in range(4):
+        mutate(src, model)
+    frozen = dict(model)
+    dst = tempfile.mkdtemp(prefix="ls_dci_dst_")
+    shutil.rmtree(dst)
+    delta_deep_clone(spark, src, dst)
+
+    def snap(path):
+        return {r.k: r.v for r in delta_read(spark, path).collect()}
+
+    assert snap(dst) == frozen
+    for _ in range(4):
+        mutate(src, model)
+    assert snap(src) == model
+    assert snap(dst) == frozen, "source mutations leaked into the clone"
+    clone_model = dict(frozen)
+    mutate(dst, clone_model)
+    assert snap(dst) == clone_model
+    assert snap(src) == model, "clone mutations leaked into the source"
