@@ -562,3 +562,33 @@ def test_secret_scan_is_map_plus_single_rollup(spark, sf_smoke):
     assert shuffle_count(q) <= 2, explain_str(q)[:2000]
     cols = read_schema_columns(q)
     assert set(cols) <= {"doc_id", "source", "text"}
+
+
+def test_ivf_binary_joins_on_centroid_id(spark, sf_smoke):
+    """The composed IVF x binary plan must route through the
+    centroid_id equi-join (a SortMergeJoin/ShuffledHashJoin on
+    centroid_id or a broadcast of the probed query block) — never a
+    cartesian product of queries x corpus."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.similarity import (
+        similarity_ivf_binary_topk,
+    )
+
+    q = similarity_ivf_binary_topk(spark, sf_smoke)
+    plan = explain_str(q)
+    assert "CartesianProduct" not in plan
+    assert "centroid_id" in plan
+
+
+def test_lpa_edge_frame_is_checkpointed_once(spark, sf_smoke):
+    """LPA's three supersteps must run on the localCheckpointed kNN
+    edge frame: the fact-table joins appear ONCE (via the checkpoint
+    scan), not re-embedded per round."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        graph_label_propagation,
+    )
+
+    q = graph_label_propagation(spark, sf_smoke)
+    plan = explain_str(q)
+    # the lineitem/orders fact join would reappear per round without
+    # the checkpoint; after it, no parquet fact scan is in the plan
+    assert "lineitem" not in plan.lower()

@@ -979,3 +979,69 @@ def test_deep_clone_isolation_fuzz(spark):
     mutate(dst, clone_model)
     assert snap(dst) == clone_model
     assert snap(src) == model, "clone mutations leaked into the source"
+
+
+def test_label_propagation_python_reference(spark, sf_smoke):
+    """The unrolled Spark LPA must equal a sequential pure-Python
+    implementation of the same spec (kNN top-3 sparsify -> 3 sync
+    rounds, weight-majority, smaller-label ties) run on the collected
+    25x25 edge table."""
+    from collections import defaultdict
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        LPA_ITERS,
+        LPA_KNN,
+        graph_label_propagation,
+        trade_edges,
+    )
+
+    edges = [
+        (r.src, r.dst, r.w)
+        for r in trade_edges(spark, sf_smoke).collect()
+    ]
+    dense: dict[tuple[int, int], int] = defaultdict(int)
+    for s, d, w in edges:
+        if s != d:
+            dense[(s, d)] += w
+            dense[(d, s)] += w
+    by_src: dict[int, list[tuple[int, int]]] = defaultdict(list)
+    for (s, d), w in dense.items():
+        by_src[s].append((d, w))
+    knn = {}
+    for s, nbrs in by_src.items():
+        for d, w in sorted(nbrs, key=lambda x: (-x[1], x[0]))[:LPA_KNN]:
+            knn[(s, d)] = w
+    sym: dict[tuple[int, int], int] = {}
+    for (s, d), w in knn.items():
+        sym[(s, d)] = max(sym.get((s, d), 0), w)
+        sym[(d, s)] = max(sym.get((d, s), 0), w)
+    nations = sorted(
+        r.n_nationkey
+        for r in spark.read.parquet(f"{sf_smoke}/nation.parquet").collect()
+    )
+    labels = {v: v for v in nations}
+    for _ in range(LPA_ITERS):
+        votes: dict[int, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+        for (s, d), w in sym.items():
+            votes[s][labels[d]] += w
+        labels = {
+            v: (
+                min(
+                    (l for l, ws in votes[v].items()
+                     if ws == max(votes[v].values()))
+                )
+                if v in votes
+                else labels[v]
+            )
+            for v in nations
+        }
+    names = {
+        r.n_nationkey: r.n_name
+        for r in spark.read.parquet(f"{sf_smoke}/nation.parquet").collect()
+    }
+    expected = {names[v]: labels[v] for v in nations}
+    got = {
+        r.n_name: r.community
+        for r in graph_label_propagation(spark, sf_smoke).collect()
+    }
+    assert got == expected
