@@ -325,3 +325,119 @@ def test_foreign_log_random_fold(spark, tmp_path, seed):
     for app, ver in latest["txns"].items():
         assert delta_last_txn(spark, root, app) == ver, (seed, app)
     assert delta_domain_metadata(spark, root) == latest["domains"], seed
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_foreign_contract_enforcement_fuzz(spark, tmp_path, seed):
+    """A foreign table carrying a RANDOM mix of writer-v2 column
+    invariants (field metadata) and writer-v3 CHECK constraints
+    (table configuration): our appends must refuse any batch violating
+    ANY declared contract — including NULL against an invariant (which
+    a CHECK would pass) — and accept the conforming batch. Fuzzes the
+    enforcement surface the single-instance tests pin."""
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_write,
+    )
+
+    rng = random.Random(2000 + seed)
+    root = str(tmp_path / f"contract_{seed}")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    inv_b = rng.randint(0, 5)
+    ck_c = rng.randint(10, 50)
+    has_inv = rng.random() < 0.5
+    has_ck = (not has_inv) or rng.random() < 0.5
+    k_meta = (
+        {
+            "delta.invariants": json.dumps(
+                {"expression": {"expression": f"k >= {inv_b}"}}
+            )
+        }
+        if has_inv
+        else {}
+    )
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "integer",
+                    "nullable": True,
+                    "metadata": k_meta,
+                },
+                {
+                    "name": "v",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {},
+                },
+            ],
+        },
+        separators=(",", ":"),
+    )
+    conf = (
+        {"delta.constraints.ck": f"k < {100 + ck_c}"} if has_ck else {}
+    )
+    first = _write_data(root, 0, [(inv_b, "seed")])
+    _commit(
+        log,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 3 if has_ck else 2,
+                }
+            },
+            {
+                "metaData": {
+                    "id": f"contract-{seed}",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema,
+                    "partitionColumns": [],
+                    "configuration": conf,
+                    "createdTime": 1700000000000,
+                }
+            },
+            first,
+        ],
+    )
+
+    def batch(k_val):
+        return spark.createDataFrame(
+            [(k_val, "x")], "k int, v string"
+        ).select(F.col("k").cast("int"), "v")
+
+    expected = 1
+    # invariant floor violation
+    try:
+        delta_write(batch(inv_b - 1), root, mode="append")
+        assert not has_inv, "invariant floor violation must refuse"
+        expected += 1
+    except ValueError:
+        assert has_inv
+    # NULL violates an invariant, passes a CHECK
+    try:
+        delta_write(
+            spark.sql("SELECT CAST(NULL AS INT) AS k, 'x' AS v"),
+            root,
+            mode="append",
+        )
+        assert not has_inv, "NULL against an invariant must refuse"
+        expected += 1
+    except ValueError:
+        assert has_inv
+    # CHECK ceiling violation (also above the invariant floor)
+    try:
+        delta_write(batch(100 + ck_c), root, mode="append")
+        assert not has_ck, "CHECK ceiling violation must refuse"
+        expected += 1
+    except ValueError:
+        assert has_ck
+    # conforming batch always lands
+    delta_write(batch(inv_b + 1), root, mode="append")
+    expected += 1
+    assert delta_read(spark, root).count() == expected
