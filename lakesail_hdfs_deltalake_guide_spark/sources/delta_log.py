@@ -3648,7 +3648,10 @@ def delta_read(
 
 
 def delta_optimize(
-    spark: SparkSession, path: str, target_files: int = 1
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    partition_filter: dict[str, str] | None = None,
 ) -> int:
     """Compaction (Delta OPTIMIZE): rewrite the live file set into
     ``target_files`` larger files and commit add+remove with
@@ -3656,7 +3659,16 @@ def delta_optimize(
     layout, which is what lets streaming readers skip these commits.
     At 100 TB this is the small-file antidote: read-side file count (and
     task count) drops by orders of magnitude while MVCC keeps old
-    versions readable."""
+    versions readable.
+
+    ``partition_filter`` ({col: value}) is delta-spark's scoped
+    ``OPTIMIZE t WHERE part = x``: only matching partitions' files are
+    read, rewritten, and removed — the rest of the table is untouched,
+    which is what makes nightly compaction of just-landed partitions
+    affordable on a table whose history spans years. Partitioned
+    tables keep their hive layout and partitionValues through the
+    rewrite (a compaction that drops them silently breaks every later
+    partition-pruned read)."""
     versions = _list_versions(spark, path)
     if not versions:
         raise ValueError(f"no delta table at {path}")
@@ -3665,14 +3677,36 @@ def delta_optimize(
     # file land in the removes without its rows in the rewrite
     snap = versions[-1]
     _, meta, live, _ = _snapshot_state(spark, path, snap)
+    part_cols = meta.get("partitionColumns") or None
+    if partition_filter:
+        unknown = set(partition_filter) - set(part_cols or ())
+        if unknown:
+            raise ValueError(
+                f"OPTIMIZE scope names non-partition columns: "
+                f"{sorted(unknown)}"
+            )
+        scope = {
+            f: a
+            for f, a in live.items()
+            if all(
+                (a.get("partitionValues") or {}).get(k) == str(v)
+                for k, v in partition_filter.items()
+            )
+        }
+    else:
+        scope = dict(live)
+    if not scope:
+        return snap  # nothing in scope: no-op, no commit
     rt = _rt_enabled(meta)
     # row-tracked tables compact WITH their stable ids and materialize
     # them into the compacted files — OPTIMIZE must not renumber rows
-    current = delta_read(spark, path, version=snap, row_ids=rt)
+    current = _read_affected_files(
+        spark, path, meta, live, sorted(scope), with_row_ids=rt
+    )
     compacted = current.coalesce(target_files)
     version = snap + 1
     actions: list[dict] = [_commit_info("OPTIMIZE")]
-    for f in sorted(live):
+    for f in sorted(scope):
         actions.append(
             {
                 "remove": {
@@ -3682,7 +3716,7 @@ def delta_optimize(
                 }
             }
         )
-    adds = _stage_data_files(_to_physical(compacted, meta), path)
+    adds = _stage_data_files(_to_physical(compacted, meta), path, part_cols)
     for a in adds:
         a["add"]["dataChange"] = False
     rt_action = _rt_assign(spark, path, meta, adds)
@@ -4058,6 +4092,9 @@ def delta_optimize_zorder(
     adds = _stage_data_files(
         _to_physical(clustered, meta),
         path,
+        # hive layout survives the rewrite: a ZORDER that drops
+        # partitionValues silently breaks later partition-pruned reads
+        meta.get("partitionColumns") or None,
         stats_cols=[pm.get(c, c) for c in cols],
     )
     cube_id = uuid.uuid4().hex

@@ -1045,3 +1045,71 @@ def test_label_propagation_python_reference(spark, sf_smoke):
         for r in graph_label_propagation(spark, sf_smoke).collect()
     }
     assert got == expected
+
+
+def test_optimize_preserves_partition_layout(spark):
+    """OPTIMIZE and ZORDER on a PARTITIONED table must re-stage with
+    partitionValues intact — the regression where a compacted file lost
+    its hive identity and every partition-pruned read came back empty."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+        delta_optimize,
+        delta_optimize_zorder,
+        delta_read,
+        delta_write,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_optp_")
+    delta_write(
+        spark.range(0, 40).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("part")
+        ),
+        p,
+        partition_by=["part"],
+        stats_cols=["k"],
+    )
+    delta_optimize(spark, p, target_files=2)
+    assert delta_read(spark, p, partition_filter={"part": "1"}).count() == 10
+    assert all(
+        a.get("partitionValues")
+        for _, a in delta_live_adds(spark, p)
+    )
+    delta_optimize_zorder(spark, p, ["k", "part"])
+    assert delta_read(spark, p, partition_filter={"part": "2"}).count() == 10
+
+
+def test_optimize_partition_scope(spark):
+    """Scoped OPTIMIZE (delta-spark's OPTIMIZE ... WHERE part = x):
+    out-of-scope partitions' files survive verbatim, the scoped
+    partition compacts to one file, an empty scope is a commit-free
+    no-op, and non-partition scope columns refuse."""
+    import pytest as _pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        _list_versions,
+        delta_live_adds,
+        delta_optimize,
+        delta_read,
+        delta_write,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_opts_")
+    delta_write(
+        spark.range(0, 40)
+        .select(F.col("id").alias("k"), (F.col("id") % 4).alias("part"))
+        .repartition(8),
+        p,
+        partition_by=["part"],
+    )
+    before = {f for f, _ in delta_live_adds(spark, p)}
+    delta_optimize(spark, p, target_files=1, partition_filter={"part": "1"})
+    after = {f for f, _ in delta_live_adds(spark, p)}
+    assert {f for f in before if "part=1" not in f} <= after
+    assert len([f for f in after if "part=1" in f]) == 1
+    assert delta_read(spark, p).count() == 40
+    v = _list_versions(spark, p)[-1]
+    assert (
+        delta_optimize(spark, p, partition_filter={"part": "99"}) == v
+    ), "empty scope must be a commit-free no-op"
+    with _pytest.raises(ValueError, match="non-partition"):
+        delta_optimize(spark, p, partition_filter={"k": "1"})
