@@ -3647,6 +3647,18 @@ def delta_read(
     return scan.select(*[l for _, l in _cm_pairs(meta)])
 
 
+def _live_stats_cols(adds) -> list[str]:
+    """The (physical) columns whose min/max stats the live adds carry —
+    a layout rewrite must re-stamp the SAME skipping surface, or every
+    post-compaction range read silently loses its pruning."""
+    keys: set[str] = set()
+    for a in adds:
+        st = a.get("stats")
+        if st:
+            keys |= set(json.loads(st).get("minValues", {}))
+    return sorted(keys)
+
+
 def delta_optimize(
     spark: SparkSession,
     path: str,
@@ -3716,7 +3728,12 @@ def delta_optimize(
                 }
             }
         )
-    adds = _stage_data_files(_to_physical(compacted, meta), path, part_cols)
+    adds = _stage_data_files(
+        _to_physical(compacted, meta),
+        path,
+        part_cols,
+        stats_cols=_live_stats_cols(scope.values()) or None,
+    )
     for a in adds:
         a["add"]["dataChange"] = False
     rt_action = _rt_assign(spark, path, meta, adds)
@@ -3777,7 +3794,12 @@ def delta_optimize_small(
     staged = staged.coalesce(1) if not part_cols else staged.repartition(
         *part_cols
     )
-    adds = _stage_data_files(staged, path, part_cols)
+    adds = _stage_data_files(
+        staged,
+        path,
+        part_cols,
+        stats_cols=_live_stats_cols(live[f] for f in small) or None,
+    )
     for a in adds:
         a["add"]["dataChange"] = False
     rt_action = _rt_assign(spark, path, meta, adds)

@@ -1113,3 +1113,42 @@ def test_optimize_partition_scope(spark):
     ), "empty scope must be a commit-free no-op"
     with _pytest.raises(ValueError, match="non-partition"):
         delta_optimize(spark, p, partition_filter={"k": "1"})
+
+
+def test_optimize_restamps_skipping_stats(spark):
+    """OPTIMIZE and auto-compact must re-stamp the SAME min/max stats
+    surface the pre-compaction adds carried — a layout rewrite that
+    drops them silently disables range skipping on every later read."""
+    import json as _json
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+        delta_optimize,
+        delta_optimize_small,
+        delta_write,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_opt_stats_")
+    delta_write(
+        spark.range(0, 400)
+        .select(F.col("id").alias("k"))
+        .repartition(5),
+        p,
+        stats_cols=["k"],
+    )
+    delta_optimize(spark, p, target_files=2)
+    assert all(
+        "k" in _json.loads(a["stats"]).get("minValues", {})
+        for _, a in delta_live_adds(spark, p)
+    )
+    p2 = tempfile.mkdtemp(prefix="ls_ac_stats_")
+    delta_write(
+        spark.range(0, 400).select(F.col("id").alias("k")).repartition(6),
+        p2,
+        stats_cols=["k"],
+    )
+    assert delta_optimize_small(spark, p2, max_file_size=10**9) is not None
+    assert all(
+        "k" in _json.loads(a["stats"]).get("minValues", {})
+        for _, a in delta_live_adds(spark, p2)
+    )
