@@ -5111,6 +5111,7 @@ def delta_delete(spark: SparkSession, path: str, predicate) -> int:
         _to_physical(survivors, meta),
         path,
         meta.get("partitionColumns") or None,
+        stats_cols=_live_stats_cols(_live.values()) or None,
     )
     # survivors carry their materialized _row_id; fresh base ranges are
     # still stamped (never reused), matching delta-spark's rewrite shape
@@ -5237,7 +5238,10 @@ def delta_replace_where(
         out = out.unionByName(p)
     _enforce_constraints(out, meta)
     adds = _stage_data_files(
-        _to_physical(out, meta), path, meta.get("partitionColumns") or None
+        _to_physical(out, meta),
+        path,
+        meta.get("partitionColumns") or None,
+        stats_cols=_live_stats_cols(_live.values()) or None,
     )
     rt_action = _rt_assign(spark, path, meta, adds)
     if rt_action is not None:
@@ -5343,6 +5347,7 @@ def delta_update(
         _to_physical(updated, meta),
         path,
         meta.get("partitionColumns") or None,
+        stats_cols=_live_stats_cols(_live.values()) or None,
     )
     rt_action = _rt_assign(spark, path, meta, adds)
     cdc: list[dict] = []
@@ -5609,7 +5614,10 @@ def delta_merge(
         out = out.unionByName(p)
     _enforce_constraints(out, meta)
     adds = _stage_data_files(
-        _to_physical(out, meta), path, meta.get("partitionColumns") or None
+        _to_physical(out, meta),
+        path,
+        meta.get("partitionColumns") or None,
+        stats_cols=_live_stats_cols(_live.values()) or None,
     )
     rt_action = _rt_assign(spark, path, meta, adds)
     if rt_action is not None:
@@ -6085,6 +6093,7 @@ def delta_update_dv(
         _to_physical(updated, meta),
         path,
         meta.get("partitionColumns") or None,
+        stats_cols=_live_stats_cols(live.values()) or None,
     )
     rt_action = _rt_assign(spark, path, meta, extra_adds)
     cdf_df = None
@@ -6136,6 +6145,7 @@ def delta_reorg_purge(spark: SparkSession, path: str) -> int:
         _to_physical(survivors, meta),
         path,
         meta.get("partitionColumns") or None,
+        stats_cols=_live_stats_cols(live.values()) or None,
     )
     for a in adds:
         a["add"]["dataChange"] = False

@@ -1152,3 +1152,60 @@ def test_optimize_restamps_skipping_stats(spark):
         "k" in _json.loads(a["stats"]).get("minValues", {})
         for _, a in delta_live_adds(spark, p2)
     )
+
+
+def test_dml_rewrites_restamp_skipping_stats(spark):
+    """Every copy-on-write rewrite path (DELETE, UPDATE, MERGE,
+    REPLACE WHERE, DV-update post-image, REORG PURGE) must carry the
+    live adds' min/max stats surface through to its replacement files —
+    one un-stamped rewrite and range skipping silently dies for that
+    slice of the table."""
+    import json as _json
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete,
+        delta_delete_dv,
+        delta_live_adds,
+        delta_merge,
+        delta_read,
+        delta_reorg_purge,
+        delta_replace_where,
+        delta_update,
+        delta_update_dv,
+        delta_write,
+    )
+
+    def ok(p):
+        return all(
+            "k" in _json.loads(a["stats"]).get("minValues", {})
+            for _, a in delta_live_adds(spark, p)
+        )
+
+    p = tempfile.mkdtemp(prefix="ls_dml_stats_")
+    delta_write(
+        spark.range(0, 100)
+        .select(F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+        .repartition(4),
+        p,
+        stats_cols=["k"],
+    )
+    delta_delete(spark, p, "k % 7 = 0")
+    assert ok(p), "DELETE rewrite lost stats"
+    delta_update(spark, p, "k % 5 = 0", {"v": F.lit(9)})
+    assert ok(p), "UPDATE rewrite lost stats"
+    delta_merge(
+        spark,
+        p,
+        spark.range(200, 210).select(F.col("id").alias("k"), F.lit(1).alias("v")),
+        on=["k"],
+    )
+    assert ok(p), "MERGE rewrite lost stats"
+    delta_replace_where(
+        spark, p, "v = 9", spark.createDataFrame([], "k long, v long")
+    )
+    assert ok(p), "REPLACE WHERE rewrite lost stats"
+    delta_delete_dv(spark, p, "k % 11 = 0")
+    delta_update_dv(spark, p, "k % 13 = 1", {"v": F.lit(8)})
+    delta_reorg_purge(spark, p)
+    assert ok(p), "REORG PURGE rewrite lost stats"
+    assert delta_read(spark, p).count() == 70
