@@ -2463,13 +2463,15 @@ def _plan_commit(
     identity_columns: dict | None = None,
     column_defaults: dict | None = None,
     invariants: dict | None = None,
-) -> tuple[int, list[dict], DataFrame, dict]:
+) -> tuple[int, list[dict], DataFrame, dict, list[str]]:
     """One optimistic-transaction attempt: resolve the target version
     against the CURRENT log state and build the commit's non-add actions
     (protocol/metaData/schema-evolution/removes). Returns (version,
-    actions, conformed df in LOGICAL names, effective metaData). Re-run
-    on every retry so a lost race re-validates against the winner's
-    committed state."""
+    actions, conformed df in LOGICAL names, effective metaData, the
+    table's inherited min/max stats surface — PHYSICAL column names the
+    existing live adds carry, empty at creation). Re-run on every retry
+    so a lost race re-validates against the winner's committed
+    state."""
     from pyspark.sql.types import StructType
 
     versions = _list_versions(spark, path)
@@ -2610,7 +2612,7 @@ def _plan_commit(
         # constraints/invariants supplied at creation bind the very
         # first batch (new_meta carries both configuration and schema)
         _enforce_constraints(df, new_meta)
-        return version, actions, df, new_meta
+        return version, actions, df, new_meta, []
     proto, meta, live, _ = _snapshot_state(spark, path)
     # writer half of protocol gating: appending to (or overwriting) a
     # table that demands a newer writer would corrupt invariants we do
@@ -2773,7 +2775,7 @@ def _plan_commit(
     # constraint before any file is staged (re-runs on OCC retry, so a
     # constraint added by a racing commit is honored too)
     _enforce_constraints(df, meta)
-    return version, actions, df, meta
+    return version, actions, df, meta, _live_stats_cols(live.values())
 
 
 def delta_last_txn(spark: SparkSession, path: str, app_id: str) -> int | None:
@@ -2939,7 +2941,7 @@ def delta_write(
     skips batches it already landed — Delta's txnAppId/txnVersion
     streaming-sink mechanism."""
     spark = df.sparkSession
-    version, actions, conformed, eff_meta = _plan_commit(
+    version, actions, conformed, eff_meta, inherited_stats = _plan_commit(
         spark,
         df,
         path,
@@ -2969,6 +2971,12 @@ def delta_write(
         staged_stats = (
             [pm.get(c, c) for c in stats_cols] if stats_cols else None
         )
+    if staged_stats is None and inherited_stats:
+        # a caller-less append to a stats-carrying table keeps the
+        # table's established skipping surface (delta-spark stamps
+        # stats on every write; losing them file-by-file silently
+        # erodes range pruning) — inherited keys are already physical
+        staged_stats = inherited_stats
         staged_partition_by = (
             [pm.get(c, c) for c in partition_by] if partition_by else None
         )
@@ -3021,7 +3029,7 @@ def delta_write(
                     "race; re-run to allocate above the winner's "
                     "watermark"
                 ) from None
-            version, actions, _, _ = _plan_commit(
+            version, actions, _, _, _ = _plan_commit(
                 spark,
                 df,
                 path,

@@ -1209,3 +1209,40 @@ def test_dml_rewrites_restamp_skipping_stats(spark):
     delta_reorg_purge(spark, p)
     assert ok(p), "REORG PURGE rewrite lost stats"
     assert delta_read(spark, p).count() == 70
+
+
+def test_append_inherits_stats_surface(spark):
+    """An append WITHOUT stats_cols to a table whose adds carry min/max
+    stats must keep stamping the established surface (delta-spark
+    stamps stats on every write); a table created without stats stays
+    stats-light."""
+    import json as _json
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+        delta_write,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_inh_stats_")
+    delta_write(
+        spark.range(0, 50).select(F.col("id").alias("k")), p,
+        stats_cols=["k"],
+    )
+    delta_write(
+        spark.range(50, 80).select(F.col("id").alias("k")), p,
+        mode="append",
+    )
+    assert all(
+        "k" in _json.loads(a["stats"]).get("minValues", {})
+        for _, a in delta_live_adds(spark, p)
+    )
+    p2 = tempfile.mkdtemp(prefix="ls_inh_none_")
+    delta_write(spark.range(0, 10).select(F.col("id").alias("k")), p2)
+    delta_write(
+        spark.range(10, 20).select(F.col("id").alias("k")), p2,
+        mode="append",
+    )
+    assert all(
+        not _json.loads(a["stats"]).get("minValues")
+        for _, a in delta_live_adds(spark, p2)
+    )
