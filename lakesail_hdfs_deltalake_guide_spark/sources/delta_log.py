@@ -2971,15 +2971,15 @@ def delta_write(
         staged_stats = (
             [pm.get(c, c) for c in stats_cols] if stats_cols else None
         )
+        staged_partition_by = (
+            [pm.get(c, c) for c in partition_by] if partition_by else None
+        )
     if staged_stats is None and inherited_stats:
         # a caller-less append to a stats-carrying table keeps the
         # table's established skipping surface (delta-spark stamps
         # stats on every write; losing them file-by-file silently
         # erodes range pruning) — inherited keys are already physical
         staged_stats = inherited_stats
-        staged_partition_by = (
-            [pm.get(c, c) for c in partition_by] if partition_by else None
-        )
     staged_df = _to_physical(conformed, eff_meta)
     if (
         str(
