@@ -3959,12 +3959,33 @@ def delta_deep_clone(
         },
     ]
     copied_dvs: set[str] = set()
+    # absolute refs collapse to clone-root names; two absolute refs from
+    # different source dirs can share a basename, so claimed names are
+    # tracked (pre-seeded with the relative live set) and collisions get
+    # a source-path-hash prefix instead of a failed/overwriting copy
+    taken: set[str] = {f for f in live if not _is_absolute_ref(f)}
+    abs_dest: dict[str, str] = {}
+
+    def _dest_name(ref: str) -> str:
+        if ref in abs_dest:
+            return abs_dest[ref]
+        import hashlib
+
+        name = ref.rsplit("/", 1)[-1]
+        if name in taken:
+            name = (
+                hashlib.sha256(ref.encode()).hexdigest()[:8] + "-" + name
+            )
+        taken.add(name)
+        abs_dest[ref] = name
+        return name
+
     for f, a in sorted(live.items()):
         add = dict(a)
         # an absolute ref (source was itself a shallow clone) lands as
-        # a fresh relative file named by its basename under part-dirs'
-        # root; relative refs keep their (partitioned) layout
-        rel = f if not _is_absolute_ref(f) else f.rsplit("/", 1)[-1]
+        # a fresh relative file named by its (disambiguated) basename at
+        # the clone root; relative refs keep their (partitioned) layout
+        rel = f if not _is_absolute_ref(f) else _dest_name(f)
         _copy(f, rel)
         add["path"] = rel
         dv = add.get("deletionVector")
@@ -3995,8 +4016,10 @@ def delta_deep_clone(
                     copied_dvs.add(rel)
             else:
                 # wire-format absolute path: copy the .bin and re-point
-                # absolutely INTO the clone (protocol: "p" is absolute)
-                name = ref.rsplit("/", 1)[-1]
+                # absolutely INTO the clone (protocol: "p" is absolute);
+                # basenames disambiguate through the same registry as
+                # collapsed data refs
+                name = _dest_name(ref)
                 if name not in copied_dvs:
                     _copy(ref, name)
                     copied_dvs.add(name)
@@ -5215,7 +5238,17 @@ def delta_replace_where(
         incoming = incoming.select(*tcols)
     # three consumers (region check, staging, change feed), one compute
     incoming = incoming.localCheckpoint(eager=False)
-    outside = incoming.where(~pred).limit(1).count()
+    # "outside" = predicate not TRUE — ~NULL is NULL and would slip the
+    # where(), letting NULL-predicate rows commit outside the declared
+    # region (and a re-run's scan.where(pred) could never remove them,
+    # breaking idempotent-backfill convergence)
+    outside = (
+        incoming.where(
+            ~F.coalesce(pred.cast("boolean"), F.lit(False))
+        )
+        .limit(1)
+        .count()
+    )
     if outside:
         raise ValueError(
             f"replaceWhere({predicate!r}): incoming rows fall outside "
@@ -5545,13 +5578,23 @@ def delta_merge(
                 else F.lit(None).cast(schema[c].dataType)
             )
 
+        # a clause condition that evaluates NULL is NOT taken (delta-spark
+        # semantics: the row passes through) — without the coalesce a NULL
+        # __del would be dropped by where(~__del) AND excluded from the
+        # delete CDF images, vanishing the row with no change record
         del_pred = (
-            _coerce_predicate(matched_delete)
+            F.coalesce(
+                _coerce_predicate(matched_delete).cast("boolean"),
+                F.lit(False),
+            )
             if matched_delete is not None
             else F.lit(False)
         )
         upd_pred = (
-            _coerce_predicate(matched_condition)
+            F.coalesce(
+                _coerce_predicate(matched_condition).cast("boolean"),
+                F.lit(False),
+            )
             if matched_condition is not None
             else F.lit(True)
         )
@@ -7693,15 +7736,18 @@ def delta_fsck(
     if meta is None:
         raise ValueError(f"no delta table at {path}")
     fs, root, jvm = _hadoop_fs(spark, path)
-    base_uri = str(fs.makeQualified(root).toUri()) + "/"
+    # relativize DECODED (URI.getPath()), matching how _stage_data_files
+    # records add paths — raw-URI string-stripping keeps percent-encoding
+    # ('part a' → 'part%20a', hive-escaped '%' → '%25'), which would make
+    # live files look missing and a non-dry-run FSCK would then commit
+    # dataChange removes for files that exist
+    base_uri = fs.makeQualified(root).toUri()
     present: set[str] = set()
     it = fs.listFiles(root, True)
     while it.hasNext():
-        uri = str(it.next().getPath().toUri())
-        if uri.startswith(base_uri):
-            rel = uri[len(base_uri) :]
-            if not rel.startswith("_delta_log/"):
-                present.add(rel)
+        rel = base_uri.relativize(it.next().getPath().toUri()).getPath()
+        if not rel.startswith("_delta_log/") and not rel.startswith("/"):
+            present.add(rel)
     missing = [
         f
         for f in sorted(live)

@@ -1,0 +1,228 @@
+"""Round-13 regressions + invariants: the four r12-advice DML/repair
+fixes (NULL-condition MERGE clauses, NULL-predicate replaceWhere
+refusal, FSCK on URI-encoded partition paths, DEEP CLONE basename
+collisions) plus the new r13 operator properties."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+    delta_deep_clone,
+    delta_fsck,
+    delta_live_files,
+    delta_merge,
+    delta_read,
+    delta_read_cdf,
+    delta_replace_where,
+    delta_write,
+)
+
+
+def test_merge_null_delete_condition_row_passes_through(spark):
+    """A whenMatchedDelete condition that evaluates NULL is NOT taken
+    (delta-spark semantics): the matched row must survive unchanged —
+    before the fix it vanished from BOTH the survivors and the delete
+    CDF images (NULL __del fails where(~__del) and where(__del))."""
+    p = tempfile.mkdtemp(prefix="ls_merge_nullcond_")
+    delta_write(
+        spark.sql(
+            "SELECT * FROM VALUES (1, 10), (2, CAST(NULL AS INT)),"
+            " (3, -5) AS t(k, cents)"
+        ),
+        p,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    v = delta_merge(
+        spark,
+        p,
+        spark.sql(
+            "SELECT * FROM VALUES (1, 100), (2, 200), (3, 300)"
+            " AS s(k, cents)"
+        ),
+        on=["k"],
+        matched_delete="cents < 0",
+        insert_unmatched=False,
+    )
+    got = {(r.k, r.cents) for r in delta_read(spark, p).collect()}
+    # k=3 deleted (cents -5 < 0); k=2 has NULL cents → clause NOT
+    # taken → row UPDATES normally (the unconditional-update clause)
+    assert got == {(1, 100), (2, 200)}
+    feed = delta_read_cdf(spark, p, v, v)
+    dels = {r.k for r in feed.where("_change_type = 'delete'").collect()}
+    assert dels == {3}
+    post = {
+        r.k
+        for r in feed.where("_change_type = 'update_postimage'").collect()
+    }
+    assert post == {1, 2}, "NULL-condition row must emit update images"
+
+
+def test_merge_null_update_condition_row_unchanged(spark):
+    """A whenMatchedUpdate condition evaluating NULL is not taken: the
+    matched row passes through with its OLD values and emits no
+    change images."""
+    p = tempfile.mkdtemp(prefix="ls_merge_nullupd_")
+    delta_write(
+        spark.sql(
+            "SELECT * FROM VALUES (1, 10), (2, CAST(NULL AS INT))"
+            " AS t(k, cents)"
+        ),
+        p,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    v = delta_merge(
+        spark,
+        p,
+        spark.sql("SELECT * FROM VALUES (1, 100), (2, 200) AS s(k, cents)"),
+        on=["k"],
+        matched_condition="cents > 5",
+        insert_unmatched=False,
+    )
+    got = {(r.k, r.cents) for r in delta_read(spark, p).collect()}
+    assert got == {(1, 100), (2, None)}
+    feed = delta_read_cdf(spark, p, v, v)
+    touched = {
+        r.k
+        for r in feed.where("_change_type = 'update_postimage'").collect()
+    }
+    assert touched == {1}
+
+
+def test_replace_where_null_predicate_incoming_refused(spark):
+    """An incoming row where the replaceWhere predicate evaluates NULL
+    is OUTSIDE the declared region and must refuse the whole batch
+    (before the fix ~NULL slipped the check and the row committed
+    where a re-run's scan could never remove it)."""
+    p = tempfile.mkdtemp(prefix="ls_rw_nullin_")
+    delta_write(
+        spark.sql("SELECT * FROM VALUES (1, 5), (2, 50) AS t(k, v)"), p
+    )
+    with pytest.raises(ValueError, match="outside"):
+        delta_replace_where(
+            spark,
+            p,
+            "v > 10",
+            spark.sql(
+                "SELECT * FROM VALUES (9, 99),"
+                " (10, CAST(NULL AS INT)) AS s(k, v)"
+            ),
+        )
+    # nothing committed — idempotent-backfill convergence intact
+    got = {(r.k, r.v) for r in delta_read(spark, p).collect()}
+    assert got == {(1, 5), (2, 50)}
+
+
+def test_fsck_uri_encoded_partition_values(spark):
+    """Partition values needing URI encoding (space, ':', and a literal
+    '%' that hive-escapes to %25 then URI-encodes again) must NOT look
+    missing to FSCK — a false positive here makes a non-dry-run repair
+    commit dataChange removes for files that exist: data loss."""
+    p = tempfile.mkdtemp(prefix="ls_fsck_enc_")
+    delta_write(
+        spark.sql(
+            "SELECT * FROM VALUES (1, 'part a'), (2, 'b:c'),"
+            " (3, 'p%25q'), (4, 'plain') AS t(k, g)"
+        ),
+        p,
+        partition_by=["g"],
+    )
+    assert delta_fsck(spark, p, dry_run=True) == []
+    # and the repair path agrees (no commit when nothing is missing)
+    assert delta_fsck(spark, p) == []
+    got = {(r.k, r.g) for r in delta_read(spark, p).collect()}
+    assert got == {(1, "part a"), (2, "b:c"), (3, "p%25q"), (4, "plain")}
+    # a REAL loss on an encoded partition is still caught + repaired
+    lost = [
+        f
+        for f in delta_live_files(spark, p)
+        if f.startswith("g=part a/") or f.startswith("g=part%20a/")
+    ]
+    assert len(lost) == 1
+    os.remove(os.path.join(p, lost[0]))
+    assert delta_fsck(spark, p, dry_run=True) == lost
+    assert delta_fsck(spark, p) == lost
+    assert delta_fsck(spark, p, dry_run=True) == []
+    assert delta_read(spark, p).count() == 3
+
+
+def test_deep_clone_disambiguates_colliding_basenames(spark):
+    """Two absolute refs from different source dirs sharing a basename
+    must land as DISTINCT clone files (hash-prefixed), not collide on
+    one destination copy."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tempfile.mkdtemp(prefix="ls_clone_collide_")
+    src = os.path.join(root, "tbl")
+    dirs = [os.path.join(root, d) for d in ("ext_a", "ext_b")]
+    refs = []
+    for i, d in enumerate(dirs):
+        os.makedirs(d)
+        f = os.path.join(d, "data.parquet")
+        pq.write_table(
+            pa.table({"k": pa.array([i], pa.int64())}), f,
+            compression="snappy",
+        )
+        refs.append((f, os.path.getsize(f)))
+    os.makedirs(os.path.join(src, "_delta_log"))
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {},
+                }
+            ],
+        },
+        separators=(",", ":"),
+    )
+    actions = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}
+        },
+        {
+            "metaData": {
+                "id": "collide-src",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": 1700000000000,
+            }
+        },
+    ] + [
+        {
+            "add": {
+                "path": "file://" + f,
+                "partitionValues": {},
+                "size": sz,
+                "modificationTime": 1700000000000,
+                "dataChange": True,
+            }
+        }
+        for f, sz in refs
+    ]
+    with open(
+        os.path.join(src, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    dst = os.path.join(root, "clone")
+    delta_deep_clone(spark, src, dst)
+    live = sorted(delta_live_files(spark, dst))
+    assert len(live) == 2, f"one copy clobbered the other: {live}"
+    assert len({f.rsplit("/", 1)[-1] for f in live}) == 2
+    assert not any(f.startswith(("file:", "/")) for f in live), (
+        "deep clone must own its bytes via relative refs"
+    )
+    got = sorted(r.k for r in delta_read(spark, dst).collect())
+    assert got == [0, 1]
