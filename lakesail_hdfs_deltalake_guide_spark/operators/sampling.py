@@ -1016,7 +1016,329 @@ def _unimax_sql() -> str:
     """
 
 
+# --- Horvitz–Thompson estimation under Poisson-PPS (r13) --------------------
+#
+# The estimator that makes unequal-probability samples usable: sampling
+# orders with inclusion probability proportional to their value
+# (pi_i = min(1, n·s_i/S)) and then estimating population totals as
+# sum(y_i/pi_i) over the sample. Deterministic "randomness" comes from
+# the md5-derived uniform u_i in [0, 1e6) (include iff u_i/1e6 < pi_i,
+# decided by DECIMAL/HUGEINT cross-multiplication — no float ever);
+# each y_i/pi_i term is the scaled truncating division
+# y_i·S·1000 DIV (n·s_i), applied per item identically in both engines.
+#
+# Scale shape: one scan computes S (1-row broadcast), a second map-only
+# pass decides membership and accumulates per-stratum partial sums —
+# no shuffle beyond the 5-group rollup. The sample never materializes.
+
+HT_TARGET = 1000  # expected Poisson-PPS sample size
+
+
+def sample_horvitz_thompson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-priority HT estimates of order count and revenue cents from
+    one deterministic Poisson-PPS draw (pi proportional to order
+    value), next to the true totals."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("s"),
+    )
+    tot = o.agg(F.sum("s").alias("s_all"))
+    drawn = o.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "s",
+        "s_all",
+        F.expr(
+            "CAST(conv(substring(md5(concat('ht:',"
+            " CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 1000000"
+        ).alias("u"),
+    )
+    incl = drawn.where(
+        F.expr(
+            "CAST(u AS DECIMAL(38,0)) * s_all"
+            f" < CAST({HT_TARGET} AS DECIMAL(38,0)) * s * 1000000"
+        )
+    )
+    per = incl.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        # y = 1 (count): 1/pi = max(1, S/(n·s)) per item, milli-scaled
+        F.sum(
+            F.expr(
+                f"greatest(CAST(1000 AS BIGINT),"
+                f" s_all * 1000 DIV (CAST({HT_TARGET} AS BIGINT) * s))"
+            )
+        )
+        .cast("long")
+        .alias("ht_count_x1000"),
+        # y = s (cents): s/pi = max(s, S/n) per item, milli-scaled
+        F.sum(
+            F.expr(
+                "greatest(CAST(s AS DECIMAL(38,0)) * 1000,"
+                " CAST(s AS DECIMAL(38,0)) * s_all * 1000"
+                f" DIV (CAST({HT_TARGET} AS BIGINT) * s))"
+            )
+        )
+        .cast("long")
+        .alias("ht_cents_x1000"),
+    )
+    truth = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count"),
+        F.sum("s").cast("long").alias("true_cents"),
+    )
+    return (
+        truth.join(per, on="o_orderpriority", how="left")
+        .select(
+            "o_orderpriority",
+            "true_count",
+            "true_cents",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("ht_count_x1000", F.lit(0)).alias(
+                "ht_count_x1000"
+            ),
+            F.coalesce("ht_cents_x1000", F.lit(0)).alias(
+                "ht_cents_x1000"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _ht_sql() -> str:
+    return f"""
+        WITH o AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS s
+          FROM orders),
+        tot AS (SELECT SUM(s) AS s_all FROM o),
+        drawn AS (
+          SELECT o_orderpriority, s, s_all,
+                 CAST(('0x' || substring(md5('ht:'
+                        || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 1000000 AS u
+          FROM o, tot),
+        incl AS (
+          SELECT * FROM drawn
+          WHERE CAST(u AS HUGEINT) * s_all
+                < CAST({HT_TARGET} AS HUGEINT) * s * 1000000),
+        per AS (
+          SELECT o_orderpriority,
+                 COUNT(*) AS n_sampled,
+                 SUM(greatest(CAST(1000 AS BIGINT),
+                       s_all * 1000
+                       // (CAST({HT_TARGET} AS BIGINT) * s)))
+                   AS ht_count_x1000,
+                 SUM(greatest(CAST(s AS HUGEINT) * 1000,
+                       CAST(s AS HUGEINT) * s_all * 1000
+                       // (CAST({HT_TARGET} AS HUGEINT) * s)))
+                   AS ht_cents_x1000
+          FROM incl GROUP BY o_orderpriority),
+        truth AS (
+          SELECT o_orderpriority,
+                 COUNT(*) AS true_count, SUM(s) AS true_cents
+          FROM o GROUP BY o_orderpriority)
+        SELECT t.o_orderpriority,
+               CAST(t.true_count AS BIGINT) AS true_count,
+               CAST(t.true_cents AS BIGINT) AS true_cents,
+               CAST(COALESCE(p.n_sampled, 0) AS BIGINT) AS n_sampled,
+               CAST(COALESCE(p.ht_count_x1000, 0) AS BIGINT)
+                 AS ht_count_x1000,
+               CAST(COALESCE(p.ht_cents_x1000, 0) AS BIGINT)
+                 AS ht_cents_x1000
+        FROM truth t LEFT JOIN per p
+          ON t.o_orderpriority = p.o_orderpriority
+        ORDER BY t.o_orderpriority
+        """
+
+
+# --- Neyman (optimal) stratified allocation (r13) ---------------------------
+#
+# Proportional allocation (n_h ∝ N_h) wastes budget on homogeneous
+# strata; Neyman allocation n_h ∝ N_h·sigma_h minimizes the estimator
+# variance for a fixed total n. Exactness route (this was blocked in
+# r12 on BIGINT overflow of the raw second moment): the per-stratum
+# sums Σx and Σx² accumulate in DECIMAL(38,0)/HUGEINT, the weight
+# N_h·sigma_h is the guarded integer sqrt of the exact variance
+# numerator N_h·Σx² − (Σx)² (= N_h²·Var_pop, so isqrt gives N_h·sigma
+# directly — no division, no (N-1) correction to round), and the
+# integer allocation uses largest-remainder so the parts sum to n
+# EXACTLY. The float sqrt only seeds the guess; the ±1 guard compares
+# squares in DECIMAL/HUGEINT, so the result is the true floor sqrt.
+#
+# Scale shape: one partial+final aggregate to 5 stratum rows, then
+# S-row window arithmetic. The 100 TB cost is the single scan.
+
+NEYMAN_N = 10_000  # total sample budget to allocate
+
+
+def sample_neyman_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact Neyman allocation of a 10k-row sample budget across the
+    five order-priority strata (weight = N_h·sigma_h via guarded
+    integer sqrt), next to proportional allocation — both
+    largest-remainder rounded to sum to the budget exactly."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("x"),
+    )
+    per = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("s1"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("s2"),
+    )
+    # var_num = N·Σx² − (Σx)² = N²·Var_pop ; weight = isqrt(var_num)
+    w = per.select(
+        "o_orderpriority",
+        "n_h",
+        F.expr("CAST(n_h AS DECIMAL(38,0)) * s2 - s1 * s1").alias(
+            "var_num"
+        ),
+    ).select(
+        "o_orderpriority",
+        "n_h",
+        "var_num",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(var_num AS DOUBLE))) AS BIGINT)"
+        ).alias("s0"),
+    ).select(
+        "o_orderpriority",
+        "n_h",
+        F.expr(
+            "CASE WHEN CAST(s0 + 1 AS DECIMAL(38,0)) * (s0 + 1)"
+            "          <= var_num THEN s0 + 1"
+            "     WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > var_num"
+            "          THEN s0 - 1"
+            "     ELSE s0 END"
+        ).alias("weight"),
+    )
+    totals = w.agg(
+        F.sum("weight").alias("w_all"), F.sum("n_h").alias("n_all")
+    )
+    base = w.crossJoin(F.broadcast(totals)).select(
+        "o_orderpriority",
+        "n_h",
+        "weight",
+        F.expr(f"weight * {NEYMAN_N} DIV w_all").alias("ney_floor"),
+        F.expr(f"weight * {NEYMAN_N} % w_all").alias("ney_rem"),
+        F.expr(f"n_h * {NEYMAN_N} DIV n_all").alias("prop_floor"),
+        F.expr(f"n_h * {NEYMAN_N} % n_all").alias("prop_rem"),
+        F.expr(f"{NEYMAN_N} - SUM(weight * {NEYMAN_N} DIV w_all)"
+               " OVER ()").alias("ney_left"),
+        F.expr(f"{NEYMAN_N} - SUM(n_h * {NEYMAN_N} DIV n_all)"
+               " OVER ()").alias("prop_left"),
+    )
+    wn = Window.orderBy(F.desc("ney_rem"), F.asc("o_orderpriority"))
+    wp = Window.orderBy(F.desc("prop_rem"), F.asc("o_orderpriority"))
+    return (
+        base.withColumn("ney_rank", F.row_number().over(wn))
+        .withColumn("prop_rank", F.row_number().over(wp))
+        .select(
+            "o_orderpriority",
+            "n_h",
+            "weight",
+            F.expr(
+                "ney_floor + CASE WHEN ney_rank <= ney_left"
+                " THEN 1 ELSE 0 END"
+            )
+            .cast("long")
+            .alias("n_neyman"),
+            F.expr(
+                "prop_floor + CASE WHEN prop_rank <= prop_left"
+                " THEN 1 ELSE 0 END"
+            )
+            .cast("long")
+            .alias("n_proportional"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _neyman_sql() -> str:
+    return f"""
+        WITH o AS (
+          SELECT o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS x
+          FROM orders),
+        per AS (
+          SELECT o_orderpriority,
+                 COUNT(*) AS n_h,
+                 SUM(CAST(x AS HUGEINT)) AS s1,
+                 SUM(CAST(x AS HUGEINT) * x) AS s2
+          FROM o GROUP BY o_orderpriority),
+        v AS (
+          SELECT o_orderpriority, n_h,
+                 CAST(n_h AS HUGEINT) * s2 - s1 * s1 AS var_num
+          FROM per),
+        g AS (
+          SELECT *, CAST(FLOOR(SQRT(CAST(var_num AS DOUBLE)))
+                         AS BIGINT) AS s0
+          FROM v),
+        w AS (
+          SELECT o_orderpriority, n_h,
+                 CASE WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1)
+                           <= var_num THEN s0 + 1
+                      WHEN CAST(s0 AS HUGEINT) * s0 > var_num
+                           THEN s0 - 1
+                      ELSE s0 END AS weight
+          FROM g),
+        t AS (SELECT SUM(weight) AS w_all, SUM(n_h) AS n_all FROM w),
+        base AS (
+          SELECT o_orderpriority, n_h, weight,
+                 weight * {NEYMAN_N} // w_all AS ney_floor,
+                 weight * {NEYMAN_N} % w_all AS ney_rem,
+                 n_h * {NEYMAN_N} // n_all AS prop_floor,
+                 n_h * {NEYMAN_N} % n_all AS prop_rem,
+                 {NEYMAN_N} - SUM(weight * {NEYMAN_N} // w_all)
+                   OVER () AS ney_left,
+                 {NEYMAN_N} - SUM(n_h * {NEYMAN_N} // n_all)
+                   OVER () AS prop_left
+          FROM w, t),
+        rk AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (ORDER BY ney_rem DESC,
+                                    o_orderpriority) AS ney_rank,
+                 ROW_NUMBER() OVER (ORDER BY prop_rem DESC,
+                                    o_orderpriority) AS prop_rank
+          FROM base)
+        SELECT o_orderpriority,
+               CAST(n_h AS BIGINT) AS n_h,
+               CAST(weight AS BIGINT) AS weight,
+               CAST(ney_floor + CASE WHEN ney_rank <= ney_left
+                                     THEN 1 ELSE 0 END AS BIGINT)
+                 AS n_neyman,
+               CAST(prop_floor + CASE WHEN prop_rank <= prop_left
+                                      THEN 1 ELSE 0 END AS BIGINT)
+                 AS n_proportional
+        FROM rk ORDER BY o_orderpriority
+        """
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "sample_horvitz_thompson",
+        sample_horvitz_thompson,
+        _ht_sql(),
+        tags=("extension", "sampling", "stats"),
+        description="Horvitz-Thompson totals under a deterministic "
+        "Poisson-PPS draw (pi proportional to order value, md5-uniform "
+        "inclusion by integer cross-multiplication): per-priority "
+        "count/revenue estimates via exact per-item y/pi terms, next "
+        "to the true totals.",
+    ),
+    QueryDef(
+        "sample_neyman_allocation",
+        sample_neyman_allocation,
+        _neyman_sql(),
+        tags=("extension", "sampling", "stats"),
+        description="Neyman optimal stratified allocation with exact "
+        "integers: DECIMAL/HUGEINT second moments (the r12 BIGINT "
+        "overflow, fixed), guarded integer sqrt of N^2*Var for "
+        "N_h*sigma_h weights, largest-remainder rounding summing to "
+        "the budget exactly, proportional allocation alongside.",
+    ),
     QueryDef(
         "sample_unimax_allocation",
         sample_unimax_allocation,

@@ -774,7 +774,116 @@ ORDER BY m.cohort_week, m.weeks_since
 """
 
 
+# --- Multi-touch attribution models (r13) -----------------------------------
+#
+# The marketing-analytics classic the funnel/retention tier stops short
+# of: when a user converts, which of the touches before the conversion
+# gets the credit? Four standard models side by side — first-touch,
+# last-touch, linear, and position-based (40/20/40) — computed over
+# each converting user's pre-first-purchase journey. All credit is
+# integer micro-conversions (1e6 = one conversion) with truncating
+# per-touch division, so both engines agree bit-for-bit; the
+# position-based edge cases (1-touch journey takes the full million,
+# 2-touch splits 50/50) follow the standard definition.
+#
+# Scale shape: one user_id hash exchange serves the first-purchase
+# aggregate, the journey join, and the per-user window; the final
+# rollup is 4 channel rows. No driver-side state.
+
+
+def session_attribution_models(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-channel credit under four attribution models over
+    pre-first-purchase journeys: (event_type, n_touches, n_first,
+    n_last, linear_micro, position_micro)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns", "event_id"
+    )
+    conv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t_conv"))
+    )
+    touches = (
+        ev.where(F.col("event_type") != "purchase")
+        .join(conv, "user_id")
+        .where(F.col("ts_ns") < F.col("t_conv"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wk = Window.partitionBy("user_id")
+    credited = (
+        touches.withColumn("pos", F.row_number().over(w))
+        .withColumn("k", F.count(F.lit(1)).over(wk))
+        .select(
+            "event_type",
+            (F.col("pos") == 1).cast("long").alias("is_first"),
+            (F.col("pos") == F.col("k")).cast("long").alias("is_last"),
+            F.expr("1000000 DIV k").alias("linear_micro"),
+            F.expr(
+                "CASE WHEN k = 1 THEN 1000000"
+                "     WHEN k = 2 THEN 500000"
+                "     WHEN pos = 1 OR pos = k THEN 400000"
+                "     ELSE 200000 DIV (k - 2) END"
+            ).alias("position_micro"),
+        )
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("is_first").cast("long").alias("n_first"),
+            F.sum("is_last").cast("long").alias("n_last"),
+            F.sum("linear_micro").cast("long").alias("linear_micro"),
+            F.sum("position_micro").cast("long").alias("position_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH conv AS (
+  SELECT user_id, MIN(epoch_ns(ts)) AS t_conv
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+touches AS (
+  SELECT e.user_id, e.event_type, epoch_ns(e.ts) AS tns, e.event_id
+  FROM events e JOIN conv c ON e.user_id = c.user_id
+  WHERE e.event_type <> 'purchase' AND epoch_ns(e.ts) < c.t_conv),
+credited AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY tns, event_id) AS pos,
+         COUNT(*) OVER (PARTITION BY user_id) AS k
+  FROM touches)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_first,
+       CAST(SUM(CASE WHEN pos = k THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_last,
+       CAST(SUM(1000000 // k) AS BIGINT) AS linear_micro,
+       CAST(SUM(CASE WHEN k = 1 THEN 1000000
+                     WHEN k = 2 THEN 500000
+                     WHEN pos = 1 OR pos = k THEN 400000
+                     ELSE 200000 // (k - 2) END) AS BIGINT)
+         AS position_micro
+FROM credited
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "session_attribution_models",
+        session_attribution_models,
+        _ATTRIBUTION_SQL,
+        tags=("extension", "sessions"),
+        description="Multi-touch attribution (first/last/linear/"
+        "position-based 40-20-40) over pre-first-purchase journeys, "
+        "integer micro-credit per touch — one user_id exchange serves "
+        "the conversion aggregate, journey join, and position window.",
+    ),
     QueryDef(
         "session_cohort_retention",
         session_cohort_retention,

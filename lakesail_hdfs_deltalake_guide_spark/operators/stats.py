@@ -1816,6 +1816,242 @@ def stats_poisson_dispersion(
     )
 
 
+# --- HyperLogLog sketch (r13) ----------------------------------------------
+#
+# The remaining classic of the sketch family (CM, Bloom, KMV already
+# here): HLL's state is m=2^p max-leading-zero registers — the
+# merge-under-union, O(m)-bytes cardinality summary every engine
+# (Spark's approx_count_distinct included) uses at scale. Built here
+# from first principles with EXACT integer arithmetic so the DuckDB
+# twin reproduces it bit-for-bit: a 40-bit md5-derived hash splits into
+# an 8-bit register index and a 32-bit suffix whose bit-width comes
+# from counting powers-of-two ≤ w (no float log2), and the harmonic-
+# mean estimate is scaled integer division throughout (the ppm alpha
+# and the /1000 fold into one precomputed literal). No small-range
+# correction on purpose — the raw estimator keeps the arithmetic
+# engine-exact, and the registers themselves are the contract.
+#
+# Scale shape: one map-side expression + a 256-group aggregate; the
+# sketch state (256 rows) is the ONLY thing that crosses the wire, and
+# register-wise MAX is the union-merge — shard-parallel by
+# construction.
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_WBITS = 32  # suffix bits; rho ∈ 1..33
+_HLL_ALPHA_PPM = 718273  # 0.7213 / (1 + 1.079/m) for m=256, in ppm
+# est_x1000 = K · 2^33 DIV Σ 2^(33-r): K folds alpha_ppm·m²·10^-3
+HLL_K = _HLL_ALPHA_PPM * HLL_M * HLL_M // 1000
+_HLL_POWS = ",".join(str(1 << i) for i in range(HLL_WBITS))
+# small-range (linear counting) correction, the standard HLL regime
+# switch: when the raw estimate ≤ 2.5m and empty registers exist, use
+# m·ln(m/V) instead — precomputed as a V-indexed milli-unit literal LUT
+# (math.log at module build, identical literals in both engines)
+import math as _math  # noqa: E402
+
+HLL_LC_MILLI = tuple(
+    round(HLL_M * _math.log(HLL_M / v) * 1000)
+    for v in range(1, HLL_M + 1)
+)
+_HLL_LC = ",".join(str(x) for x in HLL_LC_MILLI)
+HLL_RAW_CUT_X1000 = 5 * HLL_M * 1000 // 2  # 2.5m threshold, milli
+
+
+def stats_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL(p=8) over distinct customers of ``orders``: one row with the
+    register-state fingerprint (present/zero registers, Σrho, the exact
+    harmonic-sum numerator) plus the integer estimate next to the true
+    distinct count."""
+    o = load_table(spark, sf_dir, "orders")
+    two_w = 1 << HLL_WBITS
+    two_w1 = 1 << (HLL_WBITS + 1)
+    regs = (
+        o.select(
+            F.expr(
+                "CAST(conv(substring(md5(concat('h:',"
+                " CAST(o_custkey AS STRING))), 1, 10), 16, 10)"
+                " AS BIGINT)"
+            ).alias("h")
+        )
+        .select(
+            F.expr(f"h DIV {two_w}").alias("reg"),
+            F.expr(f"h % {two_w}").alias("w"),
+        )
+        .select(
+            "reg",
+            # rho = leading zeros in the 32-bit suffix + 1
+            #     = 33 - bit_width(w); width counted by comparing
+            # against the 32 power-of-two literals (exact, no log2)
+            F.expr(
+                f"CAST({HLL_WBITS + 1}"
+                f" - size(filter(array({_HLL_POWS}), p -> p <= w))"
+                " AS BIGINT)"
+            ).alias("rho"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("r"))
+    )
+    state = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum("r").cast("long").alias("sum_rho"),
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST({HLL_WBITS + 1} - r AS INT))"
+            )
+        )
+        .cast("long")
+        .alias("inv_present"),
+    )
+    truth = o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("true_distinct")
+    )
+    return (
+        state.crossJoin(truth)
+        .select(
+            F.lit(HLL_M).cast("long").alias("m"),
+            F.expr(f"CAST({HLL_M} - n_present AS BIGINT)").alias(
+                "zero_registers"
+            ),
+            "sum_rho",
+            F.expr(
+                f"inv_present + ({HLL_M} - n_present)"
+                f" * CAST({two_w1} AS BIGINT)"
+            ).alias("sum_inv_x2p33"),
+            "true_distinct",
+        )
+        .select(
+            "m",
+            "zero_registers",
+            "sum_rho",
+            "sum_inv_x2p33",
+            F.expr(
+                f"{HLL_K} * CAST({two_w1} AS BIGINT)"
+                " DIV sum_inv_x2p33"
+            ).alias("est_x1000"),
+            "true_distinct",
+        )
+        .select(
+            "m",
+            "zero_registers",
+            "sum_rho",
+            "sum_inv_x2p33",
+            "est_x1000",
+            F.expr(
+                f"CASE WHEN zero_registers > 0"
+                f" AND est_x1000 <= {HLL_RAW_CUT_X1000}"
+                f" THEN element_at(array({_HLL_LC}),"
+                " CAST(zero_registers AS INT))"
+                " ELSE est_x1000 END"
+            ).alias("est_corrected_x1000"),
+            "true_distinct",
+        )
+    )
+
+
+# --- Benjamini–Hochberg FDR control (r13) -----------------------------------
+#
+# The multiple-testing gate the A/B z-test (X125) feeds at fleet scale:
+# testing 25 part brands at once, per-test alpha=0.05 would false-alarm
+# ~1.25 brands on pure noise — BH bounds the FALSE DISCOVERY RATE
+# instead. Exactness trick: rather than p-values (normal tails are
+# floats), the step-up compares each test's chi-square statistic to the
+# chi2(1) critical value of its BH slot — p_(i) ≤ alpha·i/m  ⟺
+# z²_(i) ≥ C(alpha·i/m) — and the 25 critical values are precomputed
+# stdlib-NormalDist literals shared verbatim by both engines. The
+# statistic itself is the exact-integer two-proportion z² in micro
+# units (HUGEINT/DECIMAL cross-multiplication, no division until the
+# final scaled truncation).
+
+BH_ALPHA_NUM = 5  # alpha = 5/100
+BH_ALPHA_DEN = 100
+BH_M = 25  # p_brand hypothesis count (TPC-H brand domain)
+# chi2(1) inverse survival at alpha·i/m, i = 1..25, micro units:
+# (NormalDist().inv_cdf(1 - 0.05*i/50))**2 * 1e6, rounded
+BH_CRIT_MICRO = (
+    9549536, 8283815, 7550303, 7033474, 6634897, 6310869, 6038143,
+    5802874, 5596149, 5411894, 5245785, 5094632, 4956019, 4828067,
+    4709292, 4598497, 4494704, 4397105, 4305022, 4217885, 4135204,
+    4056562, 3981594, 3909986, 3841459,
+)
+_BH_CRITS = ",".join(str(c) for c in BH_CRIT_MICRO)
+
+
+def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH step-up over 25 brand-level return-rate tests: per brand the
+    exact z² (micro), its rank by evidence, the BH critical value of
+    that slot, and whether the step-up rejects it."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select(
+                    "p_partkey", "p_brand"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            F.when(F.col("l_returnflag") == "R", 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("ret"),
+        )
+    )
+    per = li.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n1"), F.sum("ret").alias("k1")
+    )
+    tot = li.agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("ret").alias("k_all")
+    )
+    z2 = per.crossJoin(F.broadcast(tot)).select(
+        "p_brand",
+        "n1",
+        "k1",
+        # two-proportion z² = (k1·n0 − k0·n1)²·N / (n1·n0·K·(N−K)),
+        # micro-scaled; DECIMAL(38,0) keeps the cross-products exact
+        F.expr(
+            "CAST((CAST(k1 AS DECIMAL(38,0)) * (n_all - n1)"
+            " - CAST(k_all - k1 AS DECIMAL(38,0)) * n1)"
+            " * (CAST(k1 AS DECIMAL(38,0)) * (n_all - n1)"
+            "    - CAST(k_all - k1 AS DECIMAL(38,0)) * n1)"
+            " * n_all * 1000000"
+            " DIV (CAST(n1 AS DECIMAL(38,0)) * (n_all - n1)"
+            "      * k_all * (n_all - k_all)) AS BIGINT)"
+        ).alias("z2_micro"),
+    )
+    w = Window.orderBy(F.desc("z2_micro"), F.asc("p_brand"))
+    ranked = z2.withColumn("rank", F.row_number().over(w)).withColumn(
+        "crit_micro",
+        F.expr(f"element_at(array({_BH_CRITS}), CAST(rank AS INT))"),
+    )
+    all_w = Window.partitionBy()
+    return (
+        ranked.withColumn(
+            "k_star",
+            F.max(
+                F.when(
+                    F.col("z2_micro") >= F.col("crit_micro"),
+                    F.col("rank"),
+                ).otherwise(0)
+            ).over(all_w),
+        )
+        .select(
+            "p_brand",
+            "n1",
+            "k1",
+            "z2_micro",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("crit_micro").cast("long").alias("crit_micro"),
+            (F.col("rank") <= F.col("k_star"))
+            .cast("int")
+            .alias("rejected"),
+        )
+        .orderBy("rank")
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "stats_ols_segment_trend",
@@ -2894,5 +3130,116 @@ QUERIES: list[QueryDef] = [
         "distinct-token count per doc) in ppm: tie-broken total-order "
         "ranks from the distributed exact-rank helper, HUGEINT/DECIMAL "
         "sum of squared rank gaps.",
+    ),
+    QueryDef(
+        "stats_hll_sketch",
+        stats_hll_sketch,
+        f"""
+        WITH h AS (
+          SELECT CAST(('0x' || substring(md5('h:'
+                   || CAST(o_custkey AS VARCHAR)), 1, 10)) AS BIGINT)
+                 AS h
+          FROM orders),
+        rw AS (
+          SELECT h // {1 << HLL_WBITS} AS reg,
+                 h % {1 << HLL_WBITS} AS w
+          FROM h),
+        regs AS (
+          SELECT reg,
+                 MAX({HLL_WBITS + 1}
+                     - len(list_filter([{_HLL_POWS}],
+                                       p -> p <= w))) AS r
+          FROM rw GROUP BY reg),
+        st AS (
+          SELECT COUNT(*) AS n_present,
+                 SUM(r) AS sum_rho,
+                 SUM(CAST(1 AS BIGINT)
+                     << CAST({HLL_WBITS + 1} - r AS INT)) AS inv_present
+          FROM regs),
+        tr AS (
+          SELECT COUNT(DISTINCT o_custkey) AS true_distinct FROM orders),
+        raw AS (
+        SELECT CAST({HLL_M} AS BIGINT) AS m,
+               CAST({HLL_M} - n_present AS BIGINT) AS zero_registers,
+               CAST(sum_rho AS BIGINT) AS sum_rho,
+               CAST(inv_present + ({HLL_M} - n_present)
+                    * CAST({1 << (HLL_WBITS + 1)} AS BIGINT) AS BIGINT)
+                 AS sum_inv_x2p33,
+               CAST({HLL_K} * CAST({1 << (HLL_WBITS + 1)} AS BIGINT)
+                    // (inv_present + ({HLL_M} - n_present)
+                        * CAST({1 << (HLL_WBITS + 1)} AS BIGINT))
+                 AS BIGINT) AS est_x1000,
+               CAST(true_distinct AS BIGINT) AS true_distinct
+        FROM st, tr),
+        corr AS (
+          SELECT m, zero_registers, sum_rho, sum_inv_x2p33, est_x1000,
+                 CAST(CASE WHEN zero_registers > 0
+                           AND est_x1000 <= {HLL_RAW_CUT_X1000}
+                      THEN [{_HLL_LC}][CAST(zero_registers AS INT)]
+                      ELSE est_x1000 END AS BIGINT)
+                   AS est_corrected_x1000,
+                 true_distinct
+          FROM raw)
+        SELECT m, zero_registers, sum_rho, sum_inv_x2p33, est_x1000,
+               est_corrected_x1000, true_distinct
+        FROM corr
+        """,
+        tags=("extension", "stats", "sketch"),
+        description="HyperLogLog(p=8) from first principles, exact "
+        "integers end-to-end: 40-bit md5 hash, power-of-two-literal "
+        "bit-width (no float log2), register-MAX merge, harmonic-sum "
+        "estimate by precomputed-literal scaled division — the "
+        "mergeable cardinality sketch next to its true count.",
+    ),
+    QueryDef(
+        "stats_bh_fdr",
+        stats_bh_fdr,
+        f"""
+        WITH li AS (
+          SELECT p.p_brand,
+                 CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        per AS (
+          SELECT p_brand, COUNT(*) AS n1, SUM(ret) AS k1
+          FROM li GROUP BY p_brand),
+        tot AS (SELECT COUNT(*) AS n_all, SUM(ret) AS k_all FROM li),
+        z AS (
+          SELECT p_brand, n1, k1,
+                 CAST((CAST(k1 AS HUGEINT) * (n_all - n1)
+                       - CAST(k_all - k1 AS HUGEINT) * n1)
+                      * (CAST(k1 AS HUGEINT) * (n_all - n1)
+                         - CAST(k_all - k1 AS HUGEINT) * n1)
+                      * n_all * 1000000
+                      // (CAST(n1 AS HUGEINT) * (n_all - n1)
+                          * k_all * (n_all - k_all)) AS BIGINT)
+                   AS z2_micro
+          FROM per, tot),
+        rk AS (
+          SELECT *, ROW_NUMBER()
+                      OVER (ORDER BY z2_micro DESC, p_brand) AS rnk
+          FROM z),
+        cr AS (
+          SELECT *, [{_BH_CRITS}][CAST(rnk AS INT)] AS crit_micro
+          FROM rk),
+        ks AS (
+          SELECT *, MAX(CASE WHEN z2_micro >= crit_micro
+                             THEN rnk ELSE 0 END) OVER () AS k_star
+          FROM cr)
+        SELECT p_brand,
+               CAST(n1 AS BIGINT) AS n1,
+               CAST(k1 AS BIGINT) AS k1,
+               z2_micro,
+               CAST(rnk AS BIGINT) AS rank,
+               CAST(crit_micro AS BIGINT) AS crit_micro,
+               CAST(CASE WHEN rnk <= k_star THEN 1 ELSE 0 END AS INT)
+                 AS rejected
+        FROM ks ORDER BY rnk
+        """,
+        tags=("extension", "stats"),
+        description="Benjamini-Hochberg FDR step-up over 25 brand "
+        "return-rate tests: exact-integer two-proportion z-square in "
+        "micro units compared against precomputed chi2(1) critical "
+        "values per BH slot (statistic-vs-critical avoids float "
+        "p-values entirely).",
     ),
 ]

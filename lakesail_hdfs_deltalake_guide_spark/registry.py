@@ -84,26 +84,6 @@ _R05_VERIFIED = frozenset(
         "clean_domain_filter",
         "clean_gopher_quality_rules",
         "dedup_cluster_best_quality",
-        "dedup_embedding_cosine",
-        "dedup_exact_keep_first",
-        "dedup_fuzzy_containment",
-        "dedup_paragraph_exact",
-        "dedup_span_coverage",
-        "delta_native_cdf_capture",
-        "delta_native_column_mapping",
-        "delta_native_delete_update",
-        "delta_native_deletion_vectors",
-        "delta_native_generated_columns",
-        "delta_native_history_timestamp_travel",
-        "delta_native_identity_columns",
-        "delta_native_merge_upsert",
-        "delta_native_row_tracking",
-        "delta_native_shallow_clone",
-        "delta_native_type_widening",
-        "delta_native_update_dv",
-        "delta_native_zorder_skip",
-        "delta_stream_cdf_ingest",
-        "delta_stream_incremental_ingest",
         "filter_comparison_sort",
         "filter_equality",
         "flagship_customer_order_analysis",
@@ -113,16 +93,11 @@ _R05_VERIFIED = frozenset(
         "join_inner_group",
         "join_semi_customers_with_orders",
         "literal_projection",
-        "pipeline_medallion_incremental",
         "profile_filter_agreement",
         "projection_aliases",
-        "sample_global_shuffle_shards",
-        "sample_group_disjoint_split",
-        "sample_split_drift",
         "selectexpr_arithmetic",
         "similarity_ivf_topk",
         "similarity_lsh_topk",
-        "streaming_delta_exactly_once_sink",
         "text_bm25_rank",
         "text_token_rarity_scores",
         "tpch_q1_pricing_summary",
@@ -462,6 +437,61 @@ _R11_VERIFIED = frozenset(
     }
 )
 
+_R12_VERIFIED = frozenset(
+    {
+        "clean_l_diversity_audit",
+        "clean_license_notice_scan",
+        "clean_pii_luhn_sweep",
+        "clean_secret_entropy_scan",
+        "clean_t_closeness_audit",
+        "dedup_embedding_cosine",
+        "dedup_exact_keep_first",
+        "dedup_fuzzy_containment",
+        "dedup_paragraph_exact",
+        "dedup_span_coverage",
+        "delta_native_cdf_capture",
+        "delta_native_check_constraints",
+        "delta_native_column_invariants",
+        "delta_native_column_mapping",
+        "delta_native_convert_parquet",
+        "delta_native_deep_clone",
+        "delta_native_delete_update",
+        "delta_native_deletion_vectors",
+        "delta_native_dv_wire_roundtrip",
+        "delta_native_foreign_dv_read",
+        "delta_native_fsck_repair",
+        "delta_native_generated_columns",
+        "delta_native_history_timestamp_travel",
+        "delta_native_identity_columns",
+        "delta_native_merge_clauses",
+        "delta_native_merge_upsert",
+        "delta_native_metadata_count",
+        "delta_native_replace_where",
+        "delta_native_row_tracking",
+        "delta_native_shallow_clone",
+        "delta_native_type_widening",
+        "delta_native_update_dv",
+        "delta_native_zorder_skip",
+        "delta_stream_cdf_ingest",
+        "delta_stream_incremental_ingest",
+        "graph_label_propagation",
+        "pipeline_curation_e2e",
+        "pipeline_medallion_incremental",
+        "profile_expectations_audit",
+        "sample_global_shuffle_shards",
+        "sample_group_disjoint_split",
+        "sample_split_drift",
+        "sample_unimax_allocation",
+        "session_cohort_retention",
+        "similarity_binary_hamming_topk",
+        "similarity_ivf_binary_topk",
+        "streaming_delta_exactly_once_sink",
+        "streaming_document_curation_gate",
+        "text_colbert_maxsim_rerank",
+        "text_readability_flesch",
+    }
+)
+
 DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _R05_VERIFIED,
     _R06_VERIFIED,
@@ -470,6 +500,7 @@ DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _R09_VERIFIED,
     _R10_VERIFIED,
     _R11_VERIFIED,
+    _R12_VERIFIED,
 )
 
 DRIVER_VERIFIED = frozenset().union(*DRIVER_VERIFIED_ROUNDS)

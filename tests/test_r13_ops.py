@@ -226,3 +226,204 @@ def test_deep_clone_disambiguates_colliding_basenames(spark):
     )
     got = sorted(r.k for r in delta_read(spark, dst).collect())
     assert got == [0, 1]
+
+
+# --- r13 operator invariants -------------------------------------------------
+
+
+def _duck(sf_dir, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "part", "events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT *"
+            f" FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchall()
+
+
+def test_hll_sketch_matches_sequential_reference(spark, sf_smoke):
+    """The distributed register state must equal a sequential hashlib
+    HLL over the same keys, and the estimate must land within the
+    p=8 error envelope of the true cardinality."""
+    import hashlib
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        HLL_K,
+        HLL_M,
+        HLL_WBITS,
+        stats_hll_sketch,
+    )
+
+    keys = [r[0] for r in _duck(sf_smoke, "SELECT o_custkey FROM orders")]
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(f"h:{k}".encode()).hexdigest()[:10], 16)
+        reg, w = h >> HLL_WBITS, h % (1 << HLL_WBITS)
+        rho = HLL_WBITS + 1 - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    sum_inv = sum(1 << (HLL_WBITS + 1 - r) for r in regs.values()) + (
+        HLL_M - len(regs)
+    ) * (1 << (HLL_WBITS + 1))
+    row = stats_hll_sketch(spark, sf_smoke).collect()[0]
+    assert row.zero_registers == HLL_M - len(regs)
+    assert row.sum_rho == sum(regs.values())
+    assert row.sum_inv_x2p33 == sum_inv
+    assert row.est_x1000 == HLL_K * (1 << (HLL_WBITS + 1)) // sum_inv
+    true_n = len(set(keys))
+    assert row.true_distinct == true_n
+    # 150 distinct over 256 registers is the SMALL-RANGE regime: the
+    # raw estimator is known-biased there and the linear-counting
+    # branch must kick in and land inside the error envelope
+    assert row.est_corrected_x1000 != row.est_x1000
+    assert abs(row.est_corrected_x1000 / 1000 - true_n) < 0.2 * true_n
+
+
+def test_hll_sketch_raw_regime_accuracy(spark, sf_oracle):
+    """At sf0.01 (1500 distinct >> 2.5m) the raw harmonic estimator is
+    in its own regime: no correction applies and the estimate lands
+    within the 3-sigma envelope (1.04/sqrt(256) per sigma)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        stats_hll_sketch,
+    )
+
+    row = stats_hll_sketch(spark, sf_oracle).collect()[0]
+    assert row.est_corrected_x1000 == row.est_x1000
+    assert (
+        abs(row.est_x1000 / 1000 - row.true_distinct)
+        < 0.2 * row.true_distinct
+    )
+
+
+def test_bh_fdr_stepup_properties(spark, sf_smoke):
+    """BH step-up invariants: the rejected set is exactly ranks
+    1..k_star where k_star is the LAST rank whose statistic clears its
+    slot's critical value — and a sequential Python BH on the same
+    statistics agrees."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        BH_CRIT_MICRO,
+        stats_bh_fdr,
+    )
+
+    rows = stats_bh_fdr(spark, sf_smoke).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    z2 = [r.z2_micro for r in rows]
+    assert z2 == sorted(z2, reverse=True)
+    k_star = max(
+        (r for r, z in enumerate(z2, 1) if z >= BH_CRIT_MICRO[r - 1]),
+        default=0,
+    )
+    for r in rows:
+        assert r.crit_micro == BH_CRIT_MICRO[r.rank - 1]
+        assert r.rejected == (1 if r.rank <= k_star else 0)
+    # step-up, not step-down: a rank below k_star is rejected even if
+    # its own statistic missed its slot (when such a gap exists)
+    assert all(
+        rows[i].rejected >= rows[i + 1].rejected
+        for i in range(len(rows) - 1)
+    ), "rejections must be a prefix of the ranking"
+
+
+def test_horvitz_thompson_matches_sequential_reference(spark, sf_smoke):
+    """Membership and per-item y/pi terms recomputed sequentially from
+    the raw table must reproduce the distributed ledger exactly; the
+    HT count estimate should land near the true count."""
+    import hashlib
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        HT_TARGET,
+        sample_horvitz_thompson,
+    )
+
+    raw = _duck(
+        sf_smoke,
+        "SELECT o_orderkey, o_orderpriority,"
+        " CAST(round(o_totalprice * 100) AS BIGINT) FROM orders",
+    )
+    s_all = sum(r[2] for r in raw)
+    per: dict[str, list[int]] = {}
+    for key, prio, s in raw:
+        u = int(hashlib.md5(f"ht:{key}".encode()).hexdigest()[:8], 16) % 10**6
+        st = per.setdefault(prio, [0, 0, 0, 0, 0])
+        st[0] += 1
+        st[1] += s
+        if u * s_all < HT_TARGET * s * 10**6:
+            st[2] += 1
+            st[3] += max(1000, s_all * 1000 // (HT_TARGET * s))
+            st[4] += max(s * 1000, s * s_all * 1000 // (HT_TARGET * s))
+    for r in sample_horvitz_thompson(spark, sf_smoke).collect():
+        st = per[r.o_orderpriority]
+        assert (
+            r.true_count,
+            r.true_cents,
+            r.n_sampled,
+            r.ht_count_x1000,
+            r.ht_cents_x1000,
+        ) == tuple(st)
+    total_est = sum(st[3] for st in per.values()) / 1000
+    total_true = sum(st[0] for st in per.values())
+    assert abs(total_est - total_true) < 0.35 * total_true
+
+
+def test_neyman_allocation_exact_and_sums_to_budget(spark, sf_smoke):
+    """Weights must equal math.isqrt of the exact variance numerator
+    (no float-sqrt drift), and both allocations must sum to the budget
+    exactly with every part non-negative."""
+    import math
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        NEYMAN_N,
+        sample_neyman_allocation,
+    )
+
+    raw = _duck(
+        sf_smoke,
+        "SELECT o_orderpriority,"
+        " CAST(round(o_totalprice * 100) AS BIGINT) FROM orders",
+    )
+    strata: dict[str, list[int]] = {}
+    for prio, x in raw:
+        st = strata.setdefault(prio, [0, 0, 0])
+        st[0] += 1
+        st[1] += x
+        st[2] += x * x
+    rows = sample_neyman_allocation(spark, sf_smoke).collect()
+    for r in rows:
+        n, s1, s2 = strata[r.o_orderpriority]
+        assert r.n_h == n
+        assert r.weight == math.isqrt(n * s2 - s1 * s1)
+        assert r.n_neyman >= 0 and r.n_proportional >= 0
+    assert sum(r.n_neyman for r in rows) == NEYMAN_N
+    assert sum(r.n_proportional for r in rows) == NEYMAN_N
+
+
+def test_attribution_credit_conservation(spark, sf_smoke):
+    """Every converting user with >=1 pre-conversion touch hands out
+    exactly one first-touch and one last-touch credit; linear and
+    position credit per user never exceeds one million micro and the
+    truncation shortfall is bounded by the journey length."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.sessions import (
+        session_attribution_models,
+    )
+
+    rows = session_attribution_models(spark, sf_smoke).collect()
+    (n_users,) = _duck(
+        sf_smoke,
+        """
+        WITH conv AS (
+          SELECT user_id, MIN(epoch_ns(ts)) AS t
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        SELECT COUNT(DISTINCT e.user_id) FROM events e
+        JOIN conv c ON e.user_id = c.user_id
+        WHERE e.event_type <> 'purchase' AND epoch_ns(e.ts) < c.t
+        """,
+    )[0]
+    assert sum(r.n_first for r in rows) == n_users
+    assert sum(r.n_last for r in rows) == n_users
+    n_touches = sum(r.n_touches for r in rows)
+    for col in ("linear_micro", "position_micro"):
+        total = sum(getattr(r, col) for r in rows)
+        assert total <= 1_000_000 * n_users
+        # each touch truncates away < 1 micro-unit times its divisor
+        assert total > 1_000_000 * n_users - n_touches * 1000
