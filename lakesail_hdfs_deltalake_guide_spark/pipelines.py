@@ -844,78 +844,17 @@ CURATION_SHINGLE_K = 5  # 3-token shingles collide corpus-wide on the
 CURATION_MIX_NUM, CURATION_MIX_DEN = 3, 5  # token budget = 60% of s4
 
 
-def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end corpus curation as ONE artifact: the attrition ledger.
-
-    Stages (docs with doc_id < 20 are the benchmark set, excluded from
-    the pipeline corpus up front):
-
-      0 raw            pipeline corpus (doc_id ≥ 20)
-      1 quality_gate   Gopher repetition rules (top-bigram char share ≤
-                       20%, duplicate-trigram overhead ≤ 15%) AND the
-                       hashed linear classifier (score_milli ≥ 0)
-      2 exact_dedup    keep-first (min doc_id) per md5(text)
-      3 minhash_neardup MinHash-LSH (32 perms, 8×4 bands, 5-token
-                       shingles) — drop the larger doc_id of any pair
-                       with est_jaccard ≥ 0.5
-      4 decontaminate  drop docs sharing ANY token 13-gram with the
-                       benchmark set (broadcast semi-join)
-      5 mix_sample     temperature mixing (T=2: weight = isqrt(n_docs)
-                       per source, Hamilton largest-remainder over a
-                       budget of 60% of surviving docs) APPLIED — keep
-                       each source's first alloc docs by doc_id
-      6 pack_sequences the packing/waste report over survivors:
-                       n_docs = packed sequences of PACK_WINDOW tokens,
-                       dropped_tokens = tail padding, kept_ppm =
-                       utilization ppm (for stages 1–5 kept_ppm is docs
-                       surviving vs the previous stage)
-
-    All arithmetic integer/ppm (md5-prefix hashes, isqrt via
-    correctly-rounded IEEE sqrt, Hamilton apportionment) — the DuckDB
-    oracle reproduces the whole ledger bit-for-bit.
-
-    Scale shape (each stage inherits its standalone operator's posture):
-    the gates shuffle per-(doc, gram) counts or 16-byte digests, never
-    text; the classifier weight table broadcasts; LSH candidates are
-    band-bounded; the benchmark gram set broadcasts; mixing collapses
-    to |sources| rows before its windows; the packing report is one
-    aggregate. Stage survivors persist as (doc_id, source, text,
-    n_tokens) — at 100 TB those are metadata-plus-text scans that would
-    instead checkpoint to the lakehouse between stages, with identical
-    plan shapes."""
-    from .functions.hashing import (
-        band_keys,
-        minhash_signature,
-        minhash_similarity,
-        shingle_hashes,
-        shingles,
-        tokens,
-    )
-    from .operators.chunking import PACK_WINDOW
+def _curation_quality_ids(spark: SparkSession, raw: DataFrame) -> DataFrame:
+    """Stage-1 survivors (doc_id frame): Gopher repetition rules +
+    hashed-classifier gate — per-document and stateless, so the SAME
+    helper serves the batch capstone and any increment of it."""
     from .operators.cleaning import (
         CLS_BUCKETS,
         CLS_WEIGHT_SPAN,
         GOPHER_DUP3_MAX_PPM,
         GOPHER_TOP2_MAX_PPM,
     )
-    from .operators.dedup import CONTAM_K, NUM_BANDS, NUM_PERM, ROWS_PER_BAND
-    from .tables import load_table, spread_compute
 
-    d = load_table(spark, sf_dir, "documents")
-    raw = (
-        spread_compute(
-            d.where(F.col("doc_id") >= CURATION_BENCH_DOCS), "doc_id"
-        )
-        .select(
-            "doc_id",
-            "source",
-            "text",
-            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-        )
-        .persist()
-    )
-
-    # ---- stage 1: quality gate (gopher repetition + classifier) ----
     base = raw.select(
         "doc_id",
         F.split("text", " ").alias("t"),
@@ -1006,7 +945,7 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.expr("w_sum DIV n_tok").alias("score_milli"))
     )
-    quality = (
+    return (
         base.select("doc_id", "n_chars")
         .join(top2, "doc_id", "left")
         .join(dup3, "doc_id", "left")
@@ -1024,29 +963,55 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id")
     )
-    s1 = raw.join(quality, "doc_id", "left_semi").persist()
 
-    # ---- stage 2: exact dedup (keep-first per md5 digest) ----
-    first = s1.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+
+def _curation_sigs(s2: DataFrame) -> DataFrame:
+    """MinHash signatures over 5-token shingles for stage-3 LSH."""
+    from .functions.hashing import (
+        minhash_signature,
+        shingle_hashes,
+        shingles,
+        tokens,
     )
-    s2 = s1.join(first.select("doc_id"), "doc_id", "left_semi").persist()
+    from .operators.dedup import NUM_PERM
 
-    # ---- stage 3: MinHash-LSH near-dedup (5-token shingles) ----
-    sigs = s2.select(
+    return s2.select(
         "doc_id",
         minhash_signature(
             shingle_hashes(shingles(tokens("text"), CURATION_SHINGLE_K)),
             NUM_PERM,
         ).alias("sig"),
-    ).persist()
-    bands = sigs.select(
+    )
+
+
+def _curation_bands(sigs: DataFrame) -> DataFrame:
+    from .functions.hashing import band_keys
+    from .operators.dedup import NUM_BANDS, ROWS_PER_BAND
+
+    return sigs.select(
         "doc_id",
         F.explode(band_keys(F.col("sig"), NUM_BANDS, ROWS_PER_BAND)).alias(
             "band"
         ),
     ).select("doc_id", "band.band_id", "band.band_hash")
-    pa_, pb_ = bands.alias("a"), bands.alias("b")
+
+
+def _curation_near_drop(
+    bands_a: DataFrame,
+    bands_b: DataFrame,
+    sigs_a: DataFrame,
+    sigs_b: DataFrame,
+) -> DataFrame:
+    """LSH near-dup drop set: doc_ids (from the b side) that pair with
+    a SMALLER doc_id (from the a side) at est_jaccard >= 0.5. The batch
+    capstone passes the same frames for both sides; the incremental
+    variant restricts the b side to the new increment (state docs can
+    never be dropped by later arrivals under id-ordered ingest, which
+    is exactly the batch semantics)."""
+    from .functions.hashing import minhash_similarity
+    from .operators.dedup import NUM_PERM
+
+    pa_, pb_ = bands_a.alias("a"), bands_b.alias("b")
     pairs = (
         pa_.join(
             pb_,
@@ -1059,15 +1024,15 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    near_drop = (
+    return (
         pairs.join(
-            sigs.select(
+            sigs_a.select(
                 F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
             ),
             "doc_a",
         )
         .join(
-            sigs.select(
+            sigs_b.select(
                 F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
             ),
             "doc_b",
@@ -1079,9 +1044,13 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s3 = s2.join(near_drop, "doc_id", "left_anti").persist()
 
-    # ---- stage 4: 13-gram benchmark decontamination ----
+
+def _curation_contaminated(d: DataFrame, s3: DataFrame) -> DataFrame:
+    """Doc ids of s3 sharing any token 13-gram with the benchmark set
+    (docs below CURATION_BENCH_DOCS in the raw table)."""
+    from .operators.dedup import CONTAM_K
+
     toks = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - CONTAM_K),
@@ -1093,16 +1062,19 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.array_distinct(grams)).alias("gram"))
         .distinct()
     )
-    contaminated = (
+    return (
         s3.where(long_enough)
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
         .join(F.broadcast(bench), "gram", "left_semi")
         .select("doc_id")
         .distinct()
     )
-    s4 = s3.join(contaminated, "doc_id", "left_anti").persist()
 
-    # ---- stage 5: temperature mixing, applied ----
+
+def _curation_alloc(s4: DataFrame) -> DataFrame:
+    """Stage-5 temperature-mixing allocation (source, alloc): T=2
+    weights = isqrt(n_docs), Hamilton largest remainder over a budget
+    of CURATION_MIX_NUM/DEN of surviving docs."""
     per_src = s4.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     x = per_src.select(
         "source",
@@ -1124,7 +1096,7 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("row_number() over (order by rem desc, source)").alias("rk"),
         F.expr("b - sum(base) over ()").alias("deficit"),
     )
-    alloc = z.select(
+    return z.select(
         "source",
         (
             F.col("base")
@@ -1133,6 +1105,87 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("alloc"),
     )
+
+
+def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as ONE artifact: the attrition ledger.
+
+    Stages (docs with doc_id < 20 are the benchmark set, excluded from
+    the pipeline corpus up front):
+
+      0 raw            pipeline corpus (doc_id ≥ 20)
+      1 quality_gate   Gopher repetition rules (top-bigram char share ≤
+                       20%, duplicate-trigram overhead ≤ 15%) AND the
+                       hashed linear classifier (score_milli ≥ 0)
+      2 exact_dedup    keep-first (min doc_id) per md5(text)
+      3 minhash_neardup MinHash-LSH (32 perms, 8×4 bands, 5-token
+                       shingles) — drop the larger doc_id of any pair
+                       with est_jaccard ≥ 0.5
+      4 decontaminate  drop docs sharing ANY token 13-gram with the
+                       benchmark set (broadcast semi-join)
+      5 mix_sample     temperature mixing (T=2: weight = isqrt(n_docs)
+                       per source, Hamilton largest-remainder over a
+                       budget of 60% of surviving docs) APPLIED — keep
+                       each source's first alloc docs by doc_id
+      6 pack_sequences the packing/waste report over survivors:
+                       n_docs = packed sequences of PACK_WINDOW tokens,
+                       dropped_tokens = tail padding, kept_ppm =
+                       utilization ppm (for stages 1–5 kept_ppm is docs
+                       surviving vs the previous stage)
+
+    All arithmetic integer/ppm (md5-prefix hashes, isqrt via
+    correctly-rounded IEEE sqrt, Hamilton apportionment) — the DuckDB
+    oracle reproduces the whole ledger bit-for-bit.
+
+    Scale shape (each stage inherits its standalone operator's posture):
+    the gates shuffle per-(doc, gram) counts or 16-byte digests, never
+    text; the classifier weight table broadcasts; LSH candidates are
+    band-bounded; the benchmark gram set broadcasts; mixing collapses
+    to |sources| rows before its windows; the packing report is one
+    aggregate. Stage survivors persist as (doc_id, source, text,
+    n_tokens) — at 100 TB those are metadata-plus-text scans that would
+    instead checkpoint to the lakehouse between stages, with identical
+    plan shapes."""
+    from .operators.chunking import PACK_WINDOW
+    from .tables import load_table, spread_compute
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = (
+        spread_compute(
+            d.where(F.col("doc_id") >= CURATION_BENCH_DOCS), "doc_id"
+        )
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .persist()
+    )
+
+    # ---- stage 1: quality gate (gopher repetition + classifier) ----
+    s1 = raw.join(
+        _curation_quality_ids(spark, raw), "doc_id", "left_semi"
+    ).persist()
+
+    # ---- stage 2: exact dedup (keep-first per md5 digest) ----
+    first = s1.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    s2 = s1.join(first.select("doc_id"), "doc_id", "left_semi").persist()
+
+    # ---- stage 3: MinHash-LSH near-dedup (5-token shingles) ----
+    sigs = _curation_sigs(s2).persist()
+    bands = _curation_bands(sigs)
+    near_drop = _curation_near_drop(bands, bands, sigs, sigs)
+    s3 = s2.join(near_drop, "doc_id", "left_anti").persist()
+
+    # ---- stage 4: 13-gram benchmark decontamination ----
+    contaminated = _curation_contaminated(d, s3)
+    s4 = s3.join(contaminated, "doc_id", "left_anti").persist()
+
+    # ---- stage 5: temperature mixing, applied ----
+    alloc = _curation_alloc(s4)
     ranked = s4.withColumn(
         "rkd",
         F.row_number().over(
@@ -1224,6 +1277,203 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return led.unionByName(pk).orderBy("stage_id")
+
+
+def pipeline_curation_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation capstone (X182) driven INCREMENTALLY from a Delta
+    change feed — the production shape: documents land in a CDF-enabled
+    bronze table batch by batch, and each commit's change images flow
+    through the SAME stage helpers the batch capstone uses, with the
+    cross-batch memory persisted as Delta state tables:
+
+      - digest state (X143 pattern): incoming digests anti-join the
+        seen set, so a later crawl's duplicate of an earlier doc drops;
+      - signature state (X70 pattern): every stage-2 survivor's MinHash
+        signature persists, and an increment's near-dup candidates are
+        the banded join of NEW docs against state + increment — never
+        all-pairs, never reprocessing old text;
+      - survivor state: stage-4 output accumulates for the global
+        stages (mixing is allocation over ALL survivors, so it and the
+        packing report recompute from the state table — the classic
+        incremental-gates + global-summary split).
+
+    Ingest is doc_id-ordered (batch 1 = low ids, batch 2 = high ids),
+    which makes incremental keep-first/drop-larger IDENTICAL to the
+    batch semantics — and the proof is the oracle: this query's ledger
+    is checked against the SAME full-recompute DuckDB SQL as X182, so
+    a green row certifies increment-driven output ≡ full recompute
+    (the X85 "maintenance never changes answers" bar).
+
+    Scale: per increment the work is (new docs) × (stage cost) plus a
+    banded join against state signatures — state TEXT is never re-read;
+    at 100 TB the band keys of the state would persist alongside the
+    signatures (one more column family) to skip even the state-side
+    band recompute; the per-increment ledger counters are 1-row
+    aggregates."""
+    import tempfile
+
+    from .operators.chunking import PACK_WINDOW
+    from .sources.delta_log import (
+        delta_read,
+        delta_read_cdf,
+        delta_write,
+    )
+    from .tables import load_table, spread_compute
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = spread_compute(
+        d.where(F.col("doc_id") >= CURATION_BENCH_DOCS), "doc_id"
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    mid = corpus.agg(
+        F.expr("(min(doc_id) + max(doc_id)) DIV 2").alias("m")
+    ).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="ls_cur_incr_")
+    bronze = f"{root}/bronze"
+    digest_p = f"{root}/state_digests"
+    sigs_p = f"{root}/state_sigs"
+    surv_p = f"{root}/state_survivors"
+    counts: list[list[int]] = []  # per increment: [(docs, toks) x 5]
+    first_round = True
+    for lo, hi in ((None, mid), (mid, None)):
+        batch = corpus
+        if lo is not None:
+            batch = batch.where(F.col("doc_id") > lo)
+        if hi is not None:
+            batch = batch.where(F.col("doc_id") <= hi)
+        v = delta_write(
+            batch,
+            bronze,
+            mode="overwrite" if first_round else "append",
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        # the increment IS the change feed of this commit
+        raw_i = (
+            delta_read_cdf(spark, bronze, v, v)
+            .where("_change_type = 'insert'")
+            .select("doc_id", "source", "text", "n_tokens")
+            .persist()
+        )
+        s1_i = raw_i.join(
+            _curation_quality_ids(spark, raw_i), "doc_id", "left_semi"
+        ).persist()
+        # stage 2: in-increment keep-first AND not seen in any earlier
+        # crawl (id-ordered ingest makes this global keep-first)
+        with_h = s1_i.select("doc_id", F.md5("text").alias("h"))
+        if not first_round:
+            seen = delta_read(spark, digest_p)
+            with_h = with_h.join(seen, "h", "left_anti")
+        new_first = with_h.groupBy("h").agg(
+            F.min("doc_id").alias("doc_id")
+        ).persist()
+        s2_i = s1_i.join(
+            new_first.select("doc_id"), "doc_id", "left_semi"
+        ).persist()
+        delta_write(
+            new_first.select("h"),
+            digest_p,
+            mode="overwrite" if first_round else "append",
+        )
+        # stage 3: new-vs-(state ∪ new) banded candidates only
+        sigs_i = _curation_sigs(s2_i).persist()
+        bands_i = _curation_bands(sigs_i)
+        if first_round:
+            sigs_all, bands_all = sigs_i, bands_i
+        else:
+            sigs_all = delta_read(spark, sigs_p).unionByName(sigs_i)
+            bands_all = _curation_bands(sigs_all)
+        near = _curation_near_drop(bands_all, bands_i, sigs_all, sigs_i)
+        s3_i = s2_i.join(near, "doc_id", "left_anti").persist()
+        # stage 4: static benchmark gram set
+        cont = _curation_contaminated(d, s3_i)
+        s4_i = s3_i.join(cont, "doc_id", "left_anti").persist()
+        delta_write(
+            sigs_i,
+            sigs_p,
+            mode="overwrite" if first_round else "append",
+            stats_cols=["doc_id"],
+        )
+        delta_write(
+            s4_i.select("doc_id", "source", "n_tokens"),
+            surv_p,
+            mode="overwrite" if first_round else "append",
+        )
+        row_counts = []
+        for df in (raw_i, s1_i, s2_i, s3_i, s4_i):
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
+            ).collect()[0]
+            row_counts.append((int(r["n"]), int(r["t"])))
+        counts.append(row_counts)
+        first_round = False
+    # global stages over the survivor state
+    s4_all = delta_read(spark, surv_p)
+    alloc = _curation_alloc(s4_all)
+    ranked = s4_all.withColumn(
+        "rkd",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("doc_id")
+        ),
+    )
+    s5 = (
+        ranked.join(alloc, "source")
+        .where(F.col("rkd") <= F.col("alloc"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
+        )
+        .collect()[0]
+    )
+    names = (
+        "raw",
+        "quality_gate",
+        "exact_dedup",
+        "minhash_neardup",
+        "decontaminate",
+        "mix_sample",
+    )
+    totals = [
+        (
+            sum(c[i][0] for c in counts),
+            sum(c[i][1] for c in counts),
+        )
+        for i in range(5)
+    ] + [(int(s5["n"]), int(s5["t"]))]
+    rows = []
+    prev = None
+    for sid, ((nd, nt), name) in enumerate(zip(totals, names)):
+        if prev is None:
+            dd, dt, kept = 0, 0, 1_000_000
+        else:
+            dd, dt = prev[0] - nd, prev[1] - nt
+            kept = nd * 1_000_000 // prev[0] if prev[0] else 0
+        rows.append((sid, name, nd, nt, dd, dt, kept))
+        prev = (nd, nt)
+    t5 = totals[5][1]
+    packs = (t5 + PACK_WINDOW - 1) // PACK_WINDOW
+    rows.append(
+        (
+            6,
+            "pack_sequences",
+            packs,
+            t5,
+            0,
+            packs * PACK_WINDOW - t5,
+            t5 * 1_000_000 // (packs * PACK_WINDOW) if t5 else 0,
+        )
+    )
+    return spark.createDataFrame(
+        rows,
+        "stage_id long, stage string, n_docs long, n_tokens long,"
+        " dropped_docs long, dropped_tokens long, kept_ppm long",
+    )
 
 
 def _sql_curation_e2e() -> str:
@@ -1461,6 +1711,18 @@ def _sql_curation_e2e() -> str:
 
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "pipeline_curation_incremental",
+        pipeline_curation_incremental,
+        # the SAME full-recompute oracle as the batch capstone: a green
+        # row certifies increment-driven output ≡ full recompute
+        _sql_curation_e2e(),
+        tags=("extension", "pipeline", "delta", "cdc", "bench"),
+        description="The curation capstone driven from Delta CDF "
+        "increments with persisted digest/signature/survivor state "
+        "tables; the ledger is checked against the batch capstone's "
+        "full-recompute oracle, proving increment == recompute.",
+    ),
     QueryDef(
         "pipeline_curation_e2e",
         pipeline_curation_e2e,

@@ -3667,11 +3667,69 @@ def _live_stats_cols(adds) -> list[str]:
     return sorted(keys)
 
 
+def _scope_partition_predicate(
+    spark: SparkSession, meta: dict, live: dict, where
+) -> dict:
+    """Resolve an arbitrary partition predicate (delta-spark's
+    ``OPTIMIZE t WHERE part >= x`` scope) to the matching subset of the
+    live add set. Metadata-scale: the DISTINCT partition tuples (never
+    the data) become a local DataFrame, each value cast to its schema
+    type, and Spark evaluates the predicate — so any expression the
+    engine can type-check over partition columns works (ranges, IN,
+    arithmetic). A predicate naming a non-partition column fails
+    resolution loudly. NULL predicate results are out of scope (SQL
+    three-valued logic), matching the replaceWhere remainder rule."""
+    part_cols = meta.get("partitionColumns") or []
+    if not part_cols:
+        raise ValueError(
+            "a partition-predicate scope requires a partitioned table"
+        )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    groups: dict[tuple, list[str]] = {}
+    for f, a in live.items():
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(
+            tuple(pv.get(c) for c in part_cols), []
+        ).append(f)
+    if not groups:
+        return {}
+    pdf = spark.createDataFrame(
+        [tuple(t) for t in groups],
+        schema=", ".join(f"`{c}` string" for c in part_cols),
+    )
+    matched = (
+        pdf.select(
+            *[
+                F.col(c).cast(schema[c].dataType).alias(c)
+                for c in part_cols
+            ],
+            F.struct(*part_cols).alias("__raw"),
+        )
+        .where(_coerce_predicate(where))
+        .select("__raw")
+        .collect()
+    )
+    hit = {tuple(r["__raw"]) for r in matched}
+    # map matched TYPED tuples back through their raw-string identity:
+    # the struct carries the typed values, so re-derive membership by
+    # casting each raw tuple the same way locally is avoided — instead
+    # keep raw strings inside the struct via a second projection
+    scope: dict = {}
+    for raw, files in groups.items():
+        if raw in hit:
+            for f in files:
+                scope[f] = live[f]
+    return scope
+
+
 def delta_optimize(
     spark: SparkSession,
     path: str,
     target_files: int = 1,
     partition_filter: dict[str, str] | None = None,
+    where=None,
 ) -> int:
     """Compaction (Delta OPTIMIZE): rewrite the live file set into
     ``target_files`` larger files and commit add+remove with
@@ -3685,7 +3743,12 @@ def delta_optimize(
     ``OPTIMIZE t WHERE part = x``: only matching partitions' files are
     read, rewritten, and removed — the rest of the table is untouched,
     which is what makes nightly compaction of just-landed partitions
-    affordable on a table whose history spans years. Partitioned
+    affordable on a table whose history spans years. ``where`` is the
+    GENERAL form of the same scope — any Spark-resolvable predicate
+    over partition columns (``"part >= 2"``, ``"part IN (1,3)"``),
+    resolved at metadata scale against the distinct partition tuples
+    (delta-spark accepts the same arbitrary partition predicates on
+    OPTIMIZE). Partitioned
     tables keep their hive layout and partitionValues through the
     rewrite (a compaction that drops them silently breaks every later
     partition-pruned read)."""
@@ -3698,7 +3761,14 @@ def delta_optimize(
     snap = versions[-1]
     _, meta, live, _ = _snapshot_state(spark, path, snap)
     part_cols = meta.get("partitionColumns") or None
-    if partition_filter:
+    if where is not None and partition_filter:
+        raise ValueError(
+            "pass either partition_filter (equality dict) or where "
+            "(arbitrary partition predicate), not both"
+        )
+    if where is not None:
+        scope = _scope_partition_predicate(spark, meta, live, where)
+    elif partition_filter:
         unknown = set(partition_filter) - set(part_cols or ())
         if unknown:
             raise ValueError(
@@ -4577,16 +4647,29 @@ def delta_cleanup_log(spark: SparkSession, path: str) -> list[int]:
     return deleted
 
 
-def delta_restore(spark: SparkSession, path: str, version: int) -> int:
-    """RESTORE TABLE ... TO VERSION (delta-spark's RESTORE command, the
-    undo button of the lakehouse lifecycle): commit a NEW version whose
-    live file set and schema equal the snapshot at ``version``. Pure
+def delta_restore(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp: int | None = None,
+) -> int:
+    """RESTORE TABLE ... TO VERSION | TIMESTAMP (delta-spark's RESTORE
+    command, the undo button of the lakehouse lifecycle): commit a NEW
+    version whose live file set and schema equal the snapshot at
+    ``version`` — or, with ``timestamp`` (epoch millis), at the last
+    version committed at-or-before that instant, resolved through the
+    same commit-timestamp rule time travel uses (in-commit timestamps
+    when the feature is on, file modification times otherwise). Pure
     metadata — the old generation's files are re-added by path, the
     current generation removed, nothing rewritten; and because the
     restore is itself one more MVCC commit, the pre-restore state stays
     time-travelable (exactly the public RESTORE semantics). Refuses
     loudly when a file the restore needs was already vacuumed away —
     re-adding a missing path would manufacture a corrupt snapshot."""
+    if (version is None) == (timestamp is None):
+        raise ValueError("pass exactly one of version / timestamp")
+    if version is None:
+        version = _version_at_timestamp(spark, path, timestamp)
     _, meta_t, live_t, _ = _snapshot_state(spark, path, version)
     if meta_t is None:
         raise ValueError(f"no delta snapshot at version {version} of {path}")
@@ -8656,6 +8739,182 @@ def delta_native_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_native_optimize_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Predicate-scoped OPTIMIZE lifecycle (delta-spark's ``OPTIMIZE t
+    WHERE part >= 2``): two appends leave exactly 2 files in each of 4
+    partitions, the scoped compaction rewrites ONLY partitions 2 and 3
+    (to 1 file each), and the out-of-scope partitions' add paths must
+    survive the commit verbatim — asserted in-query, because an
+    OPTIMIZE that touches out-of-scope files silently multiplies write
+    amplification at 100 TB. Output: per-partition rollup with the
+    deterministic file counts and the untouched flag."""
+    import tempfile
+
+    from ..tables import load_table
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 4).alias("part"),
+        F.round(F.col("s_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_optw_")
+    # the split key must be independent of part = s_suppkey % 4, so
+    # BOTH appends land one file in EVERY partition (2 files each)
+    delta_write(
+        s.where("s_suppkey % 8 <= 3").repartition(1),
+        path,
+        partition_by=["part"],
+    )
+    delta_write(
+        s.where("s_suppkey % 8 > 3").repartition(1),
+        path,
+        mode="append",
+    )
+    before = {
+        f: a for f, a in _snapshot_state(spark, path)[2].items()
+    }
+    delta_optimize(spark, path, target_files=1, where="part >= 2")
+    after = _snapshot_state(spark, path)[2]
+    out_scope_before = {
+        f for f in before if "part=0" in f or "part=1" in f
+    }
+    out_scope_after = {
+        f for f in after if "part=0" in f or "part=1" in f
+    }
+    if out_scope_before != out_scope_after:
+        raise AssertionError(
+            "scoped OPTIMIZE touched out-of-scope partitions"
+        )
+    per_part_files = {}
+    for f in after:
+        for seg in f.split("/"):
+            if seg.startswith("part="):
+                k = int(seg.split("=", 1)[1])
+                per_part_files[k] = per_part_files.get(k, 0) + 1
+    if {k: v for k, v in per_part_files.items() if k >= 2} != {2: 1, 3: 1}:
+        raise AssertionError(
+            f"in-scope partitions not compacted to 1 file: {per_part_files}"
+        )
+    files_df = spark.createDataFrame(
+        [(k, v) for k, v in per_part_files.items()], "part long, n_files long"
+    )
+    return (
+        delta_read(spark, path)
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .join(files_df, "part")
+        .select(
+            "part",
+            "n_rows",
+            "sum_cents",
+            "n_files",
+            (F.col("part") < 2).cast("int").alias("untouched"),
+        )
+        .orderBy("part")
+    )
+
+
+def delta_native_generate_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GENERATE symlink_format_manifest lifecycle: a partitioned table
+    (1 data file per partition by construction) generates one manifest
+    per partition dir; reading the parquet files the manifests point
+    at — the way Presto/Trino/Athena actually consume them — must
+    reproduce the table exactly. A DELETE then retires one partition,
+    the manifest is REGENERATED, and the retired partition's manifest
+    must disappear (the stale-manifest resurrection hazard). Output:
+    per-partition rollup read back THROUGH the manifest symlinks."""
+    import tempfile
+
+    from ..tables import load_table
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") % 3).alias("part"),
+        F.length("n_name").cast("long").alias("name_len"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_manifest_")
+    delta_write(n.repartition(1), path, partition_by=["part"])
+    rels = delta_generate_manifest(spark, path)
+    if len(rels) != 3:
+        raise AssertionError(f"expected 3 partition manifests: {rels}")
+    delta_delete(spark, path, "part = 2")
+    rels = delta_generate_manifest(spark, path)
+    if len(rels) != 2 or any("part=2" in r for r in rels):
+        raise AssertionError(
+            f"regenerate kept a retired partition's manifest: {rels}"
+        )
+    import os
+
+    uris: list[str] = []
+    for rel in rels:
+        with open(os.path.join(path, rel)) as fh:
+            uris.extend(u for u in fh.read().splitlines() if u)
+    symlinked = spark.read.parquet(*uris)
+    return (
+        symlinked.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_nationkey").alias("sum_keys"),
+            F.sum("name_len").alias("sum_name_len"),
+        )
+        .select(
+            "n_rows",
+            "sum_keys",
+            "sum_name_len",
+            F.lit(len(uris)).cast("long").alias("n_symlinks"),
+        )
+    )
+
+
+def delta_native_restore_timestamp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RESTORE TO TIMESTAMP through in-commit timestamps: three
+    generations committed at authored ICT instants, restore resolves
+    an inter-commit timestamp to the version AT-OR-BEFORE it (the
+    time-travel rule), and the pre-restore generation stays readable
+    as history. Output: the restored snapshot's rollup plus the
+    resolved state counters."""
+    import tempfile
+
+    from ..tables import load_table
+
+    r = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.length("r_name").cast("long").alias("name_len")
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_rts_")
+    delta_write(r, path)
+    delta_enable_in_commit_timestamps(spark, path)
+    # v2 (doubling append) and v3 (tripling append); ICT guarantees
+    # v3_ts >= v2_ts + 1, so restoring AT v2's in-commit instant
+    # resolves to exactly v2 (two generations) — never v3
+    delta_write(r, path, mode="append")
+    delta_write(r, path, mode="append")
+    v2_ts = _commit_timestamp(spark, path, 2)
+    restored_v = delta_restore(spark, path, timestamp=v2_ts)
+    back = delta_read(spark, path)
+    pre = delta_read(spark, path, version=restored_v - 1)
+    return (
+        back.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("name_len").alias("sum_name_len"),
+        )
+        .select(
+            "n_rows",
+            "sum_name_len",
+            F.lit(pre.count()).cast("long").alias("pre_restore_rows"),
+        )
+    )
+
+
 QUERIES: list[QueryDef] = [
     QueryDef(
         "delta_native_version_checksum",
@@ -9608,5 +9867,56 @@ QUERIES: list[QueryDef] = [
         tags=("parity", "delta", "io", "ddl"),
         description="Type widening: int->bigint column evolution as one "
         "metaData commit; pre-widening files read back upcast.",
+    ),
+    QueryDef(
+        "delta_native_optimize_where",
+        delta_native_optimize_where,
+        """
+        SELECT CAST(s_suppkey % 4 AS BIGINT) AS part,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT))
+                 AS BIGINT) AS sum_cents,
+               CAST(CASE WHEN s_suppkey % 4 >= 2 THEN 1 ELSE 2 END
+                 AS BIGINT) AS n_files,
+               CAST(CASE WHEN s_suppkey % 4 < 2 THEN 1 ELSE 0 END
+                 AS INT) AS untouched
+        FROM supplier
+        GROUP BY s_suppkey % 4
+        ORDER BY part
+        """,
+        tags=("parity", "delta", "io", "layout"),
+        description="Predicate-scoped OPTIMIZE (WHERE part >= 2): only "
+        "in-scope partitions compact (2 files -> 1), out-of-scope add "
+        "paths survive verbatim (asserted in-query), rows unchanged.",
+    ),
+    QueryDef(
+        "delta_native_generate_manifest",
+        delta_native_generate_manifest,
+        """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(n_nationkey) AS BIGINT) AS sum_keys,
+               CAST(SUM(length(n_name)) AS BIGINT) AS sum_name_len,
+               CAST(2 AS BIGINT) AS n_symlinks
+        FROM nation WHERE n_nationkey % 3 <> 2
+        """,
+        tags=("parity", "delta", "io", "interop"),
+        description="GENERATE symlink_format_manifest: per-partition "
+        "manifests of live-file URIs, consumed back as raw parquet "
+        "(the Presto/Trino path); regenerate drops a DELETEd "
+        "partition's manifest instead of resurrecting it.",
+    ),
+    QueryDef(
+        "delta_native_restore_timestamp",
+        delta_native_restore_timestamp,
+        """
+        SELECT COUNT(*) * 2 AS n_rows,
+               CAST(SUM(length(r_name)) * 2 AS BIGINT) AS sum_name_len,
+               CAST(COUNT(*) * 3 AS BIGINT) AS pre_restore_rows
+        FROM region
+        """,
+        tags=("parity", "delta", "io"),
+        description="RESTORE TO TIMESTAMP through in-commit timestamps: "
+        "at-or-before resolution picks the middle generation; the "
+        "pre-restore state stays time-travelable history.",
     ),
 ]

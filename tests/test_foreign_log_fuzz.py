@@ -441,3 +441,167 @@ def test_foreign_contract_enforcement_fuzz(spark, tmp_path, seed):
     delta_write(batch(inv_b + 1), root, mode="append")
     expected += 1
     assert delta_read(spark, root).count() == expected
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_foreign_contract_dml_fuzz(spark, tmp_path, seed):
+    """REPLACE WHERE and full MERGE against a foreign log carrying a
+    RANDOM mix of column invariants and CHECK constraints
+    SIMULTANEOUSLY: every DML path must enforce both contracts on its
+    rewritten output, and the two NULL semantics must stay distinct —
+    a NULL update value refuses under an invariant but passes under a
+    CHECK alone (delta-spark's documented contrast)."""
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_merge,
+        delta_read,
+        delta_replace_where,
+        delta_write,
+    )
+
+    rng = random.Random(3000 + seed)
+    root = str(tmp_path / f"dmlcontract_{seed}")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    inv_b = rng.randint(0, 5)
+    ck_c = rng.randint(10, 50)
+    has_inv = rng.random() < 0.5
+    has_ck = (not has_inv) or rng.random() < 0.5
+    k_meta = (
+        {
+            "delta.invariants": json.dumps(
+                {"expression": {"expression": f"k >= {inv_b}"}}
+            )
+        }
+        if has_inv
+        else {}
+    )
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "integer",
+                    "nullable": True,
+                    "metadata": k_meta,
+                },
+                {
+                    "name": "v",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {},
+                },
+            ],
+        },
+        separators=(",", ":"),
+    )
+    conf = (
+        {"delta.constraints.ck": f"k < {100 + ck_c}"} if has_ck else {}
+    )
+    _commit(
+        log,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 3 if has_ck else 2,
+                }
+            },
+            {
+                "metaData": {
+                    "id": f"dmlcontract-{seed}",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema,
+                    "partitionColumns": [],
+                    "configuration": conf,
+                    "createdTime": 1700000000000,
+                }
+            },
+            _write_data(
+                root, 0, [(inv_b, "a"), (inv_b + 1, "b"), (inv_b + 2, "a")]
+            ),
+        ],
+    )
+
+    def batch(k_val, v_val="a"):
+        df = spark.createDataFrame([(k_val, v_val)], "k int, v string")
+        return df.select(F.col("k").cast("int"), "v")
+
+    # --- REPLACE WHERE: contract violations refuse atomically ---------
+    for bad_k, violates in [
+        (inv_b - 1, has_inv),  # invariant floor
+        (100 + ck_c, has_ck),  # CHECK ceiling
+        (None, has_inv),  # NULL: invariant refuses, CHECK passes
+    ]:
+        before = {
+            (r.k, r.v) for r in delta_read(spark, root).collect()
+        }
+        try:
+            delta_replace_where(spark, root, "v = 'a'", batch(bad_k))
+            assert not violates, (
+                f"replaceWhere with k={bad_k} must refuse "
+                f"(inv={has_inv}, ck={has_ck})"
+            )
+        except ValueError:
+            assert violates, (
+                f"replaceWhere with k={bad_k} refused without a "
+                f"matching contract (inv={has_inv}, ck={has_ck})"
+            )
+            after = {
+                (r.k, r.v) for r in delta_read(spark, root).collect()
+            }
+            assert after == before, "refusal must leave no commit"
+    # conforming replace always lands: region v='a' swaps atomically
+    delta_replace_where(spark, root, "v = 'a'", batch(inv_b + 3))
+    got = {(r.k, r.v) for r in delta_read(spark, root).collect()}
+    assert (inv_b + 3, "a") in got and (inv_b + 1, "b") in got
+
+    # --- MERGE: matched-update values hit the same contracts ----------
+    for bad_k, violates in [
+        (inv_b - 1, has_inv),
+        (100 + ck_c, has_ck),
+        (None, has_inv),
+    ]:
+        before = {
+            (r.k, r.v) for r in delta_read(spark, root).collect()
+        }
+        src = spark.createDataFrame(
+            [("b", bad_k)], "v string, k int"
+        ).select(F.col("v"), F.col("k").cast("int"))
+        try:
+            delta_merge(
+                spark, root, src, on=["v"], update_cols=["k"],
+                insert_unmatched=False,
+            )
+            assert not violates, (
+                f"MERGE updating k={bad_k} must refuse "
+                f"(inv={has_inv}, ck={has_ck})"
+            )
+            # un-refused paths committed; restore the 'b' row for the
+            # next iteration's baseline
+            delta_merge(
+                spark, root,
+                spark.createDataFrame(
+                    [("b", inv_b + 1)], "v string, k int"
+                ).select("v", F.col("k").cast("int")),
+                on=["v"], update_cols=["k"], insert_unmatched=False,
+            )
+        except ValueError:
+            assert violates
+            after = {
+                (r.k, r.v) for r in delta_read(spark, root).collect()
+            }
+            assert after == before, "refused MERGE must commit nothing"
+    # conforming merge upserts
+    delta_merge(
+        spark, root,
+        spark.createDataFrame(
+            [("b", inv_b + 4), ("new", inv_b + 5)], "v string, k int"
+        ).select("v", F.col("k").cast("int")),
+        on=["v"], update_cols=["k"],
+    )
+    got = {(r.k, r.v) for r in delta_read(spark, root).collect()}
+    assert (inv_b + 4, "b") in got and (inv_b + 5, "new") in got

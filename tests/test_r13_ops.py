@@ -427,3 +427,150 @@ def test_attribution_credit_conservation(spark, sf_smoke):
         assert total <= 1_000_000 * n_users
         # each touch truncates away < 1 micro-unit times its divisor
         assert total > 1_000_000 * n_users - n_touches * 1000
+
+
+def test_optimize_where_arbitrary_predicates(spark):
+    """The general predicate scope: range and IN predicates resolve at
+    metadata scale; NULL partition values are out of scope for a
+    comparison but selectable via IS NULL; non-partition columns and
+    unpartitioned tables refuse."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+        delta_optimize,
+        delta_read,
+        delta_write,
+    )
+
+    def live(p):
+        return {f for f, _ in delta_live_adds(spark, p)}
+
+    p = tempfile.mkdtemp(prefix="ls_optw_")
+    base = spark.sql(
+        "SELECT * FROM VALUES (1, 1), (2, 1), (3, 2), (4, 2), (5, 3),"
+        " (6, CAST(NULL AS INT)) AS t(k, part)"
+    )
+    delta_write(base.repartition(1), p, partition_by=["part"])
+    delta_write(base.repartition(1), p, mode="append")
+    before = live(p)
+
+    # IN predicate: parts 1 and 3 compact, part 2 + null untouched
+    delta_optimize(spark, p, where="part IN (1, 3)")
+    after = live(p)
+    untouched = {f for f in before if "part=2" in f or "__HIVE" in f}
+    assert untouched <= after
+    assert not any("part=1" in f for f in before & after)
+    # a comparison never matches the NULL partition (3VL)
+    before2 = live(p)
+    delta_optimize(spark, p, where="part >= 2")
+    assert {f for f in before2 if "__HIVE" in f} <= live(p)
+    # IS NULL selects exactly the null partition
+    before3 = live(p)
+    delta_optimize(spark, p, where="part IS NULL")
+    after3 = live(p)
+    assert not any("__HIVE" in f for f in before3 & after3)
+    assert {f for f in before3 if "part=" in f and "__HIVE" not in f} <= after3
+    # rows never change through any of it
+    assert sorted(r.k for r in delta_read(spark, p).collect()) == sorted(
+        [1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6]
+    )
+    with pytest.raises(Exception, match="k|resolve|COLUMN"):
+        delta_optimize(spark, p, where="k > 1")
+    with pytest.raises(ValueError, match="both"):
+        delta_optimize(
+            spark, p, where="part = 1", partition_filter={"part": "1"}
+        )
+    p2 = tempfile.mkdtemp(prefix="ls_optw_flat_")
+    delta_write(base, p2)
+    with pytest.raises(ValueError, match="partitioned"):
+        delta_optimize(spark, p2, where="part = 1")
+
+
+def test_restore_timestamp_argument_contract(spark):
+    """delta_restore demands exactly one of version/timestamp, and the
+    timestamp form refuses instants before the first commit."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_restore,
+        delta_write,
+    )
+
+    p = tempfile.mkdtemp(prefix="ls_rts_args_")
+    delta_write(spark.sql("SELECT 1 AS k"), p)
+    with pytest.raises(ValueError, match="exactly one"):
+        delta_restore(spark, p)
+    with pytest.raises(ValueError, match="exactly one"):
+        delta_restore(spark, p, version=0, timestamp=1)
+    with pytest.raises(Exception):
+        delta_restore(spark, p, timestamp=0)
+
+
+def test_curation_incremental_equals_batch(spark, sf_smoke):
+    """The CDF-driven incremental capstone must produce the EXACT
+    ledger of the batch capstone (the 'maintenance never changes
+    answers' bar) — engine-internal equivalence, independent of the
+    shared DuckDB oracle."""
+    from lakesail_hdfs_deltalake_guide_spark.pipelines import (
+        pipeline_curation_e2e,
+        pipeline_curation_incremental,
+    )
+
+    batch = {
+        r.stage_id: r.asDict()
+        for r in pipeline_curation_e2e(spark, sf_smoke).collect()
+    }
+    incr = {
+        r.stage_id: r.asDict()
+        for r in pipeline_curation_incremental(spark, sf_smoke).collect()
+    }
+    assert batch == incr
+
+
+def test_sq_perdim_recall_and_reconstruction(spark, sf_smoke):
+    """Per-dim SQ8: recall@5 vs exact brute force must clear the floor
+    an 8-bit/dim code promises (it should be near-lossless), and a
+    sequential Python reimplementation of the trained ranges, codes,
+    and ADC dot must agree exactly."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.similarity import (
+        NUM_QUERIES,
+        SQ_DIM,
+        TOP_K,
+        similarity_bruteforce_topk,
+        similarity_sq_perdim_topk,
+    )
+
+    sq = similarity_sq_perdim_topk(spark, sf_smoke).toPandas()
+    bf = similarity_bruteforce_topk(spark, sf_smoke).toPandas()
+    per_q = sq.groupby("query_id").size()
+    assert (per_q == TOP_K).all()
+    recalls = []
+    for q in sorted(bf.query_id.unique()):
+        exact = set(bf[bf.query_id == q].vec_id)
+        got = set(sq[sq.query_id == q].vec_id)
+        recalls.append(len(exact & got) / len(exact))
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # sequential reference of the full quantize→reconstruct→ADC chain
+    import duckdb
+
+    vm = {
+        vid: [round(x * 1000) for x in emb]
+        for vid, emb in duckdb.connect()
+        .execute(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM"
+            f" read_parquet('{sf_smoke}/embeddings.parquet')"
+        )
+        .fetchall()
+    }
+    lo = [min(m[d] for m in vm.values()) for d in range(SQ_DIM)]
+    hi = [max(m[d] for m in vm.values()) for d in range(SQ_DIM)]
+    span = [max(hi[d] - lo[d], 1) for d in range(SQ_DIM)]
+    centers = {
+        vid: [
+            lo[d] + ((m[d] - lo[d]) * 255 // span[d]) * span[d] // 255
+            for d in range(SQ_DIM)
+        ]
+        for vid, m in vm.items()
+    }
+    for row in sq.itertuples():
+        qm = vm[row.query_id]
+        c = centers[row.vec_id]
+        assert row.query_id < NUM_QUERIES
+        assert row.adc_dot == sum(a * b for a, b in zip(qm, c))
