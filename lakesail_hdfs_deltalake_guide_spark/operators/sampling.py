@@ -1153,6 +1153,116 @@ def _ht_sql() -> str:
         """
 
 
+# --- Priority sampling (Duffield–Lund–Thorup, r13) --------------------------
+#
+# The weighted-sample-once, estimate-any-subset-later design (DLT,
+# JACM 2007): each item draws priority q = w/u (u uniform), the sample
+# is the top-k priorities, tau is the (k+1)-th, and any subset's weight
+# sum is estimated by sum(max(w, tau)) over sampled subset members —
+# near-optimal variance among all k-sample schemes. Deterministic
+# md5-uniform u in (0, 1e6]; q = w·1e6 DIV u is exact (one truncating
+# division, non-negative), so both engines agree on the sample, the
+# threshold, and every estimate to the bit.
+#
+# Scale shape: one map computes priorities; top-(k+1) is a rank
+# (single exchange on a (k+1)-bounded window — at 100 TB swap in the
+# distributed exact-rank helper's range exchange); the estimator is a
+# 5-group rollup of the k sampled rows.
+
+PRIORITY_K = 300  # sample size
+
+
+def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DLT priority sample of orders (weight = order cents), then
+    per-priority-class subset-sum estimates vs truth: (class, n_pop,
+    true_cents, n_sampled, est_cents)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("w"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('pr:',"
+            " CAST(o_orderkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            " % 1000000 + 1"
+        ).alias("u"),
+    )
+    pri = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "w",
+        F.expr("w * 1000000 DIV u").alias("q"),
+    )
+    wq = Window.orderBy(F.desc("q"), F.asc("o_orderkey"))
+    ranked = pri.withColumn("rk", F.row_number().over(wq))
+    tau = ranked.where(F.col("rk") == PRIORITY_K + 1).select(
+        F.col("q").alias("tau")
+    )
+    sampled = (
+        ranked.where(F.col("rk") <= PRIORITY_K)
+        .crossJoin(F.broadcast(tau))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum(F.expr("greatest(w, tau)")).cast("long").alias(
+                "est_cents"
+            ),
+        )
+    )
+    truth = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.sum("w").cast("long").alias("true_cents"),
+    )
+    return (
+        truth.join(sampled, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_pop",
+            "true_cents",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("est_cents", F.lit(0)).alias("est_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _priority_sql() -> str:
+    return f"""
+        WITH o AS (
+          SELECT o_orderkey, o_orderpriority,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS w,
+                 CAST(('0x' || substring(md5('pr:'
+                        || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 1000000 + 1 AS u
+          FROM orders),
+        pri AS (
+          SELECT *, w * 1000000 // u AS q FROM o),
+        ranked AS (
+          SELECT *, ROW_NUMBER()
+                      OVER (ORDER BY q DESC, o_orderkey) AS rk
+          FROM pri),
+        tau AS (
+          SELECT q AS tau FROM ranked WHERE rk = {PRIORITY_K + 1}),
+        sampled AS (
+          SELECT o_orderpriority,
+                 COUNT(*) AS n_sampled,
+                 SUM(greatest(w, tau)) AS est_cents
+          FROM ranked, tau WHERE rk <= {PRIORITY_K}
+          GROUP BY o_orderpriority),
+        truth AS (
+          SELECT o_orderpriority, COUNT(*) AS n_pop,
+                 SUM(w) AS true_cents
+          FROM o GROUP BY o_orderpriority)
+        SELECT t.o_orderpriority,
+               CAST(t.n_pop AS BIGINT) AS n_pop,
+               CAST(t.true_cents AS BIGINT) AS true_cents,
+               CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+               CAST(COALESCE(s.est_cents, 0) AS BIGINT) AS est_cents
+        FROM truth t LEFT JOIN sampled s
+          ON t.o_orderpriority = s.o_orderpriority
+        ORDER BY t.o_orderpriority
+        """
+
+
 # --- Neyman (optimal) stratified allocation (r13) ---------------------------
 #
 # Proportional allocation (n_h ∝ N_h) wastes budget on homogeneous
@@ -1327,6 +1437,16 @@ QUERIES: list[QueryDef] = [
         "inclusion by integer cross-multiplication): per-priority "
         "count/revenue estimates via exact per-item y/pi terms, next "
         "to the true totals.",
+    ),
+    QueryDef(
+        "sample_priority_topk",
+        sample_priority_topk,
+        _priority_sql(),
+        tags=("extension", "sampling", "stats", "sketch"),
+        description="Duffield-Lund-Thorup priority sampling: one "
+        "deterministic top-k weighted sample (q = w/u, md5-uniform u), "
+        "tau-thresholded subset-sum estimates per priority class vs "
+        "truth — sample once, estimate any subset later.",
     ),
     QueryDef(
         "sample_neyman_allocation",

@@ -1949,6 +1949,187 @@ def stats_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Rolling HLL merge (r13) ------------------------------------------------
+#
+# The property that makes HLL the INFRASTRUCTURE sketch: register-wise
+# MAX is a lossless union-merge, so per-day sketches roll up into any
+# window without touching raw data. Here: daily 256-register sketches
+# over active users, then a 7-day rolling union per day — computed NOT
+# by a self-join but by exploding each day's registers to the ≤7 target
+# days they contribute to (map-side fan-out of 256-row sketch states,
+# then one (day, register) MAX aggregate). The true rolling distinct
+# rides the same explode on (day, user) pairs for the error audit.
+#
+# At 100 TB the daily sketches are the stored artifact (256 longs/day);
+# the rolling merge is metadata-scale arithmetic — the exact pattern a
+# real metrics store (Druid/ClickHouse HLL columns) runs.
+
+HLL_ROLL_DAYS = 7
+
+
+def stats_hll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct-user estimates from merged daily HLL
+    sketches next to the true rolling distinct: (day, zero_registers,
+    sum_rho, est_corrected_x1000, true_distinct)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns DIV 86400000000000").alias("day"), "user_id"
+    )
+    two_w = 1 << HLL_WBITS
+    max_day = ev.agg(F.max("day").alias("m"))
+    daily = (
+        ev.distinct()
+        .select(
+            "day",
+            F.expr(
+                "CAST(conv(substring(md5(concat('u:',"
+                " CAST(user_id AS STRING))), 1, 10), 16, 10)"
+                " AS BIGINT)"
+            ).alias("h"),
+        )
+        .select(
+            "day",
+            F.expr(f"h DIV {two_w}").alias("reg"),
+            F.expr(
+                f"CAST({HLL_WBITS + 1}"
+                f" - size(filter(array({_HLL_POWS}),"
+                f" p -> p <= h % {two_w})) AS BIGINT)"
+            ).alias("rho"),
+        )
+        .groupBy("day", "reg")
+        .agg(F.max("rho").alias("r"))
+    )
+    rolled = (
+        daily.select(
+            F.explode(
+                F.expr(f"sequence(day, day + {HLL_ROLL_DAYS - 1})")
+            ).alias("day"),
+            "reg",
+            "r",
+        )
+        .crossJoin(F.broadcast(max_day))
+        .where(F.col("day") <= F.col("m"))
+        .groupBy("day", "reg")
+        .agg(F.max("r").alias("r"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.sum("r").cast("long").alias("sum_rho"),
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST({HLL_WBITS + 1} - r AS INT))"
+                )
+            )
+            .cast("long")
+            .alias("inv_present"),
+        )
+    )
+    truth = (
+        ev.distinct()
+        .select(
+            F.explode(
+                F.expr(f"sequence(day, day + {HLL_ROLL_DAYS - 1})")
+            ).alias("day"),
+            "user_id",
+        )
+        .crossJoin(F.broadcast(max_day))
+        .where(F.col("day") <= F.col("m"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("true_distinct"))
+    )
+    return (
+        rolled.join(truth, "day")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.expr(f"CAST({HLL_M} - n_present AS BIGINT)").alias(
+                "zero_registers"
+            ),
+            "sum_rho",
+            F.expr(
+                f"inv_present + ({HLL_M} - n_present)"
+                f" * CAST({1 << (HLL_WBITS + 1)} AS BIGINT)"
+            ).alias("sum_inv"),
+            "true_distinct",
+        )
+        .select(
+            "day",
+            "zero_registers",
+            "sum_rho",
+            F.expr(
+                f"CASE WHEN zero_registers > 0"
+                f" AND {HLL_K} * CAST({1 << (HLL_WBITS + 1)} AS BIGINT)"
+                f"     DIV sum_inv <= {HLL_RAW_CUT_X1000}"
+                f" THEN element_at(array({_HLL_LC}),"
+                " CAST(zero_registers AS INT))"
+                f" ELSE {HLL_K} * CAST({1 << (HLL_WBITS + 1)} AS BIGINT)"
+                "      DIV sum_inv END"
+            ).alias("est_corrected_x1000"),
+            "true_distinct",
+        )
+        .orderBy("day")
+    )
+
+
+def _hll_rolling_sql() -> str:
+    two_w = 1 << HLL_WBITS
+    two_w1 = 1 << (HLL_WBITS + 1)
+    return f"""
+        WITH ev AS (
+          SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+          FROM events),
+        md AS (SELECT MAX(day) AS m FROM ev),
+        hashed AS (
+          SELECT day,
+                 CAST(('0x' || substring(md5('u:'
+                        || CAST(user_id AS VARCHAR)), 1, 10)) AS BIGINT)
+                   AS h
+          FROM ev),
+        daily AS (
+          SELECT day, h // {two_w} AS reg,
+                 MAX({HLL_WBITS + 1}
+                     - len(list_filter([{_HLL_POWS}],
+                                       p -> p <= h % {two_w}))) AS r
+          FROM hashed GROUP BY day, h // {two_w}),
+        fan AS (
+          SELECT day + o.x AS day, reg, r
+          FROM daily, range(0, {HLL_ROLL_DAYS}) o(x), md
+          WHERE day + o.x <= md.m),
+        merged AS (
+          SELECT day, reg, MAX(r) AS r FROM fan GROUP BY day, reg),
+        st AS (
+          SELECT day, COUNT(*) AS n_present, SUM(r) AS sum_rho,
+                 SUM(CAST(1 AS BIGINT)
+                     << CAST({HLL_WBITS + 1} - r AS INT)) AS inv_present
+          FROM merged GROUP BY day),
+        tfan AS (
+          SELECT e.day + o.x AS day, e.user_id
+          FROM ev e, range(0, {HLL_ROLL_DAYS}) o(x), md
+          WHERE e.day + o.x <= md.m),
+        truth AS (
+          SELECT day, COUNT(DISTINCT user_id) AS true_distinct
+          FROM tfan GROUP BY day),
+        base AS (
+          SELECT s.day,
+                 {HLL_M} - s.n_present AS zero_registers,
+                 s.sum_rho,
+                 s.inv_present + ({HLL_M} - s.n_present)
+                   * CAST({two_w1} AS BIGINT) AS sum_inv,
+                 t.true_distinct
+          FROM st s JOIN truth t ON s.day = t.day)
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(zero_registers AS BIGINT) AS zero_registers,
+               CAST(sum_rho AS BIGINT) AS sum_rho,
+               CAST(CASE WHEN zero_registers > 0
+                         AND {HLL_K} * CAST({two_w1} AS BIGINT)
+                             // sum_inv <= {HLL_RAW_CUT_X1000}
+                    THEN [{_HLL_LC}][CAST(zero_registers AS INT)]
+                    ELSE {HLL_K} * CAST({two_w1} AS BIGINT) // sum_inv
+                    END AS BIGINT) AS est_corrected_x1000,
+               CAST(true_distinct AS BIGINT) AS true_distinct
+        FROM base ORDER BY day
+        """
+
+
 # --- Benjamini–Hochberg FDR control (r13) -----------------------------------
 #
 # The multiple-testing gate the A/B z-test (X125) feeds at fleet scale:
@@ -3241,5 +3422,16 @@ QUERIES: list[QueryDef] = [
         "micro units compared against precomputed chi2(1) critical "
         "values per BH slot (statistic-vs-critical avoids float "
         "p-values entirely).",
+    ),
+    QueryDef(
+        "stats_hll_rolling",
+        stats_hll_rolling,
+        _hll_rolling_sql(),
+        tags=("extension", "stats", "sketch", "timeseries"),
+        description="7-day rolling distinct users from MERGED daily HLL "
+        "sketches (register-wise MAX union via map-side fan-out, no "
+        "self-join), linear-counting corrected, next to the true "
+        "rolling distinct — the mergeability property that makes HLL "
+        "the metrics-store sketch.",
     ),
 ]

@@ -574,3 +574,143 @@ def test_sq_perdim_recall_and_reconstruction(spark, sf_smoke):
         c = centers[row.vec_id]
         assert row.query_id < NUM_QUERIES
         assert row.adc_dot == sum(a * b for a, b in zip(qm, c))
+
+
+def test_hll_rolling_matches_sequential_reference(spark, sf_smoke):
+    """Every day's merged register state and corrected estimate must
+    equal a sequential hashlib HLL over the exact 7-day user union,
+    and the estimate must track the true rolling distinct."""
+    import hashlib
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        HLL_K,
+        HLL_LC_MILLI,
+        HLL_M,
+        HLL_RAW_CUT_X1000,
+        HLL_ROLL_DAYS,
+        HLL_WBITS,
+        stats_hll_rolling,
+    )
+
+    pairs = _duck(
+        sf_smoke,
+        "SELECT DISTINCT epoch_ns(ts) // 86400000000000, user_id"
+        " FROM events",
+    )
+    by_day: dict[int, set] = {}
+    for day, uid in pairs:
+        by_day.setdefault(day, set()).add(uid)
+    rows = stats_hll_rolling(spark, sf_smoke).collect()
+    assert len(rows) == len(by_day)
+    for r in rows:
+        users = set()
+        for d in range(r.day - HLL_ROLL_DAYS + 1, r.day + 1):
+            users |= by_day.get(d, set())
+        regs: dict[int, int] = {}
+        for u in users:
+            h = int(hashlib.md5(f"u:{u}".encode()).hexdigest()[:10], 16)
+            reg, w = h >> HLL_WBITS, h % (1 << HLL_WBITS)
+            regs[reg] = max(regs.get(reg, 0), HLL_WBITS + 1 - w.bit_length())
+        assert r.true_distinct == len(users)
+        assert r.zero_registers == HLL_M - len(regs)
+        assert r.sum_rho == sum(regs.values())
+        sum_inv = sum(
+            1 << (HLL_WBITS + 1 - x) for x in regs.values()
+        ) + (HLL_M - len(regs)) * (1 << (HLL_WBITS + 1))
+        raw = HLL_K * (1 << (HLL_WBITS + 1)) // sum_inv
+        want = (
+            HLL_LC_MILLI[HLL_M - len(regs) - 1]
+            if (len(regs) < HLL_M and raw <= HLL_RAW_CUT_X1000)
+            else raw
+        )
+        assert r.est_corrected_x1000 == want
+        assert abs(r.est_corrected_x1000 / 1000 - len(users)) <= max(
+            0.2 * len(users), 5
+        )
+
+
+def test_priority_sampling_matches_sequential_reference(spark, sf_smoke):
+    """Sample membership, tau, and subset-sum estimates recomputed
+    sequentially must agree exactly; the total estimate must land near
+    the true total (DLT near-optimal variance)."""
+    import hashlib
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        PRIORITY_K,
+        sample_priority_topk,
+    )
+
+    raw = _duck(
+        sf_smoke,
+        "SELECT o_orderkey, o_orderpriority,"
+        " CAST(round(o_totalprice * 100) AS BIGINT) FROM orders",
+    )
+    pri = []
+    for key, cls, w in raw:
+        u = int(hashlib.md5(f"pr:{key}".encode()).hexdigest()[:8], 16) % 10**6 + 1
+        pri.append((w * 10**6 // u, key, cls, w))
+    pri.sort(key=lambda t: (-t[0], t[1]))
+    tau = pri[PRIORITY_K][0]
+    per: dict[str, list[int]] = {}
+    for q, key, cls, w in pri[:PRIORITY_K]:
+        st = per.setdefault(cls, [0, 0])
+        st[0] += 1
+        st[1] += max(w, tau)
+    total_true = total_est = 0
+    for r in sample_priority_topk(spark, sf_smoke).collect():
+        st = per.get(r.o_orderpriority, [0, 0])
+        assert (r.n_sampled, r.est_cents) == tuple(st)
+        total_true += r.true_cents
+        total_est += r.est_cents
+    assert sum(v[0] for v in per.values()) == PRIORITY_K
+    assert abs(total_est - total_true) < 0.25 * total_true
+
+
+def test_fof_recommendations_properties(spark, sf_smoke):
+    """No recommended pair may be an existing edge; counts must equal a
+    sequential wedge count over the capped graph; ordering is
+    (count desc, part_a, part_b)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        BASKET_CAP,
+        FOF_MIDDLE_CAP,
+        FOF_TOP,
+        graph_fof_recommendations,
+    )
+
+    raw = _duck(
+        sf_smoke, "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    )
+    baskets: dict[int, set] = {}
+    for ok, pk in raw:
+        baskets.setdefault(ok, set()).add(pk)
+    edges = set()
+    for parts in baskets.values():
+        if len(parts) > BASKET_CAP:
+            continue
+        sp = sorted(parts)
+        for i, u in enumerate(sp):
+            for v in sp[i + 1 :]:
+                edges.add((u, v))
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts: dict[tuple, int] = {}
+    for b, nbrs in adj.items():
+        if len(nbrs) > FOF_MIDDLE_CAP:
+            continue
+        sn = sorted(nbrs)
+        for i, x in enumerate(sn):
+            for y in sn[i + 1 :]:
+                counts[(x, y)] = counts.get((x, y), 0) + 1
+    rows = graph_fof_recommendations(spark, sf_smoke).collect()
+    assert len(rows) <= FOF_TOP
+    prev = None
+    for r in rows:
+        pair = (r.part_a, r.part_b)
+        assert pair not in edges, "recommended an existing edge"
+        assert counts[pair] == r.common_neighbors
+        key = (-r.common_neighbors, r.part_a, r.part_b)
+        if prev is not None:
+            assert prev < key
+        prev = key
