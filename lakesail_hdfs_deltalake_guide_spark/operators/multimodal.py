@@ -689,7 +689,142 @@ def _xm_oracle_sql() -> str:
         """
 
 
+def multimodal_keyframe_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keyframe selection — the step AFTER shot-boundary detection in
+    a video curation pipeline: segment each video's frame stream into
+    shots (cumulative cut count over the ordered walk), then pick ONE
+    representative frame per shot (here: max summed-byte brightness,
+    ties to the earlier frame — a real pipeline swaps in a sharpness
+    or CLIP-centrality score through the same window). Output is the
+    per-video rollup: shots found, keyframe brightness mass, longest
+    shot — the caption-budget planning numbers.
+
+    Plan: the shot id is one more doc-partitioned window over the SAME
+    ordered frame walk the boundary op compiles (frames per video are
+    bounded); keyframe choice is a row_number over (doc, shot); no
+    Python, no extra shuffle beyond the per-shot aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    n_frames = F.floor(F.length("text") / 64).cast("int") + 1
+    frames = (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_no").cast("long").alias("frame_no"),
+            F.substring(
+                F.col("text"), F.col("frame_no") * 64 + 1, F.lit(16)
+            ).alias("fr"),
+        )
+        .where(F.length("fr") > 0)
+    )
+    bright = frames.select(
+        "doc_id",
+        "frame_no",
+        F.expr(
+            "aggregate(sequence(1, length(fr)), CAST(0 AS BIGINT),"
+            " (acc, i) -> acc + ascii(substring(fr, i, 1)))"
+        ).alias("b"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    cuts = bright.withColumn(
+        "is_cut",
+        F.when(
+            F.abs(F.col("b") - F.lag("b").over(w)) > SHOT_DELTA_MIN, 1
+        ).otherwise(0),
+    )
+    shots = cuts.withColumn(
+        "shot_id", F.sum("is_cut").over(w).cast("long")
+    )
+    wk = Window.partitionBy("doc_id", "shot_id").orderBy(
+        F.desc("b"), F.asc("frame_no")
+    )
+    kf = shots.withColumn("kr", F.row_number().over(wk))
+    per_shot = shots.groupBy("doc_id", "shot_id").agg(
+        F.count(F.lit(1)).alias("shot_len")
+    )
+    return (
+        kf.where(F.col("kr") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shots"),
+            F.sum("b").cast("long").alias("kf_brightness_sum"),
+            F.min(F.col("frame_no")).cast("long").alias("first_keyframe"),
+        )
+        .join(
+            per_shot.groupBy("doc_id").agg(
+                F.max("shot_len").cast("long").alias("longest_shot")
+            ),
+            "doc_id",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_KEYFRAME = f"""
+        WITH expanded AS (
+          SELECT doc_id, text,
+                 unnest(range(0, octet_length(encode(text)) // 64 + 1))
+                   AS frame_no
+          FROM documents),
+        frames AS (
+          SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+                 substring(text, CAST(frame_no * 64 + 1 AS INT), 16) AS fr
+          FROM expanded
+          WHERE length(substring(text, CAST(frame_no * 64 + 1 AS INT), 16))
+                > 0),
+        bright AS (
+          SELECT doc_id, frame_no,
+                 CAST(list_sum(list_transform(range(1, len(fr) + 1),
+                      i -> ascii(fr[i]))) AS BIGINT) AS b
+          FROM frames),
+        cuts AS (
+          SELECT doc_id, frame_no, b,
+                 CASE WHEN abs(b - LAG(b) OVER (PARTITION BY doc_id
+                                                ORDER BY frame_no))
+                      > {SHOT_DELTA_MIN} THEN 1 ELSE 0 END AS is_cut
+          FROM bright),
+        shots AS (
+          SELECT doc_id, frame_no, b,
+                 CAST(SUM(is_cut) OVER (PARTITION BY doc_id
+                                        ORDER BY frame_no)
+                   AS BIGINT) AS shot_id
+          FROM cuts),
+        kf AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, shot_id
+                      ORDER BY b DESC, frame_no) AS kr
+          FROM shots),
+        lens AS (
+          SELECT doc_id, MAX(cnt) AS longest_shot FROM (
+            SELECT doc_id, shot_id, COUNT(*) AS cnt
+            FROM shots GROUP BY doc_id, shot_id)
+          GROUP BY doc_id)
+        SELECT k.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shots,
+               CAST(SUM(k.b) AS BIGINT) AS kf_brightness_sum,
+               CAST(MIN(k.frame_no) AS BIGINT) AS first_keyframe,
+               CAST(MAX(l.longest_shot) AS BIGINT) AS longest_shot
+        FROM kf k JOIN lens l ON k.doc_id = l.doc_id
+        WHERE k.kr = 1
+        GROUP BY k.doc_id ORDER BY k.doc_id
+        """
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "multimodal_keyframe_select",
+        multimodal_keyframe_select,
+        _SQL_KEYFRAME,
+        tags=("extension", "multimodal", "pipeline"),
+        description="Keyframe selection per shot: cumulative-cut shot "
+        "segmentation over the ordered frame walk, one representative "
+        "frame per shot by brightness (deterministic tiebreak), "
+        "per-video caption-budget rollup.",
+    ),
     QueryDef(
         "multimodal_text_frame_topk",
         multimodal_text_frame_topk,

@@ -2233,7 +2233,190 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CUPED variance reduction (r13) ------------------------------------------
+#
+# The experimentation-platform workhorse (Deng et al., WSDM 2013):
+# adjust each user's experiment-period metric by their PRE-period
+# covariate, y' = y − θ(x − x̄) with θ = Cov(x,y)/Var(x), shrinking
+# metric variance by the squared correlation — the difference between
+# a 2-week and a 6-week experiment. Exactness: θ and the adjusted
+# treatment/control delta are RATIONALS over the exact integer moments
+# (C = nΣxy − ΣxΣy, V = nΣx² − (Σx)²), and every emitted value is
+# sign·(|num|·1000 DIV den) — division only ever on non-negative
+# magnitudes, because Spark `div` truncates toward zero while DuckDB
+# `//` floors, and THEY DIVERGE ON NEGATIVES (the oracle-parity trap
+# pinned in this repo's round-1 notes).
+#
+# Scale shape: two per-user aggregates (one user_id exchange), five
+# 1-row moment rollups, closed-form arithmetic. Nothing beyond the
+# scan is corpus-sized.
+
+CUPED_SPLIT_DAY = 19738  # pre-period = first 15 fixture days
+
+
+def stats_cuped_adjustment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUPED-adjusted A/B delta over the events fixture (variant =
+    user_id parity, covariate = pre-period spend, metric = post-period
+    spend): one row with n_t/n_c, theta, raw and adjusted deltas in
+    exact milli units."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns DIV 86400000000000").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("day") < CUPED_SPLIT_DAY, F.col("cents")).otherwise(
+                0
+            )
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("day") >= CUPED_SPLIT_DAY, F.col("cents")).otherwise(
+                0
+            )
+        ).alias("y"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("t"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.when(F.col("t") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(0)).alias(
+            "sy_t"
+        ),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(0)).alias(
+            "sy_c"
+        ),
+        F.sum(F.when(F.col("t") == 1, F.col("x")).otherwise(0)).alias(
+            "sx_t"
+        ),
+        F.sum(F.when(F.col("t") == 0, F.col("x")).otherwise(0)).alias(
+            "sx_c"
+        ),
+    )
+    def _milli(num: str, den: str, name: str):
+        # sign·(|num|·1000 DIV den): negative-division-safe in both
+        # engines (den is structurally positive)
+        return F.expr(
+            f"CAST(CASE WHEN {num} < 0 THEN -1 ELSE 1 END"
+            f" * (abs({num}) * 1000 DIV ({den})) AS BIGINT)"
+        ).alias(name)
+
+    return m.select(
+        F.expr("CAST(n_t AS BIGINT)").alias("n_t"),
+        F.expr("CAST(n - n_t AS BIGINT)").alias("n_c"),
+        _milli(
+            "(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)",
+            "(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)",
+            "theta_milli",
+        ),
+        _milli(
+            "(CAST(sy_t AS DECIMAL(38,0)) * (n - n_t)"
+            " - CAST(sy_c AS DECIMAL(38,0)) * n_t)",
+            "(CAST(n_t AS DECIMAL(38,0)) * (n - n_t))",
+            "delta_raw_milli",
+        ),
+        _milli(
+            "((CAST(n AS DECIMAL(38,0)) * sxx"
+            "   - CAST(sx AS DECIMAL(38,0)) * sx)"
+            "  * (CAST(sy_t AS DECIMAL(38,0)) * (n - n_t)"
+            "     - CAST(sy_c AS DECIMAL(38,0)) * n_t)"
+            " - (CAST(n AS DECIMAL(38,0)) * sxy"
+            "    - CAST(sx AS DECIMAL(38,0)) * sy)"
+            "   * (CAST(sx_t AS DECIMAL(38,0)) * (n - n_t)"
+            "      - CAST(sx_c AS DECIMAL(38,0)) * n_t))",
+            "((CAST(n AS DECIMAL(38,0)) * sxx"
+            "   - CAST(sx AS DECIMAL(38,0)) * sx)"
+            "  * n_t * (n - n_t))",
+            "delta_adj_milli",
+        ),
+    )
+
+
+def _cuped_sql() -> str:
+    return f"""
+        WITH ev AS (
+          SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events),
+        per_user AS (
+          SELECT user_id,
+                 SUM(CASE WHEN day < {CUPED_SPLIT_DAY}
+                          THEN cents ELSE 0 END) AS x,
+                 SUM(CASE WHEN day >= {CUPED_SPLIT_DAY}
+                          THEN cents ELSE 0 END) AS y,
+                 CAST(user_id % 2 = 0 AS INT) AS t
+          FROM ev GROUP BY user_id),
+        m AS (
+          SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS n_t,
+                 SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS sy_t,
+                 SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS sy_c,
+                 SUM(CASE WHEN t = 1 THEN x ELSE 0 END) AS sx_t,
+                 SUM(CASE WHEN t = 0 THEN x ELSE 0 END) AS sx_c
+          FROM per_user)
+        SELECT CAST(n_t AS BIGINT) AS n_t,
+               CAST(n - n_t AS BIGINT) AS n_c,
+               CAST((CASE WHEN CAST(n AS HUGEINT) * sxy
+                               - CAST(sx AS HUGEINT) * sy < 0
+                          THEN -1 ELSE 1 END)
+                    * (abs(CAST(n AS HUGEINT) * sxy
+                           - CAST(sx AS HUGEINT) * sy) * 1000
+                       // (CAST(n AS HUGEINT) * sxx
+                           - CAST(sx AS HUGEINT) * sx)) AS BIGINT)
+                 AS theta_milli,
+               CAST((CASE WHEN CAST(sy_t AS HUGEINT) * (n - n_t)
+                               - CAST(sy_c AS HUGEINT) * n_t < 0
+                          THEN -1 ELSE 1 END)
+                    * (abs(CAST(sy_t AS HUGEINT) * (n - n_t)
+                           - CAST(sy_c AS HUGEINT) * n_t) * 1000
+                       // (CAST(n_t AS HUGEINT) * (n - n_t)))
+                 AS BIGINT) AS delta_raw_milli,
+               CAST((CASE WHEN
+                      (CAST(n AS HUGEINT) * sxx
+                       - CAST(sx AS HUGEINT) * sx)
+                      * (CAST(sy_t AS HUGEINT) * (n - n_t)
+                         - CAST(sy_c AS HUGEINT) * n_t)
+                      - (CAST(n AS HUGEINT) * sxy
+                         - CAST(sx AS HUGEINT) * sy)
+                        * (CAST(sx_t AS HUGEINT) * (n - n_t)
+                           - CAST(sx_c AS HUGEINT) * n_t) < 0
+                          THEN -1 ELSE 1 END)
+                    * (abs((CAST(n AS HUGEINT) * sxx
+                            - CAST(sx AS HUGEINT) * sx)
+                           * (CAST(sy_t AS HUGEINT) * (n - n_t)
+                              - CAST(sy_c AS HUGEINT) * n_t)
+                           - (CAST(n AS HUGEINT) * sxy
+                              - CAST(sx AS HUGEINT) * sy)
+                             * (CAST(sx_t AS HUGEINT) * (n - n_t)
+                                - CAST(sx_c AS HUGEINT) * n_t)) * 1000
+                       // ((CAST(n AS HUGEINT) * sxx
+                            - CAST(sx AS HUGEINT) * sx)
+                           * n_t * (n - n_t))) AS BIGINT)
+                 AS delta_adj_milli
+        FROM m
+        """
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_cuped_adjustment",
+        stats_cuped_adjustment,
+        _cuped_sql(),
+        tags=("extension", "stats"),
+        description="CUPED variance-reduced A/B delta: theta = "
+        "Cov(x,y)/Var(x) from exact integer moments, adjusted "
+        "treatment-control delta as one rational over DECIMAL/HUGEINT "
+        "cross-products, every division sign-magnitude-guarded "
+        "(negative div/floor divergence trap).",
+    ),
     QueryDef(
         "stats_ols_segment_trend",
         stats_ols_segment_trend,

@@ -9077,7 +9077,7 @@ QUERIES: list[QueryDef] = [
                CAST(SUM(cents) AS BIGINT) AS sum_cents
         FROM final GROUP BY pbucket ORDER BY pbucket
         """,
-        tags=("parity", "delta", "io", "ddl"),
+        tags=("parity", "delta", "io", "ddl", "bench"),
         description="Deep clone: self-contained copy of a PARTITIONED "
         "DV-carrying snapshot (relative refs, hive layout preserved); "
         "survives destruction of the source directory and evolves "
@@ -9321,7 +9321,7 @@ QUERIES: list[QueryDef] = [
                CAST(1 AS BIGINT) AS n_refused
         FROM final GROUP BY bucket ORDER BY bucket
         """,
-        tags=("parity", "delta", "io", "dml"),
+        tags=("parity", "delta", "io", "dml", "bench"),
         description="replaceWhere selective overwrite: arbitrary-"
         "predicate region swap in one atomic commit (partial files "
         "rewritten keeping remainder), out-of-region batches refused "

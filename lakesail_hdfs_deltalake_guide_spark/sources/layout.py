@@ -119,9 +119,163 @@ def layout_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Hilbert curve (r13) ------------------------------------------------------
+#
+# The locality upgrade over Morton: the Hilbert curve visits every cell
+# of the 2^bits × 2^bits grid through ADJACENT cells only (Morton takes
+# long diagonal jumps at quadrant boundaries), so contiguous key ranges
+# cut tighter rectangles and per-file min/max spans shrink further —
+# this is why Databricks liquid clustering moved from Z-order to
+# Hilbert. The xy2d walk (rotate/reflect per bit plane) is unrolled at
+# plan-build time into pure CASE/bit column arithmetic: ``bits``
+# iterations of constant-depth expressions, whole-stage codegen, no
+# UDF. Correctness is pinned by a sequential-Python xy2d reference and
+# the adjacency property (|Δx|+|Δy| = 1 between consecutive d) in
+# tests/test_layout.py.
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = ZBITS,
+    out: str = "_h",
+) -> DataFrame:
+    """Append ``out`` = xy2d(col_a mod 2^bits, col_b mod 2^bits) on the
+    2^bits Hilbert curve.
+
+    Built STEPWISE — one projection per bit plane over NAMED columns —
+    rather than as a single nested Column: the rotate/reflect step
+    references both coordinates under CASE branches, so a nested
+    expression tree grows ~5× per iteration (≈10M nodes at 10 bits —
+    it OOMs the analyzer; found the hard way). Named intermediates keep
+    analysis linear in ``bits``, and CollapseProject leaves the
+    non-cheap CASE chains un-inlined, so the optimized plan stays
+    linear too."""
+    n = 1 << bits
+    df = (
+        df.withColumn("_hx", (F.col(col_a) % n).cast("long"))
+        .withColumn("_hy", (F.col(col_b) % n).cast("long"))
+        .withColumn(out, F.lit(0).cast("long"))
+    )
+    s = 1 << (bits - 1)
+    while s > 0:
+        df = df.withColumns(
+            {
+                "_rx": F.when(
+                    F.col("_hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)
+                )
+                .otherwise(F.lit(0))
+                .cast("long"),
+                "_ry": F.when(
+                    F.col("_hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)
+                )
+                .otherwise(F.lit(0))
+                .cast("long"),
+            }
+        )
+        df = df.withColumns(
+            {
+                out: F.col(out)
+                + F.lit(s)
+                * F.lit(s)
+                * ((F.col("_rx") * 3).bitwiseXOR(F.col("_ry"))),
+                # rotate/reflect so the next bit plane walks a
+                # correctly-oriented sub-curve
+                "_hx": F.when(
+                    F.col("_ry") == 0,
+                    F.when(
+                        F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy")
+                    ).otherwise(F.col("_hy")),
+                ).otherwise(F.col("_hx")),
+                "_hy": F.when(
+                    F.col("_ry") == 0,
+                    F.when(
+                        F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx")
+                    ).otherwise(F.col("_hx")),
+                ).otherwise(F.col("_hy")),
+            }
+        )
+        s >>= 1
+    return df.drop("_hx", "_hy", "_rx", "_ry")
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 8,
+    bits: int = ZBITS,
+) -> None:
+    """Write ``df`` clustered on the Hilbert curve of (col_a, col_b) —
+    same range-partition + sort-within shape as the Morton writer."""
+    (
+        with_hilbert_key(df, col_a, col_b, bits)
+        .repartitionByRange(num_files, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def layout_hilbert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write ``orders`` Hilbert-clustered on (o_custkey, o_orderkey),
+    read back, and aggregate one selective band per dimension — the
+    Hilbert twin of ``layout_zorder_scan`` (results layout-independent
+    by design; the tighter per-file spans vs Morton are MEASURED in
+    tests/test_layout.py, not claimed)."""
+    from ..tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="ls_hilbert_orders_")
+    write_hilbert(orders, path, "o_custkey", "o_orderkey")
+    back = spark.read.parquet(path)
+
+    def band(df: DataFrame, dim: str, col: str) -> DataFrame:
+        return (
+            df.where((F.col(col) >= 100) & (F.col(col) < 200))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                ).alias("sum_price_cents"),
+            )
+            .select(F.lit(dim).alias("dim"), "n_rows", "sum_price_cents")
+        )
+
+    return (
+        band(back, "custkey_band", "o_custkey")
+        .unionByName(band(back, "orderkey_band", "o_orderkey"))
+        .orderBy("dim")
+    )
+
+
 from ..querydef import QueryDef  # noqa: E402
 
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "layout_hilbert_scan",
+        layout_hilbert_scan,
+        """
+        SELECT 'custkey_band' AS dim, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_cents
+        FROM orders WHERE o_custkey >= 100 AND o_custkey < 200
+        UNION ALL
+        SELECT 'orderkey_band', COUNT(*),
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200
+        ORDER BY dim
+        """,
+        tags=("extension", "io", "layout"),
+        description="Hilbert-clustered write + banded scans on both "
+        "curve dimensions (adjacent-cell curve -> tighter per-file "
+        "spans than Morton; measured in tests).",
+    ),
     QueryDef(
         "layout_zorder_scan",
         layout_zorder_scan,

@@ -714,3 +714,133 @@ def test_fof_recommendations_properties(spark, sf_smoke):
         if prev is not None:
             assert prev < key
         prev = key
+
+
+def test_hilbert_key_matches_sequential_xy2d(spark):
+    """The unrolled column-arithmetic Hilbert key must equal the
+    textbook sequential xy2d on a grid sample, cover every cell of a
+    small curve exactly once, and step through ADJACENT cells only
+    (|dx|+|dy| = 1) — the locality property Morton lacks."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.layout import (
+        with_hilbert_key,
+    )
+
+    def xy2d(order, x, y):
+        d = 0
+        s = order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    n = 16  # 4-bit curve: exhaustive 256-cell check
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.d
+        for r in with_hilbert_key(df, "x", "y", 4, out="d").collect()
+    }
+    assert got == {(x, y): xy2d(n, x, y) for x, y in pts}
+    # bijective on the grid + unit-step adjacency
+    by_d = sorted(((d, xy) for xy, d in got.items()))
+    assert [d for d, _ in by_d] == list(range(n * n))
+    for (_, (x1, y1)), (_, (x2, y2)) in zip(by_d, by_d[1:]):
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_locality_beats_morton(spark, sf_oracle):
+    """The measured claim: per-file key-span sum under the Hilbert
+    layout must be no worse than under the Morton layout on the same
+    data and file count (it is strictly better on real grids)."""
+    import tempfile as tf
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.layout import (
+        write_hilbert,
+        write_zordered,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    orders = load_table(spark, sf_oracle, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+
+    def span_sum(path):
+        per_file = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(
+                (F.max("o_custkey") - F.min("o_custkey")).alias("sa"),
+                (F.max("o_orderkey") - F.min("o_orderkey")).alias("sb"),
+            )
+        )
+        r = per_file.agg(F.sum(F.col("sa") + F.col("sb")).alias("s"))
+        return r.collect()[0]["s"]
+
+    pz = tf.mkdtemp(prefix="ls_loc_z_")
+    ph = tf.mkdtemp(prefix="ls_loc_h_")
+    write_zordered(orders, pz, "o_custkey", "o_orderkey")
+    write_hilbert(orders, ph, "o_custkey", "o_orderkey")
+    z, h = span_sum(pz), span_sum(ph)
+    assert h <= z, f"hilbert span {h} worse than morton {z}"
+
+
+def test_cuped_matches_sequential_reference(spark, sf_smoke):
+    """Every emitted milli value recomputed with Python bignum
+    rationals (floor-free sign-magnitude) must agree exactly, and the
+    adjusted delta must equal delta_raw - theta*delta_x in rational
+    arithmetic (the CUPED identity)."""
+    from fractions import Fraction
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        CUPED_SPLIT_DAY,
+        stats_cuped_adjustment,
+    )
+
+    rows = _duck(
+        sf_smoke,
+        f"""
+        SELECT user_id,
+               SUM(CASE WHEN epoch_ns(ts) // 86400000000000
+                        < {CUPED_SPLIT_DAY} THEN
+                   CAST(round(value * 100) AS BIGINT) ELSE 0 END),
+               SUM(CASE WHEN epoch_ns(ts) // 86400000000000
+                        >= {CUPED_SPLIT_DAY} THEN
+                   CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        FROM events GROUP BY user_id
+        """,
+    )
+    n = len(rows)
+    sx = sum(r[1] for r in rows)
+    sy = sum(r[2] for r in rows)
+    sxy = sum(r[1] * r[2] for r in rows)
+    sxx = sum(r[1] * r[1] for r in rows)
+    t = [r for r in rows if r[0] % 2 == 0]
+    c = [r for r in rows if r[0] % 2 == 1]
+    C = n * sxy - sx * sy
+    V = n * sxx - sx * sx
+
+    def milli(num, den):
+        s = -1 if num < 0 else 1
+        return s * (abs(num) * 1000 // den)
+
+    got = stats_cuped_adjustment(spark, sf_smoke).collect()[0]
+    assert (got.n_t, got.n_c) == (len(t), len(c))
+    assert got.theta_milli == milli(C, V)
+    dy_num = sum(r[2] for r in t) * len(c) - sum(r[2] for r in c) * len(t)
+    dx_num = sum(r[1] for r in t) * len(c) - sum(r[1] for r in c) * len(t)
+    assert got.delta_raw_milli == milli(dy_num, len(t) * len(c))
+    assert got.delta_adj_milli == milli(
+        V * dy_num - C * dx_num, V * len(t) * len(c)
+    )
+    # the CUPED identity in exact rationals
+    adj = Fraction(dy_num, len(t) * len(c)) - Fraction(C, V) * Fraction(
+        dx_num, len(t) * len(c)
+    )
+    assert abs(Fraction(got.delta_adj_milli, 1000) - adj) < Fraction(1, 500)
