@@ -4112,6 +4112,7 @@ def delta_optimize_zorder(
     bits: int | None = None,
     incremental: bool = False,
     _allow_single: bool = False,
+    curve: str = "morton",
 ) -> int:
     """OPTIMIZE ... ZORDER BY (col_1, ..., col_n): rewrite the live set
     clustered on the N-dim Morton interleave of the keys, so per-file
@@ -4133,8 +4134,23 @@ def delta_optimize_zorder(
     (their row set changed) — and is a zero-commit no-op when nothing
     qualifies. At 100 TB this is what makes re-clustering after daily
     appends O(new data) instead of O(table): delta-spark's ZCube
-    design, reproduced on the native log."""
-    from .layout import zorder_key_n
+    design, reproduced on the native log.
+
+    ``curve="hilbert"`` swaps the Morton interleave for the Hilbert
+    curve (2 columns only — the stepwise xy2d in sources/layout.py):
+    adjacent-cell traversal cuts tighter per-file rectangles than
+    Morton's quadrant jumps, which is the curve liquid clustering
+    actually uses. Same normalization, range exchange, ZCube tags
+    (the spec records the curve so incremental re-clustering never
+    mixes cube kinds) and MVCC discipline."""
+    from .layout import with_hilbert_key, zorder_key_n
+
+    if curve not in ("morton", "hilbert"):
+        raise ValueError(f"unknown clustering curve: {curve!r}")
+    if curve == "hilbert" and len(cols) != 2:
+        raise ValueError(
+            "hilbert clustering interleaves exactly 2 columns"
+        )
 
     # public ZORDER keeps delta-spark's contract: interleaving needs ≥2
     # dimensions (a 1-column "z-order" is plain range clustering — that
@@ -4156,7 +4172,11 @@ def delta_optimize_zorder(
         raise ValueError(f"no delta table at {path}")
     snap = versions0[-1]
     _, meta, live, _ = _snapshot_state(spark, path, snap)
-    zcube_spec = json.dumps(list(cols))
+    zcube_spec = (
+        json.dumps(list(cols))
+        if curve == "morton"
+        else json.dumps({"curve": curve, "cols": list(cols)})
+    )
     if incremental:
         rewrite = {
             f: a
@@ -4192,15 +4212,31 @@ def delta_optimize_zorder(
             "AS BIGINT)"
         )
 
-    z = zorder_key_n([_norm(i, c) for i, c in enumerate(cols)], bits)
+    if curve == "hilbert":
+        keyed = with_hilbert_key(
+            current.withColumn("__c0", _norm(0, cols[0])).withColumn(
+                "__c1", _norm(1, cols[1])
+            ),
+            "__c0",
+            "__c1",
+            bits,
+            out="__z",
+        ).drop("__c0", "__c1")
+    else:
+        keyed = current.withColumn(
+            "__z", zorder_key_n([_norm(i, c) for i, c in enumerate(cols)], bits)
+        )
     clustered = (
-        current.withColumn("__z", z)
-        .repartitionByRange(target_files, "__z")
+        keyed.repartitionByRange(target_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
     )
     version = snap + 1
-    actions: list[dict] = [_commit_info("OPTIMIZE ZORDER")]
+    actions: list[dict] = [
+        _commit_info(
+            "OPTIMIZE ZORDER" if curve == "morton" else "OPTIMIZE HILBERT"
+        )
+    ]
     for f in sorted(rewrite):
         actions.append(
             {

@@ -844,3 +844,75 @@ def test_cuped_matches_sequential_reference(spark, sf_smoke):
         dx_num, len(t) * len(c)
     )
     assert abs(Fraction(got.delta_adj_milli, 1000) - adj) < Fraction(1, 500)
+
+
+def test_hilbert_optimize_on_delta_log(spark):
+    """OPTIMIZE with curve='hilbert': range predicates on BOTH keys
+    prune files, per-file span sum beats-or-ties the Morton rewrite of
+    the same table, the ZCube spec records the curve (so incremental
+    re-clustering never treats Morton cubes as Hilbert-clustered), and
+    rows are unchanged; 2-column contract enforced."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+        delta_optimize_zorder,
+        delta_read,
+        delta_write,
+    )
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / F.lit(64)).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+    def span_sum(path):
+        tot = 0
+        for _, a in delta_live_adds(spark, path):
+            st = json.loads(a["stats"])
+            tot += st["maxValues"]["x"] - st["minValues"]["x"]
+            tot += st["maxValues"]["y"] - st["minValues"]["y"]
+        return tot
+
+    ph = tempfile.mkdtemp(prefix="ls_ho_")
+    delta_write(df.repartition(8), ph, stats_cols=["x", "y"])
+    delta_optimize_zorder(
+        spark, ph, ["x", "y"], target_files=8, curve="hilbert"
+    )
+    pz = tempfile.mkdtemp(prefix="ls_zo2_")
+    delta_write(df.repartition(8), pz, stats_cols=["x", "y"])
+    delta_optimize_zorder(spark, pz, ["x", "y"], target_files=8)
+    assert span_sum(ph) <= span_sum(pz)
+    adds = delta_live_adds(spark, ph)
+    spec = json.loads(adds[0][1]["tags"]["ZCUBE_ZORDER_BY"])
+    assert spec == {"curve": "hilbert", "cols": ["x", "y"]}
+    # both dims prune
+    for col in ("x", "y"):
+        keep = 0
+        for _, a in adds:
+            st = json.loads(a["stats"])
+            if not (st["minValues"][col] > 15 or st["maxValues"][col] < 0):
+                keep += 1
+        assert keep < len(adds), f"{col}-range must skip files"
+    got = delta_read(spark, ph, range_filter={"x": (0, 15)}).where(
+        "x BETWEEN 0 AND 15"
+    )
+    assert sorted(r["payload"] for r in got.collect()) == [
+        i for i in range(4096) if i % 64 <= 15
+    ]
+    # a hilbert pass over a morton-clustered table is NOT a no-op for
+    # incremental (different cube spec) ...
+    v = delta_optimize_zorder(
+        spark, pz, ["x", "y"], curve="hilbert", incremental=True
+    )
+    assert v > 1
+    # ... and re-running hilbert incrementally IS a no-op
+    assert (
+        delta_optimize_zorder(
+            spark, pz, ["x", "y"], curve="hilbert", incremental=True
+        )
+        == v
+    )
+    with pytest.raises(ValueError, match="exactly 2"):
+        delta_optimize_zorder(spark, ph, ["x"], curve="hilbert")
+    with pytest.raises(ValueError, match="curve"):
+        delta_optimize_zorder(spark, ph, ["x", "y"], curve="peano")
