@@ -592,3 +592,45 @@ def test_lpa_edge_frame_is_checkpointed_once(spark, sf_smoke):
     # the lineitem/orders fact join would reappear per round without
     # the checkpoint; after it, no parquet fact scan is in the plan
     assert "lineitem" not in plan.lower()
+
+
+def test_sq_perdim_broadcasts_range_and_queries_only(spark, sf_smoke):
+    """SQ8/ADC: the trained 2x64 range row and the query block must
+    BROADCAST; the corpus side must never shuffle into a sort-merge
+    join (the brute-force-shape contract of the quantization ladder)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.similarity import (
+        similarity_sq_perdim_topk,
+    )
+
+    plan = explain_str(similarity_sq_perdim_topk(spark, sf_smoke))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_rolling_has_no_self_join(spark, sf_smoke):
+    """The rolling merge must be the map-side fan-out (explode to
+    target days), NOT a windowed self-join of daily sketches: exactly
+    zero joins between two events scans."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        stats_hll_rolling,
+    )
+
+    plan = explain_str(stats_hll_rolling(spark, sf_smoke))
+    # the only join is the final 30-row rolled-vs-truth combine; the
+    # sketch side itself must show the explode (Generate), not a join
+    assert "Generate explode" in plan or "Generate" in plan
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_attribution_single_user_exchange(spark, sf_smoke):
+    """First/last/linear/position credit must reuse ONE user_id hash
+    partitioning for the conversion aggregate, journey join, and
+    position windows — no per-model re-shuffle of the events scan."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.sessions import (
+        session_attribution_models,
+    )
+
+    plan = explain_str(session_attribution_models(spark, sf_smoke))
+    assert plan.count("hashpartitioning(user_id") <= 3, plan[:0] or (
+        "events must not re-exchange per attribution model"
+    )
