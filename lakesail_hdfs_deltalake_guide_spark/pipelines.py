@@ -1280,7 +1280,7 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pipeline_curation_incremental(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, n_batches: int = 2
 ) -> DataFrame:
     """The curation capstone (X182) driven INCREMENTALLY from a Delta
     change feed — the production shape: documents land in a CDF-enabled
@@ -1331,9 +1331,20 @@ def pipeline_curation_incremental(
         "text",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
-    mid = corpus.agg(
-        F.expr("(min(doc_id) + max(doc_id)) DIV 2").alias("m")
-    ).collect()[0]["m"]
+    # id-ordered batches: equal-width doc_id cuts (the "crawl date"
+    # stand-in); any batch count yields the same final ledger — the
+    # n_batches knob trades latency per increment for increments
+    bnds = corpus.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
+    cuts = (
+        [bnds["lo"] - 1]
+        + [
+            bnds["lo"] + (bnds["hi"] - bnds["lo"]) * k // n_batches
+            for k in range(1, n_batches)
+        ]
+        + [bnds["hi"]]
+    )
     root = tempfile.mkdtemp(prefix="ls_cur_incr_")
     bronze = f"{root}/bronze"
     digest_p = f"{root}/state_digests"
@@ -1341,12 +1352,10 @@ def pipeline_curation_incremental(
     surv_p = f"{root}/state_survivors"
     counts: list[list[int]] = []  # per increment: [(docs, toks) x 5]
     first_round = True
-    for lo, hi in ((None, mid), (mid, None)):
-        batch = corpus
-        if lo is not None:
-            batch = batch.where(F.col("doc_id") > lo)
-        if hi is not None:
-            batch = batch.where(F.col("doc_id") <= hi)
+    for lo, hi in zip(cuts, cuts[1:]):
+        batch = corpus.where(
+            (F.col("doc_id") > lo) & (F.col("doc_id") <= hi)
+        )
         v = delta_write(
             batch,
             bronze,

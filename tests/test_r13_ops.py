@@ -522,6 +522,15 @@ def test_curation_incremental_equals_batch(spark, sf_smoke):
         for r in pipeline_curation_incremental(spark, sf_smoke).collect()
     }
     assert batch == incr
+    # the batch count is immaterial: 3 id-ordered increments produce
+    # the identical ledger (the generalization knob)
+    incr3 = {
+        r.stage_id: r.asDict()
+        for r in pipeline_curation_incremental(
+            spark, sf_smoke, n_batches=3
+        ).collect()
+    }
+    assert batch == incr3
 
 
 def test_sq_perdim_recall_and_reconstruction(spark, sf_smoke):
