@@ -2233,6 +2233,171 @@ def stats_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q-digest quantile sketch (r13) ------------------------------------------
+#
+# The mergeable QUANTILE sketch completing the family (HLL/KMV for
+# cardinality, CM for frequency, Bloom for membership): Shrivastava et
+# al.'s q-digest — counts on a binary tree over a FIXED value universe,
+# compressed so low-count subtrees collapse into ancestors. Two
+# determinism decisions make it engine-exact where KLL/t-digest cannot
+# be (their compactions are sampling/order-sensitive):
+#
+#   1. the sketch input is the EXACT leaf histogram (one distributed
+#      aggregate to ≤2^L rows) — partitioning can't change it;
+#   2. compression is pinned to CANONICAL bottom-up level order: per
+#      (parent, children) triple, merge iff c_left + c_right + c_parent
+#      ≤ ⌊n/σ⌋ — each decision is local to the triple, so the result
+#      is a pure function of the histogram.
+#
+# Rank queries walk nodes in (hi asc, lo desc) order; the classic
+# guarantee bounds the rank error by log2(U)·⌊n/σ⌋, which is what the
+# oracle-checked within_bound flag asserts (the sketch's actual
+# contract — the estimates themselves are pinned by the sequential
+# reference test, and MERGEABILITY — add histograms, recompress — is
+# proven there too).
+#
+# Scale shape: the corpus-sized work is ONE hash aggregate to ≤1024
+# leaf rows; compression runs on that bounded sketch state (driver
+# arithmetic, same class as centroid seeding); exact ranks for the
+# audit ride the distributed prefix sum.
+
+QD_L = 10  # tree depth: 2^10 = 1024 leaves
+QD_SIGMA = 256  # compression: thr = n DIV 256, size ≤ 3σ
+QD_HI_CENTS = 60_000_000  # o_totalprice domain bound (pinned constant)
+QD_WIDTH = (QD_HI_CENTS + (1 << QD_L) - 1) // (1 << QD_L)
+QD_QUANTILES = (10, 25, 50, 75, 90)
+
+
+def _qdigest_compress(leaf_counts: dict[int, int], n: int) -> dict[int, int]:
+    """Canonical bottom-up q-digest compression. Keys are tree node ids
+    (root 1; leaf i ↦ 2^L + i); pure function of the leaf histogram."""
+    thr = max(1, n // QD_SIGMA)
+    nodes = {(1 << QD_L) + i: c for i, c in leaf_counts.items() if c}
+    for level in range(QD_L, 0, -1):
+        lo, hi = 1 << level, 1 << (level + 1)
+        for p in sorted({v >> 1 for v in nodes if lo <= v < hi}):
+            s = (
+                nodes.get(2 * p, 0)
+                + nodes.get(2 * p + 1, 0)
+                + nodes.get(p, 0)
+            )
+            if s <= thr:
+                if s:
+                    nodes[p] = s
+                nodes.pop(2 * p, None)
+                nodes.pop(2 * p + 1, None)
+    return nodes
+
+
+def _qdigest_rank_query(nodes: dict[int, int], target: int) -> int:
+    """Leaf index whose right edge the digest reports for rank
+    ``target``: walk nodes by (hi asc, lo desc), accumulate counts."""
+    spans = []
+    for v, c in nodes.items():
+        level = v.bit_length() - 1
+        span = 1 << (QD_L - level)
+        lo = (v - (1 << level)) * span
+        spans.append((lo + span - 1, -lo, c))
+    cum = 0
+    for hi, neg_lo, c in sorted(spans):
+        cum += c
+        if cum >= target:
+            return hi
+    return (1 << QD_L) - 1
+
+
+def stats_qdigest_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Q-digest quantile audit over order value cents: per quantile the
+    exact value, the target rank, and whether the sketch's rank error
+    stays inside the log2(U)·(n DIV sigma) contract."""
+    from .ranks import exact_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    leaf = o.select(
+        F.expr(
+            f"least(cents DIV {QD_WIDTH}, {(1 << QD_L) - 1})"
+        ).alias("leaf")
+    )
+    hist = {
+        int(r["leaf"]): int(r["n"])
+        for r in leaf.groupBy("leaf")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: ≤ 2^L sketch-state rows
+    }
+    n = sum(hist.values())
+    digest = _qdigest_compress(hist, n)
+    bound = QD_L * max(1, n // QD_SIGMA)
+    targets = []
+    for q in QD_QUANTILES:
+        target = (q * n + 99) // 100
+        est_leaf = _qdigest_rank_query(digest, target)
+        est_val = min((est_leaf + 1) * QD_WIDTH - 1, QD_HI_CENTS)
+        targets.append((q, target, est_val))
+    tdf = F.broadcast(
+        spark.createDataFrame(
+            targets, "q_pct long, target_rank long, est_val long"
+        )
+    )
+    per_val = o.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    cum, _ = exact_prefix_sum(per_val, ["cents"], "cnt", out="cum")
+    cum = cum.localCheckpoint(eager=False)  # two join consumers
+    exact = (
+        cum.crossJoin(tdf)
+        .where(F.col("cum") >= F.col("target_rank"))
+        .groupBy("q_pct", "target_rank", "est_val")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    est_rank = (
+        cum.crossJoin(tdf)
+        .where(F.col("cents") <= F.col("est_val"))
+        .groupBy("q_pct")
+        .agg(F.max("cum").alias("est_rank"))
+    )
+    return (
+        exact.join(est_rank, "q_pct")
+        .select(
+            "q_pct",
+            "target_rank",
+            "exact_cents",
+            (
+                F.abs(F.col("est_rank") - F.col("target_rank"))
+                <= F.lit(bound)
+            )
+            .cast("int")
+            .alias("within_bound"),
+        )
+        .orderBy("q_pct")
+    )
+
+
+def _qdigest_sql() -> str:
+    qs = ", ".join(f"({q})" for q in QD_QUANTILES)
+    return f"""
+        WITH o AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders),
+        n AS (SELECT COUNT(*) AS n FROM o),
+        targets AS (
+          SELECT q_pct, (q_pct * n + 99) // 100 AS target_rank
+          FROM (VALUES {qs}) q(q_pct), n),
+        cum AS (
+          SELECT cents,
+                 SUM(COUNT(*)) OVER (ORDER BY cents) AS cum
+          FROM o GROUP BY cents)
+        SELECT CAST(t.q_pct AS BIGINT) AS q_pct,
+               CAST(t.target_rank AS BIGINT) AS target_rank,
+               CAST(MIN(c.cents) AS BIGINT) AS exact_cents,
+               CAST(1 AS INT) AS within_bound
+        FROM targets t JOIN cum c ON c.cum >= t.target_rank
+        GROUP BY t.q_pct, t.target_rank
+        ORDER BY q_pct
+        """
+
+
 # --- CUPED variance reduction (r13) ------------------------------------------
 #
 # The experimentation-platform workhorse (Deng et al., WSDM 2013):
@@ -3605,6 +3770,18 @@ QUERIES: list[QueryDef] = [
         "micro units compared against precomputed chi2(1) critical "
         "values per BH slot (statistic-vs-critical avoids float "
         "p-values entirely).",
+    ),
+    QueryDef(
+        "stats_qdigest_quantiles",
+        stats_qdigest_quantiles,
+        _qdigest_sql(),
+        tags=("extension", "stats", "sketch"),
+        description="Q-digest mergeable quantile sketch with CANONICAL "
+        "bottom-up compression (a pure function of the exact leaf "
+        "histogram, so partitioning cannot change it — the determinism "
+        "KLL/t-digest lack): per quantile the exact value, target "
+        "rank, and the oracle-gated log2(U)*(n/sigma) rank-error "
+        "contract.",
     ),
     QueryDef(
         "stats_hll_rolling",

@@ -925,3 +925,76 @@ def test_hilbert_optimize_on_delta_log(spark):
         delta_optimize_zorder(spark, ph, ["x"], curve="hilbert")
     with pytest.raises(ValueError, match="curve"):
         delta_optimize_zorder(spark, ph, ["x", "y"], curve="peano")
+
+
+def test_qdigest_sequential_reference_and_mergeability(spark, sf_smoke):
+    """The distributed query's flags must come from the SAME digest a
+    sequential build produces; compressed nodes obey the q-digest
+    size/count contracts; and MERGING two shards' histograms then
+    recompressing keeps every quantile inside the same rank-error
+    bound (the mergeable-sketch property)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        QD_L,
+        QD_QUANTILES,
+        QD_SIGMA,
+        QD_WIDTH,
+        _qdigest_compress,
+        _qdigest_rank_query,
+        stats_qdigest_quantiles,
+    )
+
+    cents = [
+        r[0]
+        for r in _duck(
+            sf_smoke,
+            "SELECT CAST(round(o_totalprice * 100) AS BIGINT) FROM orders",
+        )
+    ]
+    hist: dict[int, int] = {}
+    for c in cents:
+        leaf = min(c // QD_WIDTH, (1 << QD_L) - 1)
+        hist[leaf] = hist.get(leaf, 0) + 1
+    n = len(cents)
+    digest = _qdigest_compress(hist, n)
+    thr = max(1, n // QD_SIGMA)
+    assert sum(digest.values()) == n, "compression must conserve mass"
+    assert len(digest) <= 3 * QD_SIGMA + 1
+    # every merge the canonical pass performed respected the threshold:
+    # any surviving INTERNAL node's count came from merged subtrees
+    for v, c in digest.items():
+        if v < (1 << QD_L):
+            assert c <= thr
+    bound = QD_L * thr
+    srt = sorted(cents)
+
+    def exact_rank(val):
+        import bisect
+
+        return bisect.bisect_right(srt, val)
+
+    rows = stats_qdigest_quantiles(spark, sf_smoke).collect()
+    assert [r.q_pct for r in rows] == list(QD_QUANTILES)
+    for r in rows:
+        assert r.within_bound == 1
+        assert r.exact_cents == srt[r.target_rank - 1]
+        est_leaf = _qdigest_rank_query(digest, r.target_rank)
+        est_val = min((est_leaf + 1) * QD_WIDTH - 1, 60_000_000)
+        assert abs(exact_rank(est_val) - r.target_rank) <= bound
+    # mergeability: split rows into two shards, merge leaf histograms
+    # (the digest union-merge), recompress — bound still holds
+    h1: dict[int, int] = {}
+    h2: dict[int, int] = {}
+    for i, c in enumerate(cents):
+        leaf = min(c // QD_WIDTH, (1 << QD_L) - 1)
+        h = h1 if i % 2 == 0 else h2
+        h[leaf] = h.get(leaf, 0) + 1
+    merged = dict(h1)
+    for k, v in h2.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == hist
+    d2 = _qdigest_compress(merged, n)
+    for q in QD_QUANTILES:
+        target = (q * n + 99) // 100
+        est_leaf = _qdigest_rank_query(d2, target)
+        est_val = min((est_leaf + 1) * QD_WIDTH - 1, 60_000_000)
+        assert abs(exact_rank(est_val) - target) <= bound
