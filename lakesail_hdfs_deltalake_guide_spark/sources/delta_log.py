@@ -4452,7 +4452,7 @@ def delta_generate_manifest(spark: SparkSession, path: str) -> list[str]:
 
 
 def delta_vacuum(
-    spark: SparkSession, path: str, keep_versions: int = 1
+    spark: SparkSession, path: str, keep_versions: int = 1, lite: bool = False
 ) -> list[str]:
     """Retention cleanup (Delta VACUUM): physically delete data files no
     snapshot in the retained window references; returns the deleted
@@ -4460,7 +4460,16 @@ def delta_vacuum(
     standard storage/history trade (Delta's default horizon is 7 days;
     here the knob is version count for deterministic tests). The log
     itself is never truncated: history metadata stays cheap, only data
-    bytes are reclaimed."""
+    bytes are reclaimed.
+
+    ``lite=True`` is delta-spark 3.3's ``VACUUM ... LITE``: candidates
+    come from the LOG's remove actions instead of a recursive storage
+    listing — at 100 TB that replaces a LIST page stream over millions
+    of objects with a metadata read of the commit range, the fast path
+    for tables vacuumed on schedule. The documented trade (same as
+    delta-spark's): LITE only reclaims what the log remembers removing
+    — orphans from aborted writes and files whose remove commits were
+    already log-compacted away need a periodic FULL vacuum."""
     versions = _list_versions(spark, path)
     if not versions:
         return []
@@ -4494,6 +4503,27 @@ def delta_vacuum(
     fs, table_path, jvm = _hadoop_fs(spark, path)
     base_uri = fs.makeQualified(table_path).toUri()
     deleted = []
+    if lite:
+        # log-driven: candidates are the remove-action paths the commit
+        # JSONs still on disk remember (relative refs only — an
+        # absolute ref belongs to another table's directory)
+        candidates: set[str] = set()
+        for v in versions:
+            try:
+                text = _read_text(spark, _version_file(path, v))
+            except Exception:  # noqa: BLE001 — cleaned commit
+                continue
+            for line in text.splitlines():
+                action = json.loads(line)
+                r = action.get("remove")
+                if r and not _is_absolute_ref(r["path"]):
+                    candidates.add(r["path"])
+        for rel in sorted(candidates - referenced):
+            p = jvm.org.apache.hadoop.fs.Path(table_path, rel)
+            if fs.exists(p):
+                fs.delete(p, False)
+                deleted.append(rel)
+        return sorted(deleted)
     it = fs.listFiles(table_path, True)
     while it.hasNext():
         status = it.next()
@@ -8775,6 +8805,144 @@ def delta_native_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def delta_describe_detail(spark: SparkSession, path: str) -> dict:
+    """``DESCRIBE DETAIL`` (delta-spark's table-inspection command):
+    the snapshot's physical/metadata summary — format, table id,
+    location, creation time, partition/clustering columns, live file
+    count and byte size (from add actions — no storage listing),
+    table properties, protocol versions and declared features. Pure
+    log fold; O(metadata) at any table size."""
+    proto, meta, live, _ = _snapshot_state(spark, path)
+    if meta is None:
+        raise ValueError(f"no delta table at {path}")
+    proto = proto or _PROTOCOL
+    feats = sorted(
+        set(proto.get("readerFeatures") or ())
+        | set(proto.get("writerFeatures") or ())
+    )
+    return {
+        "format": (meta.get("format") or {}).get("provider", "parquet"),
+        "id": meta.get("id"),
+        "location": path,
+        "createdAt": meta.get("createdTime"),
+        "partitionColumns": list(meta.get("partitionColumns") or ()),
+        "clusteringColumns": delta_clustering_columns(meta) or [],
+        "numFiles": len(live),
+        "sizeInBytes": sum(
+            int(a.get("size") or 0) for a in live.values()
+        ),
+        "properties": dict(meta.get("configuration") or {}),
+        "minReaderVersion": int(proto.get("minReaderVersion", 1)),
+        "minWriterVersion": int(proto.get("minWriterVersion", 2)),
+        "tableFeatures": feats,
+    }
+
+
+def delta_native_describe_detail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DESCRIBE DETAIL lifecycle: a partitioned CDF table built with a
+    deterministic file layout (one file per partition per append), a
+    CHECK constraint bumping the writer protocol — the detail row must
+    report exactly the file count, partitioning, properties and
+    protocol the construction implies, with live bytes positive and
+    consistent with the add actions."""
+    import tempfile
+
+    from ..tables import load_table
+
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", (F.col("n_nationkey") % 3).alias("part")
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_detail_")
+    delta_write(
+        n.where("n_nationkey % 2 = 0").repartition(1),
+        path,
+        partition_by=["part"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_write(
+        n.where("n_nationkey % 2 = 1").repartition(1),
+        path,
+        mode="append",
+    )
+    delta_add_constraint(spark, path, "nonneg", "n_nationkey >= 0")
+    d = delta_describe_detail(spark, path)
+    if d["sizeInBytes"] <= 0 or d["numFiles"] != 6:
+        raise AssertionError(f"unexpected detail: {d}")
+    return spark.createDataFrame(
+        [
+            (
+                d["format"],
+                len(d["partitionColumns"]),
+                ",".join(d["partitionColumns"]),
+                d["numFiles"],
+                int(d["sizeInBytes"] > 0),
+                d["properties"].get("delta.enableChangeDataFeed"),
+                d["minReaderVersion"],
+                d["minWriterVersion"],
+                int("delta.constraints.nonneg" in d["properties"]),
+            )
+        ],
+        "format string, n_partition_cols long, partition_cols string,"
+        " num_files long, has_bytes int, cdf_property string,"
+        " min_reader long, min_writer long, has_constraint int",
+    )
+
+
+def delta_native_vacuum_lite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VACUUM LITE lifecycle: an overwrite retires the first
+    generation, LITE reclaims exactly those log-remembered files while
+    a planted ORPHAN parquet (an aborted write's leftover the log never
+    saw) survives — then FULL vacuum reaps the orphan too. Output: the
+    surviving rollup plus both reclaim counters and the orphan flags."""
+    import os
+    import tempfile
+
+    from ..tables import load_table
+
+    r = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.length("r_name").cast("long").alias("name_len")
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_vlite_")
+    delta_write(r.repartition(2), path)
+    gen1 = set(delta_live_files(spark, path))
+    delta_write(r, path, mode="overwrite")
+    orphan = os.path.join(path, "part-orphan-deadbeef.c000.snappy.parquet")
+    r.limit(1).toPandas().to_parquet(orphan)
+    lite = delta_vacuum(spark, path, keep_versions=1, lite=True)
+    if set(lite) != gen1:
+        raise AssertionError(
+            f"LITE must reclaim exactly the retired generation: "
+            f"{sorted(lite)} vs {sorted(gen1)}"
+        )
+    orphan_survived_lite = int(os.path.exists(orphan))
+    full = delta_vacuum(spark, path, keep_versions=1)
+    orphan_survived_full = int(os.path.exists(orphan))
+    return (
+        delta_read(spark, path)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("name_len").alias("sum_name_len"),
+        )
+        .select(
+            "n_rows",
+            "sum_name_len",
+            F.lit(len(lite)).cast("long").alias("n_lite_reclaimed"),
+            F.lit(len(full)).cast("long").alias("n_full_reclaimed"),
+            F.lit(orphan_survived_lite).cast("int").alias(
+                "orphan_survived_lite"
+            ),
+            F.lit(orphan_survived_full).cast("int").alias(
+                "orphan_survived_full"
+            ),
+        )
+    )
+
+
 def delta_native_optimize_where(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -9940,6 +10108,44 @@ QUERIES: list[QueryDef] = [
         "manifests of live-file URIs, consumed back as raw parquet "
         "(the Presto/Trino path); regenerate drops a DELETEd "
         "partition's manifest instead of resurrecting it.",
+    ),
+    QueryDef(
+        "delta_native_describe_detail",
+        delta_native_describe_detail,
+        """
+        SELECT 'parquet' AS format,
+               CAST(1 AS BIGINT) AS n_partition_cols,
+               'part' AS partition_cols,
+               CAST(6 AS BIGINT) AS num_files,
+               CAST(1 AS INT) AS has_bytes,
+               'true' AS cdf_property,
+               CAST(1 AS BIGINT) AS min_reader,
+               CAST(3 AS BIGINT) AS min_writer,
+               CAST(1 AS INT) AS has_constraint
+        """,
+        tags=("parity", "delta", "io", "ddl"),
+        description="DESCRIBE DETAIL: physical/metadata snapshot summary "
+        "(live file count + bytes from add actions, partitioning, "
+        "properties, protocol) — pure log fold, deterministic layout "
+        "asserted in-query.",
+    ),
+    QueryDef(
+        "delta_native_vacuum_lite",
+        delta_native_vacuum_lite,
+        """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(length(r_name)) AS BIGINT) AS sum_name_len,
+               CAST(2 AS BIGINT) AS n_lite_reclaimed,
+               CAST(1 AS BIGINT) AS n_full_reclaimed,
+               CAST(1 AS INT) AS orphan_survived_lite,
+               CAST(0 AS INT) AS orphan_survived_full
+        FROM region
+        """,
+        tags=("parity", "delta", "io"),
+        description="VACUUM LITE (log-driven reclaim from remove "
+        "actions — no storage listing): retired generation reclaimed "
+        "exactly, a planted orphan survives LITE and falls to FULL — "
+        "the documented fast-path/completeness trade.",
     ),
     QueryDef(
         "delta_native_restore_timestamp",

@@ -998,3 +998,73 @@ def test_qdigest_sequential_reference_and_mergeability(spark, sf_smoke):
         est_leaf = _qdigest_rank_query(d2, target)
         est_val = min((est_leaf + 1) * QD_WIDTH - 1, 60_000_000)
         assert abs(exact_rank(est_val) - target) <= bound
+
+
+def test_vacuum_lite_respects_restore_and_skips_dv_units(spark, sf_smoke):
+    """LITE must not reclaim a file an earlier remove retired but a
+    later RESTORE re-added (candidates minus the retained live set),
+    and DV storage units — never remove-action paths — are untouched."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_live_files,
+        delta_read,
+        delta_restore,
+        delta_vacuum,
+        delta_write,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    r = load_table(spark, sf_smoke, "region").select("r_regionkey")
+    p = tempfile.mkdtemp(prefix="ls_vlite_restore_")
+    delta_write(r, p)
+    gen1 = set(delta_live_files(spark, p))
+    delta_write(r.where("r_regionkey < 2"), p, mode="overwrite")
+    gen2 = set(delta_live_files(spark, p)) - gen1
+    delta_restore(spark, p, version=0)
+    # gen1 was removed by the overwrite BUT re-added by the restore:
+    # LITE must reclaim only gen2 (retired by the restore), never the
+    # re-added generation
+    assert set(delta_vacuum(spark, p, keep_versions=1, lite=True)) == gen2
+    assert set(delta_live_files(spark, p)) == gen1
+    assert delta_read(spark, p).count() == 5
+    # DV table: LITE after a DV delete reclaims nothing (no remove
+    # actions were committed; the DV unit must survive)
+    p2 = tempfile.mkdtemp(prefix="ls_vlite_dv_")
+    delta_write(r, p2)
+    delta_delete_dv(spark, p2, "r_regionkey = 0")
+    assert delta_vacuum(spark, p2, keep_versions=1, lite=True) == []
+    assert delta_read(spark, p2).count() == 4
+
+
+def test_describe_detail_fields(spark, sf_smoke):
+    """DESCRIBE DETAIL over a clustered table must surface clustering
+    columns, live accounting that tracks DML, and the declared
+    features."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_cluster_by,
+        delta_delete,
+        delta_describe_detail,
+        delta_write,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    r = load_table(spark, sf_smoke, "region").select("r_regionkey")
+    p = tempfile.mkdtemp(prefix="ls_detail_")
+    delta_write(r.repartition(2), p)
+    delta_cluster_by(spark, p, ["r_regionkey"])
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_adds,
+    )
+
+    d = delta_describe_detail(spark, p)
+    assert d["clusteringColumns"] == ["r_regionkey"]
+    assert d["numFiles"] == 2 and d["sizeInBytes"] > 0
+    delta_delete(spark, p, "r_regionkey >= 3")  # partial CoW delete
+    d2 = delta_describe_detail(spark, p)
+    live = delta_live_adds(spark, p)
+    assert d2["numFiles"] == len(live)
+    assert d2["sizeInBytes"] == sum(
+        int(a.get("size") or 0) for _, a in live
+    )
+    assert d2["id"] == d["id"]
+    assert "lakesailClustering" in d2["tableFeatures"]
