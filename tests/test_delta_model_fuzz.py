@@ -21,9 +21,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+    _list_versions,
     delta_checkpoint,
     delta_delete,
     delta_delete_dv,
+    delta_describe_detail,
+    delta_live_adds,
     delta_merge,
     delta_optimize,
     delta_optimize_zorder,
@@ -33,6 +36,7 @@ from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
     delta_restore,
     delta_update,
     delta_update_dv,
+    delta_vacuum,
     delta_write,
 )
 
@@ -72,7 +76,8 @@ def test_delta_model_fuzz(spark, seed):
         op = rng.choice(
             ["append", "delete", "delete_dv", "update", "update_dv",
              "merge", "merge_clauses", "replace_where", "optimize",
-             "zorder", "restore", "checkpoint", "purge"]
+             "zorder", "hilbert", "restore", "checkpoint", "purge",
+             "vacuum_lite", "describe"]
         )
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 15))
@@ -160,6 +165,31 @@ def test_delta_model_fuzz(spark, seed):
         elif op == "zorder":
             delta_optimize_zorder(spark, path, ["k", "v"], target_files=2)
             version += 1
+        elif op == "hilbert":
+            delta_optimize_zorder(
+                spark, path, ["k", "v"], target_files=2, curve="hilbert"
+            )
+            version += 1
+        elif op == "vacuum_lite":
+            # LITE reclaims files only the pre-retention history needs;
+            # the model's contract follows: versions outside the
+            # retained window stop being time-travelable
+            keep = rng.randrange(1, 4)
+            cut = _list_versions(spark, path)[-keep:][0]
+            delta_vacuum(spark, path, keep_versions=keep, lite=True)
+            history = {v: s for v, s in history.items() if v >= cut}
+            # no new version; fall through so the snapshot-vs-model
+            # assertion proves the reclaim touched no live file
+        elif op == "describe":
+            # state-neutral probe: the detail row's accounting must
+            # match the live add set exactly, at every random point
+            d = delta_describe_detail(spark, path)
+            live_adds = delta_live_adds(spark, path)
+            assert d["numFiles"] == len(live_adds)
+            assert d["sizeInBytes"] == sum(
+                int(a.get("size") or 0) for _, a in live_adds
+            )
+            continue  # no new version
         elif op == "purge":
             # REORG PURGE: layout-only DV materialization — model rows
             # unchanged; a DV-free snapshot makes it a version no-op
