@@ -1007,7 +1007,154 @@ def _fof_sql() -> str:
         """
 
 
+# --- Adamic–Adar link prediction (r13) ---------------------------------------
+#
+# The standard upgrade over raw common-neighbor counting: each shared
+# neighbor b contributes 1/ln(deg(b)) instead of 1 — a rare shared
+# neighbor is strong evidence, a hub says nothing (Adamic & Adar 2003).
+# Exactness: degrees are bounded by the FOF_MIDDLE_CAP hub guard, so
+# 1e6/ln(d) for every admissible d is a 149-entry micro-unit literal
+# LUT shared verbatim by both engines — the integer-log-LUT pattern —
+# and the score is a plain BIGINT sum. Same wedge frame and guards as
+# X219; only the per-wedge weight differs.
+
+_AA_LUT = ",".join(
+    str(round(1_000_000 / __import__("math").log(d)))
+    for d in range(2, FOF_MIDDLE_CAP + 1)
+)
+
+
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 non-adjacent part pairs by Adamic-Adar score (micro
+    units): (part_a, part_b, aa_micro, n_common, rank)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    items = li.distinct()
+    small = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .where(F.col("n_parts") <= BASKET_CAP)
+        .select("l_orderkey")
+    )
+    in_scope = items.join(small, "l_orderkey")
+    a = in_scope.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = in_scope.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    mid = (
+        deg.where(
+            (F.col("deg") <= FOF_MIDDLE_CAP) & (F.col("deg") >= 2)
+        )
+        .select(
+            F.col("u").alias("b"),
+            F.expr(
+                f"element_at(array({_AA_LUT}), CAST(deg - 1 AS INT))"
+            ).alias("w_micro"),
+        )
+    )
+    w1 = adj.select(F.col("v").alias("b"), F.col("u").alias("pa"))
+    w2 = adj.select(F.col("u").alias("b"), F.col("v").alias("pc"))
+    wedges = (
+        w1.join(w2, "b")
+        .join(mid, "b")
+        .where(F.col("pa") < F.col("pc"))
+        .groupBy("pa", "pc")
+        .agg(
+            F.sum("w_micro").cast("long").alias("aa_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+        )
+        .where(F.col("n_common") >= FOF_MIN_COMMON)
+    )
+    cand = wedges.join(
+        edges.select(F.col("u").alias("pa"), F.col("v").alias("pc")),
+        ["pa", "pc"],
+        "left_anti",
+    )
+    wr = Window.orderBy(F.desc("aa_micro"), F.asc("pa"), F.asc("pc"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= FOF_TOP)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pc").alias("part_b"),
+            "aa_micro",
+            "n_common",
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+def _aa_sql() -> str:
+    return f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        small AS (
+          SELECT l_orderkey FROM items
+          GROUP BY l_orderkey HAVING COUNT(*) <= {BASKET_CAP}),
+        scoped AS (
+          SELECT i.l_orderkey, i.l_partkey
+          FROM items i JOIN small s ON i.l_orderkey = s.l_orderkey),
+        edges AS (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM scoped a JOIN scoped b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        adj AS (
+          SELECT u, v FROM edges
+          UNION ALL SELECT v AS u, u AS v FROM edges),
+        mid AS (
+          SELECT u AS b,
+                 [{_AA_LUT}][CAST(COUNT(*) - 1 AS INT)] AS w_micro
+          FROM adj GROUP BY u
+          HAVING COUNT(*) <= {FOF_MIDDLE_CAP} AND COUNT(*) >= 2),
+        wedges AS (
+          SELECT w1.u AS pa, w2.v AS pc,
+                 CAST(SUM(m.w_micro) AS BIGINT) AS aa_micro,
+                 COUNT(*) AS n_common
+          FROM adj w1
+          JOIN adj w2 ON w1.v = w2.u
+          JOIN mid m ON w1.v = m.b
+          WHERE w1.u < w2.v
+          GROUP BY w1.u, w2.v
+          HAVING COUNT(*) >= {FOF_MIN_COMMON}),
+        cand AS (
+          SELECT w.* FROM wedges w
+          LEFT JOIN edges e ON w.pa = e.u AND w.pc = e.v
+          WHERE e.u IS NULL),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY aa_micro DESC,
+                                       pa, pc) AS rank
+          FROM cand)
+        SELECT CAST(pa AS BIGINT) AS part_a,
+               CAST(pc AS BIGINT) AS part_b,
+               aa_micro,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {FOF_TOP} ORDER BY rank
+        """
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "graph_adamic_adar",
+        graph_adamic_adar,
+        _aa_sql(),
+        tags=("extension", "graph"),
+        description="Adamic-Adar link prediction: shared neighbors "
+        "weighted 1/ln(degree) via a 149-entry micro LUT (degrees "
+        "bounded by the hub guard, so the LUT is exhaustive), same "
+        "wedge frame and guards as the common-neighbor baseline.",
+    ),
     QueryDef(
         "graph_fof_recommendations",
         graph_fof_recommendations,

@@ -873,7 +873,89 @@ ORDER BY event_type
 """
 
 
+# --- DAU/MAU stickiness (r13) -------------------------------------------------
+#
+# The product-health ratio every growth dashboard leads with: daily
+# active users over 28-day active users, in exact ppm. The MAU side
+# uses the map-side fan-out (each (day, user) pair contributes to the
+# ≤28 target days it belongs to, then one distinct-count per day) —
+# the same no-self-join shape as the rolling-HLL merge, exact here
+# because user counts are small enough to count exactly; the sketch is
+# the swap-in when they are not.
+
+MAU_WINDOW_DAYS = 28
+
+
+def session_dau_mau_stickiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-day (dau, mau_28d, stickiness_ppm) over the events fixture,
+    exact integers."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns DIV 86400000000000").alias("day"), "user_id"
+    )
+    pairs = ev.distinct()
+    max_day = pairs.agg(F.max("day").alias("m"))
+    dau = pairs.groupBy("day").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    mau = (
+        pairs.select(
+            F.explode(
+                F.expr(f"sequence(day, day + {MAU_WINDOW_DAYS - 1})")
+            ).alias("day"),
+            "user_id",
+        )
+        .crossJoin(F.broadcast(max_day))
+        .where(F.col("day") <= F.col("m"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "dau",
+            F.col("mau").alias("mau_28d"),
+            F.expr("dau * 1000000 DIV mau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+_STICKINESS_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+  FROM events),
+md AS (SELECT MAX(day) AS m FROM pairs),
+dau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS dau FROM pairs GROUP BY day),
+fan AS (
+  SELECT p.day + o.x AS day, p.user_id
+  FROM pairs p, range(0, {MAU_WINDOW_DAYS}) o(x), md
+  WHERE p.day + o.x <= md.m),
+mau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS mau FROM fan GROUP BY day)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(m.mau AS BIGINT) AS mau_28d,
+       CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
+FROM dau d JOIN mau m ON d.day = m.day
+ORDER BY day
+"""
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "session_dau_mau_stickiness",
+        session_dau_mau_stickiness,
+        _STICKINESS_SQL,
+        tags=("extension", "sessions", "timeseries"),
+        description="DAU / 28-day MAU stickiness per day in exact ppm: "
+        "the MAU side is the map-side day fan-out + distinct count "
+        "(no windowed self-join), the same shape the rolling-HLL "
+        "sketch swaps into when exact counting stops fitting.",
+    ),
     QueryDef(
         "session_attribution_models",
         session_attribution_models,

@@ -1068,3 +1068,86 @@ def test_describe_detail_fields(spark, sf_smoke):
     )
     assert d2["id"] == d["id"]
     assert "lakesailClustering" in d2["tableFeatures"]
+
+
+def test_adamic_adar_matches_sequential_reference(spark, sf_smoke):
+    """AA scores recomputed sequentially from the capped graph with the
+    same LUT must match exactly; hub-weighted ordering may differ from
+    raw counting (that's the point), but no recommended pair may be an
+    edge."""
+    import math
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        BASKET_CAP,
+        FOF_MIDDLE_CAP,
+        FOF_MIN_COMMON,
+        graph_adamic_adar,
+    )
+
+    raw = _duck(
+        sf_smoke, "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+    )
+    baskets: dict[int, set] = {}
+    for ok, pk in raw:
+        baskets.setdefault(ok, set()).add(pk)
+    edges = set()
+    for parts in baskets.values():
+        if len(parts) > BASKET_CAP:
+            continue
+        sp = sorted(parts)
+        for i, u in enumerate(sp):
+            for v in sp[i + 1 :]:
+                edges.add((u, v))
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    lut = {
+        d: round(1_000_000 / math.log(d))
+        for d in range(2, FOF_MIDDLE_CAP + 1)
+    }
+    scores: dict[tuple, list[int]] = {}
+    for b, nbrs in adj.items():
+        d = len(nbrs)
+        if d > FOF_MIDDLE_CAP or d < 2:
+            continue
+        sn = sorted(nbrs)
+        for i, x in enumerate(sn):
+            for y in sn[i + 1 :]:
+                st = scores.setdefault((x, y), [0, 0])
+                st[0] += lut[d]
+                st[1] += 1
+    for r in graph_adamic_adar(spark, sf_smoke).collect():
+        pair = (r.part_a, r.part_b)
+        assert pair not in edges
+        st = scores[pair]
+        assert st[1] >= FOF_MIN_COMMON
+        assert (r.aa_micro, r.n_common) == tuple(st)
+
+
+def test_stickiness_bounds_and_reference(spark, sf_smoke):
+    """Stickiness is DAU/MAU in ppm with DAU <= MAU always; a
+    sequential recomputation over (day, user) pairs agrees exactly."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.sessions import (
+        MAU_WINDOW_DAYS,
+        session_dau_mau_stickiness,
+    )
+
+    pairs = _duck(
+        sf_smoke,
+        "SELECT DISTINCT epoch_ns(ts) // 86400000000000, user_id"
+        " FROM events",
+    )
+    by_day: dict[int, set] = {}
+    for day, uid in pairs:
+        by_day.setdefault(day, set()).add(uid)
+    rows = session_dau_mau_stickiness(spark, sf_smoke).collect()
+    assert len(rows) == len(by_day)
+    for r in rows:
+        mau = set()
+        for d in range(r.day - MAU_WINDOW_DAYS + 1, r.day + 1):
+            mau |= by_day.get(d, set())
+        assert r.dau == len(by_day[r.day])
+        assert r.mau_28d == len(mau)
+        assert r.dau <= r.mau_28d
+        assert r.stickiness_ppm == r.dau * 1_000_000 // r.mau_28d
