@@ -1159,7 +1159,7 @@ QUERIES: list[QueryDef] = [
         "graph_fof_recommendations",
         graph_fof_recommendations,
         _fof_sql(),
-        tags=("extension", "graph"),
+        tags=("extension", "graph", "bench"),
         description="Common-neighbor link prediction on the co-purchase "
         "graph: wedge enumeration with basket + middle-degree hub "
         "guards, candidates anti-joined against existing edges, "

@@ -3775,7 +3775,7 @@ QUERIES: list[QueryDef] = [
         "stats_qdigest_quantiles",
         stats_qdigest_quantiles,
         _qdigest_sql(),
-        tags=("extension", "stats", "sketch"),
+        tags=("extension", "stats", "sketch", "bench"),
         description="Q-digest mergeable quantile sketch with CANONICAL "
         "bottom-up compression (a pure function of the exact leaf "
         "histogram, so partitioning cannot change it — the determinism "
@@ -3787,7 +3787,7 @@ QUERIES: list[QueryDef] = [
         "stats_hll_rolling",
         stats_hll_rolling,
         _hll_rolling_sql(),
-        tags=("extension", "stats", "sketch", "timeseries"),
+        tags=("extension", "stats", "sketch", "timeseries", "bench"),
         description="7-day rolling distinct users from MERGED daily HLL "
         "sketches (register-wise MAX union via map-side fan-out, no "
         "self-join), linear-counting corrected, next to the true "
