@@ -65,47 +65,12 @@ _TIER_MODULES = (
 # (after never-verified queries) makes that window a rolling
 # regression re-confirmation of the oldest driver signal.
 #
-# Round-12 rotation (VERDICT r11 item 1): the 50 r05 rows are the
-# stalest driver signal and exactly fill the window, so every new
-# query registered this round rolls one r05 re-confirm to r13. At 350+
-# registered queries and a hard 50-row window the rotation is
-# saturated: max staleness necessarily exceeds 7 rounds once the
-# registry grows. We accept that — VERDICT items 2/4/5/6/7 ask for new
-# operators, and the DV/CONVERT interop rows close its "What's
-# missing" #1 — and keep the roll-over (9 rows) explicit. Every rolled
-# row was locally re-verified this round via the full driver
-# simulation (all 359 green at sf0.01); only the driver-issued
-# CORRECTNESS record lags.
-
-_R05_VERIFIED = frozenset(
-    {
-        "agg_global_stats",
-        "agg_stats_by_flag",
-        "clean_domain_filter",
-        "clean_gopher_quality_rules",
-        "dedup_cluster_best_quality",
-        "filter_comparison_sort",
-        "filter_equality",
-        "flagship_customer_order_analysis",
-        "having_count",
-        "join_anti_customers_without_orders",
-        "join_broadcast_nation_region",
-        "join_inner_group",
-        "join_semi_customers_with_orders",
-        "literal_projection",
-        "profile_filter_agreement",
-        "projection_aliases",
-        "selectexpr_arithmetic",
-        "similarity_ivf_topk",
-        "similarity_lsh_topk",
-        "text_bm25_rank",
-        "text_token_rarity_scores",
-        "tpch_q1_pricing_summary",
-        "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier_volume",
-        "ts_ohlc_hourly",
-    }
-)
+# Round-14 rotation (VERDICT r13 item 3): the r05 cohort fully
+# retired at r13 (all 25 remaining rows re-confirmed green), leaving
+# 46 r06 rows as the stalest signal. The hard 50-row window therefore
+# budgets exactly 4 new queries this round — enough for VERDICT items
+# 4 (VACUUM USING INVENTORY) and 8 (both stretch options) — so the
+# whole r06 cohort re-confirms and nothing older than r07 remains.
 
 _R06_VERIFIED = frozenset(
     {
@@ -125,12 +90,9 @@ _R06_VERIFIED = frozenset(
         "graph_association_rules",
         "graph_degree_distribution",
         "graph_kcore_peel",
-        "io_ctas_insert",
-        "io_json_corrupt_records",
         "monthly_revenue_growth",
         "multimodal_dhash_neardup",
         "olap_rfm_segmentation",
-        "olap_share_shift",
         "pipeline_cdf_scd2",
         "pipeline_incremental_dedup",
         "profile_psi_drift",
@@ -141,7 +103,6 @@ _R06_VERIFIED = frozenset(
         "similarity_matryoshka_agreement",
         "similarity_pq_topk",
         "sql_defined_functions",
-        "sql_over_views_flagship",
         "stats_benford_digits",
         "stats_chi2_independence",
         "stats_gini_coefficient",
@@ -492,8 +453,62 @@ _R12_VERIFIED = frozenset(
     }
 )
 
+_R13_VERIFIED = frozenset(
+    {
+        "agg_global_stats",
+        "agg_stats_by_flag",
+        "clean_domain_filter",
+        "clean_gopher_quality_rules",
+        "dedup_cluster_best_quality",
+        "delta_native_describe_detail",
+        "delta_native_generate_manifest",
+        "delta_native_optimize_where",
+        "delta_native_restore_timestamp",
+        "delta_native_vacuum_lite",
+        "filter_comparison_sort",
+        "filter_equality",
+        "flagship_customer_order_analysis",
+        "graph_adamic_adar",
+        "graph_fof_recommendations",
+        "having_count",
+        "io_ctas_insert",
+        "io_json_corrupt_records",
+        "join_anti_customers_without_orders",
+        "join_broadcast_nation_region",
+        "join_inner_group",
+        "join_semi_customers_with_orders",
+        "layout_hilbert_scan",
+        "literal_projection",
+        "multimodal_keyframe_select",
+        "olap_share_shift",
+        "pipeline_curation_incremental",
+        "profile_filter_agreement",
+        "projection_aliases",
+        "sample_horvitz_thompson",
+        "sample_neyman_allocation",
+        "sample_priority_topk",
+        "selectexpr_arithmetic",
+        "session_attribution_models",
+        "session_dau_mau_stickiness",
+        "similarity_ivf_topk",
+        "similarity_lsh_topk",
+        "similarity_sq_perdim_topk",
+        "sql_over_views_flagship",
+        "stats_bh_fdr",
+        "stats_cuped_adjustment",
+        "stats_hll_rolling",
+        "stats_hll_sketch",
+        "stats_qdigest_quantiles",
+        "text_bm25_rank",
+        "text_token_rarity_scores",
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier_volume",
+        "ts_ohlc_hourly",
+    }
+)
+
 DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
-    _R05_VERIFIED,
     _R06_VERIFIED,
     _R07_VERIFIED,
     _R08_VERIFIED,
@@ -501,6 +516,7 @@ DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _R10_VERIFIED,
     _R11_VERIFIED,
     _R12_VERIFIED,
+    _R13_VERIFIED,
 )
 
 DRIVER_VERIFIED = frozenset().union(*DRIVER_VERIFIED_ROUNDS)
