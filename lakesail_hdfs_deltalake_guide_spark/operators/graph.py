@@ -113,6 +113,100 @@ def connected_components(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     return labels.select("node", F.col("label").alias("component"))
 
 
+STAR_MAX_ROUNDS = 12  # large/small-star needs O(log^2 n) rounds, not
+#                       diameter — 12 covers ~2^12-diameter graphs
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, "Connected Components
+    in MapReduce and Beyond"): every node's LARGER neighbors re-attach
+    to the minimum of its neighborhood (incl. itself)."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", "src").alias("m"))
+    )
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge large→small, then every
+    node's SMALLER neighbors (and the node itself) attach to the
+    neighborhood minimum."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    reattach = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    selfed = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        reattach.unionByName(selfed)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """Large-star/small-star connected components — the published
+    100 TB CC algorithm (Kiveris et al., MapReduce and Beyond 2014):
+    alternating star rounds converge in O(log^2 n) rounds on ANY
+    diameter, where plain min-label propagation needs diameter rounds
+    (a 10^6-hop path graph at web scale never finishes). Each round is
+    two grouped aggregates + one join, lineage truncated per round.
+    Returns (node, component) with component = min node id, exactly
+    ``connected_components``'s contract."""
+    cur = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(STAR_MAX_ROUNDS):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # canonical form is (greater, lesser) in both; fixpoint = same set
+        if (
+            nxt.count() == cur.count()
+            and nxt.exceptAll(cur).count() == 0
+        ):
+            cur = nxt
+            converged = True
+            break
+        cur = nxt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{STAR_MAX_ROUNDS} rounds"
+        )
+    # at the fixpoint every edge is (member, component-min)
+    return nodes.join(
+        cur.select(F.col("src").alias("node"), F.col("dst").alias("parent")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("parent", "node").alias("component")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Weighted PageRank over the nation trade graph (iterative joins)
 
@@ -895,6 +989,38 @@ FOF_MIDDLE_CAP = 150  # max degree of a wedge's middle node (the
 FOF_TOP = 20  # recommendations returned
 FOF_MIN_COMMON = 2  # evidence floor
 
+# Optional second-stage wedge guard (r14): bound every middle node's
+# wedge FAN-OUT to its top-C neighbors, on top of the degree cap above.
+# FOF_MIDDLE_CAP bounds which nodes may be middles; this bounds how many
+# wedges each admitted middle can emit (C^2 instead of deg^2) — the
+# standard wedge-sampling guard for when even sub-cap middles are too
+# dense at 100 TB. None = exact enumeration (the default: fixture-scale
+# results are driver-pinned bit-exact; flip on for the scale run).
+WEDGE_NEIGHBOR_CAP: int | None = None
+
+
+def _cap_wedge_fanout(adj: DataFrame, cap: int | None) -> DataFrame:
+    """Per middle node ``u``, keep only its top-``cap`` neighbors —
+    highest neighbor-degree first (a high-degree endpoint appears in
+    many other wedges, so it is the likeliest member of a surviving
+    top-k pair), ties by neighbor id for determinism. The rank window
+    is PARTITIONED by the middle node, so at scale this is one hash
+    exchange plus per-group heaps — never a global sort. ``None``
+    returns the adjacency unchanged."""
+    if cap is None:
+        return adj
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("_nd"))
+    nbr = adj.join(
+        deg.select(F.col("u").alias("v"), F.col("_nd").alias("v_deg")),
+        "v",
+    )
+    wsel = Window.partitionBy("u").orderBy(F.desc("v_deg"), F.asc("v"))
+    return (
+        nbr.withColumn("_rn", F.row_number().over(wsel))
+        .where(F.col("_rn") <= cap)
+        .select("u", "v")
+    )
+
 
 def graph_fof_recommendations(
     spark: SparkSession, sf_dir: str
@@ -930,8 +1056,12 @@ def graph_fof_recommendations(
         .where(F.col("deg") <= FOF_MIDDLE_CAP)
         .select(F.col("u").alias("b"))
     )
-    w1 = adj.select(F.col("v").alias("b"), F.col("u").alias("pa"))
-    w2 = adj.select(F.col("u").alias("b"), F.col("v").alias("pc"))
+    # adj is symmetric, so reading both wedge legs from the (optionally
+    # fan-out-capped) per-middle neighbor list is row-identical to the
+    # original v/u relabeling when the cap is off.
+    legs = _cap_wedge_fanout(adj, WEDGE_NEIGHBOR_CAP)
+    w1 = legs.select(F.col("u").alias("b"), F.col("v").alias("pa"))
+    w2 = legs.select(F.col("u").alias("b"), F.col("v").alias("pc"))
     wedges = (
         w1.join(w2, "b")
         .join(mid_ok, "b", "left_semi")
@@ -947,12 +1077,16 @@ def graph_fof_recommendations(
         ["pa", "pc"],
         "left_anti",
     )
-    wr = Window.orderBy(
-        F.desc("common_neighbors"), F.asc("pa"), F.asc("pc")
-    )
+    # Global top-k as orderBy().limit(k) — TakeOrderedAndProject
+    # (per-partition heaps + driver merge of k rows), the DSIR pattern
+    # (sampling.py). The rank window then runs over only the FOF_TOP
+    # survivors, never the data-sized candidate-pair frame.
+    order = [F.desc("common_neighbors"), F.asc("pa"), F.asc("pc")]
+    wr = Window.orderBy(*order)
     return (
-        cand.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .where(F.col("rank") <= FOF_TOP)
+        cand.orderBy(*order)
+        .limit(FOF_TOP)
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
         .select(
             F.col("pa").alias("part_a"),
             F.col("pc").alias("part_b"),
@@ -1062,8 +1196,11 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_micro"),
         )
     )
-    w1 = adj.select(F.col("v").alias("b"), F.col("u").alias("pa"))
-    w2 = adj.select(F.col("u").alias("b"), F.col("v").alias("pc"))
+    # Same optional fan-out guard as FoF (see _cap_wedge_fanout):
+    # row-identical relabeling when the cap is off.
+    legs = _cap_wedge_fanout(adj, WEDGE_NEIGHBOR_CAP)
+    w1 = legs.select(F.col("u").alias("b"), F.col("v").alias("pa"))
+    w2 = legs.select(F.col("u").alias("b"), F.col("v").alias("pc"))
     wedges = (
         w1.join(w2, "b")
         .join(mid, "b")
@@ -1080,10 +1217,14 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["pa", "pc"],
         "left_anti",
     )
-    wr = Window.orderBy(F.desc("aa_micro"), F.asc("pa"), F.asc("pc"))
+    # Declared-bounded top-k (DSIR pattern): limit first, rank the
+    # survivors — see graph_fof_recommendations above.
+    order = [F.desc("aa_micro"), F.asc("pa"), F.asc("pc")]
+    wr = Window.orderBy(*order)
     return (
-        cand.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .where(F.col("rank") <= FOF_TOP)
+        cand.orderBy(*order)
+        .limit(FOF_TOP)
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
         .select(
             F.col("pa").alias("part_a"),
             F.col("pc").alias("part_b"),

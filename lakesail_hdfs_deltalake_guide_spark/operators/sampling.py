@@ -1164,10 +1164,11 @@ def _ht_sql() -> str:
 # division, non-negative), so both engines agree on the sample, the
 # threshold, and every estimate to the bit.
 #
-# Scale shape: one map computes priorities; top-(k+1) is a rank
-# (single exchange on a (k+1)-bounded window — at 100 TB swap in the
-# distributed exact-rank helper's range exchange); the estimator is a
-# 5-group rollup of the k sampled rows.
+# Scale shape: one map computes priorities; top-(k+1) is declared
+# bounded — orderBy().limit(K+1) compiles to TakeOrderedAndProject
+# (per-partition heaps + driver merge of K+1 rows) and the rank window
+# runs over only those survivors; the estimator is a 5-group rollup of
+# the k sampled rows.
 
 PRIORITY_K = 300  # sample size
 
@@ -1192,8 +1193,16 @@ def sample_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w",
         F.expr("w * 1000000 DIV u").alias("q"),
     )
-    wq = Window.orderBy(F.desc("q"), F.asc("o_orderkey"))
-    ranked = pri.withColumn("rk", F.row_number().over(wq))
+    # Declared-bounded top-(k+1) (DSIR pattern): limit to the K+1 rows
+    # the sample + threshold need, THEN rank — TakeOrderedAndProject,
+    # never a global window over the full orders frame.
+    order = [F.desc("q"), F.asc("o_orderkey")]
+    wq = Window.orderBy(*order)
+    ranked = (
+        pri.orderBy(*order)
+        .limit(PRIORITY_K + 1)
+        .withColumn("rk", F.row_number().over(wq))
+    )
     tau = ranked.where(F.col("rk") == PRIORITY_K + 1).select(
         F.col("q").alias("tau")
     )
@@ -1287,8 +1296,10 @@ def sample_neyman_allocation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Exact Neyman allocation of a 10k-row sample budget across the
-    five order-priority strata (weight = N_h·sigma_h via guarded
-    integer sqrt), next to proportional allocation — both
+    five order-priority strata (weight = N_h·sigma_h via Newton-refined
+    guarded integer sqrt — exact isqrt over the whole DECIMAL(38)/
+    HUGEINT domain, not just where the double seed is within 1),
+    next to proportional allocation — both
     largest-remainder rounded to sum to the budget exactly."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority",
@@ -1316,12 +1327,27 @@ def sample_neyman_allocation(
     ).select(
         "o_orderpriority",
         "n_h",
+        "var_num",
+        # One integer Newton step: the double seed is off by up to
+        # sqrt(v)*~3.4e-16 (>1 once sqrt(v) > ~2.9e15), but a single
+        # s -> (s + v DIV s) DIV 2 refinement drops the error to
+        # e^2/(2*sqrt(v)) < 1 across the whole DECIMAL(38) domain
+        # (exact for var_num < ~8.5e37, where the DIV quotient still
+        # fits BIGINT), so the +/-1 guard below is then exact.
         F.expr(
-            "CASE WHEN CAST(s0 + 1 AS DECIMAL(38,0)) * (s0 + 1)"
-            "          <= var_num THEN s0 + 1"
-            "     WHEN CAST(s0 AS DECIMAL(38,0)) * s0 > var_num"
-            "          THEN s0 - 1"
-            "     ELSE s0 END"
+            "CASE WHEN s0 <= 0 THEN 0"
+            "     ELSE (CAST(s0 AS DECIMAL(38,0))"
+            "           + (var_num DIV s0)) DIV 2 END"
+        ).alias("s0n"),
+    ).select(
+        "o_orderpriority",
+        "n_h",
+        F.expr(
+            "CASE WHEN CAST(s0n + 1 AS DECIMAL(38,0)) * (s0n + 1)"
+            "          <= var_num THEN s0n + 1"
+            "     WHEN CAST(s0n AS DECIMAL(38,0)) * s0n > var_num"
+            "          THEN s0n - 1"
+            "     ELSE s0n END"
         ).alias("weight"),
     )
     totals = w.agg(
@@ -1386,14 +1412,19 @@ def _neyman_sql() -> str:
           SELECT *, CAST(FLOOR(SQRT(CAST(var_num AS DOUBLE)))
                          AS BIGINT) AS s0
           FROM v),
+        gn AS (
+          SELECT *, CASE WHEN s0 <= 0 THEN 0
+                         ELSE (CAST(s0 AS HUGEINT) + var_num // s0)
+                              // 2 END AS s0n
+          FROM g),
         w AS (
           SELECT o_orderpriority, n_h,
-                 CASE WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1)
-                           <= var_num THEN s0 + 1
-                      WHEN CAST(s0 AS HUGEINT) * s0 > var_num
-                           THEN s0 - 1
-                      ELSE s0 END AS weight
-          FROM g),
+                 CASE WHEN CAST(s0n + 1 AS HUGEINT) * (s0n + 1)
+                           <= var_num THEN s0n + 1
+                      WHEN CAST(s0n AS HUGEINT) * s0n > var_num
+                           THEN s0n - 1
+                      ELSE s0n END AS weight
+          FROM gn),
         t AS (SELECT SUM(weight) AS w_all, SUM(n_h) AS n_all FROM w),
         base AS (
           SELECT o_orderpriority, n_h, weight,

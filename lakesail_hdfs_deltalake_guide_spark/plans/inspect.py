@@ -88,3 +88,52 @@ def read_schema_columns(df: DataFrame) -> list[str]:
             inner = schema[schema.find("<") + 1 : schema.rfind(">")]
             return [f.split(":")[0] for f in inner.split(",") if f]
     return []
+
+
+def _walk_jvm_plan(node):
+    """Pre-order walk of a JVM logical-plan tree via py4j."""
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_jvm_plan(children.apply(i))
+
+
+_BOUNDING_NODES = frozenset({"GlobalLimit", "LocalLimit"})
+
+
+def undeclared_global_windows(df: DataFrame) -> list[str]:
+    """Window nodes in the ANALYZED plan with an empty partition spec and
+    no Limit anywhere below them — i.e. a global sort whose input size is
+    not *declared* bounded by the query itself.
+
+    Why the analyzed plan, not the optimized/physical one: Catalyst's
+    InferWindowGroupLimit / LimitPushDownThroughWindow happens to rescue
+    the ``row_number().over(Window.orderBy(...))`` + ``filter(rank <= k)``
+    formulation into Window-over-TakeOrderedAndProject today, so the
+    *executed* plan is fine — but that safety hangs on an optimizer rule
+    that can be excluded by conf, regress across versions, or miss
+    less-canonical rank predicates. The repo contract (the DSIR pattern,
+    ``operators/sampling.py``) is that a global top-k DECLARES its bound
+    with ``orderBy(...).limit(k)`` before the rank window, so the analyzed
+    plan already shows Window over GlobalLimit. Bounded-DOMAIN global
+    windows (hour grids, months, K strata — aggregates whose key space is
+    a constant, not data-sized) carry no Limit node and are whitelisted by
+    name in the registry-wide lint (tests/test_plans.py).
+
+    Returns one descriptive string per offending Window node.
+    """
+    plan = df._jdf.queryExecution().analyzed()
+    offenders = []
+    for node in _walk_jvm_plan(plan):
+        if node.nodeName() != "Window":
+            continue
+        if not node.partitionSpec().isEmpty():
+            continue
+        subtree = {n.nodeName() for n in _walk_jvm_plan(node)} - {"Window"}
+        if subtree & _BOUNDING_NODES:
+            continue
+        offenders.append(
+            "global Window with no declared bound below it; subtree nodes: "
+            + ",".join(sorted(subtree))
+        )
+    return offenders

@@ -4452,7 +4452,11 @@ def delta_generate_manifest(spark: SparkSession, path: str) -> list[str]:
 
 
 def delta_vacuum(
-    spark: SparkSession, path: str, keep_versions: int = 1, lite: bool = False
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 1,
+    lite: bool = False,
+    inventory: DataFrame | None = None,
 ) -> list[str]:
     """Retention cleanup (Delta VACUUM): physically delete data files no
     snapshot in the retained window references; returns the deleted
@@ -4469,7 +4473,33 @@ def delta_vacuum(
     for tables vacuumed on schedule. The documented trade (same as
     delta-spark's): LITE only reclaims what the log remembers removing
     — orphans from aborted writes and files whose remove commits were
-    already log-compacted away need a periodic FULL vacuum."""
+    already log-compacted away need a periodic FULL vacuum.
+
+    ``inventory`` is delta-spark 3.1's ``VACUUM ... USING INVENTORY``:
+    a caller-supplied DataFrame of the storage tree — columns ``path``
+    (absolute URI or table-relative), ``length``, ``isDir``,
+    ``modificationTime`` — used as the candidate source in place of the
+    recursive listing. The point at 100 TB: object stores already
+    produce daily inventory reports (S3 Inventory, GCS inventory);
+    reusing one turns the LIST page stream over millions of objects
+    into a scan of a table that already exists. Reclaim semantics are
+    identical to FULL — an inventory that covers the table directory
+    reclaims exactly what the recursive listing would (asserted by the
+    registered lifecycle query); rows outside the table root and
+    directories are ignored, per the delta-spark contract."""
+    if lite and inventory is not None:
+        raise ValueError(
+            "VACUUM LITE and USING INVENTORY are mutually exclusive: "
+            "LITE's candidates come from the log, not from storage"
+        )
+    if inventory is not None:
+        missing = {"path", "length", "isDir", "modificationTime"} - set(
+            inventory.columns
+        )
+        if missing:
+            raise ValueError(
+                f"inventory is missing required columns: {sorted(missing)}"
+            )
     versions = _list_versions(spark, path)
     if not versions:
         return []
@@ -4524,10 +4554,36 @@ def delta_vacuum(
                 fs.delete(p, False)
                 deleted.append(rel)
         return sorted(deleted)
-    it = fs.listFiles(table_path, True)
-    while it.hasNext():
-        status = it.next()
-        rel = base_uri.relativize(status.getPath().toUri()).getPath()
+    if inventory is not None:
+        # Candidate source = the caller's inventory table instead of a
+        # recursive LIST. Driver-side iteration is the same
+        # O(storage-tree) the listing loop below already is — commit
+        # protocol metadata stays driver-side throughout this module;
+        # at real scale the pre-filter (isDir, table-root prefix,
+        # .parquet suffix) belongs in the inventory query itself.
+        rels = []
+        for row in inventory.select("path", "isDir").collect():
+            if row["isDir"]:
+                continue
+            p = str(row["path"])
+            if "://" in p or p.startswith("/"):
+                qualified = fs.makeQualified(
+                    jvm.org.apache.hadoop.fs.Path(p)
+                ).toUri()
+                rel = base_uri.relativize(qualified).getPath()
+                if rel.startswith("/"):
+                    continue  # outside the table root — not ours
+            else:
+                rel = p.strip("/")
+            rels.append(rel)
+    else:
+        rels = []
+        it = fs.listFiles(table_path, True)
+        while it.hasNext():
+            rels.append(
+                base_uri.relativize(it.next().getPath().toUri()).getPath()
+            )
+    for rel in rels:
         if rel.startswith(_DV_DIR):
             # a DV storage unit lives exactly as long as a retained
             # snapshot's descriptor points at it; superseded units
@@ -4536,8 +4592,10 @@ def delta_vacuum(
             if rel.endswith(".parquet") and not any(
                 rel.startswith(p + "/") for p in dv_refs
             ):
-                fs.delete(status.getPath(), False)
-                deleted.append(rel)
+                hp = jvm.org.apache.hadoop.fs.Path(table_path, rel)
+                if fs.exists(hp):  # inventory may be stale
+                    fs.delete(hp, False)
+                    deleted.append(rel)
             continue
         if (
             # the .parquet suffix rule also shields a FOREIGN table's
@@ -4551,8 +4609,10 @@ def delta_vacuum(
             and not rel.startswith("_change_data")
             and rel not in referenced
         ):
-            fs.delete(status.getPath(), False)
-            deleted.append(rel)
+            hp = jvm.org.apache.hadoop.fs.Path(table_path, rel)
+            if fs.exists(hp):  # inventory may be stale
+                fs.delete(hp, False)
+                deleted.append(rel)
     return sorted(deleted)
 
 
@@ -8943,6 +9003,78 @@ def delta_native_vacuum_lite(
     )
 
 
+def delta_native_vacuum_inventory(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VACUUM USING INVENTORY lifecycle (delta-spark 3.1): an overwrite
+    retires the first generation and an aborted write leaves an orphan;
+    the vacuum's candidates come from a caller-supplied inventory table
+    (the S3-Inventory-report shape: path/length/isDir/modificationTime)
+    instead of a recursive listing. Inventory-driven reclaim must equal
+    FULL's exactly; a row OUTSIDE the table root must be ignored; a
+    STALE row (file already gone) must be a no-op; directories are
+    skipped. Output: surviving rollup + the reclaim counters."""
+    import os
+    import tempfile
+
+    from ..tables import load_table
+
+    r = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.length("r_name").cast("long").alias("name_len")
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_vinv_")
+    delta_write(r.repartition(2), path)
+    gen1 = set(delta_live_files(spark, path))
+    delta_write(r, path, mode="overwrite")
+    orphan = os.path.join(path, "part-orphan-deadbeef.c000.snappy.parquet")
+    r.limit(1).toPandas().to_parquet(orphan)
+    outside_dir = tempfile.mkdtemp(prefix="ls_delta_vinv_outside_")
+    outside = os.path.join(outside_dir, "not-this-table.parquet")
+    r.limit(1).toPandas().to_parquet(outside)
+    rows = []
+    for root, dirs, files in os.walk(path):
+        for d in dirs:
+            p = os.path.join(root, d)
+            rows.append((p, 0, True, int(os.stat(p).st_mtime * 1000)))
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            rows.append((p, st.st_size, False, int(st.st_mtime * 1000)))
+    # outside-root row (must be ignored) + stale row (already gone)
+    rows.append((outside, 1, False, 0))
+    rows.append((os.path.join(path, "part-stale.parquet"), 1, False, 0))
+    inv = spark.createDataFrame(
+        rows,
+        "path string, length long, isDir boolean, modificationTime long",
+    )
+    reclaimed = delta_vacuum(spark, path, keep_versions=1, inventory=inv)
+    expected = gen1 | {os.path.basename(orphan)}
+    if set(reclaimed) != expected:
+        raise AssertionError(
+            "inventory vacuum must reclaim exactly what FULL would: "
+            f"{sorted(reclaimed)} vs {sorted(expected)}"
+        )
+    return (
+        delta_read(spark, path)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("name_len").alias("sum_name_len"),
+        )
+        .select(
+            "n_rows",
+            "sum_name_len",
+            F.lit(len(reclaimed)).cast("long").alias("n_reclaimed"),
+            F.lit(int(not os.path.exists(orphan))).cast("int").alias(
+                "orphan_reclaimed"
+            ),
+            F.lit(int(os.path.exists(outside))).cast("int").alias(
+                "outside_root_survived"
+            ),
+        )
+    )
+
+
 def delta_native_optimize_where(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10146,6 +10278,24 @@ QUERIES: list[QueryDef] = [
         "actions — no storage listing): retired generation reclaimed "
         "exactly, a planted orphan survives LITE and falls to FULL — "
         "the documented fast-path/completeness trade.",
+    ),
+    QueryDef(
+        "delta_native_vacuum_inventory",
+        delta_native_vacuum_inventory,
+        """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(length(r_name)) AS BIGINT) AS sum_name_len,
+               CAST(3 AS BIGINT) AS n_reclaimed,
+               CAST(1 AS INT) AS orphan_reclaimed,
+               CAST(1 AS INT) AS outside_root_survived
+        FROM region
+        """,
+        tags=("parity", "delta", "io"),
+        description="VACUUM USING INVENTORY (delta-spark 3.1): "
+        "candidates from a caller-supplied inventory table instead of "
+        "a recursive listing — reclaims exactly what FULL would; "
+        "outside-root rows ignored, stale rows no-ops, asserted "
+        "in-query.",
     ),
     QueryDef(
         "delta_native_restore_timestamp",

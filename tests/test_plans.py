@@ -634,3 +634,96 @@ def test_attribution_single_user_exchange(spark, sf_smoke):
     assert plan.count("hashpartitioning(user_id") <= 3, plan[:0] or (
         "events must not re-exchange per attribution model"
     )
+
+
+# --- Registry-wide global-window lint (r14, VERDICT r13 item 2) -------------
+#
+# Every query whose ANALYZED plan contains a Window with an empty partition
+# spec must either declare its bound (orderBy().limit(k) below the window —
+# the DSIR / TakeOrderedAndProject pattern) or appear here with a reason why
+# its global window is over a bounded DOMAIN (a grid/strata/cell frame whose
+# size is a constant of the query, not of the data). Catalyst's
+# InferWindowGroupLimit happens to rescue filter-on-rank formulations today,
+# but the repo contract is that the bound is declared in the code, not
+# recovered by an optimizer rule that a conf can disable. This lint failed
+# on graph_fof_recommendations / graph_adamic_adar / sample_priority_topk
+# before their r14 fix and passes after.
+
+GLOBAL_WINDOW_BOUNDED_DOMAIN = {
+    # 12-month / day / hour / week grids (calendar-bounded frames)
+    "monthly_revenue_growth": "lag/cumsum over the 12-month grid",
+    "stats_runs_test": "runs over the 12-month revenue sequence",
+    "window_new_users_daily": "cumsum over the day grid",
+    "stats_cusum_changepoint": "cusum + argmax over the hour grid",
+    "stats_autocorr_lags": "lead(k) over the hour grid",
+    "stats_survival_km": "KM product over the lifetime-day grid",
+    "session_churn_hazard": "cumsum over the lifetime-week grid",
+    "ts_kmv_rolling_distinct": "7-day rolling merge over the day grid",
+    # K-cell / K-stratum frames (constant-size aggregates)
+    "stats_chi2_independence": "margin sums over the R*C contingency cells",
+    "stats_cramers_v": "margin sums over the R*C contingency cells",
+    "session_markov_stationary": "state index over the K event types",
+    "sample_neyman_allocation": "largest-remainder over the 5 strata",
+    "sample_temperature_mix": "share normalization over the source strata",
+    "sample_doremi_weights": "weight normalization over the source strata",
+    "sample_unimax_allocation": "water-filling over the language strata",
+    "stats_bh_fdr": "rank over the ~25 brand hypotheses",
+    "stats_bootstrap_ci": "percentile over the B resample replicates",
+    "stats_theil_sen": "median over the C(12,2) month-pair slopes",
+    "clean_t_closeness_audit": "EMD over the bounded quasi-class grid",
+    "graph_association_rules": "rank over support-thresholded rule set",
+    "pipeline_curation_e2e": "rank over the bounded funnel summary",
+    # total-order cuts over sublinear rollups — documented swap to the
+    # ranks.py range-exchange exact rank at extreme scale (SCALE.md)
+    "profile_vocab_growth": "NTILE decile cut; deciles then bounded",
+    "profile_token_lorenz": "NTILE decile cut; deciles then bounded",
+    "stats_ks_two_sample": "CDF sweep over distinct price-cent values",
+    "stats_mann_whitney": "rank sweep over distinct price-cent values",
+    "clean_domain_filter": "share-of-total over the domain rollup",
+}
+
+
+def test_no_undeclared_global_windows_registry_wide(spark, sf_smoke):
+    from lakesail_hdfs_deltalake_guide_spark.plans.inspect import (
+        undeclared_global_windows,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.registry import build_registry
+
+    offenders = {}
+    for name, q in build_registry().defs.items():
+        off = undeclared_global_windows(q.fn(spark, sf_smoke))
+        if off:
+            offenders[name] = off[0]
+    unexpected = sorted(set(offenders) - set(GLOBAL_WINDOW_BOUNDED_DOMAIN))
+    stale = sorted(set(GLOBAL_WINDOW_BOUNDED_DOMAIN) - set(offenders))
+    assert not unexpected, (
+        "global Window without a declared bound (add orderBy().limit(k) "
+        f"below the window, or whitelist with a domain reason): "
+        f"{ {n: offenders[n] for n in unexpected} }"
+    )
+    assert not stale, f"whitelist entries no longer needed: {stale}"
+
+
+def test_fixed_topk_queries_declare_their_bound(spark, sf_smoke):
+    """The three r13-flagged top-k queries now rank only limit-k survivors:
+    analyzed plan shows Window over GlobalLimit, physical plan shows
+    TakeOrderedAndProject feeding the rank window."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        graph_adamic_adar,
+        graph_fof_recommendations,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.operators.sampling import (
+        sample_priority_topk,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.plans.inspect import (
+        undeclared_global_windows,
+    )
+
+    for fn in (
+        graph_fof_recommendations,
+        graph_adamic_adar,
+        sample_priority_topk,
+    ):
+        df = fn(spark, sf_smoke)
+        assert not undeclared_global_windows(df)
+        assert "TakeOrderedAndProject" in explain_str(df, "simple")
