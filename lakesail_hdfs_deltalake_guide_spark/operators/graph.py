@@ -571,6 +571,51 @@ def dedup_cluster_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation via large-star/small-star connected
+    components (Kiveris et al. 2014) over the rare-shingle similarity
+    graph — the 100 TB upgrade of the min-label propagation the dedup
+    family uses: star rounds converge in O(log^2 n) regardless of
+    component diameter, where propagation needs diameter rounds (its
+    MAX_ROUNDS convergence guard is fixture-scale). Both algorithms are
+    run IN-QUERY and asserted label-identical before anything is
+    returned, so the green driver row certifies star CC ≡ propagation
+    CC on the real corpus graph. Output: the duplicate-cluster size
+    histogram (cluster_size, n_clusters, n_docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = rare_shingle_edges(docs).localCheckpoint(eager=True)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    star = connected_components_star(nodes, edges)
+    prop = connected_components(nodes, edges)
+    mismatches = (
+        star.alias("s")
+        .join(prop.alias("p"), "node")
+        .where(F.col("s.component") != F.col("p.component"))
+        .count()
+    )
+    if mismatches:
+        raise AssertionError(
+            f"star CC disagrees with min-label propagation on "
+            f"{mismatches} nodes"
+        )
+    sizes = star.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_size").cast("long").alias("n_docs"),
+        )
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+        )
+        .orderBy("cluster_size")
+    )
+
+
 _GRAPH_CTE = f"""
 WITH RECURSIVE toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -1508,6 +1553,25 @@ QUERIES: list[QueryDef] = [
         description="Weighted fixed-point PageRank (3 iterations) over the "
         "customer→supplier nation trade graph, pinned to an unrolled-CTE "
         "oracle.",
+    ),
+    QueryDef(
+        "graph_cc_star",
+        graph_cc_star,
+        _GRAPH_CTE
+        + """
+        , sizes AS (
+          SELECT component, COUNT(*) AS cluster_size
+          FROM cc GROUP BY component)
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+        """,
+        tags=("parity", "graph", "dedup"),
+        description="Large-star/small-star connected components "
+        "(O(log^2 n) rounds, any diameter) over the rare-shingle dup "
+        "graph; star CC asserted label-identical to min-label "
+        "propagation in-query; cluster-size histogram out.",
     ),
     QueryDef(
         "dedup_softdedup_weights",

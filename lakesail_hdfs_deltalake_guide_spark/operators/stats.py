@@ -2570,7 +2570,173 @@ def _cuped_sql() -> str:
         """
 
 
+# --- SPRT with daily peeks (r14) ---------------------------------------------
+#
+# Wald's sequential probability ratio test, run the way experimentation
+# platforms actually run it: the log-likelihood ratio is re-evaluated at
+# DAILY peeks (group-sequential practice), not per observation — which
+# is exactly what makes it engine-exact and scale-shaped: the stream of
+# user-day Bernoulli outcomes collapses to one grouped aggregate, and
+# the sequential scan is a cumulative sum over the bounded DAY GRID,
+# never a data-sized global window. LLR increments and Wald boundaries
+# are integer millibits (1000*log2) computed once in Python and embedded
+# as the same literals in both engines — the integer-log-LUT pattern.
+#
+# H0: conversion rate p0, H1: p1; alpha = beta = 0.05. An observation is
+# a TREATMENT-arm (odd user_id) user-day; converted = any purchase that
+# day. Peeking is safe by construction: crossing log((1-b)/a) accepts
+# H1, crossing log(b/(1-a)) accepts H0, in between the test continues.
+
+# Hypotheses bracket the fixture's ~0.42 treatment conversion rate so
+# the LLR path actually SEQUENCES (several 'continue' days, then an H0
+# crossing) instead of crossing at the first peek.
+SPRT_P0_NUM, SPRT_P0_DEN = 2, 5  # H0: p = 0.40
+SPRT_P1_NUM, SPRT_P1_DEN = 1, 2  # H1: p = 0.50
+SPRT_ALPHA = SPRT_BETA = 0.05
+_SPRT_L1 = round(
+    1000
+    * _math.log2(
+        (SPRT_P1_NUM * SPRT_P0_DEN) / (SPRT_P0_NUM * SPRT_P1_DEN)
+    )
+)  # millibits per conversion
+_SPRT_L0 = round(
+    1000
+    * _math.log2(
+        ((SPRT_P1_DEN - SPRT_P1_NUM) * SPRT_P0_DEN)
+        / ((SPRT_P0_DEN - SPRT_P0_NUM) * SPRT_P1_DEN)
+    )
+)  # millibits per non-conversion
+_SPRT_UPPER = round(1000 * _math.log2((1 - SPRT_BETA) / SPRT_ALPHA))
+_SPRT_LOWER = round(1000 * _math.log2(SPRT_BETA / (1 - SPRT_ALPHA)))
+_SPRT_DAY_US = 86_400_000_000
+
+
+def stats_sprt_daily_peeks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily-peek SPRT over treatment-arm conversion: per day the
+    observation/conversion counts, the cumulative LLR in millibits, the
+    sequential state, and a first-crossing marker: (day, n_obs, n_conv,
+    llr_mb, state, is_first_decision)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(f"(ts_ns div 1000) div {_SPRT_DAY_US}").cast("long")
+    obs = (
+        ev.where(F.col("user_id") % 2 == 1)
+        .select(day.alias("day"), "user_id", "event_type")
+        .groupBy("day", "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+    )
+    daily = obs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = daily.select(
+        "day",
+        "n_obs",
+        "n_conv",
+        (
+            F.sum(
+                F.col("n_conv") * F.lit(_SPRT_L1)
+                + (F.col("n_obs") - F.col("n_conv")) * F.lit(_SPRT_L0)
+            ).over(wcum)
+        )
+        .cast("long")
+        .alias("llr_mb"),
+    ).withColumn(
+        "state",
+        F.when(F.col("llr_mb") >= _SPRT_UPPER, F.lit("accept_h1"))
+        .when(F.col("llr_mb") <= _SPRT_LOWER, F.lit("accept_h0"))
+        .otherwise(F.lit("continue")),
+    )
+    wfirst = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        cum.withColumn(
+            "prior_decisions",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("state") != "continue", 1).otherwise(0)
+                ).over(wfirst),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "day",
+            "n_obs",
+            "n_conv",
+            "llr_mb",
+            "state",
+            F.when(
+                (F.col("state") != "continue")
+                & (F.col("prior_decisions") == 0),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_first_decision"),
+        )
+        .orderBy("day")
+    )
+
+
+def _sprt_sql() -> str:
+    return f"""
+        WITH obs AS (
+          SELECT (epoch_ns(ts) // 1000) // {_SPRT_DAY_US} AS day,
+                 user_id,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END) AS conv
+          FROM events WHERE user_id % 2 = 1
+          GROUP BY 1, 2),
+        daily AS (
+          SELECT day, COUNT(*) AS n_obs, SUM(conv) AS n_conv
+          FROM obs GROUP BY day),
+        cum AS (
+          SELECT day, n_obs, n_conv,
+                 SUM(n_conv * {_SPRT_L1}
+                     + (n_obs - n_conv) * {_SPRT_L0})
+                   OVER (ORDER BY day
+                         ROWS UNBOUNDED PRECEDING) AS llr_mb
+          FROM daily),
+        st AS (
+          SELECT *, CASE WHEN llr_mb >= {_SPRT_UPPER} THEN 'accept_h1'
+                         WHEN llr_mb <= {_SPRT_LOWER} THEN 'accept_h0'
+                         ELSE 'continue' END AS state
+          FROM cum)
+        SELECT CAST(day AS BIGINT) AS day,
+               CAST(n_obs AS BIGINT) AS n_obs,
+               CAST(n_conv AS BIGINT) AS n_conv,
+               CAST(llr_mb AS BIGINT) AS llr_mb,
+               state,
+               CAST(CASE WHEN state <> 'continue'
+                          AND COALESCE(SUM(CASE WHEN state <> 'continue'
+                                               THEN 1 ELSE 0 END)
+                            OVER (ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) = 0
+                         THEN 1 ELSE 0 END AS INT) AS is_first_decision
+        FROM st ORDER BY day
+        """
+
+
 QUERIES: list[QueryDef] = [
+    QueryDef(
+        "stats_sprt_daily_peeks",
+        stats_sprt_daily_peeks,
+        _sprt_sql(),
+        tags=("parity", "stats", "experiment"),
+        description="Wald SPRT with daily peeks: integer-millibit LLR "
+        "over the day grid, Wald boundaries, first-crossing marker — "
+        "peeking-safe sequential A/B testing, engine-exact.",
+    ),
     QueryDef(
         "stats_cuped_adjustment",
         stats_cuped_adjustment,

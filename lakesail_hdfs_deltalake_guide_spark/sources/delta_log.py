@@ -9075,6 +9075,63 @@ def delta_native_vacuum_inventory(
     )
 
 
+def delta_native_uniform_iceberg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UniForm lifecycle: two Delta commits, each followed by a
+    ``uniform_sync`` that folds the snapshot into Iceberg metadata
+    (hand-rolled Avro OCF manifests + metadata.json chain, public
+    Iceberg v2 / Avro 1.11 specs — see ``sources/uniform.py``). The
+    Iceberg read path (version-hint → metadata → manifest list →
+    manifest → data files) must see EXACTLY the Delta live set, with
+    matching per-file record counts, and the snapshot lineage must
+    track the Delta versions. Output: rollup + lineage counters."""
+    import os
+    import tempfile
+
+    from ..tables import load_table
+    from .uniform import iceberg_current_files, uniform_sync
+
+    r = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.length("r_name").cast("long").alias("name_len")
+    )
+    path = tempfile.mkdtemp(prefix="ls_delta_uniform_")
+    delta_write(r.repartition(2), path)
+    uniform_sync(spark, path)
+    delta_write(r, path, mode="append")
+    s2 = uniform_sync(spark, path)
+    md = json.loads(open(s2["metadata_path"]).read())
+    if md["current-snapshot-id"] != 2 or len(md["snapshots"]) != 2:
+        raise AssertionError(
+            f"iceberg snapshot lineage broken: {md['snapshots']}"
+        )
+    files = iceberg_current_files(path)
+    ice_view = {
+        os.path.relpath(f["file_path"], path) for f in files
+    }
+    delta_view = set(delta_live_files(spark, path))
+    if ice_view != delta_view:
+        raise AssertionError(
+            f"iceberg view != delta view: {ice_view} vs {delta_view}"
+        )
+    ice_rows = sum(f["record_count"] for f in files)
+    return (
+        delta_read(spark, path)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("name_len").alias("sum_name_len"),
+        )
+        .select(
+            "n_rows",
+            "sum_name_len",
+            F.lit(len(md["snapshots"])).cast("long").alias("n_snapshots"),
+            F.lit(len(files)).cast("long").alias("n_iceberg_files"),
+            F.lit(int(ice_rows)).cast("long").alias("iceberg_rows"),
+        )
+    )
+
+
 def delta_native_optimize_where(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -10296,6 +10353,23 @@ QUERIES: list[QueryDef] = [
         "a recursive listing — reclaims exactly what FULL would; "
         "outside-root rows ignored, stale rows no-ops, asserted "
         "in-query.",
+    ),
+    QueryDef(
+        "delta_native_uniform_iceberg",
+        delta_native_uniform_iceberg,
+        """
+        SELECT COUNT(*) * 2 AS n_rows,
+               CAST(SUM(length(r_name)) * 2 AS BIGINT) AS sum_name_len,
+               CAST(2 AS BIGINT) AS n_snapshots,
+               CAST(3 AS BIGINT) AS n_iceberg_files,
+               CAST(COUNT(*) * 2 AS BIGINT) AS iceberg_rows
+        FROM region
+        """,
+        tags=("parity", "delta", "io", "interop"),
+        description="UniForm: Iceberg v2 metadata emission over the "
+        "Delta layout (hand-rolled Avro OCF manifests from the public "
+        "specs); the Iceberg read path sees exactly the Delta live "
+        "set, snapshot lineage tracks commits — asserted in-query.",
     ),
     QueryDef(
         "delta_native_restore_timestamp",

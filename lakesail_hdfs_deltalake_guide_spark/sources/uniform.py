@@ -1,0 +1,539 @@
+"""UniForm: Iceberg metadata emission over the Delta table layout.
+
+Delta UniForm (delta-spark 3.x, ``delta.universalFormat.enabledFormats =
+iceberg``) lets Iceberg readers open a Delta table by maintaining a
+parallel Iceberg metadata tree under ``<table>/metadata/`` that points at
+the SAME parquet data files — the data is written once, only commit
+metadata is doubled. This module implements that conversion from public
+specs only:
+
+- Apache Iceberg table spec v2 (metadata JSON, snapshot, manifest list,
+  manifest entry shapes and their REQUIRED field ids);
+- Apache Avro 1.11 spec (the object container file format manifests are
+  stored in: magic ``Obj\\x01``, file-metadata map carrying the embedded
+  schema, 16-byte sync marker, record blocks with zigzag-varint
+  primitives, ``null`` codec).
+
+No Avro library exists in this environment, so the OCF encoder AND the
+decoder used to verify round-trips are hand-rolled from the spec — the
+same posture as the hand-implemented Delta commit protocol next door
+(``delta_log.py``). Scope (documented, delta-spark's own UniForm has the
+sibling list): unpartitioned tables, add-file snapshots (no DVs —
+UniForm itself refuses deletion vectors), Hive/Hadoop-catalog layout
+with ``version-hint.text``.
+
+Scale shape: ``uniform_sync`` is a pure fold of the Delta snapshot's add
+set into O(files) manifest rows — one metadata pass, no data reads, no
+shuffles; exactly the cost profile of the Delta checkpoint writer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import uuid
+
+from pyspark.sql import SparkSession
+
+# --- Avro 1.11 primitive encoding (spec: "Binary encoding") -----------------
+
+AVRO_MAGIC = b"Obj\x01"
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+
+
+def avro_varint(n: int) -> bytes:
+    """Avro long: zigzag then base-128 varint, little-endian groups."""
+    z = _zigzag(n)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def avro_bytes(b: bytes) -> bytes:
+    return avro_varint(len(b)) + b
+
+
+def avro_str(s: str) -> bytes:
+    return avro_bytes(s.encode("utf-8"))
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _read_varint(buf, pos)
+    return buf[pos : pos + n], pos + n
+
+
+# --- Avro object container file (spec: "Object Container Files") ------------
+
+
+def write_ocf(
+    path: str,
+    schema: dict,
+    records: list[dict],
+    extra_meta: dict[str, str] | None = None,
+) -> int:
+    """One-block null-codec OCF holding ``records`` encoded against
+    ``schema`` (a subset of Avro: null/boolean/int/long/string/bytes,
+    records, and ["null", X] unions — everything the Iceberg manifest
+    shapes need). Returns the file length."""
+    meta = {"avro.schema": json.dumps(schema), "avro.codec": "null"}
+    meta.update(extra_meta or {})
+    sync = uuid.uuid5(uuid.NAMESPACE_URL, path).bytes  # deterministic
+    body = b"".join(_encode(schema, r, schema) for r in records)
+    out = bytearray()
+    out += AVRO_MAGIC
+    out += avro_varint(len(meta))
+    for k in sorted(meta):
+        out += avro_str(k) + avro_bytes(meta[k].encode("utf-8"))
+    out += avro_varint(0)  # end of metadata map
+    out += sync
+    if records:
+        out += avro_varint(len(records))
+        out += avro_varint(len(body))
+        out += body
+        out += sync
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    return len(out)
+
+
+def _resolve(schema, root):
+    """Named-type references resolve against the root schema."""
+    if isinstance(schema, str) and schema not in (
+        "null",
+        "boolean",
+        "int",
+        "long",
+        "string",
+        "bytes",
+        "double",
+    ):
+        raise ValueError(f"unsupported named reference {schema}")
+    return schema
+
+
+def _encode(schema, value, root) -> bytes:
+    schema = _resolve(schema, root)
+    if isinstance(schema, list):  # union — Iceberg uses ["null", X]
+        if value is None:
+            return avro_varint(schema.index("null"))
+        branch = next(
+            i for i, s in enumerate(schema) if s != "null"
+        )
+        return avro_varint(branch) + _encode(schema[branch], value, root)
+    if schema == "null":
+        return b""
+    if schema == "boolean":
+        return b"\x01" if value else b"\x00"
+    if schema in ("int", "long"):
+        return avro_varint(int(value))
+    if schema == "double":
+        return struct.pack("<d", float(value))
+    if schema == "string":
+        return avro_str(value)
+    if schema == "bytes":
+        return avro_bytes(value)
+    if isinstance(schema, dict) and schema["type"] == "record":
+        return b"".join(
+            _encode(f["type"], value.get(f["name"]), root)
+            for f in schema["fields"]
+        )
+    raise ValueError(f"unsupported avro schema {schema!r}")
+
+
+def _decode(schema, buf: bytes, pos: int, root):
+    schema = _resolve(schema, root)
+    if isinstance(schema, list):
+        branch, pos = _read_varint(buf, pos)
+        return _decode(schema[branch], buf, pos, root)
+    if schema == "null":
+        return None, pos
+    if schema == "boolean":
+        return buf[pos] == 1, pos + 1
+    if schema in ("int", "long"):
+        return _read_varint(buf, pos)
+    if schema == "double":
+        return struct.unpack("<d", buf[pos : pos + 8])[0], pos + 8
+    if schema == "string":
+        b, pos = _read_bytes(buf, pos)
+        return b.decode("utf-8"), pos
+    if schema == "bytes":
+        return _read_bytes(buf, pos)
+    if isinstance(schema, dict) and schema["type"] == "record":
+        rec = {}
+        for f in schema["fields"]:
+            rec[f["name"]], pos = _decode(f["type"], buf, pos, root)
+        return rec, pos
+    raise ValueError(f"unsupported avro schema {schema!r}")
+
+
+def read_ocf(path: str) -> tuple[dict, dict[str, str], list[dict]]:
+    """Decode an OCF written by :func:`write_ocf` (or any null-codec
+    OCF within the supported schema subset). Returns (schema, file
+    metadata, records); validates magic and per-block sync markers."""
+    buf = open(path, "rb").read()
+    if buf[:4] != AVRO_MAGIC:
+        raise ValueError(f"{path}: not an Avro object container file")
+    pos = 4
+    meta: dict[str, str] = {}
+    while True:
+        n, pos = _read_varint(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count is followed by a byte size
+            n = -n
+            _, pos = _read_varint(buf, pos)
+        for _ in range(n):
+            k, pos = _read_bytes(buf, pos)
+            v, pos = _read_bytes(buf, pos)
+            meta[k.decode()] = v.decode()
+    if meta.get("avro.codec", "null") != "null":
+        raise ValueError("only the null codec is supported")
+    schema = json.loads(meta["avro.schema"])
+    sync = buf[pos : pos + 16]
+    pos += 16
+    records: list[dict] = []
+    while pos < len(buf):
+        count, pos = _read_varint(buf, pos)
+        size, pos = _read_varint(buf, pos)
+        end = pos + size
+        for _ in range(count):
+            rec, pos = _decode(schema, buf, pos, schema)
+            records.append(rec)
+        if pos != end:
+            raise ValueError("block size mismatch")
+        if buf[pos : pos + 16] != sync:
+            raise ValueError("sync marker mismatch")
+        pos += 16
+    return schema, meta, records
+
+
+# --- Iceberg spec v2 shapes --------------------------------------------------
+
+# Manifest-list entry: the REQUIRED v2 fields with their spec field ids.
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+# Manifest entry wrapping a data_file (unpartitioned: empty partition
+# struct, spec id 0).
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+            "field-id": 102,
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {
+            "name": "sequence_number",
+            "type": ["null", "long"],
+            "field-id": 3,
+        },
+        {
+            "name": "file_sequence_number",
+            "type": ["null", "long"],
+            "field-id": 4,
+        },
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+_DELTA_TO_ICEBERG_TYPES = {
+    "long": "long",
+    "integer": "int",
+    "short": "int",
+    "byte": "int",
+    "string": "string",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "binary": "binary",
+}
+
+
+def _iceberg_schema(delta_schema: dict) -> dict:
+    """Delta metaData.schemaString → Iceberg schema JSON with stable
+    sequential field ids (UniForm derives ids from Delta column mapping
+    when present; sequential assignment is the unmapped-table rule)."""
+    fields = []
+    for i, f in enumerate(delta_schema["fields"], start=1):
+        t = f["type"]
+        if isinstance(t, str):
+            if t.startswith("decimal"):
+                ice = t  # decimal(p,s) spells identically
+            else:
+                ice = _DELTA_TO_ICEBERG_TYPES.get(t)
+            if ice is None:
+                raise ValueError(f"no Iceberg mapping for delta type {t}")
+        else:
+            raise ValueError("nested types not supported by this UniForm")
+        fields.append(
+            {
+                "id": i,
+                "name": f["name"],
+                "required": not f.get("nullable", True),
+                "type": ice,
+            }
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def uniform_sync(spark: SparkSession, path: str) -> dict:
+    """Fold the CURRENT Delta snapshot into the Iceberg metadata tree
+    under ``<path>/metadata/`` (delta-spark UniForm's converter step,
+    run synchronously): one manifest holding the live add set, one
+    manifest list, one new snapshot appended to the metadata JSON
+    lineage, ``version-hint.text`` for Hadoop-catalog readers. Repeated
+    syncs accumulate snapshots exactly like repeated Delta commits.
+    Returns a summary dict (delta version, snapshot id, file/row
+    counts, metadata paths). Cites reference scope: the reference
+    stores tables as plain parquet/Delta on HDFS
+    (``examples/example_lakesail_kerberos.py``); UniForm extends the
+    same layout to Iceberg readers."""
+    from .delta_log import _snapshot_state, _list_versions
+
+    versions = _list_versions(spark, path)
+    if not versions:
+        raise ValueError(f"{path}: not a Delta table")
+    version = versions[-1]
+    proto, meta, adds, _ = _snapshot_state(spark, path, version)
+    if meta is None:
+        raise ValueError(f"{path}: no metaData action found")
+    if meta.get("partitionColumns"):
+        raise ValueError(
+            "this UniForm implementation covers unpartitioned tables"
+        )
+    if any(a.get("deletionVector") for a in adds.values()):
+        # delta-spark's own UniForm restriction: DVs have no Iceberg
+        # v2 equivalent in the add-only conversion
+        raise ValueError("UniForm cannot convert deletion-vector tables")
+    delta_schema = json.loads(meta["schemaString"])
+    ice_schema = _iceberg_schema(delta_schema)
+
+    md_dir = os.path.join(path, "metadata")
+    os.makedirs(md_dir, exist_ok=True)
+    hint = os.path.join(md_dir, "version-hint.text")
+    prev_meta = None
+    md_version = 1
+    if os.path.exists(hint):
+        md_version = int(open(hint).read().strip()) + 1
+        prev_path = os.path.join(
+            md_dir, f"v{md_version - 1}.metadata.json"
+        )
+        prev_meta = json.loads(open(prev_path).read())
+
+    snapshot_id = md_version  # deterministic, monotone
+    seq = md_version
+    entries = []
+    total_rows = 0
+    for rel, a in sorted(adds.items()):
+        nrec = int(json.loads(a.get("stats") or "{}").get("numRecords", 0))
+        total_rows += nrec
+        entries.append(
+            {
+                "status": 1,  # ADDED (this snapshot re-lists the live set)
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": os.path.join(path, rel),
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": nrec,
+                    "file_size_in_bytes": int(a["size"]),
+                },
+            }
+        )
+    manifest_path = os.path.join(
+        md_dir, f"m{md_version}-{len(entries)}.avro"
+    )
+    mlen = write_ocf(
+        manifest_path,
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        extra_meta={
+            "schema": json.dumps(ice_schema),
+            "schema-id": "0",
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": "2",
+            "content": "data",
+        },
+    )
+    mlist_path = os.path.join(
+        md_dir, f"snap-{snapshot_id}-{md_version}.avro"
+    )
+    write_ocf(
+        mlist_path,
+        _MANIFEST_LIST_SCHEMA,
+        [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": mlen,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": total_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ],
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": md_version,  # deterministic lineage clock
+        "summary": {"operation": "append"},
+        "manifest-list": mlist_path,
+        "schema-id": 0,
+    }
+    snapshots = (prev_meta or {}).get("snapshots", []) + [snapshot]
+    table_meta = {
+        "format-version": 2,
+        "table-uuid": (prev_meta or {}).get(
+            "table-uuid", meta.get("id", str(uuid.uuid4()))
+        ),
+        "location": path,
+        "last-sequence-number": seq,
+        "last-updated-ms": md_version,
+        "last-column-id": len(ice_schema["fields"]),
+        "current-schema-id": 0,
+        "schemas": [ice_schema],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            "delta.universalFormat.sourceVersion": str(version)
+        },
+        "current-snapshot-id": snapshot_id,
+        "snapshots": snapshots,
+        "snapshot-log": [
+            {
+                "snapshot-id": s["snapshot-id"],
+                "timestamp-ms": s["timestamp-ms"],
+            }
+            for s in snapshots
+        ],
+        "metadata-log": (prev_meta or {}).get("metadata-log", [])
+        + (
+            [
+                {
+                    "metadata-file": os.path.join(
+                        md_dir, f"v{md_version - 1}.metadata.json"
+                    ),
+                    "timestamp-ms": md_version - 1,
+                }
+            ]
+            if prev_meta
+            else []
+        ),
+    }
+    md_path = os.path.join(md_dir, f"v{md_version}.metadata.json")
+    with open(md_path, "w") as f:
+        json.dump(table_meta, f, indent=1)
+    with open(hint, "w") as f:
+        f.write(str(md_version))
+    return {
+        "delta_version": version,
+        "snapshot_id": snapshot_id,
+        "metadata_path": md_path,
+        "manifest_list": mlist_path,
+        "manifest": manifest_path,
+        "n_files": len(entries),
+        "n_rows": total_rows,
+    }
+
+
+def iceberg_current_files(path: str) -> list[dict]:
+    """Read back the Iceberg view of the table THROUGH the metadata
+    chain exactly as an Iceberg reader would: version-hint →
+    metadata.json → current snapshot → manifest list (Avro) → manifest
+    (Avro) → data files. Every hop decodes our own spec-shaped
+    artifacts; used by the registered query to assert Iceberg-view ≡
+    Delta-view."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    md_version = int(open(hint).read().strip())
+    md = json.loads(
+        open(
+            os.path.join(path, "metadata", f"v{md_version}.metadata.json")
+        ).read()
+    )
+    snap = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, _, manifests = read_ocf(snap["manifest-list"])
+    files: list[dict] = []
+    for m in manifests:
+        _, mmeta, entries = read_ocf(m["manifest_path"])
+        if mmeta.get("format-version") != "2":
+            raise ValueError("manifest is not iceberg v2")
+        for e in entries:
+            if e["status"] in (1, 0):  # ADDED or EXISTING
+                files.append(e["data_file"])
+    return files

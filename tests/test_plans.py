@@ -669,6 +669,7 @@ GLOBAL_WINDOW_BOUNDED_DOMAIN = {
     "sample_unimax_allocation": "water-filling over the language strata",
     "stats_bh_fdr": "rank over the ~25 brand hypotheses",
     "stats_bootstrap_ci": "percentile over the B resample replicates",
+    "stats_sprt_daily_peeks": "cumulative LLR over the day grid",
     "stats_theil_sen": "median over the C(12,2) month-pair slopes",
     "clean_t_closeness_audit": "EMD over the bounded quasi-class grid",
     "graph_association_rules": "rank over support-thresholded rule set",

@@ -235,3 +235,175 @@ def test_vacuum_inventory_relative_paths_and_stale_rows(spark, sf_smoke):
     assert set(reclaimed) == gen1
     assert all(os.path.exists(os.path.join(p, f)) for f in live)
     assert delta_read(spark, p).count() == 2
+
+
+# --- Large-star/small-star connected components (VERDICT r13 item 8) --------
+
+
+def test_star_cc_matches_union_find_on_adversarial_graphs(spark):
+    """Star CC must equal a sequential union-find on (a) a 199-diameter
+    path — the shape that makes diameter-round propagation infeasible
+    and which star rounds must close in O(log^2 n) <= STAR_MAX_ROUNDS —
+    (b) a star, (c) a clique joined to a path, (d) isolates."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(200)]
+        + [(500, x) for x in range(501, 530)]
+        + [(a, b) for a in range(900, 910) for b in range(a + 1, 910)]
+        + [(909, 950), (950, 951)]
+    )
+    nodes = (
+        list(range(201))
+        + list(range(500, 530))
+        + list(range(900, 910))
+        + [950, 951, 700, 701]
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in nodes], "node long")
+    got = {
+        r.node: r.component
+        for r in connected_components_star(n, e).collect()
+    }
+
+    parent = {x: x for x in nodes}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {x: find(x) for x in nodes}
+    assert got == truth
+
+
+def test_star_cc_agrees_with_propagation_on_corpus_graph(spark, sf_smoke):
+    """On the real rare-shingle dup graph the two CC algorithms must be
+    label-identical (graph_cc_star also asserts this in-query; this
+    pins it in the suite)."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+        rare_shingle_edges,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_smoke, "documents")
+    edges = rare_shingle_edges(docs).localCheckpoint(eager=True)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    star = {
+        r.node: r.component
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    prop = {
+        r.node: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert star == prop and len(star) > 0
+
+
+# --- UniForm / hand-rolled Avro OCF (r14) ------------------------------------
+
+
+def test_avro_zigzag_matches_spec_vectors():
+    """The Avro 1.11 spec's published varint examples, plus symmetric
+    decode, plus 64-bit extremes."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.uniform import (
+        _read_varint,
+        avro_varint,
+    )
+
+    spec_vectors = {
+        0: b"\x00",
+        -1: b"\x01",
+        1: b"\x02",
+        -2: b"\x03",
+        2: b"\x04",
+        -64: b"\x7f",
+        64: b"\x80\x01",
+    }
+    for n, b in spec_vectors.items():
+        assert avro_varint(n) == b
+    for n in [2**62, -(2**62), 2**63 - 1, -(2**63)]:
+        v, pos = _read_varint(avro_varint(n), 0)
+        assert v == n and pos == len(avro_varint(n))
+
+
+def test_avro_ocf_roundtrip_and_magic():
+    import tempfile
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.uniform import (
+        read_ocf,
+        write_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+            {"name": "c", "type": ["null", "long"]},
+            {"name": "d", "type": "boolean"},
+            {
+                "name": "e",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": "int"}],
+                },
+            },
+        ],
+    }
+    recs = [
+        {"a": -12345, "b": "héllo", "c": None, "d": True, "e": {"x": 7}},
+        {"a": 2**62, "b": "", "c": -99, "d": False, "e": {"x": -1}},
+    ]
+    p = tempfile.mktemp(suffix=".avro")
+    write_ocf(p, schema, recs, extra_meta={"k": "v"})
+    with open(p, "rb") as f:
+        assert f.read(4) == b"Obj\x01"
+    s2, meta, got = read_ocf(p)
+    assert got == recs
+    assert meta["k"] == "v" and meta["avro.codec"] == "null"
+    assert s2 == schema
+
+
+def test_uniform_refuses_partitioned_and_dv_tables(spark, sf_smoke):
+    import tempfile
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_write,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.sources.uniform import (
+        uniform_sync,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    r = load_table(spark, sf_smoke, "region").select(
+        "r_regionkey", (F.col("r_regionkey") % 2).alias("p")
+    )
+    p1 = tempfile.mkdtemp(prefix="ls_unif_part_")
+    delta_write(r, p1, partition_by=["p"])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        uniform_sync(spark, p1)
+
+    p2 = tempfile.mkdtemp(prefix="ls_unif_dv_")
+    delta_write(
+        load_table(spark, sf_smoke, "region"),
+        p2,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delta_delete_dv(spark, p2, "r_regionkey = 1")
+    with pytest.raises(ValueError, match="deletion-vector"):
+        uniform_sync(spark, p2)
