@@ -1567,7 +1567,7 @@ QUERIES: list[QueryDef] = [
                CAST(SUM(cluster_size) AS BIGINT) AS n_docs
         FROM sizes GROUP BY cluster_size ORDER BY cluster_size
         """,
-        tags=("parity", "graph", "dedup"),
+        tags=("parity", "graph", "dedup", "bench"),
         description="Large-star/small-star connected components "
         "(O(log^2 n) rounds, any diameter) over the rare-shingle dup "
         "graph; star CC asserted label-identical to min-label "

@@ -10347,7 +10347,7 @@ QUERIES: list[QueryDef] = [
                CAST(1 AS INT) AS outside_root_survived
         FROM region
         """,
-        tags=("parity", "delta", "io"),
+        tags=("parity", "delta", "io", "bench"),
         description="VACUUM USING INVENTORY (delta-spark 3.1): "
         "candidates from a caller-supplied inventory table instead of "
         "a recursive listing — reclaims exactly what FULL would; "
@@ -10365,7 +10365,7 @@ QUERIES: list[QueryDef] = [
                CAST(COUNT(*) * 2 AS BIGINT) AS iceberg_rows
         FROM region
         """,
-        tags=("parity", "delta", "io", "interop"),
+        tags=("parity", "delta", "io", "interop", "bench"),
         description="UniForm: Iceberg v2 metadata emission over the "
         "Delta layout (hand-rolled Avro OCF manifests from the public "
         "specs); the Iceberg read path sees exactly the Delta live "
