@@ -472,16 +472,22 @@ def clean_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).alias("n_tokens"),
     )
-    total = F.sum("n_tokens").over(Window.partitionBy())
-    return per.select(
-        "domain",
-        "registered_domain",
-        "n_docs",
-        "n_tokens",
-        F.floor(F.col("n_tokens") * 1_000_000 / total)
-        .cast("bigint")
-        .alias("token_share_ppm"),
-    ).orderBy("domain")
+    # share-of-total via a broadcast 1-row aggregate, not a global
+    # window over the domain rollup (r14 — the registry window lint)
+    totals = per.groupBy().agg(F.sum("n_tokens").alias("__total"))
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "domain",
+            "registered_domain",
+            "n_docs",
+            "n_tokens",
+            F.floor(F.col("n_tokens") * 1_000_000 / F.col("__total"))
+            .cast("bigint")
+            .alias("token_share_ppm"),
+        )
+        .orderBy("domain")
+    )
 
 
 

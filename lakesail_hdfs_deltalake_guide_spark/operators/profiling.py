@@ -207,16 +207,25 @@ def profile_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness without rescans: a token's FIRST document (min doc_id
     over one exploded aggregation) places its vocabulary contribution
     in exactly one decile; cumulative sums are a window over the 10-row
-    decile table. The NTILE doc-ordering is the adjudicated equi-depth
-    idiom (doc-sized sort; approx boundaries at 10^9 docs)."""
+    decile table. The decile cut is the operators/ranks.py distributed
+    exact NTILE (range exchange + per-partition counts + local rank —
+    bit-identical to the window NTILE, no doc-sized single-task
+    sort; r14, closing the last NTILE-over-data window the r8
+    conversion pass missed)."""
     from pyspark.sql import Window
 
+    from .ranks import exact_ntile
+
     d = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
-    deciles = d.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-    ).withColumn("decile", F.ntile(10).over(w))
+    deciles = exact_ntile(
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        ),
+        ["doc_id"],
+        10,
+        out="decile",
+    )
     first_doc = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")

@@ -865,11 +865,12 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     with sample sizes, D in ppm, and the value (cents) where the gap
     peaks (lowest such value on ties).
 
-    Plan: the fact join collapses to per-cents counts first (map-side
-    combine), the running CDFs are one ordered window over DISTINCT
-    values — the single-partition sort is over the value domain, not
-    the rows (the adjudicated equi-depth idiom; at 10^9 distinct values
-    pre-bucket first)."""
+    Plan (r14): the fact join collapses to per-cents counts first
+    (map-side combine); the running CDFs ride the operators/ranks.py
+    distributed prefix sum (range exchange + broadcast offsets — no
+    single-task sort even over the value domain), and the argmax is a
+    declared-bound orderBy().limit(1), so the query carries NO global
+    window at all."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
@@ -890,27 +891,22 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("k_b"),
         )
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    cum = both.select(
+    from .ranks import exact_prefix_sum
+
+    both = both.localCheckpoint(eager=True)  # read by 2 prefix passes
+    cum1, n_a = exact_prefix_sum(both, ["cents"], "k_a", out="cum_a")
+    cum, n_b = exact_prefix_sum(cum1, ["cents"], "k_b", out="cum_b")
+    gaps = cum.select(
         "cents",
-        F.sum("k_a").over(w).alias("cum_a"),
-        F.sum("k_b").over(w).alias("cum_b"),
-    )
-    totals = both.groupBy().agg(
-        F.sum("k_a").alias("n_a"), F.sum("k_b").alias("n_b")
-    )
-    gaps = cum.crossJoin(F.broadcast(totals)).select(
-        "cents",
-        "n_a",
-        "n_b",
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
         F.abs(
-            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+            F.col("cum_a") * F.lit(n_b) - F.col("cum_b") * F.lit(n_a)
         ).alias("gap"),
     )
-    wmax = Window.orderBy(F.desc("gap"), F.asc("cents"))
     return (
-        gaps.withColumn("rn", F.row_number().over(wmax))
-        .where(F.col("rn") == 1)
+        gaps.orderBy(F.desc("gap"), F.asc("cents"))
+        .limit(1)
         .select(
             "n_a",
             "n_b",
@@ -1093,10 +1089,10 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identity U_a + U_b = n_a·n_b is asserted by construction (both are
     derived from the same rank sums).
 
-    Plan: the fact scan collapses to per-value counts first (map-side
-    combine over the value domain), one ordered window builds the
-    cumulative ranks — the single-partition sort is over DISTINCT
-    values, the KS idiom."""
+    Plan (r14): the fact scan collapses to per-value counts first
+    (map-side combine over the value domain); the cumulative ranks ride
+    the operators/ranks.py distributed prefix sum — no global window
+    anywhere in the query."""
     ev = load_table(spark, sf_dir, "events")
     both = (
         ev.where(F.col("event_type").isin(MW_GROUP_A, MW_GROUP_B))
@@ -1114,15 +1110,16 @@ def stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("k_b"),
         )
     )
-    w = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = both.select(
+    from .ranks import exact_prefix_sum
+
+    with_k = both.withColumn("k", F.col("k_a") + F.col("k_b"))
+    cum_df, _ = exact_prefix_sum(with_k, ["cents"], "k", out="cum")
+    ranked = cum_df.select(
         "cents",
         "k_a",
         "k_b",
-        (F.col("k_a") + F.col("k_b")).alias("k"),
-        (F.sum(F.col("k_a") + F.col("k_b")).over(w)).alias("cum"),
+        "k",
+        "cum",
     ).select(
         "k_a",
         "k_b",

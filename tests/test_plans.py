@@ -674,14 +674,16 @@ GLOBAL_WINDOW_BOUNDED_DOMAIN = {
     "clean_t_closeness_audit": "EMD over the bounded quasi-class grid",
     "graph_association_rules": "rank over support-thresholded rule set",
     "pipeline_curation_e2e": "rank over the bounded funnel summary",
-    # total-order cuts over sublinear rollups — documented swap to the
-    # ranks.py range-exchange exact rank at extreme scale (SCALE.md)
-    "profile_vocab_growth": "NTILE decile cut; deciles then bounded",
-    "profile_token_lorenz": "NTILE decile cut; deciles then bounded",
-    "stats_ks_two_sample": "CDF sweep over distinct price-cent values",
-    "stats_mann_whitney": "rank sweep over distinct price-cent values",
-    "clean_domain_filter": "share-of-total over the domain rollup",
+    # 10-row decile tables (the decile CUT itself is the distributed
+    # exact_ntile from operators/ranks.py — only the cumsum over the
+    # ten resulting rows is a global window)
+    "profile_vocab_growth": "cumsum over the 10 decile rows",
+    "profile_token_lorenz": "cumsum over the 10 decile rows",
 }
+# r14 note: stats_ks_two_sample / stats_mann_whitney (distributed
+# prefix sum + declared-bound argmax) and clean_domain_filter
+# (broadcast 1-row total) were converted OFF this whitelist — see
+# operators/ranks.py and the round-14 SCALE.md entry.
 
 
 def test_no_undeclared_global_windows_registry_wide(spark, sf_smoke):
