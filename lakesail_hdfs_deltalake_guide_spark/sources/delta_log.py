@@ -4556,15 +4556,19 @@ def delta_vacuum(
         return sorted(deleted)
     if inventory is not None:
         # Candidate source = the caller's inventory table instead of a
-        # recursive LIST. Driver-side iteration is the same
-        # O(storage-tree) the listing loop below already is — commit
-        # protocol metadata stays driver-side throughout this module;
-        # at real scale the pre-filter (isDir, table-root prefix,
-        # .parquet suffix) belongs in the inventory query itself.
+        # recursive LIST. The isDir/suffix pre-filter runs DISTRIBUTED
+        # on the inventory (both reclaim branches below only ever
+        # delete ``*.parquet``), so the driver collects candidate
+        # parquet rows, not the whole storage tree — at 100 TB that is
+        # the difference between millions of rows and the live+retired
+        # file count. Per-row relativization stays driver-side (it
+        # needs the Hadoop FS to qualify paths), matching the module's
+        # commit-protocol posture.
+        candidates_df = inventory.where(
+            (~F.col("isDir")) & F.col("path").endswith(".parquet")
+        )
         rels = []
-        for row in inventory.select("path", "isDir").collect():
-            if row["isDir"]:
-                continue
+        for row in candidates_df.select("path").collect():
             p = str(row["path"])
             if "://" in p or p.startswith("/"):
                 qualified = fs.makeQualified(

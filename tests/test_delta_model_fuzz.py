@@ -77,7 +77,7 @@ def test_delta_model_fuzz(spark, seed):
             ["append", "delete", "delete_dv", "update", "update_dv",
              "merge", "merge_clauses", "replace_where", "optimize",
              "zorder", "hilbert", "restore", "checkpoint", "purge",
-             "vacuum_lite", "describe"]
+             "vacuum_lite", "vacuum_inventory", "describe"]
         )
         if op == "append":
             rows = fresh_rows(rng.randrange(1, 15))
@@ -180,6 +180,32 @@ def test_delta_model_fuzz(spark, seed):
             history = {v: s for v, s in history.items() if v >= cut}
             # no new version; fall through so the snapshot-vs-model
             # assertion proves the reclaim touched no live file
+        elif op == "vacuum_inventory":
+            # inventory-driven FULL vacuum at a random state: an
+            # os.walk inventory (absolute paths) must reclaim exactly
+            # the out-of-retention files and never a live one — the
+            # fall-through assertion proves it; same history trim as
+            # any retention cut
+            import os as _os
+
+            keep = rng.randrange(1, 4)
+            cut = _list_versions(spark, path)[-keep:][0]
+            inv_rows = []
+            for root, dirs, files in _os.walk(path):
+                for d in dirs:
+                    inv_rows.append((_os.path.join(root, d), 0, True, 0))
+                for fnm in files:
+                    p_ = _os.path.join(root, fnm)
+                    inv_rows.append(
+                        (p_, _os.stat(p_).st_size, False, 0)
+                    )
+            inv = spark.createDataFrame(
+                inv_rows,
+                "path string, length long, isDir boolean,"
+                " modificationTime long",
+            )
+            delta_vacuum(spark, path, keep_versions=keep, inventory=inv)
+            history = {v: s for v, s in history.items() if v >= cut}
         elif op == "describe":
             # state-neutral probe: the detail row's accounting must
             # match the live add set exactly, at every random point
