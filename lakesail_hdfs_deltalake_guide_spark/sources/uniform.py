@@ -18,9 +18,10 @@ No Avro library exists in this environment, so the OCF encoder AND the
 decoder used to verify round-trips are hand-rolled from the spec — the
 same posture as the hand-implemented Delta commit protocol next door
 (``delta_log.py``). Scope (documented, delta-spark's own UniForm has the
-sibling list): unpartitioned tables, add-file snapshots (no DVs —
-UniForm itself refuses deletion vectors), Hive/Hadoop-catalog layout
-with ``version-hint.text``.
+sibling list): identity-partitioned or unpartitioned tables (typed
+partition structs with spec field ids 1000+), add-file snapshots (no
+DVs — UniForm itself refuses deletion vectors), Hive/Hadoop-catalog
+layout with ``version-hint.text``.
 
 Scale shape: ``uniform_sync`` is a pure fold of the Delta snapshot's add
 set into O(files) manifest rows — one metadata pass, no data reads, no
@@ -253,44 +254,79 @@ _MANIFEST_LIST_SCHEMA = {
     ],
 }
 
-# Manifest entry wrapping a data_file (unpartitioned: empty partition
-# struct, spec id 0).
-_DATA_FILE_SCHEMA = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        {"name": "content", "type": "int", "field-id": 134},
-        {"name": "file_path", "type": "string", "field-id": 100},
-        {"name": "file_format", "type": "string", "field-id": 101},
-        {
-            "name": "partition",
-            "type": {"type": "record", "name": "r102", "fields": []},
-            "field-id": 102,
-        },
-        {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-    ],
+# Manifest entry wrapping a data_file. The partition struct (spec field
+# id 102) is table-specific: one typed field per partition column with
+# spec field ids 1000+ (identity transforms), empty for unpartitioned.
+_ICEBERG_TO_AVRO = {
+    "long": "long",
+    "int": "int",
+    "string": "string",
+    "boolean": "boolean",
 }
 
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
-        {
-            "name": "sequence_number",
-            "type": ["null", "long"],
-            "field-id": 3,
-        },
-        {
-            "name": "file_sequence_number",
-            "type": ["null", "long"],
-            "field-id": 4,
-        },
-        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
-    ],
-}
+
+def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": partition_fields,
+                },
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {
+                "name": "file_size_in_bytes",
+                "type": "long",
+                "field-id": 104,
+            },
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "field-id": 1,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+def _typed_partition_value(ice_type: str, raw: str | None):
+    """Delta ``partitionValues`` are strings (or absent for NULL); the
+    Iceberg partition struct carries them TYPED."""
+    if raw is None:
+        return None
+    if ice_type == "long" or ice_type == "int":
+        return int(raw)
+    if ice_type == "boolean":
+        return raw == "true"
+    if ice_type == "string":
+        return raw
+    raise ValueError(f"unsupported partition type {ice_type}")
 
 _DELTA_TO_ICEBERG_TYPES = {
     "long": "long",
@@ -355,16 +391,37 @@ def uniform_sync(spark: SparkSession, path: str) -> dict:
     proto, meta, adds, _ = _snapshot_state(spark, path, version)
     if meta is None:
         raise ValueError(f"{path}: no metaData action found")
-    if meta.get("partitionColumns"):
-        raise ValueError(
-            "this UniForm implementation covers unpartitioned tables"
-        )
     if any(a.get("deletionVector") for a in adds.values()):
         # delta-spark's own UniForm restriction: DVs have no Iceberg
         # v2 equivalent in the add-only conversion
         raise ValueError("UniForm cannot convert deletion-vector tables")
     delta_schema = json.loads(meta["schemaString"])
     ice_schema = _iceberg_schema(delta_schema)
+    pcols = meta.get("partitionColumns") or []
+    ice_by_name = {f["name"]: f for f in ice_schema["fields"]}
+    spec_fields = []
+    part_avro_fields = []
+    for i, c in enumerate(pcols):
+        if c not in ice_by_name:
+            raise ValueError(f"partition column {c} not in schema")
+        t = ice_by_name[c]["type"]
+        if t not in _ICEBERG_TO_AVRO:
+            raise ValueError(f"unsupported partition type {t} for {c}")
+        spec_fields.append(
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": ice_by_name[c]["id"],
+                "field-id": 1000 + i,
+            }
+        )
+        part_avro_fields.append(
+            {
+                "name": c,
+                "type": ["null", _ICEBERG_TO_AVRO[t]],
+                "field-id": 1000 + i,
+            }
+        )
 
     md_dir = os.path.join(path, "metadata")
     os.makedirs(md_dir, exist_ok=True)
@@ -395,7 +452,13 @@ def uniform_sync(spark: SparkSession, path: str) -> dict:
                     "content": 0,
                     "file_path": os.path.join(path, rel),
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": {
+                        c: _typed_partition_value(
+                            ice_by_name[c]["type"],
+                            (a.get("partitionValues") or {}).get(c),
+                        )
+                        for c in pcols
+                    },
                     "record_count": nrec,
                     "file_size_in_bytes": int(a["size"]),
                 },
@@ -406,12 +469,12 @@ def uniform_sync(spark: SparkSession, path: str) -> dict:
     )
     mlen = write_ocf(
         manifest_path,
-        _MANIFEST_ENTRY_SCHEMA,
+        _manifest_entry_schema(part_avro_fields),
         entries,
         extra_meta={
             "schema": json.dumps(ice_schema),
             "schema-id": "0",
-            "partition-spec": "[]",
+            "partition-spec": json.dumps(spec_fields),
             "partition-spec-id": "0",
             "format-version": "2",
             "content": "data",
@@ -462,8 +525,8 @@ def uniform_sync(spark: SparkSession, path: str) -> dict:
         "current-schema-id": 0,
         "schemas": [ice_schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {

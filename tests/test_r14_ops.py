@@ -377,26 +377,53 @@ def test_avro_ocf_roundtrip_and_magic():
     assert s2 == schema
 
 
-def test_uniform_refuses_partitioned_and_dv_tables(spark, sf_smoke):
+def test_uniform_partitioned_tables_and_dv_refusal(spark, sf_smoke):
+    """Partitioned tables sync with an identity partition spec (field
+    ids 1000+) and TYPED partition structs in the manifest matching
+    Delta's string partitionValues; DV tables are refused (delta-spark
+    UniForm's own restriction)."""
+    import json
+    import os
     import tempfile
 
     from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
         delta_delete_dv,
+        delta_live_adds,
         delta_write,
     )
     from lakesail_hdfs_deltalake_guide_spark.sources.uniform import (
+        iceberg_current_files,
         uniform_sync,
     )
     from lakesail_hdfs_deltalake_guide_spark.tables import load_table
     from pyspark.sql import functions as F
 
-    r = load_table(spark, sf_smoke, "region").select(
-        "r_regionkey", (F.col("r_regionkey") % 2).alias("p")
+    s = load_table(spark, sf_smoke, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 3).alias("p"),
+        F.col("s_name").alias("nm"),
     )
     p1 = tempfile.mkdtemp(prefix="ls_unif_part_")
-    delta_write(r, p1, partition_by=["p"])
-    with pytest.raises(ValueError, match="unpartitioned"):
-        uniform_sync(spark, p1)
+    delta_write(s, p1, partition_by=["p"])
+    res = uniform_sync(spark, p1)
+    live = {f: a for f, a in delta_live_adds(spark, p1)}
+    files = iceberg_current_files(p1)
+    assert len(files) == len(live) == 3
+    for f in files:
+        rel = os.path.relpath(f["file_path"], p1)
+        pv = live[rel]["partitionValues"]
+        assert f["partition"] == {"p": int(pv["p"])}  # typed, not str
+    md = json.loads(open(res["metadata_path"]).read())
+    (spec,) = md["partition-specs"]
+    assert spec["fields"] == [
+        {
+            "name": "p",
+            "transform": "identity",
+            "source-id": 2,
+            "field-id": 1000,
+        }
+    ]
+    assert md["last-partition-id"] == 1000
 
     p2 = tempfile.mkdtemp(prefix="ls_unif_dv_")
     delta_write(
