@@ -434,3 +434,82 @@ def test_uniform_partitioned_tables_and_dv_refusal(spark, sf_smoke):
     delta_delete_dv(spark, p2, "r_regionkey = 1")
     with pytest.raises(ValueError, match="deletion-vector"):
         uniform_sync(spark, p2)
+
+
+# --- Daily-peek SPRT (r14) ----------------------------------------------------
+
+
+def test_sprt_matches_sequential_wald(spark, sf_smoke):
+    """The per-day LLR walk, states, and first-crossing marker must
+    equal a sequential Python Wald SPRT over the same user-day
+    Bernoulli stream; boundary constants must be the exact millibit
+    logs the module embeds in both engines."""
+    import math
+
+    from lakesail_hdfs_deltalake_guide_spark.operators.stats import (
+        _SPRT_DAY_US,
+        _SPRT_L0,
+        _SPRT_L1,
+        _SPRT_LOWER,
+        _SPRT_UPPER,
+        SPRT_ALPHA,
+        SPRT_BETA,
+        SPRT_P0_DEN,
+        SPRT_P0_NUM,
+        SPRT_P1_DEN,
+        SPRT_P1_NUM,
+        stats_sprt_daily_peeks,
+    )
+
+    p0 = SPRT_P0_NUM / SPRT_P0_DEN
+    p1 = SPRT_P1_NUM / SPRT_P1_DEN
+    assert _SPRT_L1 == round(1000 * math.log2(p1 / p0))
+    assert _SPRT_L0 == round(1000 * math.log2((1 - p1) / (1 - p0)))
+    assert _SPRT_UPPER == round(
+        1000 * math.log2((1 - SPRT_BETA) / SPRT_ALPHA)
+    )
+    assert _SPRT_LOWER == round(
+        1000 * math.log2(SPRT_BETA / (1 - SPRT_ALPHA))
+    )
+
+    raw = _duck(
+        sf_smoke,
+        f"""
+        SELECT (epoch_ns(ts) // 1000) // {_SPRT_DAY_US} AS day,
+               user_id,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END) AS conv
+        FROM events WHERE user_id % 2 = 1 GROUP BY 1, 2
+        """,
+    )
+    daily: dict[int, list[int]] = {}
+    for day, _, conv in raw:
+        st = daily.setdefault(int(day), [0, 0])
+        st[0] += 1
+        st[1] += conv
+    llr = 0
+    decided = False
+    expect = {}
+    for day in sorted(daily):
+        n, c = daily[day]
+        llr += c * _SPRT_L1 + (n - c) * _SPRT_L0
+        state = (
+            "accept_h1"
+            if llr >= _SPRT_UPPER
+            else "accept_h0" if llr <= _SPRT_LOWER else "continue"
+        )
+        first = int(state != "continue" and not decided)
+        decided = decided or state != "continue"
+        expect[day] = (n, c, llr, state, first)
+
+    rows = stats_sprt_daily_peeks(spark, sf_smoke).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (
+            r.n_obs,
+            r.n_conv,
+            r.llr_mb,
+            r.state,
+            r.is_first_decision,
+        ) == expect[r.day]
+    assert sum(r.is_first_decision for r in rows) <= 1
