@@ -65,63 +65,13 @@ _TIER_MODULES = (
 # (after never-verified queries) makes that window a rolling
 # regression re-confirmation of the oldest driver signal.
 #
-# Round-14 rotation (VERDICT r13 item 3): the r05 cohort fully
-# retired at r13 (all 25 remaining rows re-confirmed green), leaving
-# 46 r06 rows as the stalest signal. The hard 50-row window therefore
-# budgets exactly 4 new queries this round — enough for VERDICT items
-# 4 (VACUUM USING INVENTORY) and 8 (both stretch options) — so the
-# whole r06 cohort re-confirms and nothing older than r07 remains.
-
-_R06_VERIFIED = frozenset(
-    {
-        "clean_classifier_calibration",
-        "clean_classifier_quality",
-        "dedup_line_corpus",
-        "dedup_minhash_calibration",
-        "dedup_url_canonical",
-        "delta_native_auto_compact",
-        "delta_native_column_defaults",
-        "delta_native_generated_partitions",
-        "delta_native_log_compaction",
-        "delta_native_reorg_purge",
-        "delta_native_v2_checkpoint_fold",
-        "delta_native_zorder3_skip",
-        "delta_native_zorder_incremental",
-        "graph_association_rules",
-        "graph_degree_distribution",
-        "graph_kcore_peel",
-        "monthly_revenue_growth",
-        "multimodal_dhash_neardup",
-        "olap_rfm_segmentation",
-        "pipeline_cdf_scd2",
-        "pipeline_incremental_dedup",
-        "profile_psi_drift",
-        "profile_vocab_growth",
-        "sample_dsir_importance",
-        "session_activity_heatmap",
-        "session_burst_detection",
-        "similarity_matryoshka_agreement",
-        "similarity_pq_topk",
-        "sql_defined_functions",
-        "stats_benford_digits",
-        "stats_chi2_independence",
-        "stats_gini_coefficient",
-        "stats_ks_two_sample",
-        "stats_runs_test",
-        "temporal_interval_coalesce",
-        "temporal_scd2_pointlookup",
-        "text_bigram_perplexity",
-        "text_bpe_train_merges",
-        "text_langid_confusion",
-        "text_ngram_novelty",
-        "text_source_entropy",
-        "ts_anomaly_hours",
-        "ts_hourly_quantiles",
-        "ts_seasonal_decompose",
-        "window_new_users_daily",
-        "window_rising_streaks",
-    }
-)
+# Round-15 rotation (VERDICT r14 item 1): the r06 cohort fully
+# retired at r14 (4 new + all 46 r06 rows green), leaving exactly 50
+# r07 rows as the stalest signal. The 50-row window therefore fits
+# ZERO new queries — r15 is the planned conversion/consolidation
+# round (distributed VACUUM diff, bench hardening, UniForm DV
+# follow-ons all land on EXISTING queries); after a green round
+# nothing older than r08 remains.
 
 _R07_VERIFIED = frozenset(
     {
@@ -508,8 +458,62 @@ _R13_VERIFIED = frozenset(
     }
 )
 
+_R14_VERIFIED = frozenset(
+    {
+        "clean_classifier_calibration",
+        "clean_classifier_quality",
+        "dedup_line_corpus",
+        "dedup_minhash_calibration",
+        "dedup_url_canonical",
+        "delta_native_auto_compact",
+        "delta_native_column_defaults",
+        "delta_native_generated_partitions",
+        "delta_native_log_compaction",
+        "delta_native_reorg_purge",
+        "delta_native_uniform_iceberg",
+        "delta_native_v2_checkpoint_fold",
+        "delta_native_vacuum_inventory",
+        "delta_native_zorder3_skip",
+        "delta_native_zorder_incremental",
+        "graph_association_rules",
+        "graph_cc_star",
+        "graph_degree_distribution",
+        "graph_kcore_peel",
+        "monthly_revenue_growth",
+        "multimodal_dhash_neardup",
+        "olap_rfm_segmentation",
+        "pipeline_cdf_scd2",
+        "pipeline_incremental_dedup",
+        "profile_psi_drift",
+        "profile_vocab_growth",
+        "sample_dsir_importance",
+        "session_activity_heatmap",
+        "session_burst_detection",
+        "similarity_matryoshka_agreement",
+        "similarity_pq_topk",
+        "sql_defined_functions",
+        "stats_benford_digits",
+        "stats_chi2_independence",
+        "stats_gini_coefficient",
+        "stats_ks_two_sample",
+        "stats_runs_test",
+        "stats_sprt_daily_peeks",
+        "temporal_interval_coalesce",
+        "temporal_scd2_pointlookup",
+        "text_bigram_perplexity",
+        "text_bpe_train_merges",
+        "text_langid_confusion",
+        "text_ngram_novelty",
+        "text_source_entropy",
+        "ts_anomaly_hours",
+        "ts_hourly_quantiles",
+        "ts_seasonal_decompose",
+        "window_new_users_daily",
+        "window_rising_streaks",
+    }
+)
+
 DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
-    _R06_VERIFIED,
     _R07_VERIFIED,
     _R08_VERIFIED,
     _R09_VERIFIED,
@@ -517,6 +521,7 @@ DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _R11_VERIFIED,
     _R12_VERIFIED,
     _R13_VERIFIED,
+    _R14_VERIFIED,
 )
 
 DRIVER_VERIFIED = frozenset().union(*DRIVER_VERIFIED_ROUNDS)
