@@ -4451,6 +4451,146 @@ def delta_generate_manifest(spark: SparkSession, path: str) -> list[str]:
     return sorted(out)
 
 
+# FULL-vacuum distributed path: the recursive listing streams through
+# the driver in bounded chunks of this many paths, each anti-joined as a
+# Spark job against the cached live set — driver peak memory is one
+# chunk + the reclaim set, never the full candidate list. Separate knob
+# from _DIST_FOLD_ROWS so tests can force multi-chunk flushes cheaply.
+_VACUUM_CHUNK_ROWS = _DIST_FOLD_ROWS
+
+
+def _inventory_rel_col(base_uri) -> "F.Column":
+    """Canonical table-relative path for an inventory ``path`` row, as a
+    Column — NULL means "not this table's file, ignore".
+
+    Inventory reports are CALLER data: rows arrive absolute
+    (``file:/t/x``, ``file:///t/x``, ``/t/x``) or table-relative, and a
+    sloppy-but-resolvable row (``./part.parquet``, ``p=1//part.parquet``,
+    ``sub/../part.parquet``) must still match the canonical add-action
+    path of a LIVE file — a raw string membership test would miss it and
+    DELETE live data (the r14 advice finding). So: strip a matching
+    qualified/scheme-less table-root prefix (an absolute row matching no
+    prefix is outside the root → NULL; this also stops a scheme'd row
+    for a FOREIGN table from being resolved against this table's root),
+    then normalize segments — drop ``''``/``.``, fold ``..`` against a
+    stack, and refuse paths that escape the root.
+    """
+    base_str = str(base_uri)
+    base_path = base_uri.getPath()
+    prefixes = [base_str]
+    scheme = base_uri.getScheme()
+    if scheme:  # every URI spelling of the same root: file:///t, file:/t
+        auth = base_uri.getAuthority()
+        prefixes.append(f"{scheme}://{auth or ''}{base_path}")
+        if not auth:
+            prefixes.append(f"{scheme}:{base_path}")
+    prefixes.append(base_path)
+    p = F.col("path")
+    stripped = None
+    for pre in dict.fromkeys(prefixes):
+        cond = p.startswith(pre + "/")
+        val = p.substr(F.lit(len(pre) + 2), F.length(p))
+        stripped = (
+            F.when(cond, val) if stripped is None else stripped.when(cond, val)
+        )
+    is_abs = p.startswith("/") | p.rlike(r"^[A-Za-z][\w+.-]*:")
+    raw = stripped.otherwise(F.when(~is_abs, p))
+
+    def _merge(acc, seg):
+        stack = acc.getField("st")
+        kept = (
+            F.when((seg == "") | (seg == "."), stack)
+            .when(
+                seg == "..",
+                F.slice(stack, 1, F.greatest(F.size(stack) - 1, F.lit(0))),
+            )
+            .otherwise(F.concat(stack, F.array(seg)))
+        )
+        escaped = acc.getField("esc") | ((seg == "..") & (F.size(stack) == 0))
+        return F.struct(kept.alias("st"), escaped.alias("esc"))
+
+    def _finish(acc):
+        return F.when(
+            acc.getField("esc") | (F.size(acc.getField("st")) == 0),
+            F.lit(None).cast("string"),
+        ).otherwise(F.array_join(acc.getField("st"), "/"))
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("st"), F.lit(False).alias("esc")
+    )
+    return F.aggregate(F.split(raw, "/"), init, _merge, _finish)
+
+
+def _vacuum_live_dfs(
+    spark: SparkSession, path: str, retained: list[int]
+) -> tuple[DataFrame, DataFrame]:
+    """(referenced paths, DV storage-unit refs) across the retained
+    snapshots, as DataFrames — the live side of the distributed VACUUM
+    diff. Each retained version folds via :func:`delta_snapshot_adds_df`
+    (checkpoint scan ∪ JSON tail as a Spark job), so the driver never
+    materializes the live set."""
+    refs: DataFrame | None = None
+    for v in retained:
+        a = delta_snapshot_adds_df(spark, path, v).select(
+            "path", "deletionVector"
+        )
+        refs = a if refs is None else refs.unionByName(a)
+    assert refs is not None
+    referenced_df = refs.select("path").distinct()
+    dv_refs_df = (
+        refs.where(F.col("deletionVector.pathOrInlineDv").isNotNull())
+        .select(
+            F.expr(
+                "trim(BOTH '/' FROM deletionVector.pathOrInlineDv)"
+            ).alias("dv_ref")
+        )
+        .distinct()
+    )
+    return referenced_df, dv_refs_df
+
+
+def _vacuum_reclaim_diff(
+    candidates_df: DataFrame,
+    referenced_df: DataFrame,
+    dv_refs_df: DataFrame,
+) -> DataFrame:
+    """The reclaim set as a Spark job: candidates (single canonical
+    ``rel`` column, ``.parquet`` only) anti-joined against the live add
+    paths; DV candidates anti-joined on their 2-segment storage-unit
+    prefix (a unit lives exactly as long as a retained descriptor points
+    at it). Mirrors the driver loop's membership rules exactly —
+    ``_delta_log``/``_change_data`` never reclaimed, a 2-segment rel
+    NAMED like a unit dir is a file and stays deletable (null join key
+    passes the anti-join)."""
+    is_dv = F.col("rel").startswith(_DV_DIR)
+    data = candidates_df.where(
+        (~is_dv)
+        & ~F.col("rel").startswith("_delta_log")
+        & ~F.col("rel").startswith("_change_data")
+    )
+    data_reclaim = data.join(
+        referenced_df, data["rel"] == referenced_df["path"], "left_anti"
+    ).select("rel")
+    dv = candidates_df.where(is_dv).withColumn(
+        "unit",
+        F.when(
+            F.size(F.split(F.col("rel"), "/")) >= 3,
+            F.substring_index(F.col("rel"), "/", 2),
+        ),
+    )
+    dv_reclaim = dv.join(
+        dv_refs_df, dv["unit"] == dv_refs_df["dv_ref"], "left_anti"
+    ).select("rel")
+    return data_reclaim.unionByName(dv_reclaim)
+
+
+def _collect_reclaim(df: DataFrame) -> list:
+    """The distributed VACUUM diff's single driver materialization —
+    only the RECLAIM set ever crosses to the driver (tests spy here to
+    prove the driver sees O(reclaim) rows, not O(data files))."""
+    return df.collect()
+
+
 def delta_vacuum(
     spark: SparkSession,
     path: str,
@@ -4486,7 +4626,19 @@ def delta_vacuum(
     identical to FULL — an inventory that covers the table directory
     reclaims exactly what the recursive listing would (asserted by the
     registered lifecycle query); rows outside the table root and
-    directories are ignored, per the delta-spark contract."""
+    directories are ignored, per the delta-spark contract. Inventory
+    rows are CANONICALIZED before the live-set membership test
+    (``./x``, ``a//b``, ``sub/../x`` and every absolute spelling of the
+    table root resolve to the add-action path form; ``..`` escaping the
+    root is ignored) — a sloppy-but-resolvable row for a live file must
+    never read as an orphan.
+
+    Past X60's ``_DIST_FOLD_ROWS`` checkpoint threshold the
+    candidates⟂live diff runs as a Spark anti-join against
+    :func:`delta_snapshot_adds_df` (inventory: fully distributed; FULL:
+    the listing streams through the driver in ``_VACUUM_CHUNK_ROWS``
+    chunks against the cached live set) and only the RECLAIM set is
+    collected — the driver stays O(reclaim), never O(data files)."""
     if lite and inventory is not None:
         raise ValueError(
             "VACUUM LITE and USING INVENTORY are mutually exclusive: "
@@ -4522,14 +4674,23 @@ def delta_vacuum(
             "reference files outside the add actions"
         )
     retained = versions[-keep_versions:]
+    # X60's threshold decides the diff strategy: past it the live set is
+    # too big to hold driver-side, so candidates⟂live runs as a Spark
+    # anti-join and only the RECLAIM set (small under any sane
+    # retention) reaches the driver for the actual deletes.
+    lc = _last_checkpoint_info(spark, path)
+    use_dist = (
+        not lite and bool(lc) and int(lc.get("size", 0)) >= _DIST_FOLD_ROWS
+    )
     referenced: set[str] = set()
     dv_refs: set[str] = set()
-    for v in retained:
-        for f, a in delta_live_adds(spark, path, v):
-            referenced.add(f)
-            d = a.get("deletionVector")
-            if d:
-                dv_refs.add(d["pathOrInlineDv"].strip("/"))
+    if not use_dist:
+        for v in retained:
+            for f, a in delta_live_adds(spark, path, v):
+                referenced.add(f)
+                d = a.get("deletionVector")
+                if d:
+                    dv_refs.add(d["pathOrInlineDv"].strip("/"))
     fs, table_path, jvm = _hadoop_fs(spark, path)
     base_uri = fs.makeQualified(table_path).toUri()
     deleted = []
@@ -4556,30 +4717,79 @@ def delta_vacuum(
         return sorted(deleted)
     if inventory is not None:
         # Candidate source = the caller's inventory table instead of a
-        # recursive LIST. The isDir/suffix pre-filter runs DISTRIBUTED
-        # on the inventory (both reclaim branches below only ever
-        # delete ``*.parquet``), so the driver collects candidate
-        # parquet rows, not the whole storage tree — at 100 TB that is
-        # the difference between millions of rows and the live+retired
-        # file count. Per-row relativization stays driver-side (it
-        # needs the Hadoop FS to qualify paths), matching the module's
-        # commit-protocol posture.
-        candidates_df = inventory.where(
-            (~F.col("isDir")) & F.col("path").endswith(".parquet")
+        # recursive LIST. The isDir/suffix pre-filter AND the per-row
+        # canonicalization run DISTRIBUTED on the inventory (both
+        # reclaim branches below only ever delete ``*.parquet``), so
+        # the driver never sees the storage tree. Canonicalization
+        # matters for correctness, not just tidiness: a
+        # sloppy-but-resolvable inventory row for a LIVE file
+        # (``./part.parquet``, ``p=1//part.parquet``) must match the
+        # canonical add-action path or the membership test below would
+        # delete live data.
+        candidates_df = (
+            inventory.where(
+                (~F.col("isDir")) & F.col("path").endswith(".parquet")
+            )
+            .select(_inventory_rel_col(base_uri).alias("rel"))
+            .where(F.col("rel").isNotNull() & F.col("rel").endswith(".parquet"))
         )
-        rels = []
-        for row in candidates_df.select("path").collect():
-            p = str(row["path"])
-            if "://" in p or p.startswith("/"):
-                qualified = fs.makeQualified(
-                    jvm.org.apache.hadoop.fs.Path(p)
-                ).toUri()
-                rel = base_uri.relativize(qualified).getPath()
-                if rel.startswith("/"):
-                    continue  # outside the table root — not ours
-            else:
-                rel = p.strip("/")
-            rels.append(rel)
+        if use_dist:
+            referenced_df, dv_refs_df = _vacuum_live_dfs(
+                spark, path, retained
+            )
+            reclaim = _collect_reclaim(
+                _vacuum_reclaim_diff(candidates_df, referenced_df, dv_refs_df)
+            )
+            for rel in sorted({r["rel"] for r in reclaim}):
+                hp = jvm.org.apache.hadoop.fs.Path(table_path, rel)
+                if fs.exists(hp):  # inventory may be stale
+                    fs.delete(hp, False)
+                    deleted.append(rel)
+            return sorted(deleted)
+        rels = [r["rel"] for r in candidates_df.collect()]
+    elif use_dist:
+        # FULL above the threshold: the recursive listing still streams
+        # through the driver (the Hadoop FS iterator is O(1) memory),
+        # but it is flushed in bounded chunks against the CACHED live
+        # set — driver peak is one chunk + the reclaim set, and the
+        # live set (the big side) never leaves the executors.
+        referenced_df, dv_refs_df = _vacuum_live_dfs(spark, path, retained)
+        referenced_df = referenced_df.persist()
+        dv_refs_df = dv_refs_df.persist()
+        try:
+            chunk: list[str] = []
+            reclaim_rels: set[str] = set()
+
+            def _flush() -> None:
+                cdf = spark.createDataFrame(
+                    [(r,) for r in chunk], "rel string"
+                ).where(F.col("rel").endswith(".parquet"))
+                reclaim_rels.update(
+                    r["rel"]
+                    for r in _collect_reclaim(
+                        _vacuum_reclaim_diff(cdf, referenced_df, dv_refs_df)
+                    )
+                )
+
+            it = fs.listFiles(table_path, True)
+            while it.hasNext():
+                chunk.append(
+                    base_uri.relativize(it.next().getPath().toUri()).getPath()
+                )
+                if len(chunk) >= _VACUUM_CHUNK_ROWS:
+                    _flush()
+                    chunk.clear()
+            if chunk:
+                _flush()
+        finally:
+            referenced_df.unpersist()
+            dv_refs_df.unpersist()
+        for rel in sorted(reclaim_rels):
+            hp = jvm.org.apache.hadoop.fs.Path(table_path, rel)
+            if fs.exists(hp):
+                fs.delete(hp, False)
+                deleted.append(rel)
+        return sorted(deleted)
     else:
         rels = []
         it = fs.listFiles(table_path, True)

@@ -1,0 +1,226 @@
+"""Round-15 consolidation tests: the distributed VACUUM candidates⟂live
+diff (VERDICT r14 item 2) and inventory path canonicalization (ADVICE
+r14 medium).
+
+Reference parity: the reference delegates table maintenance to
+delta-spark's VACUUM (``/root/reference/README.md:302``); these tests
+pin this engine's protocol-level implementation of the same surface.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from lakesail_hdfs_deltalake_guide_spark.sources import delta_log as dl
+from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+
+def _gen_table(spark, sf_smoke, prefix):
+    """Two-generation table: returns (path, retired gen1 files, live)."""
+    r = load_table(spark, sf_smoke, "region").select("r_regionkey", "r_name")
+    p = tempfile.mkdtemp(prefix=prefix)
+    dl.delta_write(r.repartition(2), p)
+    gen1 = set(dl.delta_live_files(spark, p))
+    dl.delta_write(r, p, mode="overwrite")
+    live = set(dl.delta_live_files(spark, p))
+    return p, gen1, live
+
+
+def _inventory_of(spark, rows):
+    return spark.createDataFrame(
+        [(p, 1, False, 0) for p in rows],
+        "path string, length long, isDir boolean, modificationTime long",
+    )
+
+
+# --- inventory row canonicalization (ADVICE r14 medium) ----------------------
+
+
+def test_vacuum_inventory_canonicalizes_sloppy_live_rows(spark, sf_smoke):
+    """A sloppy-but-resolvable inventory row for a LIVE file (./x, a//b,
+    sub/../x, every absolute spelling of the root) must canonicalize to
+    the add-action path form and SURVIVE — the raw string membership
+    test would have deleted live data. Sloppy orphan rows still
+    reclaim; rows escaping the root or under a foreign root are
+    ignored."""
+    p, gen1, live = _gen_table(spark, sf_smoke, "ls_vinv_canon_")
+    live_list = sorted(live)
+    sloppy_live = [
+        "./" + live_list[0],
+        live_list[0].replace("/", "//") if "/" in live_list[0]
+        else "ignored-dir/../" + live_list[0],
+        f"{p}/./{live_list[0]}",  # absolute, non-normalized
+        f"file://{p}/{live_list[0]}",  # triple-slash URI spelling
+        f"file:{p}/{live_list[0]}",  # single-slash URI spelling
+    ]
+    orphan = os.path.join(p, "part-orphan-cafe.c000.snappy.parquet")
+    load_table(spark, sf_smoke, "region").limit(1).toPandas().to_parquet(
+        orphan
+    )
+    rows = (
+        sloppy_live
+        + ["sub/../" + f for f in gen1]  # sloppy retired rows still reclaim
+        + ["./part-orphan-cafe.c000.snappy.parquet"]
+        + ["../escapee.parquet", "a/../../escapee.parquet"]  # escape root
+        + ["/somewhere/else/foreign.parquet", "file:/somewhere/f.parquet"]
+    )
+    reclaimed = dl.delta_vacuum(
+        spark, p, keep_versions=1, inventory=_inventory_of(spark, rows)
+    )
+    assert set(reclaimed) == gen1 | {os.path.basename(orphan)}
+    assert all(os.path.exists(os.path.join(p, f)) for f in live)
+    assert dl.delta_read(spark, p).count() == 5
+
+
+# --- distributed candidates⟂live diff (VERDICT r14 item 2) -------------------
+
+
+def _spy_dist(monkeypatch):
+    """Force the distributed diff and record every driver
+    materialization size; fail if the O(live) driver fold runs."""
+    monkeypatch.setattr(dl, "_DIST_FOLD_ROWS", 1)
+    collected: list[int] = []
+    real_collect = dl._collect_reclaim
+    monkeypatch.setattr(
+        dl,
+        "_collect_reclaim",
+        lambda df: (lambda rows: (collected.append(len(rows)), rows)[1])(
+            real_collect(df)
+        ),
+    )
+
+    def _forbidden(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError(
+            "distributed VACUUM must not run the driver-side live fold"
+        )
+
+    monkeypatch.setattr(dl, "delta_live_adds", _forbidden)
+    return collected
+
+
+def test_vacuum_inventory_distributed_collects_only_reclaim(
+    spark, sf_smoke, monkeypatch
+):
+    """Above X60's threshold the inventory diff runs as a Spark
+    anti-join: the driver materializes exactly the reclaim set (spied at
+    _collect_reclaim), never the candidate list, and never runs the
+    O(live) delta_live_adds fold. Results must equal the driver-fold
+    reclaim, sloppy live rows included."""
+    p, gen1, live = _gen_table(spark, sf_smoke, "ls_vinv_dist_")
+    dl.delta_checkpoint(spark, p)  # _last_checkpoint gates use_dist
+    orphan = os.path.join(p, "part-orphan-beef.c000.snappy.parquet")
+    load_table(spark, sf_smoke, "region").limit(1).toPandas().to_parquet(
+        orphan
+    )
+    rows = (
+        [os.path.join(p, f) for f in gen1 | live]
+        + ["./" + sorted(live)[0]]  # sloppy live row: must survive
+        + [orphan, os.path.join(p, "stale-gone.parquet")]
+        + ["/other/root/foreign.parquet"]
+    )
+    inv = _inventory_of(spark, rows)
+    collected = _spy_dist(monkeypatch)
+    reclaimed = dl.delta_vacuum(spark, p, keep_versions=1, inventory=inv)
+    expected = gen1 | {os.path.basename(orphan), "stale-gone.parquet"}
+    # stale row reaches the reclaim set but its delete is a no-op
+    assert set(reclaimed) == gen1 | {os.path.basename(orphan)}
+    assert collected and sum(collected) == len(expected)
+    assert all(os.path.exists(os.path.join(p, f)) for f in live)
+    assert dl.delta_read(spark, p).count() == 5
+
+
+def test_vacuum_full_distributed_chunks_match_driver_fold(
+    spark, sf_smoke, monkeypatch
+):
+    """FULL vacuum above the threshold streams the listing in bounded
+    chunks against the cached live set; forcing a tiny chunk size must
+    flush multiple chunks and still reclaim exactly what the
+    driver-fold FULL would."""
+    p, gen1, live = _gen_table(spark, sf_smoke, "ls_vfull_dist_")
+    dl.delta_checkpoint(spark, p)
+    orphan = os.path.join(p, "part-orphan-f00d.c000.snappy.parquet")
+    load_table(spark, sf_smoke, "region").limit(1).toPandas().to_parquet(
+        orphan
+    )
+    collected = _spy_dist(monkeypatch)
+    monkeypatch.setattr(dl, "_VACUUM_CHUNK_ROWS", 2)
+    reclaimed = dl.delta_vacuum(spark, p, keep_versions=1)
+    assert set(reclaimed) == gen1 | {os.path.basename(orphan)}
+    assert len(collected) >= 2  # listing actually flushed in chunks
+    assert sum(collected) == len(reclaimed)
+    assert all(os.path.exists(os.path.join(p, f)) for f in live)
+    assert dl.delta_read(spark, p).count() == 5
+
+
+def test_vacuum_reclaim_diff_dv_unit_semantics(spark):
+    """The DV branch of the distributed diff mirrors the driver loop's
+    rules exactly: files under a RETAINED storage unit survive, files
+    under a dead unit reclaim, a 2-segment rel NAMED like a unit dir is
+    a file (null join key) and stays deletable, _delta_log and
+    _change_data never reclaim."""
+    cands = spark.createDataFrame(
+        [
+            ("part-live.parquet",),
+            ("part-dead.parquet",),
+            ("_deletion_vectors/dv-live/f1.parquet",),
+            ("_deletion_vectors/dv-dead/f2.parquet",),
+            ("_deletion_vectors/dv-live/sub/deep.parquet",),
+            ("_deletion_vectors/freefile.parquet",),
+            ("_delta_log/00000000000000000000.checkpoint.parquet",),
+            ("_change_data/cdc-x.parquet",),
+        ],
+        "rel string",
+    )
+    referenced = spark.createDataFrame([("part-live.parquet",)], "path string")
+    dv_refs = spark.createDataFrame(
+        [("_deletion_vectors/dv-live",)], "dv_ref string"
+    )
+    out = {
+        r["rel"]
+        for r in dl._vacuum_reclaim_diff(cands, referenced, dv_refs).collect()
+    }
+    assert out == {
+        "part-dead.parquet",
+        "_deletion_vectors/dv-dead/f2.parquet",
+        "_deletion_vectors/freefile.parquet",
+    }
+
+
+def test_vacuum_below_threshold_keeps_driver_fold(spark, sf_smoke):
+    """Below the threshold nothing distributed should run — the reclaim
+    path is the existing driver membership loop (no behavior change for
+    small tables)."""
+    p, gen1, live = _gen_table(spark, sf_smoke, "ls_vfull_small_")
+    reclaimed = dl.delta_vacuum(spark, p, keep_versions=1)
+    assert set(reclaimed) == gen1
+    assert all(os.path.exists(os.path.join(p, f)) for f in live)
+
+
+def test_inventory_rel_col_escape_and_foreign_rows(spark):
+    """Unit pins for the canonicalizer: resolvable sloppy forms map to
+    the canonical rel; root-escapes and foreign roots map to NULL."""
+    fs, table_path, _ = dl._hadoop_fs(spark, "/tmp/ls_rel_col_root")
+    base_uri = fs.makeQualified(table_path).toUri()
+    rows = [
+        ("/tmp/ls_rel_col_root/a.parquet", "a.parquet"),
+        ("file:///tmp/ls_rel_col_root/b.parquet", "b.parquet"),
+        ("file:/tmp/ls_rel_col_root/c.parquet", "c.parquet"),
+        ("./d.parquet", "d.parquet"),
+        ("p=1//e.parquet", "p=1/e.parquet"),
+        ("x/./y/../f.parquet", "x/f.parquet"),
+        ("../escape.parquet", None),
+        ("g/../../escape.parquet", None),
+        ("/other/h.parquet", None),
+        ("hdfs://nn:8020/tmp/ls_rel_col_root/i.parquet", None),
+    ]
+    df = spark.createDataFrame([(p,) for p, _ in rows], "path string")
+    got = [
+        r["rel"]
+        for r in df.select(
+            dl._inventory_rel_col(base_uri).alias("rel")
+        ).collect()
+    ]
+    assert got == [want for _, want in rows]
