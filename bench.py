@@ -50,6 +50,24 @@ def main() -> None:
     # depend on dict order (the r3 `session_stats` "drift" was exactly
     # this: 0.94 s first-in-order vs 0.61 s order-controlled).
     spark.range(1_000_000).selectExpr("sum(id) as s").collect()
+    # JIT the codegen-heavy hash paths too: md5/xxhash64 + HOF
+    # (transform/aggregate) expression codegen and the shuffle-join
+    # machinery the dedup/minhash/ANN family leans on. A first-in-session
+    # dedup_minhash_lsh otherwise pays a one-time ~18 s JIT cliff
+    # (measured 19.8 s cold vs 1.6 s steady) that reads as a 3-12x flag.
+    warm = spark.range(100_000).selectExpr(
+        "id",
+        "md5(cast(id as string)) as h",
+        "transform(sequence(0, 15), s -> "
+        " xxhash64(concat(md5(cast(id % 977 as string)),"
+        "          cast(s as string)))) as sig",
+    )
+    warm.selectExpr(
+        # XOR fold: sum would ARITHMETIC_OVERFLOW under ANSI mode
+        "aggregate(sig, cast(0 as bigint), (a, x) -> a ^ x) as s", "h"
+    ).join(
+        warm.selectExpr("h", "id as rid"), "h"
+    ).write.format("noop").mode("overwrite").save()
     # derived from the fixture dir, not a hard-coded name list: a missing
     # or renamed table can't crash the warmup or silently skip priming
     import glob
@@ -66,13 +84,6 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
-    out: dict = {
-        "metric": "bench_total_sec",
-        "value": round(sum(timings.values()), 4),
-        "unit": "sec",
-        "queries": timings,
-        "sf": _sf_from_dir(sf_dir),
-    }
     # Regression gate vs the pinned per-query baselines (BASELINE.md):
     # ratios are only meaningful at the pinned scale factor, and host
     # contention moves the whole run uniformly — judge per-query ratios
@@ -80,31 +91,59 @@ def main() -> None:
     pins_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_PINS.json"
     )
+    pins: dict[str, float] | None = None
     if os.path.exists(pins_path):
         with open(pins_path) as fh:
             pinned = json.load(fh)
         if _sf_from_dir(sf_dir) == pinned.get("sf"):
             pins = pinned["queries"]
-            ratios = {
-                n: round(t / pins[n], 3)
-                for n, t in timings.items()
-                if n in pins
-            }
-            out["vs_pin"] = ratios
-            # 2x flag with a sub-second floor: host scheduler noise swings
-            # 0.2-0.5 s queries past 2x routinely (r09's sample_split_counts
-            # false positive on a 0.2314 s pin), so a ratio trip only counts
-            # when the pin is >= 0.5 s — plus an absolute backstop so a
-            # genuine 0.3 s -> 6 s blow-up on a tiny pin still flags.
-            out["over_2x_vs_pin"] = sorted(
-                n
-                for n, r in ratios.items()
-                if r > 2.0
-                and (pins[n] >= 0.5 or timings[n] >= pins[n] + 5.0)
-            )
-            unpinned = sorted(set(timings) - set(pins))
-            if unpinned:
-                out["unpinned"] = unpinned
+
+    def _flagged(ts: dict[str, float]) -> list[str]:
+        # 2x flag with a sub-second floor: host scheduler noise swings
+        # 0.2-0.5 s queries past 2x routinely (r09's sample_split_counts
+        # false positive on a 0.2314 s pin), so a ratio trip only counts
+        # when the pin is >= 0.5 s — plus an absolute backstop so a
+        # genuine 0.3 s -> 6 s blow-up on a tiny pin still flags.
+        return sorted(
+            n
+            for n, t in ts.items()
+            if n in pins
+            and t / pins[n] > 2.0
+            and (pins[n] >= 0.5 or t >= pins[n] + 5.0)
+        )
+
+    # Contention re-run: a transient scheduler spike during a query's two
+    # timed runs flags it even though nothing regressed (7 false flags in
+    # one driver round). Any would-be flag gets ONE more run at end-of-run
+    # — keep the min — so only a repeatable slowdown survives the gate.
+    # Bounded extra cost: at most one run per flagged query.
+    reran: dict[str, float] = {}
+    if pins:
+        for name in _flagged(timings):
+            t0 = time.perf_counter()
+            bench_defs[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            reran[name] = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings[name], reran[name])
+
+    out: dict = {
+        "metric": "bench_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if pins:
+        out["vs_pin"] = {
+            n: round(t / pins[n], 3) for n, t in timings.items() if n in pins
+        }
+        out["over_2x_vs_pin"] = _flagged(timings)
+        if reran:
+            out["reran"] = reran
+        unpinned = sorted(set(timings) - set(pins))
+        if unpinned:
+            out["unpinned"] = unpinned
     # The driver captures a bounded tail of stdout; r05's line (35+ pinned
     # queries + vs_pin ratios) outgrew it and front-truncated, leaving
     # BENCH_r05 "parsed": null. Two defenses: (a) the FULL payload goes to
