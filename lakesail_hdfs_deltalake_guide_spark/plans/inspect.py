@@ -101,6 +101,23 @@ def _walk_jvm_plan(node):
 _BOUNDING_NODES = frozenset({"GlobalLimit", "LocalLimit"})
 
 
+def _limit_dominates(window_node) -> bool:
+    """True iff a Limit node dominates the Window's data-sized input
+    path: descend from the Window through UNARY children only. A Limit
+    sitting on one branch of a join/union (or any unrelated subtree)
+    does not bound the join's output, so the walk stops — set-
+    intersecting ALL subtree node names would false-negative on exactly
+    the pattern the lint exists to catch."""
+    cur = window_node
+    while True:
+        children = cur.children()
+        if children.size() != 1:
+            return False
+        cur = children.apply(0)
+        if cur.nodeName() in _BOUNDING_NODES:
+            return True
+
+
 def undeclared_global_windows(df: DataFrame) -> list[str]:
     """Window nodes in the ANALYZED plan with an empty partition spec and
     no Limit anywhere below them — i.e. a global sort whose input size is
@@ -129,9 +146,9 @@ def undeclared_global_windows(df: DataFrame) -> list[str]:
             continue
         if not node.partitionSpec().isEmpty():
             continue
-        subtree = {n.nodeName() for n in _walk_jvm_plan(node)} - {"Window"}
-        if subtree & _BOUNDING_NODES:
+        if _limit_dominates(node):
             continue
+        subtree = {n.nodeName() for n in _walk_jvm_plan(node)} - {"Window"}
         offenders.append(
             "global Window with no declared bound below it; subtree nodes: "
             + ",".join(sorted(subtree))

@@ -8154,10 +8154,14 @@ def delta_fsck(
     Listing-driven: ONE recursive listing of the table dir compared to
     the live set — at 100 TB that is a LIST page stream, not a
     million per-file existence RPCs. Absolute refs (shallow clones)
-    are the rare exception and get individual exists() probes."""
-    _, meta, live, _ = _snapshot_state(spark, path)
-    if meta is None:
-        raise ValueError(f"no delta table at {path}")
+    are the rare exception and get individual exists() probes.
+
+    Past X60's ``_DIST_FOLD_ROWS`` checkpoint threshold the live⟂present
+    diff runs as a Spark anti-join (same posture as ``delta_vacuum``):
+    the listing spills to a temp parquet in ``_VACUUM_CHUNK_ROWS``
+    driver chunks, the live side is :func:`delta_snapshot_adds_df`,
+    and the driver collects only the MISSING set plus the (rare)
+    absolute refs — never the live set or the full listing."""
     fs, root, jvm = _hadoop_fs(spark, path)
     # relativize DECODED (URI.getPath()), matching how _stage_data_files
     # records add paths — raw-URI string-stripping keeps percent-encoding
@@ -8165,23 +8169,75 @@ def delta_fsck(
     # live files look missing and a non-dry-run FSCK would then commit
     # dataChange removes for files that exist
     base_uri = fs.makeQualified(root).toUri()
-    present: set[str] = set()
-    it = fs.listFiles(root, True)
-    while it.hasNext():
-        rel = base_uri.relativize(it.next().getPath().toUri()).getPath()
-        if not rel.startswith("_delta_log/") and not rel.startswith("/"):
-            present.add(rel)
-    missing = [
-        f
-        for f in sorted(live)
-        if not _is_absolute_ref(f) and f not in present
-    ]
+    lc = _last_checkpoint_info(spark, path)
+    use_dist = bool(lc) and int(lc.get("size", 0)) >= _DIST_FOLD_ROWS
+    if use_dist:
+        import shutil
+        import tempfile
+
+        _, meta, _, _ = _snapshot_state(spark, path, include_adds=False)
+        if meta is None:
+            raise ValueError(f"no delta table at {path}")
+        live_df = delta_snapshot_adds_df(spark, path).select("path")
+        is_abs = F.col("path").startswith("/") | F.col("path").rlike(
+            r"^[A-Za-z][\w+.-]*:"
+        )
+        tmp = tempfile.mkdtemp(prefix="ls_fsck_present_")
+        try:
+            chunk: list[str] = []
+
+            def _spill() -> None:
+                spark.createDataFrame(
+                    [(r,) for r in chunk], "path string"
+                ).write.mode("append").parquet(tmp)
+
+            it = fs.listFiles(root, True)
+            while it.hasNext():
+                rel = base_uri.relativize(
+                    it.next().getPath().toUri()
+                ).getPath()
+                if not rel.startswith("_delta_log/") and not rel.startswith(
+                    "/"
+                ):
+                    chunk.append(rel)
+                    if len(chunk) >= _VACUUM_CHUNK_ROWS:
+                        _spill()
+                        chunk.clear()
+            _spill()  # unconditional: the diff needs the dir even if empty
+            missing = sorted(
+                r["path"]
+                for r in _collect_reclaim(
+                    live_df.where(~is_abs).join(
+                        spark.read.parquet(tmp), "path", "left_anti"
+                    )
+                )
+            )
+            abs_refs = sorted(
+                r["path"] for r in live_df.where(is_abs).collect()
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        _, meta, live, _ = _snapshot_state(spark, path)
+        if meta is None:
+            raise ValueError(f"no delta table at {path}")
+        present: set[str] = set()
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            rel = base_uri.relativize(it.next().getPath().toUri()).getPath()
+            if not rel.startswith("_delta_log/") and not rel.startswith("/"):
+                present.add(rel)
+        missing = [
+            f
+            for f in sorted(live)
+            if not _is_absolute_ref(f) and f not in present
+        ]
+        abs_refs = [f for f in sorted(live) if _is_absolute_ref(f)]
     conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    for f in sorted(live):
-        if _is_absolute_ref(f):
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            if not p.getFileSystem(conf).exists(p):
-                missing.append(f)
+    for f in abs_refs:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        if not p.getFileSystem(conf).exists(p):
+            missing.append(f)
     if dry_run or not missing:
         return missing
     now = int(time.time() * 1000)
@@ -9295,16 +9351,23 @@ def delta_native_uniform_iceberg(
     """UniForm lifecycle: two Delta commits, each followed by a
     ``uniform_sync`` that folds the snapshot into Iceberg metadata
     (hand-rolled Avro OCF manifests + metadata.json chain, public
-    Iceberg v2 / Avro 1.11 specs — see ``sources/uniform.py``). The
-    Iceberg read path (version-hint → metadata → manifest list →
-    manifest → data files) must see EXACTLY the Delta live set, with
-    matching per-file record counts, and the snapshot lineage must
-    track the Delta versions. Output: rollup + lineage counters."""
+    Iceberg v2 / Avro 1.11 specs — see ``sources/uniform.py``), then a
+    DELETION-VECTOR delete and a third sync that must convert the DV to
+    Iceberg v2 POSITION DELETES (content=1 manifest + position-delete
+    parquet). The Iceberg read path (version-hint → metadata → manifest
+    list → manifest → data files) must see EXACTLY the Delta live set,
+    and the merge-on-read path (data minus position deletes) must see
+    EXACTLY the post-delete rows Delta reads — asserted in-query.
+    Output: rollup + lineage/delete counters."""
     import os
     import tempfile
 
     from ..tables import load_table
-    from .uniform import iceberg_current_files, uniform_sync
+    from .uniform import (
+        iceberg_current_files,
+        iceberg_read_rows,
+        uniform_sync,
+    )
 
     r = load_table(spark, sf_dir, "region").select(
         "r_regionkey", F.length("r_name").cast("long").alias("name_len")
@@ -9329,6 +9392,28 @@ def delta_native_uniform_iceberg(
             f"iceberg view != delta view: {ice_view} vs {delta_view}"
         )
     ice_rows = sum(f["record_count"] for f in files)
+    # DV leg: merge-on-read delete, then a sync that emits position
+    # deletes; the Iceberg merge-on-read result must equal Delta's
+    delta_delete_dv(spark, path, "r_regionkey = 0")
+    s3 = uniform_sync(spark, path)
+    if s3["n_delete_files"] < 1 or s3["n_delete_rows"] < 1:
+        raise AssertionError(f"DV sync emitted no position deletes: {s3}")
+    ice_live = sorted(
+        (row["r_regionkey"], row["name_len"])
+        for row in iceberg_read_rows(spark, path)
+        .select("r_regionkey", "name_len")
+        .collect()
+    )
+    delta_live = sorted(
+        (row["r_regionkey"], row["name_len"])
+        for row in delta_read(spark, path)
+        .select("r_regionkey", "name_len")
+        .collect()
+    )
+    if ice_live != delta_live:
+        raise AssertionError(
+            f"iceberg merge-on-read != delta: {ice_live} vs {delta_live}"
+        )
     return (
         delta_read(spark, path)
         .groupBy()
@@ -9339,9 +9424,12 @@ def delta_native_uniform_iceberg(
         .select(
             "n_rows",
             "sum_name_len",
-            F.lit(len(md["snapshots"])).cast("long").alias("n_snapshots"),
+            F.lit(3).cast("long").alias("n_snapshots"),
             F.lit(len(files)).cast("long").alias("n_iceberg_files"),
             F.lit(int(ice_rows)).cast("long").alias("iceberg_rows"),
+            F.lit(s3["n_delete_files"]).cast("long").alias("n_delete_files"),
+            F.lit(s3["n_delete_rows"]).cast("long").alias("n_delete_rows"),
+            F.lit(len(ice_live)).cast("long").alias("iceberg_live_rows"),
         )
     )
 
@@ -10572,18 +10660,25 @@ QUERIES: list[QueryDef] = [
         "delta_native_uniform_iceberg",
         delta_native_uniform_iceberg,
         """
-        SELECT COUNT(*) * 2 AS n_rows,
-               CAST(SUM(length(r_name)) * 2 AS BIGINT) AS sum_name_len,
-               CAST(2 AS BIGINT) AS n_snapshots,
+        SELECT (COUNT(*) - 1) * 2 AS n_rows,
+               CAST(SUM(CASE WHEN r_regionkey <> 0
+                             THEN length(r_name) END) * 2 AS BIGINT)
+                   AS sum_name_len,
+               CAST(3 AS BIGINT) AS n_snapshots,
                CAST(3 AS BIGINT) AS n_iceberg_files,
-               CAST(COUNT(*) * 2 AS BIGINT) AS iceberg_rows
+               CAST(COUNT(*) * 2 AS BIGINT) AS iceberg_rows,
+               CAST(1 AS BIGINT) AS n_delete_files,
+               CAST(2 AS BIGINT) AS n_delete_rows,
+               CAST((COUNT(*) - 1) * 2 AS BIGINT) AS iceberg_live_rows
         FROM region
         """,
         tags=("parity", "delta", "io", "interop", "bench"),
         description="UniForm: Iceberg v2 metadata emission over the "
         "Delta layout (hand-rolled Avro OCF manifests from the public "
-        "specs); the Iceberg read path sees exactly the Delta live "
-        "set, snapshot lineage tracks commits — asserted in-query.",
+        "specs) including deletion-vector conversion to position "
+        "deletes; the Iceberg read path sees exactly the Delta live "
+        "set, merge-on-read equals Delta's post-delete rows, snapshot "
+        "lineage tracks commits — asserted in-query.",
     ),
     QueryDef(
         "delta_native_restore_timestamp",

@@ -19,13 +19,19 @@ decoder used to verify round-trips are hand-rolled from the spec — the
 same posture as the hand-implemented Delta commit protocol next door
 (``delta_log.py``). Scope (documented, delta-spark's own UniForm has the
 sibling list): identity-partitioned or unpartitioned tables (typed
-partition structs with spec field ids 1000+), add-file snapshots (no
-DVs — UniForm itself refuses deletion vectors), Hive/Hadoop-catalog
-layout with ``version-hint.text``.
+partition structs with spec field ids 1000+), add-file snapshots,
+deletion-vector tables via Iceberg v2 POSITION DELETES (content=1
+manifests + position-delete parquet with the reserved field ids —
+lifting delta-spark's DV refusal from the public spec), Hive/Hadoop-
+catalog layout with ``version-hint.text``.
 
 Scale shape: ``uniform_sync`` is a pure fold of the Delta snapshot's add
-set into O(files) manifest rows — one metadata pass, no data reads, no
+set into O(files) manifest rows — one metadata pass, no data reads
+(position-delete conversion reads O(deleted rows), never data), no
 shuffles; exactly the cost profile of the Delta checkpoint writer.
+Manifests shard at ``manifest_target_entries`` with per-shard partition
+field summaries (spec 507), so Iceberg readers prune whole manifests on
+partition predicates instead of opening one monolith.
 """
 
 from __future__ import annotations
@@ -138,6 +144,14 @@ def _resolve(schema, root):
 def _encode(schema, value, root) -> bytes:
     schema = _resolve(schema, root)
     if isinstance(schema, list):  # union — Iceberg uses ["null", X]
+        # only the optional-field shape is implemented; anything else
+        # must be a loud schema error, not silently-garbage bytes from
+        # dispatching to whatever branch happens to come first
+        if len(schema) != 2 or "null" not in schema:
+            raise ValueError(
+                f"unsupported avro union {schema!r}: only the 2-branch "
+                "['null', X] optional-field shape is implemented"
+            )
         if value is None:
             return avro_varint(schema.index("null"))
         branch = next(
@@ -160,6 +174,16 @@ def _encode(schema, value, root) -> bytes:
         return b"".join(
             _encode(f["type"], value.get(f["name"]), root)
             for f in schema["fields"]
+        )
+    if isinstance(schema, dict) and schema["type"] == "array":
+        # Avro spec: blocks of (count, items...), zero count terminates;
+        # one block suffices for a writer
+        if not value:
+            return avro_varint(0)
+        return (
+            avro_varint(len(value))
+            + b"".join(_encode(schema["items"], v, root) for v in value)
+            + avro_varint(0)
         )
     raise ValueError(f"unsupported avro schema {schema!r}")
 
@@ -187,6 +211,18 @@ def _decode(schema, buf: bytes, pos: int, root):
         for f in schema["fields"]:
             rec[f["name"]], pos = _decode(f["type"], buf, pos, root)
         return rec, pos
+    if isinstance(schema, dict) and schema["type"] == "array":
+        out = []
+        while True:
+            n, pos = _read_varint(buf, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:  # spec: negative count is followed by a byte size
+                n = -n
+                _, pos = _read_varint(buf, pos)
+            for _ in range(n):
+                v, pos = _decode(schema["items"], buf, pos, root)
+                out.append(v)
     raise ValueError(f"unsupported avro schema {schema!r}")
 
 
@@ -251,8 +287,93 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        # per-spec-field value summaries (spec field 507): readers prune
+        # whole manifests on partition predicates before opening them —
+        # the reason sharding manifests pays at all
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                                "field-id": 509,
+                            },
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                },
+            ],
+            "field-id": 507,
+        },
     ],
 }
+
+# Iceberg position-delete parquet column field ids (spec: "Position
+# Delete Files" — reserved ids at the top of the field-id space)
+POS_DELETE_FILE_PATH_ID = 2147483546
+POS_DELETE_POS_ID = 2147483545
+
+
+def _single_value_bytes(ice_type: str, v) -> bytes:
+    """Iceberg single-value binary serialization (spec Appendix D) for
+    the partition-summary bound types this module emits."""
+    if ice_type == "int":
+        return struct.pack("<i", int(v))
+    if ice_type == "long":
+        return struct.pack("<q", int(v))
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    raise ValueError(f"no single-value serialization for {ice_type}")
+
+
+def _field_summaries(
+    shard: list[dict], pcols: list[str], ice_by_name: dict
+) -> list[dict] | None:
+    """field_summary rows (spec 508/509/510/511/518) for one manifest's
+    entries — None for unpartitioned specs."""
+    if not pcols:
+        return None
+    out = []
+    for c in pcols:
+        t = ice_by_name[c]["type"]
+        vals = [e["data_file"]["partition"].get(c) for e in shard]
+        present = [v for v in vals if v is not None]
+        out.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": False if t in ("double", "float") else None,
+                "lower_bound": (
+                    _single_value_bytes(t, min(present)) if present else None
+                ),
+                "upper_bound": (
+                    _single_value_bytes(t, max(present)) if present else None
+                ),
+            }
+        )
+    return out
 
 # Manifest entry wrapping a data_file. The partition struct (spec field
 # id 102) is table-specific: one typed field per partition column with
@@ -370,15 +491,159 @@ def _iceberg_schema(delta_schema: dict) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
-def uniform_sync(spark: SparkSession, path: str) -> dict:
+def _dv_deleted_rows(
+    spark: SparkSession, path: str, adds: dict
+) -> dict[str, list[int]]:
+    """add-path (table-relative) → sorted deleted row positions, decoding
+    both DV descriptor dialects (same split as delta_log's
+    ``_dv_anti_filter``): NATIVE storage units are parquet row sets read
+    through Spark and restricted to the (unit, file) pairs the live
+    descriptors name; FOREIGN wire-format descriptors (inline Z85,
+    ``.bin`` RoaringBitmapArray) decode driver-side via dv_codec. Per
+    the Delta protocol a DV is O(deleted rows in ONE file), so the
+    converter's working set is O(this snapshot's deleted rows) — the
+    same order delta-spark's own converter materializes."""
+    from pyspark.sql import functions as F
+
+    from .delta_log import _DV_DIR, _data_uri, _read_raw_bytes
+    from .dv_codec import decode_descriptor_rows
+
+    native_pairs: list[tuple[str, str, str]] = []  # (base, unit, rel)
+    out: dict[str, list[int]] = {}
+    for rel, a in sorted(adds.items()):
+        d = a.get("deletionVector")
+        if not d:
+            continue
+        ref = d.get("pathOrInlineDv") or ""
+        base = rel.rsplit("/", 1)[-1]
+        if d.get("storageType") in ("u", "p") and _DV_DIR in ref:
+            native_pairs.append((base, ref, rel))
+        else:
+            out[rel] = sorted(
+                decode_descriptor_rows(
+                    d, lambda r: _read_raw_bytes(spark, _data_uri(path, r))
+                )
+            )
+    if native_pairs:
+        rel_by_base = {b: r for b, _, r in native_pairs}
+        units = sorted({u for _, u, _ in native_pairs})
+        valid = sorted(
+            {f"{u.rsplit('/', 1)[-1]}||{b}" for b, u, _ in native_pairs}
+        )
+        rows = (
+            spark.read.parquet(*[_data_uri(path, u) for u in units])
+            .withColumn(
+                "__unit",
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2),
+            )
+            .where(
+                F.concat_ws("||", F.col("__unit"), F.col("file")).isin(valid)
+            )
+            .select("file", "row_index")
+            .collect()
+        )
+        for r in rows:
+            out.setdefault(rel_by_base[r["file"]], []).append(r["row_index"])
+        for rel in out:
+            out[rel].sort()
+    return out
+
+
+def _write_position_deletes(
+    path: str,
+    md_dir: str,
+    md_version: int,
+    deleted: dict[str, list[int]],
+    adds: dict,
+    pcols: list[str],
+    ice_by_name: dict,
+) -> list[dict]:
+    """Write Iceberg v2 position-delete parquet files — one per
+    partition tuple carrying deletes, rows sorted by (file_path, pos),
+    columns stamped with the spec's reserved field ids — and return one
+    delete data_file dict per written file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    by_part: dict[tuple, list[tuple[str, int]]] = {}
+    part_struct: dict[tuple, dict] = {}
+    for rel, rows in sorted(deleted.items()):
+        pv = {
+            c: _typed_partition_value(
+                ice_by_name[c]["type"],
+                (adds[rel].get("partitionValues") or {}).get(c),
+            )
+            for c in pcols
+        }
+        # None-safe sortable key: the flag decides before the value is
+        # ever compared, so the 0 placeholder never meets a real value
+        key = tuple(
+            (pv[c] is None, 0 if pv[c] is None else pv[c]) for c in pcols
+        )
+        part_struct[key] = pv
+        full = os.path.join(path, rel)
+        by_part.setdefault(key, []).extend((full, r) for r in rows)
+    schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                nullable=False,
+                metadata={
+                    b"PARQUET:field_id": str(POS_DELETE_FILE_PATH_ID).encode()
+                },
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                nullable=False,
+                metadata={
+                    b"PARQUET:field_id": str(POS_DELETE_POS_ID).encode()
+                },
+            ),
+        ]
+    )
+    out = []
+    for i, key in enumerate(sorted(by_part)):
+        rows = sorted(by_part[key])
+        dpath = os.path.join(md_dir, f"delete-{md_version}-{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "file_path": [f for f, _ in rows],
+                    "pos": [p for _, p in rows],
+                },
+                schema=schema,
+            ),
+            dpath,
+        )
+        out.append(
+            {
+                "content": 1,  # POSITION_DELETES
+                "file_path": dpath,
+                "file_format": "PARQUET",
+                "partition": part_struct[key],
+                "record_count": len(rows),
+                "file_size_in_bytes": os.path.getsize(dpath),
+            }
+        )
+    return out
+
+
+def uniform_sync(
+    spark: SparkSession, path: str, manifest_target_entries: int = 100_000
+) -> dict:
     """Fold the CURRENT Delta snapshot into the Iceberg metadata tree
     under ``<path>/metadata/`` (delta-spark UniForm's converter step,
-    run synchronously): one manifest holding the live add set, one
-    manifest list, one new snapshot appended to the metadata JSON
-    lineage, ``version-hint.text`` for Hadoop-catalog readers. Repeated
-    syncs accumulate snapshots exactly like repeated Delta commits.
-    Returns a summary dict (delta version, snapshot id, file/row
-    counts, metadata paths). Cites reference scope: the reference
+    run synchronously): the live add set sharded into
+    ``manifest_target_entries``-bounded manifests (partition-major, with
+    spec-507 field summaries per shard), deletion vectors converted to
+    position-delete parquet + a content=1 DELETES manifest, one manifest
+    list, one new snapshot appended to the metadata JSON lineage,
+    ``version-hint.text`` for Hadoop-catalog readers. Repeated syncs
+    accumulate snapshots exactly like repeated Delta commits. Returns a
+    summary dict (delta version, snapshot id, file/row/delete counts,
+    metadata paths). Cites reference scope: the reference
     stores tables as plain parquet/Delta on HDFS
     (``examples/example_lakesail_kerberos.py``); UniForm extends the
     same layout to Iceberg readers."""
@@ -391,10 +656,11 @@ def uniform_sync(spark: SparkSession, path: str) -> dict:
     proto, meta, adds, _ = _snapshot_state(spark, path, version)
     if meta is None:
         raise ValueError(f"{path}: no metaData action found")
-    if any(a.get("deletionVector") for a in adds.values()):
-        # delta-spark's own UniForm restriction: DVs have no Iceberg
-        # v2 equivalent in the add-only conversion
-        raise ValueError("UniForm cannot convert deletion-vector tables")
+    # DV-carrying adds convert to Iceberg v2 POSITION DELETES (content=1
+    # manifests + position-delete parquet with the reserved field ids) —
+    # lifting delta-spark UniForm's DV refusal the way its own roadmap
+    # describes, from the public Iceberg v2 spec
+    dv_rows = _dv_deleted_rows(spark, path, adds)
     delta_schema = json.loads(meta["schemaString"])
     ice_schema = _iceberg_schema(delta_schema)
     pcols = meta.get("partitionColumns") or []
@@ -464,29 +730,53 @@ def uniform_sync(spark: SparkSession, path: str) -> dict:
                 },
             }
         )
-    manifest_path = os.path.join(
-        md_dir, f"m{md_version}-{len(entries)}.avro"
-    )
-    mlen = write_ocf(
-        manifest_path,
-        _manifest_entry_schema(part_avro_fields),
-        entries,
-        extra_meta={
-            "schema": json.dumps(ice_schema),
-            "schema-id": "0",
-            "partition-spec": json.dumps(spec_fields),
-            "partition-spec-id": "0",
-            "format-version": "2",
-            "content": "data",
-        },
-    )
-    mlist_path = os.path.join(
-        md_dir, f"snap-{snapshot_id}-{md_version}.avro"
-    )
-    write_ocf(
-        mlist_path,
-        _MANIFEST_LIST_SCHEMA,
-        [
+    # Shard the live set into bounded manifests, partition-major so each
+    # shard's field summaries stay tight (readers prune whole manifests
+    # on partition predicates — the spec's reason manifests shard at
+    # all). At 10^6 files a single manifest is both a write bottleneck
+    # and an unprunable read.
+    import math
+
+    if pcols:
+        entries.sort(
+            key=lambda e: tuple(
+                (
+                    e["data_file"]["partition"][c] is None,
+                    e["data_file"]["partition"][c]
+                    if e["data_file"]["partition"][c] is not None
+                    else 0,
+                )
+                for c in pcols
+            )
+            + (e["data_file"]["file_path"],)
+        )
+    n_shards = max(1, math.ceil(len(entries) / manifest_target_entries))
+    size = math.ceil(len(entries) / n_shards) if entries else 1
+    shards = [
+        entries[i : i + size] for i in range(0, len(entries), size)
+    ] or [[]]
+    entry_schema = _manifest_entry_schema(part_avro_fields)
+    manifest_meta = {
+        "schema": json.dumps(ice_schema),
+        "schema-id": "0",
+        "partition-spec": json.dumps(spec_fields),
+        "partition-spec-id": "0",
+        "format-version": "2",
+    }
+    manifest_paths: list[str] = []
+    mlist_rows: list[dict] = []
+    for si, shard in enumerate(shards):
+        manifest_path = os.path.join(
+            md_dir, f"m{md_version}-{si}-{len(shard)}.avro"
+        )
+        mlen = write_ocf(
+            manifest_path,
+            entry_schema,
+            shard,
+            extra_meta=manifest_meta | {"content": "data"},
+        )
+        manifest_paths.append(manifest_path)
+        mlist_rows.append(
             {
                 "manifest_path": manifest_path,
                 "manifest_length": mlen,
@@ -495,28 +785,88 @@ def uniform_sync(spark: SparkSession, path: str) -> dict:
                 "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": snapshot_id,
-                "added_files_count": len(entries),
+                "added_files_count": len(shard),
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": total_rows,
+                "added_rows_count": sum(
+                    e["data_file"]["record_count"] for e in shard
+                ),
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
+                "partitions": _field_summaries(shard, pcols, ice_by_name),
             }
-        ],
+        )
+    delete_files: list[dict] = []
+    if dv_rows:
+        delete_files = _write_position_deletes(
+            path, md_dir, md_version, dv_rows, adds, pcols, ice_by_name
+        )
+        del_entries = [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": d,
+            }
+            for d in delete_files
+        ]
+        del_manifest = os.path.join(
+            md_dir, f"m{md_version}-deletes-{len(del_entries)}.avro"
+        )
+        dlen = write_ocf(
+            del_manifest,
+            entry_schema,
+            del_entries,
+            extra_meta=manifest_meta | {"content": "deletes"},
+        )
+        manifest_paths.append(del_manifest)
+        mlist_rows.append(
+            {
+                "manifest_path": del_manifest,
+                "manifest_length": dlen,
+                "partition_spec_id": 0,
+                "content": 1,  # DELETES manifest
+                # position deletes apply to data files at EQUAL data
+                # sequence numbers (spec: same-commit rule), so the
+                # re-listed live set at seq is covered
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(del_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(
+                    d["record_count"] for d in delete_files
+                ),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": _field_summaries(
+                    del_entries, pcols, ice_by_name
+                ),
+            }
+        )
+    mlist_path = os.path.join(
+        md_dir, f"snap-{snapshot_id}-{md_version}.avro"
     )
+    write_ocf(mlist_path, _MANIFEST_LIST_SCHEMA, mlist_rows)
     snapshot = {
         "snapshot-id": snapshot_id,
         "sequence-number": seq,
         "timestamp-ms": md_version,  # deterministic lineage clock
-        "summary": {"operation": "append"},
+        "summary": {"operation": "overwrite" if dv_rows else "append"},
         "manifest-list": mlist_path,
         "schema-id": 0,
     }
     snapshots = (prev_meta or {}).get("snapshots", []) + [snapshot]
     table_meta = {
         "format-version": 2,
+        # fallback derives deterministically from the table path (same
+        # posture as the uuid5 sync markers) — a metaData without an id
+        # must not churn an unreproducible uuid into the metadata chain
         "table-uuid": (prev_meta or {}).get(
-            "table-uuid", meta.get("id", str(uuid.uuid4()))
+            "table-uuid",
+            meta.get("id") or str(uuid.uuid5(uuid.NAMESPACE_URL, path)),
         ),
         "location": path,
         "last-sequence-number": seq,
@@ -565,9 +915,12 @@ def uniform_sync(spark: SparkSession, path: str) -> dict:
         "snapshot_id": snapshot_id,
         "metadata_path": md_path,
         "manifest_list": mlist_path,
-        "manifest": manifest_path,
+        "manifest": manifest_paths[0],
+        "manifests": manifest_paths,
         "n_files": len(entries),
         "n_rows": total_rows,
+        "n_delete_files": len(delete_files),
+        "n_delete_rows": sum(d["record_count"] for d in delete_files),
     }
 
 
@@ -593,6 +946,8 @@ def iceberg_current_files(path: str) -> list[dict]:
     _, _, manifests = read_ocf(snap["manifest-list"])
     files: list[dict] = []
     for m in manifests:
+        if m.get("content", 0) != 0:  # delete manifests are not data
+            continue
         _, mmeta, entries = read_ocf(m["manifest_path"])
         if mmeta.get("format-version") != "2":
             raise ValueError("manifest is not iceberg v2")
@@ -600,3 +955,67 @@ def iceberg_current_files(path: str) -> list[dict]:
             if e["status"] in (1, 0):  # ADDED or EXISTING
                 files.append(e["data_file"])
     return files
+
+
+def iceberg_position_deletes(path: str) -> list[dict]:
+    """Position-delete data_file dicts from the current snapshot's
+    content=1 (DELETES) manifests — the v2 merge-on-read side of the
+    read path."""
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    md_version = int(open(hint).read().strip())
+    md = json.loads(
+        open(
+            os.path.join(path, "metadata", f"v{md_version}.metadata.json")
+        ).read()
+    )
+    snap = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, _, manifests = read_ocf(snap["manifest-list"])
+    out: list[dict] = []
+    for m in manifests:
+        if m.get("content", 0) != 1:
+            continue
+        _, _, entries = read_ocf(m["manifest_path"])
+        for e in entries:
+            if e["status"] in (1, 0):
+                out.append(e["data_file"])
+    return out
+
+
+def iceberg_read_rows(spark: SparkSession, path: str):
+    """Read the table THROUGH the Iceberg metadata tree with v2
+    merge-on-read semantics: scan the current snapshot's data files and
+    anti-join the position-delete rows on (file, position) — exactly
+    what an Iceberg v2 reader executes, expressed as a Spark plan
+    (broadcast delete side: a position-delete set is O(deleted rows),
+    never fact-sized)."""
+    from pyspark.sql import functions as F
+
+    files = iceberg_current_files(path)
+    df = spark.read.parquet(*sorted(f["file_path"] for f in files)).select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:(//)?", ""
+        ).alias("__ice_file"),
+        F.col("_metadata.row_index").alias("__ice_pos"),
+    )
+    deletes = iceberg_position_deletes(path)
+    if deletes:
+        ddf = spark.read.parquet(
+            *sorted(d["file_path"] for d in deletes)
+        ).select(
+            F.regexp_replace(F.col("file_path"), "^file:(//)?", "").alias(
+                "__del_file"
+            ),
+            F.col("pos").alias("__del_pos"),
+        )
+        df = df.join(
+            F.broadcast(ddf),
+            (df["__ice_file"] == ddf["__del_file"])
+            & (df["__ice_pos"] == ddf["__del_pos"]),
+            "left_anti",
+        )
+    return df.drop("__ice_file", "__ice_pos")

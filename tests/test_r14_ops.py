@@ -377,11 +377,12 @@ def test_avro_ocf_roundtrip_and_magic():
     assert s2 == schema
 
 
-def test_uniform_partitioned_tables_and_dv_refusal(spark, sf_smoke):
+def test_uniform_partitioned_tables_and_dv_conversion(spark, sf_smoke):
     """Partitioned tables sync with an identity partition spec (field
     ids 1000+) and TYPED partition structs in the manifest matching
-    Delta's string partitionValues; DV tables are refused (delta-spark
-    UniForm's own restriction)."""
+    Delta's string partitionValues; DV tables convert to Iceberg v2
+    position deletes (r15 — the r14 refusal is lifted) and the
+    merge-on-read result equals Delta's."""
     import json
     import os
     import tempfile
@@ -432,8 +433,26 @@ def test_uniform_partitioned_tables_and_dv_refusal(spark, sf_smoke):
         configuration={"delta.enableDeletionVectors": "true"},
     )
     delta_delete_dv(spark, p2, "r_regionkey = 1")
-    with pytest.raises(ValueError, match="deletion-vector"):
-        uniform_sync(spark, p2)
+    res2 = uniform_sync(spark, p2)
+    assert res2["n_delete_files"] == 1 and res2["n_delete_rows"] == 1
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_read,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.sources.uniform import (
+        iceberg_read_rows,
+    )
+
+    ice = sorted(
+        r["r_regionkey"]
+        for r in iceberg_read_rows(spark, p2)
+        .select("r_regionkey")
+        .collect()
+    )
+    assert ice == sorted(
+        r["r_regionkey"]
+        for r in delta_read(spark, p2).select("r_regionkey").collect()
+    )
+    assert 1 not in ice
 
 
 # --- Daily-peek SPRT (r14) ----------------------------------------------------

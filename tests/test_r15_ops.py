@@ -224,3 +224,224 @@ def test_inventory_rel_col_escape_and_foreign_rows(spark):
         ).collect()
     ]
     assert got == [want for _, want in rows]
+
+
+# --- UniForm follow-ons (VERDICT r14 item 4) ---------------------------------
+
+
+def test_avro_array_roundtrip():
+    """Array encode/decode added for the manifest-list partition
+    summaries: block form per the Avro 1.11 spec, empty arrays, and
+    arrays behind a ['null', ...] union."""
+    import tempfile
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.uniform import (
+        read_ocf,
+        write_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {
+                "name": "xs",
+                "type": {"type": "array", "items": "long"},
+            },
+            {
+                "name": "maybe",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "s",
+                            "fields": [
+                                {"name": "b", "type": ["null", "bytes"]}
+                            ],
+                        },
+                    },
+                ],
+            },
+        ],
+    }
+    recs = [
+        {"xs": [1, -2, 2**60], "maybe": None},
+        {"xs": [], "maybe": [{"b": b"\x01\x00"}, {"b": None}]},
+    ]
+    p = tempfile.mktemp(suffix=".avro")
+    write_ocf(p, schema, recs)
+    _, _, got = read_ocf(p)
+    assert got == recs
+
+
+def test_avro_union_rejects_multibranch():
+    from lakesail_hdfs_deltalake_guide_spark.sources.uniform import _encode
+
+    with pytest.raises(ValueError, match="unsupported avro union"):
+        _encode(["null", "long", "string"], 1, None)
+    with pytest.raises(ValueError, match="unsupported avro union"):
+        _encode(["long", "string"], 1, None)
+
+
+def test_uniform_manifest_sharding_and_partition_summaries(
+    spark, sf_smoke
+):
+    """manifest_target_entries=1 shards a 3-partition table into three
+    single-entry manifests, each manifest-list row carrying spec-507
+    field summaries with Iceberg single-value (little-endian) bounds;
+    the read path reassembles the exact live set across shards."""
+    import os
+    import struct
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_live_files,
+        delta_write,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.sources.uniform import (
+        iceberg_current_files,
+        read_ocf,
+        uniform_sync,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    s = load_table(spark, sf_smoke, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 3).alias("p"),
+        F.col("s_name").alias("nm"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_unif_shard_")
+    delta_write(s, path, partition_by=["p"])
+    res = uniform_sync(spark, path, manifest_target_entries=1)
+    assert len(res["manifests"]) == 3
+    _, _, mrows = read_ocf(res["manifest_list"])
+    assert [m["content"] for m in mrows] == [0, 0, 0]
+    bounds = []
+    for m in mrows:
+        assert m["added_files_count"] == 1
+        (summ,) = m["partitions"]
+        assert summ["contains_null"] is False
+        lo = struct.unpack("<q", summ["lower_bound"])[0]
+        hi = struct.unpack("<q", summ["upper_bound"])[0]
+        assert lo == hi  # single-partition shard: tight bounds
+        bounds.append(lo)
+    assert sorted(bounds) == [0, 1, 2]
+    ice = {
+        os.path.relpath(f["file_path"], path)
+        for f in iceberg_current_files(path)
+    }
+    assert ice == set(delta_live_files(spark, path))
+
+
+def test_uniform_position_deletes_spec_shape(spark, sf_smoke):
+    """The DV conversion's on-disk shape, pinned to the Iceberg v2 spec:
+    position-delete parquet columns carry the RESERVED field ids
+    (2147483546/2147483545), rows sort by (file_path, pos), the delete
+    manifest rides the manifest list as content=1 at the snapshot's
+    sequence number, and partitioned tables get one delete file per
+    partition tuple with a typed partition struct."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_delete_dv,
+        delta_read,
+        delta_write,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.sources.uniform import (
+        iceberg_position_deletes,
+        iceberg_read_rows,
+        read_ocf,
+        uniform_sync,
+    )
+    from lakesail_hdfs_deltalake_guide_spark.tables import load_table
+
+    s = load_table(spark, sf_smoke, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") % 2).alias("p"),
+        F.col("s_acctbal").alias("bal"),
+    )
+    path = tempfile.mkdtemp(prefix="ls_unif_posdel_")
+    delta_write(
+        s,
+        path,
+        partition_by=["p"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    delta_delete_dv(spark, path, "s_suppkey % 3 = 0")
+    res = uniform_sync(spark, path)
+    dels = iceberg_position_deletes(path)
+    assert len(dels) == res["n_delete_files"] == 2  # one per partition
+    assert {tuple(d["partition"].items()) for d in dels} == {
+        (("p", 0),),
+        (("p", 1),),
+    }
+    total = 0
+    for d in dels:
+        assert d["content"] == 1 and d["file_format"] == "PARQUET"
+        t = pq.read_table(d["file_path"])
+        ids = {
+            f.name: f.metadata[b"PARQUET:field_id"] for f in t.schema
+        }
+        assert ids == {
+            "file_path": b"2147483546",
+            "pos": b"2147483545",
+        }
+        rows = list(
+            zip(
+                t.column("file_path").to_pylist(),
+                t.column("pos").to_pylist(),
+            )
+        )
+        assert rows == sorted(rows)
+        assert len(rows) == d["record_count"]
+        total += len(rows)
+    assert total == res["n_delete_rows"] > 0
+    _, _, mrows = read_ocf(res["manifest_list"])
+    (drow,) = [m for m in mrows if m["content"] == 1]
+    assert drow["added_files_count"] == 2
+    assert drow["added_rows_count"] == total
+    assert drow["sequence_number"] == drow["min_sequence_number"]
+    # merge-on-read equality, partitioned
+    ice = sorted(
+        r["s_suppkey"]
+        for r in iceberg_read_rows(spark, path)
+        .select("s_suppkey")
+        .collect()
+    )
+    assert ice == sorted(
+        r["s_suppkey"]
+        for r in delta_read(spark, path).select("s_suppkey").collect()
+    )
+
+
+def test_fsck_distributed_diff_matches_driver_fold(
+    spark, sf_smoke, monkeypatch
+):
+    """Above the threshold FSCK's live⟂present diff runs as a Spark
+    anti-join over the spilled listing: the driver collects only the
+    missing set (spied at _collect_reclaim) and never runs the O(live)
+    driver fold; dry-run and repair results must equal the driver-fold
+    path's."""
+    p, gen1, live = _gen_table(spark, sf_smoke, "ls_fsck_dist_")
+    dl.delta_checkpoint(spark, p)
+    victim = sorted(live)[0]
+    os.remove(os.path.join(p, victim))
+    # driver-fold reference first (below threshold)
+    assert dl.delta_fsck(spark, p, dry_run=True) == [victim]
+    collected = _spy_dist(monkeypatch)
+    monkeypatch.setattr(dl, "_VACUUM_CHUNK_ROWS", 2)
+    assert dl.delta_fsck(spark, p, dry_run=True) == [victim]
+    assert collected and sum(collected) == 1  # only the missing set
+    repaired = dl.delta_fsck(spark, p)
+    assert repaired == [victim]
+    monkeypatch.undo()  # delta_live_files legitimately uses the driver fold
+    # the repaired snapshot reads clean without the vanished file
+    assert set(dl.delta_live_files(spark, p)) == live - {victim}
+    assert dl.delta_read(spark, p).count() < 5
