@@ -1034,14 +1034,19 @@ FOF_MIDDLE_CAP = 150  # max degree of a wedge's middle node (the
 FOF_TOP = 20  # recommendations returned
 FOF_MIN_COMMON = 2  # evidence floor
 
-# Optional second-stage wedge guard (r14): bound every middle node's
-# wedge FAN-OUT to its top-C neighbors, on top of the degree cap above.
+# Second-stage wedge guard (r14): bound every middle node's wedge
+# FAN-OUT to its top-C neighbors, on top of the degree cap above.
 # FOF_MIDDLE_CAP bounds which nodes may be middles; this bounds how many
 # wedges each admitted middle can emit (C^2 instead of deg^2) — the
 # standard wedge-sampling guard for when even sub-cap middles are too
-# dense at 100 TB. None = exact enumeration (the default: fixture-scale
-# results are driver-pinned bit-exact; flip on for the scale run).
-WEDGE_NEIGHBOR_CAP: int | None = None
+# dense at 100 TB. ON by default since r15: C=64 is top-20-invariant at
+# the fixture scales (proven sequentially at sf0.001, empirically at
+# sf0.01 — the driver's correctness gate) and cuts the sf0.1 wedge
+# frame 2.7x (FoF 21.5s→8.0s, AA 20.6s→7.4s warm best-of-2). At sf0.1+
+# the top-20 CAN differ from exact enumeration — the documented
+# approximation trade every wedge-sampling guard makes; set to None for
+# exact enumeration.
+WEDGE_NEIGHBOR_CAP: int | None = 64
 
 
 def _cap_wedge_fanout(adj: DataFrame, cap: int | None) -> DataFrame:

@@ -148,14 +148,16 @@ def test_wedge_fanout_cap_prunes_but_keeps_top20(spark, sf_smoke):
         "cap=64 never engaged at fixture scale — pick a smaller cap"
     )
 
-    base = G.graph_fof_recommendations(spark, sf_smoke).collect()
-    base_aa = G.graph_adamic_adar(spark, sf_smoke).collect()
+    dflt = G.WEDGE_NEIGHBOR_CAP
     try:
+        G.WEDGE_NEIGHBOR_CAP = None  # exact enumeration as the reference
+        base = G.graph_fof_recommendations(spark, sf_smoke).collect()
+        base_aa = G.graph_adamic_adar(spark, sf_smoke).collect()
         G.WEDGE_NEIGHBOR_CAP = 64
         got = G.graph_fof_recommendations(spark, sf_smoke).collect()
         got_aa = G.graph_adamic_adar(spark, sf_smoke).collect()
     finally:
-        G.WEDGE_NEIGHBOR_CAP = None
+        G.WEDGE_NEIGHBOR_CAP = dflt
     assert got == base
     assert got_aa == base_aa
     for r in got:
@@ -165,16 +167,22 @@ def test_wedge_fanout_cap_prunes_but_keeps_top20(spark, sf_smoke):
 
 
 def test_wedge_fanout_cap_off_is_row_identical(spark, sf_smoke):
-    """Knob off (the default) must be byte-identical to the r13
-    results — the leg relabeling through _cap_wedge_fanout(None) is a
-    pure identity."""
+    """Knob off must be byte-identical to the r13 results — the leg
+    relabeling through _cap_wedge_fanout(None) is a pure identity. The
+    DEFAULT is C=64 since r15 (top-20-invariant at the fixture scales,
+    2.7x smaller wedge frame at sf0.1)."""
     import lakesail_hdfs_deltalake_guide_spark.operators.graph as G
 
-    assert G.WEDGE_NEIGHBOR_CAP is None
+    assert G.WEDGE_NEIGHBOR_CAP == 64  # the r15 default flip
     ref = _capped_wedge_counts(
         _fof_fixture_graph(sf_smoke)[1], G.FOF_MIDDLE_CAP, None
     )
-    for r in G.graph_fof_recommendations(spark, sf_smoke).collect():
+    try:
+        G.WEDGE_NEIGHBOR_CAP = None
+        rows = G.graph_fof_recommendations(spark, sf_smoke).collect()
+    finally:
+        G.WEDGE_NEIGHBOR_CAP = 64
+    for r in rows:
         assert ref[(r.part_a, r.part_b)] == r.common_neighbors
 
 
