@@ -924,13 +924,12 @@ def uniform_sync(
     }
 
 
-def iceberg_current_files(path: str) -> list[dict]:
-    """Read back the Iceberg view of the table THROUGH the metadata
-    chain exactly as an Iceberg reader would: version-hint →
-    metadata.json → current snapshot → manifest list (Avro) → manifest
-    (Avro) → data files. Every hop decodes our own spec-shaped
-    artifacts; used by the registered query to assert Iceberg-view ≡
-    Delta-view."""
+def _resolve_snapshot(path: str, snapshot_id: int | None) -> dict:
+    """The snapshot record to read: version-hint → metadata.json →
+    (current | requested) snapshot. A non-current ``snapshot_id`` is
+    Iceberg TIME TRAVEL (``VERSION AS OF``) — the accumulated snapshot
+    lineage keeps every prior manifest list addressable, so any synced
+    Delta version remains readable through the Iceberg tree."""
     hint = os.path.join(path, "metadata", "version-hint.text")
     md_version = int(open(hint).read().strip())
     md = json.loads(
@@ -938,15 +937,25 @@ def iceberg_current_files(path: str) -> list[dict]:
             os.path.join(path, "metadata", f"v{md_version}.metadata.json")
         ).read()
     )
-    snap = next(
-        s
-        for s in md["snapshots"]
-        if s["snapshot-id"] == md["current-snapshot-id"]
-    )
+    want = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
+    try:
+        return next(
+            s for s in md["snapshots"] if s["snapshot-id"] == want
+        )
+    except StopIteration:
+        raise ValueError(
+            f"snapshot {want} not in the table's lineage "
+            f"({[s['snapshot-id'] for s in md['snapshots']]})"
+        ) from None
+
+
+def _snapshot_data_files(snap: dict, content: int) -> list[dict]:
+    """ADDED/EXISTING data_file dicts from the snapshot's manifests of
+    the requested content kind (0 = data, 1 = position deletes)."""
     _, _, manifests = read_ocf(snap["manifest-list"])
     files: list[dict] = []
     for m in manifests:
-        if m.get("content", 0) != 0:  # delete manifests are not data
+        if m.get("content", 0) != content:
             continue
         _, mmeta, entries = read_ocf(m["manifest_path"])
         if mmeta.get("format-version") != "2":
@@ -957,44 +966,39 @@ def iceberg_current_files(path: str) -> list[dict]:
     return files
 
 
-def iceberg_position_deletes(path: str) -> list[dict]:
-    """Position-delete data_file dicts from the current snapshot's
-    content=1 (DELETES) manifests — the v2 merge-on-read side of the
-    read path."""
-    hint = os.path.join(path, "metadata", "version-hint.text")
-    md_version = int(open(hint).read().strip())
-    md = json.loads(
-        open(
-            os.path.join(path, "metadata", f"v{md_version}.metadata.json")
-        ).read()
-    )
-    snap = next(
-        s
-        for s in md["snapshots"]
-        if s["snapshot-id"] == md["current-snapshot-id"]
-    )
-    _, _, manifests = read_ocf(snap["manifest-list"])
-    out: list[dict] = []
-    for m in manifests:
-        if m.get("content", 0) != 1:
-            continue
-        _, _, entries = read_ocf(m["manifest_path"])
-        for e in entries:
-            if e["status"] in (1, 0):
-                out.append(e["data_file"])
-    return out
+def iceberg_current_files(
+    path: str, snapshot_id: int | None = None
+) -> list[dict]:
+    """Read back the Iceberg view of the table THROUGH the metadata
+    chain exactly as an Iceberg reader would: version-hint →
+    metadata.json → (current | time-travel) snapshot → manifest list
+    (Avro) → manifest (Avro) → data files. Every hop decodes our own
+    spec-shaped artifacts; used by the registered query to assert
+    Iceberg-view ≡ Delta-view."""
+    return _snapshot_data_files(_resolve_snapshot(path, snapshot_id), 0)
 
 
-def iceberg_read_rows(spark: SparkSession, path: str):
+def iceberg_position_deletes(
+    path: str, snapshot_id: int | None = None
+) -> list[dict]:
+    """Position-delete data_file dicts from the snapshot's content=1
+    (DELETES) manifests — the v2 merge-on-read side of the read path."""
+    return _snapshot_data_files(_resolve_snapshot(path, snapshot_id), 1)
+
+
+def iceberg_read_rows(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+):
     """Read the table THROUGH the Iceberg metadata tree with v2
-    merge-on-read semantics: scan the current snapshot's data files and
+    merge-on-read semantics: scan the (current | time-travel) snapshot's
+    data files and
     anti-join the position-delete rows on (file, position) — exactly
     what an Iceberg v2 reader executes, expressed as a Spark plan
     (broadcast delete side: a position-delete set is O(deleted rows),
     never fact-sized)."""
     from pyspark.sql import functions as F
 
-    files = iceberg_current_files(path)
+    files = iceberg_current_files(path, snapshot_id)
     df = spark.read.parquet(*sorted(f["file_path"] for f in files)).select(
         "*",
         F.regexp_replace(
@@ -1002,7 +1006,7 @@ def iceberg_read_rows(spark: SparkSession, path: str):
         ).alias("__ice_file"),
         F.col("_metadata.row_index").alias("__ice_pos"),
     )
-    deletes = iceberg_position_deletes(path)
+    deletes = iceberg_position_deletes(path, snapshot_id)
     if deletes:
         ddf = spark.read.parquet(
             *sorted(d["file_path"] for d in deletes)

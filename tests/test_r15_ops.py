@@ -445,3 +445,48 @@ def test_fsck_distributed_diff_matches_driver_fold(
     # the repaired snapshot reads clean without the vanished file
     assert set(dl.delta_live_files(spark, p)) == live - {victim}
     assert dl.delta_read(spark, p).count() < 5
+
+
+def test_iceberg_snapshot_time_travel(spark, sf_smoke):
+    """The accumulated snapshot lineage supports Iceberg VERSION AS OF:
+    reading snapshot 1 after two more syncs (including a DV one) must
+    see exactly the first generation; unknown ids fail loudly."""
+    import tempfile
+
+    from lakesail_hdfs_deltalake_guide_spark.sources.uniform import (
+        iceberg_current_files,
+        iceberg_read_rows,
+        uniform_sync,
+    )
+
+    r = load_table(spark, sf_smoke, "region").select(
+        "r_regionkey", "r_name"
+    )
+    p = tempfile.mkdtemp(prefix="ls_unif_tt_")
+    dl.delta_write(
+        r,
+        p,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    s1 = uniform_sync(spark, p)
+    dl.delta_write(r.where("r_regionkey >= 3"), p, mode="append")
+    uniform_sync(spark, p)
+    dl.delta_delete_dv(spark, p, "r_regionkey = 4")
+    s3 = uniform_sync(spark, p)
+    assert s3["snapshot_id"] == 3 and s3["n_delete_rows"] > 0
+    # time travel to snapshot 1: first generation only, no deletes
+    old = sorted(
+        row["r_regionkey"]
+        for row in iceberg_read_rows(spark, p, snapshot_id=s1["snapshot_id"])
+        .select("r_regionkey")
+        .collect()
+    )
+    assert old == [0, 1, 2, 3, 4]
+    cur = sorted(
+        row["r_regionkey"]
+        for row in iceberg_read_rows(spark, p).select("r_regionkey").collect()
+    )
+    assert cur == [0, 1, 2, 3, 3]  # key 4 DV-deleted from BOTH copies
+    assert len(iceberg_current_files(p, snapshot_id=1)) == 1
+    with pytest.raises(ValueError, match="not in the table's lineage"):
+        iceberg_current_files(p, snapshot_id=99)
