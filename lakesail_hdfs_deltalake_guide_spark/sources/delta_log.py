@@ -4637,8 +4637,10 @@ def delta_vacuum(
     candidates⟂live diff runs as a Spark anti-join against
     :func:`delta_snapshot_adds_df` (inventory: fully distributed; FULL:
     the listing streams through the driver in ``_VACUUM_CHUNK_ROWS``
-    chunks against the cached live set) and only the RECLAIM set is
-    collected — the driver stays O(reclaim), never O(data files)."""
+    chunks against the cached live set; LITE: the commit JSONs scan
+    with ``spark.read.text`` + ``from_json``) and only the RECLAIM set
+    is collected — the driver stays O(reclaim), never O(data files or
+    remove actions)."""
     if lite and inventory is not None:
         raise ValueError(
             "VACUUM LITE and USING INVENTORY are mutually exclusive: "
@@ -4679,9 +4681,7 @@ def delta_vacuum(
     # anti-join and only the RECLAIM set (small under any sane
     # retention) reaches the driver for the actual deletes.
     lc = _last_checkpoint_info(spark, path)
-    use_dist = (
-        not lite and bool(lc) and int(lc.get("size", 0)) >= _DIST_FOLD_ROWS
-    )
+    use_dist = bool(lc) and int(lc.get("size", 0)) >= _DIST_FOLD_ROWS
     referenced: set[str] = set()
     dv_refs: set[str] = set()
     if not use_dist:
@@ -4698,6 +4698,62 @@ def delta_vacuum(
         # log-driven: candidates are the remove-action paths the commit
         # JSONs still on disk remember (relative refs only — an
         # absolute ref belongs to another table's directory)
+        if use_dist:
+            # candidates⟂live as a Spark job, same posture as FULL and
+            # inventory: the commit JSONs scan with spark.read.text +
+            # from_json, the live side is the distributed add fold, and
+            # only the reclaim set reaches the driver — a schedule-
+            # vacuumed 100 TB table's log window can hold millions of
+            # remove actions
+            from pyspark.sql.types import (
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            files = []
+            for v in versions:
+                vf = _version_file(path, v)
+                if fs.exists(jvm.org.apache.hadoop.fs.Path(vf)):
+                    files.append(vf)
+            if not files:
+                return []
+            line_schema = StructType(
+                [
+                    StructField(
+                        "remove",
+                        StructType([StructField("path", StringType())]),
+                    )
+                ]
+            )
+            rel_c = F.col("a.remove.path")
+            cand = (
+                spark.read.text(files)
+                .select(F.from_json("value", line_schema).alias("a"))
+                .where(rel_c.isNotNull())
+                .where(
+                    ~(
+                        rel_c.startswith("/")
+                        | rel_c.rlike(r"^[A-Za-z][\w+.-]*:")
+                    )
+                )
+                .select(rel_c.alias("rel"))
+                .distinct()
+            )
+            referenced_df, _ = _vacuum_live_dfs(spark, path, retained)
+            reclaim = _collect_reclaim(
+                cand.join(
+                    referenced_df,
+                    cand["rel"] == referenced_df["path"],
+                    "left_anti",
+                )
+            )
+            for rel in sorted({r["rel"] for r in reclaim}):
+                p = jvm.org.apache.hadoop.fs.Path(table_path, rel)
+                if fs.exists(p):
+                    fs.delete(p, False)
+                    deleted.append(rel)
+            return sorted(deleted)
         candidates: set[str] = set()
         for v in versions:
             try:

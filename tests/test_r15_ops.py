@@ -490,3 +490,27 @@ def test_iceberg_snapshot_time_travel(spark, sf_smoke):
     assert len(iceberg_current_files(p, snapshot_id=1)) == 1
     with pytest.raises(ValueError, match="not in the table's lineage"):
         iceberg_current_files(p, snapshot_id=99)
+
+
+def test_vacuum_lite_distributed_matches_driver_fold(
+    spark, sf_smoke, monkeypatch
+):
+    """Above the threshold LITE's remove-action scan runs as a Spark
+    text+from_json job anti-joined against the distributed add fold:
+    the driver collects only the reclaim set (spied) and never runs the
+    O(live) fold; reclaim equals the driver-fold LITE's."""
+    p, gen1, live = _gen_table(spark, sf_smoke, "ls_vlite_dist_")
+    dl.delta_checkpoint(spark, p)
+    # driver-fold reference (below threshold)
+    ref = dl.delta_vacuum(spark, p, keep_versions=1, lite=True)
+    assert set(ref) == gen1  # the overwrite's removes
+    # rebuild the same state for the distributed pass
+    p2, gen1b, liveb = _gen_table(spark, sf_smoke, "ls_vlite_dist2_")
+    dl.delta_checkpoint(spark, p2)
+    collected = _spy_dist(monkeypatch)
+    got = dl.delta_vacuum(spark, p2, keep_versions=1, lite=True)
+    assert set(got) == gen1b
+    assert collected and sum(collected) == len(gen1b)
+    assert all(os.path.exists(os.path.join(p2, f)) for f in liveb)
+    monkeypatch.undo()
+    assert dl.delta_read(spark, p2).count() == 5
