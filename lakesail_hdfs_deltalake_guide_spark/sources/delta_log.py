@@ -4597,6 +4597,7 @@ def delta_vacuum(
     keep_versions: int = 1,
     lite: bool = False,
     inventory: DataFrame | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Retention cleanup (Delta VACUUM): physically delete data files no
     snapshot in the retained window references; returns the deleted
@@ -4632,6 +4633,11 @@ def delta_vacuum(
     table root resolve to the add-action path form; ``..`` escaping the
     root is ignored) — a sloppy-but-resolvable row for a live file must
     never read as an orphan.
+
+    ``dry_run=True`` is delta-spark's ``VACUUM ... DRY RUN``: report
+    exactly the reclaim a real run would delete (existence checks
+    included) without touching storage — supported by every candidate
+    strategy (FULL, LITE, inventory), driver-fold and distributed.
 
     Past X60's ``_DIST_FOLD_ROWS`` checkpoint threshold the
     candidates⟂live diff runs as a Spark anti-join against
@@ -4694,6 +4700,19 @@ def delta_vacuum(
     fs, table_path, jvm = _hadoop_fs(spark, path)
     base_uri = fs.makeQualified(table_path).toUri()
     deleted = []
+
+    def _reclaim(rels) -> None:
+        # shared delete loop for every candidate strategy; DRY RUN
+        # reports exactly what a real run would delete (existence
+        # included — inventories and logs can be stale) without touching
+        # storage
+        for rel in rels:
+            hp = jvm.org.apache.hadoop.fs.Path(table_path, rel)
+            if fs.exists(hp):
+                if not dry_run:
+                    fs.delete(hp, False)
+                deleted.append(rel)
+
     if lite:
         # log-driven: candidates are the remove-action paths the commit
         # JSONs still on disk remember (relative refs only — an
@@ -4748,11 +4767,7 @@ def delta_vacuum(
                     "left_anti",
                 )
             )
-            for rel in sorted({r["rel"] for r in reclaim}):
-                p = jvm.org.apache.hadoop.fs.Path(table_path, rel)
-                if fs.exists(p):
-                    fs.delete(p, False)
-                    deleted.append(rel)
+            _reclaim(sorted({r["rel"] for r in reclaim}))
             return sorted(deleted)
         candidates: set[str] = set()
         for v in versions:
@@ -4765,11 +4780,7 @@ def delta_vacuum(
                 r = action.get("remove")
                 if r and not _is_absolute_ref(r["path"]):
                     candidates.add(r["path"])
-        for rel in sorted(candidates - referenced):
-            p = jvm.org.apache.hadoop.fs.Path(table_path, rel)
-            if fs.exists(p):
-                fs.delete(p, False)
-                deleted.append(rel)
+        _reclaim(sorted(candidates - referenced))
         return sorted(deleted)
     if inventory is not None:
         # Candidate source = the caller's inventory table instead of a
@@ -4796,11 +4807,7 @@ def delta_vacuum(
             reclaim = _collect_reclaim(
                 _vacuum_reclaim_diff(candidates_df, referenced_df, dv_refs_df)
             )
-            for rel in sorted({r["rel"] for r in reclaim}):
-                hp = jvm.org.apache.hadoop.fs.Path(table_path, rel)
-                if fs.exists(hp):  # inventory may be stale
-                    fs.delete(hp, False)
-                    deleted.append(rel)
+            _reclaim(sorted({r["rel"] for r in reclaim}))
             return sorted(deleted)
         rels = [r["rel"] for r in candidates_df.collect()]
     elif use_dist:
@@ -4840,11 +4847,7 @@ def delta_vacuum(
         finally:
             referenced_df.unpersist()
             dv_refs_df.unpersist()
-        for rel in sorted(reclaim_rels):
-            hp = jvm.org.apache.hadoop.fs.Path(table_path, rel)
-            if fs.exists(hp):
-                fs.delete(hp, False)
-                deleted.append(rel)
+        _reclaim(sorted(reclaim_rels))
         return sorted(deleted)
     else:
         rels = []
@@ -4862,10 +4865,7 @@ def delta_vacuum(
             if rel.endswith(".parquet") and not any(
                 rel.startswith(p + "/") for p in dv_refs
             ):
-                hp = jvm.org.apache.hadoop.fs.Path(table_path, rel)
-                if fs.exists(hp):  # inventory may be stale
-                    fs.delete(hp, False)
-                    deleted.append(rel)
+                _reclaim([rel])
             continue
         if (
             # the .parquet suffix rule also shields a FOREIGN table's
@@ -4879,10 +4879,7 @@ def delta_vacuum(
             and not rel.startswith("_change_data")
             and rel not in referenced
         ):
-            hp = jvm.org.apache.hadoop.fs.Path(table_path, rel)
-            if fs.exists(hp):  # inventory may be stale
-                fs.delete(hp, False)
-                deleted.append(rel)
+            _reclaim([rel])
     return sorted(deleted)
 
 

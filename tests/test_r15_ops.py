@@ -514,3 +514,25 @@ def test_vacuum_lite_distributed_matches_driver_fold(
     assert all(os.path.exists(os.path.join(p2, f)) for f in liveb)
     monkeypatch.undo()
     assert dl.delta_read(spark, p2).count() == 5
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, sf_smoke):
+    """VACUUM ... DRY RUN (delta-spark): every candidate strategy must
+    report exactly the real run's reclaim and leave storage untouched;
+    the real run afterwards deletes exactly the reported set."""
+    p, gen1, live = _gen_table(spark, sf_smoke, "ls_vdry_")
+    rows = [os.path.join(p, f) for f in gen1 | live]
+    inv = _inventory_of(spark, rows)
+    dry_full = dl.delta_vacuum(spark, p, keep_versions=1, dry_run=True)
+    dry_lite = dl.delta_vacuum(
+        spark, p, keep_versions=1, lite=True, dry_run=True
+    )
+    dry_inv = dl.delta_vacuum(
+        spark, p, keep_versions=1, inventory=inv, dry_run=True
+    )
+    assert set(dry_full) == set(dry_lite) == set(dry_inv) == gen1
+    assert all(os.path.exists(os.path.join(p, f)) for f in gen1 | live)
+    real = dl.delta_vacuum(spark, p, keep_versions=1)
+    assert real == dry_full
+    assert not any(os.path.exists(os.path.join(p, f)) for f in gen1)
+    assert all(os.path.exists(os.path.join(p, f)) for f in live)
