@@ -4591,6 +4591,74 @@ def _collect_reclaim(df: DataFrame) -> list:
     return df.collect()
 
 
+def _vacuum_scope_filter(spark: SparkSession, meta: dict, where):
+    """Build the WHERE-scoped VACUUM candidate filter: a function
+    ``candidates_df -> candidates_df`` (single ``rel`` column in and
+    out) keeping only candidates inside partition directories matching
+    the predicate. The partition values are parsed from the hive path
+    itself — a VACUUM candidate is by definition NOT in the live add
+    set, so the path is the only place its partition identity exists.
+    The filter composes into every candidate source (inventory scan,
+    recursive-listing chunks, LITE's commit scan), so the scoping runs
+    inside the distributed candidate job, never as a driver loop.
+
+    Scope semantics (the ``OPTIMIZE ... WHERE`` sibling): only files
+    whose EVERY partition segment has the hive ``col=value`` form and
+    whose decoded, schema-typed values satisfy the predicate are
+    candidates; everything else — other partitions, files at the table
+    root, DV storage units — is out of scope and left untouched. NULL
+    predicate results are out of scope (SQL three-valued logic). The
+    predicate may name only partition columns; anything else fails
+    resolution loudly against a typed probe frame before any candidate
+    job runs."""
+    part_cols = meta.get("partitionColumns") or []
+    if not part_cols:
+        raise ValueError(
+            "a WHERE-scoped VACUUM requires a partitioned table "
+            "(the scope predicate ranges over partition columns)"
+        )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    probe = spark.createDataFrame(
+        [], StructType([schema[c] for c in part_cols])
+    )
+    probe.where(_coerce_predicate(where)).schema  # resolve or raise
+
+    def apply(df: DataFrame) -> DataFrame:
+        segs = F.split(F.col("rel"), "/")
+        cond = F.size(segs) > len(part_cols)  # dirs + a file name
+        out = df
+        for i, c in enumerate(part_cols):
+            seg = segs.getItem(i)
+            cond = cond & seg.startswith(f"{c}=")
+            raw = F.regexp_extract(seg, "^[^=]*=(.*)$", 1)
+            # hive path unescape is %XX only — url_decode would also
+            # turn a literal '+' into a space, so shield it first
+            val = F.when(
+                raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
+            ).otherwise(
+                F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
+            )
+            out = out.withColumn(c, val.cast(schema[c].dataType))
+        return out.where(cond & _coerce_predicate(where)).select("rel")
+
+    return apply
+
+
+def _scope_rels_locally(
+    spark: SparkSession, scope, rels
+) -> list[str]:
+    """Driver-fold branches reuse the SAME columnar scope filter via a
+    one-hop local frame — below the distributed threshold the candidate
+    list is small by construction, and duplicating the hive-path parse
+    in Python would be a second implementation to keep correct."""
+    if not rels:
+        return []
+    cdf = spark.createDataFrame([(r,) for r in sorted(rels)], "rel string")
+    return sorted(r["rel"] for r in scope(cdf).collect())
+
+
 def delta_vacuum(
     spark: SparkSession,
     path: str,
@@ -4598,6 +4666,7 @@ def delta_vacuum(
     lite: bool = False,
     inventory: DataFrame | None = None,
     dry_run: bool = False,
+    where=None,
 ) -> list[str]:
     """Retention cleanup (Delta VACUUM): physically delete data files no
     snapshot in the retained window references; returns the deleted
@@ -4639,6 +4708,20 @@ def delta_vacuum(
     included) without touching storage — supported by every candidate
     strategy (FULL, LITE, inventory), driver-fold and distributed.
 
+    ``where`` is the ``OPTIMIZE ... WHERE`` sibling for maintenance
+    scoping: an arbitrary partition predicate (``"part >= 2"``,
+    ``"part IN (1,3)"``) restricting RECLAIM to files inside matching
+    partition directories — partition values parse from the hive path
+    (a candidate is by definition absent from the live add set, so the
+    path is its only partition identity) and the filter is pushed into
+    whichever candidate job runs (inventory scan, listing chunks,
+    LITE's commit scan). The point at 100 TB: nightly maintenance of
+    just-landed partitions never pays a diff over years of cold
+    partitions. Out-of-scope files — other partitions, table-root
+    files, DV storage units — are simply not candidates; the live-set
+    membership test is unchanged (scoping only ever narrows the
+    candidate side, so it can never delete more than an unscoped run).
+
     Past X60's ``_DIST_FOLD_ROWS`` checkpoint threshold the
     candidates⟂live diff runs as a Spark anti-join against
     :func:`delta_snapshot_adds_df` (inventory: fully distributed; FULL:
@@ -4668,7 +4751,7 @@ def delta_vacuum(
     # implement may reference data files outside the add actions
     # (deletion vectors are exactly that shape), and vacuuming blind
     # would delete them
-    proto, _, _, _ = _snapshot_state(
+    proto, meta, _, _ = _snapshot_state(
         spark, path, include_adds=False
     )
     unknown = (
@@ -4681,6 +4764,11 @@ def delta_vacuum(
             f"{sorted(unknown)} are not implemented here and may "
             "reference files outside the add actions"
         )
+    scope = (
+        _vacuum_scope_filter(spark, meta or {}, where)
+        if where is not None
+        else None
+    )
     retained = versions[-keep_versions:]
     # X60's threshold decides the diff strategy: past it the live set is
     # too big to hold driver-side, so candidates⟂live runs as a Spark
@@ -4759,6 +4847,8 @@ def delta_vacuum(
                 .select(rel_c.alias("rel"))
                 .distinct()
             )
+            if scope is not None:
+                cand = scope(cand)
             referenced_df, _ = _vacuum_live_dfs(spark, path, retained)
             reclaim = _collect_reclaim(
                 cand.join(
@@ -4780,7 +4870,10 @@ def delta_vacuum(
                 r = action.get("remove")
                 if r and not _is_absolute_ref(r["path"]):
                     candidates.add(r["path"])
-        _reclaim(sorted(candidates - referenced))
+        cands = sorted(candidates - referenced)
+        if scope is not None:
+            cands = _scope_rels_locally(spark, scope, cands)
+        _reclaim(cands)
         return sorted(deleted)
     if inventory is not None:
         # Candidate source = the caller's inventory table instead of a
@@ -4800,6 +4893,8 @@ def delta_vacuum(
             .select(_inventory_rel_col(base_uri).alias("rel"))
             .where(F.col("rel").isNotNull() & F.col("rel").endswith(".parquet"))
         )
+        if scope is not None:
+            candidates_df = scope(candidates_df)
         if use_dist:
             referenced_df, dv_refs_df = _vacuum_live_dfs(
                 spark, path, retained
@@ -4827,6 +4922,8 @@ def delta_vacuum(
                 cdf = spark.createDataFrame(
                     [(r,) for r in chunk], "rel string"
                 ).where(F.col("rel").endswith(".parquet"))
+                if scope is not None:
+                    cdf = scope(cdf)
                 reclaim_rels.update(
                     r["rel"]
                     for r in _collect_reclaim(
@@ -4856,6 +4953,8 @@ def delta_vacuum(
             rels.append(
                 base_uri.relativize(it.next().getPath().toUri()).getPath()
             )
+        if scope is not None:  # inventory rels are already scoped
+            rels = _scope_rels_locally(spark, scope, rels)
     for rel in rels:
         if rel.startswith(_DV_DIR):
             # a DV storage unit lives exactly as long as a retained

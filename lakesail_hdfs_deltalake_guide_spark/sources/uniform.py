@@ -1023,3 +1023,132 @@ def iceberg_read_rows(
             "left_anti",
         )
     return df.drop("__ice_file", "__ice_pos")
+
+
+def _snapshot_artifacts(snap: dict) -> set[str]:
+    """Every Iceberg-owned file reachable from one snapshot: its
+    manifest list, every manifest, and every POSITION-DELETE file its
+    delete manifests point at. Data parquet (content=0 entries) is
+    deliberately NOT an artifact — in UniForm the Delta log owns data
+    files and ``delta_vacuum`` is their only reaper; expiration must
+    never race it (delta-spark draws the same line: Iceberg metadata
+    cleanup on the UniForm side, data retention on the Delta side)."""
+    arts = {snap["manifest-list"]}
+    _, _, manifests = read_ocf(snap["manifest-list"])
+    for m in manifests:
+        arts.add(m["manifest_path"])
+        if m.get("content", 0) == 1:
+            _, _, entries = read_ocf(m["manifest_path"])
+            for e in entries:
+                if e["status"] in (1, 0):
+                    arts.add(e["data_file"]["file_path"])
+    return arts
+
+
+def iceberg_expire_snapshots(
+    path: str,
+    retain_last: int | None = None,
+    older_than_ms: int | None = None,
+    metadata_previous_versions_max: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Iceberg ``expireSnapshots`` over the UniForm metadata tree:
+    drop expired snapshots from the lineage, prune ``snapshot-log``
+    accordingly (spec: the log must only hold retained snapshots), and
+    physically delete the metadata artifacts ONLY expired snapshots
+    reach — manifest lists, manifests, position-delete files. Data
+    parquet is never touched (Delta VACUUM owns it; see
+    :func:`_snapshot_artifacts`). Completes the lineage story: syncs
+    accumulate snapshots so Iceberg time travel works over Delta
+    history, and expiration is the storage/history trade that keeps
+    the accumulated tree bounded.
+
+    Retention mirrors Iceberg's API: ``retain_last`` keeps at least
+    the N newest snapshots; ``older_than_ms`` expires snapshots whose
+    ``timestamp-ms`` is strictly below the bound (here the
+    deterministic lineage clock = the sync's metadata version). Given
+    both, a snapshot survives if EITHER rule retains it — exactly
+    ``expireOlderThan(ts).retainLast(n)``. The current snapshot always
+    survives. At least one rule is required.
+
+    ``metadata_previous_versions_max`` is the spec's
+    ``write.metadata.previous-versions-max`` with delete-after-commit:
+    trim ``metadata-log`` to the newest K entries and delete the
+    dropped ``v*.metadata.json`` files.
+
+    ``dry_run=True`` reports what a real run would expire and delete
+    without writing a metadata version or touching storage. When
+    nothing expires (and no metadata-log trim is due) no new metadata
+    version is written — expiration is idempotent."""
+    if retain_last is None and older_than_ms is None:
+        raise ValueError(
+            "expire_snapshots needs a retention rule: retain_last "
+            "and/or older_than_ms"
+        )
+    if retain_last is not None and retain_last < 1:
+        raise ValueError("retain_last must keep at least one snapshot")
+    md_dir = os.path.join(path, "metadata")
+    hint = os.path.join(md_dir, "version-hint.text")
+    md_version = int(open(hint).read().strip())
+    md_path = os.path.join(md_dir, f"v{md_version}.metadata.json")
+    md = json.loads(open(md_path).read())
+    snaps = md["snapshots"]  # append order = timestamp order
+    keep = {md["current-snapshot-id"]}
+    if retain_last is not None:
+        keep.update(s["snapshot-id"] for s in snaps[-retain_last:])
+    if older_than_ms is not None:
+        keep.update(
+            s["snapshot-id"]
+            for s in snaps
+            if s["timestamp-ms"] >= older_than_ms
+        )
+    retained = [s for s in snaps if s["snapshot-id"] in keep]
+    expired = [s for s in snaps if s["snapshot-id"] not in keep]
+    # artifact diff: shared artifacts (a manifest re-listed by a newer
+    # snapshot, a delete file carried forward) survive with the
+    # retained snapshot that still reaches them
+    reach_keep: set[str] = set()
+    for s in retained:
+        reach_keep |= _snapshot_artifacts(s)
+    doomed: set[str] = set()
+    for s in expired:
+        doomed |= _snapshot_artifacts(s) - reach_keep
+    # metadata-log as the COMMIT would leave it: prior entries + the
+    # about-to-be-previous metadata file, trimmed to the newest K
+    mlog = list(md.get("metadata-log", [])) + [
+        {"metadata-file": md_path, "timestamp-ms": md_version}
+    ]
+    dropped_meta: list[str] = []
+    if (
+        metadata_previous_versions_max is not None
+        and len(mlog) > metadata_previous_versions_max
+    ):
+        cut = len(mlog) - metadata_previous_versions_max
+        dropped_meta = [e["metadata-file"] for e in mlog[:cut]]
+        mlog = mlog[cut:]
+    out = {
+        "expired_snapshot_ids": [s["snapshot-id"] for s in expired],
+        "retained_snapshot_ids": [s["snapshot-id"] for s in retained],
+        "deleted_files": sorted(doomed | set(dropped_meta)),
+        "metadata_path": md_path,
+    }
+    if dry_run or not (expired or dropped_meta):
+        return out
+    new_version = md_version + 1
+    new_md = dict(md)
+    new_md["snapshots"] = retained
+    new_md["snapshot-log"] = [
+        e for e in md.get("snapshot-log", []) if e["snapshot-id"] in keep
+    ]
+    new_md["last-updated-ms"] = new_version
+    new_md["metadata-log"] = mlog
+    new_md_path = os.path.join(md_dir, f"v{new_version}.metadata.json")
+    with open(new_md_path, "w") as f:
+        json.dump(new_md, f, indent=1)
+    with open(hint, "w") as f:
+        f.write(str(new_version))
+    out["metadata_path"] = new_md_path
+    for p in sorted(doomed | set(dropped_meta)):
+        if os.path.exists(p):
+            os.remove(p)
+    return out

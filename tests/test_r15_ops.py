@@ -9,6 +9,7 @@ pin this engine's protocol-level implementation of the same surface.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -536,3 +537,243 @@ def test_vacuum_dry_run_reports_without_deleting(spark, sf_smoke):
     assert real == dry_full
     assert not any(os.path.exists(os.path.join(p, f)) for f in gen1)
     assert all(os.path.exists(os.path.join(p, f)) for f in live)
+
+
+# --- WHERE-scoped VACUUM (r15: the OPTIMIZE ... WHERE maintenance sibling) ---
+
+
+def _part_table(spark, sf_smoke, prefix):
+    """Two-generation table partitioned on r_regionkey (values 0..4):
+    returns (path, retired gen1 files, live files)."""
+    r = load_table(spark, sf_smoke, "region").select("r_regionkey", "r_name")
+    p = tempfile.mkdtemp(prefix=prefix)
+    dl.delta_write(r, p, partition_by=["r_regionkey"])
+    gen1 = set(dl.delta_live_files(spark, p))
+    dl.delta_write(r, p, mode="overwrite", partition_by=["r_regionkey"])
+    live = set(dl.delta_live_files(spark, p))
+    return p, gen1, live
+
+
+def test_vacuum_where_scopes_full_reclaim(spark, sf_smoke):
+    """FULL vacuum with a partition predicate reclaims ONLY the retired
+    files inside matching partitions; out-of-scope partitions keep their
+    retired files until an unscoped run sweeps them. DRY RUN reports the
+    scoped set exactly."""
+    p, gen1, live = _part_table(spark, sf_smoke, "ls_vwhere_full_")
+    in_scope = {
+        f
+        for f in gen1
+        if f.startswith("r_regionkey=1/") or f.startswith("r_regionkey=3/")
+    }
+    assert in_scope and in_scope != gen1  # the scope is a proper subset
+    dry = dl.delta_vacuum(spark, p, where="r_regionkey IN (1, 3)", dry_run=True)
+    assert set(dry) == in_scope
+    reclaimed = dl.delta_vacuum(spark, p, where="r_regionkey IN (1, 3)")
+    assert set(reclaimed) == in_scope
+    assert all(os.path.exists(os.path.join(p, f)) for f in gen1 - in_scope)
+    assert all(os.path.exists(os.path.join(p, f)) for f in live)
+    rest = dl.delta_vacuum(spark, p)
+    assert set(rest) == gen1 - in_scope
+    assert dl.delta_read(spark, p).count() == 5
+
+
+def test_vacuum_where_scopes_lite_and_inventory(spark, sf_smoke):
+    """The scope composes with every candidate strategy: LITE (log-
+    driven candidates) and USING INVENTORY (caller-listed candidates,
+    orphans included) reclaim the same scoped subset a FULL run would."""
+    p, gen1, live = _part_table(spark, sf_smoke, "ls_vwhere_src_")
+    in_scope = {f for f in gen1 if f.startswith("r_regionkey=2/")}
+    assert in_scope
+    orphan_rel = "r_regionkey=2/part-orphan-dead.c000.snappy.parquet"
+    orphan_out = "r_regionkey=4/part-orphan-keep.c000.snappy.parquet"
+    one = load_table(spark, sf_smoke, "region").limit(1).toPandas()
+    for rel in (orphan_rel, orphan_out):
+        one.to_parquet(os.path.join(p, rel))
+    lite = dl.delta_vacuum(
+        spark, p, lite=True, where="r_regionkey = 2", dry_run=True
+    )
+    assert set(lite) == in_scope  # log candidates: no orphans by design
+    inv = _inventory_of(
+        spark,
+        [os.path.join(p, f) for f in gen1 | live | {orphan_rel, orphan_out}],
+    )
+    got = dl.delta_vacuum(spark, p, inventory=inv, where="r_regionkey = 2")
+    assert set(got) == in_scope | {orphan_rel}
+    assert os.path.exists(os.path.join(p, orphan_out))  # out of scope
+    assert all(os.path.exists(os.path.join(p, f)) for f in gen1 - in_scope)
+    assert dl.delta_read(spark, p).count() == 5
+
+
+def test_vacuum_where_distributed_scope_in_job(spark, sf_smoke, monkeypatch):
+    """Above the threshold the scope filter runs INSIDE the distributed
+    candidate job — the driver still materializes only the (scoped)
+    reclaim set, and the live fold never runs driver-side."""
+    p, gen1, live = _part_table(spark, sf_smoke, "ls_vwhere_dist_")
+    dl.delta_checkpoint(spark, p)
+    in_scope = {f for f in gen1 if f.startswith("r_regionkey=0/")}
+    assert in_scope
+    collected = _spy_dist(monkeypatch)
+    inv = _inventory_of(spark, [os.path.join(p, f) for f in gen1 | live])
+    got = dl.delta_vacuum(spark, p, inventory=inv, where="r_regionkey = 0")
+    assert set(got) == in_scope
+    assert collected and sum(collected) == len(in_scope)
+    assert all(os.path.exists(os.path.join(p, f)) for f in gen1 - in_scope)
+
+
+def test_vacuum_where_hive_escaped_and_null_partitions(spark):
+    """Partition identity parses from the ESCAPED hive dir exactly as
+    the writer spelled it: %XX escapes decode (a literal '+' must NOT
+    become a space), __HIVE_DEFAULT_PARTITION__ is SQL NULL and
+    reachable via IS NULL."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"seg": ["x y+z", "a=b", "plain", None], "v": [1, 2, 3, 4]}
+    )
+    df = spark.createDataFrame(pdf)
+    p = tempfile.mkdtemp(prefix="ls_vwhere_esc_")
+    dl.delta_write(df, p, partition_by=["seg"])
+    gen1 = set(dl.delta_live_files(spark, p))
+    dl.delta_write(df, p, mode="overwrite", partition_by=["seg"])
+    by_part = lambda pred: {  # noqa: E731
+        f
+        for f in gen1
+        if pred(f.split("/", 1)[0][len("seg=") :])
+    }
+    got = dl.delta_vacuum(spark, p, where="seg = 'x y+z'", dry_run=True)
+    assert set(got) == by_part(lambda s: s == "x y+z")
+    got = dl.delta_vacuum(spark, p, where="seg = 'a=b'", dry_run=True)
+    assert set(got) == by_part(lambda s: s == "a%3Db")
+    got = dl.delta_vacuum(spark, p, where="seg IS NULL", dry_run=True)
+    assert set(got) == by_part(lambda s: s == "__HIVE_DEFAULT_PARTITION__")
+    # nothing was deleted by the dry runs; a real scoped run works
+    assert all(os.path.exists(os.path.join(p, f)) for f in gen1)
+    real = dl.delta_vacuum(spark, p, where="seg IS NULL")
+    assert set(real) == by_part(lambda s: s == "__HIVE_DEFAULT_PARTITION__")
+    assert dl.delta_read(spark, p).count() == 4
+
+
+def test_vacuum_where_validation(spark, sf_smoke):
+    """The scope refuses non-partitioned tables and predicates naming
+    non-partition columns — loudly, before any candidate job runs."""
+    p, _, _ = _gen_table(spark, sf_smoke, "ls_vwhere_val_")
+    with pytest.raises(ValueError, match="partitioned"):
+        dl.delta_vacuum(spark, p, where="r_regionkey = 1")
+    pp, _, _ = _part_table(spark, sf_smoke, "ls_vwhere_val2_")
+    with pytest.raises(Exception, match="r_name"):
+        dl.delta_vacuum(spark, pp, where="r_name = 'ASIA'")
+
+
+# --- Iceberg snapshot expiration (r15: completes the lineage story) ----------
+
+
+def test_iceberg_expire_snapshots_prunes_lineage_and_artifacts(
+    spark, sf_smoke
+):
+    """expireSnapshots over the UniForm tree: retain_last=2 on a
+    4-snapshot lineage drops snapshots 1-2, deletes exactly their
+    now-unreachable manifest lists + manifests (data parquet untouched
+    — the Delta side owns it), prunes snapshot-log, and keeps both the
+    current read AND retained time travel working; travel to an
+    expired snapshot now fails loudly. DRY RUN reports the same plan
+    without writing anything."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.uniform import (
+        iceberg_expire_snapshots,
+        iceberg_read_rows,
+        uniform_sync,
+    )
+
+    r = load_table(spark, sf_smoke, "region").select("r_regionkey", "r_name")
+    p = tempfile.mkdtemp(prefix="ls_unif_expire_")
+    dl.delta_write(r.where("r_regionkey < 2"), p)
+    uniform_sync(spark, p)
+    for lo in (2, 3, 4):
+        dl.delta_write(r.where(f"r_regionkey = {lo}"), p, mode="append")
+        uniform_sync(spark, p)
+    md_dir = os.path.join(p, "metadata")
+    before = set(os.listdir(md_dir))
+    dry = iceberg_expire_snapshots(p, retain_last=2, dry_run=True)
+    assert dry["expired_snapshot_ids"] == [1, 2]
+    assert dry["retained_snapshot_ids"] == [3, 4]
+    assert set(os.listdir(md_dir)) == before  # dry run wrote nothing
+    got = iceberg_expire_snapshots(p, retain_last=2)
+    assert got["deleted_files"] == dry["deleted_files"]
+    # exactly the expired snapshots' avro artifacts died (snap-1/2 lists
+    # + m1/m2 manifests), and all of them lived under metadata/
+    assert all(f.startswith(md_dir) for f in got["deleted_files"])
+    gone = {os.path.basename(f) for f in got["deleted_files"]}
+    assert any(b.startswith("snap-1-") for b in gone)
+    assert any(b.startswith("m2-") for b in gone)
+    assert not any(b.endswith(".parquet") for b in gone)
+    md = json.loads(
+        open(os.path.join(md_dir, "v5.metadata.json")).read()
+    )
+    assert [s["snapshot-id"] for s in md["snapshots"]] == [3, 4]
+    assert [e["snapshot-id"] for e in md["snapshot-log"]] == [3, 4]
+    assert md["current-snapshot-id"] == 4
+    # every delta data file still on disk; current + retained reads fine
+    assert dl.delta_read(spark, p).count() == 5
+    assert iceberg_read_rows(spark, p).count() == 5
+    assert iceberg_read_rows(spark, p, snapshot_id=3).count() == 4
+    with pytest.raises(ValueError, match="not in the table's lineage"):
+        iceberg_read_rows(spark, p, snapshot_id=1)
+    # idempotent: nothing left to expire -> no new metadata version
+    again = iceberg_expire_snapshots(p, retain_last=2)
+    assert again["expired_snapshot_ids"] == []
+    assert int(open(os.path.join(md_dir, "version-hint.text")).read()) == 5
+    # a later sync continues the lineage on the expired tree
+    dl.delta_write(r.where("r_regionkey = 0"), p, mode="append")
+    s = uniform_sync(spark, p)
+    assert s["snapshot_id"] == 6
+    assert iceberg_read_rows(spark, p).count() == 6
+
+
+def test_iceberg_expire_older_than_keeps_retain_floor_and_deletes(
+    spark, sf_smoke
+):
+    """older_than expires by the lineage clock but retain_last is a
+    floor (either rule retains); position-delete files reachable only
+    from expired snapshots are reclaimed while ones a retained snapshot
+    still carries survive; metadata-log trims to previous-versions-max
+    with the dropped v*.metadata.json deleted."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.uniform import (
+        iceberg_expire_snapshots,
+        iceberg_read_rows,
+        uniform_sync,
+    )
+
+    r = load_table(spark, sf_smoke, "region").select("r_regionkey", "r_name")
+    p = tempfile.mkdtemp(prefix="ls_unif_expire2_")
+    dl.delta_write(
+        r, p, configuration={"delta.enableDeletionVectors": "true"}
+    )
+    uniform_sync(spark, p)
+    dl.delta_delete_dv(spark, p, "r_regionkey = 4")
+    uniform_sync(spark, p)  # snapshot 2: carries position deletes
+    dl.delta_write(r.where("r_regionkey = 0"), p, mode="append")
+    uniform_sync(spark, p)  # snapshot 3: carries the SAME dv conversion
+    # retain floor beats older_than: bound expires everything below 3
+    # but retain_last=3 keeps the whole lineage
+    kept = iceberg_expire_snapshots(p, older_than_ms=3, retain_last=3)
+    assert kept["expired_snapshot_ids"] == []
+    got = iceberg_expire_snapshots(
+        p, older_than_ms=3, metadata_previous_versions_max=1
+    )
+    assert got["expired_snapshot_ids"] == [1, 2]
+    # snapshot 2's delete files are re-written per sync (deterministic
+    # names per version), so v2's die with it while v3's survive
+    del_files = [
+        f for f in got["deleted_files"] if "delete" in os.path.basename(f)
+    ]
+    assert del_files  # the expired DV conversion was reclaimed
+    assert iceberg_read_rows(spark, p).count() == 5  # 5 live (4 deleted, +0)
+    # metadata-log trimmed to 1 entry and older metadata files removed
+    md_dir = os.path.join(p, "metadata")
+    v = int(open(os.path.join(md_dir, "version-hint.text")).read())
+    md = json.loads(open(os.path.join(md_dir, f"v{v}.metadata.json")).read())
+    assert len(md["metadata-log"]) == 1
+    assert not os.path.exists(os.path.join(md_dir, "v1.metadata.json"))
+    with pytest.raises(ValueError, match="retention rule"):
+        iceberg_expire_snapshots(p)
+    with pytest.raises(ValueError, match="at least one"):
+        iceberg_expire_snapshots(p, retain_last=0)
