@@ -8293,8 +8293,49 @@ def delta_native_merge_clauses(
     )
 
 
+def _scope_adds_df(
+    spark: SparkSession, meta: dict, adds_df: DataFrame, where
+) -> DataFrame:
+    """Filter a distributed adds frame (carrying ``partitionValues``)
+    to partitions matching an arbitrary partition predicate. The
+    predicate is evaluated ONCE over the DISTINCT partition tuples
+    (metadata-scale, the same typed-cast evaluation as
+    :func:`_scope_partition_predicate`); the matching raw tuples then
+    semi-join back against the adds — a broadcast of O(partitions)
+    rows, never a per-file predicate re-evaluation."""
+    part_cols = (meta or {}).get("partitionColumns") or []
+    if not part_cols:
+        raise ValueError(
+            "a partition-predicate scope requires a partitioned table"
+        )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    tup = adds_df.select(
+        *[F.col("partitionValues").getItem(c).alias(c) for c in part_cols]
+    ).distinct()
+    typed = tup.select(
+        F.struct(*part_cols).alias("__raw"),
+        *[F.col(c).cast(schema[c].dataType).alias(c) for c in part_cols],
+    )
+    hit = [
+        tuple(r["__raw"])
+        for r in typed.where(_coerce_predicate(where)).select("__raw").collect()
+    ]
+    if not hit:
+        return adds_df.where(F.lit(False))
+    match_df = spark.createDataFrame(
+        hit, schema=", ".join(f"`{c}` string" for c in part_cols)
+    )
+    cond = None
+    for c in part_cols:
+        eq = adds_df["partitionValues"].getItem(c).eqNullSafe(match_df[c])
+        cond = eq if cond is None else cond & eq
+    return adds_df.join(F.broadcast(match_df), cond, "left_semi")
+
+
 def delta_fsck(
-    spark: SparkSession, path: str, dry_run: bool = False
+    spark: SparkSession, path: str, dry_run: bool = False, where=None
 ) -> list[str]:
     """``FSCK REPAIR TABLE`` (delta-spark): retire add actions whose
     data files have VANISHED from storage (a cloud lifecycle rule, a
@@ -8313,7 +8354,20 @@ def delta_fsck(
     the listing spills to a temp parquet in ``_VACUUM_CHUNK_ROWS``
     driver chunks, the live side is :func:`delta_snapshot_adds_df`,
     and the driver collects only the MISSING set plus the (rare)
-    absolute refs — never the live set or the full listing."""
+    absolute refs — never the live set or the full listing.
+
+    ``where`` scopes the repair to partitions matching an arbitrary
+    partition predicate (the maintenance-scope sibling of
+    ``OPTIMIZE/VACUUM ... WHERE``): only matching live adds are
+    integrity-checked AND the listing walks only the directories those
+    adds live in — after a lifecycle rule misfires on one partition,
+    the check never pages through years of cold partitions. Unlike
+    VACUUM's scope (candidates are orphans, identity only in the
+    path), FSCK's live side carries ``partitionValues`` in the log, so
+    scoping resolves on METADATA — the predicate is evaluated once
+    over the distinct partition tuples (O(partitions), driver-side,
+    same machinery as OPTIMIZE's scope). Missing files outside the
+    scope are left for an unscoped run."""
     fs, root, jvm = _hadoop_fs(spark, path)
     # relativize DECODED (URI.getPath()), matching how _stage_data_files
     # records add paths — raw-URI string-stripping keeps percent-encoding
@@ -8330,7 +8384,12 @@ def delta_fsck(
         _, meta, _, _ = _snapshot_state(spark, path, include_adds=False)
         if meta is None:
             raise ValueError(f"no delta table at {path}")
-        live_df = delta_snapshot_adds_df(spark, path).select("path")
+        live_df = delta_snapshot_adds_df(spark, path).select(
+            "path", "partitionValues"
+        )
+        if where is not None:
+            live_df = _scope_adds_df(spark, meta, live_df, where)
+        live_df = live_df.select("path")
         is_abs = F.col("path").startswith("/") | F.col("path").rlike(
             r"^[A-Za-z][\w+.-]*:"
         )
@@ -8343,18 +8402,42 @@ def delta_fsck(
                     [(r,) for r in chunk], "path string"
                 ).write.mode("append").parquet(tmp)
 
-            it = fs.listFiles(root, True)
-            while it.hasNext():
-                rel = base_uri.relativize(
-                    it.next().getPath().toUri()
-                ).getPath()
-                if not rel.startswith("_delta_log/") and not rel.startswith(
-                    "/"
-                ):
-                    chunk.append(rel)
-                    if len(chunk) >= _VACUUM_CHUNK_ROWS:
-                        _spill()
-                        chunk.clear()
+            if where is None:
+                roots = [(root, "")]
+            else:
+                # scoped: walk ONLY the partition directories the scoped
+                # adds live in (O(scoped partitions) dirs, derived from
+                # the scoped frame itself) — the cold partitions are
+                # never listed. A fully-vanished directory simply lists
+                # nothing, so its files fall out as MISSING.
+                n = len(meta.get("partitionColumns") or [])
+                dirs = [
+                    r["d"]
+                    for r in live_df.where(~is_abs)
+                    .select(
+                        F.substring_index(F.col("path"), "/", n).alias("d")
+                    )
+                    .distinct()
+                    .collect()
+                ]
+                roots = []
+                for d in dirs:
+                    dp = jvm.org.apache.hadoop.fs.Path(root, d)
+                    if fs.exists(dp):
+                        roots.append((dp, d))
+            for rt, _rel in roots:
+                it = fs.listFiles(rt, True)
+                while it.hasNext():
+                    rel = base_uri.relativize(
+                        it.next().getPath().toUri()
+                    ).getPath()
+                    if not rel.startswith(
+                        "_delta_log/"
+                    ) and not rel.startswith("/"):
+                        chunk.append(rel)
+                        if len(chunk) >= _VACUUM_CHUNK_ROWS:
+                            _spill()
+                            chunk.clear()
             _spill()  # unconditional: the diff needs the dir even if empty
             missing = sorted(
                 r["path"]
@@ -8373,12 +8456,30 @@ def delta_fsck(
         _, meta, live, _ = _snapshot_state(spark, path)
         if meta is None:
             raise ValueError(f"no delta table at {path}")
+        if where is not None:
+            live = _scope_partition_predicate(spark, meta, live, where)
+            scoped_dirs = {
+                f.rsplit("/", 1)[0]
+                for f in live
+                if not _is_absolute_ref(f) and "/" in f
+            }
+            list_roots = [
+                jvm.org.apache.hadoop.fs.Path(root, d) for d in scoped_dirs
+            ]
+            list_roots = [p for p in list_roots if fs.exists(p)]
+        else:
+            list_roots = [root]
         present: set[str] = set()
-        it = fs.listFiles(root, True)
-        while it.hasNext():
-            rel = base_uri.relativize(it.next().getPath().toUri()).getPath()
-            if not rel.startswith("_delta_log/") and not rel.startswith("/"):
-                present.add(rel)
+        for rt in list_roots:
+            it = fs.listFiles(rt, True)
+            while it.hasNext():
+                rel = base_uri.relativize(
+                    it.next().getPath().toUri()
+                ).getPath()
+                if not rel.startswith("_delta_log/") and not rel.startswith(
+                    "/"
+                ):
+                    present.add(rel)
         missing = [
             f
             for f in sorted(live)

@@ -1152,3 +1152,170 @@ def iceberg_expire_snapshots(
         if os.path.exists(p):
             os.remove(p)
     return out
+
+
+def iceberg_rewrite_manifests(
+    path: str, manifest_target_entries: int = 100_000
+) -> dict:
+    """Iceberg ``rewriteManifests`` over the UniForm tree: re-shard the
+    CURRENT snapshot's DATA manifests to ``manifest_target_entries``
+    (partition-major, fresh spec-507 field summaries per shard) and
+    commit the result as a new ``replace`` snapshot — table data is
+    untouched, only the metadata layout changes. The maintenance story
+    this completes: a tree synced while the table was small carries
+    many tiny manifests (or one monolith synced before sharding
+    existed); re-sharding restores manifest-level pruning without
+    re-reading a byte of data. Entries are rewritten as EXISTING
+    (status 0) with their ORIGINAL snapshot-id and sequence numbers —
+    the spec's rule that a rewrite must not disturb data lineage, and
+    what keeps position-delete applicability (delete seq >= data seq)
+    intact. DELETE manifests (content=1) carry over verbatim, matching
+    Iceberg's default rewrite scope. The superseded snapshot stays in
+    the lineage (time travel intact); its old manifests become
+    reclaimable by :func:`iceberg_expire_snapshots` once it ages out.
+
+    Cost shape: O(manifest entries) metadata read+write, zero data IO —
+    at 10^6 files this is the same order as writing one checkpoint."""
+    import math
+
+    md_dir = os.path.join(path, "metadata")
+    hint = os.path.join(md_dir, "version-hint.text")
+    md_version = int(open(hint).read().strip())
+    md_path = os.path.join(md_dir, f"v{md_version}.metadata.json")
+    md = json.loads(open(md_path).read())
+    cur = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, _, mrows = read_ocf(cur["manifest-list"])
+    data_rows = [m for m in mrows if m.get("content", 0) == 0]
+    carried_rows = [m for m in mrows if m.get("content", 0) != 0]
+    entries: list[dict] = []
+    for m in data_rows:
+        _, _, es = read_ocf(m["manifest_path"])
+        for e in es:
+            if e["status"] in (1, 0):
+                entries.append(
+                    {
+                        "status": 0,  # EXISTING: lineage untouched
+                        "snapshot_id": e["snapshot_id"],
+                        "sequence_number": e["sequence_number"],
+                        "file_sequence_number": e["file_sequence_number"],
+                        "data_file": e["data_file"],
+                    }
+                )
+    ice_schema = md["schemas"][md["current-schema-id"]]
+    spec_fields = md["partition-specs"][md["default-spec-id"]]["fields"]
+    ice_by_id = {f["id"]: f for f in ice_schema["fields"]}
+    pcols = [f["name"] for f in spec_fields]
+    ice_by_name = {
+        f["name"]: ice_by_id[f["source-id"]] for f in spec_fields
+    }
+    part_avro_fields = [
+        {
+            "name": f["name"],
+            "type": ["null", _ICEBERG_TO_AVRO[ice_by_id[f["source-id"]]["type"]]],
+            "field-id": f["field-id"],
+        }
+        for f in spec_fields
+    ]
+    if pcols:
+        entries.sort(
+            key=lambda e: tuple(
+                (
+                    e["data_file"]["partition"][c] is None,
+                    e["data_file"]["partition"][c]
+                    if e["data_file"]["partition"][c] is not None
+                    else 0,
+                )
+                for c in pcols
+            )
+            + (e["data_file"]["file_path"],)
+        )
+    new_version = md_version + 1
+    snapshot_id = new_version
+    n_shards = max(1, math.ceil(len(entries) / manifest_target_entries))
+    size = math.ceil(len(entries) / n_shards) if entries else 1
+    shards = [
+        entries[i : i + size] for i in range(0, len(entries), size)
+    ] or [[]]
+    entry_schema = _manifest_entry_schema(part_avro_fields)
+    manifest_meta = {
+        "schema": json.dumps(ice_schema),
+        "schema-id": str(md["current-schema-id"]),
+        "partition-spec": json.dumps(spec_fields),
+        "partition-spec-id": str(md["default-spec-id"]),
+        "format-version": "2",
+    }
+    mlist_rows: list[dict] = []
+    manifest_paths: list[str] = []
+    for si, shard in enumerate(shards):
+        mp = os.path.join(
+            md_dir, f"m{new_version}-rw{si}-{len(shard)}.avro"
+        )
+        mlen = write_ocf(
+            mp, entry_schema, shard, extra_meta=manifest_meta | {"content": "data"}
+        )
+        manifest_paths.append(mp)
+        seqs = [e["sequence_number"] for e in shard] or [cur["sequence-number"]]
+        mlist_rows.append(
+            {
+                "manifest_path": mp,
+                "manifest_length": mlen,
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": cur["sequence-number"],
+                "min_sequence_number": min(seqs),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": 0,
+                "existing_files_count": len(shard),
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": sum(
+                    e["data_file"]["record_count"] for e in shard
+                ),
+                "deleted_rows_count": 0,
+                "partitions": _field_summaries(shard, pcols, ice_by_name),
+            }
+        )
+    mlist_rows += carried_rows  # delete manifests verbatim
+    mlist_path = os.path.join(
+        md_dir, f"snap-{snapshot_id}-{new_version}.avro"
+    )
+    write_ocf(mlist_path, _MANIFEST_LIST_SCHEMA, mlist_rows)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        # a rewrite adds no data: the sequence number is REUSED per the
+        # spec's metadata-only-commit allowance; what matters is that
+        # carried position deletes keep applying (delete seq >= data seq)
+        "sequence-number": cur["sequence-number"],
+        "timestamp-ms": new_version,
+        "summary": {"operation": "replace"},
+        "manifest-list": mlist_path,
+        "schema-id": md["current-schema-id"],
+    }
+    new_md = dict(md)
+    new_md["snapshots"] = md["snapshots"] + [snapshot]
+    new_md["current-snapshot-id"] = snapshot_id
+    new_md["last-updated-ms"] = new_version
+    new_md["snapshot-log"] = md.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": new_version}
+    ]
+    new_md["metadata-log"] = md.get("metadata-log", []) + [
+        {"metadata-file": md_path, "timestamp-ms": md_version}
+    ]
+    new_md_path = os.path.join(md_dir, f"v{new_version}.metadata.json")
+    with open(new_md_path, "w") as f:
+        json.dump(new_md, f, indent=1)
+    with open(hint, "w") as f:
+        f.write(str(new_version))
+    return {
+        "snapshot_id": snapshot_id,
+        "metadata_path": new_md_path,
+        "manifest_list": mlist_path,
+        "manifests": manifest_paths,
+        "n_data_manifests": len(shards),
+        "n_carried_delete_manifests": len(carried_rows),
+        "n_entries": len(entries),
+    }

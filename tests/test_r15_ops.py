@@ -777,3 +777,133 @@ def test_iceberg_expire_older_than_keeps_retain_floor_and_deletes(
         iceberg_expire_snapshots(p)
     with pytest.raises(ValueError, match="at least one"):
         iceberg_expire_snapshots(p, retain_last=0)
+
+
+# --- WHERE-scoped FSCK (r15: maintenance scoping parity) ---------------------
+
+
+def test_fsck_where_scopes_repair(spark, sf_smoke):
+    """Scoped FSCK checks ONLY matching partitions: with one file
+    vanished in partition 1 and one in partition 3, `where="...= 1"`
+    names and repairs only partition 1's loss; partition 3's stays for
+    the unscoped run. Unpartitioned tables refuse a scope."""
+    r = load_table(spark, sf_smoke, "region").select("r_regionkey", "r_name")
+    p = tempfile.mkdtemp(prefix="ls_fsck_where_")
+    dl.delta_write(r, p, partition_by=["r_regionkey"])
+    live = sorted(dl.delta_live_files(spark, p))
+    lost1 = next(f for f in live if f.startswith("r_regionkey=1/"))
+    lost3 = next(f for f in live if f.startswith("r_regionkey=3/"))
+    os.remove(os.path.join(p, lost1))
+    os.remove(os.path.join(p, lost3))
+    dry = dl.delta_fsck(spark, p, dry_run=True, where="r_regionkey = 1")
+    assert dry == [lost1]
+    assert dl.delta_fsck(spark, p, where="r_regionkey = 1") == [lost1]
+    # partition 3's loss is out of scope and still pending
+    assert dl.delta_fsck(spark, p, dry_run=True) == [lost3]
+    assert dl.delta_fsck(spark, p) == [lost3]
+    assert dl.delta_read(spark, p).count() == 3
+    up, _, _ = _gen_table(spark, sf_smoke, "ls_fsck_where_val_")
+    with pytest.raises(ValueError, match="partitioned"):
+        dl.delta_fsck(spark, up, where="r_regionkey = 1")
+
+
+def test_fsck_where_distributed_scope(spark, sf_smoke, monkeypatch):
+    """Above the threshold the scoped live side is the distributed adds
+    frame semi-joined on the matched partition tuples; the driver
+    collects only the scoped MISSING set, and a partition whose entire
+    directory vanished still reports all its files."""
+    r = load_table(spark, sf_smoke, "region").select("r_regionkey", "r_name")
+    p = tempfile.mkdtemp(prefix="ls_fsck_where_dist_")
+    dl.delta_write(r, p, partition_by=["r_regionkey"])
+    dl.delta_checkpoint(spark, p)
+    live = sorted(dl.delta_live_files(spark, p))
+    lost2 = [f for f in live if f.startswith("r_regionkey=2/")]
+    lost4 = next(f for f in live if f.startswith("r_regionkey=4/"))
+    import shutil
+
+    shutil.rmtree(os.path.join(p, "r_regionkey=2"))  # whole dir gone
+    os.remove(os.path.join(p, lost4))
+    collected = _spy_dist(monkeypatch)
+    dry = dl.delta_fsck(spark, p, dry_run=True, where="r_regionkey IN (2, 4)")
+    assert dry == sorted(lost2 + [lost4])
+    assert collected and sum(collected) == len(dry)
+    # out-of-scope partitions were never part of the diff
+    assert dl.delta_fsck(spark, p, dry_run=True, where="r_regionkey = 0") == []
+    assert dl.delta_fsck(spark, p, where="r_regionkey IN (2, 4)") == dry
+    assert dl.delta_read(spark, p).count() == 3
+
+
+def test_iceberg_rewrite_manifests_reshards_without_data_change(
+    spark, sf_smoke
+):
+    """rewriteManifests: re-shard the current snapshot's data manifests
+    (split then merge) with ZERO data change — reads identical before
+    and after, entries rewritten as EXISTING with their original
+    snapshot lineage, delete manifests carried verbatim (DV rows still
+    fall out of the merge-on-read), prior snapshots still
+    time-travelable, and the superseded manifests reclaimable by
+    expiration afterwards."""
+    from lakesail_hdfs_deltalake_guide_spark.sources.uniform import (
+        iceberg_expire_snapshots,
+        iceberg_read_rows,
+        iceberg_rewrite_manifests,
+        read_ocf,
+        uniform_sync,
+    )
+
+    n = load_table(spark, sf_smoke, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    p = tempfile.mkdtemp(prefix="ls_unif_rw_")
+    dl.delta_write(
+        n,
+        p,
+        partition_by=["n_regionkey"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    # an in-file delete (the partition has 4 other rows), so a real DV
+    dl.delta_delete_dv(spark, p, "n_nationkey = 4")
+    s1 = uniform_sync(spark, p)
+    assert s1["n_delete_rows"] == 1
+    want = sorted(
+        (row["n_nationkey"], row["n_name"])
+        for row in iceberg_read_rows(spark, p).collect()
+    )
+    assert len(want) == 24  # key 4 DV-deleted
+    rw = iceberg_rewrite_manifests(p, manifest_target_entries=2)
+    assert rw["n_data_manifests"] >= 2  # actually split
+    assert rw["n_carried_delete_manifests"] == 1
+    got = sorted(
+        (row["n_nationkey"], row["n_name"])
+        for row in iceberg_read_rows(spark, p).collect()
+    )
+    assert got == want
+    # entries are EXISTING (status 0) and keep the ADDING snapshot's id
+    _, _, entries = read_ocf(rw["manifests"][0])
+    assert {e["status"] for e in entries} == {0}
+    assert {e["snapshot_id"] for e in entries} == {s1["snapshot_id"]}
+    assert {e["sequence_number"] for e in entries} == {s1["snapshot_id"]}
+    # per-shard field summaries still guide partition pruning
+    _, _, mrows = read_ocf(rw["manifest_list"])
+    data_rows = [m for m in mrows if m.get("content", 0) == 0]
+    assert all(m["partitions"] for m in data_rows)
+    assert all(m["existing_files_count"] > 0 for m in data_rows)
+    # the pre-rewrite snapshot is still addressable
+    tt = iceberg_read_rows(spark, p, snapshot_id=s1["snapshot_id"])
+    assert tt.count() == 24
+    # merge back into one manifest; reads unchanged
+    rw2 = iceberg_rewrite_manifests(p)
+    assert rw2["n_data_manifests"] == 1
+    got2 = sorted(
+        (row["n_nationkey"], row["n_name"])
+        for row in iceberg_read_rows(spark, p).collect()
+    )
+    assert got2 == want
+    # expiration reclaims the superseded snapshots' manifest files
+    exp = iceberg_expire_snapshots(p, retain_last=1)
+    assert set(exp["expired_snapshot_ids"]) == {
+        s1["snapshot_id"],
+        rw["snapshot_id"],
+    }
+    assert any("rw" in os.path.basename(f) for f in exp["deleted_files"])
+    assert iceberg_read_rows(spark, p).count() == 24
