@@ -127,12 +127,31 @@ def main() -> None:
             reran[name] = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings[name], reran[name])
 
+    # Host-speed canary, RECORDED never GATED on: one fixed CPU-bound JVM
+    # probe and one single-thread Python probe. The r15 host reboot made
+    # the same code read 1.8x slower uniformly across all 77 pins — with
+    # the canary in the sidecar, that adjudicates from the artifact
+    # itself (canary up ~= run median up => host, not regression)
+    # instead of requiring a sandbox to re-measure.
+    t0 = time.perf_counter()
+    spark.range(100_000_000).selectExpr(
+        # bit_xor fold: ANSI-safe (sum of 1e8 hashed longs overflows)
+        "bit_xor(xxhash64(id)) as s"
+    ).collect()
+    jvm_canary = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i ^ (i >> 3)
+    py_canary = round(time.perf_counter() - t0, 4)
+
     out: dict = {
         "metric": "bench_total_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
+        "host_canary": {"jvm_sec": jvm_canary, "py_sec": py_canary},
     }
     if pins:
         out["vs_pin"] = {
