@@ -679,6 +679,41 @@ ORDER BY rank_e12 DESC, n_name
 BASKET_CAP = 15  # hub guard: ignore orders with more distinct parts
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct co-purchase edges (u < v) of the part graph — the shared
+    prelude of the whole graph family (triangles, k-core, FoF, AA,
+    association rules, degree distribution).
+
+    One aggregation instead of the former distinct + degree-agg + scope
+    join + self-join chain (5 exchanges → 2): ``collect_set`` per order
+    dedups parts AND yields the basket size for the hub guard in the
+    same pass, and the ``u < v`` pairs fall out of the sorted basket
+    array inline (≤ C(BASKET_CAP, 2) = 105 structs per order — bounded
+    per-row work, never a join explosion). Row-identical to the
+    self-join formulation: same distinct-(order, part) input, same
+    basket cap on distinct part count, same u < v pair set."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    return (
+        baskets.where(F.size("parts") <= BASKET_CAP)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts) - i - 1),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .distinct()
+    )
+
+
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the part co-purchase graph (nodes = parts,
     edge = two parts in the same order) — the clustering-structure
@@ -701,24 +736,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       cost is visible).
     - every aggregate is a single row; the three counts cross-join at
       the end (1×1×1)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = li.distinct()
-    small = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .where(F.col("n_parts") <= BASKET_CAP)
-        .select("l_orderkey")
-    )
-    in_scope = items.join(small, "l_orderkey")
-    a = in_scope.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = in_scope.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)  # read 4x below; truncate lineage once
-    )
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # read 4x below; truncate lineage once
     nodes = (
         edges.select(F.col("u").alias("n"))
         .unionAll(edges.select(F.col("v").alias("n")))
@@ -758,54 +778,41 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage — the standard iterate-materialize layout (Pregel-style
     supersteps). Hub baskets are capped up front as in the triangle
     census."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = li.distinct()
-    small = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .where(F.col("n_parts") <= BASKET_CAP)
-        .select("l_orderkey")
-    )
-    in_scope = items.join(small, "l_orderkey")
-    a = in_scope.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = in_scope.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
 
-    def stats(e: DataFrame, rnd: int) -> DataFrame:
-        n_nodes = e.select(F.explode(F.array("u", "v")).alias("n")).agg(
-            F.countDistinct("n").alias("n_nodes")
-        )
-        return (
-            n_nodes.crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
-            .select(
-                F.lit(rnd).cast("bigint").alias("round"),
-                "n_nodes",
-                "n_edges",
-            )
-        )
-
-    out = stats(edges, 0)
+    # r15 optimization: the per-round degree table serves BOTH the peel
+    # (kept = deg >= K) and the round's ledger row — n_nodes is its row
+    # count (distinct endpoints by construction) and n_edges is
+    # sum(deg) DIV 2 (every edge counted at both endpoints) — replacing
+    # the former per-round countDistinct explode + count pass. persist()
+    # (lazy, metadata-sized frame) lets the final action reuse the copy
+    # the next round's checkpoint already materialized.
+    out: DataFrame | None = None
     cur = edges
-    for rnd in range(1, KCORE_ROUNDS + 1):
+    for rnd in range(KCORE_ROUNDS + 1):
         deg = (
             cur.select(F.explode(F.array("u", "v")).alias("n"))
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("deg"))
+            .persist()
         )
-        kept = deg.where(F.col("deg") >= KCORE_K).select("n")
-        cur = (
-            cur.join(kept.withColumnRenamed("n", "u"), "u", "left_semi")
-            .join(kept.withColumnRenamed("n", "v"), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
+        st = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.expr("coalesce(sum(deg), 0) DIV 2")
+            .cast("long")
+            .alias("n_edges"),
+        ).select(
+            F.lit(rnd).cast("bigint").alias("round"), "n_nodes", "n_edges"
         )
-        out = out.unionByName(stats(cur, rnd))
+        out = st if out is None else out.unionByName(st)
+        if rnd < KCORE_ROUNDS:
+            kept = deg.where(F.col("deg") >= KCORE_K).select("n")
+            cur = (
+                cur.join(kept.withColumnRenamed("n", "u"), "u", "left_semi")
+                .join(kept.withColumnRenamed("n", "v"), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
     return out.orderBy("round")
 
 
@@ -914,23 +921,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin = ⌊log2(degree)⌋ via the exact bin()-length idiom, one
     aggregation over the degree table. The log-binned histogram is what
     stays readable when degrees span 6 orders of magnitude."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    items = li.distinct()
-    small = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .where(F.col("n_parts") <= BASKET_CAP)
-        .select("l_orderkey")
-    )
-    in_scope = items.join(small, "l_orderkey")
-    a = in_scope.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = in_scope.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
@@ -1049,26 +1040,62 @@ FOF_MIN_COMMON = 2  # evidence floor
 WEDGE_NEIGHBOR_CAP: int | None = 64
 
 
-def _cap_wedge_fanout(adj: DataFrame, cap: int | None) -> DataFrame:
-    """Per middle node ``u``, keep only its top-``cap`` neighbors —
-    highest neighbor-degree first (a high-degree endpoint appears in
-    many other wedges, so it is the likeliest member of a surviving
-    top-k pair), ties by neighbor id for determinism. The rank window
-    is PARTITIONED by the middle node, so at scale this is one hash
-    exchange plus per-group heaps — never a global sort. ``None``
-    returns the adjacency unchanged."""
-    if cap is None:
-        return adj
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("_nd"))
+def _middle_wedge_pairs(edges: DataFrame, cap: int | None) -> DataFrame:
+    """Wedge pairs ``(b, b_deg, pa, pc)`` per admitted middle node
+    ``b`` — the shared FoF/Adamic-Adar kernel, formulated as ONE
+    aggregation instead of the former legs self-join (r15 optimization:
+    the capping window + w1 ⋈ w2 on the middle key shuffled the leg
+    frame three times; collecting each admitted middle's neighbor list
+    once and emitting the pairs inline shuffles it once and keeps the
+    explosion bounded per row, C(cap, 2) ≤ 2016 structs).
+
+    Row-identical to the former formulation: middles admitted by full
+    adjacency degree ≤ FOF_MIDDLE_CAP (the degree filter moves BEFORE
+    the collect, so per-group state is bounded by the cap even on a
+    100 TB hub graph), fan-out capped to the top-``cap`` neighbors by
+    (neighbor-degree desc, id asc) — ``array_sort`` over
+    ``struct(-v_deg, v)`` is exactly that order — and every unordered
+    ``pa < pc`` pair of the capped neighbor set emitted once.
+    ``cap=None`` keeps all neighbors (exact enumeration)."""
+    adj = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    mids = deg.where(F.col("deg") <= FOF_MIDDLE_CAP)
     nbr = adj.join(
-        deg.select(F.col("u").alias("v"), F.col("_nd").alias("v_deg")),
+        mids.select("u", F.col("deg").alias("b_deg")), "u"
+    ).join(
+        deg.select(F.col("u").alias("v"), F.col("deg").alias("v_deg")),
         "v",
     )
-    wsel = Window.partitionBy("u").orderBy(F.desc("v_deg"), F.asc("v"))
+    per_mid = nbr.groupBy("u", "b_deg").agg(
+        F.collect_list(
+            F.struct(
+                (-F.col("v_deg")).alias("nk"), F.col("v").alias("v")
+            )
+        ).alias("ns")
+    )
+    sel = (
+        F.array_sort("ns")
+        if cap is None
+        else F.slice(F.array_sort("ns"), 1, cap)
+    )
     return (
-        nbr.withColumn("_rn", F.row_number().over(wsel))
-        .where(F.col("_rn") <= cap)
-        .select("u", "v")
+        per_mid.select(
+            F.col("u").alias("b"), "b_deg", sel.alias("sel")
+        )
+        .select(
+            "b",
+            "b_deg",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sel, x ->"
+                    " transform(filter(sel, y -> x.v < y.v),"
+                    " y -> struct(x.v AS pa, y.v AS pc))))"
+                )
+            ).alias("p"),
+        )
+        .select("b", "b_deg", "p.pa", "p.pc")
     )
 
 
@@ -1077,45 +1104,11 @@ def graph_fof_recommendations(
 ) -> DataFrame:
     """Top-20 non-adjacent part pairs by common-neighbor count in the
     co-purchase graph: (part_a, part_b, common_neighbors, rank)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    items = li.distinct()
-    small = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .where(F.col("n_parts") <= BASKET_CAP)
-        .select("l_orderkey")
-    )
-    in_scope = items.join(small, "l_orderkey")
-    a = in_scope.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = in_scope.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)  # adjacency read 3x below
-    )
-    adj = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    mid_ok = (
-        adj.groupBy("u")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .where(F.col("deg") <= FOF_MIDDLE_CAP)
-        .select(F.col("u").alias("b"))
-    )
-    # adj is symmetric, so reading both wedge legs from the (optionally
-    # fan-out-capped) per-middle neighbor list is row-identical to the
-    # original v/u relabeling when the cap is off.
-    legs = _cap_wedge_fanout(adj, WEDGE_NEIGHBOR_CAP)
-    w1 = legs.select(F.col("u").alias("b"), F.col("v").alias("pa"))
-    w2 = legs.select(F.col("u").alias("b"), F.col("v").alias("pc"))
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # feeds the wedge kernel and the adjacency anti-join
     wedges = (
-        w1.join(w2, "b")
-        .join(mid_ok, "b", "left_semi")
-        .where(F.col("pa") < F.col("pc"))
+        _middle_wedge_pairs(edges, WEDGE_NEIGHBOR_CAP)
         .groupBy("pa", "pc")
         .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
         .where(F.col("common_neighbors") >= FOF_MIN_COMMON)
@@ -1211,50 +1204,20 @@ _AA_LUT = ",".join(
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 non-adjacent part pairs by Adamic-Adar score (micro
     units): (part_a, part_b, aa_micro, n_common, rank)."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    items = li.distinct()
-    small = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .where(F.col("n_parts") <= BASKET_CAP)
-        .select("l_orderkey")
-    )
-    in_scope = items.join(small, "l_orderkey")
-    a = in_scope.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = in_scope.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .where(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    adj = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    mid = (
-        deg.where(
-            (F.col("deg") <= FOF_MIDDLE_CAP) & (F.col("deg") >= 2)
-        )
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # the middle's AA weight is a pure function of its full adjacency
+    # degree, which the wedge kernel carries per pair as b_deg (the
+    # former deg >= 2 filter is implied: a degree-1 middle emits no
+    # pair at all)
+    wedges = (
+        _middle_wedge_pairs(edges, WEDGE_NEIGHBOR_CAP)
         .select(
-            F.col("u").alias("b"),
+            "pa",
+            "pc",
             F.expr(
-                f"element_at(array({_AA_LUT}), CAST(deg - 1 AS INT))"
+                f"element_at(array({_AA_LUT}), CAST(b_deg - 1 AS INT))"
             ).alias("w_micro"),
         )
-    )
-    # Same optional fan-out guard as FoF (see _cap_wedge_fanout):
-    # row-identical relabeling when the cap is off.
-    legs = _cap_wedge_fanout(adj, WEDGE_NEIGHBOR_CAP)
-    w1 = legs.select(F.col("u").alias("b"), F.col("v").alias("pa"))
-    w2 = legs.select(F.col("u").alias("b"), F.col("v").alias("pc"))
-    wedges = (
-        w1.join(w2, "b")
-        .join(mid, "b")
-        .where(F.col("pa") < F.col("pc"))
         .groupBy("pa", "pc")
         .agg(
             F.sum("w_micro").cast("long").alias("aa_micro"),
