@@ -1095,89 +1095,94 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit; pool recall vs the brute-force top-POOL is asserted
     in tests/test_r10_ops.py — the recall-audit pattern."""
     pool = ivf_candidate_pool(spark, sf_dir, MMR_POOL)
-    a, b = pool.alias("a"), pool.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.query_id") == F.col("b.query_id"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.query_id").alias("query_id"),
-            F.col("a.vec_id").alias("ca"),
-            F.col("b.vec_id").alias("cb"),
-            F.floor(
-                cosine(F.col("a.cv"), F.col("b.cv")) * 1_000_000 + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("sim_micro"),
-        )
-        .localCheckpoint(eager=True)  # POOL² rows/query, constant-bounded
+    # r15 optimization: the greedy chain is CONSTANT-sized per query
+    # (POOL items, MMR_SELECT steps), so it folds entirely inside ONE
+    # aggregation — collect each query's pool once and unroll the
+    # argmax steps as higher-order functions in the JVM, instead of the
+    # former 4 localCheckpointed join+window rounds (4 jobs, ~16
+    # exchanges → 1 exchange). Arithmetic is unchanged bit-for-bit:
+    # sim_micro = floor(cosine·10⁶ + 0.5) over the same double cosine,
+    # score = rel·7 − max_sim·3, ties by vec_id — argmax via
+    # array_sort over struct(−score, vec_id).
+    items = pool.groupBy("query_id").agg(
+        F.collect_list(F.struct("vec_id", "rel_micro", "cv")).alias("its")
     )
-    slim = pool.select("query_id", "vec_id", "rel_micro")
-    first = (
-        slim.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.desc("rel_micro"), F.asc("vec_id")
-                )
+
+    def sim(acv, bcv):
+        return F.floor(cosine(acv, bcv) * 1_000_000 + F.lit(0.5)).cast(
+            "long"
+        )
+
+    def argmax(scored):
+        # scored: array<struct<vec_id, rel_micro, cv, score>> → best by
+        # (score desc, vec_id asc)
+        keyed = F.transform(
+            scored,
+            lambda c: F.struct(
+                (-c["score"]).alias("k1"),
+                c["vec_id"].alias("k2"),
+                c.alias("c"),
             ),
         )
-        .where(F.col("rn") == 1)
-        .select(
-            "query_id",
-            F.lit(1).cast("long").alias("pick"),
-            "vec_id",
-            "rel_micro",
-            (F.col("rel_micro") * 7).alias("mmr_score"),
+        return F.element_at(F.array_sort(keyed), 1)["c"]
+
+    def pick_struct(t, cand):
+        return F.struct(
+            t.cast("long").alias("pick"),
+            cand["vec_id"].alias("vec_id"),
+            cand["rel_micro"].alias("rel_micro"),
+            cand["score"].alias("mmr_score"),
+            cand["cv"].alias("cv"),
         )
+
+    first_scored = F.transform(
+        F.col("its"),
+        lambda i: F.struct(
+            i["vec_id"].alias("vec_id"),
+            i["rel_micro"].alias("rel_micro"),
+            i["cv"].alias("cv"),
+            (i["rel_micro"] * 7).alias("score"),
+        ),
     )
-    selected = first
-    for t in range(2, MMR_SELECT + 1):
-        remaining = slim.join(
-            selected.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti"
+    init = F.array(pick_struct(F.lit(1), argmax(first_scored)))
+
+    def step(acc, t):
+        cands = F.filter(
+            F.col("its"),
+            lambda i: ~F.exists(acc, lambda a: a["vec_id"] == i["vec_id"]),
         )
-        redun = (
-            pairs.join(
-                selected.select(
-                    "query_id", F.col("vec_id").alias("cb")
-                ),
-                ["query_id", "cb"],
-            )
-            .groupBy("query_id", F.col("ca").alias("vec_id"))
-            .agg(F.max("sim_micro").alias("max_sim_micro"))
-        )
-        scored = remaining.join(redun, ["query_id", "vec_id"]).select(
-            "query_id",
-            "vec_id",
-            "rel_micro",
-            (F.col("rel_micro") * 7 - F.col("max_sim_micro") * 3).alias(
-                "mmr_score"
-            ),
-        )
-        pick = (
-            scored.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("query_id").orderBy(
-                        F.desc("mmr_score"), F.asc("vec_id")
+        scored = F.transform(
+            cands,
+            lambda i: F.struct(
+                i["vec_id"].alias("vec_id"),
+                i["rel_micro"].alias("rel_micro"),
+                i["cv"].alias("cv"),
+                (
+                    i["rel_micro"] * 7
+                    - 3
+                    * F.array_max(
+                        F.transform(acc, lambda a: sim(i["cv"], a["cv"]))
                     )
-                ),
-            )
-            .where(F.col("rn") == 1)
-            .select(
-                "query_id",
-                F.lit(t).cast("long").alias("pick"),
-                "vec_id",
-                "rel_micro",
-                "mmr_score",
-            )
+                ).alias("score"),
+            ),
         )
-        # checkpoint keeps the greedy chain's plan linear in steps (each
-        # step references the previous selection three times)
-        selected = selected.unionByName(pick).localCheckpoint(eager=True)
-    return selected.orderBy("query_id", "pick")
+        return F.when(
+            F.size(cands) > 0,
+            F.concat(acc, F.array(pick_struct(t, argmax(scored)))),
+        ).otherwise(acc)
+
+    sel = F.aggregate(F.sequence(F.lit(2), F.lit(MMR_SELECT)), init, step)
+    return (
+        items.select("query_id", F.explode(sel).alias("s"))
+        .select(
+            "query_id",
+            F.col("s.pick").alias("pick"),
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("s.rel_micro").alias("rel_micro"),
+            F.col("s.mmr_score").alias("mmr_score"),
+        )
+        .orderBy("query_id", "pick")
+    )
 
 
 # int8 quantization + integer dot in DuckDB list expressions; the double
