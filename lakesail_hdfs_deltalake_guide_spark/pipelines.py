@@ -29,6 +29,18 @@ from .querydef import QueryDef
 
 MIN_CHARS = 50  # silver quality gate
 
+# r15 optimization (guide §6, output file sizing): every pipeline
+# state/bronze table opts into the engine's optimizeWrite at CREATION —
+# the staged write then runs through an AQE REBALANCE exchange that
+# sizes output partitions to the advisory partition size. At fixture
+# scale that is 1 file per commit instead of one shard per task (32
+# near-empty files: measured 2.6 s → 0.6 s per commit, 1.9 s → 0.3 s
+# per snapshot read); at 100 TB the same conf yields advisory-sized
+# files — the knob is scale-adaptive by construction, not a local[32]
+# tune. Row-level results are unaffected (these tables' queries report
+# rows/ledgers, never file counts).
+_OPTWRITE = {"delta.autoOptimize.optimizeWrite": "true"}
+
 
 def pipeline_medallion_incremental(
     spark: SparkSession, sf_dir: str
@@ -90,6 +102,7 @@ def pipeline_medallion_incremental(
             silver,
             mode="append",
             txn=(app, int(batch_id)),
+            configuration=_OPTWRITE,  # seeds v0 only (first batch)
         )
 
     def drain() -> None:
@@ -105,7 +118,9 @@ def pipeline_medallion_incremental(
         q.awaitTermination()
 
     ckpt = tempfile.mkdtemp(prefix="ls_med_ckpt_")
-    delta_write(d, bronze, mode="overwrite")  # bronze v0: originals
+    delta_write(
+        d, bronze, mode="overwrite", configuration=_OPTWRITE
+    )  # bronze v0: originals
     drain()
     dupes = d.where(F.col("doc_id") < 50).withColumn(
         "doc_id", F.col("doc_id") + PLANT_OFFSET
@@ -237,7 +252,12 @@ def pipeline_cdf_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 txn=(app, int(batch_id)),
             )
         else:
-            delta_write(folded, hist, txn=(app, int(batch_id)))
+            delta_write(
+                folded,
+                hist,
+                txn=(app, int(batch_id)),
+                configuration=_OPTWRITE,
+            )
 
     def drain() -> None:
         q = (
@@ -253,7 +273,9 @@ def pipeline_cdf_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     delta_write(
-        c, src, configuration={"delta.enableChangeDataFeed": "true"}
+        c,
+        src,
+        configuration={**_OPTWRITE, "delta.enableChangeDataFeed": "true"},
     )  # v0: inserts
     delta_update(
         spark, src, "c_custkey % 5 = 0", {"segment": F.lit("UPGRADED")}
@@ -311,7 +333,9 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_path = tempfile.mkdtemp(prefix="ls_dedup_state_")
     # v0: empty state with the right schema
     delta_write(
-        spark.createDataFrame([], "fp string, first_doc long"), state_path
+        spark.createDataFrame([], "fp string, first_doc long"),
+        state_path,
+        configuration=_OPTWRITE,
     )
     out_rows = []
     batches = (("batch_1", (0, 1)), ("batch_2", (1, 2)))
@@ -418,7 +442,7 @@ def pipeline_incremental_minhash(
     state_path = tempfile.mkdtemp(prefix="ls_minhash_state_")
     # v0: empty state carved from the band stream itself, so the state
     # schema (incl. nullability) matches every future append exactly
-    delta_write(bands_all.limit(0), state_path)
+    delta_write(bands_all.limit(0), state_path, configuration=_OPTWRITE)
     out_rows = []
     batches = (
         ("batch_1", F.col("doc_id") < PLANT_OFFSET),
@@ -583,7 +607,7 @@ def pipeline_incremental_ann_index(
         _assign_centroids(e.limit(0), "v", coarse, 1)
         .select("vec_id", "centroid_id")
     )
-    delta_write(empty, path)  # v0: typed empty state
+    delta_write(empty, path, configuration=_OPTWRITE)  # v0: typed empty state
     for cond in (F.col("vec_id") % 2 == 0, F.lit(True)):
         batch = e.where(cond)
         assigned = _assign_centroids(batch, "v", coarse, 1).select(
@@ -725,8 +749,18 @@ def pipeline_incremental_sessions(
     open1 = s1.where(F.col("end_ns") >= wm1 - SESSION_GAP_NS).select(
         "user_id", "start_ns", "end_ns", "n_events"
     )
-    delta_write(_canon_session_cols(closed1), sessions_path, mode="overwrite")
-    delta_write(_canon_session_cols(open1), state_path, mode="overwrite")
+    delta_write(
+        _canon_session_cols(closed1),
+        sessions_path,
+        mode="overwrite",
+        configuration=_OPTWRITE,
+    )
+    delta_write(
+        _canon_session_cols(open1),
+        state_path,
+        mode="overwrite",
+        configuration=_OPTWRITE,
+    )
 
     # --- batch 2: merge against the state read BACK from Delta ---
     state = delta_read(spark, state_path)
@@ -1360,7 +1394,10 @@ def pipeline_curation_incremental(
             batch,
             bronze,
             mode="overwrite" if first_round else "append",
-            configuration={"delta.enableChangeDataFeed": "true"},
+            configuration={
+                **_OPTWRITE,
+                "delta.enableChangeDataFeed": "true",
+            },
         )
         # the increment IS the change feed of this commit
         raw_i = (
@@ -1388,6 +1425,7 @@ def pipeline_curation_incremental(
             new_first.select("h"),
             digest_p,
             mode="overwrite" if first_round else "append",
+            configuration=_OPTWRITE,
         )
         # stage 3: new-vs-(state ∪ new) banded candidates only
         sigs_i = _curation_sigs(s2_i).persist()
@@ -1407,11 +1445,13 @@ def pipeline_curation_incremental(
             sigs_p,
             mode="overwrite" if first_round else "append",
             stats_cols=["doc_id"],
+            configuration=_OPTWRITE,
         )
         delta_write(
             s4_i.select("doc_id", "source", "n_tokens"),
             surv_p,
             mode="overwrite" if first_round else "append",
+            configuration=_OPTWRITE,
         )
         row_counts = []
         for df in (raw_i, s1_i, s2_i, s3_i, s4_i):
