@@ -1042,21 +1042,23 @@ WEDGE_NEIGHBOR_CAP: int | None = 64
 
 def _middle_wedge_pairs(edges: DataFrame, cap: int | None) -> DataFrame:
     """Wedge pairs ``(b, b_deg, pa, pc)`` per admitted middle node
-    ``b`` — the shared FoF/Adamic-Adar kernel, formulated as ONE
-    aggregation instead of the former legs self-join (r15 optimization:
-    the capping window + w1 ⋈ w2 on the middle key shuffled the leg
-    frame three times; collecting each admitted middle's neighbor list
-    once and emitting the pairs inline shuffles it once and keeps the
-    explosion bounded per row, C(cap, 2) ≤ 2016 structs).
+    ``b`` — the shared FoF/Adamic-Adar kernel. Measured verdict (r15):
+    the window-rank capped legs + self-join formulation below beats
+    both array alternatives tried this round (collect-sort-slice with
+    HOF pair unrolling 45.4s, with self-join pair emission 34.2s, vs
+    ~21s for this shape at sf0.1 on the same host) — per-row lambda
+    evaluation over 2k-struct arrays loses to codegen'd join emission,
+    and a ``localCheckpoint`` between the legs and the join destroys
+    the partitioning the self-join would otherwise reuse.
 
-    Row-identical to the former formulation: middles admitted by full
-    adjacency degree ≤ FOF_MIDDLE_CAP (the degree filter moves BEFORE
-    the collect, so per-group state is bounded by the cap even on a
-    100 TB hub graph), fan-out capped to the top-``cap`` neighbors by
-    (neighbor-degree desc, id asc) — ``array_sort`` over
-    ``struct(-v_deg, v)`` is exactly that order — and every unordered
-    ``pa < pc`` pair of the capped neighbor set emitted once.
-    ``cap=None`` keeps all neighbors (exact enumeration)."""
+    Middles admitted by full adjacency degree ≤ FOF_MIDDLE_CAP
+    (applied BEFORE the rank window, so per-group window state is
+    bounded by the cap even on a 100 TB hub graph), fan-out capped to
+    the top-``cap`` neighbors by (neighbor-degree desc, id asc), and
+    every unordered ``pa < pc`` pair of the capped neighbor set
+    emitted once by the self-join on ``b`` — which reuses the window's
+    hash partitioning on the middle key, so pair emission adds no
+    exchange. ``cap=None`` keeps all neighbors (exact enumeration)."""
     adj = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -1068,34 +1070,20 @@ def _middle_wedge_pairs(edges: DataFrame, cap: int | None) -> DataFrame:
         deg.select(F.col("u").alias("v"), F.col("deg").alias("v_deg")),
         "v",
     )
-    per_mid = nbr.groupBy("u", "b_deg").agg(
-        F.collect_list(
-            F.struct(
-                (-F.col("v_deg")).alias("nk"), F.col("v").alias("v")
-            )
-        ).alias("ns")
-    )
-    sel = (
-        F.array_sort("ns")
-        if cap is None
-        else F.slice(F.array_sort("ns"), 1, cap)
-    )
+    if cap is not None:
+        wsel = Window.partitionBy("u").orderBy(
+            F.desc("v_deg"), F.asc("v")
+        )
+        nbr = nbr.withColumn(
+            "_rn", F.row_number().over(wsel)
+        ).where(F.col("_rn") <= cap)
+    legs = nbr.select(F.col("u").alias("b"), "b_deg", "v")
+    w1 = legs.select("b", "b_deg", F.col("v").alias("pa"))
+    w2 = legs.select("b", F.col("v").alias("pc"))
     return (
-        per_mid.select(
-            F.col("u").alias("b"), "b_deg", sel.alias("sel")
-        )
-        .select(
-            "b",
-            "b_deg",
-            F.explode(
-                F.expr(
-                    "flatten(transform(sel, x ->"
-                    " transform(filter(sel, y -> x.v < y.v),"
-                    " y -> struct(x.v AS pa, y.v AS pc))))"
-                )
-            ).alias("p"),
-        )
-        .select("b", "b_deg", "p.pa", "p.pc")
+        w1.join(w2, "b")
+        .where(F.col("pa") < F.col("pc"))
+        .select("b", "b_deg", "pa", "pc")
     )
 
 
