@@ -1041,32 +1041,42 @@ WEDGE_NEIGHBOR_CAP: int | None = 64
 
 
 def _middle_wedge_pairs(edges: DataFrame, cap: int | None) -> DataFrame:
-    """Wedge pairs ``(b, b_deg, pa, pc)`` per admitted middle node
-    ``b`` — the shared FoF/Adamic-Adar kernel. Measured verdict (r15):
-    the window-rank capped legs + self-join formulation below beats
-    both array alternatives tried this round (collect-sort-slice with
-    HOF pair unrolling 45.4s, with self-join pair emission 34.2s, vs
-    ~21s for this shape at sf0.1 on the same host) — per-row lambda
-    evaluation over 2k-struct arrays loses to codegen'd join emission,
-    and a ``localCheckpoint`` between the legs and the join destroys
-    the partitioning the self-join would otherwise reuse.
+    """Wedge pairs ``(b, pa, pc)`` per admitted middle node ``b`` —
+    the shared FoF/Adamic-Adar kernel. Measured verdict (r15): the
+    window-rank capped legs + self-join formulation below beats both
+    array alternatives tried this round (collect-sort-slice with HOF
+    pair unrolling 45.4s, with self-join pair emission 34.2s at sf0.1
+    on the same host) — per-element lambda evaluation over 2k-struct
+    arrays loses to codegen'd join emission, and a ``localCheckpoint``
+    between the legs and the join destroys the partitioning the
+    self-join would otherwise reuse.
+
+    The two self-join sides MUST stay column-identical: the point of
+    the formulation is that both sides plan to the same
+    ShuffleExchange subtree so ReusedExchange computes the legs ONCE.
+    An earlier r15 variant carried the middle's degree on one side
+    only — column pruning then made the two subtrees differ, each side
+    recomputed the full prelude (adjacency joins + rank window), and
+    the planner's broadcast pick for the slimmer side made it worse (a
+    BroadcastExchange is never reused against a shuffle; measured
+    3.7x vs pin in the mid-round bench). Hence the symmetric
+    projection + MERGE hint here, and Adamic-Adar re-attaching the
+    degree to the emitted pairs via a tiny broadcast join
+    (``_middle_degrees``) instead of through the kernel.
 
     Middles admitted by full adjacency degree ≤ FOF_MIDDLE_CAP
     (applied BEFORE the rank window, so per-group window state is
     bounded by the cap even on a 100 TB hub graph), fan-out capped to
     the top-``cap`` neighbors by (neighbor-degree desc, id asc), and
     every unordered ``pa < pc`` pair of the capped neighbor set
-    emitted once by the self-join on ``b`` — which reuses the window's
-    hash partitioning on the middle key, so pair emission adds no
-    exchange. ``cap=None`` keeps all neighbors (exact enumeration)."""
+    emitted once. ``cap=None`` keeps all neighbors (exact
+    enumeration)."""
     adj = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    mids = deg.where(F.col("deg") <= FOF_MIDDLE_CAP)
-    nbr = adj.join(
-        mids.select("u", F.col("deg").alias("b_deg")), "u"
-    ).join(
+    mids = deg.where(F.col("deg") <= FOF_MIDDLE_CAP).select("u")
+    nbr = adj.join(mids, "u", "left_semi").join(
         deg.select(F.col("u").alias("v"), F.col("deg").alias("v_deg")),
         "v",
     )
@@ -1077,13 +1087,28 @@ def _middle_wedge_pairs(edges: DataFrame, cap: int | None) -> DataFrame:
         nbr = nbr.withColumn(
             "_rn", F.row_number().over(wsel)
         ).where(F.col("_rn") <= cap)
-    legs = nbr.select(F.col("u").alias("b"), "b_deg", "v")
-    w1 = legs.select("b", "b_deg", F.col("v").alias("pa"))
+    legs = nbr.select(F.col("u").alias("b"), "v")
+    w1 = legs.select("b", F.col("v").alias("pa"))
     w2 = legs.select("b", F.col("v").alias("pc"))
     return (
-        w1.join(w2, "b")
+        w1.join(w2.hint("merge"), "b")
         .where(F.col("pa") < F.col("pc"))
-        .select("b", "b_deg", "pa", "pc")
+        .select("b", "pa", "pc")
+    )
+
+
+def _middle_degrees(edges: DataFrame) -> DataFrame:
+    """(b, b_deg) for every admitted middle — the tiny side
+    Adamic-Adar broadcasts onto the wedge stream (FOF_MIDDLE_CAP
+    bounds b_deg, the node count bounds the rows)."""
+    adj = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return (
+        adj.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("b_deg"))
+        .where(F.col("b_deg") <= FOF_MIDDLE_CAP)
+        .select(F.col("u").alias("b"), "b_deg")
     )
 
 
@@ -1194,11 +1219,14 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     units): (part_a, part_b, aa_micro, n_common, rank)."""
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     # the middle's AA weight is a pure function of its full adjacency
-    # degree, which the wedge kernel carries per pair as b_deg (the
-    # former deg >= 2 filter is implied: a degree-1 middle emits no
-    # pair at all)
+    # degree, broadcast-attached to the emitted pairs (map-side hash
+    # probe on the already-flowing wedge stream — the kernel's two
+    # self-join sides must stay column-identical for exchange reuse,
+    # so the degree cannot ride the kernel; the former deg >= 2 filter
+    # is implied: a degree-1 middle emits no pair at all)
     wedges = (
         _middle_wedge_pairs(edges, WEDGE_NEIGHBOR_CAP)
+        .join(F.broadcast(_middle_degrees(edges)), "b")
         .select(
             "pa",
             "pc",

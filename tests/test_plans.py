@@ -730,3 +730,25 @@ def test_fixed_topk_queries_declare_their_bound(spark, sf_smoke):
         df = fn(spark, sf_smoke)
         assert not undeclared_global_windows(df)
         assert "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
+def test_wedge_selfjoin_reuses_leg_exchange(spark, sf_smoke):
+    """The wedge kernel's pair-emission self-join keeps both sides
+    column-identical so the legs prelude (adjacency joins + rank
+    window) plans to ONE shuffle that both sides reuse. The r15
+    mid-round regression was exactly this breaking: a degree column on
+    one side only let column pruning differentiate the subtrees, the
+    planner broadcast the slimmer side, and the prelude ran twice
+    (3.7x vs pin). ReusedExchange in the executed plan is the
+    invariant; the MERGE hint keeps the join off the broadcast path."""
+    from lakesail_hdfs_deltalake_guide_spark.operators.graph import (
+        graph_adamic_adar,
+        graph_fof_recommendations,
+    )
+
+    for fn in (graph_fof_recommendations, graph_adamic_adar):
+        df = fn(spark, sf_smoke)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, fn.__name__
+        assert "SortMergeJoin" in plan, fn.__name__
