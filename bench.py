@@ -83,6 +83,18 @@ def main() -> None:
             qdef.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # Session hygiene BETWEEN queries (never inside a timed region):
+        # lifecycle/pipeline queries persist() intermediates their
+        # returned frame depends on, which the CacheManager then holds
+        # forever — by the end of the 77-query run the leaked stage
+        # caches (full-corpus copies from the curation capstones, 6+
+        # frames each) squeeze unified memory and late queries degrade
+        # several-fold (measured: end-of-run re-runs at 4-16x their
+        # in-order time). Clearing AFTER a query's timed runs keeps
+        # run 2's legitimate reuse of run 1's persists (pin-era
+        # semantics) while making each query's number independent of
+        # which queries ran before it.
+        spark.catalog.clearCache()
 
     # Regression gate vs the pinned per-query baselines (BASELINE.md):
     # ratios are only meaningful at the pinned scale factor, and host
@@ -126,6 +138,7 @@ def main() -> None:
             ).save()
             reran[name] = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings[name], reran[name])
+            spark.catalog.clearCache()
 
     # Host-speed canary, RECORDED never GATED on: one fixed CPU-bound JVM
     # probe and one single-thread Python probe. The r15 host reboot made

@@ -1461,6 +1461,13 @@ def pipeline_curation_incremental(
             ).collect()[0]
             row_counts.append((int(r["n"]), int(r["t"])))
         counts.append(row_counts)
+        # every per-increment frame is fully consumed above (state
+        # writes + ledger counts); later increments read state from the
+        # Delta tables, never from these caches — release them so a
+        # long-lived session does not accumulate one corpus copy per
+        # stage per increment (guide §5: unpersist when done)
+        for fdf in (raw_i, s1_i, new_first, s2_i, sigs_i, s3_i, s4_i):
+            fdf.unpersist()
         first_round = False
     # global stages over the survivor state
     s4_all = delta_read(spark, surv_p)

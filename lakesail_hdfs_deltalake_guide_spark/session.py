@@ -106,6 +106,19 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Long-lived sessions (77-query bench, 400-query correctness
+        # sweeps) accumulate dead localCheckpoint RDD blocks and
+        # broadcast pieces between full GCs: ContextCleaner only frees
+        # them after their JVM references are collected, and an 8g heap
+        # can run an entire bench without a single old-gen GC — the
+        # leaked blocks (hundreds of MB of frame embeddings, edge sets,
+        # stage caches) then squeeze the unified memory region and the
+        # LAST queries of a run degrade several-fold (measured: the
+        # end-of-run contention re-run of graph_fof hit 118 s vs 30 s
+        # in-order). The default periodic-GC interval is 30 min —
+        # longer than the whole run; 1 min bounds the leak at the cost
+        # of a sub-second full GC per minute (guide §5).
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
