@@ -929,11 +929,15 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc. Doc-level exact/near dedup misses these partial overlaps;
     paragraph dedup only catches them on paragraph boundaries.
 
-    Plan: one distinct (doc, span-md5) explosion, ONE aggregation per
-    span computing its document frequency, ONE aggregation per doc
-    folding covered/total counts — the shuffles carry 16-byte span
-    hashes, never text, and nothing is pairwise. Integer-ppm coverage;
-    at 100 TB this is two hash aggregations over the span stream."""
+    Plan: one distinct (doc, span-md5) explosion, each span's document
+    frequency via a count window over the span hash (r15: the former
+    groupBy + join-back planned the tokenize/explode/md5 pass TWICE —
+    the aggregated side's partial-agg exchange can never be reused by
+    the join side — where the window needs the stream once through one
+    exchange), ONE aggregation per doc folding covered/total counts —
+    the shuffles carry 16-byte span hashes, never text, and nothing is
+    pairwise. Integer-ppm coverage; at 100 TB this is one hash
+    exchange + one sorted group scan over the span stream."""
     corpus = near_duplicate_corpus(spark, sf_dir)
     toks = tokens("text")
     spans = F.transform(
@@ -946,11 +950,10 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.array_distinct(spans)).alias("s"))
         .select("doc_id", F.md5("s").alias("g"))
     )
-    span_df = doc_spans.groupBy("g").agg(
-        F.count(F.lit(1)).alias("span_docs")
-    )
     return (
-        doc_spans.join(span_df, "g")
+        doc_spans.withColumn(
+            "span_docs", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -1393,7 +1396,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ELSE array() END"
             )
         ).alias("pos", "digest"),
-    )
+        # materialized once (r15): the digest stream feeds the df/first
+        # aggregation AND the flag join, whose exchanges can never be
+        # deduplicated (one carries partial aggregates) — without this
+        # the W-token md5 shingle pass, the query's dominant CPU cost,
+        # executed twice. ExactSubstr materializes its suffix array for
+        # the same reason; (doc_id, pos, digest) is 40 B/token.
+    ).localCheckpoint(eager=True)
     stats = grams.groupBy("digest").agg(
         F.countDistinct("doc_id").alias("span_df"),
         F.min(F.struct("doc_id", "pos")).alias("first"),

@@ -503,6 +503,36 @@ def _xm_dot(a, b) -> F.Column:
     )
 
 
+def _xm_codebook_row(cents: DataFrame) -> DataFrame:
+    """Collapse a (cid, cv, cnorm) codebook to ONE row holding the
+    cid-ascending centroid array ``cs`` — the broadcast side of every
+    HOF argmax routing pass (array_sort on the struct orders by its
+    first field, cid)."""
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cid", "cv", "cnorm"))
+        ).alias("cs")
+    )
+
+
+def _xm_best_cell(vec: str) -> F.Column:
+    """Argmax cell for the row's ``vec`` over the broadcast codebook
+    array ``cs``: one fold computing each centroid's norm-normalized
+    dot once; cid-ascending iteration with strict '>' reproduces the
+    former rank window's (aff DESC, cid ASC) winner bit-for-bit."""
+    return F.expr(
+        f"""aggregate(
+              transform(cs, c -> struct(
+                CAST(aggregate(zip_with({vec}, c.cv, (x, y) -> x * y),
+                     CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE)
+                  / c.cnorm AS aff,
+                c.cid AS cid)),
+              struct(CAST('-Infinity' AS DOUBLE) AS aff,
+                     CAST(-1 AS INT) AS cid),
+              (acc, p) -> IF(p.aff > acc.aff, p, acc)).cid"""
+    )
+
+
 def multimodal_text_frame_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal top-k: text queries retrieve video frames through the
     IVF-probed shared space, routed by a TRAINED coarse quantizer (one
@@ -534,16 +564,18 @@ def multimodal_text_frame_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # K·64 rows, reassembled with an order-pinning sort — the same
     # doctrine as cluster_lloyd_iteration. Empty cells simply vanish
     # from the codebook (fewer, fuller cells).
-    aff0 = (_xm_dot("fv", "cv").cast("double") / F.col("cnorm")).alias("aff")
-    w0 = Window.partitionBy("doc_id", "frame_no").orderBy(
-        F.desc("aff"), F.asc("cid")
-    )
+    #
+    # r15: every argmax-over-centroids runs as ONE per-row HOF fold
+    # over the K-row codebook collapsed to a broadcast single-row
+    # array (cid-ascending), instead of the former codebook join + K×
+    # row explosion + rank window: same dots, zero Exchange/Sort per
+    # pass (the window shuffled AND sorted K× the frame count, fv
+    # payload included). Iterating cid-ascending with a strict '>'
+    # keeps the lowest cid on float-equal affinities — exactly the
+    # window's (aff DESC, cid ASC) winner.
     assigned = (
-        fr.join(F.broadcast(seeds))
-        .select("doc_id", "frame_no", "fv", "cid", aff0)
-        .withColumn("rn", F.row_number().over(w0))
-        .where(F.col("rn") == 1)
-        .select("cid", "fv")
+        fr.crossJoin(F.broadcast(_xm_codebook_row(seeds)))
+        .select(_xm_best_cell("fv").alias("cid"), "fv")
     )
     cents = (
         assigned.select("cid", F.posexplode("fv").alias("pos", "x"))
@@ -562,30 +594,35 @@ def multimodal_text_frame_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(_xm_dot("cv", "cv").cast("double")).alias("cnorm"),
         )
     )
-    # 8 rows — broadcast both assignment joins; routing normalizes by
-    # the CENTROID norm (cosine up to the row's own constant norm): raw
-    # dot would route every query to the biggest-norm centroid, which
-    # empties recall — the tested failure mode. Never a corpus shuffle.
-    route = (_xm_dot("fv", "cv").cast("double") / F.col("cnorm")).alias("aff")
-    wf = Window.partitionBy("doc_id", "frame_no").orderBy(
-        F.desc("aff"), F.asc("cid")
-    )
+    # 8 rows — the trained codebook broadcasts as one array row for
+    # every routing pass; routing normalizes by the CENTROID norm
+    # (cosine up to the row's own constant norm): raw dot would route
+    # every query to the biggest-norm centroid, which empties recall —
+    # the tested failure mode. Never a corpus shuffle.
+    codebook = F.broadcast(_xm_codebook_row(cents))
     cand_cells = (
-        fr.join(F.broadcast(cents))
-        .select("doc_id", "frame_no", "fv", "cid", route)
-        .withColumn("rn", F.row_number().over(wf))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "frame_no", "fv", "cid")
+        fr.crossJoin(codebook)
+        .select("doc_id", "frame_no", "fv", _xm_best_cell("fv").alias("cid"))
         .localCheckpoint(eager=True)  # the routed index: frames × (fv, cell)
     )
-    qroute = (_xm_dot("qv", "cv").cast("double") / F.col("cnorm")).alias("aff")
-    wq = Window.partitionBy("query_id").orderBy(F.desc("aff"), F.asc("cid"))
+    # query probing: top-XM_PROBES cells per query via the same sorted
+    # HOF fold (3 queries × 8 cells — driver-trivial either way; kept
+    # expression-level for plan symmetry with the frame side)
     probes = (
-        q.join(F.broadcast(cents))
-        .select("query_id", "qv", "cid", qroute)
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= XM_PROBES)
-        .select("query_id", "qv", "cid")
+        q.crossJoin(codebook)
+        .select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(transform(cs, c -> struct("
+                    f"-(CAST(aggregate(zip_with(qv, c.cv, (x, y) -> x * y),"
+                    f" CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE)"
+                    f" / c.cnorm) AS naff, c.cid AS cid))), 1, {XM_PROBES})"
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "qv", F.col("p.cid").alias("cid"))
     )
     dot = _xm_dot("qv", "fv")
     na2 = _xm_dot("qv", "qv")
