@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 from ..functions.rounding import int_div_expr
 from ..querydef import QueryDef
 from ..tables import load_table
-from .events import WATERMARK, _cents, _run_to_table, events_stream
+from .events import (
+    WATERMARK,
+    _cents,
+    _run_to_table,
+    events_stream,
+    sized_state_shuffle,
+)
 
 
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,7 +59,9 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_cents()).alias("sum_value_cents"),
         )
     )
-    return _run_to_table(agg, "ls_stream_enrich").orderBy(
+    return _run_to_table(
+        agg, "ls_stream_enrich", source_paths=(f"{sf_dir}/events.parquet",)
+    ).orderBy(
         "c_mktsegment", "event_type"
     )
 
@@ -66,7 +74,9 @@ def streaming_dedup_users_per_type(spark: SparkSession, sf_dir: str) -> DataFram
         ["user_id", "event_type"]
     )
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
-    return _run_to_table(agg, "ls_stream_dedup").orderBy("event_type")
+    return _run_to_table(
+        agg, "ls_stream_dedup", source_paths=(f"{sf_dir}/events.parquet",)
+    ).orderBy("event_type")
 
 
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +96,10 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .select("user_id", "event_type")
     )
     return _run_to_table(
-        deduped, "ls_stream_dedup_wm", output_mode="append"
+        deduped,
+        "ls_stream_dedup_wm",
+        output_mode="append",
+        source_paths=(f"{sf_dir}/events.parquet",),
     ).orderBy("user_id", "event_type")
 
 
@@ -129,14 +142,18 @@ def streaming_interval_join_click_error(
     )
 
     out_dir = tempfile.mkdtemp(prefix="ls_stream_ivjoin_out_")
-    q = (
-        pairs.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ls_ckpt_ivjoin_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ls_ckpt_ivjoin_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(out_dir)
         .groupBy("user_id")
@@ -160,7 +177,11 @@ def streaming_upsert_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tempfile
 
     table = _tempfile.mkdtemp(prefix="ls_stream_upsert_")
-    run_upsert_stream(events_stream(spark, sf_dir), table)
+    run_upsert_stream(
+        events_stream(spark, sf_dir),
+        table,
+        source_paths=(f"{sf_dir}/events.parquet",),
+    )
 
     from ..sources.versioned import read_version
 
@@ -176,7 +197,9 @@ def streaming_upsert_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_upsert_stream(ev: DataFrame, table: str) -> None:
+def run_upsert_stream(
+    ev: DataFrame, table: str, source_paths: tuple[str, ...] = ()
+) -> None:
     """Drain an events stream into a versioned table with additive merges.
 
     Idempotent under foreachBatch's at-least-once replay: the applied
@@ -242,13 +265,17 @@ def run_upsert_stream(ev: DataFrame, table: str) -> None:
             metadata={"batch_id": batch_id},
         )
 
-    q = (
-        ev.writeStream.foreachBatch(upsert_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", _tempfile.mkdtemp(prefix="ls_ckpt_upsert_"))
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_shuffle(spark, *source_paths):
+        q = (
+            ev.writeStream.foreachBatch(upsert_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                _tempfile.mkdtemp(prefix="ls_ckpt_upsert_"),
+            )
+            .start()
+        )
+        q.awaitTermination()
 
 
 def streaming_interval_join_left_outer(
@@ -314,14 +341,18 @@ def streaming_interval_join_left_outer(
     )
 
     out_dir = tempfile.mkdtemp(prefix="ls_stream_lojoin_out_")
-    q = (
-        pairs.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ls_ckpt_lojoin_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ls_ckpt_lojoin_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(out_dir)
         .where(F.col("c_us") * 1000 <= F.lit(threshold_ns))
@@ -408,14 +439,18 @@ def streaming_interval_join_full_outer(
     )
 
     out_dir = tempfile.mkdtemp(prefix="ls_stream_fojoin_out_")
-    q = (
-        pairs.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ls_ckpt_fojoin_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="ls_ckpt_fojoin_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     click_side = F.col("click_id").isNotNull()
     return (
         spark.read.parquet(out_dir)
@@ -476,13 +511,16 @@ def streaming_delta_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             txn=(app_id, batch_id),
         )
 
-    q = (
-        ev.writeStream.foreachBatch(sink)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ls_sd_ckpt_"))
-        .start()
-    )
-    q.awaitTermination()
+    with sized_state_shuffle(spark, f"{sf_dir}/events.parquet"):
+        q = (
+            ev.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ls_sd_ckpt_")
+            )
+            .start()
+        )
+        q.awaitTermination()
     return (
         delta_read(spark, table)
         .groupBy("event_type")
@@ -541,7 +579,10 @@ def streaming_document_curation_gate(
         .select("words")
     )
     survivors = _run_to_table(
-        deduped, "ls_stream_curation", output_mode="append"
+        deduped,
+        "ls_stream_curation",
+        output_mode="append",
+        source_paths=(f"{sf_dir}/documents.parquet",),
     )
     return (
         survivors.groupBy(F.expr("words div 100").alias("len_bucket"))

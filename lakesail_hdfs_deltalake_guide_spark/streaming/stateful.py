@@ -103,7 +103,11 @@ def streaming_stateful_user_profiles(spark: SparkSession, sf_dir: str) -> DataFr
 
     result = stateful_user_profiles_stream(events_stream(spark, sf_dir))
     return _run_to_table(
-        result, "ls_stream_stateful", output_mode="update", dedup_keys=["user_id"]
+        result,
+        "ls_stream_stateful",
+        output_mode="update",
+        dedup_keys=["user_id"],
+        source_paths=(f"{sf_dir}/events.parquet",),
     ).orderBy("user_id")
 
 

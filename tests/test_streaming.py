@@ -104,3 +104,28 @@ def test_sliding_each_event_in_two_windows(spark, sf_smoke):
     total = load_table(spark, sf_smoke, "events").count()
     agg = streaming_sliding_stats(spark, sf_smoke)
     assert agg.agg(F.sum("n_events")).collect()[0][0] == 2 * total
+
+
+def test_sized_state_shuffle_width_scales_and_restores(spark):
+    """Width = ceil(input_bytes / advisory), clamped to the session's
+    configured width; the previous conf is restored on exit."""
+    from lakesail_hdfs_deltalake_guide_spark.streaming.events import (
+        STREAM_STATE_INPUT_ADVISORY,
+        sized_state_shuffle,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    path = "/root/testdata/sf0.01/events.parquet"
+    expected = max(
+        1,
+        min(
+            int(prev),
+            -(-os.path.getsize(path) // STREAM_STATE_INPUT_ADVISORY),
+        ),
+    )
+    with sized_state_shuffle(spark, path):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(expected)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # a missing path leaves the conf untouched
+    with sized_state_shuffle(spark, "/nonexistent/events.parquet"):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
