@@ -1453,14 +1453,24 @@ def pipeline_curation_incremental(
             mode="overwrite" if first_round else "append",
             configuration=_OPTWRITE,
         )
-        row_counts = []
-        for df in (raw_i, s1_i, s2_i, s3_i, s4_i):
-            r = df.agg(
+        # ONE union-aggregate job for the increment's 5 ledger rows
+        # (was one collect per stage — 4 extra fixed-overhead jobs per
+        # increment; the stage frames are already persisted by the
+        # writes above, so each branch is a metadata-cheap agg)
+        ledger_i = None
+        for sid, df in enumerate((raw_i, s1_i, s2_i, s3_i, s4_i)):
+            a = df.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t"),
-            ).collect()[0]
-            row_counts.append((int(r["n"]), int(r["t"])))
-        counts.append(row_counts)
+            ).select(F.lit(sid).alias("sid"), "n", "t")
+            ledger_i = a if ledger_i is None else ledger_i.unionByName(a)
+        by_sid = {int(r["sid"]): r for r in ledger_i.collect()}
+        counts.append(
+            [
+                (int(by_sid[i]["n"]), int(by_sid[i]["t"]))
+                for i in range(5)
+            ]
+        )
         # every per-increment frame is fully consumed above (state
         # writes + ledger counts); later increments read state from the
         # Delta tables, never from these caches — release them so a
