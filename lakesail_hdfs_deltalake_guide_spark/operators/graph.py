@@ -1060,9 +1060,20 @@ def _middle_wedge_pairs(edges: DataFrame, cap: int | None) -> DataFrame:
     the planner's broadcast pick for the slimmer side made it worse (a
     BroadcastExchange is never reused against a shuffle; measured
     3.7x vs pin in the mid-round bench). Hence the symmetric
-    projection + MERGE hint here, and Adamic-Adar re-attaching the
-    degree to the emitted pairs via a tiny broadcast join
-    (``_middle_degrees``) instead of through the kernel.
+    projection here, and Adamic-Adar re-attaching the degree to the
+    emitted pairs via a tiny broadcast join (``_middle_degrees``)
+    instead of through the kernel.
+
+    Join strategy (measured, same warm session, sf0.1 noop best-of-3):
+    SHUFFLE_HASH 7.18 s, hint-free (planner broadcasts one side,
+    prelude runs twice) 8.95 s, forced MERGE 11.33 s. The shuffled
+    hash join keeps the ReusedExchange (identical sides hash to the
+    same shuffle) and drops the two sorts the merge join paid on the
+    reused output. Scale posture: build side = one advisory-sized
+    partition slice of a 16-byte-row frame whose per-key fan-out the
+    cap bounds — the per-task hash table is bounded by the shuffle
+    advisory target, the case guide §3.1 names for preferring
+    shuffled-hash over sort-merge.
 
     Middles admitted by full adjacency degree ≤ FOF_MIDDLE_CAP
     (applied BEFORE the rank window, so per-group window state is
@@ -1091,7 +1102,7 @@ def _middle_wedge_pairs(edges: DataFrame, cap: int | None) -> DataFrame:
     w1 = legs.select("b", F.col("v").alias("pa"))
     w2 = legs.select("b", F.col("v").alias("pc"))
     return (
-        w1.join(w2.hint("merge"), "b")
+        w1.join(w2.hint("shuffle_hash"), "b")
         .where(F.col("pa") < F.col("pc"))
         .select("b", "pa", "pc")
     )

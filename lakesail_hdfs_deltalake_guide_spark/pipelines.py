@@ -1176,10 +1176,18 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     text; the classifier weight table broadcasts; LSH candidates are
     band-bounded; the benchmark gram set broadcasts; mixing collapses
     to |sources| rows before its windows; the packing report is one
-    aggregate. Stage survivors persist as (doc_id, source, text,
-    n_tokens) — at 100 TB those are metadata-plus-text scans that would
-    instead checkpoint to the lakehouse between stages, with identical
-    plan shapes."""
+    aggregate. Stage survivors materialize as (doc_id, source, text,
+    n_tokens) via eager ``localCheckpoint`` rather than ``persist``:
+    a persist caches the physical result but leaves the LOGICAL plan
+    intact, so every downstream action re-analyzes the whole upstream
+    chain — with 6 ledger branches each embedding the full pipeline,
+    the driver spent more wall time in the analyzer/optimizer than the
+    executors spent in tasks (event-log measured: ~17 s steady-state
+    with persists vs 6.3 s with checkpoints at sf0.1, the executor
+    stage time identical). At 100 TB the same truncation would
+    checkpoint to the lakehouse between stages, identical plan
+    shapes (guide §3.3/§5: materialise intermediates to cut the
+    plan)."""
     from .operators.chunking import PACK_WINDOW
     from .tables import load_table, spread_compute
 
@@ -1194,29 +1202,35 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
             F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     # ---- stage 1: quality gate (gopher repetition + classifier) ----
     s1 = raw.join(
         _curation_quality_ids(spark, raw), "doc_id", "left_semi"
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     # ---- stage 2: exact dedup (keep-first per md5 digest) ----
     first = s1.groupBy(F.md5("text").alias("h")).agg(
         F.min("doc_id").alias("doc_id")
     )
-    s2 = s1.join(first.select("doc_id"), "doc_id", "left_semi").persist()
+    s2 = s1.join(
+        first.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)
 
     # ---- stage 3: MinHash-LSH near-dedup (5-token shingles) ----
-    sigs = _curation_sigs(s2).persist()
+    sigs = _curation_sigs(s2).localCheckpoint(eager=True)
     bands = _curation_bands(sigs)
     near_drop = _curation_near_drop(bands, bands, sigs, sigs)
-    s3 = s2.join(near_drop, "doc_id", "left_anti").persist()
+    s3 = s2.join(near_drop, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
 
     # ---- stage 4: 13-gram benchmark decontamination ----
     contaminated = _curation_contaminated(d, s3)
-    s4 = s3.join(contaminated, "doc_id", "left_anti").persist()
+    s4 = s3.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
 
     # ---- stage 5: temperature mixing, applied ----
     alloc = _curation_alloc(s4)
@@ -1230,7 +1244,7 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(alloc, "source")
         .where(F.col("rkd") <= F.col("alloc"))
         .select("doc_id", "source", "n_tokens")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     # ---- ledger ----
@@ -1345,7 +1359,17 @@ def pipeline_curation_incremental(
     at 100 TB the band keys of the state would persist alongside the
     signatures (one more column family) to skip even the state-side
     band recompute; the per-increment ledger counters are 1-row
-    aggregates."""
+    aggregates.
+
+    Stage frames cut lineage with eager ``localCheckpoint`` instead of
+    ``persist`` (r15): the per-increment chain (CDF read → quality →
+    digest anti-join → LSH → decontam) re-analyzed under every one of
+    the ~15 actions an increment runs (3 state writes, ledger, next
+    stage), and the driver's analyzer/optimizer time dominated the run
+    — event-log measured 13.3 s of inter-job driver gaps vs 11.5 s of
+    stage time; checkpointing the stage boundaries cut the query from
+    23.3 s to 14.3 s steady-state at sf0.1 with identical stage work
+    (guide §3.3/§5)."""
     import tempfile
 
     from .operators.chunking import PACK_WINDOW
@@ -1404,11 +1428,11 @@ def pipeline_curation_incremental(
             delta_read_cdf(spark, bronze, v, v)
             .where("_change_type = 'insert'")
             .select("doc_id", "source", "text", "n_tokens")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         s1_i = raw_i.join(
             _curation_quality_ids(spark, raw_i), "doc_id", "left_semi"
-        ).persist()
+        ).localCheckpoint(eager=True)
         # stage 2: in-increment keep-first AND not seen in any earlier
         # crawl (id-ordered ingest makes this global keep-first)
         with_h = s1_i.select("doc_id", F.md5("text").alias("h"))
@@ -1417,10 +1441,10 @@ def pipeline_curation_incremental(
             with_h = with_h.join(seen, "h", "left_anti")
         new_first = with_h.groupBy("h").agg(
             F.min("doc_id").alias("doc_id")
-        ).persist()
+        ).localCheckpoint(eager=True)
         s2_i = s1_i.join(
             new_first.select("doc_id"), "doc_id", "left_semi"
-        ).persist()
+        ).localCheckpoint(eager=True)
         delta_write(
             new_first.select("h"),
             digest_p,
@@ -1428,7 +1452,7 @@ def pipeline_curation_incremental(
             configuration=_OPTWRITE,
         )
         # stage 3: new-vs-(state ∪ new) banded candidates only
-        sigs_i = _curation_sigs(s2_i).persist()
+        sigs_i = _curation_sigs(s2_i).localCheckpoint(eager=True)
         bands_i = _curation_bands(sigs_i)
         if first_round:
             sigs_all, bands_all = sigs_i, bands_i
@@ -1436,10 +1460,14 @@ def pipeline_curation_incremental(
             sigs_all = delta_read(spark, sigs_p).unionByName(sigs_i)
             bands_all = _curation_bands(sigs_all)
         near = _curation_near_drop(bands_all, bands_i, sigs_all, sigs_i)
-        s3_i = s2_i.join(near, "doc_id", "left_anti").persist()
+        s3_i = s2_i.join(near, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
         # stage 4: static benchmark gram set
         cont = _curation_contaminated(d, s3_i)
-        s4_i = s3_i.join(cont, "doc_id", "left_anti").persist()
+        s4_i = s3_i.join(cont, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
         delta_write(
             sigs_i,
             sigs_p,
@@ -1473,11 +1501,11 @@ def pipeline_curation_incremental(
         )
         # every per-increment frame is fully consumed above (state
         # writes + ledger counts); later increments read state from the
-        # Delta tables, never from these caches — release them so a
-        # long-lived session does not accumulate one corpus copy per
-        # stage per increment (guide §5: unpersist when done)
-        for fdf in (raw_i, s1_i, new_first, s2_i, sigs_i, s3_i, s4_i):
-            fdf.unpersist()
+        # Delta tables, never from these frames. Their checkpoint
+        # blocks are reclaimed by the ContextCleaner once the Python
+        # references drop (the session's 1-minute periodic GC bounds
+        # the lag), so a long-lived session does not accumulate one
+        # corpus copy per stage per increment (guide §5).
         first_round = False
     # global stages over the survivor state
     s4_all = delta_read(spark, surv_p)
