@@ -1339,18 +1339,64 @@ HN_MEDIUM = 12
 def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query hard-negative candidates: (query_id, vec_id,
     cosine_ppm, rank, band) after positive/near-dup exclusion."""
-    from .dedup import minhash_candidate_pairs, near_duplicate_corpus
+    from .dedup import (
+        NUM_BANDS,
+        NUM_PERM,
+        ROWS_PER_BAND,
+        _minhash_sigs,
+        near_duplicate_corpus,
+    )
+    from ..functions.hashing import band_keys, minhash_similarity
 
     pool = ivf_candidate_pool(spark, sf_dir, HN_POOL).drop("cv")
-    dup = (
-        minhash_candidate_pairs(near_duplicate_corpus(spark, sf_dir))
-        .where(F.col("est_jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-    )
-    sym = dup.unionByName(
-        dup.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    # Lexical near-dup exclusions, QUERY-SIDED (r15, guide §2.3): the
+    # anti-join below only ever consumes pairs whose left id is a pool
+    # query_id (< NUM_QUERIES), so instead of the full corpus×corpus
+    # banded self-join (dedup_minhash_lsh's shape) the query docs' band
+    # rows alone probe the corpus band table — same sketch pass, the
+    # candidate/verify joins shrink from all-pairs-in-band to
+    # queries-in-band, and the emitted set is exactly the old
+    # symmetrized pair set restricted to doc_a < NUM_QUERIES (the only
+    # rows the anti-join could match). est-Jaccard verify unchanged.
+    sigs = _minhash_sigs(near_duplicate_corpus(spark, sf_dir)).persist()
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            band_keys(F.col("sig"), NUM_BANDS, ROWS_PER_BAND)
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    bq = bands.where(F.col("doc_id") < NUM_QUERIES).alias("a")
+    cand = (
+        bq.join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sym = (
+        cand.join(
+            sigs.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+            ),
+            "doc_b",
+        )
+        .where(
+            minhash_similarity(F.col("sig_a"), F.col("sig_b"), NUM_PERM)
+            >= 0.5
+        )
+        .select("doc_a", "doc_b")
     )
     mined = (
         # one predicate covers exact matches (1 000 000 ppm) and
