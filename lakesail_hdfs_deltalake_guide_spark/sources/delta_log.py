@@ -130,11 +130,35 @@ _DV_DIR = "_deletion_vectors"
 CHECKPOINT_INTERVAL = 10
 
 
+# FileSystem handles, cached per (application, scheme, authority).
+# FileSystem.get is already cached JVM-side with exactly this key, so
+# the python cache changes no semantics — it only removes the 2-3 py4j
+# round trips (Path → hadoopConfiguration → getFileSystem) every log
+# operation paid to re-resolve a handle the JVM would hand back
+# unchanged. Lifecycle queries make ~100 _hadoop_fs calls each and the
+# event log showed their cost is driver-side py4j latency, not stages.
+_FS_CACHE: dict[tuple, object] = {}
+
+
+def _fs_cache_key(spark: SparkSession, path: str) -> tuple:
+    scheme, sep, rest = path.partition("://")
+    if not sep:
+        scheme, authority = "", ""
+    else:
+        authority = rest.split("/", 1)[0]
+    return (spark.sparkContext.applicationId, scheme, authority)
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm  # noqa: SLF001
     hpath = jvm.org.apache.hadoop.fs.Path(path)
-    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
-    return hpath.getFileSystem(conf), hpath, jvm
+    key = _fs_cache_key(spark, path)
+    fs = _FS_CACHE.get(key)
+    if fs is None:
+        conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+        fs = hpath.getFileSystem(conf)
+        _FS_CACHE[key] = fs
+    return fs, hpath, jvm
 
 
 def _log_dir(path: str) -> str:
@@ -370,6 +394,48 @@ def _read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+# Immutable-log-text LRU. Version commits and compaction files are
+# write-once by the rename-with-fail-on-existing commit contract, so
+# their bytes never change after they become visible — re-reading them
+# through py4j (open + JVM drain + close per file) was the single
+# biggest driver cost of the lifecycle queries (a snapshot fold re-reads
+# the whole JSON tail, and _write_commit re-reads the previous commit
+# for ICT monotonicity, on EVERY call). Mutable log files
+# (_last_checkpoint) must keep using _read_text directly. Cleanup
+# (delta_cleanup_log) purges the table's entries so a post-retention
+# read fails loudly exactly as an uncached one would.
+_LOG_TEXT_CACHE: dict[str, str] = {}
+_LOG_TEXT_CACHE_CAP_BYTES = 64 * 1024 * 1024
+_log_text_cache_bytes = 0
+
+
+def _read_log_text_immutable(spark: SparkSession, path: str) -> str:
+    global _log_text_cache_bytes
+    cached = _LOG_TEXT_CACHE.get(path)
+    if cached is not None:
+        return cached
+    text = _read_text(spark, path)
+    _log_text_cache_bytes += len(text)
+    _LOG_TEXT_CACHE[path] = text
+    while (
+        _log_text_cache_bytes > _LOG_TEXT_CACHE_CAP_BYTES
+        and _LOG_TEXT_CACHE
+    ):
+        # dicts iterate in insertion order — evict oldest-inserted
+        old_path = next(iter(_LOG_TEXT_CACHE))
+        _log_text_cache_bytes -= len(_LOG_TEXT_CACHE.pop(old_path))
+    return text
+
+
+def _purge_log_text_cache(prefix: str) -> None:
+    """Drop cached log texts under ``prefix`` (a table's _delta_log dir)
+    — called by log-retention cleanup so deleted commits read as
+    deleted, never as cached ghosts."""
+    global _log_text_cache_bytes
+    for p in [p for p in _LOG_TEXT_CACHE if p.startswith(prefix)]:
+        _log_text_cache_bytes -= len(_LOG_TEXT_CACHE.pop(p))
+
+
 def _read_raw_bytes(spark: SparkSession, path: str) -> bytes:
     """Raw file bytes via the Hadoop FileSystem (same scheme support as
     every other log read — foreign DV ``.bin`` storage files)."""
@@ -411,7 +477,9 @@ def _commit_info_fields(
     cleaned — shared by the timestamp reader and the ICT stickiness
     check so both see the same fields."""
     try:
-        text = _read_text(spark, _version_file(path, version))
+        text = _read_log_text_immutable(
+            spark, _version_file(path, version)
+        )
     except Exception:  # noqa: BLE001 — cleaned commit
         return None
     for line in text.splitlines():
@@ -1232,7 +1300,7 @@ def _snapshot_state(
         )
     for file, v in _tail_plan(spark, path, start, target):
         try:
-            text = _read_text(spark, file)
+            text = _read_log_text_immutable(spark, file)
         except Exception as exc:  # noqa: BLE001 — JVM IOException via py4j
             # a commit listed moments ago can vanish mid-fold when a
             # concurrent delta_cleanup_log runs between our listing and
@@ -3149,7 +3217,7 @@ def delta_history(spark: SparkSession, path: str) -> list[dict]:
         raise ValueError(f"no delta table at {path}")
     out = []
     for v in reversed(versions):
-        text = _read_text(spark, _version_file(path, v))
+        text = _read_log_text_immutable(spark, _version_file(path, v))
         info: dict = {}
         for line in text.splitlines():
             action = json.loads(line)
@@ -3394,7 +3462,7 @@ def delta_domain_metadata(
                 else:
                     domains[dm["domain"]] = dm.get("configuration")
     for file, _v in _tail_plan(spark, path, start, target):
-        for line in _read_text(spark, file).splitlines():
+        for line in _read_log_text_immutable(spark, file).splitlines():
             dm = json.loads(line).get("domainMetadata")
             if dm is None:
                 continue
@@ -4862,7 +4930,9 @@ def delta_vacuum(
         candidates: set[str] = set()
         for v in versions:
             try:
-                text = _read_text(spark, _version_file(path, v))
+                text = _read_log_text_immutable(
+                    spark, _version_file(path, v)
+                )
             except Exception:  # noqa: BLE001 — cleaned commit
                 continue
             for line in text.splitlines():
@@ -5028,7 +5098,9 @@ def delta_compact_log(
     # KEPT (reconciliation with an older checkpoint must still retract)
     doms: dict[str, dict] = {}
     for v in range(start, end + 1):
-        for line in _read_text(spark, _version_file(path, v)).splitlines():
+        for line in _read_log_text_immutable(
+            spark, _version_file(path, v)
+        ).splitlines():
             action = json.loads(line)
             if "add" in action:
                 latest[action["add"]["path"]] = action
@@ -5136,6 +5208,10 @@ def delta_cleanup_log(spark: SparkSession, path: str) -> list[int]:
         for st in fs.listStatus(side_path):
             if st.getPath().getName() not in keep_sidecars:
                 fs.delete(st.getPath(), False)
+    # retention cleanup is the ONE writer that deletes write-once log
+    # files — drop their cached texts so expired commits read as
+    # expired, never as cached ghosts
+    _purge_log_text_cache(_log_dir(path))
     return deleted
 
 
@@ -5630,7 +5706,7 @@ def delta_read_cdf(
         )
     pieces: list[DataFrame] = []
     for v in sorted(want):
-        text = _read_text(spark, _version_file(path, v))
+        text = _read_log_text_immutable(spark, _version_file(path, v))
         cdc_files: list[str] = []
         add_files: list[str] = []
         rm_files: list[str] = []
@@ -6910,7 +6986,9 @@ def delta_drop_feature(
         used = []
         for v in _list_versions(spark, path):
             try:
-                text = _read_text(spark, _version_file(path, v))
+                text = _read_log_text_immutable(
+                    spark, _version_file(path, v)
+                )
             except Exception:  # noqa: BLE001 — a commit that vanished
                 # mid-scan was just expired by concurrent cleanup; it is
                 # no longer retained, so it cannot force the feature

@@ -212,6 +212,9 @@ def test_checkpoint_written_and_read_from_tail(spark, sf_smoke, monkeypatch):
         return real_read(spark_, p)
 
     monkeypatch.setattr(delta_log, "_read_text", spying_read)
+    # drop the immutable-log cache so every commit the fold touches
+    # shows up in the spy (cached texts never reach _read_text)
+    delta_log._purge_log_text_cache(delta_log._log_dir(path))
     total = delta_read(spark, path).count()
     assert total == n.count() + n.where(F.col("n_nationkey") < 24).count()
     assert opened and min(opened) == 21, f"fold must start after v20: {opened}"
