@@ -262,6 +262,39 @@ def test_log_cleanup_retains_checkpoint_tail(spark, sf_smoke):
         delta_read(spark, path, version=5)
 
 
+def test_log_text_cache_purged_by_cleanup(spark, sf_smoke):
+    """The immutable-log-text cache (r15 driver-overhead fix) must not
+    serve cleaned commits as ghosts: retention cleanup purges the
+    table's cached texts, so a direct read of an expired version file
+    fails exactly as an uncached read would."""
+    import pytest
+
+    from lakesail_hdfs_deltalake_guide_spark.sources import delta_log
+    from lakesail_hdfs_deltalake_guide_spark.sources.delta_log import (
+        delta_cleanup_log,
+    )
+
+    n = load_table(spark, sf_smoke, "nation")
+    path = tempfile.mkdtemp(prefix="ls_dl_ghost_")
+    delta_write(n, path, mode="overwrite")
+    for i in range(12):
+        delta_write(n.where(F.col("n_nationkey") == i), path, mode="append")
+    # fill the cache: a snapshot fold reads the JSON tail, and history
+    # reads every retained commit
+    delta_read(spark, path).count()
+    v3 = delta_log._version_file(path, 3)
+    delta_log._read_log_text_immutable(spark, v3)
+    assert v3 in delta_log._LOG_TEXT_CACHE
+    deleted = delta_cleanup_log(spark, path)
+    assert 3 in deleted
+    log_prefix = delta_log._log_dir(path)
+    assert not any(
+        p.startswith(log_prefix) for p in delta_log._LOG_TEXT_CACHE
+    ), "cleanup must purge every cached text of this table's log"
+    with pytest.raises(Exception, match="FileNotFoundException"):
+        delta_log._read_log_text_immutable(spark, v3)
+
+
 def test_concurrent_commit_retries_at_next_version(spark, sf_smoke, monkeypatch):
     """A lost rename race re-plans and lands at the next version — and a
     writer that keeps losing eventually raises."""
