@@ -65,68 +65,11 @@ _TIER_MODULES = (
 # (after never-verified queries) makes that window a rolling
 # regression re-confirmation of the oldest driver signal.
 #
-# Round-15 rotation (VERDICT r14 item 1): the r06 cohort fully
-# retired at r14 (4 new + all 46 r06 rows green), leaving exactly 50
-# r07 rows as the stalest signal. The 50-row window therefore fits
-# ZERO new queries — r15 is the planned conversion/consolidation
-# round (distributed VACUUM diff, bench hardening, UniForm DV
-# follow-ons all land on EXISTING queries); after a green round
-# nothing older than r08 remains.
-
-_R07_VERIFIED = frozenset(
-    {
-        "chunk_pack_sequences",
-        "chunk_sliding_windows",
-        "clean_schema_drift_union",
-        "cluster_centroid_assign",
-        "cluster_random_projection",
-        "dedup_distinct_pairs",
-        "dedup_minhash_lsh",
-        "dedup_substring_spans",
-        "delta_native_cluster_by",
-        "delta_native_optimize_compact",
-        "delta_native_stats_skip",
-        "graph_pagerank_trade",
-        "hypertable_multires_rollup",
-        "io_bucketed_join_agg",
-        "layout_zorder_scan",
-        "multimodal_decode_features",
-        "multimodal_metadata_prune",
-        "olap_cube_orders",
-        "olap_rollup_revenue",
-        "pipeline_incremental_minhash",
-        "profile_dataset_manifest",
-        "pysource_lehmer_filtered",
-        "pysource_lehmer_histogram",
-        "sample_token_budget_mix",
-        "sample_weighted_by_length",
-        "scalar_bool_aggregates",
-        "scalar_map_explode_props",
-        "session_context_examples",
-        "session_transition_matrix",
-        "similarity_bruteforce_topk",
-        "similarity_ivf_pq_topk",
-        "similarity_threshold_pairs",
-        "skew_salted_agg_returnflag",
-        "skew_salted_join_events",
-        "sql_named_parameters",
-        "sql_recursive_month_spine",
-        "stats_observed_scan_metrics",
-        "streaming_delta_append_sink",
-        "streaming_sliding_stats",
-        "streaming_stateful_user_profiles",
-        "streaming_tumbling_counts",
-        "streaming_upsert_versioned",
-        "temporal_asof_last_error",
-        "temporal_range_conversions",
-        "text_bpe_encode_corpus",
-        "ts_gapfill_hourly",
-        "udf_arrow_batch_tokens",
-        "udf_table_function_sentences",
-        "versioned_merge_upsert",
-        "versioned_snapshot_counts",
-    }
-)
+# Round-16 rotation: the r07 cohort fully retired at r15 (all 50
+# rows re-confirmed green), so the stalest signal is now the r08 set.
+# r16 is an optimization round — no new queries — so the driver's
+# 50-row window re-confirms the r08 cohort (window = first 50 of the
+# 55 r08 rows).
 
 _R08_VERIFIED = frozenset(
     {
@@ -513,8 +456,62 @@ _R14_VERIFIED = frozenset(
     }
 )
 
+_R15_VERIFIED = frozenset(
+    {
+        "chunk_pack_sequences",
+        "chunk_sliding_windows",
+        "clean_schema_drift_union",
+        "cluster_centroid_assign",
+        "cluster_random_projection",
+        "dedup_distinct_pairs",
+        "dedup_minhash_lsh",
+        "dedup_substring_spans",
+        "delta_native_cluster_by",
+        "delta_native_optimize_compact",
+        "delta_native_stats_skip",
+        "graph_pagerank_trade",
+        "hypertable_multires_rollup",
+        "io_bucketed_join_agg",
+        "layout_zorder_scan",
+        "multimodal_decode_features",
+        "multimodal_metadata_prune",
+        "olap_cube_orders",
+        "olap_rollup_revenue",
+        "pipeline_incremental_minhash",
+        "profile_dataset_manifest",
+        "pysource_lehmer_filtered",
+        "pysource_lehmer_histogram",
+        "sample_token_budget_mix",
+        "sample_weighted_by_length",
+        "scalar_bool_aggregates",
+        "scalar_map_explode_props",
+        "session_context_examples",
+        "session_transition_matrix",
+        "similarity_bruteforce_topk",
+        "similarity_ivf_pq_topk",
+        "similarity_threshold_pairs",
+        "skew_salted_agg_returnflag",
+        "skew_salted_join_events",
+        "sql_named_parameters",
+        "sql_recursive_month_spine",
+        "stats_observed_scan_metrics",
+        "streaming_delta_append_sink",
+        "streaming_sliding_stats",
+        "streaming_stateful_user_profiles",
+        "streaming_tumbling_counts",
+        "streaming_upsert_versioned",
+        "temporal_asof_last_error",
+        "temporal_range_conversions",
+        "text_bpe_encode_corpus",
+        "ts_gapfill_hourly",
+        "udf_arrow_batch_tokens",
+        "udf_table_function_sentences",
+        "versioned_merge_upsert",
+        "versioned_snapshot_counts",
+    }
+)
+
 DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
-    _R07_VERIFIED,
     _R08_VERIFIED,
     _R09_VERIFIED,
     _R10_VERIFIED,
@@ -522,6 +519,7 @@ DRIVER_VERIFIED_ROUNDS: tuple[frozenset[str], ...] = (
     _R12_VERIFIED,
     _R13_VERIFIED,
     _R14_VERIFIED,
+    _R15_VERIFIED,
 )
 
 DRIVER_VERIFIED = frozenset().union(*DRIVER_VERIFIED_ROUNDS)

@@ -9,7 +9,7 @@ For each named registry query (or every bench-tagged one):
     tracker) — at sf0.1 the fixtures are ~17 MB, so job/stage count is
     the fixed-overhead proxy that actually explains wall time;
   - optionally dumps ``.explain("formatted")`` of the returned frame to
-    ``plans/r15/<name>_<tag>.txt`` (NOTE: for lifecycle queries the
+    ``plans/r16/<name>_<tag>.txt`` (NOTE: for lifecycle queries the
     returned frame is only the final ledger — their cost lives in the
     side-effecting commits, which the job count captures).
 
@@ -34,7 +34,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--plans", default=None, help="dump explain to plans/r15/<name>_<TAG>.txt")
+    ap.add_argument("--plans", default=None, help="dump explain to plans/r16/<name>_<TAG>.txt")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
@@ -78,14 +78,14 @@ def main() -> None:
                 best, jobs = dt, njobs
         print(f"{name:42s} {best:9.3f} {jobs:5d}", flush=True)
         if args.plans:
-            os.makedirs("plans/r15", exist_ok=True)
+            os.makedirs("plans/r16", exist_ok=True)
             df = qdef.fn(spark, args.sf_dir)
             plan = df._jdf.queryExecution().explainString(  # noqa: SLF001
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
                     "formatted"
                 )
             )
-            with open(f"plans/r15/{name}_{args.plans}.txt", "w") as fh:
+            with open(f"plans/r16/{name}_{args.plans}.txt", "w") as fh:
                 fh.write(plan)
     spark.stop()
 
