@@ -1358,7 +1358,14 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries-in-band, and the emitted set is exactly the old
     # symmetrized pair set restricted to doc_a < NUM_QUERIES (the only
     # rows the anti-join could match). est-Jaccard verify unchanged.
-    sigs = _minhash_sigs(near_duplicate_corpus(spark, sf_dir)).persist()
+    # eager localCheckpoint, not persist: CacheManager entries are never
+    # reclaimed by the ContextCleaner, so a persist here leaked one
+    # cached signature table per call for the session's lifetime;
+    # checkpoint blocks are reclaimed once the Python reference drops
+    # (same pattern as the curation pipelines, guide §5).
+    sigs = _minhash_sigs(near_duplicate_corpus(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
     bands = sigs.select(
         "doc_id",
         F.explode(

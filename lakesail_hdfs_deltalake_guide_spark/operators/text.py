@@ -790,7 +790,14 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         "word", "freq", F.posexplode(F.split("word", "")).alias("pos", "sym")
     ).localCheckpoint(eager=True)
     w = Window.partitionBy("word").orderBy("pos")
-    merges = None
+    # Each iteration's winning pair is ONE row: collect it (a
+    # TakeOrderedAndProject job over the vocabulary-sized pair counts)
+    # and thread it through the superstep as literals. The former
+    # best-frame localCheckpoint + crossJoin(broadcast(rule)) shape paid
+    # 2 extra jobs per iteration (the checkpoint materialization and
+    # AQE's broadcast-subquery stage) for the same 1-row rule; the
+    # merge table itself is BPE_MERGES rows, built once at the end.
+    merge_rows: list[tuple[int, str, str, int]] = []
     for it in range(1, BPE_MERGES + 1):
         paired = syms.withColumn("nxt", F.lead("sym").over(w))
         best = (
@@ -799,22 +806,16 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             .agg(F.sum("freq").alias("pair_count"))
             .orderBy(F.desc("pair_count"), "sym", "nxt")
             .limit(1)
-            .select(
-                F.lit(it).cast("bigint").alias("iteration"),
-                F.col("sym").alias("left"),
-                F.col("nxt").alias("right"),
-                "pair_count",
-            )
-            .localCheckpoint(eager=True)
+            .collect()[0]
         )
-        merges = best if merges is None else merges.unionByName(best)
-        rule = best.select("left", "right")
+        merge_rows.append(
+            (it, best["sym"], best["nxt"], int(best["pair_count"]))
+        )
         marked = (
-            paired.crossJoin(F.broadcast(rule))
-            .withColumn(
+            paired.withColumn(
                 "elig",
-                (F.col("sym") == F.col("left"))
-                & (F.col("nxt") == F.col("right")),
+                (F.col("sym") == F.lit(best["sym"]))
+                & (F.col("nxt") == F.lit(best["nxt"])),
             )
             .withColumn(
                 "run_start",
@@ -852,6 +853,10 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             )
             .localCheckpoint(eager=True)
         )
+    merges = syms.sparkSession.createDataFrame(
+        merge_rows,
+        "iteration bigint, left string, right string, pair_count bigint",
+    )
     return merges, syms
 
 

@@ -1187,7 +1187,16 @@ def pipeline_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage time identical). At 100 TB the same truncation would
     checkpoint to the lakehouse between stages, identical plan
     shapes (guide §3.3/§5: materialise intermediates to cut the
-    plan)."""
+    plan).
+
+    Semantics of the eager checkpoints, for callers: building this
+    DataFrame RUNS all five stages' Spark jobs at call time (it is no
+    longer lazy), and the checkpointed blocks are non-replicated — an
+    executor loss makes them unrecoverable (acceptable for local/bench
+    use; a fault-tolerant deployment would swap in lakehouse
+    checkpoints as above, and dynamic allocation needs
+    spark.dynamicAllocation.shuffleTracking/decommission storage
+    migration so cached blocks survive executor release)."""
     from .operators.chunking import PACK_WINDOW
     from .tables import load_table, spread_compute
 
@@ -1451,14 +1460,39 @@ def pipeline_curation_incremental(
             mode="overwrite" if first_round else "append",
             configuration=_OPTWRITE,
         )
-        # stage 3: new-vs-(state ∪ new) banded candidates only
-        sigs_i = _curation_sigs(s2_i).localCheckpoint(eager=True)
-        bands_i = _curation_bands(sigs_i)
+        # stage 3: new-vs-(state ∪ new) banded candidates only. The
+        # signature state persists its BAND KEYS alongside the
+        # signatures (one more column family): an increment reads the
+        # history's bands straight off the state scan instead of
+        # re-hashing every historical signature through band_keys —
+        # at 100 TB the md5 band fold over the whole state was the one
+        # remaining O(history) compute per increment (guide §6: layout
+        # the state for its reader).
+        from .functions.hashing import band_keys
+        from .operators.dedup import NUM_BANDS, ROWS_PER_BAND
+
+        sigs_i = (
+            _curation_sigs(s2_i)
+            .withColumn(
+                "bands", band_keys(F.col("sig"), NUM_BANDS, ROWS_PER_BAND)
+            )
+            .localCheckpoint(eager=True)
+        )
+        bands_i = sigs_i.select(
+            "doc_id", F.explode("bands").alias("band")
+        ).select("doc_id", "band.band_id", "band.band_hash")
         if first_round:
             sigs_all, bands_all = sigs_i, bands_i
         else:
-            sigs_all = delta_read(spark, sigs_p).unionByName(sigs_i)
-            bands_all = _curation_bands(sigs_all)
+            state = delta_read(spark, sigs_p)
+            sigs_all = state.select("doc_id", "sig").unionByName(
+                sigs_i.select("doc_id", "sig")
+            )
+            bands_all = (
+                state.select("doc_id", F.explode("bands").alias("band"))
+                .select("doc_id", "band.band_id", "band.band_hash")
+                .unionByName(bands_i)
+            )
         near = _curation_near_drop(bands_all, bands_i, sigs_all, sigs_i)
         s3_i = s2_i.join(near, "doc_id", "left_anti").localCheckpoint(
             eager=True

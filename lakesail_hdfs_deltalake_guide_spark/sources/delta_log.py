@@ -31,6 +31,7 @@ so ``file://`` and ``hdfs://`` behave identically.
 from __future__ import annotations
 
 import json
+import re as _re
 import time
 import uuid
 
@@ -140,12 +141,23 @@ CHECKPOINT_INTERVAL = 10
 _FS_CACHE: dict[tuple, object] = {}
 
 
+_URI_SCHEME_RE = _re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*):(?://([^/]*))?")
+
+
 def _fs_cache_key(spark: SparkSession, path: str) -> tuple:
-    scheme, sep, rest = path.partition("://")
-    if not sep:
+    # Parse the scheme exactly as java.net.URI does: ``file:/tmp/x``
+    # (single-slash, no authority) is scheme 'file', NOT the defaultFS
+    # — partitioning on '://' alone mapped such URIs and scheme-less
+    # paths to the same ('','') slot, which could hand back a handle
+    # for the wrong filesystem when fs.defaultFS is not file://.
+    # Scheme-less paths all resolve through the application's constant
+    # fs.defaultFS, so one shared ('','') slot for them is exact.
+    m = _URI_SCHEME_RE.match(path)
+    if m is None:
         scheme, authority = "", ""
     else:
-        authority = rest.split("/", 1)[0]
+        scheme = m.group(1).lower()
+        authority = (m.group(2) or "").lower()
     return (spark.sparkContext.applicationId, scheme, authority)
 
 
@@ -181,8 +193,6 @@ def _checkpoint_file(path: str, version: int) -> str:
 # the metadata-sized actions (protocol/metaData/txn); parts 2..N carry
 # only adds — readers here fold per-row with .get() so the narrower
 # part schema is benign.
-import re as _re  # noqa: E402
-
 _CKPT_PART_RE = _re.compile(
     r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
 )
@@ -404,26 +414,42 @@ def _read_text(spark: SparkSession, path: str) -> str:
 # (_last_checkpoint) must keep using _read_text directly. Cleanup
 # (delta_cleanup_log) purges the table's entries so a post-retention
 # read fails loudly exactly as an uncached one would.
+#
+# Scope assumption: the cache lives in THIS driver process and is
+# invalidated only by this process's delta_cleanup_log. Log-retention
+# cleanup (or delete-and-recreate at the same path) performed by a
+# DIFFERENT process would leave ghosts here — the engine's maintenance
+# contract is a single maintenance driver per table, same as the
+# JVM-side FileSystem handle cache above.
+import threading as _threading  # noqa: E402
+
 _LOG_TEXT_CACHE: dict[str, str] = {}
 _LOG_TEXT_CACHE_CAP_BYTES = 64 * 1024 * 1024
 _log_text_cache_bytes = 0
+_LOG_TEXT_CACHE_LOCK = _threading.Lock()
 
 
 def _read_log_text_immutable(spark: SparkSession, path: str) -> str:
     global _log_text_cache_bytes
-    cached = _LOG_TEXT_CACHE.get(path)
-    if cached is not None:
-        return cached
+    with _LOG_TEXT_CACHE_LOCK:
+        cached = _LOG_TEXT_CACHE.pop(path, None)
+        if cached is not None:
+            # re-insert so dict order tracks recency (true LRU): the
+            # hottest entries — the JSON tail every snapshot fold
+            # re-reads — must not be first out when the cap hits
+            _LOG_TEXT_CACHE[path] = cached
+            return cached
     text = _read_text(spark, path)
-    _log_text_cache_bytes += len(text)
-    _LOG_TEXT_CACHE[path] = text
-    while (
-        _log_text_cache_bytes > _LOG_TEXT_CACHE_CAP_BYTES
-        and _LOG_TEXT_CACHE
-    ):
-        # dicts iterate in insertion order — evict oldest-inserted
-        old_path = next(iter(_LOG_TEXT_CACHE))
-        _log_text_cache_bytes -= len(_LOG_TEXT_CACHE.pop(old_path))
+    with _LOG_TEXT_CACHE_LOCK:
+        if path not in _LOG_TEXT_CACHE:
+            _log_text_cache_bytes += len(text)
+            _LOG_TEXT_CACHE[path] = text
+        while (
+            _log_text_cache_bytes > _LOG_TEXT_CACHE_CAP_BYTES
+            and _LOG_TEXT_CACHE
+        ):
+            old_path = next(iter(_LOG_TEXT_CACHE))
+            _log_text_cache_bytes -= len(_LOG_TEXT_CACHE.pop(old_path))
     return text
 
 
@@ -432,8 +458,9 @@ def _purge_log_text_cache(prefix: str) -> None:
     — called by log-retention cleanup so deleted commits read as
     deleted, never as cached ghosts."""
     global _log_text_cache_bytes
-    for p in [p for p in _LOG_TEXT_CACHE if p.startswith(prefix)]:
-        _log_text_cache_bytes -= len(_LOG_TEXT_CACHE.pop(p))
+    with _LOG_TEXT_CACHE_LOCK:
+        for p in [p for p in _LOG_TEXT_CACHE if p.startswith(prefix)]:
+            _log_text_cache_bytes -= len(_LOG_TEXT_CACHE.pop(p))
 
 
 def _read_raw_bytes(spark: SparkSession, path: str) -> bytes:
