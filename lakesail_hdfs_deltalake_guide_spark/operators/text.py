@@ -387,7 +387,12 @@ def _perplexity_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab broadcast, no text in exchanges) are assertable — the decile
     cut's localCheckpoint boundary hides this stage from the final
     query's executed plan."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..tables import spread_compute
+
+    d = spread_compute(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )  # fixture scans arrive 1-partition; the bigram explode would
+    # otherwise tokenize the whole corpus on one core (no-op at scale)
     toks = _tokens()
     occ = (
         d.where(F.size(toks) >= 2)
@@ -408,8 +413,13 @@ def _perplexity_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bg.w2").alias("w2"),
         )
     )
-    tf = occ.groupBy("doc_id", "lang", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("tf")
+    # materialize tf once: it feeds scored, c12 and (via c12) c1 — as a
+    # lazy subtree the corpus bigram explode planned and EXECUTED three
+    # times in one query (guide §2.4 duplicated-subtree removal)
+    tf = (
+        occ.groupBy("doc_id", "lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     c12 = tf.groupBy("lang", "w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
@@ -477,7 +487,11 @@ def text_ccnet_paragraph_quality(
     from .dedup import _PARA_FOOTER, _PARA_HEADER, PARA_SEP
     from .ranks import exact_ntile
 
-    d = load_table(spark, sf_dir, "documents")
+    from ..tables import spread_compute
+
+    d = spread_compute(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )  # 1-partition fixture scan: spread the paragraph/bigram explodes
     t = F.concat_ws(
         PARA_SEP,
         F.concat(
@@ -517,8 +531,12 @@ def text_ccnet_paragraph_quality(
         F.col("bg.w1").alias("w1"),
         F.col("bg.w2").alias("w2"),
     )
-    tf = occ.groupBy("doc_id", "pos", "lang", "w1", "w2").agg(
-        F.count(F.lit(1)).alias("tf")
+    # tf feeds scored + c12 (+ c1 through it): checkpoint so the
+    # paragraph+bigram explode executes once, not three times (§2.4)
+    tf = (
+        occ.groupBy("doc_id", "pos", "lang", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     c12 = tf.groupBy("lang", "w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
@@ -780,7 +798,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     every real BPE trainer; the corpus is scanned once to build it.
     Iterations materialize via localCheckpoint (Pregel-style
     supersteps)."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..tables import spread_compute
+
+    d = spread_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     words = (
         d.select(F.explode(_tokens()).alias("word"))
         .groupBy("word")
@@ -946,7 +966,9 @@ def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     word_tok = syms.groupBy("word").agg(
         F.count(F.lit(1)).alias("n_syms")
     )
-    d = load_table(spark, sf_dir, "documents")
+    from ..tables import spread_compute
+
+    d = spread_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     doc_words = d.select("doc_id", F.explode(_tokens()).alias("word"))
     per_doc = _bpe_encode_per_doc(doc_words, word_tok)
     # compression-ratio deciles via the distributed exact rank
@@ -1550,28 +1572,41 @@ def text_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity the brute-force baseline pins; RRF contributions are
     exact ppm divisions.
 
-    Plan shape: ONE corpus token explosion filtered on the scan by the
-    broadcast union of query terms (tf shuffles only matching (doc,
-    term) rows); document frequencies and corpus totals are
-    metadata-sized broadcasts; the vector side broadcasts the query
-    embeddings against a single partitioned corpus scan; every rank
-    window is PARTITIONED by query_id; the fusion join touches
-    Q × pool rows. At 100 TB: one text pass + one embedding pass."""
+    Plan shape (r16): ONE corpus token explosion — spread across cores
+    when the scan arrives under-split (tables.spread_compute, a no-op
+    on a naturally-split 100 TB scan) and filtered by the broadcast
+    union of query terms — materialized once via localCheckpoint so the
+    df re-aggregation and the score join read the same pass instead of
+    re-planning it (the pre-r16 plan held 16 scans / 38 exchanges from
+    subtree duplication); corpus totals are two collected scalars;
+    the vector side broadcasts the query embeddings against a single
+    corpus scan; every rank window is PARTITIONED by query_id; the
+    fusion join touches Q × pool rows. At 100 TB: one text pass + one
+    dl pass + one embedding pass."""
+    from ..tables import spread_compute
     from .similarity import NUM_QUERIES, _scored_pairs
 
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id", F.size(_tokens()).cast("bigint").alias("dl")
+    tot = (
+        d.select(F.size(_tokens()).cast("bigint").alias("dl"))
+        .agg(
+            F.sum("dl").alias("corpus_len"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .collect()[0]
     )
-    totals = docs.agg(
-        F.sum("dl").alias("corpus_len"), F.count(F.lit(1)).alias("n_docs")
-    )
-    qterms = d.where(F.col("doc_id") < NUM_QUERIES).select(
-        F.col("doc_id").alias("query_id"),
-        F.explode(F.array_distinct(_tokens())).alias("token"),
+    corpus_len, n_docs = int(tot["corpus_len"]), int(tot["n_docs"])
+    qterms = (
+        d.where(F.col("doc_id") < NUM_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(_tokens())).alias("token"),
+        )
+        .localCheckpoint(eager=True)  # feeds the tf filter AND the score join
     )
     tf = (
-        d.select(
+        spread_compute(d, "doc_id")
+        .select(
             "doc_id",
             F.size(_tokens()).cast("bigint").alias("dl"),
             F.explode(_tokens()).alias("token"),
@@ -1579,20 +1614,24 @@ def text_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qterms.select("token").distinct()), "token")
         .groupBy("doc_id", "dl", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # feeds dfreq AND the score join
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     lex_scored = (
         tf.join(F.broadcast(qterms), "token")
         .where(F.col("doc_id") != F.col("query_id"))
         .join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(totals))
         .withColumn(
             "idf_pm",
-            F.expr("(2 * n_docs - 2 * df + 1) * 1000 DIV (2 * df + 1)"),
+            F.expr(
+                f"(2 * {n_docs} - 2 * df + 1) * 1000 DIV (2 * df + 1)"
+            ),
         )
         .withColumn(
             "q_ppm",
-            F.expr("dl * 1000000 DIV GREATEST(corpus_len DIV n_docs, 1)"),
+            F.expr(
+                f"dl * 1000000 DIV GREATEST({corpus_len} DIV {n_docs}, 1)"
+            ),
         )
         .withColumn(
             "sat_ppm",
@@ -2423,54 +2462,59 @@ def text_tfidf_doc_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped outright first. Top pairs via TakeOrderedAndProject."""
     d = load_table(spark, sf_dir, "documents")
     w = _tfidf_postings(d)
-    w = w.localCheckpoint(eager=True)  # feeds the cap pass + doc vectors
-    # One pass builds BOTH the per-doc sparse vector (a map, bounded by
-    # doc length) and its squared norm — the rescore then never touches
-    # the token-level index again: each candidate pair fetches two doc
-    # vectors and runs a doc-length-bounded map aggregate, replacing
-    # the composite-key (doc, tok) shuffle join with two doc_id joins.
-    vec = w.groupBy("doc_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("tok", "w"))
-        ).alias("vec"),
-        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * w")).alias("n2"),
+    w = w.localCheckpoint(eager=True)  # feeds cap pass + rescore joins
+    # Rescore via the postings join, not per-pair map vectors (r16):
+    # each candidate pair's dot is Σ w_a·w_b over shared tokens,
+    # computed by joining the pair list back to the FULL postings on
+    # (doc, tok). The r14 map-vector formulation (collect each doc's
+    # postings into a map, HOF-aggregate map_entries per pair) was
+    # measured 2.1x SLOWER at sf0.1 (4.17 s vs 2.00 s, same session):
+    # per-element lambda evaluation loses to codegen'd join emission —
+    # the same verdict as the r15 graph wedge kernel. The intermediate
+    # is bounded by candidates × doc length (cap-bounded candidates,
+    # postings are Zipf-pruned), and n_shared = the join's row count
+    # per pair, identical to the map intersection size.
+    n2 = w.groupBy("doc_id").agg(
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * w")).alias("n2")
     )
     cands = capped_candidate_pairs(w, TFIDF_POSTING_CAP)
-    scored = (
+    dots = (
         cands.join(
-            vec.select(
+            w.select(
                 F.col("doc_id").alias("doc_a"),
-                F.col("vec").alias("va"),
-                F.col("n2").alias("n2a"),
+                "tok",
+                F.col("w").alias("w_a"),
             ),
             "doc_a",
         )
         .join(
-            vec.select(
+            w.select(
                 F.col("doc_id").alias("doc_b"),
-                F.col("vec").alias("vb"),
-                F.col("n2").alias("n2b"),
+                "tok",
+                F.col("w").alias("w_b"),
+            ),
+            ["doc_b", "tok"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(F.expr("CAST(w_a AS DECIMAL(38,0)) * w_b")).alias("dot"),
+        )
+    )
+    return (
+        dots.join(
+            n2.select(
+                F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a")
+            ),
+            "doc_a",
+        )
+        .join(
+            n2.select(
+                F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b")
             ),
             "doc_b",
         )
         .select(
-            "doc_a",
-            "doc_b",
-            F.expr(
-                "size(map_filter(va, (k, v) -> vb[k] IS NOT NULL))"
-            ).cast("long").alias("n_shared"),
-            F.expr(
-                "aggregate(map_entries(va), CAST(0 AS DECIMAL(38,0)),"
-                " (acc, e) -> CAST(acc + CAST(e.value AS DECIMAL(38,0))"
-                " * coalesce(vb[e.key], CAST(0 AS BIGINT))"
-                " AS DECIMAL(38,0)))"
-            ).alias("dot"),
-            F.col("n2a"),
-            F.col("n2b"),
-        )
-    )
-    return (
-        scored.select(
             "doc_a",
             "doc_b",
             "n_shared",
