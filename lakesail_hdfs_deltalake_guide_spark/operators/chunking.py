@@ -188,7 +188,11 @@ TAU2_PPM = 250_000  # τ = 0.5 → τ² in ppm
 def chunk_semantic_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc semantic-chunking report: sentence units, semantic
     boundaries, resulting chunk count, largest chunk, token coverage."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..tables import spread_compute
+
+    # the per-token md5 sketch below is the dominant pre-shuffle CPU;
+    # a 1-partition fixture scan would run it on one core (no-op at scale)
+    d = spread_compute(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "tok"),

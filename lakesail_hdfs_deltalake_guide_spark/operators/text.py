@@ -387,12 +387,7 @@ def _perplexity_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab broadcast, no text in exchanges) are assertable — the decile
     cut's localCheckpoint boundary hides this stage from the final
     query's executed plan."""
-    from ..tables import spread_compute
-
-    d = spread_compute(
-        load_table(spark, sf_dir, "documents"), "doc_id"
-    )  # fixture scans arrive 1-partition; the bigram explode would
-    # otherwise tokenize the whole corpus on one core (no-op at scale)
+    d = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     occ = (
         d.where(F.size(toks) >= 2)
@@ -413,13 +408,8 @@ def _perplexity_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bg.w2").alias("w2"),
         )
     )
-    # materialize tf once: it feeds scored, c12 and (via c12) c1 — as a
-    # lazy subtree the corpus bigram explode planned and EXECUTED three
-    # times in one query (guide §2.4 duplicated-subtree removal)
-    tf = (
-        occ.groupBy("doc_id", "lang", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+    tf = occ.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
     )
     c12 = tf.groupBy("lang", "w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
@@ -487,11 +477,7 @@ def text_ccnet_paragraph_quality(
     from .dedup import _PARA_FOOTER, _PARA_HEADER, PARA_SEP
     from .ranks import exact_ntile
 
-    from ..tables import spread_compute
-
-    d = spread_compute(
-        load_table(spark, sf_dir, "documents"), "doc_id"
-    )  # 1-partition fixture scan: spread the paragraph/bigram explodes
+    d = load_table(spark, sf_dir, "documents")
     t = F.concat_ws(
         PARA_SEP,
         F.concat(
@@ -531,12 +517,8 @@ def text_ccnet_paragraph_quality(
         F.col("bg.w1").alias("w1"),
         F.col("bg.w2").alias("w2"),
     )
-    # tf feeds scored + c12 (+ c1 through it): checkpoint so the
-    # paragraph+bigram explode executes once, not three times (§2.4)
-    tf = (
-        occ.groupBy("doc_id", "pos", "lang", "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+    tf = occ.groupBy("doc_id", "pos", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
     )
     c12 = tf.groupBy("lang", "w1", "w2").agg(F.sum("tf").alias("c12"))
     c1 = c12.groupBy("lang", "w1").agg(F.sum("c12").alias("c1"))
@@ -798,9 +780,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     every real BPE trainer; the corpus is scanned once to build it.
     Iterations materialize via localCheckpoint (Pregel-style
     supersteps)."""
-    from ..tables import spread_compute
-
-    d = spread_compute(load_table(spark, sf_dir, "documents"), "doc_id")
+    d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(_tokens()).alias("word"))
         .groupBy("word")
@@ -810,14 +790,13 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         "word", "freq", F.posexplode(F.split("word", "")).alias("pos", "sym")
     ).localCheckpoint(eager=True)
     w = Window.partitionBy("word").orderBy("pos")
-    # Each iteration's winning pair is ONE row: collect it (a
-    # TakeOrderedAndProject job over the vocabulary-sized pair counts)
-    # and thread it through the superstep as literals. The former
-    # best-frame localCheckpoint + crossJoin(broadcast(rule)) shape paid
-    # 2 extra jobs per iteration (the checkpoint materialization and
-    # AQE's broadcast-subquery stage) for the same 1-row rule; the
-    # merge table itself is BPE_MERGES rows, built once at the end.
-    merge_rows: list[tuple[int, str, str, int]] = []
+    # NOTE (r16, measured): collecting the 1-row winner per iteration
+    # and threading it as literals was tried and REJECTED — the
+    # synchronous driver round trip per iteration measured +0.3-0.7 s
+    # vs this lazy checkpoint+broadcast form at sf0.1 (the broadcast
+    # pipeline overlaps; same for spreading the word explode). Keep
+    # this shape unless re-measured otherwise.
+    merges = None
     for it in range(1, BPE_MERGES + 1):
         paired = syms.withColumn("nxt", F.lead("sym").over(w))
         best = (
@@ -826,16 +805,22 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             .agg(F.sum("freq").alias("pair_count"))
             .orderBy(F.desc("pair_count"), "sym", "nxt")
             .limit(1)
-            .collect()[0]
+            .select(
+                F.lit(it).cast("bigint").alias("iteration"),
+                F.col("sym").alias("left"),
+                F.col("nxt").alias("right"),
+                "pair_count",
+            )
+            .localCheckpoint(eager=True)
         )
-        merge_rows.append(
-            (it, best["sym"], best["nxt"], int(best["pair_count"]))
-        )
+        merges = best if merges is None else merges.unionByName(best)
+        rule = best.select("left", "right")
         marked = (
-            paired.withColumn(
+            paired.crossJoin(F.broadcast(rule))
+            .withColumn(
                 "elig",
-                (F.col("sym") == F.lit(best["sym"]))
-                & (F.col("nxt") == F.lit(best["nxt"])),
+                (F.col("sym") == F.col("left"))
+                & (F.col("nxt") == F.col("right")),
             )
             .withColumn(
                 "run_start",
@@ -873,10 +858,6 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             )
             .localCheckpoint(eager=True)
         )
-    merges = syms.sparkSession.createDataFrame(
-        merge_rows,
-        "iteration bigint, left string, right string, pair_count bigint",
-    )
     return merges, syms
 
 
@@ -966,9 +947,7 @@ def text_bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     word_tok = syms.groupBy("word").agg(
         F.count(F.lit(1)).alias("n_syms")
     )
-    from ..tables import spread_compute
-
-    d = spread_compute(load_table(spark, sf_dir, "documents"), "doc_id")
+    d = load_table(spark, sf_dir, "documents")
     doc_words = d.select("doc_id", F.explode(_tokens()).alias("word"))
     per_doc = _bpe_encode_per_doc(doc_words, word_tok)
     # compression-ratio deciles via the distributed exact rank

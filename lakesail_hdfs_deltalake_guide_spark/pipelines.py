@@ -193,12 +193,16 @@ def pipeline_cdf_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        if batch_df.isEmpty():
-            return
+        # txn-ledger guard FIRST: it is a driver-side log read, while
+        # isEmpty() launches a Spark job over the batch's source
+        # partitions — a redelivered batch (the replay loop, a restarted
+        # stream) should be rejected without paying that job
         if (
             last := delta_last_txn(s, hist, app)
         ) is not None and batch_id <= last:
             return  # redelivered batch — history already reflects it
+        if batch_df.isEmpty():
+            return
         ev = batch_df.where(
             F.col("_change_type").isin(
                 "insert", "update_postimage", "delete"
@@ -259,12 +263,22 @@ def pipeline_cdf_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 configuration=_OPTWRITE,
             )
 
+    # analyze the stream frame ONCE: load() resolves the source schema
+    # through a spawned python worker (create_data_source + schema), a
+    # per-call cost both drains would otherwise pay; the analyzed plan
+    # is reusable across starts because offsets live in the checkpoint
+    stream_df: list[DataFrame | None] = [None]
+
     def drain() -> None:
+        if stream_df[0] is None:
+            stream_df[0] = (
+                spark.readStream.format("delta_native_cdf_stream")
+                .option("path", src)
+                .option("startingVersion", "0")
+                .load()
+            )
         q = (
-            spark.readStream.format("delta_native_cdf_stream")
-            .option("path", src)
-            .option("startingVersion", "0")
-            .load()
+            stream_df[0]
             .writeStream.foreachBatch(apply_batch)
             .trigger(availableNow=True)
             .option("checkpointLocation", ckpt)

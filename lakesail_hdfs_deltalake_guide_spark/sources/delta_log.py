@@ -6160,8 +6160,13 @@ def delta_merge(
     — rejected before any file is staged."""
     if not on:
         raise ValueError("merge requires at least one key column")
+    # materialize the source ONCE, before validation: the dup check is
+    # an action, and running it against the raw plan executed the whole
+    # source subtree (for streaming upserts: a python-source read + the
+    # fold) a second time before the checkpoint's first consumer
+    src = source.localCheckpoint(eager=True)  # dup check + 3 consumers
     dup = (
-        source.groupBy(*on)
+        src.groupBy(*on)
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") > 1)
         .limit(1)
@@ -6224,7 +6229,6 @@ def delta_merge(
             f"cannot MERGE-update identity columns "
             f"{sorted(set(upd) & set(identity))}"
         )
-    src = source.localCheckpoint(eager=False)  # 3 consumers, 1 compute
     hit_names = [
         r[0]
         for r in scan.select(*on, "__ls_file")
