@@ -95,6 +95,15 @@ def main() -> None:
         # semantics) while making each query's number independent of
         # which queries ran before it.
         spark.catalog.clearCache()
+        # clearCache drops CacheManager entries but NOT the RDD blocks
+        # behind localCheckpoint frames — those wait for a driver GC
+        # (the session's periodic 1-min GC), which lands INSIDE a later
+        # query's timed run: measured as bimodal readings on the
+        # checkpoint-heavy graph queries (fof alternating 16/11 s with
+        # run order, monotone 12->7.5 s once a GC ran at each query
+        # boundary). One explicit GC here — never inside a timed
+        # region — makes block reclamation deterministic. (r16)
+        spark._jvm.System.gc()  # noqa: SLF001
 
     # Regression gate vs the pinned per-query baselines (BASELINE.md):
     # ratios are only meaningful at the pinned scale factor, and host
@@ -139,6 +148,7 @@ def main() -> None:
             reran[name] = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings[name], reran[name])
             spark.catalog.clearCache()
+            spark._jvm.System.gc()  # noqa: SLF001 (see between-queries note)
 
     # Host-speed canary, RECORDED never GATED on: one fixed CPU-bound JVM
     # probe and one single-thread Python probe. The r15 host reboot made
